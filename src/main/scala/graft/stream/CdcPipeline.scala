@@ -1,0 +1,78 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.table.MergeTable
+import graft.transform.CdcTransformer
+
+/** The end-to-end CDC pipeline, Spark-first: what the reference spreads
+  * across DMS → Kinesis → Firehose → Lambda → Iceberg (SURVEY.md §3.1)
+  * collapses to one Structured Streaming query:
+  *
+  * {{{
+  *   readStream(JSON lines)            // landing dir stands in for Kinesis:
+  *                                     // no Kinesis connector jar here, and
+  *                                     // a file source keeps per-file order
+  *   → CdcTransformer.transform        // parse/filter/route — one narrow,
+  *                                     // fully codegen'd stage (no Lambda hop)
+  *   → foreachBatch:
+  *       errors  → dead-letter sink    // year/month/day/hour partitioned
+  *       good    → MergeTable.applyBatch(batchId)   // keyed LWW merge;
+  *                                     // batchId makes replays no-ops
+  * }}}
+  *
+  * Micro-batch cadence mirrors the reference's Firehose buffer
+  * (60 s / 128 MB, firehose_to_iceberg.py:100–103) via
+  * `Trigger.ProcessingTime`; tests use `Trigger.AvailableNow` to drain.
+  * Freshness is seconds per batch vs the reference's 3–5 minutes
+  * (README.md:447) because there is no cross-service buffering.
+  */
+object CdcPipeline {
+
+  final case class Config(
+      landingDir: String,
+      tableRoot: String,
+      errorRoot: String,
+      checkpointDir: String,
+      srcDatabase: String = "testdb",
+      srcTable: String = "retail_trans",
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None)
+
+  def start(spark: SparkSession, cfg: Config): StreamingQuery = {
+    val table = MergeTable.retailTrans(cfg.tableRoot)
+
+    val reader = spark.readStream
+      .schema("value STRING")
+    val lines: DataFrame = cfg.maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .format("text")
+      .load(cfg.landingDir)
+
+    lines.writeStream
+      .queryName("cdc-pipeline")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val res = CdcTransformer.transform(batch, cfg.srcDatabase, cfg.srcTable)
+        CdcTransformer.writeErrors(res.errors, cfg.errorRoot)
+        table.applyBatch(res.good, Some(batchId.toString))
+      }
+      .start()
+  }
+
+  /** One-shot batch replay of a corpus (bootstrap / tests): same transform +
+    * merge, no streaming machinery.
+    */
+  def replayBatch(
+      spark: SparkSession,
+      lines: DataFrame,
+      table: MergeTable,
+      errorRoot: Option[String] = None,
+      batchId: Option[String] = None): Unit = {
+    val res = CdcTransformer.transform(lines)
+    errorRoot.foreach(CdcTransformer.writeErrors(res.errors, _))
+    table.applyBatch(res.good, batchId)
+  }
+}

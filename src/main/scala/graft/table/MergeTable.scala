@@ -1,0 +1,352 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Snapshot metadata for one committed table version. */
+final case class Snapshot(
+    version: Long,
+    dataFiles: Vector[String],    // relative to <root>/data
+    deleteFiles: Vector[String],  // relative to <root>/deletes
+    appliedBatches: Set[String],
+    requiresDedup: Boolean)
+
+/** A transactional lake table with Iceberg-v2-like semantics, implemented
+  * natively over versioned Parquet + a manifest per snapshot (no
+  * iceberg-runtime jar in this environment — SURVEY.md §7).
+  *
+  * Capabilities mirrored from the reference's Firehose→Iceberg destination
+  * (cdk_stacks/firehose_to_iceberg.py:79–119; README.md:292–309):
+  *   - keyed upsert/delete by a unique key (`unique_keys=["trans_id"]`,
+  *     .example.cdk.context.json:22–24)
+  *   - dir-partitioning by a payload column (`PARTITIONED BY (event)`)
+  *   - parquet + snappy data files
+  *   - merge-on-read deletes with a delete-file compaction threshold
+  *     (`optimize_rewrite_delete_file_threshold='10'`, README.md:307)
+  *   - snapshot isolation + time travel (versioned manifests, atomic
+  *     `_latest` pointer swap)
+  *
+  * == Write path (O(batch), never O(table)) ==
+  * `applyBatch` writes ONLY the incoming batch: upserts become new data
+  * files carrying a `_seq` column (= commit version), deletes become
+  * key-tombstone files. Nothing existing is rewritten — at 100 TB a
+  * copy-on-write of a 17 TB `event=` partition per micro-batch would be the
+  * bottleneck; merge-on-read keeps commits proportional to batch size.
+  *
+  * == Read path ==
+  * If the table has only ever seen inserts (`requiresDedup=false`) the read
+  * is a plain parquet scan — no shuffle. Otherwise rows are reduced to
+  * last-write-wins per key by `_seq` (one hash-partitioned window) and
+  * tombstoned keys dropped. `compact()` materializes the merged state and
+  * resets to the no-shuffle path; it auto-triggers when pending delete
+  * files reach `deleteCompactThreshold`, mirroring the reference's MoR
+  * maintenance knob.
+  *
+  * Update that changes the partition column is correct by construction:
+  * the new row (higher `_seq`) wins the window regardless of which
+  * directory the old row lives in; compaction physically drops the old copy.
+  *
+  * Replayed micro-batches after checkpoint recovery are no-ops: every
+  * commit records its `batchId` in the manifest and `applyBatch` skips
+  * already-applied ids (effective exactly-once on top of an at-least-once
+  * source, cf. SURVEY.md §2.9 T6).
+  *
+  * Layout:
+  * {{{
+  *   <root>/_latest                  current version number (atomic swap)
+  *   <root>/manifest/v<N>.manifest   snapshot file list (TSV)
+  *   <root>/data/<part=x>/          data files (payload + _seq)
+  *   <root>/deletes/                tombstones (key + _seq)
+  * }}}
+  */
+final class MergeTable(
+    val root: String,
+    val schema: StructType,
+    val keyCol: String,
+    val partitionCol: Option[String],
+    val deleteCompactThreshold: Int = 10) {
+
+  private val rootPath: Path = Paths.get(root)
+  private val dataDir: Path = rootPath.resolve("data")
+  private val deleteDir: Path = rootPath.resolve("deletes")
+  private val manifestDir: Path = rootPath.resolve("manifest")
+
+  private val SEQ = "_seq"
+  private val payloadCols: Seq[String] = schema.fields.map(_.name).toSeq
+  require(payloadCols.contains(keyCol), s"key $keyCol not in schema")
+  partitionCol.foreach(p => require(payloadCols.contains(p), s"partition $p not in schema"))
+
+  // ---- manifest I/O (TSV: no JSON dependency, trivially streamable) ----
+
+  private def manifestPath(v: Long): Path = manifestDir.resolve(s"v$v.manifest")
+
+  private def writeManifest(s: Snapshot): Unit = {
+    val sb = new StringBuilder
+    sb ++= s"version\t${s.version}\n"
+    sb ++= s"requiresDedup\t${s.requiresDedup}\n"
+    s.appliedBatches.toSeq.sorted.foreach(b => sb ++= s"batch\t$b\n")
+    s.dataFiles.foreach(f => sb ++= s"data\t$f\n")
+    s.deleteFiles.foreach(f => sb ++= s"delete\t$f\n")
+    val tmp = manifestDir.resolve(s".v${s.version}.tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, manifestPath(s.version), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readManifest(v: Long): Snapshot = {
+    val lines = Files.readAllLines(manifestPath(v)).asScala
+    var requiresDedup = false
+    val data = Vector.newBuilder[String]
+    val dels = Vector.newBuilder[String]
+    val batches = Set.newBuilder[String]
+    lines.foreach { l =>
+      l.split("\t", 2) match {
+        case Array("requiresDedup", x) => requiresDedup = x.toBoolean
+        case Array("data", f)          => data += f
+        case Array("delete", f)        => dels += f
+        case Array("batch", b)         => batches += b
+        case _                         => ()
+      }
+    }
+    Snapshot(v, data.result(), dels.result(), batches.result(), requiresDedup)
+  }
+
+  /** Current committed version, or -1 if the table is empty/uncreated. */
+  def latestVersion: Long = {
+    val p = rootPath.resolve("_latest")
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  def currentSnapshot: Option[Snapshot] = {
+    val v = latestVersion
+    if (v < 0) None else Some(readManifest(v))
+  }
+
+  /** All committed versions, oldest first (snapshot history / time travel). */
+  def history: Seq[Snapshot] = (0L to latestVersion).map(readManifest)
+
+  private def commit(s: Snapshot): Unit = {
+    writeManifest(s)
+    val tmp = rootPath.resolve(s".latest.${UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, s.version.toString)
+    // Readers resolve the pointer then the manifest — they can never see a
+    // partially written snapshot.
+    Files.move(tmp, rootPath.resolve("_latest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def create(): this.type = {
+    Seq(dataDir, deleteDir, manifestDir).foreach(Files.createDirectories(_))
+    this
+  }
+
+  // ---- write path ----
+
+  /** Move every parquet file under `staged` (including partition subdirs)
+    * into `target`, returning target-relative paths.
+    */
+  private def adoptFiles(staged: Path, target: Path, v: Long): Vector[String] = {
+    if (!Files.exists(staged)) return Vector.empty
+    val moved = Vector.newBuilder[String]
+    val it = Files.walk(staged).iterator().asScala
+    it.filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .foreach { f =>
+        val rel = staged.relativize(f.getParent)
+        val destDir = target.resolve(rel)
+        Files.createDirectories(destDir)
+        val name = s"f$v-${UUID.randomUUID().toString.take(12)}.parquet"
+        Files.move(f, destDir.resolve(name))
+        val relPath = if (rel.toString.isEmpty) name else s"$rel/$name"
+        moved += relPath
+      }
+    deleteRecursively(staged)
+    moved.result()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  private def stagingDir(tag: String, v: Long): Path =
+    rootPath.resolve(s".staging-$tag-v$v-${UUID.randomUUID().toString.take(8)}")
+
+  private def writeUpserts(rows: DataFrame, v: Long): Vector[String] = {
+    if (rows.isEmpty) return Vector.empty
+    val staged = stagingDir("data", v)
+    val cols = payloadCols.map(col) :+ lit(v).as(SEQ)
+    val w = rows.select(cols: _*).write
+      .mode("overwrite").option("compression", "snappy")
+    partitionCol.fold(w)(p => w.partitionBy(p)).parquet(staged.toString)
+    adoptFiles(staged, dataDir, v)
+  }
+
+  private def writeTombstones(keys: DataFrame, v: Long): Vector[String] = {
+    if (keys.isEmpty) return Vector.empty
+    val staged = stagingDir("del", v)
+    // Tombstones are tiny (keys only): one file per commit keeps the
+    // delete-file count meaningful for the compaction threshold and avoids
+    // empty part files from idle shuffle tasks.
+    keys.select(col(keyCol), lit(v).as(SEQ)).coalesce(1).write
+      .mode("overwrite").option("compression", "snappy").parquet(staged.toString)
+    adoptFiles(staged, deleteDir, v)
+  }
+
+  /** Bootstrap / full-load append: no merge, no dedup flag flip.
+    * (Reference full-load phase, dms_aurora_mysql_to_kinesis.py:126–135.)
+    */
+  def appendAll(rows: DataFrame, batchId: Option[String] = None): Unit =
+    synchronized {
+      val prev = currentSnapshot
+      if (batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) return
+      val v = latestVersion + 1
+      val files = writeUpserts(rows, v)
+      commit(Snapshot(
+        v,
+        prev.map(_.dataFiles).getOrElse(Vector.empty) ++ files,
+        prev.map(_.deleteFiles).getOrElse(Vector.empty),
+        prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
+        prev.exists(_.requiresDedup)))
+    }
+
+  /** Keyed transactional apply — the reference's J1 merge
+    * (firehose_to_iceberg.py:109–116): `insert|update` upsert by `keyCol`,
+    * `delete` removes the keyed row.
+    *
+    * Expects payload columns plus `operation` and (optionally)
+    * `src_timestamp` / `transaction_id` for last-write-wins ordering within
+    * the batch (A2: per-key LWW by source event order — Kinesis partition
+    * key = primary key, gen_fake_cdc_data.py:77).
+    */
+  def applyBatch(batch: DataFrame, batchId: Option[String] = None): Unit =
+    synchronized {
+      val prev = currentSnapshot
+      if (batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) return
+      val v = latestVersion + 1
+
+      val hasTs = batch.columns.contains("src_timestamp")
+      val hasTx = batch.columns.contains("transaction_id")
+      val ordering =
+        (if (hasTs) Seq(col("src_timestamp").desc_nulls_last) else Nil) ++
+          (if (hasTx) Seq(col("transaction_id").desc_nulls_last) else Nil)
+
+      // One shuffle on the key (mirrors DMS ParallelApply PK partitioning,
+      // dms_aurora_mysql_to_kinesis.py:125): collapse the batch to the final
+      // operation per key before applying.
+      val lww =
+        if (ordering.nonEmpty) {
+          val w = Window.partitionBy(col(keyCol)).orderBy(ordering: _*)
+          batch.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+        } else batch.dropDuplicates(keyCol)
+
+      val cached = lww.cache()
+      try {
+        val upserts = cached.filter(col("operation").isin("insert", "update"))
+        val deletes = cached.filter(col("operation") === "delete")
+
+        val newData = writeUpserts(upserts, v)
+        val newDels = writeTombstones(deletes, v)
+        val anyUpdates = !cached.filter(col("operation") === "update").isEmpty
+
+        commit(Snapshot(
+          v,
+          prev.map(_.dataFiles).getOrElse(Vector.empty) ++ newData,
+          prev.map(_.deleteFiles).getOrElse(Vector.empty) ++ newDels,
+          prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
+          prev.exists(_.requiresDedup) || anyUpdates || newDels.nonEmpty))
+      } finally cached.unpersist()
+
+      if (currentSnapshot.exists(_.deleteFiles.size >= deleteCompactThreshold))
+        compact(batch.sparkSession)
+    }
+
+  // ---- read path ----
+
+  private def emptyDf(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Current-snapshot read (or time travel via `asOfVersion`). */
+  def read(spark: SparkSession, asOfVersion: Option[Long] = None): DataFrame = {
+    val snapOpt = asOfVersion.map(readManifest).orElse(currentSnapshot)
+    snapOpt match {
+      case None => emptyDf(spark)
+      case Some(snap) if snap.dataFiles.isEmpty => emptyDf(spark)
+      case Some(snap) =>
+        val paths = snap.dataFiles.map(f => dataDir.resolve(f).toString)
+        val data = spark.read
+          .option("basePath", dataDir.toString)
+          .parquet(paths: _*)
+
+        if (!snap.requiresDedup) {
+          data.select(payloadCols.map(col): _*)
+        } else {
+          val tomb: DataFrame =
+            if (snap.deleteFiles.isEmpty) {
+              val tombSchema = StructType(Seq(
+                schema(keyCol), StructField(SEQ, LongType)))
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+            } else {
+              spark.read.parquet(
+                snap.deleteFiles.map(f => deleteDir.resolve(f).toString): _*)
+            }
+
+          // LWW merge view: newest (key, _seq) wins; a winning tombstone
+          // removes the key. Single hash-shuffle on the key.
+          val lifted = tomb.select(
+            payloadCols.map(c =>
+              if (c == keyCol) col(keyCol) else lit(null).cast(schema(c).dataType).as(c)
+            ) :+ col(SEQ) :+ lit(true).as("_tomb"): _*)
+          val all = data.select(
+            payloadCols.map(col) :+ col(SEQ) :+ lit(false).as("_tomb"): _*)
+            .unionByName(lifted)
+
+          val w = Window.partitionBy(col(keyCol))
+            .orderBy(col(SEQ).desc, col("_tomb").desc)
+          all.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1 && !col("_tomb"))
+            .select(payloadCols.map(col): _*)
+        }
+    }
+  }
+
+  /** Rewrite the merged state as plain insert files and drop tombstones —
+    * the MoR→RoR maintenance the reference configures via
+    * `optimize_rewrite_delete_file_threshold` (README.md:307). After
+    * compaction, reads are shuffle-free scans again.
+    */
+  def compact(spark: SparkSession): Unit = synchronized {
+    val prev = currentSnapshot.getOrElse(return)
+    val v = prev.version + 1
+    val materialized = read(spark).cache()
+    try {
+      val files = writeUpserts(materialized, v)
+      val obsoleteData = prev.dataFiles
+      val obsoleteDels = prev.deleteFiles
+      commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
+        requiresDedup = false))
+      // Physically drop superseded files only after the pointer swap; crash
+      // in between leaves harmless orphans, never a broken snapshot.
+      obsoleteData.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+      obsoleteDels.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+    } finally materialized.unpersist()
+  }
+}
+
+object MergeTable {
+  /** Open-or-create with the reference table's shape: key `trans_id`,
+    * partitioned by `event` (README.md:292–309).
+    */
+  def retailTrans(root: String, threshold: Int = 10): MergeTable =
+    new MergeTable(root, graft.model.Schemas.LakeTableSchema,
+      keyCol = "trans_id", partitionCol = Some("event"),
+      deleteCompactThreshold = threshold).create()
+}

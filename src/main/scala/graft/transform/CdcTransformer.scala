@@ -1,0 +1,134 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Result of the transform stage: routed DML records and rejected records.
+  *
+  * `good` schema: payload columns (trans_id … trans_datetime parsed to
+  * timestamp) + routing metadata (operation, dest_db, dest_table,
+  * src_timestamp, transaction_id).
+  * `errors` schema: raw line + error_type + ingest partition columns
+  * (year/month/day/hour), mirroring the reference's timestamp-partitioned
+  * error prefix (.example.cdk.context.json:28).
+  */
+final case class TransformResult(good: DataFrame, errors: DataFrame)
+
+/** The record transform the reference implements as a Firehose→Lambda
+  * processor (src/main/python/firehose_to_iceberg_transformer.py:14–47),
+  * re-expressed as pure Catalyst expressions — no UDFs, fully codegen'd,
+  * predicate-pushdown friendly:
+  *
+  *   - S3/P1: permissive JSON parse of the `{data, metadata}` envelope
+  *   - P2: malformed-record filter (missing data/operation → error sink)
+  *   - P3: operation whitelist `insert|update|delete`
+  *     (transformer.py:29–30 drops DMS control/DDL records)
+  *   - P5: table-selection predicate (schema-name/table-name include rule,
+  *     dms_aurora_mysql_to_kinesis.py:97–109); values are trimmed — the
+  *     reference corpus carries a `" retail_trans"` fixture
+  *     (gen_fake_cdc_data.py:56) that a strict match would misroute
+  *   - P4: routing enrichment (destination db/table + operation)
+  *   - F3: ISO-8601 payload timestamp parse; an unparseable event-time
+  *     (hour-29 fixture, gen_fake_cdc_data.py:58) nulls the column but
+  *     does not reject the record — the payload is still applied, matching
+  *     the reference transformer which never inspects the timestamp
+  */
+object CdcTransformer {
+
+  val OpWhitelist: Seq[String] = Seq("insert", "update", "delete")
+
+  /** Decode base64-wrapped records (Firehose contract, transformer.py:18).
+    * Only needed when emulating the Firehose envelope; line sources skip it.
+    */
+  def decodeBase64(raw: DataFrame, col: String = "data"): DataFrame =
+    raw.withColumn(col, unbase64(org.apache.spark.sql.functions.col(col)).cast("string"))
+
+  /** Parse one JSON line per row (column `value`) into envelope + raw. */
+  def parse(lines: DataFrame): DataFrame =
+    lines.select(
+      col("value").as("raw"),
+      from_json(col("value"), Schemas.EnvelopeSchema).as("env"))
+
+  private def trimmedEq(c: Column, v: String): Column = trim(c) === v
+
+  /** Full transform: lines → (routed good records, rejected records). */
+  def transform(
+      lines: DataFrame,
+      srcDatabase: String = "testdb",
+      srcTable: String = "retail_trans",
+      destDatabase: String = "cdc_iceberg_demo_db",
+      destTable: String = "retail_trans_iceberg"): TransformResult = {
+
+    val parsed = parse(lines)
+
+    // Permissive from_json yields a struct of nulls (not a null struct) for
+    // unparseable input — both sub-structs null ⇒ the line wasn't JSON.
+    val unparsed = col("env.data").isNull && col("env.metadata").isNull
+    val isData   = col("env.metadata.`record-type`") === "data"
+    val hasShape = col("env.data").isNotNull &&
+      col("env.metadata").isNotNull &&
+      col("env.data.trans_id").isNotNull &&
+      col("env.metadata.operation").isNotNull
+    val isDml = col("env.metadata.operation").isin(OpWhitelist: _*)
+    val tableMatch =
+      trimmedEq(col("env.metadata.`schema-name`"), srcDatabase) &&
+        trimmedEq(col("env.metadata.`table-name`"), srcTable)
+
+    val classified = parsed.withColumn(
+      "error_type",
+      when(col("env").isNull || unparsed, lit("malformed_json"))
+        .when(!hasShape, lit("missing_required_field"))
+        .when(!isData, lit("non_data_record"))
+        .when(!isDml, lit("unsupported_operation"))
+        .when(!tableMatch, lit("unselected_table"))
+        .otherwise(lit(null)))
+
+    val good = classified
+      .filter(col("error_type").isNull)
+      .select(
+        col("env.data.trans_id").as("trans_id"),
+        col("env.data.customer_id").as("customer_id"),
+        col("env.data.event").as("event"),
+        col("env.data.sku").as("sku"),
+        col("env.data.amount").as("amount"),
+        col("env.data.device").as("device"),
+        // Lenient parse (ANSI-safe): invalid event time such as the hour-29
+        // fixture → null, keep row — the reference transformer never
+        // inspects timestamps, so a bad one must not kill the stream.
+        try_to_timestamp(col("env.data.trans_datetime"),
+          lit("yyyy-MM-dd'T'HH:mm:ssX")).as("trans_datetime"),
+        col("env.metadata.operation").as("operation"),
+        try_to_timestamp(col("env.metadata.timestamp")).as("src_timestamp"),
+        col("env.metadata.`transaction-id`").as("transaction_id"),
+        lit(destDatabase).as("dest_db"),
+        lit(destTable).as("dest_table"))
+
+    // Error sink layout: year/month/day/hour of *processing* time, matching
+    // the reference's `error/year=!{timestamp:yyyy}/...` prefix tokens (F5).
+    val now = current_timestamp()
+    val errors = classified
+      .filter(col("error_type").isNotNull)
+      .select(
+        col("raw"),
+        col("error_type"),
+        date_format(now, "yyyy").as("year"),
+        date_format(now, "MM").as("month"),
+        date_format(now, "dd").as("day"),
+        date_format(now, "HH").as("hour"))
+
+    TransformResult(good, errors)
+  }
+
+  /** Write rejected records to the dead-letter sink (S7):
+    * `<root>/year=…/month=…/day=…/hour=…/error_type=…/` parquet files.
+    */
+  def writeErrors(errors: DataFrame, errorRoot: String): Unit = {
+    if (!errors.isEmpty) {
+      errors.write
+        .mode("append")
+        .partitionBy("year", "month", "day", "hour", "error_type")
+        .parquet(errorRoot)
+    }
+  }
+}
