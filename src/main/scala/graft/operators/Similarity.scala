@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one shuffle-free map +
+  * per-query ranking window). The LSH-bucketed variant is the scale path:
+  * random-hyperplane signatures turn the all-pairs problem into an
+  * equi-join on bucket ids, so a 100 TB corpus only compares vectors that
+  * collide in at least one hyperplane bucket.
+  */
+object Similarity {
+
+  /** Embeddings as double vectors + precomputed L2 norm. */
+  def withNorm(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  /** Cosine similarity of two double vectors with precomputed norms —
+    * `zip_with` + `aggregate`, fully codegen-compatible, no UDF.
+    */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+      (normA * normB)
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    * Queries are broadcast (few); corpus streams — per-corpus-row work is
+    * O(queries × dim), ranking is one window per query id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus)
+    val q = withNorm(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("v"), col("qnorm"), col("norm")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: element (i,j) is ±1 from a
+    * splitmix-style integer mix — reproducible across runs and engines,
+    * no RNG state.
+    */
+  private def planeSign(plane: Int, dim: Int): Double = {
+    var z = (plane.toLong * 1024 + dim) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits-bit signature) per vector. */
+  def withLshBucket(e: DataFrame, nBits: Int = 12, dim: Int = 64): DataFrame = {
+    val bucket = (0 until nBits).map { p =>
+      val plane = array((0 until dim).map(j => lit(planeSign(p, j))): _*)
+      val dot = aggregate(zip_with(col("v"), plane, (x, r) => x * r),
+        lit(0.0), (a, x) => a + x)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    e.withColumn("bucket", bucket)
+  }
+
+  /** Approximate top-k with multi-probe: candidates come from the query's
+    * own LSH bucket plus every bucket at Hamming distance 1 (flip each
+    * signature bit) — the standard multi-probe trick that buys recall
+    * without growing buckets. Still an equi-join on bucket id: work stays
+    * proportional to probed-bucket sizes, never all-pairs, and at 100 TB
+    * the bucket id doubles as the repartition key so each probe is a
+    * co-located lookup. Recall/cost dial: nBits down or probe radius up.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {
+    val c = withLshBucket(withNorm(corpus), nBits)
+    val probes = (0 until nBits).map(i => col("bucket").bitwiseXOR(1L << i))
+    val q = withLshBucket(withNorm(queries), nBits)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"),
+        explode(array(col("bucket") +: probes: _*)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos_sim", round(cosine(col("qv"), col("v"), col("qnorm"), col("norm")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+}

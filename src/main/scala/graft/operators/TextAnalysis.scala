@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §0 north-star
+  * extension; no counterpart in the reference): language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * All pure Catalyst expressions — codegen'd, no UDFs, shuffle-free
+  * (per-row), so they scale linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def wsTokens(c: Column): Column = filter(split(c, " "), x => x =!= "")
+
+  /** BPE-ish subword pre-tokenization: letter runs, digit runs, single
+    * punctuation — the usual byte-pair pre-split regex family.
+    */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Language marker lexicons (tiny n-gram/stopword heuristic). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "les", "des", "est", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"))
+
+  private def markerScore(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers.map(lit): _*)))
+
+  /** Heuristic language ID: argmax of marker-token counts with a fixed
+    * priority order for ties (first listed wins on >=).
+    */
+  def langIdExpr(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val scores = LangMarkers.map { case (l, ms) => l -> markerScore(toks, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), elseC) =>
+      when(s >= best && s > 0, lit(l)).otherwise(elseC)
+    }
+  }
+
+  /** 4-decimal floor quantization. Used instead of round() for
+    * ratios-of-small-integers: Spark rounds doubles via exact decimal
+    * conversion while other engines multiply-then-round, so values landing
+    * exactly on `x.xxxx5` diverge; `floor(x*10000)/10000` is the same
+    * float ops everywhere → bit-identical.
+    */
+  def quant4(c: Column): Column = floor(c * 10000) / 10000
+
+  /** Quality metrics + composite score per document. */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val toks = wsTokens(t)
+    val nWords = size(toks)
+    val punct = length(regexp_replace(t, "[^.,;:!?]", ""))
+    val digits = length(regexp_replace(t, "[^0-9]", ""))
+    val stop = size(filter(toks, x => x.isin(Stopwords.map(lit): _*)))
+    df.withColumn("n_chars", nChars.cast("long"))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("avg_word_len",
+        quant4(length(regexp_replace(t, " ", "")).cast("double") / nWords))
+      .withColumn("punct_ratio", quant4(punct.cast("double") / nChars))
+      .withColumn("digit_ratio", quant4(digits.cast("double") / nChars))
+      .withColumn("stopword_ratio", quant4(stop.cast("double") / nWords))
+      .withColumn("quality_score",
+        quant4(lit(0.4) * least(lit(1.0), nWords.cast("double") / 50.0)
+          + lit(0.3) * (lit(1.0) - punct.cast("double") / nChars)
+          + lit(0.3) * least(lit(1.0), stop.cast("double") / nWords * 5.0)))
+  }
+
+  /** Polynomial rolling hash fingerprint over characters,
+    * `h = (h*31 + codepoint) mod (2^31-1)` — order-sensitive, so it
+    * distinguishes permuted documents where bag-of-words hashes collide.
+    */
+  def fingerprintExpr(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(2147483647L)))
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operator queries (north-star extension): dedup,
+  * similarity search, text analysis, multimodal columns — each a `queries`
+  * entry over `documents` / `embeddings`, with a DuckDB oracle where the
+  * semantics are SQL-expressible (approximate algorithms — MinHash, SimHash,
+  * LSH — get rows-only checks plus ScalaTest recall assertions).
+  */
+object LlmOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q25_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy(col("keep_id"))),
+
+    "q26_dedup_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q27_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), n = 3, k = 16, bands = 4,
+        threshold = 0.8).orderBy(col("doc_a"), col("doc_b"))),
+
+    "q28_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 10)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q29_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    "q30_ann_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    "q31_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, nBits = 8)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    "q32_text_quality" -> ((s, d) =>
+      TextAnalysis.withQuality(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars"), col("n_words"), col("avg_word_len"),
+          col("punct_ratio"), col("digit_ratio"), col("stopword_ratio"),
+          col("quality_score"))
+        .orderBy(col("doc_id"))),
+
+    "q33_text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.langIdExpr(col("text")).as("lang_id"))
+        .groupBy(col("lang"), col("lang_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("lang_id"))),
+
+    "q34_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_ws"),
+          size(TextAnalysis.bpeTokens(col("text"))).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    "q35_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprintExpr(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "q36_binary_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+          md5(encode(col("text"), "UTF-8")).as("content_md5"))
+        .orderBy(col("doc_id"))),
+
+    "q37_multimodal_features" -> ((s, d) =>
+      Multimodal.featureQuery(s, Tables.documents(s, d)))
+  )
+
+  private val langCase: String = {
+    val cases = TextAnalysis.LangMarkers.map { case (l, _) =>
+      s"WHEN s_$l >= best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  private val langScores: String = TextAnalysis.LangMarkers.map { case (l, ms) =>
+    val set = ms.map(m => s"'$m'").mkString(",")
+    s"len(list_filter(toks, x -> x IN ($set))) AS s_$l"
+  }.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q26_dedup_jaccard" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+         SELECT da AS doc_a, db AS doc_b,
+                floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 AS jaccard
+         FROM pairs JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+         WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8
+         ORDER BY doc_a, doc_b""",
+    "q29_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+         ORDER BY vec_a, vec_b""",
+    "q30_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         scored AS (SELECT q_id, vec_id,
+              round(list_cosine_similarity(qv, v), 4) AS cos_sim
+            FROM q JOIN e ON vec_id <> q_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+         SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
+         FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
+    "q32_text_quality" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS nc,
+              len(list_filter(string_split(text,' '), x -> x <> '')) AS nw,
+              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+              length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+              len(list_filter(string_split(text,' '),
+                  x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS ns
+            FROM documents)
+         SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(nw AS BIGINT) AS n_words,
+           floor(length(replace(text,' ',''))*1.0/nw*10000)/10000 AS avg_word_len,
+           floor(np*1.0/nc*10000)/10000 AS punct_ratio,
+           floor(nd*1.0/nc*10000)/10000 AS digit_ratio,
+           floor(ns*1.0/nw*10000)/10000 AS stopword_ratio,
+           floor((0.4*least(1.0, nw/50.0) + 0.3*(1.0 - np*1.0/nc)
+                 + 0.3*least(1.0, ns*1.0/nw*5.0))*10000)/10000 AS quality_score
+         FROM t ORDER BY doc_id""",
+    "q33_text_langid" ->
+      s"""WITH t AS (SELECT lang,
+              list_filter(string_split(lower(text),' '), x -> x <> '') AS toks
+            FROM documents),
+         s AS (SELECT lang, $langScores FROM t),
+         g AS (SELECT lang, greatest(s_en, s_es, s_fr, s_de, s_zh) AS best, *
+               FROM s)
+         SELECT lang, $langCase AS lang_id, count(*) AS cnt
+         FROM g GROUP BY 1, 2 ORDER BY lang, lang_id""",
+    "q34_text_tokens" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+    "q35_text_fingerprint" ->
+      """SELECT doc_id, CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(text)),
+               i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+           (a, x) -> (a*31 + x) % 2147483647) AS BIGINT) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q36_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+         FROM documents ORDER BY doc_id"""
+  )
+}

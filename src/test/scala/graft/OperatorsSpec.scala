@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
+  private def embs = Tables.embeddings(spark, sf)
+
+  test("exact dedup keeps one survivor per distinct text") {
+    val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd"), (9L, "aa bb"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("minhash LSH recovers >=80% of exact jaccard pairs") {
+    val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup.minhashLshPairs(docs, 3, 16, 4, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "test data should contain planted near-dups")
+    // LSH never invents pairs above threshold (it verifies exactly)...
+    assert(lshPairs.subsetOf(exactPairs))
+    // ...and catches most of them
+    val recall = lshPairs.size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("simhash of identical texts is identical; near-dups at low hamming") {
+    val df = Seq((1L, "spark table scan merge window"),
+      (2L, "spark table scan merge window"),
+      (3L, "completely different words entirely elsewhere")).toDF("doc_id", "text")
+    val hs = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(2L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 8)
+    val pairs = Dedup.simhashPairs(df, maxHamming = 0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("brute-force top-k: self-similar vectors rank first") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1), k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq === Seq(2L, 3L))
+  }
+
+  test("LSH top-k returns a subset of valid neighbors with decent overlap") {
+    val exact = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" < 5), 10)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(embs, embs.filter($"vec_id" < 5), 10, nBits = 4)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val overlap = approx.count(exact.contains).toDouble / approx.size
+    assert(overlap >= 0.4, s"overlap $overlap") // multi-probe, coarse buckets
+  }
+
+  test("quality metrics compute documented formulas") {
+    val df = Seq((1L, "the cat sat on a mat.")).toDF("doc_id", "text")
+    val r = TextAnalysis.withQuality(df).select(
+      "n_chars", "n_words", "punct_ratio", "stopword_ratio").collect().head
+    assert(r.getLong(0) === 21L)
+    assert(r.getLong(1) === 6L)     // the cat sat on a mat.
+    assert(r.getDouble(2) === math.floor(1.0 / 21 * 10000) / 10000)
+    assert(r.getDouble(3) === 0.5)  // the, on, a / 6
+  }
+
+  test("language id picks the marker-dominant language") {
+    val df = Seq(
+      ("en", "the cat and the dog was in it for that"),
+      ("es", "el perro y la casa que en un una los es"),
+      ("de", "der hund und die katze ist ein eine zu den von")).toDF("lang", "text")
+    val out = df.select($"lang", TextAnalysis.langIdExpr($"text").as("id"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("en" -> "en", "es" -> "es", "de" -> "de"))
+  }
+
+  test("fingerprint is the documented rolling hash") {
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    val fp = df.select(TextAnalysis.fingerprintExpr($"text")).as[Long].collect().head
+    assert(fp === (97L * 31 + 98) % 2147483647L)
+  }
+
+  test("multimodal: stubbed decode is deterministic and typed") {
+    val media = Multimodal.toMedia(docs.limit(20))
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.forall(f => f.channels === 3 && f.byte_len > 0))
+    assert(f1.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
+  }
+
+  test("multimodal: frame sampling slices the payload") {
+    val media = Multimodal.toMedia(docs.limit(5)).toDF()
+    val out = Multimodal.frameSample(media, frameLen = 16, maxFrames = 4)
+      .select($"doc_id", $"frames").collect()
+    out.foreach { r =>
+      val frames = r.getSeq[Array[Byte]](1)
+      assert(frames.nonEmpty && frames.size <= 4)
+      assert(frames.forall(_.length == 16))
+    }
+  }
+}

@@ -53,7 +53,9 @@ def main(sf_dir: str, out_dir: str) -> int:
                 e, a = expected[c], actual[c]
                 if pd.api.types.is_float_dtype(e):
                     import numpy as np
-                    bad = ~(np.isclose(e, a, rtol=0, atol=1e-9, equal_nan=True))
+                    bad = pd.Series(
+                        ~np.isclose(e, a, rtol=0, atol=1e-9, equal_nan=True),
+                        index=e.index)
                     if bad.any():
                         i = bad.idxmax()
                         print(f"FAIL {name}: col {c} row {i}: "
