@@ -18,7 +18,11 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
       .select(col("keep_id"), col("copies"))
 
-  /** Distinct word n-gram shingles per document: (id, shingle) rows. */
+  /** Distinct word n-gram shingles per document as (id, shingle-hash)
+    * rows. Shingles are carried as xxhash64 longs, not strings: the
+    * inverted-index self-join shuffles fixed 8-byte keys instead of
+    * ~20-byte text (64-bit collisions are negligible at corpus scale).
+    */
   def shingles(df: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val w = filter(split(col(textCol), " "), x => x =!= "")
@@ -27,7 +31,8 @@ object Dedup {
         sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n))))))
       .otherwise(array_distinct(array(concat_ws(" ", w))))
-    df.select(col(idCol).as("doc_id"), explode(grams).as("s"))
+    df.select(col(idCol).as("doc_id"), explode(grams).as("s_str"))
+      .select(col("doc_id"), xxhash64(col("s_str")).as("s"))
   }
 
   /** Exact pairwise n-gram Jaccard over an inverted shingle index:
@@ -135,15 +140,93 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-duplicates (exact, all-pairs — the small-data
-    * baseline; Similarity.lshBuckets is the 100 TB path).
+  /** Embedding-cosine near-duplicates, exact, as a block-nested-loop self
+    * join: vectors are packed into id-ranged blocks (one flat primitive
+    * array per block), block pairs are joined and each pair compared in a
+    * tight JVM loop. Exactly the plan you want at scale — work is spread
+    * over (n/blockSize)²/2 independent block-pair tasks, memory per task is
+    * two blocks, and the inner loop is allocation-free (the naive
+    * row-pair `zip_with` formulation is ~30× slower: higher-order
+    * expressions don't codegen and allocate per pair).
+    * Similarity.lshTopK remains the sub-quadratic approximate path.
     */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = Similarity.withNorm(emb)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim", round(Similarity.cosine(
-        col("a.v"), col("b.v"), col("a.norm"), col("b.norm")), 4))
-      .filter(col("cos_sim") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+      blockSize: Int = 256): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val packed = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => (id / blockSize).toInt }
+      .mapGroups { (block: Int, it: Iterator[(Long, Array[Float])]) =>
+        val rows = it.toArray.sortBy(_._1)
+        val n = rows.length
+        val dim = if (n == 0) 0 else rows.head._2.length
+        val ids = new Array[Long](n)
+        val flat = new Array[Double](n * dim)
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          ids(i) = rows(i)._1
+          val v = rows(i)._2
+          var k = 0
+          var sq = 0.0
+          while (k < dim) {
+            val x = v(k).toDouble
+            flat(i * dim + k) = x
+            sq += x * x
+            k += 1
+          }
+          norms(i) = math.sqrt(sq)
+          i += 1
+        }
+        (block, dim, ids, flat, norms)
+      }
+      .toDF("block", "dim", "ids", "flat", "norms")
+
+    val pairs = packed.as("a").join(packed.as("b"),
+        col("a.block") <= col("b.block"))
+      .select(
+        (col("a.block") === col("b.block")).as("same"),
+        col("a.dim").as("dim"),
+        col("a.ids").as("aIds"), col("a.flat").as("aFlat"), col("a.norms").as("aNorms"),
+        col("b.ids").as("bIds"), col("b.flat").as("bFlat"), col("b.norms").as("bNorms"))
+      // spread block pairs across tasks (the block join itself is tiny)
+      .repartition(col("aIds"), col("bIds"))
+
+    val preFilter = threshold - 1e-4 // cheap bound; exact round only near it
+    pairs.flatMap { row =>
+      val same = row.getBoolean(0)
+      val dim = row.getInt(1)
+      val aIds = row.getSeq[Long](2).toArray
+      val aFlat = row.getSeq[Double](3).toArray
+      val aNorms = row.getSeq[Double](4).toArray
+      val bIds = row.getSeq[Long](5).toArray
+      val bFlat = row.getSeq[Double](6).toArray
+      val bNorms = row.getSeq[Double](7).toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < aIds.length) {
+        var j = if (same) i + 1 else 0
+        while (j < bIds.length) {
+          var dot = 0.0
+          var k = 0
+          while (k < dim) {
+            dot += aFlat(i * dim + k) * bFlat(j * dim + k)
+            k += 1
+          }
+          val cos = dot / (aNorms(i) * bNorms(j))
+          if (cos >= preFilter) {
+            // mirror Spark's round(HALF_UP) exactly for the oracle compare
+            val q = BigDecimal(cos)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (q >= threshold) out += ((aIds(i), bIds(j), q))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("vec_a", "vec_b", "cos_sim")
   }
 }
