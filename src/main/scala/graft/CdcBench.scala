@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.fixtures.RetailGen
+import graft.stream.CdcPipeline
+import graft.table.MergeTable
+
+/** CDC apply-path throughput benchmark: generates a seeded CDC event corpus
+  * (insert/update/delete mix), streams it through the full pipeline in
+  * multiple micro-batches, and reports sustained records/second end-to-end
+  * (parse → filter → route → LWW → merge commit).
+  *
+  * Baseline context: the reference sustains ~10 rec/s fixture ingest with
+  * 3–5 min freshness (BASELINE.md); this path is the engine's replacement.
+  *
+  * Env knobs: SPARK_GRAFT_CDC_EVENTS (default 200000),
+  * SPARK_GRAFT_CDC_BATCHES (default 8), SPARK_GRAFT_CPUS (default 32).
+  */
+object CdcBench {
+  def main(args: Array[String]): Unit = {
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "200000").toLong
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_CDC_BATCHES", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cdc-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Files.createTempDirectory("cdcbench")
+    val landing = base.resolve("landing")
+    Files.createDirectories(landing)
+
+    // one file per intended micro-batch
+    RetailGen.cdcJsonLines(spark, nEvents, keySpace = nEvents / 4)
+      .repartition(nBatches)
+      .write.mode("overwrite").text(landing.toString)
+
+    val cfg = CdcPipeline.Config(
+      landing.toString,
+      base.resolve("table").toString,
+      base.resolve("errors").toString,
+      base.resolve("ckpt").toString,
+      trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger = Some(1))
+
+    val t0 = System.nanoTime()
+    val q = CdcPipeline.start(spark, cfg)
+    q.awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val table = MergeTable.retailTrans(base.resolve("table").toString)
+    val finalRows = table.read(spark).count()
+    val batches = table.history.size
+    println(f"""{"metric":"cdc_apply_rate","value":${nEvents / sec}%.1f,"unit":"rec/sec","events":$nEvents,"batches":$batches,"final_rows":$finalRows,"seconds":$sec%.2f}""")
+    spark.stop()
+  }
+}

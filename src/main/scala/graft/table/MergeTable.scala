@@ -142,6 +142,12 @@ final class MergeTable(
 
   def create(): this.type = {
     Seq(dataDir, deleteDir, manifestDir).foreach(Files.createDirectories(_))
+    val meta = rootPath.resolve("_table.meta")
+    if (!Files.exists(meta)) {
+      Files.writeString(meta,
+        s"key\t$keyCol\npartition\t${partitionCol.getOrElse("")}\n" +
+          s"threshold\t$deleteCompactThreshold\nschema\t${schema.toDDL}\n")
+    }
     this
   }
 
@@ -349,4 +355,25 @@ object MergeTable {
     new MergeTable(root, graft.model.Schemas.LakeTableSchema,
       keyCol = "trans_id", partitionCol = Some("event"),
       deleteCompactThreshold = threshold).create()
+
+  /** Open an existing table from its persisted `_table.meta` — schema,
+    * merge key, partition spec, and compaction threshold all come from
+    * disk, so catalogs and readers need only the path.
+    */
+  def open(root: String): MergeTable = {
+    val meta = Paths.get(root, "_table.meta")
+    require(Files.exists(meta), s"no table at $root")
+    val kv = Files.readAllLines(meta).asScala
+      .flatMap { l =>
+        l.split("\t", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _           => None
+        }
+      }.toMap
+    new MergeTable(root,
+      StructType.fromDDL(kv("schema")),
+      kv("key"),
+      Option(kv.getOrElse("partition", "")).filter(_.nonEmpty),
+      kv.getOrElse("threshold", "10").toInt)
+  }
 }
