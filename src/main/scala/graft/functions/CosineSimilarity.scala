@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for cosine similarity of two double vectors.
+  *
+  * Why an Expression and not `zip_with`+`aggregate`: higher-order functions
+  * fall out of whole-stage codegen and allocate an intermediate array per
+  * row-pair; this expression compiles to a single allocation-free Java loop
+  * (dot product and both norms in one pass), which is the difference
+  * between interpreter overhead and memory bandwidth on a 100 TB ANN scan.
+  * Preference order per the engine design: compose built-ins where
+  * semantics allow (done for everything else) → custom codegen Expression
+  * (this) → UDF (never).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  // no ImplicitCastInputTypes (AbstractDataType is private[sql]); callers
+  // pass array<double> — enforced here, casts stay explicit at call sites
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<double>, array<double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          double $yi = $b.getDouble($i);
+          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+
+  private val ident = FunctionIdentifier("cosine_sim")
+
+  private val info = new ExpressionInfo(
+    classOf[CosineSimilarity].getCanonicalName, null, "cosine_sim",
+    "_FUNC_(a, b) - cosine similarity of two double vectors", "")
+
+  private val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "cosine_sim takes exactly 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  /** Idempotent per-session registration (for sessions built without the
+    * `spark.sql.extensions` config).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(ident)) {
+      reg.registerFunction(ident, info, builder)
+    }
+  }
+
+  /** `cosine_sim(a, b)` as a Column (registers on first use). */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("cosine_sim", a, b)
+  }
+}
+
+/** SparkSessionExtensions hook: enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * to get `cosine_sim` in SQL from session start.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
+        null, "cosine_sim",
+        "_FUNC_(a, b) - cosine similarity of two double vectors", ""),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+  }
+}

@@ -3,40 +3,50 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over embedding columns (`Array[Float]`).
   *
-  * Brute-force cosine top-k is the exact baseline (one shuffle-free map +
-  * per-query ranking window). The LSH-bucketed variant is the scale path:
-  * random-hyperplane signatures turn the all-pairs problem into an
-  * equi-join on bucket ids, so a 100 TB corpus only compares vectors that
-  * collide in at least one hyperplane bucket.
+  * Brute-force cosine top-k is the exact baseline (queries broadcast,
+  * corpus streams, one ranking window). The LSH-bucketed variant is the
+  * scale path: random-hyperplane signatures turn the all-pairs problem
+  * into an equi-join on bucket ids, so a 100 TB corpus only compares
+  * vectors that collide in a probed bucket.
+  *
+  * The cosine kernel is the native codegen'd
+  * [[graft.functions.CosineSimilarity]] expression — one allocation-free
+  * fused loop per pair (dot + both norms), vs the `zip_with`+`aggregate`
+  * composition which leaves whole-stage codegen and allocates per pair.
   */
 object Similarity {
 
-  /** Embeddings as double vectors + precomputed L2 norm. */
-  def withNorm(emb: DataFrame, idCol: String = "vec_id",
+  /** Embeddings as (vec_id, v: array<double>). */
+  def asDouble(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     emb.select(col(idCol).as("vec_id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+
+  /** Embeddings with precomputed L2 norm (for norm-composable variants). */
+  def withNorm(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    asDouble(emb, idCol, vecCol)
       .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
 
-  /** Cosine similarity of two double vectors with precomputed norms —
-    * `zip_with` + `aggregate`, fully codegen-compatible, no UDF.
+  /** Built-in-composed cosine (kept as the no-extensions fallback and for
+    * plan comparison in tests; the hot paths use the native expression).
     */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
       (normA * normB)
 
-  /** Exact top-k neighbors for each query vector (brute force).
-    * Queries are broadcast (few); corpus streams — per-corpus-row work is
-    * O(queries × dim), ranking is one window per query id.
-    */
+  /** Exact top-k neighbors for each query vector (brute force). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = withNorm(corpus)
-    val q = withNorm(queries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val spark = corpus.sparkSession
+    val c = asDouble(corpus)
+    val q = asDouble(queries).select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("v"), col("qnorm"), col("norm")), 4))
+      .withColumn("cos_sim",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -76,16 +86,17 @@ object Similarity {
     * co-located lookup. Recall/cost dial: nBits down or probe radius up.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {
-    val c = withLshBucket(withNorm(corpus), nBits)
+    val spark = corpus.sparkSession
+    val c = withLshBucket(asDouble(corpus), nBits)
     val probes = (0 until nBits).map(i => col("bucket").bitwiseXOR(1L << i))
-    val q = withLshBucket(withNorm(queries), nBits)
+    val q = withLshBucket(asDouble(queries), nBits)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm").as("qnorm"),
         explode(array(col("bucket") +: probes: _*)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .dropDuplicates("q_id", "vec_id")
-      .withColumn("cos_sim", round(cosine(col("qv"), col("v"), col("qnorm"), col("norm")), 4))
+      .withColumn("cos_sim",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream analytics as Structured Streaming transformations. Each
+  * takes an unbounded (or bounded) events DataFrame with columns
+  * (event_id, ts, user_id, event_type, value) and works identically in
+  * batch mode — the tests replay the same frames both ways.
+  *
+  * Streaming posture (SURVEY.md §2.9): the reference itself has no
+  * event-time windows (T3/T4 absent) — these are the engine's extension
+  * surface for stream analytics, with proper watermarks so state is
+  * bounded at 100 TB/day event volumes.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts with a watermark bounding state:
+    * late events beyond the watermark are dropped, closed windows are
+    * emitted finally (append mode capable).
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  /** Native session windows: gap-based grouping per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class UserProfile(
+      user_id: Long,
+      n_events: Long,
+      total_value: Double,
+      last_event: String,
+      last_ts: Timestamp)
+
+  /** Custom keyed state via flatMapGroupsWithState: a running per-user
+    * profile (count, total, last event), emitted on every update —
+    * the engine's `mapGroupsWithState` surface for semantics windows can't
+    * express. State is per-key and O(1); a processing-time timeout evicts
+    * idle users so state can't grow unboundedly.
+    */
+  def userProfiles(events: Dataset[UserEvent]): Dataset[UserProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserProfile, UserProfile](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, it: Iterator[UserEvent], state: GroupState[UserProfile]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption
+            state.remove()
+            last.iterator
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption.getOrElse(
+                UserProfile(userId, 0L, 0.0, "", new Timestamp(0)))
+              val next = evs.foldLeft(prev) { (p, e) =>
+                UserProfile(userId, p.n_events + 1, p.total_value + e.value,
+                  e.event_type, e.ts)
+              }
+              state.update(next)
+              state.setTimeoutDuration("1 hour")
+              Iterator(next)
+            }
+          }
+      }
+  }
+}

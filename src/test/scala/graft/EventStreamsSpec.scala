@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{UserEvent, UserProfile}
+
+/** Streaming transformations replayed from a file source in micro-batches
+  * must agree with the same transformation applied in batch mode.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 time-ranged files → 4 micro-batches in event-time order (the
+  // watermark contract assumes bounded disorder; randomly ordered replay
+  // would legitimately drop most events as late)
+  private lazy val eventsDir: String = {
+    val dir = tmpDir("events-stream")
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .repartitionByRange(4, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    // FileStreamSource batches by file mtime: make mtimes ascend with the
+    // time ranges so replay order is deterministic and event-time ordered
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(System.currentTimeMillis() - (parts.length - i) * 60000L)
+    }
+    dir
+  }
+
+  private def streamEvents: DataFrame =
+    spark.readStream
+      .schema(Tables.events(spark, "/root/testdata/sf0.001").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsDir)
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .queryName(name)
+      .format("memory")
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("watermarked tumbling window agg: streaming == batch") {
+    val batch = EventStreams.hourlyCounts(
+      spark.read.parquet(eventsDir))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val streamed = runToMemory(
+      EventStreams.hourlyCounts(streamEvents), "hourly", "complete")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("session windows: append emits exactly the watermark-closed batch sessions") {
+    val batch = EventStreams.sessionCounts(spark.read.parquet(eventsDir))
+      .collect().map(r => ((r.getTimestamp(0), r.getLong(2)), (r.getTimestamp(1), r.getLong(3)))).toMap
+    val streamed = runToMemory(
+      EventStreams.sessionCounts(streamEvents), "sessions", "append")
+      .collect().map(r => ((r.getTimestamp(0), r.getLong(2)), (r.getTimestamp(1), r.getLong(3)))).toMap
+
+    // every emitted session is exactly a batch session
+    streamed.foreach { case (k, v) => assert(batch.get(k).contains(v), s"$k") }
+
+    // coverage: sessions closed before the last-advanced watermark
+    // (max event time of files 1–3, minus the 2h watermark) must have been
+    // emitted; later sessions legitimately stay open at end of stream
+    val files = new java.io.File(eventsDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+    val first3Max = spark.read.parquet(files.dropRight(1): _*)
+      .agg(max($"ts")).collect().head.getTimestamp(0)
+    val wm = new java.sql.Timestamp(first3Max.getTime - 2 * 3600 * 1000 - 1000)
+    val mustEmit = batch.filter { case (_, (end, _)) => end.before(wm) }
+    mustEmit.foreach { case (k, v) => assert(streamed.get(k).contains(v), s"missing $k") }
+    assert(mustEmit.nonEmpty && streamed.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState user profiles converge to batch aggregates") {
+    val typed = streamEvents
+      .select($"user_id", $"ts", $"event_type", $"value").as[UserEvent]
+    val out = runToMemory(
+      EventStreams.userProfiles(typed).toDF(), "profiles", "append")
+    // last emitted profile per user = final state
+    val finalProfiles = out
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"n_events".desc)))
+      .filter($"rn" === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
+
+    val batch = spark.read.parquet(eventsDir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
+    assert(finalProfiles === batch)
+  }
+}
