@@ -324,6 +324,36 @@ final class MergeTable(
     }
   }
 
+  /** `UPDATE <table> SET <assignments> WHERE <predicate>` (the reference's
+    * row-predicate DML surface, README.md:400–418): reads matching rows
+    * from the current snapshot, applies the assignments, and commits them
+    * as a keyed update batch — same merge path, same snapshot isolation.
+    */
+  def updateWhere(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Unit = {
+    val hits = set.foldLeft(read(spark).filter(predicate)) {
+      case (df, (c, v)) => df.withColumn(c, v)
+    }
+    applyBatch(hits.withColumn("operation", lit("update")))
+  }
+
+  /** `DELETE FROM <table> WHERE <predicate>` (README.md:423–430). */
+  def deleteWhere(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column): Unit =
+    applyBatch(read(spark).filter(predicate)
+      .withColumn("operation", lit("delete")))
+
+  /** Snapshot history as a DataFrame — the engine's analog of Iceberg's
+    * `<table>.snapshots` metadata table.
+    */
+  def snapshotsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    history.map(s => (s.version, s.dataFiles.size, s.deleteFiles.size,
+      s.requiresDedup, s.appliedBatches.toSeq.sorted.mkString(",")))
+      .toDF("version", "n_data_files", "n_delete_files", "requires_dedup", "batches")
+  }
+
   /** Rewrite the merged state as plain insert files and drop tombstones —
     * the MoR→RoR maintenance the reference configures via
     * `optimize_rewrite_delete_file_threshold` (README.md:307). After
