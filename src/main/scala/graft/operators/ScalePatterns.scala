@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution patterns for hostile data shapes at cluster scale: skew
+  * salting and bucketed co-located joins. These are plan-shaping helpers —
+  * results are identical to the naive formulation; only the exchange
+  * topology changes.
+  */
+object ScalePatterns {
+
+  /** Salted inner equi-join for a skewed left side: left rows get a random
+    * salt in [0, salts), the (smaller) right side is replicated `salts`
+    * times, and the join key becomes (key, salt) — a single hot key spreads
+    * over `salts` reducers instead of melting one. AQE's skew-join handles
+    * moderate skew automatically; explicit salting is for the pathological
+    * key that exceeds a single executor no matter how AQE splits.
+    *
+    * Right-side replication costs |right| × salts — use for dimension-sized
+    * right sides when broadcast is too big but replication is affordable.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    require(salts > 0)
+    val salted = left.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id(), rand(42)), lit(salts)).cast("int"))
+    val replicated = right.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Top frequent keys — used to pick which keys deserve isolation. */
+  def heavyHitters(df: DataFrame, key: String, topK: Int = 10): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key)).limit(topK)
+
+  /** Skew isolation: route the heavy keys through a broadcast join and
+    * everything else through the normal shuffle join, then union. The
+    * classic two-path plan for when one key is 1000× the median.
+    */
+  def skewIsolatedJoin(left: DataFrame, right: DataFrame, key: String,
+      heavyKeys: Seq[Any]): DataFrame = {
+    val isHeavy = col(key).isin(heavyKeys: _*)
+    val hot = left.filter(isHeavy).join(broadcast(right.filter(isHeavy)), Seq(key))
+    val cold = left.filter(!isHeavy).join(right.filter(!isHeavy), Seq(key))
+    hot.unionByName(cold)
+  }
+
+  /** Persist both sides bucketed by the join key so the join compiles to a
+    * sort-merge join with ZERO exchanges — the co-located join layout for
+    * fact-fact joins that would otherwise shuffle terabytes every query.
+    * Bucketed tables go through the session catalog (`saveAsTable`) since
+    * parquet-path tables can't carry bucket specs.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

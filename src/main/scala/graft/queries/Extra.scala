@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Additional relational coverage: statistical aggregates, exact
+  * percentiles, array aggregation, regex predicates, scalar subqueries
+  * (via the spark.sql surface), and approximate sketches (rows-only — the
+  * sketch algorithms legitimately differ across engines).
+  */
+object Extra {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q38_stats_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"),
+          round(skewness(col("l_quantity")), 4).as("skew_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q39_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q40_array_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses_csv"),
+          size(collect_set(col("l_suppkey"))).cast("long").as("n_supps"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q41_regexp_predicates" -> ((s, d) => {
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(when(col("p_type").rlike("^ECONOMY"), 1)).as("n_economy"),
+          count(when(col("p_name").rlike("[aeiou]{2}"), 1)).as("n_double_vowel"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // scalar subquery through the spark.sql surface over registered views
+    "q42_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_above_avg
+           FROM v_orders
+           WHERE o_totalprice > (SELECT avg(o_totalprice) FROM v_orders)
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    // correlated EXISTS through spark.sql (analyzer decorrelates to a join)
+    "q43_correlated_exists" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders2")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem2")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n
+           FROM v_orders2 o
+           WHERE EXISTS (SELECT 1 FROM v_lineitem2 l
+                         WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // approximate sketches: rows-only (HLL/KLL implementations differ)
+    "q44_approx_sketches" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 2).as("approx_p50"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q38_stats_agg" ->
+      """SELECT l_returnflag,
+         round(stddev_samp(l_quantity), 4) AS sd_qty,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+         round(skewness(l_quantity), 4) AS skew_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q39_percentiles" ->
+      """SELECT l_returnflag,
+         round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50_qty,
+         round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price,
+         round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q40_array_agg" ->
+      """SELECT l_returnflag,
+         array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses_csv,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q41_regexp_predicates" ->
+      """SELECT p_brand,
+         count(CASE WHEN regexp_matches(p_type, '^ECONOMY') THEN 1 END) AS n_economy,
+         count(CASE WHEN regexp_matches(p_name, '[aeiou]{2}') THEN 1 END) AS n_double_vowel,
+         count(*) AS n
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q42_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_above_avg
+         FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q43_correlated_exists" ->
+      """SELECT o_orderstatus, count(*) AS n
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.operators.ScalePatterns
+
+class ScalePatternsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join returns exactly the rows of the plain join") {
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey".as("k"), $"l_quantity")
+    val o = Tables.orders(spark, sf).select($"o_orderkey".as("k"), $"o_totalprice")
+    val plain = li.join(o, Seq("k"))
+    val salted = ScalePatterns.saltedJoin(li, o, "k", salts = 4)
+    assert(salted.count() === plain.count())
+    val s1 = plain.agg(sum($"l_quantity" * $"o_totalprice")).as[Double].collect().head
+    val s2 = salted.agg(sum($"l_quantity" * $"o_totalprice")).as[Double].collect().head
+    assert(math.abs(s1 - s2) / math.abs(s1) < 1e-9)
+  }
+
+  test("skew-isolated join equals the plain join") {
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey".as("k"), $"l_quantity")
+    val o = Tables.orders(spark, sf).select($"o_orderkey".as("k"), $"o_totalprice")
+    val heavy = ScalePatterns.heavyHitters(li, "k", 5)
+      .select($"k").as[Long].collect().toSeq
+    assert(heavy.size === 5)
+    val plain = li.join(o, Seq("k"))
+    val iso = ScalePatterns.skewIsolatedJoin(li, o, "k", heavy)
+    assert(iso.count() === plain.count())
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    Seq("bkt_lineitem", "bkt_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        java.nio.file.Files.walk(loc.toPath).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+    val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
+    ScalePatterns.writeBucketed(li.withColumnRenamed("l_orderkey", "k"),
+      "bkt_lineitem", "k", buckets = 8)
+    ScalePatterns.writeBucketed(o.withColumnRenamed("o_orderkey", "k"),
+      "bkt_orders", "k", buckets = 8)
+
+    // tiny test tables would broadcast; disable it so the plan shows what a
+    // fact-fact join does at scale — sort-merge over bucketed reads
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_lineitem").join(spark.table("bkt_orders"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"plan should be shuffle-free:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(joined.count() ===
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+  }
+}
