@@ -184,7 +184,6 @@ final class MergeTable(
     rootPath.resolve(s".staging-$tag-v$v-${UUID.randomUUID().toString.take(8)}")
 
   private def writeUpserts(rows: DataFrame, v: Long): Vector[String] = {
-    if (rows.isEmpty) return Vector.empty
     val staged = stagingDir("data", v)
     val cols = payloadCols.map(col) :+ lit(v).as(SEQ)
     val w = rows.select(cols: _*).write
@@ -194,7 +193,6 @@ final class MergeTable(
   }
 
   private def writeTombstones(keys: DataFrame, v: Long): Vector[String] = {
-    if (keys.isEmpty) return Vector.empty
     val staged = stagingDir("del", v)
     // Tombstones are tiny (keys only): one file per commit keeps the
     // delete-file count meaningful for the compaction threshold and avoids
@@ -254,12 +252,21 @@ final class MergeTable(
 
       val cached = lww.cache()
       try {
-        val upserts = cached.filter(col("operation").isin("insert", "update"))
-        val deletes = cached.filter(col("operation") === "delete")
+        // one aggregation job decides everything below — the naive
+        // per-question isEmpty() probes cost 3 extra jobs per micro-batch,
+        // which dominates small-batch streaming latency
+        val opCounts = cached.groupBy(col("operation")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nUpserts = opCounts.getOrElse("insert", 0L) + opCounts.getOrElse("update", 0L)
+        val nDeletes = opCounts.getOrElse("delete", 0L)
+        val anyUpdates = opCounts.getOrElse("update", 0L) > 0
 
-        val newData = writeUpserts(upserts, v)
-        val newDels = writeTombstones(deletes, v)
-        val anyUpdates = !cached.filter(col("operation") === "update").isEmpty
+        val newData =
+          if (nUpserts == 0) Vector.empty[String]
+          else writeUpserts(cached.filter(col("operation").isin("insert", "update")), v)
+        val newDels =
+          if (nDeletes == 0) Vector.empty[String]
+          else writeTombstones(cached.filter(col("operation") === "delete"), v)
 
         commit(Snapshot(
           v,
