@@ -35,17 +35,38 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s_str")).as("s"))
   }
 
+  /** Common-shingle counts per doc pair from an inverted index: group the
+    * postings list per shingle, expand ordered pairs lazily in the JVM,
+    * count. Equivalent to the self-join formulation but skips building a
+    * 2M-row join hash table; pair expansion is an allocation-light
+    * iterator, and hot shingles (huge postings) stream instead of
+    * buffering. Work remains Σ(postings²) — quadratic only within
+    * shingle-sharing groups, never globally.
+    */
+  private def pairCommonCounts(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(col("docs")).as[Seq[Long]]
+      .flatMap { docs =>
+        val a = docs.toArray
+        java.util.Arrays.sort(a)
+        a.indices.iterator.flatMap(i =>
+          (i + 1 until a.length).iterator.map(j => (a(i), a(j))))
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+  }
+
   /** Exact pairwise n-gram Jaccard over an inverted shingle index:
-    * join on shingle → common counts → |A∪B| from per-doc sizes.
-    * Quadratic only within shingle-sharing groups, not globally.
+    * postings-pair counts → |A∪B| from per-doc sizes.
     */
   def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = shingles(df, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
+    val common = pairCommonCounts(sh)
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
@@ -87,10 +108,7 @@ object Dedup {
 
     // exact verification restricted to candidate docs
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
+    val common = pairCommonCounts(sh)
       .join(cands, Seq("doc_a", "doc_b"), "left_semi")
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
