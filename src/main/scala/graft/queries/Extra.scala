@@ -77,6 +77,29 @@ object Extra {
            GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
 
+    // the streaming window() function, batch-evaluated
+    "q45_window_fn" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("hour_ts"), col("event_type"),
+          col("cnt"), col("total_value"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    }),
+
+    // the streaming session_window() function, batch-evaluated; output uses
+    // epoch micros (raw session-start timestamps differ in sub-us precision
+    // across engines)
+    "q46_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // approximate sketches: rows-only (HLL/KLL implementations differ)
     "q44_approx_sketches" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -123,6 +146,26 @@ object Extra {
          FROM orders o
          WHERE EXISTS (SELECT 1 FROM lineitem l
                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
-         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q45_window_fn" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+         count(*) AS cnt, round(sum(value),2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
+    "q46_session_window" ->
+      """SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+         count(*) AS n_events
+         FROM (SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+               FROM (SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+                            >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+                     FROM events) a) b
+         GROUP BY user_id, sess_id ORDER BY user_id, start_us"""
   )
 }

@@ -84,6 +84,29 @@ object CdcDemo {
     spark.read.parquet(errorRoot).show(5, false)
     println("table count still = " + MergeTable.retailTrans(tableRoot).read(spark).count())
 
+    // 4. catalog surface: database/table DDL parity + SQL + predicate DML
+    val cat = new graft.catalog.LakeCatalog(base.resolve("warehouse").toString)
+    cat.createDatabase("cdc_iceberg_demo_db")
+    val ct = cat.createTable("cdc_iceberg_demo_db", "retail_trans_iceberg",
+      graft.model.Schemas.LakeTableSchema, "trans_id", Some("event"))
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.allLines), ct)
+    cat.registerViews(spark, "cdc_iceberg_demo_db")
+    println("== catalog ==")
+    cat.showDatabases(spark).show(false)
+    cat.showTables(spark, "cdc_iceberg_demo_db").show(false)
+    cat.describeTable(spark, "cdc_iceberg_demo_db", "retail_trans_iceberg").show(false)
+    println("SQL COUNT(*) = " + spark.sql(
+      "SELECT COUNT(*) FROM retail_trans_iceberg").collect().head.getLong(0))
+
+    println("== predicate DML: UPDATE/DELETE ... WHERE ==")
+    import org.apache.spark.sql.functions.{col, lit}
+    ct.updateWhere(spark, col("trans_id") === 19, Map("amount" -> lit(777)))
+    ct.deleteWhere(spark, col("event") === "like")
+    ct.read(spark).orderBy("trans_id").show(20, false)
+    println("== snapshots metadata table ==")
+    ct.snapshotsDf(spark).show(false)
+
     println("DEMO OK base=" + base)
     spark.stop()
   }
