@@ -106,9 +106,14 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // exact verification restricted to candidate docs
+    // exact verification restricted to candidate docs: prune the shingle
+    // index to candidate members FIRST — otherwise verification pays the
+    // full all-pairs cost LSH exists to avoid
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = pairCommonCounts(sh)
+    val common = pairCommonCounts(shCand)
       .join(cands, Seq("doc_a", "doc_b"), "left_semi")
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
