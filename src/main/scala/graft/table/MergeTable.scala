@@ -294,8 +294,15 @@ final class MergeTable(
       case Some(snap) if snap.dataFiles.isEmpty => emptyDf(spark)
       case Some(snap) =>
         val paths = snap.dataFiles.map(f => dataDir.resolve(f).toString)
+        // explicit schema (not inference): files written before a column
+        // was added surface it as null — schema evolution without rewrites
+        val fileSchema = StructType(
+          schema.fields.filterNot(f => partitionCol.contains(f.name)) ++
+            Seq(StructField(SEQ, LongType)) ++
+            partitionCol.map(p => schema(p)))
         val data = spark.read
           .option("basePath", dataDir.toString)
+          .schema(fileSchema)
           .parquet(paths: _*)
 
         if (!snap.requiresDedup) {
@@ -350,6 +357,41 @@ final class MergeTable(
       predicate: org.apache.spark.sql.Column): Unit =
     applyBatch(read(spark).filter(predicate)
       .withColumn("operation", lit("delete")))
+
+  /** Schema evolution: append a nullable column without touching data
+    * files (Iceberg-style metadata-only evolution). Existing rows read as
+    * null for the new column; new writes carry it. Returns a reopened
+    * handle bound to the evolved schema — this instance stays on the old
+    * schema.
+    */
+  def addColumn(field: StructField): MergeTable = synchronized {
+    require(!payloadCols.contains(field.name), s"column ${field.name} exists")
+    require(field.nullable, "added columns must be nullable")
+    val evolved = StructType(schema.fields :+ field)
+    rewriteMeta(evolved)
+    MergeTable.open(root)
+  }
+
+  /** Schema evolution: drop a payload column (metadata-only; bytes remain
+    * in old files but are never read — explicit read schema ignores them).
+    */
+  def dropColumn(name: String): MergeTable = synchronized {
+    require(name != keyCol, "cannot drop the merge key")
+    require(!partitionCol.contains(name), "cannot drop the partition column")
+    require(payloadCols.contains(name), s"no such column $name")
+    val evolved = StructType(schema.fields.filterNot(_.name == name))
+    rewriteMeta(evolved)
+    MergeTable.open(root)
+  }
+
+  private def rewriteMeta(evolved: StructType): Unit = {
+    val tmp = rootPath.resolve(".table.meta.tmp")
+    Files.writeString(tmp,
+      s"key\t$keyCol\npartition\t${partitionCol.getOrElse("")}\n" +
+        s"threshold\t$deleteCompactThreshold\nschema\t${evolved.toDDL}\n")
+    Files.move(tmp, rootPath.resolve("_table.meta"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Snapshot history as a DataFrame — the engine's analog of Iceberg's
     * `<table>.snapshots` metadata table.
