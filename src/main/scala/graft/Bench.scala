@@ -38,20 +38,7 @@ object Bench {
     // CDC apply-path throughput (the reference's headline metric is its
     // ~10 rec/s ingest + 3-5 min freshness): 100k generated events through
     // parse->filter->LWW->merge-commit in 4 micro-batches.
-    val cdcRate = {
-      val base = java.nio.file.Files.createTempDirectory("benchcdc")
-      val landing = base.resolve("landing")
-      graft.fixtures.RetailGen.cdcJsonLines(spark, 100000L, keySpace = 25000L)
-        .repartition(4).write.mode("overwrite").text(landing.toString)
-      val cfg = graft.stream.CdcPipeline.Config(
-        landing.toString, base.resolve("table").toString,
-        base.resolve("errors").toString, base.resolve("ckpt").toString,
-        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-        maxFilesPerTrigger = Some(1))
-      val t0 = System.nanoTime()
-      graft.stream.CdcPipeline.start(spark, cfg).awaitTermination(600000)
-      100000L / ((System.nanoTime() - t0) / 1e9)
-    }
+    val cdcRate = CdcBench.run(spark, nEvents = 100000L, nBatches = 4).recPerSec
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -20,23 +20,16 @@ import graft.table.MergeTable
   * SPARK_GRAFT_CDC_BATCHES (default 8), SPARK_GRAFT_CPUS (default 32).
   */
 object CdcBench {
-  def main(args: Array[String]): Unit = {
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "200000").toLong
-    val nBatches = sys.env.getOrElse("SPARK_GRAFT_CDC_BATCHES", "8").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-cdc-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  final case class Result(recPerSec: Double, seconds: Double,
+      finalRows: Long, batches: Int)
+
+  /** Generate `nEvents` CDC lines as `nBatches` files and stream them
+    * through the full pipeline; shared by CdcBench and Bench.
+    */
+  def run(spark: SparkSession, nEvents: Long, nBatches: Int): Result = {
     val base = Files.createTempDirectory("cdcbench")
     val landing = base.resolve("landing")
-    Files.createDirectories(landing)
 
     // one file per intended micro-batch
     RetailGen.cdcJsonLines(spark, nEvents, keySpace = nEvents / 4)
@@ -52,14 +45,29 @@ object CdcBench {
       maxFilesPerTrigger = Some(1))
 
     val t0 = System.nanoTime()
-    val q = CdcPipeline.start(spark, cfg)
-    q.awaitTermination(600000)
+    CdcPipeline.start(spark, cfg).awaitTermination(600000)
     val sec = (System.nanoTime() - t0) / 1e9
 
     val table = MergeTable.retailTrans(base.resolve("table").toString)
-    val finalRows = table.read(spark).count()
-    val batches = table.history.size
-    println(f"""{"metric":"cdc_apply_rate","value":${nEvents / sec}%.1f,"unit":"rec/sec","events":$nEvents,"batches":$batches,"final_rows":$finalRows,"seconds":$sec%.2f}""")
+    Result(nEvents / sec, sec, table.read(spark).count(), table.history.size)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "200000").toLong
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_CDC_BATCHES", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cdc-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val r = run(spark, nEvents, nBatches)
+    println(f"""{"metric":"cdc_apply_rate","value":${r.recPerSec}%.1f,"unit":"rec/sec","events":$nEvents,"batches":${r.batches},"final_rows":${r.finalRows},"seconds":${r.seconds}%.2f}""")
     spark.stop()
   }
 }

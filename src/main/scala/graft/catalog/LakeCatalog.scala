@@ -33,10 +33,20 @@ final class LakeCatalog(val warehouse: String) {
   private val root: Path = Paths.get(warehouse)
   Files.createDirectories(root)
 
-  private def dbPath(db: String): Path = root.resolve(db)
+  // every caller-supplied name passes through here — identifiers only, so
+  // no path (e.g. "../prod") can ever escape the warehouse directory
+  private def validName(n: String): String = {
+    require(n.matches("[A-Za-z0-9_]+"), s"invalid identifier: $n")
+    n
+  }
+
+  private def dbPath(db: String): Path = root.resolve(validName(db))
+
+  /** Files.list/walk hold a directory fd until closed — always scope them. */
+  private def withStream[A, B](s: java.util.stream.Stream[A])(f: java.util.stream.Stream[A] => B): B =
+    try f(s) finally s.close()
 
   def createDatabase(db: String): Unit = {
-    require(db.matches("[A-Za-z0-9_]+"), s"invalid database name: $db")
     Files.createDirectories(dbPath(db))
   }
 
@@ -44,8 +54,8 @@ final class LakeCatalog(val warehouse: String) {
 
   def listDatabases: Seq[String] =
     if (!Files.isDirectory(root)) Nil
-    else Files.list(root).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    else withStream(Files.list(root))(_.iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toList).sorted
 
   def createTable(
       db: String,
@@ -54,30 +64,34 @@ final class LakeCatalog(val warehouse: String) {
       key: String,
       partitionCol: Option[String] = None,
       deleteCompactThreshold: Int = 10): MergeTable = {
-    require(table.matches("[A-Za-z0-9_]+"), s"invalid table name: $table")
     require(databaseExists(db), s"database $db does not exist")
-    new MergeTable(dbPath(db).resolve(table).toString, schema, key,
+    // creating over an existing table would hand back a handle whose
+    // schema/key silently diverge from the on-disk _table.meta
+    require(!tableExists(db, table), s"table $db.$table already exists")
+    new MergeTable(dbPath(db).resolve(validName(table)).toString, schema, key,
       partitionCol, deleteCompactThreshold).create()
   }
 
   def tableExists(db: String, table: String): Boolean =
-    Files.exists(dbPath(db).resolve(table).resolve("_table.meta"))
+    Files.exists(dbPath(db).resolve(validName(table)).resolve("_table.meta"))
 
   def listTables(db: String): Seq[String] =
     if (!databaseExists(db)) Nil
-    else Files.list(dbPath(db)).iterator().asScala
+    else withStream(Files.list(dbPath(db)))(_.iterator().asScala
       .filter(p => Files.exists(p.resolve("_table.meta")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).toList).sorted
 
   def getTable(db: String, table: String): MergeTable = {
     require(tableExists(db, table), s"no such table: $db.$table")
-    MergeTable.open(dbPath(db).resolve(table).toString)
+    MergeTable.open(dbPath(db).resolve(validName(table)).toString)
   }
 
   def dropTable(db: String, table: String): Unit = {
-    val p = dbPath(db).resolve(table)
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    // only drop things that are actually tables of this catalog
+    val p = dbPath(db).resolve(validName(table))
+    if (Files.exists(p.resolve("_table.meta"))) {
+      withStream(Files.walk(p))(_.iterator().asScala.toList)
+        .reverse.foreach(Files.deleteIfExists(_))
     }
   }
 

@@ -72,13 +72,18 @@ object RetailGen {
     */
   def cdcJsonLines(spark: SparkSession, n: Long, keySpace: Long,
       seed: Long = 23L): DataFrame = {
+    // seqno = the original dense range id, captured BEFORE remapping the
+    // key into keySpace: deterministic and repartition-stable, unlike
+    // monotonically_increasing_id whose values depend on partitioning —
+    // and seqno orders src_timestamp/transaction-id, so LWW outcomes must
+    // not change with SPARK_GRAFT_CPUS
     val base = rows(spark, n, seed)
+      .withColumn("seqno", col("trans_id") - 1)
       .withColumn("trans_id", pmod(h(seed, 10), lit(keySpace)) + 1)
     val opHash = pmod(h(seed, 11), lit(10))
     val op = when(opHash < 7, "insert").when(opHash < 9, "update").otherwise("delete")
     base
       .withColumn("operation", op)
-      .withColumn("seqno", monotonically_increasing_id())
       .select(to_json(struct(
         struct(
           col("trans_id"), col("customer_id"), col("event"), col("sku"),

@@ -94,7 +94,7 @@ object GraftFunctions {
     classOf[CosineSimilarity].getCanonicalName, null, "cosine_sim",
     "_FUNC_(a, b) - cosine similarity of two double vectors", "")
 
-  private val builder: Seq[Expression] => Expression = { children =>
+  private[functions] val builder: Seq[Expression] => Expression = { children =>
     require(children.size == 2, "cosine_sim takes exactly 2 arguments")
     CosineSimilarity(children.head, children(1))
   }
@@ -126,6 +126,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
         null, "cosine_sim",
         "_FUNC_(a, b) - cosine similarity of two double vectors", ""),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      GraftFunctions.builder))
   }
 }

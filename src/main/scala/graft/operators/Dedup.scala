@@ -38,10 +38,12 @@ object Dedup {
   /** Common-shingle counts per doc pair from an inverted index: group the
     * postings list per shingle, expand ordered pairs lazily in the JVM,
     * count. Equivalent to the self-join formulation but skips building a
-    * 2M-row join hash table; pair expansion is an allocation-light
-    * iterator, and hot shingles (huge postings) stream instead of
-    * buffering. Work remains Σ(postings²) — quadratic only within
-    * shingle-sharing groups, never globally.
+    * multi-million-row join hash table (measured ~2x locally); the pair
+    * iterator is lazy, though the postings list itself IS materialized per
+    * shingle — at corpus scale, cap stop-shingles by doc frequency first
+    * (SCALE.md) so no single postings list exceeds executor memory.
+    * Work remains Σ(postings²) — quadratic only within shingle-sharing
+    * groups, never globally.
     */
   private def pairCommonCounts(sh: DataFrame): DataFrame = {
     val spark = sh.sparkSession
@@ -112,7 +114,9 @@ object Dedup {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // sizes from the pruned index too — candidates carry all their own
+    // shingles, so aggregating the full corpus here would be wasted work
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = pairCommonCounts(shCand)
       .join(cands, Seq("doc_a", "doc_b"), "left_semi")
     common

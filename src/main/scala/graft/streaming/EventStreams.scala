@@ -63,9 +63,11 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (userId: Long, it: Iterator[UserEvent], state: GroupState[UserProfile]) =>
           if (state.hasTimedOut) {
-            val last = state.getOption
+            // evict idle state WITHOUT re-emitting: the profile was already
+            // emitted when it was last updated — a second copy would
+            // double-count in append-mode sinks
             state.remove()
-            last.iterator
+            Iterator.empty
           } else {
             val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
             if (evs.isEmpty) Iterator.empty

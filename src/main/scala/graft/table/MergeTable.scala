@@ -346,6 +346,9 @@ final class MergeTable(
   def updateWhere(spark: SparkSession,
       predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Unit = {
+    // reassigning the merge key would upsert a NEW key and leave the old
+    // row live (an UPDATE that duplicates) — reject it
+    require(!set.contains(keyCol), s"cannot update merge key $keyCol")
     val hits = set.foldLeft(read(spark).filter(predicate)) {
       case (df, (c, v)) => df.withColumn(c, v)
     }

@@ -57,6 +57,17 @@ class CatalogSpec extends SparkSpec {
     assert(agg > 0)
   }
 
+  test("path traversal and re-create are rejected") {
+    val cat = new LakeCatalog(tmpDir("wh"))
+    cat.createDatabase("db9")
+    intercept[IllegalArgumentException](cat.dropTable("..", ".."))
+    intercept[IllegalArgumentException](cat.getTable("db9", "../x"))
+    cat.createTable("db9", "t9", Schemas.LakeTableSchema, "trans_id", None)
+    intercept[IllegalArgumentException] {
+      cat.createTable("db9", "t9", Schemas.LakeTableSchema, "customer_id", None)
+    }
+  }
+
   test("drop table removes it from listings") {
     val cat = new LakeCatalog(tmpDir("wh"))
     cat.createDatabase("db2")

@@ -35,6 +35,14 @@ class DmlSpec extends SparkSpec {
     assert(kiosks > 0)
   }
 
+  test("UPDATE ... WHERE rejects merge-key reassignment") {
+    val t = golden()
+    intercept[IllegalArgumentException] {
+      t.updateWhere(spark, $"trans_id" === 19, Map("trans_id" -> lit(999L)))
+    }
+    assert(t.read(spark).count() === 12)
+  }
+
   test("DELETE ... WHERE removes matching rows only") {
     val t = golden()
     t.deleteWhere(spark, $"event" === "like")
