@@ -55,9 +55,15 @@ object CdcPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val res = CdcTransformer.transform(batch, cfg.srcDatabase, cfg.srcTable)
-        CdcTransformer.writeErrors(res.errors, cfg.errorRoot)
-        table.applyBatch(res.good, Some(batchId.toString))
+        // classify once, cache: both routes (error sink + merge) otherwise
+        // re-run the JSON parse — the expensive half of a micro-batch
+        val classified = CdcTransformer
+          .classify(batch, cfg.srcDatabase, cfg.srcTable).cache()
+        try {
+          val res = CdcTransformer.fromClassified(classified)
+          CdcTransformer.writeErrors(res.errors, cfg.errorRoot)
+          table.applyBatch(res.good, Some(batchId.toString))
+        } finally classified.unpersist()
       }
       .start()
   }

@@ -58,8 +58,19 @@ object CdcTransformer {
       srcDatabase: String = "testdb",
       srcTable: String = "retail_trans",
       destDatabase: String = "cdc_iceberg_demo_db",
-      destTable: String = "retail_trans_iceberg"): TransformResult = {
+      destTable: String = "retail_trans_iceberg"): TransformResult =
+    fromClassified(classify(lines, srcDatabase, srcTable),
+      destDatabase, destTable)
 
+  /** Parse + classify only: one frame with `raw`, `env`, `error_type`.
+    * Callers that need BOTH routes (the pipeline) cache this once so the
+    * JSON parse — the expensive part of the batch — runs a single time
+    * instead of once per route.
+    */
+  def classify(
+      lines: DataFrame,
+      srcDatabase: String = "testdb",
+      srcTable: String = "retail_trans"): DataFrame = {
     val parsed = parse(lines)
 
     // Permissive from_json yields a struct of nulls (not a null struct) for
@@ -75,7 +86,7 @@ object CdcTransformer {
       trimmedEq(col("env.metadata.`schema-name`"), srcDatabase) &&
         trimmedEq(col("env.metadata.`table-name`"), srcTable)
 
-    val classified = parsed.withColumn(
+    parsed.withColumn(
       "error_type",
       when(col("env").isNull || unparsed, lit("malformed_json"))
         .when(!hasShape, lit("missing_required_field"))
@@ -83,7 +94,13 @@ object CdcTransformer {
         .when(!isDml, lit("unsupported_operation"))
         .when(!tableMatch, lit("unselected_table"))
         .otherwise(lit(null)))
+  }
 
+  /** Project the routed/error frames out of a classified frame. */
+  def fromClassified(
+      classified: DataFrame,
+      destDatabase: String = "cdc_iceberg_demo_db",
+      destTable: String = "retail_trans_iceberg"): TransformResult = {
     val good = classified
       .filter(col("error_type").isNull)
       .select(
