@@ -127,8 +127,12 @@ final class MergeTable(
     if (v < 0) None else Some(readManifest(v))
   }
 
-  /** All committed versions, oldest first (snapshot history / time travel). */
-  def history: Seq[Snapshot] = (0L to latestVersion).map(readManifest)
+  /** All retained versions, oldest first (snapshot history / time travel).
+    * Versions removed by `expireSnapshots` no longer appear.
+    */
+  def history: Seq[Snapshot] =
+    (0L to latestVersion).filter(v => Files.exists(manifestPath(v)))
+      .map(readManifest)
 
   private def commit(s: Snapshot): Unit = {
     writeManifest(s)
@@ -404,6 +408,79 @@ final class MergeTable(
     history.map(s => (s.version, s.dataFiles.size, s.deleteFiles.size,
       s.requiresDedup, s.appliedBatches.toSeq.sorted.mkString(",")))
       .toDF("version", "n_data_files", "n_delete_files", "requires_dedup", "batches")
+  }
+
+  /** Bin-pack small files: partitions whose file count exceeds
+    * `maxFilesPerPartition` get their files concatenated into fresh ones.
+    * NO dedup and NO shuffle — every row keeps its `_seq`, so last-write-
+    * wins and tombstone semantics are untouched; this is pure layout
+    * maintenance (the Iceberg rewrite-data-files analog) and is safe to
+    * run any time, unlike `compact()` which materializes the merge.
+    * Streaming tables need this: every micro-batch adds ≥1 file per
+    * touched partition, and a day of 1-minute batches is 1440 small files.
+    */
+  def binPack(spark: SparkSession, maxFilesPerPartition: Int = 8): Unit =
+    synchronized {
+      val prev = currentSnapshot.getOrElse(return)
+      val byDir = prev.dataFiles.groupBy(f =>
+        f.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => f.substring(0, i)
+        })
+      val toRewrite = byDir.filter(_._2.size > maxFilesPerPartition)
+      if (toRewrite.isEmpty) return
+      val v = prev.version + 1
+      val rewritten = toRewrite.flatMap { case (dir, files) =>
+        val staged = stagingDir("pack", v)
+        // read WITH _seq, write back as-is — one file per former partition
+        spark.read
+          .schema(StructType(
+            schema.fields.filterNot(f => partitionCol.contains(f.name)) :+
+              StructField(SEQ, LongType)))
+          .parquet(files.map(f => dataDir.resolve(f).toString): _*)
+          .coalesce(1)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(staged.toString)
+        val moved = adoptFiles(staged, dataDir, v)
+        // adoptFiles lands them at the data root; relocate into the
+        // partition dir so directory-partition discovery still works
+        moved.map { m =>
+          if (dir.isEmpty) m
+          else {
+            val dest = dataDir.resolve(dir).resolve(m)
+            Files.createDirectories(dest.getParent)
+            Files.move(dataDir.resolve(m), dest)
+            s"$dir/$m"
+          }
+        }
+      }.toVector
+      val kept = prev.dataFiles.filterNot(f => toRewrite.valuesIterator.exists(_.contains(f)))
+      commit(Snapshot(v, kept ++ rewritten, prev.deleteFiles,
+        prev.appliedBatches, prev.requiresDedup))
+      toRewrite.valuesIterator.flatten.foreach(f =>
+        Files.deleteIfExists(dataDir.resolve(f)))
+    }
+
+  /** Expire snapshots older than the last `keepLast`, physically deleting
+    * files no retained snapshot references (Iceberg's expire_snapshots).
+    * Time travel to expired versions stops working; the current snapshot
+    * and the newest `keepLast − 1` predecessors remain readable.
+    */
+  def expireSnapshots(keepLast: Int = 2): Unit = synchronized {
+    require(keepLast >= 1)
+    val latest = latestVersion
+    if (latest < keepLast) return
+    val cutoff = latest - keepLast + 1
+    val retained = (cutoff to latest).map(readManifest)
+    val liveData = retained.flatMap(_.dataFiles).toSet
+    val liveDels = retained.flatMap(_.deleteFiles).toSet
+    (0L until cutoff).map(readManifest).foreach { old =>
+      old.dataFiles.filterNot(liveData).foreach(f =>
+        Files.deleteIfExists(dataDir.resolve(f)))
+      old.deleteFiles.filterNot(liveDels).foreach(f =>
+        Files.deleteIfExists(deleteDir.resolve(f)))
+    }
+    (0L until cutoff).foreach(v => Files.deleteIfExists(manifestPath(v)))
   }
 
   /** Rewrite the merged state as plain insert files and drop tombstones —

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.fixtures.GoldenCorpus
+import graft.stream.CdcPipeline
+import graft.table.MergeTable
+
+/** Layout maintenance: bin-packing small files and snapshot expiry. */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def state(t: MergeTable): Map[Long, Int] =
+    t.read(spark).select($"trans_id", $"amount")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("binPack merges small files per partition without changing results") {
+    val t = MergeTable.retailTrans(tmpDir("pack"), threshold = 100)
+    // many tiny batches → many small files in the same partitions
+    GoldenCorpus.insertOnlyLines.zipWithIndex.foreach { case (l, i) =>
+      CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, Seq(l)), t, None, Some(s"b$i"))
+    }
+    val before = state(t)
+    val filesBefore = t.currentSnapshot.get.dataFiles.size
+    assert(filesBefore >= 10)
+
+    t.binPack(spark, maxFilesPerPartition = 1)
+    val after = state(t)
+    val filesAfter = t.currentSnapshot.get.dataFiles.size
+    assert(after === before)
+    assert(filesAfter < filesBefore)
+    // dedup flag untouched — binPack is layout-only
+    assert(!t.currentSnapshot.get.requiresDedup)
+  }
+
+  test("binPack preserves LWW semantics (seq survives the rewrite)") {
+    val t = MergeTable.retailTrans(tmpDir("pack2"), threshold = 100)
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("p1"))
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
+    val before = state(t)
+    t.binPack(spark, maxFilesPerPartition = 1)
+    assert(state(t) === before)
+    assert(state(t)(19L) === 39) // updated amount still wins over the insert
+    assert(t.read(spark).count() === 12)
+  }
+
+  test("expireSnapshots drops old versions and their exclusive files") {
+    val t = MergeTable.retailTrans(tmpDir("exp"))
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("p1"))
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
+    t.compact(spark) // v2 references only fresh files
+    val before = state(t)
+    assert(t.history.size === 3)
+
+    t.expireSnapshots(keepLast = 1)
+    assert(t.history.map(_.version) === Seq(2L))
+    assert(state(t) === before)
+    // expired time travel is gone
+    intercept[Exception](t.read(spark, Some(0L)).count())
+  }
+}
