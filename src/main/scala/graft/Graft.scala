@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.catalog.LakeCatalog
+import graft.functions.GraftFunctions
+import graft.stream.CdcPipeline
+import graft.table.MergeTable
+
+/** Single entry point for library users — everything the engine offers,
+  * one import away:
+  *
+  * {{{
+  *   import graft.Graft
+  *
+  *   val cat   = Graft.catalog("/data/warehouse")
+  *   val table = Graft.openTable("/data/warehouse/db/retail_trans_iceberg")
+  *   val query = Graft.startCdc(spark, CdcPipeline.Config(...))
+  *   Graft.registerFunctions(spark)   // cosine_sim in SQL
+  * }}}
+  *
+  * Operators live in `graft.operators` (Dedup, Similarity, TextAnalysis,
+  * Multimodal, ScalePatterns), stream analytics in `graft.streaming`.
+  */
+object Graft {
+
+  /** Open a warehouse-directory catalog (S10/S11 surface). */
+  def catalog(warehouse: String): LakeCatalog = new LakeCatalog(warehouse)
+
+  /** Open an existing merge table from its path (self-described). */
+  def openTable(root: String): MergeTable = MergeTable.open(root)
+
+  /** Start the streaming CDC pipeline (landing dir → merge table). */
+  def startCdc(spark: SparkSession, cfg: CdcPipeline.Config): StreamingQuery =
+    CdcPipeline.start(spark, cfg)
+
+  /** One-shot batch replay of CDC lines into a table. */
+  def replayCdc(spark: SparkSession, lines: DataFrame, table: MergeTable,
+      errorRoot: Option[String] = None, batchId: Option[String] = None): Unit =
+    CdcPipeline.replayBatch(spark, lines, table, errorRoot, batchId)
+
+  /** Register the engine's native SQL functions (`cosine_sim`). */
+  def registerFunctions(spark: SparkSession): Unit =
+    GraftFunctions.register(spark)
+
+  /** Native cosine similarity column (codegen'd expression). */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column =
+    GraftFunctions.cosineSim(spark, a, b)
+}
