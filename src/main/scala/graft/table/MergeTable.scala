@@ -9,13 +9,17 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** Snapshot metadata for one committed table version. */
+/** Snapshot metadata for one committed table version. `fileStats` maps a
+  * data file to its (min, max) merge-key range when the key is integral —
+  * the data-skipping index for point lookups.
+  */
 final case class Snapshot(
     version: Long,
     dataFiles: Vector[String],    // relative to <root>/data
     deleteFiles: Vector[String],  // relative to <root>/deletes
     appliedBatches: Set[String],
-    requiresDedup: Boolean)
+    requiresDedup: Boolean,
+    fileStats: Map[String, (Long, Long)] = Map.empty)
 
 /** A transactional lake table with Iceberg-v2-like semantics, implemented
   * natively over versioned Parquet + a manifest per snapshot (no
@@ -91,7 +95,12 @@ final class MergeTable(
     sb ++= s"version\t${s.version}\n"
     sb ++= s"requiresDedup\t${s.requiresDedup}\n"
     s.appliedBatches.toSeq.sorted.foreach(b => sb ++= s"batch\t$b\n")
-    s.dataFiles.foreach(f => sb ++= s"data\t$f\n")
+    s.dataFiles.foreach { f =>
+      s.fileStats.get(f) match {
+        case Some((lo, hi)) => sb ++= s"data\t$f\t$lo\t$hi\n"
+        case None           => sb ++= s"data\t$f\n"
+      }
+    }
     s.deleteFiles.foreach(f => sb ++= s"delete\t$f\n")
     val tmp = manifestDir.resolve(s".v${s.version}.tmp")
     Files.writeString(tmp, sb.toString)
@@ -104,16 +113,19 @@ final class MergeTable(
     val data = Vector.newBuilder[String]
     val dels = Vector.newBuilder[String]
     val batches = Set.newBuilder[String]
+    val stats = Map.newBuilder[String, (Long, Long)]
     lines.foreach { l =>
-      l.split("\t", 2) match {
-        case Array("requiresDedup", x) => requiresDedup = x.toBoolean
-        case Array("data", f)          => data += f
-        case Array("delete", f)        => dels += f
-        case Array("batch", b)         => batches += b
-        case _                         => ()
+      l.split("\t", -1) match {
+        case Array("requiresDedup", x)      => requiresDedup = x.toBoolean
+        case Array("data", f)               => data += f
+        case Array("data", f, lo, hi)       => data += f; stats += f -> ((lo.toLong, hi.toLong))
+        case Array("delete", f)             => dels += f
+        case Array("batch", b)              => batches += b
+        case _                              => ()
       }
     }
-    Snapshot(v, data.result(), dels.result(), batches.result(), requiresDedup)
+    Snapshot(v, data.result(), dels.result(), batches.result(), requiresDedup,
+      stats.result())
   }
 
   /** Current committed version, or -1 if the table is empty/uncreated. */
@@ -206,6 +218,26 @@ final class MergeTable(
     adoptFiles(staged, deleteDir, v)
   }
 
+  /** Per-file (min, max) of an integral merge key for just-written files —
+    * one small job over only the new files. Powers `lookup` data skipping;
+    * skipped entirely for non-integral keys.
+    */
+  private def computeStats(spark: SparkSession,
+      files: Vector[String]): Map[String, (Long, Long)] = {
+    if (files.isEmpty || schema(keyCol).dataType != LongType) return Map.empty
+    val paths = files.map(f => dataDir.resolve(f).toString)
+    val rows = spark.read
+      .option("basePath", dataDir.toString)
+      .parquet(paths: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+      .collect()
+    rows.flatMap { r =>
+      val uri = r.getString(0)
+      files.find(uri.endsWith(_)).map(_ -> ((r.getLong(1), r.getLong(2))))
+    }.toMap
+  }
+
   /** Bootstrap / full-load append: no merge, no dedup flag flip.
     * (Reference full-load phase, dms_aurora_mysql_to_kinesis.py:126–135.)
     */
@@ -220,7 +252,9 @@ final class MergeTable(
         prev.map(_.dataFiles).getOrElse(Vector.empty) ++ files,
         prev.map(_.deleteFiles).getOrElse(Vector.empty),
         prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
-        prev.exists(_.requiresDedup)))
+        prev.exists(_.requiresDedup),
+        prev.map(_.fileStats).getOrElse(Map.empty) ++
+          computeStats(rows.sparkSession, files)))
     }
 
   /** Keyed transactional apply — the reference's J1 merge
@@ -258,12 +292,27 @@ final class MergeTable(
       try {
         // one aggregation job decides everything below — the naive
         // per-question isEmpty() probes cost 3 extra jobs per micro-batch,
-        // which dominates small-batch streaming latency
-        val opCounts = cached.groupBy(col("operation")).count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // which dominates small-batch streaming latency. The same job also
+        // yields the batch key range for data skipping: per-BATCH bounds
+        // (assigned to every file of the commit) cost zero extra jobs,
+        // unlike per-file footer stats which would re-read every new file.
+        val keyIsLong = schema(keyCol).dataType == LongType
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          (if (keyIsLong) Seq(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+           else Nil)
+        val opRows = cached.groupBy(col("operation")).agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val opCounts = opRows.map(r => r.getString(0) -> r.getLong(1)).toMap
         val nUpserts = opCounts.getOrElse("insert", 0L) + opCounts.getOrElse("update", 0L)
         val nDeletes = opCounts.getOrElse("delete", 0L)
         val anyUpdates = opCounts.getOrElse("update", 0L) > 0
+        val batchRange: Option[(Long, Long)] =
+          if (!keyIsLong) None
+          else {
+            val up = opRows.filter(r => r.getString(0) != "delete")
+            if (up.isEmpty) None
+            else Some((up.map(_.getLong(2)).min, up.map(_.getLong(3)).max))
+          }
 
         val newData =
           if (nUpserts == 0) Vector.empty[String]
@@ -277,7 +326,10 @@ final class MergeTable(
           prev.map(_.dataFiles).getOrElse(Vector.empty) ++ newData,
           prev.map(_.deleteFiles).getOrElse(Vector.empty) ++ newDels,
           prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
-          prev.exists(_.requiresDedup) || anyUpdates || newDels.nonEmpty))
+          prev.exists(_.requiresDedup) || anyUpdates || newDels.nonEmpty,
+          prev.map(_.fileStats).getOrElse(Map.empty) ++
+            batchRange.fold(Map.empty[String, (Long, Long)])(r =>
+              newData.map(_ -> r).toMap)))
       } finally cached.unpersist()
 
       if (currentSnapshot.exists(_.deleteFiles.size >= deleteCompactThreshold))
@@ -294,51 +346,74 @@ final class MergeTable(
   def read(spark: SparkSession, asOfVersion: Option[Long] = None): DataFrame = {
     val snapOpt = asOfVersion.map(readManifest).orElse(currentSnapshot)
     snapOpt match {
-      case None => emptyDf(spark)
+      case None                                 => emptyDf(spark)
       case Some(snap) if snap.dataFiles.isEmpty => emptyDf(spark)
+      case Some(snap)                           => readSnapshot(spark, snap)
+    }
+  }
+
+  /** Point lookup with manifest data skipping: only data files whose
+    * (min, max) key range can contain one of `keys` are scanned — files
+    * without stats are conservatively included. Merge semantics identical
+    * to `read().filter(key isin keys)`, minus the skipped I/O.
+    */
+  def lookup(spark: SparkSession, keys: Seq[Long]): DataFrame =
+    currentSnapshot match {
+      case None => emptyDf(spark)
       case Some(snap) =>
-        val paths = snap.dataFiles.map(f => dataDir.resolve(f).toString)
-        // explicit schema (not inference): files written before a column
-        // was added surface it as null — schema evolution without rewrites
-        val fileSchema = StructType(
-          schema.fields.filterNot(f => partitionCol.contains(f.name)) ++
-            Seq(StructField(SEQ, LongType)) ++
-            partitionCol.map(p => schema(p)))
-        val data = spark.read
-          .option("basePath", dataDir.toString)
-          .schema(fileSchema)
-          .parquet(paths: _*)
-
-        if (!snap.requiresDedup) {
-          data.select(payloadCols.map(col): _*)
-        } else {
-          val tomb: DataFrame =
-            if (snap.deleteFiles.isEmpty) {
-              val tombSchema = StructType(Seq(
-                schema(keyCol), StructField(SEQ, LongType)))
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
-            } else {
-              spark.read.parquet(
-                snap.deleteFiles.map(f => deleteDir.resolve(f).toString): _*)
-            }
-
-          // LWW merge view: newest (key, _seq) wins; a winning tombstone
-          // removes the key. Single hash-shuffle on the key.
-          val lifted = tomb.select(
-            payloadCols.map(c =>
-              if (c == keyCol) col(keyCol) else lit(null).cast(schema(c).dataType).as(c)
-            ) :+ col(SEQ) :+ lit(true).as("_tomb"): _*)
-          val all = data.select(
-            payloadCols.map(col) :+ col(SEQ) :+ lit(false).as("_tomb"): _*)
-            .unionByName(lifted)
-
-          val w = Window.partitionBy(col(keyCol))
-            .orderBy(col(SEQ).desc, col("_tomb").desc)
-          all.withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1 && !col("_tomb"))
-            .select(payloadCols.map(col): _*)
+        val wanted = snap.dataFiles.filter { f =>
+          snap.fileStats.get(f) match {
+            case Some((lo, hi)) => keys.exists(k => k >= lo && k <= hi)
+            case None           => true
+          }
         }
+        if (wanted.isEmpty) emptyDf(spark)
+        else readSnapshot(spark, snap.copy(dataFiles = wanted))
+          .filter(col(keyCol).isin(keys: _*))
+    }
+
+  private def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame = {
+    val paths = snap.dataFiles.map(f => dataDir.resolve(f).toString)
+    // explicit schema (not inference): files written before a column
+    // was added surface it as null — schema evolution without rewrites
+    val fileSchema = StructType(
+      schema.fields.filterNot(f => partitionCol.contains(f.name)) ++
+        Seq(StructField(SEQ, LongType)) ++
+        partitionCol.map(p => schema(p)))
+    val data = spark.read
+      .option("basePath", dataDir.toString)
+      .schema(fileSchema)
+      .parquet(paths: _*)
+
+    if (!snap.requiresDedup) {
+      data.select(payloadCols.map(col): _*)
+    } else {
+      val tomb: DataFrame =
+        if (snap.deleteFiles.isEmpty) {
+          val tombSchema = StructType(Seq(
+            schema(keyCol), StructField(SEQ, LongType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+        } else {
+          spark.read.parquet(
+            snap.deleteFiles.map(f => deleteDir.resolve(f).toString): _*)
+        }
+
+      // LWW merge view: newest (key, _seq) wins; a winning tombstone
+      // removes the key. Single hash-shuffle on the key.
+      val lifted = tomb.select(
+        payloadCols.map(c =>
+          if (c == keyCol) col(keyCol) else lit(null).cast(schema(c).dataType).as(c)
+        ) :+ col(SEQ) :+ lit(true).as("_tomb"): _*)
+      val all = data.select(
+        payloadCols.map(col) :+ col(SEQ) :+ lit(false).as("_tomb"): _*)
+        .unionByName(lifted)
+
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col(SEQ).desc, col("_tomb").desc)
+      all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && !col("_tomb"))
+        .select(payloadCols.map(col): _*)
     }
   }
 
@@ -456,7 +531,9 @@ final class MergeTable(
       }.toVector
       val kept = prev.dataFiles.filterNot(f => toRewrite.valuesIterator.exists(_.contains(f)))
       commit(Snapshot(v, kept ++ rewritten, prev.deleteFiles,
-        prev.appliedBatches, prev.requiresDedup))
+        prev.appliedBatches, prev.requiresDedup,
+        prev.fileStats.view.filterKeys(kept.contains).toMap ++
+          computeStats(spark, rewritten)))
       toRewrite.valuesIterator.flatten.foreach(f =>
         Files.deleteIfExists(dataDir.resolve(f)))
     }
@@ -497,7 +574,7 @@ final class MergeTable(
       val obsoleteData = prev.dataFiles
       val obsoleteDels = prev.deleteFiles
       commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
-        requiresDedup = false))
+        requiresDedup = false, computeStats(spark, files)))
       // Physically drop superseded files only after the pointer swap; crash
       // in between leaves harmless orphans, never a broken snapshot.
       obsoleteData.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))

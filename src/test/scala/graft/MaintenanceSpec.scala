@@ -58,3 +58,49 @@ class MaintenanceSpec extends SparkSpec {
     intercept[Exception](t.read(spark, Some(0L)).count())
   }
 }
+
+/** Manifest key-range stats + data-skipping point lookups. */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lookup prunes files by key range and matches filtered read") {
+    val t = MergeTable.retailTrans(tmpDir("skip"), threshold = 100)
+    // three batches with disjoint key ranges → disjoint file stats
+    def mk(lines: Seq[String], id: String) =
+      CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, lines), t, None, Some(id))
+    mk(GoldenCorpus.insertOnlyLines, "p1")    // keys 6..35
+    mk(GoldenCorpus.dmlLines, "p2")           // keys 6..47
+
+    val snap = t.currentSnapshot.get
+    assert(snap.fileStats.nonEmpty)
+    assert(snap.fileStats.size === snap.dataFiles.size)
+
+    val viaLookup = t.lookup(spark, Seq(19L, 47L))
+      .select($"trans_id", $"amount").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaRead = t.read(spark).filter($"trans_id".isin(19L, 47L))
+      .select($"trans_id", $"amount").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaLookup === viaRead)
+    assert(viaLookup === Map(19L -> 39, 47L -> 1))
+
+    // pruning is real: key 47 only exists in phase-2 files; a lookup for a
+    // key outside every file range reads nothing
+    val pruned = snap.dataFiles.count { f =>
+      snap.fileStats.get(f).exists { case (lo, hi) => 999L >= lo && 999L <= hi }
+    }
+    assert(pruned === 0)
+    assert(t.lookup(spark, Seq(999L)).count() === 0)
+  }
+
+  test("stats survive the manifest round-trip and compaction") {
+    val t = MergeTable.retailTrans(tmpDir("skip2"))
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.allLines), t)
+    t.compact(spark)
+    val snap = MergeTable.open(t.root).currentSnapshot.get
+    assert(snap.fileStats.size === snap.dataFiles.size)
+    val (lo, hi) = snap.fileStats.values
+      .reduce((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+    assert(lo === 19L && hi === 47L)
+  }
+}
