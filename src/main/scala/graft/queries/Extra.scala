@@ -100,6 +100,26 @@ object Extra {
         .orderBy(col("user_id"), col("start_us"))
     }),
 
+    // pivot: rows -> columns per l_linestatus
+    "q47_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // unpivot/melt: wide -> long
+    "q48_unpivot" -> ((s, d) => {
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(round(avg(col("p_retailprice")), 4).as("avg_price"),
+          round(avg(col("p_size")), 4).as("avg_size"))
+        .unpivot(Array(col("p_brand")),
+          Array(col("avg_price"), col("avg_size")), "metric", "value")
+        .orderBy(col("p_brand"), col("metric"))
+    }),
+
     // approximate sketches: rows-only (HLL/KLL implementations differ)
     "q44_approx_sketches" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -147,6 +167,34 @@ object Extra {
          WHERE EXISTS (SELECT 1 FROM lineitem l
                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q47_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2) AS F,
+         round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),2) AS O,
+         round(sum(CASE WHEN l_linestatus='P' THEN l_quantity END),2) AS P
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q48_unpivot" ->
+      """WITH a AS (SELECT p_brand, round(avg(p_retailprice),4) AS avg_price,
+                     round(avg(p_size),4) AS avg_size
+              FROM part GROUP BY p_brand)
+         SELECT p_brand, 'avg_price' AS metric, avg_price AS value FROM a
+         UNION ALL
+         SELECT p_brand, 'avg_size' AS metric, avg_size AS value FROM a
+         ORDER BY p_brand, metric""",
+    "q47_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2) AS F,
+         round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),2) AS O,
+         round(sum(CASE WHEN l_linestatus='P' THEN l_quantity END),2) AS P
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q48_unpivot" ->
+      """WITH a AS (SELECT p_brand, round(avg(p_retailprice),4) AS avg_price,
+                     round(avg(p_size),4) AS avg_size
+              FROM part GROUP BY p_brand)
+         SELECT p_brand, 'avg_price' AS metric, avg_price AS value FROM a
+         UNION ALL
+         SELECT p_brand, 'avg_size' AS metric, avg_size AS value FROM a
+         ORDER BY p_brand, metric""",
     "q45_window_fn" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
          count(*) AS cnt, round(sum(value),2) AS total_value
