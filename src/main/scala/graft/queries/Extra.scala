@@ -181,20 +181,6 @@ object Extra {
          UNION ALL
          SELECT p_brand, 'avg_size' AS metric, avg_size AS value FROM a
          ORDER BY p_brand, metric""",
-    "q47_pivot" ->
-      """SELECT l_returnflag,
-         round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2) AS F,
-         round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),2) AS O,
-         round(sum(CASE WHEN l_linestatus='P' THEN l_quantity END),2) AS P
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q48_unpivot" ->
-      """WITH a AS (SELECT p_brand, round(avg(p_retailprice),4) AS avg_price,
-                     round(avg(p_size),4) AS avg_size
-              FROM part GROUP BY p_brand)
-         SELECT p_brand, 'avg_price' AS metric, avg_price AS value FROM a
-         UNION ALL
-         SELECT p_brand, 'avg_size' AS metric, avg_size AS value FROM a
-         ORDER BY p_brand, metric""",
     "q45_window_fn" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
          count(*) AS cnt, round(sum(value),2) AS total_value

@@ -218,24 +218,15 @@ final class MergeTable(
     adoptFiles(staged, deleteDir, v)
   }
 
-  /** Per-file (min, max) of an integral merge key for just-written files —
-    * one small job over only the new files. Powers `lookup` data skipping;
-    * skipped entirely for non-integral keys.
+  /** (min, max) of an integral merge key over a frame — one cheap agg on
+    * the (usually cached) input, never a re-read of written files. Powers
+    * `lookup` data skipping; None for non-integral keys or empty input.
     */
-  private def computeStats(spark: SparkSession,
-      files: Vector[String]): Map[String, (Long, Long)] = {
-    if (files.isEmpty || schema(keyCol).dataType != LongType) return Map.empty
-    val paths = files.map(f => dataDir.resolve(f).toString)
-    val rows = spark.read
-      .option("basePath", dataDir.toString)
-      .parquet(paths: _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
-      .collect()
-    rows.flatMap { r =>
-      val uri = r.getString(0)
-      files.find(uri.endsWith(_)).map(_ -> ((r.getLong(1), r.getLong(2))))
-    }.toMap
+  private def keyRangeOf(rows: DataFrame): Option[(Long, Long)] = {
+    if (schema(keyCol).dataType != LongType) return None
+    val r = rows.agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+      .collect().head
+    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
   }
 
   /** Bootstrap / full-load append: no merge, no dedup flag flip.
@@ -243,9 +234,12 @@ final class MergeTable(
     */
   def appendAll(rows: DataFrame, batchId: Option[String] = None): Unit =
     synchronized {
+      batchId.foreach(id => require(!id.exists(c => c == '\t' || c == '\n'),
+        "batchId must not contain tab/newline (manifest is TSV)"))
       val prev = currentSnapshot
       if (batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) return
       val v = latestVersion + 1
+      val range = keyRangeOf(rows)
       val files = writeUpserts(rows, v)
       commit(Snapshot(
         v,
@@ -254,7 +248,7 @@ final class MergeTable(
         prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
         prev.exists(_.requiresDedup),
         prev.map(_.fileStats).getOrElse(Map.empty) ++
-          computeStats(rows.sparkSession, files)))
+          range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap)))
     }
 
   /** Keyed transactional apply — the reference's J1 merge
@@ -268,6 +262,8 @@ final class MergeTable(
     */
   def applyBatch(batch: DataFrame, batchId: Option[String] = None): Unit =
     synchronized {
+      batchId.foreach(id => require(!id.exists(c => c == '\t' || c == '\n'),
+        "batchId must not contain tab/newline (manifest is TSV)"))
       val prev = currentSnapshot
       if (batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) return
       val v = latestVersion + 1
@@ -505,37 +501,51 @@ final class MergeTable(
       val toRewrite = byDir.filter(_._2.size > maxFilesPerPartition)
       if (toRewrite.isEmpty) return
       val v = prev.version + 1
-      val rewritten = toRewrite.flatMap { case (dir, files) =>
-        val staged = stagingDir("pack", v)
-        // read WITH _seq, write back as-is — one file per former partition
-        spark.read
-          .schema(StructType(
-            schema.fields.filterNot(f => partitionCol.contains(f.name)) :+
-              StructField(SEQ, LongType)))
-          .parquet(files.map(f => dataDir.resolve(f).toString): _*)
-          .coalesce(1)
-          .write.mode("overwrite").option("compression", "snappy")
-          .parquet(staged.toString)
-        val moved = adoptFiles(staged, dataDir, v)
-        // adoptFiles lands them at the data root; relocate into the
-        // partition dir so directory-partition discovery still works
-        moved.map { m =>
-          if (dir.isEmpty) m
-          else {
-            val dest = dataDir.resolve(dir).resolve(m)
-            Files.createDirectories(dest.getParent)
-            Files.move(dataDir.resolve(m), dest)
-            s"$dir/$m"
+      // each rewritten group yields (new files, inherited stats): stats for
+      // a packed file = union of the replaced files' ranges (no re-scan);
+      // groups with any stat-less member stay stat-less
+      val packed: Seq[(Vector[String], Option[(Long, Long)])] =
+        toRewrite.toSeq.map { case (dir, files) =>
+          val staged = stagingDir("pack", v)
+          // read WITH _seq, write back as-is — one file per former partition
+          spark.read
+            .schema(StructType(
+              schema.fields.filterNot(f => partitionCol.contains(f.name)) :+
+                StructField(SEQ, LongType)))
+            .parquet(files.map(f => dataDir.resolve(f).toString): _*)
+            .coalesce(1)
+            .write.mode("overwrite").option("compression", "snappy")
+            .parquet(staged.toString)
+          val moved = adoptFiles(staged, dataDir, v)
+          // adoptFiles lands them at the data root; relocate into the
+          // partition dir so directory-partition discovery still works
+          val placed = moved.map { m =>
+            if (dir.isEmpty) m
+            else {
+              val dest = dataDir.resolve(dir).resolve(m)
+              Files.createDirectories(dest.getParent)
+              Files.move(dataDir.resolve(m), dest)
+              s"$dir/$m"
+            }
           }
+          val oldStats = files.flatMap(prev.fileStats.get)
+          val range =
+            if (oldStats.size == files.size && oldStats.nonEmpty)
+              Some((oldStats.map(_._1).min, oldStats.map(_._2).max))
+            else None
+          (placed, range)
         }
-      }.toVector
+      val rewritten = packed.flatMap(_._1).toVector
+      val packedStats = packed.flatMap { case (fs, r) =>
+        r.toSeq.flatMap(range => fs.map(_ -> range))
+      }.toMap
       val kept = prev.dataFiles.filterNot(f => toRewrite.valuesIterator.exists(_.contains(f)))
       commit(Snapshot(v, kept ++ rewritten, prev.deleteFiles,
         prev.appliedBatches, prev.requiresDedup,
-        prev.fileStats.view.filterKeys(kept.contains).toMap ++
-          computeStats(spark, rewritten)))
-      toRewrite.valuesIterator.flatten.foreach(f =>
-        Files.deleteIfExists(dataDir.resolve(f)))
+        prev.fileStats.view.filterKeys(kept.contains).toMap ++ packedStats))
+      // superseded small files stay on disk: older retained snapshots still
+      // reference them (time travel); expireSnapshots deletes them once no
+      // retained manifest does
     }
 
   /** Expire snapshots older than the last `keepLast`, physically deleting
@@ -548,10 +558,12 @@ final class MergeTable(
     val latest = latestVersion
     if (latest < keepLast) return
     val cutoff = latest - keepLast + 1
-    val retained = (cutoff to latest).map(readManifest)
+    val retained = (cutoff to latest)
+      .filter(v => Files.exists(manifestPath(v))).map(readManifest)
     val liveData = retained.flatMap(_.dataFiles).toSet
     val liveDels = retained.flatMap(_.deleteFiles).toSet
-    (0L until cutoff).map(readManifest).foreach { old =>
+    (0L until cutoff).filter(v => Files.exists(manifestPath(v)))
+      .map(readManifest).foreach { old =>
       old.dataFiles.filterNot(liveData).foreach(f =>
         Files.deleteIfExists(dataDir.resolve(f)))
       old.deleteFiles.filterNot(liveDels).foreach(f =>
@@ -570,11 +582,13 @@ final class MergeTable(
     val v = prev.version + 1
     val materialized = read(spark).cache()
     try {
+      val range = keyRangeOf(materialized) // cached — cheap agg, no re-scan
       val files = writeUpserts(materialized, v)
       val obsoleteData = prev.dataFiles
       val obsoleteDels = prev.deleteFiles
       commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
-        requiresDedup = false, computeStats(spark, files)))
+        requiresDedup = false,
+        range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap)))
       // Physically drop superseded files only after the pointer swap; crash
       // in between leaves harmless orphans, never a broken snapshot.
       obsoleteData.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))

@@ -43,6 +43,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.read(spark).count() === 12)
   }
 
+  test("binPack keeps old files readable for time travel until expiry") {
+    val t = MergeTable.retailTrans(tmpDir("packtt"), threshold = 100)
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("p1"))
+    val v0 = t.latestVersion
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
+    t.binPack(spark, maxFilesPerPartition = 1)
+    // pre-pack snapshots still fully readable (files not deleted yet)
+    assert(t.read(spark, Some(v0)).count() === 10)
+    // expiry is what reclaims the superseded small files
+    t.expireSnapshots(keepLast = 1)
+    assert(t.read(spark).count() === 12)
+  }
+
+  test("expireSnapshots is safe to run repeatedly") {
+    val t = MergeTable.retailTrans(tmpDir("exp2"))
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("p1"))
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
+    t.expireSnapshots(keepLast = 1)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, Seq(GoldenCorpus.insertOnlyLines.head)), t, None, Some("p3"))
+    t.expireSnapshots(keepLast = 1) // second run over a gapped history
+    assert(t.history.size === 1)
+    // 12 golden rows + key 6 re-inserted after its delete (LWW resurrect)
+    assert(t.read(spark).count() === 13)
+  }
+
+  test("tab-bearing batchIds are rejected (manifest is TSV)") {
+    val t = MergeTable.retailTrans(tmpDir("tsv"))
+    intercept[IllegalArgumentException] {
+      CdcPipeline.replayBatch(spark,
+        GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("bad\tid"))
+    }
+  }
+
   test("expireSnapshots drops old versions and their exclusive files") {
     val t = MergeTable.retailTrans(tmpDir("exp"))
     CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("p1"))
