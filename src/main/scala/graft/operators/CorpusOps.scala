@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators beyond dedup: text normalization,
+  * vocabulary building, n-gram statistics, benchmark decontamination, and
+  * PII-pattern scanning. All pure DataFrame plans; the heavy ones
+  * (decontamination) are equi-joins on hashed n-grams — the same
+  * inverted-index shape as Dedup, never all-pairs.
+  */
+object CorpusOps {
+
+  /** Canonical text normalization: lowercase, collapse whitespace, strip
+    * leading/trailing space. (Unicode NFC would slot in here via
+    * java.text.Normalizer in a mapPartitions stage; the test corpus is
+    * ASCII so expressions suffice.)
+    */
+  def normalizeExpr(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Corpus vocabulary: token → frequency, descending. */
+  def vocabulary(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Word bigram counts (order-sensitive n-gram statistics). */
+  def bigrams(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = TextAnalysis.wsTokens(col(textCol))
+    val grams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", slice(w, i, lit(2)))))
+      .otherwise(array())
+    docs.select(explode(grams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("freq"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark set — the standard eval-leak check before
+    * training. One equi-join on hashed shingles; cost scales with shingle
+    * collisions, not corpus².
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val corpusSh = Dedup.shingles(corpus, n)
+    val benchSh = Dedup.shingles(benchmark, n)
+      .select(col("s")).distinct()
+    corpusSh.join(benchSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /** PII-pattern scan: per-document counts of email-like, phone-like, and
+    * long-digit-run patterns (the redaction pre-pass of a training
+    * pipeline; on real data the hits feed a masking stage).
+    */
+  def piiScan(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(t,
+        lit("\\+?[0-9][0-9 ()-]{7,}[0-9]"), lit(0)))
+        .cast("long").as("n_phone"),
+      size(regexp_extract_all(t, lit("[0-9]{6,}"), lit(0)))
+        .cast("long").as("n_digit_run"))
+  }
+}

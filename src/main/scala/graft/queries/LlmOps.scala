@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator queries (north-star extension): dedup,
   * similarity search, text analysis, multimodal columns — each a `queries`
@@ -82,7 +82,36 @@ object LlmOps {
         .orderBy(col("doc_id"))),
 
     "q37_multimodal_features" -> ((s, d) =>
-      Multimodal.featureQuery(s, Tables.documents(s, d)))
+      Multimodal.featureQuery(s, Tables.documents(s, d))),
+
+    "q49_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(CorpusOps.normalizeExpr(col("text"))).as("norm_md5"),
+          length(CorpusOps.normalizeExpr(col("text"))).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))),
+
+    "q50_vocab_top" -> ((s, d) =>
+      CorpusOps.vocabulary(Tables.documents(s, d))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(20)),
+
+    "q51_bigrams_top" -> ((s, d) =>
+      CorpusOps.bigrams(Tables.documents(s, d))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(20)),
+
+    "q52_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusOps.contaminated(
+        docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q53_pii_scan" -> ((s, d) =>
+      CorpusOps.piiScan(Tables.documents(s, d))
+        .orderBy(col("doc_id")))
   )
 
   private val langCase: String = {
@@ -177,6 +206,92 @@ object LlmOps {
              list_transform(generate_series(1, length(text)),
                i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
            (a, x) -> (a*31 + x) % 2147483647) AS BIGINT) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q49_normalize" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+         FROM documents ORDER BY doc_id""",
+    "q50_vocab_top" ->
+      """SELECT token, count(*) AS freq FROM (
+           SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+           FROM documents) t
+         GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+    "q51_bigrams_top" ->
+      """WITH docs AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS w
+                       FROM documents)
+         SELECT bigram, count(*) AS freq FROM (
+           SELECT unnest(CASE WHEN len(w) >= 2
+             THEN list_transform(generate_series(1, len(w)-1),
+                  i -> array_to_string(w[i:i+1], ' '))
+             ELSE [] END) AS bigram
+           FROM docs) t
+         GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""",
+    "q52_contamination" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+              THEN list_transform(generate_series(1, len(w)-7),
+                   i -> array_to_string(w[i:i+7], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+         corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)
+         SELECT doc_id, count(*) AS n_shared_ngrams
+         FROM corpus WHERE s IN (SELECT s FROM bench)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q53_pii_scan" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_run
+         FROM documents ORDER BY doc_id""",
+    "q49_normalize" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+         FROM documents ORDER BY doc_id""",
+    "q50_vocab_top" ->
+      """SELECT token, count(*) AS freq FROM (
+           SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+           FROM documents) t
+         GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+    "q51_bigrams_top" ->
+      """WITH docs AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS w
+                       FROM documents)
+         SELECT bigram, count(*) AS freq FROM (
+           SELECT unnest(CASE WHEN len(w) >= 2
+             THEN list_transform(generate_series(1, len(w)-1),
+                  i -> array_to_string(w[i:i+1], ' '))
+             ELSE [] END) AS bigram
+           FROM docs) t
+         GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""",
+    "q52_contamination" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+              THEN list_transform(generate_series(1, len(w)-7),
+                   i -> array_to_string(w[i:i+7], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+         corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)
+         SELECT doc_id, count(*) AS n_shared_ngrams
+         FROM corpus WHERE s IN (SELECT s FROM bench)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q53_pii_scan" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_run
          FROM documents ORDER BY doc_id""",
     "q36_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

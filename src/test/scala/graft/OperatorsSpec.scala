@@ -109,3 +109,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 }
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.CorpusOps
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decontamination flags docs sharing n-grams with the benchmark") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+      (3L, "totally different words in this one nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val flagged = CorpusOps.contaminated(
+      df.filter($"doc_id" > 1), df.filter($"doc_id" === 1), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(2L) && flagged(2L) >= 1)
+    assert(!flagged.contains(3L))
+  }
+
+  test("vocabulary and bigrams count real corpus tokens") {
+    val docs = Tables.documents(spark, sf)
+    val vocab = CorpusOps.vocabulary(docs)
+    val total = vocab.agg(org.apache.spark.sql.functions.sum($"freq"))
+      .collect().head.getLong(0)
+    val directCount = docs.select(
+      org.apache.spark.sql.functions.size(
+        graft.operators.TextAnalysis.wsTokens($"text")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum($"n")).collect().head.getLong(0)
+    assert(total === directCount)
+    val bi = CorpusOps.bigrams(docs).agg(
+      org.apache.spark.sql.functions.sum($"freq")).collect().head.getLong(0)
+    assert(bi === directCount - docs.count()) // n-1 bigrams per doc
+  }
+
+  test("pii scan finds planted patterns") {
+    val df = Seq(
+      (1L, "contact me at jane.doe@example.com or +1 (555) 123-4567 ok"),
+      (2L, "account 123456789 flagged"),
+      (3L, "clean text with nothing")).toDF("doc_id", "text")
+    val out = CorpusOps.piiScan(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 === 1L) // email
+    assert(out(1L)._2 >= 1L)  // phone
+    assert(out(2L)._3 === 1L) // digit run
+    assert(out(3L) === ((0L, 0L, 0L)))
+  }
+}
