@@ -40,6 +40,16 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup by event id with bounded state: duplicates
+    * arriving within the watermark window are dropped, state for old ids
+    * is evicted as the watermark advances (at-least-once source → effective
+    * exactly-once delivery downstream).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class UserProfile(
       user_id: Long,

@@ -102,3 +102,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(finalProfiles === batch)
   }
 }
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming dedup drops within-watermark duplicates") {
+    val dir = tmpDir("dup-events")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .orderBy($"ts").limit(200)
+    // duplicate every event, replay both copies
+    ev.union(ev).repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventStreams.dedupEvents(
+      spark.readStream.schema(ev.schema).parquet(dir))
+      .writeStream.queryName("dedup").format("memory").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup")
+    assert(out.count() === 200)
+    assert(out.select("event_id").distinct().count() === 200)
+  }
+}
