@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively, composed from built-ins
+  * (the preferred extension path — no custom strategy needed):
+  *
+  *   - as-of join: one union + one window pass — O(n log n) per key,
+  *     single shuffle, vs the naive per-left-row subquery
+  *   - bounded range join: equi-join on coarse time buckets + residual
+  *     filter — turns an inequality join (BroadcastNestedLoop at scale)
+  *     into a shuffle-hash join whose cost is pairs-within-bucket
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, the single most recent right row with
+    * `right.ts <= left.ts`, per key. Implementation: union both sides
+    * tagged, sort within key by (ts, side), and carry the last-seen right
+    * payload forward with `last_value(ignoreNulls)` — rows from the left
+    * then read the carried value. Ties (equal ts) prefer the right row
+    * (standard as-of semantics: a quote AT the trade time matches).
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      rightPayload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // union frame: left rows carry nulls for right payload; right rows
+    // carry nulls for left columns. side=0 sorts right rows first on ties.
+    val l = left
+      .withColumn("_side", lit(1))
+      .select(Seq(col(keyCol).as("_k"), col(tsCol).as("_ts"), col("_side")) ++
+        leftCols.map(c => col(c).as(s"_l_$c")) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val r = right
+      .withColumn("_side", lit(0))
+      .select(Seq(col(keyCol).as("_k"), col(tsCol).as("_ts"), col("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
+        rightPayload.map(c => col(c).as(s"_r_$c")): _*)
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"$prefix$c",
+        last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(c => col(s"_l_$c").as(c)) ++
+        rightPayload.map(c => col(s"$prefix$c")): _*)
+  }
+
+  /** Bounded range join: all (left, right) pairs with the same key and
+    * `|left.ts − right.ts| <= bound`. Each left row lands in its bucket and
+    * probes the two adjacent buckets (bucket width = bound), so every
+    * qualifying pair shares a probed bucket; an exact residual filter
+    * removes bucket-mates outside the bound. Shuffles on (key, bucket) —
+    * never a nested-loop.
+    */
+  def boundedRangeJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      boundSeconds: Long): DataFrame = {
+    val bucket = (c: Column) => floor(unix_timestamp(c) / boundSeconds)
+    val l = left
+      .withColumn("_probe", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_b", bucket(col(tsCol)) + col("_probe"))
+      .drop("_probe")
+    val r = right
+      .withColumnRenamed(tsCol, s"r_$tsCol")
+      .withColumn("_b", bucket(col(s"r_$tsCol")))
+    // each right row lives in exactly one bucket, so a qualifying pair
+    // matches exactly one probe — no dedup needed afterwards
+    l.join(r, Seq(keyCol, "_b"))
+      .filter(abs(unix_timestamp(col(tsCol)) - unix_timestamp(col(s"r_$tsCol")))
+        <= boundSeconds)
+      .drop("_b")
+  }
+}

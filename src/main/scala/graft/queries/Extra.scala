@@ -120,6 +120,28 @@ object Extra {
         .orderBy(col("p_brand"), col("metric"))
     }),
 
+    // as-of join (composed: union + window carry-forward)
+    "q54_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.TemporalJoins.asofJoin(
+        purchases, clicks, "user_id", "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("asof_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // bounded range join (bucket equi-join + residual filter)
+    "q55_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ev.select(col("user_id"), col("event_id").as("r_event_id"), col("ts"))
+      graft.operators.TemporalJoins.boundedRangeJoin(
+        ev, r, "user_id", "ts", boundSeconds = 300)
+        .filter(col("event_id") < col("r_event_id"))
+        .select(col("user_id"), col("event_id"), col("r_event_id"))
+        .orderBy(col("user_id"), col("event_id"), col("r_event_id"))
+    }),
+
     // approximate sketches: rows-only (HLL/KLL implementations differ)
     "q44_approx_sketches" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -167,6 +189,18 @@ object Extra {
          WHERE EXISTS (SELECT 1 FROM lineitem l
                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q54_asof_join" ->
+      """SELECT l.user_id, l.event_id, r.event_id AS asof_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "q55_range_join" ->
+      """SELECT a.user_id, a.event_id, b.event_id AS r_event_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(date_diff('second', a.ts, b.ts)) <= 300
+         ORDER BY a.user_id, a.event_id, b.event_id""",
     "q47_pivot" ->
       """SELECT l_returnflag,
          round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2) AS F,

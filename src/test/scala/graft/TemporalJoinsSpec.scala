@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks the latest right row at or before each left ts") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100L),
+      (1L, ts("2024-01-01 10:00:30"), 101L),
+      (2L, ts("2024-01-01 10:00:10"), 102L))
+      .toDF("user_id", "ts", "event_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 900L),
+      (1L, ts("2024-01-01 10:00:30"), 901L), // ties with trade 101 → matches
+      (2L, ts("2024-01-01 10:00:20"), 902L)) // AFTER trade 102 → no match
+      .toDF("user_id", "ts", "event_id")
+
+    val out = TemporalJoins.asofJoin(trades, quotes, "user_id", "ts", Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(100L) === Some(900L))
+    assert(out(101L) === Some(901L)) // equal-ts right row matches (as-of semantics)
+    assert(out(102L) === None)       // only future quotes → null
+  }
+
+  test("bounded range join finds exactly the within-bound pairs") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:04:00"), 2L),  // 240s from 1 → within 300
+      (1L, ts("2024-01-01 10:10:00"), 3L),  // 360s from 2 → out
+      (2L, ts("2024-01-01 10:00:00"), 4L))  // other key
+      .toDF("user_id", "ts", "event_id")
+    val r = ev.select($"user_id", $"event_id".as("r_event_id"), $"ts")
+    val pairs = TemporalJoins.boundedRangeJoin(ev, r, "user_id", "ts", 300)
+      .filter($"event_id" < $"r_event_id")
+      .select($"event_id", $"r_event_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("range join boundary: exactly bound seconds apart is included") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:05:00"), 2L)) // exactly 300s
+      .toDF("user_id", "ts", "event_id")
+    val r = ev.select($"user_id", $"event_id".as("r_event_id"), $"ts")
+    val pairs = TemporalJoins.boundedRangeJoin(ev, r, "user_id", "ts", 300)
+      .filter($"event_id" < $"r_event_id").count()
+    assert(pairs === 1L)
+  }
+}
