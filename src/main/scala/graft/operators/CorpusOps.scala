@@ -28,9 +28,7 @@ object CorpusOps {
   /** Word bigram counts (order-sensitive n-gram statistics). */
   def bigrams(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val w = TextAnalysis.wsTokens(col(textCol))
-    val grams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", slice(w, i, lit(2)))))
+    val grams = when(size(w) >= 2, TextAnalysis.wordNgrams(w, 2))
       .otherwise(array())
     docs.select(explode(grams).as("bigram"))
       .groupBy(col("bigram"))

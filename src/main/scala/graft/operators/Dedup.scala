@@ -27,9 +27,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val w = filter(split(col(textCol), " "), x => x =!= "")
     val grams = when(size(w) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n))))))
+      array_distinct(TextAnalysis.wordNgrams(w, n)))
       .otherwise(array_distinct(array(concat_ws(" ", w))))
     df.select(col(idCol).as("doc_id"), explode(grams).as("s_str"))
       .select(col("doc_id"), xxhash64(col("s_str")).as("s"))

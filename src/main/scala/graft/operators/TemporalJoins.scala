@@ -18,9 +18,13 @@ object TemporalJoins {
   /** As-of join: for every left row, the single most recent right row with
     * `right.ts <= left.ts`, per key. Implementation: union both sides
     * tagged, sort within key by (ts, side), and carry the last-seen right
-    * payload forward with `last_value(ignoreNulls)` — rows from the left
-    * then read the carried value. Ties (equal ts) prefer the right row
-    * (standard as-of semantics: a quote AT the trade time matches).
+    * row forward as ONE struct with `last_value(ignoreNulls)` — the struct
+    * is non-null for every right row even when its fields are null, so
+    * NULL payload values round-trip and multiple payload columns can never
+    * be stitched from different right rows. Ties (equal ts) prefer the
+    * right row (standard as-of: a quote AT the trade time matches), and
+    * equal-(key, ts) right rows resolve deterministically to the largest
+    * payload struct.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
@@ -28,29 +32,29 @@ object TemporalJoins {
       rightPayload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
-    // union frame: left rows carry nulls for right payload; right rows
-    // carry nulls for left columns. side=0 sorts right rows first on ties.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("_side", lit(1))
       .select(Seq(col(keyCol).as("_k"), col(tsCol).as("_ts"), col("_side")) ++
-        leftCols.map(c => col(c).as(s"_l_$c")) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftCols.map(c => col(c).as(s"_l_$c")) :+
+        lit(null).cast(rStructType).as("_r"): _*)
     val r = right
       .withColumn("_side", lit(0))
       .select(Seq(col(keyCol).as("_k"), col(tsCol).as("_ts"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
-        rightPayload.map(c => col(c).as(s"_r_$c")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
+        struct(rightPayload.map(col): _*).as("_r"): _*)
 
+    // _r in the ordering breaks (key, ts) ties among right rows
+    // deterministically (struct comparison, field order = rightPayload)
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"$prefix$c",
-        last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
+    l.unionByName(r)
+      .withColumn("_carried", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
       .select(leftCols.map(c => col(s"_l_$c").as(c)) ++
-        rightPayload.map(c => col(s"$prefix$c")): _*)
+        rightPayload.map(c => col("_carried").getField(c).as(s"$prefix$c")): _*)
   }
 
   /** Bounded range join: all (left, right) pairs with the same key and
@@ -64,7 +68,11 @@ object TemporalJoins {
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
       boundSeconds: Long): DataFrame = {
-    val bucket = (c: Column) => floor(unix_timestamp(c) / boundSeconds)
+    require(boundSeconds > 0, "boundSeconds must be positive")
+    // microsecond precision throughout: second-truncated arithmetic would
+    // admit pairs up to bound+1s apart on sub-second timestamps
+    val boundUs = boundSeconds * 1000000L
+    val bucket = (c: Column) => floor(unix_micros(c) / boundUs)
     val l = left
       .withColumn("_probe", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("_b", bucket(col(tsCol)) + col("_probe"))
@@ -75,8 +83,8 @@ object TemporalJoins {
     // each right row lives in exactly one bucket, so a qualifying pair
     // matches exactly one probe — no dedup needed afterwards
     l.join(r, Seq(keyCol, "_b"))
-      .filter(abs(unix_timestamp(col(tsCol)) - unix_timestamp(col(s"r_$tsCol")))
-        <= boundSeconds)
+      .filter(abs(unix_micros(col(tsCol)) - unix_micros(col(s"r_$tsCol")))
+        <= boundUs)
       .drop("_b")
   }
 }

@@ -15,6 +15,14 @@ object TextAnalysis {
   /** Whitespace tokens, empty strings dropped. */
   def wsTokens(c: Column): Column = filter(split(c, " "), x => x =!= "")
 
+  /** Word n-gram array over a token array: positions 1..size-(n-1),
+    * space-joined. Shared by shingling (Dedup) and n-gram stats
+    * (CorpusOps) so tokenization/slicing fixes stay in one place.
+    */
+  def wordNgrams(w: Column, n: Int): Column =
+    transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+
   /** BPE-ish subword pre-tokenization: letter runs, digit runs, single
     * punctuation — the usual byte-pair pre-split regex family.
     */

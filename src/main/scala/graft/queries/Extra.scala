@@ -199,7 +199,7 @@ object Extra {
       """SELECT a.user_id, a.event_id, b.event_id AS r_event_id
          FROM events a JOIN events b
            ON a.user_id = b.user_id AND a.event_id < b.event_id
-          AND abs(date_diff('second', a.ts, b.ts)) <= 300
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
          ORDER BY a.user_id, a.event_id, b.event_id""",
     "q47_pivot" ->
       """SELECT l_returnflag,

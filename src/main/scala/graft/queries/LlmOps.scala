@@ -250,49 +250,6 @@ object LlmOps {
              '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone,
            CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_run
          FROM documents ORDER BY doc_id""",
-    "q49_normalize" ->
-      """SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
-           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
-         FROM documents ORDER BY doc_id""",
-    "q50_vocab_top" ->
-      """SELECT token, count(*) AS freq FROM (
-           SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
-           FROM documents) t
-         GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
-    "q51_bigrams_top" ->
-      """WITH docs AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS w
-                       FROM documents)
-         SELECT bigram, count(*) AS freq FROM (
-           SELECT unnest(CASE WHEN len(w) >= 2
-             THEN list_transform(generate_series(1, len(w)-1),
-                  i -> array_to_string(w[i:i+1], ' '))
-             ELSE [] END) AS bigram
-           FROM docs) t
-         GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""",
-    "q52_contamination" ->
-      """WITH docs AS (SELECT doc_id,
-              list_filter(string_split(text,' '), x -> x <> '') AS w
-            FROM documents),
-         sh AS (SELECT DISTINCT doc_id, s FROM (
-            SELECT doc_id, unnest(CASE WHEN len(w) >= 8
-              THEN list_transform(generate_series(1, len(w)-7),
-                   i -> array_to_string(w[i:i+7], ' '))
-              ELSE [array_to_string(w, ' ')] END) AS s
-            FROM docs) t),
-         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
-         corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)
-         SELECT doc_id, count(*) AS n_shared_ngrams
-         FROM corpus WHERE s IN (SELECT s FROM bench)
-         GROUP BY doc_id ORDER BY doc_id""",
-    "q53_pii_scan" ->
-      """SELECT doc_id,
-           CAST(len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text,
-             '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_run
-         FROM documents ORDER BY doc_id""",
     "q36_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            md5(text) AS content_md5

@@ -117,7 +117,7 @@ class StreamingDedupSpec extends SparkSpec {
       spark.readStream.schema(ev.schema).parquet(dir))
       .writeStream.queryName("dedup").format("memory").outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain in time")
     val out = spark.table("dedup")
     assert(out.count() === 200)
     assert(out.select("event_id").distinct().count() === 200)
