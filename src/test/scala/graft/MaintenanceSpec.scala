@@ -138,3 +138,42 @@ class DataSkippingSpec extends SparkSpec {
     assert(lo === 19L && hi === 47L)
   }
 }
+
+/** Snapshot isolation under concurrent read/write/compact. */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readers only ever observe committed snapshot states") {
+    val t = MergeTable.retailTrans(tmpDir("conc"), threshold = 1000)
+    // each batch i inserts keys [i*100, i*100+50) → valid counts are 50*i
+    val validCounts = (0 to 8).map(i => 50L * i).toSet
+
+    @volatile var writerDone = false
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val reader = new Thread(() => {
+      while (!writerDone) {
+        val n = t.read(spark).count()
+        if (!validCounts.contains(n)) violations.add(n)
+      }
+    })
+    reader.start()
+    try {
+      (0 until 8).foreach { i =>
+        val rows = (0 until 50).map { j =>
+          (i * 100L + j, "cart", 1, "insert", s"2023-01-01 00:00:0$i", i * 100L + j)
+        }.toDF("trans_id", "event", "amount", "operation", "_ts", "transaction_id")
+          .withColumn("customer_id", lit("c")).withColumn("sku", lit("s"))
+          .withColumn("device", lit("pc"))
+          .withColumn("trans_datetime", to_timestamp(lit("2023-01-16 06:00:00")))
+          .withColumn("src_timestamp", to_timestamp($"_ts")).drop("_ts")
+        t.applyBatch(rows, Some(s"c$i"))
+      }
+      t.compact(spark)
+    } finally {
+      writerDone = true
+      reader.join(30000)
+    }
+    assert(violations.isEmpty, s"saw non-snapshot counts: $violations")
+    assert(t.read(spark).count() === 400)
+  }
+}
