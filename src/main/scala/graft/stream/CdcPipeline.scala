@@ -38,15 +38,21 @@ object CdcPipeline {
       srcDatabase: String = "testdb",
       srcTable: String = "retail_trans",
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None)
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
     val table = MergeTable.retailTrans(cfg.tableRoot)
 
+    // micro-batch bounds mirror the reference's Firehose buffer knobs
+    // (60 s interval via trigger; 128 MB size via maxBytesPerTrigger)
     val reader = spark.readStream
       .schema("value STRING")
-    val lines: DataFrame = cfg.maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val bounded = Seq(
+      cfg.maxFilesPerTrigger.map(n => ("maxFilesPerTrigger", n.toString)),
+      cfg.maxBytesPerTrigger.map(n => ("maxBytesPerTrigger", n.toString)))
+      .flatten.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+    val lines: DataFrame = bounded
       .format("text")
       .load(cfg.landingDir)
 

@@ -471,6 +471,20 @@ final class MergeTable(
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Roll the table back to an earlier retained snapshot (Iceberg's
+    * rollback_to_snapshot): commits a NEW version whose file lists mirror
+    * the target — history is preserved, nothing is deleted, and the
+    * rolled-back batches' ids are dropped from appliedBatches so a replay
+    * can legitimately re-apply them.
+    */
+  def rollbackTo(version: Long): Unit = synchronized {
+    require(Files.exists(manifestPath(version)), s"no snapshot v$version")
+    val target = readManifest(version)
+    val v = latestVersion + 1
+    commit(Snapshot(v, target.dataFiles, target.deleteFiles,
+      target.appliedBatches, target.requiresDedup, target.fileStats))
+  }
+
   /** Snapshot history as a DataFrame — the engine's analog of Iceberg's
     * `<table>.snapshots` metadata table.
     */

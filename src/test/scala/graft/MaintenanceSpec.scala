@@ -177,3 +177,24 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.read(spark).count() === 400)
   }
 }
+
+/** Snapshot rollback (Iceberg rollback_to_snapshot analog). */
+class RollbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollbackTo restores an earlier state and allows batch re-apply") {
+    val t = MergeTable.retailTrans(tmpDir("rb"))
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("p1"))
+    val v0 = t.latestVersion
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
+    assert(t.read(spark).count() === 12)
+
+    t.rollbackTo(v0)
+    assert(t.read(spark).count() === 10) // pre-DML state
+    assert(t.latestVersion === v0 + 2)   // rollback is a new commit
+
+    // the rolled-back batch can re-apply (its id was dropped)
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
+    assert(t.read(spark).count() === 12)
+  }
+}
