@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators beyond dedup: text normalization,
@@ -47,6 +48,48 @@ object CorpusOps {
     corpusSh.join(benchSh, Seq("s"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /** Deterministic train/val/test assignment from pure integer arithmetic
+    * (a Knuth multiplicative hash of the id) — reproducible across engines,
+    * runs, and partitionings, with no RNG state to ship. Thresholds are
+    * percentages: (80, 10) → 80% train, 10% val, 10% test.
+    */
+  def splitExpr(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = pmod(id * 2654435761L, lit(2147483647L)) % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Inverse-frequency class weights: weight(c) = total / (k * count(c)) —
+    * the standard balancing factor for skewed label distributions.
+    */
+  def classWeights(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("k"))
+    counts.crossJoin(totals)
+      .withColumn("weight",
+        TextAnalysis.quant4(col("total").cast("double") / (col("k") * col("cnt"))))
+      .select(col(labelCol), col("cnt"), col("weight"))
+  }
+
+  /** Token-budget shard packing: documents (in id order) are assigned to
+    * consecutive training shards of ~`budget` tokens each via a running
+    * token sum — the deterministic sequential-fill sharding used to cut a
+    * corpus into fixed-size training chunks. One window pass; at scale,
+    * pre-partition by a coarse range of the order key so the running sum
+    * is computed per range with offsets composed from per-range totals.
+    */
+  def packShards(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol),
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard", floor((col("cum_tokens") - 1) / budget).cast("long"))
   }
 
   /** PII-pattern scan: per-document counts of email-like, phone-like, and

@@ -111,7 +111,25 @@ object LlmOps {
 
     "q53_pii_scan" -> ((s, d) =>
       CorpusOps.piiScan(Tables.documents(s, d))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    "q56_train_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(CorpusOps.splitExpr(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .orderBy(col("split"))),
+
+    "q57_class_weights" -> ((s, d) =>
+      CorpusOps.classWeights(Tables.documents(s, d), "lang")
+        .orderBy(col("lang"))),
+
+    "q58_token_packing" -> ((s, d) =>
+      CorpusOps.packShards(Tables.documents(s, d), budget = 2000)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .orderBy(col("shard")))
   )
 
   private val langCase: String = {
@@ -250,6 +268,30 @@ object LlmOps {
              '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone,
            CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_run
          FROM documents ORDER BY doc_id""",
+    "q56_train_split" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 2147483647 % 100 < 80 THEN 'train'
+                   WHEN (doc_id * 2654435761) % 2147483647 % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM documents GROUP BY 1 ORDER BY split""",
+    "q57_class_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+           t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                        count(*) AS k FROM c)
+         SELECT lang, cnt,
+           floor(1.0*total/(k*cnt)*10000)/10000 AS weight
+         FROM c, t ORDER BY lang""",
+    "q58_token_packing" ->
+      """WITH d AS (SELECT doc_id,
+              CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents),
+           cum AS (SELECT doc_id, n_tokens,
+              sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            FROM d)
+         SELECT CAST(floor((cum_tokens - 1) / 2000) AS BIGINT) AS shard,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM cum GROUP BY 1 ORDER BY shard""",
     "q36_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            md5(text) AS content_md5
