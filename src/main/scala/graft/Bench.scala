@@ -37,7 +37,10 @@ object Bench {
     }
     // CDC apply-path throughput (the reference's headline metric is its
     // ~10 rec/s ingest + 3-5 min freshness): 100k generated events through
-    // parse->filter->LWW->merge-commit in 4 micro-batches.
+    // parse->filter->LWW->merge-commit in 4 micro-batches. Clear the
+    // query-bench residue first so the rate isn't GC/cache-pressure noise.
+    spark.catalog.clearCache()
+    System.gc()
     val cdcRate = CdcBench.run(spark, nEvents = 100000L, nBatches = 4).recPerSec
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
