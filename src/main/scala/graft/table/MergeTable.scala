@@ -471,6 +471,30 @@ final class MergeTable(
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** `INSERT OVERWRITE` parity: commit a snapshot containing only `rows`
+    * (previous files stay on disk for time travel until snapshot expiry).
+    */
+  def overwrite(rows: DataFrame, batchId: Option[String] = None): Unit =
+    synchronized {
+      batchId.foreach(id => require(!id.exists(c => c == '\t' || c == '\n'),
+        "batchId must not contain tab/newline (manifest is TSV)"))
+      val v = latestVersion + 1
+      val range = keyRangeOf(rows)
+      val files = writeUpserts(rows, v)
+      commit(Snapshot(v, files, Vector.empty,
+        currentSnapshot.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
+        requiresDedup = false,
+        range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap)))
+    }
+
+  /** `TRUNCATE TABLE` parity: commit an empty snapshot. */
+  def truncate(): Unit = synchronized {
+    val v = latestVersion + 1
+    commit(Snapshot(v, Vector.empty, Vector.empty,
+      currentSnapshot.map(_.appliedBatches).getOrElse(Set.empty),
+      requiresDedup = false))
+  }
+
   /** Roll the table back to an earlier retained snapshot (Iceberg's
     * rollback_to_snapshot): commits a NEW version whose file lists mirror
     * the target — history is preserved, nothing is deleted, and the

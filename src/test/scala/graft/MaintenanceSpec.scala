@@ -198,3 +198,26 @@ class RollbackSpec extends SparkSpec {
     assert(t.read(spark).count() === 12)
   }
 }
+
+/** INSERT OVERWRITE / TRUNCATE parity. */
+class OverwriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overwrite replaces contents; truncate empties; both time-travelable") {
+    val t = MergeTable.retailTrans(tmpDir("ow"))
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, GoldenCorpus.allLines), t)
+    val v0 = t.latestVersion
+    assert(t.read(spark).count() === 12)
+
+    val fresh = t.read(spark).filter($"event" === "cart")
+    t.overwrite(fresh)
+    assert(t.read(spark).count() === 2)
+    assert(!t.currentSnapshot.get.requiresDedup) // overwrite resets merge state
+    assert(t.read(spark, Some(v0)).count() === 12) // old snapshot intact
+
+    t.truncate()
+    assert(t.read(spark).count() === 0)
+    t.rollbackTo(v0)
+    assert(t.read(spark).count() === 12)
+  }
+}
