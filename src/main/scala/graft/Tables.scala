@@ -19,6 +19,17 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Fan a narrow scan out to all cores before compute-bound per-row work
+    * (regex, n-gram shingling, array math). The local test tables are
+    * single-row-group parquet — unsplittable below one task — so without
+    * this the whole scan-side pipeline runs on one core of 32. On a real
+    * cluster inputs have many splits and this degenerates to a cheap
+    * round-robin reshuffle; it guards the same corner there (few huge
+    * splits feeding expensive projections).
+    */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** `events` carries nanosecond parquet timestamps, which Spark's reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). Read them as raw ns longs
     * (legacy.parquet.nanosAsLong) and floor to microseconds — consistent

@@ -33,65 +33,82 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s_str")).as("s"))
   }
 
-  /** Common-shingle counts per doc pair from an inverted index: group the
-    * postings list per shingle, expand ordered pairs lazily in the JVM,
-    * count. Equivalent to the self-join formulation but skips building a
-    * multi-million-row join hash table (measured ~2x locally); the pair
-    * iterator is lazy, though the postings list itself IS materialized per
-    * shingle — at corpus scale, cap stop-shingles by doc frequency first
-    * (SCALE.md) so no single postings list exceeds executor memory.
-    * Work remains Σ(postings²) — quadratic only within shingle-sharing
-    * groups, never globally.
+  /** Per-document sorted distinct hashed-shingle ARRAY, built entirely
+    * row-locally (tokenize → n-gram → hash → distinct → sort inside one
+    * projection). No explode, no shuffle: the shingle set of a document
+    * never leaves its row, so this scales with input splits and the
+    * downstream set algebra (intersection sizes, minhash signatures) is
+    * array arithmetic instead of joins.
     */
-  private def pairCommonCounts(sh: DataFrame): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(col("docs")).as[Seq[Long]]
-      .flatMap { docs =>
-        val a = docs.toArray
-        java.util.Arrays.sort(a)
-        a.indices.iterator.flatMap(i =>
-          (i + 1 until a.length).iterator.map(j => (a(i), a(j))))
-      }
-      .toDF("doc_a", "doc_b")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
+  def shingleArrays(df: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = TextAnalysis.wsTokens(col(textCol))
+    val grams = when(size(w) >= n, TextAnalysis.wordNgrams(w, n))
+      .otherwise(array(concat_ws(" ", w)))
+    df.select(col(idCol).as("doc_id"),
+      array_sort(array_distinct(transform(grams, g => xxhash64(g)))).as("sh"))
   }
 
-  /** Exact pairwise n-gram Jaccard over an inverted shingle index:
-    * postings-pair counts → |A∪B| from per-doc sizes.
+  /** Exact-Jaccard verification of candidate pairs against the per-doc
+    * shingle arrays: |A∩B| via array_intersect, |A∪B| from sizes. Cost is
+    * O(candidates), never all-pairs.
     */
-  def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = pairCommonCounts(sh)
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", TextAnalysis.quant4(col("common").cast("double")
-        / (col("n_a") + col("n_b") - col("common"))))
+        / (size(col("sh_a")) + size(col("sh_b")) - col("common"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Exact pairwise n-gram Jaccard ≥ t without the all-pairs join, via
+    * AllPairs/PPJoin prefix filtering: with shingle arrays sorted by a
+    * global order, any pair with J ≥ t — hence overlap α ≥ ⌈t·max(|A|,|B|)⌉
+    * — shares its smallest common element within the first |x|−⌈t·|x|⌉+1
+    * elements of BOTH arrays (the smallest common element has ≥ α−1 common
+    * elements after it). So indexing only that prefix (~(1−t)·|x| rows) is
+    * a complete candidate generator; candidates then get exact array
+    * verification. Work = prefix-collision pairs, not corpus².
+    */
+  def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val docs = shingleArrays(df, n).withColumn("n_sh", size(col("sh")))
+    // ceil(t*n) with a float-safety epsilon: an over-rounded ceil would
+    // SHORTEN the prefix and silently drop true pairs
+    val prefLen = (col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1).cast("int")
+    val pref = docs.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("s"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+          // length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t (epsilon-slack)
+          && col("a.n_sh") * threshold <= col("b.n_sh") + 1e-9
+          && col("b.n_sh") * threshold <= col("a.n_sh") + 1e-9)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, docs, threshold)
   }
 
-  /** MinHash signatures (k hash functions = k seeded xxhash64 mins,
-    * computed as k aggregates — no row explosion) + banded LSH candidate
-    * pairs + exact Jaccard verification of candidates only.
+  /** MinHash + banded LSH: k per-row signature mins over the shingle array
+    * (array_min ∘ transform — no explosion, no groupBy), band keys from
+    * hashing signature slices, candidates from an equi-join on
+    * (band, bandKey), then exact Jaccard verification of candidates only.
     *
-    * Scale path: signature build is one groupBy(doc); candidates come from
-    * an equi-join on (band, bandKey); verification touches only shingles of
-    * candidate docs. At 100 TB none of the stages is all-pairs.
+    * Scale path: signatures are embarrassingly parallel; the only shuffles
+    * are the band-bucket join and the candidate verification joins — at
+    * 100 TB none of the stages is all-pairs, and the band key doubles as
+    * the natural repartition key for bucket skew handling.
     */
   def minhashLshPairs(df: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sh = shingles(df, n)
+    val docs = shingleArrays(df, n)
 
-    val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigCols = (0 until k).map(i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i"))
+    val sig = docs.select(col("doc_id") +: sigCols: _*)
 
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -106,24 +123,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // exact verification restricted to candidate docs: prune the shingle
-    // index to candidate members FIRST — otherwise verification pays the
-    // full all-pairs cost LSH exists to avoid
-    val candDocs = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    // sizes from the pruned index too — candidates carry all their own
-    // shingles, so aggregating the full corpus here would be wasted work
-    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = pairCommonCounts(shCand)
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard", TextAnalysis.quant4(col("common").cast("double")
-        / (col("n_a") + col("n_b") - col("common"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(cands, docs, threshold)
   }
 
   /** 64-bit SimHash per document from whitespace tokens; near-dup pairs by

@@ -27,7 +27,9 @@ object Extra {
     }),
 
     "q39_percentiles" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      // exact percentile partials buffer every value — fan the scan out so
+      // the buffering/sorting is spread across cores, not one input split
+      Tables.fanout(Tables.lineitem(s, d))
         .groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),

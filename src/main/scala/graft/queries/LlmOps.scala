@@ -21,15 +21,15 @@ object LlmOps {
       Dedup.exact(Tables.documents(s, d)).orderBy(col("keep_id"))),
 
     "q26_dedup_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
+      Dedup.ngramJaccardPairs(Tables.fanout(Tables.documents(s, d)), n = 3, threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q27_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d), n = 3, k = 16, bands = 4,
+      Dedup.minhashLshPairs(Tables.fanout(Tables.documents(s, d)), n = 3, k = 16, bands = 4,
         threshold = 0.8).orderBy(col("doc_a"), col("doc_b"))),
 
     "q28_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 10)
+      Dedup.simhashPairs(Tables.fanout(Tables.documents(s, d)), maxHamming = 10)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q29_embed_neardup" -> ((s, d) =>
@@ -49,28 +49,28 @@ object LlmOps {
     }),
 
     "q32_text_quality" -> ((s, d) =>
-      TextAnalysis.withQuality(Tables.documents(s, d))
+      TextAnalysis.withQuality(Tables.fanout(Tables.documents(s, d)))
         .select(col("doc_id"), col("n_chars"), col("n_words"), col("avg_word_len"),
           col("punct_ratio"), col("digit_ratio"), col("stopword_ratio"),
           col("quality_score"))
         .orderBy(col("doc_id"))),
 
     "q33_text_langid" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .select(col("lang"), TextAnalysis.langIdExpr(col("text")).as("lang_id"))
         .groupBy(col("lang"), col("lang_id"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"), col("lang_id"))),
 
     "q34_text_tokens" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"),
           size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_ws"),
           size(TextAnalysis.bpeTokens(col("text"))).cast("long").as("n_bpe"))
         .orderBy(col("doc_id"))),
 
     "q35_text_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), TextAnalysis.fingerprintExpr(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
@@ -85,24 +85,24 @@ object LlmOps {
       Multimodal.featureQuery(s, Tables.documents(s, d))),
 
     "q49_normalize" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"),
           md5(CorpusOps.normalizeExpr(col("text"))).as("norm_md5"),
           length(CorpusOps.normalizeExpr(col("text"))).cast("long").as("norm_len"))
         .orderBy(col("doc_id"))),
 
     "q50_vocab_top" -> ((s, d) =>
-      CorpusOps.vocabulary(Tables.documents(s, d))
+      CorpusOps.vocabulary(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("freq").desc, col("token"))
         .limit(20)),
 
     "q51_bigrams_top" -> ((s, d) =>
-      CorpusOps.bigrams(Tables.documents(s, d))
+      CorpusOps.bigrams(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("freq").desc, col("bigram"))
         .limit(20)),
 
     "q52_contamination" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.fanout(Tables.documents(s, d))
       CorpusOps.contaminated(
         docs.filter(col("doc_id") >= 10),
         docs.filter(col("doc_id") < 10), n = 8)
@@ -110,7 +110,7 @@ object LlmOps {
     }),
 
     "q53_pii_scan" -> ((s, d) =>
-      CorpusOps.piiScan(Tables.documents(s, d))
+      CorpusOps.piiScan(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
     "q56_train_split" -> ((s, d) =>

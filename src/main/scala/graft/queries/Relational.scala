@@ -63,11 +63,19 @@ object Relational {
 
     // --- large-fact shuffle join (AQE picks strategy) ---
     "q04_priority_revenue" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      // pre-aggregate the fact by its join key: countDistinct(l_orderkey)
+      // after an equi-join ON l_orderkey is count(*) over per-order
+      // partials, so collapsing lineitem to one row per order BEFORE the
+      // join removes the distinct-Expand pass and shrinks the join input
+      // 4x — at 100 TB the shuffle moves per-order rows, not per-line
+      val perOrder = Tables.fanout(Tables.lineitem(s, d))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      perOrder
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("rev")), 2).as("revenue"))
         .orderBy(col("o_orderpriority"))
     }),
 
