@@ -32,10 +32,34 @@ object SparkEntry {
       graft.queries.Extra.queries +
       ("q00_cdc_golden" -> (cdcGolden _))
 
+  /** The golden corpus's expected final table state, fixed by the
+    * reference fixtures (10 inserts + 13 DML events → 12 rows;
+    * reference src/utils/gen_fake_cdc_data.py:26–59, README.md:457–460):
+    * embedded as a VALUES literal so the CDC merge path is hash-checked,
+    * not just row-counted.
+    */
+  private val goldenOracle: String =
+    """SELECT * FROM (VALUES
+       (CAST(19 AS BIGINT),'826787813308','visit','DK2617NXBK',CAST(39 AS INT),'tablet',TIMESTAMP '2023-01-16 06:11:06'),
+       (CAST(21 AS BIGINT),'997346006365','cart','NL7461YPIB',CAST(60 AS INT),'tablet',TIMESTAMP '2023-01-16 06:03:01'),
+       (CAST(24 AS BIGINT),'240977651465','list','LB9146CJTW',CAST(42 AS INT),'pc',TIMESTAMP '2023-01-16 06:24:10'),
+       (CAST(27 AS BIGINT),'877946792067','like','EJ2923TPZU',CAST(1 AS INT),'tablet',TIMESTAMP '2023-01-16 06:24:59'),
+       (CAST(28 AS BIGINT),'342761190559','list','MM5584BTYQ',CAST(1 AS INT),'mobile',TIMESTAMP '2023-01-16 06:00:02'),
+       (CAST(30 AS BIGINT),'783305627923','cart','SZ9293QYKU',CAST(67 AS INT),'pc',TIMESTAMP '2023-01-16 06:24:51'),
+       (CAST(35 AS BIGINT),'168395939233','like','HQ9147QPJK',CAST(85 AS INT),'pc',TIMESTAMP '2023-01-16 06:01:00'),
+       (CAST(37 AS BIGINT),'818177069814','like','JS6166YPTE',CAST(1 AS INT),'mobile',TIMESTAMP '2023-01-16 08:08:44'),
+       (CAST(38 AS BIGINT),'387378799012','list','AI6161BEFX',CAST(1 AS INT),'pc',TIMESTAMP '2023-01-16 08:09:33'),
+       (CAST(41 AS BIGINT),'839828949919','purchase','AC2306JBRJ',CAST(5 AS INT),'tablet',TIMESTAMP '2023-01-16 08:14:20'),
+       (CAST(43 AS BIGINT),'248083404876','visit','AS8552DVOO',CAST(1 AS INT),'pc',TIMESTAMP '2023-01-16 08:21:05'),
+       (CAST(47 AS BIGINT),'731184658511','like','XZ9997LSJN',CAST(1 AS INT),'tablet',TIMESTAMP '2023-01-16 08:33:47')
+      ) AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+      ORDER BY trans_id"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.LlmOps.oracleSql ++
-      graft.queries.Extra.oracleSql
+      graft.queries.Extra.oracleSql +
+      ("q00_cdc_golden" -> goldenOracle)
 }

@@ -77,19 +77,37 @@ object CorpusOps {
   /** Token-budget shard packing: documents (in id order) are assigned to
     * consecutive training shards of ~`budget` tokens each via a running
     * token sum — the deterministic sequential-fill sharding used to cut a
-    * corpus into fixed-size training chunks. One window pass; at scale,
-    * pre-partition by a coarse range of the order key so the running sum
-    * is computed per range with offsets composed from per-range totals.
+    * corpus into fixed-size training chunks.
+    *
+    * Distributed prefix sum, NOT one global-order window (which moves the
+    * whole corpus to a single partition): ids are bucketed into coarse
+    * ranges, the running sum is computed per range in parallel, and each
+    * range's starting offset is the prefix sum of per-range totals — a
+    * table with one row per range, small enough that its own window pass
+    * is O(#ranges) on one task by design. Output is identical to the
+    * single-window formulation for any `rangeWidth`.
     */
   def packShards(docs: DataFrame, budget: Long, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol),
+      textCol: String = "text", rangeWidth: Long = 1000L): DataFrame = {
+    val toks = docs.select(col(idCol),
         size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("rng", floor(col(idCol) / rangeWidth).cast("long"))
+    val wLocal = Window.partitionBy(col("rng")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = toks.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    // per-range totals: one row per range; the offset window is over this
+    // tiny table only (partitionBy(lit0) = deliberate single partition)
+    val totals = local.groupBy(col("rng"))
+      .agg(max(col("local_cum")).as("rng_total"))
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("offset", coalesce(sum(col("rng_total")).over(wOff), lit(0L)))
+      .select(col("rng"), col("offset"))
+    local.join(broadcast(offsets), Seq("rng"))
+      .withColumn("cum_tokens", col("offset") + col("local_cum"))
       .withColumn("shard", floor((col("cum_tokens") - 1) / budget).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("shard"))
   }
 
   /** PII-pattern scan: per-document counts of email-like, phone-like, and

@@ -77,8 +77,11 @@ object Multimodal {
     var sum = 0L
     var i = 0
     while (i < n) { sum += (payload(i) & 0xFF); i += 1 }
+    // floor quantization, not rint: rint is half-even while SQL engines
+    // round half-away — floor(x*10000)/10000 is the same float ops
+    // everywhere, keeping the feature cross-engine verifiable
     val brightness = if (n == 0) 0.0 else
-      math.rint(sum.toDouble / n * 10000) / 10000
+      math.floor(sum.toDouble / n * 10000) / 10000
     (width, height, channels, brightness)
   }
 

@@ -30,6 +30,25 @@ object ScalePatterns {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Salted two-phase aggregation: partial count/sum per (key, salt), then
+    * final per key. For a hot grouping key (one key = 30% of a 100 TB
+    * table) the partial phase spreads that key over `salts` reducers; the
+    * final phase aggregates `salts` partial rows per key. Results are
+    * identical to the direct groupBy — only the exchange topology changes.
+    * (Spark's partial/final HashAggregate already map-side-combines; the
+    * explicit salt additionally splits a hot key ACROSS reducers when one
+    * reducer's final-phase input would otherwise be a single giant group.)
+    */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    df.withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_pc"), sum(col(valueCol)).as("_ps"))
+      .groupBy(col(key))
+      .agg(sum(col("_pc")).cast("long").as("cnt"), sum(col("_ps")).as("total"))
+  }
+
   /** Top frequent keys — used to pick which keys deserve isolation. */
   def heavyHitters(df: DataFrame, key: String, topK: Int = 10): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))

@@ -66,6 +66,13 @@ object Similarity {
     if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
   }
 
+  /** The hyperplane sign matrix, exposed so correctness oracles can
+    * replicate bucket assignment exactly (the signs are pure integer
+    * mixing — engine-independent constants).
+    */
+  def planes(nBits: Int, dim: Int = 64): Seq[Seq[Double]] =
+    (0 until nBits).map(p => (0 until dim).map(j => planeSign(p, j)))
+
   /** Random-hyperplane LSH bucket id (nBits-bit signature) per vector. */
   def withLshBucket(e: DataFrame, nBits: Int = 12, dim: Int = 64): DataFrame = {
     val bucket = (0 until nBits).map { p =>
@@ -85,6 +92,54 @@ object Similarity {
     * the bucket id doubles as the repartition key so each probe is a
     * co-located lookup. Recall/cost dial: nBits down or probe radius up.
     */
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
+    * coarse cells — centroids here are the `nlist` lowest-id corpus
+    * vectors, a deterministic stand-in for trained k-means centroids (the
+    * index mechanics — cell assignment, probing, in-cell exact ranking —
+    * are identical; a trainer would only move the centroid positions).
+    * Every corpus vector is assigned to its nearest centroid via a
+    * broadcast of the (tiny) centroid set; a query probes its `nProbe`
+    * nearest cells and ranks ONLY those cells' members exactly.
+    *
+    * Scale path: the assignment is one broadcast-join pass over the
+    * corpus, the cell id becomes the partition key, and query cost is
+    * proportional to probed-cell sizes — never the full corpus. Sims are
+    * rounded to 4dp BEFORE the argmin/ranking windows with id tie-breaks,
+    * making cell assignment and results deterministic across engines.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = asDouble(corpus)
+    val cents = asDouble(corpus).filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("csim", round(GraftFunctions.cosineSim(spark, col("v"), col("cv")), 4))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cent_id"))
+    val qprobes = asDouble(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qsim", round(GraftFunctions.cosineSim(spark, col("qv"), col("cv")), 4))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+    val scored = assigned.join(qprobes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     val c = withLshBucket(asDouble(corpus), nBits)

@@ -144,6 +144,14 @@ object Extra {
         .orderBy(col("user_id"), col("event_id"), col("r_event_id"))
     }),
 
+    // salted two-phase aggregation (skew pattern; identical results to the
+    // direct groupBy, verified by the plain-SQL oracle)
+    "q60_salted_agg" -> ((s, d) =>
+      graft.operators.ScalePatterns.saltedAgg(Tables.events(s, d),
+          "event_type", "value")
+        .withColumn("total", round(col("total"), 2))
+        .orderBy(col("event_type"))),
+
     // approximate sketches: rows-only (HLL/KLL implementations differ)
     "q44_approx_sketches" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -156,6 +164,9 @@ object Extra {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q60_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q38_stats_agg" ->
       """SELECT l_returnflag,
          round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -48,6 +48,12 @@ object LlmOps {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    "q59_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10, nlist = 16,
+        nProbe = 4).orderBy(col("q_id"), col("rank"))
+    }),
+
     "q32_text_quality" -> ((s, d) =>
       TextAnalysis.withQuality(Tables.fanout(Tables.documents(s, d)))
         .select(col("doc_id"), col("n_chars"), col("n_words"), col("avg_word_len"),
@@ -144,7 +150,81 @@ object LlmOps {
     s"len(list_filter(toks, x -> x IN ($set))) AS s_$l"
   }.mkString(", ")
 
+  /** DuckDB replica of the deterministic LSH hyperplanes: the ±1 signs are
+    * pure integer mixing (Similarity.planes), embedded as literals so the
+    * oracle computes the exact same bucket assignment.
+    */
+  private def planeLit(p: Seq[Double]): String =
+    p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+
+  private val lshBucketSql: String =
+    Similarity.planes(8).zipWithIndex.map { case (pl, p) =>
+      s"(CASE WHEN list_inner_product(v, ${planeLit(pl)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val lshProbesSql: String =
+    ("qb" +: (0 until 8).map(i => s"xor(qb, ${1L << i})"))
+      .mkString("[", ", ", "]")
+
   val oracleSql: Map[String, String] = Map(
+    "q31_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         b AS (SELECT vec_id, v, ($lshBucketSql) AS bucket FROM e),
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
+               FROM b WHERE vec_id < 5),
+         probes AS (SELECT q_id, qv, unnest($lshProbesSql) AS bucket FROM q),
+         cand AS (SELECT DISTINCT p.q_id, p.qv, c.vec_id, c.v
+                  FROM probes p JOIN b c USING (bucket)
+                  WHERE c.vec_id <> p.q_id),
+         scored AS (SELECT q_id, vec_id,
+                      round(list_cosine_similarity(qv, v), 4) AS cos_sim
+                    FROM cand),
+         ranked AS (SELECT q_id, vec_id, cos_sim, row_number() OVER (
+                      PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+                    FROM scored)
+         SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
+         FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
+    "q59_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cent_id AS cell, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                        c.cent_id) AS arn
+             FROM e CROSS JOIN cents c) t WHERE arn = 1),
+         probes AS (SELECT q_id, qv, cell FROM (
+             SELECT e.vec_id AS q_id, e.v AS qv, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                          c.cent_id) AS prn
+             FROM e CROSS JOIN cents c WHERE e.vec_id < 5) t WHERE prn <= 4),
+         scored AS (SELECT p.q_id, a.vec_id,
+               round(list_cosine_similarity(p.qv, a.v), 4) AS cos_sim
+             FROM probes p JOIN assigned a USING (cell)
+             WHERE a.vec_id <> p.q_id),
+         ranked AS (SELECT q_id, vec_id, cos_sim, row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+             FROM scored)
+         SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
+         FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
+    "q37_multimodal_features" ->
+      """WITH m AS (SELECT doc_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+           FROM documents),
+         s AS (SELECT doc_id, media_type, n,
+             list_aggregate(list_transform(generate_series(1, CAST(n AS INT)),
+               i -> CAST(('0x' || substr(hx, 2*i-1, 2)) AS BIGINT)), 'sum') AS bsum
+           FROM m)
+         SELECT doc_id, media_type, n AS byte_len,
+           CAST(64 + (n % 577) AS BIGINT) AS width,
+           CAST(64 + ((n * 31) % 421) AS BIGINT) AS height,
+           floor(bsum * 1.0 / n * 10000) / 10000 AS brightness
+         FROM s ORDER BY doc_id""",
     "q25_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS copies
          FROM documents GROUP BY text ORDER BY keep_id""",

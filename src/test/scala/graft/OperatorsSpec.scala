@@ -156,4 +156,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L)._3 === 1L) // digit run
     assert(out(3L) === ((0L, 0L, 0L)))
   }
+
+  test("IVF ANN: probed-cell results are a high-recall subset of brute force") {
+    val embs = Tables.embeddings(spark, sf)
+    val q = embs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(embs, q, 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, q, 10, nlist = 16, nProbe = 4)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
 }

@@ -63,4 +63,38 @@ class ScalePatternsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
   }
+
+  test("salted two-phase aggregation equals the direct groupBy") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"value").as("total"))
+      .orderBy($"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val salted = ScalePatterns.saltedAgg(ev, "event_type", "value", salts = 8)
+      .orderBy($"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(direct.length === salted.length)
+    direct.zip(salted).foreach { case ((k1, c1, t1), (k2, c2, t2)) =>
+      assert(k1 === k2); assert(c1 === c2)
+      assert(math.abs(t1 - t2) / math.max(1.0, math.abs(t1)) < 1e-12)
+    }
+  }
+
+  test("packShards two-pass prefix sum equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val naive = docs.select($"doc_id",
+        size(graft.operators.TextAnalysis.wsTokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(
+        Window.orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard", floor(($"cum_tokens" - 1) / 2000).cast("long"))
+      .select($"doc_id", $"n_tokens", $"cum_tokens", $"shard")
+      .orderBy($"doc_id").collect()
+    // rangeWidth deliberately NOT dividing the id space evenly
+    val twoPass = graft.operators.CorpusOps
+      .packShards(docs, 2000, rangeWidth = 37L)
+      .orderBy($"doc_id").collect()
+    assert(naive.toSeq === twoPass.toSeq)
+  }
 }
