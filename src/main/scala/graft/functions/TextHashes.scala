@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass token/shingle hashing kernels shared by the native
+  * expressions below.
+  *
+  * Why native Expressions and not `transform`/`filter`/`aggregate`
+  * compositions: higher-order functions don't participate in whole-stage
+  * codegen, and — worse — Catalyst constraint propagation substitutes a
+  * referenced Project alias's FULL defining expression into inferred
+  * filters (e.g. the `isnotnull`/`size > 0` filters inferred under an
+  * explode or join), duplicating the lambda tree per reference; an
+  * `element_at(transform(...))`-shaped composition then degrades to
+  * O(tokens²) per row when inlined. An opaque single call is immune: any
+  * substitution costs exactly one linear pass.
+  *
+  * Hash parity: token hash = Spark's `xxhash64(token)` (XXH64 over UTF-8
+  * bytes, seed 42); n-gram hash = `xxhash64(h_i, …, h_{i+n-1})` (seed-42
+  * fold of hashLong); short-document hash = `xxhash64(array<long>)` (same
+  * fold over all token hashes, 42 for zero tokens) — so these produce
+  * bit-identical values to the expression-composed formulation.
+  */
+object TextHashOps {
+
+  private final val Seed = 42L
+
+  /** xxhash64 of each space-separated token (empties skipped), in order,
+    * with multiplicity. Splits on the single byte 0x20, which in UTF-8
+    * never occurs inside a multi-byte sequence.
+    */
+  def tokenHashes(s: UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val b = new scala.collection.mutable.ArrayBuilder.ofLong
+    var i = 0
+    var start = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) {
+          b += XXH64.hashUnsafeBytes(
+            bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, Seed)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    b.result()
+  }
+
+  /** Sorted distinct word n-gram hashes of a document (one whole-document
+    * hash when it has fewer than n tokens).
+    */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val th = tokenHashes(s)
+    val grams: Array[Long] =
+      if (th.length >= n) {
+        val g = new Array[Long](th.length - n + 1)
+        var i = 0
+        while (i < g.length) {
+          var h = Seed
+          var j = 0
+          while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+          g(i) = h
+          i += 1
+        }
+        g
+      } else {
+        var h = Seed
+        var j = 0
+        while (j < th.length) { h = XXH64.hashLong(th(j), h); j += 1 }
+        Array(h)
+      }
+    java.util.Arrays.sort(grams)
+    var w = 0
+    var i = 0
+    while (i < grams.length) {
+      if (w == 0 || grams(w - 1) != grams(i)) { grams(w) = grams(i); w += 1 }
+      i += 1
+    }
+    val out = if (w == grams.length) grams else java.util.Arrays.copyOf(grams, w)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit SimHash over the token-hash multiset: bit i is set iff tokens
+    * with bit i set outnumber those without (strict majority — identical
+    * to the Σ±1 > 0 vote). 0 for a token-less document.
+    */
+  def simHash64(s: UTF8String): Long = {
+    val th = tokenHashes(s)
+    if (th.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (2L * counts(b) > th.length) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `shingle_hashes(text, n)` — sorted distinct hashed word n-grams as
+  * array<long>; the shingle kernel behind Dedup/CorpusOps.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects (string, n>=1), got " +
+        s"(${child.dataType.simpleString}, $n)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashOps.shingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)` — 64-bit SimHash of the whitespace-token multiset. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.simHash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashOps.simHash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object TextHashFunctions {
+
+  private val shingleIdent = FunctionIdentifier("shingle_hashes")
+  private val simhashIdent = FunctionIdentifier("simhash64")
+
+  private val shingleInfo = new ExpressionInfo(
+    classOf[ShingleHashes].getCanonicalName, null, "shingle_hashes",
+    "_FUNC_(text, n) - sorted distinct hashed word n-grams", "")
+
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimHash64].getCanonicalName, null, "simhash64",
+    "_FUNC_(text) - 64-bit simhash of whitespace tokens", "")
+
+  private[functions] val shingleBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.size == 2, "shingle_hashes takes exactly 2 arguments")
+      val n = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes n must be an int literal, got $other")
+      }
+      ShingleHashes(children.head, n)
+  }
+
+  private[functions] val simhashBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.size == 1, "simhash64 takes exactly 1 argument")
+      SimHash64(children.head)
+  }
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(shingleIdent)) {
+      reg.registerFunction(shingleIdent, shingleInfo, shingleBuilder)
+    }
+    if (!reg.functionExists(simhashIdent)) {
+      reg.registerFunction(simhashIdent, simhashInfo, simhashBuilder)
+    }
+  }
+
+  def shingleHashes(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("shingle_hashes", text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def simHash64(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("simhash64", text)
+  }
+}

@@ -37,23 +37,21 @@ object Dedup {
     * array arithmetic instead of joins.
     *
     * Hashing token-hash TUPLES instead of concatenated n-gram strings
-    * avoids materializing a string per (position, n-gram) — measured ~5×
-    * cheaper per row — while preserving set identity: two shingles collide
-    * iff their token sequences match (modulo 64-bit hash collisions, the
-    * same assumption string hashing already makes). Documents shorter than
-    * n words contribute one whole-document shingle (hash of the full
-    * token-hash array).
+    * preserves set identity (two shingles collide iff their token
+    * sequences match, modulo 64-bit collisions — the same assumption
+    * string hashing already makes). The kernel is the native codegen'd
+    * [[graft.functions.ShingleHashes]] expression: one linear pass per
+    * row, opaque to Catalyst constraint substitution (a higher-order
+    * composition here gets its lambda tree duplicated into inferred
+    * not-null filters and degrades to O(tokens²) per row — measured 10×
+    * on the n=8 decontamination query). Documents shorter than n words
+    * contribute one whole-document shingle.
     */
   def shingleArrays(df: DataFrame, n: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val hw = transform(TextAnalysis.wsTokens(col(textCol)), t => xxhash64(t))
-    val grams = when(size(col("hw")) >= n,
-        transform(sequence(lit(1), size(col("hw")) - (n - 1)),
-          i => xxhash64((0 until n).map(j => element_at(col("hw"), i + j)): _*)))
-      .otherwise(array(xxhash64(col("hw"))))
-    df.select(col(idCol).as("doc_id"), hw.as("hw"))
-      .select(col("doc_id"), array_sort(array_distinct(grams)).as("sh"))
-  }
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.TextHashFunctions
+        .shingleHashes(df.sparkSession, col(textCol), n).as("sh"))
 
   /** Exact-Jaccard verification of candidate pairs against the per-doc
     * shingle arrays: |A∩B| via array_intersect, |A∪B| from sizes. Cost is
@@ -151,19 +149,17 @@ object Dedup {
     * pigeonhole banding).
     */
   def simhash(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val hashExpr = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), hashExpr.as("simhash"))
-  }
+      textCol: String = "text"): DataFrame =
+    // entirely row-local via the native codegen'd SimHash64 expression
+    // (bit i set iff set-bit tokens strictly outnumber clear-bit ones —
+    // identical to the Σ±1 > 0 vote). No explode, no shuffle: at 100 TB
+    // the signature build scales with input splits. Token-less documents
+    // are dropped (trim-length guard), matching the explode+groupBy
+    // formulation's semantics.
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextHashFunctions
+          .simHash64(df.sparkSession, col(textCol)).as("simhash"))
 
   def simhashPairs(df: DataFrame, maxHamming: Int = 8): DataFrame = {
     val sh = simhash(df)

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
-
-/** Scratch micro-profiler for hot queries (Test/runMain graft.PerfProbe). */
+/** Scratch micro-profiler (Test/runMain graft.PerfProbe [sfDir] [query...]):
+  * times each named SparkEntry query twice (cold + warm) through the noop
+  * sink; with no query args, runs a fixed dedup-stage breakdown.
+  */
 object PerfProbe {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
@@ -26,29 +27,27 @@ object PerfProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Tables.fanout(Tables.documents(spark, sfDir))
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    time("warmup count")(docs.count())
-    val sa = Dedup.shingleArrays(docs, 3)
-    time("shingleArrays")(noop(sa))
-    time("shingleArrays x2")(noop(sa))
-    val withN = sa.withColumn("n_sh", size(col("sh")))
-    val prefLen = (col("n_sh") - ceil(col("n_sh") * 0.8 - 1e-9) + 1).cast("int")
-    val pref = withN.select(col("doc_id"), col("n_sh"),
-      explode(slice(col("sh"), lit(1), prefLen)).as("s"))
-    time("prefix explode")(noop(pref))
-    val cands = pref.as("a").join(pref.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
-          && col("a.n_sh") * 0.8 <= col("b.n_sh") + 1e-9
-          && col("b.n_sh") * 0.8 <= col("a.n_sh") + 1e-9)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    time("candidates")(println("  cands=" + cands.count()))
-    time("full q26")(noop(Dedup.ngramJaccardPairs(docs, 3, 0.8)))
-    time("full q26 again")(noop(Dedup.ngramJaccardPairs(docs, 3, 0.8)))
-    time("full q27 minhash")(noop(Dedup.minhashLshPairs(docs, 3, 16, 4, 0.8)))
+    val queries = args.drop(1)
+    if (queries.nonEmpty) {
+      queries.foreach { q =>
+        val fn = SparkEntry.queries(q)
+        time(s"$q cold")(noop(fn(spark, sfDir)))
+        time(s"$q warm")(noop(fn(spark, sfDir)))
+      }
+    } else {
+      import graft.operators.Dedup
+      val docs = Tables.fanout(Tables.documents(spark, sfDir))
+      time("warmup count")(docs.count())
+      val sa = Dedup.shingleArrays(docs, 3)
+      time("shingleArrays")(noop(sa))
+      time("shingleArrays x2")(noop(sa))
+      time("full q26")(noop(Dedup.ngramJaccardPairs(docs, 3, 0.8)))
+      time("full q27 minhash")(noop(Dedup.minhashLshPairs(docs, 3, 16, 4, 0.8)))
+      time("full q28 simhash")(noop(Dedup.simhashPairs(docs, 10)))
+    }
     spark.stop()
   }
 }

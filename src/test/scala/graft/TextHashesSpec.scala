@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextHashFunctions
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Parity proofs for the native text-hash expressions: bit-identical to
+  * the expression-composed formulations they replace.
+  */
+class TextHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
+
+  test("ShingleHashes equals the composed xxhash64 formulation") {
+    for (n <- Seq(3, 8)) {
+      val hw = transform(TextAnalysis.wsTokens(col("text")), t => xxhash64(t))
+      val grams = when(size(col("hw")) >= n,
+          transform(sequence(lit(1), size(col("hw")) - (n - 1)),
+            i => xxhash64((0 until n).map(j => element_at(col("hw"), i + j)): _*)))
+        .otherwise(array(xxhash64(col("hw"))))
+      val composed = docs.select(col("doc_id"), hw.as("hw"))
+        .select(col("doc_id"), array_sort(array_distinct(grams)).as("sh"))
+        .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+      val native = Dedup.shingleArrays(docs, n)
+        .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+      assert(native.toSeq === composed.toSeq, s"n=$n")
+    }
+  }
+
+  test("ShingleHashes edge cases: short, empty, multi-space documents") {
+    val df = Seq((1L, "one two"), (2L, ""), (3L, "  a   b  c  "),
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.shingleArrays(df, 3).orderBy("doc_id")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L).length === 1) // < n tokens -> one whole-doc shingle
+    assert(out(2L) === Seq(42L)) // zero tokens -> fold seed only
+    assert(out(3L).length === 1) // "a b c" one trigram
+    assert(out(4L).length === 2) // two trigrams
+    // same token sequence hashes identically regardless of extra spaces
+    val canon = Dedup.shingleArrays(
+      Seq((9L, "a b c")).toDF("doc_id", "text"), 3)
+      .as[(Long, Seq[Long])].collect().head._2
+    assert(out(3L) === canon)
+  }
+
+  test("SimHash64 equals the exploded bit-vote formulation") {
+    val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    val composed = agg.select(col("doc_id"), hashExpr.as("simhash"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val native = Dedup.simhash(docs).orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(native.toSeq === composed.toSeq)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val plan = docs.select(
+        TextHashFunctions.shingleHashes(spark, col("text"), 3),
+        TextHashFunctions.simHash64(spark, col("text")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into WholeStageCodegen stage n
+    assert(plan.contains("*(1) Project [shingle_hashes"), plan)
+  }
+}
