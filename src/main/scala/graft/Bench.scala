@@ -23,8 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one warm pass on the smallest SF to JIT/codegen-compile outside timing
+    // one warm pass on the smallest SF to JIT/codegen-compile outside timing;
+    // the golden replay warms the streaming/MergeTable class graph the same
+    // way (first-touch class loading is ~3 s of pure JVM tax, not replay
+    // work — each timed q00 run still replays the full corpus itself)
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    SparkEntry.queries("q00_cdc_golden")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -41,12 +46,15 @@ object Bench {
     // query-bench residue first so the rate isn't GC/cache-pressure noise.
     spark.catalog.clearCache()
     System.gc()
-    val cdcRate = CdcBench.run(spark, nEvents = 100000L, nBatches = 4).recPerSec
+    val cdc = CdcBench.run(spark, nEvents = 100000L, nBatches = 4)
+    // freshness = wall time per micro-batch (land → committed/queryable);
+    // the reference's equivalent figure is 3–5 MINUTES (BASELINE.md)
+    val freshness = cdc.seconds / math.max(1, cdc.batches)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cdc_rec_per_sec":$cdcRate%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

