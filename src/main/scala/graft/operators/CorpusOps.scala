@@ -62,6 +62,25 @@ object CorpusOps {
       .otherwise("test")
   }
 
+  /** Deterministic stratified sampling: keep `pctByStratum(stratum)`% of
+    * each stratum (`defaultPct` elsewhere), decided by the same Knuth
+    * multiplicative id-hash as [[splitExpr]] — reproducible across
+    * engines, runs, and partitionings, and composable with it (different
+    * multiplier usage patterns stay independent enough for rebalancing).
+    * The class-rebalancing sampler of a training pipeline: per-row filter,
+    * no shuffle, scales with input splits.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val bucket = pmod(col(idCol) * 2654435761L, lit(2147483647L)) % 100
+    val pct = pctByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+        when(col(strataCol) === k, lit(p)).otherwise(acc)
+      }
+    df.filter(bucket < pct)
+  }
+
   /** Inverse-frequency class weights: weight(c) = total / (k * count(c)) —
     * the standard balancing factor for skewed label distributions.
     */

@@ -130,6 +130,30 @@ object LlmOps {
       CorpusOps.classWeights(Tables.documents(s, d), "lang")
         .orderBy(col("lang"))),
 
+    // deterministic class-rebalancing sampler: keep 40% of 'en', 80% of
+    // every other language (per-row hash filter — no shuffle, no RNG state)
+    "q61_stratified_sample" -> ((s, d) =>
+      CorpusOps.stratifiedSample(Tables.documents(s, d), "lang",
+          Map("en" -> 40), defaultPct = 80)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))),
+
+    // quality binning for curriculum schedules: per-language deciles by
+    // document length (ntile + percent_rank ranking windows)
+    "q62_quality_deciles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .withColumn("pr", TextAnalysis.quant4(percent_rank().over(w)))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          max(col("pr")).as("max_pr"))
+        .orderBy(col("lang"), col("decile"))
+    }),
+
     "q58_token_packing" -> ((s, d) =>
       CorpusOps.packShards(Tables.documents(s, d), budget = 2000)
         .groupBy(col("shard"))
@@ -375,6 +399,22 @@ object LlmOps {
     "q36_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            md5(text) AS content_md5
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q61_stratified_sample" ->
+      """SELECT lang, count(*) AS n_kept FROM documents
+         WHERE (doc_id * 2654435761) % 2147483647 % 100
+               < (CASE WHEN lang = 'en' THEN 40 ELSE 80 END)
+         GROUP BY lang ORDER BY lang""",
+    "q62_quality_deciles" ->
+      """SELECT lang, CAST(decile AS BIGINT) AS decile, count(*) AS n,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           max(floor(pr * 10000) / 10000) AS max_pr
+         FROM (SELECT lang, n_chars,
+                 ntile(10) OVER (PARTITION BY lang
+                   ORDER BY n_chars, doc_id) AS decile,
+                 percent_rank() OVER (PARTITION BY lang
+                   ORDER BY n_chars, doc_id) AS pr
+               FROM documents) t
+         GROUP BY lang, decile ORDER BY lang, decile"""
   )
 }

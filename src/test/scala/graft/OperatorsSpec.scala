@@ -170,4 +170,24 @@ class CorpusOpsSpec extends SparkSpec {
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("stratified sampling is deterministic and hits stratum fractions") {
+    val docs = Tables.documents(spark, sf)
+    val a = CorpusOps.stratifiedSample(docs, "lang", Map("en" -> 40), 80)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = CorpusOps.stratifiedSample(docs.repartition(7), "lang", Map("en" -> 40), 80)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b) // partitioning-independent
+    val kept = CorpusOps.stratifiedSample(docs, "lang", Map("en" -> 40), 80)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enFrac = kept("en").toDouble / total("en")
+    assert(enFrac > 0.25 && enFrac < 0.55, s"en frac $enFrac")
+    val otherKept = kept.filterNot(_._1 == "en").values.sum.toDouble
+    val otherTotal = total.filterNot(_._1 == "en").values.sum.toDouble
+    val oFrac = otherKept / otherTotal
+    assert(oFrac > 0.65 && oFrac < 0.95, s"other frac $oFrac")
+  }
 }
