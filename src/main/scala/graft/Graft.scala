@@ -40,11 +40,23 @@ object Graft {
       errorRoot: Option[String] = None, batchId: Option[String] = None): Unit =
     CdcPipeline.replayBatch(spark, lines, table, errorRoot, batchId)
 
-  /** Register the engine's native SQL functions (`cosine_sim`). */
-  def registerFunctions(spark: SparkSession): Unit =
+  /** Register the engine's native SQL functions (`cosine_sim`,
+    * `shingle_hashes`, `simhash64`).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
     GraftFunctions.register(spark)
+    graft.functions.TextHashFunctions.register(spark)
+  }
 
   /** Native cosine similarity column (codegen'd expression). */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column =
     GraftFunctions.cosineSim(spark, a, b)
+
+  /** Native sorted-distinct hashed word n-grams (codegen'd expression). */
+  def shingleHashes(spark: SparkSession, text: Column, n: Int): Column =
+    graft.functions.TextHashFunctions.shingleHashes(spark, text, n)
+
+  /** Native 64-bit SimHash of whitespace tokens (codegen'd expression). */
+  def simHash64(spark: SparkSession, text: Column): Column =
+    graft.functions.TextHashFunctions.simHash64(spark, text)
 }

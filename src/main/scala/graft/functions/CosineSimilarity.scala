@@ -118,7 +118,8 @@ object GraftFunctions {
 
 /** SparkSessionExtensions hook: enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
-  * to get `cosine_sim` in SQL from session start.
+  * to get `cosine_sim`, `shingle_hashes`, and `simhash64` in SQL from
+  * session start.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -127,5 +128,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         null, "cosine_sim",
         "_FUNC_(a, b) - cosine similarity of two double vectors", ""),
       GraftFunctions.builder))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getCanonicalName,
+        null, "shingle_hashes",
+        "_FUNC_(text, n) - sorted distinct hashed word n-grams", ""),
+      TextHashFunctions.shingleBuilder))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName,
+        null, "simhash64",
+        "_FUNC_(text) - 64-bit simhash of whitespace tokens", ""),
+      TextHashFunctions.simhashBuilder))
   }
 }

@@ -64,6 +64,18 @@ class TextHashesSpec extends SparkSpec {
     assert(native.toSeq === composed.toSeq)
   }
 
+  test("functions are callable from the SQL surface once registered") {
+    Graft.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT size(shingle_hashes('a b c d', 3)) AS n_sh, " +
+        "simhash64('a b c') AS sh, cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs")
+      .collect().head
+    assert(r.getInt(0) === 2)
+    assert(r.getLong(1) === graft.functions.TextHashOps.simHash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+    assert(r.getDouble(2) === 1.0)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val plan = docs.select(
         TextHashFunctions.shingleHashes(spark, col("text"), 3),
