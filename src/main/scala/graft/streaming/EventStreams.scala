@@ -50,6 +50,30 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the clicks of
+    * the same user in the preceding `window`. Both sides carry watermarks
+    * so the join state is bounded — Spark retains click state only for
+    * the interval horizon and purchase state for the watermark delay;
+    * at 100 TB/day the state store holds one horizon's worth of keys,
+    * not the stream's history.
+    */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame,
+      window: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"), col("purchase_value"))
+  }
+
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class UserProfile(
       user_id: Long,

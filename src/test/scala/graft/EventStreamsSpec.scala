@@ -101,6 +101,24 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
     assert(finalProfiles === batch)
   }
+
+  test("stream-stream interval join (click attribution): streaming == batch") {
+    val batchEvents = spark.read.parquet(eventsDir)
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter($"event_type" === "purchase"),
+      df.filter($"event_type" === "click"))
+    val (bp, bc) = split(batchEvents)
+    val batch = EventStreams.clickAttribution(bp, bc)
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (sp, sc) = split(streamEvents)
+    val streamed = runToMemory(
+      EventStreams.clickAttribution(sp, sc), "attribution", "append")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
 }
 
 class StreamingDedupSpec extends SparkSpec {
