@@ -329,7 +329,7 @@ final class MergeTable(
       } finally cached.unpersist()
 
       if (currentSnapshot.exists(_.deleteFiles.size >= deleteCompactThreshold))
-        compact(batch.sparkSession)
+        compactScoped(batch.sparkSession)
     }
 
   // ---- read path ----
@@ -608,6 +608,96 @@ final class MergeTable(
         Files.deleteIfExists(deleteDir.resolve(f)))
     }
     (0L until cutoff).foreach(v => Files.deleteIfExists(manifestPath(v)))
+  }
+
+  /** Scoped (minor) compaction: rewrite ONLY the data files that can hold
+    * a tombstoned key or that share their key range with a file from a
+    * DIFFERENT commit; every other file is carried into the new snapshot
+    * untouched. At 100 TB this bounds maintenance I/O to the slice of the
+    * table the CDC stream actually touched since the last compaction —
+    * the same idea as Iceberg's delete-targeted file rewrite — instead of
+    * `compact()`'s full-table materialization.
+    *
+    * Correctness: files written by one commit are mutually key-unique
+    * (every write path LWW-dedupes or merges before writing), so only
+    * range overlap ACROSS commits can mean a duplicated key, and only a
+    * range overlap with a tombstone can mean a deletable row. "Clean"
+    * files have neither, and so can't be changed by the merge; every
+    * remaining collision and every tombstone resolves inside the
+    * rewritten subset, which is why the commit clears all delete files
+    * and `requiresDedup`. Falls back to the full rewrite when per-file
+    * key stats are unavailable (non-integral merge key).
+    */
+  def compactScoped(spark: SparkSession): Unit = synchronized {
+    val prev = currentSnapshot.getOrElse(return)
+    if (!prev.requiresDedup && prev.deleteFiles.isEmpty) return
+    if (!prev.dataFiles.forall(prev.fileStats.contains)) { compact(spark); return }
+
+    // tombstone key ranges, one per delete file (tombstones are tiny)
+    val tombRanges: Seq[(Long, Long)] =
+      if (prev.deleteFiles.isEmpty) Nil
+      else spark.read
+        .parquet(prev.deleteFiles.map(f => deleteDir.resolve(f).toString): _*)
+        .groupBy(input_file_name())
+        .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+
+    val commitOf: String => Long = { f =>
+      val base = f.substring(f.lastIndexOf('/') + 1)
+      "^f(\\d+)-".r.findFirstMatchIn(base).map(_.group(1).toLong).getOrElse(-1L)
+    }
+    final case class F(name: String, lo: Long, hi: Long, commit: Long)
+    val files = prev.dataFiles.map { f =>
+      val (lo, hi) = prev.fileStats(f)
+      F(f, lo, hi, commitOf(f))
+    }
+
+    // sweep files in key order into range-overlap clusters; a cluster is
+    // dirty iff it spans >=2 commits (possible duplicated keys) or
+    // overlaps a tombstone range (possible deleted rows)
+    val sorted = files.sortBy(f => (f.lo, f.hi))
+    val clusters = Vector.newBuilder[Vector[F]]
+    var cur = Vector.empty[F]
+    var curHi = Long.MinValue
+    sorted.foreach { f =>
+      if (cur.nonEmpty && f.lo > curHi) { clusters += cur; cur = Vector.empty }
+      cur = cur :+ f
+      curHi = math.max(curHi, f.hi)
+    }
+    if (cur.nonEmpty) clusters += cur
+    val affected: Set[String] = clusters.result().flatMap { cl =>
+      val lo = cl.map(_.lo).min
+      val hi = cl.map(_.hi).max
+      val dirty = cl.map(_.commit).distinct.size > 1 ||
+        tombRanges.exists(t => t._1 <= hi && t._2 >= lo)
+      if (dirty) cl.map(_.name) else Vector.empty
+    }.toSet
+
+    val clean = prev.dataFiles.filterNot(affected)
+    if (clean.isEmpty) { compact(spark); return }
+    val v = prev.version + 1
+    if (affected.isEmpty) {
+      // metadata-only: nothing can collide or be deleted — flip the flag
+      commit(Snapshot(v, prev.dataFiles, Vector.empty, prev.appliedBatches,
+        requiresDedup = false, prev.fileStats))
+      prev.deleteFiles.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+      return
+    }
+
+    val merged = readSnapshot(spark,
+      prev.copy(dataFiles = prev.dataFiles.filter(affected),
+        requiresDedup = true)).cache()
+    try {
+      val range = keyRangeOf(merged)
+      val newFiles = writeUpserts(merged, v)
+      commit(Snapshot(v, clean ++ newFiles, Vector.empty, prev.appliedBatches,
+        requiresDedup = false,
+        (prev.fileStats -- affected) ++
+          range.fold(Map.empty[String, (Long, Long)])(r =>
+            newFiles.map(_ -> r).toMap)))
+      affected.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+      prev.deleteFiles.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+    } finally merged.unpersist()
   }
 
   /** Rewrite the merged state as plain insert files and drop tombstones —

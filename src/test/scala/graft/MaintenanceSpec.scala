@@ -91,6 +91,59 @@ class MaintenanceSpec extends SparkSpec {
     // expired time travel is gone
     intercept[Exception](t.read(spark, Some(0L)).count())
   }
+
+  test("compactScoped rewrites only tombstone/overlap-affected files") {
+    val t = MergeTable.retailTrans(tmpDir("scoped"), threshold = 100)
+    // commit 0: golden inserts (keys 6..35); commit 1: a DISJOINT key range
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("c0"))
+    val far = spark.range(1000, 1010).selectExpr(
+      "id AS trans_id", "'999999999999' AS customer_id", "'visit' AS event",
+      "'ZZ0000AAAA' AS sku", "7 AS amount", "'pc' AS device",
+      "timestamp'2023-02-01 00:00:00' AS trans_datetime",
+      "'insert' AS operation")
+    t.applyBatch(far, Some("c1"))
+    // commit 2: update + delete touching ONLY the golden range
+    val dml = GoldenCorpus.df(spark, GoldenCorpus.dmlLines)
+    CdcPipeline.replayBatch(spark, dml, t, None, Some("c2"))
+    val before = state(t)
+    val farFiles = t.currentSnapshot.get.dataFiles
+      .filter(_.matches(".*f1-.*")).toSet
+    assert(farFiles.nonEmpty)
+    assert(t.currentSnapshot.get.deleteFiles.nonEmpty)
+
+    t.compactScoped(spark)
+    val snap = t.currentSnapshot.get
+    assert(state(t) === before)               // results unchanged
+    assert(snap.deleteFiles.isEmpty)          // tombstones resolved
+    assert(!snap.requiresDedup)               // shuffle-free reads again
+    // the disjoint commit-1 files were carried over untouched
+    assert(farFiles.subsetOf(snap.dataFiles.toSet))
+    // the golden-range files were rewritten (no c0/c2 files remain)
+    assert(!snap.dataFiles.exists(f => f.matches(".*f0-.*") || f.matches(".*f2-.*")))
+  }
+
+  test("compactScoped with no overlap and no tombstones is metadata-only") {
+    val t = MergeTable.retailTrans(tmpDir("scoped2"), threshold = 100)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("c0"))
+    // an update batch whose keys were all re-inserted far away: simulate a
+    // dedup-flagged table whose files are actually disjoint, by updating
+    // keys in a disjoint range
+    val far = spark.range(5000, 5010).selectExpr(
+      "id AS trans_id", "'999999999999' AS customer_id", "'visit' AS event",
+      "'ZZ0000AAAA' AS sku", "7 AS amount", "'pc' AS device",
+      "timestamp'2023-02-01 00:00:00' AS trans_datetime",
+      "'update' AS operation")
+    t.applyBatch(far, Some("c1")) // update of absent keys -> upsert, flags dedup
+    assert(t.currentSnapshot.get.requiresDedup)
+    val filesBefore = t.currentSnapshot.get.dataFiles
+    t.compactScoped(spark)
+    val snap = t.currentSnapshot.get
+    assert(snap.dataFiles === filesBefore)    // nothing rewritten
+    assert(!snap.requiresDedup)
+    assert(state(t).keySet.exists(_ >= 5000L))
+  }
 }
 
 /** Manifest key-range stats + data-skipping point lookups. */
