@@ -19,7 +19,11 @@ final case class Snapshot(
     deleteFiles: Vector[String],  // relative to <root>/deletes
     appliedBatches: Set[String],
     requiresDedup: Boolean,
-    fileStats: Map[String, (Long, Long)] = Map.empty)
+    fileStats: Map[String, (Long, Long)] = Map.empty,
+    // what produced this version: merge | append | compact | binpack |
+    // overwrite | truncate | rollback — drives the incremental change
+    // feed (maintenance ops are layout-only; replacement ops force resync)
+    op: String = "merge")
 
 /** A transactional lake table with Iceberg-v2-like semantics, implemented
   * natively over versioned Parquet + a manifest per snapshot (no
@@ -93,6 +97,7 @@ final class MergeTable(
   private def writeManifest(s: Snapshot): Unit = {
     val sb = new StringBuilder
     sb ++= s"version\t${s.version}\n"
+    sb ++= s"op\t${s.op}\n"
     sb ++= s"requiresDedup\t${s.requiresDedup}\n"
     s.appliedBatches.toSeq.sorted.foreach(b => sb ++= s"batch\t$b\n")
     s.dataFiles.foreach { f =>
@@ -110,12 +115,14 @@ final class MergeTable(
   private def readManifest(v: Long): Snapshot = {
     val lines = Files.readAllLines(manifestPath(v)).asScala
     var requiresDedup = false
+    var op = "merge"
     val data = Vector.newBuilder[String]
     val dels = Vector.newBuilder[String]
     val batches = Set.newBuilder[String]
     val stats = Map.newBuilder[String, (Long, Long)]
     lines.foreach { l =>
       l.split("\t", -1) match {
+        case Array("op", x)                 => op = x
         case Array("requiresDedup", x)      => requiresDedup = x.toBoolean
         case Array("data", f)               => data += f
         case Array("data", f, lo, hi)       => data += f; stats += f -> ((lo.toLong, hi.toLong))
@@ -125,7 +132,7 @@ final class MergeTable(
       }
     }
     Snapshot(v, data.result(), dels.result(), batches.result(), requiresDedup,
-      stats.result())
+      stats.result(), op)
   }
 
   /** Current committed version, or -1 if the table is empty/uncreated. */
@@ -248,7 +255,8 @@ final class MergeTable(
         prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
         prev.exists(_.requiresDedup),
         prev.map(_.fileStats).getOrElse(Map.empty) ++
-          range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap)))
+          range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap),
+        op = "append"))
     }
 
   /** Keyed transactional apply — the reference's J1 merge
@@ -484,7 +492,8 @@ final class MergeTable(
       commit(Snapshot(v, files, Vector.empty,
         currentSnapshot.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
         requiresDedup = false,
-        range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap)))
+        range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap),
+        op = "overwrite"))
     }
 
   /** `TRUNCATE TABLE` parity: commit an empty snapshot. */
@@ -492,7 +501,7 @@ final class MergeTable(
     val v = latestVersion + 1
     commit(Snapshot(v, Vector.empty, Vector.empty,
       currentSnapshot.map(_.appliedBatches).getOrElse(Set.empty),
-      requiresDedup = false))
+      requiresDedup = false, op = "truncate"))
   }
 
   /** Roll the table back to an earlier retained snapshot (Iceberg's
@@ -506,7 +515,8 @@ final class MergeTable(
     val target = readManifest(version)
     val v = latestVersion + 1
     commit(Snapshot(v, target.dataFiles, target.deleteFiles,
-      target.appliedBatches, target.requiresDedup, target.fileStats))
+      target.appliedBatches, target.requiresDedup, target.fileStats,
+      op = "rollback"))
   }
 
   /** Snapshot history as a DataFrame — the engine's analog of Iceberg's
@@ -514,9 +524,100 @@ final class MergeTable(
     */
   def snapshotsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    history.map(s => (s.version, s.dataFiles.size, s.deleteFiles.size,
+    history.map(s => (s.version, s.op, s.dataFiles.size, s.deleteFiles.size,
       s.requiresDedup, s.appliedBatches.toSeq.sorted.mkString(",")))
-      .toDF("version", "n_data_files", "n_delete_files", "requires_dedup", "batches")
+      .toDF("version", "op", "n_data_files", "n_delete_files",
+        "requires_dedup", "batches")
+  }
+
+  /** Incremental change feed (CDC-out): every row-level change committed
+    * AFTER `fromVersion`, as upsert/delete records carrying `_seq` (the
+    * commit version) and `_change_type` — what a downstream incremental
+    * consumer (a replica, a training-data refresh) applies to stay in
+    * sync without rescanning the table. Consumers order by `_seq` and
+    * apply last-write-wins per key, exactly like the table's own merge.
+    *
+    *   - merge/append commits emit their new rows as `upsert` and their
+    *     tombstones as `delete` (payload null, key set);
+    *   - compact/binpack commits are layout-only and emit nothing;
+    *   - overwrite emits a `resync` marker followed by its rows as
+    *     upserts; truncate and rollback emit only the marker — on a
+    *     marker, clear state (and re-read the table for rollback).
+    *
+    * The requested range must lie within retained history whose files
+    * still exist: compaction physically drops superseded files, so lagging
+    * consumers must resync — the same contract as Iceberg incremental
+    * reads across rewrites.
+    */
+  def changesSince(spark: SparkSession, fromVersion: Long): DataFrame = {
+    val latest = latestVersion
+    require(fromVersion >= -1 && fromVersion <= latest,
+      s"fromVersion $fromVersion outside [-1, $latest]")
+    val fileSchema = StructType(
+      schema.fields.filterNot(f => partitionCol.contains(f.name)) ++
+        Seq(StructField(SEQ, LongType)) ++
+        partitionCol.map(p => schema(p)))
+    def nullPayloadExcept(keep: Set[String]) = payloadCols.map(c =>
+      if (keep(c)) col(c) else lit(null).cast(schema(c).dataType).as(c))
+    val outCols = payloadCols :+ SEQ :+ "_change_type"
+    def emptyOut = {
+      val s = StructType(schema.fields ++ Seq(
+        StructField(SEQ, LongType), StructField("_change_type",
+          org.apache.spark.sql.types.StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    if (fromVersion == latest) return emptyOut
+
+    var prevSnap =
+      if (fromVersion < 0) Snapshot(-1, Vector.empty, Vector.empty, Set.empty, false)
+      else readManifest(fromVersion)
+    val newData = Vector.newBuilder[String]
+    val newDels = Vector.newBuilder[String]
+    val markers = Vector.newBuilder[Long]
+    ((fromVersion + 1) to latest).foreach { v =>
+      val snap = readManifest(v)
+      snap.op match {
+        case "merge" | "append" =>
+          newData ++= snap.dataFiles.filterNot(prevSnap.dataFiles.toSet)
+          newDels ++= snap.deleteFiles.filterNot(prevSnap.deleteFiles.toSet)
+        case "compact" | "binpack" => () // layout-only
+        case "overwrite" =>
+          markers += v
+          newData ++= snap.dataFiles.filterNot(prevSnap.dataFiles.toSet)
+        case _ => markers += v // truncate, rollback: resync required
+      }
+      prevSnap = snap
+    }
+
+    val parts = Vector.newBuilder[DataFrame]
+    val dataFiles = newData.result()
+    if (dataFiles.nonEmpty) {
+      parts += spark.read
+        .option("basePath", dataDir.toString)
+        .schema(fileSchema)
+        .parquet(dataFiles.map(f => dataDir.resolve(f).toString): _*)
+        .select(payloadCols.map(col) :+ col(SEQ) :+
+          lit("upsert").as("_change_type"): _*)
+    }
+    val delFiles = newDels.result()
+    if (delFiles.nonEmpty) {
+      parts += spark.read
+        .parquet(delFiles.map(f => deleteDir.resolve(f).toString): _*)
+        .select(nullPayloadExcept(Set(keyCol)) :+ col(SEQ) :+
+          lit("delete").as("_change_type"): _*)
+    }
+    val markerVs = markers.result()
+    if (markerVs.nonEmpty) {
+      import spark.implicits._
+      parts += markerVs.toDF(SEQ)
+        .select(nullPayloadExcept(Set.empty) :+ col(SEQ) :+
+          lit("resync").as("_change_type"): _*)
+    }
+    parts.result()
+      .reduceOption(_ unionByName _)
+      .map(_.select(outCols.map(col): _*))
+      .getOrElse(emptyOut)
   }
 
   /** Bin-pack small files: partitions whose file count exceeds
@@ -580,7 +681,8 @@ final class MergeTable(
       val kept = prev.dataFiles.filterNot(f => toRewrite.valuesIterator.exists(_.contains(f)))
       commit(Snapshot(v, kept ++ rewritten, prev.deleteFiles,
         prev.appliedBatches, prev.requiresDedup,
-        prev.fileStats.view.filterKeys(kept.contains).toMap ++ packedStats))
+        prev.fileStats.view.filterKeys(kept.contains).toMap ++ packedStats,
+        op = "binpack"))
       // superseded small files stay on disk: older retained snapshots still
       // reference them (time travel); expireSnapshots deletes them once no
       // retained manifest does
@@ -679,7 +781,7 @@ final class MergeTable(
     if (affected.isEmpty) {
       // metadata-only: nothing can collide or be deleted — flip the flag
       commit(Snapshot(v, prev.dataFiles, Vector.empty, prev.appliedBatches,
-        requiresDedup = false, prev.fileStats))
+        requiresDedup = false, prev.fileStats, op = "compact"))
       prev.deleteFiles.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
       return
     }
@@ -694,7 +796,8 @@ final class MergeTable(
         requiresDedup = false,
         (prev.fileStats -- affected) ++
           range.fold(Map.empty[String, (Long, Long)])(r =>
-            newFiles.map(_ -> r).toMap)))
+            newFiles.map(_ -> r).toMap),
+        op = "compact"))
       affected.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
       prev.deleteFiles.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
     } finally merged.unpersist()
@@ -716,7 +819,8 @@ final class MergeTable(
       val obsoleteDels = prev.deleteFiles
       commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
         requiresDedup = false,
-        range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap)))
+        range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap),
+        op = "compact"))
       // Physically drop superseded files only after the pointer swap; crash
       // in between leaves harmless orphans, never a broken snapshot.
       obsoleteData.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))

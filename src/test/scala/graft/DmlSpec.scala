@@ -77,6 +77,7 @@ class DmlSpec extends SparkSpec {
     val snaps = t.snapshotsDf(spark).orderBy($"version").collect()
     assert(snaps.length === 2)
     assert(snaps.head.getLong(0) === 0L)
-    assert(snaps.last.getBoolean(3)) // requires_dedup after update
+    assert(snaps.map(_.getAs[String]("op")).toSeq === Seq("merge", "merge"))
+    assert(snaps.last.getAs[Boolean]("requires_dedup")) // after update
   }
 }

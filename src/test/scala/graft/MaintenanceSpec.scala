@@ -107,8 +107,11 @@ class MaintenanceSpec extends SparkSpec {
     val dml = GoldenCorpus.df(spark, GoldenCorpus.dmlLines)
     CdcPipeline.replayBatch(spark, dml, t, None, Some("c2"))
     val before = state(t)
+    // match on the commit prefix of the BASENAME — a bare substring match
+    // can collide with hex in another file's uuid segment
+    def commitOf(f: String) = f.substring(f.lastIndexOf('/') + 1).takeWhile(_ != '-')
     val farFiles = t.currentSnapshot.get.dataFiles
-      .filter(_.matches(".*f1-.*")).toSet
+      .filter(f => commitOf(f) == "f1").toSet
     assert(farFiles.nonEmpty)
     assert(t.currentSnapshot.get.deleteFiles.nonEmpty)
 
@@ -120,7 +123,7 @@ class MaintenanceSpec extends SparkSpec {
     // the disjoint commit-1 files were carried over untouched
     assert(farFiles.subsetOf(snap.dataFiles.toSet))
     // the golden-range files were rewritten (no c0/c2 files remain)
-    assert(!snap.dataFiles.exists(f => f.matches(".*f0-.*") || f.matches(".*f2-.*")))
+    assert(!snap.dataFiles.exists(f => Set("f0", "f2")(commitOf(f))))
   }
 
   test("compactScoped with no overlap and no tombstones is metadata-only") {
