@@ -46,7 +46,9 @@ object Bench {
     // query-bench residue first so the rate isn't GC/cache-pressure noise.
     spark.catalog.clearCache()
     System.gc()
-    val cdc = CdcBench.run(spark, nEvents = 100000L, nBatches = 4)
+    // 50k-record micro-batches: large enough that per-batch fixed cost
+    // stops dominating and the rate reflects sustained apply throughput
+    val cdc = CdcBench.run(spark, nEvents = 200000L, nBatches = 4)
     // freshness = wall time per micro-batch (land → committed/queryable);
     // the reference's equivalent figure is 3–5 MINUTES (BASELINE.md)
     val freshness = cdc.seconds / math.max(1, cdc.batches)
