@@ -103,6 +103,45 @@ object Dedup {
     verifyJaccard(cands, docs, threshold)
   }
 
+  /** Near-duplicate CLUSTERS from the exact pair graph: connected
+    * components by iterative min-label propagation (each round, every doc
+    * adopts the smallest label among itself and its neighbors — converges
+    * in ≤ graph-diameter rounds, and near-dup components are shallow by
+    * construction). This is the step that turns pairwise similarity into
+    * dedup survivors: keep `cluster` (= the component's minimum doc_id),
+    * drop the rest. Each round is one equi-join + one aggregation — the
+    * standard scalable connected-components loop (a large-star/small-star
+    * variant would cut rounds on adversarially deep graphs).
+    */
+  def nearDupClusters(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(df, n, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nl")), "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("nl")).as("mn"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster"))
+  }
+
   /** MinHash + banded LSH: k per-row signature mins over the shingle array
     * (array_min ∘ transform — no explosion, no groupBy), band keys from
     * hashing signature slices, candidates from an equi-join on

@@ -130,6 +130,12 @@ object LlmOps {
       CorpusOps.classWeights(Tables.documents(s, d), "lang")
         .orderBy(col("lang"))),
 
+    // pairs -> connected components -> canonical survivor per cluster
+    "q64_dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(Tables.fanout(Tables.documents(s, d)),
+          n = 3, threshold = 0.8)
+        .orderBy(col("doc_id"))),
+
     // deterministic class-rebalancing sampler: keep 40% of 'en', 80% of
     // every other language (per-row hash filter — no shuffle, no RNG state)
     "q61_stratified_sample" -> ((s, d) =>
@@ -272,6 +278,32 @@ object LlmOps {
                     JOIN sizes sb ON db = sb.doc_id
          WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8
          ORDER BY doc_a, doc_b""",
+    "q64_dedup_clusters" ->
+      """WITH RECURSIVE
+         docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+         pairs AS (SELECT da, db
+            FROM cm JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+            WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8),
+         edges AS (SELECT da AS a, db AS b FROM pairs
+                   UNION SELECT db, da FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                   UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT n.a AS doc_id, CAST(least(n.a, min(r.b)) AS BIGINT) AS cluster
+         FROM (SELECT DISTINCT a FROM edges) n JOIN reach r ON r.a = n.a
+         GROUP BY n.a ORDER BY doc_id""",
     "q29_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings)

@@ -30,6 +30,18 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("near-dup clusters: every pair co-clustered, label = min member") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.nearDupClusters(docs, 3, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split") }
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min) }
+  }
+
   test("simhash of identical texts is identical; near-dups at low hamming") {
     val df = Seq((1L, "spark table scan merge window"),
       (2L, "spark table scan merge window"),
