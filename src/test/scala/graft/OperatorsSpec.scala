@@ -75,6 +75,23 @@ class OperatorsSpec extends SparkSpec {
     assert(overlap >= 0.4, s"overlap $overlap") // multi-probe, coarse buckets
   }
 
+  test("approx sketches honor their error contracts vs exact") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.groupBy($"l_returnflag").agg(
+        approx_count_distinct($"l_partkey").as("apx"),
+        countDistinct($"l_partkey").as("ext"),
+        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("apx_p50"),
+        expr("percentile(l_extendedprice, 0.5)").as("ext_p50"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (apx, ext) = (row.getLong(1).toDouble, row.getLong(2).toDouble)
+      assert(math.abs(apx - ext) / ext < 0.15, s"HLL err ${apx / ext}")
+      val (ap, ep) = (row.getDouble(3), row.getDouble(4))
+      assert(math.abs(ap - ep) / ep < 0.05, s"KLL p50 $ap vs $ep")
+    }
+  }
+
   test("quality metrics compute documented formulas") {
     val df = Seq((1L, "the cat sat on a mat.")).toDF("doc_id", "text")
     val r = TextAnalysis.withQuality(df).select(
