@@ -84,4 +84,38 @@ class TextHashesSpec extends SparkSpec {
     // "*(n)" prefixes mark operators fused into WholeStageCodegen stage n
     assert(plan.contains("*(1) Project [shingle_hashes"), plan)
   }
+
+  test("prefix-filtered Jaccard equals brute force, including J==t boundaries") {
+    // planted cases: identical pair, exact-0.8 pair (5-shingle superset of
+    // a 4-shingle doc: J = 4/5), disjoint docs, sub-n-gram short docs
+    val df = Seq(
+      (1L, "a b c d e f g"),        // 5 trigrams
+      (2L, "a b c d e f"),          // 4 trigrams, all shared with 1 -> J=0.8
+      (3L, "a b c d e f g"),        // identical to 1 -> J=1.0
+      (4L, "x y z w v u t s"),      // disjoint
+      (5L, "p q"),                  // short doc: single whole-doc shingle
+      (6L, "p q")                   // identical short doc -> J=1.0
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val arrays = Dedup.shingleArrays(df, 3)
+      val brute = arrays.as("a").crossJoin(arrays.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .withColumn("common", size(array_intersect(col("a.sh"), col("b.sh"))))
+        .withColumn("j", col("common").cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) - col("common")))
+        .filter(col("j") >= t)
+        .select(col("a.doc_id"), col("b.doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pref = Dedup.ngramJaccardPairs(df, 3, t)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pref === brute, s"threshold $t")
+    }
+    // sanity on the planted expectations at t=0.8
+    val out = Dedup.ngramJaccardPairs(df, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
+    assert(out((1L, 2L)) === 0.8)
+    assert(out((1L, 3L)) === 1.0)
+  }
 }
