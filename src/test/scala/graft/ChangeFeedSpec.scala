@@ -66,4 +66,33 @@ class ChangeFeedSpec extends SparkSpec {
     assert(feed.map(_.getAs[String]("_change_type")).toSeq === Seq("resync"))
     assert(feed.head.isNullAt(feed.head.fieldIndex("trans_id")))
   }
+
+  test("rollback emits a resync marker; feed works across schema evolution") {
+    val t = MergeTable.retailTrans(tmpDir("feed3"), threshold = 100)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("c0"))
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("c1"))
+    t.rollbackTo(0)
+    val feed = t.changesSince(spark, 1).collect()
+    assert(feed.map(_.getAs[String]("_change_type")).toSeq === Seq("resync"))
+
+    // evolve the schema, apply one more batch: the feed surfaces the new
+    // column (null for pre-evolution commits' rows, set for new ones)
+    val t2 = t.addColumn(org.apache.spark.sql.types.StructField(
+      "channel", org.apache.spark.sql.types.StringType))
+    val batch = spark.range(900, 903).selectExpr(
+      "id AS trans_id", "'999999999999' AS customer_id", "'visit' AS event",
+      "'ZZ0000AAAA' AS sku", "7 AS amount", "'pc' AS device",
+      "timestamp'2023-03-01 00:00:00' AS trans_datetime",
+      "'web' AS channel", "'insert' AS operation")
+    t2.applyBatch(batch, Some("c2"))
+    val feed2 = t2.changesSince(spark, 0)
+    val rows = feed2.filter(col("_change_type") === "upsert")
+      .select("trans_id", "channel").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(900L) === Some("web"))
+    assert(rows.keySet.exists(_ < 900L)) // pre-evolution rows present...
+    assert(rows.filter(_._1 < 900L).values.forall(_.isEmpty)) // ...null channel
+  }
 }
