@@ -121,24 +121,33 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nl")), "doc_b")
         .groupBy(col("doc_a")).agg(min(col("nl")).as("mn"))
-      val next = labels
+      // the old label rides along so the convergence probe is a filter on
+      // this frame, not an extra join; each round's frame is persisted and
+      // the superseded one dropped — the loop holds two label sets, ever
+      val next = labels.withColumnRenamed("label", "old")
         .join(nbrMin.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+          least(col("old"), coalesce(col("mn"), col("old"))).as("label"),
+          col("old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      // full count, not limit(1): the probe doubles as the materializer
+      // that fills next's cache end-to-end, making the unpersist of the
+      // previous round safe (a partial materialization would cascade
+      // recomputes up the unpersisted chain)
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0L
       i += 1
     }
+    edges.unpersist(blocking = false)
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
 
