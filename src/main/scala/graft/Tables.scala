@@ -22,13 +22,18 @@ object Tables {
   /** Fan a narrow scan out to all cores before compute-bound per-row work
     * (regex, n-gram shingling, array math). The local test tables are
     * single-row-group parquet — unsplittable below one task — so without
-    * this the whole scan-side pipeline runs on one core of 32. On a real
-    * cluster inputs have many splits and this degenerates to a cheap
-    * round-robin reshuffle; it guards the same corner there (few huge
-    * splits feeding expensive projections).
+    * this the whole scan-side pipeline runs on one core of 32. Adaptive:
+    * when the source already plans at least `parallelism` partitions (the
+    * normal case on a cluster, where inputs have many splits) this is a
+    * no-op — the reshuffle only happens for the few-huge-splits corner it
+    * exists to fix. (Inspecting the planned partitioning costs one plan
+    * analysis, no execution.)
     */
-  def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def fanout(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(parallelism)
+  }
 
   /** `events` carries nanosecond parquet timestamps, which Spark's reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). Read them as raw ns longs
