@@ -17,23 +17,36 @@ object PerfProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .appName("graft-probe")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B experiments: PROBE_CONF="k=v,k=v" overlays arbitrary SQL confs.
+    sys.env.get("PROBE_CONF").foreach(_.split(',').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // bisection micro-variants for one-time-cost hunts (x_… names)
+    val variants: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "x_upper" -> ((s, d) => Tables.part(s, d).select(upper(col("p_brand")).as("u")).groupBy("u").count()),
+      "x_substr" -> ((s, d) => Tables.part(s, d).groupBy(col("p_brand")).agg(min(substring(col("p_type"), 1, 6)).as("pfx"))),
+      "x_cdist" -> ((s, d) => Tables.part(s, d).groupBy(col("p_brand")).agg(countDistinct(col("p_type")).as("n"))),
+      "x_cdist_mix" -> ((s, d) => Tables.part(s, d).groupBy(col("p_brand"))
+        .agg(min(length(col("p_name"))).as("a"), countDistinct(col("p_type")).as("n"))),
+      "x_minstr" -> ((s, d) => Tables.part(s, d).groupBy(col("p_brand")).agg(min(col("p_type")).as("m"))),
+      "x_orderby" -> ((s, d) => Tables.part(s, d).groupBy(col("p_brand")).agg(count(lit(1)).as("n")).orderBy(col("p_brand")))
+    )
     val queries = args.drop(1)
     if (queries.nonEmpty) {
       queries.foreach { q =>
-        val fn = SparkEntry.queries(q)
+        val fn = variants.getOrElse(q, SparkEntry.queries(q))
         time(s"$q cold")(noop(fn(spark, sfDir)))
         time(s"$q warm")(noop(fn(spark, sfDir)))
       }
