@@ -47,7 +47,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.LlmOps.queries ++
-      graft.queries.Extra.queries +
+      graft.queries.Extra.queries ++ graft.queries.SqlDml.queries +
       ("q00_cdc_golden" -> (cdcGolden _)) +
       ("q63_change_feed" -> (cdcChanges _))
 
@@ -101,7 +101,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.LlmOps.oracleSql ++
-      graft.queries.Extra.oracleSql +
+      graft.queries.Extra.oracleSql ++ graft.queries.SqlDml.oracleSql +
       ("q00_cdc_golden" -> goldenOracle) +
       ("q63_change_feed" -> changeFeedOracle)
 }

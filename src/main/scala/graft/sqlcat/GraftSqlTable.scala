@@ -1,0 +1,103 @@
+package graft.sqlcat
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TruncatableTable}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.MergeTable
+
+/** DataSource V2 face of a [[MergeTable]] — what `spark.sql` statements
+  * resolve `graft.<db>.<table>` to. The reference's entire user surface is
+  * SQL strings against its lake tables (README.md:285–309 DDL,
+  * README.md:400–443 DML); this class plus [[GraftCatalog]] and
+  * [[GraftSqlExtensions]] gives the engine the same surface.
+  *
+  * Read/write strategy:
+  *   - With [[GraftSqlExtensions]] installed (the recommended setup),
+  *     SELECTs never reach the scan below — the analyzer rule splices the
+  *     native merge-on-read plan (parquet scans + one keyed window) in
+  *     place of this relation, keeping column pruning, filter pushdown
+  *     into the scans, and whole-stage codegen.
+  *   - Without the extension, the V1 fallback scan still answers SELECTs
+  *     correctly (full merged read, filtering above), and the V1 write
+  *     handles INSERT INTO / INSERT OVERWRITE. UPDATE/DELETE/MERGE need
+  *     the extension.
+  *
+  * INSERT INTO is a plain transactional append (Iceberg parity — inserts
+  * do not merge by key); keyed upserts arrive via the CDC pipeline,
+  * `UPDATE`/`MERGE INTO`, or `MergeTable.applyBatch`.
+  */
+final class GraftSqlTable(
+    ident: String,
+    val mergeTable: MergeTable,
+    val extraProps: Map[String, String],
+    val asOfVersion: Option[Long] = None)
+  extends Table with SupportsRead with SupportsWrite with TruncatableTable {
+
+  override def name(): String = ident
+  override def schema(): StructType = mergeTable.schema
+
+  override def partitioning(): Array[Transform] =
+    mergeTable.partitionCol.map(c => Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] =
+    (extraProps ++ Map(
+      GraftCatalog.UniqueKeysProp -> mergeTable.keyCol,
+      GraftCatalog.ThresholdProp -> mergeTable.deleteCompactThreshold.toString
+    )).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  /** V1 fallback scan: the merged snapshot as an RDD[Row]. Correct but
+    * conversion-heavy; superseded by the extension's plan splice.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = mergeTable.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: StructType = mergeTable.schema
+            override def buildScan(): RDD[Row] =
+              mergeTable.read(ctx.sparkSession, asOfVersion).rdd
+          }.asInstanceOf[T]
+      }
+    }
+
+  /** V1 write: INSERT INTO → transactional append; INSERT OVERWRITE /
+    * truncate-mode write → snapshot replacement (time travel retained).
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              if (replace || overwrite) mergeTable.overwrite(data)
+              else mergeTable.appendAll(data)
+          }
+      }
+    }
+
+  override def truncateTable(): Boolean = {
+    mergeTable.truncate()
+    true
+  }
+}

@@ -20,6 +20,7 @@ object PerfProbe {
     val builder = SparkSession.builder()
       .master("local[32]")
       .appName("graft-probe")
+      .config("spark.sql.extensions", "graft.sqlcat.GraftSqlExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.connector.read.V1Scan
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sqlcat.GraftSqlTable
+import graft.table.MergeTable
+
+/** SQL-first surface over engine tables (VERDICT r2 item 1): the entire
+  * DDL + DML lifecycle driven through `spark.sql` ONLY — catalog plugin
+  * resolution, V1 write fallback, extension-spliced reads, and the
+  * UPDATE/DELETE/MERGE command rewrites.
+  */
+class SqlCatalogSpec extends SparkSpec {
+
+  private def sql(s: String) = spark.sql(s)
+
+  test("full SQL lifecycle: DDL, INSERT, UPDATE, DELETE, MERGE, time travel, ALTER, TRUNCATE, DROP") {
+    val wh = tmpDir("graft-sqlcat")
+    spark.conf.set("spark.sql.catalog.sqlc", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlc.warehouse", wh)
+
+    sql("CREATE NAMESPACE sqlc.demo")
+    assert(sql("SHOW NAMESPACES IN sqlc").collect().map(_.getString(0)).contains("demo"))
+
+    sql("""CREATE TABLE sqlc.demo.t (id BIGINT, name STRING, amount DOUBLE, cat STRING)
+           PARTITIONED BY (cat)
+           TBLPROPERTIES ('unique_keys'='id',
+                          'optimize_rewrite_delete_file_threshold'='3',
+                          'owner_team'='graft')""")
+    assert(sql("SHOW TABLES IN sqlc.demo").collect().map(_.getString(1)).contains("t"))
+
+    val desc = sql("DESCRIBE TABLE sqlc.demo.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("id") == "bigint" && desc("amount") == "double")
+
+    // TBLPROPERTIES passthrough: user props AND engine-interpreted props
+    val props = sql("SHOW TBLPROPERTIES sqlc.demo.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("owner_team") == "graft")
+    assert(props("unique_keys") == "id")
+    assert(props("optimize_rewrite_delete_file_threshold") == "3")
+
+    // INSERT (positional and column-list) through the V1 write fallback
+    sql("INSERT INTO sqlc.demo.t VALUES (1, 'a', 10.0, 'x'), (2, 'b', -5.0, 'y'), (3, 'c', 7.5, 'x')")
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlc.demo.t").collect().head.getLong(0) == 3L)
+
+    // UPDATE via the engine's keyed merge path
+    sql("UPDATE sqlc.demo.t SET amount = amount + 1.0 WHERE cat = 'x'")
+    assert(sql("SELECT sum(amount) FROM sqlc.demo.t WHERE cat = 'x'")
+      .collect().head.getDouble(0) == 19.5)
+
+    // DELETE
+    sql("DELETE FROM sqlc.demo.t WHERE amount < 0")
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlc.demo.t").collect().head.getLong(0) == 2L)
+
+    // MERGE INTO: matched update + not-matched insert, one commit
+    sql("""MERGE INTO sqlc.demo.t t
+           USING (SELECT * FROM VALUES (1L, 'A', 0.5, 'x'), (9L, 'i', 9.0, 'z')
+                  AS v(id, name, amount, cat)) s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET name = s.name, amount = t.amount + s.amount
+           WHEN NOT MATCHED THEN INSERT (id, name, amount, cat)
+             VALUES (s.id, s.name, s.amount, s.cat)""")
+    assert(sql("SELECT id, name, amount, cat FROM sqlc.demo.t ORDER BY id").collect().toSeq ==
+      Seq(Row(1L, "A", 11.5, "x"), Row(3L, "c", 8.5, "x"), Row(9L, "i", 9.0, "z")))
+
+    // conditional matched actions: first matching WHEN wins
+    sql("""MERGE INTO sqlc.demo.t t
+           USING (SELECT * FROM VALUES (3L), (9L) AS v(id)) s
+           ON t.id = s.id
+           WHEN MATCHED AND t.amount > 8.6 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET name = 'kept'""")
+    assert(sql("SELECT id, name FROM sqlc.demo.t ORDER BY id").collect().toSeq ==
+      Seq(Row(1L, "A"), Row(3L, "kept")))
+
+    // time travel: v0 was the 3-row initial insert
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlc.demo.t VERSION AS OF 0")
+      .collect().head.getLong(0) == 3L)
+
+    // metadata-only schema evolution
+    sql("ALTER TABLE sqlc.demo.t ADD COLUMN note STRING")
+    assert(sql("SELECT note FROM sqlc.demo.t").collect().forall(_.isNullAt(0)))
+    sql("ALTER TABLE sqlc.demo.t SET TBLPROPERTIES ('quality'='gold')")
+    assert(sql("SHOW TBLPROPERTIES sqlc.demo.t").collect()
+      .exists(r => r.getString(0) == "quality" && r.getString(1) == "gold"))
+    sql("ALTER TABLE sqlc.demo.t DROP COLUMN note")
+    assert(!sql("SELECT * FROM sqlc.demo.t").columns.contains("note"))
+
+    // extension splices the native plan: no V1 row-scan in SELECTs
+    val plan = sql("SELECT id, amount FROM sqlc.demo.t WHERE cat = 'x'")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("RowDataSourceScan"), s"expected native read plan, got:\n$plan")
+
+    sql("TRUNCATE TABLE sqlc.demo.t")
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlc.demo.t").collect().head.getLong(0) == 0L)
+
+    sql("DROP TABLE sqlc.demo.t")
+    assert(sql("SHOW TABLES IN sqlc.demo").collect().isEmpty)
+    sql("DROP NAMESPACE sqlc.demo")
+    assert(!sql("SHOW NAMESPACES IN sqlc").collect().map(_.getString(0)).contains("demo"))
+  }
+
+  test("INSERT OVERWRITE replaces the snapshot, retaining time travel") {
+    val wh = tmpDir("graft-sqlcat-ow")
+    spark.conf.set("spark.sql.catalog.sqlo", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlo.warehouse", wh)
+    sql("CREATE NAMESPACE sqlo.d")
+    sql("CREATE TABLE sqlo.d.t (id BIGINT, v STRING) TBLPROPERTIES ('unique_keys'='id')")
+    sql("INSERT INTO sqlo.d.t VALUES (1, 'old'), (2, 'old')")
+    sql("INSERT OVERWRITE sqlo.d.t VALUES (7, 'new')")
+    assert(sql("SELECT id, v FROM sqlo.d.t").collect().toSeq == Seq(Row(7L, "new")))
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlo.d.t VERSION AS OF 0")
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("Scala API and SQL see the same table (one catalog layout)") {
+    val wh = tmpDir("graft-sqlcat-share")
+    spark.conf.set("spark.sql.catalog.sqls", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqls.warehouse", wh)
+    sql("CREATE NAMESPACE sqls.d")
+    sql("CREATE TABLE sqls.d.t (id BIGINT, v STRING) TBLPROPERTIES ('unique_keys'='id')")
+    sql("INSERT INTO sqls.d.t VALUES (1, 'sql')")
+    // the Scala-API catalog over the same warehouse dir opens the same table
+    val scalaSide = new graft.catalog.LakeCatalog(wh).getTable("d", "t")
+    assert(scalaSide.read(spark).collect().toSeq == Seq(Row(1L, "sql")))
+    import org.apache.spark.sql.functions.{col, lit}
+    scalaSide.updateWhere(spark, col("id") === 1, Map("v" -> lit("scala")))
+    assert(sql("SELECT v FROM sqls.d.t").collect().head.getString(0) == "scala")
+  }
+
+  test("V1 fallback scan returns the merged snapshot (no extension needed)") {
+    val root = tmpDir("graft-v1scan")
+    val t = MergeTable.retailTrans(root + "/t")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val rows = Seq((1L, "c1", "visit", "S1", 5, "pc", java.sql.Timestamp.valueOf("2023-01-16 06:00:00")))
+      .toDF("trans_id", "customer_id", "event", "sku", "amount", "device", "trans_datetime")
+    t.applyBatch(rows.withColumn("operation", lit("insert")))
+    val sqlTable = new GraftSqlTable("v1t", t, Map.empty)
+    val scan = sqlTable.newScanBuilder(CaseInsensitiveStringMap.empty()).build().asInstanceOf[V1Scan]
+    val rel = scan.toV1TableScan[BaseRelation with TableScan](spark.sqlContext)
+    assert(rel.buildScan().count() == 1L)
+    assert(rel.schema == t.schema)
+  }
+}
