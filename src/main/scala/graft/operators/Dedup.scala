@@ -227,62 +227,206 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-duplicates, exact, as a block-nested-loop self
-    * join: vectors are packed into id-ranged blocks (one flat primitive
-    * array per block), block pairs are joined and each pair compared in a
-    * tight JVM loop. Exactly the plan you want at scale — work is spread
-    * over (n/blockSize)²/2 independent block-pair tasks, memory per task is
-    * two blocks, and the inner loop is allocation-free (the naive
-    * row-pair `zip_with` formulation is ~30× slower: higher-order
-    * expressions don't codegen and allocate per pair).
-    * Similarity.lshTopK remains the sub-quadratic approximate path.
+  /** Deterministic mini-k-means (Lloyd) cell assignment on the unit
+    * sphere: returns (vec_id, cell). Init = the k lowest-id vectors
+    * (reproducible); each iteration is one broadcast-assignment map plus
+    * one fully-distributed mean (posexplode → partial-aggregated
+    * sum/count), so no step funnels a whole cell through one task.
+    * Zero-norm vectors must be filtered by the caller.
+    */
+  private[graft] def kmeansCells(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val unit = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val d = v.length
+        val u = new Array[Double](d)
+        var sq = 0.0
+        var i = 0
+        while (i < d) { sq += v(i).toDouble * v(i).toDouble; i += 1 }
+        val n = math.sqrt(sq)
+        i = 0
+        while (i < d) { u(i) = v(i) / n; i += 1 }
+        (id, u)
+      }.toDF("vec_id", "u").cache()
+    try {
+      var centroids: Array[Array[Double]] = unit.orderBy(col("vec_id")).limit(k)
+        .select(col("u")).as[Array[Double]].collect()
+
+      def assigned: DataFrame = {
+        val bc = spark.sparkContext.broadcast(centroids)
+        unit.as[(Long, Array[Double])].map { case (id, u) =>
+          val cs = bc.value
+          var best = 0
+          var bestDot = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c)
+            var dot = 0.0
+            var i = 0
+            while (i < u.length) { dot += u(i) * cv(i); i += 1 }
+            if (dot > bestDot) { bestDot = dot; best = c }
+            c += 1
+          }
+          (id, best)
+        }.toDF("vec_id", "cell")
+      }
+
+      var it = 0
+      while (it < iters) {
+        val means = assigned.join(unit, "vec_id")
+          .select(col("cell"), posexplode(col("u")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .collect()
+        val dim = centroids.head.length
+        val next = centroids.map(_.clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
+        // renormalize so assignment stays a pure max-dot on the sphere
+        next.indices.foreach { c =>
+          val n = math.sqrt(next(c).map(x => x * x).sum)
+          if (n > 0) (0 until dim).foreach(i => next(c)(i) /= n)
+        }
+        centroids = next
+        it += 1
+      }
+      assigned
+    } finally unit.unpersist()
+  }
+
+  /** Embedding-cosine near-duplicates — EXACT, candidate-bounded.
+    *
+    * The verification kernel is unchanged from the block-nested-loop
+    * formulation (flat primitive arrays, allocation-free JVM loop — the
+    * row-pair `zip_with` formulation is ~30× slower since higher-order
+    * expressions don't codegen), but block PAIRS are no longer all
+    * (n/blockSize)²/2 combinations. Instead:
+    *
+    *   1. a deterministic mini-k-means groups vectors into spatial cells,
+    *      capped into sub-blocks of ≤ blockSize;
+    *   2. each block carries its mean vector and radius
+    *      r = max‖uᵢ − mean‖ over its members' unit vectors;
+    *   3. a pair of vectors can reach cos ≥ t only if their unit-vector
+    *      distance is ≤ D = √(2−2t), so by the triangle inequality two
+    *      blocks can contain a qualifying pair only if
+    *      ‖m_A − m_B‖ ≤ D + r_A + r_B. Block pairs failing this bound are
+    *      pruned BEFORE any vector data moves — the bound join touches
+    *      only per-block metadata (centroid + radius), and the surviving
+    *      pairs drive equi-joins on the packed blocks.
+    *
+    * Pruning is conservative (ε-slack on the bound), so the output is
+    * bit-identical to the all-pairs scan; on clustered data the candidate
+    * set collapses toward O(matching pairs), and in the worst case
+    * (uniformly spread vectors, low threshold) it degrades to the full
+    * block-pair set — never worse than the old plan. At 100 TB the heavy
+    * joins are equi-joins on (cell, sub); the only non-equi join is over
+    * B = n/blockSize metadata rows, bounded by the same k-means cells
+    * (see SCALE.md). `Similarity.lshTopK` remains the approximate path
+    * when even candidate-bounded exactness is too expensive.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
-      blockSize: Int = 256): DataFrame = {
+      blockSize: Int = 256, cells: Int = 0, kmeansIters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    val packed = emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .groupByKey { case (id, _) => (id / blockSize).toInt }
-      .mapGroups { (block: Int, it: Iterator[(Long, Array[Float])]) =>
-        val rows = it.toArray.sortBy(_._1)
-        val n = rows.length
-        val dim = if (n == 0) 0 else rows.head._2.length
-        val ids = new Array[Long](n)
-        val flat = new Array[Double](n * dim)
-        val norms = new Array[Double](n)
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .filter(aggregate(transform(col("embedding"),
+        x => x * x), lit(0.0d), (acc, x) => acc + x) > 0)
+    val n = base.count()
+    if (n == 0) return spark.emptyDataFrame
+      .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"), lit(0.0).as("cos_sim"))
+      .limit(0)
+    val k = if (cells > 0) cells
+      else math.max(1, math.ceil(math.sqrt(n.toDouble / blockSize)).toInt)
+
+    // Spatial (k-means) grouping makes blocks tight so the radius bound
+    // prunes hard — but costs a count, `kmeansIters` assignment passes and
+    // a per-cell window. Below ~16 blocks that overhead exceeds the whole
+    // all-pairs verify, and the bound still applies to ANY grouping, so
+    // small inputs keep the zero-extra-job id-ranged blocks.
+    val useKmeans = cells > 0 || n > blockSize.toLong * 16
+    val withBlocks =
+      if (useKmeans) {
+        val assigned = kmeansCells(base, k, kmeansIters)
+        // cap cell size: sub-blocks of ≤ blockSize, stable order by id
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell")).orderBy(col("vec_id"))
+        base.join(assigned, "vec_id")
+          .withColumn("sub", ((row_number().over(w) - 1) / blockSize).cast("int"))
+      } else {
+        base.withColumn("cell", (col("vec_id") / blockSize).cast("int"))
+          .withColumn("sub", lit(0))
+      }
+
+    val packed = withBlocks
+      .select(col("cell"), col("sub"), col("vec_id"), col("embedding"))
+      .as[(Int, Int, Long, Array[Float])]
+      .groupByKey { case (cell, sub, _, _) => (cell, sub) }
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Float])]) =>
+        val (cell, sub) = key
+        val rows = it.map { case (_, _, id, v) => (id, v) }.toArray.sortBy(_._1)
+        val m = rows.length
+        val dim = rows.head._2.length
+        val ids = new Array[Long](m)
+        val flat = new Array[Double](m * dim)
+        val norms = new Array[Double](m)
+        val mean = new Array[Double](dim)
         var i = 0
-        while (i < n) {
+        while (i < m) {
           ids(i) = rows(i)._1
           val v = rows(i)._2
-          var k = 0
+          var kk = 0
           var sq = 0.0
-          while (k < dim) {
-            val x = v(k).toDouble
-            flat(i * dim + k) = x
+          while (kk < dim) {
+            val x = v(kk).toDouble
+            flat(i * dim + kk) = x
             sq += x * x
-            k += 1
+            kk += 1
           }
           norms(i) = math.sqrt(sq)
+          kk = 0
+          while (kk < dim) { mean(kk) += flat(i * dim + kk) / norms(i) / m; kk += 1 }
           i += 1
         }
-        (block, dim, ids, flat, norms)
+        var radius = 0.0
+        i = 0
+        while (i < m) {
+          var sq = 0.0
+          var kk = 0
+          while (kk < dim) {
+            val d = flat(i * dim + kk) / norms(i) - mean(kk)
+            sq += d * d
+            kk += 1
+          }
+          radius = math.max(radius, math.sqrt(sq))
+          i += 1
+        }
+        (cell, sub, dim, ids, flat, norms, mean, radius)
       }
-      .toDF("block", "dim", "ids", "flat", "norms")
+      .toDF("cell", "sub", "dim", "ids", "flat", "norms", "mean", "radius")
+      .cache()
 
-    val pairs = packed.as("a").join(packed.as("b"),
-        col("a.block") <= col("b.block"))
-      .select(
-        (col("a.block") === col("b.block")).as("same"),
-        col("a.dim").as("dim"),
-        col("a.ids").as("aIds"), col("a.flat").as("aFlat"), col("a.norms").as("aNorms"),
-        col("b.ids").as("bIds"), col("b.flat").as("bFlat"), col("b.norms").as("bNorms"))
-      // spread block pairs across tasks (the block join itself is tiny)
+    val candidates = candidateBlockPairs(
+      packed.select(col("cell"), col("sub"), col("mean"), col("radius")), threshold)
+
+    val pa = packed.select(col("cell").as("ca"), col("sub").as("sa"),
+      col("dim"), col("ids").as("aIds"), col("flat").as("aFlat"), col("norms").as("aNorms"))
+    val pb = packed.select(col("cell").as("cb"), col("sub").as("sb"),
+      col("ids").as("bIds"), col("flat").as("bFlat"), col("norms").as("bNorms"))
+    val pairs = candidates
+      .join(pa, Seq("ca", "sa"))
+      .join(pb, Seq("cb", "sb"))
+      .select(col("same"), col("dim"),
+        col("aIds"), col("aFlat"), col("aNorms"),
+        col("bIds"), col("bFlat"), col("bNorms"))
+      // spread block pairs across tasks (the candidate join itself is tiny)
       .repartition(col("aIds"), col("bIds"))
 
     val preFilter = threshold - 1e-4 // cheap bound; exact round only near it
-    pairs.flatMap { row =>
+    val out = pairs.flatMap { row =>
       val same = row.getBoolean(0)
       val dim = row.getInt(1)
       val aIds = row.getSeq[Long](2).toArray
@@ -291,7 +435,7 @@ object Dedup {
       val bIds = row.getSeq[Long](5).toArray
       val bFlat = row.getSeq[Double](6).toArray
       val bNorms = row.getSeq[Double](7).toArray
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       var i = 0
       while (i < aIds.length) {
         var j = if (same) i + 1 else 0
@@ -307,13 +451,40 @@ object Dedup {
             // mirror Spark's round(HALF_UP) exactly for the oracle compare
             val q = BigDecimal(cos)
               .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (q >= threshold) out += ((aIds(i), bIds(j), q))
+            if (q >= threshold) {
+              // blocks are not id-ranged: canonicalize the pair order
+              val (lo, hi) = if (aIds(i) < bIds(j)) (aIds(i), bIds(j))
+                             else (bIds(j), aIds(i))
+              buf += ((lo, hi, q))
+            }
           }
           j += 1
         }
         i += 1
       }
-      out
+      buf
     }.toDF("vec_a", "vec_b", "cos_sim")
+    out
+  }
+
+  /** The triangle-inequality block-pair filter, exposed for plan/spec
+    * inspection: given per-block stats (cell, sub, mean, radius), returns
+    * the (ca, sa, cb, sb, same) pairs that COULD hold a cos ≥ threshold
+    * pair. Metadata-only — B rows per side, never vector data.
+    */
+  private[graft] def candidateBlockPairs(stats: DataFrame, threshold: Double): DataFrame = {
+    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+    val a = stats.select(col("cell").as("ca"), col("sub").as("sa"),
+      col("mean").as("ma"), col("radius").as("ra"))
+    val b = stats.select(col("cell").as("cb"), col("sub").as("sb"),
+      col("mean").as("mb"), col("radius").as("rb"))
+    val ordered = (col("ca") < col("cb")) ||
+      (col("ca") === col("cb") && col("sa") <= col("sb"))
+    val centroidDist = sqrt(aggregate(
+      zip_with(col("ma"), col("mb"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x))
+    a.join(b, ordered && centroidDist <= lit(maxDist) + col("ra") + col("rb"))
+      .select(col("ca"), col("sa"), col("cb"), col("sb"),
+        (col("ca") === col("cb") && col("sa") === col("sb")).as("same"))
   }
 }
