@@ -140,6 +140,134 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
+  /** Deterministic Lloyd-trained IVF centroids: init = the `nlist`
+    * lowest-id corpus vectors (unit-normalized), then `iters` rounds of
+    * broadcast argmax-dot assignment + fully-distributed means (posexplode
+    * → partially-aggregated avg — no cell ever funnels through one task).
+    * Returns unit-norm centroid rows (cent_id, cv).
+    */
+  private[graft] def trainCentroids(corpus: DataFrame, nlist: Int,
+      iters: Int = 3): Array[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val unit = asDouble(corpus)
+      .withColumn("n", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .filter(col("n") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("u"))
+      .cache()
+    try {
+      var cents: Array[Array[Double]] = unit.orderBy(col("vec_id")).limit(nlist)
+        .select(col("u")).as[Array[Double]].collect()
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(cents)
+        val assigned = unit.as[(Long, Array[Double])].map { case (id, u) =>
+          val cs = bc.value
+          var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+          while (c < cs.length) {
+            val cv = cs(c); var dot = 0.0; var i = 0
+            while (i < u.length) { dot += u(i) * cv(i); i += 1 }
+            if (dot > bestDot) { bestDot = dot; best = c }
+            c += 1
+          }
+          (id, best)
+        }.toDF("vec_id", "cell")
+        val means = assigned.join(unit, "vec_id")
+          .select(col("cell"), posexplode(col("u")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        next.indices.foreach { c =>
+          val n = math.sqrt(next(c).map(x => x * x).sum)
+          if (n > 0) next(c).indices.foreach(i => next(c)(i) /= n)
+        }
+        cents = next
+        it += 1
+      }
+      cents.zipWithIndex.map { case (v, i) => (i, v) }
+    } finally unit.unpersist()
+  }
+
+  /** IVF with trained centroids AND an exactness guarantee — the scale
+    * path that still hash-matches brute force. Two probe phases:
+    *
+    *   1. rank the members of each query's `nProbe` nearest cells; the
+    *      kth best score there is a floor `s_q` on the true kth score;
+    *   2. by the spherical triangle inequality, a cell with centroid
+    *      angle θ(q,c) and angular radius r (max member↔centroid angle)
+    *      can hold a candidate only if cos(max(0, θ−r)) ≥ s_q — rank the
+    *      members of every cell passing that bound.
+    *
+    * Phase-2's candidate set provably contains every true top-k member,
+    * so the result equals `bruteForceTopK` exactly (same 4dp rounding,
+    * same id tie-break) while scoring only the probed fraction of the
+    * corpus. Worst case (tiny corpus, flat geometry) probes everything
+    * and degrades to brute force — never below it. Training is Lloyd on
+    * unit vectors with deterministic init (no RNG), so plans and results
+    * are reproducible across runs and engines.
+    */
+  def ivfTopKExact(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, nlist, iters)
+      .toSeq.toDF("cent_id", "cv")
+    val c = asDouble(corpus)
+
+    // assignment on UNROUNDED similarity; keep it for the radius too
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("csim", GraftFunctions.cosineSim(spark, col("v"), col("cv")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"), col("csim"))
+      .cache()
+
+    // per-cell angular radius, slack for fp + the 4dp output rounding
+    val cellStats = assigned.groupBy(col("cell"))
+      .agg(min(col("csim")).as("minc"))
+      .select(col("cell"),
+        (acos(greatest(least(col("minc"), lit(1.0)), lit(-1.0))) + lit(1e-3)).as("rang"))
+
+    val q = asDouble(queries).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val qcell = q.crossJoin(broadcast(cents))
+      .withColumn("qsim", GraftFunctions.cosineSim(spark, col("qv"), col("cv")))
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"), col("qsim"))
+
+    // phase 1: kth-best score within the nProbe nearest cells
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cell"))
+    val probes = qcell.withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe).select(col("q_id"), col("cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val phase1 = assigned.join(probes, Seq("cell"))
+      .join(broadcast(q), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
+      .withColumn("rank", row_number().over(wRank))
+    val floor = phase1.groupBy(col("q_id"))
+      .agg(max(when(col("rank") === k, col("cos_sim"))).as("kth"))
+      .select(col("q_id"), coalesce(col("kth"), lit(-2.0)).as("floor"))
+
+    // phase 2: every cell whose angular bound can beat the floor
+    val candCells = qcell.join(broadcast(cellStats), Seq("cell"))
+      .join(broadcast(floor), Seq("q_id"), "left")
+      .withColumn("theta", acos(greatest(least(col("qsim"), lit(1.0)), lit(-1.0))))
+      .withColumn("bound", cos(greatest(col("theta") - col("rang"), lit(0.0))))
+      .filter(col("bound") >= coalesce(col("floor"), lit(-2.0)) - lit(1e-4))
+      .select(col("q_id"), col("qv"), col("cell"))
+    val scored = assigned.join(candCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     val c = withLshBucket(asDouble(corpus), nBits)

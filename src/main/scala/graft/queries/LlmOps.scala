@@ -50,8 +50,11 @@ object LlmOps {
 
     "q59_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10, nlist = 16,
-        nProbe = 4).orderBy(col("q_id"), col("rank"))
+      // k-means-trained centroids + two-phase angular-bound probing: the
+      // candidate set provably contains the true top-k, so the oracle is
+      // plain brute force — IVF here changes the COST, never the answer
+      Similarity.ivfTopKExact(e, e.filter(col("vec_id") < 5), k = 10,
+        nlist = 16, nProbe = 4).orderBy(col("q_id"), col("rank"))
     }),
 
     "q32_text_quality" -> ((s, d) =>
@@ -215,29 +218,18 @@ object LlmOps {
                     FROM scored)
          SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
          FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
+    // exact-by-construction IVF: the two-phase angular bound guarantees
+    // brute-force-identical output, so the oracle IS brute force (no need
+    // to replicate Lloyd iterations in SQL)
     "q59_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),
-         cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
-         assigned AS (SELECT vec_id, v, cell FROM (
-             SELECT e.vec_id, e.v, c.cent_id AS cell, row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
-                        c.cent_id) AS arn
-             FROM e CROSS JOIN cents c) t WHERE arn = 1),
-         probes AS (SELECT q_id, qv, cell FROM (
-             SELECT e.vec_id AS q_id, e.v AS qv, c.cent_id AS cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
-                          c.cent_id) AS prn
-             FROM e CROSS JOIN cents c WHERE e.vec_id < 5) t WHERE prn <= 4),
-         scored AS (SELECT p.q_id, a.vec_id,
-               round(list_cosine_similarity(p.qv, a.v), 4) AS cos_sim
-             FROM probes p JOIN assigned a USING (cell)
-             WHERE a.vec_id <> p.q_id),
-         ranked AS (SELECT q_id, vec_id, cos_sim, row_number() OVER (
-               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
-             FROM scored)
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         scored AS (SELECT q_id, vec_id,
+              round(list_cosine_similarity(qv, v), 4) AS cos_sim
+            FROM q JOIN e ON vec_id <> q_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
          SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
          FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
     "q37_multimodal_features" ->
