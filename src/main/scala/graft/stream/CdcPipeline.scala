@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.table.MergeTable
-import graft.transform.CdcTransformer
+import graft.transform.{CdcRoute, CdcTransformer}
 
 /** The end-to-end CDC pipeline, Spark-first: what the reference spreads
   * across DMS → Kinesis → Firehose → Lambda → Iceberg (SURVEY.md §3.1)
@@ -41,20 +41,37 @@ object CdcPipeline {
       maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = None)
 
+  /** Routed multi-destination pipeline config: one landing stream, many
+    * destination tables (pre-created via [[graft.catalog.LakeCatalog]] —
+    * DDL first, stream second, like the reference's Glue DDL + Firehose).
+    */
+  final case class MultiConfig(
+      landingDir: String,
+      warehouse: String,
+      errorRoot: String,
+      checkpointDir: String,
+      routes: Seq[CdcRoute],
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None)
+
+  // micro-batch bounds mirror the reference's Firehose buffer knobs
+  // (60 s interval via trigger; 128 MB size via maxBytesPerTrigger)
+  private def landingLines(spark: SparkSession, landingDir: String,
+      maxFiles: Option[Int], maxBytes: Option[Long]): DataFrame = {
+    val reader = spark.readStream.schema("value STRING")
+    Seq(
+      maxFiles.map(n => ("maxFilesPerTrigger", n.toString)),
+      maxBytes.map(n => ("maxBytesPerTrigger", n.toString)))
+      .flatten.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .format("text")
+      .load(landingDir)
+  }
+
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
     val table = MergeTable.retailTrans(cfg.tableRoot)
-
-    // micro-batch bounds mirror the reference's Firehose buffer knobs
-    // (60 s interval via trigger; 128 MB size via maxBytesPerTrigger)
-    val reader = spark.readStream
-      .schema("value STRING")
-    val bounded = Seq(
-      cfg.maxFilesPerTrigger.map(n => ("maxFilesPerTrigger", n.toString)),
-      cfg.maxBytesPerTrigger.map(n => ("maxBytesPerTrigger", n.toString)))
-      .flatten.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
-    val lines: DataFrame = bounded
-      .format("text")
-      .load(cfg.landingDir)
+    val lines = landingLines(spark, cfg.landingDir,
+      cfg.maxFilesPerTrigger, cfg.maxBytesPerTrigger)
 
     lines.writeStream
       .queryName("cdc-pipeline")
@@ -69,6 +86,42 @@ object CdcPipeline {
           val res = CdcTransformer.fromClassified(classified)
           CdcTransformer.writeErrors(res.errors, cfg.errorRoot)
           table.applyBatch(res.good, Some(batchId.toString))
+        } finally classified.unpersist()
+      }
+      .start()
+  }
+
+  /** Multi-destination demux (the reference's per-record otfMetadata
+    * routing, firehose_to_iceberg_transformer.py:36–42): ONE landing
+    * stream, parse/classify once per micro-batch, then each routed slice
+    * applies to its own MergeTable. Every destination records the same
+    * batchId, so replay idempotence holds per table; the cached classify
+    * means adding destinations costs one cheap filtered apply, not another
+    * JSON parse of the batch.
+    */
+  def startMulti(spark: SparkSession, cfg: MultiConfig): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.catalog.LakeCatalog(cfg.warehouse)
+    val tables: Map[(String, String), MergeTable] =
+      cfg.routes.map(r => (r.destDb, r.destTable)).distinct
+        .map { case (db, t) => (db, t) -> cat.getTable(db, t) }.toMap
+    val lines = landingLines(spark, cfg.landingDir,
+      cfg.maxFilesPerTrigger, cfg.maxBytesPerTrigger)
+
+    lines.writeStream
+      .queryName("cdc-pipeline-multi")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val classified = CdcTransformer.classifyMulti(batch, cfg.routes).cache()
+        try {
+          val res = CdcTransformer.fromClassifiedMulti(classified, cfg.routes)
+          CdcTransformer.writeErrors(res.errors, cfg.errorRoot)
+          tables.foreach { case ((db, t), table) =>
+            table.applyBatch(
+              res.good.filter(col("dest_db") === db && col("dest_table") === t),
+              Some(batchId.toString))
+          }
         } finally classified.unpersist()
       }
       .start()

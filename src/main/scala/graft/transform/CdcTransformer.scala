@@ -34,6 +34,18 @@ final case class TransformResult(good: DataFrame, errors: DataFrame)
   *     does not reject the record — the payload is still applied, matching
   *     the reference transformer which never inspects the timestamp
   */
+/** One source→destination routing rule: records whose envelope carries
+  * (schema-name, table-name) = (srcDatabase, srcTable) land in
+  * `destDb.destTable` — the reference's per-record otfMetadata routing
+  * (firehose_to_iceberg_transformer.py:36–42) as data, so one stream can
+  * fan records out to multiple destination tables.
+  */
+final case class CdcRoute(
+    srcDatabase: String,
+    srcTable: String,
+    destDb: String,
+    destTable: String)
+
 object CdcTransformer {
 
   val OpWhitelist: Seq[String] = Seq("insert", "update", "delete")
@@ -70,7 +82,20 @@ object CdcTransformer {
   def classify(
       lines: DataFrame,
       srcDatabase: String = "testdb",
-      srcTable: String = "retail_trans"): DataFrame = {
+      srcTable: String = "retail_trans"): DataFrame =
+    classifyMulti(lines,
+      Seq(CdcRoute(srcDatabase, srcTable, "ignored", "ignored")))
+
+  private def routeMatch(r: CdcRoute): Column =
+    trimmedEq(col("env.metadata.`schema-name`"), r.srcDatabase) &&
+      trimmedEq(col("env.metadata.`table-name`"), r.srcTable)
+
+  /** Multi-route classify: a record is selected when ANY route's source
+    * (schema, table) matches; everything else is the same single-pass,
+    * fully codegen'd whitelist/shape validation.
+    */
+  def classifyMulti(lines: DataFrame, routes: Seq[CdcRoute]): DataFrame = {
+    require(routes.nonEmpty, "at least one route required")
     val parsed = parse(lines)
 
     // Permissive from_json yields a struct of nulls (not a null struct) for
@@ -82,9 +107,7 @@ object CdcTransformer {
       col("env.data.trans_id").isNotNull &&
       col("env.metadata.operation").isNotNull
     val isDml = col("env.metadata.operation").isin(OpWhitelist: _*)
-    val tableMatch =
-      trimmedEq(col("env.metadata.`schema-name`"), srcDatabase) &&
-        trimmedEq(col("env.metadata.`table-name`"), srcTable)
+    val tableMatch = routes.map(routeMatch).reduce(_ || _)
 
     parsed.withColumn(
       "error_type",
@@ -100,7 +123,32 @@ object CdcTransformer {
   def fromClassified(
       classified: DataFrame,
       destDatabase: String = "cdc_iceberg_demo_db",
-      destTable: String = "retail_trans_iceberg"): TransformResult = {
+      destTable: String = "retail_trans_iceberg"): TransformResult =
+    fromClassifiedMulti(classified,
+      Seq(CdcRoute("testdb", "retail_trans", destDatabase, destTable)),
+      singleDest = true)
+
+  /** Multi-route projection: `dest_db`/`dest_table` become per-RECORD
+    * values chosen by the first matching route (P4 enrichment as data, not
+    * config). With `singleDest` the destination is a constant — the
+    * single-table path keeps its literal columns regardless of route
+    * predicates.
+    */
+  def fromClassifiedMulti(
+      classified: DataFrame,
+      routes: Seq[CdcRoute],
+      singleDest: Boolean = false): TransformResult = {
+    require(routes.nonEmpty, "at least one route required")
+    val destDb =
+      if (singleDest) lit(routes.head.destDb)
+      else routes.tail.foldLeft(when(routeMatch(routes.head), lit(routes.head.destDb))) {
+        (acc, r) => acc.when(routeMatch(r), lit(r.destDb))
+      }
+    val destTbl =
+      if (singleDest) lit(routes.head.destTable)
+      else routes.tail.foldLeft(when(routeMatch(routes.head), lit(routes.head.destTable))) {
+        (acc, r) => acc.when(routeMatch(r), lit(r.destTable))
+      }
     val good = classified
       .filter(col("error_type").isNull)
       .select(
@@ -118,8 +166,8 @@ object CdcTransformer {
         col("env.metadata.operation").as("operation"),
         try_to_timestamp(col("env.metadata.timestamp")).as("src_timestamp"),
         col("env.metadata.`transaction-id`").as("transaction_id"),
-        lit(destDatabase).as("dest_db"),
-        lit(destTable).as("dest_table"))
+        destDb.as("dest_db"),
+        destTbl.as("dest_table"))
 
     // Error sink layout: year/month/day/hour of *processing* time, matching
     // the reference's `error/year=!{timestamp:yyyy}/...` prefix tokens (F5).
