@@ -55,7 +55,10 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     // 50k-record micro-batches: large enough that per-batch fixed cost
-    // stops dominating and the rate reflects sustained apply throughput
+    // stops dominating and the rate reflects sustained apply throughput;
+    // one warmup batch pays the first-use streaming/codegen tax outside
+    // the timed window (CdcBench.warmup doc)
+    CdcBench.warmup(spark)
     val cdc = CdcBench.run(spark, nEvents = 200000L, nBatches = 4)
     // freshness = wall time per micro-batch (land → committed/queryable);
     // the reference's equivalent figure is 3–5 MINUTES (BASELINE.md)

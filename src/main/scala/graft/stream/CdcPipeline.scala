@@ -80,12 +80,21 @@ object CdcPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // classify once, cache: both routes (error sink + merge) otherwise
         // re-run the JSON parse — the expensive half of a micro-batch
+        val debug = sys.env.contains("GRAFT_CDC_DEBUG")
+        def timed[T](label: String)(f: => T): T =
+          if (!debug) f else {
+            val t0 = System.nanoTime()
+            val r = f
+            System.err.println(
+              f"[cdc b$batchId] $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+            r
+          }
         val classified = CdcTransformer
           .classify(batch, cfg.srcDatabase, cfg.srcTable).cache()
         try {
           val res = CdcTransformer.fromClassified(classified)
-          CdcTransformer.writeErrors(res.errors, cfg.errorRoot)
-          table.applyBatch(res.good, Some(batchId.toString))
+          timed("errors")(CdcTransformer.writeErrors(res.errors, cfg.errorRoot))
+          timed("apply")(table.applyBatch(res.good, Some(batchId.toString)))
         } finally classified.unpersist()
       }
       .start()

@@ -23,7 +23,12 @@ final case class Snapshot(
     // what produced this version: merge | append | compact | binpack |
     // overwrite | truncate | rollback — drives the incremental change
     // feed (maintenance ops are layout-only; replacement ops force resync)
-    op: String = "merge")
+    op: String = "merge",
+    // Some(n) when this snapshot's data files are EXACTLY a bucketed
+    // layout (hash(key) into n buckets, written by compactBucketed):
+    // reads then go through the session catalog's bucket-aware scan, so
+    // key joins/aggs need no Exchange. Any later delta clears it.
+    buckets: Option[Int] = None)
 
 /** A transactional lake table with Iceberg-v2-like semantics, implemented
   * natively over versioned Parquet + a manifest per snapshot (no
@@ -99,6 +104,7 @@ final class MergeTable(
     sb ++= s"version\t${s.version}\n"
     sb ++= s"op\t${s.op}\n"
     sb ++= s"requiresDedup\t${s.requiresDedup}\n"
+    s.buckets.foreach(n => sb ++= s"buckets\t$n\n")
     s.appliedBatches.toSeq.sorted.foreach(b => sb ++= s"batch\t$b\n")
     s.dataFiles.foreach { f =>
       s.fileStats.get(f) match {
@@ -116,6 +122,7 @@ final class MergeTable(
     val lines = Files.readAllLines(manifestPath(v)).asScala
     var requiresDedup = false
     var op = "merge"
+    var buckets: Option[Int] = None
     val data = Vector.newBuilder[String]
     val dels = Vector.newBuilder[String]
     val batches = Set.newBuilder[String]
@@ -124,6 +131,7 @@ final class MergeTable(
       l.split("\t", -1) match {
         case Array("op", x)                 => op = x
         case Array("requiresDedup", x)      => requiresDedup = x.toBoolean
+        case Array("buckets", x)            => buckets = Some(x.toInt)
         case Array("data", f)               => data += f
         case Array("data", f, lo, hi)       => data += f; stats += f -> ((lo.toLong, hi.toLong))
         case Array("delete", f)             => dels += f
@@ -132,7 +140,7 @@ final class MergeTable(
       }
     }
     Snapshot(v, data.result(), dels.result(), batches.result(), requiresDedup,
-      stats.result(), op)
+      stats.result(), op, buckets)
   }
 
   /** Current committed version, or -1 if the table is empty/uncreated. */
@@ -209,8 +217,12 @@ final class MergeTable(
   private def writeUpserts(rows: DataFrame, v: Long): Vector[String] = {
     val staged = stagingDir("data", v)
     val cols = payloadCols.map(col) :+ lit(v).as(SEQ)
-    val w = rows.select(cols: _*).write
-      .mode("overwrite").option("compression", "snappy")
+    // cluster by the partition value first: every task otherwise opens a
+    // file per partition dir it sees (32 tasks × |events| ≈ 200 small
+    // files PER micro-batch — file-open overhead dominated the apply path)
+    val clustered = partitionCol.fold(rows.select(cols: _*))(p =>
+      rows.select(cols: _*).repartition(col(p)))
+    val w = clustered.write.mode("overwrite").option("compression", "snappy")
     partitionCol.fold(w)(p => w.partitionBy(p)).parquet(staged.toString)
     adoptFiles(staged, dataDir, v)
   }
@@ -294,36 +306,53 @@ final class MergeTable(
 
       val cached = lww.cache()
       try {
-        // one aggregation job decides everything below — the naive
-        // per-question isEmpty() probes cost 3 extra jobs per micro-batch,
-        // which dominates small-batch streaming latency. The same job also
-        // yields the batch key range for data skipping: per-BATCH bounds
-        // (assigned to every file of the commit) cost zero extra jobs,
-        // unlike per-file footer stats which would re-read every new file.
+        // Zero dedicated metadata jobs per micro-batch: op counts and the
+        // batch key range ride the WRITE jobs as Observation metrics (the
+        // earlier standalone groupBy-collect was a full extra job per
+        // batch; before that, per-question isEmpty() probes were three).
+        // The key range gives per-BATCH data-skipping bounds for free —
+        // per-file footer stats would re-read every new file.
         val keyIsLong = schema(keyCol).dataType == LongType
-        val aggs = Seq(count(lit(1)).as("n")) ++
+        val upObs = org.apache.spark.sql.Observation()
+        val upMetrics = Seq(
+          count(lit(1)).as("nup"),
+          count(when(col("operation") === "update", 1)).as("nupd")) ++
           (if (keyIsLong) Seq(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
            else Nil)
-        val opRows = cached.groupBy(col("operation")).agg(aggs.head, aggs.tail: _*)
-          .collect()
-        val opCounts = opRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-        val nUpserts = opCounts.getOrElse("insert", 0L) + opCounts.getOrElse("update", 0L)
-        val nDeletes = opCounts.getOrElse("delete", 0L)
-        val anyUpdates = opCounts.getOrElse("update", 0L) > 0
+        val upserts = cached.filter(col("operation").isin("insert", "update"))
+          .observe(upObs, upMetrics.head, upMetrics.tail: _*)
+        val rawData = writeUpserts(upserts, v)
+        // an empty slice can collapse to a no-task plan that never emits
+        // its metrics row — absent metrics mean zero rows
+        val um = upObs.get
+        def metric(name: String): Long = um.get(name) match {
+          case Some(x: Long) => x
+          case Some(x: Number) => x.longValue()
+          case _ => 0L
+        }
+        val nUpserts = metric("nup")
+        val anyUpdates = metric("nupd") > 0
         val batchRange: Option[(Long, Long)] =
-          if (!keyIsLong) None
-          else {
-            val up = opRows.filter(r => r.getString(0) != "delete")
-            if (up.isEmpty) None
-            else Some((up.map(_.getLong(2)).min, up.map(_.getLong(3)).max))
-          }
-
+          if (keyIsLong && nUpserts > 0 && um.get("lo").exists(_ != null))
+            Some((metric("lo"), metric("hi")))
+          else None
+        // an all-delete batch still ran the (empty) write; unpartitioned
+        // writes emit 0-row part files from idle tasks — drop them
         val newData =
-          if (nUpserts == 0) Vector.empty[String]
-          else writeUpserts(cached.filter(col("operation").isin("insert", "update")), v)
+          if (nUpserts > 0) rawData
+          else { rawData.foreach(f => Files.deleteIfExists(dataDir.resolve(f))); Vector.empty }
+
+        val delObs = org.apache.spark.sql.Observation()
+        val rawDels = writeTombstones(
+          cached.filter(col("operation") === "delete")
+            .observe(delObs, count(lit(1)).as("ndel")), v)
+        val nDels = delObs.get.get("ndel") match {
+          case Some(x: Number) => x.longValue()
+          case _               => 0L
+        }
         val newDels =
-          if (nDeletes == 0) Vector.empty[String]
-          else writeTombstones(cached.filter(col("operation") === "delete"), v)
+          if (nDels > 0) rawDels
+          else { rawDels.foreach(f => Files.deleteIfExists(deleteDir.resolve(f))); Vector.empty }
 
         commit(Snapshot(
           v,
@@ -352,9 +381,93 @@ final class MergeTable(
     snapOpt match {
       case None                                 => emptyDf(spark)
       case Some(snap) if snap.dataFiles.isEmpty => emptyDf(spark)
+      case Some(snap) if snap.buckets.isDefined =>
+        // bucket-aware scan via the session catalog: outputPartitioning =
+        // HashPartitioning(key, n), so downstream key joins/aggs skip the
+        // Exchange entirely (bucketed snapshots are compacted → no merge)
+        ensureBucketTable(spark, snap)
+        spark.table(bucketTableName(snap.version))
+          .select(payloadCols.map(col): _*)
       case Some(snap)                           => readSnapshot(spark, snap)
     }
   }
+
+  private def bucketTableName(v: Long): String =
+    s"graft_bkt_${Integer.toHexString(root.hashCode)}_v$v"
+
+  private def bucketDir(v: Long): Path = dataDir.resolve(s"bucketed-v$v")
+
+  /** (Re)register the bucketed snapshot's catalog entry — metadata only,
+    * per session; the files on disk are the source of truth.
+    */
+  private def ensureBucketTable(spark: SparkSession, snap: Snapshot): Unit = {
+    val tbl = bucketTableName(snap.version)
+    if (!spark.catalog.tableExists(tbl)) {
+      val fileSchema = StructType(
+        schema.fields.filterNot(f => partitionCol.contains(f.name)) ++
+          Seq(StructField(SEQ, LongType)) ++ partitionCol.map(schema(_)))
+      val partClause = partitionCol.fold("")(p => s"PARTITIONED BY ($p)")
+      spark.sql(
+        s"""CREATE TABLE $tbl (${fileSchema.toDDL})
+           USING PARQUET
+           $partClause
+           CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO ${snap.buckets.get} BUCKETS
+           LOCATION '${bucketDir(snap.version)}'""")
+      if (partitionCol.isDefined)
+        spark.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
+    }
+  }
+
+  /** Compaction variant producing a BUCKETED layout: the merged state is
+    * hash-clustered by the merge key into `nBuckets` catalog-registered
+    * bucket files, so until the next delta commit every key-equi join or
+    * aggregation over `read()` compiles with ZERO exchanges (the 100 TB
+    * fact-fact join layout — see ScalePatterns.writeBucketed for the
+    * catalog-table analog). Later merge/append commits clear the bucket
+    * flag (their files aren't bucket-pure) and reads fall back to the
+    * path-based merge view; the next compactBucketed re-buckets.
+    * Bucketed layouts are dir-partition-free by design: bucket locality
+    * and partition pruning pull the layout in different directions, and
+    * this variant chooses join locality (partition-pruned workloads keep
+    * `compact()`).
+    */
+  def compactBucketed(spark: SparkSession, nBuckets: Int = 16): Unit =
+    synchronized {
+      require(nBuckets > 0)
+      val prev = currentSnapshot.getOrElse(return)
+      val v = prev.version + 1
+      val materialized = read(spark).cache()
+      try {
+        val range = keyRangeOf(materialized)
+        val tbl = bucketTableName(v)
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        // keep the dir-partition layout (if any) so a later DELTA commit's
+        // partitioned files and these bucket files read uniformly by path
+        val writer = materialized
+          .select(payloadCols.map(col) :+ lit(v).as(SEQ): _*)
+          .repartition(nBuckets, col(keyCol))
+          .write.mode("overwrite")
+          .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+          .option("path", bucketDir(v).toString)
+          .format("parquet")
+        partitionCol.fold(writer)(p => writer.partitionBy(p)).saveAsTable(tbl)
+        val files = withDirStream(Files.walk(bucketDir(v)))(
+          _.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+            .map(p => s"bucketed-v$v/${bucketDir(v).relativize(p)}")
+            .toVector.sorted)
+        commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
+          requiresDedup = false,
+          range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap),
+          op = "compact", buckets = Some(nBuckets)))
+        prev.dataFiles.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+        prev.deleteFiles.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+      } finally materialized.unpersist()
+    }
+
+  private def withDirStream[A, B](s: java.util.stream.Stream[A])(
+      f: java.util.stream.Stream[A] => B): B =
+    try f(s) finally s.close()
 
   /** Point lookup with manifest data skipping: only data files whose
     * (min, max) key range can contain one of `keys` are scanned — files
@@ -377,17 +490,27 @@ final class MergeTable(
     }
 
   private def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame = {
-    val paths = snap.dataFiles.map(f => dataDir.resolve(f).toString)
     // explicit schema (not inference): files written before a column
     // was added surface it as null — schema evolution without rewrites
     val fileSchema = StructType(
       schema.fields.filterNot(f => partitionCol.contains(f.name)) ++
         Seq(StructField(SEQ, LongType)) ++
         partitionCol.map(p => schema(p)))
-    val data = spark.read
-      .option("basePath", dataDir.toString)
+    // bucketed-layout files live one dir deeper (data/bucketed-vN/<part
+    // dirs>) than merge/append files (data/<part dirs>): mixed depths trip
+    // partition discovery (CONFLICTING_DIRECTORY_STRUCTURES), so read each
+    // group against its own basePath and union — at most one bucketed
+    // prefix can be live per snapshot, so this is ≤2 scans
+    val (bktFiles, plainFiles) = snap.dataFiles.partition(_.startsWith("bucketed-v"))
+    def readGroup(files: Seq[String], base: Path): DataFrame = spark.read
+      .option("basePath", base.toString)
       .schema(fileSchema)
-      .parquet(paths: _*)
+      .parquet(files.map(f => dataDir.resolve(f).toString): _*)
+    val groups =
+      (if (plainFiles.nonEmpty) Seq(readGroup(plainFiles, dataDir)) else Nil) ++
+        bktFiles.groupBy(f => f.substring(0, f.indexOf('/'))).toSeq.sortBy(_._1)
+          .map { case (prefix, files) => readGroup(files, dataDir.resolve(prefix)) }
+    val data = groups.reduce(_ unionByName _)
 
     if (!snap.requiresDedup) {
       data.select(payloadCols.map(col): _*)
@@ -632,6 +755,9 @@ final class MergeTable(
   def binPack(spark: SparkSession, maxFilesPerPartition: Int = 8): Unit =
     synchronized {
       val prev = currentSnapshot.getOrElse(return)
+      // a bucketed snapshot is already exactly nBuckets files, and packing
+      // would break the bucket-id file naming the catalog scan relies on
+      if (prev.buckets.isDefined) return
       val byDir = prev.dataFiles.groupBy(f =>
         f.lastIndexOf('/') match {
           case -1 => ""
