@@ -96,30 +96,92 @@ final class MergeTable(
   partitionCol.foreach(p => require(payloadCols.contains(p), s"partition $p not in schema"))
 
   // ---- manifest I/O (TSV: no JSON dependency, trivially streamable) ----
+  //
+  // Chunked, Iceberg-style: file/batch entry lines live in IMMUTABLE chunk
+  // files (`chunk-<id>.tsv`); each snapshot's `v<N>.manifest` holds only
+  // header lines plus `chunk` references. A commit reuses every previous
+  // chunk whose entries all survive, and writes ONE new chunk with the
+  // delta — so commit manifest I/O is O(changed entries + #chunks), not
+  // O(total table files). When references accumulate past MaxChunkRefs the
+  // commit folds them into one chunk (amortized LSM-ish maintenance).
+  // Legacy inline manifests (entry lines directly in v<N>.manifest) still
+  // parse — the line grammar is shared.
+
+  private val MaxChunkRefs = 64
 
   private def manifestPath(v: Long): Path = manifestDir.resolve(s"v$v.manifest")
 
-  private def writeManifest(s: Snapshot): Unit = {
+  /** Chunk files are immutable → cache by name for the instance lifetime. */
+  private val chunkCache = scala.collection.concurrent.TrieMap.empty[String, Vector[String]]
+
+  private def readChunk(name: String): Vector[String] =
+    chunkCache.getOrElseUpdate(name,
+      Files.readAllLines(manifestDir.resolve(name)).asScala.toVector)
+
+  private def writeChunk(lines: Seq[String]): String = {
+    val name = s"chunk-${UUID.randomUUID().toString.take(12)}.tsv"
+    val tmp = manifestDir.resolve(s".$name.tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, manifestDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    chunkCache.put(name, lines.toVector)
+    name
+  }
+
+  /** A snapshot's entries in canonical TSV-line form (the unit of chunk
+    * dedup/reuse).
+    */
+  private def entryLines(s: Snapshot): Vector[String] =
+    s.dataFiles.map { f =>
+      s.fileStats.get(f) match {
+        case Some((lo, hi)) => s"data\t$f\t$lo\t$hi"
+        case None           => s"data\t$f"
+      }
+    } ++
+      s.deleteFiles.map(f => s"delete\t$f") ++
+      s.appliedBatches.toVector.sorted.map(b => s"batch\t$b")
+
+  private[graft] def chunkRefsOf(v: Long): Vector[String] =
+    if (v < 0 || !Files.exists(manifestPath(v))) Vector.empty
+    else Files.readAllLines(manifestPath(v)).asScala.iterator.flatMap { l =>
+      l.split("\t", -1) match {
+        case Array("chunk", name) => Some(name)
+        case _                    => None
+      }
+    }.toVector
+
+  private[graft] def writeManifest(s: Snapshot): Unit = {
+    val lines = entryLines(s)
+    val want = lines.toSet
+    // reuse each predecessor chunk iff ALL its entries survive in s;
+    // chunks are disjoint by construction so reuse keeps them disjoint
+    val reusable = chunkRefsOf(s.version - 1)
+      .filter(r => readChunk(r).forall(want.contains))
+    val covered = reusable.iterator.flatMap(readChunk).toSet
+    val fresh = lines.filterNot(covered.contains)
+    val refs0 = reusable ++ (if (fresh.nonEmpty) Vector(writeChunk(fresh)) else Vector.empty)
+    val refs =
+      if (refs0.size <= MaxChunkRefs) refs0
+      else Vector(writeChunk(lines)) // fold: one chunk, ordered as s
     val sb = new StringBuilder
     sb ++= s"version\t${s.version}\n"
     sb ++= s"op\t${s.op}\n"
     sb ++= s"requiresDedup\t${s.requiresDedup}\n"
     s.buckets.foreach(n => sb ++= s"buckets\t$n\n")
-    s.appliedBatches.toSeq.sorted.foreach(b => sb ++= s"batch\t$b\n")
-    s.dataFiles.foreach { f =>
-      s.fileStats.get(f) match {
-        case Some((lo, hi)) => sb ++= s"data\t$f\t$lo\t$hi\n"
-        case None           => sb ++= s"data\t$f\n"
-      }
-    }
-    s.deleteFiles.foreach(f => sb ++= s"delete\t$f\n")
+    refs.foreach(r => sb ++= s"chunk\t$r\n")
     val tmp = manifestDir.resolve(s".v${s.version}.tmp")
     Files.writeString(tmp, sb.toString)
     Files.move(tmp, manifestPath(s.version), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def readManifest(v: Long): Snapshot = {
-    val lines = Files.readAllLines(manifestPath(v)).asScala
+  private[graft] def readManifest(v: Long): Snapshot = {
+    val raw = Files.readAllLines(manifestPath(v)).asScala
+    // splice chunk refs inline; legacy manifests carry entry lines directly
+    val lines = raw.iterator.flatMap { l =>
+      l.split("\t", -1) match {
+        case Array("chunk", name) => readChunk(name)
+        case _                    => Vector(l)
+      }
+    }
     var requiresDedup = false
     var op = "merge"
     var buckets: Option[Int] = None
@@ -836,6 +898,16 @@ final class MergeTable(
         Files.deleteIfExists(deleteDir.resolve(f)))
     }
     (0L until cutoff).foreach(v => Files.deleteIfExists(manifestPath(v)))
+    // chunks referenced only by expired manifests are orphans now
+    val referenced = (cutoff to latest)
+      .filter(v => Files.exists(manifestPath(v))).flatMap(chunkRefsOf).toSet
+    val all = withDirStream(Files.list(manifestDir))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("chunk-")).toVector)
+    all.filterNot(referenced).foreach { c =>
+      Files.deleteIfExists(manifestDir.resolve(c))
+      chunkCache.remove(c)
+    }
   }
 
   /** Scoped (minor) compaction: rewrite ONLY the data files that can hold
