@@ -1,0 +1,104 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graftshim.StreamShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.table.MergeTable
+
+/** Streaming source over a MergeTable's change feed — the engine's analog of
+  * an Iceberg/Delta incremental streaming read, closing the reference's loop
+  * where the lake table is itself the head of downstream pipelines
+  * (README.md:323–341 reads the continuously-updated table).
+  *
+  *   spark.readStream.format("graft-changes").option("path", tableRoot).load()
+  *
+  * Offsets are table versions (one `LongOffset` per committed snapshot), so
+  * the offset log is exactly the table's own commit history:
+  *   - a micro-batch covers the version range `(start, end]` and returns
+  *     `MergeTable.changesBetween` for it — upserts, tombstone deletes, and
+  *     `resync` markers for overwrite/truncate/rollback commits;
+  *   - compaction/bin-pack commits advance the offset but contribute zero
+  *     rows (layout-only), so maintenance never disturbs consumers;
+  *   - ranges compose (each version's delta is against its immediate
+  *     predecessor), so any micro-batch slicing yields the same multiset of
+  *     change rows as one batch `changesSince` call — spec-checked;
+  *   - same lag contract as batch incremental reads: compaction physically
+  *     drops the files it supersedes, so a consumer stopped long enough for
+  *     a compaction to land on unread versions must restart from a fresh
+  *     bootstrap (new checkpoint) rather than its old offset.
+  *
+  * At scale this is driver-cheap: `getOffset` reads one 8-byte `_latest`
+  * file, and planning a batch touches only the (chunked) manifests of the
+  * versions in range — O(delta), never O(table).
+  *
+  * Options: `path` (table root, required); `startVersion` (first batch covers
+  * `(startVersion, latest]`; default -1 = full history, i.e. a bootstrap
+  * load followed by incremental tailing — the reference's DMS full-load +
+  * CDC phasing in one source).
+  */
+final class ChangeFeedSource(
+    sqlContext: SQLContext,
+    tableRoot: String,
+    startVersion: Long)
+  extends Source {
+
+  private val table = MergeTable.open(tableRoot)
+
+  override val schema: StructType = table.changeFeedSchema
+
+  /** Latest committed table version; None until the first commit past the
+    * configured start. Re-reads `_latest` every call — no driver state to
+    * go stale when another session writes the table.
+    */
+  override def getOffset: Option[Offset] = {
+    val v = table.latestVersion
+    if (v <= startVersion) None else Some(LongOffset(v))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v)       => v
+    case so: SerializedOffset => LongOffset(so).offset
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startVersion)
+    StreamShim.asStreaming(
+      table.changesBetween(sqlContext.sparkSession, from, versionOf(end)))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ChangeFeedSource[$tableRoot]"
+}
+
+/** `format("graft-changes")` registration (via DataSourceRegister service
+  * loading) for [[ChangeFeedSource]].
+  */
+final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changes"
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-changes requires option 'path'"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), MergeTable.open(root(parameters)).changeFeedSchema)
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext, root(parameters),
+      parameters.get("startVersion").map(_.toLong).getOrElse(-1L))
+}

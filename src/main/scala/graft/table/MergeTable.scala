@@ -734,8 +734,26 @@ final class MergeTable(
     * consumers must resync — the same contract as Iceberg incremental
     * reads across rewrites.
     */
-  def changesSince(spark: SparkSession, fromVersion: Long): DataFrame = {
-    val latest = latestVersion
+  def changesSince(spark: SparkSession, fromVersion: Long): DataFrame =
+    changesBetween(spark, fromVersion, latestVersion)
+
+  /** Schema of the change feed rows: the table schema plus `_seq` (commit
+    * version) and `_change_type` (upsert/delete/resync).
+    */
+  def changeFeedSchema: StructType =
+    StructType(schema.fields ++ Seq(
+      StructField(SEQ, LongType),
+      StructField("_change_type", org.apache.spark.sql.types.StringType)))
+
+  /** Ranged change feed: changes committed in `(fromVersion, toVersion]`.
+    * The micro-batch unit of the streaming source (stream/ChangeFeedSource):
+    * deltas compose — concatenating consecutive ranges equals one big range,
+    * because each version's contribution is computed against its immediate
+    * predecessor either way.
+    */
+  def changesBetween(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    val latest = toVersion
+    require(latest <= latestVersion, s"toVersion $toVersion beyond $latestVersion")
     require(fromVersion >= -1 && fromVersion <= latest,
       s"fromVersion $fromVersion outside [-1, $latest]")
     val fileSchema = StructType(
@@ -745,13 +763,8 @@ final class MergeTable(
     def nullPayloadExcept(keep: Set[String]) = payloadCols.map(c =>
       if (keep(c)) col(c) else lit(null).cast(schema(c).dataType).as(c))
     val outCols = payloadCols :+ SEQ :+ "_change_type"
-    def emptyOut = {
-      val s = StructType(schema.fields ++ Seq(
-        StructField(SEQ, LongType), StructField("_change_type",
-          org.apache.spark.sql.types.StringType)))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    }
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeFeedSchema)
     if (fromVersion == latest) return emptyOut
 
     var prevSnap =

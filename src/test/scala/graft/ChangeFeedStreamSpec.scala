@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.fixtures.GoldenCorpus
+import graft.stream.CdcPipeline
+import graft.table.MergeTable
+
+/** Streaming source over the change feed (`format("graft-changes")`):
+  * consuming the feed as micro-batches must yield the exact multiset of
+  * change rows a single batch `changesSince(-1)` returns, regardless of how
+  * commits interleave with triggers — including compaction (emits nothing)
+  * and rollback (resync marker). Restarting from a checkpoint resumes at
+  * the recorded version offset with no duplicates.
+  */
+class ChangeFeedStreamSpec extends SparkSpec {
+
+  /** Change rows as order-insensitive comparable tuples (null-safe). */
+  private def multiset(df: DataFrame): Seq[(Option[Any], Option[Any], Any, Any)] = {
+    val rows = df.selectExpr("trans_id", "amount", "_seq", "_change_type").collect()
+    rows.toSeq.map(r => (Option(r.get(0)), Option(r.get(1)), r.get(2), r.get(3)))
+      .sortBy(_.toString)
+  }
+
+  private def assertSame(
+      got: Seq[(Option[Any], Option[Any], Any, Any)],
+      want: Seq[(Option[Any], Option[Any], Any, Any)]): Unit =
+    assert(got.sortBy(_.toString) === want.sortBy(_.toString))
+
+  private def feedStream(root: String): DataFrame =
+    spark.readStream.format("graft-changes").option("path", root).load()
+
+  test("micro-batched feed == keeping-up batch consumer across compaction and rollback") {
+    val root = tmpDir("cfstream") + "/t"
+    val t = MergeTable.retailTrans(root, threshold = 100)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("c0"))
+
+    // the batch-side expectation is captured incrementally, at the same
+    // points a keeping-up changesSince consumer would poll — compaction
+    // physically drops superseded files, so a from-scratch batch read
+    // across it must resync (the documented contract); the STREAM keeps
+    // working because its earlier micro-batches already consumed them
+    var expected = multiset(t.changesSince(spark, -1))
+    var cursor = t.latestVersion
+
+    val q = feedStream(root).writeStream
+      .format("memory").queryName("feed_all")
+      .option("checkpointLocation", tmpDir("cfstream-cp"))
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: (-1, v0]
+      assertSame(multiset(spark.table("feed_all")), expected)
+      assert(expected.size === 10)
+
+      CdcPipeline.replayBatch(spark,
+        GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("c1"))
+      expected ++= multiset(t.changesSince(spark, cursor))
+      cursor = t.latestVersion
+      q.processAllAvailable() // consume the DML delta while its files live
+      val afterDml = multiset(spark.table("feed_all"))
+      assertSame(afterDml, expected)
+      assert(afterDml.count(_._4 == "delete") === 3)
+
+      t.compactScoped(spark) // layout-only commit: advances offset, zero rows
+      expected ++= multiset(t.changesSince(spark, cursor))
+      cursor = t.latestVersion
+      q.processAllAvailable()
+      assertSame(multiset(spark.table("feed_all")), expected)
+
+      t.rollbackTo(0) // resync marker
+      expected ++= multiset(t.changesSince(spark, cursor))
+      q.processAllAvailable()
+      val all = multiset(spark.table("feed_all"))
+      assertSame(all, expected)
+      assert(all.count(_._4 == "resync") === 1)
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes at the version offset with no duplicates") {
+    val root = tmpDir("cfrestart") + "/t"
+    val t = MergeTable.retailTrans(root, threshold = 100)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("c0"))
+
+    val out = tmpDir("cfrestart-out")
+    val cp = tmpDir("cfrestart-cp")
+    def run(): Unit = {
+      val q = feedStream(root).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // delivers (-1, v0]
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("c1"))
+    run() // restart: offset restored from checkpoint → delivers only (v0, v1]
+
+    val sunk = spark.read.schema(t.changeFeedSchema).parquet(out)
+    assert(multiset(sunk) === multiset(t.changesSince(spark, -1)))
+    // v0's 10 bootstrap rows appear exactly once — not re-delivered
+    assert(sunk.where("_seq = 0").count() === 10)
+  }
+
+  test("startVersion skips the bootstrap; maintenance-only commits deliver nothing") {
+    val root = tmpDir("cfstart") + "/t"
+    val t = MergeTable.retailTrans(root, threshold = 100)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("c0"))
+    val v0 = t.latestVersion
+
+    val q = spark.readStream.format("graft-changes")
+      .option("path", root).option("startVersion", v0.toString)
+      .load()
+      .writeStream.format("memory").queryName("feed_tail")
+      .option("checkpointLocation", tmpDir("cfstart-cp"))
+      .start()
+    try {
+      q.processAllAvailable() // nothing past v0 yet
+      assert(spark.table("feed_tail").count() === 0)
+      t.binPack(spark) // maintenance commit only
+      q.processAllAvailable()
+      assert(spark.table("feed_tail").count() === 0)
+      CdcPipeline.replayBatch(spark,
+        GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("c1"))
+      q.processAllAvailable()
+      val tail = multiset(spark.table("feed_tail"))
+      assert(tail === multiset(t.changesSince(spark, v0)))
+      assert(tail.nonEmpty)
+    } finally q.stop()
+  }
+}
