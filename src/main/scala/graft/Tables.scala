@@ -23,15 +23,32 @@ object Tables {
     * (regex, n-gram shingling, array math). The local test tables are
     * single-row-group parquet — unsplittable below one task — so without
     * this the whole scan-side pipeline runs on one core of 32. Adaptive:
-    * when the source already plans at least `parallelism` partitions (the
-    * normal case on a cluster, where inputs have many splits) this is a
-    * no-op — the reshuffle only happens for the few-huge-splits corner it
-    * exists to fix. (Inspecting the planned partitioning costs one plan
-    * analysis, no execution.)
+    * when the source will plan at least `parallelism` splits (the normal
+    * case on a cluster, where inputs have many files) this is a no-op —
+    * the reshuffle only happens for the few-huge-splits corner it exists
+    * to fix. The split count is ESTIMATED from leaf file-relation sizes
+    * (ceil(bytes / maxPartitionBytes), Spark's own split formula sans
+    * open-cost padding) so the probe costs one plan analysis — NOT
+    * `df.rdd.getNumPartitions`, which physically plans and codegen-compiles
+    * the query just to read a count, a per-query planning tax at scale.
+    * Non-file leaves (local/in-memory data) are assumed already parallel.
     */
   def fanout(df: DataFrame): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= parallelism) df
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
+    val estimatedSplits = df.queryExecution.analyzed.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            math.max(1L, (fs.location.sizeInBytes + maxSplit - 1) / maxSplit)
+          case _ => parallelism.toLong
+        }
+      case _ => parallelism.toLong
+    }.sum
+    if (estimatedSplits >= parallelism) df
     else df.repartition(parallelism)
   }
 

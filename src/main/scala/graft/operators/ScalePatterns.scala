@@ -23,6 +23,12 @@ object ScalePatterns {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int = 8): DataFrame = {
     require(salts > 0)
+    // Salt values are partitioning-dependent (monotonically_increasing_id
+    // encodes the partition index) — safe HERE because the salt never
+    // reaches the output and join correctness holds for ANY salt
+    // assignment: each left row joins the right replica carrying its own
+    // salt, whatever that salt is. Never let this id reach merge/LWW
+    // ordering or result columns.
     val salted = left.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id(), rand(42)), lit(salts)).cast("int"))
     val replicated = right.withColumn("_salt",
