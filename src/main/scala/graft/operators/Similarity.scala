@@ -140,53 +140,64 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
-  /** Deterministic Lloyd-trained IVF centroids: init = the `nlist`
-    * lowest-id corpus vectors (unit-normalized), then `iters` rounds of
-    * broadcast argmax-dot assignment + fully-distributed means (posexplode
-    * → partially-aggregated avg — no cell ever funnels through one task).
-    * Returns unit-norm centroid rows (cent_id, cv).
+  /** Deterministic Lloyd-trained IVF centroids on a BOUNDED sample.
+    *
+    * One distributed top-N pass draws `nlist`×64 unit-normalized vectors
+    * in deterministic hash order (the Faiss recipe — IVF coarse quantizers
+    * train on a fixed-size sample, not the corpus), then Lloyd runs
+    * locally over that ≤512 KB sample: init = the sample's `nlist`
+    * lowest-id vectors, `iters` rounds of argmax-dot assignment + mean +
+    * renormalize. Training cost is therefore ~constant in corpus size —
+    * one scan, zero per-iteration jobs — and the result is broadcast to
+    * the (distributed) assignment pass. Centroid quality only affects how
+    * much `ivfTopKExact`'s phase-2 bound prunes — never which rows it
+    * returns. Returns unit-norm centroid rows (cent_id, cv).
     */
   private[graft] def trainCentroids(corpus: DataFrame, nlist: Int,
       iters: Int = 3): Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val unit = asDouble(corpus)
+    val sample: Array[(Long, Array[Double])] = asDouble(corpus)
       .withColumn("n", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
       .filter(col("n") > 0)
       .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("u"))
-      .cache()
-    try {
-      var cents: Array[Array[Double]] = unit.orderBy(col("vec_id")).limit(nlist)
-        .select(col("u")).as[Array[Double]].collect()
-      var it = 0
-      while (it < iters) {
-        val bc = spark.sparkContext.broadcast(cents)
-        val assigned = unit.as[(Long, Array[Double])].map { case (id, u) =>
-          val cs = bc.value
-          var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
-          while (c < cs.length) {
-            val cv = cs(c); var dot = 0.0; var i = 0
-            while (i < u.length) { dot += u(i) * cv(i); i += 1 }
-            if (dot > bestDot) { bestDot = dot; best = c }
-            c += 1
-          }
-          (id, best)
-        }.toDF("vec_id", "cell")
-        val means = assigned.join(unit, "vec_id")
-          .select(col("cell"), posexplode(col("u")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-          .collect()
-        val next = cents.map(_.clone())
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        next.indices.foreach { c =>
-          val n = math.sqrt(next(c).map(x => x * x).sum)
-          if (n > 0) next(c).indices.foreach(i => next(c)(i) /= n)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist * 64)
+      .as[(Long, Array[Double])].collect()
+    require(sample.nonEmpty, "cannot train centroids on an empty corpus")
+
+    var cents: Array[Array[Double]] =
+      sample.sortBy(_._1).take(nlist).map(_._2.clone())
+    val dim = cents(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { case (_, u) =>
+        var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+        while (c < cents.length) {
+          val cv = cents(c); var dot = 0.0; var i = 0
+          while (i < u.length) { dot += u(i) * cv(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
         }
-        cents = next
-        it += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += u(i); i += 1 }
+        counts(best) += 1
       }
-      cents.zipWithIndex.map { case (v, i) => (i, v) }
-    } finally unit.unpersist()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      next.indices.foreach { c =>
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { next(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        val n = math.sqrt(next(c).map(x => x * x).sum)
+        if (n > 0) next(c).indices.foreach(i => next(c)(i) /= n)
+      }
+      cents = next
+      it += 1
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v) }
   }
 
   /** IVF with trained centroids AND an exactness guarantee — the scale
@@ -211,18 +222,40 @@ object Similarity {
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = trainCentroids(corpus, nlist, iters)
-      .toSeq.toDF("cent_id", "cv")
+    val centArr = trainCentroids(corpus, nlist, iters)
+    val cents = centArr.toSeq.toDF("cent_id", "cv")
     val c = asDouble(corpus)
 
-    // assignment on UNROUNDED similarity; keep it for the radius too
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("csim", GraftFunctions.cosineSim(spark, col("v"), col("cv")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"), col("csim"))
+    // Cell assignment = per-row argmax over the broadcast centroid set —
+    // ONE narrow pass, no shuffle. (A crossJoin + row_number formulation
+    // blows the corpus up nlist× and shuffle-sorts it per query; at 100 TB
+    // that's the difference between a scan and a 16×-corpus exchange.)
+    // Ties keep the lowest cent_id, matching the window tie-break the
+    // approximate ivfTopK uses. Assignment is on UNROUNDED similarity;
+    // it doubles as the radius input, so the geometry stays consistent.
+    val bcCents = spark.sparkContext.broadcast(centArr.map(_._2))
+    val assigned = c.as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bcCents.value
+      val cNorms = cs.map { cv =>
+        var s = 0.0; var i = 0
+        while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+        math.sqrt(s)
+      }
+      it.map { case (id, v) =>
+        var nv = 0.0; var i = 0
+        while (i < v.length) { nv += v(i) * v(i); i += 1 }
+        val vn = math.sqrt(nv)
+        var best = 0; var bestSim = Double.NegativeInfinity; var ci = 0
+        while (ci < cs.length) {
+          val cv = cs(ci); var dot = 0.0; var j = 0
+          while (j < v.length) { dot += v(j) * cv(j); j += 1 }
+          val sim = dot / (vn * cNorms(ci))
+          if (sim > bestSim) { bestSim = sim; best = ci }
+          ci += 1
+        }
+        (id, v, best, bestSim)
+      }
+    }.toDF("vec_id", "v", "cell", "csim")
       .cache()
 
     // per-cell angular radius, slack for fp + the 4dp output rounding
