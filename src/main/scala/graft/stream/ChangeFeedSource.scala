@@ -26,10 +26,11 @@ import graft.table.MergeTable
   *   - ranges compose (each version's delta is against its immediate
   *     predecessor), so any micro-batch slicing yields the same multiset of
   *     change rows as one batch `changesSince` call — spec-checked;
-  *   - same lag contract as batch incremental reads: compaction physically
-  *     drops the files it supersedes, so a consumer stopped long enough for
-  *     a compaction to land on unread versions must restart from a fresh
-  *     bootstrap (new checkpoint) rather than its old offset.
+  *   - same lag contract as batch incremental reads: compaction rewrites
+  *     are metadata-only (superseded files stay until snapshot expiry), so
+  *     lagging consumers keep working across rewrites; only a consumer
+  *     stopped past `expireSnapshots` of its unread versions must restart
+  *     from a fresh bootstrap (new checkpoint) rather than its old offset.
   *
   * At scale this is driver-cheap: `getOffset` reads one 8-byte `_latest`
   * file, and planning a batch touches only the (chunked) manifests of the

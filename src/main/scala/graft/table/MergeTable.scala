@@ -671,6 +671,8 @@ final class MergeTable(
     synchronized {
       batchId.foreach(id => require(!id.exists(c => c == '\t' || c == '\n'),
         "batchId must not contain tab/newline (manifest is TSV)"))
+      if (batchId.exists(id =>
+          currentSnapshot.exists(_.appliedBatches.contains(id)))) return
       val v = latestVersion + 1
       val range = keyRangeOf(rows)
       val files = writeUpserts(rows, v)
@@ -729,10 +731,11 @@ final class MergeTable(
     *     upserts; truncate and rollback emit only the marker — on a
     *     marker, clear state (and re-read the table for rollback).
     *
-    * The requested range must lie within retained history whose files
-    * still exist: compaction physically drops superseded files, so lagging
-    * consumers must resync — the same contract as Iceberg incremental
-    * reads across rewrites.
+    * The requested range must lie within retained history: compaction
+    * rewrites are metadata-only (superseded files stay on disk for older
+    * snapshots), so lagging consumers keep working across rewrites and
+    * only `expireSnapshots` invalidates a range — the same contract as
+    * Iceberg incremental reads.
     */
   def changesSince(spark: SparkSession, fromVersion: Long): DataFrame =
     changesBetween(spark, fromVersion, latestVersion)
@@ -993,8 +996,7 @@ final class MergeTable(
       // metadata-only: nothing can collide or be deleted — flip the flag
       commit(Snapshot(v, prev.dataFiles, Vector.empty, prev.appliedBatches,
         requiresDedup = false, prev.fileStats, op = "compact"))
-      prev.deleteFiles.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
-      return
+      return // tombstones stay on disk for older snapshots until expiry
     }
 
     val merged = readSnapshot(spark,
@@ -1009,8 +1011,8 @@ final class MergeTable(
           range.fold(Map.empty[String, (Long, Long)])(r =>
             newFiles.map(_ -> r).toMap),
         op = "compact"))
-      affected.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
-      prev.deleteFiles.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+      // superseded data files and tombstones stay for retained snapshots;
+      // expireSnapshots reclaims them (Iceberg rewrite/expire split)
     } finally merged.unpersist()
   }
 
@@ -1026,16 +1028,14 @@ final class MergeTable(
     try {
       val range = keyRangeOf(materialized) // cached — cheap agg, no re-scan
       val files = writeUpserts(materialized, v)
-      val obsoleteData = prev.dataFiles
-      val obsoleteDels = prev.deleteFiles
       commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
         requiresDedup = false,
         range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap),
         op = "compact"))
-      // Physically drop superseded files only after the pointer swap; crash
-      // in between leaves harmless orphans, never a broken snapshot.
-      obsoleteData.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
-      obsoleteDels.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+      // Superseded files stay on disk: older retained snapshots still
+      // reference them (time travel, rollback, lagging feed consumers);
+      // expireSnapshots physically deletes them once no retained manifest
+      // does — the Iceberg rewrite/expire split.
     } finally materialized.unpersist()
   }
 }

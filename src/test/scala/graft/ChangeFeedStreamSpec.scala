@@ -37,10 +37,8 @@ class ChangeFeedStreamSpec extends SparkSpec {
       GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("c0"))
 
     // the batch-side expectation is captured incrementally, at the same
-    // points a keeping-up changesSince consumer would poll — compaction
-    // physically drops superseded files, so a from-scratch batch read
-    // across it must resync (the documented contract); the STREAM keeps
-    // working because its earlier micro-batches already consumed them
+    // points a keeping-up changesSince consumer would poll — range
+    // composition is exactly the property the streaming source relies on
     var expected = multiset(t.changesSince(spark, -1))
     var cursor = t.latestVersion
 
