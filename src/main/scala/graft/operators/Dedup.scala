@@ -151,6 +151,21 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
 
+  /** Dedup SURVIVORS — the filtered corpus after near-dup clustering:
+    * every document keeps its row unless it sits in a cluster and is not
+    * that cluster's minimum doc_id (the canonical representative). This is
+    * the final step of the dedup pipeline (pairs → clusters → survivors):
+    * what actually feeds training. One left-anti join against the
+    * (clusters-sized, i.e. tiny relative to the corpus) non-representative
+    * set — broadcast-able at any scale.
+    */
+  def survivors(df: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val dropped = nearDupClusters(df, n, threshold)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    df.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** MinHash + banded LSH: k per-row signature mins over the shingle array
     * (array_min ∘ transform — no explosion, no groupBy), band keys from
     * hashing signature slices, candidates from an equi-join on

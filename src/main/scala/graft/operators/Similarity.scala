@@ -301,6 +301,30 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
+  /** Symmetric int8 quantization per embedding — the training-pipeline
+    * storage-shrink step (4× smaller than f32): scale = max|x|/127, codes
+    * = floor(x/scale + 0.5) (explicit half-up on IEEE doubles — identical
+    * in any engine, no decimal/banker's-rounding divergence), plus the
+    * reconstruction MSE so a pipeline can gate on quantization loss.
+    * Row-local arithmetic only: embarrassingly parallel at any scale.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val e = asDouble(emb)
+    val maxabs = aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x)))
+    e.withColumn("scale", maxabs / 127)
+      .filter(col("scale") > 0)
+      .withColumn("codes",
+        transform(col("v"), x => floor(x / col("scale") + 0.5).cast("long")))
+      .withColumn("code_sum",
+        aggregate(col("codes"), lit(0L), (a, x) => a + x))
+      .withColumn("mse",
+        aggregate(zip_with(col("v"), col("codes"),
+            (x, c) => (x - c * col("scale")) * (x - c * col("scale"))),
+          lit(0.0), (a, x) => a + x) / size(col("v")))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        col("code_sum"), round(col("mse"), 6).as("mse_r"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     val c = withLshBucket(asDouble(corpus), nBits)

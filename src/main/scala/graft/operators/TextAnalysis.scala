@@ -63,6 +63,32 @@ object TextAnalysis {
     */
   def quant4(c: Column): Column = floor(c * 10000) / 10000
 
+  /** Repetition quality signals (the Gopher/RefinedWeb-style filters):
+    * duplicate-word fraction and duplicate-bigram fraction per document —
+    * high values mean boilerplate/template text a training pipeline drops.
+    * Whitespace tokenization matches the dedup shingler; ratios are
+    * 4dp-floored (`quant4`) for cross-engine comparability. Row-local
+    * projections: embarrassingly parallel at any scale.
+    */
+  def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = filter(split(col(textCol), " "), x => x =!= "")
+    val nw = size(w)
+    val bigrams = when(nw >= 2,
+      transform(sequence(lit(0), nw - 2),
+        i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
+      .otherwise(array())
+    df.withColumn("n_words", nw.cast("long"))
+      .withColumn("dup_word_frac",
+        when(nw > 0, quant4(lit(1.0) -
+          size(array_distinct(w)).cast("double") / nw)).otherwise(lit(0.0)))
+      .withColumn("_bg", bigrams)
+      .withColumn("dup_bigram_frac",
+        when(size(col("_bg")) > 0, quant4(lit(1.0) -
+          size(array_distinct(col("_bg"))).cast("double") / size(col("_bg"))))
+          .otherwise(lit(0.0)))
+      .drop("_bg")
+  }
+
   /** Quality metrics + composite score per document. */
   def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

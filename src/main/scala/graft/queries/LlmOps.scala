@@ -168,7 +168,26 @@ object LlmOps {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"))
-        .orderBy(col("shard")))
+        .orderBy(col("shard"))),
+
+    // pairs -> clusters -> the FILTERED corpus (what actually feeds
+    // training): drop every non-representative cluster member
+    "q66_dedup_survivors" -> ((s, d) =>
+      Dedup.survivors(Tables.fanout(Tables.documents(s, d)),
+          n = 3, threshold = 0.8)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
+    // Gopher-style repetition filters: duplicate word / bigram fractions
+    "q67_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.fanout(Tables.documents(s, d)))
+        .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+          col("dup_bigram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // int8 embedding quantization + reconstruction-loss gate
+    "q68_embed_quant" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.fanout(Tables.embeddings(s, d)))
+        .orderBy(col("vec_id")))
   )
 
   private val langCase: String = {
@@ -439,6 +458,70 @@ object LlmOps {
                  percent_rank() OVER (PARTITION BY lang
                    ORDER BY n_chars, doc_id) AS pr
                FROM documents) t
-         GROUP BY lang, decile ORDER BY lang, decile"""
+         GROUP BY lang, decile ORDER BY lang, decile""",
+    // survivors = everything except non-representative cluster members;
+    // clusters replicated via the same recursive-CTE reachability as q64
+    "q66_dedup_survivors" ->
+      """WITH RECURSIVE
+         docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+         pairs AS (SELECT da, db
+            FROM cm JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+            WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8),
+         edges AS (SELECT da AS a, db AS b FROM pairs
+                   UNION SELECT db, da FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                   UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         clusters AS (SELECT n.a AS doc_id, least(n.a, min(r.b)) AS cluster
+            FROM (SELECT DISTINCT a FROM edges) n JOIN reach r ON r.a = n.a
+            GROUP BY n.a)
+         SELECT d.doc_id FROM documents d
+         LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         WHERE c.cluster IS NULL OR c.cluster = d.doc_id
+         ORDER BY d.doc_id""",
+    "q67_repetition" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         t AS (SELECT doc_id, len(w) AS nw, w,
+              CASE WHEN len(w) >= 2
+                THEN list_transform(generate_series(1, len(w)-1),
+                     i -> w[i] || ' ' || w[i+1])
+                ELSE CAST([] AS VARCHAR[]) END AS bg
+            FROM docs)
+         SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+           CASE WHEN nw > 0
+             THEN floor((1.0 - 1.0*len(list_distinct(w))/nw)*10000)/10000
+             ELSE 0.0 END AS dup_word_frac,
+           CASE WHEN len(bg) > 0
+             THEN floor((1.0 - 1.0*len(list_distinct(bg))/len(bg))*10000)/10000
+             ELSE 0.0 END AS dup_bigram_frac
+         FROM t ORDER BY doc_id""",
+    "q68_embed_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         s AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x)))/127 AS scale FROM e),
+         c AS (SELECT vec_id, v, scale,
+              list_transform(v, x -> CAST(floor(x/scale + 0.5) AS BIGINT)) AS codes
+            FROM s WHERE scale > 0)
+         SELECT vec_id, round(scale, 6) AS scale_r,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           round(list_sum(list_transform(generate_series(1, len(v)),
+               i -> (v[i] - codes[i]*scale)*(v[i] - codes[i]*scale)))/len(v), 6)
+             AS mse_r
+         FROM c ORDER BY vec_id"""
   )
 }

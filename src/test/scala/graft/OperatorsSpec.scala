@@ -127,6 +127,58 @@ class OperatorsSpec extends SparkSpec {
     assert(f1.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
   }
 
+  test("dedup survivors = corpus minus non-representative cluster members") {
+    val clusters = Dedup.nearDupClusters(docs, 3, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val surviving = Dedup.survivors(docs, 3, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    assert(clusters.nonEmpty, "test data should contain near-dup clusters")
+    // every clustered doc survives iff it is its cluster's representative
+    clusters.foreach { case (id, label) =>
+      assert(surviving.contains(id) === (id == label), s"doc $id label $label") }
+    // unclustered docs all survive
+    val clustered = clusters.map(_._1).toSet
+    assert((allIds -- clustered).subsetOf(surviving))
+    assert(surviving.size === allIds.size - clusters.count { case (id, l) => id != l })
+  }
+
+  test("repetition fractions match hand computation") {
+    val df = Seq(
+      (1L, "a a a a"),           // 1 distinct word of 4; bigrams all "a a"
+      (2L, "x y x y"),           // 2/4 words dup; bigrams x y, y x, x y -> 1/3 dup
+      (3L, "all words differ"),  // no dups
+      (4L, "solo"),              // single word: no bigrams
+      (5L, ""))                  // empty: both 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df)
+      .select($"doc_id", $"n_words", $"dup_word_frac", $"dup_bigram_frac")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 0.75, math.floor(2.0 / 3 * 10000) / 10000)))
+    assert(out(2L) === ((4L, 0.5, math.floor(1.0 / 3 * 10000) / 10000)))
+    assert(out(3L) === ((3L, 0.0, 0.0)))
+    assert(out(4L) === ((1L, 0.0, 0.0)))
+    assert(out(5L) === ((0L, 0.0, 0.0)))
+  }
+
+  test("int8 quantization: codes bounded, reconstruction error below half-step") {
+    val quant = Similarity.quantizeInt8(embs)
+    val n = embs.count()
+    assert(quant.count() === n) // no zero vectors in the fixture -> none dropped
+    // recompute codes from raw vectors and assert |code| <= 127 and
+    // per-element |x - code*scale| <= scale/2 (half-up rounding bound)
+    val checked = embs
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("scale",
+        aggregate($"v", lit(0.0), (a, x) => greatest(a, abs(x))) / 127)
+      .withColumn("bad_code", exists(transform($"v",
+        x => abs(floor(x / $"scale" + 0.5))), c => c > 127))
+      .withColumn("bad_err", exists($"v",
+        x => abs(x - floor(x / $"scale" + 0.5) * $"scale") > $"scale" / 2 + 1e-12))
+      .filter($"bad_code" || $"bad_err")
+    assert(checked.count() === 0)
+  }
+
   test("multimodal: frame sampling slices the payload") {
     val media = Multimodal.toMedia(docs.limit(5)).toDF()
     val out = Multimodal.frameSample(media, frameLen = 16, maxFrames = 4)
