@@ -93,6 +93,77 @@ object CorpusOps {
       .select(col(labelCol), col("cnt"), col("weight"))
   }
 
+  /** Cross-source n-gram overlap matrix: for each unordered source pair,
+    * the number of DISTINCT word n-gram shingles appearing in both — the
+    * corpus-mixing diagnostic (template reuse, syndication, eval-set
+    * bleed between slices) run before fixing a training mixture.
+    * Inverted-index shape: per-doc shingles join the doc→source map,
+    * collapse to distinct (source, shingle), then self-equi-join on the
+    * 8-byte shingle hash with `source_a < source_b`. The distinct
+    * (source, shingle) relation is bounded by |sources|×|vocabulary|,
+    * not corpus size, so the pair join never sees document cardinality.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+      srcCol: String = "source"): DataFrame = {
+    val srcOf = docs.select(col("doc_id"), col(srcCol).as("src"))
+    val bySrc = Dedup.shingles(docs, n)
+      .join(srcOf, Seq("doc_id"))
+      .select(col("src"), col("s")).distinct()
+    bySrc.as("a").join(bySrc.as("b"),
+        col("a.s") === col("b.s") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Boilerplate prevalence per document: the fraction of a document's
+    * distinct n-gram shingles whose corpus document-frequency is at
+    * least `minDf` — the C4/RefinedWeb-style signal for template text
+    * (navigation chrome, legal footers) a training pipeline strips or
+    * down-weights. Two inverted-index passes over (doc, shingle) rows —
+    * one aggregation for document frequency, one semi-join back — both
+    * shuffling 8-byte hash keys; the shingle relation is persisted so
+    * the two passes share one tokenization scan.
+    */
+  def boilerplate(docs: DataFrame, n: Int = 3, minDf: Int = 20): DataFrame = {
+    val sh = Dedup.shingleArrays(docs, n)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("s"))
+      .persist()
+    val common = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))   // shingles are distinct per doc → df
+      .filter(col("df") >= minDf)
+      .select(col("s"))
+    val boiler = sh.join(common, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    val out = sh.select(col("doc_id"), col("n_shingles")).distinct()
+      .join(boiler, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_frac",
+        TextAnalysis.quant4(col("n_boiler").cast("double") / col("n_shingles")))
+    out.count() // materialize while sh is pinned, then release the pin
+    sh.unpersist()
+    out
+  }
+
+  /** Temperature-scaled mixture weights: sampling probability per corpus
+    * slice q_i ∝ (token share)^alpha — the standard multilingual /
+    * multi-source rebalancing rule (alpha < 1 lifts low-resource slices,
+    * alpha = 1 is proportional). One global aggregation over per-row
+    * token counts; the result is slice-cardinality-sized, so the final
+    * normalization cross-join is against a one-row total.
+    */
+  def mixtureWeights(docs: DataFrame, groupCol: String,
+      alpha: Double = 0.5, textCol: String = "text"): DataFrame = {
+    val counts = docs.groupBy(col(groupCol))
+      .agg(sum(size(TextAnalysis.wsTokens(col(textCol))).cast("long"))
+        .as("n_tokens"))
+    val powed = counts.withColumn("p",
+      pow(col("n_tokens").cast("double"), lit(alpha)))
+    powed.crossJoin(powed.agg(sum(col("p")).as("tp")))
+      .withColumn("weight", TextAnalysis.quant4(col("p") / col("tp")))
+      .select(col(groupCol), col("n_tokens"), col("weight"))
+  }
+
   /** Token-budget shard packing: documents (in id order) are assigned to
     * consecutive training shards of ~`budget` tokens each via a running
     * token sum — the deterministic sequential-fill sharding used to cut a
