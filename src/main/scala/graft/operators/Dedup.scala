@@ -479,7 +479,12 @@ object Dedup {
       }
       buf
     }.toDF("vec_a", "vec_b", "cos_sim")
-    out
+    // Materialize eagerly so `packed` can be released here: a lazy return
+    // would pin the cached block data in executor storage for the session
+    // lifetime. The checkpoint holds only the qualifying pairs (output-
+    // sized, not input-sized) and is ContextCleaner-reclaimed once the
+    // returned frame is unreferenced.
+    try out.localCheckpoint(true) finally packed.unpersist()
   }
 
   /** The triangle-inequality block-pair filter, exposed for plan/spec

@@ -191,6 +191,11 @@ final case class GraftMergeCommand(
         a match {
           case ua: UpdateAction =>
             val set = ua.assignments.map(s => assignName(s) -> fix(s.value)).toMap
+            // assigning the merge key would upsert under the NEW key while
+            // the old row stays live — silent duplication, not an update
+            // (same guard as MergeTable.updateWhere)
+            require(!set.contains(table.keyCol),
+              s"MERGE UPDATE cannot assign merge key ${table.keyCol}")
             eligible.select(payload.map(c =>
               set.getOrElse(c, if (targetSide) fromTarget(c) else nullCol(c)).as(c)): _*)
               .withColumn("operation", lit("update"))

@@ -4,12 +4,13 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TruncatableTable}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -80,18 +81,34 @@ final class GraftSqlTable(
     }
 
   /** V1 write: INSERT INTO → transactional append; INSERT OVERWRITE /
-    * truncate-mode write → snapshot replacement (time travel retained).
+    * truncate-mode write → full snapshot replacement; filtered overwrite
+    * (static-mode `INSERT OVERWRITE ... PARTITION (p = 'x')`) → atomic
+    * replacement of exactly the matching rows via
+    * [[MergeTable.overwriteWhere]] (time travel retained in every mode).
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var replace = false
-      override def truncate(): WriteBuilder = { replace = true; this }
+    new WriteBuilder with SupportsOverwrite {
+      // None = plain append; Some(all-AlwaysTrue) = truncate-mode
+      // replacement (SupportsOverwrite.truncate defaults to
+      // overwrite(AlwaysTrue)); Some(other) = filtered overwrite
+      private var overwriteFilters: Option[Array[Filter]] = None
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        overwriteFilters = Some(filters); this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
-              if (replace || overwrite) mergeTable.overwrite(data)
-              else mergeTable.appendAll(data)
+              overwriteFilters match {
+                case Some(fs) if fs.forall(_.isInstanceOf[AlwaysTrue]) =>
+                  mergeTable.overwrite(data)
+                case Some(fs) =>
+                  val pred = fs.map(GraftSqlTable.filterToColumn).reduce(_ && _)
+                  mergeTable.overwriteWhere(data.sparkSession, pred, data)
+                case None =>
+                  if (overwrite) mergeTable.overwrite(data)
+                  else mergeTable.appendAll(data)
+              }
           }
       }
     }
@@ -99,5 +116,35 @@ final class GraftSqlTable(
   override def truncateTable(): Boolean = {
     mergeTable.truncate()
     true
+  }
+}
+
+object GraftSqlTable {
+  /** V1 data-source Filter → Column, for the overwrite-by-filter path.
+    * Spark's static partition overwrite emits EqualTo on the partition
+    * column; the rest covers what V2Writes can translate. Anything it
+    * can't express arrives here as an unknown subclass → clear error at
+    * write-build time instead of a silent full replacement.
+    */
+  private[sqlcat] def filterToColumn(f: Filter): Column = f match {
+    case _: AlwaysTrue            => lit(true)
+    case _: AlwaysFalse           => lit(false)
+    case EqualTo(a, v)            => col(a) === lit(v)
+    case EqualNullSafe(a, v)      => col(a) <=> lit(v)
+    case GreaterThan(a, v)        => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v)           => col(a) < lit(v)
+    case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+    case In(a, vs)                => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a)                => col(a).isNull
+    case IsNotNull(a)             => col(a).isNotNull
+    case And(l, r)                => filterToColumn(l) && filterToColumn(r)
+    case Or(l, r)                 => filterToColumn(l) || filterToColumn(r)
+    case Not(c)                   => !filterToColumn(c)
+    case StringStartsWith(a, v)   => col(a).startsWith(v)
+    case StringEndsWith(a, v)     => col(a).endsWith(v)
+    case StringContains(a, v)     => col(a).contains(v)
+    case other => throw new UnsupportedOperationException(
+      s"overwrite filter not supported: $other")
   }
 }

@@ -522,8 +522,10 @@ final class MergeTable(
           requiresDedup = false,
           range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap),
           op = "compact", buckets = Some(nBuckets)))
-        prev.dataFiles.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
-        prev.deleteFiles.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+        // Superseded files stay on disk: older retained snapshots still
+        // reference them (time travel, rollback, lagging feed consumers);
+        // expireSnapshots physically deletes them once no retained manifest
+        // does — the same rewrite/expire split as compact()/compactScoped().
       } finally materialized.unpersist()
     }
 
@@ -617,9 +619,11 @@ final class MergeTable(
     // reassigning the merge key would upsert a NEW key and leave the old
     // row live (an UPDATE that duplicates) — reject it
     require(!set.contains(keyCol), s"cannot update merge key $keyCol")
-    val hits = set.foldLeft(read(spark).filter(predicate)) {
-      case (df, (c, v)) => df.withColumn(c, v)
-    }
+    set.keys.foreach(c => require(payloadCols.contains(c), s"no such column $c"))
+    // one projection, not sequential withColumn: SQL UPDATE evaluates every
+    // RHS against the PRE-update row, so `SET a = b, b = a` swaps
+    val hits = read(spark).filter(predicate)
+      .select(payloadCols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
     applyBatch(hits.withColumn("operation", lit("update")))
   }
 
@@ -681,6 +685,20 @@ final class MergeTable(
         requiresDedup = false,
         range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap),
         op = "overwrite"))
+    }
+
+  /** Filtered overwrite (`INSERT OVERWRITE ... PARTITION (p = 'x')`):
+    * replace exactly the rows matching `predicate` with `rows`, as ONE
+    * snapshot-replacement commit — atomic, unlike a delete-then-append
+    * pair, and time travel retains the pre-image. Rows where the
+    * predicate evaluates to NULL survive (SQL overwrite-by-filter deletes
+    * only rows the filter MATCHES).
+    */
+  def overwriteWhere(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column, rows: DataFrame): Unit =
+    synchronized {
+      val survivors = read(spark).filter(!coalesce(predicate, lit(false)))
+      overwrite(survivors.unionByName(rows.select(payloadCols.map(col): _*)))
     }
 
   /** `TRUNCATE TABLE` parity: commit an empty snapshot. */

@@ -87,4 +87,27 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
     assert(t.read(spark).count() == 250)
   }
+
+  test("compactBucketed keeps the rewrite/expire split: time travel, rollback and change feed survive it") {
+    val t = freshTable(partitioned = false)
+    t.applyBatch(batch(0 until 100, "insert"))          // v1
+    val v1 = t.latestVersion
+    t.applyBatch(batch(0 until 30, "delete"))           // v2
+    t.compactBucketed(spark, nBuckets = 4)              // v3, layout-only
+
+    // time travel to pre-compaction versions must still read deleted files
+    assert(t.read(spark, Some(v1)).count() == 100)
+    assert(t.read(spark, Some(v1 + 1)).count() == 70)
+    // a lagging feed consumer whose range spans the compaction: the delta
+    // commits still resolve (compaction itself is layout-only, emits 0)
+    val feed = t.changesSince(spark, v1)
+    assert(feed.count() == 30) // the 30 tombstones from v2, nothing from v3
+    // rollback across the bucketed compaction restores the pre-image
+    t.rollbackTo(v1)
+    assert(t.read(spark).count() == 100)
+    // expireSnapshots is the only reclaimer of the superseded files
+    t.compactBucketed(spark, nBuckets = 4)
+    t.expireSnapshots(keepLast = 1)
+    assert(t.read(spark).count() == 100)
+  }
 }

@@ -35,6 +35,28 @@ class DmlSpec extends SparkSpec {
     assert(kiosks > 0)
   }
 
+  test("UPDATE SET binds every RHS to the pre-update row (SET a=b, b=a swaps)") {
+    val t = golden()
+    val before = t.read(spark).filter($"trans_id" === 19)
+      .select($"customer_id", $"device").collect().head
+    // SQL UPDATE evaluates all assignments against the pre-image: this
+    // must SWAP, not propagate one value into both columns
+    t.updateWhere(spark, $"trans_id" === 19,
+      Map("customer_id" -> $"device", "device" -> $"customer_id"))
+    val after = t.read(spark).filter($"trans_id" === 19)
+      .select($"customer_id", $"device").collect().head
+    assert(after.getString(0) === before.getString(1))
+    assert(after.getString(1) === before.getString(0))
+    assert(after.getString(0) !== after.getString(1))
+  }
+
+  test("UPDATE ... WHERE rejects unknown columns") {
+    val t = golden()
+    intercept[IllegalArgumentException] {
+      t.updateWhere(spark, $"trans_id" === 19, Map("no_such_col" -> lit(1)))
+    }
+  }
+
   test("UPDATE ... WHERE rejects merge-key reassignment") {
     val t = golden()
     intercept[IllegalArgumentException] {

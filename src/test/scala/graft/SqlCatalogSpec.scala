@@ -116,6 +116,42 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("MERGE rejects assigning the merge key (silent duplication guard)") {
+    val wh = tmpDir("graft-sqlcat-mk")
+    spark.conf.set("spark.sql.catalog.sqlm", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlm.warehouse", wh)
+    sql("CREATE NAMESPACE sqlm.d")
+    sql("CREATE TABLE sqlm.d.t (id BIGINT, v STRING) TBLPROPERTIES ('unique_keys'='id')")
+    sql("INSERT INTO sqlm.d.t VALUES (1, 'a'), (2, 'b')")
+    // WHEN MATCHED UPDATE SET id=... would upsert under the NEW key while
+    // the old row stays live — must reject, mirroring updateWhere's guard
+    val e = intercept[Exception] {
+      sql("""MERGE INTO sqlm.d.t t
+             USING (SELECT 1L AS id, 'x' AS v) s
+             ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET id = 99, v = s.v""")
+    }
+    assert(e.getMessage.contains("merge key"))
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlm.d.t").collect().head.getLong(0) == 2L)
+  }
+
+  test("INSERT OVERWRITE PARTITION replaces only the matching slice, atomically") {
+    val wh = tmpDir("graft-sqlcat-owp")
+    spark.conf.set("spark.sql.catalog.sqlp", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlp.warehouse", wh)
+    sql("CREATE NAMESPACE sqlp.d")
+    sql("""CREATE TABLE sqlp.d.t (id BIGINT, v STRING, cat STRING)
+           PARTITIONED BY (cat) TBLPROPERTIES ('unique_keys'='id')""")
+    sql("INSERT INTO sqlp.d.t VALUES (1, 'keep', 'x'), (2, 'old', 'y'), (3, 'old', 'y')")
+    // static-mode partition overwrite → OverwriteByExpression(cat = 'y')
+    sql("INSERT OVERWRITE sqlp.d.t PARTITION (cat = 'y') VALUES (9, 'new')")
+    assert(sql("SELECT id, v, cat FROM sqlp.d.t ORDER BY id").collect().toSeq ==
+      Seq(Row(1L, "keep", "x"), Row(9L, "new", "y")))
+    // ONE replacement commit — the pre-image is one version back
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlp.d.t VERSION AS OF 0")
+      .collect().head.getLong(0) == 3L)
+  }
+
   test("Scala API and SQL see the same table (one catalog layout)") {
     val wh = tmpDir("graft-sqlcat-share")
     spark.conf.set("spark.sql.catalog.sqls", "graft.sqlcat.GraftCatalog")
