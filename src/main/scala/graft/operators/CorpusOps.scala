@@ -145,6 +145,80 @@ object CorpusOps {
     out
   }
 
+  /** Inter-document duplicated-span analysis (the corpus-level signal
+    * behind exact-substring dedup à la Lee et al. 2022): for every
+    * document, how many of its distinct word n-gram spans also occur in
+    * at least one OTHER document, and the resulting duplication fraction.
+    * High `dup_frac` marks boilerplate/mirror content a pipeline trims
+    * before training.
+    *
+    * Shape at scale: span sets are built row-locally (hashed shingle
+    * arrays — no string n-grams ever shuffle), then ONE aggregation on
+    * the span hash computes global document-frequency and ONE join back
+    * distributes it; both are equi-shuffles on the span hash, so cost is
+    * O(total spans), never corpus². The hash join carries 16 bytes/row,
+    * not the n-gram text.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = Dedup.shingles(docs, n) // distinct per document by construction
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("ndocs"))
+    sh.join(df, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).cast("long").as("n_dup_spans"))
+      .withColumn("dup_frac", TextAnalysis.quant4(
+        col("n_dup_spans").cast("double") / col("n_spans")))
+  }
+
+  /** Unigram language-model scoring: train token probabilities on the
+    * corpus itself (MLE unigram LM), then score every document by its
+    * mean cross-entropy −Σ ln p(tokenᵢ) / n — the classic cheap
+    * perplexity-style quality filter (high = rare-token soup, low =
+    * common-token boilerplate; both tails get trimmed). Results are
+    * 3dp-floored: cross-engine double summation order and libm ulp
+    * differences sit far below that quantum.
+    *
+    * Shape at scale: vocabulary = one shuffle on token; scoring = one
+    * shuffle join tokens⋈vocab on token + one aggregation on doc_id. The
+    * one-row corpus total is broadcast. The token table is computed for
+    * both passes — at 100 TB persist it (or feed a pre-tokenized column)
+    * to trade storage for the second scan.
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = vocab.agg(sum(col("freq")).cast("double").as("total"))
+    toks.join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        (floor(-sum(log(col("freq") / col("total"))) / count(lit(1)) * 1000) / 1000)
+          .as("xent"))
+  }
+
+  /** Deterministic training-shard assignment: the same multiplicative
+    * hash as [[splitExpr]]/[[stratifiedSample]] (stateless, partitioning-
+    * independent, reproducible across engines) folded to `nShards`.
+    */
+  def shardExpr(id: Column, nShards: Int): Column =
+    pmod(id * 2654435761L, lit(2147483647L)) % nShards
+
+  /** Export the corpus as `nShards` training shards: hash-assigned via
+    * [[shardExpr]], one directory per shard, rows sorted by id inside
+    * each shard file — the deterministic final-mile layout a trainer
+    * streams. One repartition on the shard id (each writer task owns
+    * whole shards), and the in-task sort rides the shuffle; at 100 TB
+    * raise `nShards` so a shard fits an executor's write buffer.
+    */
+  def exportShards(docs: DataFrame, nShards: Int, outDir: String,
+      idCol: String = "doc_id"): Unit =
+    docs.withColumn("shard", shardExpr(col(idCol), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Temperature-scaled mixture weights: sampling probability per corpus
     * slice q_i ∝ (token share)^alpha — the standard multilingual /
     * multi-source rebalancing rule (alpha < 1 lifts low-resource slices,

@@ -187,7 +187,29 @@ object LlmOps {
     // int8 embedding quantization + reconstruction-loss gate
     "q68_embed_quant" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.fanout(Tables.embeddings(s, d)))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // inter-document duplicated 8-gram spans (exact-substring dedup signal)
+    "q69_dup_spans" -> ((s, d) =>
+      CorpusOps.dupSpans(Tables.fanout(Tables.documents(s, d)), n = 8)
+        .orderBy(col("doc_id"))),
+
+    // corpus-trained unigram-LM cross-entropy quality score
+    "q70_lm_score" -> ((s, d) =>
+      CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // deterministic hash-shard layout for training export (16 shards)
+    "q71_shard_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(CorpusOps.shardExpr(col("doc_id"), 16).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.wsTokens(col("text"))).cast("long")).cast("long")
+            .as("n_tokens"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          min(col("doc_id")).cast("long").as("min_doc"),
+          max(col("doc_id")).cast("long").as("max_doc"))
+        .orderBy(col("shard")))
   )
 
   private val langCase: String = {
@@ -407,6 +429,40 @@ object LlmOps {
          SELECT doc_id, count(*) AS n_shared_ngrams
          FROM corpus WHERE s IN (SELECT s FROM bench)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q69_dup_spans" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+              THEN list_transform(generate_series(1, len(w)-7),
+                   i -> array_to_string(w[i:i+7], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         c AS (SELECT s, count(*) AS ndocs FROM sh GROUP BY s)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           floor(1.0*sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)/count(*)*10000)/10000 AS dup_frac
+         FROM sh JOIN c USING (s)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q70_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+              unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+            FROM documents),
+         v AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+         t AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(-sum(ln(freq/total))/count(*)*1000)/1000 AS xent
+         FROM toks JOIN v USING (token), t
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q71_shard_stats" ->
+      """SELECT CAST((doc_id*2654435761)%2147483647%16 AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+         FROM documents GROUP BY 1 ORDER BY shard""",
     "q53_pii_scan" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text,

@@ -271,4 +271,54 @@ class CorpusOpsSpec extends SparkSpec {
     val oFrac = otherKept / otherTotal
     assert(oFrac > 0.65 && oFrac < 0.95, s"other frac $oFrac")
   }
+
+  test("dup spans: shared 8-gram counted for both docs, unique text clean") {
+    val shared = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"$shared tail words here"),
+      (2L, s"prefix words $shared"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.dupSpans(df, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 4 spans (11 words), doc 2: 3 spans (10 words); exactly the
+    // `shared` 8-gram occurs in both
+    assert(out(1L) === ((4L, 1L)))
+    assert(out(2L) === ((3L, 1L)))
+    assert(out(3L)._2 === 0L)
+  }
+
+  test("unigram LM score: common-token docs score lower than rare-token docs") {
+    val df = Seq(
+      (1L, "aa aa aa aa"),   // all high-frequency tokens
+      (2L, "aa aa zz qq"))   // two singletons
+      .toDF("doc_id", "text")
+    val out = CorpusOps.lmScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 4L && out(2L)._1 === 4L)
+    // doc1: 4·(-ln(6/8))/4 = ln(8/6) ≈ 0.287; doc2 mixes ln(8/6) and ln 8
+    assert(out(1L)._2 === math.floor(math.log(8.0 / 6.0) * 1000) / 1000)
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
+  test("shard export: hash-partitioned dirs, id-sorted rows, lossless") {
+    val docs = Tables.documents(spark, sf)
+    val out = tmpDir("shards") + "/corpus"
+    CorpusOps.exportShards(docs, nShards = 8, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    // every row landed in its deterministic shard
+    val misrouted = back.filter(
+      CorpusOps.shardExpr($"doc_id", 8) =!= $"shard").count()
+    assert(misrouted === 0L)
+    // within every shard FILE, rows are ascending by doc_id (trainer
+    // streams shards sequentially — order must be reproducible)
+    val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.toString).select("doc_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"unsorted shard file $f")
+    }
+  }
 }
