@@ -28,7 +28,12 @@ final case class Snapshot(
     // layout (hash(key) into n buckets, written by compactBucketed):
     // reads then go through the session catalog's bucket-aware scan, so
     // key joins/aggs need no Exchange. Any later delta clears it.
-    buckets: Option[Int] = None)
+    buckets: Option[Int] = None,
+    // column → file → (lo, hi) as longs: per-FILE value ranges recorded by
+    // compactSorted. Files are immutable, so entries stay true forever and
+    // are inherited across commits (filtered to surviving files) by
+    // commit(); readWhere() uses them for manifest-level file pruning.
+    colStats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
 /** A transactional lake table with Iceberg-v2-like semantics, implemented
   * natively over versioned Parquet + a manifest per snapshot (no
@@ -138,7 +143,12 @@ final class MergeTable(
       }
     } ++
       s.deleteFiles.map(f => s"delete\t$f") ++
-      s.appliedBatches.toVector.sorted.map(b => s"batch\t$b")
+      s.appliedBatches.toVector.sorted.map(b => s"batch\t$b") ++
+      s.colStats.toVector.sortBy(_._1).flatMap { case (c, m) =>
+        m.toVector.sortBy(_._1).map { case (f, (lo, hi)) =>
+          s"cstat\t$c\t$f\t$lo\t$hi"
+        }
+      }
 
   private[graft] def chunkRefsOf(v: Long): Vector[String] =
     if (v < 0 || !Files.exists(manifestPath(v))) Vector.empty
@@ -189,6 +199,8 @@ final class MergeTable(
     val dels = Vector.newBuilder[String]
     val batches = Set.newBuilder[String]
     val stats = Map.newBuilder[String, (Long, Long)]
+    val cstats = scala.collection.mutable.Map
+      .empty[String, Map[String, (Long, Long)]]
     lines.foreach { l =>
       l.split("\t", -1) match {
         case Array("op", x)                 => op = x
@@ -198,11 +210,13 @@ final class MergeTable(
         case Array("data", f, lo, hi)       => data += f; stats += f -> ((lo.toLong, hi.toLong))
         case Array("delete", f)             => dels += f
         case Array("batch", b)              => batches += b
+        case Array("cstat", c, f, lo, hi)   =>
+          cstats(c) = cstats.getOrElse(c, Map.empty) + (f -> ((lo.toLong, hi.toLong)))
         case _                              => ()
       }
     }
     Snapshot(v, data.result(), dels.result(), batches.result(), requiresDedup,
-      stats.result(), op, buckets)
+      stats.result(), op, buckets, cstats.toMap)
   }
 
   /** Current committed version, or -1 if the table is empty/uncreated. */
@@ -223,7 +237,21 @@ final class MergeTable(
     (0L to latestVersion).filter(v => Files.exists(manifestPath(v)))
       .map(readManifest)
 
-  private def commit(s: Snapshot): Unit = {
+  private def commit(s0: Snapshot): Unit = {
+    // Inherit per-file column stats from the predecessor, filtered to the
+    // files this snapshot still references: files are immutable so the
+    // ranges stay true; rewritten-away files drop out here. Explicit stats
+    // (from compactSorted) win on key collision.
+    val s = {
+      val present = s0.dataFiles.toSet
+      val inherited = currentSnapshot.map(_.colStats).getOrElse(Map.empty)
+        .map { case (c, m) => c -> m.filter(kv => present(kv._1)) }
+        .filter(_._2.nonEmpty)
+      if (inherited.isEmpty) s0
+      else s0.copy(colStats = inherited.map { case (c, m) =>
+        c -> (m ++ s0.colStats.getOrElse(c, Map.empty))
+      } ++ (s0.colStats -- inherited.keys))
+    }
     writeManifest(s)
     val tmp = rootPath.resolve(s".latest.${UUID.randomUUID()}.tmp")
     Files.writeString(tmp, s.version.toString)
@@ -532,6 +560,122 @@ final class MergeTable(
   private def withDirStream[A, B](s: java.util.stream.Stream[A])(
       f: java.util.stream.Stream[A] => B): B =
     try f(s) finally s.close()
+
+  /** Compaction variant producing a SORT-ORDERED layout (Iceberg sort
+    * orders / Z-order-lite for one dimension): the merged state is
+    * range-partitioned and sorted by `sortBy`, so each output file covers
+    * a narrow value range. Per-FILE (min, max) of both `sortBy` and the
+    * merge key are recorded in the manifest: `readWhere` prunes files
+    * before any scan task is planned, `lookup` gets per-file (instead of
+    * per-commit) key bounds, and parquet row-group stats inside each file
+    * are tight for pushed-down range predicates. At 100 TB this is the
+    * layout for time/range-predicate workloads — the analog of
+    * compactBucketed's join-locality layout (the two pull in different
+    * directions; pick per table).
+    *
+    * `sortBy` must be integral or timestamp (stats are kept as longs via
+    * an order-preserving cast). Column ranges survive later delta commits
+    * (files are immutable) but `readWhere` then falls back to the merged
+    * view — see its contract.
+    */
+  def compactSorted(spark: SparkSession, sortBy: String,
+      targetFiles: Int = 32): Unit = synchronized {
+    require(payloadCols.contains(sortBy), s"no such column $sortBy")
+    require(!partitionCol.contains(sortBy),
+      "partition column is already dir-pruned; pick a different sort column")
+    val okTypes: Set[org.apache.spark.sql.types.DataType] = Set(LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.TimestampType)
+    require(okTypes.contains(schema(sortBy).dataType),
+      s"sort column must be integral or timestamp, got ${schema(sortBy).dataType}")
+    val prev = currentSnapshot.getOrElse(return)
+    val v = prev.version + 1
+    val materialized = read(spark).cache()
+    try {
+      val staged = stagingDir("data", v)
+      val cols = payloadCols.map(col) :+ lit(v).as(SEQ)
+      val clustered = materialized.select(cols: _*)
+        .repartitionByRange(targetFiles, col(sortBy), col(keyCol))
+        .sortWithinPartitions(col(sortBy), col(keyCol))
+      val w = clustered.write.mode("overwrite").option("compression", "snappy")
+      partitionCol.fold(w)(p => w.partitionBy(p)).parquet(staged.toString)
+      val files = adoptFiles(staged, dataDir, v)
+      // per-file stats read-back: one bounded scan of the files just
+      // written (compaction already paid the full rewrite; this adds one
+      // column-pruned pass over the output)
+      val keyIsLong = schema(keyCol).dataType == LongType
+      val statCols = Seq(
+        min(col("s")).as("slo"), max(col("s")).as("shi")) ++
+        (if (keyIsLong) Seq(min(col("k")).as("klo"), max(col("k")).as("khi"))
+         else Nil)
+      val statRows = spark.read
+        .option("basePath", dataDir.toString)
+        .parquet(files.map(f => dataDir.resolve(f).toString): _*)
+        .select(input_file_name().as("file"),
+          col(sortBy).cast("long").as("s"),
+          (if (keyIsLong) col(keyCol) else lit(0L)).as("k"))
+        .groupBy(col("file"))
+        .agg(statCols.head, statCols.tail: _*)
+        .collect()
+      def rel(uri: String): String = {
+        val norm = uri.stripPrefix("file:")
+        val b = dataDir.toString
+        norm.substring(norm.indexOf(b) + b.length + 1)
+      }
+      val sortStats = statRows
+        .filterNot(_.isNullAt(1))
+        .map(r => rel(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val keyStats =
+        if (keyIsLong)
+          statRows.filterNot(_.isNullAt(3))
+            .map(r => rel(r.getString(0)) -> ((r.getLong(3), r.getLong(4)))).toMap
+        else Map.empty[String, (Long, Long)]
+      commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
+        requiresDedup = false, keyStats, op = "compact",
+        colStats = Map(sortBy -> sortStats)))
+      // superseded files reclaimed by expireSnapshots (rewrite/expire split)
+    } finally materialized.unpersist()
+  }
+
+  /** Range read with manifest-level data skipping: rows of the current
+    * snapshot whose `column` (order-preserving long cast) lies in
+    * [lo, hi]. When the snapshot is a pure scan (no pending merge work —
+    * the state every compaction restores), data files whose recorded
+    * range cannot intersect are pruned BEFORE planning; files without
+    * stats are conservatively included. Otherwise falls back to the full
+    * merged read with the same filter — identical results, no skipping.
+    * (Pruning under pending merge-on-read work would be wrong: an update
+    * can move a key's sort value across file ranges, and last-write-wins
+    * must see both copies.)
+    */
+  def readWhere(spark: SparkSession, column: String, lo: Long, hi: Long): DataFrame = {
+    val pred = col(column).cast("long").between(lo, hi)
+    currentSnapshot match {
+      case None => emptyDf(spark)
+      case Some(snap)
+          if !snap.requiresDedup && snap.deleteFiles.isEmpty
+            && snap.buckets.isEmpty =>
+        val stats = snap.colStats.getOrElse(column, Map.empty)
+        val wanted = snap.dataFiles.filter(f =>
+          stats.get(f).forall { case (l, h) => h >= lo && l <= hi })
+        if (wanted.isEmpty) emptyDf(spark).filter(pred)
+        else readSnapshot(spark, snap.copy(dataFiles = wanted)).filter(pred)
+      case _ => read(spark).filter(pred)
+    }
+  }
+
+  /** The files `readWhere(column, lo, hi)` would scan — exposed for plan
+    * and spec inspection of manifest pruning.
+    */
+  private[graft] def prunedFilesFor(column: String, lo: Long, hi: Long): Seq[String] =
+    currentSnapshot match {
+      case Some(snap) if !snap.requiresDedup && snap.deleteFiles.isEmpty =>
+        val stats = snap.colStats.getOrElse(column, Map.empty)
+        snap.dataFiles.filter(f =>
+          stats.get(f).forall { case (l, h) => h >= lo && l <= hi })
+      case Some(snap) => snap.dataFiles
+      case None       => Seq.empty
+    }
 
   /** Point lookup with manifest data skipping: only data files whose
     * (min, max) key range can contain one of `keys` are scanned — files

@@ -152,6 +152,23 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) == 3L)
   }
 
+  test("CTAS and REPLACE TABLE AS SELECT create engine tables from queries") {
+    val wh = tmpDir("graft-sqlcat-ctas")
+    spark.conf.set("spark.sql.catalog.sqlt", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlt.warehouse", wh)
+    sql("CREATE NAMESPACE sqlt.d")
+    sql("""CREATE TABLE sqlt.d.t TBLPROPERTIES ('unique_keys'='id') AS
+           SELECT * FROM VALUES (1L, 'a'), (2L, 'b') AS v(id, name)""")
+    assert(sql("SELECT id, name FROM sqlt.d.t ORDER BY id").collect().toSeq ==
+      Seq(Row(1L, "a"), Row(2L, "b")))
+    // the created table is a full MergeTable: keyed DML works on it
+    sql("UPDATE sqlt.d.t SET name = 'A' WHERE id = 1")
+    assert(sql("SELECT name FROM sqlt.d.t WHERE id = 1").collect().head.getString(0) == "A")
+    sql("""REPLACE TABLE sqlt.d.t TBLPROPERTIES ('unique_keys'='id') AS
+           SELECT * FROM VALUES (9L, 'z') AS v(id, name)""")
+    assert(sql("SELECT id, name FROM sqlt.d.t").collect().toSeq == Seq(Row(9L, "z")))
+  }
+
   test("Scala API and SQL see the same table (one catalog layout)") {
     val wh = tmpDir("graft-sqlcat-share")
     spark.conf.set("spark.sql.catalog.sqls", "graft.sqlcat.GraftCatalog")
