@@ -1,0 +1,123 @@
+package graft.sqlcat
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.catalog.LakeCatalog
+import graft.table.MergeTable
+
+/** SQL-first table maintenance — Iceberg's stored-procedure surface
+  * (`CALL catalog.system.rewrite_data_files / expire_snapshots /
+  * rollback_to_snapshot ...`) over engine tables, via Spark 4's native
+  * `CALL` statement and the DSv2 [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]:
+  *
+  * {{{
+  *   CALL graft.system.compact('db.t')
+  *   CALL graft.system.compact_scoped('db.t')
+  *   CALL graft.system.compact_sorted('db.t', 'amount', 32)
+  *   CALL graft.system.compact_bucketed('db.t', 16)
+  *   CALL graft.system.bin_pack('db.t')
+  *   CALL graft.system.expire_snapshots('db.t', 2)
+  *   CALL graft.system.rollback('db.t', 3)
+  * }}}
+  *
+  * Each returns one row with the table's latest version after the call.
+  * The reference performs these through engine-managed Athena/Glue
+  * maintenance (README.md:307 `optimize_rewrite_delete_file_threshold`);
+  * here the same knobs are user-callable SQL.
+  */
+private[sqlcat] object GraftProcedures {
+
+  private def p(name: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  private def resolve(lake: LakeCatalog, qualified: String): MergeTable =
+    qualified.split("\\.", 2) match {
+      case Array(d, t) => lake.getTable(d, t)
+      case _ => throw new IllegalArgumentException(
+        s"expected 'db.table', got '$qualified'")
+    }
+
+  /** name → (parameters, body(spark, args, lake) → latest version). */
+  private val defs: Map[String, (Seq[ProcedureParameter], (SparkSession, InternalRow, LakeCatalog) => Long)] = Map(
+    "compact" -> ((Seq(p("table", StringType)),
+      (s: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.compact(s); t.latestVersion
+      })),
+    "compact_scoped" -> ((Seq(p("table", StringType)),
+      (s: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.compactScoped(s); t.latestVersion
+      })),
+    "compact_sorted" -> ((Seq(p("table", StringType), p("sort_by", StringType),
+        p("target_files", IntegerType)),
+      (s: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.compactSorted(s, in.getUTF8String(1).toString, in.getInt(2))
+        t.latestVersion
+      })),
+    "compact_bucketed" -> ((Seq(p("table", StringType), p("buckets", IntegerType)),
+      (s: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.compactBucketed(s, in.getInt(1)); t.latestVersion
+      })),
+    "bin_pack" -> ((Seq(p("table", StringType)),
+      (s: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.binPack(s); t.latestVersion
+      })),
+    "expire_snapshots" -> ((Seq(p("table", StringType), p("keep_last", IntegerType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.expireSnapshots(in.getInt(1)); t.latestVersion
+      })),
+    "rollback" -> ((Seq(p("table", StringType), p("version", LongType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.rollbackTo(in.getLong(1)); t.latestVersion
+      })))
+
+  def names: Seq[String] = defs.keys.toSeq.sorted
+
+  def load(name: String, lake: LakeCatalog): UnboundProcedure =
+    defs.get(name) match {
+      case Some((params, body)) => new GraftProcedure(name, params, body, lake)
+      case None => throw new IllegalArgumentException(
+        s"no such procedure: $name (have: ${names.mkString(", ")})")
+    }
+}
+
+/** One maintenance procedure; binding is trivial (all parameters are
+  * required scalars — Spark's ProcedureArgumentCoercion casts literals to
+  * the declared types before `call`).
+  */
+private[sqlcat] final class GraftProcedure(
+    procName: String,
+    params: Seq[ProcedureParameter],
+    body: (SparkSession, InternalRow, LakeCatalog) => Long,
+    lake: LakeCatalog) extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String = s"graft maintenance procedure $procName"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params.toArray
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val version = body(SparkSession.active, input, lake)
+    val result: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(Array[Any](version)))
+      override def readSchema(): StructType =
+        StructType(Seq(StructField("version", LongType)))
+    }
+    util.Collections.singletonList(result).iterator()
+  }
+}

@@ -169,6 +169,50 @@ class SqlCatalogSpec extends SparkSpec {
     assert(sql("SELECT id, name FROM sqlt.d.t").collect().toSeq == Seq(Row(9L, "z")))
   }
 
+  test("CALL graft.system.* drives the full maintenance lifecycle from SQL") {
+    val wh = tmpDir("graft-sqlcat-proc")
+    spark.conf.set("spark.sql.catalog.sqlx", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlx.warehouse", wh)
+    sql("CREATE NAMESPACE sqlx.d")
+    sql("""CREATE TABLE sqlx.d.t (id BIGINT, v STRING, amount INT)
+           TBLPROPERTIES ('unique_keys'='id',
+                          'optimize_rewrite_delete_file_threshold'='100')""")
+    sql("INSERT INTO sqlx.d.t SELECT id, concat('v', id), CAST(id % 50 AS INT) FROM range(500)")
+    sql("UPDATE sqlx.d.t SET v = 'upd' WHERE id < 100")
+    val scalaSide = new graft.catalog.LakeCatalog(wh).getTable("d", "t")
+    assert(scalaSide.currentSnapshot.get.requiresDedup)
+
+    // compact: merge-on-read -> pure scan, one row returned with the version
+    val v = sql("CALL sqlx.system.compact('d.t')").collect()
+    assert(v.length == 1 && v.head.getLong(0) == scalaSide.latestVersion)
+    assert(!scalaSide.currentSnapshot.get.requiresDedup)
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlx.d.t").collect().head.getLong(0) == 500L)
+
+    // sorted layout via SQL; manifest stats present afterwards
+    sql("CALL sqlx.system.compact_sorted('d.t', 'amount', 4)")
+    assert(scalaSide.currentSnapshot.get.colStats.contains("amount"))
+
+    // bucketed layout, scoped compaction, bin-pack: callable and harmless
+    sql("CALL sqlx.system.compact_bucketed('d.t', 4)")
+    sql("DELETE FROM sqlx.d.t WHERE id = 7")
+    sql("CALL sqlx.system.compact_scoped('d.t')")
+    sql("CALL sqlx.system.bin_pack('d.t')")
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlx.d.t").collect().head.getLong(0) == 499L)
+
+    // rollback to the pre-delete version restores the row
+    val target = sql("CALL sqlx.system.rollback('d.t', " +
+      (scalaSide.latestVersion - 3) + ")").collect().head.getLong(0)
+    assert(target == scalaSide.latestVersion)
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlx.d.t").collect().head.getLong(0) == 500L)
+
+    // expire old snapshots; the table stays readable
+    sql("CALL sqlx.system.expire_snapshots('d.t', 1)")
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlx.d.t").collect().head.getLong(0) == 500L)
+
+    // unknown procedure fails loudly
+    intercept[Exception] { sql("CALL sqlx.system.no_such_proc('d.t')") }
+  }
+
   test("Scala API and SQL see the same table (one catalog layout)") {
     val wh = tmpDir("graft-sqlcat-share")
     spark.conf.set("spark.sql.catalog.sqls", "graft.sqlcat.GraftCatalog")
