@@ -118,4 +118,18 @@ class TextHashesSpec extends SparkSpec {
     assert(out((1L, 2L)) === 0.8)
     assert(out((1L, 3L)) === 1.0)
   }
+
+  test("df-ordered prefixes: identical pairs+scores, on toy docs and real corpus") {
+    val toy = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c d e f"), (3L, "a b c d e f g"),
+      (4L, "x y z w v u t s"), (5L, "p q"), (6L, "p q")).toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001").limit(150)
+    for ((df, n, t) <- Seq((toy, 3, 0.8), (corpus, 3, 0.8))) {
+      val plain = Dedup.ngramJaccardPairs(df, n, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val dfo = Dedup.ngramJaccardPairs(df, n, t, dfOrderedPrefixes = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(dfo === plain)
+    }
+  }
 }
