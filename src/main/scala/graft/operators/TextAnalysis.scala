@@ -70,6 +70,33 @@ object TextAnalysis {
     * 4dp-floored (`quant4`) for cross-engine comparability. Row-local
     * projections: embarrassingly parallel at any scale.
     */
+  /** Gopher-style composite quality gate: the standard rule battery
+    * (word-count bounds, mean word length, stopword presence, duplicate-
+    * word fraction, digit density) evaluated per document into a keep
+    * decision plus the ordered list of failed rules — what a pipeline
+    * logs to audit WHY a document was dropped. All row-local expressions
+    * over [[withQuality]]/[[repetition]] metrics: shuffle-free at any
+    * scale. Rule order is fixed so the reasons string is deterministic.
+    */
+  def gopherFilter(df: DataFrame, textCol: String = "text",
+      minWords: Int = 20, maxWords: Int = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      maxDupWordFrac: Double = 0.6, maxDigitRatio: Double = 0.1): DataFrame = {
+    val q = repetition(withQuality(df, textCol), textCol)
+    val rules: Seq[(String, Column)] = Seq(
+      "word_count" -> (col("n_words") >= minWords && col("n_words") <= maxWords),
+      "word_length" -> (col("avg_word_len") >= minAvgLen
+        && col("avg_word_len") <= maxAvgLen),
+      "stopword" -> (col("stopword_ratio") > 0),
+      "repetition" -> (col("dup_word_frac") <= maxDupWordFrac),
+      "digits" -> (col("digit_ratio") <= maxDigitRatio))
+    // when() without otherwise → null for passing rules; concat_ws skips
+    // nulls, leaving the comma-joined failed-rule names in rule order
+    val reasons = concat_ws(",", rules.map { case (n, ok) => when(!ok, n) }: _*)
+    q.withColumn("reject_reasons", reasons)
+      .withColumn("keep", col("reject_reasons") === "")
+  }
+
   def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
     val w = filter(split(col(textCol), " "), x => x =!= "")
     val nw = size(w)

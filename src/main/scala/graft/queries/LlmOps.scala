@@ -199,6 +199,13 @@ object LlmOps {
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // Gopher-rule composite quality gate with audit reasons
+    "q72_gopher_filter" -> ((s, d) =>
+      TextAnalysis.gopherFilter(Tables.fanout(Tables.documents(s, d)))
+        .select(col("doc_id"), col("keep").cast("long").as("keep"),
+          col("reject_reasons"))
+        .orderBy(col("doc_id"))),
+
     // deterministic hash-shard layout for training export (16 shards)
     "q71_shard_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -455,6 +462,26 @@ object LlmOps {
            floor(-sum(ln(freq/total))/count(*)*1000)/1000 AS xent
          FROM toks JOIN v USING (token), t
          GROUP BY doc_id ORDER BY doc_id""",
+    "q72_gopher_filter" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n_chars,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         m AS (SELECT doc_id, len(w) AS n_words,
+              floor(1.0*length(replace(text,' ',''))/len(w)*10000)/10000 AS awl,
+              floor((1.0 - 1.0*len(list_distinct(w))/len(w))*10000)/10000 AS dupf,
+              floor(1.0*length(regexp_replace(text,'[^0-9]','','g'))/n_chars*10000)/10000 AS digr,
+              floor(1.0*len(list_filter(w, x -> list_contains(
+                ['the','a','of','and','to','in','is','on','for','with'], x)))/len(w)*10000)/10000 AS stopr
+            FROM d),
+         r AS (SELECT doc_id, concat_ws(',',
+              CASE WHEN NOT (n_words >= 20 AND n_words <= 100000) THEN 'word_count' END,
+              CASE WHEN NOT (awl >= 3.0 AND awl <= 10.0) THEN 'word_length' END,
+              CASE WHEN NOT (stopr > 0) THEN 'stopword' END,
+              CASE WHEN NOT (dupf <= 0.6) THEN 'repetition' END,
+              CASE WHEN NOT (digr <= 0.1) THEN 'digits' END) AS reject_reasons
+            FROM m)
+         SELECT doc_id, CAST(reject_reasons = '' AS BIGINT) AS keep, reject_reasons
+         FROM r ORDER BY doc_id""",
     "q71_shard_stats" ->
       """SELECT CAST((doc_id*2654435761)%2147483647%16 AS BIGINT) AS shard,
            count(*) AS n_docs,

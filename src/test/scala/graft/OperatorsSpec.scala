@@ -272,6 +272,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(oFrac > 0.65 && oFrac < 0.95, s"other frac $oFrac")
   }
 
+  test("gopher filter: each rule fires alone, clean docs keep") {
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    def word(i: Int) = s"word${letters(i % 26)}${letters((i / 26) % 26)}"
+    val ok = (1 to 30).map(word).mkString(" ") + " the end"
+    val df = Seq(
+      (1L, ok),                                   // passes everything
+      (2L, "too short but the words vary a lot"), // < 20 words
+      (3L, ((1 to 15).map(_ => "the spam").mkString(" "))), // repetition
+      (4L, (1 to 25).map(word).mkString(" ")))    // no stopword
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.gopherFilter(df)
+      .select($"doc_id", $"keep", $"reject_reasons").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(1L) === ((true, "")))
+    assert(out(2L)._2 === "word_count")
+    assert(out(3L)._2.contains("repetition"))
+    assert(!out(3L)._1)
+    assert(out(4L)._2 === "stopword")
+  }
+
   test("dup spans: shared 8-gram counted for both docs, unique text clean") {
     val shared = "one two three four five six seven eight"
     val df = Seq(
