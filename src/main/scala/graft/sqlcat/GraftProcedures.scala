@@ -21,6 +21,7 @@ import graft.table.MergeTable
   *   CALL graft.system.compact('db.t')
   *   CALL graft.system.compact_scoped('db.t')
   *   CALL graft.system.compact_sorted('db.t', 'amount', 32)
+  *   CALL graft.system.compact_zorder('db.t', 'amount,trans_datetime', 32)
   *   CALL graft.system.compact_bucketed('db.t', 16)
   *   CALL graft.system.bin_pack('db.t')
   *   CALL graft.system.expire_snapshots('db.t', 2)
@@ -61,6 +62,14 @@ private[sqlcat] object GraftProcedures {
       (s: SparkSession, in: InternalRow, l: LakeCatalog) => {
         val t = resolve(l, in.getUTF8String(0).toString)
         t.compactSorted(s, in.getUTF8String(1).toString, in.getInt(2))
+        t.latestVersion
+      })),
+    "compact_zorder" -> ((Seq(p("table", StringType), p("columns", StringType),
+        p("target_files", IntegerType)),
+      (s: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.compactZOrder(s,
+          in.getUTF8String(1).toString.split(",").map(_.trim).toSeq, in.getInt(2))
         t.latestVersion
       })),
     "compact_bucketed" -> ((Seq(p("table", StringType), p("buckets", IntegerType)),

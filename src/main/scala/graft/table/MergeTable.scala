@@ -600,40 +600,109 @@ final class MergeTable(
       val w = clustered.write.mode("overwrite").option("compression", "snappy")
       partitionCol.fold(w)(p => w.partitionBy(p)).parquet(staged.toString)
       val files = adoptFiles(staged, dataDir, v)
-      // per-file stats read-back: one bounded scan of the files just
-      // written (compaction already paid the full rewrite; this adds one
-      // column-pruned pass over the output)
-      val keyIsLong = schema(keyCol).dataType == LongType
-      val statCols = Seq(
-        min(col("s")).as("slo"), max(col("s")).as("shi")) ++
-        (if (keyIsLong) Seq(min(col("k")).as("klo"), max(col("k")).as("khi"))
-         else Nil)
-      val statRows = spark.read
-        .option("basePath", dataDir.toString)
-        .parquet(files.map(f => dataDir.resolve(f).toString): _*)
-        .select(input_file_name().as("file"),
-          col(sortBy).cast("long").as("s"),
-          (if (keyIsLong) col(keyCol) else lit(0L)).as("k"))
-        .groupBy(col("file"))
-        .agg(statCols.head, statCols.tail: _*)
-        .collect()
-      def rel(uri: String): String = {
-        val norm = uri.stripPrefix("file:")
-        val b = dataDir.toString
-        norm.substring(norm.indexOf(b) + b.length + 1)
-      }
-      val sortStats = statRows
-        .filterNot(_.isNullAt(1))
-        .map(r => rel(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
-      val keyStats =
-        if (keyIsLong)
-          statRows.filterNot(_.isNullAt(3))
-            .map(r => rel(r.getString(0)) -> ((r.getLong(3), r.getLong(4)))).toMap
-        else Map.empty[String, (Long, Long)]
+      val (keyStats, colStats) = statsReadback(spark, files, Seq(sortBy))
       commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
-        requiresDedup = false, keyStats, op = "compact",
-        colStats = Map(sortBy -> sortStats)))
+        requiresDedup = false, keyStats, op = "compact", colStats = colStats))
       // superseded files reclaimed by expireSnapshots (rewrite/expire split)
+    } finally materialized.unpersist()
+  }
+
+  /** Per-file (min, max) read-back for `cols` (order-preserving long
+    * casts) plus the merge key: one bounded, column-pruned scan of the
+    * files just written by a compaction (which already paid the full
+    * rewrite). Files with all-null values for a column simply carry no
+    * stats for it (conservatively included by pruning).
+    */
+  private def statsReadback(spark: SparkSession, files: Vector[String],
+      cols: Seq[String]): (Map[String, (Long, Long)], Map[String, Map[String, (Long, Long)]]) = {
+    if (files.isEmpty) return (Map.empty, Map.empty)
+    val keyIsLong = schema(keyCol).dataType == LongType
+    val tracked = cols ++ (if (keyIsLong) Seq(keyCol) else Nil)
+    val aggCols = tracked.zipWithIndex.flatMap { case (_, i) =>
+      Seq(min(col(s"c$i")).as(s"lo$i"), max(col(s"c$i")).as(s"hi$i"))
+    }
+    val statRows = spark.read
+      .option("basePath", dataDir.toString)
+      .parquet(files.map(f => dataDir.resolve(f).toString): _*)
+      .select(input_file_name().as("file") +:
+        tracked.zipWithIndex.map { case (c, i) => col(c).cast("long").as(s"c$i") }: _*)
+      .groupBy(col("file"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    def rel(uri: String): String = {
+      val norm = uri.stripPrefix("file:")
+      val b = dataDir.toString
+      norm.substring(norm.indexOf(b) + b.length + 1)
+    }
+    def statsOf(i: Int): Map[String, (Long, Long)] = statRows
+      .filterNot(_.isNullAt(1 + 2 * i))
+      .map(r => rel(r.getString(0)) ->
+        ((r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))).toMap
+    val colStats = cols.zipWithIndex.map { case (c, i) => c -> statsOf(i) }
+      .filter(_._2.nonEmpty).toMap
+    val keyStats = if (keyIsLong) statsOf(cols.length) else Map.empty[String, (Long, Long)]
+    (keyStats, colStats)
+  }
+
+  /** Z-order compaction: the merged state clustered by the interleaved-
+    * bit value of `zCols` (each column min-max-normalized to 16-bit ranks
+    * — one global agg — then bit-interleaved), so files are locality-
+    * preserving in EVERY listed dimension and the manifest records
+    * per-file ranges for each. `readWhere` on any of the columns then
+    * prunes files; the multi-dimensional analog of [[compactSorted]]
+    * (Iceberg's zorder rewrite strategy). Linear normalization is
+    * skew-sensitive but deterministic and computed in one pass; heavily
+    * skewed dimensions prefer `compactSorted` on the dominant column.
+    */
+  def compactZOrder(spark: SparkSession, zCols: Seq[String],
+      targetFiles: Int = 32): Unit = synchronized {
+    require(zCols.size >= 2 && zCols.size <= 3,
+      "z-order supports 2-3 columns (1 → compactSorted; >3 → 16-bit ranks overflow the long)")
+    val okTypes: Set[org.apache.spark.sql.types.DataType] = Set(LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.TimestampType)
+    zCols.foreach { c =>
+      require(payloadCols.contains(c), s"no such column $c")
+      require(!partitionCol.contains(c), s"$c is the partition column")
+      require(okTypes.contains(schema(c).dataType),
+        s"z-order column must be integral or timestamp, got ${schema(c).dataType}")
+    }
+    val bits = 16
+    val prev = currentSnapshot.getOrElse(return)
+    val v = prev.version + 1
+    val materialized = read(spark).cache()
+    try {
+      // one global agg for normalization bounds (cached input, cheap)
+      val boundAggs = zCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c).cast("long")).as(s"lo$i"), max(col(c).cast("long")).as(s"hi$i"))
+      }
+      val b = materialized.agg(boundAggs.head, boundAggs.tail: _*).collect().head
+      val zExpr = zCols.zipWithIndex.map { case (c, i) =>
+        val (lo, hi) = (if (b.isNullAt(2 * i)) 0L else b.getLong(2 * i),
+          if (b.isNullAt(2 * i + 1)) 0L else b.getLong(2 * i + 1))
+        val span = math.max(1L, hi - lo)
+        // rank in [0, 2^bits): (x - lo) * (2^bits - 1) / span, null → 0
+        val rank = coalesce(((col(c).cast("long") - lo)
+          * ((1L << bits) - 1) / span).cast("long"), lit(0L))
+        // spread rank bits to positions i, i+d, i+2d, ... (interleave)
+        (0 until bits).map { bit =>
+          shiftleft(shiftright(rank, bit) % 2, bit * zCols.size + i)
+        }.reduce(_ + _)
+      }.reduce(_ + _)
+
+      val staged = stagingDir("data", v)
+      val cols = payloadCols.map(col) :+ lit(v).as(SEQ)
+      val clustered = materialized.select(cols: _*)
+        .withColumn("_z", zExpr)
+        .repartitionByRange(targetFiles, col("_z"), col(keyCol))
+        .sortWithinPartitions(col("_z"), col(keyCol))
+        .drop("_z")
+      val w = clustered.write.mode("overwrite").option("compression", "snappy")
+      partitionCol.fold(w)(p => w.partitionBy(p)).parquet(staged.toString)
+      val files = adoptFiles(staged, dataDir, v)
+      val (keyStats, colStats) = statsReadback(spark, files, zCols)
+      commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
+        requiresDedup = false, keyStats, op = "compact", colStats = colStats))
     } finally materialized.unpersist()
   }
 

@@ -96,4 +96,38 @@ class SortedLayoutSpec extends SparkSpec {
     val t2 = MergeTable.open(t.root)
     assert(t2.currentSnapshot.get.colStats("amount") == statsAfterSort)
   }
+
+  test("compactZOrder: both dimensions prune, results exact in each") {
+    import spark.implicits._
+    val t = freshTable()
+    // two independent dimensions: amount = i mod 1000, trans_datetime keyed
+    // to i/100 hours — a single-column sort can cluster only one of them
+    val rows = (0 until 4000).map(i => (i.toLong, s"c$i", "visit", s"S$i",
+        i % 1000, "pc",
+        java.sql.Timestamp.valueOf(f"2023-01-${1 + i / 200}%02d 06:00:00"), "insert"))
+      .toDF("trans_id", "customer_id", "event", "sku", "amount", "device",
+        "trans_datetime", "operation")
+    t.applyBatch(rows)
+    t.compactZOrder(spark, Seq("amount", "trans_datetime"), targetFiles = 16)
+
+    val snap = t.currentSnapshot.get
+    assert(snap.colStats.contains("amount") && snap.colStats.contains("trans_datetime"))
+    val nFiles = snap.dataFiles.size
+    val byAmount = t.prunedFilesFor("amount", 0, 60)
+    assert(byAmount.size < nFiles, s"amount did not prune: ${byAmount.size}/$nFiles")
+    // timestamp stats are epoch seconds (order-preserving long cast)
+    val ts = java.sql.Timestamp.valueOf("2023-01-03 00:00:00").getTime / 1000
+    val byTime = t.prunedFilesFor("trans_datetime", ts, ts + 86400)
+    assert(byTime.size < nFiles, s"time did not prune: ${byTime.size}/$nFiles")
+
+    // both pruned reads equal the unpruned filters exactly
+    val a = t.readWhere(spark, "amount", 0, 60)
+    val aFull = t.read(spark).filter(col("amount").between(0, 60))
+    assert(a.exceptAll(aFull).isEmpty && aFull.exceptAll(a).isEmpty)
+    val b = t.readWhere(spark, "trans_datetime", ts, ts + 86400)
+    val bFull = t.read(spark)
+      .filter(col("trans_datetime").cast("long").between(ts, ts + 86400))
+    assert(b.exceptAll(bFull).isEmpty && bFull.exceptAll(b).isEmpty)
+    assert(b.count() > 0 && a.count() > 0)
+  }
 }

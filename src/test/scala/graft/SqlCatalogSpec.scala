@@ -192,6 +192,11 @@ class SqlCatalogSpec extends SparkSpec {
     sql("CALL sqlx.system.compact_sorted('d.t', 'amount', 4)")
     assert(scalaSide.currentSnapshot.get.colStats.contains("amount"))
 
+    // z-order layout via SQL: per-file stats for BOTH dimensions
+    sql("CALL sqlx.system.compact_zorder('d.t', 'amount,id', 4)")
+    assert(scalaSide.currentSnapshot.get.colStats.contains("amount")
+      && scalaSide.currentSnapshot.get.colStats.contains("id"))
+
     // bucketed layout, scoped compaction, bin-pack: callable and harmless
     sql("CALL sqlx.system.compact_bucketed('d.t', 4)")
     sql("DELETE FROM sqlx.d.t WHERE id = 7")
