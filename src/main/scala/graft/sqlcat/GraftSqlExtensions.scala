@@ -74,10 +74,104 @@ final case class GraftSqlRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
     case o: OverwriteByExpression if unwrap(o.table).isDefined =>
       o.copy(query = rewrite(o.query))
 
+    // Filter directly over a graft relation: extract conjunctive integer
+    // range bounds and splice a manifest-pruned read when the current
+    // snapshot's per-file stats (compactSorted/compactZOrder) can drop
+    // files. The ORIGINAL filter stays on top — the pruned read is a
+    // superset of matching rows, so results are exact even though
+    // pruning is conservative.
+    case f @ Filter(cond, child) =>
+      unwrapRel(child) match {
+        case Some((r, t)) if t.asOfVersion.isEmpty =>
+          val bounds = rangeBounds(cond, r.output)
+          t.mergeTable.readPrunedBy(spark, bounds) match {
+            case Some(df) => Filter(cond, spliceFrom(r, df))
+            case None     => Filter(cond, rewrite(child))
+          }
+        case _ => f.mapChildren(rewrite)
+      }
+
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
       splice(r, r.table.asInstanceOf[GraftSqlTable])
 
     case other => other.mapChildren(rewrite)
+  }
+
+  private def unwrapRel(p: LogicalPlan): Option[(DataSourceV2Relation, GraftSqlTable)] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftSqlTable => Some((r, t))
+        case _                => None
+      }
+      case SubqueryAlias(_, child) => unwrapRel(child)
+      case _                       => None
+    }
+
+  /** Conjunctive [lo, hi] bounds per integer column referenced by simple
+    * comparisons against literals — the fragment manifest stats can act
+    * on. Anything else contributes no bound (stays exact via the retained
+    * filter).
+    */
+  private def rangeBounds(cond: Expression,
+      output: Seq[Attribute]): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val names = output.map(a => a.exprId.id -> a.name).toMap
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => names.get(a.exprId.id)
+      case _                     => None
+    }
+    // integral literal types ONLY: a TimestampType literal also carries a
+    // Long, but in MICROS while manifest stats are epoch seconds — using
+    // it would prune wrong files
+    def boundOf(e: Expression): Option[Long] = e match {
+      case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => Some(i.toLong)
+      case Literal(l: Long, org.apache.spark.sql.types.LongType)   => Some(l)
+      case _                                                       => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    val perCol = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def add(c: String, lo: Long, hi: Long): Unit = {
+      val (plo, phi) = perCol.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      perCol(c) = (math.max(plo, lo), math.min(phi, hi))
+    }
+    conjuncts(cond).foreach {
+      // BETWEEN is RuntimeReplaceable — at analysis (when this rule runs)
+      // it is still the Between node, not And(>=, <=)
+      case Between(a, lo: Literal, hi: Literal, _) =>
+        for (c <- nameOf(a); x <- boundOf(lo); y <- boundOf(hi)) add(c, x, y)
+      case GreaterThanOrEqual(a, l: Literal) =>
+        for (c <- nameOf(a); x <- boundOf(l)) add(c, x, Long.MaxValue)
+      case LessThanOrEqual(a, l: Literal) =>
+        for (c <- nameOf(a); x <- boundOf(l)) add(c, Long.MinValue, x)
+      case GreaterThan(a, l: Literal) =>
+        for (c <- nameOf(a); x <- boundOf(l)) add(c, x + 1, Long.MaxValue)
+      case LessThan(a, l: Literal) =>
+        for (c <- nameOf(a); x <- boundOf(l)) add(c, Long.MinValue, x - 1)
+      case EqualTo(a, l: Literal) =>
+        for (c <- nameOf(a); x <- boundOf(l)) add(c, x, x)
+      case GreaterThanOrEqual(l: Literal, a) =>
+        for (c <- nameOf(a); x <- boundOf(l)) add(c, Long.MinValue, x)
+      case LessThanOrEqual(l: Literal, a) =>
+        for (c <- nameOf(a); x <- boundOf(l)) add(c, x, Long.MaxValue)
+      case EqualTo(l: Literal, a) =>
+        for (c <- nameOf(a); x <- boundOf(l)) add(c, x, x)
+      case _ => ()
+    }
+    perCol.toMap
+  }
+
+  /** Alias an engine DataFrame's plan back to the relation's attribute
+    * ids so references above keep resolving.
+    */
+  private def spliceFrom(r: DataSourceV2Relation, df: DataFrame): LogicalPlan = {
+    val plan = df.queryExecution.analyzed
+    val byName = plan.output.map(a => a.name -> a).toMap
+    Project(
+      r.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
+      plan)
   }
 
   /** Replace the V2 relation with the composed merge-on-read plan,

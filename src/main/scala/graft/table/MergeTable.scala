@@ -733,6 +733,33 @@ final class MergeTable(
     }
   }
 
+  /** Multi-column manifest pruning for the SQL read path: given per-column
+    * [lo, hi] bounds (long space, conjunctive), return a read over only
+    * the files whose recorded ranges can intersect ALL of them — or None
+    * when pruning is not applicable (pending merge work, deletes, bucketed
+    * layout) or wouldn't drop any file, so the caller falls back to the
+    * normal read. The result is a SUPERSET of the matching rows; the
+    * caller must keep its own filter on top.
+    */
+  private[graft] def readPrunedBy(spark: SparkSession,
+      bounds: Map[String, (Long, Long)]): Option[DataFrame] =
+    currentSnapshot match {
+      case Some(snap)
+          if bounds.nonEmpty && !snap.requiresDedup
+            && snap.deleteFiles.isEmpty && snap.buckets.isEmpty
+            && bounds.keys.exists(snap.colStats.contains) =>
+        val wanted = snap.dataFiles.filter { f =>
+          bounds.forall { case (c, (lo, hi)) =>
+            snap.colStats.getOrElse(c, Map.empty).get(f)
+              .forall { case (l, h) => h >= lo && l <= hi }
+          }
+        }
+        if (wanted.size == snap.dataFiles.size) None
+        else if (wanted.isEmpty) Some(emptyDf(spark))
+        else Some(readSnapshot(spark, snap.copy(dataFiles = wanted)))
+      case _ => None
+    }
+
   /** The files `readWhere(column, lo, hi)` would scan — exposed for plan
     * and spec inspection of manifest pruning.
     */

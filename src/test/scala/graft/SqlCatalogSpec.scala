@@ -218,6 +218,38 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { sql("CALL sqlx.system.no_such_proc('d.t')") }
   }
 
+  test("SQL range predicates prune files via manifest stats after sorted compaction") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val wh = tmpDir("graft-sqlcat-prune")
+    spark.conf.set("spark.sql.catalog.sqlz", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlz.warehouse", wh)
+    sql("CREATE NAMESPACE sqlz.d")
+    sql("CREATE TABLE sqlz.d.t (id BIGINT, amount INT) TBLPROPERTIES ('unique_keys'='id')")
+    sql("INSERT INTO sqlz.d.t SELECT id, CAST(id % 1000 AS INT) FROM range(4000)")
+    sql("CALL sqlz.system.compact_sorted('d.t', 'amount', 8)")
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length
+      }.sum
+    val full = sql("SELECT * FROM sqlz.d.t")
+    val narrow = sql("SELECT * FROM sqlz.d.t WHERE amount BETWEEN 10 AND 60")
+    assert(scannedFiles(narrow) < scannedFiles(full),
+      s"no file pruning: ${scannedFiles(narrow)} vs ${scannedFiles(full)}")
+    // exactness: pruned SQL result == full-scan filter
+    assert(narrow.count() ==
+      full.filter("amount BETWEEN 10 AND 60").count())
+    assert(narrow.count() > 0)
+
+    // a later delta disables pruning (merge work pending) but stays correct
+    sql("UPDATE sqlz.d.t SET amount = 999 WHERE id < 50")
+    val after = sql("SELECT CAST(count(*) AS BIGINT) FROM sqlz.d.t WHERE amount BETWEEN 10 AND 60")
+      .collect().head.getLong(0)
+    val expect = sql("SELECT CAST(count(*) AS BIGINT) FROM sqlz.d.t WHERE amount >= 10 AND amount <= 60")
+      .collect().head.getLong(0)
+    assert(after == expect)
+  }
+
   test("Scala API and SQL see the same table (one catalog layout)") {
     val wh = tmpDir("graft-sqlcat-share")
     spark.conf.set("spark.sql.catalog.sqls", "graft.sqlcat.GraftCatalog")
