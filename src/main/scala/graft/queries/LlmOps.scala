@@ -199,6 +199,18 @@ object LlmOps {
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // JL sign-projection sketch: 16-dim distance-preserving reduction
+    "q73_embed_project" -> ((s, d) =>
+      Similarity.signProject(Tables.fanout(Tables.embeddings(s, d)), outDim = 16)
+        .select(col("vec_id"),
+          round(element_at(col("proj"), 1), 4).as("p0"),
+          round(element_at(col("proj"), 2), 4).as("p1"),
+          round(element_at(col("proj"), 3), 4).as("p2"),
+          round(element_at(col("proj"), 4), 4).as("p3"),
+          round(sqrt(aggregate(col("proj"), lit(0.0), (a, x) => a + x * x)), 4)
+            .as("proj_norm"))
+        .orderBy(col("vec_id"))),
+
     // Gopher-rule composite quality gate with audit reasons
     "q72_gopher_filter" -> ((s, d) =>
       TextAnalysis.gopherFilter(Tables.fanout(Tables.documents(s, d)))
@@ -462,6 +474,18 @@ object LlmOps {
            floor(-sum(ln(freq/total))/count(*)*1000)/1000 AS xent
          FROM toks JOIN v USING (token), t
          GROUP BY doc_id ORDER BY doc_id""",
+    "q73_embed_project" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT vec_id, list_transform(generate_series(0, 15), j ->
+               list_sum(list_transform(generate_series(1, len(v)), i ->
+                 v[i] * (CASE WHEN bit_count(i*2654435761 + j*2246822519) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END)))) AS pr
+            FROM e)
+         SELECT vec_id,
+           round(pr[1], 4) AS p0, round(pr[2], 4) AS p1,
+           round(pr[3], 4) AS p2, round(pr[4], 4) AS p3,
+           round(sqrt(list_sum(list_transform(pr, x -> x*x))), 4) AS proj_norm
+         FROM p ORDER BY vec_id""",
     "q72_gopher_filter" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n_chars,
               list_filter(string_split(text,' '), x -> x <> '') AS w

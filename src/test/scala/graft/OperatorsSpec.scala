@@ -189,6 +189,31 @@ class OperatorsSpec extends SparkSpec {
       assert(frames.forall(_.length == 16))
     }
   }
+
+  test("sign projection: deterministic across partitionings, JL-preserves relative distances") {
+    val e = embs.limit(60)
+    def projMap(df: org.apache.spark.sql.DataFrame) =
+      Similarity.signProject(df, outDim = 16).select($"vec_id", $"proj")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val a = projMap(e)
+    assert(a === projMap(e.repartition(7)))
+
+    // JL property: for random unit-ish pairs, projected distance ratios
+    // concentrate — check rank correlation loosely: the nearest original
+    // pair among samples should stay in the lower half of projected dists
+    val vs = Similarity.asDouble(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    def d2(x: Vector[Double], y: Vector[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val ids = vs.keys.toSeq.sorted.take(20)
+    val pairs = for (i <- ids; j <- ids if i < j) yield (i, j)
+    val orig = pairs.map { case (i, j) => (i, j) -> d2(vs(i), vs(j)) }.toMap
+    val proj = pairs.map { case (i, j) => (i, j) -> d2(a(i), a(j)) }.toMap
+    val nearestOrig = pairs.minBy(orig)
+    val rankInProj = pairs.count(p => proj(p) < proj(nearestOrig))
+    assert(rankInProj < pairs.size / 2,
+      s"nearest pair fell to rank $rankInProj of ${pairs.size} after projection")
+  }
 }
 
 class CorpusOpsSpec extends SparkSpec {
