@@ -198,6 +198,28 @@ object CorpusOps {
           .as("xent"))
   }
 
+  /** Sliding-window document chunking (the RAG/pretraining segmentation
+    * step): fixed `window`-token chunks every `stride` tokens, each
+    * carrying its doc back-reference, ordinal, start offset and content
+    * hash. One generator per row (explode over the stride positions) —
+    * no shuffle; output size is corpus tokens × (window/stride) overlap
+    * factor, the usual dial at scale. Empty documents yield one empty
+    * chunk so every doc_id stays represented.
+    */
+  def chunkDocs(docs: DataFrame, window: Int = 32, stride: Int = 24,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0)
+    docs.select(col(idCol).as("doc_id"), TextAnalysis.wsTokens(col(textCol)).as("w"))
+      .withColumn("start",
+        explode(sequence(lit(1), greatest(size(col("w")), lit(1)), lit(stride))))
+      .withColumn("chunk", slice(col("w"), col("start"), lit(window)))
+      .select(col("doc_id"),
+        floor((col("start") - 1) / stride).cast("long").as("chunk_ord"),
+        col("start").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+  }
+
   /** Deterministic training-shard assignment: the same multiplicative
     * hash as [[splitExpr]]/[[stratifiedSample]] (stateless, partitioning-
     * independent, reproducible across engines) folded to `nShards`.

@@ -199,6 +199,12 @@ object LlmOps {
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // sliding-window chunking for RAG / pretraining segmentation
+    "q74_doc_chunks" -> ((s, d) =>
+      CorpusOps.chunkDocs(Tables.fanout(Tables.documents(s, d)),
+          window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_ord"))),
+
     // JL sign-projection sketch: 16-dim distance-preserving reduction
     "q73_embed_project" -> ((s, d) =>
       Similarity.signProject(Tables.fanout(Tables.embeddings(s, d)), outDim = 16)
@@ -474,6 +480,19 @@ object LlmOps {
            floor(-sum(ln(freq/total))/count(*)*1000)/1000 AS xent
          FROM toks JOIN v USING (token), t
          GROUP BY doc_id ORDER BY doc_id""",
+    "q74_doc_chunks" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         c AS (SELECT doc_id, w,
+              unnest(generate_series(1, greatest(len(w), 1), 24)) AS start
+            FROM d)
+         SELECT doc_id,
+           CAST(floor((start-1)/24.0) AS BIGINT) AS chunk_ord,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(w[start:start+31]) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(w[start:start+31], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_ord""",
     "q73_embed_project" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT vec_id, list_transform(generate_series(0, 15), j ->

@@ -346,6 +346,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("chunking: windows tile with the configured overlap, hashes match content") {
+    val words = (1 to 80).map(i => s"t$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "short doc"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.chunkDocs(df, window = 32, stride = 24)
+      .orderBy($"doc_id", $"chunk_ord").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    // starts 1, 25, 49, 73 over 80 tokens: sizes 32, 32, 32, 8
+    assert(doc1.map(_.getLong(2)).toSeq === Seq(1L, 25L, 49L, 73L))
+    assert(doc1.map(_.getLong(3)).toSeq === Seq(32L, 32L, 32L, 8L))
+    val first = java.security.MessageDigest.getInstance("MD5")
+      .digest(words.take(32).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(doc1.head.getString(4) === first)
+    // short + empty docs are represented by exactly one chunk each
+    assert(out.count(_.getLong(0) == 2L) === 1)
+    val empty = out.filter(_.getLong(0) == 3L)
+    assert(empty.length === 1 && empty.head.getLong(3) === 0L)
+  }
+
   test("shard export: hash-partitioned dirs, id-sorted rows, lossless") {
     val docs = Tables.documents(spark, sf)
     val out = tmpDir("shards") + "/corpus"
