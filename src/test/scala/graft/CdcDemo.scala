@@ -14,6 +14,7 @@ object CdcDemo {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("cdc-demo")
+      .config("spark.sql.extensions", "graft.sqlcat.GraftSqlExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -106,6 +107,35 @@ object CdcDemo {
     ct.read(spark).orderBy("trans_id").show(20, false)
     println("== snapshots metadata table ==")
     ct.snapshotsDf(spark).show(false)
+
+    // 5. pure-SQL surface: DSv2 catalog plugin + CALL maintenance +
+    //    manifest-stat file pruning after a sorted rewrite (round 4)
+    println("== SQL catalog + CALL maintenance ==")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      base.resolve("warehouse").toString)
+    println("SQL CATALOG COUNT(*) = " + spark.sql(
+      "SELECT COUNT(*) FROM graft.cdc_iceberg_demo_db.retail_trans_iceberg")
+      .collect().head.getLong(0))
+    spark.sql("UPDATE graft.cdc_iceberg_demo_db.retail_trans_iceberg " +
+      "SET device = 'kiosk' WHERE trans_id = 21")
+    val v = spark.sql(
+      "CALL graft.system.compact_sorted('cdc_iceberg_demo_db.retail_trans_iceberg', 'amount', 4)")
+      .collect().head.getLong(0)
+    println("compact_sorted -> version " + v)
+    spark.sql("SELECT trans_id, amount FROM " +
+      "graft.cdc_iceberg_demo_db.retail_trans_iceberg WHERE amount BETWEEN 1 AND 5 ORDER BY trans_id")
+      .show(false)
+    // exchange-free probe: AQE only wraps plans with exchanges, so this
+    // one exposes its FileSourceScan directly
+    val pruned = spark.sql("SELECT trans_id, amount FROM " +
+      "graft.cdc_iceberg_demo_db.retail_trans_iceberg WHERE amount BETWEEN 1 AND 5")
+    println("pruned scan files = " + pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum + " of " + MergeTable.open(
+      base.resolve("warehouse/cdc_iceberg_demo_db/retail_trans_iceberg").toString)
+      .currentSnapshot.get.dataFiles.size)
 
     println("DEMO OK base=" + base)
     spark.stop()
