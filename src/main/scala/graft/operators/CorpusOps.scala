@@ -50,6 +50,44 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Scale path for [[contaminated]]: identical output, bloom-prefiltered
+    * probe side. The benchmark shingle set is folded into a single Bloom
+    * filter (Spark's own `BloomFilterAggregate`, the sketch behind AQE
+    * runtime filters), shipped to every task as a literal, and applied as
+    * a codegen'd `might_contain` predicate BEFORE the exact semi-join —
+    * so the shuffle that feeds the join carries only bloom hits
+    * (true matches + an fpp-bounded trickle of false positives) instead
+    * of every corpus shingle. The exact semi-join then removes the false
+    * positives, keeping the output bit-identical to [[contaminated]].
+    * At 100 TB this is the difference between shuffling the corpus's
+    * whole shingle stream and shuffling ~the contaminated slice: the
+    * bloom is O(benchmark) bits regardless of corpus size.
+    */
+  def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      expectedItems: Long = 4L * 1000 * 1000, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.SparkInternals.{columnOf, expressionOf}
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val corpusSh = Dedup.shingles(corpus, n)
+    val benchSh = Dedup.shingles(benchmark, n).select(col("s")).distinct()
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // One distributed aggregation builds the filter; the resulting bytes
+    // are a driver-side constant (same lifecycle as a broadcast dim).
+    val bloomAgg = new BloomFilterAggregate(expressionOf(col("s")),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bfBytes = benchSh.agg(columnOf(bloomAgg).as("bf")).head().getAs[Array[Byte]]("bf")
+    val prefiltered =
+      if (bfBytes == null) corpusSh.filter(lit(false)) // empty benchmark
+      else corpusSh.filter(columnOf(BloomFilterMightContain(
+        Literal(bfBytes, BinaryType), expressionOf(col("s")))))
+    prefiltered.join(benchSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   /** Deterministic train/val/test assignment from pure integer arithmetic
     * (a Knuth multiplicative hash of the id) — reproducible across engines,
     * runs, and partitionings, with no RNG state to ship. Thresholds are

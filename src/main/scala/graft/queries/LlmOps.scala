@@ -234,7 +234,17 @@ object LlmOps {
           sum(col("n_chars")).cast("long").as("n_chars"),
           min(col("doc_id")).cast("long").as("min_doc"),
           max(col("doc_id")).cast("long").as("max_doc"))
-        .orderBy(col("shard")))
+        .orderBy(col("shard"))),
+
+    // bloom-prefiltered decontamination: exact q52 semantics, sketch-pruned
+    // probe side (the 100 TB path — shuffle only bloom hits)
+    "q75_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.fanout(Tables.documents(s, d))
+      CorpusOps.contaminatedBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 6)
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val langCase: String = {
@@ -648,6 +658,23 @@ object LlmOps {
            round(list_sum(list_transform(generate_series(1, len(v)),
                i -> (v[i] - codes[i]*scale)*(v[i] - codes[i]*scale)))/len(v), 6)
              AS mse_r
-         FROM c ORDER BY vec_id"""
+         FROM c ORDER BY vec_id""",
+    // bloom prefilter is exact-output (false positives removed by the
+    // verify semi-join), so the oracle is plain exact decontamination
+    "q75_contamination_bloom" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 6
+              THEN list_transform(generate_series(1, len(w)-5),
+                   i -> array_to_string(w[i:i+5], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+         SELECT doc_id, count(*) AS n_shared_ngrams
+         FROM corpus WHERE s IN (SELECT s FROM bench)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 }
