@@ -236,6 +236,46 @@ object CorpusOps {
           .as("xent"))
   }
 
+  /** BM25 relevance scoring of every document against a fixed query term
+    * set (Robertson/Sparck-Jones, the Lucene-default ranking function) —
+    * the retrieval half of a RAG corpus pipeline. Shapes for scale:
+    * the per-(doc, term) tf table is at most |docs|×|terms| rows (term
+    * filter BEFORE the aggregation, so non-query tokens never shuffle);
+    * document length rides the tf rows (no second join against the
+    * corpus); df and corpus stats are one-row/tiny broadcasts. Scores
+    * are floor-quantized at 1e-3 like [[lmScore]] so cross-engine float
+    * comparison is stable.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.wsTokens(col(textCol)).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(TextAnalysis.wsTokens(col(textCol))).cast("double")).as("avgdl"))
+    val dfTab = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfTab), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        (floor(sum(col("contrib")) * 1000) / 1000).as("bm25"))
+  }
+
   /** Sliding-window document chunking (the RAG/pretraining segmentation
     * step): fixed `window`-token chunks every `stride` tokens, each
     * carrying its doc back-reference, ordinal, start offset and content

@@ -182,6 +182,23 @@ object Dedup {
     * (clusters-sized, i.e. tiny relative to the corpus) non-representative
     * set — broadcast-able at any scale.
     */
+  /** Semantic deduplication over embeddings (the SemDeDup recipe, Abbas
+    * et al. 2023): a vector is DROPPED iff some smaller-id vector lies
+    * within the cosine threshold — the deterministic keep-the-first rule
+    * applied to the EXACT near-dup pair set, so the output is
+    * oracle-checkable against brute force. Returns the dropped set with
+    * its chosen representative (`dup_of` = smallest such neighbor) and
+    * the count of smaller near-neighbors; survivors are the complement.
+    * Candidate generation is [[embeddingNearDups]] — k-means-cell-bounded
+    * exact pairs, never all-pairs — so the scale shape is inherited:
+    * work ∝ near-pair density, not corpus².
+    */
+  def semanticDropped(emb: DataFrame, threshold: Double): DataFrame =
+    embeddingNearDups(emb, threshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"),
+        count(lit(1)).cast("long").as("n_smaller_dups"))
+
   def survivors(df: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val dropped = nearDupClusters(df, n, threshold)
       .filter(col("doc_id") =!= col("cluster"))

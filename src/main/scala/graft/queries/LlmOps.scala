@@ -244,7 +244,18 @@ object LlmOps {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), n = 6)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // BM25 relevance scoring against a fixed query (retrieval half of RAG)
+    "q76_bm25" -> ((s, d) =>
+      CorpusOps.bm25(Tables.fanout(Tables.documents(s, d)),
+          Seq("vector", "stream", "filter", "spark"))
+        .orderBy(col("doc_id"))),
+
+    // SemDeDup: semantic near-dup drop set with chosen representatives
+    "q77_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDropped(Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy(col("vec_id")))
   )
 
   private val langCase: String = {
@@ -675,6 +686,34 @@ object LlmOps {
          corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
          SELECT doc_id, count(*) AS n_shared_ngrams
          FROM corpus WHERE s IN (SELECT s FROM bench)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q76_bm25" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              avg(CAST(len(w) AS DOUBLE)) AS avgdl FROM docs),
+         toks AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+              unnest(w) AS token FROM docs),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf,
+              max(dl) AS dl
+            FROM toks WHERE token IN ('vector','stream','filter','spark')
+            GROUP BY doc_id, token),
+         dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           floor(sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) * tf * 2.2 /
+             (tf + 1.2*(0.25 + 0.75*dl/avgdl)))*1000)/1000 AS bm25
+         FROM tf JOIN dft USING (token), stats
+         GROUP BY doc_id ORDER BY doc_id""",
+    // exact-by-construction candidates (q29) -> the oracle is brute force
+    "q77_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45)
+         SELECT vb AS vec_id, min(va) AS dup_of,
+           CAST(count(*) AS BIGINT) AS n_smaller_dups
+         FROM p GROUP BY vb ORDER BY vec_id"""
   )
 }
