@@ -396,4 +396,32 @@ object CorpusOps {
       size(regexp_extract_all(t, lit("[0-9]{6,}"), lit(0)))
         .cast("long").as("n_digit_run"))
   }
+
+  /** PII REDACTION (the masking stage [[piiScan]] feeds): replace
+    * email-like, then phone-like, then long-digit-run spans with typed
+    * placeholder tokens, in that order — emails first so their digits
+    * never leak into the phone pass, phones before bare digit runs so a
+    * number is tagged at its most specific type. Per-row regex
+    * projection: stateless, shuffle-free, scales with input splits.
+    * Returns the redacted text plus per-type counts (each counted on the
+    * text as it enters that pass, i.e. exactly the spans replaced).
+    */
+  def piiRedact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+    val digits = "[0-9]{6,}"
+    val r1 = regexp_replace(col(textCol), email, "<EMAIL>")
+    val r2 = regexp_replace(r1, phone, "<PHONE>")
+    val r3 = regexp_replace(r2, digits, "<ID>")
+    docs.select(
+      col(idCol),
+      r3.as("red_text"),
+      size(regexp_extract_all(col(textCol), lit(email), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(r1, lit(phone), lit(0)))
+        .cast("long").as("n_phone"),
+      size(regexp_extract_all(r2, lit(digits), lit(0)))
+        .cast("long").as("n_id"))
+  }
 }

@@ -255,7 +255,21 @@ object LlmOps {
     // SemDeDup: semantic near-dup drop set with chosen representatives
     "q77_semantic_dedup" -> ((s, d) =>
       Dedup.semanticDropped(Tables.embeddings(s, d), threshold = 0.45)
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // PII redaction: typed-placeholder masking (deterministic PII is
+    // synthesized onto every 7th doc so the masking path is exercised —
+    // the raw corpus is PII-free by construction)
+    "q78_pii_redact" -> ((s, d) => {
+      val docs = Tables.fanout(Tables.documents(s, d))
+      val pii = concat(col("text"), lit(" contact u"), col("doc_id"),
+        lit("@ex.org tel +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" acct "), (col("doc_id") * 1000003L + 123456L).cast("string"))
+      val seeded = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, pii).otherwise(col("text")).as("text"))
+      CorpusOps.piiRedact(seeded).orderBy(col("doc_id"))
+    })
   )
 
   private val langCase: String = {
@@ -714,6 +728,27 @@ object LlmOps {
                WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45)
          SELECT vb AS vec_id, min(va) AS dup_of,
            CAST(count(*) AS BIGINT) AS n_smaller_dups
-         FROM p GROUP BY vb ORDER BY vec_id"""
+         FROM p GROUP BY vb ORDER BY vec_id""",
+    "q78_pii_redact" ->
+      """WITH seeded AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' contact u' || doc_id
+                 || '@ex.org tel +1 (555) 010-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' acct ' || CAST(doc_id*1000003 + 123456 AS VARCHAR)
+               ELSE text END AS text
+           FROM documents),
+         s1 AS (SELECT doc_id, text, regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+           FROM seeded),
+         s2 AS (SELECT *, regexp_replace(r1,
+             '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS r2 FROM s1),
+         s3 AS (SELECT *, regexp_replace(r2, '[0-9]{6,}', '<ID>', 'g') AS r3 FROM s2)
+         SELECT doc_id, r3 AS red_text,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(r1,
+             '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(r2, '[0-9]{6,}')) AS BIGINT) AS n_id
+         FROM s3 ORDER BY doc_id"""
   )
 }
