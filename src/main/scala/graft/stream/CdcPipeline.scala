@@ -39,7 +39,8 @@ object CdcPipeline {
       srcTable: String = "retail_trans",
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      maxBytesPerTrigger: Option[Long] = None)
+      maxBytesPerTrigger: Option[Long] = None,
+      views: Seq[graft.table.IncrementalView] = Nil)
 
   /** Routed multi-destination pipeline config: one landing stream, many
     * destination tables (pre-created via [[graft.catalog.LakeCatalog]] —
@@ -95,6 +96,10 @@ object CdcPipeline {
           val res = CdcTransformer.fromClassified(classified)
           timed("errors")(CdcTransformer.writeErrors(res.errors, cfg.errorRoot))
           timed("apply")(table.applyBatch(res.good, Some(batchId.toString)))
+          // continuous view maintenance: each registered materialized view
+          // advances by exactly this batch's change-feed delta (O(batch) +
+          // O(view) per refresh — see IncrementalView)
+          timed("views")(cfg.views.foreach(_.refresh(spark)))
         } finally classified.unpersist()
       }
       .start()

@@ -84,6 +84,32 @@ class IncrementalViewSpec extends SparkSpec {
     assert(viewState(view) === recompute(t))
   }
 
+  test("streaming CDC pipeline keeps a registered view continuously fresh") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.fixtures.GoldenCorpus
+    import graft.stream.CdcPipeline
+
+    val landing = tmpDir("ivl")
+    val tableRoot = tmpDir("ivlt")
+    val t = MergeTable.retailTrans(tableRoot)
+    val view = new IncrementalView(t, tmpDir("ivlv"), Seq("event"), Some("amount"))
+    Files.write(Paths.get(landing, "000-insert.jsonl"),
+      (GoldenCorpus.insertOnlyLines.mkString("\n") + "\n").getBytes)
+    Files.write(Paths.get(landing, "001-dml.jsonl"),
+      (GoldenCorpus.dmlLines.mkString("\n") + "\n").getBytes)
+
+    // one file per micro-batch: batch 0 seeds the view (full compute),
+    // batch 1's DML drives the incremental path
+    val cfg = CdcPipeline.Config(landing, tableRoot, tmpDir("ivle"), tmpDir("ivlc"),
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1),
+      views = Seq(view))
+    CdcPipeline.start(spark, cfg).awaitTermination(60000)
+
+    assert(view.refreshedVersion.contains(t.latestVersion))
+    assert(viewState(view) === recompute(t))
+  }
+
   test("rollback forces a full recompute via the resync marker") {
     val t = MergeTable.retailTrans(tmpDir("ivt3"))
     val view = new IncrementalView(t, tmpDir("ivv3"), Seq("event"), Some("amount"))
