@@ -378,6 +378,130 @@ object CorpusOps {
       .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("shard"))
   }
 
+  /** Per-document top-`k` TF-IDF terms — the classic per-doc keyword /
+    * feature-extraction pass (retrieval indexing, topic tagging, nearest-
+    * neighbor features). tfidf = tf · ln(N/df), floor-quantized at 1e-3
+    * (like [[lmScore]]/[[bm25]]) so cross-engine ranking is stable; ties
+    * break on ascending term.
+    *
+    * Shape at scale: tf = one shuffle on (doc, term); df = one shuffle on
+    * term over the tf relation (already collapsed to distinct doc-term
+    * pairs, so df counts documents, not occurrences); the per-doc ranking
+    * window shuffles doc-keyed rows once. N is a one-row broadcast. No
+    * stage ever sees corpus² — everything is keyed by doc or term.
+    */
+  def tfidfTop(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfTab, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        floor(col("tf") * log(col("n_docs") / col("df")) * 1000) / 1000)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf"))
+  }
+
+  /** Per-slice unigram KL divergence against the whole corpus:
+    * KL(P_slice ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the mixture
+    * diagnostic run before fixing training weights (a slice with high KL
+    * is distributionally far from the blend; near-zero means it adds no
+    * distributional novelty). Every corpus token appears in P_corpus, so
+    * the ratio is always defined (p_c ≥ p_s·share_s > 0).
+    *
+    * Shape at scale: slice counts = one shuffle on (slice, token); corpus
+    * counts aggregate THE SAME relation (slice cardinality × vocab, not
+    * corpus size) on token; the final join is token-keyed between two
+    * vocab-bounded relations, then one slice-keyed aggregation. Totals
+    * are slice-cardinality broadcasts.
+    */
+  def sourceKl(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+    val byGrp = toks.groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val grpTot = byGrp.groupBy(col("grp")).agg(sum(col("c")).as("gt"))
+    val corpus = byGrp.groupBy(col("token")).agg(sum(col("c")).as("f"))
+    val corpusTot = corpus.agg(sum(col("f")).as("ct"))
+    byGrp.join(corpus, Seq("token"))
+      .join(broadcast(grpTot), Seq("grp"))
+      .crossJoin(broadcast(corpusTot))
+      .groupBy(col("grp").as(groupCol))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        (floor(sum((col("c") / col("gt")) *
+          log((col("c") / col("gt")) / (col("f") / col("ct")))) * 1000) / 1000)
+          .as("kl"))
+  }
+
+  /** Deterministic fixed-SIZE per-stratum sample: exactly `min(k, |stratum|)`
+    * documents per stratum, chosen by ascending multiplicative id-hash
+    * (same stateless family as [[splitExpr]]) with id tie-break — the
+    * "give me 10k eval docs per language" sampler, complementing the
+    * fixed-RATE [[stratifiedSample]]. Reproducible across engines, runs,
+    * and partitionings.
+    *
+    * One ranking window per stratum. At 100 TB with k ≪ stratum size,
+    * swap the full-stratum sort for a per-partition `k`-cap (the same
+    * rows survive — rank ≤ k implies rank ≤ k within any subset, so a
+    * partition-local top-k prefilter is lossless) — Spark's
+    * WindowGroupLimit applies exactly that pushdown to this plan shape.
+    */
+  def fixedSample(docs: DataFrame, groupCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val h = pmod(col(idCol) * 2654435761L, lit(2147483647L))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    docs.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select(col(idCol), col(groupCol),
+        col("sample_rank").cast("long").as("sample_rank"))
+  }
+
+  /** Vocabulary coverage curve: for each cutoff N, the fraction of all
+    * token OCCURRENCES covered by the N most frequent types (frequency
+    * desc, token asc on ties) — the tokenizer-design diagnostic (how big
+    * a vocab buys how much of the corpus). Returns one row per cutoff.
+    *
+    * Shape at scale: the corpus collapses to the vocabulary relation
+    * first (one token-keyed shuffle); the ranking window then runs over
+    * TYPES, not tokens — a deliberately single-partition window like
+    * [[packShards]]'s offset table, bounded by vocabulary size (≈10⁷ at
+    * 100 TB, far under a task). The same constant-valued non-foldable
+    * partition key keeps WindowExec from flagging it.
+    */
+  def vocabCoverage(docs: DataFrame, cutoffs: Seq[Int],
+      textCol: String = "text"): DataFrame = {
+    require(cutoffs.nonEmpty)
+    val vocab = vocabulary(docs, textCol)
+    val total = vocab.agg(sum(col("freq")).cast("double").as("total"))
+    val w = Window.partitionBy(pmod(col("freq"), lit(1)))
+      .orderBy(col("freq").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy(pmod(col("freq"), lit(1)))
+      .orderBy(col("freq").desc, col("token"))
+    val ranked = vocab
+      .withColumn("rank", row_number().over(wr))
+      .withColumn("cum", sum(col("freq")).over(w))
+      .filter(col("rank") <= cutoffs.max)
+    import docs.sparkSession.implicits._
+    val cuts = cutoffs.sorted.toDF("top_n")
+    ranked.join(broadcast(cuts), col("rank") <= col("top_n"))
+      .groupBy(col("top_n").cast("long").as("top_n"))
+      .agg(max(col("cum")).cast("long").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("top_n"), col("covered_tokens"),
+        (floor(col("covered_tokens") / col("total") * 10000) / 10000)
+          .as("covered_frac"))
+  }
+
   /** PII-pattern scan: per-document counts of email-like, phone-like, and
     * long-digit-run patterns (the redaction pre-pass of a training
     * pipeline; on real data the hits feed a masking stage).

@@ -352,6 +352,126 @@ object Similarity {
         col("code_sum"), round(col("mse"), 6).as("mse_r"))
   }
 
+  /** Per-label centroid outliers — the embedding-space label-QC pass: for
+    * every label, the `k` member vectors LEAST cosine-similar to their
+    * label's mean vector (suspected mislabels / noise a pipeline routes
+    * to review or drops). Returns (label, vec_id, rank, cos_c) with rank 1
+    * = most anomalous.
+    *
+    * Shape at scale: the centroid is a per-(label, dim) average —
+    * posexplode fans each vector to dim rows ONCE, one shuffle keyed by
+    * (label, dim), then dim-sized arrays fold back per label; the result
+    * is |labels| rows, broadcast back for the scoring pass (row-local
+    * cosine + one label-keyed ranking window). Nothing ever pairs
+    * vectors with each other.
+    */
+  def labelOutliers(emb: DataFrame, k: Int = 5, labelCol: String = "label"): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col("vec_id"), col(labelCol).as("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        p => p.getField("m")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("cos_c"), col("vec_id"))
+    e.join(broadcast(cent), Seq("label"))
+      .withColumn("cos_c", round(GraftFunctions.cosineSim(spark, col("v"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        col("rank").cast("long").as("rank"), col("cos_c"))
+  }
+
+  /** Product-quantization ANN (ADC + exact rerank): vectors are cut into
+    * `m` subspaces, each encoded as the id of its nearest codebook entry
+    * (`ksub` per subspace) — compressing a d-dim float vector to m bytes
+    * (32× at d=64, m=8). Queries score the whole corpus through the code
+    * table (asymmetric distance: Σ over subspaces of ‖sub_j(q) −
+    * cb[j][code_j(v)]‖², one `m`-term lookup sum per vector, no
+    * full-width arithmetic), shortlist `oversample`×k candidates, and an
+    * exact cosine rerank of the shortlist produces the final top-k.
+    *
+    * Codebooks here are the subvectors of the `ksub` lowest-id corpus
+    * vectors — the same deterministic, oracle-replicable stand-in
+    * [[ivfTopK]] uses: a k-means trainer (the bounded-sample Lloyd of
+    * [[trainCentroids]], run per subspace) would only move codebook
+    * positions, tightening ADC estimates and letting `oversample` shrink;
+    * the encode/LUT/rerank mechanics — what runs at 100 TB — are
+    * identical. Distances are 6dp-rounded before every argmin/ranking
+    * with id tie-breaks, so codes and shortlists are deterministic across
+    * engines.
+    *
+    * Shape at scale: encoding is one broadcast-LUT pass over the corpus
+    * (row-local argmin per subspace); ADC explodes each corpus row to `m`
+    * code rows and equi-joins the broadcast per-query LUT (|q|·m·ksub
+    * rows), then folds back — shuffle volume is m×corpus CODE rows
+    * (bytes, not vectors); rerank touches oversample·k rows per query.
+    * The full-width corpus is read once for encoding and once for the
+    * shortlist join — never pairwise.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
+      ksub: Int = 16, oversample: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = asDouble(corpus)
+    // Codes and LUTs live on UNIT vectors: on the unit sphere ‖a−b‖² =
+    // 2 − 2·cos(a,b), so ADC-by-L2 ranks exactly like cosine — encoding
+    // raw vectors would let norm variance leak into the shortlist (it
+    // measurably halves recall on the test corpus).
+    val unit = (v: Column) => {
+      val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+      transform(v, x => x / n)
+    }
+    val cu = c.select(col("vec_id"), col("v"), unit(col("v")).as("u"))
+    // codebook: (j, cid, cbv) — subspace j of deterministic corpus rows
+    val subsOf = (vc: Column) => explode(transform(sequence(lit(0), lit(m - 1)),
+      j => struct(j.as("j"), slice(vc, j * size(vc) / m + 1,
+        size(vc) / m).as("cbv"))))
+    val subs = subsOf(col("u"))
+    val cb = cu.filter(col("vec_id") < ksub)
+      .select(col("vec_id").cast("int").as("cid"), subs.as("s"))
+      .select(col("cid"), col("s.j").as("j"), col("s.cbv").as("cbv"))
+    // encode: per (vector, subspace), nearest codebook entry
+    val d2 = (a: Column, b: Column) =>
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("j")).orderBy(col("d2"), col("cid"))
+    val enc = cu.select(col("vec_id"), subs.as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.cbv").as("sv"))
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("d2", d2(col("sv"), col("cbv")))
+      .withColumn("ern", row_number().over(wEnc))
+      .filter(col("ern") === 1)
+      .select(col("vec_id"), col("j"), col("cid"))
+    // per-query LUT: distance from each query subvector to each codebook entry
+    val q = asDouble(queries).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val qsubs = q.select(col("q_id"), subsOf(unit(col("qv"))).as("s"))
+      .select(col("q_id"), col("s.j").as("j"), col("s.cbv").as("qsv"))
+    val lut = qsubs.join(cb, Seq("j"))
+      .select(col("q_id"), col("j"), col("cid"), d2(col("qsv"), col("cbv")).as("d"))
+    // ADC score + shortlist
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val short = enc.join(broadcast(lut), Seq("j", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("d")), 6).as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= oversample * k)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank of the shortlist
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    short.join(c, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cos_sim", round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     val c = withLshBucket(asDouble(corpus), nBits)

@@ -269,6 +269,40 @@ object LlmOps {
       val seeded = docs.select(col("doc_id"),
         when(col("doc_id") % 7 === 0, pii).otherwise(col("text")).as("text"))
       CorpusOps.piiRedact(seeded).orderBy(col("doc_id"))
+    }),
+
+    // per-doc top-3 TF-IDF terms (keyword / retrieval-feature extraction)
+    "q79_tfidf_top" -> ((s, d) =>
+      CorpusOps.tfidfTop(Tables.fanout(Tables.documents(s, d)), k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // per-source unigram KL vs the corpus blend (mixture diagnostic)
+    "q80_source_kl" -> ((s, d) =>
+      CorpusOps.sourceKl(Tables.fanout(Tables.documents(s, d)), "source")
+        .orderBy(col("source"))),
+
+    // fixed-size deterministic per-language sample (eval-set carving)
+    "q81_fixed_sample" -> ((s, d) =>
+      CorpusOps.fixedSample(Tables.documents(s, d), "lang", k = 20)
+        .orderBy(col("lang"), col("sample_rank"))),
+
+    // vocabulary coverage curve (tokenizer-budget diagnostic)
+    "q82_vocab_coverage" -> ((s, d) =>
+      CorpusOps.vocabCoverage(Tables.fanout(Tables.documents(s, d)),
+          Seq(5, 15, 30))
+        .orderBy(col("top_n"))),
+
+    // per-label centroid outliers (embedding label-QC)
+    "q83_label_outliers" -> ((s, d) =>
+      Similarity.labelOutliers(Tables.fanout(Tables.embeddings(s, d)), k = 5)
+        .orderBy(col("label"), col("rank"))),
+
+    // product-quantization ANN: m-byte codes, ADC shortlist, exact rerank
+    "q84_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(Tables.fanout(emb), emb.filter(col("vec_id") < 5),
+          k = 10, m = 16, ksub = 16, oversample = 8)
+        .orderBy(col("q_id"), col("rank"))
     })
   )
 
@@ -749,6 +783,103 @@ object LlmOps {
            CAST(len(regexp_extract_all(r1,
              '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone,
            CAST(len(regexp_extract_all(r2, '[0-9]{6,}')) AS BIGINT) AS n_id
-         FROM s3 ORDER BY doc_id"""
+         FROM s3 ORDER BY doc_id""",
+    "q79_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id,
+              unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+            FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+            FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         s AS (SELECT doc_id, term, floor(tf*ln(n_docs/df)*1000)/1000 AS tfidf
+            FROM tf JOIN df USING (term), n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS rank FROM s)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q80_source_kl" ->
+      """WITH toks AS (SELECT source,
+              unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+            FROM documents),
+         g AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+            FROM toks GROUP BY 1, 2),
+         gt AS (SELECT source, sum(c) AS gt FROM g GROUP BY 1),
+         f AS (SELECT token, sum(c) AS f FROM g GROUP BY 1),
+         ct AS (SELECT sum(f) AS ct FROM f)
+         SELECT g.source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           floor(sum((c/gt)*ln((c/gt)/(f/ct)))*1000)/1000 AS kl
+         FROM g JOIN gt USING (source) JOIN f USING (token), ct
+         GROUP BY g.source ORDER BY source""",
+    "q81_fixed_sample" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             ORDER BY (doc_id*2654435761)%2147483647, doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 20 ORDER BY lang, sample_rank""",
+    "q82_vocab_coverage" ->
+      """WITH toks AS (SELECT
+              unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+            FROM documents),
+         v AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+         t AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM v),
+         r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+            FROM v),
+         cum AS (SELECT rank, sum(freq) OVER (ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM r),
+         c AS (SELECT unnest([5, 15, 30]) AS top_n)
+         SELECT CAST(top_n AS BIGINT) AS top_n,
+           CAST(max(cum) AS BIGINT) AS covered_tokens,
+           floor(max(cum)/total*10000)/10000 AS covered_frac
+         FROM cum JOIN c ON rank <= top_n, t
+         GROUP BY top_n, total ORDER BY top_n""",
+    "q83_label_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+         u AS (SELECT label, i, avg(v[i]) AS m
+            FROM e, unnest(generate_series(1, len(v))) AS t(i)
+            GROUP BY 1, 2),
+         c AS (SELECT label, list(m ORDER BY i) AS cv FROM u GROUP BY 1),
+         s AS (SELECT e.label, vec_id,
+              round(list_cosine_similarity(v, cv), 4) AS cos_c
+            FROM e JOIN c USING (label)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY label
+              ORDER BY cos_c, vec_id) AS rn FROM s)
+         SELECT CAST(label AS BIGINT) AS label, vec_id,
+           CAST(rn AS BIGINT) AS rank, cos_c
+         FROM r WHERE rn <= 5 ORDER BY label, rank""",
+    "q84_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+         eu AS (SELECT vec_id, v, list_transform(v, x ->
+              x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u FROM e),
+         cb AS (SELECT c.vec_id AS cid, j, c.u[j*4+1 : j*4+4] AS cbv
+            FROM eu c, unnest(generate_series(0, 15)) AS t(j)
+            WHERE c.vec_id < 16),
+         encd AS (SELECT eu.vec_id, cb.j, cb.cid,
+              round(list_sum(list_transform(generate_series(1, 4),
+                i -> (eu.u[cb.j*4+i] - cb.cbv[i]) * (eu.u[cb.j*4+i] - cb.cbv[i]))), 6) AS d2
+            FROM eu, cb),
+         enc AS (SELECT vec_id, j, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                ORDER BY d2, cid) AS rn FROM encd) t WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv, u AS qu FROM eu WHERE vec_id < 5),
+         lut AS (SELECT q_id, j, cid,
+              round(list_sum(list_transform(generate_series(1, 4),
+                i -> (qu[j*4+i] - cbv[i]) * (qu[j*4+i] - cbv[i]))), 6) AS d
+            FROM q, cb),
+         adc AS (SELECT q_id, vec_id, round(sum(d), 6) AS adc
+            FROM enc JOIN lut USING (j, cid)
+            WHERE vec_id <> q_id GROUP BY 1, 2),
+         short AS (SELECT q_id, vec_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY adc, vec_id) AS srn FROM adc) t WHERE srn <= 80),
+         rr AS (SELECT s.q_id, s.vec_id,
+              round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
+            FROM short s JOIN e USING (vec_id) JOIN q ON s.q_id = q.q_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id) AS rn FROM rr)
+         SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
+         FROM ranked WHERE rn <= 10 ORDER BY q_id, rank"""
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusOps, Similarity}
+
+/** Specs for the round-4 corpus-analytics / embedding-QC operators
+  * (q79–q84) — properties the DuckDB oracle can't express: recall against
+  * brute force, determinism under repartitioning, and the analytic
+  * invariants (KL ≥ 0, coverage monotone).
+  */
+class CorpusAnalyticsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
+  private def embs = Tables.embeddings(spark, sf)
+
+  test("PQ ADC + rerank: high recall vs brute force, never invents scores") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(embs, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(embs, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall $recall") // untrained codebooks; trained would tighten
+    // rerank is exact: any (q, neighbor) it returns carries the true cosine
+    val pqScores = Similarity.pqTopK(embs, queries, 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val exactScores = Similarity.bruteForceTopK(embs, queries, 400)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    pqScores.foreach { case (k, s) =>
+      assert(exactScores(k) === s, s"rerank score drift at $k") }
+  }
+
+  test("PQ plan is candidate-bounded: no corpus-by-corpus nested loop") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val plan = Similarity.pqTopK(embs, queries, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "PQ plan must not cross the corpus")
+  }
+
+  test("label outliers: rank 1 is the label's true min-cosine member") {
+    val out = Similarity.labelOutliers(embs, k = 1).collect()
+    assert(out.length === embs.select("label").distinct().count())
+    // recompute each label's min rounded cosine against its centroid the
+    // slow way (full scoring, no window) and compare
+    val spark2 = spark
+    import spark2.implicits._
+    val e = embs.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Int, Array[Double])].collect()
+    val byLabel = e.groupBy(_._2)
+    out.foreach { r =>
+      val (label, vecId, cos) = (r.getLong(0).toInt, r.getLong(1), r.getDouble(3))
+      val members = byLabel(label)
+      val dim = members.head._3.length
+      val cv = Array.tabulate(dim)(i => members.map(_._3(i)).sum / members.length)
+      def cosTo(v: Array[Double]) = {
+        val dot = v.zip(cv).map { case (a, b) => a * b }.sum
+        val r4 = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(cv.map(x => x * x).sum))
+        math.round(r4 * 10000) / 10000.0
+      }
+      val minCos = members.map(m => (cosTo(m._3), m._1)).min
+      assert(minCos === ((cos, vecId)), s"label $label outlier mismatch")
+    }
+  }
+
+  test("fixed sample: exactly k per stratum, invariant to partitioning") {
+    val a = CorpusOps.fixedSample(docs, "lang", 7)
+    val b = CorpusOps.fixedSample(docs.repartition(17, col("text")), "lang", 7)
+    assert(a.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      === b.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted)
+    val counts = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(counts(lang) === math.min(7L, n), s"lang $lang") }
+  }
+
+  test("vocab coverage: monotone in top_n, capped at 1, full vocab covers all") {
+    val rows = CorpusOps.vocabCoverage(docs, Seq(1, 5, 1000))
+      .orderBy(col("top_n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 5L, 1000L))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 <= b._3 })
+    assert(rows.forall(_._3 <= 1.0))
+    val total = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(rows.last._2 === total, "a cutoff beyond the vocab covers every token")
+  }
+
+  test("source KL: nonnegative for every slice, zero for a uniform clone") {
+    val kl = CorpusOps.sourceKl(docs, "source").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl.nonEmpty)
+    // floor-quantization can only round DOWN toward -0.001 from a true
+    // value >= 0, so anything at or above -0.001 is a nonnegative KL
+    kl.foreach { case (s, v) => assert(v >= -0.001, s"KL($s) = $v") }
+    // a corpus where every slice IS the blend: KL == 0 exactly
+    val uniform = docs.withColumn("source",
+      concat(lit("clone"), (col("doc_id") % 2).cast("string")))
+      .withColumn("text", lit("a b c"))
+    CorpusOps.sourceKl(uniform, "source").collect()
+      .foreach(r => assert(math.abs(r.getDouble(2)) <= 0.001))
+  }
+
+  test("tfidf top terms: every term is from the doc, scores descend") {
+    val rows = CorpusOps.tfidfTop(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy(_._1).foreach { case (docId, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      }, s"doc $docId scores not descending")
+      sorted.foreach { case (_, _, term, _) =>
+        assert(texts(docId).split(" ").contains(term), s"doc $docId term $term") }
+    }
+  }
+}
