@@ -98,22 +98,32 @@ object TextAnalysis {
   }
 
   def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // Tokenization is materialized at a projection boundary ONCE and every
+    // later expression references the attribute: inlining `w` into the
+    // per-position bigram lambda would re-run split+filter per element —
+    // the O(tokens²)-per-row constraint-propagation trap SCALE.md documents
+    // for q52. CollapseProject keeps the boundary (split is not "cheap").
     val w = filter(split(col(textCol), " "), x => x =!= "")
-    val nw = size(w)
+    val staged = df.withColumn("_w", w)
+    val nw = size(col("_w"))
+    // bigrams = zip(w, w[2:]) — two O(n) array ops, no per-element lookup
     val bigrams = when(nw >= 2,
-      transform(sequence(lit(0), nw - 2),
-        i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
+      zip_with(col("_w"), slice(col("_w"), lit(2), greatest(nw - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
       .otherwise(array())
-    df.withColumn("n_words", nw.cast("long"))
+    staged
+      .withColumn("n_words", nw.cast("long"))
       .withColumn("dup_word_frac",
         when(nw > 0, quant4(lit(1.0) -
-          size(array_distinct(w)).cast("double") / nw)).otherwise(lit(0.0)))
-      .withColumn("_bg", bigrams)
+          size(array_distinct(col("_w"))).cast("double") / nw)).otherwise(lit(0.0)))
+      // zip_with pads to the LONGER input: the last element pairs w[n]
+      // with null → a null bigram; slice to n-1 before counting
+      .withColumn("_bg", when(nw >= 2, slice(bigrams, lit(1), nw - 1)).otherwise(array()))
       .withColumn("dup_bigram_frac",
         when(size(col("_bg")) > 0, quant4(lit(1.0) -
           size(array_distinct(col("_bg"))).cast("double") / size(col("_bg"))))
           .otherwise(lit(0.0)))
-      .drop("_bg")
+      .drop("_bg", "_w")
   }
 
   /** Quality metrics + composite score per document. */
