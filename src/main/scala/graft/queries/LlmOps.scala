@@ -303,7 +303,24 @@ object LlmOps {
       Similarity.pqTopK(Tables.fanout(emb), emb.filter(col("vec_id") < 5),
           k = 10, m = 16, ksub = 16, oversample = 8)
         .orderBy(col("q_id"), col("rank"))
-    })
+    }),
+
+    // temperature-scaled mixture weights (multi-source rebalancing rule)
+    "q85_mixture_weights" -> ((s, d) =>
+      CorpusOps.mixtureWeights(Tables.fanout(Tables.documents(s, d)),
+          "source", alpha = 0.5)
+        .orderBy(col("source"))),
+
+    // boilerplate prevalence: fraction of shingles with corpus df >= 20
+    "q86_boilerplate" -> ((s, d) =>
+      CorpusOps.boilerplate(Tables.fanout(Tables.documents(s, d)),
+          n = 3, minDf = 20)
+        .orderBy(col("doc_id"))),
+
+    // cross-source shared-shingle overlap matrix (mixing diagnostic)
+    "q87_source_overlap" -> ((s, d) =>
+      CorpusOps.sourceOverlap(Tables.fanout(Tables.documents(s, d)), n = 3)
+        .orderBy(col("source_a"), col("source_b")))
   )
 
   private val langCase: String = {
@@ -880,6 +897,48 @@ object LlmOps {
          ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
               ORDER BY cos_sim DESC, vec_id) AS rn FROM rr)
          SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
-         FROM ranked WHERE rn <= 10 ORDER BY q_id, rank"""
+         FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
+    "q85_mixture_weights" ->
+      """WITH c AS (SELECT source,
+              CAST(sum(len(list_filter(string_split(text,' '), x -> x <> '')))
+                AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1),
+         p AS (SELECT source, n_tokens,
+              power(CAST(n_tokens AS DOUBLE), 0.5) AS p FROM c),
+         t AS (SELECT sum(p) AS tp FROM p)
+         SELECT source, n_tokens, floor(p/tp*10000)/10000 AS weight
+         FROM p, t ORDER BY source""",
+    "q86_boilerplate" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM sh GROUP BY 1),
+         common AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 20),
+         b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+            FROM sh WHERE s IN (SELECT s FROM common) GROUP BY 1)
+         SELECT doc_id, n_shingles, coalesce(n_boiler, 0) AS n_boiler,
+           floor(1.0*coalesce(n_boiler, 0)/n_shingles*10000)/10000 AS boiler_frac
+         FROM sizes LEFT JOIN b USING (doc_id) ORDER BY doc_id""",
+    "q87_source_overlap" ->
+      """WITH docs AS (SELECT doc_id, source,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT source, s FROM (
+            SELECT source, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY source_a, source_b"""
   )
 }
