@@ -413,25 +413,42 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
       ksub: Int = 16, oversample: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
-    val c = asDouble(corpus)
-    // Codes and LUTs live on UNIT vectors: on the unit sphere ‖a−b‖² =
-    // 2 − 2·cos(a,b), so ADC-by-L2 ranks exactly like cosine — encoding
-    // raw vectors would let norm variance leak into the shortlist (it
-    // measurably halves recall on the test corpus).
-    val unit = (v: Column) => {
-      val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-      transform(v, x => x / n)
-    }
-    val cu = c.select(col("vec_id"), col("v"), unit(col("v")).as("u"))
     // codebook: (j, cid, cbv) — subspace j of deterministic corpus rows
-    val subsOf = (vc: Column) => explode(transform(sequence(lit(0), lit(m - 1)),
+    val cu = asDouble(corpus)
+      .select(col("vec_id"), unitOf(col("v")).as("u"))
+    val cb = cu.filter(col("vec_id") < ksub)
+      .select(col("vec_id").cast("int").as("cid"), subspacesOf(col("u"), m).as("s"))
+      .select(col("cid"), col("s.j").as("j"), col("s.cbv").as("cbv"))
+    pqWithCodebook(corpus, queries, cb, k, m, oversample)
+  }
+
+  /** Unit-normalize an array column (callers guarantee nonzero norm). */
+  private def unitOf(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    transform(v, x => x / n)
+  }
+
+  /** Explode an array column into its `m` equal subspaces as
+    * struct(j, cbv) rows.
+    */
+  private def subspacesOf(vc: Column, m: Int): Column =
+    explode(transform(sequence(lit(0), lit(m - 1)),
       j => struct(j.as("j"), slice(vc, j * size(vc) / m + 1,
         size(vc) / m).as("cbv"))))
-    val subs = subsOf(col("u"))
-    val cb = cu.filter(col("vec_id") < ksub)
-      .select(col("vec_id").cast("int").as("cid"), subs.as("s"))
-      .select(col("cid"), col("s.j").as("j"), col("s.cbv").as("cbv"))
+
+  /** Shared PQ machinery: encode the corpus against `cb` (j, cid, cbv),
+    * ADC-score via a broadcast per-query LUT, shortlist, exact rerank.
+    * Codes and LUTs live on UNIT vectors: on the unit sphere ‖a−b‖² =
+    * 2 − 2·cos(a,b), so ADC-by-L2 ranks exactly like cosine — encoding
+    * raw vectors would let norm variance leak into the shortlist (it
+    * measurably halves recall on the test corpus).
+    */
+  private def pqWithCodebook(corpus: DataFrame, queries: DataFrame,
+      cb: DataFrame, k: Int, m: Int, oversample: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = asDouble(corpus)
+    val cu = c.select(col("vec_id"), col("v"), unitOf(col("v")).as("u"))
+    val subs = subspacesOf(col("u"), m)
     // encode: per (vector, subspace), nearest codebook entry
     val d2 = (a: Column, b: Column) =>
       round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -447,7 +464,7 @@ object Similarity {
       .select(col("vec_id"), col("j"), col("cid"))
     // per-query LUT: distance from each query subvector to each codebook entry
     val q = asDouble(queries).select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val qsubs = q.select(col("q_id"), subsOf(unit(col("qv"))).as("s"))
+    val qsubs = q.select(col("q_id"), subspacesOf(unitOf(col("qv")), m).as("s"))
       .select(col("q_id"), col("s.j").as("j"), col("s.cbv").as("qsv"))
     val lut = qsubs.join(cb, Seq("j"))
       .select(col("q_id"), col("j"), col("cid"), d2(col("qsv"), col("cbv")).as("d"))
@@ -470,6 +487,77 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
+  /** Per-subspace Lloyd-trained PQ codebooks on a bounded sample — the
+    * Faiss recipe applied independently to each of the `m` subspaces:
+    * draw `ksub`×64 unit-normalized vectors in deterministic hash order
+    * (one distributed top-N pass, like [[trainCentroids]]), slice them
+    * into subvectors, and run `iters` rounds of L2 Lloyd per subspace
+    * locally (init = the sample's `ksub` lowest-id subvectors; empty
+    * cells keep their centroid). Training cost is ~constant in corpus
+    * size; the result ships to [[pqTopKTrained]] as a broadcastable
+    * (j, cid, cbv) relation.
+    */
+  private[graft] def trainCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+      iters: Int = 5): Array[(Int, Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[(Long, Array[Double])] = asDouble(corpus)
+      .withColumn("n", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .filter(col("n") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("u"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(ksub * 64)
+      .as[(Long, Array[Double])].collect()
+    require(sample.nonEmpty, "cannot train codebooks on an empty corpus")
+    val dim = sample(0)._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+
+    (0 until m).toArray.flatMap { j =>
+      val svs = sample.sortBy(_._1).map(_._2.slice(j * sub, (j + 1) * sub))
+      var cents = svs.take(ksub).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        svs.foreach { sv =>
+          var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+          while (c < cents.length) {
+            val cv = cents(c); var d = 0.0; var i = 0
+            while (i < sub) { val t = sv(i) - cv(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += sv(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (cv, c) =>
+          if (counts(c) == 0) cv.clone()
+          else Array.tabulate(sub)(i => sums(c)(i) / counts(c))
+        }
+        it += 1
+      }
+      cents.zipWithIndex.map { case (cv, cid) => (j, cid, cv) }
+    }
+  }
+
+  /** [[pqTopK]] with trained codebooks: identical encode/ADC/rerank
+    * mechanics, codebook entries moved by per-subspace Lloyd — tighter
+    * ADC estimates, so the same `oversample` buys more recall (or a
+    * smaller one the same recall). Not oracle-replicable (codebooks are
+    * data-derived), so correctness rides the spec: recall vs brute force
+    * and rerank exactness.
+    */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 16, ksub: Int = 16, oversample: Int = 8,
+      iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = trainCodebooks(corpus, m, ksub, iters).toSeq.toDF("j", "cid", "cbv")
+    pqWithCodebook(corpus, queries, cb, k, m, oversample)
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {

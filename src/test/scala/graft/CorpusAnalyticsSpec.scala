@@ -31,6 +31,21 @@ class CorpusAnalyticsSpec extends SparkSpec {
       assert(exactScores(k) === s, s"rerank score drift at $k") }
   }
 
+  test("trained PQ codebooks: recall at least matches untrained at equal oversample") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(embs, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val untrained = recallOf(Similarity.pqTopK(embs, queries, 10, oversample = 4))
+    val trained = recallOf(Similarity.pqTopKTrained(embs, queries, 10, oversample = 4))
+    assert(trained >= untrained,
+      s"Lloyd-trained codebooks regressed recall: $trained < $untrained")
+    assert(trained >= 0.7, s"trained recall $trained")
+  }
+
   test("PQ plan is candidate-bounded: no corpus-by-corpus nested loop") {
     val queries = embs.filter(col("vec_id") < 5)
     val plan = Similarity.pqTopK(embs, queries, 10)
