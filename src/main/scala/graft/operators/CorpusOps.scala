@@ -437,8 +437,11 @@ object CorpusOps {
       .crossJoin(broadcast(corpusTot))
       .groupBy(col("grp").as(groupCol))
       .agg(sum(col("c")).cast("long").as("n_tokens"),
-        (floor(sum((col("c") / col("gt")) *
-          log((col("c") / col("gt")) / (col("f") / col("ct")))) * 1000) / 1000)
+        // KL >= 0 mathematically; the float SUM of a zero-KL slice can land
+        // at ±1e-16, and floor would take -1e-16 to -0.001 while another
+        // engine's +1e-17 floors to 0.000 — clamp before quantizing
+        (floor(greatest(lit(0.0), sum((col("c") / col("gt")) *
+          log((col("c") / col("gt")) / (col("f") / col("ct"))))) * 1000) / 1000)
           .as("kl"))
   }
 

@@ -20,9 +20,11 @@ object Extra {
         .groupBy(col("l_returnflag"))
         .agg(
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"),
-          round(skewness(col("l_quantity")), 4).as("skew_qty"))
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("corr_qty_price"),
+          (round(covar_samp(col("l_quantity"), col("l_discount")), 4) + lit(0.0)).as("cov_qty_disc"),
+          // + 0.0 collapses IEEE -0.0 (a tiny-negative skew rounded to
+          // zero keeps its sign bit; engines then print "-0" vs "0")
+          (round(skewness(col("l_quantity")), 4) + lit(0.0)).as("skew_qty"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -174,9 +176,9 @@ object Extra {
     "q38_stats_agg" ->
       """SELECT l_returnflag,
          round(stddev_samp(l_quantity), 4) AS sd_qty,
-         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-         round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
-         round(skewness(l_quantity), 4) AS skew_qty
+         round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+         round(covar_samp(l_quantity, l_discount), 4) + 0.0 AS cov_qty_disc,
+         round(skewness(l_quantity), 4) + 0.0 AS skew_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q39_percentiles" ->
       """SELECT l_returnflag,

@@ -825,7 +825,7 @@ object LlmOps {
          f AS (SELECT token, sum(c) AS f FROM g GROUP BY 1),
          ct AS (SELECT sum(f) AS ct FROM f)
          SELECT g.source, CAST(sum(c) AS BIGINT) AS n_tokens,
-           floor(sum((c/gt)*ln((c/gt)/(f/ct)))*1000)/1000 AS kl
+           floor(greatest(0.0, sum((c/gt)*ln((c/gt)/(f/ct))))*1000)/1000 AS kl
          FROM g JOIN gt USING (source) JOIN f USING (token), ct
          GROUP BY g.source ORDER BY source""",
     "q81_fixed_sample" ->
