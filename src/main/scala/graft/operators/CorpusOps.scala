@@ -208,6 +208,58 @@ object CorpusOps {
         col("n_dup_spans").cast("double") / col("n_spans")))
   }
 
+  /** Exact-substring dedup REMOVAL (the surgery [[dupSpans]] only
+    * measures): excise every token covered by a word n-gram span that
+    * also occurs in at least one OTHER document — Lee et al. 2022's
+    * ExactSubstr policy at word granularity. Emits per document the
+    * original token count, how many tokens were removed, and the md5 of
+    * the surviving text (fully-duplicated documents collapse to the
+    * empty string).
+    *
+    * Shape at scale: per-start span hashes are built row-locally from a
+    * materialized token array (projection boundary — the documented
+    * alias-inlining trap would otherwise re-tokenize per position), the
+    * duplicated-span set is ONE aggregation on the span hash, coverage
+    * expansion is a generate bounded by n·|dup starts|, and the excision
+    * itself is an ANTI-JOIN on (doc_id, position) — O(tokens + covered),
+    * never per-doc quadratic scans. All shuffles are equi-shuffles on
+    * hash/ids; nothing is corpus².
+    */
+  def removeDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val dm = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("len"))
+    // one span per start position; documents shorter than n words
+    // contribute a single whole-document span (mirrors Dedup.shingles)
+    val starts = dm
+      .select(col("doc_id"), col("len"), col("w"),
+        explode(sequence(lit(1), greatest(col("len") - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"), col("len"), col("i"),
+        xxhash64(array_join(slice(col("w"), col("i"), lit(n)), " ")).as("h"))
+    val dupH = starts.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select(col("h"))
+    val covered = starts.join(dupH, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), least(col("i") + (n - 1), col("len")))).as("j"))
+      .distinct()
+    val toks = dm
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          x => x.getField("tok")), " ")).as("clean_md5"))
+    dm.select(col("doc_id"), col("len").cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   /** Unigram language-model scoring: train token probabilities on the
     * corpus itself (MLE unigram LM), then score every document by its
     * mean cross-entropy −Σ ln p(tokenᵢ) / n — the classic cheap

@@ -384,6 +384,58 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cos_c"))
   }
 
+  /** Full-corpus distributed k-means clustering (Lloyd) — corpus
+    * organization for cluster-balanced curation (SemDeDup-style pruning,
+    * density-aware mixing), not an ANN accelerator like the
+    * sample-bounded [[trainCentroids]]. Every iteration touches the
+    * whole corpus, which IS the at-scale recipe:
+    *
+    *   - assignment is ONE narrow pass — the k×d centroid matrix rides
+    *     the plan as literals (k·d ≈ KBs), each row computes its argmin
+    *     locally, nothing shuffles;
+    *   - the update is posexplode to (cluster, dim) keys, where map-side
+    *     partial aggregation collapses each partition to ≤ k·d partial
+    *     sums before the ONE equi-shuffle — shuffle volume is
+    *     O(partitions·k·d), independent of row count;
+    *   - the k×d means come back to the driver (tiny), empty cells keep
+    *     their previous centroid.
+    *
+    * Fully deterministic and oracle-replicable: init is the `k` vectors
+    * with the lowest md5(vec_id) (an engine-neutral deterministic
+    * shuffle), distances are squared L2 over double-cast values, and
+    * argmin ties break toward the lowest cluster id (array_position
+    * returns the FIRST minimal entry).
+    */
+  def kmeansClusters(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = asDouble(emb)
+    def distTo(cv: Array[Double]): Column =
+      aggregate(zip_with(col("v"), typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    def argmin(cents: Array[Array[Double]]): Column = {
+      val dists = array(cents.map(distTo): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("long")
+    }
+    var cents: Array[Array[Double]] = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.length == k, s"corpus smaller than k=$k")
+    var it = 0
+    while (it < iters) {
+      val upd = e.withColumn("cluster", argmin(cents))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          p => p.getField("m")).as("cv"))
+        .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+        .toMap
+      cents = cents.indices.map(c => upd.getOrElse(c, cents(c))).toArray
+      it += 1
+    }
+    e.select(col("vec_id"), argmin(cents).as("cluster"))
+  }
+
   /** Product-quantization ANN (ADC + exact rerank): vectors are cut into
     * `m` subspaces, each encoded as the id of its nearest codebook entry
     * (`ksub` per subspace) — compressing a d-dim float vector to m bytes

@@ -194,6 +194,11 @@ object LlmOps {
       CorpusOps.dupSpans(Tables.fanout(Tables.documents(s, d)), n = 8)
         .orderBy(col("doc_id"))),
 
+    // exact-substring dedup removal: excise cross-document 8-gram spans
+    "q88_span_removal" -> ((s, d) =>
+      CorpusOps.removeDupSpans(Tables.fanout(Tables.documents(s, d)), n = 8)
+        .orderBy(col("doc_id"))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -204,6 +209,12 @@ object LlmOps {
       CorpusOps.chunkDocs(Tables.fanout(Tables.documents(s, d)),
           window = 32, stride = 24)
         .orderBy(col("doc_id"), col("chunk_ord"))),
+
+    // full-corpus distributed Lloyd clustering: deterministic assignments
+    "q89_kmeans" -> ((s, d) =>
+      Similarity.kmeansClusters(Tables.fanout(Tables.embeddings(s, d)),
+          k = 8, iters = 3)
+        .orderBy(col("vec_id"))),
 
     // JL sign-projection sketch: 16-dim distance-preserving reduction
     "q73_embed_project" -> ((s, d) =>
@@ -346,6 +357,47 @@ object LlmOps {
     Similarity.planes(8).zipWithIndex.map { case (pl, p) =>
       s"(CASE WHEN list_inner_product(v, ${planeLit(pl)}) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** DuckDB replica of [[Similarity.kmeansClusters]] with the Lloyd
+    * iterations unrolled as CTE stages: same md5-ordered deterministic
+    * init, same squared-L2 double arithmetic, same lowest-id tie-break
+    * (row_number ORDER BY dist, cent_id mirrors array_position's
+    * first-minimum). Empty cells keep the previous centroid via the
+    * LEFT JOIN + coalesce.
+    */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    def distSql(c: String): String =
+      s"""list_sum(list_transform(generate_series(1, $dim),
+         i -> (e.v[i]-$c.cv[i])*(e.v[i]-$c.cv[i])))"""
+    val b = new StringBuilder
+    b ++= s"""WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+              AS cent_id, v AS cv
+         FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)"""
+    for (t <- 1 to iters) {
+      val prev = s"c${t - 1}"
+      b ++= s""",
+       a$t AS (SELECT vec_id, v, cent_id FROM (
+           SELECT e.vec_id, e.v, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${distSql("c")}, c.cent_id) AS rn
+           FROM e CROSS JOIN $prev c) t WHERE rn = 1),
+       m$t AS (SELECT cent_id, list(m ORDER BY d) AS cv FROM (
+           SELECT cent_id, d, avg(v[d]) AS m FROM (
+             SELECT cent_id, v, unnest(generate_series(1, $dim)) AS d FROM a$t) x
+           GROUP BY cent_id, d) y GROUP BY cent_id),
+       c$t AS (SELECT c.cent_id, coalesce(m.cv, c.cv) AS cv
+           FROM $prev c LEFT JOIN m$t m USING (cent_id))"""
+    }
+    b ++= s"""
+       SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster FROM (
+         SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${distSql("c")}, c.cent_id) AS rn
+         FROM e CROSS JOIN c$iters c) t WHERE rn = 1 ORDER BY vec_id"""
+    b.toString
+  }
 
   private val lshProbesSql: String =
     ("qb" +: (0 until 8).map(i => s"xor(qb, ${1L << i})"))
@@ -556,6 +608,33 @@ object LlmOps {
            floor(1.0*sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)/count(*)*10000)/10000 AS dup_frac
          FROM sh JOIN c USING (s)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q88_span_removal" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         dm AS (SELECT doc_id, w, len(w) AS len FROM d),
+         st AS (SELECT doc_id, len, w,
+              unnest(generate_series(1, greatest(len-7, 1))) AS i FROM dm),
+         sp AS (SELECT doc_id, len, i,
+              array_to_string(w[i:i+7], ' ') AS s FROM st),
+         dup AS (SELECT s FROM sp GROUP BY s
+              HAVING count(DISTINCT doc_id) > 1),
+         cov AS (SELECT DISTINCT doc_id, j FROM (
+              SELECT doc_id, unnest(generate_series(i, least(i+7, len))) AS j
+              FROM sp WHERE s IN (SELECT s FROM dup)) u),
+         tp AS (SELECT doc_id, j, w[j] AS tok FROM (
+              SELECT doc_id, w, unnest(generate_series(1, len)) AS j
+              FROM dm WHERE len > 0) t),
+         kept AS (SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(tok, ' ' ORDER BY j)) AS clean_md5
+            FROM tp WHERE NOT EXISTS (SELECT 1 FROM cov
+              WHERE cov.doc_id = tp.doc_id AND cov.j = tp.j)
+            GROUP BY tp.doc_id)
+         SELECT dm.doc_id, CAST(len AS BIGINT) AS n_tokens,
+           CAST(len - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(clean_md5, md5('')) AS clean_md5
+         FROM dm LEFT JOIN kept ON dm.doc_id = kept.doc_id
+         ORDER BY dm.doc_id""",
     "q70_lm_score" ->
       """WITH toks AS (SELECT doc_id,
               unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
@@ -579,6 +658,7 @@ object LlmOps {
            CAST(len(w[start:start+31]) AS BIGINT) AS chunk_tokens,
            md5(array_to_string(w[start:start+31], ' ')) AS chunk_md5
          FROM c ORDER BY doc_id, chunk_ord""",
+    "q89_kmeans" -> kmeansOracle(8, 3, 64),
     "q73_embed_project" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT vec_id, list_transform(generate_series(0, 15), j ->

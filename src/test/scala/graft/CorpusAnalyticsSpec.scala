@@ -46,6 +46,50 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(trained >= 0.7, s"trained recall $trained")
   }
 
+  test("removeDupSpans: excises cross-doc spans, keeps unique text, empties exact dups") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "a b c d e"),       // shares "a b c" with doc 2
+      (2L, "x y a b c q r"),   // shares "a b c" with doc 1
+      (3L, "u v w"),           // exact dup of doc 4 (whole-doc span, len = n)
+      (4L, "u v w"),
+      (5L, "solo text here ok") // nothing shared
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.removeDupSpans(toy, n = 3)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5of(s: String) = toy.sparkSession.range(1)
+      .select(md5(lit(s))).head().getString(0)
+    assert(byId(1L) === ((5L, 3L, md5of("d e"))))      // "a b c" covered
+    assert(byId(2L) === ((7L, 3L, md5of("x y q r"))))  // mid-doc span covered
+    assert(byId(3L) === ((3L, 3L, md5of(""))))         // fully duplicated
+    assert(byId(4L) === ((3L, 3L, md5of(""))))
+    assert(byId(5L) === ((4L, 0L, md5of("solo text here ok"))))
+    // overlapping dup spans must not double-remove: coverage is a set
+    val toy2 = Seq(
+      (1L, "p q r s t"),  // spans "p q r","q r s","r s t" all shared with doc 2
+      (2L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val o2 = CorpusOps.removeDupSpans(toy2, n = 3)
+      .orderBy("doc_id").collect()
+    assert(o2(0).getLong(2) === 5L) // whole doc 1 covered once
+    assert(o2(1).getLong(2) === 5L) // doc 2 keeps only "u"
+    assert(o2(1).getString(3) === md5of("u"))
+  }
+
+  test("kmeansClusters: deterministic, partition-invariant, all clusters live") {
+    val a = Similarity.kmeansClusters(embs, k = 8, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Similarity.kmeansClusters(embs.repartition(13), k = 8, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b, "assignments must not depend on partitioning")
+    assert(a.size === embs.count())
+    assert(a.values.forall(c => c >= 0 && c < 8))
+    // random unit-ish data at n=500 should populate every cell
+    assert(a.values.toSet.size === 8)
+  }
+
   test("PQ plan is candidate-bounded: no corpus-by-corpus nested loop") {
     val queries = embs.filter(col("vec_id") < 5)
     val plan = Similarity.pqTopK(embs, queries, 10)
