@@ -260,6 +260,73 @@ object CorpusOps {
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
   }
 
+  /** Distributed BPE merge training (the tokenizer-learning primitive):
+    * learn the first `merges` byte-pair merges from the corpus, greedy
+    * highest-frequency-first with lexicographic tie-break. Returns one
+    * row per learned merge: (rank, lhs, rhs, freq).
+    *
+    * The classic weighted-vocabulary formulation: the corpus collapses
+    * ONCE to (distinct word, frequency) — every later pass runs over the
+    * vocabulary, not the corpus, so per-merge cost is independent of
+    * corpus size (the standard sentencepiece/HF-tokenizers shape). Words
+    * are held as sentinel-delimited symbol strings (single-space ends,
+    * double-space separators) so applying a merge is ONE non-overlapping
+    * left-to-right regexp_replace — exactly BPE's greedy application
+    * order, with no lookarounds (the double-space trick keeps adjacent
+    * matches from consuming each other's boundary). Pre-tokenization
+    * keeps [a-z0-9]+ words only, which also guarantees symbols never
+    * contain regex/replacement metacharacters.
+    *
+    * Per merge: one pair-count aggregation (map-side combined) and a
+    * 1-row argmax to the driver — the merge DECISION is inherently a
+    * global scalar, everything else stays distributed. The evolving
+    * vocabulary is persisted each round and the previous round released
+    * after materialization, so the lineage (and recompute cost) stays
+    * O(1) per round instead of O(rounds).
+    */
+  def bpeMerges(docs: DataFrame, merges: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    // split(_, "") keeps a trailing "" (Java split limit -1) — drop it
+    val chars = filter(split(col("word"), ""), x => x =!= "")
+    var vocab = docs
+      .select(explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), array_join(chars, "  "), lit(" ")).as("sym"),
+        col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1
+    while (rank <= merges) {
+      val syms = split(trim(col("sym")), "  ")
+      val pairs = when(size(syms) >= 2,
+        zip_with(slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => concat(a, lit(" "), b))).otherwise(array())
+      val best = vocab.select(explode(pairs).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) rank = merges + 1 // vocabulary fully merged
+      else {
+        val Array(l, r) = best(0).getString(0).split(" ", 2)
+        learned += ((rank.toLong, l, r, best(0).getLong(1)))
+        val next = vocab
+          .select(regexp_replace(col("sym"),
+            lit(s" \\Q$l\\E  \\Q$r\\E "), lit(s" $l$r ")).as("sym"), col("freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent
+        vocab.unpersist(blocking = false)
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    import spark.implicits._
+    learned.result().toDF("rank", "lhs", "rhs", "freq")
+  }
+
   /** Unigram language-model scoring: train token probabilities on the
     * corpus itself (MLE unigram LM), then score every document by its
     * mean cross-entropy −Σ ln p(tokenᵢ) / n — the classic cheap

@@ -194,6 +194,11 @@ object LlmOps {
       CorpusOps.dupSpans(Tables.fanout(Tables.documents(s, d)), n = 8)
         .orderBy(col("doc_id"))),
 
+    // distributed BPE merge training: first 8 learned merges
+    "q90_bpe_merges" -> ((s, d) =>
+      CorpusOps.bpeMerges(Tables.documents(s, d), merges = 8)
+        .orderBy(col("rank"))),
+
     // exact-substring dedup removal: excise cross-document 8-gram spans
     "q88_span_removal" -> ((s, d) =>
       CorpusOps.removeDupSpans(Tables.fanout(Tables.documents(s, d)), n = 8)
@@ -357,6 +362,42 @@ object LlmOps {
     Similarity.planes(8).zipWithIndex.map { case (pl, p) =>
       s"(CASE WHEN list_inner_product(v, ${planeLit(pl)}) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** DuckDB replica of [[CorpusOps.bpeMerges]] with the merge rounds
+    * unrolled as CTE stages: same weighted vocabulary, same
+    * double-space symbol encoding, same (count DESC, pair ASC) argmax,
+    * same non-overlapping left-to-right regexp application (RE2's 'g'
+    * flag matches Java's global replace semantics; \Q…\E literal
+    * quoting is common to both).
+    */
+  private def bpeOracle(merges: Int): String = {
+    val b = new StringBuilder
+    b ++= """WITH w0 AS (SELECT word, count(*) AS freq FROM (
+         SELECT unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
+         FROM documents) t
+       WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY word),
+       v0 AS (SELECT ' ' || array_to_string(
+           list_transform(generate_series(1, length(word)), i -> word[i]), '  ')
+           || ' ' AS sym, freq FROM w0)"""
+    for (t <- 1 to merges) {
+      b ++= s""",
+       p$t AS (SELECT pair, sum(freq) AS cnt FROM (
+           SELECT unnest(list_transform(generate_series(1, len(l)-1),
+             i -> l[i] || ' ' || l[i+1])) AS pair, freq
+           FROM (SELECT string_split(trim(sym), '  ') AS l, freq FROM v${t - 1}) s) u
+         GROUP BY pair),
+       b$t AS (SELECT pair, cnt FROM p$t ORDER BY cnt DESC, pair LIMIT 1),
+       v$t AS (SELECT regexp_replace(v.sym,
+           ' \\Q' || split_part(b.pair, ' ', 1) || '\\E  \\Q' || split_part(b.pair, ' ', 2) || '\\E ',
+           ' ' || replace(b.pair, ' ', '') || ' ', 'g') AS sym, v.freq
+         FROM v${t - 1} v CROSS JOIN b$t b)"""
+    }
+    b ++= (1 to merges).map(t =>
+      s"""SELECT CAST($t AS BIGINT) AS rank, split_part(pair,' ',1) AS lhs,
+          split_part(pair,' ',2) AS rhs, CAST(cnt AS BIGINT) AS freq FROM b$t""")
+      .mkString("\n       ", "\n       UNION ALL ", "\n       ORDER BY rank")
+    b.toString
+  }
 
   /** DuckDB replica of [[Similarity.kmeansClusters]] with the Lloyd
     * iterations unrolled as CTE stages: same md5-ordered deterministic
@@ -659,6 +700,7 @@ object LlmOps {
            md5(array_to_string(w[start:start+31], ' ')) AS chunk_md5
          FROM c ORDER BY doc_id, chunk_ord""",
     "q89_kmeans" -> kmeansOracle(8, 3, 64),
+    "q90_bpe_merges" -> bpeOracle(8),
     "q73_embed_project" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT vec_id, list_transform(generate_series(0, 15), j ->

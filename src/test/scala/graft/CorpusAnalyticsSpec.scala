@@ -78,6 +78,25 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(o2(1).getString(3) === md5of("u"))
   }
 
+  test("bpeMerges: greedy weighted merges with left-to-right application") {
+    import spark.implicits._
+    // "aaab" x3, "ab" x2: chars a,a,a,b / a,b
+    // round 1 pairs: (a,a): 2*3=6, (a,b): 3+2=5 -> merge (a,a) freq 6
+    //   "aaab" -> aa,a,b (left-to-right greedy: [aa, a, b]); "ab" -> a,b
+    // round 2 pairs: (aa,a):3, (a,b):3+2=5 -> merge (a,b) freq 5
+    //   "aaab" -> aa,ab? no: [aa, a, b] -> a,b adjacent -> [aa, ab]; "ab" -> [ab]
+    // round 3 pairs: (aa,ab):3 -> merge freq 3
+    val toy = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val out = CorpusOps.bpeMerges(toy, merges = 3).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, "a", "a", 6L), (2L, "a", "b", 5L),
+      (3L, "aa", "ab", 3L)))
+    // exhausting the vocabulary stops early instead of emitting junk
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val o2 = CorpusOps.bpeMerges(tiny, merges = 5).collect()
+    assert(o2.length === 1) // only (a,b) is ever mergeable
+  }
+
   test("kmeansClusters: deterministic, partition-invariant, all clusters live") {
     val a = Similarity.kmeansClusters(embs, k = 8, iters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
