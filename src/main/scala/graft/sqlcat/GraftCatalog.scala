@@ -118,14 +118,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       readProps(d, ident.name))
   }
 
-  /** `SELECT ... FROM t VERSION AS OF <v>` — engine time travel in SQL. */
+  /** `SELECT ... FROM t VERSION AS OF <v>` — engine time travel in SQL.
+    * `VERSION AS OF 'branch:<name>'` reads a WAP branch head instead
+    * (the audit step of write-audit-publish, read-only by construction:
+    * DML statements never carry a version clause).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val d = ident.namespace()(0)
+    if (version.startsWith("branch:")) {
+      val b = lake.getTable(d, ident.name).branch(version.stripPrefix("branch:"))
+      return new GraftSqlTable(fullName(ident), b, readProps(d, ident.name))
+    }
     val v = try version.toLong catch {
       case _: NumberFormatException =>
         throw new IllegalArgumentException(
-          s"graft table versions are integers, got '$version'")
+          s"graft table versions are integers or 'branch:<name>', got '$version'")
     }
     new GraftSqlTable(fullName(ident), lake.getTable(d, ident.name),
       readProps(d, ident.name), asOfVersion = Some(v))

@@ -26,6 +26,9 @@ import graft.table.MergeTable
   *   CALL graft.system.bin_pack('db.t')
   *   CALL graft.system.expire_snapshots('db.t', 2)
   *   CALL graft.system.rollback('db.t', 3)
+  *   CALL graft.system.create_branch('db.t', 'audit')   -- WAP: write...
+  *   CALL graft.system.publish_branch('db.t', 'audit')  -- ...audit, publish
+  *   CALL graft.system.drop_branch('db.t', 'audit')
   * }}}
   *
   * Each returns one row with the table's latest version after the call.
@@ -91,6 +94,23 @@ private[sqlcat] object GraftProcedures {
       (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
         val t = resolve(l, in.getUTF8String(0).toString)
         t.rollbackTo(in.getLong(1)); t.latestVersion
+      })),
+    // write-audit-publish: CALL graft.system.create_branch('db.t','audit')
+    // → stage writes on the branch → publish_branch fast-forwards main
+    "create_branch" -> ((Seq(p("table", StringType), p("name", StringType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.createBranch(in.getUTF8String(1).toString).latestVersion
+      })),
+    "publish_branch" -> ((Seq(p("table", StringType), p("name", StringType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.publishBranch(in.getUTF8String(1).toString)
+      })),
+    "drop_branch" -> ((Seq(p("table", StringType), p("name", StringType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.dropBranch(in.getUTF8String(1).toString); t.latestVersion
       })))
 
   def names: Seq[String] = defs.keys.toSeq.sorted

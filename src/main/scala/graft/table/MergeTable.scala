@@ -88,12 +88,19 @@ final class MergeTable(
     val schema: StructType,
     val keyCol: String,
     val partitionCol: Option[String],
-    val deleteCompactThreshold: Int = 10) {
+    val deleteCompactThreshold: Int = 10,
+    // Some(name) = this handle addresses a BRANCH (write-audit-publish):
+    // same data/delete dirs, but the version pointer and manifests live
+    // under branches/<name>/ — commits advance the branch, never main.
+    val branchName: Option[String] = None) {
 
   private val rootPath: Path = Paths.get(root)
   private val dataDir: Path = rootPath.resolve("data")
   private val deleteDir: Path = rootPath.resolve("deletes")
-  private val manifestDir: Path = rootPath.resolve("manifest")
+  // metadata root: the table root, or branches/<name>/ for a branch handle
+  private val metaRoot: Path =
+    branchName.fold(rootPath)(n => rootPath.resolve("branches").resolve(n))
+  private val manifestDir: Path = metaRoot.resolve("manifest")
 
   private val SEQ = "_seq"
   private val payloadCols: Seq[String] = schema.fields.map(_.name).toSeq
@@ -120,8 +127,15 @@ final class MergeTable(
   private val chunkCache = scala.collection.concurrent.TrieMap.empty[String, Vector[String]]
 
   private def readChunk(name: String): Vector[String] =
-    chunkCache.getOrElseUpdate(name,
-      Files.readAllLines(manifestDir.resolve(name)).asScala.toVector)
+    chunkCache.getOrElseUpdate(name, {
+      // branch manifests inherit chunks from the main chain at fork time;
+      // chunks are immutable and unique by name, so falling back to the
+      // table's primary manifest dir is always safe
+      val local = manifestDir.resolve(name)
+      val p = if (Files.exists(local)) local
+              else rootPath.resolve("manifest").resolve(name)
+      Files.readAllLines(p).asScala.toVector
+    })
 
   private def writeChunk(lines: Seq[String]): String = {
     val name = s"chunk-${UUID.randomUUID().toString.take(12)}.tsv"
@@ -221,7 +235,7 @@ final class MergeTable(
 
   /** Current committed version, or -1 if the table is empty/uncreated. */
   def latestVersion: Long = {
-    val p = rootPath.resolve("_latest")
+    val p = metaRoot.resolve("_latest")
     if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
   }
 
@@ -253,11 +267,11 @@ final class MergeTable(
       } ++ (s0.colStats -- inherited.keys))
     }
     writeManifest(s)
-    val tmp = rootPath.resolve(s".latest.${UUID.randomUUID()}.tmp")
+    val tmp = metaRoot.resolve(s".latest.${UUID.randomUUID()}.tmp")
     Files.writeString(tmp, s.version.toString)
     // Readers resolve the pointer then the manifest — they can never see a
     // partially written snapshot.
-    Files.move(tmp, rootPath.resolve("_latest"),
+    Files.move(tmp, metaRoot.resolve("_latest"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
@@ -524,6 +538,8 @@ final class MergeTable(
   def compactBucketed(spark: SparkSession, nBuckets: Int = 16): Unit =
     synchronized {
       require(nBuckets > 0)
+      require(branchName.isEmpty, "compactBucketed runs on main only " +
+        "(the bucketed-v<N> layout dir is keyed by main-chain versions)")
       val prev = currentSnapshot.getOrElse(return)
       val v = prev.version + 1
       val materialized = read(spark).cache()
@@ -1155,15 +1171,126 @@ final class MergeTable(
     * Time travel to expired versions stops working; the current snapshot
     * and the newest `keepLast − 1` predecessors remain readable.
     */
+  // ---- branches (write-audit-publish) ----
+
+  private def branchesDir: Path = rootPath.resolve("branches")
+
+  private def isBranch: Boolean = branchName.isDefined
+
+  /** The main-chain version this branch forked from. */
+  def forkVersion: Long = {
+    require(isBranch, "forkVersion is only defined on a branch handle")
+    Files.readString(metaRoot.resolve("_fork")).trim.toLong
+  }
+
+  /** Fork a named branch at the current snapshot (Iceberg branch refs /
+    * the WAP staging area). O(#versions) manifest HEADER copies — chunk
+    * files and data files are immutable and stay shared. The returned
+    * handle commits against the branch pointer: main never sees branch
+    * writes until [[publishBranch]].
+    */
+  def createBranch(name: String): MergeTable = synchronized {
+    require(!isBranch, "cannot branch a branch")
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name: $name")
+    val head = latestVersion
+    require(head >= 0, "cannot branch an empty table")
+    val bm = branchesDir.resolve(name).resolve("manifest")
+    require(!Files.exists(bm.getParent), s"branch $name already exists")
+    Files.createDirectories(bm)
+    withDirStream(Files.list(manifestDir))(_.iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.manifest"))
+      .foreach(p => Files.copy(p, bm.resolve(p.getFileName.toString))))
+    Files.writeString(bm.getParent.resolve("_fork"), head.toString)
+    Files.writeString(bm.getParent.resolve("_latest"), head.toString)
+    branch(name)
+  }
+
+  /** Handle on an existing branch. */
+  def branch(name: String): MergeTable = {
+    require(Files.exists(branchesDir.resolve(name).resolve("_latest")),
+      s"no branch $name")
+    new MergeTable(root, schema, keyCol, partitionCol,
+      deleteCompactThreshold, Some(name))
+  }
+
+  /** Branch names with (head, fork) versions. */
+  def listBranches: Seq[(String, Long, Long)] =
+    if (!Files.exists(branchesDir)) Seq.empty
+    else withDirStream(Files.list(branchesDir))(_.iterator().asScala
+      .filter(d => Files.exists(d.resolve("_latest")))
+      .map { d =>
+        val n = d.getFileName.toString
+        (n, Files.readString(d.resolve("_latest")).trim.toLong,
+          Files.readString(d.resolve("_fork")).trim.toLong)
+      }.toVector.sortBy(_._1))
+
+  /** Publish (fast-forward) an audited branch onto main — the P of WAP.
+    * Only legal while main still sits at the branch's fork point; a
+    * concurrent main commit means divergence, and this model is
+    * fast-forward-only (re-branch and replay instead of rebasing).
+    * Publishing copies the branch's post-fork manifests + chunks into the
+    * main chain (data files are already shared), atomically swings
+    * `_latest`, and drops the branch. The published versions join the
+    * main history seamlessly: time travel and the incremental change
+    * feed see them as ordinary commits.
+    */
+  def publishBranch(name: String): Long = synchronized {
+    require(!isBranch, "publish from the main handle")
+    val b = branch(name)
+    val fork = b.forkVersion
+    val head = b.latestVersion
+    require(latestVersion == fork,
+      s"branch $name diverged: main at v$latestVersion, fork was v$fork")
+    val bm = branchesDir.resolve(name).resolve("manifest")
+    withDirStream(Files.list(bm))(_.iterator().asScala.foreach { p =>
+      val fn = p.getFileName.toString
+      val keep = fn.startsWith("chunk-") ||
+        (fn.matches("v\\d+\\.manifest") &&
+          fn.stripPrefix("v").stripSuffix(".manifest").toLong > fork)
+      if (keep && !Files.exists(manifestDir.resolve(fn)))
+        Files.copy(p, manifestDir.resolve(fn))
+    })
+    val tmp = rootPath.resolve(s".latest.${UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, head.toString)
+    Files.move(tmp, metaRoot.resolve("_latest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(branchesDir.resolve(name))
+    head
+  }
+
+  /** Discard a branch, reclaiming files only it references (post-fork
+    * branch writes that no main snapshot knows).
+    */
+  def dropBranch(name: String): Unit = synchronized {
+    require(!isBranch, "drop from the main handle")
+    val b = branch(name)
+    val fork = b.forkVersion
+    val branchSnaps = ((fork + 1) to b.latestVersion)
+      .filter(v => Files.exists(b.manifestPath(v))).map(b.readManifest)
+    val mainData = history.flatMap(_.dataFiles).toSet
+    val mainDels = history.flatMap(_.deleteFiles).toSet
+    branchSnaps.flatMap(_.dataFiles).distinct.filterNot(mainData)
+      .foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+    branchSnaps.flatMap(_.deleteFiles).distinct.filterNot(mainDels)
+      .foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+    deleteRecursively(branchesDir.resolve(name))
+  }
+
   def expireSnapshots(keepLast: Int = 2): Unit = synchronized {
     require(keepLast >= 1)
+    require(!isBranch, "expireSnapshots runs on the main handle only " +
+      "(branch handles share the table's data files)")
     val latest = latestVersion
     if (latest < keepLast) return
     val cutoff = latest - keepLast + 1
     val retained = (cutoff to latest)
       .filter(v => Files.exists(manifestPath(v))).map(readManifest)
-    val liveData = retained.flatMap(_.dataFiles).toSet
-    val liveDels = retained.flatMap(_.deleteFiles).toSet
+    // snapshots referenced by live branches pin their files and chunks:
+    // a branch forked before the cutoff must stay readable until it is
+    // published or dropped (Iceberg's ref-aware expiry)
+    val branchSnaps = listBranches.map(_._1).map(branch).flatMap(_.history)
+    val liveData = (retained ++ branchSnaps).flatMap(_.dataFiles).toSet
+    val liveDels = (retained ++ branchSnaps).flatMap(_.deleteFiles).toSet
     (0L until cutoff).filter(v => Files.exists(manifestPath(v)))
       .map(readManifest).foreach { old =>
       old.dataFiles.filterNot(liveData).foreach(f =>
@@ -1172,9 +1299,14 @@ final class MergeTable(
         Files.deleteIfExists(deleteDir.resolve(f)))
     }
     (0L until cutoff).foreach(v => Files.deleteIfExists(manifestPath(v)))
-    // chunks referenced only by expired manifests are orphans now
+    // chunks referenced only by expired manifests are orphans now —
+    // except those a live branch still resolves via its fallback read
+    val branchChunks = listBranches.map(_._1).map(branch).flatMap { b =>
+      (0L to b.latestVersion).flatMap(b.chunkRefsOf)
+    }.toSet
     val referenced = (cutoff to latest)
-      .filter(v => Files.exists(manifestPath(v))).flatMap(chunkRefsOf).toSet
+      .filter(v => Files.exists(manifestPath(v))).flatMap(chunkRefsOf)
+      .toSet ++ branchChunks
     val all = withDirStream(Files.list(manifestDir))(
       _.iterator().asScala.map(_.getFileName.toString)
         .filter(_.startsWith("chunk-")).toVector)

@@ -218,6 +218,40 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { sql("CALL sqlx.system.no_such_proc('d.t')") }
   }
 
+  test("write-audit-publish from SQL: branch procedures + branch read") {
+    val wh = tmpDir("graft-sqlcat-wap")
+    spark.conf.set("spark.sql.catalog.sqlw", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlw.warehouse", wh)
+    sql("CREATE NAMESPACE sqlw.d")
+    sql("CREATE TABLE sqlw.d.t (id BIGINT, v STRING) TBLPROPERTIES ('unique_keys'='id')")
+    sql("INSERT INTO sqlw.d.t VALUES (1L, 'a'), (2L, 'b')")
+
+    sql("CALL sqlw.system.create_branch('d.t', 'audit')")
+    // stage a write on the branch through the Scala handle (DML statements
+    // address main; branches are written via the API, read via SQL below)
+    val main = new graft.catalog.LakeCatalog(wh).getTable("d", "t")
+    val b = main.branch("audit")
+    b.appendAll(spark.sql("SELECT 3L AS id, 'c' AS v"), Some("wap1"))
+
+    // audit: branch read via VERSION AS OF shows the staged row, main not
+    assert(sql("SELECT count(*) FROM sqlw.d.t VERSION AS OF 'branch:audit'")
+      .collect().head.getLong(0) == 3L)
+    assert(sql("SELECT count(*) FROM sqlw.d.t").collect().head.getLong(0) == 2L)
+
+    // publish: main fast-forwards to the audited snapshot
+    sql("CALL sqlw.system.publish_branch('d.t', 'audit')")
+    assert(sql("SELECT count(*) FROM sqlw.d.t").collect().head.getLong(0) == 3L)
+
+    // drop path: a discarded branch never surfaces on main
+    sql("CALL sqlw.system.create_branch('d.t', 'reject')")
+    main.branch("reject").appendAll(spark.sql("SELECT 9L AS id, 'x' AS v"), Some("wap2"))
+    sql("CALL sqlw.system.drop_branch('d.t', 'reject')")
+    assert(sql("SELECT count(*) FROM sqlw.d.t").collect().head.getLong(0) == 3L)
+    intercept[Exception] {
+      sql("SELECT * FROM sqlw.d.t VERSION AS OF 'branch:reject'").collect()
+    }
+  }
+
   test("SQL range predicates prune files via manifest stats after sorted compaction") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val wh = tmpDir("graft-sqlcat-prune")
