@@ -229,13 +229,16 @@ object CorpusOps {
     val dm = docs
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("len"))
-    // one span per start position; documents shorter than n words
-    // contribute a single whole-document span (mirrors Dedup.shingles)
+    // the span table feeds BOTH the dup-hash aggregation and the coverage
+    // expansion — persist it so tokenize+hash runs once, not per consumer
+    // (this is the operator's working set, same discipline as
+    // ngramJaccardPairs); released below once the result is materialized
     val starts = dm
       .select(col("doc_id"), col("len"), col("w"),
         explode(sequence(lit(1), greatest(col("len") - (n - 1), lit(1)))).as("i"))
       .select(col("doc_id"), col("len"), col("i"),
         xxhash64(array_join(slice(col("w"), col("i"), lit(n)), " ")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupH = starts.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") > 1)
@@ -253,11 +256,13 @@ object CorpusOps {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("j"), col("tok")))),
           x => x.getField("tok")), " ")).as("clean_md5"))
-    dm.select(col("doc_id"), col("len").cast("long").as("n_tokens"))
+    val out = dm.select(col("doc_id"), col("len").cast("long").as("n_tokens"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+    // materialize (output is one compact row per doc), then release the pin
+    try out.localCheckpoint(true) finally starts.unpersist(blocking = false)
   }
 
   /** Distributed BPE merge training (the tokenizer-learning primitive):

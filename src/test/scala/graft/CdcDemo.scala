@@ -137,6 +137,25 @@ object CdcDemo {
       base.resolve("warehouse/cdc_iceberg_demo_db/retail_trans_iceberg").toString)
       .currentSnapshot.get.dataFiles.size)
 
+    // 6. write-audit-publish: stage on a branch, audit via SQL, publish
+    println("== WAP branch lifecycle ==")
+    spark.sql("CALL graft.system.create_branch('cdc_iceberg_demo_db.retail_trans_iceberg', 'audit')")
+    val wapTable = MergeTable.open(
+      base.resolve("warehouse/cdc_iceberg_demo_db/retail_trans_iceberg").toString)
+    wapTable.branch("audit").updateWhere(spark,
+      col("trans_id") === 24, Map("amount" -> lit(4242)))
+    val stagedAmount = spark.sql(
+      "SELECT amount FROM graft.cdc_iceberg_demo_db.retail_trans_iceberg " +
+      "VERSION AS OF 'branch:audit' WHERE trans_id = 24").collect().head.getInt(0)
+    val mainAmount = spark.sql(
+      "SELECT amount FROM graft.cdc_iceberg_demo_db.retail_trans_iceberg " +
+      "WHERE trans_id = 24").collect().head.getInt(0)
+    println(s"branch amount = $stagedAmount, main amount = $mainAmount (pre-publish)")
+    spark.sql("CALL graft.system.publish_branch('cdc_iceberg_demo_db.retail_trans_iceberg', 'audit')")
+    println("post-publish main amount = " + spark.sql(
+      "SELECT amount FROM graft.cdc_iceberg_demo_db.retail_trans_iceberg " +
+      "WHERE trans_id = 24").collect().head.getInt(0))
+
     println("DEMO OK base=" + base)
     spark.stop()
   }
