@@ -675,4 +675,222 @@ object CorpusOps {
       size(regexp_extract_all(r2, lit(digits), lit(0)))
         .cast("long").as("n_id"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the mean per-token log-likelihood ratio between a TARGET
+    * distribution (the slice you want more of) and the RAW corpus
+    * distribution, both estimated as add-one-smoothed unigram models over
+    * the shared vocabulary. High scores = documents that look like the
+    * target; resampling by these weights steers the mixture.
+    *
+    * weight(d) = Σ_t ln(p_tgt(t)/p_raw(t)) / |d|,
+    * p(t) = (c(t)+1)/(N+V) — floor-quantized at 1e-3 like [[lmScore]].
+    *
+    * Shape at scale: both models aggregate the SAME token relation (one
+    * shuffle on token; target counts are a conditional sum riding the
+    * same aggregation, so the target slice is never re-scanned); scoring
+    * is one token-keyed join + one doc-keyed aggregation. V and the two
+    * totals are one-row broadcasts. DSIR proper hashes n-grams into a
+    * fixed bucket space so the model table stays O(buckets) at any corpus
+    * size — the vocabulary here is corpus-sublinear (Heaps' law) and the
+    * join is keyed either way, so bucketing changes constants, not shape.
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), targetPred.as("is_tgt"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+    // one pass builds both models: raw = all rows, target = conditional sum
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("c_raw"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).cast("double").as("c_tgt"))
+    val stats = vocab.agg(sum(col("c_raw")).as("n_raw"),
+      sum(col("c_tgt")).as("n_tgt"), count(lit(1)).cast("double").as("v"))
+    toks.join(vocab, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        (floor(sum(log(((col("c_tgt") + 1) / (col("n_tgt") + col("v"))) /
+            ((col("c_raw") + 1) / (col("n_raw") + col("v")))))
+          / count(lit(1)) * 1000) / 1000).as("dsir_logw"))
+  }
+
+  /** Interpolated bigram language-model scoring (Jelinek–Mercer): the
+    * bigram upgrade of [[lmScore]]. Every document is scored by the mean
+    * cross-entropy of its token transitions under
+    * p(w|v) = λ·c(v,w)/c(v) + (1−λ)·c(w)/N, with both count tables
+    * trained on the corpus itself — the cheap fluency filter (repetitive
+    * docs score low, shuffled-word soup scores high) one step up from
+    * unigram. Documents with fewer than two tokens have no transitions
+    * and report zero entropy over zero bigrams.
+    *
+    * Shape at scale: bigram counts = one shuffle keyed by the pair over
+    * row-locally zipped transitions (no self-join — q51's trap); unigram
+    * counts aggregate the same tokens; scoring joins transitions to the
+    * two count tables (pair- and token-keyed) and aggregates per doc.
+    * Vocabulary and bigram tables are corpus-sublinear; nothing is ever
+    * corpus².
+    */
+  def bigramLmScore(docs: DataFrame, lambda: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.wsTokens(col(textCol)).as("w"))
+    // row-local transition pairs: (w[i], w[i+1]) via two shifted slices
+    val pairs = base.select(col("doc_id"),
+      explode(when(size(col("w")) >= 2,
+        zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur"))))
+        .otherwise(array())).as("t"))
+      .select(col("doc_id"), col("t.prev").as("prev"), col("t.cur").as("cur"))
+    val uni = docs.select(explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).cast("double").as("c1"))
+    val total = uni.agg(sum(col("c1")).as("n"))
+    val bi = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val scored = pairs
+      .join(bi, Seq("prev", "cur"))
+      .join(uni.select(col("token").as("prev"), col("c1").as("c_prev")), Seq("prev"))
+      .join(uni.select(col("token").as("cur"), col("c1").as("c_cur")), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        (floor(-sum(log(lit(lambda) * col("c2") / col("c_prev") +
+            lit(1 - lambda) * col("c_cur") / col("n")))
+          / count(lit(1)) * 1000) / 1000).as("xent2"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("xent2"), lit(0.0)).as("xent2"))
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws a pseudo-uniform u from
+    * the stateless multiplicative id-hash (same family as [[splitExpr]] —
+    * reproducible across engines, runs, and partitionings) and the n
+    * rows with the largest u^(1/w) win — equivalently the smallest
+    * −ln(u)/w, which is what's computed (exponential race). Heavier
+    * rows win proportionally more often; the classic one-pass
+    * quality-weighted corpus subsampling primitive.
+    *
+    * Shape at scale: the key is a narrow per-row projection; selection is
+    * top-n on the key = per-partition heaps + an n-row driver merge
+    * (TakeOrderedAndProject), never a global sort.
+    */
+  def weightedSample(docs: DataFrame, n: Int, weightCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val h = pmod(col(idCol) * 2654435761L, lit(2147483647L))
+    val u = (h.cast("double") + 0.5) / 2147483647.0
+    docs.select(col(idCol), weightCol.cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      // rank on the QUANTIZED key: raw -ln(u)/w can differ by a libm ulp
+      // across engines, which must not flip the selection at the cutoff
+      .withColumn("es_key", floor(-log(u) / col("weight") * 1e6) / 1e6)
+      .orderBy(col("es_key"), col(idCol))
+      .limit(n)
+  }
+
+  /** BPE ENCODING with corpus-trained merges: learns `merges` merge rules
+    * exactly as [[bpeMerges]] does, then tokenizes every document with
+    * them, reporting per-document encoded length — the
+    * tokens-per-document accounting pass that prices a corpus in
+    * tokenizer units (training-budget estimates, packing, billing).
+    *
+    * The trick: training already maintains each distinct WORD's symbol
+    * string under the merges applied so far, so encoding is free — carry
+    * the word through the merge loop and the final vocabulary IS the
+    * encode table (word → symbols). Documents then join their words
+    * against it: one word-keyed shuffle of the (doc, word) relation plus
+    * a doc-keyed count; the corpus text is never re-processed per merge.
+    * Words outside the trained alphabet ([a-z0-9]+ after lowering) pass
+    * through as single opaque tokens, like a tokenizer's byte-fallback.
+    */
+  def bpeEncode(docs: DataFrame, merges: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val chars = filter(split(col("word"), ""), x => x =!= "")
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("word"))
+    var vocab = words.filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"),
+        concat(lit(" "), array_join(chars, "  "), lit(" ")).as("sym"),
+        col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rank = 1
+    while (rank <= merges) {
+      val syms = split(trim(col("sym")), "  ")
+      val pairsOf = when(size(syms) >= 2,
+        zip_with(slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => concat(a, lit(" "), b))).otherwise(array())
+      val best = vocab.select(explode(pairsOf).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) rank = merges + 1
+      else {
+        val Array(l, r) = best(0).getString(0).split(" ", 2)
+        val next = vocab
+          .select(col("word"), regexp_replace(col("sym"),
+            lit(s" \\Q$l\\E  \\Q$r\\E "), lit(s" $l$r ")).as("sym"), col("freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist(blocking = false)
+        vocab = next
+        rank += 1
+      }
+    }
+    val encodeTable = vocab.select(col("word"),
+      size(split(trim(col("sym")), "  ")).cast("long").as("n_sym"))
+    val out = words
+      .join(encodeTable, Seq("word"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(coalesce(col("n_sym"), lit(1L))).cast("long").as("n_bpe_tokens"))
+    out.localCheckpoint(true)
+    vocab.unpersist(blocking = false)
+    out
+  }
+
+  /** Distributed logistic-regression quality scoring: full-batch gradient
+    * descent on cheap per-document shape features (token count, raw
+    * length, type/token ratio), trained against a slice indicator — the
+    * fastText-style quality-classifier step of a curation pipeline,
+    * reduced to its distributed-training skeleton. Returns every doc's
+    * label and fitted probability.
+    *
+    * The scale shape is the textbook one (same family as
+    * [[graft.operators.Similarity.kmeansClusters]]): each iteration is
+    * ONE corpus scan — features are row-local projections, the gradient
+    * is a map-side-combined aggregation of d+1 doubles, and the driver
+    * applies the d+1-sized update. Iteration cost is scan-bandwidth-bound
+    * and independent of model state size; the final scoring pass is
+    * narrow. Deterministic: zero init, fixed lr/iters, no sampling.
+    */
+  def logregScore(docs: DataFrame, targetPred: Column, iters: Int = 3,
+      lr: Double = 1.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = TextAnalysis.wsTokens(col(textCol))
+    val feats = docs.select(col(idCol).as("doc_id"),
+      targetPred.cast("double").as("y"),
+      lit(1.0).as("x1"),
+      (size(w).cast("double") / 100.0).as("x2"),
+      (length(col(textCol)).cast("double") / 1000.0).as("x3"),
+      (size(array_distinct(w)).cast("double") /
+        greatest(size(w), lit(1)).cast("double")).as("x4"))
+    var wts = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to iters) {
+      val z = lit(wts(0)) * col("x1") + lit(wts(1)) * col("x2") +
+        lit(wts(2)) * col("x3") + lit(wts(3)) * col("x4")
+      val resid = col("y") - lit(1.0) / (lit(1.0) + exp(-z))
+      val g = feats.agg(
+        avg(col("x1") * resid), avg(col("x2") * resid),
+        avg(col("x3") * resid), avg(col("x4") * resid)).collect()(0)
+      wts = Array.tabulate(4)(j => wts(j) + lr * g.getDouble(j))
+    }
+    val z = lit(wts(0)) * col("x1") + lit(wts(1)) * col("x2") +
+      lit(wts(2)) * col("x3") + lit(wts(3)) * col("x4")
+    feats.select(col("doc_id"), col("y").cast("long").as("y"),
+      (floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1000) / 1000).as("score"))
+  }
 }

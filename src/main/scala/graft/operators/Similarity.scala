@@ -82,6 +82,34 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
+  /** Hard-negative mining: for each query vector, the top-k most similar
+    * corpus vectors carrying a DIFFERENT label — the contrastive-training
+    * data-prep step (the best impostors make the best negatives). Same
+    * broadcast-queries/streaming-corpus shape as [[bruteForceTopK]], with
+    * the label-mismatch predicate fused into the join so same-label rows
+    * never reach scoring; at 100 TB swap the scoring leg for the IVF/LSH
+    * candidate generators exactly as for plain top-k.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    def prep(e: DataFrame) = e.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val c = prep(corpus)
+    val q = prep(queries).select(col("vec_id").as("q_id"),
+      col("label").as("q_label"), col("v").as("qv"))
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos_sim",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("rank").cast("long").as("rank"),
+        col("cos_sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: element (i,j) is ±1 from a
     * splitmix-style integer mix — reproducible across runs and engines,
     * no RNG state.

@@ -204,6 +204,40 @@ object LlmOps {
       CorpusOps.removeDupSpans(Tables.fanout(Tables.documents(s, d)), n = 8)
         .orderBy(col("doc_id"))),
 
+    // DSIR importance weights: target = first three sources
+    "q91_dsir_weights" -> ((s, d) =>
+      CorpusOps.dsirWeights(Tables.fanout(Tables.documents(s, d)),
+          col("source").isin("src0", "src1", "src2"))
+        .orderBy(col("doc_id"))),
+
+    // interpolated bigram-LM cross-entropy (Jelinek–Mercer, λ=0.5)
+    "q92_bigram_lm" -> ((s, d) =>
+      CorpusOps.bigramLmScore(Tables.fanout(Tables.documents(s, d)), lambda = 0.5)
+        .orderBy(col("doc_id"))),
+
+    // hard-negative mining: top-k most-similar different-label vectors
+    "q93_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Efraimidis–Spirakis weighted sampling, weight = n_chars
+    "q94_weighted_sample" -> ((s, d) =>
+      CorpusOps.weightedSample(Tables.documents(s, d), n = 50, col("n_chars"))
+        .orderBy(col("es_key"), col("doc_id"))),
+
+    // BPE encoding with corpus-trained merges: tokens-per-doc accounting
+    "q95_bpe_encode" -> ((s, d) =>
+      CorpusOps.bpeEncode(Tables.documents(s, d), merges = 8)
+        .orderBy(col("doc_id"))),
+
+    // distributed logistic-regression quality scoring (full-batch GD)
+    "q96_logreg_quality" -> ((s, d) =>
+      CorpusOps.logregScore(Tables.fanout(Tables.documents(s, d)),
+          col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .orderBy(col("doc_id"))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -396,6 +430,86 @@ object LlmOps {
       s"""SELECT CAST($t AS BIGINT) AS rank, split_part(pair,' ',1) AS lhs,
           split_part(pair,' ',2) AS rhs, CAST(cnt AS BIGINT) AS freq FROM b$t""")
       .mkString("\n       ", "\n       UNION ALL ", "\n       ORDER BY rank")
+    b.toString
+  }
+
+  /** DuckDB replica of [[CorpusOps.bpeEncode]]: the same merge-training
+    * chain as [[bpeOracle]] but carrying each distinct WORD through the
+    * rewrite stages, so the final stage doubles as the word→symbol-count
+    * encode table; documents then join their words against it.
+    */
+  private def bpeEncodeOracle(merges: Int): String = {
+    val b = new StringBuilder
+    b ++= """WITH w0 AS (SELECT word, count(*) AS freq FROM (
+         SELECT unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
+         FROM documents) t
+       WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY word),
+       v0 AS (SELECT word, ' ' || array_to_string(
+           list_transform(generate_series(1, length(word)), i -> word[i]), '  ')
+           || ' ' AS sym, freq FROM w0)"""
+    for (t <- 1 to merges) {
+      b ++= s""",
+       p$t AS (SELECT pair, sum(freq) AS cnt FROM (
+           SELECT unnest(list_transform(generate_series(1, len(l)-1),
+             i -> l[i] || ' ' || l[i+1])) AS pair, freq
+           FROM (SELECT string_split(trim(sym), '  ') AS l, freq FROM v${t - 1}) s) u
+         GROUP BY pair),
+       b$t AS (SELECT pair, cnt FROM p$t ORDER BY cnt DESC, pair LIMIT 1),
+       v$t AS (SELECT v.word, regexp_replace(v.sym,
+           ' \\Q' || split_part(b.pair, ' ', 1) || '\\E  \\Q' || split_part(b.pair, ' ', 2) || '\\E ',
+           ' ' || replace(b.pair, ' ', '') || ' ', 'g') AS sym, v.freq
+         FROM v${t - 1} v CROSS JOIN b$t b)"""
+    }
+    b ++= s""",
+       enc AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_sym
+         FROM v$merges),
+       dw AS (SELECT doc_id,
+           unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
+         FROM documents)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_bpe_tokens
+       FROM dw LEFT JOIN enc USING (word)
+       GROUP BY doc_id ORDER BY doc_id"""
+    b.toString
+  }
+
+  /** DuckDB replica of [[CorpusOps.logregScore]] with the gradient-descent
+    * iterations unrolled as CTE stages: identical features, zero init
+    * (σ(0)=0.5 exactly in both engines), same lr, scores floor-quantized
+    * at 1e-3 so cross-engine summation-order ulp drift stays sub-quantum.
+    */
+  private def logregOracle(iters: Int, lr: Double, targetSql: String): String = {
+    val toksSql = "list_filter(string_split(text,' '), x -> x <> '')"
+    def zSql(w: String) =
+      s"$w.w1*x1 + $w.w2*x2 + $w.w3*x3 + $w.w4*x4"
+    val b = new StringBuilder
+    b ++= s"""WITH f AS (SELECT doc_id,
+         CASE WHEN $targetSql THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x1,
+         CAST(len($toksSql) AS DOUBLE)/100.0 AS x2,
+         CAST(length(text) AS DOUBLE)/1000.0 AS x3,
+         CAST(len(list_distinct($toksSql)) AS DOUBLE)
+           / CAST(greatest(len($toksSql), 1) AS DOUBLE) AS x4
+       FROM documents),
+       g1 AS (SELECT avg(x1*(y-0.5)) AS g1, avg(x2*(y-0.5)) AS g2,
+           avg(x3*(y-0.5)) AS g3, avg(x4*(y-0.5)) AS g4 FROM f),
+       wt1 AS (SELECT $lr*g1 AS w1, $lr*g2 AS w2, $lr*g3 AS w3, $lr*g4 AS w4
+         FROM g1)"""
+    for (t <- 2 to iters) {
+      b ++= s""",
+       g$t AS (SELECT avg(x1*r) AS g1, avg(x2*r) AS g2, avg(x3*r) AS g3,
+           avg(x4*r) AS g4 FROM (
+           SELECT x1, x2, x3, x4,
+             y - 1.0/(1.0+exp(-(${zSql(s"w")}))) AS r
+           FROM f CROSS JOIN wt${t - 1} w) t),
+       wt$t AS (SELECT w.w1 + $lr*g.g1 AS w1, w.w2 + $lr*g.g2 AS w2,
+           w.w3 + $lr*g.g3 AS w3, w.w4 + $lr*g.g4 AS w4
+         FROM wt${t - 1} w CROSS JOIN g$t g)"""
+    }
+    b ++= s"""
+       SELECT doc_id, CAST(y AS BIGINT) AS y,
+         floor(1.0/(1.0+exp(-(${zSql("w")})))*1000)/1000 AS score
+       FROM f CROSS JOIN wt$iters w ORDER BY doc_id"""
     b.toString
   }
 
@@ -701,6 +815,67 @@ object LlmOps {
          FROM c ORDER BY doc_id, chunk_ord""",
     "q89_kmeans" -> kmeansOracle(8, 3, 64),
     "q90_bpe_merges" -> bpeOracle(8),
+    "q91_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, source IN ('src0','src1','src2') AS is_tgt,
+              unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+            FROM documents),
+         v AS (SELECT token, CAST(count(*) AS DOUBLE) AS c_raw,
+              CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS DOUBLE) AS c_tgt
+            FROM toks GROUP BY token),
+         s AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt,
+              CAST(count(*) AS DOUBLE) AS vs FROM v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(sum(ln(((c_tgt+1)/(n_tgt+vs)) / ((c_raw+1)/(n_raw+vs))))
+             /count(*)*1000)/1000 AS dsir_logw
+         FROM toks JOIN v USING (token), s
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q92_bigram_lm" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         tr AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur FROM (
+              SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+              FROM d WHERE len(w) >= 2) t),
+         uni AS (SELECT token, CAST(count(*) AS DOUBLE) AS c1 FROM (
+              SELECT unnest(list_filter(string_split(text,' '), x -> x <> ''))
+                AS token FROM documents) u GROUP BY token),
+         tot AS (SELECT sum(c1) AS n FROM uni),
+         bi AS (SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c2
+            FROM tr GROUP BY prev, cur),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              floor(-sum(ln(0.5*c2/cp.c1 + 0.5*cc.c1/n))/count(*)*1000)/1000
+                AS xent2
+            FROM tr JOIN bi USING (prev, cur)
+              JOIN uni cp ON cp.token = tr.prev
+              JOIN uni cc ON cc.token = tr.cur, tot
+            GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(xent2, 0.0) AS xent2
+         FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
+    "q93_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+               FROM e WHERE vec_id < 5),
+         scored AS (SELECT q_id, q_label, vec_id, label,
+              round(list_cosine_similarity(qv, v), 4) AS cos_sim
+            FROM q JOIN e ON vec_id <> q_id AND label <> q_label),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+         SELECT q_id, q_label, vec_id AS neighbor_id, label AS neg_label,
+           CAST(rn AS BIGINT) AS rank, cos_sim
+         FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
+    "q94_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+              floor(-ln((CAST((doc_id*2654435761) % 2147483647 AS DOUBLE) + 0.5)
+                  / 2147483647.0)
+                / CAST(n_chars AS DOUBLE) * 1e6) / 1e6 AS es_key
+            FROM documents WHERE n_chars > 0)
+         SELECT doc_id, weight, es_key FROM k
+         ORDER BY es_key, doc_id LIMIT 50""",
+    "q95_bpe_encode" -> bpeEncodeOracle(8),
+    "q96_logreg_quality" -> logregOracle(3, 1.0,
+      "source IN ('src0','src1','src2','src3','src4')"),
     "q73_embed_project" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT vec_id, list_transform(generate_series(0, 15), j ->

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusOps, Similarity}
+
+/** Specs for the data-selection / tokenizer-accounting operators
+  * (q91–q96): semantic properties the hash-equality oracle doesn't state
+  * directly — sign/direction of the scores, selection bias, label
+  * constraints, and determinism under repartitioning.
+  */
+class DataSelectionSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs = Tables.embeddings(spark, sf)
+
+  test("dsirWeights: target-looking docs score high, raw-looking docs low") {
+    import spark.implicits._
+    // target slice speaks "aa bb", the rest speaks "zz ww"; doc 5 is a
+    // target-dialect doc OUTSIDE the slice — DSIR should still rank it up
+    val toy = Seq(
+      (1L, "aa bb aa bb", "tgt"), (2L, "aa bb bb aa", "tgt"),
+      (3L, "zz ww zz ww", "raw"), (4L, "zz ww ww zz", "raw"),
+      (5L, "aa bb aa bb", "raw")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.dsirWeights(toy, col("source") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(5L) > out(3L) && out(5L) > out(4L),
+      s"target-dialect doc should outscore raw-dialect docs: $out")
+    assert(out(1L) > 0 && out(3L) < 0,
+      s"sign should follow the dialect: $out")
+    assert(out(5L) === out(1L), "score depends on content, not slice membership")
+  }
+
+  test("bigramLmScore: predictable transitions score lower xent than rare ones") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "a b a b a b a b"), // transitions the corpus sees constantly
+      (2L, "a b a b a b a b"),
+      (3L, "b a b a b a b a"),
+      (4L, "q z"),            // a transition seen exactly once
+      (5L, "x")               // no transitions at all
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bigramLmScore(toy)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(5L) === ((0L, 0.0)), "tokenless-transition doc reports zero")
+    assert(byId(4L)._2 > byId(1L)._2,
+      s"rare transition must cost more bits: $byId")
+    assert(byId(1L) === byId(2L), "identical docs score identically")
+  }
+
+  test("weightedSample: deterministic, partitioning-independent, weight-biased") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) 100.0 else 1.0)).toDF("doc_id", "w")
+    val a = CorpusOps.weightedSample(docs, 60, col("w"))
+      .collect().map(_.getLong(0)).toSet
+    val b = CorpusOps.weightedSample(docs.repartition(7), 60, col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b, "selection must not depend on partitioning")
+    val heavy = a.count(_ % 2 == 0)
+    assert(heavy > 45, s"100:1 weights should dominate the sample: $heavy/60")
+    // zero/negative weights never selected
+    val withZero = docs.withColumn("w",
+      when(col("doc_id") <= 10, lit(0.0)).otherwise(col("w")))
+    val c = CorpusOps.weightedSample(withZero, 60, col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(c.forall(_ > 10), "zero-weight rows must be excluded")
+  }
+
+  test("hardNegatives: never same-label, ranks are contiguous, scores sorted") {
+    val q = embs.filter(col("vec_id") < 5)
+    val out = Similarity.hardNegatives(embs, q, k = 10).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(1) !== r.getInt(3),
+        s"hard negative shares the query label: $r")
+      assert(r.getLong(0) !== r.getLong(2))
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(4))
+      assert(byRank.map(_.getLong(4)).toSeq === (1L to rows.length).toSeq)
+      val sims = byRank.map(_.getDouble(5)).toSeq
+      assert(sims === sims.sorted.reverse, "cos_sim must be non-increasing")
+    }
+    // subset property: hard negatives are exactly brute-force top-k
+    // restricted to different-label rows
+    val brute = Similarity.bruteForceTopK(embs, q, 400).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    out.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(2))) === r.getDouble(5),
+        "scores must agree with the exact scorer")
+    }
+  }
+
+  test("bpeEncode: merge accounting shrinks token counts, never below word count") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "low low low lower"),
+      (2L, "newest newest widest"),
+      (3L, "low newest")
+    ).toDF("doc_id", "text")
+    val enc0 = CorpusOps.bpeEncode(toy, merges = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // zero merges = character tokenization: "low low low lower" = 3+3+3+5
+    assert(enc0(1L) === ((4L, 14L)))
+    assert(enc0(2L) === ((3L, 18L))) // 6 + 6 + 6 chars
+    val enc8 = CorpusOps.bpeEncode(toy, merges = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (1L to 3L).foreach { id =>
+      assert(enc8(id)._2 < enc0(id)._2, s"merges must shrink doc $id")
+      assert(enc8(id)._2 >= enc8(id)._1, "at least one token per word")
+    }
+  }
+
+  test("logregScore: separable labels get separated probabilities") {
+    import spark.implicits._
+    // long docs are positive, short docs negative — x2/x3 separate them
+    val toy = (1L to 100L).map { i =>
+      val pos = i % 2 == 0
+      val text = if (pos) Seq.fill(80)("token").mkString(" ")
+      else Seq.fill(5)("token").mkString(" ")
+      (i, text, if (pos) "good" else "bad")
+    }.toDF("doc_id", "text", "source")
+    val out = CorpusOps.logregScore(toy, col("source") === "good",
+      iters = 20, lr = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val posMin = out.filter(_._2 == 1L).map(_._3).min
+    val negMax = out.filter(_._2 == 0L).map(_._3).max
+    assert(posMin > negMax,
+      s"20 GD iters should separate a separable set: posMin=$posMin negMax=$negMax")
+    out.foreach(t => assert(t._3 >= 0.0 && t._3 <= 1.0))
+  }
+}
