@@ -112,6 +112,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (Seq(catalogName) ++ ident.namespace :+ ident.name).mkString(".")
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables, Iceberg-style: cat.db.t.snapshots|files|refs
+    // arrive as Identifier(ns=[db, t], name=<meta>)
+    if (ident.namespace.length == 2 &&
+        lake.tableExists(ident.namespace()(0), ident.namespace()(1))) {
+      val t = lake.getTable(ident.namespace()(0), ident.namespace()(1))
+      val dfFn: Option[org.apache.spark.sql.SparkSession =>
+          org.apache.spark.sql.DataFrame] = ident.name match {
+        case "snapshots" => Some(s => t.snapshotsDf(s))
+        case "files"     => Some(s => t.filesDf(s))
+        case "refs"      => Some(s => t.refsDf(s))
+        case _           => None
+      }
+      dfFn.foreach(f => return new GraftMetaTable(fullName(ident), f))
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val d = ident.namespace()(0)
     new GraftSqlTable(fullName(ident), lake.getTable(d, ident.name),
@@ -121,7 +135,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `SELECT ... FROM t VERSION AS OF <v>` — engine time travel in SQL.
     * `VERSION AS OF 'branch:<name>'` reads a WAP branch head instead
     * (the audit step of write-audit-publish, read-only by construction:
-    * DML statements never carry a version clause).
+    * DML statements never carry a version clause);
+    * `VERSION AS OF 'tag:<name>'` reads a tag-pinned snapshot.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -130,13 +145,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val b = lake.getTable(d, ident.name).branch(version.stripPrefix("branch:"))
       return new GraftSqlTable(fullName(ident), b, readProps(d, ident.name))
     }
+    if (version.startsWith("tag:")) {
+      val t = lake.getTable(d, ident.name)
+      return new GraftSqlTable(fullName(ident), t, readProps(d, ident.name),
+        asOfVersion = Some(t.tagVersion(version.stripPrefix("tag:"))))
+    }
     val v = try version.toLong catch {
       case _: NumberFormatException =>
         throw new IllegalArgumentException(
-          s"graft table versions are integers or 'branch:<name>', got '$version'")
+          s"graft table versions are integers, 'branch:<name>', or " +
+            s"'tag:<name>', got '$version'")
     }
     new GraftSqlTable(fullName(ident), lake.getTable(d, ident.name),
       readProps(d, ident.name), asOfVersion = Some(v))
+  }
+
+  /** `SELECT ... FROM t TIMESTAMP AS OF <ts>` — resolve the wall-clock
+    * instant (Spark hands micros) to the latest snapshot committed at or
+    * before it, using the commit stamps in the manifest headers.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val d = ident.namespace()(0)
+    val t = lake.getTable(d, ident.name)
+    new GraftSqlTable(fullName(ident), t, readProps(d, ident.name),
+      asOfVersion = Some(t.versionAtTimestamp(timestamp / 1000L)))
   }
 
   override def createTable(

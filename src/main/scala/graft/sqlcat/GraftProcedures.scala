@@ -111,6 +111,20 @@ private[sqlcat] object GraftProcedures {
       (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
         val t = resolve(l, in.getUTF8String(0).toString)
         t.dropBranch(in.getUTF8String(1).toString); t.latestVersion
+      })),
+    // immutable named refs: CALL graft.system.create_tag('db.t','cut-v1',3)
+    // (version -1 = current head); reads via VERSION AS OF 'tag:cut-v1'
+    "create_tag" -> ((Seq(p("table", StringType), p("name", StringType),
+        p("version", LongType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.createTag(in.getUTF8String(1).toString, in.getLong(2))
+        t.tagVersion(in.getUTF8String(1).toString)
+      })),
+    "drop_tag" -> ((Seq(p("table", StringType), p("name", StringType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.dropTag(in.getUTF8String(1).toString); t.latestVersion
       })))
 
   def names: Seq[String] = defs.keys.toSeq.sorted

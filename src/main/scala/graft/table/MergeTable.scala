@@ -33,7 +33,11 @@ final case class Snapshot(
     // compactSorted. Files are immutable, so entries stay true forever and
     // are inherited across commits (filtered to surviving files) by
     // commit(); readWhere() uses them for manifest-level file pruning.
-    colStats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+    colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+    // wall-clock commit time (epoch millis), stamped by commit(); 0 on
+    // legacy manifests written before the header existed. Drives
+    // TIMESTAMP AS OF resolution ([[MergeTable.versionAtTimestamp]]).
+    tsMillis: Long = 0L)
 
 /** A transactional lake table with Iceberg-v2-like semantics, implemented
   * natively over versioned Parquet + a manifest per snapshot (no
@@ -189,6 +193,7 @@ final class MergeTable(
     val sb = new StringBuilder
     sb ++= s"version\t${s.version}\n"
     sb ++= s"op\t${s.op}\n"
+    if (s.tsMillis > 0) sb ++= s"ts\t${s.tsMillis}\n"
     sb ++= s"requiresDedup\t${s.requiresDedup}\n"
     s.buckets.foreach(n => sb ++= s"buckets\t$n\n")
     refs.foreach(r => sb ++= s"chunk\t$r\n")
@@ -209,6 +214,7 @@ final class MergeTable(
     var requiresDedup = false
     var op = "merge"
     var buckets: Option[Int] = None
+    var ts = 0L
     val data = Vector.newBuilder[String]
     val dels = Vector.newBuilder[String]
     val batches = Set.newBuilder[String]
@@ -218,6 +224,7 @@ final class MergeTable(
     lines.foreach { l =>
       l.split("\t", -1) match {
         case Array("op", x)                 => op = x
+        case Array("ts", x)                 => ts = x.toLong
         case Array("requiresDedup", x)      => requiresDedup = x.toBoolean
         case Array("buckets", x)            => buckets = Some(x.toInt)
         case Array("data", f)               => data += f
@@ -230,7 +237,7 @@ final class MergeTable(
       }
     }
     Snapshot(v, data.result(), dels.result(), batches.result(), requiresDedup,
-      stats.result(), op, buckets, cstats.toMap)
+      stats.result(), op, buckets, cstats.toMap, ts)
   }
 
   /** Current committed version, or -1 if the table is empty/uncreated. */
@@ -266,7 +273,8 @@ final class MergeTable(
         c -> (m ++ s0.colStats.getOrElse(c, Map.empty))
       } ++ (s0.colStats -- inherited.keys))
     }
-    writeManifest(s)
+    writeManifest(if (s.tsMillis > 0) s
+      else s.copy(tsMillis = System.currentTimeMillis()))
     val tmp = metaRoot.resolve(s".latest.${UUID.randomUUID()}.tmp")
     Files.writeString(tmp, s.version.toString)
     // Readers resolve the pointer then the manifest — they can never see a
@@ -986,9 +994,49 @@ final class MergeTable(
   def snapshotsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     history.map(s => (s.version, s.op, s.dataFiles.size, s.deleteFiles.size,
-      s.requiresDedup, s.appliedBatches.toSeq.sorted.mkString(",")))
+      s.requiresDedup, s.appliedBatches.toSeq.sorted.mkString(","),
+      new java.sql.Timestamp(s.tsMillis)))
       .toDF("version", "op", "n_data_files", "n_delete_files",
-        "requires_dedup", "batches")
+        "requires_dedup", "batches", "committed_at")
+  }
+
+  /** Current (or asOf) snapshot's files as a DataFrame — the analog of
+    * Iceberg's `<table>.files` metadata table: content type, path, size,
+    * and the merge-key range when per-file stats exist.
+    */
+  def filesDf(spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val s = asOf.map(readManifest).orElse(currentSnapshot)
+      .getOrElse(Snapshot(-1, Vector.empty, Vector.empty, Set.empty, false))
+    val rows =
+      s.dataFiles.map { f =>
+        val p = dataDir.resolve(f)
+        val sz = if (Files.exists(p)) Files.size(p) else -1L
+        val (lo, hi) = s.fileStats.get(f)
+          .map { case (a, b) => (Option(a), Option(b)) }
+          .getOrElse((None, None))
+        ("data", f, sz, lo, hi)
+      } ++ s.deleteFiles.map { f =>
+        val p = deleteDir.resolve(f)
+        ("delete", f, if (Files.exists(p)) Files.size(p) else -1L,
+          None: Option[Long], None: Option[Long])
+      }
+    rows.toDF("content", "file_path", "size_bytes", "key_lo", "key_hi")
+      .orderBy(col("content"), col("file_path"))
+  }
+
+  /** Named refs (branches + tags) as a DataFrame — the analog of
+    * Iceberg's `<table>.refs` metadata table. `fork_version` is null for
+    * tags (immutable pins have no divergence point).
+    */
+  def refsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows =
+      listBranches.map { case (n, head, fork) =>
+        (n, "branch", head, Option(fork))
+      } ++ listTags.map { case (n, v) => (n, "tag", v, None: Option[Long]) }
+    rows.toDF("name", "type", "version", "fork_version")
+      .orderBy(col("type"), col("name"))
   }
 
   /** Incremental change feed (CDC-out): every row-level change committed
@@ -1276,6 +1324,59 @@ final class MergeTable(
     deleteRecursively(branchesDir.resolve(name))
   }
 
+  // ---- tags (immutable named refs: Iceberg tag refs) ----
+
+  private def tagsDir: Path = rootPath.resolve("tags")
+
+  /** Pin a retained version under an immutable name (Iceberg's tag refs —
+    * `audit-2023Q4`, `training-cut-v3`): the tagged snapshot survives
+    * [[expireSnapshots]] until the tag is dropped, and reads resolve it
+    * via `VERSION AS OF 'tag:<name>'` or [[read]]'s asOf. Metadata-only:
+    * one tiny file holding the version number.
+    */
+  def createTag(name: String, version: Long = -1L): Unit = synchronized {
+    require(!isBranch, "tag from the main handle")
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad tag name: $name")
+    val v = if (version < 0) latestVersion else version
+    require(v >= 0 && Files.exists(manifestPath(v)), s"no snapshot v$v")
+    Files.createDirectories(tagsDir)
+    val p = tagsDir.resolve(name)
+    require(!Files.exists(p), s"tag $name already exists")
+    Files.writeString(p, v.toString)
+  }
+
+  /** Drop a tag; the version it pinned becomes expirable again. */
+  def dropTag(name: String): Unit = synchronized {
+    require(Files.exists(tagsDir.resolve(name)), s"no tag $name")
+    Files.delete(tagsDir.resolve(name))
+  }
+
+  /** Tag names with their pinned versions, name-ordered. */
+  def listTags: Seq[(String, Long)] =
+    if (!Files.exists(tagsDir)) Seq.empty
+    else withDirStream(Files.list(tagsDir))(_.iterator().asScala
+      .map(p => (p.getFileName.toString, Files.readString(p).trim.toLong))
+      .toVector.sortBy(_._1))
+
+  /** Resolve a tag to its version. */
+  def tagVersion(name: String): Long = {
+    require(Files.exists(tagsDir.resolve(name)), s"no tag $name")
+    Files.readString(tagsDir.resolve(name)).trim.toLong
+  }
+
+  /** The latest version committed at or before `millis` (epoch wall
+    * clock) — `TIMESTAMP AS OF` resolution. Commit stamps are assigned at
+    * commit time so they are non-decreasing in version; legacy manifests
+    * without a stamp (ts=0) are treated as infinitely old.
+    */
+  def versionAtTimestamp(millis: Long): Long = {
+    val vs = history.filter(s => s.tsMillis <= millis)
+    require(vs.nonEmpty,
+      s"no snapshot committed at or before $millis (oldest retained: " +
+        s"${history.headOption.map(_.tsMillis).getOrElse(-1L)})")
+    vs.map(_.version).max
+  }
+
   def expireSnapshots(keepLast: Int = 2): Unit = synchronized {
     require(keepLast >= 1)
     require(!isBranch, "expireSnapshots runs on the main handle only " +
@@ -1283,28 +1384,34 @@ final class MergeTable(
     val latest = latestVersion
     if (latest < keepLast) return
     val cutoff = latest - keepLast + 1
+    // tag-pinned snapshots below the cutoff keep their manifests, files,
+    // and chunks alive (Iceberg's ref-aware expiry for tag refs)
+    val tagged = listTags.map(_._2).toSet
     val retained = (cutoff to latest)
-      .filter(v => Files.exists(manifestPath(v))).map(readManifest)
+      .filter(v => Files.exists(manifestPath(v))).map(readManifest) ++
+      tagged.filter(_ < cutoff)
+        .filter(v => Files.exists(manifestPath(v))).toSeq.sorted.map(readManifest)
     // snapshots referenced by live branches pin their files and chunks:
     // a branch forked before the cutoff must stay readable until it is
     // published or dropped (Iceberg's ref-aware expiry)
     val branchSnaps = listBranches.map(_._1).map(branch).flatMap(_.history)
     val liveData = (retained ++ branchSnaps).flatMap(_.dataFiles).toSet
     val liveDels = (retained ++ branchSnaps).flatMap(_.deleteFiles).toSet
-    (0L until cutoff).filter(v => Files.exists(manifestPath(v)))
+    val expirable = (0L until cutoff).filterNot(tagged)
+    expirable.filter(v => Files.exists(manifestPath(v)))
       .map(readManifest).foreach { old =>
       old.dataFiles.filterNot(liveData).foreach(f =>
         Files.deleteIfExists(dataDir.resolve(f)))
       old.deleteFiles.filterNot(liveDels).foreach(f =>
         Files.deleteIfExists(deleteDir.resolve(f)))
     }
-    (0L until cutoff).foreach(v => Files.deleteIfExists(manifestPath(v)))
+    expirable.foreach(v => Files.deleteIfExists(manifestPath(v)))
     // chunks referenced only by expired manifests are orphans now —
     // except those a live branch still resolves via its fallback read
     val branchChunks = listBranches.map(_._1).map(branch).flatMap { b =>
       (0L to b.latestVersion).flatMap(b.chunkRefsOf)
     }.toSet
-    val referenced = (cutoff to latest)
+    val referenced = ((cutoff to latest) ++ tagged.filter(_ < cutoff))
       .filter(v => Files.exists(manifestPath(v))).flatMap(chunkRefsOf)
       .toSet ++ branchChunks
     val all = withDirStream(Files.list(manifestDir))(

@@ -1,0 +1,111 @@
+package graft
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.functions._
+import graft.fixtures.GoldenCorpus
+import graft.stream.CdcPipeline
+import graft.table.MergeTable
+
+/** Snapshot tags (immutable named refs), TIMESTAMP AS OF resolution, and
+  * the SQL metadata tables (`cat.db.t.snapshots|files|refs`).
+  */
+class TagsAndMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seeded(tag: String): MergeTable = {
+    val t = MergeTable.retailTrans(tmpDir(tag), threshold = 100)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t, None, Some("p1"))
+    t
+  }
+
+  test("tags pin snapshots across expiry; dropTag releases the pin") {
+    val t = seeded("tags")
+    val v0 = t.latestVersion
+    t.createTag("cut-v1") // pins v0
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
+    t.updateWhere(spark, $"trans_id" === 19, Map("amount" -> lit(7)))
+    t.updateWhere(spark, $"trans_id" === 21, Map("amount" -> lit(8)))
+
+    t.expireSnapshots(keepLast = 1)
+    // v0 would be expired, but the tag pins it: still readable
+    assert(t.tagVersion("cut-v1") === v0)
+    assert(t.read(spark, asOfVersion = Some(v0)).count() === 10)
+    // untagged intermediate versions are gone
+    assert(t.history.map(_.version).toSet === Set(v0, t.latestVersion))
+
+    // duplicate / missing guards
+    intercept[IllegalArgumentException](t.createTag("cut-v1"))
+    intercept[IllegalArgumentException](t.createTag("nope", 999))
+
+    t.dropTag("cut-v1")
+    t.expireSnapshots(keepLast = 1)
+    assert(t.history.map(_.version) === Seq(t.latestVersion))
+    intercept[Exception](t.read(spark, asOfVersion = Some(v0)).count())
+  }
+
+  test("versionAtTimestamp resolves commit stamps in order") {
+    val t = seeded("ts")
+    val v0 = t.latestVersion
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
+    val v1 = t.latestVersion
+
+    assert(t.versionAtTimestamp(mid) === v0)
+    assert(t.versionAtTimestamp(System.currentTimeMillis()) === v1)
+    val tooEarly = t.history.head.tsMillis - 1
+    intercept[IllegalArgumentException](t.versionAtTimestamp(tooEarly))
+  }
+
+  test("SQL surface: metadata tables, TIMESTAMP AS OF, tag reads") {
+    val wh = tmpDir("sqltag-wh")
+    spark.conf.set("spark.sql.catalog.sqlt", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlt.warehouse", wh)
+    def sql(s: String) = spark.sql(s)
+
+    sql("CREATE NAMESPACE sqlt.d")
+    sql("""CREATE TABLE sqlt.d.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('unique_keys'='id')""")
+    sql("INSERT INTO sqlt.d.t VALUES (1, 'a'), (2, 'b')")
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    sql("INSERT INTO sqlt.d.t VALUES (3, 'c')")
+
+    // TIMESTAMP AS OF between the two inserts sees only the first
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(ZoneOffset.UTC)
+    val midLit = fmt.format(Instant.ofEpochMilli(mid))
+    assert(sql(s"SELECT count(*) FROM sqlt.d.t TIMESTAMP AS OF '$midLit'")
+      .head().getLong(0) === 2L)
+    assert(sql("SELECT count(*) FROM sqlt.d.t").head().getLong(0) === 3L)
+
+    // snapshots metadata table: two commits, stamped, op=append
+    val snaps = sql("SELECT version, op, committed_at FROM sqlt.d.t.snapshots " +
+      "ORDER BY version").collect()
+    assert(snaps.length === 2)
+    assert(snaps.map(_.getString(1)).toSeq === Seq("append", "append"))
+    assert(snaps.forall(r => r.getTimestamp(2).getTime > 0))
+
+    // files metadata table: data files with sizes
+    val files = sql("SELECT content, size_bytes FROM sqlt.d.t.files").collect()
+    assert(files.nonEmpty)
+    assert(files.forall(r => r.getString(0) === "data" && r.getLong(1) > 0))
+
+    // tags via CALL + refs metadata table + tag read
+    sql("CALL sqlt.system.create_tag('d.t', 'first', 0)")
+    val refs = sql("SELECT name, type, version FROM sqlt.d.t.refs").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq(("first", "tag", 0L)))
+    assert(sql("SELECT count(*) FROM sqlt.d.t VERSION AS OF 'tag:first'")
+      .head().getLong(0) === 2L)
+    sql("CALL sqlt.system.drop_tag('d.t', 'first')")
+    assert(sql("SELECT count(*) FROM sqlt.d.t.refs").head().getLong(0) === 0L)
+  }
+}
