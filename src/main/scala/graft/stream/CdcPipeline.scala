@@ -40,7 +40,11 @@ object CdcPipeline {
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = None,
-      views: Seq[graft.table.IncrementalView] = Nil)
+      views: Seq[graft.table.IncrementalView] = Nil,
+      // auto-evolve the destination on payload SCHEMA DRIFT: new fields in
+      // the CDC stream become table columns (metadata-only add) instead of
+      // being silently dropped like the reference's fixed projection
+      evolveSchema: Boolean = false)
 
   /** Routed multi-destination pipeline config: one landing stream, many
     * destination tables (pre-created via [[graft.catalog.LakeCatalog]] —
@@ -70,7 +74,8 @@ object CdcPipeline {
   }
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
-    val table = MergeTable.retailTrans(cfg.tableRoot)
+    // rebound on schema evolution (addColumn reopens the handle)
+    var table = MergeTable.retailTrans(cfg.tableRoot)
     val lines = landingLines(spark, cfg.landingDir,
       cfg.maxFilesPerTrigger, cfg.maxBytesPerTrigger)
 
@@ -93,7 +98,14 @@ object CdcPipeline {
         val classified = CdcTransformer
           .classify(batch, cfg.srcDatabase, cfg.srcTable).cache()
         try {
-          val res = CdcTransformer.fromClassified(classified)
+          val extras = if (!cfg.evolveSchema) Nil else {
+            timed("drift")(CdcTransformer
+              .driftColumns(classified, table.schema.fieldNames.toSet))
+              .foreach(f => table = table.addColumn(f))
+            table.schema.fields.toSeq
+              .filterNot(f => CdcTransformer.BasePayloadCols(f.name))
+          }
+          val res = CdcTransformer.fromClassified(classified, extraCols = extras)
           timed("errors")(CdcTransformer.writeErrors(res.errors, cfg.errorRoot))
           timed("apply")(table.applyBatch(res.good, Some(batchId.toString)))
           // continuous view maintenance: each registered materialized view
@@ -142,16 +154,28 @@ object CdcPipeline {
   }
 
   /** One-shot batch replay of a corpus (bootstrap / tests): same transform +
-    * merge, no streaming machinery.
+    * merge, no streaming machinery. With `evolve`, payload fields beyond
+    * the table schema trigger a metadata-only add-column first; returns
+    * the (possibly evolved) table handle.
     */
   def replayBatch(
       spark: SparkSession,
       lines: DataFrame,
       table: MergeTable,
       errorRoot: Option[String] = None,
-      batchId: Option[String] = None): Unit = {
-    val res = CdcTransformer.transform(lines)
+      batchId: Option[String] = None,
+      evolve: Boolean = false): MergeTable = {
+    val classified = CdcTransformer.classify(lines)
+    var tbl = table
+    val extras = if (!evolve) Nil else {
+      CdcTransformer.driftColumns(classified, tbl.schema.fieldNames.toSet)
+        .foreach(f => tbl = tbl.addColumn(f))
+      tbl.schema.fields.toSeq
+        .filterNot(f => CdcTransformer.BasePayloadCols(f.name))
+    }
+    val res = CdcTransformer.fromClassified(classified, extraCols = extras)
     errorRoot.foreach(CdcTransformer.writeErrors(res.errors, _))
-    table.applyBatch(res.good, batchId)
+    tbl.applyBatch(res.good, batchId)
+    tbl
   }
 }

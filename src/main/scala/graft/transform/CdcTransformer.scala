@@ -119,14 +119,61 @@ object CdcTransformer {
         .otherwise(lit(null)))
   }
 
+  /** The payload columns the static projection always emits. */
+  val BasePayloadCols: Set[String] = Set("trans_id", "customer_id", "event",
+    "sku", "amount", "device", "trans_datetime")
+
+  /** SCHEMA DRIFT detection: payload keys present in this batch's good
+    * records but absent from `known`, with a column type inferred from
+    * every observed value (all-long → LONG, all-numeric → DOUBLE,
+    * all-boolean → BOOLEAN, else STRING). The upstream schema changed —
+    * the reference's transformer would silently drop the new field
+    * (its envelope projection is fixed); here the pipeline can evolve
+    * the destination table instead (add-column is metadata-only).
+    *
+    * One batch-sized aggregation over the already-parsed frame; returns
+    * a deterministic name-ordered list. Only bare-identifier keys are
+    * eligible — anything else stays in the raw JSON.
+    */
+  def driftColumns(classified: DataFrame,
+      known: Set[String]): Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    val vals = classified
+      .filter(col("error_type").isNull)
+      .select(explode(json_object_keys(get_json_object(col("raw"), "$.data")))
+        .as("k"), col("raw"))
+      .filter(!col("k").isin(known.toSeq: _*) &&
+        col("k").rlike("^[A-Za-z0-9_]+$"))
+      .select(col("k"),
+        expr("get_json_object(raw, concat('$.data.', k))").as("v"))
+      .filter(col("v").isNotNull)
+    val counted = vals.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      count(expr("try_cast(v AS BIGINT)")).as("n_long"),
+      count(expr("try_cast(v AS DOUBLE)")).as("n_double"),
+      sum(when(lower(col("v")).isin("true", "false"), 1L).otherwise(0L))
+        .as("n_bool"))
+      .collect()
+    counted.sortBy(_.getString(0)).map { r =>
+      val n = r.getLong(1)
+      val dt: DataType =
+        if (r.getLong(2) == n) LongType
+        else if (r.getLong(3) == n) DoubleType
+        else if (r.getLong(4) == n) BooleanType
+        else StringType
+      StructField(r.getString(0), dt, nullable = true)
+    }.toSeq
+  }
+
   /** Project the routed/error frames out of a classified frame. */
   def fromClassified(
       classified: DataFrame,
       destDatabase: String = "cdc_iceberg_demo_db",
-      destTable: String = "retail_trans_iceberg"): TransformResult =
+      destTable: String = "retail_trans_iceberg",
+      extraCols: Seq[org.apache.spark.sql.types.StructField] = Nil): TransformResult =
     fromClassifiedMulti(classified,
       Seq(CdcRoute("testdb", "retail_trans", destDatabase, destTable)),
-      singleDest = true)
+      singleDest = true, extraCols = extraCols)
 
   /** Multi-route projection: `dest_db`/`dest_table` become per-RECORD
     * values chosen by the first matching route (P4 enrichment as data, not
@@ -137,8 +184,14 @@ object CdcTransformer {
   def fromClassifiedMulti(
       classified: DataFrame,
       routes: Seq[CdcRoute],
-      singleDest: Boolean = false): TransformResult = {
+      singleDest: Boolean = false,
+      extraCols: Seq[org.apache.spark.sql.types.StructField] = Nil): TransformResult = {
     require(routes.nonEmpty, "at least one route required")
+    // drift columns aren't in the parsed envelope struct (its schema is
+    // fixed) — project them straight out of the raw JSON, typed
+    val extras = extraCols.map(f =>
+      get_json_object(col("raw"), s"$$.data.${f.name}").cast(f.dataType)
+        .as(f.name))
     val destDb =
       if (singleDest) lit(routes.head.destDb)
       else routes.tail.foldLeft(when(routeMatch(routes.head), lit(routes.head.destDb))) {
@@ -151,7 +204,7 @@ object CdcTransformer {
       }
     val good = classified
       .filter(col("error_type").isNull)
-      .select(
+      .select(Seq(
         col("env.data.trans_id").as("trans_id"),
         col("env.data.customer_id").as("customer_id"),
         col("env.data.event").as("event"),
@@ -162,12 +215,13 @@ object CdcTransformer {
         // fixture → null, keep row — the reference transformer never
         // inspects timestamps, so a bad one must not kill the stream.
         try_to_timestamp(col("env.data.trans_datetime"),
-          lit("yyyy-MM-dd'T'HH:mm:ssX")).as("trans_datetime"),
+          lit("yyyy-MM-dd'T'HH:mm:ssX")).as("trans_datetime")) ++
+        extras ++ Seq(
         col("env.metadata.operation").as("operation"),
         try_to_timestamp(col("env.metadata.timestamp")).as("src_timestamp"),
         col("env.metadata.`transaction-id`").as("transaction_id"),
         destDb.as("dest_db"),
-        destTbl.as("dest_table"))
+        destTbl.as("dest_table")): _*)
 
     // Error sink layout: year/month/day/hour of *processing* time, matching
     // the reference's `error/year=!{timestamp:yyyy}/...` prefix tokens (F5).

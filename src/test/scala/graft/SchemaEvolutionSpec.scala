@@ -59,4 +59,49 @@ class SchemaEvolutionSpec extends SparkSpec {
     // time travel to before the evolution still works (old snapshot, new schema view)
     assert(t1.read(spark, Some(v0)).count() === 12)
   }
+
+  /** Rewrite a golden line's data payload with extra drifted fields. */
+  private def drifted(line: String, extraJson: String): String =
+    line.replaceFirst("\\{\"data\": \\{", s"""{"data": {$extraJson, """)
+
+  test("CDC schema drift: new payload fields evolve the table, typed") {
+    val root = tmpDir("drift")
+    val t0 = MergeTable.retailTrans(root)
+    // batch 1: pristine corpus — no drift, schema unchanged
+    val t1 = CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines), t0,
+      batchId = Some("p1"), evolve = true)
+    assert(t1.schema.fieldNames.toSeq ===
+      t0.schema.fieldNames.toSeq, "no drift must mean no evolution")
+
+    // batch 2: the upstream added coupon (long), loyal (boolean), disc (double)
+    val driftedLines = GoldenCorpus.dmlLines.map(l =>
+      drifted(l, """"coupon": 7, "loyal": true, "disc": 0.25"""))
+    val t2 = CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, driftedLines), t1,
+      batchId = Some("p2"), evolve = true)
+
+    val bySchema = t2.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(bySchema("coupon") === org.apache.spark.sql.types.LongType)
+    assert(bySchema("loyal") === org.apache.spark.sql.types.BooleanType)
+    assert(bySchema("disc") === org.apache.spark.sql.types.DoubleType)
+
+    val r = t2.read(spark)
+    assert(r.count() === 12)
+    // rows from the drifted batch carry values; pre-drift rows read null
+    assert(r.filter($"coupon" === 7).count() > 0)
+    assert(r.filter($"coupon".isNull).count() > 0)
+    assert(r.filter($"loyal" === true && $"disc" === 0.25).count() ===
+      r.filter($"coupon" === 7).count())
+
+    // replay idempotence survives evolution: same batchId is a no-op
+    val before = t2.latestVersion
+    CdcPipeline.replayBatch(spark, GoldenCorpus.df(spark, driftedLines), t2,
+      batchId = Some("p2"), evolve = true)
+    assert(t2.latestVersion === before)
+
+    // a reopened handle (fresh reader) sees the evolved schema + values
+    val rr = MergeTable.open(root).read(spark)
+    assert(rr.filter($"coupon" === 7).count() === r.filter($"coupon" === 7).count())
+  }
 }
