@@ -157,4 +157,36 @@ object TextAnalysis {
       split(text, ""),
       lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(2147483647L)))
+
+  /** Deterministic MODEL-FREE text embedding: feature-hashed bag of words
+    * through a Johnson–Lindenstrauss ±1 sign matrix —
+    * emb[j] = Σ_tokens sign(mix(hash(token), j)). The cheap vectorizer
+    * that drops documents into the same geometric toolbox as the
+    * `embeddings` table (ANN, k-means, SemDeDup, outliers) with no model
+    * in the loop: documents sharing vocabulary land near each other
+    * (bag-of-words cosine is preserved in expectation, JL). Components
+    * are INTEGER-valued — token hash is the [[fingerprintExpr]]
+    * recurrence per token, signs are popcount parity (the q73 formula) —
+    * so the vector is exactly engine-replicable; only the norm rounds.
+    *
+    * Row-local per document: one linear pass per (token, dim) pair, no
+    * shuffle, scales with input splits. The HOF nest leaves whole-stage
+    * codegen — at 100 TB promote to a native Expression like
+    * shingle_hashes (same kernel-promotion path as q27's 51× win).
+    */
+  def textEmbed(docs: DataFrame, dim: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tokenHash = (t: Column) => aggregate(
+      filter(split(t, ""), c => c =!= ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(2147483647L)))
+    val hs = transform(wsTokens(col(textCol)), tokenHash)
+    val emb = transform(sequence(lit(0), lit(dim - 1)), j =>
+      aggregate(hs, lit(0L), (a, h) =>
+        a + when(bit_count(h * 2654435761L + j.cast("long") * 2246822519L)
+          % 2 === 0, 1L).otherwise(-1L)))
+    docs.select(col(idCol).as("doc_id"),
+      size(wsTokens(col(textCol))).cast("long").as("n_tokens"),
+      emb.as("emb"))
+  }
 }

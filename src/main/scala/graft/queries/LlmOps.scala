@@ -238,6 +238,19 @@ object LlmOps {
           col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .orderBy(col("doc_id"))),
 
+    // model-free hashed JL text embedding: integer components, exact
+    "q97_text_embed" -> ((s, d) =>
+      TextAnalysis.textEmbed(Tables.fanout(Tables.documents(s, d)), dim = 16)
+        .select(col("doc_id"), col("n_tokens"),
+          element_at(col("emb"), 1).as("e0"),
+          element_at(col("emb"), 2).as("e1"),
+          element_at(col("emb"), 3).as("e2"),
+          element_at(col("emb"), 4).as("e3"),
+          round(sqrt(aggregate(col("emb"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))), 4)
+            .as("emb_norm"))
+        .orderBy(col("doc_id"))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -876,6 +889,27 @@ object LlmOps {
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q96_logreg_quality" -> logregOracle(3, 1.0,
       "source IN ('src0','src1','src2','src3','src4')"),
+    "q97_text_embed" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         th AS (SELECT doc_id, len(w) AS n, list_transform(w, t ->
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, length(t)),
+                  i -> CAST(ord(substr(t, i, 1)) AS BIGINT))),
+                (a, x) -> (a*31 + x) % 2147483647)) AS hs
+            FROM d),
+         e AS (SELECT doc_id, n, list_transform(generate_series(0, 15), j ->
+              coalesce(list_sum(list_transform(hs, h ->
+                CASE WHEN bit_count(h*2654435761 + j*2246822519) % 2 = 0
+                     THEN 1 ELSE -1 END)), 0)) AS emb
+            FROM th)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(emb[1] AS BIGINT) AS e0, CAST(emb[2] AS BIGINT) AS e1,
+           CAST(emb[3] AS BIGINT) AS e2, CAST(emb[4] AS BIGINT) AS e3,
+           round(sqrt(list_sum(list_transform(emb,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 4) AS emb_norm
+         FROM e ORDER BY doc_id""",
     "q73_embed_project" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT vec_id, list_transform(generate_series(0, 15), j ->

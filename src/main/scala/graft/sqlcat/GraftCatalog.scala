@@ -119,10 +119,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val t = lake.getTable(ident.namespace()(0), ident.namespace()(1))
       val dfFn: Option[org.apache.spark.sql.SparkSession =>
           org.apache.spark.sql.DataFrame] = ident.name match {
-        case "snapshots" => Some(s => t.snapshotsDf(s))
-        case "files"     => Some(s => t.filesDf(s))
-        case "refs"      => Some(s => t.refsDf(s))
-        case _           => None
+        case "snapshots"  => Some(s => t.snapshotsDf(s))
+        case "files"      => Some(s => t.filesDf(s))
+        case "refs"       => Some(s => t.refsDf(s))
+        case "partitions" => Some(s => t.partitionsDf(s))
+        case _            => None
       }
       dfFn.foreach(f => return new GraftMetaTable(fullName(ident), f))
     }

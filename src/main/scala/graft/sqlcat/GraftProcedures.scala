@@ -125,6 +125,12 @@ private[sqlcat] object GraftProcedures {
       (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
         val t = resolve(l, in.getUTF8String(0).toString)
         t.dropTag(in.getUTF8String(1).toString); t.latestVersion
+      })),
+    // GC files no retained snapshot/branch/tag references (crashed commits)
+    "remove_orphans" -> ((Seq(p("table", StringType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.removeOrphanFiles(); t.latestVersion
       })))
 
   def names: Seq[String] = defs.keys.toSeq.sorted

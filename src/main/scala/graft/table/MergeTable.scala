@@ -1025,6 +1025,60 @@ final class MergeTable(
       .orderBy(col("content"), col("file_path"))
   }
 
+  /** Current snapshot's per-partition file statistics — the analog of
+    * Iceberg's `<table>.partitions` metadata table. Partition values come
+    * from the file paths (hive-style `col=value/` prefixes); driver-side
+    * O(files-in-snapshot), no data scan.
+    */
+  def partitionsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val s = currentSnapshot
+      .getOrElse(Snapshot(-1, Vector.empty, Vector.empty, Set.empty, false))
+    s.dataFiles
+      .map { f =>
+        val part = f.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => f.substring(0, i)
+        }
+        val p = dataDir.resolve(f)
+        (part, if (Files.exists(p)) Files.size(p) else 0L)
+      }
+      .groupBy(_._1).toSeq
+      .map { case (part, fs) => (part, fs.size.toLong, fs.map(_._2).sum) }
+      .sortBy(_._1)
+      .toDF("partition", "n_files", "size_bytes")
+  }
+
+  /** Delete data/delete files no retained snapshot, branch, or tag
+    * references (Iceberg's remove_orphan_files): leftovers of crashed
+    * commits or interrupted maintenance. Walks the two data directories
+    * once against the union of all live file sets; returns the number of
+    * files removed. Metadata chunks are NOT touched here — expireSnapshots
+    * owns chunk GC (they are pinned by manifest references).
+    */
+  def removeOrphanFiles(): Int = synchronized {
+    require(!isBranch, "removeOrphanFiles runs on the main handle only")
+    val live = history ++
+      listBranches.map(_._1).map(branch).flatMap(_.history)
+    val liveData = live.flatMap(_.dataFiles).toSet
+    val liveDels = live.flatMap(_.deleteFiles).toSet
+    var removed = 0
+    def sweep(dir: Path, liveSet: Set[String]): Unit =
+      if (Files.exists(dir)) {
+        val orphans = withDirStream(Files.walk(dir))(_.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(p => dir.relativize(p).toString)
+          .filterNot(liveSet)
+          .toVector)
+        orphans.foreach { f =>
+          Files.deleteIfExists(dir.resolve(f)); removed += 1
+        }
+      }
+    sweep(dataDir, liveData)
+    sweep(deleteDir, liveDels)
+    removed
+  }
+
   /** Named refs (branches + tags) as a DataFrame — the analog of
     * Iceberg's `<table>.refs` metadata table. `fork_version` is null for
     * tags (immutable pins have no divergence point).

@@ -113,6 +113,34 @@ class DataSelectionSpec extends SparkSpec {
     }
   }
 
+  test("textEmbed: order-free, deterministic, separates disjoint vocabularies") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val toy = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),   // permutation of doc 1
+      (3L, "omega sigma theta kappa"),  // disjoint vocabulary
+      (4L, "")                          // empty
+    ).toDF("doc_id", "text")
+    def vecs(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.textEmbed(df).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    val v = vecs(toy)
+    assert(v(1L) === v(2L), "bag-of-words: permutation must not change the vector")
+    assert(v(1L) !== v(3L), "disjoint vocabularies must separate")
+    assert(v(4L) === Seq.fill(16)(0L), "empty doc embeds at the origin")
+    assert(v === vecs(toy.repartition(5)), "partitioning-independent")
+    // cosine geometry: the permuted pair is identical, the disjoint pair
+    // should be far (JL preserves bag-of-words angles in expectation)
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(cos(v(1L), v(2L)) === 1.0)
+    assert(cos(v(1L), v(3L)) < 0.9)
+  }
+
   test("logregScore: separable labels get separated probabilities") {
     import spark.implicits._
     // long docs are positive, short docs negative — x2/x3 separate them

@@ -108,4 +108,41 @@ class TagsAndMetaSpec extends SparkSpec {
     sql("CALL sqlt.system.drop_tag('d.t', 'first')")
     assert(sql("SELECT count(*) FROM sqlt.d.t.refs").head().getLong(0) === 0L)
   }
+
+  test("partitions metadata table groups current files by partition dir") {
+    val t = seeded("parts")
+    val parts = t.partitionsDf(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts.nonEmpty)
+    // retail_trans partitions by event: every row is an event= dir
+    assert(parts.forall(_._1.startsWith("event=")))
+    assert(parts.forall(p => p._2 > 0 && p._3 > 0))
+    val fromFiles = t.filesDf(spark).filter($"content" === "data").count()
+    assert(parts.map(_._2).sum === fromFiles)
+  }
+
+  test("removeOrphanFiles deletes only unreferenced files") {
+    val t = seeded("orphans")
+    // a live table has no orphans
+    assert(t.removeOrphanFiles() === 0)
+    // plant two orphans: a fake data file and a fake tombstone
+    val dataOrphan = java.nio.file.Paths.get(t.root, "data", "event=visit",
+      "f99-orphan.parquet")
+    java.nio.file.Files.createDirectories(dataOrphan.getParent)
+    java.nio.file.Files.writeString(dataOrphan, "not really parquet")
+    val delOrphan = java.nio.file.Paths.get(t.root, "deletes", "f99-o.parquet")
+    java.nio.file.Files.createDirectories(delOrphan.getParent)
+    java.nio.file.Files.writeString(delOrphan, "x")
+    assert(t.removeOrphanFiles() === 2)
+    assert(!java.nio.file.Files.exists(dataOrphan))
+    // referenced files all survive: the table still reads in full
+    assert(t.read(spark).count() === 10)
+    // tag-pinned old versions stay protected after expiry + orphan sweep
+    t.createTag("pin")
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
+    t.expireSnapshots(keepLast = 1)
+    assert(t.removeOrphanFiles() === 0)
+    assert(t.read(spark, asOfVersion = Some(t.tagVersion("pin"))).count() === 10)
+  }
 }
