@@ -23,4 +23,16 @@ object StreamShim {
     spark.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse, for a DSv1 streaming `Sink`: the micro-batch DataFrame
+    * handed to `addBatch` is tagged streaming (arbitrary batch operations
+    * on it fail analysis), so re-wrap its already-planned incremental RDD
+    * as a plain batch frame — the same pattern V1 sinks have always used.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[ClassicDataset[Row]]
+    val spark = ds.sparkSession.asInstanceOf[ClassicSession]
+    spark.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }
