@@ -18,10 +18,21 @@ import graft.table.MergeTable
   *   val table = Graft.openTable("/data/warehouse/db/retail_trans_iceberg")
   *   val query = Graft.startCdc(spark, CdcPipeline.Config(...))
   *   Graft.registerFunctions(spark)   // cosine_sim in SQL
+  *
+  *   // streaming in and out of engine tables, no foreachBatch:
+  *   spark.readStream.format("graft-changes").option("path", src).load()
+  *     .writeStream.format("graft").option("path", dst).start()
+  *
+  *   // SQL-first surface (catalog plugin + extensions):
+  *   //   spark.sql.catalog.graft = graft.sqlcat.GraftCatalog
+  *   //   spark.sql.extensions   = graft.sqlcat.GraftSqlExtensions
+  *   // → DDL/DML/MERGE, VERSION/TIMESTAMP AS OF, branch:/tag: refs,
+  *   //   CALL graft.system.*, metadata tables t.snapshots/.files/.refs
   * }}}
   *
   * Operators live in `graft.operators` (Dedup, Similarity, TextAnalysis,
-  * Multimodal, ScalePatterns), stream analytics in `graft.streaming`.
+  * Multimodal, CorpusOps, ScalePatterns, TemporalJoins), stream analytics
+  * in `graft.streaming`.
   */
 object Graft {
 

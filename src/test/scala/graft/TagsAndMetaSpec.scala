@@ -65,48 +65,48 @@ class TagsAndMetaSpec extends SparkSpec {
 
   test("SQL surface: metadata tables, TIMESTAMP AS OF, tag reads") {
     val wh = tmpDir("sqltag-wh")
-    spark.conf.set("spark.sql.catalog.sqlt", "graft.sqlcat.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.sqlt.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.sqltm", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqltm.warehouse", wh)
     def sql(s: String) = spark.sql(s)
 
-    sql("CREATE NAMESPACE sqlt.d")
-    sql("""CREATE TABLE sqlt.d.t (id BIGINT, v STRING)
+    sql("CREATE NAMESPACE sqltm.d")
+    sql("""CREATE TABLE sqltm.d.t (id BIGINT, v STRING)
            TBLPROPERTIES ('unique_keys'='id')""")
-    sql("INSERT INTO sqlt.d.t VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO sqltm.d.t VALUES (1, 'a'), (2, 'b')")
     Thread.sleep(30)
     val mid = System.currentTimeMillis()
     Thread.sleep(30)
-    sql("INSERT INTO sqlt.d.t VALUES (3, 'c')")
+    sql("INSERT INTO sqltm.d.t VALUES (3, 'c')")
 
     // TIMESTAMP AS OF between the two inserts sees only the first
     val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
       .withZone(ZoneOffset.UTC)
     val midLit = fmt.format(Instant.ofEpochMilli(mid))
-    assert(sql(s"SELECT count(*) FROM sqlt.d.t TIMESTAMP AS OF '$midLit'")
+    assert(sql(s"SELECT count(*) FROM sqltm.d.t TIMESTAMP AS OF '$midLit'")
       .head().getLong(0) === 2L)
-    assert(sql("SELECT count(*) FROM sqlt.d.t").head().getLong(0) === 3L)
+    assert(sql("SELECT count(*) FROM sqltm.d.t").head().getLong(0) === 3L)
 
     // snapshots metadata table: two commits, stamped, op=append
-    val snaps = sql("SELECT version, op, committed_at FROM sqlt.d.t.snapshots " +
+    val snaps = sql("SELECT version, op, committed_at FROM sqltm.d.t.snapshots " +
       "ORDER BY version").collect()
     assert(snaps.length === 2)
     assert(snaps.map(_.getString(1)).toSeq === Seq("append", "append"))
     assert(snaps.forall(r => r.getTimestamp(2).getTime > 0))
 
     // files metadata table: data files with sizes
-    val files = sql("SELECT content, size_bytes FROM sqlt.d.t.files").collect()
+    val files = sql("SELECT content, size_bytes FROM sqltm.d.t.files").collect()
     assert(files.nonEmpty)
     assert(files.forall(r => r.getString(0) === "data" && r.getLong(1) > 0))
 
     // tags via CALL + refs metadata table + tag read
-    sql("CALL sqlt.system.create_tag('d.t', 'first', 0)")
-    val refs = sql("SELECT name, type, version FROM sqlt.d.t.refs").collect()
+    sql("CALL sqltm.system.create_tag('d.t', 'first', 0)")
+    val refs = sql("SELECT name, type, version FROM sqltm.d.t.refs").collect()
     assert(refs.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       === Seq(("first", "tag", 0L)))
-    assert(sql("SELECT count(*) FROM sqlt.d.t VERSION AS OF 'tag:first'")
+    assert(sql("SELECT count(*) FROM sqltm.d.t VERSION AS OF 'tag:first'")
       .head().getLong(0) === 2L)
-    sql("CALL sqlt.system.drop_tag('d.t', 'first')")
-    assert(sql("SELECT count(*) FROM sqlt.d.t.refs").head().getLong(0) === 0L)
+    sql("CALL sqltm.system.drop_tag('d.t', 'first')")
+    assert(sql("SELECT count(*) FROM sqltm.d.t.refs").head().getLong(0) === 0L)
   }
 
   test("partitions metadata table groups current files by partition dir") {
