@@ -90,6 +90,13 @@ private[sqlcat] object GraftProcedures {
         val t = resolve(l, in.getUTF8String(0).toString)
         t.expireSnapshots(in.getInt(1)); t.latestVersion
       })),
+    // age-based expiry: CALL graft.system.expire_older_than('db.t', <epoch-ms>, 1)
+    "expire_older_than" -> ((Seq(p("table", StringType),
+        p("older_than_ms", LongType), p("keep_last", IntegerType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.expireSnapshotsOlderThan(in.getLong(1), in.getInt(2)); t.latestVersion
+      })),
     "rollback" -> ((Seq(p("table", StringType), p("version", LongType)),
       (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
         val t = resolve(l, in.getUTF8String(0).toString)

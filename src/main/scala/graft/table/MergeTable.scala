@@ -1431,6 +1431,19 @@ final class MergeTable(
     vs.map(_.version).max
   }
 
+  /** Age-based expiry (Iceberg's `expire_snapshots(older_than => ts)`):
+    * drop retained history committed strictly before `millis`, always
+    * keeping at least `keepLast` newest snapshots regardless of age.
+    * Tags and branches pin exactly as in [[expireSnapshots]]. Uses the
+    * wall-clock commit stamps in the manifest headers; legacy unstamped
+    * snapshots (ts=0) count as infinitely old.
+    */
+  def expireSnapshotsOlderThan(millis: Long, keepLast: Int = 1): Unit = {
+    val aged = history.count(_.tsMillis < millis)
+    val keep = math.max(keepLast, history.size - aged)
+    expireSnapshots(keep)
+  }
+
   def expireSnapshots(keepLast: Int = 2): Unit = synchronized {
     require(keepLast >= 1)
     require(!isBranch, "expireSnapshots runs on the main handle only " +

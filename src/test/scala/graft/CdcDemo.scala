@@ -156,6 +156,38 @@ object CdcDemo {
       "SELECT amount FROM graft.cdc_iceberg_demo_db.retail_trans_iceberg " +
       "WHERE trans_id = 24").collect().head.getInt(0))
 
+    // 7. tags + metadata tables + streaming replication loop (round 4)
+    println("== tags, metadata tables, streaming replication ==")
+    val mainTable = MergeTable.open(
+      base.resolve("warehouse/cdc_iceberg_demo_db/retail_trans_iceberg").toString)
+    spark.sql("CALL graft.system.create_tag('cdc_iceberg_demo_db.retail_trans_iceberg', 'demo-cut', -1)")
+    spark.sql("SELECT name, type, version FROM " +
+      "graft.cdc_iceberg_demo_db.retail_trans_iceberg.refs").show(false)
+    println("tag read COUNT(*) = " + spark.sql(
+      "SELECT COUNT(*) FROM graft.cdc_iceberg_demo_db.retail_trans_iceberg " +
+      "VERSION AS OF 'tag:demo-cut'").collect().head.getLong(0))
+    spark.sql("SELECT partition, n_files, size_bytes FROM " +
+      "graft.cdc_iceberg_demo_db.retail_trans_iceberg.partitions").show(false)
+
+    // replicate the table into a fresh one with a pure stream: change-feed
+    // source → graft sink, no foreachBatch
+    val replicaRoot = base.resolve("replica").toString
+    val replica = MergeTable.retailTrans(replicaRoot)
+    val repl = spark.readStream.format("graft-changes")
+      .option("path", mainTable.root).load()
+      .withColumn("operation", org.apache.spark.sql.functions.when(
+        col("_change_type") === "delete", "delete").otherwise("update"))
+      .withColumn("transaction_id", col("_seq"))
+      .drop("_seq", "_change_type")
+      .writeStream.format("graft")
+      .option("path", replicaRoot)
+      .option("checkpointLocation", base.resolve("replica-ck").toString)
+      .start()
+    repl.processAllAvailable()
+    repl.stop()
+    println("replica COUNT(*) = " + replica.read(spark).count() +
+      " (source " + mainTable.read(spark).count() + ")")
+
     println("DEMO OK base=" + base)
     spark.stop()
   }

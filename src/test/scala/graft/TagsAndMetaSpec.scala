@@ -109,6 +109,26 @@ class TagsAndMetaSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM sqltm.d.t.refs").head().getLong(0) === 0L)
   }
 
+  test("expireSnapshotsOlderThan: age cutoff with keepLast floor") {
+    val t = seeded("aged")
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
+    t.updateWhere(spark, $"trans_id" === 19, Map("amount" -> lit(7)))
+    assert(t.history.size === 3)
+
+    // only the seed commit predates mid; it expires, the rest stay
+    t.expireSnapshotsOlderThan(mid)
+    assert(t.history.map(_.version) === Seq(1L, 2L))
+
+    // cutoff in the future would drop everything — keepLast floors it
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000, keepLast = 1)
+    assert(t.history.map(_.version) === Seq(2L))
+    assert(t.read(spark).count() === 12)
+  }
+
   test("partitions metadata table groups current files by partition dir") {
     val t = seeded("parts")
     val parts = t.partitionsDf(spark).collect()
