@@ -781,13 +781,22 @@ object CorpusOps {
       idCol: String = "doc_id"): DataFrame = {
     val h = pmod(col(idCol) * 2654435761L, lit(2147483647L))
     val u = (h.cast("double") + 0.5) / 2147483647.0
+    // normalize by the max weight (one-row broadcast): scaling every key
+    // by a constant preserves the A-ES order exactly, but anchors the
+    // HEAVIEST rows' keys at O(1) instead of O(1/w_max) — without it,
+    // large weights would quantize to zero below and the "sample" would
+    // degenerate to ascending id among heavy rows
+    val wmax = docs.agg(max(weightCol.cast("double")).as("w_max"))
     docs.select(col(idCol), weightCol.cast("double").as("weight"))
       .filter(col("weight") > 0)
-      // rank on the QUANTIZED key: raw -ln(u)/w can differ by a libm ulp
-      // across engines, which must not flip the selection at the cutoff
-      .withColumn("es_key", floor(-log(u) / col("weight") * 1e6) / 1e6)
+      .crossJoin(broadcast(wmax))
+      // rank on the QUANTIZED key: raw -ln(u)·w_max/w can differ by a
+      // libm ulp across engines, which must not flip the selection cutoff
+      .withColumn("es_key",
+        floor(-log(u) * col("w_max") / col("weight") * 1e6) / 1e6)
       .orderBy(col("es_key"), col(idCol))
       .limit(n)
+      .select(col(idCol), col("weight"), col("es_key"))
   }
 
   /** BPE ENCODING with corpus-trained merges: learns `merges` merge rules
@@ -847,9 +856,11 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(coalesce(col("n_sym"), lit(1L))).cast("long").as("n_bpe_tokens"))
-    out.localCheckpoint(true)
-    vocab.unpersist(blocking = false)
-    out
+    // eager-checkpoint and return the CHECKPOINTED frame (localCheckpoint
+    // returns a new Dataset), so the vocab cache can be released without
+    // the caller's action recomputing the whole merge-trained lineage
+    try out.localCheckpoint(eager = true)
+    finally vocab.unpersist(blocking = false)
   }
 
   /** Distributed logistic-regression quality scoring: full-batch gradient

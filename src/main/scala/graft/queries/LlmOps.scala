@@ -879,11 +879,12 @@ object LlmOps {
            CAST(rn AS BIGINT) AS rank, cos_sim
          FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
     "q94_weighted_sample" ->
-      """WITH k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+      """WITH m AS (SELECT max(CAST(n_chars AS DOUBLE)) AS w_max FROM documents),
+         k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
               floor(-ln((CAST((doc_id*2654435761) % 2147483647 AS DOUBLE) + 0.5)
                   / 2147483647.0)
-                / CAST(n_chars AS DOUBLE) * 1e6) / 1e6 AS es_key
-            FROM documents WHERE n_chars > 0)
+                * w_max / CAST(n_chars AS DOUBLE) * 1e6) / 1e6 AS es_key
+            FROM documents, m WHERE n_chars > 0)
          SELECT doc_id, weight, es_key FROM k
          ORDER BY es_key, doc_id LIMIT 50""",
     "q95_bpe_encode" -> bpeEncodeOracle(8),

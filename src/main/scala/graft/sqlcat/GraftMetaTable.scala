@@ -24,8 +24,13 @@ final class GraftMetaTable(
 
   override def name(): String = ident
 
-  override def schema(): StructType =
-    df(SparkSession.active).schema
+  // one computation per resolution: Spark asks for the schema several
+  // times while analyzing a query, and each df() call re-reads manifests
+  // on the driver. A Table instance is created per loadTable, so caching
+  // here never serves stale metadata across statements.
+  private lazy val frame = df(SparkSession.active)
+
+  override def schema(): StructType = frame.schema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -33,12 +38,12 @@ final class GraftMetaTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = schema()
+        override def readSchema(): StructType = frame.schema
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
-            override def schema: StructType = df(ctx.sparkSession).schema
-            override def buildScan(): RDD[Row] = df(ctx.sparkSession).rdd
+            override def schema: StructType = frame.schema
+            override def buildScan(): RDD[Row] = frame.rdd
           }.asInstanceOf[T]
       }
     }

@@ -133,11 +133,12 @@ private[sqlcat] object GraftProcedures {
         val t = resolve(l, in.getUTF8String(0).toString)
         t.dropTag(in.getUTF8String(1).toString); t.latestVersion
       })),
-    // GC files no retained snapshot/branch/tag references (crashed commits)
-    "remove_orphans" -> ((Seq(p("table", StringType)),
+    // GC files no retained snapshot/branch/tag references (crashed
+    // commits); older_than_ms gates against racing an in-flight commit
+    "remove_orphans" -> ((Seq(p("table", StringType), p("older_than_ms", LongType)),
       (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
         val t = resolve(l, in.getUTF8String(0).toString)
-        t.removeOrphanFiles(); t.latestVersion
+        t.removeOrphanFiles(in.getLong(1)); t.latestVersion
       })))
 
   def names: Seq[String] = defs.keys.toSeq.sorted

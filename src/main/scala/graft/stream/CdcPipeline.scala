@@ -74,8 +74,17 @@ object CdcPipeline {
   }
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
-    // rebound on schema evolution (addColumn reopens the handle)
-    var table = MergeTable.retailTrans(cfg.tableRoot)
+    // rebound on schema evolution (addColumn reopens the handle).
+    // An EXISTING table must be opened from its on-disk metadata, not
+    // re-constructed from the base schema: a restart after drift
+    // evolution would otherwise hold a stale base-schema handle, and the
+    // next addColumn would rewrite _table.meta from it — silently
+    // dropping every previously evolved column.
+    var table =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(cfg.tableRoot, "_table.meta")))
+        MergeTable.open(cfg.tableRoot)
+      else MergeTable.retailTrans(cfg.tableRoot)
     val lines = landingLines(spark, cfg.landingDir,
       cfg.maxFilesPerTrigger, cfg.maxBytesPerTrigger)
 

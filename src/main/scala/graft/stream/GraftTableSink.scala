@@ -33,14 +33,19 @@ import graft.table.MergeTable
   * same guarantee the CDC pipeline's foreachBatch path has, now available
   * to any writeStream).
   */
-final class GraftTableSink(root: String, defaultOp: String) extends Sink {
+final class GraftTableSink(root: String, defaultOp: String, scope: String)
+  extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the micro-batch frame is streaming-tagged; re-wrap as batch first
     val df = StreamShim.asBatch(data)
     val withOp =
       if (df.columns.contains("operation")) df
       else df.withColumn("operation", lit(defaultOp))
-    MergeTable.open(root).applyBatch(withOp, Some(s"sink-$batchId"))
+    // the recorded id is scoped by the QUERY (checkpoint), not just the
+    // epoch: epoch numbers restart at 0 for every new checkpoint, and an
+    // unscoped "sink-0" would make a second stream's first batch look
+    // like a replay and be silently dropped
+    MergeTable.open(root).applyBatch(withOp, Some(s"sink-$scope-$batchId"))
   }
   override def toString: String = s"GraftTableSink[$root]"
 }
@@ -61,6 +66,20 @@ final class GraftTableSinkProvider extends StreamSinkProvider with DataSourceReg
       s"defaultOperation must be insert|update, got '$op'")
     require(partitionColumns.isEmpty,
       "partitionBy is not supported: the table's own partition spec applies")
-    new GraftTableSink(root, op)
+    // Complete mode re-emits the FULL result every batch; applying it as
+    // upserts would never delete keys that left the result — reject it
+    require(outputMode != OutputMode.Complete(),
+      "OutputMode.Complete is not supported: keys leaving the result set " +
+        "would never be deleted; use update/append with per-row operations")
+    // replay scope = the checkpoint identity: same checkpoint restarts
+    // replay the same (scope, epoch) ids and are skipped; a fresh
+    // checkpoint (or a second concurrent stream) gets a fresh scope and
+    // its batches apply. No checkpoint option → per-instance scope (safe
+    // direction: reapplying is idempotent per key, dropping is not).
+    val scope = parameters.find(_._1.equalsIgnoreCase("checkpointLocation"))
+      .map(kv => java.util.UUID.nameUUIDFromBytes(
+        kv._2.getBytes("UTF-8")).toString.take(8))
+      .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+    new GraftTableSink(root, op, scope)
   }
 }

@@ -1055,8 +1055,17 @@ final class MergeTable(
     * once against the union of all live file sets; returns the number of
     * files removed. Metadata chunks are NOT touched here — expireSnapshots
     * owns chunk GC (they are pinned by manifest references).
+    *
+    * `olderThanMillis` is the safety cutoff Iceberg's procedure carries
+    * for the same reason (default 24 h): a concurrent writer — another
+    * handle, another process — adopts data files BEFORE its manifest
+    * commit publishes them, and an ungated sweep in that window would
+    * delete files the imminent commit references. Only files whose
+    * modification time predates the cutoff are eligible.
     */
-  def removeOrphanFiles(): Int = synchronized {
+  def removeOrphanFiles(
+      olderThanMillis: Long = System.currentTimeMillis() - 24L * 3600 * 1000): Int =
+    synchronized {
     require(!isBranch, "removeOrphanFiles runs on the main handle only")
     val live = history ++
       listBranches.map(_._1).map(branch).flatMap(_.history)
@@ -1067,6 +1076,7 @@ final class MergeTable(
       if (Files.exists(dir)) {
         val orphans = withDirStream(Files.walk(dir))(_.iterator().asScala
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMillis)
           .map(p => dir.relativize(p).toString)
           .filterNot(liveSet)
           .toVector)

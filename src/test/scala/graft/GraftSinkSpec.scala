@@ -47,8 +47,10 @@ class GraftSinkSpec extends SparkSpec {
       assert(state(5000L) === 42)
       assert(!state.contains(24L))
       assert(t.read(spark).count() === 10) // 10 seed - 1 del + 1 ins
-      // the epoch id is the recorded batch id (checkpoint replay = no-op)
-      assert(t.currentSnapshot.get.appliedBatches.contains("sink-0"))
+      // the recorded batch id is (checkpoint scope, epoch) — checkpoint
+      // replay = no-op, but a FRESH checkpoint gets a fresh scope
+      assert(t.currentSnapshot.get.appliedBatches
+        .exists(b => b.startsWith("sink-") && b.endsWith("-0")))
 
       mem.addData((5000L, 43, "update"))
       q.processAllAvailable()

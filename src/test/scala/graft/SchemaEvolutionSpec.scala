@@ -104,4 +104,39 @@ class SchemaEvolutionSpec extends SparkSpec {
     val rr = MergeTable.open(root).read(spark)
     assert(rr.filter($"coupon" === 7).count() === r.filter($"coupon" === 7).count())
   }
+
+  test("pipeline restart on an evolved table keeps evolved columns") {
+    // regression: start() used to re-construct the handle from the BASE
+    // schema; the first post-restart addColumn then rewrote _table.meta
+    // from it, silently dropping previously evolved columns
+    val base = tmpDir("drift-restart")
+    val root = s"$base/table"
+    val landing = s"$base/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    val t0 = MergeTable.retailTrans(root)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines.map(l =>
+        drifted(l, """"coupon": 7"""))), t0,
+      batchId = Some("p1"), evolve = true)
+    assert(MergeTable.open(root).schema.fieldNames.contains("coupon"))
+
+    // "restart": a fresh pipeline over the same table root; the landing
+    // batch drifts a SECOND new field
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "b2.jsonl"),
+      GoldenCorpus.dmlLines.map(l => drifted(l, """"loyal": true"""))
+        .mkString("", "\n", "\n"))
+    val q = CdcPipeline.start(spark, CdcPipeline.Config(
+      landingDir = landing, tableRoot = root,
+      errorRoot = s"$base/errors", checkpointDir = s"$base/ck",
+      evolveSchema = true))
+    q.processAllAvailable(); q.stop()
+
+    val cols = MergeTable.open(root).schema.fieldNames.toSet
+    assert(cols.contains("coupon"), s"pre-restart drift column lost: $cols")
+    assert(cols.contains("loyal"), s"post-restart drift column missing: $cols")
+    val r = MergeTable.open(root).read(spark)
+    assert(r.filter($"coupon" === 7).count() > 0)
+    assert(r.filter($"loyal" === true).count() > 0)
+  }
 }

@@ -141,10 +141,11 @@ class TagsAndMetaSpec extends SparkSpec {
     assert(parts.map(_._2).sum === fromFiles)
   }
 
-  test("removeOrphanFiles deletes only unreferenced files") {
+  test("removeOrphanFiles deletes only unreferenced files past the grace cutoff") {
     val t = seeded("orphans")
+    val future = System.currentTimeMillis() + 60000
     // a live table has no orphans
-    assert(t.removeOrphanFiles() === 0)
+    assert(t.removeOrphanFiles(future) === 0)
     // plant two orphans: a fake data file and a fake tombstone
     val dataOrphan = java.nio.file.Paths.get(t.root, "data", "event=visit",
       "f99-orphan.parquet")
@@ -153,7 +154,10 @@ class TagsAndMetaSpec extends SparkSpec {
     val delOrphan = java.nio.file.Paths.get(t.root, "deletes", "f99-o.parquet")
     java.nio.file.Files.createDirectories(delOrphan.getParent)
     java.nio.file.Files.writeString(delOrphan, "x")
-    assert(t.removeOrphanFiles() === 2)
+    // the default 24 h grace window protects FRESH unreferenced files —
+    // that's the in-flight-commit race guard, not a bug
+    assert(t.removeOrphanFiles() === 0)
+    assert(t.removeOrphanFiles(future) === 2)
     assert(!java.nio.file.Files.exists(dataOrphan))
     // referenced files all survive: the table still reads in full
     assert(t.read(spark).count() === 10)
@@ -162,7 +166,7 @@ class TagsAndMetaSpec extends SparkSpec {
     CdcPipeline.replayBatch(spark,
       GoldenCorpus.df(spark, GoldenCorpus.dmlLines), t, None, Some("p2"))
     t.expireSnapshots(keepLast = 1)
-    assert(t.removeOrphanFiles() === 0)
+    assert(t.removeOrphanFiles(System.currentTimeMillis() + 60000) === 0)
     assert(t.read(spark, asOfVersion = Some(t.tagVersion("pin"))).count() === 10)
   }
 }
