@@ -42,11 +42,19 @@ object Bench {
     // The host occasionally freezes a JVM for 5–20 s (observed: identical
     // row-local queries 0.6 s in one run, 14 s in the next, with CPU/disk
     // microbenchmarks stable throughout — see SCALE.md round-4 variance
-    // notes). One stall on a random query would misreport a plan as slow,
-    // so any measurement over the suspect threshold is re-run once and the
-    // MIN taken: a genuine heavy query stays heavy on the retry, a stall
-    // doesn't.
+    // notes). Round 4's min-of-two retry-per-query failed under SUSTAINED
+    // degradation: both the first run and the immediate retry of a query sat
+    // inside the same degraded window. Fix: run the FULL sweep N times (the
+    // sweeps are minutes apart, so a degraded window rarely covers the same
+    // query in every sweep) and report per-query MINIMA across sweeps. Within
+    // a sweep, a measurement over the suspect threshold still gets one
+    // immediate retry (cheap extra sample; a genuine heavy query stays heavy).
+    // We emit `value` = min-sum (the plan signal), `wall` = actual elapsed
+    // across all sweeps, per-sweep totals, and `stall_suspect` = true when
+    // the worst sweep exceeds 3x the min-sum — then the per-query numbers are
+    // still trustworthy, only the wall clock ate stalls.
     val SuspectSec = 4.0
+    val nSweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt.max(1)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -56,10 +64,23 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOnce(name, fn)
-      name -> (if (t1 > SuspectSec) math.min(t1, timeOnce(name, fn)) else t1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val wallT0 = System.nanoTime()
+    val sweeps: Seq[Map[String, Double]] = (1 to nSweeps).map { i =>
+      val m = names.map { case (name, fn) =>
+        val t1 = timeOnce(name, fn)
+        name -> (if (t1 > SuspectSec) math.min(t1, timeOnce(name, fn)) else t1)
+      }.toMap
+      System.err.println(f"[bench] sweep $i/$nSweeps total ${m.values.sum}%.1f s")
+      m
     }
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val results = names.map { case (name, _) =>
+      name -> sweeps.map(_(name)).min
+    }
+    val sweepTotals = sweeps.map(_.values.sum)
+    val minSum = results.map(_._2).sum
+    val stallSuspect = sweepTotals.max > 3.0 * minSum
     // CDC apply-path throughput (the reference's headline metric is its
     // ~10 rec/s ingest + 3-5 min freshness): 100k generated events through
     // parse->filter->LWW->merge-commit in 4 micro-batches. Clear the
@@ -83,8 +104,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"sf":"$sfDir"}""")
+    val sweepJson = sweepTotals.map(s => f"$s%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"sweeps":$nSweeps,"sweep_totals":$sweepJson,"stall_suspect":$stallSuspect,"queries":$qs,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
