@@ -282,54 +282,165 @@ object CorpusOps {
     * keeps [a-z0-9]+ words only, which also guarantees symbols never
     * contain regex/replacement metacharacters.
     *
-    * Per merge: one pair-count aggregation (map-side combined) and a
-    * 1-row argmax to the driver — the merge DECISION is inherently a
-    * global scalar, everything else stays distributed. The evolving
-    * vocabulary is persisted each round and the previous round released
-    * after materialization, so the lineage (and recompute cost) stays
-    * O(1) per round instead of O(rounds).
+    * Per ROUND (not per merge): one pair-count aggregation (map-side
+    * combined) and one small top-K collect to the driver — the merge
+    * DECISION is inherently a global argmax, everything else stays
+    * distributed. Up to `maxBatch` merges are accepted per round (see
+    * [[trainBpe]] for the exactness proof), so a production 32k-merge
+    * vocabulary costs ~32k/maxBatch driver round-trips instead of 32k
+    * sequential Spark jobs. The evolving vocabulary is persisted each
+    * round and the previous round released after materialization, so
+    * the lineage (and recompute cost) stays O(1) per round.
     */
   def bpeMerges(docs: DataFrame, merges: Int = 8,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxBatch: Int = 16): DataFrame = {
     val spark = docs.sparkSession
+    val (learned, _, _, release) =
+      trainBpe(bpeVocab(docs, textCol), merges, maxBatch)
+    release()
+    import spark.implicits._
+    learned.toDF("rank", "lhs", "rhs", "freq")
+  }
+
+  /** Initial BPE vocabulary: (distinct word, freq) with the word held as
+    * a sentinel-delimited symbol string; `keepWord` retains the raw word
+    * column for encode-table use.
+    */
+  private def bpeVocab(docs: DataFrame, textCol: String,
+      keepWord: Boolean = false): DataFrame = {
     // split(_, "") keeps a trailing "" (Java split limit -1) — drop it
     val chars = filter(split(col("word"), ""), x => x =!= "")
-    var vocab = docs
+    val base = docs
       .select(explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "), array_join(chars, "  "), lit(" ")).as("sym"),
-        col("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = concat(lit(" "), array_join(chars, "  "), lit(" ")).as("sym")
+    if (keepWord) base.select(col("word"), sym, col("freq"))
+    else base.select(sym, col("freq"))
+  }
+
+  /** Batched BPE training loop shared by [[bpeMerges]] and [[bpeEncode]].
+    * Input: a (sym, freq[, passthrough…]) vocabulary. Returns (learned
+    * merges in rank order, final persisted vocabulary — caller must
+    * unpersist, number of rounds executed).
+    *
+    * Exactness: the batched result is IDENTICAL to one-merge-at-a-time
+    * greedy (count desc, pair-string asc tie-break), by construction.
+    * Per round we take the pair table sorted by that order and accept a
+    * PREFIX of pairwise-symbol-disjoint candidates, stopping at the
+    * first candidate sharing a symbol with an earlier accepted one, then
+    * truncating to candidates with count STRICTLY above that boundary
+    * (falling back to the top-1, which is sequential's own argmax).
+    * Why this is exact:
+    *  - merging (a,b) cannot change the count of any pair disjoint from
+    *    {a,b} — adjacency elsewhere is untouched — so accepted
+    *    candidates keep their counts at their sequential turn;
+    *  - every pair CREATED by merging (a,b) — (x,ab) or (ab,y) or
+    *    (ab,cd) — embeds an occurrence of an OLD pair sharing a symbol
+    *    with {a,b} ((x,a), (b,y), (b,c) resp.), so its count is bounded
+    *    by a conflicting pair's count; all conflicting pairs rank at or
+    *    below the first conflict, hence strictly below every accepted
+    *    candidate after the boundary truncation — no created pair can
+    *    outrank a batched pick at its sequential turn.
+    * Disjoint merges also commute under the one-pass double-space
+    * regexp application, so the fold order within a round is immaterial.
+    */
+  private[graft] def trainBpe(vocab0: DataFrame, merges: Int, maxBatch: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame, Int, () => Unit) = {
+    require(maxBatch >= 1, "maxBatch must be >= 1")
+    val sc = vocab0.sparkSession.sparkContext
+    // Each round must CUT THE CATALYST PLAN, not just cache data: persist
+    // leaves the full projection chain in the analyzed plan, and at
+    // hundreds of rounds the AQE explain strings alone OOM the driver.
+    // localCheckpoint(eager) truncates lineage to a LogicalRDD; its
+    // checkpoint blocks are not cacheManager-visible, so Dataset.unpersist
+    // cannot release them — instead we attribute the newly persisted RDD
+    // ids by diffing getPersistentRDDs around the checkpoint and release
+    // the previous round's ids directly. (If another thread persists
+    // concurrently its RDD could be mis-attributed and unpersisted early —
+    // a recompute, never a correctness issue.)
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(eager = true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (vocab, vocabIds) = checkpointed(vocab0)
     val learned = Seq.newBuilder[(Long, String, String, Long)]
-    var rank = 1
-    while (rank <= merges) {
+    var nLearned = 0
+    var rounds = 0
+    var exhausted = false
+    while (nLearned < merges && !exhausted) {
       val syms = split(trim(col("sym")), "  ")
-      val pairs = when(size(syms) >= 2,
+      val pairsOf = when(size(syms) >= 2,
         zip_with(slice(syms, lit(1), size(syms) - 1),
           slice(syms, lit(2), size(syms) - 1),
           (a, b) => concat(a, lit(" "), b))).otherwise(array())
-      val best = vocab.select(explode(pairs).as("pair"), col("freq"))
+      val want = math.min(maxBatch, merges - nLearned)
+      val k = 2 * want + 8
+      val top = vocab.select(explode(pairsOf).as("pair"), col("freq"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()
-      if (best.isEmpty) rank = merges + 1 // vocabulary fully merged
+        .limit(k).collect()
+      if (top.isEmpty) exhausted = true // vocabulary fully merged
       else {
-        val Array(l, r) = best(0).getString(0).split(" ", 2)
-        learned += ((rank.toLong, l, r, best(0).getLong(1)))
-        val next = vocab
-          .select(regexp_replace(col("sym"),
-            lit(s" \\Q$l\\E  \\Q$r\\E "), lit(s" $l$r ")).as("sym"), col("freq"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parent
-        vocab.unpersist(blocking = false)
+        // greedy disjoint-prefix selection (exactness argument above)
+        val used = scala.collection.mutable.Set[String]()
+        val prefix = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var boundaryCnt = -1L
+        var i = 0
+        var conflicted = false
+        while (i < top.length && !conflicted && prefix.size < want) {
+          val Array(l, r) = top(i).getString(0).split(" ", 2)
+          val cnt = top(i).getLong(1)
+          if (used(l) || used(r)) { boundaryCnt = cnt; conflicted = true }
+          else { prefix += ((l, r, cnt)); used += l; used += r; i += 1 }
+        }
+        if (!conflicted) {
+          // No conflict seen among walked candidates. Anything we did not
+          // inspect (beyond the cap, or beyond the collected k) can only
+          // have count <= the next/last collected count — use it as the
+          // boundary. If the WHOLE pair table fit in the walk, there is
+          // nothing below at all and no boundary is needed.
+          boundaryCnt =
+            if (i < top.length) top(i).getLong(1)
+            else if (top.length == k) top.last.getLong(1)
+            else -1L
+        }
+        val strict = prefix.takeWhile(_._3 > boundaryCnt)
+        val accepted = if (strict.nonEmpty) strict.toSeq else prefix.take(1).toSeq
+        val newSym = accepted.foldLeft(col("sym")) { case (c, (l, r, _)) =>
+          regexp_replace(c, lit(s" \\Q$l\\E  \\Q$r\\E "), lit(s" $l$r "))
+        }
+        // eager checkpoint materializes the round before the parent is freed
+        val (next, nextIds) = checkpointed(vocab.withColumn("sym", newSym))
+        release(vocabIds)
         vocab = next
-        rank += 1
+        vocabIds = nextIds
+        accepted.foreach { case (l, r, cnt) =>
+          nLearned += 1
+          learned += ((nLearned.toLong, l, r, cnt))
+        }
+        rounds += 1
       }
     }
-    vocab.unpersist(blocking = false)
+    val finalIds = vocabIds
+    (learned.result(), vocab, rounds, () => release(finalIds))
+  }
+
+  /** [[bpeMerges]] variant exposing the round count, for batching specs
+    * and capacity planning (rounds ≈ merges / maxBatch when the top of
+    * the pair table is conflict-sparse).
+    */
+  private[graft] def bpeMergesWithRounds(docs: DataFrame, merges: Int,
+      textCol: String = "text", maxBatch: Int = 16): (DataFrame, Int) = {
+    val spark = docs.sparkSession
+    val (learned, _, rounds, release) =
+      trainBpe(bpeVocab(docs, textCol), merges, maxBatch)
+    release()
     import spark.implicits._
-    learned.result().toDF("rank", "lhs", "rhs", "freq")
+    (learned.toDF("rank", "lhs", "rhs", "freq"), rounds)
   }
 
   /** Unigram language-model scoring: train token probabilities on the
@@ -815,40 +926,11 @@ object CorpusOps {
     * through as single opaque tokens, like a tokenizer's byte-fallback.
     */
   def bpeEncode(docs: DataFrame, merges: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val chars = filter(split(col("word"), ""), x => x =!= "")
+      textCol: String = "text", maxBatch: Int = 16): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("word"))
-    var vocab = words.filter(col("word").rlike("^[a-z0-9]+$"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("word"),
-        concat(lit(" "), array_join(chars, "  "), lit(" ")).as("sym"),
-        col("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var rank = 1
-    while (rank <= merges) {
-      val syms = split(trim(col("sym")), "  ")
-      val pairsOf = when(size(syms) >= 2,
-        zip_with(slice(syms, lit(1), size(syms) - 1),
-          slice(syms, lit(2), size(syms) - 1),
-          (a, b) => concat(a, lit(" "), b))).otherwise(array())
-      val best = vocab.select(explode(pairsOf).as("pair"), col("freq"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()
-      if (best.isEmpty) rank = merges + 1
-      else {
-        val Array(l, r) = best(0).getString(0).split(" ", 2)
-        val next = vocab
-          .select(col("word"), regexp_replace(col("sym"),
-            lit(s" \\Q$l\\E  \\Q$r\\E "), lit(s" $l$r ")).as("sym"), col("freq"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        vocab.unpersist(blocking = false)
-        vocab = next
-        rank += 1
-      }
-    }
+    val (_, vocab, _, release) =
+      trainBpe(bpeVocab(docs, textCol, keepWord = true), merges, maxBatch)
     val encodeTable = vocab.select(col("word"),
       size(split(trim(col("sym")), "  ")).cast("long").as("n_sym"))
     val out = words
@@ -857,10 +939,10 @@ object CorpusOps {
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(coalesce(col("n_sym"), lit(1L))).cast("long").as("n_bpe_tokens"))
     // eager-checkpoint and return the CHECKPOINTED frame (localCheckpoint
-    // returns a new Dataset), so the vocab cache can be released without
-    // the caller's action recomputing the whole merge-trained lineage
+    // returns a new Dataset), so the trained vocab's checkpoint blocks can
+    // be released without the caller's action recomputing the merge lineage
     try out.localCheckpoint(eager = true)
-    finally vocab.unpersist(blocking = false)
+    finally release()
   }
 
   /** Distributed logistic-regression quality scoring: full-batch gradient
