@@ -251,6 +251,13 @@ object LlmOps {
             .as("emb_norm"))
         .orderBy(col("doc_id"))),
 
+    // REAL image-container headers: doc-derived PNG/GIF/JPEG bytes built
+    // then parsed back by the real decoder (magic detect + marker scan);
+    // oracle re-builds the hex in SQL and re-extracts every field with
+    // byte (hex-substring) arithmetic at the same offsets
+    "q98_image_headers" -> ((s, d) =>
+      Multimodal.imageHeaderQuery(s, Tables.documents(s, d))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -887,6 +894,58 @@ object LlmOps {
             FROM documents, m WHERE n_chars > 0)
          SELECT doc_id, weight, es_key FROM k
          ORDER BY es_key, doc_id LIMIT 50""",
+    "q98_image_headers" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CAST(doc_id % 3 AS INT) AS fmt,
+             1 + doc_id % 2000 AS w,
+             1 + (doc_id * 7) % 1500 AS h,
+             CAST((doc_id // 3) % 3 AS INT) AS v3,
+             CAST((doc_id // 3) % 2 AS INT) AS v2,
+             CAST(doc_id % 40 AS INT) AS pad
+           FROM documents),
+         hx AS (SELECT doc_id, fmt, pad,
+           CASE fmt
+             WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+               || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0') || '08'
+               || lpad(to_hex(CASE v3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END), 2, '0')
+               || '000000'
+             WHEN 1 THEN '474946383961'
+               || lpad(to_hex(w % 256), 2, '0') || lpad(to_hex(w // 256), 2, '0')
+               || lpad(to_hex(h % 256), 2, '0') || lpad(to_hex(h // 256), 2, '0')
+               || 'F700003B'
+             ELSE 'FFD8FFE1' || lpad(to_hex(8 + pad), 4, '0') || '457869660000'
+               || repeat('00', pad)
+               || 'FF' || CASE v2 WHEN 0 THEN 'C0' ELSE 'C2' END
+               || lpad(to_hex(8 + 3 * (CASE v3 WHEN 0 THEN 1 ELSE 3 END)), 4, '0')
+               || '08' || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0')
+               || lpad(to_hex(CASE v3 WHEN 0 THEN 1 ELSE 3 END), 2, '0')
+           END AS s
+           FROM p)
+         SELECT doc_id,
+           CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+           CASE fmt
+             WHEN 0 THEN ('0x' || substr(s, 33, 8))::BIGINT
+             WHEN 1 THEN ('0x' || substr(s, 15, 2) || substr(s, 13, 2))::BIGINT
+             ELSE ('0x' || substr(s, 39 + 2*pad, 4))::BIGINT
+           END AS width,
+           CASE fmt
+             WHEN 0 THEN ('0x' || substr(s, 41, 8))::BIGINT
+             WHEN 1 THEN ('0x' || substr(s, 19, 2) || substr(s, 17, 2))::BIGINT
+             ELSE ('0x' || substr(s, 35 + 2*pad, 4))::BIGINT
+           END AS height,
+           CASE fmt
+             WHEN 0 THEN ('0x' || substr(s, 49, 2))::BIGINT
+             WHEN 1 THEN ((('0x' || substr(s, 21, 2))::BIGINT // 16) % 8) + 1
+             ELSE ('0x' || substr(s, 33 + 2*pad, 2))::BIGINT
+           END AS bit_depth,
+           CASE fmt
+             WHEN 0 THEN CASE ('0x' || substr(s, 51, 2))::BIGINT
+               WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 4 END
+             WHEN 1 THEN 3
+             ELSE ('0x' || substr(s, 43 + 2*pad, 2))::BIGINT
+           END AS channels
+         FROM hx ORDER BY doc_id""",
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q96_logreg_quality" -> logregOracle(3, 1.0,
       "source IN ('src0','src1','src2','src3','src4')"),
