@@ -93,8 +93,19 @@ object CorpusOps {
     * runs, and partitionings, with no RNG state to ship. Thresholds are
     * percentages: (80, 10) → 80% train, 10% val, 10% test.
     */
+  /** The shared multiplicative id-hash: Knuth multiplier over an id
+    * pre-reduced to 31 bits. The pre-reduction keeps the product inside
+    * a signed 64-bit range ((2^31-1) * 2654435761 < 2^63), so the SAME
+    * arithmetic evaluates identically in Spark and in SQL engines whose
+    * BIGINT multiply raises on overflow instead of wrapping (DuckDB) —
+    * without it, ids above ~3.4e9 would wrap here and error there.
+    * Assumes non-negative ids (engines disagree on % of negatives).
+    */
+  private[operators] def idHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * 2654435761L, lit(2147483647L))
+
   def splitExpr(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
-    val bucket = pmod(id * 2654435761L, lit(2147483647L)) % 100
+    val bucket = idHash(id) % 100
     when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
@@ -111,7 +122,7 @@ object CorpusOps {
   def stratifiedSample(df: DataFrame, strataCol: String,
       pctByStratum: Map[String, Int], defaultPct: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val bucket = pmod(col(idCol) * 2654435761L, lit(2147483647L)) % 100
+    val bucket = idHash(col(idCol)) % 100
     val pct = pctByStratum.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
         when(col(strataCol) === k, lit(p)).otherwise(acc)
@@ -538,7 +549,7 @@ object CorpusOps {
     * independent, reproducible across engines) folded to `nShards`.
     */
   def shardExpr(id: Column, nShards: Int): Column =
-    pmod(id * 2654435761L, lit(2147483647L)) % nShards
+    idHash(id) % nShards
 
   /** Export the corpus as `nShards` training shards: hash-assigned via
     * [[shardExpr]], one directory per shard, rows sorted by id inside
@@ -695,7 +706,7 @@ object CorpusOps {
     */
   def fixedSample(docs: DataFrame, groupCol: String, k: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val h = pmod(col(idCol) * 2654435761L, lit(2147483647L))
+    val h = idHash(col(idCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
     docs.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
@@ -890,7 +901,7 @@ object CorpusOps {
     */
   def weightedSample(docs: DataFrame, n: Int, weightCol: Column,
       idCol: String = "doc_id"): DataFrame = {
-    val h = pmod(col(idCol) * 2654435761L, lit(2147483647L))
+    val h = idHash(col(idCol))
     val u = (h.cast("double") + 0.5) / 2147483647.0
     // normalize by the max weight (one-row broadcast): scaling every key
     // by a constant preserves the A-ES order exactly, but anchors the

@@ -888,7 +888,7 @@ object LlmOps {
     "q94_weighted_sample" ->
       """WITH m AS (SELECT max(CAST(n_chars AS DOUBLE)) AS w_max FROM documents),
          k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
-              floor(-ln((CAST((doc_id*2654435761) % 2147483647 AS DOUBLE) + 0.5)
+              floor(-ln((CAST(((doc_id % 2147483648)*2654435761) % 2147483647 AS DOUBLE) + 0.5)
                   / 2147483647.0)
                 * w_max / CAST(n_chars AS DOUBLE) * 1e6) / 1e6 AS es_key
             FROM documents, m WHERE n_chars > 0)
@@ -1003,7 +1003,7 @@ object LlmOps {
          SELECT doc_id, CAST(reject_reasons = '' AS BIGINT) AS keep, reject_reasons
          FROM r ORDER BY doc_id""",
     "q71_shard_stats" ->
-      """SELECT CAST((doc_id*2654435761)%2147483647%16 AS BIGINT) AS shard,
+      """SELECT CAST(((doc_id % 2147483648)*2654435761)%2147483647%16 AS BIGINT) AS shard,
            count(*) AS n_docs,
            CAST(sum(len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
            CAST(sum(n_chars) AS BIGINT) AS n_chars,
@@ -1019,8 +1019,8 @@ object LlmOps {
            CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_run
          FROM documents ORDER BY doc_id""",
     "q56_train_split" ->
-      """SELECT CASE WHEN (doc_id * 2654435761) % 2147483647 % 100 < 80 THEN 'train'
-                   WHEN (doc_id * 2654435761) % 2147483647 % 100 < 90 THEN 'val'
+      """SELECT CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483647 % 100 < 80 THEN 'train'
+                   WHEN ((doc_id % 2147483648) * 2654435761) % 2147483647 % 100 < 90 THEN 'val'
                    ELSE 'test' END AS split,
            count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
          FROM documents GROUP BY 1 ORDER BY split""",
@@ -1048,7 +1048,7 @@ object LlmOps {
          FROM documents ORDER BY doc_id""",
     "q61_stratified_sample" ->
       """SELECT lang, count(*) AS n_kept FROM documents
-         WHERE (doc_id * 2654435761) % 2147483647 % 100
+         WHERE ((doc_id % 2147483648) * 2654435761) % 2147483647 % 100
                < (CASE WHEN lang = 'en' THEN 40 ELSE 80 END)
          GROUP BY lang ORDER BY lang""",
     "q62_quality_deciles" ->
@@ -1222,7 +1222,7 @@ object LlmOps {
     "q81_fixed_sample" ->
       """SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
            SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-             ORDER BY (doc_id*2654435761)%2147483647, doc_id) AS rn
+             ORDER BY ((doc_id % 2147483648)*2654435761)%2147483647, doc_id) AS rn
            FROM documents) t
          WHERE rn <= 20 ORDER BY lang, sample_rank""",
     "q82_vocab_coverage" ->

@@ -107,10 +107,16 @@ object CdcPipeline {
         val classified = CdcTransformer
           .classify(batch, cfg.srcDatabase, cfg.srcTable).cache()
         try {
-          val extras = if (!cfg.evolveSchema) Nil else {
-            timed("drift")(CdcTransformer
-              .driftColumns(classified, table.schema.fieldNames.toSet))
-              .foreach(f => table = table.addColumn(f))
+          // extras derive from the OPENED table's schema unconditionally —
+          // only drift DETECTION is gated on the flag. A restart with
+          // evolveSchema=false on a previously evolved table must still
+          // project the evolved columns, or applyBatch's payload select
+          // fails analysis on every micro-batch.
+          val extras = {
+            if (cfg.evolveSchema)
+              timed("drift")(CdcTransformer
+                .driftColumns(classified, table.schema.fieldNames.toSet))
+                .foreach(f => table = table.addColumn(f))
             table.schema.fields.toSeq
               .filterNot(f => CdcTransformer.BasePayloadCols(f.name))
           }
@@ -176,9 +182,12 @@ object CdcPipeline {
       evolve: Boolean = false): MergeTable = {
     val classified = CdcTransformer.classify(lines)
     var tbl = table
-    val extras = if (!evolve) Nil else {
-      CdcTransformer.driftColumns(classified, tbl.schema.fieldNames.toSet)
-        .foreach(f => tbl = tbl.addColumn(f))
+    // as in start(): extras always reflect the table's current schema so a
+    // non-evolving replay into an evolved table still projects its columns
+    val extras = {
+      if (evolve)
+        CdcTransformer.driftColumns(classified, tbl.schema.fieldNames.toSet)
+          .foreach(f => tbl = tbl.addColumn(f))
       tbl.schema.fields.toSeq
         .filterNot(f => CdcTransformer.BasePayloadCols(f.name))
     }

@@ -1006,19 +1006,25 @@ final class MergeTable(
     */
   def filesDf(spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    // an expired or never-committed version must read as a clear error,
+    // not a raw NoSuchFileException out of the manifest parser
+    asOf.foreach(v =>
+      require(v >= 0 && Files.exists(manifestPath(v)), s"no snapshot v$v"))
     val s = asOf.map(readManifest).orElse(currentSnapshot)
       .getOrElse(Snapshot(-1, Vector.empty, Vector.empty, Set.empty, false))
+    // missing bytes (e.g. GC'd after expiry) report size 0, matching
+    // partitionsDf's sentinel
     val rows =
       s.dataFiles.map { f =>
         val p = dataDir.resolve(f)
-        val sz = if (Files.exists(p)) Files.size(p) else -1L
+        val sz = if (Files.exists(p)) Files.size(p) else 0L
         val (lo, hi) = s.fileStats.get(f)
           .map { case (a, b) => (Option(a), Option(b)) }
           .getOrElse((None, None))
         ("data", f, sz, lo, hi)
       } ++ s.deleteFiles.map { f =>
         val p = deleteDir.resolve(f)
-        ("delete", f, if (Files.exists(p)) Files.size(p) else -1L,
+        ("delete", f, if (Files.exists(p)) Files.size(p) else 0L,
           None: Option[Long], None: Option[Long])
       }
     rows.toDF("content", "file_path", "size_bytes", "key_lo", "key_hi")

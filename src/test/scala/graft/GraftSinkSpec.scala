@@ -84,6 +84,101 @@ class GraftSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("evolveSchema: drifted stream columns evolve the table through the sink") {
+    val t = seeded("gevo")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, String)]
+    val stream = mem.toDF()
+      .select(col("_1").as("trans_id"),
+        lit("999000111222").as("customer_id"),
+        lit("visit").as("event"),
+        lit("ZZ1111AAAA").as("sku"),
+        col("_2").as("amount"),
+        lit("pc").as("device"),
+        to_timestamp(lit("2023-02-01 00:00:00")).as("trans_datetime"),
+        col("_3").as("coupon_code"))
+    val q = stream.writeStream.format("graft")
+      .option("path", t.root)
+      .option("evolveSchema", "true")
+      .option("checkpointLocation", tmpDir("gevo-ck"))
+      .start()
+    try {
+      mem.addData((19L, 777, "SAVE10"), (5000L, 42, "NEW5"))
+      q.processAllAvailable()
+      val evolved = MergeTable.open(t.root)
+      assert(evolved.schema.fieldNames.contains("coupon_code"))
+      val state = evolved.read(spark)
+        .select($"trans_id", $"amount", $"coupon_code")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+      assert(state(19L) === ((777, "SAVE10")))
+      assert(state(5000L) === ((42, "NEW5")))
+      // pre-drift rows read the evolved column as null
+      assert(state.valuesIterator.count(_._2 == null) === 9)
+    } finally q.stop()
+
+    // the A2 shape through the sink: a restarted stream WITHOUT the
+    // evolved column (and without evolveSchema) must still apply — the
+    // sink null-fills payload columns the stream doesn't carry
+    val mem2 = MemoryStream[(Long, Int)]
+    val plain = mem2.toDF()
+      .select(col("_1").as("trans_id"),
+        lit("999000111222").as("customer_id"),
+        lit("cart").as("event"),
+        lit("ZZ1111AAAA").as("sku"),
+        col("_2").as("amount"),
+        lit("mobile").as("device"),
+        to_timestamp(lit("2023-02-02 00:00:00")).as("trans_datetime"))
+    val q2 = plain.writeStream.format("graft")
+      .option("path", t.root)
+      .option("checkpointLocation", tmpDir("gevo-ck2"))
+      .start()
+    try {
+      mem2.addData((6000L, 9))
+      q2.processAllAvailable()
+      val row = MergeTable.open(t.root).read(spark)
+        .filter($"trans_id" === 6000L).head()
+      assert(row.getAs[Int]("amount") === 9)
+      assert(row.getAs[String]("coupon_code") === null)
+    } finally q2.stop()
+  }
+
+  test("wiping the checkpoint renews the replay scope: epoch 0 applies again") {
+    val t = seeded("gscope")
+    val ck = tmpDir("gscope-ck")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def runOnce(id: Long, amount: Int): Unit = {
+      val mem = MemoryStream[(Long, Int)]
+      val stream = mem.toDF()
+        .select(col("_1").as("trans_id"),
+          lit("999000111222").as("customer_id"),
+          lit("visit").as("event"),
+          lit("ZZ1111AAAA").as("sku"),
+          col("_2").as("amount"),
+          lit("pc").as("device"),
+          to_timestamp(lit("2023-02-01 00:00:00")).as("trans_datetime"),
+          lit("insert").as("operation"))
+      val q = stream.writeStream.format("graft")
+        .option("path", t.root)
+        .option("checkpointLocation", ck)
+        .start()
+      try { mem.addData((id, amount)); q.processAllAvailable() } finally q.stop()
+    }
+    runOnce(6000L, 1)
+    // wipe the checkpoint — the standard reprocess flow. The NEW query's
+    // epochs restart at 0; with a path-hashed scope its batches would be
+    // silently dropped as replays of the previous incarnation.
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(ck))
+    runOnce(6001L, 2)
+    val keys = t.read(spark).select($"trans_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keys.contains(6000L) && keys.contains(6001L))
+  }
+
   test("source→sink loop: streaming replication with no foreachBatch") {
     val src = seeded("gsrc")
     val dst = MergeTable.retailTrans(tmpDir("gdst"), threshold = 100)

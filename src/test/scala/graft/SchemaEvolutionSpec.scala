@@ -139,4 +139,34 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(r.filter($"coupon" === 7).count() > 0)
     assert(r.filter($"loyal" === true).count() > 0)
   }
+
+  test("restart with evolveSchema=false on an evolved table still applies") {
+    // regression: extras were computed only under the evolveSchema flag, so
+    // a restart with the DEFAULT config on a previously evolved table
+    // emitted batches missing the evolved columns and every micro-batch
+    // failed analysis in applyBatch's payload select
+    val base = tmpDir("drift-off")
+    val root = s"$base/table"
+    val landing = s"$base/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    val t0 = MergeTable.retailTrans(root)
+    CdcPipeline.replayBatch(spark,
+      GoldenCorpus.df(spark, GoldenCorpus.insertOnlyLines.map(l =>
+        drifted(l, """"coupon": 7"""))), t0,
+      batchId = Some("p1"), evolve = true)
+    assert(MergeTable.open(root).schema.fieldNames.contains("coupon"))
+
+    // restart WITHOUT the flag; the batch carries no drift fields
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "b2.jsonl"),
+      GoldenCorpus.dmlLines.mkString("", "\n", "\n"))
+    val q = CdcPipeline.start(spark, CdcPipeline.Config(
+      landingDir = landing, tableRoot = root,
+      errorRoot = s"$base/errors", checkpointDir = s"$base/ck"))
+    q.processAllAvailable(); q.stop()
+
+    val r = MergeTable.open(root).read(spark)
+    assert(r.count() === 12) // 10 seed inserts - 3 deletes + 5 inserts
+    assert(r.filter($"coupon" === 7).count() > 0) // evolved data survived
+  }
 }
