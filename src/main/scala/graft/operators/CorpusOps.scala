@@ -273,6 +273,7 @@ object CorpusOps {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
     // materialize (output is one compact row per doc), then release the pin
+    PlanCapture.record("q88_span_removal (pre-checkpoint)", out)
     try out.localCheckpoint(true) finally starts.unpersist(blocking = false)
   }
 

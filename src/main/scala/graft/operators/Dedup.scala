@@ -123,7 +123,13 @@ object Dedup {
           && col("b.n_sh") * threshold <= col("a.n_sh") + 1e-9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cands, docs, threshold)
+    val out = verifyJaccard(cands, docs, threshold)
+    // materialize the (small) pair list eagerly, then release the shingle
+    // index pin — the returned frame is lazy, so without the checkpoint
+    // there is no later point where unpersist would be safe, and repeated
+    // calls in a long session would accumulate pinned blocks
+    PlanCapture.record("q26_dedup_jaccard (pre-checkpoint)", out)
+    try out.localCheckpoint(true) finally docs.unpersist(blocking = false)
   }
 
   /** Near-duplicate CLUSTERS from the exact pair graph: connected
@@ -242,7 +248,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    verifyJaccard(cands, docs, threshold)
+    val out = verifyJaccard(cands, docs, threshold)
+    // same eager-checkpoint + release as ngramJaccardPairs
+    PlanCapture.record("q27_dedup_minhash (pre-checkpoint)", out)
+    try out.localCheckpoint(true) finally docs.unpersist(blocking = false)
   }
 
   /** 64-bit SimHash per document from whitespace tokens; near-dup pairs by
@@ -349,6 +358,11 @@ object Dedup {
         it += 1
       }
       assigned
+      // `unit` is released before the lazy `assigned` frame is consumed,
+      // so the first downstream action recomputes normalization ONCE —
+      // deliberate: the sole caller caches its packed projection
+      // immediately, and holding the full normalized-vector cache across
+      // the call boundary would pin input-sized blocks for no second use
     } finally unit.unpersist()
   }
 
@@ -524,6 +538,7 @@ object Dedup {
     // lifetime. The checkpoint holds only the qualifying pairs (output-
     // sized, not input-sized) and is ContextCleaner-reclaimed once the
     // returned frame is unreferenced.
+    PlanCapture.record("q29_embed_neardup (pre-checkpoint)", out)
     try out.localCheckpoint(true) finally packed.unpersist()
   }
 
