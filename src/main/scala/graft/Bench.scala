@@ -106,6 +106,12 @@ object Bench {
       .mkString("{", ",", "}")
     val sweepJson = sweepTotals.map(s => f"$s%.3f").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"sweeps":$nSweeps,"sweep_totals":$sweepJson,"stall_suspect":$stallSuspect,"queries":$qs,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"sf":"$sfDir"}""")
+    // The full line above is ~3 KB; snapshot tooling that keeps only the tail
+    // of the bench output has been observed to truncate it (BENCH_r05.json
+    // lost q00–q23, `value`, `wall` and `stall_suspect`). Emit a second,
+    // compact summary line AFTER it so any tail capture still records the
+    // headline signals.
+    println(f"""{"metric":"summary","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"stall_suspect":$stallSuspect,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -84,18 +84,48 @@ object Similarity {
 
   /** Hard-negative mining: for each query vector, the top-k most similar
     * corpus vectors carrying a DIFFERENT label — the contrastive-training
-    * data-prep step (the best impostors make the best negatives). Same
-    * broadcast-queries/streaming-corpus shape as [[bruteForceTopK]], with
-    * the label-mismatch predicate fused into the join so same-label rows
-    * never reach scoring; at 100 TB swap the scoring leg for the IVF/LSH
-    * candidate generators exactly as for plain top-k.
+    * data-prep step (the best impostors make the best negatives).
+    *
+    * Two regimes, identical output (both are exact, so the dispatch is a
+    * pure plan decision — results never depend on which path ran):
+    *
+    *   - queries fit the broadcast threshold → broadcast-queries/
+    *     streaming-corpus non-equi join (same shape as [[bruteForceTopK]])
+    *     with the label-mismatch predicate fused into the join so
+    *     same-label rows never reach scoring;
+    *   - queries BEYOND broadcast size → the broadcast non-equi join
+    *     would degrade to a BroadcastNestedLoopJoin (or OOM the driver);
+    *     instead the IVF candidate generator of [[ivfTopKExact]] runs in
+    *     front of the exact rerank — every join is an equi-join on cell
+    *     or q_id, and the triangle-inequality bound guarantees the
+    *     candidate set contains every true top-k impostor (see
+    *     [[hardNegativesIvf]] for the label-aware exactness argument).
+    *
+    * The regime test mirrors Spark's own broadcast decision: the query
+    * plan's Catalyst size estimate vs `spark.sql.autoBroadcastJoinThreshold`
+    * (override with `broadcastThresholdBytes` ≥ 0 to pin a path — 0 forces
+    * the IVF path, Long.MaxValue forces broadcast).
     */
-  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4,
+      broadcastThresholdBytes: Long = -1L): DataFrame = {
     val spark = corpus.sparkSession
-    def prep(e: DataFrame) = e.select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val c = prep(corpus)
-    val q = prep(queries).select(col("vec_id").as("q_id"),
+    val thresh: BigInt =
+      if (broadcastThresholdBytes >= 0) BigInt(broadcastThresholdBytes)
+      else BigInt(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")))
+    val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thresh > 0 && qBytes <= thresh)
+      hardNegativesBroadcast(corpus, queries, k)
+    else hardNegativesIvf(corpus, queries, k, nlist, nProbe)
+  }
+
+  /** Small-query regime: broadcast non-equi join (docs on [[hardNegatives]]). */
+  private def hardNegativesBroadcast(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = prepLabeled(corpus)
+    val q = prepLabeled(queries).select(col("vec_id").as("q_id"),
       col("label").as("q_label"), col("v").as("qv"))
     val scored = c.join(broadcast(q),
         col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
@@ -104,6 +134,109 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("rank").cast("long").as("rank"),
+        col("cos_sim"))
+  }
+
+  /** (vec_id, label, v: array<double>) projection shared by both regimes. */
+  private def prepLabeled(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Large-query regime: [[ivfTopKExact]]'s two-phase candidate generator
+    * with the label-mismatch predicate kept inside BOTH candidate joins,
+    * so same-label rows never reach scoring in either phase.
+    *
+    * Label-aware exactness argument (extends the [[ivfTopKExact]] proof):
+    * phase 1 ranks the DIFFERENT-label members of each query's `nProbe`
+    * nearest cells; its kth-best score is a floor ≤ the true kth-best
+    * impostor score (a subset's kth best never exceeds the full set's).
+    * Any true top-k impostor x in cell c satisfies, by the spherical
+    * triangle inequality, bound(c) = cos(max(0, θ(q,c) − radius(c))) ≥
+    * cos(q,x) ≥ true-kth ≥ floor, so phase 2 re-probes c and scores x.
+    * The final ranking therefore sees every true top-k impostor and
+    * equals the broadcast path bit-for-bit (same 4dp rounding, same
+    * vec_id tie-break). Fewer than k impostors in the probed cells →
+    * floor −2.0 → every cell probed (graceful brute-force degradation,
+    * never a wrong answer). Assumes nonzero vector norms, which
+    * [[trainCentroids]] already requires of its sample.
+    *
+    * Shape at scale: centroids ride the plan as literals (assignment and
+    * query-probing are row-local argmax — no join at all), and the only
+    * joins are equi-joins on `cell` (corpus × candidate cells, the IVF
+    * cost model: work ∝ probed-cell sizes) and on `q_id` (re-attaching
+    * query vectors; an equi shuffle join that Spark may freely hash-join
+    * — never a nested loop). No BroadcastNestedLoopJoin anywhere in the
+    * plan regardless of query-set size (asserted by HardNegativesSpec).
+    */
+  private[graft] def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
+      k: Int, nlist: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val centArr = trainCentroids(corpus, nlist, iters)
+    // unit centroids => cos(v, c) = dot(v, c) / |v|
+    val vnormOf = (v: Column) =>
+      sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    def simsTo(v: Column, n: Column): Column =
+      array(centArr.map { case (_, cv) =>
+        aggregate(zip_with(v, typedLit(cv.toSeq), (x, c) => x * c),
+          lit(0.0), (a, x) => a + x) / n
+      }: _*)
+
+    // cell assignment: row-local argmax over the literal centroid array;
+    // array_position takes the FIRST maximal entry = lowest cent_id
+    // tie-break, matching ivfTopKExact's strict-> scan
+    val assigned = prepLabeled(corpus)
+      .withColumn("sims", simsTo(col("v"), vnormOf(col("v"))))
+      .withColumn("cell",
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .withColumn("csim", array_max(col("sims")))
+      .select(col("vec_id"), col("label"), col("v"), col("cell"), col("csim"))
+      .cache()
+
+    // per-cell angular radius, slack for fp + the 4dp output rounding
+    val cellStats = assigned.groupBy(col("cell"))
+      .agg(min(col("csim")).as("minc"))
+      .select(col("cell"),
+        (acos(greatest(least(col("minc"), lit(1.0)), lit(-1.0))) + lit(1e-3)).as("rang"))
+
+    val q = prepLabeled(queries).select(col("vec_id").as("q_id"),
+      col("label").as("q_label"), col("v").as("qv"))
+    // query→cell sims via posexplode of the literal argmax array — no join
+    val qcell = q.select(col("q_id"),
+      posexplode(simsTo(col("qv"), vnormOf(col("qv")))).as(Seq("cell", "qsim")))
+
+    // phase 1: kth-best DIFFERENT-label score within the nProbe nearest cells
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cell"))
+    val probes = qcell.withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe).select(col("q_id"), col("cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val phase1 = assigned.join(probes, Seq("cell"))
+      .join(q, Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos_sim",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
+      .withColumn("rank", row_number().over(wRank))
+    val floor = phase1.groupBy(col("q_id"))
+      .agg(max(when(col("rank") === k, col("cos_sim"))).as("kth"))
+      .select(col("q_id"), coalesce(col("kth"), lit(-2.0)).as("floor"))
+
+    // phase 2: every cell whose angular bound can beat the floor
+    val candCells = qcell.join(broadcast(cellStats), Seq("cell"))
+      .join(floor, Seq("q_id"), "left")
+      .withColumn("theta", acos(greatest(least(col("qsim"), lit(1.0)), lit(-1.0))))
+      .withColumn("bound", cos(greatest(col("theta") - col("rang"), lit(0.0))))
+      .filter(col("bound") >= coalesce(col("floor"), lit(-2.0)) - lit(1e-4))
+      .select(col("q_id"), col("cell"))
+    val scored = assigned.join(candCells, Seq("cell"))
+      .join(q, Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos_sim",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
+    scored.withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
         col("label").as("neg_label"), col("rank").cast("long").as("rank"),
