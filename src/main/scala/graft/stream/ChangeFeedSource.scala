@@ -39,25 +39,48 @@ import graft.table.MergeTable
   * Options: `path` (table root, required); `startVersion` (first batch covers
   * `(startVersion, latest]`; default -1 = full history, i.e. a bootstrap
   * load followed by incremental tailing — the reference's DMS full-load +
-  * CDC phasing in one source).
+  * CDC phasing in one source); `maxVersionsPerTrigger` (cap on how many
+  * table versions one micro-batch may cover — the analog of the file
+  * source's `maxFilesPerTrigger` back-pressure knob, so a replication
+  * stream started against a long table history catches up in bounded
+  * micro-batches instead of planning one giant `(start, latest]` batch;
+  * unset = unbounded, the previous behavior).
   */
 final class ChangeFeedSource(
     sqlContext: SQLContext,
     tableRoot: String,
-    startVersion: Long)
+    startVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None)
   extends Source {
 
   private val table = MergeTable.open(tableRoot)
 
   override val schema: StructType = table.changeFeedSchema
 
-  /** Latest committed table version; None until the first commit past the
-    * configured start. Re-reads `_latest` every call — no driver state to
-    * go stale when another session writes the table.
+  /** Highest version already handed to a micro-batch — the base the
+    * per-trigger cap advances from. Seeded from `startVersion` and
+    * restored on restart because the engine re-calls [[getBatch]] with
+    * the checkpointed range before polling for new offsets (the same
+    * recovery contract FileStreamSource's seen-files map relies on);
+    * [[getBatch]] also takes a max so a recovery replay can never move
+    * it backwards.
+    */
+  @volatile private var handedOut: Long = startVersion
+
+  /** Latest committed table version, capped at `handedOut +
+    * maxVersionsPerTrigger` when the back-pressure knob is set; None
+    * until the first commit past the configured start. Re-reads
+    * `_latest` every call — no driver state to go stale when another
+    * session writes the table.
     */
   override def getOffset: Option[Offset] = {
     val v = table.latestVersion
-    if (v <= startVersion) None else Some(LongOffset(v))
+    val capped = maxVersionsPerTrigger match {
+      // never below handedOut: a stale base must not rewind the stream
+      case Some(m) => math.max(math.min(v, handedOut + m), handedOut)
+      case None    => v
+    }
+    if (capped <= startVersion) None else Some(LongOffset(capped))
   }
 
   private def versionOf(o: Offset): Long = o match {
@@ -67,8 +90,10 @@ final class ChangeFeedSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startVersion)
+    val to = versionOf(end)
+    handedOut = math.max(handedOut, to)
     StreamShim.asStreaming(
-      table.changesBetween(sqlContext.sparkSession, from, versionOf(end)))
+      table.changesBetween(sqlContext.sparkSession, from, to))
   }
 
   override def stop(): Unit = ()
@@ -99,7 +124,11 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxV.foreach(m => require(m > 0,
+      s"maxVersionsPerTrigger must be positive, got $m"))
     new ChangeFeedSource(sqlContext, root(parameters),
-      parameters.get("startVersion").map(_.toLong).getOrElse(-1L))
+      parameters.get("startVersion").map(_.toLong).getOrElse(-1L), maxV)
+  }
 }

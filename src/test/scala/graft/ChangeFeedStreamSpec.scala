@@ -1,6 +1,9 @@
 package graft
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
 
 import graft.fixtures.GoldenCorpus
 import graft.stream.CdcPipeline
@@ -126,6 +129,58 @@ class ChangeFeedStreamSpec extends SparkSpec {
       val tail = multiset(spark.table("feed_tail"))
       assert(tail === multiset(t.changesSince(spark, v0)))
       assert(tail.nonEmpty)
+    } finally q.stop()
+  }
+
+  /** One-key upsert batch in the retail_trans shape (same columns the
+    * IncrementalViewSpec helper builds).
+    */
+  private def upsert(i: Long): DataFrame = {
+    import spark.implicits._
+    Seq((i, "cart", i.toInt, "insert", f"2023-01-01 00:00:$i%02d", i))
+      .toDF("trans_id", "event", "amount", "operation", "_ts", "transaction_id")
+      .withColumn("customer_id", lit("c"))
+      .withColumn("sku", lit("s"))
+      .withColumn("device", lit("pc"))
+      .withColumn("trans_datetime",
+        lit(Timestamp.valueOf("2023-01-16 06:00:00")))
+      .withColumn("src_timestamp", to_timestamp(col("_ts")))
+      .drop("_ts")
+  }
+
+  test("maxVersionsPerTrigger bounds every micro-batch over a 20-version history") {
+    val root = tmpDir("cfmaxv") + "/t"
+    val t = MergeTable.retailTrans(root, threshold = 100)
+    (1L to 20L).foreach(i => t.applyBatch(upsert(i), Some(s"c$i")))
+    val head = t.latestVersion
+    assert(head >= 19, s"expected >= 20 versions, head=$head")
+
+    val q = spark.readStream.format("graft-changes")
+      .option("path", root).option("maxVersionsPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName("feed_capped")
+      .option("checkpointLocation", tmpDir("cfmaxv-cp"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // catch-up must micro-batch: every delivered range spans <= 3
+      // versions, INCLUDING the first batch (the whole point — a stream
+      // started against a long history must not plan one giant batch)
+      val ranges = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .flatMap(_.sources.headOption)
+        .map(s => (Option(s.startOffset).map(_.toLong).getOrElse(-1L),
+          s.endOffset.toLong))
+      assert(ranges.nonEmpty)
+      ranges.foreach { case (st, en) =>
+        assert(en - st <= 3, s"batch ($st, $en] spans more than 3 versions")
+      }
+      assert(ranges.map { case (st, en) => en - st }.sum === head + 1,
+        "caught-up ranges must tile the full history")
+      assert(ranges.size >= 7, s"20+ versions / 3 needs >= 7 batches: $ranges")
+      // back-pressure must not change WHAT is delivered, only how it's sliced
+      assertSame(multiset(spark.table("feed_capped")),
+        multiset(t.changesSince(spark, -1)))
     } finally q.stop()
   }
 }
