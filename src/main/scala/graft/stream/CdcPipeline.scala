@@ -73,7 +73,34 @@ object CdcPipeline {
       .load(landingDir)
   }
 
-  def start(spark: SparkSession, cfg: Config): StreamingQuery = {
+  def start(spark: SparkSession, cfg: Config): StreamingQuery =
+    startFromLines(spark, landingLines(spark, cfg.landingDir,
+      cfg.maxFilesPerTrigger, cfg.maxBytesPerTrigger), cfg)
+
+  /** The same pipeline over ANY streaming `value STRING` line source —
+    * the seam where a network stream source plugs in. The reference
+    * ingests from Kinesis (cdk_stacks/kds.py:28–32, consumed at
+    * firehose_to_iceberg.py:123–127); no Kinesis/Kafka connector jars
+    * exist in this environment (SURVEY.md §7), so the closest network
+    * analog is Spark's built-in socket source:
+    *
+    * {{{
+    *   startFromLines(spark,
+    *     spark.readStream.format("socket")
+    *       .option("host", h).option("port", p).load(), cfg)
+    * }}}
+    *
+    * Kinesis-analog mapping (asserted by SocketCdcSpec): one socket
+    * connection = one shard (per-connection arrival order = shard FIFO);
+    * the DMS partition-key-per-primary-key contract
+    * (dms_aurora_mysql_to_kinesis.py:125–141) means per-key order within
+    * the connection, which the pipeline preserves end-to-end — within a
+    * micro-batch via the LWW collapse on (src_timestamp, transaction_id),
+    * across micro-batches via the monotonically increasing `_seq` commit
+    * stamp in the merge-on-read resolution.
+    */
+  def startFromLines(spark: SparkSession, lines: DataFrame,
+      cfg: Config): StreamingQuery = {
     // rebound on schema evolution (addColumn reopens the handle).
     // An EXISTING table must be opened from its on-disk metadata, not
     // re-constructed from the base schema: a restart after drift
@@ -85,8 +112,6 @@ object CdcPipeline {
           java.nio.file.Paths.get(cfg.tableRoot, "_table.meta")))
         MergeTable.open(cfg.tableRoot)
       else MergeTable.retailTrans(cfg.tableRoot)
-    val lines = landingLines(spark, cfg.landingDir,
-      cfg.maxFilesPerTrigger, cfg.maxBytesPerTrigger)
 
     lines.writeStream
       .queryName("cdc-pipeline")

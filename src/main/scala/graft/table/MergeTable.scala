@@ -1,6 +1,7 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
@@ -258,7 +259,53 @@ final class MergeTable(
     (0L to latestVersion).filter(v => Files.exists(manifestPath(v)))
       .map(readManifest)
 
-  private def commit(s0: Snapshot): Unit = {
+  /** Serializes the commit critical section (conflict check → manifest
+    * write → `_latest` swing) against every other committer of this
+    * table/branch: a JVM-wide monitor keyed by the metadata root covers
+    * concurrent handles in one process (each handle's `synchronized`
+    * methods only serialize that handle), and an OS-level `FileLock` on
+    * `_commit.lock` covers committers in other processes on the same
+    * filesystem. The monitor is taken first so only one thread per JVM
+    * ever holds the channel (overlapping `FileLock`s from one JVM throw).
+    */
+  private def withCommitLock[T](body: => T): T = {
+    val mon = MergeTable.commitMonitorFor(
+      metaRoot.toAbsolutePath.normalize.toString)
+    mon.synchronized {
+      val ch = FileChannel.open(metaRoot.resolve("_commit.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Two-writer commit contract: the whole critical section runs under
+    * [[withCommitLock]], so exactly one committer wins each version slot.
+    *
+    *   - A committer whose snapshot was built against a head the table
+    *     has since moved past gets a [[MergeTable.CommitConflictException]]
+    *     BEFORE anything is written — never a silent overwrite, never a
+    *     backwards `_latest` swing. `appendAll`/`applyBatch` catch it and
+    *     rebase (re-run the merge against the fresh snapshot, bounded
+    *     retries); maintenance/overwrite committers surface it to the
+    *     caller, whose intent against a moved head is genuinely ambiguous.
+    *   - A manifest file sitting ABOVE `_latest` while we hold the lock
+    *     can only be debris from a writer that died between its manifest
+    *     move and pointer swing (no live committer can be mid-commit —
+    *     it would hold this lock): it is deleted and the slot reclaimed,
+    *     keeping version numbering dense so history/change-feed range
+    *     arithmetic never sees a never-committed snapshot.
+    */
+  private def commit(s0: Snapshot): Unit = withCommitLock {
+    val cur = latestVersion
+    if (s0.version <= cur)
+      throw new MergeTable.CommitConflictException(
+        s"commit of v${s0.version} lost to concurrent head v$cur at $metaRoot")
+    // s0.version == cur + 1 by construction (committers propose head+1 and
+    // heads only advance); reclaim the slot from any crashed writer
+    Files.deleteIfExists(manifestPath(s0.version))
     // Inherit per-file column stats from the predecessor, filtered to the
     // files this snapshot still references: files are immutable so the
     // ranges stay true; rewritten-away files drop out here. Explicit stats
@@ -278,9 +325,31 @@ final class MergeTable(
     val tmp = metaRoot.resolve(s".latest.${UUID.randomUUID()}.tmp")
     Files.writeString(tmp, s.version.toString)
     // Readers resolve the pointer then the manifest — they can never see a
-    // partially written snapshot.
+    // partially written snapshot. Monotonic under the lock: cur can't move
+    // while we hold it, and s.version > cur was just checked.
     Files.move(tmp, metaRoot.resolve("_latest"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Run `attempt` until it commits or `maxAttempts` conflicts: the
+    * detect-and-rebase loop for the batch writers. Each retry re-reads
+    * the head inside `attempt`, so the merge is re-run against the fresh
+    * snapshot (new `_seq` stamp, fresh idempotence/requiresDedup state)
+    * rather than replayed blind.
+    */
+  private def withCommitRetries(what: String, maxAttempts: Int = 10)(
+      attempt: () => Unit): Unit = {
+    var n = 0
+    var committed = false
+    while (!committed) {
+      n += 1
+      try { attempt(); committed = true }
+      catch {
+        case e: MergeTable.CommitConflictException =>
+          if (n >= maxAttempts) throw new MergeTable.CommitConflictException(
+            s"$what gave up after $maxAttempts conflicted attempts: ${e.getMessage}")
+      }
+    }
   }
 
   def create(): this.type = {
@@ -367,20 +436,31 @@ final class MergeTable(
     synchronized {
       batchId.foreach(id => require(!id.exists(c => c == '\t' || c == '\n'),
         "batchId must not contain tab/newline (manifest is TSV)"))
-      val prev = currentSnapshot
-      if (batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) return
-      val v = latestVersion + 1
       val range = keyRangeOf(rows)
-      val files = writeUpserts(rows, v)
-      commit(Snapshot(
-        v,
-        prev.map(_.dataFiles).getOrElse(Vector.empty) ++ files,
-        prev.map(_.deleteFiles).getOrElse(Vector.empty),
-        prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
-        prev.exists(_.requiresDedup),
-        prev.map(_.fileStats).getOrElse(Map.empty) ++
-          range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap),
-        op = "append"))
+      withCommitRetries("appendAll") { () =>
+        val prev = currentSnapshot
+        // re-checked every attempt: the conflicting writer may have been a
+        // replay of this very batch id
+        if (!batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) {
+          val v = latestVersion + 1
+          val files = writeUpserts(rows, v)
+          try commit(Snapshot(
+            v,
+            prev.map(_.dataFiles).getOrElse(Vector.empty) ++ files,
+            prev.map(_.deleteFiles).getOrElse(Vector.empty),
+            prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
+            prev.exists(_.requiresDedup),
+            prev.map(_.fileStats).getOrElse(Map.empty) ++
+              range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap),
+            op = "append"))
+          catch {
+            case e: MergeTable.CommitConflictException =>
+              // losing attempt's files are unreferenced — reclaim eagerly
+              files.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+              throw e
+          }
+        }
+      }
     }
 
   /** Keyed transactional apply — the reference's J1 merge
@@ -396,9 +476,8 @@ final class MergeTable(
     synchronized {
       batchId.foreach(id => require(!id.exists(c => c == '\t' || c == '\n'),
         "batchId must not contain tab/newline (manifest is TSV)"))
-      val prev = currentSnapshot
-      if (batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) return
-      val v = latestVersion + 1
+      if (batchId.exists(id =>
+          currentSnapshot.exists(_.appliedBatches.contains(id)))) return
 
       val hasTs = batch.columns.contains("src_timestamp")
       val hasTx = batch.columns.contains("transaction_id")
@@ -418,63 +497,81 @@ final class MergeTable(
 
       val cached = lww.cache()
       try {
-        // Zero dedicated metadata jobs per micro-batch: op counts and the
-        // batch key range ride the WRITE jobs as Observation metrics (the
-        // earlier standalone groupBy-collect was a full extra job per
-        // batch; before that, per-question isEmpty() probes were three).
-        // The key range gives per-BATCH data-skipping bounds for free —
-        // per-file footer stats would re-read every new file.
-        val keyIsLong = schema(keyCol).dataType == LongType
-        val upObs = org.apache.spark.sql.Observation()
-        val upMetrics = Seq(
-          count(lit(1)).as("nup"),
-          count(when(col("operation") === "update", 1)).as("nupd")) ++
-          (if (keyIsLong) Seq(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
-           else Nil)
-        val upserts = cached.filter(col("operation").isin("insert", "update"))
-          .observe(upObs, upMetrics.head, upMetrics.tail: _*)
-        val rawData = writeUpserts(upserts, v)
-        // an empty slice can collapse to a no-task plan that never emits
-        // its metrics row — absent metrics mean zero rows
-        val um = upObs.get
-        def metric(name: String): Long = um.get(name) match {
-          case Some(x: Long) => x
-          case Some(x: Number) => x.longValue()
-          case _ => 0L
-        }
-        val nUpserts = metric("nup")
-        val anyUpdates = metric("nupd") > 0
-        val batchRange: Option[(Long, Long)] =
-          if (keyIsLong && nUpserts > 0 && um.get("lo").exists(_ != null))
-            Some((metric("lo"), metric("hi")))
-          else None
-        // an all-delete batch still ran the (empty) write; unpartitioned
-        // writes emit 0-row part files from idle tasks — drop them
-        val newData =
-          if (nUpserts > 0) rawData
-          else { rawData.foreach(f => Files.deleteIfExists(dataDir.resolve(f))); Vector.empty }
+        withCommitRetries("applyBatch") { () =>
+          val prev = currentSnapshot
+          // re-checked every attempt: the conflicting writer may have been
+          // a replay of this very batch id
+          if (!batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) {
+            val v = latestVersion + 1
+            // Zero dedicated metadata jobs per micro-batch: op counts and the
+            // batch key range ride the WRITE jobs as Observation metrics (the
+            // earlier standalone groupBy-collect was a full extra job per
+            // batch; before that, per-question isEmpty() probes were three).
+            // The key range gives per-BATCH data-skipping bounds for free —
+            // per-file footer stats would re-read every new file.
+            val keyIsLong = schema(keyCol).dataType == LongType
+            val upObs = org.apache.spark.sql.Observation()
+            val upMetrics = Seq(
+              count(lit(1)).as("nup"),
+              count(when(col("operation") === "update", 1)).as("nupd")) ++
+              (if (keyIsLong) Seq(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+               else Nil)
+            val upserts = cached.filter(col("operation").isin("insert", "update"))
+              .observe(upObs, upMetrics.head, upMetrics.tail: _*)
+            val rawData = writeUpserts(upserts, v)
+            // an empty slice can collapse to a no-task plan that never emits
+            // its metrics row — absent metrics mean zero rows
+            val um = upObs.get
+            def metric(name: String): Long = um.get(name) match {
+              case Some(x: Long) => x
+              case Some(x: Number) => x.longValue()
+              case _ => 0L
+            }
+            val nUpserts = metric("nup")
+            val anyUpdates = metric("nupd") > 0
+            val batchRange: Option[(Long, Long)] =
+              if (keyIsLong && nUpserts > 0 && um.get("lo").exists(_ != null))
+                Some((metric("lo"), metric("hi")))
+              else None
+            // an all-delete batch still ran the (empty) write; unpartitioned
+            // writes emit 0-row part files from idle tasks — drop them
+            val newData =
+              if (nUpserts > 0) rawData
+              else { rawData.foreach(f => Files.deleteIfExists(dataDir.resolve(f))); Vector.empty }
 
-        val delObs = org.apache.spark.sql.Observation()
-        val rawDels = writeTombstones(
-          cached.filter(col("operation") === "delete")
-            .observe(delObs, count(lit(1)).as("ndel")), v)
-        val nDels = delObs.get.get("ndel") match {
-          case Some(x: Number) => x.longValue()
-          case _               => 0L
-        }
-        val newDels =
-          if (nDels > 0) rawDels
-          else { rawDels.foreach(f => Files.deleteIfExists(deleteDir.resolve(f))); Vector.empty }
+            val delObs = org.apache.spark.sql.Observation()
+            val rawDels = writeTombstones(
+              cached.filter(col("operation") === "delete")
+                .observe(delObs, count(lit(1)).as("ndel")), v)
+            val nDels = delObs.get.get("ndel") match {
+              case Some(x: Number) => x.longValue()
+              case _               => 0L
+            }
+            val newDels =
+              if (nDels > 0) rawDels
+              else { rawDels.foreach(f => Files.deleteIfExists(deleteDir.resolve(f))); Vector.empty }
 
-        commit(Snapshot(
-          v,
-          prev.map(_.dataFiles).getOrElse(Vector.empty) ++ newData,
-          prev.map(_.deleteFiles).getOrElse(Vector.empty) ++ newDels,
-          prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
-          prev.exists(_.requiresDedup) || anyUpdates || newDels.nonEmpty,
-          prev.map(_.fileStats).getOrElse(Map.empty) ++
-            batchRange.fold(Map.empty[String, (Long, Long)])(r =>
-              newData.map(_ -> r).toMap)))
+            try commit(Snapshot(
+              v,
+              prev.map(_.dataFiles).getOrElse(Vector.empty) ++ newData,
+              prev.map(_.deleteFiles).getOrElse(Vector.empty) ++ newDels,
+              prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
+              prev.exists(_.requiresDedup) || anyUpdates || newDels.nonEmpty,
+              prev.map(_.fileStats).getOrElse(Map.empty) ++
+                batchRange.fold(Map.empty[String, (Long, Long)])(r =>
+                  newData.map(_ -> r).toMap)))
+            catch {
+              case e: MergeTable.CommitConflictException =>
+                // the losing attempt's files are unreferenced (its _seq
+                // stamp belongs to the slot the winner took) — reclaim
+                // eagerly; the retry re-runs the merge against the fresh
+                // head with a fresh stamp
+                newData.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+                newDels.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+                throw e
+            }
+          }
+        }
       } finally cached.unpersist()
 
       if (currentSnapshot.exists(_.deleteFiles.size >= deleteCompactThreshold))
@@ -1360,18 +1457,26 @@ final class MergeTable(
     require(latestVersion == fork,
       s"branch $name diverged: main at v$latestVersion, fork was v$fork")
     val bm = branchesDir.resolve(name).resolve("manifest")
-    withDirStream(Files.list(bm))(_.iterator().asScala.foreach { p =>
-      val fn = p.getFileName.toString
-      val keep = fn.startsWith("chunk-") ||
-        (fn.matches("v\\d+\\.manifest") &&
-          fn.stripPrefix("v").stripSuffix(".manifest").toLong > fork)
-      if (keep && !Files.exists(manifestDir.resolve(fn)))
-        Files.copy(p, manifestDir.resolve(fn))
-    })
-    val tmp = rootPath.resolve(s".latest.${UUID.randomUUID()}.tmp")
-    Files.writeString(tmp, head.toString)
-    Files.move(tmp, metaRoot.resolve("_latest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // copy + swing under the commit lock: a main commit racing the publish
+    // would otherwise both collide on manifest slots and be overwritten by
+    // the pointer swing; the re-check makes the loser fail loudly with
+    // nothing copied
+    withCommitLock {
+      require(latestVersion == fork,
+        s"branch $name diverged: main at v$latestVersion, fork was v$fork")
+      withDirStream(Files.list(bm))(_.iterator().asScala.foreach { p =>
+        val fn = p.getFileName.toString
+        val keep = fn.startsWith("chunk-") ||
+          (fn.matches("v\\d+\\.manifest") &&
+            fn.stripPrefix("v").stripSuffix(".manifest").toLong > fork)
+        if (keep && !Files.exists(manifestDir.resolve(fn)))
+          Files.copy(p, manifestDir.resolve(fn))
+      })
+      val tmp = rootPath.resolve(s".latest.${UUID.randomUUID()}.tmp")
+      Files.writeString(tmp, head.toString)
+      Files.move(tmp, metaRoot.resolve("_latest"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     deleteRecursively(branchesDir.resolve(name))
     head
   }
@@ -1621,6 +1726,25 @@ final class MergeTable(
 }
 
 object MergeTable {
+  /** A commit lost the optimistic-concurrency race: the table head moved
+    * past the snapshot's base between read and commit. `appendAll` /
+    * `applyBatch` catch this internally and rebase (bounded retries);
+    * callers of maintenance / overwrite / rollback ops see it directly
+    * and decide — their intent against a moved head is ambiguous, so
+    * re-reading and re-issuing is the caller's call, never automatic.
+    */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** One JVM-wide monitor per table/branch metadata root — concurrent
+    * handles on the same table share it (each handle's `synchronized`
+    * only serializes that handle), and it keeps the per-table `FileLock`
+    * single-threaded within the JVM (overlapping locks would throw).
+    */
+  private val commitMonitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[table] def commitMonitorFor(key: String): Object =
+    commitMonitors.getOrElseUpdate(key, new Object)
+
   /** Open-or-create with the reference table's shape: key `trans_id`,
     * partitioned by `event` (README.md:292–309).
     */

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.util.concurrent.{ConcurrentLinkedQueue, CyclicBarrier}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.table.MergeTable
+
+/** Two-writer commit contract: concurrent committers using SEPARATE
+  * `MergeTable.open` handles (the per-handle `synchronized` does not
+  * cover these — this is the in-process equivalent of two driver JVMs).
+  * The loser of the optimistic race must detect the moved head, rebase
+  * (re-run its merge against the fresh snapshot), and retry — BOTH
+  * commits land, and the final table equals sequential application.
+  */
+class ConcurrentCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def batch(rows: (Long, String, Int, String, String, Long)*): DataFrame =
+    rows.toSeq.toDF("trans_id", "event", "amount", "operation", "_ts", "transaction_id")
+      .withColumn("customer_id", lit("c"))
+      .withColumn("sku", lit("s"))
+      .withColumn("device", lit("pc"))
+      .withColumn("trans_datetime", lit(ts("2023-01-16 06:00:00")))
+      .withColumn("src_timestamp", to_timestamp($"_ts"))
+      .drop("_ts")
+
+  private def state(t: MergeTable): Map[Long, (String, Int)] =
+    t.read(spark).select($"trans_id", $"event", $"amount")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+
+  /** Run both thunks concurrently (barrier-released), surfacing failures. */
+  private def concurrently(f1: () => Unit, f2: () => Unit): Unit = {
+    val barrier = new CyclicBarrier(2)
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(f1, f2).map { f =>
+      new Thread(() => {
+        try { barrier.await(); f() }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${errs.asScala.toList}")
+  }
+
+  test("disjoint-key concurrent applyBatch from two handles: both land, equals sequential") {
+    val root = tmpDir("ccd") + "/t"
+    MergeTable.retailTrans(root, threshold = 100)
+    val h1 = MergeTable.open(root)
+    val h2 = MergeTable.open(root)
+    val b1 = Seq((1L, "cart", 10, "insert", "2023-01-01 00:00:01", 1L),
+      (2L, "list", 5, "insert", "2023-01-01 00:00:02", 2L))
+    val b2 = Seq((3L, "visit", 7, "insert", "2023-01-01 00:00:03", 3L),
+      (4L, "like", 9, "insert", "2023-01-01 00:00:04", 4L))
+
+    concurrently(
+      () => h1.applyBatch(batch(b1: _*), Some("w1")),
+      () => h2.applyBatch(batch(b2: _*), Some("w2")))
+
+    val t = MergeTable.open(root)
+    assert(t.latestVersion === 1, "exactly two commits must have landed")
+    // both batch ids recorded on the head snapshot
+    val applied = t.currentSnapshot.get.appliedBatches
+    assert(applied === Set("w1", "w2"))
+
+    // sequential oracle, both orders (disjoint keys => identical)
+    val seqT = MergeTable.retailTrans(tmpDir("ccd-seq") + "/t", threshold = 100)
+    seqT.applyBatch(batch(b1: _*), Some("w1"))
+    seqT.applyBatch(batch(b2: _*), Some("w2"))
+    assert(state(t) === state(seqT))
+
+    // history stays dense and well-formed: v0, v1 both readable merges
+    assert(t.history.map(_.version) === Seq(0L, 1L))
+    assert(t.history.forall(_.op === "merge"))
+  }
+
+  test("same-key concurrent writers: both land, result equals one sequential order") {
+    val root = tmpDir("ccs") + "/t"
+    MergeTable.retailTrans(root, threshold = 100)
+    val h1 = MergeTable.open(root)
+    val h2 = MergeTable.open(root)
+
+    concurrently(
+      () => h1.applyBatch(
+        batch((5L, "cart", 111, "insert", "2023-01-01 00:00:01", 1L)), Some("a")),
+      () => h2.applyBatch(
+        batch((5L, "cart", 222, "insert", "2023-01-01 00:00:02", 2L)), Some("b")))
+
+    val t = MergeTable.open(root)
+    assert(t.latestVersion === 1)
+    // merge-on-read must resolve to exactly one row: the later COMMIT wins
+    // (distinct _seq stamps — the rebase rewrote the loser's files with a
+    // fresh stamp, so no tie is possible)
+    val st = state(t)
+    assert(st.keySet === Set(5L))
+    assert(Set(111, 222).contains(st(5L)._2))
+    val seqStates = Seq(Seq(111, 222), Seq(222, 111)).map { order =>
+      val s = MergeTable.retailTrans(tmpDir("ccs-seq") + "/t", threshold = 100)
+      order.zipWithIndex.foreach { case (amt, i) =>
+        s.applyBatch(batch(
+          (5L, "cart", amt, "insert", s"2023-01-01 00:00:0${i + 1}", i + 1L)))
+      }
+      state(s)
+    }
+    assert(seqStates.contains(st), s"state $st matches neither sequential order")
+  }
+
+  test("duplicate batchId raced from two handles applies exactly once") {
+    val root = tmpDir("ccb") + "/t"
+    MergeTable.retailTrans(root, threshold = 100)
+    val h1 = MergeTable.open(root)
+    val h2 = MergeTable.open(root)
+    val b = Seq((6L, "cart", 42, "insert", "2023-01-01 00:00:01", 1L))
+
+    // at-least-once delivery can replay one epoch into two drivers; the
+    // loser's rebase must re-check idempotence against the fresh head and
+    // become a no-op instead of double-applying
+    concurrently(
+      () => h1.applyBatch(batch(b: _*), Some("epoch-1")),
+      () => h2.applyBatch(batch(b: _*), Some("epoch-1")))
+
+    val t = MergeTable.open(root)
+    assert(state(t) === Map(6L -> ("cart", 42)))
+    assert(t.read(spark).count() === 1)
+  }
+
+  test("crashed-writer manifest debris above _latest is reclaimed, not resurrected") {
+    val root = tmpDir("ccx") + "/t"
+    val t = MergeTable.retailTrans(root, threshold = 100)
+    t.applyBatch(batch((1L, "cart", 1, "insert", "2023-01-01 00:00:01", 1L)))
+    assert(t.latestVersion === 0)
+    // simulate a writer that died between manifest move and pointer swing
+    Files.writeString(Paths.get(root, "manifest", "v1.manifest"),
+      "version\t1\nop\tmerge\ndata\tdoes-not-exist.parquet\n")
+
+    val h = MergeTable.open(root)
+    h.applyBatch(batch((2L, "list", 2, "insert", "2023-01-01 00:00:02", 2L)))
+    val fresh = MergeTable.open(root)
+    assert(fresh.latestVersion === 1)
+    assert(state(fresh) === Map(1L -> ("cart", 1), 2L -> ("list", 2)))
+    // the debris snapshot must NOT appear in history or the change feed
+    assert(fresh.history.flatMap(_.dataFiles)
+      .forall(f => !f.contains("does-not-exist")))
+    assert(fresh.changesSince(spark, -1).count() === 2)
+  }
+}

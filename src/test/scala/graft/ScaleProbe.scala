@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-exponent harness for the dedup/ANN chains (SCALE.md evidence):
+  * generates a 10×-documents / 10×-embeddings dataset from the driver's
+  * sf0.1 tables, times the chain queries at both scales, and prints the
+  * observed scaling exponents.
+  *
+  *   sbt "Test/runMain graft.ScaleProbe [gen|probe|all]"
+  *
+  * Replica construction (`gen`) keeps the WORKLOAD SHAPE constant rather
+  * than naively duplicating rows: replica k ≥ 1 suffixes every token of
+  * every document with `_k`, so no shingle collides across replicas and
+  * the near-duplicate DENSITY (dup clusters per 1000 docs) stays what it
+  * was at sf0.1 — naive copies would instead make every doc a 10-way
+  * exact duplicate and measure an artificial dup explosion, not scaling.
+  * Embedding replicas shift each vector by a per-replica constant
+  * (k-means/assignment cost is shape-independent). Replica 0 is the
+  * original data unchanged. Output goes under tmp/sf1-synth (inside the
+  * repo — /root/testdata is read-only).
+  */
+object ScaleProbe {
+
+  val SrcDir = "/root/testdata/sf0.1"
+  val DstDir = "/root/repo/tmp/sf1-synth"
+  val Replicas = 10
+  val ChainQueries = Seq("q26_dedup_jaccard", "q64_dedup_clusters",
+    "q66_dedup_survivors", "q88_span_removal", "q89_kmeans")
+
+  def gen(spark: SparkSession): Unit = {
+    Files.createDirectories(Paths.get(DstDir))
+    val reps = spark.range(Replicas).select(col("id").cast("int").as("rep"))
+
+    val docs = spark.read.parquet(s"$SrcDir/documents.parquet")
+    val nDocs = docs.count()
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("rep").cast("string")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$DstDir/documents.parquet")
+
+    val embs = spark.read.parquet(s"$SrcDir/embeddings.parquet")
+    val nEmbs = embs.count()
+    embs.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + col("rep") * lit(0.0137f)).cast("float")).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$DstDir/embeddings.parquet")
+
+    println(s"[scale] generated $DstDir: documents ${nDocs * Replicas}, " +
+      s"embeddings ${nEmbs * Replicas}")
+  }
+
+  /** Per-query minimum over `sweeps` full passes (the Bench.scala
+    * stall-guard recipe) at one scale dir.
+    */
+  def timeAll(spark: SparkSession, dir: String, sweeps: Int): Map[String, Double] = {
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ChainQueries.foreach(once) // warm pass outside timing
+    (1 to sweeps).flatMap(_ => ChainQueries.map(q => q -> once(q)))
+      .groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).min }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale")
+      .config("spark.sql.extensions", "graft.sqlcat.GraftSqlExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "gen" || mode == "all") gen(spark)
+    if (mode == "probe" || mode == "all") {
+      val sweeps = sys.env.getOrElse("SCALE_SWEEPS", "3").toInt
+      val small = timeAll(spark, SrcDir, sweeps)
+      val big = timeAll(spark, DstDir, sweeps)
+      println(f"""| query | sf0.1 (s) | 10x docs (s) | growth | exponent |""")
+      println(f"""|---|---|---|---|---|""")
+      ChainQueries.foreach { q =>
+        val (a, b) = (small(q), big(q))
+        val growth = b / a
+        val expo = math.log(growth) / math.log(Replicas.toDouble)
+        println(f"| $q | $a%.2f | $b%.2f | ${growth}%.1f× | $expo%.2f |")
+      }
+    }
+    spark.stop()
+  }
+}
