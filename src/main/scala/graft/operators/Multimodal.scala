@@ -26,13 +26,21 @@ final case class MediaFeatures(
   * metadata, process partition-wise (the Scala analog of `mapInPandas`
   * batch UDFs — one iterator per partition, arbitrary native calls inside).
   *
-  * The decode step is REAL container-header parsing ([[ImageHeaders]]:
-  * PNG/GIF/JPEG magic + dimension/bit-depth/channel extraction, pure JVM).
-  * Full pixel decode (DCT, deflate) still needs codec jars this
-  * environment lacks; payloads that are not a recognized image fall back
-  * to deterministic byte-derived pseudo-dimensions so non-media payloads
-  * (e.g. the text-bytes stand-ins in the test data) still flow through
-  * the same typed pipeline.
+  * Decode comes in two real layers:
+  *   - container-HEADER parsing ([[ImageHeaders]]: PNG/GIF/JPEG magic +
+  *     dimension/bit-depth/channel extraction from raw bytes, pure JVM) —
+  *     the cheap metadata pass a pipeline runs on every payload;
+  *   - FULL pixel decode via the JDK's bundled image codecs
+  *     (`javax.imageio`, java.desktop module: PNG deflate+unfilter, GIF
+  *     LZW, JPEG DCT, BMP — no external jars), exposed as
+  *     [[decodePixels]] and driven end-to-end by [[pixelRoundtrip]]
+  *     (q99). Audio/video codecs genuinely aren't in this environment;
+  *     for those the header/byte-stats path below is the honest stand-in.
+  *
+  * Payloads that are not a recognized image fall back to deterministic
+  * byte-derived pseudo-dimensions so non-media payloads (e.g. the
+  * text-bytes stand-ins in the test data) still flow through the same
+  * typed pipeline.
   */
 object Multimodal {
 
@@ -113,6 +121,96 @@ object Multimodal {
       }
     }
     parsed.toDF("doc_id", "format", "width", "height", "bit_depth", "channels")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-image raster summary from a full pixel decode. */
+  final case class RasterStats(width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** FULL pixel decode of any JDK-supported image payload (PNG/GIF/JPEG/
+    * BMP via `javax.imageio` — the real inflate/LZW/DCT work, not header
+    * peeking) to per-channel raster means; None when the bytes are not a
+    * decodable image. Pure JVM, executor-safe, no external jars.
+    */
+  def decodePixels(bytes: Array[Byte]): Option[RasterStats] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some(RasterStats(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    }
+  }
+
+  /** Deterministic 64×48 RGB gradient for `doc_id`: r = base_r + x,
+    * g = base_g + y, b constant — every channel mean has a closed form
+    * from the id alone (base_r + 31.5, base_g + 23.5, base_b), which is
+    * what lets a SQL oracle check a real codec round-trip without being
+    * able to run the codec.
+    */
+  private[graft] def gradientImage(id: Long): java.awt.image.BufferedImage = {
+    val w = 64; val h = 48
+    val baseR = (id % 190).toInt
+    val baseG = ((id * 7) % 200).toInt
+    val b = ((id * 13) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((baseR + x) << 16) | ((baseG + y) << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode the doc gradient through a real JDK codec. */
+  private[graft] def encodeGradient(id: Long, fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(gradientImage(id), fmt, baos),
+      s"no ImageIO writer for $fmt")
+    baos.toByteArray
+  }
+
+  /** q99 pipeline: per document, build the deterministic gradient, encode
+    * it through a REAL codec (PNG — deflate — for even ids, BMP for odd;
+    * both lossless, both bundled with the JDK), then [[decodePixels]] the
+    * bytes back and measure per-channel means. The oracle recomputes the
+    * closed-form means from doc_id, so one wrong pixel anywhere in
+    * encode→decode fails the hash match. The raster sums are exact
+    * integers and 64×48·(base+31.5) divides back exactly in IEEE, so the
+    * means are engine-exact doubles, no rounding needed. Partition-wise
+    * like every codec pass here; JPEG stays out of the ORACLE path only
+    * because it is lossy (its decode is spec-covered with tolerance).
+    */
+  def pixelRoundtrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val s = decodePixels(encodeGradient(id, fmt)).getOrElse(
+          sys.error(s"round-trip decode failed for doc $id ($fmt)"))
+        (id, fmt, s.width.toLong, s.height.toLong, s.meanR, s.meanG, s.meanB)
+      }
+    }.toDF("doc_id", "format", "width", "height", "mean_r", "mean_g", "mean_b")
       .orderBy(col("doc_id"))
   }
 

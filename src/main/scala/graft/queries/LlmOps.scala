@@ -258,6 +258,12 @@ object LlmOps {
     "q98_image_headers" -> ((s, d) =>
       Multimodal.imageHeaderQuery(s, Tables.documents(s, d))),
 
+    // FULL pixel decode round-trip through the JDK's real codecs (PNG
+    // deflate / BMP): deterministic gradient per doc, encode, decode,
+    // per-channel raster means; oracle = the gradient's closed-form means
+    "q99_pixel_decode" -> ((s, d) =>
+      Multimodal.pixelRoundtrip(s, Tables.fanout(Tables.documents(s, d)))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -946,6 +952,14 @@ object LlmOps {
              ELSE ('0x' || substr(s, 43 + 2*pad, 2))::BIGINT
            END AS channels
          FROM hx ORDER BY doc_id""",
+    "q99_pixel_decode" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+           CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+           CAST(doc_id % 190 AS DOUBLE) + 31.5 AS mean_r,
+           CAST((doc_id * 7) % 200 AS DOUBLE) + 23.5 AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+         FROM documents ORDER BY doc_id""",
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q96_logreg_quality" -> logregOracle(3, 1.0,
       "source IN ('src0','src1','src2','src3','src4')"),
