@@ -186,14 +186,18 @@ object Similarity {
 
     // cell assignment: row-local argmax over the literal centroid array;
     // array_position takes the FIRST maximal entry = lowest cent_id
-    // tie-break, matching ivfTopKExact's strict-> scan
+    // tie-break, matching ivfTopKExact's strict-> scan. Deliberately NOT
+    // cached: the plan consumes it three times (cell radii, phase 1,
+    // phase 2), but pinning the full corpus WITH its vectors is exactly
+    // what a 100 TB run cannot do, while re-running a row-local argmax
+    // scan is bandwidth-bound and cheap — recompute-over-cache is the
+    // at-scale shape, and it leaves no session-lifetime storage pin.
     val assigned = prepLabeled(corpus)
       .withColumn("sims", simsTo(col("v"), vnormOf(col("v"))))
       .withColumn("cell",
         (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
       .withColumn("csim", array_max(col("sims")))
       .select(col("vec_id"), col("label"), col("v"), col("cell"), col("csim"))
-      .cache()
 
     // per-cell angular radius, slack for fp + the 4dp output rounding
     val cellStats = assigned.groupBy(col("cell"))
