@@ -183,4 +183,50 @@ class ChangeFeedStreamSpec extends SparkSpec {
         multiset(t.changesSince(spark, -1)))
     } finally q.stop()
   }
+
+  test("restart mid-catch-up: cap base recovers from the checkpoint, no rewind, no gap") {
+    val root = tmpDir("cfmaxvr") + "/t"
+    val t = MergeTable.retailTrans(root, threshold = 100)
+    (1L to 12L).foreach(i => t.applyBatch(upsert(i), Some(s"c$i")))
+    val head = t.latestVersion
+
+    val out = tmpDir("cfmaxvr-out")
+    val cp = tmpDir("cfmaxvr-cp")
+    def stream() = spark.readStream.format("graft-changes")
+      .option("path", root).option("maxVersionsPerTrigger", "4")
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+
+    // run 1: drain fully in capped batches, then stop — the checkpoint
+    // records the final offset, but a FRESH source instance has a stale
+    // handedOut seed (startVersion = -1)
+    val q1 = stream().start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // more history lands while the stream is down
+    (13L to 20L).foreach(i => t.applyBatch(upsert(i), Some(s"c$i")))
+
+    // run 2: the recovery getBatch must restore the cap base; the stream
+    // resumes past `head`, never re-plans an offset below it, and still
+    // micro-batches the new history
+    val q2 = stream().start()
+    try {
+      q2.processAllAvailable()
+      val ranges = q2.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .flatMap(_.sources.headOption)
+        .map(s => (Option(s.startOffset).map(_.toLong).getOrElse(-1L),
+          s.endOffset.toLong))
+      assert(ranges.nonEmpty)
+      ranges.foreach { case (st, en) =>
+        assert(st >= head, s"restarted stream rewound below v$head: ($st, $en]")
+        assert(en - st <= 4, s"batch ($st, $en] spans more than 4 versions")
+      }
+    } finally q2.stop()
+
+    // exactly-once across the restart: every change delivered exactly once
+    val sunk = spark.read.schema(t.changeFeedSchema).parquet(out)
+    assertSame(multiset(sunk), multiset(t.changesSince(spark, -1)))
+  }
 }
