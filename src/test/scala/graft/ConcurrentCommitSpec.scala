@@ -36,11 +36,11 @@ class ConcurrentCommitSpec extends SparkSpec {
     t.read(spark).select($"trans_id", $"event", $"amount")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
 
-  /** Run both thunks concurrently (barrier-released), surfacing failures. */
-  private def concurrently(f1: () => Unit, f2: () => Unit): Unit = {
-    val barrier = new CyclicBarrier(2)
+  /** Run all thunks concurrently (barrier-released), surfacing failures. */
+  private def concurrently(fs: (() => Unit)*): Unit = {
+    val barrier = new CyclicBarrier(fs.size)
     val errs = new ConcurrentLinkedQueue[Throwable]()
-    val threads = Seq(f1, f2).map { f =>
+    val threads = fs.map { f =>
       new Thread(() => {
         try { barrier.await(); f() }
         catch { case e: Throwable => errs.add(e) }
@@ -130,6 +130,29 @@ class ConcurrentCommitSpec extends SparkSpec {
     val t = MergeTable.open(root)
     assert(state(t) === Map(6L -> ("cart", 42)))
     assert(t.read(spark).count() === 1)
+  }
+
+  test("four concurrent writers with disjoint keys: every commit lands, rebase chains converge") {
+    val root = tmpDir("ccq") + "/t"
+    MergeTable.retailTrans(root, threshold = 100)
+    val batches = (0 until 4).map { w =>
+      (1 to 3).map(i => ((w * 10 + i).toLong, "cart", w * 100 + i, "insert",
+        f"2023-01-01 00:0$w:0$i", (w * 10 + i).toLong))
+    }
+    // four separate handles — the worst in-process case: every loser may
+    // have to rebase up to three times as the winners land
+    concurrently(batches.zipWithIndex.map { case (b, w) =>
+      () => MergeTable.open(root).applyBatch(batch(b: _*), Some(s"w$w"))
+    }: _*)
+
+    val t = MergeTable.open(root)
+    assert(t.latestVersion === 3, "exactly four commits must have landed")
+    assert(t.currentSnapshot.get.appliedBatches ===
+      (0 until 4).map(w => s"w$w").toSet)
+    val expect = batches.flatten
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(state(t) === expect)
+    assert(t.history.map(_.version) === Seq(0L, 1L, 2L, 3L))
   }
 
   test("crashed-writer manifest debris above _latest is reclaimed, not resurrected") {
