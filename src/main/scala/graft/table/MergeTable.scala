@@ -575,7 +575,15 @@ final class MergeTable(
       } finally cached.unpersist()
 
       if (currentSnapshot.exists(_.deleteFiles.size >= deleteCompactThreshold))
-        compactScoped(batch.sparkSession)
+        try compactScoped(batch.sparkSession)
+        catch {
+          // auto-compaction is opportunistic maintenance: losing a commit
+          // race to a concurrent writer must not fail the micro-batch that
+          // triggered it — the threshold is still exceeded, so the next
+          // batch re-triggers; any files the losing rewrite staged are
+          // unreferenced and fall to removeOrphanFiles
+          case _: MergeTable.CommitConflictException => ()
+        }
     }
 
   // ---- read path ----
