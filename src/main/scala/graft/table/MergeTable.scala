@@ -107,6 +107,15 @@ final class MergeTable(
     branchName.fold(rootPath)(n => rootPath.resolve("branches").resolve(n))
   private val manifestDir: Path = metaRoot.resolve("manifest")
 
+  /** Test seam: invoked after each commit attempt's base-snapshot read,
+    * before anything derived from it. Lets ConcurrentCommitSpec land a
+    * foreign commit deterministically inside the window where a separate
+    * `latestVersion` re-read once let that commit be silently dropped
+    * (the proposed version now derives from the SAME read, so the stale
+    * attempt must conflict and rebase instead).
+    */
+  private[graft] var onBaseSnapshotRead: () => Unit = () => ()
+
   private val SEQ = "_seq"
   private val payloadCols: Seq[String] = schema.fields.map(_.name).toSeq
   require(payloadCols.contains(keyCol), s"key $keyCol not in schema")
@@ -436,13 +445,22 @@ final class MergeTable(
     synchronized {
       batchId.foreach(id => require(!id.exists(c => c == '\t' || c == '\n'),
         "batchId must not contain tab/newline (manifest is TSV)"))
+      // replay short-circuit BEFORE the keyRangeOf aggregation: an
+      // already-applied batch (checkpoint recovery) must cost zero Spark jobs
+      if (batchId.exists(id =>
+          currentSnapshot.exists(_.appliedBatches.contains(id)))) return
       val range = keyRangeOf(rows)
       withCommitRetries("appendAll") { () =>
         val prev = currentSnapshot
+        onBaseSnapshotRead()
         // re-checked every attempt: the conflicting writer may have been a
         // replay of this very batch id
         if (!batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) {
-          val v = latestVersion + 1
+          // the proposed version MUST derive from the same snapshot read as
+          // the file lists: a second `latestVersion` read here would let a
+          // commit that landed in between slip past commit()'s conflict
+          // check and vanish from the table
+          val v = prev.map(_.version).getOrElse(-1L) + 1
           val files = writeUpserts(rows, v)
           try commit(Snapshot(
             v,
@@ -499,10 +517,14 @@ final class MergeTable(
       try {
         withCommitRetries("applyBatch") { () =>
           val prev = currentSnapshot
+          onBaseSnapshotRead()
           // re-checked every attempt: the conflicting writer may have been
           // a replay of this very batch id
           if (!batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) {
-            val v = latestVersion + 1
+            // version derived from the SAME read as the file lists (see
+            // appendAll): a separate `latestVersion` read would let a commit
+            // landing between the two reads be silently dropped
+            val v = prev.map(_.version).getOrElse(-1L) + 1
             // Zero dedicated metadata jobs per micro-batch: op counts and the
             // batch key range ride the WRITE jobs as Observation metrics (the
             // earlier standalone groupBy-collect was a full extra job per
@@ -1044,13 +1066,13 @@ final class MergeTable(
     synchronized {
       batchId.foreach(id => require(!id.exists(c => c == '\t' || c == '\n'),
         "batchId must not contain tab/newline (manifest is TSV)"))
-      if (batchId.exists(id =>
-          currentSnapshot.exists(_.appliedBatches.contains(id)))) return
-      val v = latestVersion + 1
+      val prev = currentSnapshot
+      if (batchId.exists(id => prev.exists(_.appliedBatches.contains(id)))) return
+      val v = prev.map(_.version).getOrElse(-1L) + 1
       val range = keyRangeOf(rows)
       val files = writeUpserts(rows, v)
       commit(Snapshot(v, files, Vector.empty,
-        currentSnapshot.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
+        prev.map(_.appliedBatches).getOrElse(Set.empty) ++ batchId,
         requiresDedup = false,
         range.fold(Map.empty[String, (Long, Long)])(r => files.map(_ -> r).toMap),
         op = "overwrite"))
@@ -1072,9 +1094,10 @@ final class MergeTable(
 
   /** `TRUNCATE TABLE` parity: commit an empty snapshot. */
   def truncate(): Unit = synchronized {
-    val v = latestVersion + 1
+    val prev = currentSnapshot
+    val v = prev.map(_.version).getOrElse(-1L) + 1
     commit(Snapshot(v, Vector.empty, Vector.empty,
-      currentSnapshot.map(_.appliedBatches).getOrElse(Set.empty),
+      prev.map(_.appliedBatches).getOrElse(Set.empty),
       requiresDedup = false, op = "truncate"))
   }
 
@@ -1087,7 +1110,7 @@ final class MergeTable(
   def rollbackTo(version: Long): Unit = synchronized {
     require(Files.exists(manifestPath(version)), s"no snapshot v$version")
     val target = readManifest(version)
-    val v = latestVersion + 1
+    val v = currentSnapshot.map(_.version).getOrElse(-1L) + 1
     commit(Snapshot(v, target.dataFiles, target.deleteFiles,
       target.appliedBatches, target.requiresDedup, target.fileStats,
       op = "rollback"))

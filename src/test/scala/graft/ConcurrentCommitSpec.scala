@@ -155,6 +155,50 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(t.history.map(_.version) === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("commit landing exactly between base-snapshot read and commit is never lost") {
+    // Deterministic reproduction of the two-read lost-update window: the
+    // onBaseSnapshotRead seam fires after writer A reads its base snapshot;
+    // writer B commits right there. A's proposed version derives from A's
+    // base read, so A MUST conflict and rebase — with a separate
+    // `latestVersion` re-read A would have skipped past B and erased it.
+    val root = tmpDir("ccw") + "/t"
+    MergeTable.retailTrans(root, threshold = 100)
+    val a = MergeTable.open(root)
+    val b = MergeTable.open(root)
+    var injected = false
+    a.onBaseSnapshotRead = () => if (!injected) {
+      injected = true
+      b.applyBatch(batch((8L, "list", 88, "insert", "2023-01-01 00:00:01", 1L)),
+        Some("mid"))
+    }
+    a.applyBatch(batch((9L, "cart", 99, "insert", "2023-01-01 00:00:02", 2L)),
+      Some("stale"))
+
+    val t = MergeTable.open(root)
+    assert(injected, "seam never fired")
+    assert(t.latestVersion === 1, "both commits must land as v0, v1")
+    assert(t.currentSnapshot.get.appliedBatches === Set("mid", "stale"))
+    assert(state(t) === Map(8L -> ("list", 88), 9L -> ("cart", 99)))
+
+    // same window for appendAll
+    val root2 = tmpDir("ccw2") + "/t"
+    MergeTable.retailTrans(root2, threshold = 100)
+    val a2 = MergeTable.open(root2)
+    val b2 = MergeTable.open(root2)
+    var injected2 = false
+    a2.onBaseSnapshotRead = () => if (!injected2) {
+      injected2 = true
+      b2.appendAll(batch((8L, "list", 88, "insert", "2023-01-01 00:00:01", 1L))
+        .drop("operation"), Some("mid"))
+    }
+    a2.appendAll(batch((9L, "cart", 99, "insert", "2023-01-01 00:00:02", 2L))
+      .drop("operation"), Some("stale"))
+    val t2 = MergeTable.open(root2)
+    assert(injected2 && t2.latestVersion === 1)
+    assert(t2.currentSnapshot.get.appliedBatches === Set("mid", "stale"))
+    assert(t2.read(spark).count() === 2)
+  }
+
   test("crashed-writer manifest debris above _latest is reclaimed, not resurrected") {
     val root = tmpDir("ccx") + "/t"
     val t = MergeTable.retailTrans(root, threshold = 100)
