@@ -110,10 +110,12 @@ object Similarity {
       nlist: Int = 16, nProbe: Int = 4,
       broadcastThresholdBytes: Long = -1L): DataFrame = {
     val spark = corpus.sparkSession
+    // sessionState.conf pre-parses the threshold (JavaUtils.byteStringAsBytes
+    // rejects the standard "-1" = broadcast-disabled setting with a
+    // NumberFormatException; Spark's own conf layer handles the sign)
     val thresh: BigInt =
       if (broadcastThresholdBytes >= 0) BigInt(broadcastThresholdBytes)
-      else BigInt(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")))
+      else BigInt(spark.sessionState.conf.autoBroadcastJoinThreshold)
     val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
     if (thresh > 0 && qBytes <= thresh)
       hardNegativesBroadcast(corpus, queries, k)

@@ -76,6 +76,26 @@ class HardNegativesSpec extends SparkSpec {
     assert(auto.sameElements(pinned))
   }
 
+  test("session threshold -1 (broadcast disabled) dispatches to IVF instead of crashing") {
+    // "-1" is the documented way to disable broadcast joins — exactly the
+    // at-scale tuning this operator targets. JavaUtils.byteStringAsBytes
+    // rejects it; the dispatch must read the pre-parsed session conf.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = corpus.filter(col("vec_id") < 5)
+      val viaAuto = Similarity.hardNegatives(corpus, q, k = 3)
+      viaAuto.write.format("noop").mode("overwrite").save()
+      assert(!viaAuto.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "disabled broadcast must route to the IVF candidate path")
+      val viaIvf = Similarity.hardNegatives(corpus, q, k = 3,
+        broadcastThresholdBytes = 0L)
+      assert(viaAuto.collect().map(_.toSeq).sortBy(_.toString)
+        .sameElements(viaIvf.collect().map(_.toSeq).sortBy(_.toString)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF path: never same-label, contiguous ranks, scores non-increasing") {
     val out = Similarity.hardNegatives(corpus, corpus, k = 5,
       broadcastThresholdBytes = 0L).collect()
