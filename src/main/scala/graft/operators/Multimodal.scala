@@ -165,9 +165,13 @@ object Multimodal {
     */
   private[graft] def gradientImage(id: Long): java.awt.image.BufferedImage = {
     val w = 64; val h = 48
-    val baseR = (id % 190).toInt
-    val baseG = ((id * 7) % 200).toInt
-    val b = ((id * 13) % 256).toInt
+    // floorMod: Scala % keeps the dividend's sign, so a negative doc_id
+    // would pack negative channel bases whose sign bits bleed into the
+    // neighboring channels — the closed-form means only hold for bases
+    // in [0, 255]
+    val baseR = java.lang.Math.floorMod(id, 190L).toInt
+    val baseG = java.lang.Math.floorMod(id * 7, 200L).toInt
+    val b = java.lang.Math.floorMod(id * 13, 256L).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0

@@ -956,9 +956,9 @@ object LlmOps {
       """SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
            CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
-           CAST(doc_id % 190 AS DOUBLE) + 31.5 AS mean_r,
-           CAST((doc_id * 7) % 200 AS DOUBLE) + 23.5 AS mean_g,
-           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+           CAST((doc_id % 190 + 190) % 190 AS DOUBLE) + 31.5 AS mean_r,
+           CAST(((doc_id * 7) % 200 + 200) % 200 AS DOUBLE) + 23.5 AS mean_g,
+           CAST(((doc_id * 13) % 256 + 256) % 256 AS DOUBLE) AS mean_b
          FROM documents ORDER BY doc_id""",
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q96_logreg_quality" -> logregOracle(3, 1.0,

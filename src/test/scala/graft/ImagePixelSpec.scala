@@ -12,14 +12,18 @@ import graft.operators.Multimodal
 class ImagePixelSpec extends SparkSpec {
 
   test("PNG and BMP round-trips are pixel-exact (closed-form means)") {
-    Seq(0L, 1L, 7L, 189L, 500L, 12345L).foreach { id =>
+    // negative ids included: Scala % is sign-preserving, so the gradient
+    // builder must floorMod its channel bases or the packed sign bits
+    // bleed across channels and the closed form breaks
+    def m(x: Long, n: Long): Double = java.lang.Math.floorMod(x, n).toDouble
+    Seq(0L, 1L, 7L, 189L, 500L, 12345L, -1L, -5L, -12345L).foreach { id =>
       Seq("png", "bmp").foreach { fmt =>
         val s = Multimodal.decodePixels(Multimodal.encodeGradient(id, fmt))
           .getOrElse(fail(s"decode failed: id=$id fmt=$fmt"))
         assert(s.width === 64 && s.height === 48)
-        assert(s.meanR === (id % 190) + 31.5, s"mean_r id=$id fmt=$fmt")
-        assert(s.meanG === ((id * 7) % 200) + 23.5, s"mean_g id=$id fmt=$fmt")
-        assert(s.meanB === ((id * 13) % 256).toDouble, s"mean_b id=$id fmt=$fmt")
+        assert(s.meanR === m(id, 190) + 31.5, s"mean_r id=$id fmt=$fmt")
+        assert(s.meanG === m(id * 7, 200) + 23.5, s"mean_g id=$id fmt=$fmt")
+        assert(s.meanB === m(id * 13, 256), s"mean_b id=$id fmt=$fmt")
       }
     }
   }
