@@ -1,6 +1,9 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{
+  Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles,
+  SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graftshim.StreamShim
@@ -32,26 +35,36 @@ import graft.table.MergeTable
   *     stopped past `expireSnapshots` of its unread versions must restart
   *     from a fresh bootstrap (new checkpoint) rather than its old offset.
   *
-  * At scale this is driver-cheap: `getOffset` reads one 8-byte `_latest`
-  * file, and planning a batch touches only the (chunked) manifests of the
+  * At scale this is driver-cheap: polling reads one 8-byte `_latest` file,
+  * and planning a batch touches only the (chunked) manifests of the
   * versions in range — O(delta), never O(table).
+  *
+  * Admission control follows FileStreamSource: the source implements
+  * [[SupportsAdmissionControl]] (the engine polls `latestOffset(start,
+  * limit)` instead of `getOffset`) and [[SupportsTriggerAvailableNow]].
+  * The latter matters whenever `maxVersionsPerTrigger` is set: a v1 source
+  * WITHOUT it gets wrapped under `Trigger.AvailableNow`, the wrapper pins
+  * the first (capped!) offset as "everything available", and the query
+  * stops after one micro-batch with the rest of the history silently
+  * unconsumed. Implementing it directly lets AvailableNow drain the whole
+  * prepare-time head in a SEQUENCE of capped micro-batches, exactly like
+  * `maxFilesPerTrigger` on the file source.
   *
   * Options: `path` (table root, required); `startVersion` (first batch covers
   * `(startVersion, latest]`; default -1 = full history, i.e. a bootstrap
   * load followed by incremental tailing — the reference's DMS full-load +
   * CDC phasing in one source); `maxVersionsPerTrigger` (cap on how many
-  * table versions one micro-batch may cover — the analog of the file
-  * source's `maxFilesPerTrigger` back-pressure knob, so a replication
-  * stream started against a long table history catches up in bounded
-  * micro-batches instead of planning one giant `(start, latest]` batch;
-  * unset = unbounded, the previous behavior).
+  * table versions one micro-batch may cover — back-pressure so a
+  * replication stream started against a long table history catches up in
+  * bounded micro-batches instead of planning one giant `(start, latest]`
+  * batch; unset = unbounded).
   */
 final class ChangeFeedSource(
     sqlContext: SQLContext,
     tableRoot: String,
     startVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None)
-  extends Source {
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val table = MergeTable.open(tableRoot)
 
@@ -67,25 +80,60 @@ final class ChangeFeedSource(
     */
   @volatile private var handedOut: Long = startVersion
 
-  /** Latest committed table version, capped at `handedOut +
-    * maxVersionsPerTrigger` when the back-pressure knob is set; None
-    * until the first commit past the configured start. Re-reads
-    * `_latest` every call — no driver state to go stale when another
-    * session writes the table.
+  /** Trigger.AvailableNow horizon: the table head snapshotted at
+    * `prepareForTriggerAvailableNow`. The run drains up to here in capped
+    * micro-batches and then stops, even if writers keep committing.
     */
-  override def getOffset: Option[Offset] = {
-    val v = table.latestVersion
-    val capped = maxVersionsPerTrigger match {
-      // never below handedOut: a stale base must not rewind the stream
-      case Some(m) => math.max(math.min(v, handedOut + m), handedOut)
-      case None    => v
+  @volatile private var availableNowHorizon: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHorizon = Some(table.latestVersion)
+
+  /** `maxVersionsPerTrigger` expressed as the engine's read-limit: versions
+    * are this source's admission unit the way files are the file source's.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(m => ReadLimit.maxFiles(m.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Next micro-batch end offset: the table head, bounded by the
+    * AvailableNow horizon (when set) and by `base + cap` under a
+    * [[ReadMaxFiles]] limit. Returning the start offset itself signals
+    * "no new data". Re-reads `_latest` every call — no driver state to go
+    * stale when another session writes the table.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = math.max(handedOut, Option(startOffset).map(versionOf).getOrElse(startVersion))
+    val head = availableNowHorizon.fold(table.latestVersion)(h =>
+      math.min(h, table.latestVersion))
+    val capped = limit match {
+      // never below base: a stale head read must not rewind the stream
+      case f: ReadMaxFiles => math.max(math.min(head, base + f.maxFiles()), base)
+      case _: ReadAllAvailable => math.max(head, base)
+      case _ => math.max(head, base)
     }
-    if (capped <= startVersion) None else Some(LongOffset(capped))
+    if (capped <= startVersion) null else LongOffset(capped)
   }
 
-  private def versionOf(o: Offset): Long = o match {
-    case LongOffset(v)       => v
+  /** Uncapped head, for progress reporting (`latestOffset` in the query
+    * progress event shows true lag, not the admission-controlled target).
+    */
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = table.latestVersion
+    if (v <= startVersion) null else LongOffset(v)
+  }
+
+  /** Admission-controlled engines call [[latestOffset]]; this stays for
+    * direct drives of the source (specs, tooling) with the same cap.
+    */
+  override def getOffset: Option[Offset] =
+    Option(latestOffset(null, getDefaultReadLimit))
+      .map(o => LongOffset(versionOf(o)))
+
+  private def versionOf(o: OffsetV2): Long = o match {
+    case LongOffset(v)        => v
     case so: SerializedOffset => LongOffset(so).offset
+    case other => other.json.toLong
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -126,8 +174,8 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       providerName: String,
       parameters: Map[String, String]): Source = {
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
-    maxV.foreach(m => require(m > 0,
-      s"maxVersionsPerTrigger must be positive, got $m"))
+    maxV.foreach(m => require(m > 0 && m <= Int.MaxValue,
+      s"maxVersionsPerTrigger must be a positive int, got $m"))
     new ChangeFeedSource(sqlContext, root(parameters),
       parameters.get("startVersion").map(_.toLong).getOrElse(-1L), maxV)
   }

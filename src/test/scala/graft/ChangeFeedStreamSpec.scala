@@ -184,6 +184,42 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow + cap drains the WHOLE history in capped batches, then stops") {
+    // Regression: a v1 source without SupportsTriggerAvailableNow gets
+    // wrapped under AvailableNow; the wrapper pins the first (capped!)
+    // offset as "all available" and the query stops after one batch with
+    // 17 of 20 versions silently undelivered. The source now implements
+    // SupportsTriggerAvailableNow, so the run must self-terminate only
+    // after the full prepare-time head is drained.
+    val root = tmpDir("cfavnow") + "/t"
+    val t = MergeTable.retailTrans(root, threshold = 100)
+    (1L to 20L).foreach(i => t.applyBatch(upsert(i), Some(s"c$i")))
+    val head = t.latestVersion
+    assert(head >= 19)
+
+    val q = spark.readStream.format("graft-changes")
+      .option("path", root).option("maxVersionsPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName("feed_avnow")
+      .option("checkpointLocation", tmpDir("cfavnow-cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow run did not finish")
+    val ranges = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .flatMap(_.sources.headOption)
+      .map(s => (Option(s.startOffset).map(_.toLong).getOrElse(-1L),
+        s.endOffset.toLong))
+    ranges.foreach { case (st, en) =>
+      assert(en - st <= 3, s"batch ($st, $en] spans more than 3 versions")
+    }
+    assert(ranges.map { case (st, en) => en - st }.sum === head + 1,
+      s"AvailableNow must drain the full history, got $ranges")
+    assert(ranges.size >= 7, s"20+ versions / 3 needs >= 7 batches: $ranges")
+    assertSame(multiset(spark.table("feed_avnow")),
+      multiset(t.changesSince(spark, -1)))
+  }
+
   test("restart mid-catch-up: cap base recovers from the checkpoint, no rewind, no gap") {
     val root = tmpDir("cfmaxvr") + "/t"
     val t = MergeTable.retailTrans(root, threshold = 100)
