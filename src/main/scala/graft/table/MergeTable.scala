@@ -1484,32 +1484,46 @@ final class MergeTable(
     require(!isBranch, "publish from the main handle")
     val b = branch(name)
     val fork = b.forkVersion
-    val head = b.latestVersion
     require(latestVersion == fork,
       s"branch $name diverged: main at v$latestVersion, fork was v$fork")
     val bm = branchesDir.resolve(name).resolve("manifest")
-    // copy + swing under the commit lock: a main commit racing the publish
-    // would otherwise both collide on manifest slots and be overwritten by
-    // the pointer swing; the re-check makes the loser fail loudly with
-    // nothing copied
-    withCommitLock {
-      require(latestVersion == fork,
-        s"branch $name diverged: main at v$latestVersion, fork was v$fork")
-      withDirStream(Files.list(bm))(_.iterator().asScala.foreach { p =>
-        val fn = p.getFileName.toString
-        val keep = fn.startsWith("chunk-") ||
-          (fn.matches("v\\d+\\.manifest") &&
-            fn.stripPrefix("v").stripSuffix(".manifest").toLong > fork)
-        if (keep && !Files.exists(manifestDir.resolve(fn)))
-          Files.copy(p, manifestDir.resolve(fn))
-      })
-      val tmp = rootPath.resolve(s".latest.${UUID.randomUUID()}.tmp")
-      Files.writeString(tmp, head.toString)
-      Files.move(tmp, metaRoot.resolve("_latest"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // The BRANCH's commit lock is held for the whole head-read → copy →
+    // swing → branch-delete sequence: the branch pointer uses a different
+    // monitor and _commit.lock than main, so without it a branch commit
+    // racing the publish lands AFTER the head read, gets copied but not
+    // pointed at, and is then reclaimed as debris — silently lost. Under
+    // the lock, a racing branch committer either landed before the head
+    // read (and is published) or finds the branch directory gone and
+    // fails loudly. Main's lock nests inside (branch → main is the only
+    // dual acquisition, so the ordering cannot deadlock).
+    b.withCommitLock {
+      val head = b.latestVersion
+      // copy + swing under MAIN's commit lock: a main commit racing the
+      // publish would otherwise both collide on manifest slots and be
+      // overwritten by the pointer swing; the re-check makes the loser
+      // fail loudly with nothing copied
+      withCommitLock {
+        require(latestVersion == fork,
+          s"branch $name diverged: main at v$latestVersion, fork was v$fork")
+        withDirStream(Files.list(bm))(_.iterator().asScala.foreach { p =>
+          val fn = p.getFileName.toString
+          val keep = fn.startsWith("chunk-") ||
+            (fn.matches("v\\d+\\.manifest") &&
+              fn.stripPrefix("v").stripSuffix(".manifest").toLong > fork)
+          if (keep && !Files.exists(manifestDir.resolve(fn)))
+            Files.copy(p, manifestDir.resolve(fn))
+        })
+        val tmp = rootPath.resolve(s".latest.${UUID.randomUUID()}.tmp")
+        Files.writeString(tmp, head.toString)
+        Files.move(tmp, metaRoot.resolve("_latest"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      // still under the branch lock: no branch commit can slip in between
+      // the pointer swing and the directory removal (POSIX allows deleting
+      // the held lock file; a waiter then fails on the missing directory)
+      deleteRecursively(branchesDir.resolve(name))
+      head
     }
-    deleteRecursively(branchesDir.resolve(name))
-    head
   }
 
   /** Discard a branch, reclaiming files only it references (post-fork
@@ -1518,16 +1532,22 @@ final class MergeTable(
   def dropBranch(name: String): Unit = synchronized {
     require(!isBranch, "drop from the main handle")
     val b = branch(name)
-    val fork = b.forkVersion
-    val branchSnaps = ((fork + 1) to b.latestVersion)
-      .filter(v => Files.exists(b.manifestPath(v))).map(b.readManifest)
-    val mainData = history.flatMap(_.dataFiles).toSet
-    val mainDels = history.flatMap(_.deleteFiles).toSet
-    branchSnaps.flatMap(_.dataFiles).distinct.filterNot(mainData)
-      .foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
-    branchSnaps.flatMap(_.deleteFiles).distinct.filterNot(mainDels)
-      .foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
-    deleteRecursively(branchesDir.resolve(name))
+    // branch lock held for the scan + delete (same contract as
+    // publishBranch): a committer racing the drop either landed before the
+    // snapshot scan (its files are reclaimed with the branch) or fails
+    // loudly on the missing directory — never a half-tracked commit
+    b.withCommitLock {
+      val fork = b.forkVersion
+      val branchSnaps = ((fork + 1) to b.latestVersion)
+        .filter(v => Files.exists(b.manifestPath(v))).map(b.readManifest)
+      val mainData = history.flatMap(_.dataFiles).toSet
+      val mainDels = history.flatMap(_.deleteFiles).toSet
+      branchSnaps.flatMap(_.dataFiles).distinct.filterNot(mainData)
+        .foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+      branchSnaps.flatMap(_.deleteFiles).distinct.filterNot(mainDels)
+        .foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+      deleteRecursively(branchesDir.resolve(name))
+    }
   }
 
   // ---- tags (immutable named refs: Iceberg tag refs) ----

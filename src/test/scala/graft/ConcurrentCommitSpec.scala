@@ -199,6 +199,47 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(t2.read(spark).count() === 2)
   }
 
+  test("branch commit racing publishBranch is published or fails loudly, never silently lost") {
+    // Window: publishBranch once read the branch head BEFORE taking any
+    // lock that excludes branch committers, so a commit landing during
+    // the copy was copied-but-not-pointed-at and reaped as debris. The
+    // seam fires after the racing committer's base read; the publish runs
+    // to completion right there, so the committer resumes against a
+    // published-and-deleted branch and MUST surface an error.
+    val root = tmpDir("ccp") + "/t"
+    val t = MergeTable.retailTrans(root, threshold = 100)
+    t.applyBatch(batch((1L, "cart", 42, "insert", "2023-01-01 00:00:01", 1L)),
+      Some("base"))
+    val br = t.createBranch("audit")
+    br.applyBatch(batch((2L, "list", 7, "insert", "2023-01-01 00:00:02", 2L)),
+      Some("wap1"))
+
+    val racer = t.branch("audit")
+    var published = false
+    racer.onBaseSnapshotRead = () => if (!published) {
+      published = true
+      t.publishBranch("audit")
+    }
+    val thrown = intercept[Exception] {
+      racer.applyBatch(batch((3L, "visit", 9, "insert", "2023-01-01 00:00:03", 3L)),
+        Some("wap2"))
+    }
+    assert(published, "seam never fired")
+    assert(!thrown.isInstanceOf[MergeTable.CommitConflictException],
+      s"racer must fail loudly, not be silently retried into the void: $thrown")
+
+    // the published main carries exactly the pre-race branch state …
+    val pub = MergeTable.open(root)
+    assert(state(pub) === Map(1L -> ("cart", 42), 2L -> ("list", 7)))
+    assert(pub.currentSnapshot.get.appliedBatches.contains("wap1"))
+    assert(!pub.currentSnapshot.get.appliedBatches.contains("wap2"))
+    // … and stays healthy: no debris above _latest poisons the next commit
+    pub.applyBatch(batch((4L, "like", 1, "insert", "2023-01-01 00:00:04", 4L)),
+      Some("after"))
+    assert(state(pub)(4L) === ("like", 1))
+    assert(pub.history.map(_.version) === (0L to pub.latestVersion).toSeq)
+  }
+
   test("crashed-writer manifest debris above _latest is reclaimed, not resurrected") {
     val root = tmpDir("ccx") + "/t"
     val t = MergeTable.retailTrans(root, threshold = 100)
