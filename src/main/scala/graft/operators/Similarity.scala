@@ -175,7 +175,6 @@ object Similarity {
     */
   private[graft] def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
       k: Int, nlist: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
     val centArr = trainCentroids(corpus, nlist, iters)
     // unit centroids => cos(v, c) = dot(v, c) / |v|
     val vnormOf = (v: Column) =>
@@ -201,19 +200,80 @@ object Similarity {
       .withColumn("csim", array_max(col("sims")))
       .select(col("vec_id"), col("label"), col("v"), col("cell"), col("csim"))
 
-    // per-cell angular radius, slack for fp + the 4dp output rounding
-    val cellStats = assigned.groupBy(col("cell"))
-      .agg(min(col("csim")).as("minc"))
-      .select(col("cell"),
-        (acos(greatest(least(col("minc"), lit(1.0)), lit(-1.0))) + lit(1e-3)).as("rang"))
-
     val q = prepLabeled(queries).select(col("vec_id").as("q_id"),
       col("label").as("q_label"), col("v").as("qv"))
     // query→cell sims via posexplode of the literal argmax array — no join
     val qcell = q.select(col("q_id"),
       posexplode(simsTo(col("qv"), vnormOf(col("qv")))).as(Seq("cell", "qsim")))
 
-    // phase 1: kth-best DIFFERENT-label score within the nProbe nearest cells
+    // queries beyond broadcast size: q joins stay shuffle equi-joins
+    ivfExactRank(assigned, q, qcell, k, nProbe,
+      col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"),
+      broadcastQueries = false)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("rank").cast("long").as("rank"),
+        col("cos_sim"))
+  }
+
+  // ---- shared IVF exact-rerank skeleton ----
+  //
+  // The exactness-critical constants live HERE, once: a tweak to any of
+  // them (say a wider fp slack) changes both "exact" paths together, so
+  // ivfTopKExact and hardNegativesIvf can never silently diverge from
+  // each other — both carry a bit-for-bit-equals-brute-force contract.
+
+  /** Angular slack added to each cell radius: absorbs fp error in the
+    * assignment-side cosine so a member sitting exactly on the radius
+    * still passes the phase-2 bound.
+    */
+  private val RadiusSlackRad = 1e-3
+
+  /** Score slack subtracted from the phase-1 floor in the phase-2 bound
+    * comparison: absorbs the 4dp output rounding of `cos_sim`.
+    */
+  private val FloorSlack = 1e-4
+
+  /** Floor when a query found fewer than k candidates in its probed
+    * cells: below any cosine, so EVERY cell passes the bound and the
+    * path degrades gracefully to brute force — never a wrong answer.
+    */
+  private val NoFloor = -2.0
+
+  /** Exactness-preserving candidate generation + rerank shared by
+    * [[ivfTopKExact]] and [[hardNegativesIvf]] (the callers differ only
+    * in cell-assignment form, query prep, pair predicate, and whether
+    * the query side is broadcastable):
+    *
+    *   1. rank `pairFilter`-eligible members of each query's `nProbe`
+    *      nearest cells; the kth best score is a floor `s_q` on the true
+    *      kth score;
+    *   2. by the spherical triangle inequality, a cell with centroid
+    *      angle θ(q,c) and angular radius r (max member↔centroid angle)
+    *      can hold a candidate only if cos(max(0, θ−r)) ≥ s_q — rerank
+    *      the members of every cell passing that bound.
+    *
+    * Inputs: `assigned` = (vec_id, v, cell, csim, passthrough…) with
+    * csim the UNROUNDED member↔own-centroid cosine; `q` = (q_id, qv,
+    * passthrough…); `qcell` = (q_id, cell, qsim) with qsim the unrounded
+    * query↔centroid cosine for EVERY cell. Returns the ranked pairs
+    * (all of assigned's and q's columns plus cos_sim, rank ≤ k) with the
+    * 4dp rounding and (cos_sim desc, vec_id) tie-break both exact paths
+    * share.
+    */
+  private def ivfExactRank(assigned: DataFrame, q: DataFrame,
+      qcell: DataFrame, k: Int, nProbe: Int, pairFilter: Column,
+      broadcastQueries: Boolean): DataFrame = {
+    val spark = assigned.sparkSession
+    val qj = if (broadcastQueries) broadcast(q) else q
+
+    // per-cell angular radius, slack for fp + the 4dp output rounding
+    val cellStats = assigned.groupBy(col("cell"))
+      .agg(min(col("csim")).as("minc"))
+      .select(col("cell"),
+        (acos(greatest(least(col("minc"), lit(1.0)), lit(-1.0)))
+          + lit(RadiusSlackRad)).as("rang"))
+
+    // phase 1: kth-best eligible score within the nProbe nearest cells
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cell"))
     val probes = qcell.withColumn("prn", row_number().over(wProbe))
@@ -221,32 +281,30 @@ object Similarity {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     val phase1 = assigned.join(probes, Seq("cell"))
-      .join(q, Seq("q_id"))
-      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .join(qj, Seq("q_id"))
+      .filter(pairFilter)
       .withColumn("cos_sim",
         round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
       .withColumn("rank", row_number().over(wRank))
     val floor = phase1.groupBy(col("q_id"))
       .agg(max(when(col("rank") === k, col("cos_sim"))).as("kth"))
-      .select(col("q_id"), coalesce(col("kth"), lit(-2.0)).as("floor"))
+      .select(col("q_id"), coalesce(col("kth"), lit(NoFloor)).as("floor"))
+    val floorJ = if (broadcastQueries) broadcast(floor) else floor
 
     // phase 2: every cell whose angular bound can beat the floor
     val candCells = qcell.join(broadcast(cellStats), Seq("cell"))
-      .join(floor, Seq("q_id"), "left")
+      .join(floorJ, Seq("q_id"), "left")
       .withColumn("theta", acos(greatest(least(col("qsim"), lit(1.0)), lit(-1.0))))
       .withColumn("bound", cos(greatest(col("theta") - col("rang"), lit(0.0))))
-      .filter(col("bound") >= coalesce(col("floor"), lit(-2.0)) - lit(1e-4))
+      .filter(col("bound") >= coalesce(col("floor"), lit(NoFloor)) - lit(FloorSlack))
       .select(col("q_id"), col("cell"))
     val scored = assigned.join(candCells, Seq("cell"))
-      .join(q, Seq("q_id"))
-      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .join(qj, Seq("q_id"))
+      .filter(pairFilter)
       .withColumn("cos_sim",
         round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
     scored.withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
-        col("label").as("neg_label"), col("rank").cast("long").as("rank"),
-        col("cos_sim"))
   }
 
   /** Deterministic pseudo-random hyperplanes: element (i,j) is ±1 from a
@@ -452,45 +510,15 @@ object Similarity {
     }.toDF("vec_id", "v", "cell", "csim")
       .cache()
 
-    // per-cell angular radius, slack for fp + the 4dp output rounding
-    val cellStats = assigned.groupBy(col("cell"))
-      .agg(min(col("csim")).as("minc"))
-      .select(col("cell"),
-        (acos(greatest(least(col("minc"), lit(1.0)), lit(-1.0))) + lit(1e-3)).as("rang"))
-
     val q = asDouble(queries).select(col("vec_id").as("q_id"), col("v").as("qv"))
     val qcell = q.crossJoin(broadcast(cents))
       .withColumn("qsim", GraftFunctions.cosineSim(spark, col("qv"), col("cv")))
-      .select(col("q_id"), col("qv"), col("cent_id").as("cell"), col("qsim"))
+      .select(col("q_id"), col("cent_id").as("cell"), col("qsim"))
 
-    // phase 1: kth-best score within the nProbe nearest cells
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cell"))
-    val probes = qcell.withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe).select(col("q_id"), col("cell"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    val phase1 = assigned.join(probes, Seq("cell"))
-      .join(broadcast(q), Seq("q_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos_sim", round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
-      .withColumn("rank", row_number().over(wRank))
-    val floor = phase1.groupBy(col("q_id"))
-      .agg(max(when(col("rank") === k, col("cos_sim"))).as("kth"))
-      .select(col("q_id"), coalesce(col("kth"), lit(-2.0)).as("floor"))
-
-    // phase 2: every cell whose angular bound can beat the floor
-    val candCells = qcell.join(broadcast(cellStats), Seq("cell"))
-      .join(broadcast(floor), Seq("q_id"), "left")
-      .withColumn("theta", acos(greatest(least(col("qsim"), lit(1.0)), lit(-1.0))))
-      .withColumn("bound", cos(greatest(col("theta") - col("rang"), lit(0.0))))
-      .filter(col("bound") >= coalesce(col("floor"), lit(-2.0)) - lit(1e-4))
-      .select(col("q_id"), col("qv"), col("cell"))
-    val scored = assigned.join(candCells, Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos_sim", round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
-    scored.withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
+    // query batches are broadcast-sized here; the beyond-broadcast regime
+    // is hardNegativesIvf's shuffle-equi-join parameterization
+    ivfExactRank(assigned, q, qcell, k, nProbe,
+      col("vec_id") =!= col("q_id"), broadcastQueries = true)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cos_sim"))
   }
