@@ -34,8 +34,12 @@ final case class MediaFeatures(
   *     (`javax.imageio`, java.desktop module: PNG deflate+unfilter, GIF
   *     LZW, JPEG DCT, BMP — no external jars), exposed as
   *     [[decodePixels]] and driven end-to-end by [[pixelRoundtrip]]
-  *     (q99). Audio/video codecs genuinely aren't in this environment;
-  *     for those the header/byte-stats path below is the honest stand-in.
+  *     (q99). Audio gets the same two real layers in [[AudioWav]]: a
+  *     RIFF/WAVE chunk walker + full PCM sample decode (q100) — WAV
+  *     needs no codec jars, so that path is complete real work, not a
+  *     stand-in. COMPRESSED audio (MP3/AAC) and video codecs genuinely
+  *     aren't in this environment; for those the header/byte-stats path
+  *     below is the honest stand-in.
   *
   * Payloads that are not a recognized image fall back to deterministic
   * byte-derived pseudo-dimensions so non-media payloads (e.g. the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AudioWav, CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator queries (north-star extension): dedup,
   * similarity search, text analysis, multimodal columns — each a `queries`
@@ -263,6 +263,13 @@ object LlmOps {
     // per-channel raster means; oracle = the gradient's closed-form means
     "q99_pixel_decode" -> ((s, d) =>
       Multimodal.pixelRoundtrip(s, Tables.fanout(Tables.documents(s, d)))),
+
+    // REAL WAV/PCM decode round-trip: doc-derived RIFF bytes through the
+    // byte-level writer, parsed back by the independent chunk walker
+    // (odd-chunk padding, 16-bit LE, per-channel stats); oracle = ramp
+    // closed forms incl. the cubic sum-of-squares identity
+    "q100_audio_decode" -> ((s, d) =>
+      AudioWav.audioRoundtrip(s, Tables.fanout(Tables.documents(s, d)))),
 
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
@@ -960,6 +967,36 @@ object LlmOps {
            CAST(((doc_id * 7) % 200 + 200) % 200 AS DOUBLE) + 23.5 AS mean_g,
            CAST(((doc_id * 13) % 256 + 256) % 256 AS DOUBLE) AS mean_b
          FROM documents ORDER BY doc_id""",
+    // WAV round-trip closed forms: the builder's parameters are pure
+    // doc_id arithmetic (floorMod mirrored as ((x%n)+n)%n), channel L is
+    // the ramp base + i*step, channel R its negation, so mean_l has the
+    // arithmetic-series form and the RMS follows from the cubic
+    // sum-of-squares identity. Every value the decoder emits must land on
+    // these forms exactly — a missed pad byte or sign confusion shifts
+    // every sample and fails the hash.
+    "q100_audio_decode" ->
+      """WITH p AS (SELECT doc_id,
+              CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+              1 + ((doc_id % 2) + 2) % 2 AS channels,
+              256 + (((doc_id * 31) % 512) + 512) % 512 AS n,
+              (((doc_id * 17) % 4001) + 4001) % 4001 - 2000 AS base,
+              1 + ((doc_id % 7) + 7) % 7 AS step
+            FROM documents),
+         f AS (SELECT doc_id, rate, channels, n, base, step,
+              CAST(base AS DOUBLE) + step * (n - 1) / 2.0 AS mean_l,
+              n * base * base + 2 * base * step * (n * (n - 1) // 2)
+                + step * step * ((n - 1) * n * (2 * n - 1) // 6) AS sumsq
+            FROM p)
+         SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_frames,
+           floor(n * 1000000.0 / rate) / 1000.0 AS duration_ms,
+           mean_l,
+           CASE WHEN channels = 2 THEN -mean_l ELSE mean_l END AS mean_r,
+           floor(sqrt(CAST(sumsq AS DOUBLE) / n) * 10000) / 10000 AS rms
+         FROM f ORDER BY doc_id""",
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q96_logreg_quality" -> logregOracle(3, 1.0,
       "source IN ('src0','src1','src2','src3','src4')"),

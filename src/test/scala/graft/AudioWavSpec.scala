@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AudioWav
+
+/** The real WAV/PCM codec: chunk-walk correctness (pad bytes, unknown
+  * chunks), sample arithmetic (16-bit signed LE, 8-bit excess-128),
+  * stereo interleave, rejection of malformed containers, and the q100
+  * distributed round-trip against the closed forms.
+  */
+class AudioWavSpec extends SparkSpec {
+
+  private def m(x: Long, n: Long): Long = java.lang.Math.floorMod(x, n)
+
+  test("round-trip matches closed forms, including the odd-junk-chunk ids") {
+    // id 6 hits the odd-sized LIST chunk (6 % 3 == 0) AND stereo; id -7
+    // exercises floorMod on the parameter side
+    Seq(0L, 1L, 5L, 6L, 123L, 1000L, -7L).foreach { id =>
+      val s = AudioWav.decode(AudioWav.buildForDoc(id))
+        .getOrElse(fail(s"decode failed for id=$id"))
+      val n = 256 + m(id * 31, 512)
+      val base = m(id * 17, 4001) - 2000
+      val step = 1 + m(id, 7)
+      assert(s.sampleRate === AudioWav.Rates(m(id, 4).toInt))
+      assert(s.channels === 1 + m(id, 2).toInt)
+      assert(s.nFrames === n)
+      val meanL = base + step * (n - 1) / 2.0
+      assert(s.meanL === meanL, s"mean_l id=$id")
+      assert(s.meanR === (if (s.channels == 2) -meanL else meanL), s"mean_r id=$id")
+      val sumsq = n * base * base + 2 * base * step * (n * (n - 1) / 2) +
+        step * step * ((n - 1) * n * (2 * n - 1) / 6)
+      assert(s.rms === math.sqrt(sumsq.toDouble / n), s"rms id=$id")
+    }
+  }
+
+  test("8-bit PCM decodes as unsigned excess-128") {
+    // hand-built mono 8-bit WAV: samples 0x00, 0x80, 0xFF → -128, 0, 127
+    val data = Array[Byte](0x00, 0x80.toByte, 0xFF.toByte)
+    val buf = ByteBuffer.allocate(8 + 4 + 24 + 8 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 8 + 4)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(3).put(data).put(0.toByte)
+    val s = AudioWav.decode(buf.array()).getOrElse(fail("8-bit decode failed"))
+    assert(s.bitsPerSample === 8 && s.nFrames === 3)
+    assert(s.meanL === (-128 + 0 + 127) / 3.0)
+    assert(s.rms === math.sqrt((128.0 * 128 + 0 + 127.0 * 127) / 3))
+  }
+
+  test("malformed containers are rejected, never mis-parsed") {
+    val good = AudioWav.buildForDoc(42L)
+    assert(AudioWav.decode(Array.empty[Byte]).isEmpty, "empty")
+    assert(AudioWav.decode("RIFFxxxxWEBP".getBytes).isEmpty, "wrong form type")
+    assert(AudioWav.decode(good.take(40)).isEmpty, "truncated mid-chunk")
+    // data chunk truncated: shrink the array but keep headers intact
+    assert(AudioWav.decode(good.take(good.length - 1)).isEmpty, "truncated data")
+    // non-PCM audioFormat (offset 20 = fmt payload start, LE u16)
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    assert(AudioWav.decode(nonPcm).isEmpty, "float format must be rejected")
+    // 3 channels
+    val tooMany = good.clone(); tooMany(22) = 3
+    assert(AudioWav.decode(tooMany).isEmpty, "3 channels must be rejected")
+  }
+
+  test("unknown chunks are skipped by size; a missed pad byte would desync") {
+    // id 6 carries the odd LIST chunk before data: successful decode
+    // proves the walker honored the pad byte (off-by-one lands inside
+    // 'data'+garbage and fails one of the guards)
+    val bytes = AudioWav.buildForDoc(6L)
+    assert(new String(bytes, 36, 4, "US-ASCII") === "LIST",
+      "fixture must carry the junk chunk")
+    assert(AudioWav.decode(bytes).nonEmpty)
+  }
+
+  test("q100 distributed round-trip equals the SQL closed forms (sample)") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 2L, 3L, 6L, 99L, 12345L).toDF("doc_id")
+    val out = graft.operators.AudioWav.audioRoundtrip(spark, docs).collect()
+    assert(out.length === 7)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = 256 + m(id * 31, 512)
+      assert(r.getLong(3) === n)
+      val base = m(id * 17, 4001) - 2000
+      val step = 1 + m(id, 7)
+      assert(r.getDouble(5) === base + step * (n - 1) / 2.0)
+    }
+  }
+}
