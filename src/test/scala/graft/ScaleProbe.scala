@@ -29,7 +29,26 @@ object ScaleProbe {
   val DstDir = "/root/repo/tmp/sf1-synth"
   val Replicas = 10
   val ChainQueries = Seq("q26_dedup_jaccard", "q64_dedup_clusters",
-    "q66_dedup_survivors", "q88_span_removal", "q89_kmeans")
+    "q66_dedup_survivors", "q88_span_removal", "q89_kmeans",
+    "hard_negatives_ivf_1k")
+
+  /** Probe-only members beyond the SparkEntry registry. The IVF
+    * hard-negatives probe pins the candidate-bounded path
+    * (broadcastThresholdBytes = 0) with the SAME 1000 queries at both
+    * scales (replica 0 keeps original vec_ids, so `vec_id < 1000`
+    * selects identically), measuring how per-query cost grows with
+    * CORPUS size alone — the at-scale question for mining against a
+    * growing corpus. Expected ≈ linear (probed-cell size ∝ N at fixed
+    * nlist); production additionally grows nlist with the corpus
+    * (Faiss practice nlist ∝ √N) to cut the per-cell factor.
+    */
+  val ExtraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hard_negatives_ivf_1k" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Similarity.hardNegatives(
+        e, e.filter(col("vec_id") < 1000), k = 10,
+        broadcastThresholdBytes = 0L)
+    }))
 
   def gen(spark: SparkSession): Unit = {
     Files.createDirectories(Paths.get(DstDir))
@@ -66,9 +85,10 @@ object ScaleProbe {
     * stall-guard recipe) at one scale dir.
     */
   def timeAll(spark: SparkSession, dir: String, sweeps: Int): Map[String, Double] = {
+    val registry = SparkEntry.queries ++ ExtraQueries
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
+      registry(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
