@@ -254,6 +254,97 @@ object Dedup {
     try out.localCheckpoint(true) finally docs.unpersist(blocking = false)
   }
 
+  /** Modulus for the portable affine hash family: 2^31−1 (Mersenne prime).
+    * Products stay ≤ (2k+1)·2^32 ≈ 2^38 — exact in BIGINT arithmetic in
+    * both Spark and any ANSI SQL engine, which is the whole point.
+    */
+  private[graft] val PortableP = 2147483647L
+
+  /** Base hash both engines compute bit-identically: the first 8 hex chars
+    * of md5(s) read as an integer (Spark `conv(…,16,10)`; SQL
+    * `CAST('0x'||… AS BIGINT)`). 32 bits — plenty for shingle identity at
+    * verification-backed candidate generation.
+    */
+  private[graft] def portableHash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Portable-hash twin of [[minhashLshPairs]] (q101): the identical
+    * signature → band → candidate → exact-Jaccard pipeline, but over a
+    * hash family a SQL oracle can replay bit-for-bit — base(s) =
+    * [[portableHash32]], row hashes h_i = ((2i+3)·base + 7919·i + 1) mod
+    * 2^31−1, band keys a base-31 polynomial fold of each signature slice.
+    * q27 (seed-42 xxhash64) remains the production/scale variant (8-byte
+    * hashed-tuple shingles, one fused codegen pass); its CORRECTNESS rows
+    * were `no_oracle` only because DuckDB cannot replicate xxhash64 — this
+    * twin closes that gap by hash-checking the ALGORITHM end-to-end under
+    * an oracle-expressible family. Shingles here are the n-token STRINGS
+    * (the oracle's representation), built row-locally with no explode;
+    * the same LSH recall/candidate-bounding analysis applies unchanged.
+    */
+  def minhashLshPairsPortable(df: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val w = filter(split(col("text"), " "), t => t =!= lit(""))
+    val shingleStrs = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", w)))
+    // base hash computed once per distinct shingle, signatures from the
+    // hashed array — still zero explosion, zero shuffle before banding
+    val docs = df.select(col("doc_id"), array_distinct(shingleStrs).as("sh"))
+      .withColumn("hb", transform(col("sh"), s => portableHash32(s)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val sigCols = (0 until k).map(i =>
+      array_min(transform(col("hb"),
+        b => (b * lit(2L * i + 3) + lit(7919L * i + 1)) % lit(PortableP))).as(s"h$i"))
+    val sig = docs.select(col("doc_id") +: sigCols: _*)
+
+    def fold(cs: Seq[Column]): Column =
+      cs.reduce((acc, h) => (acc * lit(31L) + h) % lit(PortableP))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        fold((b * rows until (b + 1) * rows).map(i => col(s"h$i"))).as("bkey"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val out = verifyJaccard(cands, docs.select(col("doc_id"), col("sh")), threshold)
+    PlanCapture.record("q101_minhash_portable (pre-checkpoint)", out)
+    try out.localCheckpoint(true) finally docs.unpersist(blocking = false)
+  }
+
+  /** Portable SimHash twin of [[simhash]] (q102): 60-bit signature — token
+    * hash = the first 15 hex chars of md5(token) (60 bits, BIGINT-safe in
+    * every engine); bit j is set iff the Σ±1 vote over token OCCURRENCES
+    * is strictly positive, i.e. the classic frequency-weighted SimHash.
+    * The production variant stays the row-local codegen'd SimHash64
+    * expression (no explode, no shuffle); this twin takes the
+    * explode+groupBy formulation — one equi-shuffle on doc_id — because
+    * the oracle must observe the same per-token votes, and exists to
+    * hash-check the signature construction end-to-end (q28's rows were
+    * `no_oracle` purely for xxhash64 replicability).
+    */
+  def simhashPortable(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val perTok = df.select(col(idCol).as("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val sigExpr = (0 until 60).map { j =>
+      (sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)) > 0)
+        .cast("long") * lit(1L << j)
+    }.reduce(_ + _)
+    perTok.groupBy(col("doc_id")).agg(sigExpr.as("simhash"))
+  }
+
   /** 64-bit SimHash per document from whitespace tokens; near-dup pairs by
     * Hamming distance with 16-bit-chunk banding (a pair within distance d
     * over 4 chunks must share at least one exact chunk when d < 4... more

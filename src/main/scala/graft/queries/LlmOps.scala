@@ -32,6 +32,18 @@ object LlmOps {
       Dedup.simhashPairs(Tables.fanout(Tables.documents(s, d)), maxHamming = 10)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // portable-hash twins of q27/q28: same algorithms under an
+    // oracle-expressible hash family (md5-prefix base), so MinHash/SimHash
+    // get full hash-checked rows instead of q27/q28's no_oracle
+    "q101_minhash_portable" -> ((s, d) =>
+      Dedup.minhashLshPairsPortable(Tables.fanout(Tables.documents(s, d)),
+        n = 3, k = 16, bands = 4, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q102_simhash_portable" -> ((s, d) =>
+      Dedup.simhashPortable(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -591,7 +603,74 @@ object LlmOps {
     ("qb" +: (0 until 8).map(i => s"xor(qb, ${1L << i})"))
       .mkString("[", ", ", "]")
 
+  /** q101 oracle: replay the portable MinHash+LSH pipeline exactly —
+    * generated so the 16 affine row-hash mins and the 4 band folds carry
+    * the same constants as `Dedup.minhashLshPairsPortable` (P = 2^31−1,
+    * a_i = 2i+3, b_i = 7919i+1, base-31 fold).
+    */
+  private val minhashPortableSql: String = {
+    val P = graft.operators.Dedup.PortableP
+    val mins = (0 until 16).map(i =>
+      s"min((b*${2L * i + 3} + ${7919L * i + 1}) % $P) AS h$i")
+      .mkString(",\n                ")
+    val bandSelects = (0 until 4).map { b =>
+      val key = (b * 4 until (b + 1) * 4).map(i => s"h$i")
+        .reduce((acc, h) => s"(($acc) * 31 + $h) % $P")
+      s"SELECT doc_id, $b AS band, ($key) AS bkey FROM sig"
+    }.mkString("\n            UNION ALL ")
+    s"""WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         hb AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(s),1,8) AS BIGINT) AS b
+                FROM sh),
+         sig AS (SELECT doc_id,
+                $mins
+            FROM hb GROUP BY doc_id),
+         bk AS ($bandSelects),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bk a JOIN bk b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cm AS (SELECT da, db, count(*) AS c
+            FROM cand
+            JOIN sh sa ON sa.doc_id = da
+            JOIN sh sb ON sb.doc_id = db AND sa.s = sb.s
+            GROUP BY da, db)
+         SELECT da AS doc_a, db AS doc_b,
+                floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 AS jaccard
+         FROM cm JOIN sizes sa ON da = sa.doc_id
+                 JOIN sizes sb ON db = sb.doc_id
+         WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8
+         ORDER BY doc_a, doc_b"""
+  }
+
+  /** q102 oracle: the 60 per-bit Σ±1 occurrence votes replayed literally
+    * (generated so each bit mask matches `Dedup.simhashPortable`).
+    */
+  private val simhashPortableSql: String = {
+    val bits = (0 until 60).map(j =>
+      s"(CASE WHEN sum(CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n            + ")
+    s"""WITH t AS (SELECT doc_id,
+            unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+          FROM documents),
+         h AS (SELECT doc_id,
+                 CAST('0x' || substring(md5(tok),1,15) AS BIGINT) AS h
+               FROM t)
+         SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         FROM h GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q101_minhash_portable" -> minhashPortableSql,
+    "q102_simhash_portable" -> simhashPortableSql,
     "q31_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings),
