@@ -166,10 +166,42 @@ object Extra {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 2).as("approx_p50"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // q44's ERROR-CONTRACT twin: the sketch values themselves cannot be
+    // oracle-replayed (HLL register layouts / KLL compaction differ per
+    // engine), but the accuracy CONTRACT can — emit the exact answers
+    // plus booleans asserting each estimate lands within its documented
+    // bound (HLL default rsd 0.05 → |err| ≤ 2·rsd; percentile_approx
+    // accuracy 1000 → rank error ≤ 0.001, asserted at 10× slack via the
+    // exact 0.49/0.51 quantile bracket). The oracle computes the exact
+    // side and TRUE literals for the contract columns: a sketch
+    // regression flips a boolean and fails the hash.
+    "q103_sketch_bounds" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("hll"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+          expr("percentile(l_extendedprice, 0.49)").as("p_lo"),
+          expr("percentile(l_extendedprice, 0.51)").as("p_hi"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("hll") - col("exact_parts"))
+            <= col("exact_parts") * lit(0.10)).as("hll_within"),
+          (col("ap50") >= col("p_lo") && col("ap50") <= col("p_hi"))
+            .as("p50_within"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q103_sketch_bounds" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS exact_parts,
+         TRUE AS hll_within,
+         TRUE AS p50_within
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q60_salted_agg" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
