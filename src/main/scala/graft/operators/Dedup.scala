@@ -225,22 +225,12 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val rows = k / bands
     // persisted for the same reasons as in ngramJaccardPairs: signature
     // build + two verification joins all read the shingle index
     val docs = shingleArrays(df, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sigCols = (0 until k).map(i =>
-      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i"))
-    val sig = docs.select(col("doc_id") +: sigCols: _*)
-
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bkey"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val buckets = minhashBuckets(docs, k, bands)
 
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -252,6 +242,27 @@ object Dedup {
     // same eager-checkpoint + release as ngramJaccardPairs
     PlanCapture.record("q27_dedup_minhash (pre-checkpoint)", out)
     try out.localCheckpoint(true) finally docs.unpersist(blocking = false)
+  }
+
+  /** MinHash band buckets for a shingle-array frame (`doc_id`, `sh`):
+    * k per-row signature mins (array_min ∘ transform — no explosion, no
+    * shuffle), then one (band, bkey) row per band from hashing each
+    * signature slice. Shared by [[minhashLshPairs]] (batch pair mining)
+    * and [[IncrementalDedup]] (the persistent-index delta path) so the
+    * two can never disagree on bucketing.
+    */
+  private[graft] def minhashBuckets(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sigCols = (0 until k).map(i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i"))
+    val sig = docs.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
   /** Modulus for the portable affine hash family: 2^31−1 (Mersenne prime).

@@ -44,6 +44,27 @@ object LlmOps {
       Dedup.simhashPortable(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // incremental dedup against a persistent index, replayed as two
+    // parity-split batches: batch 1 (even ids) dedups within itself and
+    // seeds the index; batch 2 (odd ids) dedups within itself AND against
+    // batch 1's accepted docs. Oracle replays both connected-component
+    // rounds (recursive CTEs) + the cross-batch exact-Jaccard drop; the
+    // hash match relies on the LSH candidate stage having full recall at
+    // these parameters on this data — empirically true (q101's banded
+    // pair set equals q26's exact pair set), and the spec holds the
+    // recall-independent contract
+    "q104_incremental_dedup" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("dedupidx-q").toString
+      val idx = graft.operators.IncrementalDedup.create(root)
+      val docs = Tables.fanout(Tables.documents(s, d))
+      val a1 = idx.dedupeBatch(docs.filter(col("doc_id") % 2 === 0),
+        batchId = Some("p1"))
+      val a2 = idx.dedupeBatch(docs.filter(col("doc_id") % 2 =!= 0),
+        batchId = Some("p2"))
+      a1.select(col("doc_id")).union(a2.select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -668,7 +689,56 @@ object LlmOps {
          FROM h GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** q104 oracle: both within-batch dedups as recursive-CTE connected
+    * components (min-id survivor, the q64 machinery) over the exact
+    * Jaccard pair set, then the cross-batch rule — an odd-id survivor
+    * drops iff it pairs at J ≥ 0.8 with an even-id ACCEPTED doc.
+    */
+  private val incrementalDedupSql: String = {
+    def component(tag: String, par: Int) =
+      s"""e$tag AS (SELECT da AS a, db AS b FROM jp WHERE da%2=$par AND db%2=$par
+               UNION SELECT db, da FROM jp WHERE da%2=$par AND db%2=$par),
+         r$tag(a,b) AS (SELECT a, b FROM e$tag
+               UNION SELECT r.a, e.b FROM r$tag r JOIN e$tag e ON r.b = e.a),
+         drop$tag AS (SELECT n.a AS doc_id
+               FROM (SELECT DISTINCT a FROM e$tag) n JOIN r$tag r ON r.a = n.a
+               GROUP BY n.a HAVING n.a <> least(n.a, min(r.b)))"""
+    s"""WITH RECURSIVE
+         docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+         jp AS (SELECT da, db
+            FROM cm JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+            WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8),
+         ${component("1", 0)},
+         acc1 AS (SELECT doc_id FROM docs WHERE doc_id%2=0
+              AND doc_id NOT IN (SELECT doc_id FROM drop1)),
+         ${component("2", 1)},
+         surv2 AS (SELECT doc_id FROM docs WHERE doc_id%2=1
+              AND doc_id NOT IN (SELECT doc_id FROM drop2)),
+         cdrop AS (SELECT da AS doc_id FROM jp
+              WHERE da%2=1 AND db%2=0 AND db IN (SELECT doc_id FROM acc1)
+              UNION SELECT db FROM jp
+              WHERE db%2=1 AND da%2=0 AND da IN (SELECT doc_id FROM acc1)),
+         acc2 AS (SELECT doc_id FROM surv2
+              WHERE doc_id NOT IN (SELECT doc_id FROM cdrop))
+         SELECT doc_id FROM acc1 UNION ALL SELECT doc_id FROM acc2
+         ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q104_incremental_dedup" -> incrementalDedupSql,
     "q101_minhash_portable" -> minhashPortableSql,
     "q102_simhash_portable" -> simhashPortableSql,
     "q31_ann_lsh" ->

@@ -34,4 +34,22 @@ object CorpusStreams {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("ingest_ts"), col("text"), col("lang_id"),
         col("content_hash"), col("n_words"), col("quality_score"))
+
+  /** Continuous NEAR-dup-deduped ingestion: each micro-batch of documents
+    * is deduped within itself and against the persistent
+    * [[graft.operators.IncrementalDedup]] index, and survivors append to
+    * `out`. All three writes (sigs, bands, corpus) key idempotence off
+    * the streaming epoch id, so checkpoint-recovery replays land
+    * exactly-once — the dedup state is the INDEX TABLES, unbounded by any
+    * watermark (unlike `prepare`'s within-horizon exact dedup), which is
+    * the semantics a training corpus actually needs: a crawl re-fetching
+    * last month's page is still a duplicate.
+    */
+  def dedupedIngest(docs: DataFrame, index: graft.operators.IncrementalDedup,
+      out: graft.table.MergeTable, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
+      val accepted = index.dedupeBatch(b, threshold, Some(s"ingest-$epoch"))
+      out.appendAll(accepted, Some(s"ingest-$epoch"))
+    }
 }
