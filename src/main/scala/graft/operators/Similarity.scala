@@ -260,7 +260,7 @@ object Similarity {
     * 4dp rounding and (cos_sim desc, vec_id) tie-break both exact paths
     * share.
     */
-  private def ivfExactRank(assigned: DataFrame, q: DataFrame,
+  private[graft] def ivfExactRank(assigned: DataFrame, q: DataFrame,
       qcell: DataFrame, k: Int, nProbe: Int, pairFilter: Column,
       broadcastQueries: Boolean): DataFrame = {
     val spark = assigned.sparkSession
@@ -470,23 +470,24 @@ object Similarity {
     * unit vectors with deterministic init (no RNG), so plans and results
     * are reproducible across runs and engines.
     */
-  def ivfTopKExact(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Cell assignment = per-row argmax over the broadcast centroid set —
+    * ONE narrow pass, no shuffle. (A crossJoin + row_number formulation
+    * blows the corpus up nlist× and shuffle-sorts it per query; at 100 TB
+    * that's the difference between a scan and a 16×-corpus exchange.)
+    * Ties keep the lowest cent_id, matching the window tie-break the
+    * approximate ivfTopK uses. Assignment is on UNROUNDED similarity; it
+    * doubles as the radius input, so the geometry stays consistent.
+    * Shared by [[ivfTopKExact]] and [[VectorIndex]] (the persistent,
+    * incrementally-maintained variant) so assignment can never drift.
+    * Input `c` must be (vec_id, v: array<double>); returns
+    * (vec_id, v, cell, csim), NOT cached — callers decide.
+    */
+  private[graft] def assignCells(c: DataFrame,
+      centArr: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = c.sparkSession
     import spark.implicits._
-    val centArr = trainCentroids(corpus, nlist, iters)
-    val cents = centArr.toSeq.toDF("cent_id", "cv")
-    val c = asDouble(corpus)
-
-    // Cell assignment = per-row argmax over the broadcast centroid set —
-    // ONE narrow pass, no shuffle. (A crossJoin + row_number formulation
-    // blows the corpus up nlist× and shuffle-sorts it per query; at 100 TB
-    // that's the difference between a scan and a 16×-corpus exchange.)
-    // Ties keep the lowest cent_id, matching the window tie-break the
-    // approximate ivfTopK uses. Assignment is on UNROUNDED similarity;
-    // it doubles as the radius input, so the geometry stays consistent.
     val bcCents = spark.sparkContext.broadcast(centArr.map(_._2))
-    val assigned = c.as[(Long, Array[Double])].mapPartitions { it =>
+    c.as[(Long, Array[Double])].mapPartitions { it =>
       val cs = bcCents.value
       val cNorms = cs.map { cv =>
         var s = 0.0; var i = 0
@@ -508,7 +509,17 @@ object Similarity {
         (id, v, best, bestSim)
       }
     }.toDF("vec_id", "v", "cell", "csim")
-      .cache()
+  }
+
+  def ivfTopKExact(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centArr = trainCentroids(corpus, nlist, iters)
+    val cents = centArr.toSeq.toDF("cent_id", "cv")
+    val c = asDouble(corpus)
+
+    val assigned = assignCells(c, centArr).cache()
 
     val q = asDouble(queries).select(col("vec_id").as("q_id"), col("v").as("qv"))
     val qcell = q.crossJoin(broadcast(cents))

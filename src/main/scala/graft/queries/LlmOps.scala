@@ -81,6 +81,21 @@ object LlmOps {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // persistent IVF index maintained incrementally: train+seed on the
+    // even-id half, addBatch the odd half WITHOUT retraining, query the
+    // whole corpus. The two-phase angular bound keeps queries exact under
+    // drifted centroids, so the oracle is plain brute force over all
+    // vectors — the index changes the COST shape, never the answer
+    "q105_vector_index" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("vecidx-q").toString
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.VectorIndex.create(root,
+        e.filter(col("vec_id") % 2 === 0), nlist = 16)
+      idx.addBatch(e.filter(col("vec_id") % 2 =!= 0), Some("delta"))
+      idx.query(e.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "q59_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       // k-means-trained centroids + two-phase angular-bound probing: the
@@ -738,6 +753,19 @@ object LlmOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // exact-by-construction: the incremental index's oracle IS brute
+    // force, identical to q30's shape
+    "q105_vector_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         scored AS (SELECT q_id, vec_id,
+              round(list_cosine_similarity(qv, v), 4) AS cos_sim
+            FROM q JOIN e ON vec_id <> q_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+         SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
+         FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
     "q104_incremental_dedup" -> incrementalDedupSql,
     "q101_minhash_portable" -> minhashPortableSql,
     "q102_simhash_portable" -> simhashPortableSql,

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, VectorIndex}
+
+/** The persistent incremental IVF index: exactness vs brute force after
+  * incremental adds (including adversarial drift the trained centroids
+  * never saw), idempotent replay, and reopen-from-disk.
+  */
+class VectorIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic unit-ish vectors in 8 dims; ids pick the pattern. */
+  private def vecs(ids: Range, shift: Double = 0.0): DataFrame =
+    ids.map { i =>
+      val v = (0 until 8).map(j =>
+        (math.sin(i * 1.7 + j * 0.9) + shift).toFloat).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+
+  test("query equals brute force after an incremental add") {
+    val idx = VectorIndex.create(tmpDir("vecidx"), vecs(0 until 40), nlist = 4)
+    idx.addBatch(vecs(40 until 80), Some("b2"))
+    assert(idx.indexedVectors(spark) === 80)
+
+    val all = vecs(0 until 80)
+    val queries = all.filter(col("vec_id") < 3)
+    val got = idx.query(queries, k = 5)
+      .select("q_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = Similarity.bruteForceTopK(all, queries, k = 5)
+      .select("q_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("drifted additions stay exact (bound widens, never misses)") {
+    // train on a tight cluster, then add a SHIFTED cluster the centroids
+    // never saw — worst case for IVF pruning, must not cost correctness
+    val idx = VectorIndex.create(tmpDir("vecidx"), vecs(0 until 30), nlist = 4)
+    idx.addBatch(vecs(100 until 130, shift = 2.5), Some("drift"))
+
+    val all = vecs(0 until 30).union(vecs(100 until 130, shift = 2.5))
+    val queries = all.filter(col("vec_id").isin(0L, 100L, 115L))
+    val got = idx.query(queries, k = 7)
+      .select("q_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = Similarity.bruteForceTopK(all, queries, k = 7)
+      .select("q_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("addBatch replay is a no-op; open() resumes from disk") {
+    val root = tmpDir("vecidx")
+    val idx = VectorIndex.create(root, vecs(0 until 20), nlist = 4)
+    idx.addBatch(vecs(20 until 30), Some("b2"))
+    val v1 = idx.vectors.latestVersion
+    idx.addBatch(vecs(20 until 30), Some("b2"))
+    assert(idx.vectors.latestVersion === v1, "replay must not commit")
+
+    val re = VectorIndex.open(root)
+    assert(re.nlist === 4)
+    assert(re.indexedVectors(spark) === 30)
+    val q = vecs(0 until 30).filter(col("vec_id") === 5)
+    val got = re.query(q, k = 3).select("neighbor_id").as[Long].collect().toSet
+    val want = Similarity.bruteForceTopK(vecs(0 until 30), q, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got === want)
+  }
+}
