@@ -277,6 +277,61 @@ object CorpusOps {
     try out.localCheckpoint(true) finally starts.unpersist(blocking = false)
   }
 
+  /** Global first-occurrence segment dedup — the CCNet / RefinedWeb
+    * LINE-level dedup policy: split every document into segments, keep
+    * only the globally FIRST occurrence of each distinct segment
+    * (ordered by (doc_id, position)), drop every later repeat — whether
+    * in the same document or any other — and reassemble each document
+    * from its surviving segments in order. This is the complementary
+    * policy family to [[removeDupSpans]]: Lee et al.'s ExactSubstr
+    * excises ALL duplicated occurrences (both copies lose the span);
+    * CCNet keeps exactly one canonical copy of each line and the corpus
+    * never loses content entirely. Real corpora segment on newlines;
+    * the fixture text has none, so the segmenter here is fixed
+    * `segWords`-token windows — the pipeline shape (explode → global
+    * argmin → reassemble) is identical for any boundary rule.
+    *
+    * Emits one row per document: total segments, segments kept, and the
+    * md5 of the reassembled surviving text (a document made entirely of
+    * previously-seen segments collapses to md5 of the empty string).
+    *
+    * Shape at scale: segments are built row-locally (one `sequence` +
+    * `slice` generate per doc, no window function over the corpus);
+    * the first-occurrence winner is ONE aggregation on the segment key
+    * — `min(struct(doc_id, seg_ord))`, map-side combinable, shuffling
+    * 16-byte key + 16-byte winner rows; the keep/drop decision is an
+    * equi-join back on the same key; reassembly is one groupBy on
+    * doc_id. Segment text crosses a shuffle exactly twice (winner join,
+    * reassembly) — O(corpus tokens) end to end, never corpus², and no
+    * global ordering anywhere (the "first" relation is the natural
+    * (doc_id, position) order, decided per key, not via a total sort).
+    */
+  def lineDedup(docs: DataFrame, segWords: Int = 12,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segWords > 0)
+    val segs = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.wsTokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")), lit(1)),
+          lit(segWords))).as("start"))
+      .select(col("doc_id"),
+        floor((col("start") - 1) / segWords).cast("long").as("seg_ord"),
+        concat_ws(" ", slice(col("w"), col("start"), lit(segWords))).as("seg"))
+      .withColumn("k", md5(col("seg")))
+    val winners = segs.groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("seg_ord"))).as("first"))
+    segs.join(winners, Seq("k"))
+      .withColumn("kept",
+        col("first.doc_id") === col("doc_id") && col("first.seg_ord") === col("seg_ord"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_ord"), col("seg"))))),
+          x => x.getField("seg")))).as("kept_md5"))
+  }
+
   /** Distributed BPE merge training (the tokenizer-learning primitive):
     * learn the first `merges` byte-pair merges from the corpus, greedy
     * highest-frequency-first with lexicographic tie-break. Returns one

@@ -65,6 +65,10 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    "q106_line_dedup" -> ((s, d) =>
+      CorpusOps.lineDedup(Tables.fanout(Tables.documents(s, d)), segWords = 12)
+        .orderBy(col("doc_id"))),
+
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -767,6 +771,29 @@ object LlmOps {
          SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
          FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
     "q104_incremental_dedup" -> incrementalDedupSql,
+    // CCNet line-level policy replayed with a window: first occurrence
+    // per segment key ordered by (doc_id, seg_ord) is the keeper; the
+    // reassembled text is the ordered string_agg of kept segments
+    "q106_line_dedup" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         segs AS (SELECT doc_id,
+              CAST((start - 1) // 12 AS BIGINT) AS seg_ord,
+              array_to_string(w[start:start+11], ' ') AS seg
+            FROM (SELECT doc_id, w,
+                    unnest(generate_series(1, greatest(len(w), 1), 12)) AS start
+                  FROM docs) t),
+         keyed AS (SELECT doc_id, seg_ord, seg,
+              row_number() OVER (PARTITION BY md5(seg)
+                ORDER BY doc_id, seg_ord) AS rn
+            FROM segs)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+             ORDER BY seg_ord), '')) AS kept_md5
+         FROM keyed GROUP BY doc_id ORDER BY doc_id""",
     "q101_minhash_portable" -> minhashPortableSql,
     "q102_simhash_portable" -> simhashPortableSql,
     "q31_ann_lsh" ->

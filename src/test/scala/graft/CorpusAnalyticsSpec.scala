@@ -78,6 +78,34 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(o2(1).getString(3) === md5of("u"))
   }
 
+  test("lineDedup: global first occurrence wins; repeats drop within and across docs") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "a b c d a b"), // segs "a b","c d","a b" — the third repeats the first
+      (2L, "c d x y"),     // "c d" already seen in doc 1; "x y" is new
+      (3L, "a b c d"),     // every segment seen → collapses to the empty string
+      (4L, "a b c")        // tail segment "c" is shorter than segWords and kept
+    ).toDF("doc_id", "text")
+    def md5of(s: String) = toy.sparkSession.range(1)
+      .select(md5(lit(s))).head().getString(0)
+    val out = CorpusOps.lineDedup(toy, segWords = 2).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byId(1L) === ((3L, 2L, md5of("a b c d"))))
+    assert(byId(2L) === ((2L, 1L, md5of("x y"))))
+    assert(byId(3L) === ((2L, 0L, md5of(""))))
+    assert(byId(4L) === ((2L, 1L, md5of("c"))))
+    // the policy keeps one canonical copy: unlike removeDupSpans, no
+    // segment text vanishes from the corpus entirely
+    val keptTotal = out.map(_.getLong(2)).sum
+    assert(keptTotal === 4L) // "a b","c d","x y","c" each survive exactly once
+    // partitioning-independent: the winner is an argmin, not a scan order
+    val re = CorpusOps.lineDedup(toy.repartition(7), segWords = 2)
+      .orderBy("doc_id").collect()
+    assert(re.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      === out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq)
+  }
+
   test("bpeMerges: greedy weighted merges with left-to-right application") {
     import spark.implicits._
     // "aaab" x3, "ab" x2: chars a,a,a,b / a,b
