@@ -680,6 +680,70 @@ object CorpusOps {
       .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("shard"))
   }
 
+  /** Fixed-length training-sequence packing — the final pretraining
+    * data-prep stage: conceptually concatenate every document's tokens
+    * in id order into one stream, cut the stream into consecutive
+    * sequences of exactly `seqLen` tokens, and emit the sequence ↔
+    * document span map (one row per intersection) — the metadata a
+    * packed-example collator needs for attention-boundary masks. Each
+    * row carries (seq_id, doc_id, doc_start, seq_off, seg_len) plus the
+    * md5 of the segment's tokens, so the cut is verified at TOKEN level,
+    * not just by arithmetic. [[chunkDocs]] windows WITHIN a document and
+    * [[packShards]] assigns whole documents to budgets; this is the
+    * cross-document concat-and-cut neither expresses.
+    *
+    * Shape at scale: the global start offset of every document is the
+    * same distributed prefix sum as [[packShards]] (range-bucketed local
+    * windows + a broadcast offsets table of one row per range — never a
+    * single global-order window). The window pass runs over SLIM
+    * (doc_id, n_tokens) rows only; token arrays join back afterward on
+    * doc_id — buffering arrays through a window sort would make the
+    * window the memory bottleneck, a hash join of slim rows is not. Span
+    * expansion is row-local `sequence` + `slice` (bounded by spans-per-
+    * doc, ~n/seqLen + 1); there is no corpus-sized shuffle keyed on
+    * anything but doc_id, and no stage sees global order.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, idCol: String = "doc_id",
+      textCol: String = "text", rangeWidth: Long = 1000L): DataFrame = {
+    require(seqLen > 0)
+    val toked = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.wsTokens(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .filter(col("n") > 0)
+    val toks = toked.select(col("doc_id"), col("n"))
+      .withColumn("rng", floor(col("doc_id") / rangeWidth).cast("long"))
+    val wLocal = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = toks.withColumn("local_cum", sum(col("n")).over(wLocal))
+    val totals = local.groupBy(col("rng")).agg(max(col("local_cum")).as("rng_total"))
+    // one row per range; see packShards for why the partition key is a
+    // non-foldable constant rather than a bare literal
+    val wOff = Window.partitionBy(pmod(col("rng"), lit(1))).orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("offset", coalesce(sum(col("rng_total")).over(wOff), lit(0L)))
+      .select(col("rng"), col("offset"))
+    val placed = local.join(broadcast(offsets), Seq("rng"))
+      .withColumn("gstart", col("offset") + col("local_cum") - col("n"))
+      .select(col("doc_id"), col("gstart"))
+    toked.join(placed, Seq("doc_id"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("gstart") / seqLen).cast("long"),
+        floor((col("gstart") + col("n") - 1) / seqLen).cast("long"))))
+      .withColumn("doc_start",
+        greatest(col("seq_id") * seqLen - col("gstart"), lit(0L)))
+      .withColumn("seq_off",
+        greatest(col("gstart") - col("seq_id") * seqLen, lit(0L)))
+      .withColumn("seg_len",
+        least((col("seq_id") + 1) * seqLen, col("gstart") + col("n"))
+          - greatest(col("seq_id") * seqLen, col("gstart")))
+      .select(col("seq_id"), col("doc_id"), col("doc_start"), col("seq_off"),
+        col("seg_len"),
+        md5(concat_ws(" ",
+          slice(col("w"), (col("doc_start") + 1).cast("int"),
+            col("seg_len").cast("int")))).as("seg_md5"))
+  }
+
   /** Per-document top-`k` TF-IDF terms — the classic per-doc keyword /
     * feature-extraction pass (retrieval indexing, topic tagging, nearest-
     * neighbor features). tfidf = tf · ln(N/df), floor-quantized at 1e-3

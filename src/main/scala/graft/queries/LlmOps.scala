@@ -69,6 +69,10 @@ object LlmOps {
       CorpusOps.lineDedup(Tables.fanout(Tables.documents(s, d)), segWords = 12)
         .orderBy(col("doc_id"))),
 
+    "q107_pack_sequences" -> ((s, d) =>
+      CorpusOps.packSequences(Tables.fanout(Tables.documents(s, d)), seqLen = 256)
+        .orderBy(col("seq_id"), col("doc_id"))),
+
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -771,6 +775,37 @@ object LlmOps {
          SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
          FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
     "q104_incremental_dedup" -> incrementalDedupSql,
+    // concat-and-cut sequence packing replayed with a single global-order
+    // window (fine at oracle scale; the engine uses the range-bucketed
+    // prefix sum) + the same row-local span arithmetic and token-slice md5
+    "q107_pack_sequences" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         counted AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+            FROM docs WHERE len(w) > 0),
+         placed AS (SELECT doc_id, w, n,
+              CAST(sum(n) OVER (ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS gstart
+            FROM counted),
+         spans AS (SELECT doc_id, w, n, gstart,
+              unnest(generate_series(gstart // 256, (gstart + n - 1) // 256))
+                AS seq_id
+            FROM placed),
+         fields AS (SELECT seq_id, doc_id, w,
+              greatest(seq_id * 256 - gstart, 0) AS doc_start,
+              greatest(gstart - seq_id * 256, 0) AS seq_off,
+              least((seq_id + 1) * 256, gstart + n)
+                - greatest(seq_id * 256, gstart) AS seg_len
+            FROM spans)
+         SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(doc_start AS BIGINT) AS doc_start,
+           CAST(seq_off AS BIGINT) AS seq_off,
+           CAST(seg_len AS BIGINT) AS seg_len,
+           md5(array_to_string(
+             w[CAST(doc_start + 1 AS INT):CAST(doc_start + seg_len AS INT)],
+             ' ')) AS seg_md5
+         FROM fields ORDER BY seq_id, doc_id""",
     // CCNet line-level policy replayed with a window: first occurrence
     // per segment key ordered by (doc_id, seg_ord) is the keeper; the
     // reassembled text is the ordered string_agg of kept segments

@@ -106,6 +106,44 @@ class CorpusAnalyticsSpec extends SparkSpec {
       === out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq)
   }
 
+  test("packSequences: spans tile documents and sequences; rangeWidth-invariant") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "a b c d e"), (3L, "f g"), (7L, "h i j k l m n"),
+      (9L, "o"), (12L, "p q r s")
+    ).toDF("doc_id", "text") // 19 tokens, seqLen 4 → seqs 0..4, last partial
+    val out = CorpusOps.packSequences(toy, seqLen = 4)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every document is tiled exactly once: per doc, seg_lens sum to n and
+    // doc_starts are the running prefix of those lengths
+    val byDoc = out.groupBy(_._2)
+    val nTokens = Map(1L -> 5L, 3L -> 2L, 7L -> 7L, 9L -> 1L, 12L -> 4L)
+    nTokens.foreach { case (d, n) =>
+      val spans = byDoc(d).sortBy(_._3)
+      assert(spans.map(_._5).sum === n, s"doc $d coverage")
+      assert(spans.scanLeft(0L)(_ + _._5).init.toSeq === spans.map(_._3).toSeq,
+        s"doc $d span starts must be the prefix sums of lengths")
+    }
+    // every sequence but the last is exactly full, tiled contiguously
+    val bySeq = out.groupBy(_._1)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (sq, spans0) =>
+      val spans = spans0.sortBy(_._4)
+      val total = spans.map(_._5).sum
+      if (sq != lastSeq) assert(total === 4L, s"seq $sq not full")
+      assert(spans.scanLeft(0L)(_ + _._5).init.toSeq === spans.map(_._4).toSeq,
+        s"seq $sq offsets must tile")
+    }
+    assert(bySeq(lastSeq).map(_._5).sum === 19L % 4)
+    // the range-bucketed prefix sum is an implementation detail: any
+    // rangeWidth (and any input partitioning) yields identical placement
+    val alt = CorpusOps.packSequences(toy.repartition(5), seqLen = 4, rangeWidth = 3L)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(alt.toSeq === out.toSeq)
+  }
+
   test("bpeMerges: greedy weighted merges with left-to-right application") {
     import spark.implicits._
     // "aaab" x3, "ab" x2: chars a,a,a,b / a,b
