@@ -600,6 +600,52 @@ object CorpusOps {
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
   }
 
+  /** Content-defined chunking (Rabin-style CDC at word granularity): cut
+    * each document where the hash of the trailing `win`-token window is
+    * ≡ 0 mod `divisor` — so boundaries are decided by LOCAL content, and
+    * an insertion near the front shifts only the chunks it touches while
+    * every later boundary (and chunk hash) survives unchanged. That
+    * boundary stability is the property [[chunkDocs]]' fixed windows
+    * fundamentally lack, and it is what makes chunk-hash dedup across
+    * document revisions work (storage dedup, crawl re-fetch dedup,
+    * near-identical-page chunk sharing). Expected chunk length is
+    * `divisor` tokens; the hash is [[Dedup.portableHash32]], so a SQL
+    * oracle replays boundaries bit-for-bit.
+    *
+    * Shape at scale: everything — window hashes, boundary selection,
+    * chunk assembly — is row-local array math inside one projection;
+    * the operator performs ZERO shuffles and composes with any
+    * downstream groupBy on chunk_md5 (the cross-corpus chunk-dedup join)
+    * as the only data movement.
+    */
+  def contentChunks(docs: DataFrame, win: Int = 3, divisor: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(win > 0 && divisor > 0)
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.wsTokens(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+    // candidate boundaries after positions 1..n-1 (a chunk always ends at
+    // n); the guarded sequence avoids Spark's descending sequence(1, 0)
+    val windowHash = (i: Column) => Dedup.portableHash32(concat_ws(" ",
+      slice(col("w"), greatest(i - (win - 1), lit(1)), least(i, lit(win)))))
+    val withBounds = base.withColumn("bounds",
+      filter(sequence(lit(1), greatest(col("n") - 1, lit(1))),
+        i => i <= col("n") - 1 && windowHash(i) % divisor === 0))
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("bounds"), b => b + 1)))
+      .withColumn("ends", concat(col("bounds"), array(col("n"))))
+    withBounds
+      .select(col("doc_id"), col("w"), col("ends"),
+        posexplode(col("starts")).as(Seq("chunk_ord", "s")))
+      .withColumn("e", element_at(col("ends"), (col("chunk_ord") + 1).cast("int")))
+      .select(col("doc_id"), col("chunk_ord").cast("long").as("chunk_ord"),
+        col("s").cast("long").as("start_tok"),
+        (col("e") - col("s") + 1).cast("long").as("n_toks"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("s"), col("e") - col("s") + 1))).as("chunk_md5"))
+  }
+
   /** Deterministic training-shard assignment: the same multiplicative
     * hash as [[splitExpr]]/[[stratifiedSample]] (stateless, partitioning-
     * independent, reproducible across engines) folded to `nShards`.

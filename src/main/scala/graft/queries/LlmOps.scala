@@ -73,6 +73,10 @@ object LlmOps {
       CorpusOps.packSequences(Tables.fanout(Tables.documents(s, d)), seqLen = 256)
         .orderBy(col("seq_id"), col("doc_id"))),
 
+    "q108_content_chunks" -> ((s, d) =>
+      CorpusOps.contentChunks(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("chunk_ord"))),
+
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -775,6 +779,33 @@ object LlmOps {
          SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
          FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
     "q104_incremental_dedup" -> incrementalDedupSql,
+    // content-defined chunking replayed position-by-position: the same
+    // trailing-window portable hash (md5-prefix, as q101) decides the
+    // same boundaries, then chunks assemble from the boundary list
+    "q108_content_chunks" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         based AS (SELECT doc_id, w, len(w) AS n FROM docs WHERE len(w) > 0),
+         bl AS (SELECT doc_id, w, n,
+              list_filter(generate_series(1, greatest(n - 1, 1)),
+                i -> i <= n - 1 AND
+                  CAST('0x' || substring(md5(array_to_string(
+                    w[greatest(i - 2, 1):i], ' ')), 1, 8) AS BIGINT) % 8 = 0)
+                AS bounds
+            FROM based),
+         se AS (SELECT doc_id, w,
+              list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
+              list_append(bounds, n) AS ends
+            FROM bl),
+         chunks AS (SELECT doc_id, w, starts, ends,
+              unnest(generate_series(1, len(starts))) AS i
+            FROM se)
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_ord,
+           CAST(starts[i] AS BIGINT) AS start_tok,
+           CAST(ends[i] - starts[i] + 1 AS BIGINT) AS n_toks,
+           md5(array_to_string(w[starts[i]:ends[i]], ' ')) AS chunk_md5
+         FROM chunks ORDER BY doc_id, chunk_ord""",
     // concat-and-cut sequence packing replayed with a single global-order
     // window (fine at oracle scale; the engine uses the range-bucketed
     // prefix sum) + the same row-local span arithmetic and token-slice md5

@@ -248,6 +248,49 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .foreach(r => assert(math.abs(r.getDouble(2)) <= 0.001))
   }
 
+  test("content-defined chunks: cover the doc exactly and survive a prefix edit") {
+    import spark.implicits._
+    val words = (1 to 400).map(i => s"w${i % 91}tok$i")
+    val original = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = CorpusOps.contentChunks(original)
+      .orderBy("chunk_ord").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // exact coverage: contiguous ords, contiguous token spans, full length
+    assert(chunks.map(_._1).toSeq === chunks.indices.map(_.toLong))
+    chunks.sliding(2).foreach {
+      case Array((_, s1, n1, _), (_, s2, _, _)) => assert(s2 === s1 + n1)
+      case _ =>
+    }
+    assert(chunks.head._2 === 1L && chunks.map(_._3).sum === words.size.toLong)
+    // mean chunk length tracks the divisor (geometric, expectation 8)
+    assert(chunks.length >= words.size / 24 && chunks.length <= words.size / 3)
+
+    // THE property fixed windows lack: prepend 5 tokens and every chunk
+    // past the edit's reach keeps its hash — boundaries are decided by a
+    // trailing 3-token window, so only chunks overlapping the first
+    // post-edit boundary can change. Fixed 8-token windows would shift
+    // every hash in the document.
+    val edited = Seq((1L, ("zz0 zz1 zz2 zz3 zz4 " + words.mkString(" "))))
+      .toDF("doc_id", "text")
+    val editedHashes = CorpusOps.contentChunks(edited)
+      .orderBy("chunk_ord").collect().map(_.getString(4))
+    val origHashes = chunks.map(_._4)
+    val commonSuffix = origHashes.reverse.zip(editedHashes.reverse)
+      .takeWhile { case (a, b) => a == b }.length
+    assert(commonSuffix >= origHashes.length - 3,
+      s"prefix edit rewrote ${origHashes.length - commonSuffix} of " +
+        s"${origHashes.length} chunks; CDC should localize the damage")
+
+    // and fixed-window chunking on the same edit shares nothing: the
+    // contrast that justifies the operator
+    val fixedOrig = CorpusOps.chunkDocs(original, window = 8, stride = 8)
+      .orderBy("chunk_ord").collect().map(_.getString(4))
+    val fixedEdit = CorpusOps.chunkDocs(edited, window = 8, stride = 8)
+      .orderBy("chunk_ord").collect().map(_.getString(4))
+    val fixedShared = fixedOrig.toSet.intersect(fixedEdit.toSet).size
+    assert(fixedShared <= 1, s"fixed windows unexpectedly stable: $fixedShared")
+  }
+
   test("tfidf top terms: every term is from the doc, scores descend") {
     val rows = CorpusOps.tfidfTop(docs, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
