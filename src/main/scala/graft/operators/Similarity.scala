@@ -818,6 +818,106 @@ object Similarity {
     pqWithCodebook(corpus, queries, cb, k, m, oversample)
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.) of a
+    * lexical BM25 ranking and a dense cosine ranking for the same query
+    * set — the standard RAG / retrieval-training recipe (dense recall ∪
+    * lexical precision beats either side alone, and RRF needs no score
+    * calibration because it only consumes RANKS).
+    *
+    * Queries are documents: the lexical side uses the query doc's token
+    * SET as the BM25 query (every scoring pair meets on a token
+    * equi-join — no all-pairs text comparison), the dense side its
+    * embedding (broadcast non-equi join, [[bruteForceTopK]] shape).
+    * Each side keeps only its top-`perSideCut` per query — written as a
+    * `row_number <= cut` filter that Spark rewrites to WindowGroupLimit,
+    * so per-partition state is bounded by the cut, not the corpus — then
+    * a full-outer equi-join on (q_id, doc_id) fuses:
+    * score = Σ sides 1/(rrfK + rank), absent side contributing 0.
+    *
+    * Determinism for the cross-engine oracle: BM25 floored at 1e-3 and
+    * cosine rounded at 1e-4 BEFORE ranking (ties broken by doc_id), and
+    * the fused score floored at 1e-6 — ranks are integers, so
+    * 1/(rrfK+rank) sums are bit-identical in any IEEE-754 engine.
+    *
+    * 100 TB shape: one corpus tokenization feeds both tf and df; the
+    * probe side is pruned by a broadcast semi-join on the query term set
+    * BEFORE the tf aggregation (only tokens some query mentions ever
+    * shuffle); stats/df/query frames are broadcast; the only wide ops are
+    * the two bounded ranking windows and the (|queries|·cut)-row fusion
+    * join.
+    */
+  def hybridRetrieve(docs: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int = 10, rrfK: Int = 60,
+      perSideCut: Int = 1000, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryIds.nonEmpty && k > 0 && perSideCut >= k)
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+
+    // ---- lexical side: multi-query BM25 through one token equi-join ----
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.wsTokens(col(textCol)).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("token"))
+    val qTerms = toks.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q_id"), col("token")).distinct()
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(TextAnalysis.wsTokens(col(textCol))).cast("double")).as("avgdl"))
+    // df is computed over ALL docs containing a query term (query docs
+    // included) — self-exclusion happens after, so idf is corpus-true
+    val tf = toks
+      .join(broadcast(qTerms.select("token").distinct()), Seq("token"), "left_semi")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    val lexScored = tf
+      .join(broadcast(qTerms), Seq("token"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfTab), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg((floor(sum(col("contrib")) * 1000) / 1000).as("lex_score"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("lex_score").desc, col("doc_id"))
+    val lexRank = lexScored
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= perSideCut)
+      .select(col("q_id"), col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
+
+    // ---- dense side: broadcast query vectors, exact cosine ----
+    val c = asDouble(embeddings)
+    val qv = asDouble(embeddings).filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val denseScored = c.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
+    val wDense = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val denseRank = denseScored
+      .withColumn("dense_rank", row_number().over(wDense))
+      .filter(col("dense_rank") <= perSideCut)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("dense_rank").cast("long").as("dense_rank"))
+
+    // ---- RRF fusion over the union of both candidate lists ----
+    val fused = lexRank.join(denseRank, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        floor((coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0))) * 1e6) / 1e6)
+    val wFused = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wFused))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"), col("dense_rank"),
+        col("rrf_score"), col("rank").cast("long").as("rank"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     val c = withLshBucket(asDouble(corpus), nBits)

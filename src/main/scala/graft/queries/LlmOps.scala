@@ -77,6 +77,11 @@ object LlmOps {
       CorpusOps.contentChunks(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"), col("chunk_ord"))),
 
+    "q109_hybrid_retrieval" -> ((s, d) =>
+      Similarity.hybridRetrieve(Tables.fanout(Tables.documents(s, d)),
+          Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L))
+        .orderBy(col("q_id"), col("rank"))),
+
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -779,6 +784,58 @@ object LlmOps {
          SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
          FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
     "q104_incremental_dedup" -> incrementalDedupSql,
+    // RRF fusion replayed end-to-end: the same corpus-true BM25 (df over
+    // all docs holding a query term, floored 1e-3), the same rounded
+    // cosine ranking, per-side top-1000 cuts, then 1/(60+rank) summed
+    // over a full outer join of the two candidate lists (integer ranks →
+    // the double sums are bit-identical cross-engine, floored 1e-6)
+    "q109_hybrid_retrieval" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              avg(CAST(len(w) AS DOUBLE)) AS avgdl FROM docs),
+         toks AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+              unnest(w) AS token FROM docs),
+         qterms AS (SELECT DISTINCT doc_id AS q_id, token FROM toks
+            WHERE doc_id IN (0, 1, 2)),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf,
+              max(dl) AS dl FROM toks
+            WHERE token IN (SELECT DISTINCT token FROM qterms)
+            GROUP BY doc_id, token),
+         dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+            FROM tf GROUP BY token),
+         lex AS (SELECT q.q_id, t.doc_id,
+              floor(sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) * tf * 2.2 /
+                (tf + 1.2*(0.25 + 0.75*dl/avgdl)))*1000)/1000 AS lex_score
+            FROM tf t JOIN qterms q USING (token) JOIN dft USING (token), stats
+            WHERE t.doc_id <> q.q_id GROUP BY q.q_id, t.doc_id),
+         lexr AS (SELECT q_id, doc_id, lex_rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY lex_score DESC, doc_id) AS lex_rank FROM lex)
+            WHERE lex_rank <= 1000),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+         dense AS (SELECT q_id, vec_id AS doc_id,
+              round(list_cosine_similarity(qv, v), 4) AS cos_sim
+            FROM qv JOIN e ON vec_id <> q_id),
+         denser AS (SELECT q_id, doc_id, dense_rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, doc_id) AS dense_rank FROM dense)
+            WHERE dense_rank <= 1000),
+         fused AS (SELECT coalesce(l.q_id, d.q_id) AS q_id,
+              coalesce(l.doc_id, d.doc_id) AS doc_id,
+              CAST(l.lex_rank AS BIGINT) AS lex_rank,
+              CAST(d.dense_rank AS BIGINT) AS dense_rank,
+              floor((coalesce(1.0/(60 + l.lex_rank), 0) +
+                     coalesce(1.0/(60 + d.dense_rank), 0))*1e6)/1e6 AS rrf_score
+            FROM lexr l FULL JOIN denser d
+              ON l.q_id = d.q_id AND l.doc_id = d.doc_id)
+         SELECT q_id, doc_id, lex_rank, dense_rank, rrf_score,
+           CAST(rank AS BIGINT) AS rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
     // content-defined chunking replayed position-by-position: the same
     // trailing-window portable hash (md5-prefix, as q101) decides the
     // same boundaries, then chunks assemble from the boundary list

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CorpusOps, Dedup}
+import graft.operators.{CorpusOps, Dedup, Similarity}
 
 /** BM25 scoring (q76) and SemDeDup semantic dedup (q77). */
 class RetrievalSpec extends SparkSpec {
@@ -53,5 +53,52 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
     assert(got.forall { case (v, d, _) => d < v })
+  }
+
+  test("hybridRetrieve: RRF fusion invariants + bounded ranking windows") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Similarity.hybridRetrieve(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf),
+      queryIds = Seq(0L, 1L, 2L), k = 10)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Long]),
+      Option(r.get(3)).map(_.asInstanceOf[Long]),
+      r.getDouble(4), r.getLong(5)))
+
+    // every query returns exactly k fused results, ranks contiguous
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._6).sorted.toSeq === (1L to 10L), s"query $q ranks")
+      // fused order is by score desc (doc_id tiebreak)
+      val inOrder = rs.sortBy(_._6).map(_._5)
+      assert(inOrder.sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _           => true
+      }, s"query $q fused scores not descending")
+    }
+    // no self-retrieval on either side
+    assert(rows.forall { case (q, d, _, _, _, _) => q != d })
+    // the fused score IS 1/(60+lex) + 1/(60+dense): recompute from ranks
+    rows.foreach { case (_, _, lex, dense, score, _) =>
+      val expect = math.floor((lex.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dense.map(r => 1.0 / (60 + r)).getOrElse(0.0)) * 1e6) / 1e6
+      assert(score === expect)
+    }
+    // fusion dominance: a doc in BOTH lists with worse-side rank w beats
+    // any single-list doc whose rank is >= w (1/(60+lex)+1/(60+dense) >=
+    // 2/(60+w) > 1/(60+r) for r >= w) — the point of consensus fusion
+    val both = rows.filter(r => r._3.isDefined && r._4.isDefined)
+    val single = rows.filter(r => r._3.isEmpty || r._4.isEmpty)
+    for {
+      b <- both
+      w = b._3.get max b._4.get
+      s <- single if (s._3 orElse s._4).get >= w
+    } assert(b._5 > s._5,
+      s"two-list doc ${b._2} (worse rank $w) not above one-list doc ${s._2}")
+
+    // per-side cuts must plan as WindowGroupLimit (bounded per-partition
+    // state at 100 TB), never a full sort of the corpus per query
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "row_number<=cut filters should push into WindowGroupLimit")
   }
 }
