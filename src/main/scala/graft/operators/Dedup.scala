@@ -332,6 +332,43 @@ object Dedup {
     try out.localCheckpoint(true) finally docs.unpersist(blocking = false)
   }
 
+  /** Edit-distance-verified near-dup pairs: the portable MinHash/LSH
+    * candidate generator ([[minhashLshPairsPortable]] with the Jaccard
+    * gate open) re-verified by LEVENSHTEIN similarity
+    * 1 − lev(a,b)/max(|a|,|b|) — the gold-standard check where shingle
+    * Jaccard is only a proxy (reorderings share every shingle yet read
+    * differently; small in-place edits can shred shingles yet leave the
+    * text 99% identical). The classic pipeline (e.g. RefinedWeb's
+    * sequence-level verification): cheap sketch recall first, exact
+    * O(|a|·|b|) dynamic programming only on the candidate pairs the
+    * sketch admits — never corpus².
+    *
+    * Both output columns survive: `jaccard` (the sketch's own exact
+    * verification) and `edit_sim`, so a caller can study sketch-vs-gold
+    * disagreement; only `edit_sim` gates the output. Spark's codegen'd
+    * `levenshtein` and DuckDB's built-in agree on character-level edits,
+    * so the whole operator — candidates included — is oracle-replayable.
+    *
+    * 100 TB shape: identical to the portable LSH pipeline (row-local
+    * shingling/signatures, band-bucket equi-join) plus two equi-joins to
+    * fetch candidate texts; the DP cost is per-candidate and bounded by
+    * document length, and the candidate list is the LSH-bounded set.
+    */
+  def editVerifiedNearDups(df: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, minEditSim: Double = 0.8): DataFrame = {
+    val cands = minhashLshPairsPortable(df, n, k, bands, threshold = 0.0)
+    val texts = df.select(col("doc_id"), col("text"))
+    cands
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("edit_sim", TextAnalysis.quant4(lit(1.0) -
+        col("lev") / greatest(length(col("ta")), length(col("tb")), lit(1))))
+      .filter(col("edit_sim") >= minEditSim)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lev"),
+        col("edit_sim"))
+  }
+
   /** Portable SimHash twin of [[simhash]] (q102): 60-bit signature — token
     * hash = the first 15 hex chars of md5(token) (60 bits, BIGINT-safe in
     * every engine); bit j is set iff the Σ±1 vote over token OCCURRENCES

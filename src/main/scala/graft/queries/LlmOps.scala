@@ -82,6 +82,10 @@ object LlmOps {
           Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L))
         .orderBy(col("q_id"), col("rank"))),
 
+    "q110_edit_verified_dups" -> ((s, d) =>
+      Dedup.editVerifiedNearDups(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -661,7 +665,12 @@ object LlmOps {
     * the same constants as `Dedup.minhashLshPairsPortable` (P = 2^31−1,
     * a_i = 2i+3, b_i = 7919i+1, base-31 fold).
     */
-  private val minhashPortableSql: String = {
+  /** Shared CTE chain for the portable MinHash/LSH pipeline (q101/q110):
+    * shingles → md5-prefix base hashes → 16 affine min-signatures → 4
+    * band keys → candidate pairs → exact shingle-overlap counts. Ends at
+    * a `jac` CTE holding every candidate with its exact Jaccard.
+    */
+  private val portableLshJaccardCtes: String = {
     val P = graft.operators.Dedup.PortableP
     val mins = (0 until 16).map(i =>
       s"min((b*${2L * i + 3} + ${7919L * i + 1}) % $P) AS h$i")
@@ -671,7 +680,7 @@ object LlmOps {
         .reduce((acc, h) => s"(($acc) * 31 + $h) % $P")
       s"SELECT doc_id, $b AS band, ($key) AS bkey FROM sig"
     }.mkString("\n            UNION ALL ")
-    s"""WITH docs AS (SELECT doc_id,
+    s"""docs AS (SELECT doc_id,
               list_filter(string_split(text,' '), x -> x <> '') AS w
             FROM documents),
          sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -695,14 +704,35 @@ object LlmOps {
             FROM cand
             JOIN sh sa ON sa.doc_id = da
             JOIN sh sb ON sb.doc_id = db AND sa.s = sb.s
-            GROUP BY da, db)
-         SELECT da AS doc_a, db AS doc_b,
+            GROUP BY da, db),
+         jac AS (SELECT da, db,
                 floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 AS jaccard
-         FROM cm JOIN sizes sa ON da = sa.doc_id
-                 JOIN sizes sb ON db = sb.doc_id
-         WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8
-         ORDER BY doc_a, doc_b"""
+            FROM cm JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id)"""
   }
+
+  private val minhashPortableSql: String =
+    s"""WITH $portableLshJaccardCtes
+         SELECT da AS doc_a, db AS doc_b, jaccard
+         FROM jac WHERE jaccard >= 0.8
+         ORDER BY doc_a, doc_b"""
+
+  /** q110 oracle: the q101 candidate chain re-gated by levenshtein
+    * similarity on the candidate texts (jaccard kept, not filtered).
+    */
+  private val editVerifiedSql: String =
+    s"""WITH $portableLshJaccardCtes,
+         ev AS (SELECT da AS doc_a, db AS doc_b, jaccard,
+              CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+              floor((1.0 - 1.0*levenshtein(ta.text, tb.text) /
+                greatest(length(ta.text), length(tb.text), 1))*10000)/10000
+                AS edit_sim
+            FROM jac
+            JOIN documents ta ON ta.doc_id = da
+            JOIN documents tb ON tb.doc_id = db)
+         SELECT doc_a, doc_b, jaccard, lev, edit_sim
+         FROM ev WHERE edit_sim >= 0.8
+         ORDER BY doc_a, doc_b"""
 
   /** q102 oracle: the 60 per-bit Σ±1 occurrence votes replayed literally
     * (generated so each bit mask matches `Dedup.simhashPortable`).
@@ -918,6 +948,7 @@ object LlmOps {
              ORDER BY seg_ord), '')) AS kept_md5
          FROM keyed GROUP BY doc_id ORDER BY doc_id""",
     "q101_minhash_portable" -> minhashPortableSql,
+    "q110_edit_verified_dups" -> editVerifiedSql,
     "q102_simhash_portable" -> simhashPortableSql,
     "q31_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -93,4 +93,36 @@ class PortableHashDedupSpec extends SparkSpec {
     assert(maxBase * aMax + 7919L * 15 + 1 > 0, "no Long overflow")
     assert((Dedup.PortableP - 1) * 31 + (Dedup.PortableP - 1) > 0)
   }
+
+  test("editVerifiedNearDups separates in-place edits from reorderings") {
+    import spark.implicits._
+    // base: 60 deterministic tokens, md5-derived so distinct tokens share
+    // few characters (a toy "tokNN" vocabulary lets the DP find cheap
+    // cross-alignments and inflates reordering similarity)
+    val toks = (0 until 60).map(i => md5hex("tok" + i).take(8))
+    val base = toks.mkString(" ")
+    // one token edited in place: shingle Jaccard dips (3 of 58 shingles
+    // shredded) but the CHARACTERS barely move -> gold says duplicate
+    val edited = toks.updated(30, "EDITED").mkString(" ")
+    // halves swapped: almost every shingle survives (high Jaccard, LSH
+    // candidate for sure) but half the characters moved -> gold says NOT
+    val swapped = (toks.drop(30) ++ toks.take(30)).mkString(" ")
+    val docs = Seq((0L, base), (1L, edited), (2L, swapped))
+      .toDF("doc_id", "text")
+
+    val out = Dedup.editVerifiedNearDups(docs, minEditSim = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(out.contains((0L, 1L)), "in-place edit must survive the gate")
+    assert(out((0L, 1L)) >= 0.95, s"tiny edit, near-1 similarity: $out")
+    assert(!out.contains((0L, 2L)),
+      "reordering shares shingles but fails the edit gate")
+
+    // and the sketch alone would have admitted the reordering: the pair
+    // IS an LSH candidate with high Jaccard (the disagreement q110 exists
+    // to resolve)
+    val sketchOnly = Dedup.minhashLshPairsPortable(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sketchOnly.contains((0L, 2L)),
+      "reordered doc should be a high-Jaccard sketch pair")
+  }
 }
