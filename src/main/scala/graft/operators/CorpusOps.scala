@@ -726,6 +726,73 @@ object CorpusOps {
       .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("shard"))
   }
 
+  /** Per-source quality quota (the RefinedWeb / CCNet domain-cap step):
+    * keep at most `cap` documents per source, best [[TextAnalysis
+    * .withQuality]] score first (doc_id tiebreak) — the curation pass
+    * that stops one prolific domain from dominating a mixture however
+    * much it crawls.
+    *
+    * Shape at scale: quality is row-local codegen arithmetic; the only
+    * wide op is one ranking window keyed by source, and the `row_number
+    * <= cap` filter plans as WindowGroupLimit, so per-partition state is
+    * `cap` rows per source — a hot source costs its cap, not its crawl.
+    */
+  def sourceQuota(docs: DataFrame, cap: Int,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(cap > 0)
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    TextAnalysis.withQuality(docs, textCol)
+      .withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= cap)
+      .select(col(srcCol), col("doc_id"), col("quality_score"),
+        col("src_rank").cast("long").as("src_rank"))
+  }
+
+  /** Global token-budget selection: fill a training-token budget with the
+    * best documents — order the corpus by (quality desc, doc_id), keep
+    * every document whose running token total still fits. The "give me
+    * the best 10B tokens" step that turns a scored crawl into a training
+    * set.
+    *
+    * Shape at scale: the running sum over QUALITY order cannot use
+    * [[packShards]]' id-range bucketing directly (the order key is
+    * computed, not monotone in id), so buckets are the composite
+    * (quality value, id range): quality is already floor-quantized at
+    * 1e-4 by [[TextAnalysis.withQuality]], so distinct values are ≤10k
+    * and within one value the global order IS doc_id order — id-range
+    * sub-buckets bound the window partition even when one quality value
+    * is hot (the saturated-caps value at 1.0 in any big crawl). Local
+    * windows run per composite bucket in parallel; bucket offsets are a
+    * prefix sum over the ≤(values·ranges)-row totals table (deliberate
+    * single small partition, [[packShards]]' pattern) broadcast back.
+    * Output is identical to the one-global-window formulation.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long,
+      textCol: String = "text", rangeWidth: Long = 1000L): DataFrame = {
+    require(budget > 0)
+    val scored = TextAnalysis.withQuality(docs, textCol)
+      .select(col("doc_id"), col("quality_score").as("q"),
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_toks"))
+      .withColumn("rng", floor(col("doc_id") / rangeWidth).cast("long"))
+    val wLocal = Window.partitionBy(col("q"), col("rng")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = scored.withColumn("local_cum", sum(col("n_toks")).over(wLocal))
+    val totals = local.groupBy(col("q"), col("rng"))
+      .agg(max(col("local_cum")).as("bkt_total"))
+    val wOff = Window.partitionBy(pmod(col("rng"), lit(1)))
+      .orderBy(col("q").desc, col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("offset", coalesce(sum(col("bkt_total")).over(wOff), lit(0L)))
+      .select(col("q"), col("rng"), col("offset"))
+    local.join(broadcast(offsets), Seq("q", "rng"))
+      .withColumn("cum_toks", col("offset") + col("local_cum"))
+      .filter(col("cum_toks") <= budget)
+      .select(col("doc_id"), col("q").as("quality_score"), col("n_toks"),
+        col("cum_toks"))
+  }
+
   /** Fixed-length training-sequence packing — the final pretraining
     * data-prep stage: conceptually concatenate every document's tokens
     * in id order into one stream, cut the stream into consecutive

@@ -86,6 +86,15 @@ object LlmOps {
       Dedup.editVerifiedNearDups(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q111_source_quota" -> ((s, d) =>
+      CorpusOps.sourceQuota(Tables.fanout(Tables.documents(s, d)), cap = 50)
+        .orderBy(col("source"), col("src_rank"))),
+
+    "q112_token_budget" -> ((s, d) =>
+      CorpusOps.tokenBudgetSelect(Tables.fanout(Tables.documents(s, d)),
+          budget = 20000L)
+        .orderBy(col("doc_id"))),
+
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -711,6 +720,20 @@ object LlmOps {
                     JOIN sizes sb ON db = sb.doc_id)"""
   }
 
+  /** Shared quality-score CTE (q111/q112): the q32 formula ending in a
+    * `q` relation of (doc_id, source, nw, quality_score).
+    */
+  private val qualityCte: String =
+    """q AS (SELECT doc_id, source, nw,
+           floor((0.4*least(1.0, nw/50.0) + 0.3*(1.0 - np*1.0/nc)
+                 + 0.3*least(1.0, ns*1.0/nw*5.0))*10000)/10000 AS quality_score
+         FROM (SELECT doc_id, source, length(text) AS nc,
+             len(list_filter(string_split(text,' '), x -> x <> '')) AS nw,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+             len(list_filter(string_split(text,' '),
+                 x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS ns
+           FROM documents) t)"""
+
   private val minhashPortableSql: String =
     s"""WITH $portableLshJaccardCtes
          SELECT da AS doc_a, db AS doc_b, jaccard
@@ -949,6 +972,25 @@ object LlmOps {
          FROM keyed GROUP BY doc_id ORDER BY doc_id""",
     "q101_minhash_portable" -> minhashPortableSql,
     "q110_edit_verified_dups" -> editVerifiedSql,
+    // per-source quality quota: the q32 quality formula ranked per source
+    "q111_source_quota" ->
+      s"""WITH $qualityCte
+         SELECT source, doc_id, quality_score,
+           CAST(src_rank AS BIGINT) AS src_rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY quality_score DESC, doc_id) AS src_rank FROM q)
+         WHERE src_rank <= 50 ORDER BY source, src_rank""",
+    // global token-budget fill: one global-order running sum (fine at
+    // oracle scale; the engine uses composite (quality, id-range) buckets)
+    "q112_token_budget" ->
+      s"""WITH $qualityCte
+         SELECT doc_id, quality_score, CAST(nw AS BIGINT) AS n_toks,
+           cum_toks FROM (
+             SELECT doc_id, quality_score, nw,
+               CAST(sum(nw) OVER (ORDER BY quality_score DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_toks FROM q)
+         WHERE cum_toks <= 20000 ORDER BY doc_id""",
     "q102_simhash_portable" -> simhashPortableSql,
     "q31_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

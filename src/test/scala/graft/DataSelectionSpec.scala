@@ -159,4 +159,56 @@ class DataSelectionSpec extends SparkSpec {
       s"20 GD iters should separate a separable set: posMin=$posMin negMax=$negMax")
     out.foreach(t => assert(t._3 >= 0.0 && t._3 <= 1.0))
   }
+
+  test("sourceQuota: caps per source, keeps the best, plans WindowGroupLimit") {
+    val docs = Tables.documents(spark, sf)
+    val out = CorpusOps.sourceQuota(docs, cap = 3)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.length <= 3, s"source $src over cap")
+      assert(rs.map(_._4).sorted.toSeq === (1L to rs.length))
+      // kept docs are the GLOBAL best of that source: nothing outside the
+      // kept set scores strictly better than the worst kept doc
+      val worstKept = rs.map(_._3).min
+      val all = graft.operators.TextAnalysis.withQuality(docs)
+        .filter(col("source") === src)
+        .select(col("doc_id"), col("quality_score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val excluded = all.filterNot(a => rs.exists(_._2 == a._1))
+      excluded.foreach { case (id, q) =>
+        assert(q <= worstKept, s"excluded doc $id ($q) beats kept ($worstKept)") }
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "cap filter should push into WindowGroupLimit")
+  }
+
+  test("tokenBudgetSelect: equals the single-global-window formulation") {
+    val docs = Tables.documents(spark, sf)
+    // naive reference: one global-order running sum (what the bucketed
+    // version must reproduce exactly, for any rangeWidth)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = graft.operators.TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("quality_score"),
+        size(graft.operators.TextAnalysis.wsTokens(col("text")))
+          .cast("long").as("n_toks"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= 5000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    for (rw <- Seq(7L, 100L, 100000L)) {
+      val got = CorpusOps.tokenBudgetSelect(docs, budget = 5000, rangeWidth = rw)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(got.toSeq === naive.toSeq, s"rangeWidth=$rw diverges from naive")
+    }
+    // the budget is respected and binding: kept total <= budget, and the
+    // best unkept doc would overflow it
+    val keptTotal = naive.map(_._3).sum
+    assert(keptTotal <= 5000 && naive.nonEmpty)
+  }
 }
