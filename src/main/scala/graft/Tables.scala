@@ -52,14 +52,24 @@ object Tables {
     else df.repartition(parallelism)
   }
 
-  /** `events` carries nanosecond parquet timestamps, which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read them as raw ns longs
-    * (legacy.parquet.nanosAsLong) and floor to microseconds — consistent
-    * with engines that truncate ns → µs.
+  /** `events.ts` has shipped in two physical shapes across data drops:
+    * nanosecond parquet timestamps (which Spark's reader rejects with
+    * [PARQUET_TYPE_ILLEGAL] unless read as raw ns longs via
+    * legacy.parquet.nanosAsLong, then floored to µs) and native µs
+    * timestamps (surfacing as TIMESTAMP_NTZ when isAdjustedToUTC=false).
+    * Normalize both to session-tz TimestampType — the session runs UTC
+    * everywhere (SparkSpec/Verify/Bench), so the NTZ cast is
+    * value-preserving and downstream windows/watermarks see one type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }
