@@ -278,14 +278,26 @@ final class MergeTable(
     * ever holds the channel (overlapping `FileLock`s from one JVM throw).
     */
   private def withCommitLock[T](body: => T): T = {
-    val mon = MergeTable.commitMonitorFor(
-      metaRoot.toAbsolutePath.normalize.toString)
+    val key = metaRoot.toAbsolutePath.normalize.toString
+    // Reentrant per thread: the escalated retry path wraps a whole
+    // attempt (head read → data write → commit) in this lock, and the
+    // nested commit() must not try to take a second FileLock on the same
+    // file from the same JVM (that throws OverlappingFileLockException
+    // regardless of thread).
+    if (MergeTable.heldCommitLocks.get().contains(key)) return body
+    val mon = MergeTable.commitMonitorFor(key)
     mon.synchronized {
       val ch = FileChannel.open(metaRoot.resolve("_commit.lock"),
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
-        try body finally lock.release()
+        MergeTable.heldCommitLocks.set(
+          MergeTable.heldCommitLocks.get() + key)
+        try body finally {
+          MergeTable.heldCommitLocks.set(
+            MergeTable.heldCommitLocks.get() - key)
+          lock.release()
+        }
       } finally ch.close()
     }
   }
@@ -352,8 +364,20 @@ final class MergeTable(
     var committed = false
     while (!committed) {
       n += 1
-      try { attempt(); committed = true }
-      catch {
+      try {
+        // Optimistic attempts write their data files OUTSIDE the commit
+        // lock — the right default (a commit's Spark write takes seconds;
+        // holding the lock through it would serialize all committers).
+        // But it livelocks under sustained contention: when another
+        // writer commits at least once inside every attempt's write
+        // window, each retry loses again (observed cross-JVM: 10 losses
+        // in a row on a slow host). Escalate after a few losses: run the
+        // ENTIRE attempt under the (reentrant) commit lock, where the
+        // head provably cannot move — guaranteed progress, paid only on
+        // the contended tail.
+        if (n > 3) withCommitLock(attempt()) else attempt()
+        committed = true
+      } catch {
         case e: MergeTable.CommitConflictException =>
           if (n >= maxAttempts) throw new MergeTable.CommitConflictException(
             s"$what gave up after $maxAttempts conflicted attempts: ${e.getMessage}")
@@ -1795,6 +1819,13 @@ object MergeTable {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private[table] def commitMonitorFor(key: String): Object =
     commitMonitors.getOrElseUpdate(key, new Object)
+
+  /** Metadata roots whose commit lock the current thread already holds —
+    * makes [[withCommitLock]] reentrant so an escalated retry attempt can
+    * reach the nested commit() without a second FileLock acquisition.
+    */
+  private[table] val heldCommitLocks: ThreadLocal[Set[String]] =
+    ThreadLocal.withInitial(() => Set.empty[String])
 
   /** Open-or-create with the reference table's shape: key `trans_id`,
     * partitioned by `event` (README.md:292–309).
