@@ -793,6 +793,80 @@ object CorpusOps {
         col("cum_toks"))
   }
 
+  /** Leakage-safe train/val/test split: assign the split at the NEAR-DUP
+    * CLUSTER level, not the document level. [[splitExpr]] hashed on
+    * `doc_id` silently leaks training data into eval whenever two
+    * near-duplicate documents hash to different buckets — the classic
+    * benchmark-contamination-by-split bug (measured eval loss is then
+    * partly memorization). Here every document's split key is its dedup
+    * cluster representative ([[Dedup.nearDupClusters]] — connected
+    * components over exact-Jaccard near-dup pairs; singletons fall back
+    * to their own id, where the assignment degenerates to [[splitExpr]]
+    * exactly), so any two documents with Jaccard ≥ `threshold` — and,
+    * transitively, any two in the same component — land in the SAME
+    * split by construction.
+    *
+    * Shape at scale: cluster discovery inherits the prefix-filtered
+    * pair generation + min-label-propagation shape of q64 (work ∝
+    * near-pair density, never corpus²); the only additional op is one
+    * left equi-join of the corpus against the clustered-doc set (pair
+    * participants only — tiny relative to the corpus in any cleaned
+    * crawl, broadcastable) and a row-local hash. No new wide ops.
+    */
+  def leakSafeSplit(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val clusters = Dedup.nearDupClusters(docs, n, threshold)
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .select(col("doc_id"), col("cluster"),
+        splitExpr(col("cluster"), trainPct, valPct).as("split"))
+  }
+
+  /** Composed curation audit — one row per document recording every
+    * gate's verdict, the final keep decision, and the FIRST failing gate
+    * in a fixed evaluation order. This is the provenance artifact a
+    * production corpus pipeline keeps next to the filtered output: at
+    * 100 TB you cannot re-derive "why was this document dropped" on
+    * demand, and per-gate drop rates are the first thing audited when a
+    * trained model misbehaves. Gates, in order:
+    *
+    *   1. `gate_exact`   — exact-dedup survivor (min doc_id over the
+    *                       md5(text) group; the md5 keeps the shuffle key
+    *                       32 chars instead of the full document)
+    *   2. `gate_lang`    — language allowlist over `langCol`
+    *   3. `gate_gopher`  — [[TextAnalysis.gopherFilter]]'s rule battery
+    *   4. `gate_quality` — [[TextAnalysis.withQuality]] composite score
+    *                       ≥ `minQuality`
+    *   5. `gate_pii`     — no email-pattern hits ([[piiScan]]'s pattern;
+    *                       emails are the unambiguous redact-or-drop class)
+    *
+    * Shape at scale: gates 2–5 are row-local codegen expressions; the
+    * only wide op is the single hash-shuffle window for gate 1 — same
+    * cost as the exact-dedup pass the pipeline already runs, now fused
+    * into the audit instead of a separate job.
+    */
+  def curationReport(docs: DataFrame, minQuality: Double = 0.5,
+      allowedLangs: Seq[String] = Seq("en", "de", "fr", "es", "ja"),
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val w = Window.partitionBy(md5(col(textCol)))
+    val staged = TextAnalysis.gopherFilter(docs, textCol)
+      .withColumn("gate_exact", min(col("doc_id")).over(w) === col("doc_id"))
+      .withColumn("gate_lang", col(langCol).isin(allowedLangs: _*))
+      .withColumn("gate_gopher", col("reject_reasons") === "")
+      .withColumn("gate_quality", col("quality_score") >= minQuality)
+      .withColumn("gate_pii",
+        size(regexp_extract_all(col(textCol), lit(email), lit(0))) === 0)
+    val order = Seq("gate_exact" -> "exact_dup", "gate_lang" -> "lang",
+      "gate_gopher" -> "gopher", "gate_quality" -> "quality",
+      "gate_pii" -> "pii")
+    val firstFail = coalesce(
+      order.map { case (c, n) => when(!col(c), n) } :+ lit(""): _*)
+    staged.select(col("doc_id") +: order.map(o => col(o._1)) :+
+      order.map(o => col(o._1)).reduce(_ && _).as("keep") :+
+      firstFail.as("first_fail"): _*)
+  }
+
   /** Fixed-length training-sequence packing — the final pretraining
     * data-prep stage: conceptually concatenate every document's tokens
     * in id order into one stream, cut the stream into consecutive

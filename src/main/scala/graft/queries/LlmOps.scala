@@ -95,6 +95,25 @@ object LlmOps {
           budget = 20000L)
         .orderBy(col("doc_id"))),
 
+    // split assignment hashed on the near-dup cluster representative, so
+    // near-duplicates can never straddle train/val/test (leakage-safe)
+    "q113_leak_safe_split" -> ((s, d) =>
+      CorpusOps.leakSafeSplit(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // per-document curation audit: every gate's verdict + first failure
+    "q114_curation_report" -> ((s, d) =>
+      CorpusOps.curationReport(Tables.fanout(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("gate_exact").cast("long").as("gate_exact"),
+          col("gate_lang").cast("long").as("gate_lang"),
+          col("gate_gopher").cast("long").as("gate_gopher"),
+          col("gate_quality").cast("long").as("gate_quality"),
+          col("gate_pii").cast("long").as("gate_pii"),
+          col("keep").cast("long").as("keep"),
+          col("first_fail"))
+        .orderBy(col("doc_id"))),
+
     "q29_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -991,6 +1010,80 @@ object LlmOps {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS cum_toks FROM q)
          WHERE cum_toks <= 20000 ORDER BY doc_id""",
+    // the q72 rule battery + exact-dup window + lang/quality/pii gates,
+    // composed into one per-document audit with first-failing-gate
+    "q114_curation_report" ->
+      """WITH base AS (SELECT doc_id, lang, text, length(text) AS nc,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         m AS (SELECT doc_id, lang, text, nc, len(w) AS nw,
+              floor(1.0*length(replace(text,' ',''))/len(w)*10000)/10000 AS awl,
+              floor((1.0 - 1.0*len(list_distinct(w))/len(w))*10000)/10000 AS dupf,
+              floor(1.0*length(regexp_replace(text,'[^0-9]','','g'))/nc*10000)/10000 AS digr,
+              floor(1.0*len(list_filter(w, x -> list_contains(
+                ['the','a','of','and','to','in','is','on','for','with'], x)))/len(w)*10000)/10000 AS stopr,
+              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+              len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS ns,
+              min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM base),
+         g AS (SELECT doc_id,
+              (keeper = doc_id) AS ge,
+              (lang IN ('en','de','fr','es','ja')) AS gl,
+              (nw >= 20 AND nw <= 100000 AND awl >= 3.0 AND awl <= 10.0
+                AND stopr > 0 AND dupf <= 0.6 AND digr <= 0.1) AS gg,
+              (floor((0.4*least(1.0, nw/50.0) + 0.3*(1.0 - np*1.0/nc)
+                     + 0.3*least(1.0, ns*1.0/nw*5.0))*10000)/10000 >= 0.5) AS gq,
+              (len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0) AS gp
+            FROM m)
+         SELECT doc_id,
+           CAST(ge AS BIGINT) AS gate_exact, CAST(gl AS BIGINT) AS gate_lang,
+           CAST(gg AS BIGINT) AS gate_gopher, CAST(gq AS BIGINT) AS gate_quality,
+           CAST(gp AS BIGINT) AS gate_pii,
+           CAST(ge AND gl AND gg AND gq AND gp AS BIGINT) AS keep,
+           coalesce(CASE WHEN NOT ge THEN 'exact_dup' END,
+                    CASE WHEN NOT gl THEN 'lang' END,
+                    CASE WHEN NOT gg THEN 'gopher' END,
+                    CASE WHEN NOT gq THEN 'quality' END,
+                    CASE WHEN NOT gp THEN 'pii' END, '') AS first_fail
+         FROM g ORDER BY doc_id""",
+    // cluster-level split: the q64 component chain, then the q56 hash on
+    // the cluster representative (singletons fall back to their own id)
+    "q113_leak_safe_split" ->
+      """WITH RECURSIVE
+         docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+         pairs AS (SELECT da, db
+            FROM cm JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+            WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8),
+         edges AS (SELECT da AS a, db AS b FROM pairs
+                   UNION SELECT db, da FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                   UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         clus AS (SELECT n.a AS doc_id, least(n.a, min(r.b)) AS cluster
+            FROM (SELECT DISTINCT a FROM edges) n JOIN reach r ON r.a = n.a
+            GROUP BY n.a)
+         SELECT d.doc_id,
+           CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster,
+           CASE WHEN ((coalesce(c.cluster, d.doc_id) % 2147483648)
+                      * 2654435761) % 2147483647 % 100 < 80 THEN 'train'
+                WHEN ((coalesce(c.cluster, d.doc_id) % 2147483648)
+                      * 2654435761) % 2147483647 % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+         ORDER BY d.doc_id""",
     "q102_simhash_portable" -> simhashPortableSql,
     "q31_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CorpusOps, Similarity}
+import graft.operators.{CorpusOps, Dedup, Similarity}
 
 /** Specs for the data-selection / tokenizer-accounting operators
   * (q91–q96): semantic properties the hash-equality oracle doesn't state
@@ -210,5 +210,73 @@ class DataSelectionSpec extends SparkSpec {
     // best unkept doc would overflow it
     val keptTotal = naive.map(_._3).sum
     assert(keptTotal <= 5000 && naive.nonEmpty)
+  }
+
+  test("leakSafeSplit: near-dups share a split; the naive split straddles") {
+    import spark.implicits._
+    def bucket(id: Long): Long =
+      ((id % 2147483648L) * 2654435761L) % 2147483647L % 100
+    def naive(id: Long): String =
+      if (bucket(id) < 80) "train" else if (bucket(id) < 90) "val" else "test"
+    // two ids the naive per-document hash sends to DIFFERENT splits — the
+    // exact leakage scenario the cluster-level assignment exists to close
+    val a = (1L to 500L).find(naive(_) == "train").get
+    val b = (1L to 500L).find(naive(_) == "test").get
+    val nearDup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (a, nearDup), (b, nearDup + " tail"),
+      (900L, "completely unrelated text about astronomy and telescopes"),
+      (901L, "another singleton document concerning maritime navigation")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.leakSafeSplit(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(naive(a) != naive(b), "fixture must exhibit the naive straddle")
+    assert(out(a)._2 === out(b)._2, s"near-dups must share a split: $out")
+    assert(out(a)._1 === math.min(a, b) && out(b)._1 === math.min(a, b),
+      "pair members carry the component representative as cluster")
+    assert(out(900L)._2 === naive(900L) && out(901L)._2 === naive(901L),
+      "singletons degenerate to the per-document split")
+    assert(out.size === 4)
+  }
+
+  test("curationReport: gate verdicts, conjunction, and first-fail order") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs " +
+      "through the forest with great speed while birds sing songs above"
+    val docs = Seq(
+      (1L, good, "en"),                       // passes every gate
+      (5L, good, "en"),                       // exact dup of 1 -> dropped
+      (6L, good + " extra", "zh"),            // lang gate
+      (7L, good + " extra", "zh"),            // dup AND zh: exact_dup wins
+      (8L, good + " contact me at john.doe@example.com", "en"), // pii gate
+      (9L, "x y z", "en")                     // gopher battery fails
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusOps.curationReport(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getString(7)))
+    }.toMap
+    assert(out(1L) === ((true, true, true, true, true, true, "")))
+    assert(out(5L)._1 === false && out(5L)._7 === "exact_dup")
+    assert(out(6L)._2 === false && out(6L)._7 === "lang")
+    assert(out(7L)._7 === "exact_dup",
+      "evaluation order: exact_dup is reported before lang")
+    assert(out(8L)._5 === false && out(8L)._7 === "pii")
+    assert(out(9L)._3 === false && out(9L)._7 === "gopher")
+    assert(out.forall { case (_, g) => g._6 === (g._7 == "") },
+      "keep must hold exactly when no gate failed")
+  }
+
+  test("leakSafeSplit: no near-dup pair straddles splits on the real fixture") {
+    val docs = Tables.documents(spark, sf)
+    val split = CorpusOps.leakSafeSplit(docs)
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+    val straddle = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddle === 0L, "a straddling near-dup pair means eval leakage")
   }
 }
