@@ -144,13 +144,29 @@ object Dedup {
     */
   def nearDupClusters(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxIters: Int = 20): DataFrame = {
+    // Each round must CUT THE CATALYST PLAN, not just cache data (the
+    // trainBpe discipline, CorpusOps.scala): persist leaves every round's
+    // join+agg in the analyzed tree, so planning cost grows O(rounds²)
+    // over the loop and every consumer of the result re-analyzes the
+    // whole iteration history. localCheckpoint(eager) truncates lineage
+    // to a LogicalRDD; its blocks are not cacheManager-visible, so the
+    // superseded round is released by diffing persistent-RDD ids around
+    // the checkpoint (mis-attribution under concurrent persists means a
+    // recompute, never a correctness issue).
+    val sc = df.sparkSession.sparkContext
+    def checkpointed(d: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = d.localCheckpoint(eager = true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val pairs = ngramJaccardPairs(df, n, threshold).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (edges, edgeIds) = checkpointed(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var (labels, labelIds) = checkpointed(
+      edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -158,25 +174,27 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nl")), "doc_b")
         .groupBy(col("doc_a")).agg(min(col("nl")).as("mn"))
       // the old label rides along so the convergence probe is a filter on
-      // this frame, not an extra join; each round's frame is persisted and
-      // the superseded one dropped — the loop holds two label sets, ever
-      val next = labels.withColumnRenamed("label", "old")
+      // this frame, not an extra join; the eager checkpoint materializes
+      // the frame end-to-end, making the release of the previous round
+      // safe, and the loop holds two label sets, ever
+      val next0 = labels.withColumnRenamed("label", "old")
         .join(nbrMin.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("old"), coalesce(col("mn"), col("old"))).as("label"),
           col("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // full count, not limit(1): the probe doubles as the materializer
-      // that fills next's cache end-to-end, making the unpersist of the
-      // previous round safe (a partial materialization would cascade
-      // recomputes up the unpersisted chain)
+      if (i == 0)
+        PlanCapture.record(
+          "q64_dedup_clusters (one label-propagation round, pre-checkpoint)",
+          next0)
+      val (next, nextIds) = checkpointed(next0)
       val changed = next.filter(col("label") =!= col("old")).count()
-      labels.unpersist(blocking = false)
+      release(labelIds)
       labels = next.select(col("doc_id"), col("label"))
+      labelIds = nextIds
       converged = changed == 0L
       i += 1
     }
-    edges.unpersist(blocking = false)
+    release(edgeIds)
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
 
