@@ -822,6 +822,29 @@ object CorpusOps {
         splitExpr(col("cluster"), trainPct, valPct).as("split"))
   }
 
+  /** Split-leakage audit — the DETECTOR complementing [[leakSafeSplit]]'s
+    * preventer: given a corpus carrying an EXISTING split assignment
+    * (however it was made — a legacy pipeline, a per-document hash, a
+    * manual holdout), report every near-dup pair whose members sit in
+    * DIFFERENT splits, with both split labels and the pair's Jaccard.
+    * Zero rows certifies the assignment leakage-free at `threshold`;
+    * each returned row is one place eval measures memorization. Pair
+    * generation is [[Dedup.ngramJaccardPairs]] (prefix-filtered, work ∝
+    * near-pair density); the audit adds two equi-joins against the
+    * (doc_id, split) projection — broadcastable at any corpus size the
+    * pair set itself is tractable at.
+    */
+  def splitLeakage(docs: DataFrame, splitCol: String = "split",
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, n, threshold)
+    val sa = docs.select(col("doc_id").as("doc_a"), col(splitCol).as("split_a"))
+    val sb = docs.select(col("doc_id").as("doc_b"), col(splitCol).as("split_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
+
   /** Composed curation audit — one row per document recording every
     * gate's verdict, the final keep decision, and the FIRST failing gate
     * in a fixed evaluation order. This is the provenance artifact a

@@ -101,6 +101,13 @@ object LlmOps {
       CorpusOps.leakSafeSplit(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // leakage DETECTOR: near-dup pairs straddling a naive per-doc split
+    "q115_split_leakage" -> ((s, d) =>
+      CorpusOps.splitLeakage(
+          Tables.fanout(Tables.documents(s, d))
+            .withColumn("split", CorpusOps.splitExpr(col("doc_id"))))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // per-document curation audit: every gate's verdict + first failure
     "q114_curation_report" -> ((s, d) =>
       CorpusOps.curationReport(Tables.fanout(Tables.documents(s, d)))
@@ -1010,6 +1017,36 @@ object LlmOps {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS cum_toks FROM q)
          WHERE cum_toks <= 20000 ORDER BY doc_id""",
+    // the q26 pair chain + the q56 per-doc split on both members,
+    // filtered to pairs whose members landed in different splits
+    "q115_split_leakage" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+         pairs AS (SELECT da AS doc_a, db AS doc_b,
+                floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 AS jaccard
+            FROM cm JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+            WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8),
+         sp AS (SELECT doc_id,
+            CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483647 % 100 < 80 THEN 'train'
+                 WHEN ((doc_id % 2147483648) * 2654435761) % 2147483647 % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split FROM documents)
+         SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b,
+                p.jaccard
+         FROM pairs p JOIN sp a ON p.doc_a = a.doc_id
+                      JOIN sp b ON p.doc_b = b.doc_id
+         WHERE a.split <> b.split ORDER BY doc_a, doc_b""",
     // the q72 rule battery + exact-dup window + lang/quality/pii gates,
     // composed into one per-document audit with first-failing-gate
     "q114_curation_report" ->

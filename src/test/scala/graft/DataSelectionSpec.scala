@@ -279,4 +279,18 @@ class DataSelectionSpec extends SparkSpec {
       .count()
     assert(straddle === 0L, "a straddling near-dup pair means eval leakage")
   }
+
+  test("splitLeakage: flags the naive split's straddles, certifies leakSafeSplit") {
+    val docs = Tables.documents(spark, sf)
+    val naive = docs.withColumn("split", CorpusOps.splitExpr(col("doc_id")))
+    val naiveLeaks = CorpusOps.splitLeakage(naive).collect()
+    assert(naiveLeaks.nonEmpty,
+      "the per-document hash should straddle at least one near-dup pair here")
+    assert(naiveLeaks.forall(r => r.getString(2) != r.getString(3)),
+      "every reported pair must actually straddle")
+    val safe = docs.join(
+      CorpusOps.leakSafeSplit(docs).select("doc_id", "split"), "doc_id")
+    assert(CorpusOps.splitLeakage(safe).count() === 0L,
+      "the cluster-level assignment must certify clean")
+  }
 }
