@@ -52,4 +52,33 @@ object CorpusStreams {
       val accepted = index.dedupeBatch(b, threshold, Some(s"ingest-$epoch"))
       out.appendAll(accepted, Some(s"ingest-$epoch"))
     }
+
+  /** Continuous CURATED ingestion: each micro-batch runs the full
+    * [[graft.operators.CorpusOps.curationReport]] gate battery; kept
+    * documents append to `out`, and EVERY document's audit row (per-gate
+    * verdicts + first failing gate) appends to `audit` — the streaming
+    * face of the batch audit, because at continuous-crawl scale the drop
+    * provenance must be recorded at ingest time or re-derived by
+    * re-running curation. Both writes key idempotence off the streaming
+    * epoch id, so checkpoint-recovery replays land exactly-once; a crash
+    * between the two appends replays into a consistent pair (the
+    * completed write skips itself). The exact-dedup gate is
+    * WITHIN-batch here — compose with [[dedupedIngest]]'s persistent
+    * index when cross-batch near-dedup is also wanted.
+    */
+  def curatedIngest(docs: DataFrame, out: graft.table.MergeTable,
+      audit: graft.table.MergeTable, minQuality: Double = 0.5,
+      allowedLangs: Seq[String] = Seq("en", "de", "fr", "es", "ja"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
+      val report = graft.operators.CorpusOps
+        .curationReport(b, minQuality, allowedLangs)
+        .persist()
+      try {
+        val kept = b.join(
+          report.filter(col("keep")).select("doc_id"), "doc_id")
+        out.appendAll(kept, Some(s"curate-$epoch"))
+        audit.appendAll(report, Some(s"curate-$epoch"))
+      } finally report.unpersist(blocking = false)
+    }
 }

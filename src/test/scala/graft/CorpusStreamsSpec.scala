@@ -65,4 +65,46 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.distinct().count() === batch.count())
   }
+
+  test("curatedIngest: kept docs and full audit rows land exactly-once per epoch") {
+    import graft.table.MergeTable
+    import org.apache.spark.sql.types.StructType
+    val root = java.nio.file.Files.createTempDirectory("curated").toString
+    val out = new MergeTable(s"$root/corpus",
+      StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING"),
+      keyCol = "doc_id", partitionCol = None).create()
+    val audit = new MergeTable(s"$root/audit",
+      StructType.fromDDL("doc_id BIGINT, gate_exact BOOLEAN, gate_lang BOOLEAN, " +
+        "gate_gopher BOOLEAN, gate_quality BOOLEAN, gate_pii BOOLEAN, " +
+        "keep BOOLEAN, first_fail STRING"),
+      keyCol = "doc_id", partitionCol = None).create()
+
+    val good = "the quick brown fox jumps over the lazy dog and runs " +
+      "through the forest with great speed while birds sing songs above"
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CorpusStreams.curatedIngest(
+        mem.toDF().toDF("doc_id", "text", "lang"), out, audit)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      mem.addData((1L, good, "en"), (2L, good, "en"), (3L, "x y z", "en"),
+        (4L, good + " more", "zh"))
+      q.processAllAvailable()
+      mem.addData((10L, good + " fresh words", "en"),
+        (11L, good + " contact me at jane.doe@example.com", "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(out.read(spark).select("doc_id").as[Long].collect().sorted
+      === Seq(1L, 10L))
+    val a = audit.read(spark)
+      .select("doc_id", "keep", "first_fail").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(a.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L))
+    assert(a(1L) === ((true, "")) && a(10L) === ((true, "")))
+    assert(a(2L) === ((false, "exact_dup")))
+    assert(a(3L) === ((false, "gopher")))
+    assert(a(4L) === ((false, "lang")))
+    assert(a(11L) === ((false, "pii")))
+  }
 }
