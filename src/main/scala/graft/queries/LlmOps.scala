@@ -101,6 +101,21 @@ object LlmOps {
       CorpusOps.leakSafeSplit(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // persistent cluster-consistent split: two parity batches through the
+    // registry; batch-2 near-dups of batch-1 docs inherit their splits
+    "q116_incremental_split" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("splitreg-q").toString
+      val reg = graft.operators.IncrementalSplit.create(root)
+      val docs = Tables.fanout(Tables.documents(s, d))
+      val a1 = reg.assignBatch(docs.filter(col("doc_id") % 2 === 0),
+        batchId = Some("p1"))
+      val a2 = reg.assignBatch(docs.filter(col("doc_id") % 2 =!= 0),
+        batchId = Some("p2"))
+      a1.select(col("doc_id"), col("split"))
+        .union(a2.select(col("doc_id"), col("split")))
+        .orderBy(col("doc_id"))
+    }),
+
     // leakage DETECTOR: near-dup pairs straddling a naive per-doc split
     "q115_split_leakage" -> ((s, d) =>
       CorpusOps.splitLeakage(
@@ -800,6 +815,71 @@ object LlmOps {
          FROM h GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** q116 oracle: the q104 skeleton retargeted at split assignment —
+    * per-parity components give each batch's cluster rep; batch 1 (evens)
+    * hashes its rep through the q56 split CASE; batch 2 (odds) takes the
+    * minimum exact-Jaccard-matched even doc over each cluster (the
+    * anchor) and inherits ITS batch-1 split, falling back to the rep
+    * hash when no match exists.
+    */
+  private val incrementalSplitSql: String = {
+    def splitCase(x: String) =
+      s"""CASE WHEN (($x % 2147483648) * 2654435761) % 2147483647 % 100 < 80 THEN 'train'
+               WHEN (($x % 2147483648) * 2654435761) % 2147483647 % 100 < 90 THEN 'val'
+               ELSE 'test' END"""
+    s"""WITH RECURSIVE
+         docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+         jp AS (SELECT da, db
+            FROM cm JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+            WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8),
+         e1 AS (SELECT da AS a, db AS b FROM jp WHERE da%2=0 AND db%2=0
+                UNION SELECT db, da FROM jp WHERE da%2=0 AND db%2=0),
+         r1(a,b) AS (SELECT a, b FROM e1
+                UNION SELECT r.a, e.b FROM r1 r JOIN e1 e ON r.b = e.a),
+         c1 AS (SELECT n.a AS doc_id, least(n.a, min(r.b)) AS rep
+                FROM (SELECT DISTINCT a FROM e1) n JOIN r1 r ON r.a = n.a
+                GROUP BY n.a),
+         s1 AS (SELECT d.doc_id, coalesce(c1.rep, d.doc_id) AS rep
+                FROM (SELECT doc_id FROM docs WHERE doc_id%2=0) d
+                LEFT JOIN c1 USING(doc_id)),
+         out1 AS (SELECT doc_id, ${splitCase("rep")} AS split FROM s1),
+         e2 AS (SELECT da AS a, db AS b FROM jp WHERE da%2=1 AND db%2=1
+                UNION SELECT db, da FROM jp WHERE da%2=1 AND db%2=1),
+         r2(a,b) AS (SELECT a, b FROM e2
+                UNION SELECT r.a, e.b FROM r2 r JOIN e2 e ON r.b = e.a),
+         c2 AS (SELECT n.a AS doc_id, least(n.a, min(r.b)) AS rep
+                FROM (SELECT DISTINCT a FROM e2) n JOIN r2 r ON r.a = n.a
+                GROUP BY n.a),
+         s2 AS (SELECT d.doc_id, coalesce(c2.rep, d.doc_id) AS rep
+                FROM (SELECT doc_id FROM docs WHERE doc_id%2=1) d
+                LEFT JOIN c2 USING(doc_id)),
+         cx AS (SELECT da AS o, db AS e FROM jp WHERE da%2=1 AND db%2=0
+                UNION ALL SELECT db, da FROM jp WHERE db%2=1 AND da%2=0),
+         m2 AS (SELECT o AS doc_id, min(e) AS m FROM cx GROUP BY o),
+         a2 AS (SELECT s2.rep, min(m2.m) AS anchor
+                FROM s2 LEFT JOIN m2 USING(doc_id) GROUP BY s2.rep),
+         out2 AS (SELECT s2.doc_id,
+                coalesce(o1.split, ${splitCase("s2.rep")}) AS split
+                FROM s2 JOIN a2 USING(rep)
+                LEFT JOIN out1 o1 ON o1.doc_id = a2.anchor)
+         SELECT doc_id, split FROM out1
+         UNION ALL SELECT doc_id, split FROM out2
+         ORDER BY doc_id"""
+  }
+
   /** q104 oracle: both within-batch dedups as recursive-CTE connected
     * components (min-id survivor, the q64 machinery) over the exact
     * Jaccard pair set, then the cross-batch rule — an odd-id survivor
@@ -863,6 +943,7 @@ object LlmOps {
          SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
          FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""",
     "q104_incremental_dedup" -> incrementalDedupSql,
+    "q116_incremental_split" -> incrementalSplitSql,
     // RRF fusion replayed end-to-end: the same corpus-true BM25 (df over
     // all docs holding a query term, floored 1e-3), the same rounded
     // cosine ranking, per-side top-1000 cuts, then 1/(60+rank) summed
