@@ -66,6 +66,24 @@ object CorpusStreams {
     * WITHIN-batch here — compose with [[dedupedIngest]]'s persistent
     * index when cross-batch near-dedup is also wanted.
     */
+  /** Continuous cluster-consistent split assignment: each micro-batch
+    * runs [[graft.operators.IncrementalSplit.assignBatch]] against the
+    * persistent registry, so a document arriving months after its
+    * near-duplicate still lands in the SAME train/val/test split. The
+    * registry's three appends are epoch-keyed (exactly-once under
+    * checkpoint recovery); the assignment rows additionally append to
+    * `out` when given — e.g. a corpus table carrying the split column
+    * for downstream export.
+    */
+  def splitIngest(docs: DataFrame, registry: graft.operators.IncrementalSplit,
+      out: Option[graft.table.MergeTable] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
+      val assigned = registry.assignBatch(b, batchId = Some(s"split-$epoch"))
+      out.foreach(_.appendAll(
+        assigned.select(col("doc_id"), col("split")), Some(s"split-$epoch")))
+    }
+
   def curatedIngest(docs: DataFrame, out: graft.table.MergeTable,
       audit: graft.table.MergeTable, minQuality: Double = 0.5,
       allowedLangs: Seq[String] = Seq("en", "de", "fr", "es", "ja"))

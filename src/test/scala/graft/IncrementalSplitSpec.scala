@@ -93,4 +93,27 @@ class IncrementalSplitSpec extends SparkSpec {
     assert(reopened.assignments(spark).count() === before)
     assert(reopened.trainPct === 80 && reopened.n === 3)
   }
+
+  test("splitIngest: two streaming epochs stay cluster-consistent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpRoot()
+    val reg = IncrementalSplit.create(root)
+    val idA = (1L to 500L).find(naive(_) == "train").get
+    val idB = (1L to 500L).find(naive(_) == "test").get
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams.splitIngest(
+        mem.toDF().toDF("doc_id", "text"), reg)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      mem.addData(idA -> A)
+      q.processAllAvailable()
+      mem.addData(idB -> B)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = reg.assignments(spark).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all === Map(idA -> naive(idA), idB -> naive(idA)),
+      "the later epoch's near-dup must inherit the earlier epoch's split")
+  }
 }
