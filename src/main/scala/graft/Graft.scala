@@ -31,8 +31,11 @@ import graft.table.MergeTable
   * }}}
   *
   * Operators live in `graft.operators` (Dedup, Similarity, TextAnalysis,
-  * Multimodal, CorpusOps, ScalePatterns, TemporalJoins), stream analytics
-  * in `graft.streaming`.
+  * Multimodal, ImageHeaders, AudioWav, CorpusOps, ScalePatterns,
+  * TemporalJoins, and the persistent incremental indexes IncrementalDedup /
+  * IncrementalSplit / VectorIndex), stream analytics in `graft.streaming`
+  * (EventStreams, CorpusStreams: prepare / dedupedIngest / curatedIngest /
+  * splitIngest).
   */
 object Graft {
 
