@@ -110,6 +110,38 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `incr`: the O(delta + candidates)-per-batch claim of the persistent
+    // incremental indexes, measured — ingest sf0.1's documents into an
+    // IncrementalDedup index in equal modulo slices (near-dups spread
+    // across batches, so cross-batch matching is exercised every round)
+    // and time each batch. Flat per-batch seconds while the index grows
+    // ~8x is the direct falsification of any O(index) term; a linear ramp
+    // would be unmissable (batch 8 ≈ 8x batch 1).
+    if (mode == "incr" || mode == "all") {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nB = 8
+      val root = Files.createTempDirectory("incrprobe").toString
+      val idx = graft.operators.IncrementalDedup.create(s"$root/idx")
+      // one throwaway index round first: JIT/codegen/commit-path warmup
+      // lands outside every timed batch, not just the first
+      val warm = graft.operators.IncrementalDedup.create(s"$root/warm")
+      warm.dedupeBatch(docs.limit(200).localCheckpoint(true),
+        batchId = Some("w"))
+      println("| batch | batch docs | index docs before | seconds |")
+      println("|---|---|---|---|")
+      (0 until nB).foreach { b =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(nB)) === b)
+          .localCheckpoint(true)
+        val nDocs = slice.count()
+        val before = idx.indexedDocs(spark)
+        val t0 = System.nanoTime()
+        idx.dedupeBatch(slice, batchId = Some(s"b$b"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"| ${b + 1} | $nDocs | $before | $sec%.2f |")
+      }
+    }
     if (mode == "gen" || mode == "all") gen(spark)
     if (mode == "probe" || mode == "all") {
       val sweeps = sys.env.getOrElse("SCALE_SWEEPS", "3").toInt
