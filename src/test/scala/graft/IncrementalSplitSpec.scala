@@ -94,6 +94,30 @@ class IncrementalSplitSpec extends SparkSpec {
     assert(reopened.trainPct === 80 && reopened.n === 3)
   }
 
+  test("torn write: crash after the registry append replays to the same state") {
+    val root = tmpRoot()
+    val reg = IncrementalSplit.create(root)
+    reg.assignBatch(Seq((7L, A)).toDF("doc_id", "text"), batchId = Some("b1"))
+    // simulate a writer that died between the registry append and the
+    // index appends: land the registry rows under b2's batch id, leaving
+    // sigs/bands without the batch
+    reg.registry.appendAll(
+      Seq((12L, naive(12L))).toDF("doc_id", "split"), Some("b2:reg"))
+    assert(reg.sigs.read(spark).count() === 1L,
+      "precondition: the torn batch's signatures are missing")
+    // replay of b2: registry skips (already applied), sigs/bands complete;
+    // the recomputed assignment must agree with what the registry holds
+    val replay = reg.assignBatch(
+      Seq((12L, "totally different words that match nothing indexed yet"))
+        .toDF("doc_id", "text"), batchId = Some("b2")).collect()
+    assert(replay.head.getString(3) === naive(12L))
+    assert(reg.registry.read(spark).count() === 2L,
+      "registry must not double-apply the torn batch")
+    assert(reg.sigs.read(spark).count() === 2L &&
+      reg.bands.read(spark).count() === 2L * 4,
+      "replay completes the missing index entries")
+  }
+
   test("splitIngest: two streaming epochs stay cluster-consistent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = tmpRoot()
