@@ -822,6 +822,60 @@ object CorpusOps {
         splitExpr(col("cluster"), trainPct, valPct).as("split"))
   }
 
+  /** Fair-share token-budget selection: [[tokenBudgetSelect]]'s pure
+    * quality ordering lets one dominant source crowd every other out of
+    * the training set; [[sourceQuota]] caps a source but guarantees
+    * nothing. This operator does both sides of fairness: FIRST each
+    * source banks up to `floorToks` of its own best documents (every
+    * source keeps a voice, however its quality distribution compares
+    * globally), THEN the remaining global budget fills with the best
+    * still-unselected documents regardless of source. Returns the
+    * selected docs with `via` = 'floor' | 'fill' so mixture accounting
+    * can attribute every token.
+    *
+    * Shape at scale: stage 1 is one running-sum window PARTITIONED BY
+    * SOURCE (parallel across sources; within a source the window is the
+    * source's crawl — for a pathologically hot source compose with
+    * [[sourceQuota]]'s cap first). The floor spend is one scalar
+    * aggregate (a driver-side long, same as k-means centroids). Stage 2
+    * is [[tokenBudgetSelect]]'s composite (quality, id-range) bucketed
+    * prefix sum over the complement — never a global-order window.
+    *
+    * Size `floorToks ≤ budget / #sources`: floors are banked
+    * unconditionally, so floors summing past the budget leave nothing
+    * for the fill stage (and the floor spend itself is then the total).
+    */
+  def fairBudgetSelect(docs: DataFrame, budget: Long, floorToks: Long,
+      srcCol: String = "source", textCol: String = "text",
+      rangeWidth: Long = 1000L): DataFrame = {
+    require(budget > 0 && floorToks >= 0 && floorToks <= budget)
+    val scored = TextAnalysis.withQuality(docs, textCol)
+      .select(col("doc_id"), col(srcCol).as("source"),
+        col("quality_score"),
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_toks"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val floor = scored
+      .withColumn("src_cum", sum(col("n_toks")).over(wSrc))
+      .filter(col("src_cum") <= floorToks)
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("n_toks"), lit("floor").as("via"))
+      .localCheckpoint(true)
+    val spent = floor.agg(coalesce(sum(col("n_toks")), lit(0L)))
+      .collect().head.getLong(0)
+    val remaining = budget - spent
+    val fill =
+      if (remaining <= 0) floor.limit(0)
+      else tokenBudgetSelect(
+        docs.join(floor.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+        remaining, textCol, rangeWidth)
+        .join(scored.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("n_toks"), lit("fill").as("via"))
+    floor.union(fill)
+  }
+
   /** Split-leakage audit — the DETECTOR complementing [[leakSafeSplit]]'s
     * preventer: given a corpus carrying an EXISTING split assignment
     * (however it was made — a legacy pipeline, a per-document hash, a

@@ -101,6 +101,13 @@ object LlmOps {
       CorpusOps.leakSafeSplit(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // fair-share budget: per-source floors banked first, then the global
+    // quality fill of what budget remains
+    "q117_fair_budget" -> ((s, d) =>
+      CorpusOps.fairBudgetSelect(Tables.fanout(Tables.documents(s, d)),
+          budget = 20000L, floorToks = 500L)
+        .orderBy(col("doc_id"))),
+
     // persistent cluster-consistent split: two parity batches through the
     // registry; batch-2 near-dups of batch-1 docs inherit their splits
     "q116_incremental_split" -> ((s, d) => {
@@ -1202,6 +1209,30 @@ object LlmOps {
                 ELSE 'test' END AS split
          FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
          ORDER BY d.doc_id""",
+    // per-source floors (running sum per source), floor spend subtracted
+    // from the global budget, complement filled by one global running sum
+    "q117_fair_budget" ->
+      s"""WITH $qualityCte,
+         fl AS (SELECT doc_id, source, quality_score, nw,
+              sum(nw) OVER (PARTITION BY source
+                ORDER BY quality_score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS src_cum
+            FROM q),
+         floor_set AS (SELECT doc_id, source, quality_score, nw
+            FROM fl WHERE src_cum <= 500),
+         spent AS (SELECT coalesce(sum(nw), 0) AS s FROM floor_set),
+         rest AS (SELECT doc_id, source, quality_score, nw FROM q
+            WHERE doc_id NOT IN (SELECT doc_id FROM floor_set)),
+         fill AS (SELECT doc_id, source, quality_score, nw FROM (
+              SELECT r.*, sum(nw) OVER (ORDER BY quality_score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM rest r), spent
+            WHERE cum <= 20000 - spent.s)
+         SELECT doc_id, source, quality_score,
+           CAST(nw AS BIGINT) AS n_toks, via FROM (
+             SELECT *, 'floor' AS via FROM floor_set
+             UNION ALL SELECT *, 'fill' AS via FROM fill)
+         ORDER BY doc_id""",
     "q102_simhash_portable" -> simhashPortableSql,
     "q31_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

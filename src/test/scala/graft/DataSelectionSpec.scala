@@ -239,6 +239,42 @@ class DataSelectionSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("fairBudgetSelect: floors bank every source, fill is the best prefix") {
+    val budget = 20000L
+    val floorT = 500L
+    val docs = Tables.documents(spark, sf)
+    val out = CorpusOps.fairBudgetSelect(docs, budget, floorT).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.map(_._4).sum <= budget, "total spend must respect the budget")
+    val srcAll = docs.select("source").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(out.filter(_._5 == "floor").map(_._2).toSet === srcAll,
+      "every source must bank floor tokens on this fixture")
+
+    // replay the contract in plain Scala from the scored corpus
+    val scored = graft.operators.TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        size(graft.operators.TextAnalysis.wsTokens(col("text")))
+          .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3)))
+    val bySrc = scored.groupBy(_._2)
+    val floorIds = bySrc.values.flatMap { rows =>
+      var cum = 0L
+      rows.sortBy(t => (-t._3, t._1)).takeWhile { t =>
+        cum += t._4; cum <= floorT }
+    }.map(_._1).toSet
+    val spent = scored.filter(t => floorIds(t._1)).map(_._4).sum
+    var cum = 0L
+    val fillIds = scored.filterNot(t => floorIds(t._1))
+      .sortBy(t => (-t._3, t._1))
+      .takeWhile { t => cum += t._4; cum <= budget - spent }
+      .map(_._1).toSet
+    assert(out.filter(_._5 == "floor").map(_._1).toSet === floorIds)
+    assert(out.filter(_._5 == "fill").map(_._1).toSet === fillIds)
+  }
+
   test("curationReport: gate verdicts, conjunction, and first-fail order") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and runs " +
