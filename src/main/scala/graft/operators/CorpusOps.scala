@@ -236,25 +236,31 @@ object CorpusOps {
     * never per-doc quadratic scans. All shuffles are equi-shuffles on
     * hash/ids; nothing is corpus².
     */
-  def removeDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+  /** (doc_id, w, len) token frame + (doc_id, len, i, h) span-start table
+    * for the excision operators — the span table is the working set both
+    * the hash-selection side and the coverage expansion read, so it is
+    * persisted (caller releases after materializing the result).
+    */
+  private def spanTables(docs: DataFrame, n: Int,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     val dm = docs
-      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), TextAnalysis.wsTokens(col(textCol)).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("len"))
-    // the span table feeds BOTH the dup-hash aggregation and the coverage
-    // expansion — persist it so tokenize+hash runs once, not per consumer
-    // (this is the operator's working set, same discipline as
-    // ngramJaccardPairs); released below once the result is materialized
     val starts = dm
       .select(col("doc_id"), col("len"), col("w"),
         explode(sequence(lit(1), greatest(col("len") - (n - 1), lit(1)))).as("i"))
       .select(col("doc_id"), col("len"), col("i"),
         xxhash64(array_join(slice(col("w"), col("i"), lit(n)), " ")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupH = starts.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") > 1)
-      .select(col("h"))
-    val covered = starts.join(dupH, Seq("h"), "left_semi")
+    (dm, starts)
+  }
+
+  /** Shared excision tail: expand the selected span hashes to covered
+    * token positions, anti-join the token stream, reassemble per doc.
+    */
+  private def exciseSpans(dm: DataFrame, starts: DataFrame,
+      spanHashes: DataFrame, n: Int): DataFrame = {
+    val covered = starts.join(spanHashes, Seq("h"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("i"), least(col("i") + (n - 1), col("len")))).as("j"))
       .distinct()
@@ -267,13 +273,55 @@ object CorpusOps {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("j"), col("tok")))),
           x => x.getField("tok")), " ")).as("clean_md5"))
-    val out = dm.select(col("doc_id"), col("len").cast("long").as("n_tokens"))
+    dm.select(col("doc_id"), col("len").cast("long").as("n_tokens"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  def removeDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val (dm, starts) = spanTables(docs, n)
+    val dupH = starts.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select(col("h"))
+    val out = exciseSpans(dm, starts, dupH, n)
     // materialize (output is one compact row per doc), then release the pin
     PlanCapture.record("q88_span_removal (pre-checkpoint)", out)
+    try out.localCheckpoint(true) finally starts.unpersist(blocking = false)
+  }
+
+  /** Benchmark-targeted span EXCISION — decontamination SURGERY instead
+    * of document drops: [[contaminatedDocs]]/[[contaminatedBloom]] report
+    * and drop whole documents sharing n-grams with an evaluation set, but
+    * dropping wastes every clean token in a long document that quotes one
+    * benchmark sentence. Here only the contaminated SPANS are removed
+    * (every corpus n-gram window that appears verbatim in the benchmark,
+    * expanded to its covered token positions), and the document is
+    * reassembled from what remains — the Lee-et-al.-style surgery aimed
+    * at eval n-grams rather than corpus duplicates. Same output contract
+    * as [[removeDupSpans]]: (doc_id, n_tokens, n_removed, clean_md5).
+    *
+    * Shape at scale: the benchmark's distinct n-gram hash set replaces
+    * q88's dup-hash aggregation — it is benchmark-sized (tiny against the
+    * corpus), so the semi-join broadcasts; everything else is q88's
+    * O(tokens + covered) pipeline unchanged. At extreme benchmark sizes
+    * compose with [[contaminatedBloom]]'s bloom prefilter on the span
+    * table first.
+    */
+  def removeContaminatedSpans(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val (dm, starts) = spanTables(docs, n)
+    val benchH = benchmark
+      .select(TextAnalysis.wsTokens(col("text")).as("bw"))
+      .select(col("bw"), size(col("bw")).as("blen"))
+      .select(col("bw"),
+        explode(sequence(lit(1), greatest(col("blen") - (n - 1), lit(1)))).as("i"))
+      .select(xxhash64(array_join(slice(col("bw"), col("i"), lit(n)), " ")).as("h"))
+      .distinct()
+    val out = exciseSpans(dm, starts, benchH, n)
+    PlanCapture.record("q118_decontam_spans (pre-checkpoint)", out)
     try out.localCheckpoint(true) finally starts.unpersist(blocking = false)
   }
 

@@ -101,6 +101,16 @@ object LlmOps {
       CorpusOps.leakSafeSplit(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // decontamination surgery: excise only the spans overlapping the
+    // benchmark slice's n-grams, keep the reassembled documents
+    "q118_decontam_spans" -> ((s, d) => {
+      val docs = Tables.fanout(Tables.documents(s, d))
+      CorpusOps.removeContaminatedSpans(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // fair-share budget: per-source floors banked first, then the global
     // quality fill of what budget remains
     "q117_fair_budget" -> ((s, d) =>
@@ -1209,6 +1219,38 @@ object LlmOps {
                 ELSE 'test' END AS split
          FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
          ORDER BY d.doc_id""",
+    // the q88 skeleton with the dup-hash set replaced by the benchmark
+    // slice's distinct n-grams; corpus side excluded from the benchmark
+    "q118_decontam_spans" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents WHERE doc_id % 20 <> 0),
+         dm AS (SELECT doc_id, w, len(w) AS len FROM d),
+         st AS (SELECT doc_id, len, w,
+              unnest(generate_series(1, greatest(len-7, 1))) AS i FROM dm),
+         sp AS (SELECT doc_id, len, i,
+              array_to_string(w[i:i+7], ' ') AS s FROM st),
+         b AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS bw
+            FROM documents WHERE doc_id % 20 = 0),
+         bs AS (SELECT DISTINCT array_to_string(bw[i:i+7], ' ') AS s FROM (
+              SELECT bw, unnest(generate_series(1, greatest(len(bw)-7, 1))) AS i
+              FROM b) t),
+         cov AS (SELECT DISTINCT doc_id, j FROM (
+              SELECT doc_id, unnest(generate_series(i, least(i+7, len))) AS j
+              FROM sp WHERE s IN (SELECT s FROM bs)) u),
+         tp AS (SELECT doc_id, j, w[j] AS tok FROM (
+              SELECT doc_id, w, unnest(generate_series(1, len)) AS j
+              FROM dm WHERE len > 0) t),
+         kept AS (SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(tok, ' ' ORDER BY j)) AS clean_md5
+            FROM tp WHERE NOT EXISTS (SELECT 1 FROM cov
+              WHERE cov.doc_id = tp.doc_id AND cov.j = tp.j)
+            GROUP BY tp.doc_id)
+         SELECT dm.doc_id, CAST(len AS BIGINT) AS n_tokens,
+           CAST(len - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(clean_md5, md5('')) AS clean_md5
+         FROM dm LEFT JOIN kept ON dm.doc_id = kept.doc_id
+         ORDER BY dm.doc_id""",
     // per-source floors (running sum per source), floor spend subtracted
     // from the global budget, complement filled by one global running sum
     "q117_fair_budget" ->

@@ -78,6 +78,35 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(o2(1).getString(3) === md5of("u"))
   }
 
+  test("removeContaminatedSpans: excises only benchmark-overlapping spans") {
+    import spark.implicits._
+    def md5of(s: String) = spark.range(1)
+      .select(md5(lit(s))).head().getString(0)
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y a b c q r"),   // quotes the benchmark mid-doc
+      (2L, "a b c"),           // IS the benchmark text -> fully excised
+      (3L, "x y z q r"),       // clean, even though it shares words
+      (4L, "a b q c r")        // shares tokens but no 3-gram
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.removeContaminatedSpans(corpus, bench, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((7L, 3L, md5of("x y q r"))))
+    assert(out(2L) === ((3L, 3L, md5of(""))))
+    assert(out(3L) === ((5L, 0L, md5of("x y z q r"))))
+    assert(out(4L) === ((5L, 0L, md5of("a b q c r"))),
+      "shared vocabulary without a shared n-gram is not contamination")
+    // corpus-internal duplication is NOT excised by this operator: two
+    // corpus docs sharing a span unknown to the benchmark keep it
+    val corpus2 = Seq((1L, "p q r s"), (2L, "p q r t")).toDF("doc_id", "text")
+    val o2 = CorpusOps.removeContaminatedSpans(corpus2, bench, n = 3)
+      .orderBy("doc_id").collect()
+    assert(o2.forall(_.getLong(2) === 0L),
+      "only benchmark n-grams drive excision here; use removeDupSpans for dups")
+  }
+
   test("lineDedup: global first occurrence wins; repeats drop within and across docs") {
     import spark.implicits._
     val toy = Seq(
