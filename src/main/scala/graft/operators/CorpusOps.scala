@@ -50,6 +50,34 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Eval-integrity report — the REVERSE direction of [[contaminated]]:
+    * per BENCHMARK document, how much of it the training corpus has
+    * already seen (distinct n-grams, exposed count, exposure fraction).
+    * [[contaminated]] tells you which training docs to drop; this tells
+    * you which EVAL items are compromised and by how much — the report
+    * read before trusting a benchmark score, because a 0.9-exposed item
+    * measures memorization whatever the corpus-side cleanup did.
+    *
+    * Shape at scale: the benchmark gram set broadcasts; the corpus gram
+    * stream is filtered by a broadcast LEFT SEMI join (no corpus-side
+    * shuffle), and only the matched grams — bounded by the benchmark's
+    * own distinct-gram count — reach the distinct + report join.
+    */
+  def benchmarkExposure(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val benchSh = Dedup.shingles(benchmark, n)
+    val benchSet = benchSh.select(col("s")).distinct()
+    val exposed = Dedup.shingles(corpus, n).select(col("s"))
+      .join(broadcast(benchSet), Seq("s"), "left_semi")
+      .distinct()
+    benchSh.join(exposed.withColumn("hit", lit(1L)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_exposed"))
+      .withColumn("exposure_frac",
+        TextAnalysis.quant4(col("n_exposed").cast("double") / col("n_grams")))
+  }
+
   /** Scale path for [[contaminated]]: identical output, bloom-prefiltered
     * probe side. The benchmark shingle set is folded into a single Bloom
     * filter (Spark's own `BloomFilterAggregate`, the sketch behind AQE

@@ -254,6 +254,15 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // eval-integrity: per benchmark doc, the fraction the corpus has seen
+    "q119_benchmark_exposure" -> ((s, d) => {
+      val docs = Tables.fanout(Tables.documents(s, d))
+      CorpusOps.benchmarkExposure(
+        docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q53_pii_scan" -> ((s, d) =>
       CorpusOps.piiScan(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
@@ -1464,6 +1473,26 @@ object LlmOps {
          SELECT doc_id, count(*) AS n_shared_ngrams
          FROM corpus WHERE s IN (SELECT s FROM bench)
          GROUP BY doc_id ORDER BY doc_id""",
+    // q52's shingle parity, aggregated on the BENCH side: per benchmark
+    // doc, distinct grams + how many appear anywhere in the corpus slice
+    "q119_benchmark_exposure" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+              THEN list_transform(generate_series(1, len(w)-7),
+                   i -> array_to_string(w[i:i+7], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         bench AS (SELECT doc_id, s FROM sh WHERE doc_id < 10),
+         corpus AS (SELECT DISTINCT s FROM sh WHERE doc_id >= 10)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN s IN (SELECT s FROM corpus)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exposed,
+           floor(1.0*sum(CASE WHEN s IN (SELECT s FROM corpus)
+                    THEN 1 ELSE 0 END)/count(*)*10000)/10000 AS exposure_frac
+         FROM bench GROUP BY doc_id ORDER BY doc_id""",
     "q69_dup_spans" ->
       """WITH docs AS (SELECT doc_id,
               list_filter(string_split(text,' '), x -> x <> '') AS w

@@ -78,6 +78,25 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(o2(1).getString(3) === md5of("u"))
   }
 
+  test("benchmarkExposure: per-eval-doc fraction of grams the corpus has seen") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "a b c d"),   // grams {a b c, b c d}: one exposed below
+      (2L, "p q r s"),   // grams {p q r, q r s}: untouched
+      (3L, "a b c")      // single gram, fully exposed
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "z z a b c z"),
+      (11L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.benchmarkExposure(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((1L, 1L, 1.0)))
+  }
+
   test("removeContaminatedSpans: excises only benchmark-overlapping spans") {
     import spark.implicits._
     def md5of(s: String) = spark.range(1)
