@@ -320,6 +320,38 @@ object CorpusOps {
     try out.localCheckpoint(true) finally starts.unpersist(blocking = false)
   }
 
+  /** Boilerplate span EXCISION — the removal complement of
+    * [[boilerplate]]'s prevalence report: every n-gram window appearing
+    * in at least `dfFrac` of the corpus' documents (cookie banners,
+    * navigation menus, license footers — template text no model should
+    * train on at crawl multiplicity) is expanded to its covered
+    * positions and removed from EVERY document, which is what
+    * distinguishes it from [[lineDedup]] (keeps one canonical copy) and
+    * from [[removeDupSpans]] (any cross-doc duplication, df ≥ 2 — here
+    * the threshold is a corpus-fraction dial). Same output contract:
+    * (doc_id, n_tokens, n_removed, clean_md5).
+    *
+    * Shape at scale: q88's pipeline with the dup-hash aggregation's
+    * HAVING bound raised from 2 to ceil(dfFrac·N); the qualifying-hash
+    * set SHRINKS as the threshold rises, so the semi-join side only
+    * gets smaller. N is one count() on the input — driver-side scalar,
+    * same lifecycle as the k-means centroids.
+    */
+  def removeBoilerplateSpans(docs: DataFrame, n: Int = 8,
+      dfFrac: Double = 0.05): DataFrame = {
+    require(dfFrac > 0 && dfFrac <= 1.0)
+    val nDocs = docs.count()
+    val minDf = math.max(2L, math.ceil(dfFrac * nDocs).toLong)
+    val (dm, starts) = spanTables(docs, n)
+    val hotH = starts.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDf)
+      .select(col("h"))
+    val out = exciseSpans(dm, starts, hotH, n)
+    PlanCapture.record("q120_boilerplate_removal (pre-checkpoint)", out)
+    try out.localCheckpoint(true) finally starts.unpersist(blocking = false)
+  }
+
   /** Benchmark-targeted span EXCISION — decontamination SURGERY instead
     * of document drops: [[contaminatedDocs]]/[[contaminatedBloom]] report
     * and drop whole documents sharing n-grams with an evaluation set, but

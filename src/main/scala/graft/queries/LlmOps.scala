@@ -101,6 +101,12 @@ object LlmOps {
       CorpusOps.leakSafeSplit(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // boilerplate surgery: excise spans present in >= ceil(0.6% of docs)
+    "q120_boilerplate_removal" -> ((s, d) =>
+      CorpusOps.removeBoilerplateSpans(
+          Tables.fanout(Tables.documents(s, d)), n = 8, dfFrac = 0.006)
+        .orderBy(col("doc_id"))),
+
     // decontamination surgery: excise only the spans overlapping the
     // benchmark slice's n-grams, keep the reassembled documents
     "q118_decontam_spans" -> ((s, d) => {
@@ -1228,6 +1234,37 @@ object LlmOps {
                 ELSE 'test' END AS split
          FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
          ORDER BY d.doc_id""",
+    // the q88 skeleton with the HAVING bound raised from 2 to the
+    // df-threshold ceil(0.006·N), N computed from the same table
+    "q120_boilerplate_removal" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         dm AS (SELECT doc_id, w, len(w) AS len FROM d),
+         st AS (SELECT doc_id, len, w,
+              unnest(generate_series(1, greatest(len-7, 1))) AS i FROM dm),
+         sp AS (SELECT doc_id, len, i,
+              array_to_string(w[i:i+7], ' ') AS s FROM st),
+         thr AS (SELECT greatest(2, CAST(ceil(0.006*count(*)) AS BIGINT)) AS m
+              FROM documents),
+         hot AS (SELECT s FROM sp, thr GROUP BY s, m
+              HAVING count(DISTINCT doc_id) >= m),
+         cov AS (SELECT DISTINCT doc_id, j FROM (
+              SELECT doc_id, unnest(generate_series(i, least(i+7, len))) AS j
+              FROM sp WHERE s IN (SELECT s FROM hot)) u),
+         tp AS (SELECT doc_id, j, w[j] AS tok FROM (
+              SELECT doc_id, w, unnest(generate_series(1, len)) AS j
+              FROM dm WHERE len > 0) t),
+         kept AS (SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(tok, ' ' ORDER BY j)) AS clean_md5
+            FROM tp WHERE NOT EXISTS (SELECT 1 FROM cov
+              WHERE cov.doc_id = tp.doc_id AND cov.j = tp.j)
+            GROUP BY tp.doc_id)
+         SELECT dm.doc_id, CAST(len AS BIGINT) AS n_tokens,
+           CAST(len - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(clean_md5, md5('')) AS clean_md5
+         FROM dm LEFT JOIN kept ON dm.doc_id = kept.doc_id
+         ORDER BY dm.doc_id""",
     // the q88 skeleton with the dup-hash set replaced by the benchmark
     // slice's distinct n-grams; corpus side excluded from the benchmark
     "q118_decontam_spans" ->

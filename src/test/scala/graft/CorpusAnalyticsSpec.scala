@@ -78,6 +78,30 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(o2(1).getString(3) === md5of("u"))
   }
 
+  test("removeBoilerplateSpans: df-threshold excision of template spans") {
+    import spark.implicits._
+    def md5of(s: String) = spark.range(1)
+      .select(md5(lit(s))).head().getString(0)
+    val toy = Seq(
+      (1L, "cookie notice here x1 y1"),
+      (2L, "cookie notice here x2 y2"),
+      (3L, "cookie notice here x3 y3"),
+      (4L, "cookie notice maybe x4 y4"),   // no 3-gram reaches df 3
+      (5L, "unique text entirely here ok")
+    ).toDF("doc_id", "text")
+    // dfFrac 0.5 over 5 docs -> minDf 3: only "cookie notice here" is hot
+    val out = CorpusOps.removeBoilerplateSpans(toy, n = 3, dfFrac = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((5L, 3L, md5of("x1 y1"))))
+    assert(out(2L) === ((5L, 3L, md5of("x2 y2"))))
+    assert(out(3L) === ((5L, 3L, md5of("x3 y3"))))
+    assert(out(4L) === ((5L, 0L, md5of("cookie notice maybe x4 y4"))),
+      "df-2 spans stay below a df-3 threshold (unlike removeDupSpans)")
+    assert(out(5L) === ((5L, 0L, md5of("unique text entirely here ok"))))
+  }
+
   test("benchmarkExposure: per-eval-doc fraction of grams the corpus has seen") {
     import spark.implicits._
     val bench = Seq(
