@@ -60,7 +60,9 @@ object PlanDump {
     "q117_fair_budget" ->
       "Fair-share budget: one per-source running-sum window (parallel across sources), anti-join complement, then the q112 composite-bucket prefix sum with its broadcast offsets — no global-order window anywhere.",
     "q118_decontam_spans" ->
-      "Decontamination surgery: q88's excision tail with the dup-hash aggregation replaced by a broadcast semi-join against the benchmark's (benchmark-sized) distinct-gram set.")
+      "Decontamination surgery: q88's excision tail with the dup-hash aggregation replaced by a broadcast semi-join against the benchmark's (benchmark-sized) distinct-gram set.",
+    "q120_boilerplate_removal" ->
+      "Boilerplate surgery: the q88 excision tail with the span-hash HAVING bound raised to the df threshold — the qualifying-hash set shrinks as the threshold rises.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
