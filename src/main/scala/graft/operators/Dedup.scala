@@ -230,6 +230,31 @@ object Dedup {
     df.join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Near-dup survivors under a QUALITY policy — keep each cluster's BEST
+    * member rather than [[survivors]]' minimum id. Min-id is the right
+    * dedup-theoretic canonical (stable, order-free), but a curation
+    * pipeline usually wants the best COPY: the crawl that kept its
+    * paragraph breaks, not the first-seen one that lost them. Ranks each
+    * cluster by (`scoreCol` desc, doc_id) — the id tiebreak keeps the
+    * policy deterministic — and keeps rank 1; singletons (absent from the
+    * cluster frame) survive untouched. Same shape as [[survivors]]: the
+    * cluster frame is near-pair-participants-only (tiny in a cleaned
+    * crawl), one ranking window over it, one broadcastable anti-join
+    * against the non-survivor slice.
+    */
+  def survivorsBest(df: DataFrame, scoreCol: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    val dropped = nearDupClusters(df, n, threshold)
+      .join(df.select(col("doc_id"), col(scoreCol)), "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") =!= 1)
+      .select(col("doc_id"))
+    df.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** MinHash + banded LSH: k per-row signature mins over the shingle array
     * (array_min ∘ transform — no explosion, no groupBy), band keys from
     * hashing signature slices, candidates from an equi-join on

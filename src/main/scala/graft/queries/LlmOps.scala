@@ -328,6 +328,12 @@ object LlmOps {
           n = 3, threshold = 0.8)
         .select(col("doc_id")).orderBy(col("doc_id"))),
 
+    // policy survivors: each cluster keeps its LONGEST member (best copy)
+    "q121_survivors_best" -> ((s, d) =>
+      Dedup.survivorsBest(Tables.fanout(Tables.documents(s, d)),
+          scoreCol = "n_chars", n = 3, threshold = 0.8)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
     // Gopher-style repetition filters: duplicate word / bigram fractions
     "q67_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.fanout(Tables.documents(s, d)))
@@ -1894,6 +1900,41 @@ object LlmOps {
          SELECT d.doc_id FROM documents d
          LEFT JOIN clusters c ON d.doc_id = c.doc_id
          WHERE c.cluster IS NULL OR c.cluster = d.doc_id
+         ORDER BY d.doc_id""",
+    // the q66 component chain re-ranked per cluster by (n_chars desc, id)
+    "q121_survivors_best" ->
+      """WITH RECURSIVE
+         docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+         pairs AS (SELECT da, db
+            FROM cm JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+            WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8),
+         edges AS (SELECT da AS a, db AS b FROM pairs
+                   UNION SELECT db, da FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                   UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         clusters AS (SELECT n.a AS doc_id, least(n.a, min(r.b)) AS cluster
+            FROM (SELECT DISTINCT a FROM edges) n JOIN reach r ON r.a = n.a
+            GROUP BY n.a),
+         ranked AS (SELECT c.doc_id,
+              row_number() OVER (PARTITION BY c.cluster
+                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+         SELECT d.doc_id FROM documents d
+         LEFT JOIN ranked r ON d.doc_id = r.doc_id
+         WHERE r.rn IS NULL OR r.rn = 1
          ORDER BY d.doc_id""",
     "q67_repetition" ->
       """WITH docs AS (SELECT doc_id,

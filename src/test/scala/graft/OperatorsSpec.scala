@@ -127,6 +127,26 @@ class OperatorsSpec extends SparkSpec {
     assert(f1.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
   }
 
+  test("survivorsBest keeps the highest-scoring cluster member, not the min id") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val toy = Seq(
+      (1L, base, 10L),                  // near-dup pair; doc 2 scores higher
+      (2L, base + " tail", 20L),
+      (3L, "a completely unrelated singleton text right here", 5L)
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.survivorsBest(toy, "score")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Seq(2L, 3L))
+    val keptMin = Dedup.survivors(toy)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptMin === Seq(1L, 3L), "min-id policy differs on the same corpus")
+    // equal scores fall back to the id tiebreak = min-id policy
+    val tied = Dedup.survivorsBest(
+      toy.withColumn("score", lit(7L)), "score")
+      .select("doc_id").as[Long].collect().sorted
+    assert(tied === Seq(1L, 3L))
+  }
+
   test("dedup survivors = corpus minus non-representative cluster members") {
     val clusters = Dedup.nearDupClusters(docs, 3, 0.8)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
