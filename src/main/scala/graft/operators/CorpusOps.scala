@@ -1489,4 +1489,194 @@ object CorpusOps {
     feats.select(col("doc_id"), col("y").cast("long").as("y"),
       (floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1000) / 1000).as("score"))
   }
+
+  /** Luhn sum of `digits` (a fixed-length all-digit string): standard
+    * checksum walk — from the RIGHT, every second digit doubles, 9-fold
+    * overflow subtracts 9, all summed. Pure integer column arithmetic
+    * (exactly replayable in any engine), row-local.
+    */
+  private def luhnSum(digits: Column, nDigits: Int): Column =
+    aggregate(transform(sequence(lit(1), lit(nDigits)), i => {
+      val d = digits.substr(i, lit(1)).cast("int")
+      when((lit(nDigits + 1) - i) % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    }), lit(0), (acc, x) => acc + x)
+
+  /** Deterministic PII-bearing text for a document (the [[piiScanValidated]]
+    * fixture, same pattern as ImageHeaders.buildForDoc: the corpus carries
+    * no real PII, so the query BUILDS a payload from `doc_id` arithmetic
+    * and the scanner genuinely parses it back — one wrong span boundary
+    * or checksum anywhere fails the oracle hash). Appends to `text`:
+    * an email, a VALID IPv4, an INVALID IPv4 (first octet 999 — must be
+    * rejected by octet validation), an SSN-shaped id for even docs, a URL
+    * for docs ≡ 0 (mod 3), and a 16-digit card in spaced groups whose
+    * Luhn check digit is correct exactly for even docs (odd docs get the
+    * check digit bumped by 1 — a single-digit corruption Luhn must
+    * catch).
+    */
+  def piiFixture(id: Column, text: Column): Column = {
+    val base15 = lpad(((id * 2654435761L) % 1000000000000000L).cast("string"),
+      15, "0")
+    // Luhn over the payload with a placeholder 0 check digit: the check
+    // position (fromRight = 1) never doubles, so the placeholder
+    // contributes 0 and the remaining digits carry their final doubling
+    val s15 = luhnSum(concat(base15, lit("0")), 16)
+    val check = (lit(10) - (s15 % 10)) % 10
+    val last = when(id % 2 === 0, check).otherwise((check + 1) % 10)
+    val d16 = concat(base15, last.cast("string"))
+    val grouped = concat_ws(" ", d16.substr(1, 4), d16.substr(5, 4),
+      d16.substr(9, 4), d16.substr(13, 4))
+    // card precedes the SSN: an SSN's last-4 followed by card digits
+    // would otherwise form a bogus leftmost 4×4-digit candidate span
+    concat(text,
+      lit(" u"), id.cast("string"), lit("@ex"), (id % 7).cast("string"),
+      lit(".com 10."), (id % 256).cast("string"), lit("."),
+      ((id * 7) % 256).cast("string"), lit("."),
+      ((id * 13) % 256).cast("string"),
+      lit(" 999."), (id % 256).cast("string"), lit(".7.9 "),
+      grouped,
+      when(id % 2 === 0,
+        concat(lit(" "), lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 100).cast("string"), 2, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit(" https://ex.org/p/"), id.cast("string")))
+        .otherwise(lit("")))
+  }
+
+  /** VALIDATED PII scan — the step up from [[piiScan]]'s pattern counts:
+    * candidates are checked against the format's own rules before they
+    * count. IPv4 octets must be 0–255 (the regex alternation rejects
+    * 999.x.y.z), and card numbers must pass the Luhn checksum (the
+    * mod-10 digit-doubling walk every issuer embeds), reported as
+    * candidates vs validated so the false-candidate rate is visible.
+    * Pattern-only matching over-redacts (masking ids and version strings
+    * that merely look card-shaped) and over-reports PII incidence;
+    * validation is what makes a scan auditable.
+    *
+    * Per-row regex + integer-checksum projection: stateless, no shuffle,
+    * scales with input splits. Luhn runs only on regex-admitted
+    * candidates (a handful per document), not every digit run.
+    */
+  def piiScanValidated(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    val ipv4 = s"\\b$octet(\\.$octet){3}\\b"
+    val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    val url = "https?://[^\\s]+"
+    val card = "\\b[0-9]{4}( [0-9]{4}){3}\\b"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val cands = regexp_extract_all(t, lit(card), lit(0))
+    val luhnOk = (c: Column) =>
+      luhnSum(regexp_replace(c, " ", ""), 16) % 10 === 0
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(email), lit(0))).cast("long")
+        .as("n_email"),
+      size(regexp_extract_all(t, lit(ipv4), lit(0))).cast("long")
+        .as("n_ipv4"),
+      size(regexp_extract_all(t, lit(ssn), lit(0))).cast("long").as("n_ssn"),
+      size(regexp_extract_all(t, lit(url), lit(0))).cast("long").as("n_url"),
+      size(cands).cast("long").as("n_cc"),
+      size(filter(cands, luhnOk)).cast("long").as("n_cc_valid"))
+  }
+
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): rank every
+    * document within its source by LM cross-entropy ([[bigramLmScore]],
+    * ascending — fluent first) and cut each source's ranking into
+    * `head` / `middle` / `tail` thirds. The canonical crawl-curation
+    * triage: train on head+middle, inspect or drop tail, and keep the
+    * cut PER SOURCE so a noisy source's best third survives even when
+    * its absolute perplexity is worse than a clean source's worst.
+    *
+    * Bucket rule: `bucket_ix = ((rank-1) * 3) div n_source` — pure
+    * integer arithmetic, so the cut is engine-portable (no ntile
+    * semantics to replicate, no float boundaries) and ties are broken
+    * deterministically by `doc_id`.
+    *
+    * Shape at scale: the per-source ranking deliberately avoids a
+    * per-source total-order window (one reducer per source = the
+    * hottest source becomes the straggler). Same composite-bucket trick
+    * as [[tokenBudgetSelect]]: `row_number` within (source, xent2,
+    * id-range) partitions — all narrow slices, parallel — plus one
+    * BROADCAST offsets table (distinct (source, score, range) triples,
+    * corpus-sublinear) whose running sum converts local ranks to exact
+    * per-source ranks. Provably identical to the single-window
+    * formulation for any `rangeWidth`.
+    */
+  def pplBuckets(docs: DataFrame, lambda: Double = 0.5,
+      rangeWidth: Long = 1000L, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val scored = bigramLmScore(docs, lambda, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source")),
+        Seq("doc_id"))
+      .withColumn("rng", floor(col("doc_id") / rangeWidth).cast("long"))
+    val wLocal = Window.partitionBy(col("source"), col("xent2"), col("rng"))
+      .orderBy(col("doc_id"))
+    val local = scored.withColumn("local_rn",
+      row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy(col("source"))
+      .orderBy(col("xent2"), col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("source"))
+    val offsets = scored.groupBy(col("source"), col("xent2"), col("rng"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("offset", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("n_src", sum(col("c")).over(wTot))
+      .select(col("source"), col("xent2"), col("rng"), col("offset"),
+        col("n_src"))
+    local.join(broadcast(offsets), Seq("source", "xent2", "rng"))
+      .withColumn("src_rank", col("offset") + col("local_rn"))
+      .withColumn("bix", expr("((src_rank - 1) * 3) div n_src"))
+      .withColumn("bucket",
+        when(col("bix") === 0, "head")
+          .when(col("bix") === 1, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("source"), col("xent2"), col("src_rank"),
+        col("bucket"))
+  }
+
+  /** Per-document n-gram NOVELTY: what fraction of a document's distinct
+    * n-grams appear in no other document. The inverse view of
+    * [[boilerplate]] (which reports corpus-level prevalence) and the
+    * corpus-internal sibling of [[benchmarkExposure]]: novelty ≈ 0 means
+    * the document is assembled from text the corpus already has (a
+    * near-dup or a template instance — [[Dedup]] candidates), novelty
+    * ≈ 1 means it contributes genuinely new text. Used as a curation
+    * signal (prefer novel documents under a token budget) and as a
+    * dedup-recall diagnostic (high-shared documents that survived dedup
+    * warrant a look).
+    *
+    * Shingle rule matches the portable-hash dedup family
+    * ([[Dedup.minhashLshPairsPortable]]): word n-grams, whole text as
+    * one shingle when shorter than n, hashed by md5-prefix so every
+    * engine computes identical keys.
+    *
+    * Shape at scale: one distinct (doc, gram-hash) relation; document
+    * frequency is one map-side-combinable count on the hash; the join
+    * back to doc grams is hash-keyed equi — the standard inverted-index
+    * shape, never pairwise. Final per-doc rollup rides the doc_id key.
+    */
+  def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val shingleStrs = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", w)))
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingleStrs)).as("s"))
+      .select(col("doc_id"), Dedup.portableHash32(col("s")).as("h"))
+    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty",
+        floor((col("n_grams") - col("n_shared")) * 1000000L / col("n_grams"))
+          .cast("double") / 1e6)
+      .select(col("doc_id"), col("n_grams"), col("n_shared"), col("novelty"))
+  }
 }

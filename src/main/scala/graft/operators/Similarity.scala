@@ -642,6 +642,79 @@ object Similarity {
     e.select(col("vec_id"), argmin(cents).as("cluster"))
   }
 
+  /** Cluster-balanced sampling: a deterministic fixed-size sample per
+    * [[kmeansClusters]] cell. The diversity-preserving subsampling step
+    * (SemDeDup/D4 pipelines): a uniform corpus sample reproduces the
+    * corpus's mode collapse — dominant clusters dominate the sample —
+    * while `perCluster` rows from EVERY cell keeps rare modes (rare
+    * languages, rare formats, tail topics) represented in the curated
+    * set. Within a cell the pick order is the md5 hash of the id — an
+    * unbiased, seed-free shuffle every engine replays ([[CorpusOps
+    * .fixedSample]]'s rule, here keyed by learned cluster rather than a
+    * categorical column).
+    *
+    * Shape at scale: assignment inherits [[kmeansClusters]]'s narrow
+    * broadcast-literal argmin (no shuffle); the sample is one
+    * `row_number ≤ perCluster` window on (cluster, md5) — planned as
+    * WindowGroupLimit, so each partition retains at most `perCluster`
+    * rows per cluster before any exchange and per-partition state is
+    * bounded. k cells × perCluster rows out, whatever the corpus size.
+    */
+  def clusterSample(emb: DataFrame, perCluster: Int, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val assigned = kmeansClusters(emb, k, iters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perCluster)
+      .select(col("vec_id"), col("cluster"),
+        col("rn").cast("long").as("cluster_rank"))
+  }
+
+  /** Contrastive TRIPLET mining: for each query vector, its hardest
+    * positive (nearest SAME-label neighbor, self excluded) and hardest
+    * negative (nearest DIFFERENT-label — [[hardNegatives]]' top-1), plus
+    * the margin between them. The triplet-loss data-prep step: margin ≤ 0
+    * rows are the active triplets (the impostor currently beats the
+    * positive — exactly the pairs a metric-learning pass should see),
+    * and the margin distribution is the standard embedding-quality
+    * audit before committing a corpus to contrastive training.
+    *
+    * One broadcast-queries pass scores both sides: the corpus streams
+    * once, each (query, row) pair lands in the `same`-label or
+    * `diff`-label partition of a single window, and `row_number = 1` per
+    * side picks the two champions — planned as WindowGroupLimit with
+    * per-partition state of 1 row per (query, side). Never corpus²; for
+    * query sets beyond broadcast size the IVF candidate front-end of
+    * [[hardNegativesIvf]] composes in front, same as [[hardNegatives]].
+    */
+  def tripletMine(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = prepLabeled(corpus)
+    val q = prepLabeled(queries).select(col("vec_id").as("q_id"),
+      col("label").as("q_label"), col("v").as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("same", (col("label") === col("q_label")).cast("int"))
+      .withColumn("cos_sim",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("same"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val champs = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    champs.groupBy(col("q_id"), col("q_label"))
+      .agg(
+        max(when(col("same") === 1, col("vec_id"))).as("pos_id"),
+        max(when(col("same") === 1, col("cos_sim"))).as("pos_sim"),
+        max(when(col("same") === 0, col("vec_id"))).as("neg_id"),
+        max(when(col("same") === 0, col("cos_sim"))).as("neg_sim"))
+      .withColumn("margin",
+        round(col("pos_sim") - col("neg_sim"), 4))
+      .select(col("q_id"), col("q_label"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"), col("margin"))
+  }
+
   /** Product-quantization ANN (ADC + exact rerank): vectors are cut into
     * `m` subspaces, each encoded as the id of its nearest codebook entry
     * (`ksub` per subspace) — compressing a d-dim float vector to m bytes

@@ -334,6 +334,40 @@ object LlmOps {
           scoreCol = "n_chars", n = 3, threshold = 0.8)
         .select(col("doc_id")).orderBy(col("doc_id"))),
 
+    // CCNet perplexity triage: per-source head/middle/tail by bigram-LM
+    // cross-entropy (scale-safe bucketed ranking, no per-source window)
+    "q122_ppl_buckets" -> ((s, d) =>
+      CorpusOps.pplBuckets(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // cluster-balanced sampling: 10 deterministic md5-order picks per
+    // k-means cell (diversity-preserving curation subsample)
+    "q123_cluster_sample" -> ((s, d) =>
+      Similarity.clusterSample(Tables.embeddings(s, d), perCluster = 10)
+        .orderBy(col("vec_id"))),
+
+    // validated PII scan: deterministic doc_id-built payloads (email,
+    // valid+invalid IPv4, SSN, URL, Luhn-correct/corrupted card) parsed
+    // back with octet validation and the Luhn checksum
+    "q124_pii_validated" -> ((s, d) =>
+      CorpusOps.piiScanValidated(
+        Tables.fanout(Tables.documents(s, d))
+          .withColumn("text", CorpusOps.piiFixture(col("doc_id"), col("text"))))
+        .orderBy(col("doc_id"))),
+
+    // per-document n-gram novelty vs the rest of the corpus
+    "q125_novelty" -> ((s, d) =>
+      CorpusOps.novelty(Tables.fanout(Tables.documents(s, d)), n = 3)
+        .orderBy(col("doc_id"))),
+
+    // contrastive triplets: hardest same-label positive + hardest
+    // different-label negative per query, with the triplet margin
+    "q126_triplets" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.tripletMine(e, e.filter(col("vec_id") < 8))
+        .orderBy(col("q_id"))
+    }),
+
     // Gopher-style repetition filters: duplicate word / bigram fractions
     "q67_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.fanout(Tables.documents(s, d)))
@@ -1641,6 +1675,152 @@ object LlmOps {
          SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
            coalesce(xent2, 0.0) AS xent2
          FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
+    // q92's xent chain + per-source rank; bucket = ((rank-1)*3) div n —
+    // pure integer arithmetic, so the cut replays exactly cross-engine
+    "q122_ppl_buckets" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         tr AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur FROM (
+              SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+              FROM d WHERE len(w) >= 2) t),
+         uni AS (SELECT token, CAST(count(*) AS DOUBLE) AS c1 FROM (
+              SELECT unnest(list_filter(string_split(text,' '), x -> x <> ''))
+                AS token FROM documents) u GROUP BY token),
+         tot AS (SELECT sum(c1) AS n FROM uni),
+         bi AS (SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c2
+            FROM tr GROUP BY prev, cur),
+         sc AS (SELECT doc_id,
+              floor(-sum(ln(0.5*c2/cp.c1 + 0.5*cc.c1/n))/count(*)*1000)/1000
+                AS xent2
+            FROM tr JOIN bi USING (prev, cur)
+              JOIN uni cp ON cp.token = tr.prev
+              JOIN uni cc ON cc.token = tr.cur, tot
+            GROUP BY doc_id),
+         x AS (SELECT d.doc_id, coalesce(xent2, 0.0) AS xent2
+            FROM d LEFT JOIN sc USING (doc_id)),
+         s AS (SELECT x.doc_id, doc.source, x.xent2
+            FROM x JOIN documents doc USING (doc_id)),
+         r AS (SELECT doc_id, source, xent2,
+              row_number() OVER (PARTITION BY source
+                ORDER BY xent2, doc_id) AS src_rank,
+              count(*) OVER (PARTITION BY source) AS n_src
+            FROM s)
+         SELECT doc_id, source, xent2, CAST(src_rank AS BIGINT) AS src_rank,
+           CASE ((src_rank - 1) * 3) // n_src WHEN 0 THEN 'head'
+             WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         FROM r ORDER BY doc_id""",
+    "q123_cluster_sample" ->
+      s"""WITH km AS (${kmeansOracle(8, 3, 64)})
+         SELECT vec_id, cluster, CAST(rn AS BIGINT) AS cluster_rank FROM (
+           SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM km) t
+         WHERE rn <= 10 ORDER BY vec_id""",
+    // build the same PII payload from doc_id arithmetic, then re-scan it:
+    // octet-validated IPv4 (the 999.x decoy must not count) and the Luhn
+    // walk over extracted card candidates (odd docs' corrupted check
+    // digit must fail) replayed digit-by-digit
+    "q124_pii_validated" ->
+      """WITH chk AS (SELECT doc_id, text, b15,
+            list_sum(list_transform(generate_series(1, 15),
+              i -> CASE WHEN (17 - i) % 2 = 0
+                   THEN CASE WHEN CAST(substring(b15, i, 1) AS INT)*2 > 9
+                        THEN CAST(substring(b15, i, 1) AS INT)*2 - 9
+                        ELSE CAST(substring(b15, i, 1) AS INT)*2 END
+                   ELSE CAST(substring(b15, i, 1) AS INT) END)) AS s15
+          FROM (SELECT doc_id, text,
+              lpad(CAST((doc_id*2654435761) % 1000000000000000 AS VARCHAR),
+                15, '0') AS b15
+            FROM documents) base),
+         enr AS (SELECT doc_id,
+            text || ' u' || doc_id || '@ex' || (doc_id % 7) || '.com 10.' ||
+              (doc_id % 256) || '.' || ((doc_id*7) % 256) || '.' ||
+              ((doc_id*13) % 256) ||
+              ' 999.' || (doc_id % 256) || '.7.9 ' ||
+              substring(d16, 1, 4) || ' ' || substring(d16, 5, 4) ||
+              ' ' || substring(d16, 9, 4) || ' ' || substring(d16, 13, 4) ||
+              CASE WHEN doc_id % 2 = 0 THEN ' ' ||
+                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+                lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+              CASE WHEN doc_id % 3 = 0 THEN ' https://ex.org/p/' || doc_id
+                ELSE '' END
+              AS txt
+          FROM (SELECT doc_id, text,
+              b15 || CAST(CASE WHEN doc_id % 2 = 0
+                  THEN (10 - s15 % 10) % 10
+                  ELSE ((10 - s15 % 10) % 10 + 1) % 10 END AS VARCHAR) AS d16
+            FROM chk) a)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(txt,
+             '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b'))
+             AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(txt,
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(txt, 'https?://[^\s]+')) AS BIGINT)
+             AS n_url,
+           CAST(len(regexp_extract_all(txt,
+             '\b[0-9]{4}( [0-9]{4}){3}\b')) AS BIGINT) AS n_cc,
+           CAST(len(list_filter(
+             list_transform(regexp_extract_all(txt,
+               '\b[0-9]{4}( [0-9]{4}){3}\b'),
+               c -> list_sum(list_transform(generate_series(1, 16),
+                 i -> CASE WHEN (17 - i) % 2 = 0
+                      THEN CASE WHEN
+                          CAST(substring(replace(c,' ',''), i, 1) AS INT)*2 > 9
+                        THEN CAST(substring(replace(c,' ',''), i, 1) AS INT)*2 - 9
+                        ELSE CAST(substring(replace(c,' ',''), i, 1) AS INT)*2
+                        END
+                      ELSE CAST(substring(replace(c,' ',''), i, 1) AS INT)
+                      END))),
+             s -> s % 10 = 0)) AS BIGINT) AS n_cc_valid
+         FROM enr ORDER BY doc_id""",
+    // novelty: distinct doc-grams hashed by the portable md5-prefix,
+    // df on the hash, per-doc unshared fraction
+    "q125_novelty" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         hb AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(s),1,8) AS BIGINT) AS h
+                FROM sh),
+         dfreq AS (SELECT h, count(*) AS df FROM hb GROUP BY h),
+         agg AS (SELECT doc_id, count(*) AS n_grams,
+              sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+            FROM hb JOIN dfreq USING (h) GROUP BY doc_id)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           floor((n_grams - n_shared) * 1000000 / n_grams) / 1e6 AS novelty
+         FROM agg ORDER BY doc_id""",
+    "q126_triplets" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+               FROM e WHERE vec_id < 8),
+         scored AS (SELECT q_id, q_label, vec_id,
+              CASE WHEN label = q_label THEN 1 ELSE 0 END AS same,
+              round(list_cosine_similarity(qv, v), 4) AS cos_sim
+            FROM q JOIN e ON vec_id <> q_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id, same
+              ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+         SELECT q_id, q_label,
+           max(CASE WHEN same = 1 THEN vec_id END) AS pos_id,
+           max(CASE WHEN same = 1 THEN cos_sim END) AS pos_sim,
+           max(CASE WHEN same = 0 THEN vec_id END) AS neg_id,
+           max(CASE WHEN same = 0 THEN cos_sim END) AS neg_sim,
+           round(max(CASE WHEN same = 1 THEN cos_sim END) -
+                 max(CASE WHEN same = 0 THEN cos_sim END), 4) AS margin
+         FROM ranked WHERE rn = 1 GROUP BY q_id, q_label ORDER BY q_id""",
     "q93_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

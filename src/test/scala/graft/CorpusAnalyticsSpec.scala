@@ -377,4 +377,84 @@ class CorpusAnalyticsSpec extends SparkSpec {
         assert(texts(docId).split(" ").contains(term), s"doc $docId term $term") }
     }
   }
+
+  test("novelty: exact dups score zero, unique text one, mixtures exact") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"), // exact dup pair
+      (3L, "pp qq rr ss tt uu"),                      // fully novel
+      (4L, "aa bb cc zz yy xx ww")                    // shares one 3-gram with 1/2
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.novelty(toy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L)._3 === 0.0 && out(2L)._3 === 0.0,
+      "every gram of an exact dup is shared")
+    assert(out(3L) === ((4L, 0L, 1.0)), "nothing shared, novelty 1")
+    // doc 4 grams: "aa bb cc" (shared), "bb cc zz", "cc zz yy",
+    // "zz yy xx", "yy xx ww" — 1 of 5 shared
+    assert(out(4L)._1 === 5L && out(4L)._2 === 1L)
+    assert(out(4L)._3 === math.floor(4.0 * 1e6 / 5) / 1e6)
+  }
+
+  test("piiScanValidated: Luhn gate and octet validation discriminate") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "pay 4539 5787 6362 1486 now"), // Luhn-valid test number
+      (2L, "pay 4539 5787 6362 1487 now"), // one digit off: candidate, not valid
+      (3L, "ip 10.5.35.65 and 999.5.7.9 only"),
+      (4L, "ssn 123-45-6789 url https://x.org/a b")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.piiScanValidated(toy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 0L, 1L, 1L)), s"valid card: ${out(1L)}")
+    assert(out(2L) === ((0L, 0L, 0L, 0L, 1L, 0L)),
+      s"corrupted check digit must fail Luhn: ${out(2L)}")
+    assert(out(3L) === ((0L, 1L, 0L, 0L, 0L, 0L)),
+      s"999.x.y.z must fail octet validation: ${out(3L)}")
+    assert(out(4L) === ((0L, 0L, 1L, 1L, 0L, 0L)), s"ssn+url: ${out(4L)}")
+  }
+
+  test("piiFixture: the built payload scans back exactly per doc_id parity") {
+    val enriched = docs.limit(24)
+      .withColumn("text", CorpusOps.piiFixture(col("doc_id"), col("text")))
+    val out = CorpusOps.piiScanValidated(enriched).collect()
+    assert(out.length === 24)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 1L, s"doc $id email")
+      assert(r.getLong(2) === 1L,
+        s"doc $id: exactly the valid IPv4, never the 999.x decoy")
+      assert(r.getLong(3) === (if (id % 2 == 0) 1L else 0L), s"doc $id ssn")
+      assert(r.getLong(4) === (if (id % 3 == 0) 1L else 0L), s"doc $id url")
+      assert(r.getLong(5) === 1L, s"doc $id card candidate")
+      assert(r.getLong(6) === (if (id % 2 == 0) 1L else 0L),
+        s"doc $id: Luhn valid iff even (odd docs' check digit is bumped)")
+    }
+  }
+
+  test("clusterSample: min(m, cell) per cell, deterministic, WindowGroupLimit") {
+    val sample = Similarity.clusterSample(embs, 5)
+    val rows = sample.collect()
+    val per = rows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    val full = Similarity.kmeansClusters(embs).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(per.keySet === full.keySet,
+      "every non-empty cell must be represented")
+    per.foreach { case (c, n) =>
+      assert(n === math.min(5, full(c)), s"cell $c: $n of ${full(c)}") }
+    // within-cell ranks are 1..n
+    rows.groupBy(_.getLong(1)).foreach { case (c, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq === (1L to rs.length).toSeq,
+        s"cell $c ranks") }
+    // deterministic under repartitioning
+    val again = Similarity.clusterSample(embs.repartition(7), 5).collect()
+    assert(rows.map(_.toSeq).toSet === again.map(_.toSeq).toSet,
+      "sample must not depend on partitioning")
+    // the per-cell cut must plan as WindowGroupLimit (bounded state)
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "row_number<=m should push into WindowGroupLimit")
+  }
 }

@@ -329,4 +329,46 @@ class DataSelectionSpec extends SparkSpec {
     assert(CorpusOps.splitLeakage(safe).count() === 0L,
       "the cluster-level assignment must certify clean")
   }
+
+  test("pplBuckets: per-source integer-cut thirds, fluent head, rangeWidth-invariant") {
+    import spark.implicits._
+    // source A: 6 docs (even 2/2/2 cut); source B: 4 docs (2/1/1 cut);
+    // fluency graded by how often the corpus repeats each transition
+    val toy = Seq(
+      (1L, "a b a b a b a b", "A"), (2L, "a b a b a b", "A"),
+      (3L, "a b a b", "A"), (4L, "q z", "A"), (5L, "m n", "A"),
+      (6L, "x", "A"),
+      (11L, "a b a b a b", "B"), (12L, "a b", "B"), (13L, "q z", "B"),
+      (14L, "y", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.pplBuckets(toy, rangeWidth = 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getString(4)))
+    val a = out.filter(_._2 == "A")
+    val b = out.filter(_._2 == "B")
+    assert(a.groupBy(_._5).view.mapValues(_.length).toMap ===
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    assert(b.groupBy(_._5).view.mapValues(_.length).toMap ===
+      Map("head" -> 2, "middle" -> 1, "tail" -> 1))
+    // ranks are an exact per-source permutation ordered by (xent2, doc_id)
+    for (src <- Seq(a, b)) {
+      val byRank = src.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to src.length).toSeq)
+      assert(byRank.map(r => (r._3, r._1)).toSeq ===
+        src.map(r => (r._3, r._1)).sorted.toSeq,
+        "rank order must be (xent2, doc_id)")
+    }
+    // every head xent2 ≤ every tail xent2 within a source
+    for (src <- Seq(a, b)) {
+      val head = src.filter(_._5 == "head").map(_._3)
+      val tail = src.filter(_._5 == "tail").map(_._3)
+      assert(head.max <= tail.min, s"head must be at least as fluent: $src")
+    }
+    // the bucketed-rank trick is formulation-invariant: any rangeWidth
+    // (bucket granularity) yields the identical assignment
+    val wide = CorpusOps.pplBuckets(toy, rangeWidth = 100000L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(wide === out.toSet, "rangeWidth must not change any rank or bucket")
+  }
 }

@@ -112,4 +112,46 @@ class HardNegativesSpec extends SparkSpec {
         s"scores must be non-increasing for q_id=$qid")
     }
   }
+
+  test("tripletMine: label constraints, self-exclusion, champions are true argmaxes") {
+    val queries = corpus.filter(col("vec_id") < 50)
+    val out = Similarity.tripletMine(corpus, queries).collect()
+    assert(out.length === 50)
+    val all = corpus.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val lab = all.map(t => t._1 -> t._2).toMap
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { r =>
+      val (qId, qLabel) = (r.getInt(0), r.getInt(1))
+      val (posId, posSim) = (r.getInt(2), r.getDouble(3))
+      val (negId, negSim) = (r.getInt(4), r.getDouble(5))
+      assert(qLabel === lab(qId))
+      assert(posId !== qId, "positive must exclude self")
+      assert(lab(posId) === qLabel, "positive must share the label")
+      assert(lab(negId) !== qLabel, "negative must differ in label")
+      assert(r.getDouble(6) ===
+        BigDecimal(posSim - negSim)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        "margin = pos_sim - neg_sim")
+      // driver-side brute force over the full corpus: the champions are
+      // the true (cos desc, vec_id) argmaxes on each side
+      val qv = all.find(_._1 == qId).get._3
+      val scored = all.filter(_._1 != qId)
+        .map(t => (t._1, t._2, cos4(t._3, qv)))
+      val bestPos = scored.filter(_._2 == qLabel)
+        .minBy(t => (-t._3, t._1))
+      val bestNeg = scored.filter(_._2 != qLabel)
+        .minBy(t => (-t._3, t._1))
+      assert((posId, posSim) === ((bestPos._1, bestPos._3)),
+        s"q=$qId positive champion")
+      assert((negId, negSim) === ((bestNeg._1, bestNeg._3)),
+        s"q=$qId negative champion")
+    }
+  }
 }
