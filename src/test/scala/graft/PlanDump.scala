@@ -62,7 +62,13 @@ object PlanDump {
     "q118_decontam_spans" ->
       "Decontamination surgery: q88's excision tail with the dup-hash aggregation replaced by a broadcast semi-join against the benchmark's (benchmark-sized) distinct-gram set.",
     "q120_boilerplate_removal" ->
-      "Boilerplate surgery: the q88 excision tail with the span-hash HAVING bound raised to the df threshold — the qualifying-hash set shrinks as the threshold rises.")
+      "Boilerplate surgery: the q88 excision tail with the span-hash HAVING bound raised to the df threshold — the qualifying-hash set shrinks as the threshold rises.",
+    "q122_ppl_buckets" ->
+      "Perplexity triage: per-source rank via narrow (source, score, id-range) windows + one broadcast offsets table — no per-source total-order window, so a hot source cannot become the straggler.",
+    "q125_novelty" ->
+      "N-gram novelty: distinct doc-gram relation, map-side-combinable df count on the md5-prefix hash, hash-keyed join back — the inverted-index shape, never pairwise.",
+    "q126_triplets" ->
+      "Triplet mining: one broadcast-queries pass scores both label sides; per-(query, side) champions via row_number = 1 with WindowGroupLimit.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
