@@ -215,6 +215,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested DROP COLUMN is not supported")
         lake.getTable(d, ident.name).dropColumn(del.fieldNames()(0))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "nested RENAME COLUMN is not supported")
+        lake.getTable(d, ident.name)
+          .renameColumn(ren.fieldNames()(0), ren.newName)
       case set: TableChange.SetProperty =>
         writeProps(d, ident.name,
           readProps(d, ident.name) + (set.property -> set.value))

@@ -97,7 +97,13 @@ final class MergeTable(
     // Some(name) = this handle addresses a BRANCH (write-audit-publish):
     // same data/delete dirs, but the version pointer and manifests live
     // under branches/<name>/ — commits advance the branch, never main.
-    val branchName: Option[String] = None) {
+    val branchName: Option[String] = None,
+    // Iceberg-style rename indirection: LOGICAL column name → PHYSICAL
+    // name (the name actually written in parquet files; assigned at
+    // column creation and never changed). Only non-identity entries are
+    // stored; empty = every column reads/writes under its own name and
+    // every plan is byte-identical to the pre-rename code path.
+    val physicalNames: Map[String, String] = Map.empty) {
 
   private val rootPath: Path = Paths.get(root)
   private val dataDir: Path = rootPath.resolve("data")
@@ -120,6 +126,31 @@ final class MergeTable(
   private val payloadCols: Seq[String] = schema.fields.map(_.name).toSeq
   require(payloadCols.contains(keyCol), s"key $keyCol not in schema")
   partitionCol.foreach(p => require(payloadCols.contains(p), s"partition $p not in schema"))
+  physicalNames.keys.foreach(c =>
+    require(payloadCols.contains(c), s"rename mapping for unknown column $c"))
+
+  /** Physical (file-level) name of a logical column. Identity unless the
+    * column was renamed: [[renameColumn]] keeps the original physical
+    * name forever, so every file ever written stays readable.
+    */
+  private def phys(c: String): String = physicalNames.getOrElse(c, c)
+
+  /** The schema as written in data files: physical names, `_seq`, and
+    * the partition column last (directory-partition layout).
+    */
+  private def physFileSchema: StructType = StructType(
+    schema.fields.filterNot(f => partitionCol.contains(f.name))
+      .map(f => f.copy(name = phys(f.name))) ++
+      Seq(StructField(SEQ, LongType)) ++
+      partitionCol.map(p => schema(p).copy(name = phys(p))))
+
+  /** Project a physically-named frame (fresh off a file scan) back to
+    * logical names; identity (and skipped) when nothing is renamed.
+    */
+  private def toLogical(df: DataFrame, extra: Seq[String]): DataFrame =
+    if (physicalNames.isEmpty) df
+    else df.select(payloadCols.map(c => col(phys(c)).as(c)) ++
+      extra.map(col): _*)
 
   // ---- manifest I/O (TSV: no JSON dependency, trivially streamable) ----
   //
@@ -430,14 +461,15 @@ final class MergeTable(
 
   private def writeUpserts(rows: DataFrame, v: Long): Vector[String] = {
     val staged = stagingDir("data", v)
-    val cols = payloadCols.map(col) :+ lit(v).as(SEQ)
+    // files carry PHYSICAL names (rename-stable)
+    val cols = payloadCols.map(c => col(c).as(phys(c))) :+ lit(v).as(SEQ)
     // cluster by the partition value first: every task otherwise opens a
     // file per partition dir it sees (32 tasks × |events| ≈ 200 small
     // files PER micro-batch — file-open overhead dominated the apply path)
     val clustered = partitionCol.fold(rows.select(cols: _*))(p =>
-      rows.select(cols: _*).repartition(col(p)))
+      rows.select(cols: _*).repartition(col(phys(p))))
     val w = clustered.write.mode("overwrite").option("compression", "snappy")
-    partitionCol.fold(w)(p => w.partitionBy(p)).parquet(staged.toString)
+    partitionCol.fold(w)(p => w.partitionBy(phys(p))).parquet(staged.toString)
     adoptFiles(staged, dataDir, v)
   }
 
@@ -446,7 +478,7 @@ final class MergeTable(
     // Tombstones are tiny (keys only): one file per commit keeps the
     // delete-file count meaningful for the compaction threshold and avoids
     // empty part files from idle shuffle tasks.
-    keys.select(col(keyCol), lit(v).as(SEQ)).coalesce(1).write
+    keys.select(col(keyCol).as(phys(keyCol)), lit(v).as(SEQ)).coalesce(1).write
       .mode("overwrite").option("compression", "snappy").parquet(staged.toString)
     adoptFiles(staged, deleteDir, v)
   }
@@ -649,8 +681,9 @@ final class MergeTable(
         // HashPartitioning(key, n), so downstream key joins/aggs skip the
         // Exchange entirely (bucketed snapshots are compacted → no merge)
         ensureBucketTable(spark, snap)
-        spark.table(bucketTableName(snap.version))
-          .select(payloadCols.map(col): _*)
+        val t = spark.table(bucketTableName(snap.version))
+        if (physicalNames.isEmpty) t.select(payloadCols.map(col): _*)
+        else t.select(payloadCols.map(c => col(phys(c)).as(c)): _*)
       case Some(snap)                           => readSnapshot(spark, snap)
     }
   }
@@ -666,15 +699,15 @@ final class MergeTable(
   private def ensureBucketTable(spark: SparkSession, snap: Snapshot): Unit = {
     val tbl = bucketTableName(snap.version)
     if (!spark.catalog.tableExists(tbl)) {
-      val fileSchema = StructType(
-        schema.fields.filterNot(f => partitionCol.contains(f.name)) ++
-          Seq(StructField(SEQ, LongType)) ++ partitionCol.map(schema(_)))
-      val partClause = partitionCol.fold("")(p => s"PARTITIONED BY ($p)")
+      // catalog entry speaks PHYSICAL names (matches the files; rename-
+      // stable, so a post-rename session reuses a pre-rename entry)
+      val fileSchema = physFileSchema
+      val partClause = partitionCol.fold("")(p => s"PARTITIONED BY (${phys(p)})")
       spark.sql(
         s"""CREATE TABLE $tbl (${fileSchema.toDDL})
            USING PARQUET
            $partClause
-           CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO ${snap.buckets.get} BUCKETS
+           CLUSTERED BY (${phys(keyCol)}) SORTED BY (${phys(keyCol)}) INTO ${snap.buckets.get} BUCKETS
            LOCATION '${bucketDir(snap.version)}'""")
       if (partitionCol.isDefined)
         spark.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
@@ -709,13 +742,13 @@ final class MergeTable(
         // keep the dir-partition layout (if any) so a later DELTA commit's
         // partitioned files and these bucket files read uniformly by path
         val writer = materialized
-          .select(payloadCols.map(col) :+ lit(v).as(SEQ): _*)
-          .repartition(nBuckets, col(keyCol))
+          .select(payloadCols.map(c => col(c).as(phys(c))) :+ lit(v).as(SEQ): _*)
+          .repartition(nBuckets, col(phys(keyCol)))
           .write.mode("overwrite")
-          .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+          .bucketBy(nBuckets, phys(keyCol)).sortBy(phys(keyCol))
           .option("path", bucketDir(v).toString)
           .format("parquet")
-        partitionCol.fold(writer)(p => writer.partitionBy(p)).saveAsTable(tbl)
+        partitionCol.fold(writer)(p => writer.partitionBy(phys(p))).saveAsTable(tbl)
         val files = withDirStream(Files.walk(bucketDir(v)))(
           _.iterator().asScala
             .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
@@ -768,12 +801,12 @@ final class MergeTable(
     val materialized = read(spark).cache()
     try {
       val staged = stagingDir("data", v)
-      val cols = payloadCols.map(col) :+ lit(v).as(SEQ)
+      val cols = payloadCols.map(c => col(c).as(phys(c))) :+ lit(v).as(SEQ)
       val clustered = materialized.select(cols: _*)
-        .repartitionByRange(targetFiles, col(sortBy), col(keyCol))
-        .sortWithinPartitions(col(sortBy), col(keyCol))
+        .repartitionByRange(targetFiles, col(phys(sortBy)), col(phys(keyCol)))
+        .sortWithinPartitions(col(phys(sortBy)), col(phys(keyCol)))
       val w = clustered.write.mode("overwrite").option("compression", "snappy")
-      partitionCol.fold(w)(p => w.partitionBy(p)).parquet(staged.toString)
+      partitionCol.fold(w)(p => w.partitionBy(phys(p))).parquet(staged.toString)
       val files = adoptFiles(staged, dataDir, v)
       val (keyStats, colStats) = statsReadback(spark, files, Seq(sortBy))
       commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
@@ -792,7 +825,9 @@ final class MergeTable(
       cols: Seq[String]): (Map[String, (Long, Long)], Map[String, Map[String, (Long, Long)]]) = {
     if (files.isEmpty) return (Map.empty, Map.empty)
     val keyIsLong = schema(keyCol).dataType == LongType
-    val tracked = cols ++ (if (keyIsLong) Seq(keyCol) else Nil)
+    // stats are keyed by PHYSICAL column name (rename-stable: a later
+    // rename keeps every recorded range addressable via phys(col))
+    val tracked = (cols ++ (if (keyIsLong) Seq(keyCol) else Nil)).map(phys)
     val aggCols = tracked.zipWithIndex.flatMap { case (_, i) =>
       Seq(min(col(s"c$i")).as(s"lo$i"), max(col(s"c$i")).as(s"hi$i"))
     }
@@ -813,7 +848,7 @@ final class MergeTable(
       .filterNot(_.isNullAt(1 + 2 * i))
       .map(r => rel(r.getString(0)) ->
         ((r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))).toMap
-    val colStats = cols.zipWithIndex.map { case (c, i) => c -> statsOf(i) }
+    val colStats = cols.zipWithIndex.map { case (c, i) => phys(c) -> statsOf(i) }
       .filter(_._2.nonEmpty).toMap
     val keyStats = if (keyIsLong) statsOf(cols.length) else Map.empty[String, (Long, Long)]
     (keyStats, colStats)
@@ -857,7 +892,8 @@ final class MergeTable(
           if (b.isNullAt(2 * i + 1)) 0L else b.getLong(2 * i + 1))
         val span = math.max(1L, hi - lo)
         // rank in [0, 2^bits): (x - lo) * (2^bits - 1) / span, null → 0
-        val rank = coalesce(((col(c).cast("long") - lo)
+        // (phys: evaluated on the physically-named frame below)
+        val rank = coalesce(((col(phys(c)).cast("long") - lo)
           * ((1L << bits) - 1) / span).cast("long"), lit(0L))
         // spread rank bits to positions i, i+d, i+2d, ... (interleave)
         (0 until bits).map { bit =>
@@ -866,14 +902,14 @@ final class MergeTable(
       }.reduce(_ + _)
 
       val staged = stagingDir("data", v)
-      val cols = payloadCols.map(col) :+ lit(v).as(SEQ)
+      val cols = payloadCols.map(c => col(c).as(phys(c))) :+ lit(v).as(SEQ)
       val clustered = materialized.select(cols: _*)
         .withColumn("_z", zExpr)
-        .repartitionByRange(targetFiles, col("_z"), col(keyCol))
-        .sortWithinPartitions(col("_z"), col(keyCol))
+        .repartitionByRange(targetFiles, col("_z"), col(phys(keyCol)))
+        .sortWithinPartitions(col("_z"), col(phys(keyCol)))
         .drop("_z")
       val w = clustered.write.mode("overwrite").option("compression", "snappy")
-      partitionCol.fold(w)(p => w.partitionBy(p)).parquet(staged.toString)
+      partitionCol.fold(w)(p => w.partitionBy(phys(p))).parquet(staged.toString)
       val files = adoptFiles(staged, dataDir, v)
       val (keyStats, colStats) = statsReadback(spark, files, zCols)
       commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
@@ -899,7 +935,7 @@ final class MergeTable(
       case Some(snap)
           if !snap.requiresDedup && snap.deleteFiles.isEmpty
             && snap.buckets.isEmpty =>
-        val stats = snap.colStats.getOrElse(column, Map.empty)
+        val stats = snap.colStats.getOrElse(phys(column), Map.empty)
         val wanted = snap.dataFiles.filter(f =>
           stats.get(f).forall { case (l, h) => h >= lo && l <= hi })
         if (wanted.isEmpty) emptyDf(spark).filter(pred)
@@ -922,10 +958,10 @@ final class MergeTable(
       case Some(snap)
           if bounds.nonEmpty && !snap.requiresDedup
             && snap.deleteFiles.isEmpty && snap.buckets.isEmpty
-            && bounds.keys.exists(snap.colStats.contains) =>
+            && bounds.keys.exists(c => snap.colStats.contains(phys(c))) =>
         val wanted = snap.dataFiles.filter { f =>
           bounds.forall { case (c, (lo, hi)) =>
-            snap.colStats.getOrElse(c, Map.empty).get(f)
+            snap.colStats.getOrElse(phys(c), Map.empty).get(f)
               .forall { case (l, h) => h >= lo && l <= hi }
           }
         }
@@ -941,7 +977,7 @@ final class MergeTable(
   private[graft] def prunedFilesFor(column: String, lo: Long, hi: Long): Seq[String] =
     currentSnapshot match {
       case Some(snap) if !snap.requiresDedup && snap.deleteFiles.isEmpty =>
-        val stats = snap.colStats.getOrElse(column, Map.empty)
+        val stats = snap.colStats.getOrElse(phys(column), Map.empty)
         snap.dataFiles.filter(f =>
           stats.get(f).forall { case (l, h) => h >= lo && l <= hi })
       case Some(snap) => snap.dataFiles
@@ -970,11 +1006,10 @@ final class MergeTable(
 
   private def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame = {
     // explicit schema (not inference): files written before a column
-    // was added surface it as null — schema evolution without rewrites
-    val fileSchema = StructType(
-      schema.fields.filterNot(f => partitionCol.contains(f.name)) ++
-        Seq(StructField(SEQ, LongType)) ++
-        partitionCol.map(p => schema(p)))
+    // was added surface it as null — schema evolution without rewrites.
+    // Physical names: renamed columns keep reading their original file
+    // column; the projection back to logical names happens right below.
+    val fileSchema = physFileSchema
     // bucketed-layout files live one dir deeper (data/bucketed-vN/<part
     // dirs>) than merge/append files (data/<part dirs>): mixed depths trip
     // partition discovery (CONFLICTING_DIRECTORY_STRUCTURES), so read each
@@ -989,7 +1024,7 @@ final class MergeTable(
       (if (plainFiles.nonEmpty) Seq(readGroup(plainFiles, dataDir)) else Nil) ++
         bktFiles.groupBy(f => f.substring(0, f.indexOf('/'))).toSeq.sortBy(_._1)
           .map { case (prefix, files) => readGroup(files, dataDir.resolve(prefix)) }
-    val data = groups.reduce(_ unionByName _)
+    val data = toLogical(groups.reduce(_ unionByName _), Seq(SEQ))
 
     if (!snap.requiresDedup) {
       data.select(payloadCols.map(col): _*)
@@ -1001,8 +1036,10 @@ final class MergeTable(
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
         } else {
-          spark.read.parquet(
+          val raw = spark.read.parquet(
             snap.deleteFiles.map(f => deleteDir.resolve(f).toString): _*)
+          if (physicalNames.isEmpty) raw
+          else raw.select(col(phys(keyCol)).as(keyCol), col(SEQ))
         }
 
       // LWW merge view: newest (key, _seq) wins; a winning tombstone
@@ -1057,8 +1094,19 @@ final class MergeTable(
   def addColumn(field: StructField): MergeTable = synchronized {
     require(!payloadCols.contains(field.name), s"column ${field.name} exists")
     require(field.nullable, "added columns must be nullable")
+    // a RENAMED-AWAY column's physical name may still occupy files (e.g.
+    // rename a→b, then add a new `a`): give the newcomer a fresh physical
+    // name so old bytes under `a` never bleed into the new column
+    val usedPhys = payloadCols.map(phys).toSet
+    val newPhys =
+      if (!usedPhys.contains(field.name)) field.name
+      else LazyList.from(2).map(k => s"${field.name}__$k")
+        .find(p => !usedPhys.contains(p)).get
     val evolved = StructType(schema.fields :+ field)
-    rewriteMeta(evolved)
+    val renames =
+      if (newPhys == field.name) physicalNames
+      else physicalNames + (field.name -> newPhys)
+    rewriteMeta(evolved, renames)
     MergeTable.open(root)
   }
 
@@ -1070,15 +1118,50 @@ final class MergeTable(
     require(!partitionCol.contains(name), "cannot drop the partition column")
     require(payloadCols.contains(name), s"no such column $name")
     val evolved = StructType(schema.fields.filterNot(_.name == name))
-    rewriteMeta(evolved)
+    rewriteMeta(evolved, physicalNames - name)
     MergeTable.open(root)
   }
 
-  private def rewriteMeta(evolved: StructType): Unit = {
+  /** Schema evolution: RENAME a column — metadata-only, zero file I/O
+    * (the Iceberg rename contract). The column keeps its original
+    * PHYSICAL name in every file, past and future; only the logical name
+    * readers and writers see changes. Works for payload, merge-key, and
+    * partition columns (partition directories keep the physical name on
+    * disk, exactly like Iceberg's partition-field rename). Time travel
+    * reads every snapshot under the CURRENT (post-rename) names.
+    */
+  def renameColumn(oldName: String, newName: String): MergeTable =
+    synchronized {
+      require(payloadCols.contains(oldName), s"no such column $oldName")
+      require(!payloadCols.contains(newName), s"column $newName exists")
+      require(newName.nonEmpty && !newName.startsWith("_"),
+        s"bad column name $newName (underscore prefix is reserved)")
+      val physName = phys(oldName) // original file name, kept forever
+      val evolved = StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val renames0 = physicalNames - oldName
+      val renames =
+        if (physName == newName) renames0 // renamed back to its file name
+        else renames0 + (newName -> physName)
+      rewriteMeta(evolved, renames,
+        newKey = if (keyCol == oldName) newName else keyCol,
+        newPart = partitionCol.map(p => if (p == oldName) newName else p))
+      MergeTable.open(root)
+    }
+
+  private def rewriteMeta(evolved: StructType,
+      renames: Map[String, String] = physicalNames,
+      newKey: String = keyCol,
+      newPart: Option[String] = partitionCol): Unit = {
     val tmp = rootPath.resolve(".table.meta.tmp")
+    val renameLine =
+      if (renames.isEmpty) ""
+      else "renames\t" + renames.toSeq.sorted
+        .map { case (l, p) => s"$l=$p" }.mkString(",") + "\n"
     Files.writeString(tmp,
-      s"key\t$keyCol\npartition\t${partitionCol.getOrElse("")}\n" +
-        s"threshold\t$deleteCompactThreshold\nschema\t${evolved.toDDL}\n")
+      s"key\t$newKey\npartition\t${newPart.getOrElse("")}\n" +
+        s"threshold\t$deleteCompactThreshold\nschema\t${evolved.toDDL}\n" +
+        renameLine)
     Files.move(tmp, rootPath.resolve("_table.meta"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -1303,12 +1386,10 @@ final class MergeTable(
     require(latest <= latestVersion, s"toVersion $toVersion beyond $latestVersion")
     require(fromVersion >= -1 && fromVersion <= latest,
       s"fromVersion $fromVersion outside [-1, $latest]")
-    val fileSchema = StructType(
-      schema.fields.filterNot(f => partitionCol.contains(f.name)) ++
-        Seq(StructField(SEQ, LongType)) ++
-        partitionCol.map(p => schema(p)))
+    val fileSchema = physFileSchema
     def nullPayloadExcept(keep: Set[String]) = payloadCols.map(c =>
-      if (keep(c)) col(c) else lit(null).cast(schema(c).dataType).as(c))
+      if (keep(c)) col(phys(c)).as(c)
+      else lit(null).cast(schema(c).dataType).as(c))
     val outCols = payloadCols :+ SEQ :+ "_change_type"
     def emptyOut = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeFeedSchema)
@@ -1342,7 +1423,7 @@ final class MergeTable(
         .option("basePath", dataDir.toString)
         .schema(fileSchema)
         .parquet(dataFiles.map(f => dataDir.resolve(f).toString): _*)
-        .select(payloadCols.map(col) :+ col(SEQ) :+
+        .select(payloadCols.map(c => col(phys(c)).as(c)) :+ col(SEQ) :+
           lit("upsert").as("_change_type"): _*)
     }
     val delFiles = newDels.result()
@@ -1397,7 +1478,8 @@ final class MergeTable(
           // read WITH _seq, write back as-is — one file per former partition
           spark.read
             .schema(StructType(
-              schema.fields.filterNot(f => partitionCol.contains(f.name)) :+
+              schema.fields.filterNot(f => partitionCol.contains(f.name))
+                .map(f => f.copy(name = phys(f.name))) :+
                 StructField(SEQ, LongType)))
             .parquet(files.map(f => dataDir.resolve(f).toString): _*)
             .coalesce(1)
@@ -1480,7 +1562,7 @@ final class MergeTable(
     require(Files.exists(branchesDir.resolve(name).resolve("_latest")),
       s"no branch $name")
     new MergeTable(root, schema, keyCol, partitionCol,
-      deleteCompactThreshold, Some(name))
+      deleteCompactThreshold, Some(name), physicalNames)
   }
 
   /** Branch names with (head, fork) versions. */
@@ -1715,7 +1797,7 @@ final class MergeTable(
       else spark.read
         .parquet(prev.deleteFiles.map(f => deleteDir.resolve(f).toString): _*)
         .groupBy(input_file_name())
-        .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+        .agg(min(col(phys(keyCol))).as("lo"), max(col(phys(keyCol))).as("hi"))
         .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
 
     val commitOf: String => Long = { f =>
@@ -1853,6 +1935,11 @@ object MergeTable {
       StructType.fromDDL(kv("schema")),
       kv("key"),
       Option(kv.getOrElse("partition", "")).filter(_.nonEmpty),
-      kv.getOrElse("threshold", "10").toInt)
+      kv.getOrElse("threshold", "10").toInt,
+      physicalNames = kv.get("renames").filter(_.nonEmpty)
+        .map(_.split(",").map { e =>
+          val Array(l, p) = e.split("=", 2)
+          l -> p
+        }.toMap).getOrElse(Map.empty))
   }
 }
