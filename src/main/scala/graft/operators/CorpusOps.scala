@@ -1582,6 +1582,83 @@ object CorpusOps {
       size(filter(cands, luhnOk)).cast("long").as("n_cc_valid"))
   }
 
+  /** Epoch schedule: capped water-filling of a total token BUDGET across
+    * sources — the mixture-design step after [[mixtureWeights]]. Each
+    * source asks for budget share ∝ its temperature weight w = n^alpha
+    * (alpha < 1 upweights small sources), but no source may be repeated
+    * past `maxEpochs` (its cap = maxEpochs·n_toks — the "4 epochs max"
+    * rule of standard pretraining recipes: more repeats degrade, see
+    * Muennighoff et al. 2023). Classic bounded proportional allocation:
+    * sources are capped in ascending cap/weight order (the temperature-
+    * boosted SMALL sources hit the epoch cap first — exactly the regime
+    * the cap exists for), and the remaining budget waterfills the rest
+    * proportionally. Greedy-prefix = global optimum: capping a below-
+    * fair-share source only RAISES the fill level λ for the rest, so the
+    * capped set is a prefix of the ratio order and each row's test needs
+    * only its predecessors' state.
+    *
+    * Returns one row per source: `capped`, allocated tokens, and the
+    * effective epoch count (alloc/n ≤ maxEpochs). Budget here is
+    * `budgetFactor × total corpus tokens` so the operator scales with
+    * its input.
+    *
+    * Shape at scale: the only corpus-sized work is the token count (one
+    * groupBy). Everything after runs on the per-source table — windows
+    * over a #sources-row frame, deliberately single-partition (sources
+    * number in the dozens at any corpus size). All running sums are
+    * ORDERED (bit-reproducible addition order, engine-portable).
+    */
+  def epochSchedule(docs: DataFrame, budgetFactor: Double = 3.0,
+      maxEpochs: Double = 4.0, alpha: Double = 0.5,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budgetFactor > 0 && maxEpochs > 0)
+    val base = docs.groupBy(col(srcCol))
+      .agg(sum(size(TextAnalysis.wsTokens(col(textCol))).cast("long"))
+        .as("n_toks"))
+      .select(col(srcCol).as("source"), col("n_toks"))
+      .withColumn("w", pow(col("n_toks").cast("double"), lit(alpha)))
+      .withColumn("cap", col("n_toks").cast("double") * maxEpochs)
+      .withColumn("ratio", col("cap") / col("w"))
+    val byRatio = Window.orderBy(col("ratio"), col("source"))
+    val prev = byRatio.rowsBetween(Window.unboundedPreceding, -1)
+    val inc = byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = base
+      .withColumn("pcap", coalesce(sum(col("cap")).over(prev), lit(0.0)))
+      .withColumn("pw", coalesce(sum(col("w")).over(prev), lit(0.0)))
+      .withColumn("iw", sum(col("w")).over(inc))
+      .withColumn("itoks", sum(col("n_toks")).over(inc))
+    // ordered totals (identical addition order in every engine)
+    val tot = ranked.agg(max(col("iw")).as("tot_w"),
+      max(col("itoks")).as("tot_toks"))
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("budget", col("tot_toks").cast("double") * budgetFactor)
+      // capped ⇔ ratio ≤ λ-so-far = (B - pcap) / (tot_w - pw),
+      // cross-multiplied (tot_w - pw > 0 whenever the row exists)
+      .withColumn("capped",
+        col("ratio") * (col("tot_w") - col("pw")) <=
+          col("budget") - col("pcap"))
+    // capped spend as ORDERED running sums (capped rows form a prefix and
+    // the terms are non-negative, so max(cumsum) = the last value —
+    // bit-identical addition order in every engine)
+    val flagged2 = flagged
+      .withColumn("cap_cum",
+        sum(when(col("capped"), col("cap")).otherwise(lit(0.0))).over(inc))
+      .withColumn("w_cum",
+        sum(when(col("capped"), col("w")).otherwise(lit(0.0))).over(inc))
+    val spent = flagged2.agg(max(col("cap_cum")).as("cap_spent"),
+      max(col("w_cum")).as("w_spent"))
+    flagged2.crossJoin(broadcast(spent))
+      .withColumn("lam",
+        (col("budget") - col("cap_spent")) / (col("tot_w") - col("w_spent")))
+      .withColumn("alloc_toks",
+        floor(when(col("capped"), col("cap"))
+          .otherwise(col("lam") * col("w"))).cast("long"))
+      .withColumn("epochs", TextAnalysis.quant4(
+        col("alloc_toks").cast("double") / col("n_toks").cast("double")))
+      .select(col("source"), col("n_toks"), col("capped"),
+        col("alloc_toks"), col("epochs"))
+  }
+
   /** CCNet-style perplexity buckets (Wenzek et al. 2020): rank every
     * document within its source by LM cross-entropy ([[bigramLmScore]],
     * ascending — fluent first) and cut each source's ranking into

@@ -368,6 +368,13 @@ object LlmOps {
         .orderBy(col("q_id"))
     }),
 
+    // epoch schedule: capped water-fill of a 3x-corpus token budget
+    // across sources (temperature weights, 4-epoch repetition cap)
+    "q127_epoch_schedule" -> ((s, d) =>
+      CorpusOps.epochSchedule(Tables.fanout(Tables.documents(s, d)),
+          budgetFactor = 3.0, maxEpochs = 4.0, alpha = 0.5)
+        .orderBy(col("source"))),
+
     // Gopher-style repetition filters: duplicate word / bigram fractions
     "q67_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.fanout(Tables.documents(s, d)))
@@ -1821,6 +1828,53 @@ object LlmOps {
            round(max(CASE WHEN same = 1 THEN cos_sim END) -
                  max(CASE WHEN same = 0 THEN cos_sim END), 4) AS margin
          FROM ranked WHERE rn = 1 GROUP BY q_id, q_label ORDER BY q_id""",
+    // waterfill replay: same ratio-ordered running sums, same greedy
+    // prefix test, same ordered capped-spend accumulation
+    "q127_epoch_schedule" ->
+      """WITH c AS (SELECT source,
+              CAST(sum(len(list_filter(string_split(text,' '), x -> x <> '')))
+                AS BIGINT) AS n_toks
+            FROM documents GROUP BY 1),
+         b AS (SELECT source, n_toks,
+              power(CAST(n_toks AS DOUBLE), 0.5) AS w,
+              CAST(n_toks AS DOUBLE) * 4.0 AS cap
+            FROM c),
+         r AS (SELECT *, cap / w AS ratio FROM b),
+         wn AS (SELECT *,
+              coalesce(sum(cap) OVER (ORDER BY ratio, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pcap,
+              coalesce(sum(w) OVER (ORDER BY ratio, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pw,
+              sum(w) OVER (ORDER BY ratio, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iw,
+              sum(n_toks) OVER (ORDER BY ratio, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS itoks
+            FROM r),
+         t AS (SELECT max(iw) AS tot_w, max(itoks) AS tot_toks FROM wn),
+         fl AS (SELECT wn.*, tot_w,
+              CAST(tot_toks AS DOUBLE) * 3.0 AS budget,
+              ratio * (tot_w - pw) <=
+                CAST(tot_toks AS DOUBLE) * 3.0 - pcap AS capped
+            FROM wn, t),
+         fc AS (SELECT *,
+              sum(CASE WHEN capped THEN cap ELSE 0.0 END)
+                OVER (ORDER BY ratio, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cap_cum,
+              sum(CASE WHEN capped THEN w ELSE 0.0 END)
+                OVER (ORDER BY ratio, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_cum
+            FROM fl),
+         sp AS (SELECT max(cap_cum) AS cap_spent, max(w_cum) AS w_spent
+            FROM fc),
+         out AS (SELECT source, n_toks, capped,
+              CAST(floor(CASE WHEN capped THEN cap
+                ELSE (budget - cap_spent) / (tot_w - w_spent) * w END)
+                AS BIGINT) AS alloc_toks
+            FROM fc, sp)
+         SELECT source, n_toks, capped, alloc_toks,
+           floor(CAST(alloc_toks AS DOUBLE) / CAST(n_toks AS DOUBLE)
+             * 10000) / 10000 AS epochs
+         FROM out ORDER BY source""",
     "q93_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

@@ -371,4 +371,41 @@ class DataSelectionSpec extends SparkSpec {
         r.getLong(3), r.getString(4))).toSet
     assert(wide === out.toSet, "rangeWidth must not change any rank or bucket")
   }
+
+  test("epochSchedule: small sources cap first, remainder waterfills, budget respected") {
+    import spark.implicits._
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // A: 16 tokens, B: 100, C: 10000 — ratios 4*sqrt(n) = 16 / 40 / 400,
+    // so at 3x budget A and B hit the 4-epoch cap and C fills the rest
+    val toy = (Seq((1L, words(16), "A"), (2L, words(100), "B")) ++
+      (1 to 10).map(i => (10L + i, words(1000), "C"))).toDF("doc_id", "text", "source")
+    val out = CorpusOps.epochSchedule(toy, budgetFactor = 3.0,
+        maxEpochs = 4.0, alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("A") === ((16L, true, 64L, 4.0)), s"A: ${out("A")}")
+    assert(out("B") === ((100L, true, 400L, 4.0)), s"B: ${out("B")}")
+    val (nC, cappedC, allocC, epochsC) = out("C")
+    assert(nC === 10000L && !cappedC)
+    // λ* = (3*10116 - 464) / 100 = 298.84; ×100 lands one ulp under
+    // 29884 in binary, so the floor is 29883 — deterministically, in
+    // every engine running the same double ops (the oracle replays this)
+    assert(allocC === 29883L, s"C alloc: $allocC")
+    assert(epochsC === 2.9883)
+    // invariants: total ≤ budget, epochs ≤ cap, capped ⇔ exactly 4 epochs
+    val totalAlloc = out.values.map(_._3).sum
+    assert(totalAlloc <= (3.0 * 10116).toLong)
+    out.values.foreach { case (_, capped, _, e) =>
+      assert(e <= 4.0)
+      assert(capped === (e === 4.0))
+    }
+    // saturated regime: budget above every cap → everyone at maxEpochs
+    val sat = CorpusOps.epochSchedule(toy, budgetFactor = 10.0,
+        maxEpochs = 2.0, alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getBoolean(2), r.getLong(3)))
+    sat.foreach { case (s, capped, alloc) =>
+      assert(capped, s"$s must cap when the budget exceeds every cap")
+      assert(alloc === out(s)._1 * 2, s"$s saturated alloc")
+    }
+  }
 }
