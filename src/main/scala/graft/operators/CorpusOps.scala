@@ -1582,6 +1582,34 @@ object CorpusOps {
       size(filter(cands, luhnOk)).cast("long").as("n_cc_valid"))
   }
 
+  /** Per-source tokenizer compression: chars-per-BPE-token and fertility
+    * (BPE tokens per whitespace word) using the corpus-trained merge
+    * table ([[bpeEncode]]). The tokenizer-fit diagnostic behind mixture
+    * decisions: a source whose compression is far below the corpus
+    * average is paying more of the context window per character (code,
+    * rare scripts, OCR noise) — which changes its EFFECTIVE weight in
+    * token-budgeted selections ([[tokenBudgetSelect]], [[epochSchedule]]
+    * allocate TOKENS, so a poorly-compressed source gets fewer
+    * characters of representation for the same budget).
+    *
+    * Pure composition: [[bpeEncode]]'s per-doc accounting + one
+    * source-keyed rollup of exact long counts; ratios quantized at 1e-4.
+    */
+  def bpeCompression(docs: DataFrame, merges: Int = 8,
+      srcCol: String = "source"): DataFrame = {
+    val enc = bpeEncode(docs, merges)
+    enc.join(docs.select(col("doc_id"), col(srcCol).as("source"),
+        col("n_chars")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("chars_per_tok", TextAnalysis.quant4(
+        col("n_chars").cast("double") / col("n_bpe_tokens")))
+      .withColumn("fertility", TextAnalysis.quant4(
+        col("n_bpe_tokens").cast("double") / col("n_words")))
+  }
+
   /** Epoch schedule: capped water-filling of a total token BUDGET across
     * sources — the mixture-design step after [[mixtureWeights]]. Each
     * source asks for budget share ∝ its temperature weight w = n^alpha

@@ -672,6 +672,38 @@ object Similarity {
         col("rn").cast("long").as("cluster_rank"))
   }
 
+  /** Dimension-energy curve (Matryoshka truncation diagnostic, Kusupati
+    * et al. 2022): for each cutoff k, the corpus-average fraction of a
+    * vector's squared L2 norm contained in its FIRST k dimensions. MRL-
+    * trained embeddings front-load information — avg energy near 1 at
+    * small k means the corpus can be stored/searched at k dims (8× less
+    * ANN memory at k=8 on d=64) with little recall loss; a flat curve
+    * says truncation would destroy geometry. Read this before choosing
+    * the [[signProject]]/[[pqTopK]] compression operating point.
+    *
+    * Exactness: the per-vector fraction is quantized to 1e-6 BEFORE
+    * aggregation and averaged with integer floor-division, so the
+    * output is engine-portable integer arithmetic (no float-summation
+    * order anywhere). Row-local per (vector, cutoff) — one narrow pass,
+    * no shuffle beyond the |cutoffs|-row rollup.
+    */
+  def dimEnergy(emb: DataFrame,
+      cutoffs: Seq[Int] = Seq(4, 8, 16, 32, 64)): DataFrame = {
+    val e = asDouble(emb)
+    val tot = aggregate(col("v"), lit(0.0), (a, x) => a + x * x)
+    val head = aggregate(slice(col("v"), lit(1), col("cutoff")),
+      lit(0.0), (a, x) => a + x * x)
+    e.select(col("v"), explode(typedLit(cutoffs)).as("cutoff"))
+      .withColumn("q6", floor(
+        when(tot === 0.0, lit(0.0)).otherwise(head / tot) * 1000000L)
+        .cast("long"))
+      .groupBy(col("cutoff"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"), sum(col("q6")).as("sq"))
+      .withColumn("avg_energy",
+        expr("sq div n_vecs").cast("double") / 1e6)
+      .select(col("cutoff"), col("n_vecs"), col("avg_energy"))
+  }
+
   /** Contrastive TRIPLET mining: for each query vector, its hardest
     * positive (nearest SAME-label neighbor, self excluded) and hardest
     * negative (nearest DIFFERENT-label — [[hardNegatives]]' top-1), plus

@@ -375,6 +375,17 @@ object LlmOps {
           budgetFactor = 3.0, maxEpochs = 4.0, alpha = 0.5)
         .orderBy(col("source"))),
 
+    // Matryoshka dimension-energy curve: avg fraction of squared norm
+    // in the first k dims (integer-exact aggregation)
+    "q128_dim_energy" -> ((s, d) =>
+      Similarity.dimEnergy(Tables.embeddings(s, d))
+        .orderBy(col("cutoff"))),
+
+    // per-source tokenizer compression with the corpus-trained BPE table
+    "q129_bpe_compression" -> ((s, d) =>
+      CorpusOps.bpeCompression(Tables.documents(s, d), merges = 8)
+        .orderBy(col("source"))),
+
     // Gopher-style repetition filters: duplicate word / bigram fractions
     "q67_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.fanout(Tables.documents(s, d)))
@@ -669,7 +680,11 @@ object LlmOps {
     * rewrite stages, so the final stage doubles as the word→symbol-count
     * encode table; documents then join their words against it.
     */
-  private def bpeEncodeOracle(merges: Int): String = {
+  /** Shared CTE chain for the BPE-encode oracles (q95/q129): trains the
+    * merge table round by round and ends at an `enc` CTE mapping each
+    * word to its encoded symbol count.
+    */
+  private def bpeEncCtes(merges: Int): String = {
     val b = new StringBuilder
     b ++= """WITH w0 AS (SELECT word, count(*) AS freq FROM (
          SELECT unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
@@ -693,7 +708,12 @@ object LlmOps {
     }
     b ++= s""",
        enc AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_sym
-         FROM v$merges),
+         FROM v$merges)"""
+    b.toString
+  }
+
+  private def bpeEncodeOracle(merges: Int): String =
+    bpeEncCtes(merges) + """,
        dw AS (SELECT doc_id,
            unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
          FROM documents)
@@ -701,8 +721,25 @@ object LlmOps {
          CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_bpe_tokens
        FROM dw LEFT JOIN enc USING (word)
        GROUP BY doc_id ORDER BY doc_id"""
-    b.toString
-  }
+
+  private def bpeCompressionOracle(merges: Int): String =
+    bpeEncCtes(merges) + """,
+       dw AS (SELECT doc_id,
+           unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS word
+         FROM documents),
+       per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_bpe
+         FROM dw LEFT JOIN enc USING (word) GROUP BY doc_id),
+       agg AS (SELECT d.source, CAST(sum(p.n_words) AS BIGINT) AS n_words,
+           CAST(sum(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+         FROM per p JOIN documents d USING (doc_id) GROUP BY d.source)
+       SELECT source, n_words, n_bpe_tokens, n_chars,
+         floor(CAST(n_chars AS DOUBLE) / n_bpe_tokens * 10000) / 10000
+           AS chars_per_tok,
+         floor(CAST(n_bpe_tokens AS DOUBLE) / n_words * 10000) / 10000
+           AS fertility
+       FROM agg ORDER BY source"""
 
   /** DuckDB replica of [[CorpusOps.logregScore]] with the gradient-descent
     * iterations unrolled as CTE stages: identical features, zero init
@@ -1988,6 +2025,23 @@ object LlmOps {
            floor(sqrt(CAST(sumsq AS DOUBLE) / n) * 10000) / 10000 AS rms
          FROM f ORDER BY doc_id""",
     "q95_bpe_encode" -> bpeEncodeOracle(8),
+    "q129_bpe_compression" -> bpeCompressionOracle(8),
+    "q128_dim_energy" ->
+      """WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+         c AS (SELECT unnest([4, 8, 16, 32, 64]) AS cutoff),
+         r AS (SELECT cutoff,
+              CAST(floor(CASE WHEN t = 0 THEN 0.0 ELSE s / t END * 1000000)
+                AS BIGINT) AS q6
+            FROM (SELECT c.cutoff,
+                list_sum(list_transform(v[1:c.cutoff], x -> x*x)) AS s,
+                list_sum(list_transform(v, x -> x*x)) AS t
+              FROM e CROSS JOIN c) x)
+         SELECT CAST(cutoff AS INT) AS cutoff,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(q6) // count(*) AS DOUBLE) / 1e6 AS avg_energy
+         FROM r GROUP BY cutoff ORDER BY cutoff""",
     "q96_logreg_quality" -> logregOracle(3, 1.0,
       "source IN ('src0','src1','src2','src3','src4')"),
     "q97_text_embed" ->

@@ -457,4 +457,29 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       "row_number<=m should push into WindowGroupLimit")
   }
+
+  test("dimEnergy: closed forms, monotone in cutoff, full width is exactly 1") {
+    import spark.implicits._
+    // first-dim spike: energy 1 at every cutoff; all-ones: energy k/d
+    // (dyadic at d=64 → exact floors)
+    val spike = (1.0 +: Seq.fill(63)(0.0)).map(_.toFloat)
+    val ones = Seq.fill(64)(1.0f)
+    val toy = Seq((1L, spike, 0), (2L, ones, 0))
+      .toDF("vec_id", "embedding", "label")
+    def energies(df: org.apache.spark.sql.DataFrame) =
+      Similarity.dimEnergy(df).collect()
+        .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val spikeE = energies(toy.filter($"vec_id" === 1))
+    assert(Seq(4, 8, 16, 32, 64).forall(k => spikeE(k) === 1.0), s"$spikeE")
+    val onesE = energies(toy.filter($"vec_id" === 2))
+    Seq(4, 8, 16, 32, 64).foreach { k =>
+      assert(onesE(k) === k.toDouble / 64, s"cutoff $k: ${onesE(k)}") }
+    // corpus fixture: monotone, capped at 1, full width exactly 1
+    val real = Similarity.dimEnergy(embs).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val ks = Seq(4, 8, 16, 32, 64)
+    ks.sliding(2).foreach { case Seq(a, b) =>
+      assert(real(a) <= real(b), s"energy must be monotone: $real") }
+    assert(real(64) === 1.0, "full width holds the whole norm")
+  }
 }

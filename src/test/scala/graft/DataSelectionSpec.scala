@@ -408,4 +408,26 @@ class DataSelectionSpec extends SparkSpec {
       assert(alloc === out(s)._1 * 2, s"$s saturated alloc")
     }
   }
+
+  test("bpeCompression: exact rollup of the per-doc encode accounting") {
+    val docs = Tables.documents(spark, sf)
+    val perDoc = graft.operators.CorpusOps.bpeEncode(docs, merges = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val meta = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val expected = meta.toSeq.flatMap { case (id, (src, chars)) =>
+      perDoc.get(id).map { case (w, t) => (src, w, t, chars) } }
+      .groupBy(_._1).view.mapValues { rs =>
+        (rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum) }.toMap
+    val out = CorpusOps.bpeCompression(docs, merges = 8).collect()
+    assert(out.map(_.getString(0)).toSet === expected.keySet)
+    out.foreach { r =>
+      val (w, t, c) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((w, t, c)),
+        s"rollup mismatch for ${r.getString(0)}")
+      assert(r.getDouble(4) === math.floor(c.toDouble / t * 10000) / 10000)
+      assert(r.getDouble(5) === math.floor(t.toDouble / w * 10000) / 10000)
+      assert(r.getDouble(5) >= 1.0, "every word is at least one token")
+    }
+  }
 }
