@@ -30,7 +30,10 @@ object ScaleProbe {
   val Replicas = 10
   val ChainQueries = Seq("q26_dedup_jaccard", "q64_dedup_clusters",
     "q66_dedup_survivors", "q88_span_removal", "q89_kmeans",
-    "hard_negatives_ivf_1k")
+    "hard_negatives_ivf_1k",
+    // round 7: the new shuffle-bearing operators — per-source bucketed
+    // ranking over the bigram-LM chain, and the df-count inverted index
+    "q122_ppl_buckets", "q125_novelty")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
