@@ -103,7 +103,14 @@ final class MergeTable(
     // column creation and never changed). Only non-identity entries are
     // stored; empty = every column reads/writes under its own name and
     // every plan is byte-identical to the pre-rename code path.
-    val physicalNames: Map[String, String] = Map.empty) {
+    val physicalNames: Map[String, String] = Map.empty,
+    // Partition-spec evolution epoch: 0 = the original layout at the data
+    // root; each `evolvePartitionSpec` bumps it and NEW files land under
+    // data/pspec-<id>/ with the new spec. Old files keep their old layout
+    // forever — the read side derives every file group's partition column
+    // from its path (the `k=v` directory segment), so mixed-spec
+    // snapshots read without any per-file metadata.
+    val writeSpecId: Int = 0) {
 
   private val rootPath: Path = Paths.get(root)
   private val dataDir: Path = rootPath.resolve("data")
@@ -151,6 +158,67 @@ final class MergeTable(
     if (physicalNames.isEmpty) df
     else df.select(payloadCols.map(c => col(phys(c)).as(c)) ++
       extra.map(col): _*)
+
+  /** Data files land under the CURRENT spec's directory; manifest paths
+    * stay dataDir-relative (the pspec prefix rides in the name, exactly
+    * like the bucketed-v prefix).
+    */
+  private def adoptIntoCurrentSpec(staged: Path, v: Long): Vector[String] = {
+    if (writeSpecId == 0) adoptFiles(staged, dataDir, v)
+    else adoptFiles(staged, dataDir.resolve(s"pspec-$writeSpecId"), v)
+      .map(m => s"pspec-$writeSpecId/$m")
+  }
+
+  /** (layout prefix, partition dir column) of a manifest file path. The
+    * path is self-describing: `bucketed-v7/` / `pspec-2/` prefixes name
+    * the layout root, and a `k=v` segment names the PHYSICAL partition
+    * column the file was written under — so files from every spec epoch
+    * (and pre-epoch legacy files) read correctly with zero per-file
+    * metadata.
+    */
+  private def layoutOf(f: String): (String, Option[String]) = {
+    val (prefix, rest) =
+      if (f.startsWith("bucketed-v") || f.startsWith("pspec-")) {
+        val i = f.indexOf('/')
+        (f.substring(0, i), f.substring(i + 1))
+      } else ("", f)
+    val dirKey = rest.indexOf('/') match {
+      case -1 => None
+      case i =>
+        val seg = rest.substring(0, i)
+        val j = seg.indexOf('=')
+        if (j > 0) Some(seg.substring(0, j)) else None
+    }
+    (prefix, dirKey)
+  }
+
+  /** Read a set of manifest data files — across layout prefixes, spec
+    * epochs, and renames — as ONE logical frame (payload + _seq). Each
+    * (prefix, partition-column) group gets its own basePath and explicit
+    * physical schema (the group's dir column comes from the path, every
+    * other payload column from bytes); groups union by name. For a
+    * single-group table this produces the same scan shape as a direct
+    * read.
+    */
+  private def readDataFilesLogical(spark: SparkSession,
+      files: Seq[String]): DataFrame = {
+    val groups = files.groupBy(layoutOf)
+    val dfs = groups.toSeq.sortBy(_._1.toString).map {
+      case ((prefix, dirKey), fs) =>
+        val base = if (prefix.isEmpty) dataDir else dataDir.resolve(prefix)
+        val fileSchema = StructType(
+          schema.fields.filterNot(f => dirKey.contains(phys(f.name)))
+            .map(f => f.copy(name = phys(f.name))) ++
+            Seq(StructField(SEQ, LongType)) ++
+            dirKey.flatMap(p => schema.fields.find(f => phys(f.name) == p))
+              .map(f => f.copy(name = phys(f.name))))
+        spark.read.option("basePath", base.toString)
+          .schema(fileSchema)
+          .parquet(fs.map(f => dataDir.resolve(f).toString): _*)
+          .select(payloadCols.map(c => col(phys(c)).as(c)) :+ col(SEQ): _*)
+    }
+    dfs.reduce(_ unionByName _)
+  }
 
   // ---- manifest I/O (TSV: no JSON dependency, trivially streamable) ----
   //
@@ -470,7 +538,7 @@ final class MergeTable(
       rows.select(cols: _*).repartition(col(phys(p))))
     val w = clustered.write.mode("overwrite").option("compression", "snappy")
     partitionCol.fold(w)(p => w.partitionBy(phys(p))).parquet(staged.toString)
-    adoptFiles(staged, dataDir, v)
+    adoptIntoCurrentSpec(staged, v)
   }
 
   private def writeTombstones(keys: DataFrame, v: Long): Vector[String] = {
@@ -807,7 +875,7 @@ final class MergeTable(
         .sortWithinPartitions(col(phys(sortBy)), col(phys(keyCol)))
       val w = clustered.write.mode("overwrite").option("compression", "snappy")
       partitionCol.fold(w)(p => w.partitionBy(phys(p))).parquet(staged.toString)
-      val files = adoptFiles(staged, dataDir, v)
+      val files = adoptIntoCurrentSpec(staged, v)
       val (keyStats, colStats) = statsReadback(spark, files, Seq(sortBy))
       commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
         requiresDedup = false, keyStats, op = "compact", colStats = colStats))
@@ -831,8 +899,12 @@ final class MergeTable(
     val aggCols = tracked.zipWithIndex.flatMap { case (_, i) =>
       Seq(min(col(s"c$i")).as(s"lo$i"), max(col(s"c$i")).as(s"hi$i"))
     }
+    // stats read-back always follows a compaction: the files are all
+    // freshly written under the CURRENT spec, so one basePath suffices
+    val statsBase =
+      if (writeSpecId == 0) dataDir else dataDir.resolve(s"pspec-$writeSpecId")
     val statRows = spark.read
-      .option("basePath", dataDir.toString)
+      .option("basePath", statsBase.toString)
       .parquet(files.map(f => dataDir.resolve(f).toString): _*)
       .select(input_file_name().as("file") +:
         tracked.zipWithIndex.map { case (c, i) => col(c).cast("long").as(s"c$i") }: _*)
@@ -910,7 +982,7 @@ final class MergeTable(
         .drop("_z")
       val w = clustered.write.mode("overwrite").option("compression", "snappy")
       partitionCol.fold(w)(p => w.partitionBy(phys(p))).parquet(staged.toString)
-      val files = adoptFiles(staged, dataDir, v)
+      val files = adoptIntoCurrentSpec(staged, v)
       val (keyStats, colStats) = statsReadback(spark, files, zCols)
       commit(Snapshot(v, files, Vector.empty, prev.appliedBatches,
         requiresDedup = false, keyStats, op = "compact", colStats = colStats))
@@ -1005,26 +1077,14 @@ final class MergeTable(
     }
 
   private def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame = {
-    // explicit schema (not inference): files written before a column
-    // was added surface it as null — schema evolution without rewrites.
-    // Physical names: renamed columns keep reading their original file
-    // column; the projection back to logical names happens right below.
-    val fileSchema = physFileSchema
-    // bucketed-layout files live one dir deeper (data/bucketed-vN/<part
-    // dirs>) than merge/append files (data/<part dirs>): mixed depths trip
-    // partition discovery (CONFLICTING_DIRECTORY_STRUCTURES), so read each
-    // group against its own basePath and union — at most one bucketed
-    // prefix can be live per snapshot, so this is ≤2 scans
-    val (bktFiles, plainFiles) = snap.dataFiles.partition(_.startsWith("bucketed-v"))
-    def readGroup(files: Seq[String], base: Path): DataFrame = spark.read
-      .option("basePath", base.toString)
-      .schema(fileSchema)
-      .parquet(files.map(f => dataDir.resolve(f).toString): _*)
-    val groups =
-      (if (plainFiles.nonEmpty) Seq(readGroup(plainFiles, dataDir)) else Nil) ++
-        bktFiles.groupBy(f => f.substring(0, f.indexOf('/'))).toSeq.sortBy(_._1)
-          .map { case (prefix, files) => readGroup(files, dataDir.resolve(prefix)) }
-    val data = toLogical(groups.reduce(_ unionByName _), Seq(SEQ))
+    // explicit schema (not inference): files written before a column was
+    // added surface it as null — schema evolution without rewrites.
+    // Renamed columns read their original physical file column; files
+    // from older partition-spec epochs (and bucketed layouts, which live
+    // one dir deeper and would otherwise trip partition discovery) read
+    // in their own per-layout groups. All of that lives in
+    // readDataFilesLogical — here the files are already one logical frame.
+    val data = readDataFilesLogical(spark, snap.dataFiles)
 
     if (!snap.requiresDedup) {
       data.select(payloadCols.map(col): _*)
@@ -1149,19 +1209,42 @@ final class MergeTable(
       MergeTable.open(root)
     }
 
+  /** Partition-spec evolution (Iceberg's evolve-spec contract, adapted to
+    * directory partitioning): future writes land under a NEW layout dir
+    * (`data/pspec-<id>/`) partitioned by `newCol`; every existing file
+    * keeps its old layout and stays readable — mixed-spec snapshots read
+    * per layout group ([[readDataFilesLogical]]). Queries filtering on
+    * the new column get directory pruning for post-evolution files and
+    * column-stat pruning for older ones; `compact()` rewrites the whole
+    * table under the current spec, completing the migration — exactly
+    * the Iceberg behavior (old files keep old specs until rewritten).
+    * `None` evolves to an unpartitioned layout. Metadata-only: one meta
+    * rewrite, zero file I/O.
+    */
+  def evolvePartitionSpec(newCol: Option[String]): MergeTable =
+    synchronized {
+      newCol.foreach(c =>
+        require(payloadCols.contains(c), s"no such column $c"))
+      require(newCol != partitionCol, "already the current partition spec")
+      rewriteMeta(schema, physicalNames, keyCol, newCol, writeSpecId + 1)
+      MergeTable.open(root)
+    }
+
   private def rewriteMeta(evolved: StructType,
       renames: Map[String, String] = physicalNames,
       newKey: String = keyCol,
-      newPart: Option[String] = partitionCol): Unit = {
+      newPart: Option[String] = partitionCol,
+      newSpecId: Int = writeSpecId): Unit = {
     val tmp = rootPath.resolve(".table.meta.tmp")
     val renameLine =
       if (renames.isEmpty) ""
       else "renames\t" + renames.toSeq.sorted
         .map { case (l, p) => s"$l=$p" }.mkString(",") + "\n"
+    val specLine = if (newSpecId == 0) "" else s"pspecid\t$newSpecId\n"
     Files.writeString(tmp,
       s"key\t$newKey\npartition\t${newPart.getOrElse("")}\n" +
         s"threshold\t$deleteCompactThreshold\nschema\t${evolved.toDDL}\n" +
-        renameLine)
+        renameLine + specLine)
     Files.move(tmp, rootPath.resolve("_table.meta"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -1386,7 +1469,6 @@ final class MergeTable(
     require(latest <= latestVersion, s"toVersion $toVersion beyond $latestVersion")
     require(fromVersion >= -1 && fromVersion <= latest,
       s"fromVersion $fromVersion outside [-1, $latest]")
-    val fileSchema = physFileSchema
     def nullPayloadExcept(keep: Set[String]) = payloadCols.map(c =>
       if (keep(c)) col(phys(c)).as(c)
       else lit(null).cast(schema(c).dataType).as(c))
@@ -1419,11 +1501,8 @@ final class MergeTable(
     val parts = Vector.newBuilder[DataFrame]
     val dataFiles = newData.result()
     if (dataFiles.nonEmpty) {
-      parts += spark.read
-        .option("basePath", dataDir.toString)
-        .schema(fileSchema)
-        .parquet(dataFiles.map(f => dataDir.resolve(f).toString): _*)
-        .select(payloadCols.map(c => col(phys(c)).as(c)) :+ col(SEQ) :+
+      parts += readDataFilesLogical(spark, dataFiles)
+        .select(payloadCols.map(col) :+ col(SEQ) :+
           lit("upsert").as("_change_type"): _*)
     }
     val delFiles = newDels.result()
@@ -1475,10 +1554,15 @@ final class MergeTable(
       val packed: Seq[(Vector[String], Option[(Long, Long)])] =
         toRewrite.toSeq.map { case (dir, files) =>
           val staged = stagingDir("pack", v)
-          // read WITH _seq, write back as-is — one file per former partition
+          // read WITH _seq, write back as-is — one file per former
+          // partition. The group's byte schema excludes ITS OWN layout's
+          // dir column (derived from the path — files from an older
+          // partition-spec epoch carry a different dir key than the
+          // current spec)
+          val (_, dirKey) = layoutOf(files.head)
           spark.read
             .schema(StructType(
-              schema.fields.filterNot(f => partitionCol.contains(f.name))
+              schema.fields.filterNot(f => dirKey.contains(phys(f.name)))
                 .map(f => f.copy(name = phys(f.name))) :+
                 StructField(SEQ, LongType)))
             .parquet(files.map(f => dataDir.resolve(f).toString): _*)
@@ -1562,7 +1646,7 @@ final class MergeTable(
     require(Files.exists(branchesDir.resolve(name).resolve("_latest")),
       s"no branch $name")
     new MergeTable(root, schema, keyCol, partitionCol,
-      deleteCompactThreshold, Some(name), physicalNames)
+      deleteCompactThreshold, Some(name), physicalNames, writeSpecId)
   }
 
   /** Branch names with (head, fork) versions. */
@@ -1940,6 +2024,7 @@ object MergeTable {
         .map(_.split(",").map { e =>
           val Array(l, p) = e.split("=", 2)
           l -> p
-        }.toMap).getOrElse(Map.empty))
+        }.toMap).getOrElse(Map.empty),
+      writeSpecId = kv.get("pspecid").map(_.trim.toInt).getOrElse(0))
   }
 }
