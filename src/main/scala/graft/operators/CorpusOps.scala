@@ -1763,6 +1763,135 @@ object CorpusOps {
     * back to doc grams is hash-keyed equi — the standard inverted-index
     * shape, never pairwise. Final per-doc rollup rides the doc_id key.
     */
+  /** Phrase-level heavy hitters with a count-min-sketch candidate pass and
+    * an exact rescan — the two-pass shape that makes corpus-wide frequent-
+    * phrase mining feasible at 100 TB. A single exact
+    * `groupBy(gram).count()` shuffles EVERY occurrence of EVERY distinct
+    * n-gram (the long Zipf tail is almost all of them); the sketch pass
+    * instead map-side-combines occurrences into a fixed `depth`×`width`
+    * counter grid (≤ depth·width rows cross the wire regardless of corpus
+    * size), the tiny grid is collected and re-enters the plan as LITERAL
+    * arrays, and the second scan filters each occurrence ROW-LOCALLY on
+    * its sketch estimate before the only per-gram shuffle — so the shuffle
+    * carries just candidate occurrences. CMS never underestimates
+    * (estimate = min over rows of a counter the gram itself incremented),
+    * so candidates ⊇ true heavy hitters: the rescan output is EXACT, not
+    * approximate — which is why this query gets a full hash-checked DuckDB
+    * oracle (the oracle replays the sketch as a join instead of a literal
+    * lookup; same arithmetic, same admissions).
+    *
+    * Pruning efficacy is governed by `width`: a tail gram survives
+    * admission only via collision mass, expected tot/width per counter, so
+    * size width ≳ e·tot/minCount at the target scale (the classic CMS
+    * bound). At sf0.01 (≈26 k occurrences, width 8192) the grid is sparse
+    * and the tail really is dropped pre-shuffle; at 100 TB the same plan
+    * wants width ~1e7 — still a few hundred MB of driver grid, still a
+    * plan literal well below broadcast-join sizes. Hash family: the
+    * portable affine rows over [[Dedup.portableHash32]], exact in BIGINT
+    * in both engines.
+    */
+  def heavyHitters(docs: DataFrame, n: Int = 3, minCount: Long = 6,
+      depth: Int = 4, width: Int = 8192,
+      textCol: String = "text"): DataFrame = {
+    val w = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val shingleStrs = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", w)))
+    // one row per OCCURRENCE (no array_distinct: this is frequency, not df)
+    val occ = docs.select(explode(shingleStrs).as("s"))
+      .withColumn("b", Dedup.portableHash32(col("s")))
+    def bucket(i: Int): Column =
+      (((lit(2L * i + 3) * col("b") + lit(7919L * i) + lit(1L))
+        % Dedup.PortableP) % width).cast("int")
+
+    // pass 1: the sketch. posexplode multiplies rows by `depth` but the
+    // partial aggregation collapses them to ≤ depth·width per task before
+    // anything shuffles.
+    val grid = occ
+      .select(posexplode(array((0 until depth).map(bucket): _*))
+        .as(Seq("i", "bucket")))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+      .collect()
+    val rows = Array.fill(depth)(Array.fill(width)(0L))
+    grid.foreach(r => rows(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+
+    // pass 2: row-local admission against the literal grid, then the exact
+    // count over admitted occurrences only
+    val est = least((0 until depth).map(i =>
+      element_at(typedLit(rows(i).toSeq), bucket(i) + lit(1))): _*)
+    occ.withColumn("cms_est", est)
+      .filter(col("cms_est") >= minCount)
+      .groupBy(col("s").as("gram"), col("cms_est"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("gram"), col("cnt"), col("cms_est"))
+  }
+
+  /** Deterministic URL-bearing text for a document (the [[domainStats]]
+    * fixture, same doc_id-arithmetic pattern as [[piiFixture]]): the test
+    * corpus carries no URLs, so the query BUILDS them and the extractor
+    * genuinely parses them back. Appends one primary URL exercising every
+    * normalization rule — scheme varies by parity, a `www.` prefix every
+    * third doc, an explicit `:8080` port every seventh, a path suffix —
+    * and, for docs ≡ 0 (mod 5), a second URL on a blocklisted domain
+    * behind an `ads.` subdomain (so registered-domain folding, not host
+    * equality, must be what matches the blocklist).
+    */
+  def urlFixture(id: Column, text: Column): Column = {
+    val tld = element_at(typedLit(Seq("com", "org", "net", "io")),
+      (id % 4).cast("int") + lit(1))
+    concat(text,
+      lit(" "), when(id % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      when(id % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), (id % 23).cast("string"), lit("."), tld,
+      when(id % 7 === 0, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), id.cast("string"),
+      when(id % 5 === 0,
+        concat(lit(" https://ads.spamhub.biz/x"), id.cast("string")))
+        .otherwise(lit("")))
+  }
+
+  /** Per-domain corpus statistics with blocklist verdicts — the
+    * RefinedWeb/C4-style curation gate that decides a web corpus's fate at
+    * the REGISTERED-DOMAIN level, not per page: extract every URL, fold it
+    * to its registered domain (strip scheme, `www.`, port, path; keep the
+    * last two dot-labels so `ads.spamhub.biz` and `www.spamhub.biz` meet
+    * at `spamhub.biz`), and aggregate. Verdict: blocklisted → `drop`;
+    * domains seen in ≥ `minDocs` documents → `keep`; the long tail →
+    * `review` (the manual-audit queue every production crawl filter
+    * feeds).
+    *
+    * Scale: extraction and normalization are row-local regex/string
+    * projections (stateless, split-parallel); the only shuffle is the
+    * domain rollup, whose partial aggregation absorbs hot domains
+    * map-side (counts are algebraic; the distinct-doc count is Spark's
+    * two-phase partial-distinct). The blocklist rides the plan as an
+    * `IN` literal — at production size it becomes a broadcast semi-join,
+    * same verdict semantics.
+    */
+  def domainStats(docs: DataFrame, blocklist: Seq[String] = Seq(
+      "spamhub.biz", "malware.net"), minDocs: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val urls = docs.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(col(textCol),
+        lit("https?://[^\\s]+"), lit(0))).as("url"))
+    val host = split_part(split_part(
+      regexp_replace(col("url"), "^https?://", ""), lit("/"), lit(1)),
+      lit(":"), lit(1))
+    val labels = split(lower(regexp_replace(host, "^www\\.", "")), "\\.")
+    val domain = concat_ws(".", slice(labels, -2, 2))
+    urls.select(col("doc_id"), domain.as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("blocked", col("domain").isin(blocklist: _*))
+      .withColumn("verdict",
+        when(col("blocked"), "drop")
+          .when(col("n_docs") >= minDocs, "keep")
+          .otherwise("review"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val w = filter(split(col(textCol), " "), t => t =!= lit(""))

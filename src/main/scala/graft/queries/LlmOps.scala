@@ -386,6 +386,32 @@ object LlmOps {
       CorpusOps.bpeCompression(Tables.documents(s, d), merges = 8)
         .orderBy(col("source"))),
 
+    // two-pass heavy hitters: count-min candidate grid (collected, re-
+    // entering the plan as literals) + exact rescan of admitted grams
+    "q130_heavy_hitters" -> ((s, d) =>
+      CorpusOps.heavyHitters(Tables.fanout(Tables.documents(s, d)),
+          n = 3, minCount = 6)
+        .orderBy(col("cnt").desc, col("gram"))),
+
+    // registered-domain curation gate over fixture-built URLs
+    "q131_domain_stats" -> ((s, d) =>
+      CorpusOps.domainStats(
+        Tables.fanout(Tables.documents(s, d))
+          .withColumn("text",
+            CorpusOps.urlFixture(col("doc_id"), col("text"))))
+        .orderBy(col("domain"))),
+
+    // integer-quantized PageRank over the arithmetic link fixture: the
+    // oracle replays all three power iterations bit-for-bit in BIGINTs
+    "q132_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id"))
+      val edges = graft.operators.GraphOps.linkFixture(nodes, n)
+      graft.operators.GraphOps.pageRank(edges, nodes, n, iters = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition filters: duplicate word / bigram fractions
     "q67_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.fanout(Tables.documents(s, d)))
@@ -709,6 +735,45 @@ object LlmOps {
     b ++= s""",
        enc AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_sym
          FROM v$merges)"""
+    b.toString
+  }
+
+  /** Unrolled power iteration: each CTE is one PageRank round in exact
+    * BIGINT nano-rank arithmetic — `//` here floors exactly where the
+    * engine's `div` floors, so all three rounds hash-match bit-for-bit.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    // the destination columns are PRE-computed (d1..d3) before the unnest:
+    // DuckDB 1.0.0's binder has an internal-error bug on unnest of lists
+    // whose elements reference a joined column, and the precomputed shape
+    // sidesteps it with identical semantics
+    val b = new StringBuilder(
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+       bb AS (SELECT (15 * CAST(1000000000 AS BIGINT)) // (100 * n) AS base
+              FROM nn),
+       nodes AS (SELECT doc_id FROM documents),
+       pre AS (SELECT doc_id AS src, (31*doc_id+7) % n AS d1,
+                 (17*doc_id+3) % n AS d2, (5*doc_id+11) % n AS d3
+               FROM nodes, nn),
+       edges0 AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM pre),
+       edges AS (SELECT DISTINCT src, dst FROM edges0 WHERE dst <> src),
+       od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       r0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) // n AS r
+              FROM nodes, nn)""")
+    for (t <- 1 to iters) b ++= s""",
+       s$t AS (SELECT e.dst AS id, CAST(SUM(r.r // od.od) AS BIGINT) AS s
+         FROM edges e JOIN ${if (t == 1) "r0" else s"i${t - 1}"} r
+           ON e.src = r.id
+         JOIN od ON e.src = od.src
+         GROUP BY e.dst),
+       i$t AS (SELECT nd.doc_id AS id,
+           b.base + (85 * COALESCE(s.s, 0)) // 100 AS r
+         FROM nodes nd CROSS JOIN bb b
+         LEFT JOIN s$t s ON nd.doc_id = s.id)"""
+    b ++= s"""
+       SELECT id AS doc_id, r AS rank_nano,
+         CAST(r AS DOUBLE) / 1e9 AS rank
+       FROM i$iters ORDER BY doc_id"""
     b.toString
   }
 
@@ -2026,6 +2091,66 @@ object LlmOps {
          FROM f ORDER BY doc_id""",
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q129_bpe_compression" -> bpeCompressionOracle(8),
+    "q132_pagerank" -> pageRankOracle(3),
+    // CMS replayed as a join (the engine's literal-array lookup and this
+    // join compute the same depth×width counters); admission + exact
+    // rescan identical
+    "q130_heavy_hitters" ->
+      """WITH docs AS (SELECT list_filter(string_split(text,' '),
+              x -> x <> '') AS w FROM documents),
+         occ AS (SELECT unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs),
+         hb AS (SELECT s,
+                  CAST('0x' || substring(md5(s),1,8) AS BIGINT) AS b
+                FROM occ),
+         bk AS (SELECT s, i,
+                  ((2*i+3)*b + 7919*i + 1) % 2147483647 % 8192 AS bucket
+                FROM hb, generate_series(0,3) t(i)),
+         grid AS (SELECT i, bucket, count(*) AS c
+                  FROM bk GROUP BY i, bucket),
+         est AS (SELECT s, min(c) AS cms_est
+                 FROM bk JOIN grid USING (i, bucket) GROUP BY s),
+         exact AS (SELECT s, count(*) AS cnt FROM occ GROUP BY s)
+         SELECT e.s AS gram, x.cnt, e.cms_est
+         FROM est e JOIN exact x USING (s)
+         WHERE e.cms_est >= 6 AND x.cnt >= 6
+         ORDER BY cnt DESC, gram""",
+    // fixture rebuilt from doc_id arithmetic, then the same extract →
+    // normalize → registered-domain fold → rollup → verdict chain
+    "q131_domain_stats" ->
+      """WITH f AS (SELECT doc_id, text || ' ' ||
+              CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+              CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+              'site' || CAST(doc_id % 23 AS VARCHAR) || '.' ||
+              (['com','org','net','io'])[CAST(doc_id % 4 AS INT) + 1] ||
+              CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
+              '/p/' || CAST(doc_id AS VARCHAR) ||
+              CASE WHEN doc_id % 5 = 0
+                THEN ' https://ads.spamhub.biz/x' || CAST(doc_id AS VARCHAR)
+                ELSE '' END AS t
+            FROM documents),
+         u AS (SELECT doc_id,
+                 unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+               FROM f),
+         h AS (SELECT doc_id, split_part(split_part(
+                 regexp_replace(url, '^https?://', ''), '/', 1), ':', 1)
+                 AS host FROM u),
+         d AS (SELECT doc_id, array_to_string(w[len(w)-1:], '.') AS domain
+               FROM (SELECT doc_id, string_split(
+                   lower(regexp_replace(host, '^www\.', '')), '.') AS w
+                 FROM h)),
+         agg AS (SELECT domain, count(*) AS n_urls,
+                   count(DISTINCT doc_id) AS n_docs
+                 FROM d GROUP BY domain)
+         SELECT domain, n_urls, n_docs,
+           domain IN ('spamhub.biz', 'malware.net') AS blocked,
+           CASE WHEN domain IN ('spamhub.biz', 'malware.net') THEN 'drop'
+                WHEN n_docs >= 5 THEN 'keep'
+                ELSE 'review' END AS verdict
+         FROM agg ORDER BY domain""",
     "q128_dim_energy" ->
       """WITH e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

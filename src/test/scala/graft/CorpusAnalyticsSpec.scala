@@ -482,4 +482,63 @@ class CorpusAnalyticsSpec extends SparkSpec {
       assert(real(a) <= real(b), s"energy must be monotone: $real") }
     assert(real(64) === 1.0, "full width holds the whole norm")
   }
+
+  test("heavyHitters: exact counts, CMS never under-admits, tail pruned") {
+    import spark.implicits._
+    // skewed fixture: one phrase repeated far past the threshold inside
+    // each heavy doc, plus a long tail of distinct one-shot trigrams
+    val heavyText = Seq.fill(10)("the heavy phrase").mkString(" ")
+    val toy = ((1L to 4L).map(i => (i, heavyText)) ++
+      (100L to 400L).map(i => (i, s"tail a$i b$i c$i d$i"))).toDF("doc_id", "text")
+    val out = CorpusOps.heavyHitters(toy, n = 3, minCount = 6,
+      depth = 4, width = 4096).collect()
+    // ground truth by brute force
+    val brute = toy.collect().flatMap { r =>
+      val w = r.getString(1).split(" ").filter(_.nonEmpty)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq
+      else Seq(w.mkString(" "))
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 6).toMap
+    val got = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === brute, s"exact rescan must equal brute force: $got vs $brute")
+    // CMS property: estimate ≥ exact count on every emitted row
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS underestimated ${r.getString(0)}") }
+    // pruning really happens: with 4k buckets and ~1.5k tail occurrences
+    // the one-shot trigrams' estimates sit far below minCount, so the
+    // admitted-occurrence relation is a small fraction of the corpus
+    val admitted = {
+      val w = filter(split(col("text"), " "), t => t =!= lit(""))
+      val sh = when(size(w) >= 3,
+          transform(sequence(lit(0), size(w) - 3),
+            i => concat_ws(" ", slice(w, i + lit(1), lit(3)))))
+        .otherwise(array(concat_ws(" ", w)))
+      toy.select(explode(sh).as("s")).count()
+    }
+    val emittedOcc = out.map(_.getLong(1)).sum
+    assert(emittedOcc < admitted / 5,
+      s"heavy occurrences $emittedOcc should be a small fraction of $admitted")
+  }
+
+  test("domainStats: normalization folds to registered domain, verdicts split") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "see https://www.example.com/a and http://example.com:8080/b"),
+      (2L, "also https://blog.example.com/post plain text"),
+      (3L, "bad https://ads.spamhub.biz/x here"),
+      (4L, "rare https://one-off.io/q"),
+      (5L, "no urls at all")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.domainStats(toy, minDocs = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    // www./port/path stripped, blog. subdomain folded into example.com
+    assert(out("example.com") === ((3L, 2L, false, "keep")))
+    // subdomain meets the blocklist at the registered domain
+    assert(out("spamhub.biz") === ((1L, 1L, true, "drop")))
+    // below minDocs → manual-review queue
+    assert(out("one-off.io") === ((1L, 1L, false, "review")))
+    assert(out.size === 3, s"doc 5 contributes nothing: $out")
+  }
 }

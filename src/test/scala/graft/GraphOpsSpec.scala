@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** Link-graph centrality (q132): hand-computable ranks on a tiny graph,
+  * the integer-arithmetic invariants that make the oracle exact, and the
+  * fixture's graph-shape contract.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  test("pageRank: one iteration on a hand-computed 4-node graph") {
+    import spark.implicits._
+    // 0→1, 1→2, 2→0, 3→0; node 3 has no in-links
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val r = GraphOps.pageRank(edges, nodes, n = 4, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r0 = 250e6 each, base = 15e9/400 = 37.5e6, outdeg all 1
+    assert(r(0L) === 37500000L + (85L * 500000000L) / 100) // from 2 and 3
+    assert(r(1L) === 37500000L + (85L * 250000000L) / 100)
+    assert(r(2L) === 37500000L + (85L * 250000000L) / 100)
+    assert(r(3L) === 37500000L) // teleport base only
+  }
+
+  test("pageRank: deterministic under repartitioning, mass bounded") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id"))
+    val edges = GraphOps.linkFixture(nodes, n)
+    val a = GraphOps.pageRank(edges, nodes, n, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pageRank(edges.repartition(7), nodes.repartition(3), n,
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "integer ranks must not depend on partitioning")
+    // total mass stays ≤ 1 (floors only lose nanos) and above the
+    // all-teleport floor; ranks are not uniform
+    val total = a.values.sum
+    assert(total <= 1000000000L && total > 150000000L, s"mass $total")
+    assert(a.values.toSet.size > 1, "floors + collapsed edges break symmetry")
+  }
+
+  test("linkFixture: in-range, no self-loops, collapsed multi-edges") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val edges = GraphOps.linkFixture(docs.select(col("doc_id")), n)
+    assert(edges.filter(col("dst") === col("src")).count() === 0)
+    assert(edges.filter(col("dst") < 0 || col("dst") >= n).count() === 0)
+    assert(edges.count() === edges.distinct().count())
+    // out-degree 2..3: three affine maps minus any self-loop collisions
+    val od = edges.groupBy("src").count().agg(min("count"), max("count"))
+      .collect().head
+    assert(od.getLong(0) >= 2L && od.getLong(1) <= 3L, od.toString)
+  }
+}
