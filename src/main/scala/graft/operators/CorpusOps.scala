@@ -1892,6 +1892,46 @@ object CorpusOps {
           .otherwise("review"))
   }
 
+  /** Context-window fit report: for each candidate sequence length L, what
+    * one-doc-per-sequence training at L would cost this corpus — tokens
+    * truncated away (docs longer than L), padding burned (docs shorter
+    * than L), and the fraction of docs that fit outright. This is the
+    * table read BEFORE choosing [[packSequences]]' seqLen or
+    * [[chunkDocs]]' window: truncation waste rises with doc length,
+    * padding waste falls, and the crossover is a corpus property, not a
+    * constant. All sums are exact BIGINTs over whitespace token counts;
+    * fractions are floor-quantized at 1e-6 — engine-portable.
+    *
+    * Shape: one row-local token count per doc, a |lengths|-way explode
+    * (bounded fan-out), and a groupBy(seq_len) whose partial aggregation
+    * collapses everything map-side to |lengths| rows per task.
+    */
+  def seqLenFit(docs: DataFrame, lengths: Seq[Int] = Seq(64, 128, 256, 512),
+      textCol: String = "text"): DataFrame = {
+    val toks = size(filter(split(col(textCol), " "), t => t =!= lit("")))
+      .cast("long")
+    docs.select(toks.as("tok"),
+        explode(typedLit(lengths.map(_.toLong))).as("seq_len"))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(greatest(col("tok") - col("seq_len"), lit(0L)))
+          .as("trunc_tokens"),
+        sum(col("seq_len") - least(col("tok"), col("seq_len")))
+          .as("pad_tokens"),
+        sum(when(col("tok") <= col("seq_len"), 1L).otherwise(0L))
+          .as("n_fit"))
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+        col("trunc_tokens"), col("pad_tokens"),
+        (floor(col("trunc_tokens") * 1000000L / col("total_tokens"))
+          .cast("double") / 1e6).as("trunc_frac"),
+        (floor(col("pad_tokens") * 1000000L
+          / (col("n_docs") * col("seq_len"))).cast("double") / 1e6)
+          .as("pad_frac"),
+        (floor(col("n_fit") * 1000000L / col("n_docs")).cast("double") / 1e6)
+          .as("fit_frac"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val w = filter(split(col(textCol), " "), t => t =!= lit(""))

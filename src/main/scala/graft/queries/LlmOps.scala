@@ -401,6 +401,11 @@ object LlmOps {
             CorpusOps.urlFixture(col("doc_id"), col("text"))))
         .orderBy(col("domain"))),
 
+    // context-window fit: truncation/padding waste per candidate seq_len
+    "q133_seqlen_fit" -> ((s, d) =>
+      CorpusOps.seqLenFit(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("seq_len"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2092,6 +2097,26 @@ object LlmOps {
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q129_bpe_compression" -> bpeCompressionOracle(8),
     "q132_pagerank" -> pageRankOracle(3),
+    "q133_seqlen_fit" ->
+      """WITH d AS (SELECT CAST(len(list_filter(string_split(text,' '),
+              x -> x <> '')) AS BIGINT) AS tok FROM documents),
+         x AS (SELECT tok, CAST(unnest([64, 128, 256, 512]) AS BIGINT)
+                 AS seq_len FROM d),
+         agg AS (SELECT seq_len, count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             CAST(sum(greatest(tok - seq_len, 0)) AS BIGINT)
+               AS trunc_tokens,
+             CAST(sum(seq_len - least(tok, seq_len)) AS BIGINT)
+               AS pad_tokens,
+             CAST(sum(CASE WHEN tok <= seq_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fit
+           FROM x GROUP BY seq_len)
+         SELECT seq_len, n_docs, total_tokens, trunc_tokens, pad_tokens,
+           floor(trunc_tokens * 1000000 / total_tokens) / 1e6 AS trunc_frac,
+           floor(pad_tokens * 1000000 / (n_docs * seq_len)) / 1e6
+             AS pad_frac,
+           floor(n_fit * 1000000 / n_docs) / 1e6 AS fit_frac
+         FROM agg ORDER BY seq_len""",
     // CMS replayed as a join (the engine's literal-array lookup and this
     // join compute the same depth×width counters); admission + exact
     // rescan identical

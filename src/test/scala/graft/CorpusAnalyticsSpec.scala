@@ -521,6 +521,27 @@ class CorpusAnalyticsSpec extends SparkSpec {
       s"heavy occurrences $emittedOcc should be a small fraction of $admitted")
   }
 
+  test("seqLenFit: closed-form waste accounting, monotone in seq_len") {
+    import spark.implicits._
+    // token counts 2, 4, 10 — straddle both candidate lengths
+    val toy = Seq((1L, "a b"), (2L, "a b c d"),
+      (3L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = CorpusOps.seqLenFit(toy, lengths = Seq(4, 8))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(7)))).toMap
+    // L=4: trunc = 10-4 = 6; pad = (4-2)+(4-4)+0 = 2; fit = 2/3
+    assert(out(4L) === ((6L, 2L, math.floor(2e6 / 3) / 1e6)))
+    // L=8: trunc = 2; pad = 6+4+0 = 10; fit = 2/3
+    assert(out(8L) === ((2L, 10L, math.floor(2e6 / 3) / 1e6)))
+    // corpus sanity: truncation falls and padding rises with L
+    val real = CorpusOps.seqLenFit(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(5), r.getDouble(6)))).toMap
+    Seq(64L, 128L, 256L).sliding(2).foreach { case Seq(a, b) =>
+      assert(real(a)._1 >= real(b)._1, s"trunc_frac not monotone: $real")
+      assert(real(a)._2 <= real(b)._2, s"pad_frac not monotone: $real")
+    }
+  }
+
   test("domainStats: normalization folds to registered domain, verdicts split") {
     import spark.implicits._
     val toy = Seq(
