@@ -68,7 +68,11 @@ object PlanDump {
     "q125_novelty" ->
       "N-gram novelty: distinct doc-gram relation, map-side-combinable df count on the md5-prefix hash, hash-keyed join back — the inverted-index shape, never pairwise.",
     "q126_triplets" ->
-      "Triplet mining: one broadcast-queries pass scores both label sides; per-(query, side) champions via row_number = 1 with WindowGroupLimit.")
+      "Triplet mining: one broadcast-queries pass scores both label sides; per-(query, side) champions via row_number = 1 with WindowGroupLimit.",
+    "q130_heavy_hitters" ->
+      "Heavy hitters, pass 2 (pass 1's collected CMS grid is already literal arrays here): row-local element_at admissions FILTER occurrences before the only per-gram shuffle — candidates-only aggregation.",
+    "q132_pagerank" ->
+      "PageRank, final iteration (repeated unit): ranks-by-edges equi-join + dst-keyed BIGINT sum with map-side partials; prior rounds are a localCheckpoint scan, so the plan is O(1) in iterations.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
