@@ -1932,6 +1932,57 @@ object CorpusOps {
           .as("fit_frac"))
   }
 
+  /** Population-stability drift between two corpus snapshots — the
+    * continuous-crawl monitoring query: bucket a score column into
+    * equal-width bins fixed by the BASELINE snapshot's [min, max], count
+    * both snapshots into those bins, and report per-bin PSI contributions
+    * (p−q)·ln(p/q) with 0.5-add smoothing so empty bins stay finite.
+    * PSI ≳ 0.2 on a quality score between lake versions is the classic
+    * "retrain/re-curate" alarm. Pairs with the table layer's time travel:
+    * `driftReport(t.read(spark, Some(v)), t.read(spark), "quality")` is
+    * drift between snapshot v and head (q134 drives exactly that).
+    *
+    * Equal-width baseline bins (not rank deciles) keep the whole report
+    * deterministic and engine-portable: bin edges are two broadcast
+    * scalars, assignment is row-local double arithmetic both engines run
+    * identically, and ties never consult a window. Shape: two scans, each
+    * collapsing map-side to ≤ buckets rows; everything downstream is
+    * bucket-count-sized.
+    */
+  def driftReport(before: DataFrame, after: DataFrame, scoreCol: String,
+      buckets: Int = 10): DataFrame = {
+    val sc = col(scoreCol).cast("double")
+    val stats = before.agg(min(sc).as("lo"), max(sc).as("hi"))
+    val totals = before.agg(count(lit(1)).as("nb"))
+      .crossJoin(after.agg(count(lit(1)).as("na")))
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(sc.as("score")).crossJoin(broadcast(stats))
+        .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(greatest(
+              floor((col("score") - col("lo")) * buckets
+                / (col("hi") - col("lo"))), lit(0.0)),
+            lit((buckets - 1).toDouble)).cast("long"))
+          .as("bucket"))
+    val cb = bucketed(before).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_before"))
+    val ca = bucketed(after).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_after"))
+    val spine = before.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+    val p = (col("n_before") + lit(0.5)) / (col("nb") + lit(0.5 * buckets))
+    val q = (col("n_after") + lit(0.5)) / (col("na") + lit(0.5 * buckets))
+    spine.join(cb, Seq("bucket"), "left").join(ca, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_before"), col("n_after"),
+        (floor(p * 1000000L).cast("double") / 1e6).as("p"),
+        (floor(q * 1000000L).cast("double") / 1e6).as("q"),
+        (floor((p - q) * log(p / q) * 10000L).cast("double") / 1e4)
+          .as("psi"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val w = filter(split(col(textCol), " "), t => t =!= lit(""))

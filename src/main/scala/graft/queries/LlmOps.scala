@@ -401,6 +401,27 @@ object LlmOps {
             CorpusOps.urlFixture(col("doc_id"), col("text"))))
         .orderBy(col("domain"))),
 
+    // snapshot drift: PSI between a real MergeTable's version-1 snapshot
+    // (even docs) and head (all docs minus %7 deletes) over n_chars —
+    // time travel feeding the monitoring query; the oracle replays the
+    // deterministic version subsets straight from the parquet table
+    "q134_snapshot_drift" -> ((s, d) => {
+      import org.apache.spark.sql.types.StructType
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("drift-q").toString
+      val t = new graft.table.MergeTable(root,
+        StructType.fromDDL("doc_id BIGINT, n_chars BIGINT"),
+        keyCol = "doc_id", partitionCol = None).create()
+      t.appendAll(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars")))
+      val v1 = t.latestVersion
+      t.appendAll(docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("n_chars")))
+      t.deleteWhere(s, col("doc_id") % 7 === 0)
+      CorpusOps.driftReport(t.read(s, Some(v1)), t.read(s), "n_chars")
+        .orderBy(col("bucket"))
+    }),
+
     // context-window fit: truncation/padding waste per candidate seq_len
     "q133_seqlen_fit" -> ((s, d) =>
       CorpusOps.seqLenFit(Tables.fanout(Tables.documents(s, d)))
@@ -2097,6 +2118,38 @@ object LlmOps {
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q129_bpe_compression" -> bpeCompressionOracle(8),
     "q132_pagerank" -> pageRankOracle(3),
+    "q134_snapshot_drift" ->
+      """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS score FROM documents
+              WHERE doc_id % 2 = 0),
+         a AS (SELECT CAST(n_chars AS DOUBLE) AS score FROM documents
+              WHERE doc_id % 7 <> 0),
+         st AS (SELECT min(score) AS lo, max(score) AS hi FROM b),
+         tot AS (SELECT (SELECT count(*) FROM b) AS nb,
+                        (SELECT count(*) FROM a) AS na),
+         bb AS (SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                  ELSE CAST(least(greatest(
+                    floor((score - lo) * 10 / (hi - lo)), 0.0), 9.0)
+                    AS BIGINT) END AS bucket FROM b, st),
+         ab AS (SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                  ELSE CAST(least(greatest(
+                    floor((score - lo) * 10 / (hi - lo)), 0.0), 9.0)
+                    AS BIGINT) END AS bucket FROM a, st),
+         cb AS (SELECT bucket, count(*) AS n_before FROM bb GROUP BY bucket),
+         ca AS (SELECT bucket, count(*) AS n_after FROM ab GROUP BY bucket),
+         spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+         j AS (SELECT s.bucket, COALESCE(cb.n_before, 0) AS n_before,
+                 COALESCE(ca.n_after, 0) AS n_after
+               FROM spine s LEFT JOIN cb USING (bucket)
+               LEFT JOIN ca USING (bucket)),
+         pq AS (SELECT bucket, n_before, n_after,
+             (n_before + 0.5) / (nb + 5.0) AS p,
+             (n_after + 0.5) / (na + 5.0) AS q
+           FROM j, tot)
+         SELECT bucket, n_before, n_after,
+           floor(p * 1000000) / 1e6 AS p,
+           floor(q * 1000000) / 1e6 AS q,
+           floor((p - q) * ln(p / q) * 10000) / 1e4 AS psi
+         FROM pq ORDER BY bucket""",
     "q133_seqlen_fit" ->
       """WITH d AS (SELECT CAST(len(list_filter(string_split(text,' '),
               x -> x <> '')) AS BIGINT) AS tok FROM documents),

@@ -542,6 +542,25 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("driftReport: zero PSI on identical snapshots, positive under shift") {
+    import spark.implicits._
+    val base = (1L to 100L).map(i => (i, i % 50)).toDF("id", "score")
+    val same = CorpusOps.driftReport(base, base, "score").collect()
+    same.foreach { r =>
+      assert(r.getDouble(3) === r.getDouble(4), s"p != q on clone: $r")
+      assert(r.getDouble(5) === 0.0, s"PSI must be 0 on a clone: $r") }
+    assert(same.length === 10, "one row per bucket, empties included")
+    // shift mass upward: drift must register, all terms finite/nonnegative
+    val shifted = base.withColumn("score", col("score") + 30)
+    val drift = CorpusOps.driftReport(base, shifted, "score").collect()
+    val total = drift.map(_.getDouble(5)).sum
+    assert(total > 0.2, s"upward shift must alarm: $total")
+    drift.foreach(r => assert(r.getDouble(5) >= 0.0 &&
+      !r.getDouble(5).isNaN, s"smoothing keeps terms finite: $r"))
+    // out-of-range after-scores clamp into the edge buckets, never drop
+    assert(drift.map(_.getLong(2)).sum === 100L)
+  }
+
   test("domainStats: normalization folds to registered domain, verdicts split") {
     import spark.implicits._
     val toy = Seq(
