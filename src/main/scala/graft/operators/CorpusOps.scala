@@ -775,6 +775,37 @@ object CorpusOps {
       .sortWithinPartitions(col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** Dataset-release manifest (the "data card" every reproducible corpus
+    * release ships next to its shards): per [[shardExpr]] shard — doc and
+    * token and char counts, the id range, and an ORDER-INDEPENDENT
+    * content checksum (Σ of [[Dedup.portableHash32]] over `id:text`).
+    * Additivity is the point: shard checksums sum to the corpus checksum,
+    * so a consumer can verify one shard, a re-shard, or the whole release
+    * with the same arithmetic, and any flipped byte, dropped doc, or
+    * duplicated doc shifts the sum. A positional hash chain would instead
+    * depend on row order — unreproducible across engines and shuffles.
+    *
+    * One groupBy(shard) with map-side partials; everything row-local
+    * before it. Pairs with [[exportShards]]: generate the manifest from
+    * the same relation you exported, verify downstream against the files.
+    */
+  def shardManifest(docs: DataFrame, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(shardExpr(col(idCol), nShards).as("shard"),
+        col(idCol).as("id"),
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_toks"),
+        length(col(textCol)).cast("long").as("nc"),
+        Dedup.portableHash32(
+          concat(col(idCol).cast("string"), lit(":"), col(textCol)))
+          .as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(col("h")).as("checksum"))
+
   /** Temperature-scaled mixture weights: sampling probability per corpus
     * slice q_i ∝ (token share)^alpha — the standard multilingual /
     * multi-source rebalancing rule (alpha < 1 lifts low-resource slices,

@@ -422,6 +422,12 @@ object LlmOps {
         .orderBy(col("bucket"))
     }),
 
+    // dataset-release shard manifest with order-independent checksums
+    "q135_shard_manifest" -> ((s, d) =>
+      CorpusOps.shardManifest(Tables.fanout(Tables.documents(s, d)),
+          nShards = 8)
+        .orderBy(col("shard"))),
+
     // context-window fit: truncation/padding waste per candidate seq_len
     "q133_seqlen_fit" -> ((s, d) =>
       CorpusOps.seqLenFit(Tables.fanout(Tables.documents(s, d)))
@@ -2118,6 +2124,23 @@ object LlmOps {
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q129_bpe_compression" -> bpeCompressionOracle(8),
     "q132_pagerank" -> pageRankOracle(3),
+    "q135_shard_manifest" ->
+      """WITH d AS (SELECT
+              ((doc_id % 2147483648) * 2654435761) % 2147483647 % 8
+                AS shard,
+              doc_id,
+              CAST(len(list_filter(string_split(text,' '), x -> x <> ''))
+                AS BIGINT) AS n_toks,
+              CAST(len(text) AS BIGINT) AS nc,
+              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                || ':' || text), 1, 8) AS BIGINT) AS h
+            FROM documents)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           CAST(sum(h) AS BIGINT) AS checksum
+         FROM d GROUP BY shard ORDER BY shard""",
     "q134_snapshot_drift" ->
       """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS score FROM documents
               WHERE doc_id % 2 = 0),

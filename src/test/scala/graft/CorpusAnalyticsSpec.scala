@@ -542,6 +542,33 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("shardManifest: additive checksums detect any mutation") {
+    import spark.implicits._
+    val m0 = CorpusOps.shardManifest(docs, nShards = 8).collect()
+    assert(m0.map(_.getLong(1)).sum === docs.count(), "every doc in a shard")
+    // partition invariance (order independence of the checksum)
+    val m1 = CorpusOps.shardManifest(docs.repartition(13), nShards = 8)
+      .collect()
+    assert(m0.map(r => r.getLong(0) -> r.getLong(6)).toMap ===
+      m1.map(r => r.getLong(0) -> r.getLong(6)).toMap)
+    // one flipped character in one doc shifts exactly that shard's sum
+    val corpusSum = m0.map(_.getLong(6)).sum
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 7, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val mt = CorpusOps.shardManifest(tampered, nShards = 8).collect()
+    assert(mt.map(_.getLong(6)).sum !== corpusSum, "tamper must shift sum")
+    val changed = mt.map(r => r.getLong(0) -> r.getLong(6)).toMap
+    val orig = m0.map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(orig.keySet.count(s => orig(s) != changed(s)) === 1,
+      "exactly one shard's checksum moves")
+    // a dropped doc shifts the sum too (count alone would also catch it,
+    // but the checksum catches drop+re-add-of-different-content)
+    val dropped = CorpusOps.shardManifest(docs.filter(col("doc_id") =!= 7),
+      nShards = 8).collect().map(_.getLong(6)).sum
+    assert(dropped !== corpusSum)
+  }
+
   test("driftReport: zero PSI on identical snapshots, positive under shift") {
     import spark.implicits._
     val base = (1L to 100L).map(i => (i, i % 50)).toDF("id", "score")

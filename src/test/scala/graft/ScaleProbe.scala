@@ -33,7 +33,10 @@ object ScaleProbe {
     "hard_negatives_ivf_1k",
     // round 7: the new shuffle-bearing operators — per-source bucketed
     // ranking over the bigram-LM chain, and the df-count inverted index
-    "q122_ppl_buckets", "q125_novelty")
+    "q122_ppl_buckets", "q125_novelty",
+    // round 7b: CMS two-pass heavy hitters (sketch pass linear, exact
+    // pass bounded by admissions) and the iterated-join power iteration
+    "q130_heavy_hitters", "q132_pagerank")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
