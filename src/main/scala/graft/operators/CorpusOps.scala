@@ -1214,6 +1214,37 @@ object CorpusOps {
           .as("kl"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * one multiplicative-weights step over the sources —
+    * w_i ∝ share_i · exp(η · excess_i), normalized — where DoReMi's
+    * proxy-vs-reference excess loss is instantiated model-free as
+    * KL(source ‖ corpus) over the unigram models ([[sourceKl]]): exactly
+    * the excess cross-entropy the corpus-trained unigram model pays on
+    * that source versus the source's own model. Sources the blended model
+    * fits worst get up-weighted, the DoReMi direction; η is the step
+    * temperature (η = 0 recovers the token-share baseline).
+    *
+    * Cost is [[sourceKl]]'s one token-keyed aggregation; the update
+    * itself is arithmetic over the source-cardinality table (eagerly
+    * localCheckpointed so the corpus scan is paid once, not once per
+    * downstream branch). The KL input is already 1e-3-quantized, so
+    * exp() sees identical doubles in any engine.
+    */
+  def doremiWeights(docs: DataFrame, eta: Double = 1.0,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val kl = sourceKl(docs, groupCol, textCol).localCheckpoint(true)
+    val tot = kl.agg(sum(col("n_tokens")).cast("double").as("tt"))
+    val scored = kl.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens") / col("tt"))
+      .withColumn("u", col("share") * exp(lit(eta) * col("kl")))
+    scored.crossJoin(broadcast(scored.agg(sum(col("u")).as("su"))))
+      .select(col(groupCol), col("n_tokens"),
+        TextAnalysis.quant4(col("share")).as("share"),
+        col("kl").as("excess"),
+        TextAnalysis.quant4(col("u") / col("su")).as("weight"))
+  }
+
   /** Deterministic fixed-SIZE per-stratum sample: exactly `min(k, |stratum|)`
     * documents per stratum, chosen by ascending multiplicative id-hash
     * (same stateless family as [[splitExpr]]) with id tie-break — the

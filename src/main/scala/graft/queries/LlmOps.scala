@@ -422,6 +422,13 @@ object LlmOps {
         .orderBy(col("bucket"))
     }),
 
+    // DoReMi multiplicative-weights mixture step over model-free excess
+    // loss (per-source unigram KL vs the corpus blend)
+    "q136_doremi_weights" -> ((s, d) =>
+      CorpusOps.doremiWeights(Tables.fanout(Tables.documents(s, d)),
+          eta = 1.0)
+        .orderBy(col("source"))),
+
     // dataset-release shard manifest with order-independent checksums
     "q135_shard_manifest" -> ((s, d) =>
       CorpusOps.shardManifest(Tables.fanout(Tables.documents(s, d)),
@@ -2124,6 +2131,34 @@ object LlmOps {
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q129_bpe_compression" -> bpeCompressionOracle(8),
     "q132_pagerank" -> pageRankOracle(3),
+    // q80's KL chain + the multiplicative-weights update; the KL input to
+    // exp() is 1e-3-quantized, so both engines exponentiate identical
+    // doubles
+    "q136_doremi_weights" ->
+      """WITH toks AS (SELECT source,
+              unnest(list_filter(string_split(text,' '), x -> x <> ''))
+                AS token
+            FROM documents),
+         g AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+            FROM toks GROUP BY 1, 2),
+         gt AS (SELECT source, sum(c) AS gt FROM g GROUP BY 1),
+         f AS (SELECT token, sum(c) AS f FROM g GROUP BY 1),
+         ct AS (SELECT sum(f) AS ct FROM f),
+         kl AS (SELECT g.source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             floor(greatest(0.0, sum((c/gt)*ln((c/gt)/(f/ct))))*1000)/1000
+               AS kl
+           FROM g JOIN gt USING (source) JOIN f USING (token), ct
+           GROUP BY g.source),
+         tt AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM kl),
+         sc AS (SELECT source, n_tokens, n_tokens / tt AS share,
+                  (n_tokens / tt) * exp(1.0 * kl) AS u, kl
+                FROM kl, tt),
+         su AS (SELECT sum(u) AS su FROM sc)
+         SELECT source, n_tokens,
+           floor(share * 10000) / 10000 AS share,
+           kl AS excess,
+           floor(u / su * 10000) / 10000 AS weight
+         FROM sc, su ORDER BY source""",
     "q135_shard_manifest" ->
       """WITH d AS (SELECT
               ((doc_id % 2147483648) * 2654435761) % 2147483647 % 8

@@ -430,4 +430,32 @@ class DataSelectionSpec extends SparkSpec {
       assert(r.getDouble(5) >= 1.0, "every word is at least one token")
     }
   }
+
+  test("doremiWeights: eta=0 is the share baseline, divergent source upweights") {
+    import spark.implicits._
+    // two sources speaking the corpus dialect, one speaking its own
+    val toy = Seq(
+      (1L, "aa bb cc dd", "s1"), (2L, "aa bb cc dd", "s1"),
+      (3L, "aa bb cc dd", "s2"), (4L, "aa bb cc dd", "s2"),
+      (5L, "xx yy xx yy", "odd"), (6L, "xx yy yy xx", "odd")
+    ).toDF("doc_id", "text", "source")
+    val base = CorpusOps.doremiWeights(toy, eta = 0.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // eta = 0: exp(0) = 1, weight == quantized share for every source
+    base.foreach { case (s, (share, _, w)) =>
+      assert(w === share, s"$s: eta=0 must recover the baseline") }
+    val step = CorpusOps.doremiWeights(toy, eta = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // the isolated dialect has positive excess; the blended ones are
+    // lower-excess, so the step moves weight toward "odd"
+    assert(step("odd")._2 > step("s1")._2,
+      "isolated dialect must carry higher excess")
+    assert(step("odd")._3 > step("odd")._1, "excess source upweighted")
+    assert(step("s1")._3 < base("s1")._1 + 1e-9, "blended source not lifted")
+    // weights remain a distribution up to quantization slack
+    val total = step.values.map(_._3).sum
+    assert(total > 0.999 && total <= 1.0 + 1e-9, s"sum $total")
+  }
 }
