@@ -99,4 +99,29 @@ object CorpusStreams {
         audit.appendAll(report, Some(s"curate-$epoch"))
       } finally report.unpersist(blocking = false)
     }
+
+  /** Continuous distribution monitoring: each micro-batch is PSI-compared
+    * against a STATIC baseline snapshot via
+    * [[graft.operators.CorpusOps.driftReport]], and the per-bucket rows
+    * land in `out` keyed by (epoch, bucket) — the streaming face of the
+    * q134 snapshot-drift query, watching an ingest stream drift away from
+    * the corpus it is supposed to extend (alarm on Σpsi per epoch). The
+    * baseline should be a bounded/cached relation (its [min,max] edges
+    * and counts are re-derived per epoch; cache it or pre-reduce to a
+    * summary when the baseline is a full lake snapshot). Appends key
+    * idempotence off the epoch id — checkpoint-recovery replays land
+    * exactly-once.
+    */
+  def driftMonitor(docs: DataFrame, baseline: DataFrame, scoreCol: String,
+      out: graft.table.MergeTable, buckets: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
+      val rep = graft.operators.CorpusOps
+        .driftReport(baseline, b, scoreCol, buckets)
+        .withColumn("epoch", lit(epoch))
+        .withColumn("drift_id", lit(epoch) * buckets + col("bucket"))
+        .select(col("drift_id"), col("epoch"), col("bucket"),
+          col("n_before"), col("n_after"), col("p"), col("q"), col("psi"))
+      out.appendAll(rep, Some(s"drift-$epoch"))
+    }
 }

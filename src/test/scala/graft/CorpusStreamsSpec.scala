@@ -107,4 +107,36 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(a(4L) === ((false, "lang")))
     assert(a(11L) === ((false, "pii")))
   }
+
+  test("driftMonitor: per-epoch PSI rows land exactly-once, shift alarms") {
+    import graft.table.MergeTable
+    import org.apache.spark.sql.types.StructType
+    val root = java.nio.file.Files.createTempDirectory("driftmon").toString
+    val out = new MergeTable(s"$root/drift",
+      StructType.fromDDL("drift_id BIGINT, epoch BIGINT, bucket BIGINT, " +
+        "n_before BIGINT, n_after BIGINT, p DOUBLE, q DOUBLE, psi DOUBLE"),
+      keyCol = "drift_id", partitionCol = None).create()
+    // baseline: scores uniform over 0..49
+    val baseline = spark.range(100)
+      .select(col("id"), (col("id") % 50).as("score"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = CorpusStreams.driftMonitor(
+        mem.toDF().toDF("id", "score"), baseline, "score", out)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      mem.addData((1L to 100L).map(i => (i, i % 50)): _*) // epoch 0: clone
+      q.processAllAvailable()
+      mem.addData((101L to 200L).map(i => (i, 45L + (i % 5))): _*) // shifted
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = out.read(spark)
+      .select("epoch", "bucket", "psi").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.size === 20, "two epochs x ten buckets, exactly once")
+    val psi0 = rows.collect { case ((0L, _), v) => v }.sum
+    val psi1 = rows.collect { case ((1L, _), v) => v }.sum
+    assert(psi0 === 0.0, s"clone epoch must not alarm: $psi0")
+    assert(psi1 > 0.2, s"shifted epoch must alarm: $psi1")
+  }
 }
