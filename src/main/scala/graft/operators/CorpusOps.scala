@@ -2045,6 +2045,178 @@ object CorpusOps {
           .as("psi"))
   }
 
+  /** Deterministic epoch ordering — the reproducible "shuffle" a training
+    * run needs: every worker, on every restart, must agree on exactly
+    * which document occupies global position i of epoch `seed`, without
+    * any engine materializing a total order. The classic trick (what
+    * multi-worker data loaders actually do) is shard-then-interleave:
+    * hash every doc with a seed-keyed portable hash, route it to
+    * shard = hash mod nShards, sort WITHIN the shard by (hash, id), and
+    * define the global order as the strided interleave
+    * `global_pos = (pos_in_shard − 1)·nShards + shard`. That is a
+    * bijection into [0, N·nShards) that consumes shards round-robin —
+    * statistically a full shuffle (the hash already randomized shard
+    * assignment and within-shard order) but each window is PARTITIONED BY
+    * shard, so at 100 TB this is nShards independent sorts of corpus/nShards
+    * rows each, never a single-partition global row_number. Changing the
+    * seed re-deals both the shard assignment and every within-shard rank —
+    * a fresh permutation per epoch from one integer.
+    *
+    * The hash is [[Dedup.portableHash32]] over `"seed:doc_id"`, so a SQL
+    * oracle replays the exact permutation bit-for-bit (q137).
+    */
+  def epochOrder(docs: DataFrame, seed: Long, nShards: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    val key = Dedup.portableHash32(
+      concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"), col(idCol))
+    docs.withColumn("skey", key)
+      .withColumn("shard", col("skey") % nShards)
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .withColumn("global_pos",
+        (col("pos_in_shard") - 1) * nShards + col("shard"))
+      .select(col(idCol), col("shard"), col("pos_in_shard"),
+        col("global_pos"))
+  }
+
+  /** Dataset card — the per-source datasheet a release ships with (one
+    * row per source): volume (docs/tokens/chars), share of the corpus
+    * token budget, exact-duplicate rate (1 − distinct md5(text)/docs),
+    * language spread (distinct langs + Shannon entropy of the language
+    * mix, in nats), and mean document length. This is the summary table
+    * every curation decision upstream (quotas, budgets, mixtures) reads
+    * first; it composes the corpus-level aggregates the engine already
+    * computes piecemeal into one release artifact.
+    *
+    * Entropy uses the exact identity H = ln N − (Σ c·ln c)/N over the
+    * per-(source,lang) counts, so no per-row probability division ever
+    * happens — both aggregation levels collapse map-side (the first to
+    * |sources|·|langs| rows, the second to |sources|). The duplicate
+    * count is a two-phase distinct on md5(text) — the only shuffle
+    * whose width is data-sized, keyed by a 128-bit hash so it cannot
+    * skew. All fractions floor-quantized (1e-6; avg 1e-3) for
+    * engine-portable doubles.
+    */
+  def datasetCard(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = size(filter(split(col(textCol), " "), t => t =!= lit("")))
+      .cast("long")
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(toks).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        countDistinct(md5(col(textCol))).as("n_distinct"))
+    val langs = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        sum(col("c") * log(col("c"))).as("clnc"),
+        sum(col("c")).as("nd"))
+    val totals = docs.agg(sum(toks).as("total_tokens"))
+    base.join(langs, Seq("source"))
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (floor(col("n_tokens") * 1000000L / col("total_tokens"))
+          .cast("double") / 1e6).as("token_share"),
+        (floor(col("n_tokens") * 1000L / col("n_docs")).cast("double") / 1e3)
+          .as("avg_tokens"),
+        (floor((col("n_docs") - col("n_distinct")) * 1000000L
+          / col("n_docs")).cast("double") / 1e6).as("dup_rate"),
+        col("n_langs"),
+        (floor((log(col("nd").cast("double"))
+          - col("clnc") / col("nd")) * 1000000L).cast("double") / 1e6)
+          .as("lang_entropy"))
+  }
+
+  /** Cluster keywords (class-based TF-IDF, the BERTopic labeling step):
+    * given documents and a cluster assignment (here the embedding table's
+    * `label`, joined on doc_id = vec_id), concatenate each cluster into
+    * one virtual document and rank its terms by
+    * `tf(term | cluster) · ln((1 + L) / (1 + df_clusters(term)))` — term
+    * frequency within the cluster, damped by how many OTHER clusters the
+    * term also appears in. The top-k rows per cluster are the
+    * human-readable name of an otherwise opaque embedding cluster; this
+    * is the query a curation UI runs right after [[Similarity.kMeans]].
+    *
+    * Shape at 100 TB: the doc↔assignment join is keyed on doc_id (equi,
+    * and the assignment side is narrow); everything after tokenization is
+    * (cluster, term)-keyed aggregation that collapses map-side; df is a
+    * second small agg over (term → distinct clusters); the final top-k
+    * window partitions by cluster — parallel across clusters, never a
+    * global sort. Ranking compares full-precision doubles (both engines
+    * compute the identical product), the emitted score is floor-quantized
+    * at 1e-6, ties break on term asc.
+    */
+  def clusterKeywords(docs: DataFrame, assignments: DataFrame, k: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.join(
+        assignments.select(col("vec_id").as("doc_id"), col("label")),
+        Seq("doc_id"))
+      .select(col("label"),
+        explode(filter(split(col(textCol), " "), t => t =!= lit("")))
+          .as("term"))
+    val tf = toks.groupBy(col("label"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val perLabel = tf.groupBy(col("label")).agg(sum(col("c")).as("t"))
+    val dfTab = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // one row per (label, term) → distinct labels
+    val nLabels = assignments.agg(countDistinct(col("label")).as("nl"))
+    val scored = tf.join(perLabel, Seq("label")).join(dfTab, Seq("term"))
+      .crossJoin(broadcast(nLabels))
+      .withColumn("score", (col("c") / col("t"))
+        * log((lit(1) + col("nl")) / (lit(1) + col("df"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label").cast("long").as("label"), col("rank"),
+        col("term"), col("c").as("tf"), col("df").as("n_clusters"),
+        (floor(col("score") * 1000000L).cast("double") / 1e6).as("score"))
+  }
+
+  /** N-gram language model table (the infini-gram primitive): count every
+    * n-token context → next-token continuation in the corpus, and emit
+    * the top-k continuations per context for contexts seen at least
+    * `minCount` times, with floor-quantized conditional probabilities.
+    * This is simultaneously (a) a queryable suffix-count index — "what
+    * follows 'of the' in my corpus, how often?" — (b) the memorization /
+    * contamination probe (a context whose top continuation carries
+    * probability ≈ 1 at high support is boilerplate or a leaked eval
+    * answer), and (c) the backing table for n-gram novelty scoring.
+    *
+    * Shape: contexts are built row-locally (slice + concat over the token
+    * array — no explode-then-self-join), the count is one
+    * (context, next)-keyed agg that collapses map-side, the support
+    * filter prunes BEFORE the ranking window, and the window partitions
+    * by context — parallel across the (filtered, rare) surviving
+    * contexts. At 100 TB the (context, next) key space is huge but the
+    * agg is the canonical map-side-combine shape; minCount is the knob
+    * that keeps the output (not the shuffle) bounded.
+    */
+  def ngramLm(docs: DataFrame, n: Int = 2, k: Int = 3, minCount: Long = 4,
+      textCol: String = "text"): DataFrame = {
+    val w = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val pairs = when(size(w) > n,
+      transform(sequence(lit(0), size(w) - n - 1), i =>
+        struct(concat_ws(" ", slice(w, i + lit(1), lit(n))).as("ctx"),
+          element_at(w, i + n + 1).as("next_tok"))))
+    val counts = docs.select(explode(pairs).as("p"))
+      .select(col("p.ctx").as("ctx"), col("p.next_tok").as("next_tok"))
+      .groupBy(col("ctx"), col("next_tok")).agg(count(lit(1)).as("n_obs"))
+    val support = counts.groupBy(col("ctx")).agg(sum(col("n_obs")).as("t"))
+      .filter(col("t") >= minCount)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ctx")).orderBy(col("n_obs").desc, col("next_tok"))
+    counts.join(support, Seq("ctx"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("ctx"), col("rank"), col("next_tok"), col("n_obs"),
+        col("t").as("ctx_count"),
+        (floor(col("n_obs") * 1000000L / col("t")).cast("double") / 1e6)
+          .as("prob"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val w = filter(split(col(textCol), " "), t => t =!= lit(""))

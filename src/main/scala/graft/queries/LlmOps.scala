@@ -440,6 +440,30 @@ object LlmOps {
       CorpusOps.seqLenFit(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("seq_len"))),
 
+    // deterministic epoch ordering: seed-keyed shard-then-interleave
+    // permutation, no global sort — the reproducible training shuffle
+    "q137_epoch_order" -> ((s, d) =>
+      CorpusOps.epochOrder(Tables.documents(s, d), seed = 42L, nShards = 8)
+        .orderBy(col("global_pos"))),
+
+    // per-source dataset card: volume, token share, dup rate, language mix
+    "q138_dataset_card" -> ((s, d) =>
+      CorpusOps.datasetCard(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
+    // c-TF-IDF cluster labeling: top terms naming each embedding cluster
+    "q139_cluster_keywords" -> ((s, d) =>
+      CorpusOps.clusterKeywords(Tables.fanout(Tables.documents(s, d)),
+          Tables.embeddings(s, d), k = 5)
+        .orderBy(col("label"), col("rank"))),
+
+    // trigram LM table: top continuations per 2-token context (infini-gram
+    // primitive; support-filtered before the ranking window)
+    "q140_ngram_lm" -> ((s, d) =>
+      CorpusOps.ngramLm(Tables.fanout(Tables.documents(s, d)),
+          n = 2, k = 3, minCount = 4)
+        .orderBy(col("ctx"), col("rank"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2131,6 +2155,99 @@ object LlmOps {
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q129_bpe_compression" -> bpeCompressionOracle(8),
     "q132_pagerank" -> pageRankOracle(3),
+    // the portable-hash permutation replayed exactly: same md5-prefix
+    // hash, same shard routing, same within-shard (key, id) rank
+    "q137_epoch_order" ->
+      """WITH d AS (SELECT doc_id,
+              CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)),
+                1, 8) AS BIGINT) AS skey
+            FROM documents),
+         s AS (SELECT doc_id, skey, skey % 8 AS shard FROM d),
+         r AS (SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY skey, doc_id) AS BIGINT) AS pos_in_shard
+           FROM s)
+         SELECT doc_id, shard, pos_in_shard,
+           (pos_in_shard - 1) * 8 + shard AS global_pos
+         FROM r ORDER BY global_pos""",
+    // ranking compares the identical full-precision double product in
+    // both engines (exact-long divisions and one ln); emitted score is
+    // floor-quantized
+    "q139_cluster_keywords" ->
+      """WITH a AS (SELECT e.label, d.text
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         toks AS (SELECT label,
+              unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS term
+            FROM a),
+         tf AS (SELECT label, term, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+         pl AS (SELECT label, CAST(sum(c) AS BIGINT) AS t
+           FROM tf GROUP BY 1),
+         dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         nl AS (SELECT count(DISTINCT label) AS nl FROM embeddings),
+         sc AS (SELECT tf.label, tf.term, c, df, t,
+             (c / t) * ln((1 + nl) / (1 + df)) AS score
+           FROM tf JOIN pl USING (label) JOIN dfx USING (term), nl),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY label
+               ORDER BY score DESC, term) AS BIGINT) AS rank
+           FROM sc)
+         SELECT CAST(label AS BIGINT) AS label, rank, term, c AS tf,
+           df AS n_clusters, floor(score * 1000000) / 1e6 AS score
+         FROM r WHERE rank <= 5 ORDER BY label, rank""",
+    // same 1-based slices as q125's shingle idiom; the chr(1) separator
+    // survives because whitespace-split tokens cannot contain it
+    "q140_ngram_lm" ->
+      """WITH d AS (SELECT
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+                j -> array_to_string(w[j:j+1], ' ') || chr(1) || w[j+2]))
+                AS s
+            FROM d WHERE len(w) > 2),
+         ps AS (SELECT string_split(s, chr(1))[1] AS ctx,
+                  string_split(s, chr(1))[2] AS next_tok
+                FROM p),
+         c AS (SELECT ctx, next_tok, CAST(count(*) AS BIGINT) AS n_obs
+           FROM ps GROUP BY 1, 2),
+         sup AS (SELECT ctx, CAST(sum(n_obs) AS BIGINT) AS t
+           FROM c GROUP BY 1 HAVING sum(n_obs) >= 4),
+         r AS (SELECT c.ctx, c.next_tok, c.n_obs, sup.t,
+             CAST(row_number() OVER (PARTITION BY c.ctx
+               ORDER BY c.n_obs DESC, c.next_tok) AS BIGINT) AS rank
+           FROM c JOIN sup USING (ctx))
+         SELECT ctx, rank, next_tok, n_obs, t AS ctx_count,
+           floor(n_obs * 1000000 / t) / 1e6 AS prob
+         FROM r WHERE rank <= 3 ORDER BY ctx, rank""",
+    // exact-identity entropy H = ln N − (Σ c·ln c)/N so both engines do
+    // the same float ops; all fractions floor-quantized
+    "q138_dataset_card" ->
+      """WITH t AS (SELECT source, lang, text,
+              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS tok
+            FROM documents),
+         base AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS n_tokens,
+             CAST(sum(len(text)) AS BIGINT) AS n_chars,
+             count(DISTINCT md5(text)) AS n_distinct
+           FROM t GROUP BY source),
+         sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM t GROUP BY source, lang),
+         langs AS (SELECT source, count(*) AS n_langs,
+             sum(c * ln(c)) AS clnc, sum(c) AS nd
+           FROM sl GROUP BY source),
+         tot AS (SELECT CAST(sum(tok) AS BIGINT) AS total_tokens FROM t)
+         SELECT b.source, b.n_docs, b.n_tokens, b.n_chars,
+           floor(b.n_tokens * 1000000 / total_tokens) / 1e6 AS token_share,
+           floor(b.n_tokens * 1000 / b.n_docs) / 1e3 AS avg_tokens,
+           floor((b.n_docs - b.n_distinct) * 1000000 / b.n_docs) / 1e6
+             AS dup_rate,
+           l.n_langs,
+           floor((ln(CAST(nd AS DOUBLE)) - clnc / nd) * 1000000) / 1e6
+             AS lang_entropy
+         FROM base b JOIN langs l USING (source), tot
+         ORDER BY b.source""",
     // q80's KL chain + the multiplicative-weights update; the KL input to
     // exp() is 1e-3-quantized, so both engines exponentiate identical
     // doubles

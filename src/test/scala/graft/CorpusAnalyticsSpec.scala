@@ -608,4 +608,104 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(out("one-off.io") === ((1L, 1L, false, "review")))
     assert(out.size === 3, s"doc 5 contributes nothing: $out")
   }
+
+  test("epochOrder: a bijection, partition-invariant, re-dealt per seed") {
+    val n = docs.count()
+    val e0 = CorpusOps.epochOrder(docs, seed = 42L, nShards = 8).collect()
+    // bijection into the strided order: every global_pos distinct, every
+    // doc placed, and shard ≡ global_pos mod nShards (the stride law)
+    assert(e0.length === n.toInt)
+    assert(e0.map(_.getLong(3)).distinct.length === n.toInt)
+    e0.foreach(r => assert(r.getLong(3) % 8 === r.getLong(1),
+      s"stride law broken: $r"))
+    // deterministic under physical layout changes
+    val e1 = CorpusOps.epochOrder(docs.repartition(17), seed = 42L,
+      nShards = 8).collect()
+    assert(e0.map(r => r.getLong(0) -> r.getLong(3)).toMap ===
+      e1.map(r => r.getLong(0) -> r.getLong(3)).toMap)
+    // a different seed is a genuinely different permutation
+    val e2 = CorpusOps.epochOrder(docs, seed = 43L, nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val moved = e0.count(r => e2(r.getLong(0)) != r.getLong(3))
+    assert(moved > n / 2, s"seed change moved only $moved of $n docs")
+    // the window is per-shard: the plan must not collapse to a single
+    // partition (no empty partitionBy in any window exchange)
+    val plan = CorpusOps.epochOrder(docs, 42L, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"epoch order must never globally sort:\n$plan")
+  }
+
+  test("datasetCard: exact counts, dup rate, and language entropy on a toy") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "a b c", "en", "web"), (2L, "a b c", "en", "web"),
+      (3L, "d e", "de", "web"), (4L, "f g h i", "fr", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = CorpusOps.datasetCard(toy).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert(web.getLong(1) === 3L && web.getLong(2) === 8L) // docs, tokens
+    // docs 1 and 2 are byte-identical → 1 duplicate of 3 docs
+    assert(web.getDouble(6) === math.floor(1e6 / 3) / 1e6)
+    assert(web.getLong(7) === 2L) // en, de
+    // entropy of {en:2, de:1}: ln3 − (2ln2)/3
+    val h = math.floor((math.log(3) - 2 * math.log(2) / 3) * 1e6) / 1e6
+    assert(web.getDouble(8) === h)
+    val books = out("books")
+    assert(books.getDouble(6) === 0.0 && books.getDouble(8) === 0.0)
+    // token shares partition the corpus (up to floor quantization)
+    val shares = out.values.map(_.getDouble(4)).sum
+    assert(shares > 0.999 && shares <= 1.0, s"shares sum $shares")
+  }
+
+  test("clusterKeywords: cluster-exclusive terms outrank shared ones") {
+    import spark.implicits._
+    val toyDocs = Seq(
+      (1L, "rust memory rust borrow code"), (2L, "rust borrow checker"),
+      (3L, "pasta tomato pasta basil code"), (4L, "pasta olive basil oil")
+    ).toDF("doc_id", "text")
+    val assign = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("vec_id", "label")
+    val out = CorpusOps.clusterKeywords(toyDocs, assign, k = 2).collect()
+    val top = out.filter(_.getLong(1) === 1L)
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the most frequent exclusive term names each cluster — "code" has
+    // the same frequency as the winners but lives in BOTH clusters, so
+    // its idf ln((1+2)/(1+2)) = 0 kills it
+    assert(top(0L) === "rust" && top(1L) === "pasta", s"$top")
+    out.filter(_.getString(2) === "code")
+      .foreach(r => assert(r.getDouble(5) === 0.0, s"shared term: $r"))
+    out.filter(r => r.getString(2) === "rust" || r.getString(2) === "pasta")
+      .foreach(r => assert(r.getDouble(5) > 0.0, s"exclusive term: $r"))
+    // real tables: k rows per label, ranks contiguous from 1
+    val real = CorpusOps.clusterKeywords(docs, embs, k = 3).collect()
+    val byLabel = real.groupBy(_.getLong(0))
+    assert(byLabel.size === 10)
+    byLabel.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L)) }
+  }
+
+  test("ngramLm: probabilities partition each context, support filter holds") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat"),
+      (4L, "the cat sat"), (5L, "a dog ran")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.ngramLm(toy, n = 2, k = 3, minCount = 4).collect()
+    // only "the cat" reaches support 4; "a dog" (1) is pruned pre-window
+    assert(out.map(_.getString(0)).distinct.toSeq === Seq("the cat"))
+    val byNext = out.map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(byNext === Map("sat" -> 3L, "ran" -> 1L))
+    assert(out.forall(_.getLong(4) === 4L))
+    // rank 1 is the argmax continuation
+    assert(out.find(_.getLong(1) === 1L).get.getString(2) === "sat")
+    // real corpus: per-context probs sum to ≤ 1 and ranks are contiguous
+    val real = CorpusOps.ngramLm(docs, n = 2, k = 3, minCount = 4).collect()
+    real.groupBy(_.getString(0)).values.foreach { rs =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"ranks $ranks")
+      assert(rs.map(_.getDouble(5)).sum <= 1.0 + 1e-9)
+    }
+  }
 }
