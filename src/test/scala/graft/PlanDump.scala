@@ -72,7 +72,11 @@ object PlanDump {
     "q130_heavy_hitters" ->
       "Heavy hitters, pass 2 (pass 1's collected CMS grid is already literal arrays here): row-local element_at admissions FILTER occurrences before the only per-gram shuffle — candidates-only aggregation.",
     "q132_pagerank" ->
-      "PageRank, final iteration (repeated unit): ranks-by-edges equi-join + dst-keyed BIGINT sum with map-side partials; prior rounds are a localCheckpoint scan, so the plan is O(1) in iterations.")
+      "PageRank, final iteration (repeated unit): ranks-by-edges equi-join + dst-keyed BIGINT sum with map-side partials; prior rounds are a localCheckpoint scan, so the plan is O(1) in iterations.",
+    "q137_epoch_order" ->
+      "Epoch ordering: one hash-partitioned exchange on shard feeding per-shard row_number windows — the global permutation is the strided interleave, so no SinglePartition sort ever appears.",
+    "q140_ngram_lm" ->
+      "N-gram LM: contexts built row-locally inside Generate (no self-join), map-side-combined (ctx, next) counts, support filter pruning BEFORE the per-context ranking window.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
