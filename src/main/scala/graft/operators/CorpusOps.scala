@@ -26,12 +26,17 @@ object CorpusOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
 
-  /** Word bigram counts (order-sensitive n-gram statistics). */
+  /** Word bigram counts (order-sensitive n-gram statistics). The token
+    * array is materialized at a projection boundary so the per-position
+    * slice references an attribute, not a re-run of split+filter
+    * (the O(tokens²)-per-row trap [[TextAnalysis.repetition]] documents).
+    */
   def bigrams(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = TextAnalysis.wsTokens(col(textCol))
+    val w = col("_w")
     val grams = when(size(w) >= 2, TextAnalysis.wordNgrams(w, 2))
       .otherwise(array())
-    docs.select(explode(grams).as("bigram"))
+    docs.withColumn("_w", TextAnalysis.wsTokens(col(textCol)))
+      .select(explode(grams).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("freq"))
   }
@@ -1855,13 +1860,16 @@ object CorpusOps {
   def heavyHitters(docs: DataFrame, n: Int = 3, minCount: Long = 6,
       depth: Int = 4, width: Int = 8192,
       textCol: String = "text"): DataFrame = {
-    val w = filter(split(col(textCol), " "), t => t =!= lit(""))
+    // token array materialized once — see [[bigrams]] on the O(tokens²) trap
+    val w = col("_w")
     val shingleStrs = when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
           i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
       .otherwise(array(concat_ws(" ", w)))
     // one row per OCCURRENCE (no array_distinct: this is frequency, not df)
-    val occ = docs.select(explode(shingleStrs).as("s"))
+    val occ = docs
+      .withColumn("_w", TextAnalysis.wsTokens(col(textCol)))
+      .select(explode(shingleStrs).as("s"))
       .withColumn("b", Dedup.portableHash32(col("s")))
     def bucket(i: Int): Column =
       (((lit(2L * i + 3) * col("b") + lit(7919L * i) + lit(1L))
@@ -2185,30 +2193,36 @@ object CorpusOps {
     * probability ≈ 1 at high support is boilerplate or a leaked eval
     * answer), and (c) the backing table for n-gram novelty scoring.
     *
-    * Shape: contexts are built row-locally (slice + concat over the token
-    * array — no explode-then-self-join), the count is one
-    * (context, next)-keyed agg that collapses map-side, the support
-    * filter prunes BEFORE the ranking window, and the window partitions
-    * by context — parallel across the (filtered, rare) surviving
-    * contexts. At 100 TB the (context, next) key space is huge but the
-    * agg is the canonical map-side-combine shape; minCount is the knob
-    * that keeps the output (not the shuffle) bounded.
+    * Shape: the token array is materialized ONCE at a projection boundary
+    * (inlining it into the per-position lambda would re-run split+filter
+    * per trigram — the O(tokens²)-per-row trap [[TextAnalysis.repetition]]
+    * documents); contexts are then built row-locally (slice + concat — no
+    * explode-then-self-join), the count is one (context, next)-keyed agg
+    * that collapses map-side, and BOTH the support total and the ranking
+    * run as windows over a single ctx-partitioned exchange of the
+    * already-aggregated table — one scan, one data-width shuffle, no
+    * support join, no second Generate subtree. At 100 TB the (ctx, next)
+    * key space is huge but the agg is the canonical map-side-combine
+    * shape; minCount prunes between the two windows (zero extra
+    * exchanges) and bounds the output, not the shuffle.
     */
   def ngramLm(docs: DataFrame, n: Int = 2, k: Int = 3, minCount: Long = 4,
       textCol: String = "text"): DataFrame = {
-    val w = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val w = col("_w")
     val pairs = when(size(w) > n,
       transform(sequence(lit(0), size(w) - n - 1), i =>
         struct(concat_ws(" ", slice(w, i + lit(1), lit(n))).as("ctx"),
           element_at(w, i + n + 1).as("next_tok"))))
-    val counts = docs.select(explode(pairs).as("p"))
+    val counts = docs
+      .withColumn("_w", filter(split(col(textCol), " "), t => t =!= lit("")))
+      .select(explode(pairs).as("p"))
       .select(col("p.ctx").as("ctx"), col("p.next_tok").as("next_tok"))
       .groupBy(col("ctx"), col("next_tok")).agg(count(lit(1)).as("n_obs"))
-    val support = counts.groupBy(col("ctx")).agg(sum(col("n_obs")).as("t"))
+    val byCtx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ctx"))
+    val win = byCtx.orderBy(col("n_obs").desc, col("next_tok"))
+    counts.withColumn("t", sum(col("n_obs")).over(byCtx))
       .filter(col("t") >= minCount)
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ctx")).orderBy(col("n_obs").desc, col("next_tok"))
-    counts.join(support, Seq("ctx"))
       .withColumn("rank", row_number().over(win).cast("long"))
       .filter(col("rank") <= k)
       .select(col("ctx"), col("rank"), col("next_tok"), col("n_obs"),
@@ -2219,12 +2233,14 @@ object CorpusOps {
 
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val w = filter(split(col(textCol), " "), t => t =!= lit(""))
+    // token array materialized once — see [[bigrams]] on the O(tokens²) trap
+    val w = col("_w")
     val shingleStrs = when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
           i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
       .otherwise(array(concat_ws(" ", w)))
     val grams = docs
+      .withColumn("_w", TextAnalysis.wsTokens(col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingleStrs)).as("s"))
       .select(col("doc_id"), Dedup.portableHash32(col("s")).as("h"))

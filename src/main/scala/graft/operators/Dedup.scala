@@ -339,14 +339,20 @@ object Dedup {
       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val w = filter(split(col("text"), " "), t => t =!= lit(""))
+    // token array materialized at a projection boundary: inlining the
+    // split into the per-position slice lambda would re-tokenize per
+    // shingle — the O(tokens²)-per-row trap TextAnalysis.repetition
+    // documents
+    val w = col("_w")
     val shingleStrs = when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
           i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
       .otherwise(array(concat_ws(" ", w)))
     // base hash computed once per distinct shingle, signatures from the
     // hashed array — still zero explosion, zero shuffle before banding
-    val docs = df.select(col("doc_id"), array_distinct(shingleStrs).as("sh"))
+    val docs = df
+      .withColumn("_w", filter(split(col("text"), " "), t => t =!= lit("")))
+      .select(col("doc_id"), array_distinct(shingleStrs).as("sh"))
       .withColumn("hb", transform(col("sh"), s => portableHash32(s)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
