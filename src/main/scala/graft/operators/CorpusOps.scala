@@ -2231,6 +2231,95 @@ object CorpusOps {
           .as("prob"))
   }
 
+  /** Quality-threshold calibration sweep — the table read before picking
+    * a selection cutoff: for each candidate threshold t, how much of the
+    * corpus survives `quality ≥ t` (docs, fraction, tokens) and how well
+    * the cheap scalar score agrees with the full Gopher rule battery
+    * (precision/recall of the selection against [[TextAnalysis
+    * .gopherFilter]]'s keep verdict as the reference gate). A flat
+    * precision curve says the score adds nothing over the gate; a recall
+    * cliff locates the threshold where real content starts drowning.
+    *
+    * Shape: ONE row-local scoring pass (both the score and the gate are
+    * codegen per-row expressions), a |thresholds|-way bounded explode,
+    * and a groupBy(threshold) whose map-side partials collapse to
+    * |thresholds| rows per task — the [[seqLenFit]] sweep shape. The
+    * gate totals ride a broadcast 1-row crossJoin. Thresholds compare as
+    * raw doubles (identical literals and identical quantized scores in
+    * both engines); emitted fractions floor-quantized at 1e-6.
+    */
+  def scoreSweep(docs: DataFrame,
+      thresholds: Seq[Double] = (0 until 10).map(_ / 10.0),
+      textCol: String = "text"): DataFrame = {
+    val g = TextAnalysis.gopherFilter(docs, textCol)
+      .select(col("quality_score"), col("n_words"),
+        when(col("keep"), 1L).otherwise(0L).as("k"))
+    val totals = g.agg(sum(col("k")).as("total_keep"),
+      count(lit(1)).as("total_docs"))
+    g.select(col("quality_score"), col("n_words"), col("k"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .filter(col("quality_score") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_words")).as("sel_tokens"),
+        sum(col("k")).as("n_keep_sel"))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("n_selected"), col("sel_tokens"),
+        (floor(col("n_selected") * 1000000L / col("total_docs"))
+          .cast("double") / 1e6).as("frac_selected"),
+        (floor(col("n_keep_sel") * 1000000L / col("n_selected"))
+          .cast("double") / 1e6).as("precision_vs_gate"),
+        (floor(col("n_keep_sel") * 1000000L / col("total_keep"))
+          .cast("double") / 1e6).as("recall_vs_gate"))
+  }
+
+  /** Zipf rank–frequency fit — the corpus-linguistics health check: a
+    * natural corpus follows freq ∝ rank^slope with slope ≈ −1; machine-
+    * generated or template-heavy corpora bend the log–log line. Reports
+    * the least-squares (slope, intercept, r²) of ln freq on ln rank over
+    * the top-N token types, plus vocabulary totals.
+    *
+    * Engine-portable exactness without order-dependent float sums: ln
+    * values are quantized to integer thousandths per TYPE (row-local),
+    * so every regression moment (Σx, Σy, Σxy, Σx², Σy²) is an exact
+    * BIGINT whose value no shuffle order can change; the closed-form
+    * slope/intercept/r² then divide identical longs in double space.
+    * Scale shape: the freq table is the canonical map-side-combine agg;
+    * top-N is TakeOrdered (per-partition top-N + merge, never a global
+    * sort); the rank window runs over N ROWS (constant, corpus-size-
+    * independent) after the limit.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    val freq = docs
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val vocab = freq.agg(count(lit(1)).as("n_types"),
+      sum(col("freq")).as("n_tokens"))
+    val top = freq.orderBy(col("freq").desc, col("token")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    val moments = top.withColumn("rank", row_number().over(w))
+      .select(floor(log(col("rank").cast("double")) * 1000).as("x"),
+        floor(log(col("freq").cast("double")) * 1000).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val denY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    moments.crossJoin(broadcast(vocab))
+      .select(col("n").as("n_top"), col("n_types"), col("n_tokens"),
+        (floor(num / denX * 10000L).cast("double") / 1e4).as("slope"),
+        (floor((col("sy").cast("double")
+            - num / denX * col("sx").cast("double"))
+          / (col("n") * lit(1000L)).cast("double")
+          * 10000L).cast("double") / 1e4).as("intercept"),
+        (floor(num * num / (denX * denY) * 1000000L).cast("double") / 1e6)
+          .as("r2"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // token array materialized once — see [[bigrams]] on the O(tokens²) trap

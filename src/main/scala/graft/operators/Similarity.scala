@@ -747,6 +747,74 @@ object Similarity {
         col("neg_id"), col("neg_sim"), col("margin"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix parallel-corpus step): for every source-language
+    * document, score every other-language candidate by RATIO MARGIN —
+    * cosine normalized by the mean cosine of each endpoint's k-nearest
+    * cross-lingual neighborhood — and emit the best candidate when its
+    * margin clears 1.0 (i.e. the link is stronger than its endpoints'
+    * typical neighborhoods, the signature of a genuine translation pair
+    * rather than a hub vector that is "close to everything").
+    *
+    * Engine-portable exactness: cosines are quantized ONCE to integer
+    * ten-thousandths (`round(cos·10⁴)` as BIGINT); ranking, neighborhood
+    * sums, and the margin test `best·(cnt_f+cnt_b) ≥ Σfwd+Σbwd` are then
+    * pure integer arithmetic — no double ever enters an order-by or a
+    * sum, so DuckDB replays the mining bit-for-bit. The reported margin
+    * divides exact longs in double space and floor-quantizes at 1e-4.
+    *
+    * Shape: one |src|×|tgt| broadcast scoring pass builds a SKINNY
+    * (src, tgt, isim) table — vectors are dropped before any shuffle —
+    * which is locally checkpointed once and fed to both direction
+    * windows (partitioned by src resp. tgt — parallel, never global).
+    * The dense scoring pass is the same broadcast shape as
+    * [[hardNegatives]]' small-query regime; beyond broadcast size the
+    * [[hardNegativesIvf]] IVF candidate front-end composes in front
+    * unchanged (candidates ∪ exact rerank), since the margin only ever
+    * consults each endpoint's top-k neighborhood.
+    */
+  def bitextMine(docs: DataFrame, embs: DataFrame, srcLang: String = "en",
+      k: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val e = docs.select(col("doc_id"), col("lang"))
+      .join(embs.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val src = e.filter(col("lang") === srcLang)
+      .select(col("doc_id").as("src_id"), col("v").as("sv"))
+    val tgt = e.filter(col("lang") =!= srcLang)
+      .select(col("doc_id").as("tgt_id"), col("v").as("tv"))
+    val pairs = tgt.join(broadcast(src))
+      .select(col("src_id"), col("tgt_id"),
+        round(GraftFunctions.cosineSim(spark, col("sv"), col("tv"))
+          * 10000).cast("long").as("isim"))
+      .localCheckpoint()
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("isim").desc, col("tgt_id"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tgt_id")).orderBy(col("isim").desc, col("src_id"))
+    val fwd = pairs.withColumn("rf", row_number().over(wf))
+      .filter(col("rf") <= k)
+      .groupBy(col("src_id"))
+      .agg(sum(col("isim")).as("sum_fwd"), count(lit(1)).as("cnt_f"),
+        max(when(col("rf") === 1, col("tgt_id"))).as("tgt_id"),
+        max(when(col("rf") === 1, col("isim"))).as("best_isim"))
+    val bwd = pairs.withColumn("rb", row_number().over(wb))
+      .filter(col("rb") <= k)
+      .groupBy(col("tgt_id"))
+      .agg(sum(col("isim")).as("sum_bwd"), count(lit(1)).as("cnt_b"))
+    fwd.join(bwd, Seq("tgt_id"))
+      .filter(col("best_isim") > 0 &&
+        col("best_isim") * (col("cnt_f") + col("cnt_b"))
+          >= col("sum_fwd") + col("sum_bwd"))
+      .select(col("src_id"), col("tgt_id"),
+        (col("best_isim") / lit(10000.0)).as("cos_sim"),
+        (floor(col("best_isim") * (col("cnt_f") + col("cnt_b"))
+          * lit(10000.0) / (col("sum_fwd") + col("sum_bwd")))
+          .cast("double") / 1e4).as("margin"))
+  }
+
   /** Product-quantization ANN (ADC + exact rerank): vectors are cut into
     * `m` subspaces, each encoded as the id of its nearest codebook entry
     * (`ksub` per subspace) — compressing a d-dim float vector to m bytes

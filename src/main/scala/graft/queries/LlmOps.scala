@@ -464,6 +464,22 @@ object LlmOps {
           n = 2, k = 3, minCount = 4)
         .orderBy(col("ctx"), col("rank"))),
 
+    // margin-based bitext mining: ratio margin over integer-quantized
+    // cosines, en → other-language best pairs above margin 1.0
+    "q141_bitext_margin" -> ((s, d) =>
+      Similarity.bitextMine(Tables.documents(s, d), Tables.embeddings(s, d),
+          srcLang = "en", k = 4)
+        .orderBy(col("src_id"))),
+
+    // quality-threshold calibration sweep vs the Gopher gate verdict
+    "q142_score_sweep" -> ((s, d) =>
+      CorpusOps.scoreSweep(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("threshold"))),
+
+    // Zipf rank-frequency least-squares fit over the top-1000 types
+    "q143_zipf_fit" -> ((s, d) =>
+      CorpusOps.zipfFit(Tables.fanout(Tables.documents(s, d)))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2170,6 +2186,120 @@ object LlmOps {
          SELECT doc_id, shard, pos_in_shard,
            (pos_in_shard - 1) * 8 + shard AS global_pos
          FROM r ORDER BY global_pos""",
+    // cosines quantized to integer 1e-4 BEFORE any ranking or sum, so
+    // the whole mining decision is integer arithmetic in both engines
+    "q141_bitext_margin" ->
+      """WITH e AS (SELECT d.doc_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         s AS (SELECT doc_id AS src_id, v AS sv FROM e WHERE lang = 'en'),
+         t AS (SELECT doc_id AS tgt_id, v AS tv FROM e WHERE lang <> 'en'),
+         p AS (SELECT src_id, tgt_id,
+             CAST(round(list_cosine_similarity(sv, tv) * 10000) AS BIGINT)
+               AS isim
+           FROM s, t),
+         f AS (SELECT *, row_number() OVER (PARTITION BY src_id
+               ORDER BY isim DESC, tgt_id) AS rf FROM p),
+         b AS (SELECT src_id, tgt_id, isim, row_number() OVER (
+               PARTITION BY tgt_id ORDER BY isim DESC, src_id) AS rb FROM p),
+         fa AS (SELECT src_id, CAST(sum(isim) AS BIGINT) AS sum_fwd,
+              count(*) AS cnt_f,
+              max(CASE WHEN rf = 1 THEN tgt_id END) AS tgt_id,
+              CAST(max(CASE WHEN rf = 1 THEN isim END) AS BIGINT)
+                AS best_isim
+            FROM f WHERE rf <= 4 GROUP BY src_id),
+         ba AS (SELECT tgt_id, CAST(sum(isim) AS BIGINT) AS sum_bwd,
+              count(*) AS cnt_b
+            FROM b WHERE rb <= 4 GROUP BY tgt_id)
+         SELECT src_id, tgt_id, best_isim / 10000.0 AS cos_sim,
+           floor(best_isim * (cnt_f + cnt_b) * 10000.0
+             / (sum_fwd + sum_bwd)) / 1e4 AS margin
+         FROM fa JOIN ba USING (tgt_id)
+         WHERE best_isim > 0
+           AND best_isim * (cnt_f + cnt_b) >= sum_fwd + sum_bwd
+         ORDER BY src_id""",
+    // the q72 gate chain + the q32 quality chain feeding one sweep;
+    // thresholds are the same decimal literals both engines parse to
+    // identical doubles
+    "q142_score_sweep" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS nc,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+             len(list_filter(w, x -> list_contains(
+               ['the','a','of','and','to','in','is','on','for','with'], x)))
+               AS ns,
+             floor(1.0*length(replace(text,' ',''))/len(w)*10000)/10000
+               AS awl,
+             floor((1.0 - 1.0*len(list_distinct(w))/len(w))*10000)/10000
+               AS dupf,
+             floor(1.0*length(regexp_replace(text,'[^0-9]','','g'))/nc
+               *10000)/10000 AS digr,
+             floor(1.0*len(list_filter(w, x -> list_contains(
+               ['the','a','of','and','to','in','is','on','for','with'], x)))
+               /len(w)*10000)/10000 AS stopr,
+             nc
+           FROM d),
+         q AS (SELECT doc_id, nw,
+             floor((0.4*least(1.0, nw/50.0) + 0.3*(1.0 - np*1.0/nc)
+                   + 0.3*least(1.0, ns*1.0/nw*5.0))*10000)/10000 AS qs,
+             CASE WHEN nw >= 20 AND nw <= 100000 AND awl >= 3.0
+                   AND awl <= 10.0 AND stopr > 0 AND dupf <= 0.6
+                   AND digr <= 0.1 THEN 1 ELSE 0 END AS keep
+           FROM m),
+         tot AS (SELECT CAST(sum(keep) AS BIGINT) AS total_keep,
+             count(*) AS total_docs FROM q),
+         x AS (SELECT qs, nw, keep,
+             CAST(unnest([0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               AS DOUBLE) AS threshold
+           FROM q),
+         sw AS (SELECT threshold, count(*) AS n_selected,
+             CAST(sum(nw) AS BIGINT) AS sel_tokens,
+             CAST(sum(keep) AS BIGINT) AS n_keep_sel
+           FROM x WHERE qs >= threshold GROUP BY threshold)
+         SELECT threshold, n_selected, sel_tokens,
+           floor(n_selected * 1000000 / total_docs) / 1e6 AS frac_selected,
+           floor(n_keep_sel * 1000000 / n_selected) / 1e6
+             AS precision_vs_gate,
+           floor(n_keep_sel * 1000000 / total_keep) / 1e6 AS recall_vs_gate
+         FROM sw, tot ORDER BY threshold""",
+    // ln values quantized to integer thousandths per type, so every
+    // regression moment is an exact BIGINT; the closed forms then divide
+    // identical longs in double space
+    "q143_zipf_fit" ->
+      """WITH toks AS (SELECT
+              unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS token
+            FROM documents),
+         freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+           FROM toks GROUP BY token),
+         vocab AS (SELECT count(*) AS n_types,
+             CAST(sum(freq) AS BIGINT) AS n_tokens FROM freq),
+         top AS (SELECT token, freq FROM freq
+           ORDER BY freq DESC, token LIMIT 1000),
+         xy AS (SELECT
+             CAST(floor(ln(CAST(row_number() OVER (
+               ORDER BY freq DESC, token) AS DOUBLE)) * 1000) AS BIGINT)
+               AS x,
+             CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS y
+           FROM top),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(y*y) AS BIGINT) AS syy
+           FROM xy)
+         SELECT n AS n_top, n_types, n_tokens,
+           floor(CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE) * 10000) / 1e4 AS slope,
+           floor((CAST(sy AS DOUBLE)
+               - CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n*1000 AS DOUBLE) * 10000) / 1e4 AS intercept,
+           floor(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+             / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+             * 1000000) / 1e6 AS r2
+         FROM m, vocab""",
     // ranking compares the identical full-precision double product in
     // both engines (exact-long divisions and one ln); emitted score is
     // floor-quantized

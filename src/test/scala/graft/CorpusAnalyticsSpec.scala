@@ -708,4 +708,70 @@ class CorpusAnalyticsSpec extends SparkSpec {
       assert(rs.map(_.getDouble(5)).sum <= 1.0 + 1e-9)
     }
   }
+
+  test("bitextMine: translation pairs clear the margin, hub vectors don't") {
+    import spark.implicits._
+    // e1↔f1 and e2↔f2 are near-identical (translations); e3 is a hub
+    // moderately close to EVERY foreign doc, so its best link is not
+    // stronger than its neighborhood average and the margin rejects it
+    val toyDocs = Seq((1L, "en"), (2L, "en"), (3L, "en"),
+      (11L, "de"), (12L, "fr"), (13L, "es"), (14L, "zh"))
+      .toDF("doc_id", "lang")
+    def v(parts: Float*): Array[Float] = parts.toArray
+    val toyEmb = Seq(
+      (1L, v(1f, 0f, 0f, 0f)), (2L, v(0f, 1f, 0f, 0f)),
+      (3L, v(0.5f, 0.5f, 0.5f, 0.5f)),
+      (11L, v(0.99f, 0.1f, 0f, 0f)), (12L, v(0.1f, 0.99f, 0f, 0f)),
+      (13L, v(0f, 0f, 1f, 0.1f)), (14L, v(0f, 0f, 0.1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(toyDocs, toyEmb, "en", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(out(1L)._1 === 11L && out(2L)._1 === 12L, s"$out")
+    assert(!out.contains(3L), s"hub must fail the margin test: $out")
+    // margins of accepted pairs are ≥ 1 by construction of the filter
+    out.values.foreach { case (_, m) => assert(m >= 1.0, s"margin $m") }
+    // real tables: deterministic under repartition
+    val r1 = Similarity.bitextMine(docs, embs, "en", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val r2 = Similarity.bitextMine(docs.repartition(7), embs.repartition(5),
+      "en", 4).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(r1 === r2)
+  }
+
+  test("scoreSweep: monotone selection, exact endpoints vs the gate") {
+    val out = CorpusOps.scoreSweep(docs).collect()
+      .map(r => r.getDouble(0) -> r).sortBy(_._1)
+    // threshold 0.0 selects everything: frac 1, recall 1
+    val t0 = out.head._2
+    assert(t0.getDouble(3) === 1.0 && t0.getDouble(5) === 1.0, s"$t0")
+    // selection and recall shrink monotonically as the threshold rises
+    out.map(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1), "n_selected monotone")
+      assert(a.getLong(2) >= b.getLong(2), "sel_tokens monotone")
+      assert(a.getDouble(5) >= b.getDouble(5), "recall monotone")
+    }
+  }
+
+  test("zipfFit: synthetic Zipf corpus recovers slope -1, real corpus is zipfian") {
+    import spark.implicits._
+    // token t_r appears round(1000/r) times: an exact Zipf distribution
+    val words = (1 to 50).flatMap(r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(s"w$r"))
+    val toy = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val fit = CorpusOps.zipfFit(toy, topN = 50).collect().head
+    assert(fit.getLong(0) === 50L && fit.getLong(1) === 50L)
+    val (slope, r2) = (fit.getDouble(3), fit.getDouble(5))
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope")
+    assert(r2 > 0.99, s"r2 $r2")
+    // the driver fixture is near-UNIFORM random text, so the health check
+    // should correctly flag it as non-Zipfian: shallow slope, poor fit —
+    // exactly the signal the operator exists to surface
+    val real = CorpusOps.zipfFit(docs).collect().head
+    assert(real.getDouble(3) <= 0, s"real slope ${real.getDouble(3)}")
+    assert(real.getDouble(3) > -0.5, s"uniform text must fit shallow")
+    assert(real.getDouble(5) >= 0.0 && real.getDouble(5) < 0.5,
+      s"uniform text must fit poorly: r2 ${real.getDouble(5)}")
+    assert(real.getLong(0) <= 1000L && real.getLong(1) >= real.getLong(0))
+  }
 }
