@@ -785,11 +785,12 @@ object Similarity {
       .select(col("doc_id").as("src_id"), col("v").as("sv"))
     val tgt = e.filter(col("lang") =!= srcLang)
       .select(col("doc_id").as("tgt_id"), col("v").as("tv"))
-    val pairs = tgt.join(broadcast(src))
+    val scoredPairs = tgt.join(broadcast(src))
       .select(col("src_id"), col("tgt_id"),
         round(GraftFunctions.cosineSim(spark, col("sv"), col("tv"))
           * 10000).cast("long").as("isim"))
-      .localCheckpoint()
+    PlanCapture.record("q141_bitext_margin (pre-checkpoint)", scoredPairs)
+    val pairs = scoredPairs.localCheckpoint()
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src_id")).orderBy(col("isim").desc, col("tgt_id"))
     val wb = org.apache.spark.sql.expressions.Window

@@ -76,7 +76,9 @@ object PlanDump {
     "q137_epoch_order" ->
       "Epoch ordering: one hash-partitioned exchange on shard feeding per-shard row_number windows — the global permutation is the strided interleave, so no SinglePartition sort ever appears.",
     "q140_ngram_lm" ->
-      "N-gram LM: contexts built row-locally inside Generate (no self-join), map-side-combined (ctx, next) counts, support filter pruning BEFORE the per-context ranking window.")
+      "N-gram LM: contexts built row-locally inside Generate (no self-join), map-side-combined (ctx, next) counts, support filter pruning BEFORE the per-context ranking window.",
+    "q141_bitext_margin" ->
+      "Bitext mining: the checkpointed scoring pass is one broadcast join producing the skinny integer-sim table; downstream, two direction windows (by src, by tgt) and the integer margin join.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
