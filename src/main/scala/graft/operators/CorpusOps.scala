@@ -2320,6 +2320,64 @@ object CorpusOps {
           .as("r2"))
   }
 
+  /** Cross-source LM affinity matrix — every source scored under every
+    * source's add-one-smoothed unigram LM: H(s, m) = −Σ_t p_s(t)·ln
+    * p_m(t), plus the EXCESS over self-scoring H(s,m) − H(s,s). This is
+    * the full matrix behind [[sourceKl]]'s single column: the
+    * domain-transfer table mixture design reads (a low-excess pair means
+    * m's data models s well — upweighting m helps s; a high-excess row
+    * isolates a source nothing else covers). Diagonal excess ≡ 0 by
+    * construction.
+    *
+    * Engine-portable exactness without order-dependent float sums: the
+    * per-token log term ln((c_m+1)/(T_m+V)) is quantized to integer
+    * MILLIONTHS once per (model, token) — row-local — so each Σ is an
+    * exact BIGINT·BIGINT dot product no shuffle order can change; H then
+    * divides exact longs in double space (floor-quantized 1e-4).
+    *
+    * Shape at 100 TB: one (source, token) aggregation (map-side
+    * combine), then an eval-side × model-list broadcast fan-out joined
+    * LEFT to model counts on the token key — the blowup is |sources|²
+    * per DISTINCT token, bounded by source-count², never corpus-sized;
+    * the final matrix agg collapses to |sources|² rows.
+    */
+  def sourceAffinity(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = docs
+      .select(col("source"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = c.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val vocab = c.agg(countDistinct(col("tok")).as("v"))
+    val models = c.join(totals, Seq("source")).crossJoin(broadcast(vocab))
+      .select(col("source").as("model_source"), col("tok"),
+        floor(log((col("c") + 1).cast("double") / (col("t") + col("v"))
+          .cast("double")) * 1000000L).as("l"),
+        (col("t") + col("v")).as("tv"))
+    val defaults = totals.crossJoin(broadcast(vocab))
+      .select(col("source").as("model_source"),
+        floor(log(lit(1.0) / (col("t") + col("v")).cast("double"))
+          * 1000000L).as("l0"))
+    val pairs = c.select(col("source").as("eval_source"), col("tok"),
+        col("c").as("cs"))
+      .crossJoin(broadcast(defaults))
+      .join(models, Seq("model_source", "tok"), "left")
+      .select(col("eval_source"), col("model_source"),
+        (col("cs") * coalesce(col("l"), col("l0"))).as("term"),
+        col("cs"))
+    val h = pairs.groupBy(col("eval_source"), col("model_source"))
+      .agg(sum(col("term")).as("sterm"), sum(col("cs")).as("ts"))
+    val self = h.filter(col("eval_source") === col("model_source"))
+      .select(col("eval_source"), col("sterm").as("sself"))
+    h.join(self, Seq("eval_source"))
+      .select(col("eval_source"), col("model_source"), col("ts").as("n_tokens"),
+        (floor(-col("sterm").cast("double")
+          / (col("ts") * lit(1000000L)).cast("double") * 10000L)
+          .cast("double") / 1e4).as("h"),
+        (floor((col("sself") - col("sterm")).cast("double")
+          / (col("ts") * lit(1000000L)).cast("double") * 10000L)
+          .cast("double") / 1e4).as("excess"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // token array materialized once — see [[bigrams]] on the O(tokens²) trap

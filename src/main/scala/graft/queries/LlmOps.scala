@@ -480,6 +480,12 @@ object LlmOps {
     "q143_zipf_fit" -> ((s, d) =>
       CorpusOps.zipfFit(Tables.fanout(Tables.documents(s, d)))),
 
+    // cross-source LM affinity matrix: every source under every source's
+    // smoothed unigram LM, with excess over self-scoring
+    "q144_source_affinity" -> ((s, d) =>
+      CorpusOps.sourceAffinity(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("eval_source"), col("model_source"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2186,6 +2192,44 @@ object LlmOps {
          SELECT doc_id, shard, pos_in_shard,
            (pos_in_shard - 1) * 8 + shard AS global_pos
          FROM r ORDER BY global_pos""",
+    // per-(model, token) log terms quantized to integer millionths, so
+    // each matrix cell is an exact BIGINT dot product in both engines
+    "q144_source_affinity" ->
+      """WITH tk AS (SELECT source,
+              unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS tok
+            FROM documents),
+         cc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY 1, 2),
+         tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+           FROM cc GROUP BY 1),
+         vv AS (SELECT count(DISTINCT tok) AS v FROM cc),
+         models AS (SELECT cc.source AS model_source, tok,
+             CAST(floor(ln((c + 1) / CAST(t + v AS DOUBLE)) * 1000000)
+               AS BIGINT) AS l
+           FROM cc JOIN tt USING (source), vv),
+         defaults AS (SELECT source AS model_source,
+             CAST(floor(ln(1.0 / CAST(t + v AS DOUBLE)) * 1000000)
+               AS BIGINT) AS l0
+           FROM tt, vv),
+         pairs AS (SELECT e.source AS eval_source, d.model_source,
+             e.c * COALESCE(m.l, d.l0) AS term, e.c AS cs
+           FROM cc e CROSS JOIN defaults d
+           LEFT JOIN models m ON m.model_source = d.model_source
+             AND m.tok = e.tok),
+         h AS (SELECT eval_source, model_source,
+             CAST(sum(term) AS BIGINT) AS sterm,
+             CAST(sum(cs) AS BIGINT) AS ts
+           FROM pairs GROUP BY 1, 2),
+         slf AS (SELECT eval_source, sterm AS sself FROM h
+           WHERE eval_source = model_source)
+         SELECT eval_source, model_source, ts AS n_tokens,
+           floor(-CAST(sterm AS DOUBLE) / CAST(ts * 1000000 AS DOUBLE)
+             * 10000) / 1e4 AS h,
+           floor(CAST(sself - sterm AS DOUBLE)
+             / CAST(ts * 1000000 AS DOUBLE) * 10000) / 1e4 AS excess
+         FROM h JOIN slf USING (eval_source)
+         ORDER BY eval_source, model_source""",
     // cosines quantized to integer 1e-4 BEFORE any ranking or sum, so
     // the whole mining decision is integer arithmetic in both engines
     "q141_bitext_margin" ->

@@ -709,6 +709,35 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sourceAffinity: zero diagonal, disjoint sources pay positive excess") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "alpha alpha alpha beta", "A"), (2L, "alpha beta beta", "A"),
+      (3L, "gamma gamma delta", "B"), (4L, "delta delta gamma", "B"),
+      (5L, "alpha beta gamma delta", "C")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceAffinity(toy).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.size === 9)
+    // diagonal: excess exactly 0, token totals exact
+    Seq("A", "B", "C").foreach { s =>
+      assert(out((s, s))._3 === 0.0, s"diag excess $s")
+    }
+    assert(out(("A", "A"))._1 === 7L && out(("B", "B"))._1 === 6L)
+    // A and B share no vocabulary: each pays strictly positive excess
+    // under the other's model, and more than under the blended C model
+    assert(out(("A", "B"))._3 > 0 && out(("B", "A"))._3 > 0)
+    assert(out(("A", "B"))._3 > out(("A", "C"))._3,
+      "blended model must sit closer than the disjoint one")
+    // real tables: full |sources|^2 matrix, zero diagonal everywhere
+    val real = CorpusOps.sourceAffinity(docs).collect()
+    val nSrc = real.map(_.getString(0)).distinct.length
+    assert(real.length === nSrc * nSrc)
+    real.filter(r => r.getString(0) === r.getString(1))
+      .foreach(r => assert(r.getDouble(4) === 0.0))
+  }
+
   test("bitextMine: translation pairs clear the margin, hub vectors don't") {
     import spark.implicits._
     // e1↔f1 and e2↔f2 are near-identical (translations); e3 is a hub
