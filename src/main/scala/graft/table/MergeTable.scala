@@ -110,11 +110,56 @@ final class MergeTable(
     // forever — the read side derives every file group's partition column
     // from its path (the `k=v` directory segment), so mixed-spec
     // snapshots read without any per-file metadata.
-    val writeSpecId: Int = 0) {
+    val writeSpecId: Int = 0,
+    // SHALLOW-CLONE indirection (Delta CLONE semantics): table roots whose
+    // data/deletes directories back any manifest-listed file absent from
+    // this table's own directories. A clone owns only files it writes
+    // AFTER the clone; reads resolve own-dir first, then each fallback in
+    // order (clone-of-clone chains). Every delete/GC path removes via the
+    // OWN directory only (deleteIfExists on a path that lives in a
+    // fallback is a no-op), so compaction/expiry/orphan-GC on a clone can
+    // never touch the source's bytes. The Delta caveat holds identically:
+    // expiry/GC on the SOURCE can remove files a clone still references —
+    // clone reads then surface the same missing-file sentinel as any
+    // expired snapshot.
+    val dataFallbacks: Seq[String] = Nil) {
 
   private val rootPath: Path = Paths.get(root)
   private val dataDir: Path = rootPath.resolve("data")
   private val deleteDir: Path = rootPath.resolve("deletes")
+  private val fallbackDataDirs: Seq[Path] =
+    dataFallbacks.map(r => Paths.get(r).resolve("data"))
+  private val fallbackDeleteDirs: Seq[Path] =
+    dataFallbacks.map(r => Paths.get(r).resolve("deletes"))
+
+  /** Resolve a manifest-listed data file: own directory first, then the
+    * clone-fallback chain. Missing everywhere → the own-dir path, so
+    * callers' missing-file sentinels behave exactly as for an expired
+    * snapshot.
+    */
+  private def dataPath(f: String): Path = {
+    val own = dataDir.resolve(f)
+    if (fallbackDataDirs.isEmpty || Files.exists(own)) own
+    else fallbackDataDirs.map(_.resolve(f)).find(Files.exists(_))
+      .getOrElse(own)
+  }
+
+  private def delPath(f: String): Path = {
+    val own = deleteDir.resolve(f)
+    if (fallbackDeleteDirs.isEmpty || Files.exists(own)) own
+    else fallbackDeleteDirs.map(_.resolve(f)).find(Files.exists(_))
+      .getOrElse(own)
+  }
+
+  /** The data ROOT a manifest-listed file group reads under — needed as
+    * `basePath` so directory-partition discovery works for fallback
+    * (source-owned) file groups exactly as for own ones.
+    */
+  private def dataRootOf(f: String): Path = {
+    if (fallbackDataDirs.isEmpty || Files.exists(dataDir.resolve(f))) dataDir
+    else fallbackDataDirs.find(d => Files.exists(d.resolve(f)))
+      .getOrElse(dataDir)
+  }
   // metadata root: the table root, or branches/<name>/ for a branch handle
   private val metaRoot: Path =
     branchName.fold(rootPath)(n => rootPath.resolve("branches").resolve(n))
@@ -202,10 +247,13 @@ final class MergeTable(
     */
   private def readDataFilesLogical(spark: SparkSession,
       files: Seq[String]): DataFrame = {
-    val groups = files.groupBy(layoutOf)
+    // shallow clones group by data ROOT as well: a fallback (source-owned)
+    // file group needs the source's dataDir as basePath for directory-
+    // partition discovery, an own group needs this table's
+    val groups = files.groupBy(f => (dataRootOf(f), layoutOf(f)))
     val dfs = groups.toSeq.sortBy(_._1.toString).map {
-      case ((prefix, dirKey), fs) =>
-        val base = if (prefix.isEmpty) dataDir else dataDir.resolve(prefix)
+      case ((groupRoot, (prefix, dirKey)), fs) =>
+        val base = if (prefix.isEmpty) groupRoot else groupRoot.resolve(prefix)
         val fileSchema = StructType(
           schema.fields.filterNot(f => dirKey.contains(phys(f.name)))
             .map(f => f.copy(name = phys(f.name))) ++
@@ -214,7 +262,7 @@ final class MergeTable(
               .map(f => f.copy(name = phys(f.name))))
         spark.read.option("basePath", base.toString)
           .schema(fileSchema)
-          .parquet(fs.map(f => dataDir.resolve(f).toString): _*)
+          .parquet(fs.map(f => groupRoot.resolve(f).toString): _*)
           .select(payloadCols.map(c => col(phys(c)).as(c)) :+ col(SEQ): _*)
     }
     dfs.reduce(_ unionByName _)
@@ -488,11 +536,61 @@ final class MergeTable(
     Seq(dataDir, deleteDir, manifestDir).foreach(Files.createDirectories(_))
     val meta = rootPath.resolve("_table.meta")
     if (!Files.exists(meta)) {
+      val fallbackLine =
+        if (dataFallbacks.isEmpty) ""
+        else s"datafallback\t${dataFallbacks.mkString(",")}\n"
       Files.writeString(meta,
         s"key\t$keyCol\npartition\t${partitionCol.getOrElse("")}\n" +
-          s"threshold\t$deleteCompactThreshold\nschema\t${schema.toDDL}\n")
+          s"threshold\t$deleteCompactThreshold\nschema\t${schema.toDDL}\n" +
+          fallbackLine)
     }
     this
+  }
+
+  /** SHALLOW CLONE (Delta `CLONE` semantics): a new, fully independent
+    * table at `destRoot` whose snapshot — and entire pre-clone history,
+    * tags included — is this table's, WITHOUT copying a byte of data:
+    * manifests are copied, data/delete files are resolved through a
+    * fallback chain recorded in the clone's `_table.meta`. From the
+    * moment of cloning the two tables diverge freely: each commits,
+    * compacts, branches, and GCs on its own; a clone's maintenance can
+    * never delete source bytes (it only ever removes from its OWN
+    * directories), while source-side `expireSnapshots`/`removeOrphanFiles`
+    * CAN remove files the clone still references — the standard shallow-
+    * clone caveat, surfaced on the clone as the usual missing-file
+    * sentinel. Cloning a clone chains the fallbacks. Branch refs are not
+    * cloned (a clone starts with main only); the clone is taken under the
+    * commit lock so it lands on a consistent manifest set.
+    */
+  def shallowClone(destRoot: String): MergeTable = {
+    require(branchName.isEmpty, "clone from the main table handle")
+    val dest = Paths.get(destRoot)
+    require(!Files.exists(dest.resolve("_table.meta")),
+      s"table already exists at $destRoot")
+    withCommitLock {
+      Seq("data", "deletes").foreach(d =>
+        Files.createDirectories(dest.resolve(d)))
+      val destManifests = dest.resolve("manifest")
+      Files.createDirectories(destManifests)
+      withDirStream(Files.list(manifestDir))(_.iterator().asScala.toSeq)
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .foreach(p => Files.copy(p, destManifests.resolve(p.getFileName)))
+      Seq("_latest").foreach { n =>
+        val p = metaRoot.resolve(n)
+        if (Files.exists(p)) Files.copy(p, dest.resolve(n))
+      }
+      val tagsDir = metaRoot.resolve("tags")
+      if (Files.exists(tagsDir)) {
+        val destTags = dest.resolve("tags")
+        Files.createDirectories(destTags)
+        withDirStream(Files.list(tagsDir))(_.iterator().asScala.toSeq)
+          .foreach(p => Files.copy(p, destTags.resolve(p.getFileName)))
+      }
+      val chain = root +: dataFallbacks
+      new MergeTable(destRoot, schema, keyCol, partitionCol,
+        deleteCompactThreshold, None, physicalNames, writeSpecId,
+        dataFallbacks = chain).create()
+    }
   }
 
   // ---- write path ----
@@ -1097,7 +1195,7 @@ final class MergeTable(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
         } else {
           val raw = spark.read.parquet(
-            snap.deleteFiles.map(f => deleteDir.resolve(f).toString): _*)
+            snap.deleteFiles.map(f => delPath(f).toString): _*)
           if (physicalNames.isEmpty) raw
           else raw.select(col(phys(keyCol)).as(keyCol), col(SEQ))
         }
@@ -1241,10 +1339,13 @@ final class MergeTable(
       else "renames\t" + renames.toSeq.sorted
         .map { case (l, p) => s"$l=$p" }.mkString(",") + "\n"
     val specLine = if (newSpecId == 0) "" else s"pspecid\t$newSpecId\n"
+    val fallbackLine =
+      if (dataFallbacks.isEmpty) ""
+      else s"datafallback\t${dataFallbacks.mkString(",")}\n"
     Files.writeString(tmp,
       s"key\t$newKey\npartition\t${newPart.getOrElse("")}\n" +
         s"threshold\t$deleteCompactThreshold\nschema\t${evolved.toDDL}\n" +
-        renameLine + specLine)
+        renameLine + specLine + fallbackLine)
     Files.move(tmp, rootPath.resolve("_table.meta"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -1334,14 +1435,14 @@ final class MergeTable(
     // partitionsDf's sentinel
     val rows =
       s.dataFiles.map { f =>
-        val p = dataDir.resolve(f)
+        val p = dataPath(f)
         val sz = if (Files.exists(p)) Files.size(p) else 0L
         val (lo, hi) = s.fileStats.get(f)
           .map { case (a, b) => (Option(a), Option(b)) }
           .getOrElse((None, None))
         ("data", f, sz, lo, hi)
       } ++ s.deleteFiles.map { f =>
-        val p = deleteDir.resolve(f)
+        val p = delPath(f)
         ("delete", f, if (Files.exists(p)) Files.size(p) else 0L,
           None: Option[Long], None: Option[Long])
       }
@@ -1364,7 +1465,7 @@ final class MergeTable(
           case -1 => ""
           case i  => f.substring(0, i)
         }
-        val p = dataDir.resolve(f)
+        val p = dataPath(f)
         (part, if (Files.exists(p)) Files.size(p) else 0L)
       }
       .groupBy(_._1).toSeq
@@ -1508,7 +1609,7 @@ final class MergeTable(
     val delFiles = newDels.result()
     if (delFiles.nonEmpty) {
       parts += spark.read
-        .parquet(delFiles.map(f => deleteDir.resolve(f).toString): _*)
+        .parquet(delFiles.map(f => delPath(f).toString): _*)
         .select(nullPayloadExcept(Set(keyCol)) :+ col(SEQ) :+
           lit("delete").as("_change_type"): _*)
     }
@@ -1565,7 +1666,7 @@ final class MergeTable(
               schema.fields.filterNot(f => dirKey.contains(phys(f.name)))
                 .map(f => f.copy(name = phys(f.name))) :+
                 StructField(SEQ, LongType)))
-            .parquet(files.map(f => dataDir.resolve(f).toString): _*)
+            .parquet(files.map(f => dataPath(f).toString): _*)
             .coalesce(1)
             .write.mode("overwrite").option("compression", "snappy")
             .parquet(staged.toString)
@@ -1646,7 +1747,8 @@ final class MergeTable(
     require(Files.exists(branchesDir.resolve(name).resolve("_latest")),
       s"no branch $name")
     new MergeTable(root, schema, keyCol, partitionCol,
-      deleteCompactThreshold, Some(name), physicalNames, writeSpecId)
+      deleteCompactThreshold, Some(name), physicalNames, writeSpecId,
+      dataFallbacks)
   }
 
   /** Branch names with (head, fork) versions. */
@@ -1879,7 +1981,7 @@ final class MergeTable(
     val tombRanges: Seq[(Long, Long)] =
       if (prev.deleteFiles.isEmpty) Nil
       else spark.read
-        .parquet(prev.deleteFiles.map(f => deleteDir.resolve(f).toString): _*)
+        .parquet(prev.deleteFiles.map(f => delPath(f).toString): _*)
         .groupBy(input_file_name())
         .agg(min(col(phys(keyCol))).as("lo"), max(col(phys(keyCol))).as("hi"))
         .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
@@ -2025,6 +2127,8 @@ object MergeTable {
           val Array(l, p) = e.split("=", 2)
           l -> p
         }.toMap).getOrElse(Map.empty),
-      writeSpecId = kv.get("pspecid").map(_.trim.toInt).getOrElse(0))
+      writeSpecId = kv.get("pspecid").map(_.trim.toInt).getOrElse(0),
+      dataFallbacks = kv.get("datafallback").filter(_.nonEmpty)
+        .map(_.split(",").toSeq).getOrElse(Nil))
   }
 }
