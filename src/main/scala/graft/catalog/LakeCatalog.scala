@@ -86,6 +86,23 @@ final class LakeCatalog(val warehouse: String) {
     MergeTable.open(dbPath(db).resolve(validName(table)).toString)
   }
 
+  /** Zero-copy SHALLOW CLONE of an existing table into this catalog:
+    * [[MergeTable.shallowClone]] under catalog naming/validation. The
+    * clone shares the source's data bytes through the fallback chain and
+    * diverges independently from the moment it is created; dropping or
+    * GC'ing the SOURCE can invalidate still-shared bytes (the standard
+    * shallow-clone caveat — the clone then reads the missing-file
+    * sentinel).
+    */
+  def cloneTable(db: String, table: String,
+      destDb: String, destTable: String): MergeTable = {
+    require(databaseExists(destDb), s"database $destDb does not exist")
+    require(!tableExists(destDb, destTable),
+      s"table $destDb.$destTable already exists")
+    getTable(db, table).shallowClone(
+      dbPath(destDb).resolve(validName(destTable)).toString)
+  }
+
   def dropTable(db: String, table: String): Unit = {
     // only drop things that are actually tables of this catalog
     val p = dbPath(db).resolve(validName(table))

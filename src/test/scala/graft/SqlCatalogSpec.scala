@@ -218,6 +218,33 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { sql("CALL sqlx.system.no_such_proc('d.t')") }
   }
 
+  test("CALL graft.system.clone: zero-copy SQL clone, independent afterwards") {
+    val wh = tmpDir("graft-sqlcat-clone")
+    spark.conf.set("spark.sql.catalog.sqlcl", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlcl.warehouse", wh)
+    sql("CREATE NAMESPACE sqlcl.d")
+    sql("""CREATE TABLE sqlcl.d.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('unique_keys'='id')""")
+    sql("INSERT INTO sqlcl.d.t SELECT id, concat('v', id) FROM range(100)")
+    val v = sql("CALL sqlcl.system.clone('d.t', 'd.t2')").collect()
+    assert(v.length == 1)
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlcl.d.t2")
+      .collect().head.getLong(0) == 100L)
+    // no data bytes under the clone's own data dir
+    val ownFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(wh, "d", "t2", "data"))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(ownFiles === 0L)
+    // diverge: update the clone, source unchanged
+    sql("UPDATE sqlcl.d.t2 SET v = 'x' WHERE id = 5")
+    assert(sql("SELECT v FROM sqlcl.d.t2 WHERE id = 5")
+      .collect().head.getString(0) == "x")
+    assert(sql("SELECT v FROM sqlcl.d.t WHERE id = 5")
+      .collect().head.getString(0) == "v5")
+    // cloning over an existing table fails loudly
+    intercept[Exception] { sql("CALL sqlcl.system.clone('d.t', 'd.t2')") }
+  }
+
   test("write-audit-publish from SQL: branch procedures + branch read") {
     val wh = tmpDir("graft-sqlcat-wap")
     spark.conf.set("spark.sql.catalog.sqlw", "graft.sqlcat.GraftCatalog")
