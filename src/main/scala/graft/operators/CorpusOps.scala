@@ -2378,6 +2378,49 @@ object CorpusOps {
           .cast("double") / 1e4).as("excess"))
   }
 
+  /** Source × length-bucket balance audit — Pearson's χ² of independence
+    * over the (source, equal-width n_chars bucket) contingency table: is
+    * document length distributed the same way across sources, or does
+    * some source ship systematically truncated/padded text? Each cell
+    * reports observed count, expected count under independence
+    * (row·col/N), and its χ² contribution (o−e)²/e — the cells that
+    * dominate Σχ² are the imbalance, already localized. The standard
+    * pre-training corpus-composition audit next to [[datasetCard]].
+    *
+    * All counts are exact BIGINTs; expected/contrib divide identical
+    * longs in double space (floor-quantized 1e-4). A sources × buckets
+    * spine keeps empty cells in the table (they carry contribution = e).
+    * Shape: one scan collapsing map-side to |sources|·|buckets| cells,
+    * margins and spine are cell-table-sized — nothing downstream of the
+    * first agg is corpus-sized.
+    */
+  def sourceBalance(docs: DataFrame, buckets: Int = 5): DataFrame = {
+    val sc = col("n_chars").cast("double")
+    val stats = docs.agg(min(sc).as("lo"), max(sc).as("hi"),
+      count(lit(1)).as("n"))
+    val cells = docs.crossJoin(broadcast(stats))
+      .select(col("source"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(greatest(
+              floor((sc - col("lo")) * buckets / (col("hi") - col("lo"))),
+              lit(0.0)), lit((buckets - 1).toDouble)).cast("long"))
+          .as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("obs"))
+    val rows = cells.groupBy(col("source")).agg(sum(col("obs")).as("rt"))
+    val cols = cells.groupBy(col("bucket")).agg(sum(col("obs")).as("ct"))
+    val spine = rows.select(col("source"), col("rt"))
+      .crossJoin(cols.select(col("bucket"), col("ct")))
+    val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+    spine.join(cells, Seq("source", "bucket"), "left")
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("source"), col("bucket"),
+        coalesce(col("obs"), lit(0L)).as("n_obs"), col("rt"), col("ct"),
+        (floor(e * 10000L).cast("double") / 1e4).as("expected"),
+        (floor((coalesce(col("obs"), lit(0L)).cast("double") - e)
+          * (coalesce(col("obs"), lit(0L)).cast("double") - e) / e
+          * 10000L).cast("double") / 1e4).as("chi2_contrib"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // token array materialized once — see [[bigrams]] on the O(tokens²) trap

@@ -816,6 +816,50 @@ object Similarity {
           .cast("double") / 1e4).as("margin"))
   }
 
+  /** k-NN label-agreement audit (the label-noise detector behind
+    * confident-learning / deep-kNN data cleaning): for each sampled
+    * vector, the fraction of its k nearest neighbors (cosine) that share
+    * its label. Agreement ≈ 1 means the label is consistent with the
+    * embedding geometry; agreement ≤ 1/4 flags the row as a `suspect` —
+    * a probable mislabel, an outlier, or a cluster-boundary case — the
+    * audit queue a labeling pipeline reviews before training. Complements
+    * [[labelOutliers]] (centroid distance: global shape) with local
+    * neighborhood evidence.
+    *
+    * Same engine-portable contract as [[bitextMine]]: cosines quantized
+    * to integer 1e-4 before the ranking window, so neighbor sets are
+    * deterministic in any engine; the agreement ratio divides exact
+    * longs. Sampling is the stateless id-hash (vec_id mod sampleMod).
+    * Shape: one broadcast-queries scoring pass, per-query ranking window
+    * cut at k (WindowGroupLimit); beyond broadcast size the
+    * [[hardNegativesIvf]] candidate front-end composes in front, since
+    * only each query's top-k neighborhood is ever consulted.
+    */
+  def labelAgreement(embs: DataFrame, k: Int = 8,
+      sampleMod: Int = 10): DataFrame = {
+    val spark = embs.sparkSession
+    val c = prepLabeled(embs)
+    val q = c.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")) * 10000)
+          .cast("long").as("isim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("isim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(count(lit(1)).as("kk"),
+        sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+        col("n_same"),
+        (floor(col("n_same") * 10000L / col("kk")).cast("double") / 1e4)
+          .as("agreement"),
+        (col("n_same") * 4 <= col("kk")).as("suspect"))
+  }
+
   /** Product-quantization ANN (ADC + exact rerank): vectors are cut into
     * `m` subspaces, each encoded as the id of its nearest codebook entry
     * (`ksub` per subspace) — compressing a d-dim float vector to m bytes

@@ -486,6 +486,18 @@ object LlmOps {
       CorpusOps.sourceAffinity(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("eval_source"), col("model_source"))),
 
+    // k-NN label-agreement audit: label-noise suspects from neighborhood
+    // label disagreement over integer-quantized cosines
+    "q145_label_agreement" -> ((s, d) =>
+      Similarity.labelAgreement(Tables.embeddings(s, d), k = 8,
+          sampleMod = 10)
+        .orderBy(col("q_id"))),
+
+    // source x length-bucket chi-square independence audit
+    "q146_source_balance" -> ((s, d) =>
+      CorpusOps.sourceBalance(Tables.documents(s, d))
+        .orderBy(col("source"), col("bucket"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2192,6 +2204,59 @@ object LlmOps {
          SELECT doc_id, shard, pos_in_shard,
            (pos_in_shard - 1) * 8 + shard AS global_pos
          FROM r ORDER BY global_pos""",
+    // q126's quantized-cosine window pattern: neighbor sets deterministic
+    // under the integer sim, agreement divides exact longs
+    "q145_label_agreement" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+         q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+           FROM e WHERE vec_id % 10 = 0),
+         sc AS (SELECT q_id, q_label, vec_id, label,
+             CAST(round(list_cosine_similarity(qv, v) * 10000) AS BIGINT)
+               AS isim
+           FROM q JOIN e ON vec_id <> q_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY isim DESC, vec_id) AS rn FROM sc),
+         a AS (SELECT q_id, q_label, count(*) AS kk,
+             CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_same
+           FROM r WHERE rn <= 8 GROUP BY 1, 2)
+         SELECT q_id, CAST(q_label AS BIGINT) AS q_label, n_same,
+           floor(n_same * 10000 / kk) / 1e4 AS agreement,
+           n_same * 4 <= kk AS suspect
+         FROM a ORDER BY q_id""",
+    // exact-integer contingency margins; expected/contrib divide the
+    // identical longs in double space
+    "q146_source_balance" ->
+      """WITH st AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+              CAST(max(n_chars) AS DOUBLE) AS hi, count(*) AS n
+            FROM documents),
+         cells AS (SELECT source,
+             CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+               ELSE CAST(least(greatest(floor(
+                 (CAST(n_chars AS DOUBLE) - lo) * 5 / (hi - lo)), 0.0), 4.0)
+                 AS BIGINT) END AS bucket,
+             count(*) AS obs
+           FROM documents, st GROUP BY 1, 2),
+         rt AS (SELECT source, CAST(sum(obs) AS BIGINT) AS rt
+           FROM cells GROUP BY 1),
+         ct AS (SELECT bucket, CAST(sum(obs) AS BIGINT) AS ct
+           FROM cells GROUP BY 1),
+         spine AS (SELECT source, rt, bucket, ct FROM rt CROSS JOIN ct),
+         j AS (SELECT s.source, s.bucket, COALESCE(c.obs, 0) AS n_obs,
+             s.rt, s.ct
+           FROM spine s LEFT JOIN cells c
+             ON c.source = s.source AND c.bucket = s.bucket)
+         SELECT source, bucket, CAST(n_obs AS BIGINT) AS n_obs, rt, ct,
+           floor(CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) * 10000) / 1e4
+             AS expected,
+           floor((CAST(n_obs AS DOUBLE)
+               - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n_obs AS DOUBLE)
+               - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) * 10000) / 1e4
+             AS chi2_contrib
+         FROM j, st ORDER BY source, bucket""",
     // per-(model, token) log terms quantized to integer millionths, so
     // each matrix cell is an exact BIGINT dot product in both engines
     "q144_source_affinity" ->

@@ -738,6 +738,59 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(4) === 0.0))
   }
 
+  test("labelAgreement: planted mislabel is the suspect, clean labels agree") {
+    import spark.implicits._
+    // two tight clusters in 4-d; vector 10 sits in cluster A but carries
+    // cluster B's label — the planted noise the audit must flag
+    def v(parts: Float*): Array[Float] = parts.toArray
+    val a = (0 to 4).map(i => (i * 10L, v(1f, 0.01f * i, 0f, 0f), 0))
+    val b = (5 to 9).map(i => (i * 10L, v(0f, 0f, 1f, 0.01f * i), 1))
+    val planted = Seq((100L, v(1f, 0.02f, 0f, 0f), 1))
+    val toy = (a ++ b ++ planted).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelAgreement(toy, k = 4, sampleMod = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.size === 11)
+    // the planted row: all 4 nearest neighbors are cluster A → agreement 0
+    assert(out(100L) === ((0.0, true)), s"${out(100L)}")
+    // clean cluster-B rows keep their neighborhoods (the planted A-vector
+    // is far away); their agreement is 3/4+ and never suspect
+    (5 to 9).map(_ * 10L).foreach { id =>
+      assert(out(id)._1 >= 0.75 && !out(id)._2, s"clean row $id: ${out(id)}")
+    }
+    // real tables: every sampled vector reported, agreement in [0, 1]
+    val real = Similarity.labelAgreement(embs, k = 8, sampleMod = 10)
+      .collect()
+    assert(real.length === embs.filter(col("vec_id") % 10 === 0).count())
+    real.foreach(r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("sourceBalance: exact margins, chi2 localizes a planted imbalance") {
+    import spark.implicits._
+    // src A: all short docs; src B: all long docs → maximal dependence
+    val toy = ((1 to 10).map(i => (i.toLong, "A", 10L)) ++
+      (11 to 20).map(i => (i.toLong, "B", 1000L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = CorpusOps.sourceBalance(toy, buckets = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out.size === 4)
+    // A fills bucket 0, B fills bucket 1; expected is 5 everywhere
+    assert(out(("A", 0L))._1 === 10L && out(("A", 1L))._1 === 0L)
+    assert(out(("B", 0L))._1 === 0L && out(("B", 1L))._1 === 10L)
+    out.values.foreach { case (_, e, c) =>
+      assert(e === 5.0); assert(c === 5.0) } // (10-5)^2/5 = (0-5)^2/5 = 5
+    // real tables: margins reconstruct the corpus, contribs nonnegative
+    val real = CorpusOps.sourceBalance(docs).collect()
+    val n = docs.count()
+    val bySource = real.groupBy(_.getString(0))
+    bySource.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sum === rs.head.getLong(3), "row margin") }
+    assert(real.map(_.getLong(2)).sum === n)
+    real.foreach(r => assert(r.getDouble(6) >= 0.0))
+  }
+
   test("bitextMine: translation pairs clear the margin, hub vectors don't") {
     import spark.implicits._
     // e1↔f1 and e2↔f2 are near-identical (translations); e3 is a hub
