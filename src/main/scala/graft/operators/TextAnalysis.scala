@@ -148,6 +148,49 @@ object TextAnalysis {
           + lit(0.3) * least(lit(1.0), stop.cast("double") / nWords * 5.0)))
   }
 
+  /** Deflate compression ratio per document — the Gopher/RedPajama-family
+    * compressibility signal: highly compressible text (ratio ≪ typical
+    * prose) is repetitive/templated/boilerplate; incompressible text
+    * (ratio ≈ 1) is noise, minified code, or encoded binary. Both tails
+    * are what curation drops; natural prose sits in the 0.3–0.7 band.
+    * Emits raw byte counts and the 4dp-floored ratio; the gate
+    * composition stays with the caller (e.g. AND it into
+    * [[gopherFilter]]'s battery).
+    *
+    * zlib (`java.util.zip.Deflater`, fixed level 6) is JVM-native work no
+    * Catalyst expression covers, so this is the documented `mapPartitions`
+    * codec shape ([[graft.operators.Multimodal]]): one Deflater per
+    * PARTITION, `reset()` per row — allocation cost amortized exactly
+    * like a batch UDF; row-local, shuffle-free at any scale. No SQL
+    * oracle (DuckDB has no deflate) — contract specs assert the
+    * discriminating property instead, the same pattern as the sketch and
+    * xxhash64 operators.
+    */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset()
+          d.setInput(bytes)
+          d.finish()
+          var total = 0L
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) total += d.deflate(buf)
+          val ratio =
+            if (bytes.isEmpty) 1.0
+            else math.floor(total.toDouble / bytes.length * 10000) / 10000
+          (id, bytes.length.toLong, total, ratio)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_compressed", "ratio")
+  }
+
   /** Polynomial rolling hash fingerprint over characters,
     * `h = (h*31 + codepoint) mod (2^31-1)` — order-sensitive, so it
     * distinguishes permuted documents where bag-of-words hashes collide.

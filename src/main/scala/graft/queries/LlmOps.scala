@@ -498,6 +498,12 @@ object LlmOps {
       CorpusOps.sourceBalance(Tables.documents(s, d))
         .orderBy(col("source"), col("bucket"))),
 
+    // deflate compressibility quality signal (no SQL oracle: DuckDB has
+    // no deflate — rows-check + contract specs, like q27/q28/q44)
+    "q147_compress_ratio" -> ((s, d) =>
+      TextAnalysis.compressionRatio(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CorpusOps, Similarity}
+import graft.operators.{CorpusOps, Similarity, TextAnalysis}
 
 /** Specs for the round-4 corpus-analytics / embedding-QC operators
   * (q79–q84) — properties the DuckDB oracle can't express: recall against
@@ -789,6 +789,34 @@ class CorpusAnalyticsSpec extends SparkSpec {
       assert(rs.map(_.getLong(2)).sum === rs.head.getLong(3), "row margin") }
     assert(real.map(_.getLong(2)).sum === n)
     real.foreach(r => assert(r.getDouble(6) >= 0.0))
+  }
+
+  test("compressionRatio: repetition compresses, noise doesn't, exact accounting") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "spam " * 200),                             // pure repetition
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1000}").mkString(" ")),
+      (3L, ""),                                        // empty guard
+      (4L, "short")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(toy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // byte accounting is exact
+    assert(out(1L)._1 === 1000L && out(4L)._1 === 5L)
+    // boilerplate compresses an order of magnitude harder than diverse text
+    assert(out(1L)._3 < 0.05, s"repetition must crush: ${out(1L)}")
+    assert(out(2L)._3 > 3 * out(1L)._3, s"diverse text must not: ${out(2L)}")
+    // empty doc: defined, ratio 1 by convention
+    assert(out(3L) === ((0L, out(3L)._2, 1.0)))
+    // deterministic under repartition (fixed level, per-row reset)
+    val r1 = TextAnalysis.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val r2 = TextAnalysis.compressionRatio(docs.repartition(13)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(r1 === r2)
+    // real corpus: every ratio in (0, 1.2], none NaN
+    r1.values.foreach(v => assert(v > 0.0 && v <= 1.2))
   }
 
   test("bitextMine: translation pairs clear the margin, hub vectors don't") {
