@@ -2421,6 +2421,86 @@ object CorpusOps {
           * 10000L).cast("double") / 1e4).as("chi2_contrib"))
   }
 
+  /** k-anonymity audit over quasi-identifiers — the dataset-release
+    * privacy check next to [[datasetCard]]/[[shardManifest]]: group the
+    * corpus by its released quasi-identifier tuple (here lang × source ×
+    * equal-width length bucket — the metadata a release ships per doc)
+    * and flag every equivalence class smaller than k: documents in those
+    * classes are re-identifiable from metadata alone and need
+    * generalization (coarser buckets) or suppression before release.
+    *
+    * Exact BIGINT counts throughout; the length buckets reuse
+    * [[sourceBalance]]'s corpus-min/max equal-width rule (two broadcast
+    * scalars, row-local assignment). One map-side-collapsing groupBy to
+    * \|lang\|·\|source\|·buckets classes — nothing downstream is
+    * corpus-sized.
+    */
+  def kAnonymity(docs: DataFrame, k: Long = 5,
+      buckets: Int = 10): DataFrame = {
+    val sc = col("n_chars").cast("double")
+    val stats = docs.agg(min(sc).as("lo"), max(sc).as("hi"))
+    docs.crossJoin(broadcast(stats))
+      .select(col("lang"), col("source"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(greatest(
+              floor((sc - col("lo")) * buckets / (col("hi") - col("lo"))),
+              lit(0.0)), lit((buckets - 1).toDouble)).cast("long"))
+          .as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+  }
+
+  /** Distinguishing lexicon — Monroe, Colaresi & Quinn's "Fightin' Words"
+    * log-odds with informative Dirichlet prior: for each source, the
+    * terms whose usage most distinguishes it from the REST of the corpus,
+    * scored by the z-statistic of the prior-smoothed log-odds delta
+    * δ_w = ln[(c_sw+α_w)/(n_s+α₀−c_sw−α_w)] − ln[(c_rw+α_w)/(n_r+α₀−c_rw−α_w)],
+    * z = δ/√(1/(c_sw+α_w) + 1/(c_rw+α_w)), prior α_w = α₀·f_w/N (the
+    * corpus itself, so frequent-everywhere words need MORE evidence to
+    * register). The principled replacement for raw tf-idf contrast when
+    * naming what makes a source a source — rare-word variance is
+    * controlled, common-word bias is prior-damped.
+    *
+    * Every input to the floats is an exact BIGINT from one (source,
+    * token) aggregation joined to token and source margins — all
+    * row-local arithmetic after cell-table-sized joins; both engines run
+    * identical double ops per row (nothing order-dependent), ranking
+    * compares those identical doubles, and the emitted z is 1e-4-floored.
+    * Top-k per source behind a per-source window.
+    */
+  def logOddsLexicon(docs: DataFrame, k: Int = 5, alpha0: Double = 500.0,
+      textCol: String = "text"): DataFrame = {
+    val c = docs
+      .select(col("source"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("csw"))
+    val srcTot = c.groupBy(col("source")).agg(sum(col("csw")).as("ns"))
+    val termTot = c.groupBy(col("term")).agg(sum(col("csw")).as("fw"))
+    val corpus = c.agg(sum(col("csw")).as("nn"))
+    val scored = c.join(srcTot, Seq("source")).join(termTot, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("aw", col("fw").cast("double") * alpha0
+        / col("nn").cast("double"))
+      .withColumn("crw", (col("fw") - col("csw")).cast("double"))
+      .withColumn("nr", (col("nn") - col("ns")).cast("double"))
+      .withColumn("delta",
+        log((col("csw") + col("aw"))
+          / (col("ns") + lit(alpha0) - col("csw") - col("aw")))
+        - log((col("crw") + col("aw"))
+          / (col("nr") + lit(alpha0) - col("crw") - col("aw"))))
+      .withColumn("z", col("delta")
+        / sqrt(lit(1.0) / (col("csw") + col("aw"))
+          + lit(1.0) / (col("crw") + col("aw"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("z").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("term"),
+        col("csw").as("n_in"), (col("fw") - col("csw")).as("n_out"),
+        (floor(col("z") * 10000L).cast("double") / 1e4).as("z"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // token array materialized once — see [[bigrams]] on the O(tokens²) trap

@@ -504,6 +504,16 @@ object LlmOps {
       TextAnalysis.compressionRatio(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // k-anonymity release audit over (lang, source, length-bucket)
+    "q148_k_anonymity" -> ((s, d) =>
+      CorpusOps.kAnonymity(Tables.documents(s, d), k = 5L)
+        .orderBy(col("lang"), col("source"), col("len_bucket"))),
+
+    // Monroe log-odds "Fightin' Words": per-source distinguishing terms
+    "q149_log_odds" -> ((s, d) =>
+      CorpusOps.logOddsLexicon(Tables.fanout(Tables.documents(s, d)), k = 5)
+        .orderBy(col("source"), col("rank"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2210,6 +2220,49 @@ object LlmOps {
          SELECT doc_id, shard, pos_in_shard,
            (pos_in_shard - 1) * 8 + shard AS global_pos
          FROM r ORDER BY global_pos""",
+    // exact BIGINT class counts; the bucket rule is q146's
+    "q148_k_anonymity" ->
+      """WITH st AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+              CAST(max(n_chars) AS DOUBLE) AS hi FROM documents)
+         SELECT lang, source,
+           CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+             ELSE CAST(least(greatest(floor(
+               (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)), 0.0), 9.0)
+               AS BIGINT) END AS len_bucket,
+           count(*) AS group_size,
+           count(*) < 5 AS at_risk
+         FROM documents, st
+         GROUP BY 1, 2, 3 ORDER BY lang, source, len_bucket""",
+    // every float input is an exact BIGINT margin; both engines run the
+    // identical per-row double chain, ranking compares those doubles
+    "q149_log_odds" ->
+      """WITH tk AS (SELECT source,
+              unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS term
+            FROM documents),
+         c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS csw
+           FROM tk GROUP BY 1, 2),
+         s AS (SELECT source, CAST(sum(csw) AS BIGINT) AS ns
+           FROM c GROUP BY 1),
+         tt AS (SELECT term, CAST(sum(csw) AS BIGINT) AS fw
+           FROM c GROUP BY 1),
+         nnn AS (SELECT CAST(sum(csw) AS BIGINT) AS nn FROM c),
+         sc AS (SELECT c.source, c.term, csw, fw, ns,
+             CAST(fw AS DOUBLE) * 500.0 / CAST(nn AS DOUBLE) AS aw,
+             CAST(fw - csw AS DOUBLE) AS crw,
+             CAST(nn - ns AS DOUBLE) AS nr
+           FROM c JOIN s USING (source) JOIN tt USING (term), nnn),
+         z AS (SELECT source, term, csw, fw,
+             (ln((csw + aw) / (ns + 500.0 - csw - aw))
+              - ln((crw + aw) / (nr + 500.0 - crw - aw)))
+             / sqrt(1.0 / (csw + aw) + 1.0 / (crw + aw)) AS z
+           FROM sc),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+               ORDER BY z DESC, term) AS BIGINT) AS rank
+           FROM z)
+         SELECT source, rank, term, csw AS n_in, fw - csw AS n_out,
+           floor(z * 10000) / 1e4 AS z
+         FROM r WHERE rank <= 5 ORDER BY source, rank""",
     // q126's quantized-cosine window pattern: neighbor sets deterministic
     // under the integer sim, agreement divides exact longs
     "q145_label_agreement" ->

@@ -791,6 +791,47 @@ class CorpusAnalyticsSpec extends SparkSpec {
     real.foreach(r => assert(r.getDouble(6) >= 0.0))
   }
 
+  test("kAnonymity: singleton classes flagged, populous classes clear") {
+    import spark.implicits._
+    // 6 docs share one quasi-identifier tuple; one doc is unique
+    val toy = ((1 to 6).map(i => (i.toLong, "en", "web", 100L)) :+
+      (7L, "de", "rare", 500L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val out = CorpusOps.kAnonymity(toy, k = 5, buckets = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("en", "web")) === ((6L, false)))
+    assert(out(("de", "rare")) === ((1L, true)), "singleton must flag")
+    // real tables: class sizes partition the corpus
+    val real = CorpusOps.kAnonymity(docs).collect()
+    assert(real.map(_.getLong(3)).sum === docs.count())
+    real.foreach(r => assert(r.getBoolean(4) === (r.getLong(3) < 5)))
+  }
+
+  test("logOddsLexicon: a source-exclusive term tops its source, shared terms don't") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "blockchain ledger blockchain token common word", "crypto"),
+      (2L, "blockchain token ledger common", "crypto"),
+      (3L, "recipe flour oven common word", "cooking"),
+      (4L, "recipe recipe oven butter common", "cooking")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.logOddsLexicon(toy, k = 3).collect()
+    val top = out.filter(_.getLong(1) === 1L)
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // the most-overrepresented exclusive term names each source
+    assert(top("crypto") === "blockchain", s"$top")
+    assert(top("cooking") === "recipe", s"$top")
+    // an evenly-shared term never ranks first, and its z is below the
+    // exclusive winners'
+    val common = out.filter(_.getString(2) === "common")
+    common.foreach(r => assert(r.getLong(1) > 1L, s"shared term at rank 1: $r"))
+    // real tables: k ranks per source, z finite
+    val real = CorpusOps.logOddsLexicon(docs, k = 5).collect()
+    assert(real.groupBy(_.getString(0)).forall(_._2.length === 5))
+    real.foreach(r => assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+  }
+
   test("compressionRatio: repetition compresses, noise doesn't, exact accounting") {
     import spark.implicits._
     val toy = Seq(
