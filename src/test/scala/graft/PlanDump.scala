@@ -78,7 +78,13 @@ object PlanDump {
     "q140_ngram_lm" ->
       "N-gram LM: contexts built row-locally inside Generate (no self-join), map-side-combined (ctx, next) counts, support filter pruning BEFORE the per-context ranking window.",
     "q141_bitext_margin" ->
-      "Bitext mining: the checkpointed scoring pass is one broadcast join producing the skinny integer-sim table; downstream, two direction windows (by src, by tgt) and the integer margin join.")
+      "Bitext mining: the checkpointed scoring pass is one broadcast join producing the skinny integer-sim table; downstream, two direction windows (by src, by tgt) and the integer margin join.",
+    "q144_source_affinity" ->
+      "Source-affinity matrix: one (source, token) agg, model side joined back on the token key, broadcast defaults for absent tokens — the |sources|^2 fan-out rides per distinct token, never per row.",
+    "q146_source_balance" ->
+      "Chi-square balance: one scan collapsing map-side to |sources|*|buckets| cells; margins, spine, and closed forms are all cell-table-sized.",
+    "q149_log_odds" ->
+      "Log-odds lexicon: (source, term) agg joined to term and source margins, row-local z arithmetic, top-k behind a per-source window (WindowGroupLimit).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
