@@ -860,6 +860,120 @@ object Similarity {
         (col("n_same") * 4 <= col("kk")).as("suspect"))
   }
 
+  /** RAG context assembly — the retrieval step's LAST mile: for each
+    * query, rank candidate documents by dense cosine and greedily pack
+    * the ranked list into a fixed token budget (the context window),
+    * emitting the kept docs with their rank, token cost, and running
+    * total. This is what actually ships to the prompt builder: not a
+    * top-k list but a budget-feasible prefix of one.
+    *
+    * Determinism/portability: the [[bitextMine]] contract — cosines
+    * quantized to integer 1e-4 before ranking, token counts exact longs,
+    * the greedy cut `cum ≤ budget` pure integer arithmetic.
+    *
+    * Shape: broadcast-queries scoring, then rank and running token sum
+    * as two windows over ONE (query)-partitioned exchange. Zero-token
+    * docs are excluded up front, which makes `rank ≤ budget` a PROVABLE
+    * pre-cut (every kept doc costs ≥ 1 token), so the running-sum window
+    * state is budget-bounded per query — WindowGroupLimit shape, never
+    * corpus-deep. Beyond broadcast-size query sets the IVF candidate
+    * front-end composes in front, as everywhere in this file.
+    */
+  def contextAssemble(docs: DataFrame, embs: DataFrame, nQueries: Int = 8,
+      budget: Long = 256): DataFrame = {
+    val spark = docs.sparkSession
+    val v = embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val toks = docs.select(col("doc_id").as("vec_id"),
+      size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")) * 10000)
+          .cast("long").as("isim"))
+      .join(toks, Seq("vec_id"))
+      .filter(col("n_tokens") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("isim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= budget)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("q_id"), col("rank"), col("vec_id").as("doc_id"),
+        (col("isim") / lit(10000.0)).as("cos_sim"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — DIVERSIFIED
+    * retrieval: k selection rounds per query, each picking the candidate
+    * maximizing λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s). The
+    * first pick is pure relevance; every later pick is penalized by its
+    * redundancy against what the context already holds — the standard
+    * fix for retrieval lists that are k near-copies of the same passage,
+    * and the natural upgrade to [[contextAssemble]]'s relevance-only
+    * packing.
+    *
+    * λ is fixed at 1/2 so the WHOLE selection argmax is integer
+    * arithmetic on 1e-4-quantized cosines: score ∝ rel − maxPenalty,
+    * ties on vec_id — deterministic in any engine, and a k-step unrolled
+    * SQL oracle replays every round exactly.
+    *
+    * Shape per round: the penalty join touches candidates × selected
+    * where selected ≤ k·\|queries\| rows (broadcast side), one
+    * per-(query, candidate) max, one per-query argmax window — k bounded
+    * rounds, each O(candidates). Selected rows are localCheckpointed per
+    * round, so the plan is O(1) in k (the [[kMeans]]/pageRank loop
+    * discipline). Beyond broadcast-size query sets the IVF candidate
+    * front-end composes in front.
+    */
+  def mmrSelect(embs: DataFrame, nQueries: Int = 4, k: Int = 3): DataFrame = {
+    val spark = embs.sparkSession
+    val v = embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("dv"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("dv").as("qv"))
+    val cand = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("dv"),
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("dv")) * 10000)
+          .cast("long").as("rel"))
+      .localCheckpoint()
+    var selected: DataFrame = null
+    (1 to k).foreach { step =>
+      val scoredStep =
+        if (selected == null) cand.withColumn("pen", lit(0L))
+        else {
+          val sel = broadcast(selected
+            .select(col("q_id"), col("vec_id").as("s_id"),
+              col("dv").as("sv")))
+          cand.join(sel, Seq("q_id"))
+            .filter(col("vec_id") =!= col("s_id"))
+            .withColumn("dd",
+              round(GraftFunctions.cosineSim(spark, col("dv"), col("sv"))
+                * 10000).cast("long"))
+            .groupBy(col("q_id"), col("vec_id"), col("dv"), col("rel"))
+            .agg(max(col("dd")).as("pen"), count(lit(1)).as("nj"))
+            // already-selected ids pair with only |selected|−1 rows (the
+            // self pair is filtered) — requiring a full join count
+            // excludes them from re-selection
+            .filter(col("nj") === (step - 1)).drop("nj")
+        }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy((col("rel") - col("pen")).desc, col("vec_id"))
+      val winner = scoredStep
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("dv"), col("rel"),
+          col("pen"), lit(step.toLong).as("step"))
+        .localCheckpoint()
+      selected = if (selected == null) winner else selected.union(winner)
+    }
+    selected.select(col("q_id"), col("step"), col("vec_id").as("doc_id"),
+      (col("rel") / lit(10000.0)).as("relevance"),
+      (col("pen") / lit(10000.0)).as("redundancy"),
+      ((col("rel") - col("pen")).cast("double") / lit(20000.0)).as("mmr"))
+  }
+
   /** Product-quantization ANN (ADC + exact rerank): vectors are cut into
     * `m` subspaces, each encoded as the id of its nearest codebook entry
     * (`ksub` per subspace) — compressing a d-dim float vector to m bytes

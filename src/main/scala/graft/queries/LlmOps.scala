@@ -514,6 +514,18 @@ object LlmOps {
       CorpusOps.logOddsLexicon(Tables.fanout(Tables.documents(s, d)), k = 5)
         .orderBy(col("source"), col("rank"))),
 
+    // RAG context assembly: ranked retrieval greedily packed into a
+    // fixed token budget per query
+    "q150_context_assembly" -> ((s, d) =>
+      Similarity.contextAssemble(Tables.documents(s, d),
+          Tables.embeddings(s, d), nQueries = 8, budget = 256L)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // MMR diversified retrieval: 3 integer-exact selection rounds
+    "q151_mmr_select" -> ((s, d) =>
+      Similarity.mmrSelect(Tables.embeddings(s, d), nQueries = 4, k = 3)
+        .orderBy(col("q_id"), col("step"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2220,6 +2232,78 @@ object LlmOps {
          SELECT doc_id, shard, pos_in_shard,
            (pos_in_shard - 1) * 8 + shard AS global_pos
          FROM r ORDER BY global_pos""",
+    // the 3 MMR rounds unrolled: every argmax compares the same integer
+    // rel − max-penalty both engines compute
+    "q151_mmr_select" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 4),
+         c AS (SELECT q_id, v.vec_id, v.v AS dv,
+             CAST(round(list_cosine_similarity(qv, v.v) * 10000) AS BIGINT)
+               AS rel
+           FROM v JOIN q ON v.vec_id <> q_id),
+         w1 AS (SELECT q_id, vec_id, dv, rel, CAST(0 AS BIGINT) AS pen
+           FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY rel DESC, vec_id) AS rn FROM c) t
+           WHERE rn = 1),
+         p2 AS (SELECT c.q_id, c.vec_id, c.dv, c.rel,
+             CAST(round(list_cosine_similarity(c.dv, w1.dv) * 10000)
+               AS BIGINT) AS pen
+           FROM c JOIN w1 ON c.q_id = w1.q_id AND c.vec_id <> w1.vec_id),
+         w2 AS (SELECT q_id, vec_id, dv, rel, pen
+           FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY rel - pen DESC, vec_id) AS rn FROM p2) t
+           WHERE rn = 1),
+         p3 AS (SELECT c.q_id, c.vec_id, c.rel,
+             greatest(
+               CAST(round(list_cosine_similarity(c.dv, w1.dv) * 10000)
+                 AS BIGINT),
+               CAST(round(list_cosine_similarity(c.dv, w2.dv) * 10000)
+                 AS BIGINT)) AS pen
+           FROM c JOIN w1 ON c.q_id = w1.q_id
+           JOIN w2 ON c.q_id = w2.q_id
+           WHERE c.vec_id <> w1.vec_id AND c.vec_id <> w2.vec_id),
+         w3 AS (SELECT q_id, vec_id, rel, pen
+           FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY rel - pen DESC, vec_id) AS rn FROM p3) t
+           WHERE rn = 1),
+         allw AS (
+           SELECT q_id, CAST(1 AS BIGINT) AS step, vec_id, rel, pen FROM w1
+           UNION ALL
+           SELECT q_id, CAST(2 AS BIGINT), vec_id, rel, pen FROM w2
+           UNION ALL
+           SELECT q_id, CAST(3 AS BIGINT), vec_id, rel, pen FROM w3)
+         SELECT q_id, step, vec_id AS doc_id,
+           rel / 10000.0 AS relevance, pen / 10000.0 AS redundancy,
+           CAST(rel - pen AS DOUBLE) / 20000.0 AS mmr
+         FROM allw ORDER BY q_id, step""",
+    // integer-quantized ranking + exact running token sums; the greedy
+    // cut is a monotone integer predicate
+    "q150_context_assembly" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 8),
+         tk AS (SELECT doc_id AS vec_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         sc AS (SELECT q_id, v.vec_id,
+             CAST(round(list_cosine_similarity(qv, v.v) * 10000) AS BIGINT)
+               AS isim,
+             n_tokens
+           FROM v JOIN q ON v.vec_id <> q_id
+           JOIN tk ON tk.vec_id = v.vec_id
+           WHERE n_tokens > 0),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY isim DESC, vec_id) AS BIGINT) AS rank,
+             CAST(sum(n_tokens) OVER (PARTITION BY q_id
+               ORDER BY isim DESC, vec_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_tokens
+           FROM sc)
+         SELECT q_id, rank, vec_id AS doc_id, isim / 10000.0 AS cos_sim,
+           n_tokens, cum_tokens
+         FROM r WHERE rank <= 256 AND cum_tokens <= 256
+         ORDER BY q_id, rank""",
     // exact BIGINT class counts; the bucket rule is q146's
     "q148_k_anonymity" ->
       """WITH st AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,

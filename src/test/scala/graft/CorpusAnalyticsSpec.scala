@@ -832,6 +832,58 @@ class CorpusAnalyticsSpec extends SparkSpec {
     real.foreach(r => assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
   }
 
+  test("contextAssemble: budget-feasible ranked prefix, exact accounting") {
+    val out = Similarity.contextAssemble(docs, embs, nQueries = 4,
+      budget = 128L).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // ranks are a contiguous prefix from 1 (greedy = maximal prefix)
+      assert(sorted.map(_.getLong(1)).toSeq ===
+        (1L to sorted.length).toSeq)
+      // running sums account exactly and never exceed the budget
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(4)
+        assert(r.getLong(5) === cum)
+      }
+      assert(cum <= 128L)
+      // relevance order: cosine non-increasing down the context
+      sorted.map(_.getDouble(3)).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b); case _ => }
+    }
+  }
+
+  test("mmrSelect: redundant near-copy is skipped for a diverse pick") {
+    import spark.implicits._
+    // candidates for query 0 (qv = e1): a (best relevance), a2 (a's
+    // near-copy, second-best relevance), b (distinct direction). MMR must
+    // pick a, then b — relevance-only ranking would pick a, a2.
+    def v(parts: Float*): Array[Float] = parts.toArray
+    val toy = Seq(
+      (0L, v(1f, 0f, 0f, 0f)),        // the query
+      (10L, v(0.99f, 0.1f, 0f, 0f)),  // a
+      (11L, v(0.98f, 0.12f, 0f, 0f)), // a2: near-copy of a
+      (12L, v(0.6f, 0f, 0.8f, 0f))    // b: distinct
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(toy, nQueries = 1, k = 2).collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 10L), (2L, 12L)), s"${out.toSeq}")
+    // step 1 has zero redundancy; step 2's redundancy is its sim to a
+    assert(out(0).getDouble(4) === 0.0)
+    assert(out(1).getDouble(4) > 0.0)
+    // real tables: k distinct picks per query, no re-selection
+    val real = Similarity.mmrSelect(embs, nQueries = 4, k = 3).collect()
+    val byQ = real.groupBy(_.getLong(0))
+    assert(byQ.size === 4)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+      assert(rs.map(_.getLong(2)).distinct.length === 3, "re-selected doc")
+    }
+  }
+
   test("compressionRatio: repetition compresses, noise doesn't, exact accounting") {
     import spark.implicits._
     val toy = Seq(

@@ -36,7 +36,12 @@ object ScaleProbe {
     "q122_ppl_buckets", "q125_novelty",
     // round 7b: CMS two-pass heavy hitters (sketch pass linear, exact
     // pass bounded by admissions) and the iterated-join power iteration
-    "q130_heavy_hitters", "q132_pagerank")
+    "q130_heavy_hitters", "q132_pagerank",
+    // round 7c: the new agg-shaped analytics — trigram-LM count table
+    // (ctx-window after map-side combine), cross-source LM matrix
+    // (|sources|^2 per distinct token), log-odds margins. All expected
+    // ~linear in corpus size; the probe is the falsification.
+    "q140_ngram_lm", "q144_source_affinity", "q149_log_odds")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
