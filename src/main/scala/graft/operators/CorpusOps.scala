@@ -2501,6 +2501,55 @@ object CorpusOps {
         (floor(col("z") * 10000L).cast("double") / 1e4).as("z"))
   }
 
+  /** Collocation mining — top adjacent-pair PMI (pointwise mutual
+    * information): ln(c₁₂·N / (c₁·c₂)) over adjacent token pairs,
+    * support-filtered so rare-pair noise (the classic PMI failure mode)
+    * never reaches the ranking. High-PMI pairs are the corpus's
+    * multi-word units — what a tokenizer-merge pass or a phrase-aware
+    * index wants first; a corpus whose top collocations are template
+    * fragments ("click here") is telling you something [[boilerplate]]
+    * quantifies.
+    *
+    * All PMI inputs are exact BIGINTs from two map-side-combining aggs
+    * (pairs and unigrams); each pair's PMI is one row-local double chain
+    * identical in both engines, ranking compares those doubles (ties on
+    * the pair), and the global top-k is orderBy+limit — TakeOrdered,
+    * per-partition top-k + merge, never a global sort.
+    */
+  def collocations(docs: DataFrame, k: Int = 50, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    val w = col("_w")
+    // zip_with pads to the LONGER input (w_n pairs with null) — slice to
+    // n−1 before exploding, the repetition-bigram discipline
+    val pairsExpr = when(size(w) >= 2,
+      slice(zip_with(w, slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))), lit(1), size(w) - 1))
+      .otherwise(array())
+    val pairs = docs
+      .withColumn("_w", TextAnalysis.wsTokens(col(textCol)))
+      .select(explode(pairsExpr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = docs
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val n2 = docs
+      .select((greatest(size(TextAnalysis.wsTokens(col(textCol))) - 1,
+        lit(0))).cast("long").as("np"))
+      .agg(sum(col("np")).as("n2"))
+    pairs
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n2))
+      .withColumn("pmi", log(col("c12").cast("double") * col("n2")
+        / (col("c1").cast("double") * col("c2"))))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (floor(col("pmi") * 10000L).cast("double") / 1e4).as("pmi"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // token array materialized once — see [[bigrams]] on the O(tokens²) trap

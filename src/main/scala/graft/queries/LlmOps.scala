@@ -526,6 +526,12 @@ object LlmOps {
       Similarity.mmrSelect(Tables.embeddings(s, d), nQueries = 4, k = 3)
         .orderBy(col("q_id"), col("step"))),
 
+    // top-PMI adjacent collocations, support-filtered
+    "q152_collocations" -> ((s, d) =>
+      CorpusOps.collocations(Tables.fanout(Tables.documents(s, d)),
+          k = 50, minCount = 5)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2232,6 +2238,32 @@ object LlmOps {
          SELECT doc_id, shard, pos_in_shard,
            (pos_in_shard - 1) * 8 + shard AS global_pos
          FROM r ORDER BY global_pos""",
+    // exact BIGINT pair/unigram margins; each PMI is one identical
+    // row-local double chain, top-k compares those doubles
+    "q152_collocations" ->
+      """WITH d AS (SELECT
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                j -> w[j] || chr(1) || w[j+1])) AS s
+            FROM d WHERE len(w) >= 2),
+         ps AS (SELECT string_split(s, chr(1))[1] AS w1,
+                  string_split(s, chr(1))[2] AS w2
+                FROM p),
+         pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM ps GROUP BY 1, 2 HAVING count(*) >= 5),
+         u AS (SELECT unnest(w) AS t FROM d),
+         uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+           FROM u GROUP BY 1),
+         nn AS (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n2
+           FROM d),
+         sc AS (SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+             ln(CAST(c12 AS DOUBLE) * n2
+               / (CAST(u1.c AS DOUBLE) * u2.c)) AS pmi
+           FROM pc JOIN uc u1 ON u1.t = w1 JOIN uc u2 ON u2.t = w2, nn)
+         SELECT w1, w2, c12, c1, c2,
+           floor(pmi * 10000) / 1e4 AS pmi
+         FROM sc ORDER BY sc.pmi DESC, w1, w2 LIMIT 50""",
     // the 3 MMR rounds unrolled: every argmax compares the same integer
     // rel − max-penalty both engines compute
     "q151_mmr_select" ->

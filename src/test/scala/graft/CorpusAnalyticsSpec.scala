@@ -884,6 +884,32 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("collocations: bound phrases top the PMI list, independent pairs don't") {
+    import spark.implicits._
+    // "new york" always adjacent (perfectly bound); "the cat" frequent
+    // but "the" pairs with everything → high c1 crushes its PMI
+    val reps = (1 to 10).map(i =>
+      (i.toLong, s"new york w$i the cat the dog the w$i fish"))
+    val toy = reps.toDF("doc_id", "text")
+    val out = CorpusOps.collocations(toy, k = 10, minCount = 5).collect()
+    assert(out.head.getString(0) === "new" && out.head.getString(1) === "york",
+      s"${out.toSeq}")
+    val pmiOf = out.map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(5)).toMap
+    pmiOf.get(("the", "cat")).foreach(p =>
+      assert(p < pmiOf(("new", "york")), "independent pair must rank below"))
+    // exact margins on the winner: 10 pairs, both words appear 10x
+    assert(out.head.getLong(2) === 10L && out.head.getLong(3) === 10L
+      && out.head.getLong(4) === 10L)
+    // real corpus: all supported pairs, PMI finite, at most k rows
+    val real = CorpusOps.collocations(docs).collect()
+    assert(real.length <= 50)
+    real.foreach { r =>
+      assert(r.getLong(2) >= 5L)
+      assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite)
+    }
+  }
+
   test("compressionRatio: repetition compresses, noise doesn't, exact accounting") {
     import spark.implicits._
     val toy = Seq(
