@@ -593,6 +593,46 @@ final class MergeTable(
     }
   }
 
+  /** Materialize every fallback-resolved byte into this table's OWN
+    * directories — turns a shallow clone into a fully self-contained
+    * DEEP clone (Delta `CLONE ... DEEP` / snapshot backup): every
+    * retained manifest's data and delete files are copied local, so
+    * source-side GC — or deleting the source outright — can no longer
+    * invalidate any readable version. The (now inert) fallback chain
+    * stays in the meta: own-dir resolution always wins once the bytes
+    * are local. Returns the number of files copied; no-op (0) on a
+    * non-clone or an already-materialized clone.
+    */
+  def materialize(): Int = withCommitLock {
+    var copied = 0
+    def pull(rel: String, ownDir: Path, resolve: String => Path): Unit = {
+      val own = ownDir.resolve(rel)
+      if (!Files.exists(own)) {
+        val src = resolve(rel)
+        if (Files.exists(src) && src != own) {
+          Files.createDirectories(own.getParent)
+          Files.copy(src, own)
+          copied += 1
+        }
+      }
+    }
+    history.foreach { s =>
+      s.dataFiles.foreach(pull(_, dataDir, dataPath))
+      s.deleteFiles.foreach(pull(_, deleteDir, delPath))
+    }
+    copied
+  }
+
+  /** DEEP clone: [[shallowClone]] + [[materialize]] — a standalone full
+    * copy (history and tags included) that survives anything done to the
+    * source.
+    */
+  def deepClone(destRoot: String): MergeTable = {
+    val c = shallowClone(destRoot)
+    c.materialize()
+    c
+  }
+
   // ---- write path ----
 
   /** Move every parquet file under `staged` (including partition subdirs)

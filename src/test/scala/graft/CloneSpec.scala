@@ -102,6 +102,27 @@ class CloneSpec extends SparkSpec {
       "GC'd source bytes must surface as the size-0 sentinel on the clone")
   }
 
+  test("deep clone survives outright deletion of the source") {
+    val src = build(tmpDir("dcsrc"))
+    val expect = state(src)
+    val v1Count = src.read(spark, Some(1L)).count()
+    val c = src.deepClone(tmpDir("dcc") + "/t")
+    // bytes are local now: a second materialize has nothing to copy
+    assert(c.materialize() === 0)
+    // obliterate the source completely
+    val srcRoot = java.nio.file.Paths.get(src.root)
+    java.nio.file.Files.walk(srcRoot).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    assert(!Files.exists(srcRoot))
+    // the deep clone still reads, time travels, and accepts new commits
+    assert(state(c) === expect)
+    assert(c.read(spark, Some(1L)).count() === v1Count)
+    c.applyBatch(c.read(spark).filter(col("trans_id") === 19L)
+      .withColumn("amount", lit(555))
+      .withColumn("operation", lit("update")))
+    assert(state(c)(19L) === 555)
+  }
+
   test("clone of a clone chains fallbacks across all three roots") {
     val src = build(tmpDir("clcsrc"))
     val c1 = src.shallowClone(tmpDir("clc1") + "/t")
