@@ -2550,6 +2550,49 @@ object CorpusOps {
         (floor(col("pmi") * 10000L).cast("double") / 1e4).as("pmi"))
   }
 
+  /** Length-bucketed batching report — quantifies the classic
+    * sort-by-length trick: shard the corpus, form size-B batches within
+    * each shard either in HASHED order (the random-shuffle baseline) or
+    * LENGTH-SORTED order, and account each batch's padding waste
+    * `B·max(len) − Σlen` exactly. Sorted batching puts like-sized docs
+    * together, collapsing the max-vs-mean gap that padding burns; the
+    * report is the measured GPU-hours argument for dynamic batching,
+    * per shard and strategy, before anyone changes a data loader.
+    *
+    * Exact BIGINT accounting throughout. Shape: the same per-shard
+    * window discipline as [[epochOrder]] — both orderings are windows
+    * PARTITIONED BY shard (parallel, never global); batch aggregation
+    * collapses map-side to batches-per-shard rows.
+    */
+  def batchingWaste(docs: DataFrame, batchSize: Int = 32, nShards: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"),
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("len"))
+      .withColumn("skey", Dedup.portableHash32(
+        concat(lit("b:"), col("doc_id").cast("string"))))
+      .withColumn("shard", col("skey") % nShards)
+    def waste(ordered: org.apache.spark.sql.expressions.WindowSpec,
+        strategy: String): DataFrame =
+      base.withColumn("batch",
+          ((row_number().over(ordered) - 1) / batchSize).cast("long"))
+        .groupBy(col("shard"), col("batch"))
+        .agg(count(lit(1)).as("n"), max(col("len")).as("mx"),
+          sum(col("len")).as("sm"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("sm")).as("total_tokens"),
+          sum(col("n") * col("mx") - col("sm")).as("total_waste"))
+        .select(lit(strategy).as("strategy"), col("shard"),
+          col("n_batches"), col("total_tokens"), col("total_waste"),
+          (floor(col("total_waste") * 1000000L
+            / (col("total_tokens") + col("total_waste"))).cast("double")
+            / 1e6).as("waste_frac"))
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+    waste(byShard.orderBy(col("skey"), col("doc_id")), "hashed")
+      .unionByName(
+        waste(byShard.orderBy(col("len").desc, col("doc_id")), "sorted"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // token array materialized once — see [[bigrams]] on the O(tokens²) trap

@@ -974,6 +974,48 @@ object Similarity {
       ((col("rel") - col("pen")).cast("double") / lit(20000.0)).as("mmr"))
   }
 
+  /** Semantic source map — pairwise cosine between per-source embedding
+    * CENTROIDS: the semantic counterpart of [[graft.operators.CorpusOps
+    * .sourceAffinity]]'s lexical matrix (two sources can share no
+    * vocabulary yet embed identically, and vice versa; disagreement
+    * between the two maps is itself a data-quality signal). Feeds the
+    * same mixture-design questions: which sources are near-redundant,
+    * which one covers space nothing else does.
+    *
+    * Engine-portable: each embedding component is floor-quantized to an
+    * integer MILLIONTH row-locally, so per-source component sums are
+    * exact BIGINTs no shuffle order can change; cosine is scale-
+    * invariant, so the sums themselves are the centroid vectors —
+    * no division ever happens before the similarity. One posexplode agg
+    * to \|sources\|·dims cells, arrays rebuilt pos-sorted, a \|sources\|²/2
+    * pair join of tiny rows.
+    */
+  def sourceCentroidMap(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val joined = docs.select(col("doc_id"), col("source"))
+      .join(embs.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val sums = joined
+      .select(col("source"), posexplode(col("embedding"))
+        .as(Seq("pos", "v")))
+      .select(col("source"), col("pos"),
+        floor(col("v").cast("double") * 1000000L).as("iv"))
+      .groupBy(col("source"), col("pos")).agg(sum(col("iv")).as("s"))
+    val centroids = sums.groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s").cast("double")).as("cv"))
+    val counts = joined.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val c = centroids.join(counts, Seq("source"))
+    val a = c.select(col("source").as("source_a"), col("cv").as("va"),
+      col("n").as("n_a"))
+    val b = c.select(col("source").as("source_b"), col("cv").as("vb"),
+      col("n").as("n_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        round(GraftFunctions.cosineSim(spark, col("va"), col("vb")), 4)
+          .as("cos_sim"))
+  }
+
   /** Product-quantization ANN (ADC + exact rerank): vectors are cut into
     * `m` subspaces, each encoded as the id of its nearest codebook entry
     * (`ksub` per subspace) — compressing a d-dim float vector to m bytes

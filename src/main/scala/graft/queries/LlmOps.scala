@@ -532,6 +532,17 @@ object LlmOps {
           k = 50, minCount = 5)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // sort-by-length batching: padding waste, hashed vs sorted, per shard
+    "q153_batch_waste" -> ((s, d) =>
+      CorpusOps.batchingWaste(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("strategy"), col("shard"))),
+
+    // semantic source map: pairwise cosine of per-source centroids
+    "q154_source_map" -> ((s, d) =>
+      Similarity.sourceCentroidMap(Tables.documents(s, d),
+          Tables.embeddings(s, d))
+        .orderBy(col("source_a"), col("source_b"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2238,6 +2249,64 @@ object LlmOps {
          SELECT doc_id, shard, pos_in_shard,
            (pos_in_shard - 1) * 8 + shard AS global_pos
          FROM r ORDER BY global_pos""",
+    // the q137 per-shard window discipline over both orderings; waste
+    // accounting is pure BIGINT
+    "q153_batch_waste" ->
+      """WITH b AS (SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS len,
+              CAST('0x' || substring(md5('b:' || CAST(doc_id AS VARCHAR)),
+                1, 8) AS BIGINT) AS skey
+            FROM documents),
+         s AS (SELECT doc_id, len, skey, skey % 8 AS shard FROM b),
+         h AS (SELECT shard, len, CAST((row_number() OVER (
+               PARTITION BY shard ORDER BY skey, doc_id) - 1) // 32
+               AS BIGINT) AS batch
+           FROM s),
+         hb AS (SELECT shard, batch, count(*) AS n, max(len) AS mx,
+             CAST(sum(len) AS BIGINT) AS sm
+           FROM h GROUP BY shard, batch),
+         ha AS (SELECT 'hashed' AS strategy, shard,
+             count(*) AS n_batches, CAST(sum(sm) AS BIGINT) AS total_tokens,
+             CAST(sum(n * mx - sm) AS BIGINT) AS total_waste
+           FROM hb GROUP BY shard),
+         o AS (SELECT shard, len, CAST((row_number() OVER (
+               PARTITION BY shard ORDER BY len DESC, doc_id) - 1) // 32
+               AS BIGINT) AS batch
+           FROM s),
+         ob AS (SELECT shard, batch, count(*) AS n, max(len) AS mx,
+             CAST(sum(len) AS BIGINT) AS sm
+           FROM o GROUP BY shard, batch),
+         oa AS (SELECT 'sorted' AS strategy, shard,
+             count(*) AS n_batches, CAST(sum(sm) AS BIGINT) AS total_tokens,
+             CAST(sum(n * mx - sm) AS BIGINT) AS total_waste
+           FROM ob GROUP BY shard),
+         u AS (SELECT * FROM ha UNION ALL SELECT * FROM oa)
+         SELECT strategy, shard, n_batches, total_tokens, total_waste,
+           floor(total_waste * 1000000 / (total_tokens + total_waste)) / 1e6
+             AS waste_frac
+         FROM u ORDER BY strategy, shard""",
+    // per-source component sums are exact BIGINTs (1e-6-quantized
+    // components); cosine runs on the integer-valued centroid arrays
+    "q154_source_map" ->
+      """WITH j AS (SELECT d.source, e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         x AS (SELECT source,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+               AS BIGINT) AS iv
+           FROM j),
+         sums AS (SELECT source, pos, CAST(sum(iv) AS BIGINT) AS s
+           FROM x GROUP BY source, pos),
+         cent AS (SELECT source, list(CAST(s AS DOUBLE) ORDER BY pos) AS cv
+           FROM sums GROUP BY source),
+         cnt AS (SELECT source, count(*) AS n FROM j GROUP BY source),
+         c AS (SELECT cent.source, cv, n FROM cent JOIN cnt USING (source))
+         SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS n_a, b.n AS n_b,
+           round(list_cosine_similarity(a.cv, b.cv), 4) AS cos_sim
+         FROM c a JOIN c b ON a.source < b.source
+         ORDER BY source_a, source_b""",
     // exact BIGINT pair/unigram margins; each PMI is one identical
     // row-local double chain, top-k compares those doubles
     "q152_collocations" ->

@@ -910,6 +910,53 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("batchingWaste: sorted batching beats hashed; closed-form toy accounting") {
+    import spark.implicits._
+    // lengths 1..64, one shard, batch 32: sorted batches are {64..33}
+    // and {32..1} → waste 32·64−Σ(33..64) = 496 and 32·32−Σ(1..32) = 496
+    val toy = (1 to 64).map(i => (i.toLong, ("w " * i).trim))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.batchingWaste(toy, batchSize = 32, nShards = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("sorted") === ((2L, 2080L, 992L)), s"${out("sorted")}")
+    assert(out("hashed")._2 === 2080L)
+    // the whole point: hashed mixes lengths, so its waste exceeds sorted
+    assert(out("hashed")._3 > out("sorted")._3)
+    // real corpus, all shards: sorted strictly cheaper in aggregate
+    val real = CorpusOps.batchingWaste(docs).collect()
+    val byStrat = real.groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(4)).sum }
+    assert(byStrat("sorted") < byStrat("hashed"),
+      s"sorted must reduce padding: $byStrat")
+    // token mass is strategy-invariant
+    val toks = real.groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(3)).sum }
+    assert(toks("sorted") === toks("hashed"))
+  }
+
+  test("sourceCentroidMap: identical sources map to 1, orthogonal to 0") {
+    import spark.implicits._
+    def v(parts: Float*): Array[Float] = parts.toArray
+    val toyDocs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("doc_id", "source")
+    val toyEmb = Seq(
+      (1L, v(1f, 0f, 0f, 0f)), (2L, v(1f, 0.02f, 0f, 0f)),
+      (3L, v(1f, 0.01f, 0f, 0f)),  // B ≈ A's centroid direction
+      (4L, v(0f, 0f, 1f, 0f))      // C orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sourceCentroidMap(toyDocs, toyEmb).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out(("A", "B")) > 0.999, s"$out")
+    assert(math.abs(out(("A", "C"))) < 0.05 && math.abs(out(("B", "C"))) < 0.05)
+    // real tables: the full upper triangle, sims in [-1, 1]
+    val real = Similarity.sourceCentroidMap(docs, embs).collect()
+    val nSrc = docs.select(col("source")).distinct().count()
+    assert(real.length === (nSrc * (nSrc - 1) / 2).toInt)
+    real.foreach(r =>
+      assert(r.getDouble(4) >= -1.0001 && r.getDouble(4) <= 1.0001))
+  }
+
   test("compressionRatio: repetition compresses, noise doesn't, exact accounting") {
     import spark.implicits._
     val toy = Seq(
