@@ -2593,6 +2593,48 @@ object CorpusOps {
         waste(byShard.orderBy(col("len").desc, col("doc_id")), "sorted"))
   }
 
+  /** Per-document memorization-risk audit — [[ngramLm]] turned back on
+    * the corpus: a context is PREDICTABLE when its corpus-wide top
+    * continuation carries probability ≥ `topProb` at support ≥
+    * `minCount`; a document's risk is the fraction of its contexts that
+    * FOLLOW the dominant continuation. A risk ≈ 1 document is made of
+    * text the corpus LM already completes — boilerplate, a near-copy, or
+    * a leaked eval answer — exactly what extraction-attack audits
+    * (Carlini et al.) drop or downweight before training.
+    *
+    * Shape: the LM side is [[ngramLm]] (k=1) — already aggregated and
+    * tiny after the support+probability filter; the doc side is one
+    * row-local context build (the `_w` projection-boundary discipline);
+    * the join is token-keyed equi on ctx. Exact integer counts, one
+    * floored ratio.
+    */
+  def memorizationRisk(docs: DataFrame, n: Int = 2, minCount: Long = 8,
+      topProb: Double = 0.9, textCol: String = "text"): DataFrame = {
+    val lm = ngramLm(docs, n, k = 1, minCount, textCol)
+      .filter(col("rank") === 1 && col("prob") >= topProb)
+      .select(col("ctx"), col("next_tok").as("top_next"))
+    val w = col("_w")
+    val pairsExpr = when(size(w) > n,
+      transform(sequence(lit(0), size(w) - n - 1), i =>
+        struct(concat_ws(" ", slice(w, i + lit(1), lit(n))).as("ctx"),
+          element_at(w, i + n + 1).as("next_tok"))))
+    val pairs = docs
+      .withColumn("_w", filter(split(col(textCol), " "), t => t =!= lit("")))
+      .select(col("doc_id"), explode(pairsExpr).as("p"))
+      .select(col("doc_id"), col("p.ctx").as("ctx"),
+        col("p.next_tok").as("next_tok"))
+    pairs.join(lm, Seq("ctx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ctx"),
+        sum(when(col("top_next").isNotNull, 1L).otherwise(0L))
+          .as("n_predictable"),
+        sum(when(col("next_tok") === col("top_next"), 1L).otherwise(0L))
+          .as("n_following"))
+      .withColumn("risk",
+        floor(col("n_following") * 1000000L / col("n_ctx")).cast("double")
+          / 1e6)
+  }
+
   def novelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // token array materialized once — see [[bigrams]] on the O(tokens²) trap

@@ -543,6 +543,13 @@ object LlmOps {
           Tables.embeddings(s, d))
         .orderBy(col("source_a"), col("source_b"))),
 
+    // per-doc memorization risk: fraction of contexts following the
+    // corpus LM's dominant continuation
+    "q155_memorization_risk" -> ((s, d) =>
+      CorpusOps.memorizationRisk(Tables.fanout(Tables.documents(s, d)),
+          n = 2, minCount = 8, topProb = 0.9)
+        .orderBy(col("doc_id"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2249,6 +2256,41 @@ object LlmOps {
          SELECT doc_id, shard, pos_in_shard,
            (pos_in_shard - 1) * 8 + shard AS global_pos
          FROM r ORDER BY global_pos""",
+    // q140's LM chain at k=1 + prob gate, joined back onto every doc's
+    // contexts; all counts exact, one floored ratio
+    "q155_memorization_risk" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         p AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(w) - 2),
+                j -> array_to_string(w[j:j+1], ' ') || chr(1) || w[j+2]))
+                AS s
+            FROM d WHERE len(w) > 2),
+         ps AS (SELECT doc_id, string_split(s, chr(1))[1] AS ctx,
+                  string_split(s, chr(1))[2] AS next_tok
+                FROM p),
+         c AS (SELECT ctx, next_tok, CAST(count(*) AS BIGINT) AS n_obs
+           FROM ps GROUP BY 1, 2),
+         sup AS (SELECT ctx, CAST(sum(n_obs) AS BIGINT) AS t
+           FROM c GROUP BY 1 HAVING sum(n_obs) >= 8),
+         r AS (SELECT c.ctx, c.next_tok, c.n_obs, sup.t,
+             CAST(row_number() OVER (PARTITION BY c.ctx
+               ORDER BY c.n_obs DESC, c.next_tok) AS BIGINT) AS rank
+           FROM c JOIN sup USING (ctx)),
+         lm AS (SELECT ctx, next_tok AS top_next FROM r
+           WHERE rank = 1
+             AND floor(n_obs * 1000000 / t) / 1e6 >= 0.9),
+         jj AS (SELECT ps.doc_id, ps.ctx, ps.next_tok, lm.top_next
+           FROM ps LEFT JOIN lm USING (ctx))
+         SELECT doc_id, count(*) AS n_ctx,
+           CAST(sum(CASE WHEN top_next IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_predictable,
+           CAST(sum(CASE WHEN next_tok = top_next THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_following,
+           floor(sum(CASE WHEN next_tok = top_next THEN 1 ELSE 0 END)
+             * 1000000 / count(*)) / 1e6 AS risk
+         FROM jj GROUP BY doc_id ORDER BY doc_id""",
     // the q137 per-shard window discipline over both orderings; waste
     // accounting is pure BIGINT
     "q153_batch_waste" ->

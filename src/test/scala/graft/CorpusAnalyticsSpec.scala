@@ -957,6 +957,32 @@ class CorpusAnalyticsSpec extends SparkSpec {
       assert(r.getDouble(4) >= -1.0001 && r.getDouble(4) <= 1.0001))
   }
 
+  test("memorizationRisk: verbatim boilerplate scores 1, divergent text doesn't") {
+    import spark.implicits._
+    // 9 docs share a verbatim sentence (every context dominant at full
+    // support); doc 10 shares the contexts but diverges at each next
+    // token, so its pairs never follow the dominant continuation
+    val boiler = "terms of service apply to all users"
+    val toy = ((1 to 9).map(i => (i.toLong, boiler)) :+
+      (10L, "terms of use apply to new users always")).toDF("doc_id", "text")
+    val out = CorpusOps.memorizationRisk(toy, n = 2, minCount = 8,
+      topProb = 0.9).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3),
+        r.getDouble(4)))).toMap
+    (1 to 9).foreach { i =>
+      val (nCtx, nFollow, risk) = out(i.toLong)
+      assert(nCtx === 5L && nFollow === 5L && risk === 1.0, s"doc $i: ${out(i.toLong)}")
+    }
+    val (n10, f10, r10) = out(10L)
+    assert(n10 === 6L && f10 < 2L && r10 < 0.34, s"divergent doc: ${out(10L)}")
+    // real corpus: risk bounded, following ≤ predictable ≤ contexts
+    val real = CorpusOps.memorizationRisk(docs).collect()
+    real.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("compressionRatio: repetition compresses, noise doesn't, exact accounting") {
     import spark.implicits._
     val toy = Seq(
