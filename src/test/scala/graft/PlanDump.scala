@@ -84,7 +84,15 @@ object PlanDump {
     "q146_source_balance" ->
       "Chi-square balance: one scan collapsing map-side to |sources|*|buckets| cells; margins, spine, and closed forms are all cell-table-sized.",
     "q149_log_odds" ->
-      "Log-odds lexicon: (source, term) agg joined to term and source margins, row-local z arithmetic, top-k behind a per-source window (WindowGroupLimit).")
+      "Log-odds lexicon: (source, term) agg joined to term and source margins, row-local z arithmetic, top-k behind a per-source window (WindowGroupLimit).",
+    "q150_context_assembly" ->
+      "Context assembly: broadcast-queries scoring, rank + running token sum as two windows over ONE query-partitioned exchange; rank<=budget pre-cut bounds window state.",
+    "q152_collocations" ->
+      "Collocations: two map-side-combining aggs (pairs, unigrams), tiny margin joins, global top-k as TakeOrderedAndProject — no global sort.",
+    "q153_batch_waste" ->
+      "Batching waste: both orderings are per-shard windows (hash-partitioned exchange on shard), batch aggregation collapses map-side; union of two strategy branches.",
+    "q155_memorization_risk" ->
+      "Memorization risk: the aggregated LM side shrinks behind support+prob gates before the ctx-keyed equi join back onto per-doc contexts.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
