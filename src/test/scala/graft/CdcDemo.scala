@@ -188,6 +188,25 @@ object CdcDemo {
     println("replica COUNT(*) = " + replica.read(spark).count() +
       " (source " + mainTable.read(spark).count() + ")")
 
+    // 8. shallow + deep clone (round 7): zero-copy SQL clone diverges
+    // independently; materialize() makes it survive source GC
+    println("== shallow/deep clone ==")
+    spark.sql("CALL graft.system.clone(" +
+      "'cdc_iceberg_demo_db.retail_trans_iceberg', " +
+      "'cdc_iceberg_demo_db.retail_trans_clone')")
+    spark.sql("UPDATE graft.cdc_iceberg_demo_db.retail_trans_clone " +
+      "SET amount = 9999 WHERE trans_id = 24")
+    println("clone amount = " + spark.sql(
+      "SELECT amount FROM graft.cdc_iceberg_demo_db.retail_trans_clone " +
+      "WHERE trans_id = 24").collect().head.getInt(0) +
+      ", source amount = " + spark.sql(
+      "SELECT amount FROM graft.cdc_iceberg_demo_db.retail_trans_iceberg " +
+      "WHERE trans_id = 24").collect().head.getInt(0) + " (diverged)")
+    val cloneTable = MergeTable.open(
+      base.resolve("warehouse/cdc_iceberg_demo_db/retail_trans_clone").toString)
+    println("clone materialized files = " + cloneTable.materialize() +
+      " (now survives source GC)")
+
     println("DEMO OK base=" + base)
     spark.stop()
   }
