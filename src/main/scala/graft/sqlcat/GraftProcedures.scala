@@ -26,7 +26,8 @@ import graft.table.MergeTable
   *   CALL graft.system.bin_pack('db.t')
   *   CALL graft.system.expire_snapshots('db.t', 2)
   *   CALL graft.system.rollback('db.t', 3)
-  *   CALL graft.system.clone('db.t', 'db.t2')   -- zero-copy shallow clone
+  *   CALL graft.system.clone('db.t', 'db.t2')        -- zero-copy shallow clone
+  *   CALL graft.system.deep_clone('db.t', 'db.t3')   -- standalone full copy
   *   CALL graft.system.create_branch('db.t', 'audit')   -- WAP: write...
   *   CALL graft.system.publish_branch('db.t', 'audit')  -- ...audit, publish
   *   CALL graft.system.drop_branch('db.t', 'audit')
@@ -111,6 +112,17 @@ private[sqlcat] object GraftProcedures {
         require(src.length == 2 && dst.length == 2,
           "expected 'db.table' for source and dest")
         l.cloneTable(src(0), src(1), dst(0), dst(1)).latestVersion
+      })),
+    // standalone full copy: clone + materialize (survives source GC/drop)
+    "deep_clone" -> ((Seq(p("source", StringType), p("dest", StringType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val src = in.getUTF8String(0).toString.split("\\.", 2)
+        val dst = in.getUTF8String(1).toString.split("\\.", 2)
+        require(src.length == 2 && dst.length == 2,
+          "expected 'db.table' for source and dest")
+        val c = l.cloneTable(src(0), src(1), dst(0), dst(1))
+        c.materialize()
+        c.latestVersion
       })),
     // write-audit-publish: CALL graft.system.create_branch('db.t','audit')
     // → stage writes on the branch → publish_branch fast-forwards main

@@ -243,6 +243,15 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().head.getString(0) == "v5")
     // cloning over an existing table fails loudly
     intercept[Exception] { sql("CALL sqlcl.system.clone('d.t', 'd.t2')") }
+    // deep clone: own bytes, survives dropping the source
+    sql("CALL sqlcl.system.deep_clone('d.t', 'd.t3')")
+    val deepFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(wh, "d", "t3", "data"))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(deepFiles > 0L, "deep clone must own its bytes")
+    sql("DROP TABLE sqlcl.d.t")
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqlcl.d.t3")
+      .collect().head.getLong(0) == 100L)
   }
 
   test("write-audit-publish from SQL: branch procedures + branch read") {
