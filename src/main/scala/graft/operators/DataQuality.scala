@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality tooling — the Deequ/Great-Expectations pillar a lake
+  * engine ships next to its tables: one-pass column PROFILING, a
+  * composable CONSTRAINT-CHECK battery (not-null / unique / range /
+  * accepted-values / referential integrity), and partition-completeness
+  * gap detection. The reference delegates this to managed-service
+  * dashboards; here the same reports are engine queries with exact
+  * semantics, so they hash-check against an independent SQL engine and
+  * compose with the table layer (run the battery on a WAP branch before
+  * `publish_branch`, profile a snapshot via time travel).
+  */
+object DataQuality {
+
+  /** One profiling row per requested column: exact row/null/distinct
+    * counts plus type-split min/max — numerics as floor-quantized
+    * doubles, strings (and timestamps, formatted to whole seconds) as
+    * strings, so no cross-engine number-to-text formatting is ever
+    * compared.
+    *
+    * Shape: one aggregate carrying every column's metrics (the multiple
+    * exact DISTINCTs plan as Spark's Expand — \|cols\| streams of one
+    * scan, the deequ profile shape; at 100 TB swap
+    * `approx_count_distinct` in via `exactDistinct = false` and the scan
+    * stays single-stream). The per-column rows come from unpivoting the
+    * single aggregate row — driver-side width, no second scan.
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+      exactDistinct: Boolean = true): DataFrame = {
+    val cols = if (columns.nonEmpty) columns
+      else df.schema.fields.map(_.name).toSeq
+    val aggs = cols.flatMap { c =>
+      val f = df.schema(c)
+      val isNum = f.dataType match {
+        case _: NumericType => true
+        case _ => false
+      }
+      val str: Column = f.dataType match {
+        case TimestampType | TimestampNTZType =>
+          date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+        case DateType => date_format(col(c), "yyyy-MM-dd")
+        case _ => col(c).cast("string")
+      }
+      val dist =
+        if (exactDistinct) countDistinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nul_$c"),
+        dist.as(s"dst_$c"),
+        (if (isNum) floor(min(col(c)).cast("double") * 10000L)
+          .cast("double") / 1e4 else lit(null).cast("double"))
+          .as(s"mnn_$c"),
+        (if (isNum) floor(max(col(c)).cast("double") * 10000L)
+          .cast("double") / 1e4 else lit(null).cast("double"))
+          .as(s"mxn_$c"),
+        (if (isNum) lit(null).cast("string") else min(str)).as(s"mns_$c"),
+        (if (isNum) lit(null).cast("string") else max(str)).as(s"mxs_$c"))
+    }
+    val total = count(lit(1)).as("n_rows")
+    val one = df.agg(total, aggs: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"nul_$c").as("n_null"),
+        (floor(col(s"nul_$c") * 1000000L / col("n_rows")).cast("double")
+          / 1e6).as("null_frac"),
+        col(s"dst_$c").as("n_distinct"),
+        col(s"mnn_$c").as("min_num"), col(s"mxn_$c").as("max_num"),
+        col(s"mns_$c").as("min_str"), col(s"mxs_$c").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Not-null constraint. */
+  def notNull(df: DataFrame, c: String, rule: String): DataFrame =
+    satisfies(df, col(c).isNotNull, rule)
+
+  /** Uniqueness constraint: violations = rows carrying a duplicated key
+    * (all members of every >1 group count, the deequ convention).
+    */
+  def unique(df: DataFrame, c: String, rule: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .agg(lit(rule).as("rule"), sum(col("n")).as("n_checked"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_violations"))
+
+  /** Predicate constraint (range / accepted values / any row predicate):
+    * violations = rows where `ok` is not true (nulls violate).
+    */
+  def satisfies(df: DataFrame, ok: Column, rule: String): DataFrame =
+    df.agg(lit(rule).as("rule"), count(lit(1)).as("n_checked"),
+      sum(when(ok, 0L).otherwise(1L)).as("n_violations"))
+
+  /** Referential integrity: child FK values (nulls exempt, the SQL FK
+    * convention) that match no parent PK. Broadcast-friendly when the
+    * parent key set is small; an equi left-anti at any scale.
+    */
+  def refIntegrity(child: DataFrame, fk: String, parent: DataFrame,
+      pk: String, rule: String): DataFrame = {
+    val orphans = child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_violations"))
+    child.filter(col(fk).isNotNull).agg(count(lit(1)).as("n_checked"))
+      .crossJoin(orphans)
+      .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
+  }
+
+  /** Union a battery of checks into the report the gate reads:
+    * every rule with its counts and verdict.
+    */
+  def battery(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+
+  /** Partition completeness — the freshness/observability query: daily
+    * row counts over the FULL calendar spine [min day, max day], so a
+    * silent empty day (upstream outage, failed backfill) surfaces as an
+    * explicit `is_gap` row instead of a missing one. Spine = one
+    * row-local `sequence` over two broadcast scalars; counts are one
+    * map-side-collapsing agg keyed by day.
+    */
+  def partitionCompleteness(df: DataFrame, tsCol: String): DataFrame = {
+    val day = col(tsCol).cast("date")
+    val bounds = df.agg(min(day).as("lo"), max(day).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"))).as("day"))
+    val counts = df.select(day.as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_rows"))
+    spine.join(counts, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      .withColumn("is_gap", col("n_rows") === 0L)
+  }
+}

@@ -550,6 +550,37 @@ object LlmOps {
           n = 2, minCount = 8, topProb = 0.9)
         .orderBy(col("doc_id"))),
 
+    // deequ-style one-pass column profile over lineitem
+    "q156_profile" -> ((s, d) =>
+      graft.operators.DataQuality.profile(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy(col("col_name"))),
+
+    // constraint-check battery: not-null / unique / range / accepted
+    // values / referential integrity across orders-lineitem-customer
+    "q157_dq_checks" -> ((s, d) => {
+      val dq = graft.operators.DataQuality
+      val orders = Tables.orders(s, d)
+      dq.battery(Seq(
+        dq.notNull(orders, "o_orderkey", "orders.o_orderkey not_null"),
+        dq.unique(orders, "o_orderkey", "orders.o_orderkey unique"),
+        dq.satisfies(orders, col("o_totalprice") > 0,
+          "orders.o_totalprice positive"),
+        dq.satisfies(orders, col("o_orderstatus").isin("O", "F", "P"),
+          "orders.o_orderstatus accepted"),
+        dq.refIntegrity(orders, "o_custkey", Tables.customer(s, d),
+          "c_custkey", "orders.o_custkey refs customer"),
+        dq.refIntegrity(Tables.lineitem(s, d), "l_orderkey", orders,
+          "o_orderkey", "lineitem.l_orderkey refs orders")))
+        .orderBy(col("rule"))
+    }),
+
+    // partition completeness: daily counts over the full calendar spine
+    "q158_partition_gaps" -> ((s, d) =>
+      graft.operators.DataQuality.partitionCompleteness(
+          Tables.orders(s, d), "o_orderdate")
+        .orderBy(col("day"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2256,6 +2287,105 @@ object LlmOps {
          SELECT doc_id, shard, pos_in_shard,
            (pos_in_shard - 1) * 8 + shard AS global_pos
          FROM r ORDER BY global_pos""",
+    // per-column aggregates replayed, numeric vs string min/max split so
+    // no number-to-text formatting is compared
+    "q156_profile" ->
+      """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_null,
+           floor(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             * 1000000 / count(*)) / 1e6 AS null_frac,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           floor(CAST(min(l_orderkey) AS DOUBLE) * 10000) / 1e4 AS min_num,
+           floor(CAST(max(l_orderkey) AS DOUBLE) * 10000) / 1e4 AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', count(*),
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           floor(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             * 1000000 / count(*)) / 1e6,
+           count(DISTINCT l_quantity),
+           floor(CAST(min(l_quantity) AS DOUBLE) * 10000) / 1e4,
+           floor(CAST(max(l_quantity) AS DOUBLE) * 10000) / 1e4,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', count(*),
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           floor(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+             * 1000000 / count(*)) / 1e6,
+           count(DISTINCT l_returnflag),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(l_returnflag), max(l_returnflag)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_shipdate', count(*),
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           floor(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+             * 1000000 / count(*)) / 1e6,
+           count(DISTINCT l_shipdate),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')),
+           max(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))
+         FROM lineitem
+         ORDER BY col_name""",
+    // every rule replayed with the same counting conventions (unique:
+    // all members of >1 groups; FK: nulls exempt, anti-join orphans)
+    "q157_dq_checks" ->
+      """WITH nn AS (SELECT 'orders.o_orderkey not_null' AS rule,
+             count(*) AS n_checked,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violations
+           FROM orders),
+         uq AS (SELECT 'orders.o_orderkey unique',
+             CAST(sum(n) AS BIGINT),
+             CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+           FROM (SELECT o_orderkey, count(*) AS n FROM orders
+                 GROUP BY o_orderkey)),
+         pos AS (SELECT 'orders.o_totalprice positive', count(*),
+             CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+               AS BIGINT)
+           FROM orders),
+         acc AS (SELECT 'orders.o_orderstatus accepted', count(*),
+             CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+               THEN 0 ELSE 1 END) AS BIGINT)
+           FROM orders),
+         rc AS (SELECT 'orders.o_custkey refs customer',
+             (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+             (SELECT count(*) FROM orders o
+              WHERE o_custkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))),
+         rl AS (SELECT 'lineitem.l_orderkey refs orders',
+             (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+             (SELECT count(*) FROM lineitem l
+              WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))),
+         u AS (SELECT * FROM nn UNION ALL SELECT * FROM uq
+           UNION ALL SELECT * FROM pos UNION ALL SELECT * FROM acc
+           UNION ALL SELECT * FROM rc UNION ALL SELECT * FROM rl)
+         SELECT rule, n_checked, n_violations,
+           n_violations = 0 AS passed
+         FROM u ORDER BY rule""",
+    // spine = generate_series over the min/max day; zero-count days are
+    // explicit is_gap rows
+    "q158_partition_gaps" ->
+      """WITH b AS (SELECT CAST(min(CAST(o_orderdate AS DATE)) AS DATE)
+               AS lo,
+             CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS hi
+           FROM orders),
+         spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         c AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n_rows
+           FROM orders GROUP BY 1)
+         SELECT CAST(s.day AS VARCHAR) AS day,
+           COALESCE(c.n_rows, 0) AS n_rows,
+           COALESCE(c.n_rows, 0) = 0 AS is_gap
+         FROM spine s LEFT JOIN c USING (day) ORDER BY day""",
     // q140's LM chain at k=1 + prob gate, joined back onto every doc's
     // contexts; all counts exact, one floored ratio
     "q155_memorization_risk" ->
