@@ -87,4 +87,39 @@ object TemporalJoins {
         <= boundUs)
       .drop("_b")
   }
+
+  /** Ordered-funnel analysis — the product-analytics staple: per user,
+    * step i is reached when its event occurs STRICTLY AFTER the user's
+    * step-(i−1) anchor time (earliest qualifying occurrence becomes the
+    * next anchor — the standard "first touch" funnel semantics, immune
+    * to out-of-order duplicates). Reports users reached and step-over-
+    * step conversion.
+    *
+    * Shape: one user-keyed min-aggregation per step, each joined to the
+    * previous anchor — \|steps\| bounded passes over user-keyed equi
+    * joins (the key is the natural partitioner; no windows, no
+    * per-user sort). Counts are exact; conversions floored at 1e-6.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    var anchors = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+    var counts = Vector(anchors.count())
+    steps.tail.foreach { st =>
+      anchors = events.filter(col(typeCol) === st)
+        .join(anchors, Seq(userCol))
+        .filter(col(tsCol) > col("_t"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      counts :+= anchors.count()
+    }
+    steps.indices.map { i =>
+      val conv = if (i == 0) 1.0
+        else math.floor(counts(i) * 1000000.0 / counts(i - 1)) / 1e6
+      (i + 1L, steps(i), counts(i), conv)
+    }.toDF("step", "event_type", "n_users", "conversion")
+  }
 }

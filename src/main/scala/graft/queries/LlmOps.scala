@@ -581,6 +581,12 @@ object LlmOps {
           Tables.orders(s, d), "o_orderdate")
         .orderBy(col("day"))),
 
+    // ordered first-touch funnel over the event stream
+    "q159_funnel" -> ((s, d) =>
+      graft.operators.TemporalJoins.funnel(Tables.events(s, d),
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step"))),
+
     // integer-quantized PageRank over the arithmetic link fixture: the
     // oracle replays all three power iterations bit-for-bit in BIGINTs
     "q132_pagerank" -> ((s, d) => {
@@ -2287,6 +2293,25 @@ object LlmOps {
          SELECT doc_id, shard, pos_in_shard,
            (pos_in_shard - 1) * 8 + shard AS global_pos
          FROM r ORDER BY global_pos""",
+    // anchor-chained first-touch funnel: each step's earliest qualifying
+    // time strictly after the previous anchor
+    "q159_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+           JOIN v ON e.user_id = v.user_id
+           WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+           JOIN c ON e.user_id = c.user_id
+           WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+         n AS (SELECT (SELECT count(*) FROM v) AS n1,
+             (SELECT count(*) FROM c) AS n2,
+             (SELECT count(*) FROM p) AS n3)
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+           n1 AS n_users, 1.0 AS conversion FROM n
+         UNION ALL SELECT 2, 'click', n2, floor(n2*1000000/n1)/1e6 FROM n
+         UNION ALL SELECT 3, 'purchase', n3, floor(n3*1000000/n2)/1e6 FROM n
+         ORDER BY step""",
     // per-column aggregates replayed, numeric vs string min/max split so
     // no number-to-text formatting is compared
     "q156_profile" ->

@@ -54,4 +54,29 @@ class TemporalJoinsSpec extends SparkSpec {
       .filter($"event_id" < $"r_event_id").count()
     assert(pairs === 1L)
   }
+
+  test("funnel: order matters — a click before the first view doesn't count") {
+    // A: view → click → purchase (full). B: click BEFORE its view, then a
+    // purchase — B reaches step 1 only (its one click precedes the
+    // anchor). C: view → click, purchase before the click → stops at 2.
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "purchase", ts("2024-01-01 10:02:00")),
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 09:30:00")),
+      (2L, "purchase", ts("2024-01-01 09:45:00")),
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      (3L, "purchase", ts("2024-01-01 08:10:00")),
+      (3L, "click", ts("2024-01-01 08:20:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = TemporalJoins.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("view", 3L), ("click", 2L), ("purchase", 1L)), s"${out.toSeq}")
+    // conversions: 2/3 floored, then 1/2
+    assert(out(1).getDouble(3) === math.floor(2e6 / 3) / 1e6)
+    assert(out(2).getDouble(3) === 0.5)
+    assert(out(0).getDouble(3) === 1.0)
+  }
 }
