@@ -730,6 +730,85 @@ object Dedup {
     try out.localCheckpoint(true) finally packed.unpersist()
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, the MOSS
+    * algorithm): per document, hash every word k-gram, slide a window of
+    * `w` consecutive hashes, and select each window's minimum — RIGHTMOST
+    * on ties, the "robust" rule that minimizes re-selections between
+    * overlapping windows. The guarantee that makes this the standard
+    * local fingerprinting scheme: any shared substring of at least
+    * k + w − 1 words between two documents is caught by at least one
+    * COMMON selected fingerprint, while density stays ~2/(w+1) of
+    * positions — a tunable, position-robust sketch (unlike [[TextAnalysis]]'
+    * whole-doc rolling hash, a single global value).
+    *
+    * Everything up to the output is row-local array math (the token array
+    * and hash array each materialize ONCE at projection boundaries — the
+    * O(tokens²) re-tokenization trap documented at
+    * [[minhashLshPairsPortable]] applies here too); the per-window slice
+    * costs O(m·w) comparisons with w small and constant. Hashes are
+    * [[portableHash32]], so the full chain — including the rightmost-tie
+    * rule — replays in a SQL oracle.
+    *
+    * Output: one row per distinct selected (doc_id, pos, fp), pos 0-based
+    * over the k-gram positions. Documents shorter than k words fingerprint
+    * their whole text as a single 1-gram-style hash at pos 0; documents
+    * with fewer than w k-grams get the minimum over what exists (the spec
+    * behavior for short tails).
+    */
+  def winnowFingerprints(df: DataFrame, k: Int = 5, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tw = col("_w")
+    val grams = when(size(tw) >= k,
+        transform(sequence(lit(0), size(tw) - k),
+          i => portableHash32(concat_ws(" ", slice(tw, i + lit(1), lit(k))))))
+      .otherwise(array(portableHash32(concat_ws(" ", tw))))
+    val hs = col("hs")
+    val m = size(hs)
+    val starts = when(m >= w, sequence(lit(0), m - w)).otherwise(array(lit(0)))
+    val win = col("win")
+    val mn = array_min(win)
+    // rightmost position of the window minimum (robust winnowing tie rule)
+    val selInWin = array_max(filter(sequence(lit(0), size(win) - 1),
+      p => element_at(win, p + 1) === mn))
+    df.select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), t => t =!= lit("")).as("_w"))
+      .filter(size(col("_w")) > 0)
+      .select(col("doc_id"), grams.as("hs"))
+      .select(col("doc_id"), hs, explode(starts).as("j"))
+      .withColumn("win", slice(hs, col("j") + 1, least(lit(w), m)))
+      .select(col("doc_id"), (col("j") + selInWin).cast("long").as("pos"),
+        element_at(hs, col("j") + selInWin + 1).as("fp"))
+      .distinct()
+  }
+
+  /** Cross-document fingerprint overlap — the MOSS report: pairs of
+    * documents sharing at least `minShared` distinct winnowing
+    * fingerprints, with the shared count. The join is an equi-join on the
+    * fingerprint value (bucketable, never all-pairs), and ubiquitous
+    * fingerprints — boilerplate that would explode the join quadratically
+    * in its bucket — are dropped FIRST by a document-frequency cap, the
+    * same frequency-pruning argument PPJoin's prefix filter makes: a
+    * fingerprint in > `maxDf` documents identifies boilerplate, not
+    * plagiarism, and contributes pairs at O(df²). At 100 TB the df cap is
+    * what keeps the pair fan-out linear in true overlap.
+    */
+  def winnowOverlapPairs(df: DataFrame, k: Int = 5, w: Int = 4,
+      minShared: Int = 3, maxDf: Int = 100): DataFrame = {
+    val fps = winnowFingerprints(df, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(true) // one fingerprint pass feeds df-cap AND join
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select(col("fp"))
+    val pruned = fps.join(rare, Seq("fp"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The triangle-inequality block-pair filter, exposed for plan/spec
     * inspection: given per-block stats (cell, sub, mean, radius), returns
     * the (ca, sa, cb, sb, same) pairs that COULD hold a cos ≥ threshold

@@ -180,6 +180,127 @@ object ImageHeaders {
       Array(0xFF.toByte, 0xD9.toByte)                    // EOI
   }
 
+  // ---------------------------------------------------------------------
+  // Animated GIF — the video-modality analog. A multi-frame GIF is the one
+  // real "video" container this environment can both build and parse with
+  // zero codec jars: per-frame geometry, timing (delay in centiseconds)
+  // and byte offsets all live in the container structure, which is what a
+  // frame-sampling curation pass actually reads (it never inflates LZW
+  // pixel data to decide which frames to keep). Spec: GIF89a §§18–26
+  // (logical screen descriptor, graphic control extension, image
+  // descriptor, data sub-block chains).
+  // ---------------------------------------------------------------------
+
+  /** One frame's container metadata; `descOffset` = byte offset of the
+    * 0x2C image-descriptor introducer inside the payload.
+    */
+  final case class GifFrame(frameOrd: Int, left: Int, top: Int,
+      width: Int, height: Int, delayCs: Int, descOffset: Int)
+
+  /** Walk every block of a GIF stream and return its frames in order, or
+    * None when the bytes are not a well-formed GIF (bad magic, truncation
+    * mid-structure, an unknown block introducer — desync). Handles the
+    * full grammar, not just [[buildAnimatedGif]]'s output: global and
+    * local color tables are skipped by their descriptor-declared sizes,
+    * extensions (graphic control 0xF9, comment 0xFE, application 0xFF,
+    * plain text 0x01) have their sub-block chains walked generically, and
+    * a graphic-control delay applies to exactly the next image descriptor
+    * (per spec) — so a comment between the GCE and its image must not
+    * clear the pending delay.
+    */
+  def gifFrames(b: Array[Byte]): Option[Seq[GifFrame]] = {
+    if (!isGif(b) || b.length < 13) return None
+    var i = 13
+    // global color table: flag bit 7, size 3 * 2^((packed & 7) + 1)
+    if ((u8(b, 10) & 0x80) != 0) i += 3 * (1 << ((u8(b, 10) & 0x7) + 1))
+    var pendingDelay = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
+
+    // walk a sub-block chain starting at `j`; returns the index after the
+    // 0-byte terminator, or -1 on truncation
+    def skipSubBlocks(start: Int): Int = {
+      var j = start
+      while (j < b.length && u8(b, j) != 0) j += 1 + u8(b, j)
+      if (j >= b.length) -1 else j + 1
+    }
+
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x3B => // trailer
+          return Some(frames.toSeq)
+        case 0x21 => // extension: label byte, then sub-blocks
+          if (i + 1 >= b.length) return None
+          val label = u8(b, i + 1)
+          if (label == 0xF9 && i + 5 < b.length && u8(b, i + 2) >= 4)
+            pendingDelay = le16(b, i + 4) // GCE: size, packed, delay lo/hi
+          val next = skipSubBlocks(i + 2)
+          if (next < 0) return None
+          i = next
+        case 0x2C => // image descriptor
+          if (i + 9 >= b.length) return None
+          val left = le16(b, i + 1)
+          val top = le16(b, i + 3)
+          val w = le16(b, i + 5)
+          val h = le16(b, i + 7)
+          val packed = u8(b, i + 9)
+          var j = i + 10
+          if ((packed & 0x80) != 0) j += 3 * (1 << ((packed & 0x7) + 1))
+          j += 1 // LZW minimum code size byte
+          if (j > b.length) return None
+          val next = skipSubBlocks(j)
+          if (next < 0) return None
+          frames += GifFrame(frames.length, left, top, w, h, pendingDelay, i)
+          pendingDelay = 0
+          i = next
+        case _ => return None // unknown introducer — desynchronized
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** A real multi-frame GIF89a: no global color table (packed 0x70), per
+    * frame a graphic control extension (8 bytes: delay in centiseconds),
+    * an image descriptor (10 bytes), the LZW minimum-code-size byte, and
+    * ONE data sub-block of exactly `subBlock` deterministic bytes + the
+    * 0x00 chain terminator — so each frame occupies 21 + subBlock bytes
+    * and descriptor offsets have a closed form the q160 oracle replays.
+    */
+  def buildAnimatedGif(canvasW: Int, canvasH: Int,
+      frames: Seq[(Int, Int, Int, Int, Int)], subBlock: Int): Array[Byte] = {
+    val head = "GIF89a".getBytes("US-ASCII") ++
+      le16Bytes(canvasW) ++ le16Bytes(canvasH) ++
+      Array(0x70.toByte, 0x00.toByte, 0x00.toByte)
+    val body = frames.flatMap { case (left, top, w, h, delayCs) =>
+      Array(0x21.toByte, 0xF9.toByte, 0x04.toByte, 0x04.toByte) ++ // GCE
+        le16Bytes(delayCs) ++ Array(0x00.toByte, 0x00.toByte) ++
+        Array(0x2C.toByte) ++ le16Bytes(left) ++ le16Bytes(top) ++ // descriptor
+        le16Bytes(w) ++ le16Bytes(h) ++ Array(0x00.toByte) ++
+        Array(0x08.toByte, subBlock.toByte) ++                     // LZW + size
+        Array.tabulate[Byte](subBlock)(k => (k % 251).toByte) ++
+        Array(0x00.toByte)                                         // terminator
+    }
+    head ++ body ++ Array(0x3B.toByte)
+  }
+
+  /** Doc-derived synthetic "video": 1–7 frames whose geometry, timing and
+    * sub-block size all derive from doc_id — descriptor offsets are
+    * 13 + f·(21+S) + 8 with S = 10 + doc_id % 20. Mirrored arithmetically
+    * by the q160 oracle (the oracle computes what the container MUST
+    * contain; the engine side re-parses it from the actual bytes, so a
+    * walker bug breaks the hash match).
+    */
+  def buildVideoForDoc(docId: Long): Array[Byte] = {
+    val nf = (1 + docId % 7).toInt
+    val sub = (10 + docId % 20).toInt
+    val frames = (0 until nf).map { f =>
+      (((docId + 17L * f) % 100).toInt, ((docId * 5 + 11L * f) % 100).toInt,
+        (1 + (docId + f) % 64).toInt, (1 + (docId * 7 + 3L * f) % 48).toInt,
+        (2 + (docId + f) % 30).toInt)
+    }
+    buildAnimatedGif((1 + docId % 640).toInt, (1 + docId * 3 % 480).toInt,
+      frames, sub)
+  }
+
   /** Doc-derived synthetic image: format cycles png/gif/jpeg by doc_id % 3,
     * dims and variants derive from doc_id. Mirrored by the q98 oracle.
     */

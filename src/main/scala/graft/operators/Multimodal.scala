@@ -234,6 +234,40 @@ object Multimodal {
           lit(maxFrames.toLong - 1))),
         i => substring(col("payload"), (i * frameLen + 1).cast("int"), lit(frameLen))))
 
+  /** One sampled frame of an animated-GIF payload (q160). */
+  final case class SampledFrame(doc_id: Long, n_frames: Int, frame_ord: Int,
+      x_off: Int, y_off: Int, width: Int, height: Int, delay_cs: Int,
+      desc_offset: Int)
+
+  /** q160 pipeline — video-frame sampling from REAL container bytes: per
+    * document build the deterministic multi-frame GIF
+    * ([[ImageHeaders.buildVideoForDoc]]), walk every block of it with the
+    * real [[ImageHeaders.gifFrames]] parser, and keep every `stride`-th
+    * frame's geometry/timing/offset. This is what video curation actually
+    * does at scale: the sampler reads container structure (frame count,
+    * per-frame byte ranges) and only the KEPT frames' payload bytes ever
+    * leave the scan — here the kept metadata rows are the output.
+    *
+    * Scale shape: one `mapPartitions` pass, row-local, no shuffle; the
+    * codec-ish work (block walking) is O(payload bytes) per row. The
+    * oracle computes each field's closed form from doc_id, so any walker
+    * mis-step (a mis-skipped color table, an off-by-one sub-block chain)
+    * desynchronizes the parse and fails the hash match.
+    */
+  def gifFrameSample(documents: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val frames = ImageHeaders.gifFrames(ImageHeaders.buildVideoForDoc(id))
+          .getOrElse(sys.error(s"built GIF failed to parse for doc $id"))
+        frames.iterator.filter(_.frameOrd % stride == 0).map(f =>
+          SampledFrame(id, frames.size, f.frameOrd, f.left, f.top,
+            f.width, f.height, f.delayCs, f.descOffset))
+      }
+    }.toDF()
+  }
+
   /** End-to-end multimodal feature pipeline as a query. */
   def featureQuery(spark: SparkSession, documents: DataFrame): DataFrame =
     extractFeatures(toMedia(documents)).toDF()

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Instruction-tuning / preference-data operators — the post-training side
+  * of a training-data pipeline. Pretraining corpora are flat documents;
+  * SFT and RLHF datasets are STRUCTURED (conversations with roles,
+  * chosen/rejected pairs), and their curation questions are structural:
+  * which tokens actually train (the loss mask), is the turn structure
+  * well-formed (role alternation), and do the preference pairs carry a
+  * systematic length bias the reward model will learn instead of quality
+  * (the verbosity-bias failure mode documented across RLHF work).
+  *
+  * The test corpus has no conversation column, so — exactly like
+  * [[CorpusOps.urlFixture]] and [[CorpusOps.piiFixture]] — the fixtures
+  * here BUILD deterministic conversations/pairs from each document's own
+  * words via doc_id arithmetic, and the operators genuinely compute over
+  * the built structure. Every rule is exact integer/string arithmetic, so
+  * the full chain replays in a SQL oracle (q162–q164).
+  *
+  * Scale shape: fixtures and per-turn fields are row-local projections
+  * (one bounded explode of ≤6 turns per doc); the reports are single
+  * map-side-combining aggregations keyed on conv_id or source. Nothing
+  * here shuffles more than once, and no shuffle carries text wider than
+  * one turn.
+  */
+object SftOps {
+
+  /** Deterministic conversation fixture + flatten: one conversation per
+    * document, `2 + doc_id % 5` turns of `wordsPerTurn` words each sliced
+    * from the document's token stream. Docs ≡ 0 (mod 3) open with a
+    * system turn; after the optional system turn roles alternate
+    * user/assistant. Two anomaly families keep the audit honest: docs
+    * ≡ 0 (mod 11) repeat turn 1's role at turn 2 (an alternation break —
+    * a double-send), and documents shorter than the turn budget run out
+    * of words, leaving empty trailing turns (the truncated-conversation
+    * artifact every real SFT scrape contains).
+    *
+    * Output: (conv_id, n_turns, turn_ord, role, text, n_tokens).
+    */
+  def turns(docs: DataFrame, wordsPerTurn: Int = 8): DataFrame = {
+    val id = col("conv_id")
+    val sys = id % 3 === 0
+    val so = when(sys, lit(1)).otherwise(lit(0)) // system offset
+    val t = col("turn_ord")
+    val role0 = when(sys && t === 0, "system")
+      .when((t - so) % 2 === 0, "user").otherwise("assistant")
+    // turn 1's role, for the mod-11 double-send override at turn 2
+    val roleAt1 = when((lit(1) - so) % 2 === 0, "user").otherwise("assistant")
+    val role = when(id % 11 === 0 && t === 2, roleAt1).otherwise(role0)
+    val turnSlice = slice(col("_w"), t * wordsPerTurn + 1, lit(wordsPerTurn))
+    docs.select(col("doc_id").as("conv_id"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("_w"),
+        (lit(2) + (col("doc_id") % 5)).cast("int").as("n_turns"))
+      .select(col("conv_id"), col("_w"), col("n_turns"),
+        explode(sequence(lit(0), col("n_turns") - 1)).as("turn_ord"))
+      .select(col("conv_id"), col("n_turns"), col("turn_ord"),
+        role.as("role"),
+        concat_ws(" ", turnSlice).as("text"),
+        size(turnSlice).cast("long").as("n_tokens"))
+  }
+
+  /** Loss-mask accounting (q162): per conversation, how many tokens the
+    * run will actually TRAIN on. Chat-template fine-tuning masks
+    * everything except assistant turns, and every turn additionally costs
+    * `overheadPerTurn` template tokens (role header + separators) that
+    * are always masked — so the trainable fraction, the number that
+    * decides whether a dataset is worth its storage, is
+    * assistant_tokens / (content + overhead). One map-side-combining
+    * aggregation; the fraction is floor-quantized at 1e-6 (the engine
+    * convention for cross-engine-exact ratios).
+    */
+  def lossMaskReport(turnsDf: DataFrame, overheadPerTurn: Int = 4): DataFrame = {
+    val agg = turnsDf.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("n_tokens")).as("content_tokens"),
+        sum(when(col("role") === "assistant", col("n_tokens"))
+          .otherwise(0L)).as("trainable_tokens"))
+    agg.select(col("conv_id"), col("n_turns"), col("content_tokens"),
+        (col("n_turns") * overheadPerTurn).as("overhead_tokens"),
+        (col("content_tokens") + col("n_turns") * overheadPerTurn)
+          .as("total_tokens"),
+        col("trainable_tokens"))
+      .withColumn("trainable_frac",
+        floor(col("trainable_tokens") * 1000000L / col("total_tokens"))
+          .cast("double") / 1e6)
+  }
+
+  /** Structural chat audit (q163): the well-formedness battery an SFT
+    * ingest gate runs per conversation —
+    *   - `starts_ok`: opens with system or user;
+    *   - `sys_only_first`: system never appears past turn 0;
+    *   - `alternates_ok`: from turn 1 on, each role differs from its
+    *     predecessor and is never system (i.e. after the optional system
+    *     prologue the dialogue strictly alternates);
+    *   - `ends_assistant`: the final turn is an assistant reply (a
+    *     trailing user turn trains nothing and usually marks truncation);
+    *   - `has_empty`: some turn ran out of words.
+    * `verdict` = 'ok' only when all pass. The lag comparison runs in a
+    * per-conversation window (≤ 6 rows per frame — bounded state); the
+    * rest is one aggregation.
+    */
+  def chatAudit(turnsDf: DataFrame): DataFrame = {
+    val wnd = Window.partitionBy(col("conv_id")).orderBy(col("turn_ord"))
+    val withPrev = turnsDf.withColumn("_prev", lag(col("role"), 1).over(wnd))
+    val altOk = col("turn_ord") === 0 ||
+      (col("role") =!= col("_prev") && col("role") =!= "system")
+    val audited = withPrev.groupBy(col("conv_id"))
+      .agg(
+        max(when(col("n_tokens") === 0, 1).otherwise(0)).as("_empty"),
+        min(when(altOk, 1).otherwise(0)).as("_alt"),
+        max(when(col("role") === "system" && col("turn_ord") > 0, 1)
+          .otherwise(0)).as("_latesys"),
+        min_by(col("role"), col("turn_ord")).as("_first"),
+        max_by(col("role"), col("turn_ord")).as("_last"))
+    audited.select(col("conv_id"),
+        (col("_empty") === 1).as("has_empty"),
+        col("_first").isin("system", "user").as("starts_ok"),
+        (col("_latesys") === 0).as("sys_only_first"),
+        (col("_alt") === 1).as("alternates_ok"),
+        (col("_last") === "assistant").as("ends_assistant"))
+      .withColumn("verdict",
+        when(!col("has_empty") && col("starts_ok") && col("sys_only_first")
+          && col("alternates_ok") && col("ends_assistant"), "ok")
+          .otherwise("bad"))
+  }
+
+  /** Deterministic preference-pair fixture: per document, a prompt (its
+    * first 6 words) with a chosen completion of `10 + doc_id % 20` words
+    * and a rejected completion of `5 + (doc_id·7) % 25` words, both
+    * sliced from word 7 on (they compete over the same content, differing
+    * in length — the shape that exposes length bias). Realized lengths
+    * shrink when the document runs out of words, exactly like real
+    * truncated generations.
+    */
+  def prefPairs(docs: DataFrame): DataFrame = {
+    val id = col("pair_id")
+    val chosenLen = (lit(10) + (id % 20)).cast("int")
+    val rejectedLen = (lit(5) + ((id * 7) % 25)).cast("int")
+    docs.select(col("doc_id").as("pair_id"), col("source"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("_w"))
+      .select(col("pair_id"), col("source"),
+        concat_ws(" ", slice(col("_w"), 1, 6)).as("prompt"),
+        size(slice(col("_w"), lit(7), chosenLen)).cast("long").as("len_chosen"),
+        size(slice(col("_w"), lit(7), rejectedLen)).cast("long")
+          .as("len_rejected"))
+  }
+
+  /** Preference length-bias audit (q164): per source, how often the
+    * chosen completion is simply the LONGER one, and by how much. A
+    * reward model trained on pairs where frac_chosen_longer ≫ 0.5 learns
+    * verbosity, not quality — this table is the go/no-go read before
+    * training. Exact BIGINT counts and sums; the fraction and the mean
+    * token delta are floor-quantized at 1e-6. One aggregation to
+    * |sources| rows.
+    */
+  def lengthBias(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("len_chosen") > col("len_rejected"), 1L).otherwise(0L))
+          .as("n_chosen_longer"),
+        sum(when(col("len_chosen") === col("len_rejected"), 1L).otherwise(0L))
+          .as("n_ties"),
+        sum(col("len_chosen") - col("len_rejected")).as("sum_delta"))
+      .select(col("source"), col("n_pairs"), col("n_chosen_longer"),
+        col("n_ties"),
+        (floor(col("n_chosen_longer") * 1000000L / col("n_pairs"))
+          .cast("double") / 1e6).as("frac_chosen_longer"),
+        (floor(col("sum_delta") * 1000000L / col("n_pairs"))
+          .cast("double") / 1e6).as("mean_delta"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AudioWav, CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AudioWav, CorpusOps, Dedup, Multimodal, SftOps, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator queries (north-star extension): dedup,
   * similarity search, text analysis, multimodal columns — each a `queries`
@@ -691,6 +691,40 @@ object LlmOps {
     // closed forms incl. the cubic sum-of-squares identity
     "q100_audio_decode" -> ((s, d) =>
       AudioWav.audioRoundtrip(s, Tables.fanout(Tables.documents(s, d)))),
+
+    // video-frame sampling from REAL container bytes: doc-derived
+    // multi-frame GIF built, then every block walked back by the real
+    // parser (color-table skips, sub-block chains, GCE timing), keeping
+    // every 2nd frame's geometry/delay/offset; oracle = the container's
+    // closed forms from doc_id, so a walker mis-step fails the hash
+    "q160_gif_frames" -> ((s, d) =>
+      Multimodal.gifFrameSample(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("frame_ord"))),
+
+    // MOSS winnowing: robust local fingerprints (window-min over k-gram
+    // hashes, rightmost tie), df-capped fingerprint equi-join, pairs
+    // sharing >= 3 fingerprints — position-robust overlap detection
+    "q161_winnow_overlap" -> ((s, d) =>
+      Dedup.winnowOverlapPairs(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // SFT loss-mask accounting: per conversation (deterministic fixture),
+    // trainable assistant tokens vs content + template overhead
+    "q162_loss_mask" -> ((s, d) =>
+      SftOps.lossMaskReport(SftOps.turns(Tables.fanout(Tables.documents(s, d))))
+        .orderBy(col("conv_id"))),
+
+    // SFT structural audit: role alternation, system placement, terminal
+    // assistant turn, empty-turn detection — per-conversation verdicts
+    "q163_chat_audit" -> ((s, d) =>
+      SftOps.chatAudit(SftOps.turns(Tables.fanout(Tables.documents(s, d))))
+        .orderBy(col("conv_id"))),
+
+    // preference-pair length-bias audit: per source, how often "chosen"
+    // is just the longer completion (the verbosity-bias go/no-go read)
+    "q164_pref_bias" -> ((s, d) =>
+      SftOps.lengthBias(SftOps.prefPairs(Tables.fanout(Tables.documents(s, d))))
+        .orderBy(col("source"))),
 
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
@@ -2237,6 +2271,159 @@ object LlmOps {
              ELSE ('0x' || substr(s, 43 + 2*pad, 2))::BIGINT
            END AS channels
          FROM hx ORDER BY doc_id""",
+    // the conversation fixture's closed forms: turn roles (system prologue,
+    // alternation, the mod-11 double-send override), per-turn word slices,
+    // then the loss-mask arithmetic
+    "q162_loss_mask" ->
+      """WITH d AS (SELECT doc_id AS conv_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w,
+              CAST(2 + doc_id % 5 AS INT) AS nt,
+              doc_id % 3 = 0 AS sys,
+              CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS so,
+              doc_id % 11 = 0 AS dbl
+            FROM documents),
+         t AS (SELECT conv_id, nt, so, sys, dbl, w,
+              unnest(generate_series(0, nt - 1)) AS tn FROM d),
+         r AS (SELECT conv_id,
+              CASE WHEN dbl AND tn = 2 THEN
+                     CASE WHEN (1 - so) % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END
+                   WHEN sys AND tn = 0 THEN 'system'
+                   WHEN (tn - so) % 2 = 0 THEN 'user'
+                   ELSE 'assistant' END AS role,
+              len(w[tn*8+1 : tn*8+8]) AS n_tokens
+            FROM t),
+         agg AS (SELECT conv_id, count(*) AS n_turns,
+              CAST(sum(n_tokens) AS BIGINT) AS content_tokens,
+              CAST(sum(CASE WHEN role = 'assistant' THEN n_tokens
+                            ELSE 0 END) AS BIGINT) AS trainable_tokens
+            FROM r GROUP BY conv_id)
+         SELECT conv_id, n_turns, content_tokens,
+           n_turns * 4 AS overhead_tokens,
+           content_tokens + n_turns * 4 AS total_tokens,
+           trainable_tokens,
+           floor(trainable_tokens * 1000000
+             / (content_tokens + n_turns * 4)) / 1e6 AS trainable_frac
+         FROM agg ORDER BY conv_id""",
+    // same fixture replay + the lag-based alternation battery
+    "q163_chat_audit" ->
+      """WITH d AS (SELECT doc_id AS conv_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w,
+              CAST(2 + doc_id % 5 AS INT) AS nt,
+              doc_id % 3 = 0 AS sys,
+              CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS so,
+              doc_id % 11 = 0 AS dbl
+            FROM documents),
+         t AS (SELECT conv_id, nt, so, sys, dbl, w,
+              unnest(generate_series(0, nt - 1)) AS tn FROM d),
+         r AS (SELECT conv_id, tn,
+              CASE WHEN dbl AND tn = 2 THEN
+                     CASE WHEN (1 - so) % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END
+                   WHEN sys AND tn = 0 THEN 'system'
+                   WHEN (tn - so) % 2 = 0 THEN 'user'
+                   ELSE 'assistant' END AS role,
+              len(w[tn*8+1 : tn*8+8]) AS n_tokens
+            FROM t),
+         p AS (SELECT conv_id, tn, role, n_tokens,
+              lag(role) OVER (PARTITION BY conv_id ORDER BY tn) AS prev
+            FROM r),
+         a AS (SELECT conv_id,
+              max(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS emp,
+              min(CASE WHEN tn = 0 OR (role <> prev AND role <> 'system')
+                       THEN 1 ELSE 0 END) AS alt,
+              max(CASE WHEN role = 'system' AND tn > 0 THEN 1 ELSE 0 END)
+                AS latesys,
+              arg_min(role, tn) AS firstr,
+              arg_max(role, tn) AS lastr
+            FROM p GROUP BY conv_id)
+         SELECT conv_id, emp = 1 AS has_empty,
+           firstr IN ('system', 'user') AS starts_ok,
+           latesys = 0 AS sys_only_first,
+           alt = 1 AS alternates_ok,
+           lastr = 'assistant' AS ends_assistant,
+           CASE WHEN emp = 0 AND firstr IN ('system', 'user')
+                 AND latesys = 0 AND alt = 1 AND lastr = 'assistant'
+                THEN 'ok' ELSE 'bad' END AS verdict
+         FROM a ORDER BY conv_id""",
+    // preference-pair fixture closed forms + the per-source bias rollup
+    "q164_pref_bias" ->
+      """WITH d AS (SELECT doc_id, source,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         p AS (SELECT doc_id, source,
+              len(w[7 : 6 + CAST(10 + doc_id % 20 AS INT)]) AS lc,
+              len(w[7 : 6 + CAST(5 + (doc_id * 7) % 25 AS INT)]) AS lr
+            FROM d),
+         a AS (SELECT source, count(*) AS n_pairs,
+              CAST(sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_chosen_longer,
+              CAST(sum(CASE WHEN lc = lr THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_ties,
+              CAST(sum(lc - lr) AS BIGINT) AS sum_delta
+            FROM p GROUP BY source)
+         SELECT source, n_pairs, n_chosen_longer, n_ties,
+           floor(n_chosen_longer * 1000000 / n_pairs) / 1e6
+             AS frac_chosen_longer,
+           floor(sum_delta * 1000000 / n_pairs) / 1e6 AS mean_delta
+         FROM a ORDER BY source""",
+    // full winnowing replay: same md5-prefix k-gram hashes, same window
+    // slices, same rightmost-min tie rule, same df cap and pair join
+    "q161_winnow_overlap" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         g AS (SELECT doc_id,
+             CASE WHEN len(w) >= 5
+               THEN list_transform(generate_series(1, len(w) - 4), i ->
+                 CAST(('0x' || substring(md5(array_to_string(w[i:i+4], ' ')),
+                   1, 8)) AS BIGINT))
+               ELSE [CAST(('0x' || substring(md5(array_to_string(w, ' ')),
+                   1, 8)) AS BIGINT)]
+             END AS hs
+           FROM d WHERE len(w) > 0),
+         s AS (SELECT doc_id, hs, len(hs) AS m FROM g),
+         j AS (SELECT doc_id, hs, m,
+             unnest(CASE WHEN m >= 4 THEN generate_series(1, m - 3)
+                         ELSE [CAST(1 AS BIGINT)] END) AS jj
+           FROM s),
+         win AS (SELECT doc_id, hs, jj,
+             hs[jj : jj + least(4, m) - 1] AS wv FROM j),
+         sel AS (SELECT DISTINCT doc_id,
+             hs[CAST(jj - 1 + list_max(list_filter(
+               generate_series(1, len(wv)),
+               p -> wv[p] = list_min(wv))) AS INT)] AS fp
+           FROM win),
+         rare AS (SELECT fp FROM sel GROUP BY fp
+                  HAVING count(*) BETWEEN 2 AND 100),
+         pr AS (SELECT doc_id, fp FROM sel
+                WHERE fp IN (SELECT fp FROM rare))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+         FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY doc_a, doc_b""",
+    // the animated-GIF container's closed forms: frame count, sub-block
+    // size, per-frame geometry/timing, and the descriptor offset
+    // 13 + f*(21+sub) + 8 (header 13, each prior frame 21+sub bytes, the
+    // frame's own 8-byte graphic control extension before its descriptor)
+    "q160_gif_frames" ->
+      """WITH p AS (SELECT doc_id,
+              CAST(1 + doc_id % 7 AS BIGINT) AS nf,
+              10 + doc_id % 20 AS sub
+            FROM documents),
+         f AS (SELECT doc_id, nf, sub,
+              unnest(generate_series(CAST(0 AS BIGINT), nf - 1)) AS fo
+            FROM p)
+         SELECT doc_id, CAST(nf AS INT) AS n_frames,
+           CAST(fo AS INT) AS frame_ord,
+           CAST((doc_id + 17*fo) % 100 AS INT) AS x_off,
+           CAST((doc_id*5 + 11*fo) % 100 AS INT) AS y_off,
+           CAST(1 + (doc_id + fo) % 64 AS INT) AS width,
+           CAST(1 + (doc_id*7 + 3*fo) % 48 AS INT) AS height,
+           CAST(2 + (doc_id + fo) % 30 AS INT) AS delay_cs,
+           CAST(13 + fo*(21 + sub) + 8 AS INT) AS desc_offset
+         FROM f WHERE fo % 2 = 0 ORDER BY doc_id, frame_ord""",
     "q99_pixel_decode" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,

@@ -94,6 +94,89 @@ class ImageHeaderSpec extends SparkSpec {
     }
   }
 
+  // ---- animated GIF frame walker (q160, the video-modality analog) ----
+
+  test("gifFrames: doc-built video matches the container's closed forms") {
+    for (id <- Seq(0L, 1L, 6L, 13L, 999L, 123456L)) {
+      val frames = ImageHeaders.gifFrames(ImageHeaders.buildVideoForDoc(id))
+        .getOrElse(fail(s"walker rejected its own build for doc $id"))
+      val nf = (1 + id % 7).toInt
+      val sub = (10 + id % 20).toInt
+      assert(frames.size === nf, s"doc $id")
+      frames.zipWithIndex.foreach { case (f, i) =>
+        assert(f.frameOrd === i)
+        assert(f.left === ((id + 17L * i) % 100).toInt, s"doc $id frame $i")
+        assert(f.top === ((id * 5 + 11L * i) % 100).toInt)
+        assert(f.width === (1 + (id + i) % 64).toInt)
+        assert(f.height === (1 + (id * 7 + 3L * i) % 48).toInt)
+        assert(f.delayCs === (2 + (id + i) % 30).toInt)
+        assert(f.descOffset === 13 + i * (21 + sub) + 8, s"doc $id frame $i")
+      }
+    }
+  }
+
+  test("gifFrames: full grammar — GCT, comment between GCE and image, " +
+      "local color table, multi-sub-block chains") {
+    def le(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    b ++= "GIF89a".getBytes("US-ASCII")
+    b ++= le(64); b ++= le(32)
+    b += 0xF1.toByte // GCT present, size bits 001 -> 3*2^2 = 12 bytes
+    b += 0.toByte; b += 0.toByte
+    b ++= Array.fill[Byte](12)(0xAA.toByte) // the global color table
+    // application extension (NETSCAPE loop) — sub-block chain of 11 + 3
+    b ++= Array(0x21.toByte, 0xFF.toByte, 11.toByte)
+    b ++= "NETSCAPE2.0".getBytes("US-ASCII")
+    b ++= Array(3.toByte, 1.toByte, 0.toByte, 0.toByte, 0.toByte)
+    // GCE with delay 25cs, then a COMMENT before the image descriptor —
+    // the pending delay must survive the comment (spec: GCE applies to
+    // the next graphic rendering block)
+    b ++= Array(0x21.toByte, 0xF9.toByte, 4.toByte, 0.toByte)
+    b ++= le(25); b ++= Array(0.toByte, 0.toByte)
+    b ++= Array(0x21.toByte, 0xFE.toByte, 5.toByte)
+    b ++= "hello".getBytes("US-ASCII"); b += 0.toByte
+    // image descriptor WITH a local color table (size bits 010 -> 24 bytes)
+    val desc1 = b.length
+    b += 0x2C.toByte; b ++= le(4); b ++= le(2); b ++= le(10); b ++= le(20)
+    b += 0x82.toByte
+    b ++= Array.fill[Byte](24)(0xBB.toByte)
+    b += 8.toByte // LZW min code size
+    b ++= Array(3.toByte, 1.toByte, 2.toByte, 3.toByte) // sub-block of 3
+    b ++= Array(2.toByte, 9.toByte, 9.toByte)           // sub-block of 2
+    b += 0.toByte                                       // chain terminator
+    // second frame: no GCE at all -> delay 0
+    val desc2 = b.length
+    b += 0x2C.toByte; b ++= le(0); b ++= le(0); b ++= le(64); b ++= le(32)
+    b += 0x00.toByte
+    b += 8.toByte; b ++= Array(1.toByte, 7.toByte); b += 0.toByte
+    b += 0x3B.toByte
+    val frames = ImageHeaders.gifFrames(b.toArray).getOrElse(fail("rejected"))
+    assert(frames.size === 2)
+    assert(frames(0) === ImageHeaders.GifFrame(0, 4, 2, 10, 20, 25, desc1))
+    assert(frames(1) === ImageHeaders.GifFrame(1, 0, 0, 64, 32, 0, desc2))
+  }
+
+  test("gifFrames: truncation, desync and missing trailer all reject") {
+    val good = ImageHeaders.buildVideoForDoc(42L)
+    assert(ImageHeaders.gifFrames(good.dropRight(5)) === None) // truncated
+    assert(ImageHeaders.gifFrames(good.dropRight(1)) === None) // no trailer
+    val desync = good.clone()
+    desync(13) = 0x7E.toByte // unknown block introducer
+    assert(ImageHeaders.gifFrames(desync) === None)
+    assert(ImageHeaders.gifFrames("not a gif".getBytes("UTF-8")) === None)
+  }
+
+  test("gifFrameSample keeps every 2nd frame with consistent n_frames") {
+    import spark.implicits._
+    val docs = Seq(5L, 6L, 20L).toDF("doc_id")
+    val out = Multimodal.gifFrameSample(docs, stride = 2).collect()
+    // nf = 1 + id%7: doc 5 -> 6 frames (3 kept), doc 6 -> 7 (4), doc 20 -> 7 (4)
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc(5L).length === 3 && byDoc(5L).forall(_.getInt(1) == 6))
+    assert(byDoc(6L).length === 4 && byDoc(6L).forall(_.getInt(1) == 7))
+    assert(out.forall(r => r.getInt(2) % 2 == 0)) // only even frame_ords
+  }
+
   test("extractFeatures uses real dims for real images, fallback otherwise") {
     import spark.implicits._
     val media = Seq(

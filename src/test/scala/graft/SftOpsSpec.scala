@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SftOps
+
+/** SFT / preference-data operators (q162–q164): the conversation fixture's
+  * structural rules, loss-mask accounting closed forms, the audit battery
+  * on hand-built pathological conversations, and the length-bias rollup.
+  */
+class SftOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def doc(id: Long, nWords: Int, source: String = "s0") =
+    (id, (1 to nWords).map(i => s"w$i").mkString(" "), source)
+
+  private def docsDf(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "source")
+
+  test("turns: system prologue, alternation, mod-11 double-send, slicing") {
+    // doc 3: sys (3%3=0), 2+3%5=5 turns; doc 4: no sys, 2+4=6 turns;
+    // doc 11: no sys (11%3=2), 2+1=3 turns, double-send at turn 2
+    val df = docsDf(doc(3L, 100), doc(4L, 100), doc(11L, 100))
+    val out = SftOps.turns(df).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) ->
+        ((r.getString(3), r.getString(4), r.getLong(5)))).toMap
+
+    assert(out((3L, 0))._1 === "system")
+    assert(out((3L, 1))._1 === "user")
+    assert(out((3L, 2))._1 === "assistant")
+    assert(out((3L, 3))._1 === "user")
+    assert(out((3L, 4))._1 === "assistant")
+    assert(out((4L, 0))._1 === "user")
+    assert(out((4L, 1))._1 === "assistant")
+    assert(out((4L, 5))._1 === "assistant")
+    // doc 11: turn 1 = assistant (no sys), turn 2 repeats it (double-send)
+    assert(out((11L, 1))._1 === "assistant")
+    assert(out((11L, 2))._1 === "assistant")
+    // slicing: doc 4 turn 1 gets words 9..16, 8 tokens
+    assert(out((4L, 1))._2 === "w9 w10 w11 w12 w13 w14 w15 w16")
+    assert(out((4L, 1))._3 === 8L)
+    // truncation: doc with 20 words, turn 2 gets 4 words, turn 3 none
+    val short = SftOps.turns(docsDf(doc(4L, 20))).collect()
+      .map(r => r.getInt(2) -> r.getLong(5)).toMap
+    assert(short(1) === 8L && short(2) === 4L && short(3) === 0L)
+  }
+
+  test("lossMaskReport: closed-form accounting incl. overhead and masking") {
+    val turns = Seq(
+      (1L, 3, 0, "user", "a b c d e", 5L),
+      (1L, 3, 1, "assistant", "f g h i j k l", 7L),
+      (1L, 3, 2, "user", "m n o", 3L))
+      .toDF("conv_id", "n_turns", "turn_ord", "role", "text", "n_tokens")
+    val r = SftOps.lossMaskReport(turns, overheadPerTurn = 4).collect()(0)
+    assert(r.getAs[Long]("n_turns") === 3L)
+    assert(r.getAs[Long]("content_tokens") === 15L)
+    assert(r.getAs[Long]("overhead_tokens") === 12L)
+    assert(r.getAs[Long]("total_tokens") === 27L)
+    assert(r.getAs[Long]("trainable_tokens") === 7L)
+    assert(r.getAs[Double]("trainable_frac") === math.floor(7e6 / 27) / 1e6)
+  }
+
+  test("chatAudit: every failure mode flags, the clean conversation passes") {
+    def conv(id: Long, rs: Seq[(String, Long)]) =
+      rs.zipWithIndex.map { case ((role, n), i) => (id, i, role, n) }
+    val turns = (
+      conv(1L, Seq("system" -> 5L, "user" -> 4L, "assistant" -> 6L)) ++ // ok
+      conv(2L, Seq("user" -> 4L, "user" -> 3L, "assistant" -> 5L)) ++   // break
+      conv(3L, Seq("user" -> 4L, "system" -> 2L, "assistant" -> 5L)) ++ // late sys
+      conv(4L, Seq("user" -> 4L, "assistant" -> 5L, "user" -> 2L)) ++   // ends user
+      conv(5L, Seq("user" -> 4L, "assistant" -> 0L)) ++                 // empty
+      conv(6L, Seq("assistant" -> 4L, "user" -> 5L))                    // starts bad
+    ).toDF("conv_id", "turn_ord", "role", "n_tokens")
+    val out = SftOps.chatAudit(turns).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("verdict") === "ok")
+    assert(!out(2L).getAs[Boolean]("alternates_ok"))
+    assert(!out(3L).getAs[Boolean]("sys_only_first"))
+    // a late system turn also breaks strict alternation by definition
+    assert(!out(3L).getAs[Boolean]("alternates_ok"))
+    assert(!out(4L).getAs[Boolean]("ends_assistant"))
+    assert(out(5L).getAs[Boolean]("has_empty"))
+    assert(!out(6L).getAs[Boolean]("starts_ok"))
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(
+      out(_).getAs[String]("verdict") === "bad"))
+  }
+
+  test("prefPairs + lengthBias: exact per-source bias arithmetic") {
+    // doc 0: lc = 10, lr = 5 -> chosen longer by 5
+    // doc 20: lc = 10, lr = 5 + 140%25 = 20 -> rejected longer by 10
+    // doc 40: lc = 10, lr = 5 + 280%25 = 10 -> tie
+    // doc 5 (short, 12 words): both slices truncate to words 7..12 -> tie
+    val df = docsDf(doc(0L, 100, "a"), doc(20L, 100, "a"),
+      doc(40L, 100, "a"), doc(5L, 12, "b"))
+    val pairs = SftOps.prefPairs(df)
+    val lens = pairs.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(lens(0L) === ((10L, 5L)))
+    assert(lens(20L) === ((10L, 20L)))
+    assert(lens(40L) === ((10L, 10L)))
+    assert(lens(5L) === ((6L, 6L)))
+
+    val bias = SftOps.lengthBias(pairs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = bias("a")
+    assert(a.getAs[Long]("n_pairs") === 3L)
+    assert(a.getAs[Long]("n_chosen_longer") === 1L)
+    assert(a.getAs[Long]("n_ties") === 1L)
+    assert(a.getAs[Double]("frac_chosen_longer") ===
+      math.floor(1000000.0 / 3) / 1e6)
+    // deltas +5, -10, 0 -> sum -5; floor(-5e6/3)/1e6 = -1.666667
+    assert(a.getAs[Double]("mean_delta") === math.floor(-5e6 / 3) / 1e6)
+    val b = bias("b")
+    assert(b.getAs[Long]("n_pairs") === 1L &&
+      b.getAs[Long]("n_ties") === 1L)
+  }
+
+  test("turns is deterministic under repartition") {
+    val df = docsDf(doc(3L, 64), doc(7L, 64), doc(11L, 64))
+    val once = SftOps.turns(df).orderBy("conv_id", "turn_ord").collect()
+    val again = SftOps.turns(df.repartition(7))
+      .orderBy("conv_id", "turn_ord").collect()
+    assert(once.toSeq === again.toSeq)
+  }
+}
