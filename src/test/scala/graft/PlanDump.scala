@@ -92,7 +92,15 @@ object PlanDump {
     "q153_batch_waste" ->
       "Batching waste: both orderings are per-shard windows (hash-partitioned exchange on shard), batch aggregation collapses map-side; union of two strategy branches.",
     "q155_memorization_risk" ->
-      "Memorization risk: the aggregated LM side shrinks behind support+prob gates before the ctx-keyed equi join back onto per-doc contexts.")
+      "Memorization risk: the aggregated LM side shrinks behind support+prob gates before the ctx-keyed equi join back onto per-doc contexts.",
+    "q160_gif_frames" ->
+      "Video-frame sampling: one mapPartitions codec pass (build + full block walk), zero shuffles before the output sort — container structure is read row-locally, pixels never decoded.",
+    "q161_winnow_overlap" ->
+      "Winnowing overlap: row-local fingerprint selection (one token array + one hash array per doc), df-cap semi-join prunes boilerplate BEFORE the fingerprint equi-join, pair aggregation map-side-combines.",
+    "q162_loss_mask" ->
+      "Loss-mask accounting: fixture + per-turn fields are row-local projections with a bounded (<=6) Generate; one conv_id-keyed aggregation with map-side partials.",
+    "q164_pref_bias" ->
+      "Length-bias audit: slices and lengths row-local, one groupBy(source) collapsing map-side to |sources| rows.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
