@@ -175,6 +175,91 @@ object AudioWav {
     None
   }
 
+  /** Channel-L PCM samples parsed from real WAV bytes — the same chunk
+    * walk as [[decode]] (fmt gate, unknown-chunk skips, odd-size pad
+    * bytes) but materializing the first channel's samples for frame-level
+    * feature extraction. Kept separate from [[decode]] on purpose: the
+    * stats decoder never allocates per-sample storage (the right shape
+    * for whole-file QC), this one does (the right shape for windowed
+    * features), and each is independently spec-checked.
+    */
+  private[graft] def samplesL(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" ||
+      tag(bytes, 8) != "WAVE") return None
+    var fmt: Option[(Int, Int)] = None // (channels, bits)
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val size = i32(bytes, off + 4)
+      val payload = off + 8
+      if (size < 0 || payload + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = u16(bytes, payload)
+          val channels = u16(bytes, payload + 2)
+          val bits = u16(bytes, payload + 14)
+          if (audioFormat != 1 || channels < 1 || channels > 2 ||
+            (bits != 8 && bits != 16)) return None
+          fmt = Some((channels, bits))
+        case "data" =>
+          val (channels, bits) = fmt.getOrElse(return None)
+          val bytesPerSample = bits / 8
+          val frameBytes = channels * bytesPerSample
+          if (size % frameBytes != 0) return None
+          val nFrames = size / frameBytes
+          val out = new Array[Int](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            val o = payload + f * frameBytes
+            out(f) =
+              if (bits == 16) u16(bytes, o).toShort.toInt
+              else (bytes(o) & 0xFF) - 128
+            f += 1
+          }
+          return Some(out)
+        case _ => ()
+      }
+      off = payload + size + (size & 1)
+    }
+    None
+  }
+
+  /** q165 pipeline — frame-level audio features, the VAD/segmentation
+    * front-end every speech-data pipeline runs before anything expensive:
+    * per document the doc-derived WAV is built, its channel-L samples
+    * parsed back from the real bytes, split into fixed `win`-sample
+    * windows, and each window scored with exact-integer aggregates —
+    * sample sum, zero-crossing count (adjacent sign flips INSIDE the
+    * window), RMS energy (exact BIGINT sum of squares, one IEEE sqrt,
+    * floor-quantized at 1e-4) and a silence verdict (rms < threshold).
+    * Row-local `mapPartitions`, zero shuffles; the oracle recomputes every
+    * window from the ramp's closed forms, so a mis-parsed byte or an
+    * off-by-one window boundary fails the hash.
+    */
+  def frameFeatures(spark: SparkSession, documents: DataFrame,
+      win: Int = 64, silenceRms: Double = 500.0): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val s = samplesL(buildForDoc(id)).getOrElse(
+          sys.error(s"frame-feature parse failed for doc $id"))
+        s.indices.grouped(win).zipWithIndex.map { case (ix, w) =>
+          var sum = 0L; var sumSq = 0L; var zc = 0L
+          ix.foreach { i =>
+            val v = s(i).toLong
+            sum += v; sumSq += v * v
+            if (i > ix.head && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+          }
+          val rms = math.floor(
+            math.sqrt(sumSq.toDouble / ix.size) * 10000) / 10000
+          (id, w.toLong, ix.size.toLong, sum, zc, rms, rms < silenceRms)
+        }
+      }
+    }.toDF("doc_id", "win_ord", "n_samples", "sum_l", "zc", "rms",
+      "is_silence")
+  }
+
   /** q100 pipeline: per document, build the doc-derived WAV through the
     * byte-level writer, decode it with the REAL chunk walker, and emit
     * header fields + sample statistics. The oracle recomputes everything

@@ -127,6 +127,41 @@ object SftOps {
           .otherwise("bad"))
   }
 
+  /** Prompt-level conversation dedup (q166): the SFT-specific dedup
+    * policy — two conversations with the same FIRST USER TURN are the
+    * same training example regardless of how the assistant answered, and
+    * keeping both overweights that prompt (and leaks it across splits).
+    * Groups conversations by the md5 of their first user turn and keeps
+    * the one with the most assistant tokens (the answer-richest copy),
+    * conv_id ascending as the deterministic tiebreak — the same
+    * best-copy policy as `Dedup.survivorsBest`, keyed on prompts.
+    *
+    * Shape: two conv_id-keyed aggregations (first user turn via min_by,
+    * assistant mass via a conditional sum — one pass builds both), then
+    * one aggregation on the 128-bit prompt key. Nothing wider than one
+    * turn's text ever shuffles, and the struct-ordered max_by gives the
+    * argmax without a window.
+    */
+  def promptDedup(turnsDf: DataFrame): DataFrame = {
+    val perConv = turnsDf.groupBy(col("conv_id"))
+      .agg(
+        min_by(when(col("role") === "user", col("text")),
+          when(col("role") === "user", col("turn_ord"))).as("prompt"),
+        sum(when(col("role") === "assistant", col("n_tokens"))
+          .otherwise(0L)).as("assistant_tokens"))
+      .filter(col("prompt").isNotNull)
+    // argmax by (assistant_tokens desc, conv_id asc) folded into one
+    // BIGINT key — portable across engines without struct comparators;
+    // the 1e12 stride keeps any realistic conv_id from crossing a token
+    // step (token mass per conversation is turn-bounded, conv ids are not)
+    perConv.groupBy(md5(encode(col("prompt"), "UTF-8")).as("prompt_md5"))
+      .agg(count(lit(1)).as("n_convs"),
+        max_by(col("conv_id"),
+          col("assistant_tokens") * 1000000000000L - col("conv_id"))
+          .as("keep_conv"),
+        max(col("assistant_tokens")).as("kept_assistant_tokens"))
+  }
+
   /** Deterministic preference-pair fixture: per document, a prompt (its
     * first 6 words) with a chosen completion of `10 + doc_id % 20` words
     * and a rejected completion of `5 + (doc_id·7) % 25` words, both

@@ -726,6 +726,20 @@ object LlmOps {
       SftOps.lengthBias(SftOps.prefPairs(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("source"))),
 
+    // frame-level audio features from real WAV bytes: channel-L samples
+    // parsed back, 64-sample windows, exact sum/zero-crossings/RMS +
+    // silence verdicts — the VAD front-end shape
+    "q165_audio_frames" -> ((s, d) =>
+      graft.operators.AudioWav.frameFeatures(s,
+          Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("win_ord"))),
+
+    // prompt-level conversation dedup: same first user turn == same
+    // training example; keep the answer-richest copy deterministically
+    "q166_prompt_dedup" -> ((s, d) =>
+      SftOps.promptDedup(SftOps.turns(Tables.fanout(Tables.documents(s, d))))
+        .orderBy(col("prompt_md5"))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -2346,6 +2360,68 @@ object LlmOps {
                  AND latesys = 0 AND alt = 1 AND lastr = 'assistant'
                 THEN 'ok' ELSE 'bad' END AS verdict
          FROM a ORDER BY conv_id""",
+    // ramp closed forms per 64-sample window: exact sums, sign-flip
+    // counts, one IEEE sqrt, floor-quantized rms, silence verdicts
+    "q165_audio_frames" ->
+      """WITH p AS (SELECT doc_id,
+              256 + (((doc_id * 31) % 512) + 512) % 512 AS n,
+              (((doc_id * 17) % 4001) + 4001) % 4001 - 2000 AS base,
+              1 + ((doc_id % 7) + 7) % 7 AS step
+            FROM documents),
+         i AS (SELECT doc_id, base, step,
+              unnest(generate_series(CAST(0 AS BIGINT), n - 1)) AS ix
+            FROM p),
+         s AS (SELECT doc_id, ix // 64 AS w, base + ix * step AS v,
+              CASE WHEN ix % 64 <> 0 AND
+                   ((base + ix * step >= 0) <> (base + (ix-1) * step >= 0))
+                   THEN 1 ELSE 0 END AS flip
+            FROM i),
+         a AS (SELECT doc_id, w AS win_ord, count(*) AS n_samples,
+              CAST(sum(v) AS BIGINT) AS sum_l,
+              CAST(sum(flip) AS BIGINT) AS zc,
+              CAST(sum(v * v) AS BIGINT) AS ssq
+            FROM s GROUP BY doc_id, w),
+         r AS (SELECT doc_id, win_ord, n_samples, sum_l, zc,
+              floor(sqrt(CAST(ssq AS DOUBLE) / n_samples) * 10000) / 10000
+                AS rms
+            FROM a)
+         SELECT doc_id, win_ord, n_samples, sum_l, zc, rms,
+           rms < 500.0 AS is_silence
+         FROM r ORDER BY doc_id, win_ord""",
+    // turns fixture replay incl. turn text, then the prompt-keyed argmax
+    // with the folded (tokens desc, conv asc) BIGINT ordering
+    "q166_prompt_dedup" ->
+      """WITH d AS (SELECT doc_id AS conv_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w,
+              CAST(2 + doc_id % 5 AS INT) AS nt,
+              doc_id % 3 = 0 AS sys,
+              CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS so,
+              doc_id % 11 = 0 AS dbl
+            FROM documents),
+         t AS (SELECT conv_id, nt, so, sys, dbl, w,
+              unnest(generate_series(0, nt - 1)) AS tn FROM d),
+         r AS (SELECT conv_id, tn,
+              CASE WHEN dbl AND tn = 2 THEN
+                     CASE WHEN (1 - so) % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END
+                   WHEN sys AND tn = 0 THEN 'system'
+                   WHEN (tn - so) % 2 = 0 THEN 'user'
+                   ELSE 'assistant' END AS role,
+              array_to_string(w[tn*8+1 : tn*8+8], ' ') AS txt,
+              len(w[tn*8+1 : tn*8+8]) AS n_tokens
+            FROM t),
+         pc AS (SELECT conv_id,
+              arg_min(CASE WHEN role = 'user' THEN txt END,
+                      CASE WHEN role = 'user' THEN tn END) AS prompt,
+              CAST(sum(CASE WHEN role = 'assistant' THEN n_tokens
+                            ELSE 0 END) AS BIGINT) AS at
+            FROM r GROUP BY conv_id),
+         g AS (SELECT md5(prompt) AS prompt_md5, count(*) AS n_convs,
+              arg_max(conv_id, at * 1000000000000 - conv_id) AS keep_conv,
+              CAST(max(at) AS BIGINT) AS kept_assistant_tokens
+            FROM pc WHERE prompt IS NOT NULL GROUP BY md5(prompt))
+         SELECT prompt_md5, n_convs, keep_conv, kept_assistant_tokens
+         FROM g ORDER BY prompt_md5""",
     // preference-pair fixture closed forms + the per-source bias rollup
     "q164_pref_bias" ->
       """WITH d AS (SELECT doc_id, source,

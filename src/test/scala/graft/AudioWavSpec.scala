@@ -90,4 +90,50 @@ class AudioWavSpec extends SparkSpec {
       assert(r.getDouble(5) === base + step * (n - 1) / 2.0)
     }
   }
+
+  test("frameFeatures equals a direct ramp recomputation per window") {
+    import spark.implicits._
+    val ids = (0L to 20L) :+ 999L
+    val out = graft.operators.AudioWav
+      .frameFeatures(spark, ids.toDF("doc_id"), win = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getBoolean(6)))).toMap
+    ids.foreach { id =>
+      val n = (256 + m(id * 31, 512)).toInt
+      val base = m(id * 17, 4001) - 2000
+      val step = 1 + m(id, 7)
+      val s = (0 until n).map(i => base + i * step)
+      s.indices.grouped(64).zipWithIndex.foreach { case (ix, w) =>
+        val vs = ix.map(s)
+        val zc = ix.tail.count(i => (s(i) >= 0) != (s(i - 1) >= 0))
+        val rms = math.floor(math.sqrt(
+          vs.map(v => v * v).sum.toDouble / ix.size) * 10000) / 10000
+        assert(out((id, w.toLong)) ===
+          ((ix.size.toLong, vs.sum, zc.toLong, rms, rms < 500.0)),
+          s"doc $id window $w")
+      }
+    }
+  }
+
+  test("frameFeatures: one zero crossing exactly where the ramp flips") {
+    import spark.implicits._
+    // any id with base < 0 crosses zero once at i = ceil(-base/step)
+    val id = (0L to 200L).find(i => m(i * 17, 4001) - 2000 < -100).get
+    val base = m(id * 17, 4001) - 2000
+    val step = 1 + m(id, 7)
+    val cross = ((-base + step - 1) / step).toInt // first i with s >= 0
+    val rows = graft.operators.AudioWav
+      .frameFeatures(spark, Seq(id).toDF("doc_id"), win = 64).collect()
+    val zcs = rows.map(r => r.getLong(1).toInt -> r.getLong(4)).toMap
+    val expectWin = cross / 64
+    zcs.foreach { case (w, zc) =>
+      // a crossing at a window boundary (i % 64 == 0) pairs with the
+      // previous window's last sample and is counted in NEITHER window
+      val expected =
+        if (w == expectWin && cross % 64 != 0) 1L else 0L
+      assert(zc === expected, s"window $w (cross=$cross)")
+    }
+  }
 }

@@ -115,6 +115,31 @@ class SftOpsSpec extends SparkSpec {
       b.getAs[Long]("n_ties") === 1L)
   }
 
+  test("promptDedup: same first user turn collapses, richest answer wins") {
+    val turns = Seq(
+      // convs 1 and 2 share the prompt; 2 has more assistant tokens
+      (1L, 0, "user", "hello there", 2L),
+      (1L, 1, "assistant", "short", 1L),
+      (2L, 0, "user", "hello there", 2L),
+      (2L, 1, "assistant", "much longer answer", 3L),
+      // convs 3 and 4 share a prompt with EQUAL tokens -> min conv wins
+      (4L, 0, "user", "tied prompt", 2L),
+      (4L, 1, "assistant", "aa bb", 2L),
+      (3L, 0, "user", "tied prompt", 2L),
+      (3L, 1, "assistant", "cc dd", 2L),
+      // conv 5: unique prompt; first USER turn is turn 1 (system first)
+      (5L, 0, "system", "be brief", 2L),
+      (5L, 1, "user", "unique prompt", 2L),
+      (5L, 2, "assistant", "ok", 1L))
+      .toDF("conv_id", "turn_ord", "role", "text", "n_tokens")
+    val out = SftOps.promptDedup(turns).collect()
+      .map(r => r.getLong(2) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out.keySet === Set(2L, 3L, 5L))
+    assert(out(2L) === ((2L, 3L))) // 2 convs, kept 3 assistant tokens
+    assert(out(3L) === ((2L, 2L))) // tie -> min conv_id
+    assert(out(5L) === ((1L, 1L)))
+  }
+
   test("turns is deterministic under repartition") {
     val df = docsDf(doc(3L, 64), doc(7L, 64), doc(11L, 64))
     val once = SftOps.turns(df).orderBy("conv_id", "turn_ord").collect()
