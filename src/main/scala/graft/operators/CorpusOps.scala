@@ -691,6 +691,87 @@ object CorpusOps {
         (floor(sum(col("contrib")) * 1000) / 1000).as("bm25"))
   }
 
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft relevance models,
+    * the classic first-pass→expand→rerank loop every lexical retrieval
+    * stack ships): score the corpus for the original query with [[bm25]],
+    * take the top `fbDocs` documents as pseudo-relevant, estimate a
+    * feedback term model from them (per term, Σ_d tf/dl — each addend
+    * floor-quantized to integer millionths so the model is an exact
+    * BIGINT any engine reproduces), keep the `fbTerms` strongest
+    * non-query terms, interpolate with the uniform original-query model
+    * at λ (`lambda6`/1e6), and rerank the corpus under the expanded
+    * weighted query. Final scores are exact BIGINTs: per-(doc, term)
+    * BM25 contributions floor-quantized at 1e-3, then integer-weighted
+    * and summed — no float accumulation order anywhere in the ranking.
+    *
+    * Scale shape: two corpus scans (base scoring + rerank), each with
+    * the term filter applied at the explode boundary (a broadcast
+    * semi-join on a ≤ |Q|+fbTerms term set); the feedback model reads
+    * ONLY the fbDocs documents (broadcast id semi-join). The single
+    * unpartitioned window ranks the feedback VOCABULARY of ~fbDocs
+    * documents — hundreds of rows, never corpus-sized — and the final
+    * top-k is TakeOrdered, never a global sort.
+    */
+  def rm3Rerank(docs: DataFrame, queryTerms: Seq[String], fbDocs: Int = 10,
+      fbTerms: Int = 5, lambda6: Long = 500000L, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val base = bm25(docs, queryTerms, k1, b, idCol, textCol)
+    val fbIds = base.orderBy(col("bm25").desc, col("doc_id"))
+      .limit(fbDocs).select(col("doc_id"))
+
+    val toksAll = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.wsTokens(col(textCol)).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("token"))
+
+    // feedback model over the fbDocs only: r6(t) = Σ_d floor(tf·1e6/dl)
+    val r6 = toksAll.join(broadcast(fbIds), Seq("doc_id"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .filter(!col("token").isin(queryTerms: _*))
+      .withColumn("c", floor(col("tf") * 1000000L / col("dl")))
+      .groupBy(col("token")).agg(sum(col("c")).as("r6"))
+    val sel = r6.withColumn("rn",
+        row_number().over(Window.orderBy(col("r6").desc, col("token"))))
+      .filter(col("rn") <= fbTerms).select(col("token"), col("r6"))
+    val tot = sel.agg(sum(col("r6")).as("s"))
+    val wFb = sel.crossJoin(broadcast(tot))
+      .select(col("token"),
+        floor((lit(1000000L) - lambda6) * col("r6") / col("s")).as("w6"))
+    val wOrig = queryTerms.map(t => (t, lambda6 / queryTerms.size))
+      .toDF("token", "w6")
+    // zero-weight terms contribute nothing to any score but would still
+    // widen the rerank semi-join (and surface score-0 docs): drop them
+    val wExp = wOrig.unionByName(wFb).filter(col("w6") > 0)
+
+    // rerank under the expanded weighted query — exact integer scores
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(TextAnalysis.wsTokens(col(textCol))).cast("double")).as("avgdl"))
+    val tfe = toksAll.join(broadcast(wExp), Seq("token"))
+      .groupBy(col("doc_id"), col("token"), col("w6"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        max(col("dl").cast("double")).as("dl"))
+    val dfe = tfe.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tfe.join(broadcast(dfe), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("c3", floor(col("idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+        * 1000))
+      .groupBy(col("doc_id")).agg(sum(col("w6") * col("c3")).as("score6"))
+    val top = scored.orderBy(col("score6").desc, col("doc_id")).limit(topK)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("score6").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score6"))
+  }
+
   /** Sliding-window document chunking (the RAG/pretraining segmentation
     * step): fixed `window`-token chunks every `stride` tokens, each
     * carrying its doc back-reference, ordinal, start offset and content

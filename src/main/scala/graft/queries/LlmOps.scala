@@ -740,6 +740,14 @@ object LlmOps {
       SftOps.promptDedup(SftOps.turns(Tables.fanout(Tables.documents(s, d))))
         .orderBy(col("prompt_md5"))),
 
+    // RM3 pseudo-relevance feedback: BM25 first pass -> feedback term
+    // model from the top-10 docs (integer-quantized) -> interpolated
+    // expanded query -> exact-BIGINT rerank, top-20
+    "q167_rm3_rerank" -> ((s, d) =>
+      CorpusOps.rm3Rerank(Tables.fanout(Tables.documents(s, d)),
+          Seq("vector", "stream", "filter", "spark"))
+        .orderBy(col("rank"))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -2388,6 +2396,60 @@ object LlmOps {
          SELECT doc_id, win_ord, n_samples, sum_l, zc, rms,
            rms < 500.0 AS is_silence
          FROM r ORDER BY doc_id, win_ord""",
+    // full RM3 replay: q76's BM25 base chain, top-10 fb docs, the
+    // quantized feedback model, weight interpolation, and the
+    // integer-weighted rerank — every ranking decision integer-exact
+    "q167_rm3_rerank" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              avg(CAST(len(w) AS DOUBLE)) AS avgdl FROM docs),
+         toks AS (SELECT doc_id, len(w) AS dl, unnest(w) AS token FROM docs),
+         tfq AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf,
+              CAST(max(dl) AS DOUBLE) AS dl
+            FROM toks WHERE token IN ('vector','stream','filter','spark')
+            GROUP BY doc_id, token),
+         dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+                 FROM tfq GROUP BY token),
+         base AS (SELECT doc_id,
+              floor(sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) * tf * 2.2 /
+                (tf + 1.2*(0.25 + 0.75*dl/avgdl)))*1000)/1000 AS bm25
+            FROM tfq JOIN dfq USING (token), stats GROUP BY doc_id),
+         fb AS (SELECT doc_id FROM base ORDER BY bm25 DESC, doc_id LIMIT 10),
+         fbt AS (SELECT token,
+              CAST(sum(floor(tf * 1000000 / dl)) AS BIGINT) AS r6
+            FROM (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+                    max(dl) AS dl
+                  FROM toks WHERE doc_id IN (SELECT doc_id FROM fb)
+                  GROUP BY doc_id, token)
+            WHERE token NOT IN ('vector','stream','filter','spark')
+            GROUP BY token),
+         sel AS (SELECT token, r6 FROM (SELECT token, r6,
+                row_number() OVER (ORDER BY r6 DESC, token) AS rn FROM fbt)
+              WHERE rn <= 5),
+         tot AS (SELECT CAST(sum(r6) AS BIGINT) AS s FROM sel),
+         wexp AS (SELECT token, w6 FROM (
+            SELECT unnest(['vector','stream','filter','spark']) AS token,
+              CAST(125000 AS BIGINT) AS w6
+            UNION ALL
+            SELECT token, CAST(floor(500000 * r6 / s) AS BIGINT) AS w6
+            FROM sel, tot) WHERE w6 > 0),
+         tfe AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf,
+              CAST(max(dl) AS DOUBLE) AS dl
+            FROM toks WHERE token IN (SELECT token FROM wexp)
+            GROUP BY doc_id, token),
+         dfe AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+                 FROM tfe GROUP BY token),
+         c AS (SELECT doc_id, token,
+              CAST(floor(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) * tf * 2.2 /
+                (tf + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000) AS BIGINT) AS c3
+            FROM tfe JOIN dfe USING (token), stats),
+         sc AS (SELECT doc_id, CAST(sum(w6 * c3) AS BIGINT) AS score6
+            FROM c JOIN wexp USING (token) GROUP BY doc_id)
+         SELECT CAST(row_number() OVER (ORDER BY score6 DESC, doc_id)
+             AS BIGINT) AS rank, doc_id, score6
+         FROM sc ORDER BY score6 DESC, doc_id LIMIT 20""",
     // turns fixture replay incl. turn text, then the prompt-keyed argmax
     // with the folded (tokens desc, conv asc) BIGINT ordering
     "q166_prompt_dedup" ->

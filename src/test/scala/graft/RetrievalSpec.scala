@@ -101,4 +101,49 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       "row_number<=cut filters should push into WindowGroupLimit")
   }
+
+  test("rm3Rerank: expansion retrieves docs with NO original query term") {
+    // "lakehouse" co-occurs with the query terms in the pseudo-relevant
+    // docs; doc 10 contains ONLY "lakehouse" — a first-pass BM25 can
+    // never rank it, RM3's expanded query must
+    val docs = (
+      (0L to 5L).map(i => (i, "spark stream lakehouse engine run fast")) ++
+      Seq((10L, "lakehouse lakehouse warehouse data"),
+        (11L, "turtle river bank walk slow green"),
+        (12L, "unrelated words about nothing at all"))
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.rm3Rerank(docs, Seq("spark", "stream"),
+      fbDocs = 4, fbTerms = 3, topK = 10)
+    val ranked = out.collect().map(r => r.getLong(1)).toSeq
+    assert(ranked.contains(10L), s"expanded query must reach doc 10: $ranked")
+    assert(!ranked.contains(11L) && !ranked.contains(12L))
+    // the original-term docs still dominate the top of the ranking
+    assert((0L to 5L).contains(ranked.head))
+  }
+
+  test("rm3Rerank with lambda=1e6 reduces to pure original-query ranking") {
+    val docs = Seq(
+      (0L, "cat cat cat dog filler words here"),
+      (1L, "cat dog dog dog filler words here"),
+      (2L, "bird bird bird bird filler words here")).toDF("doc_id", "text")
+    val rm3 = CorpusOps.rm3Rerank(docs, Seq("cat"), fbDocs = 2,
+      fbTerms = 2, lambda6 = 1000000L, topK = 3)
+      .collect().map(r => r.getLong(1)).toSeq
+    val bm = CorpusOps.bm25(docs, Seq("cat"))
+      .orderBy(col("bm25").desc, col("doc_id")).collect()
+      .map(_.getLong(0)).toSeq
+    // fb terms get weight floor(0 * r6/s) = 0: ranking = BM25's
+    assert(rm3 === bm)
+  }
+
+  test("rm3Rerank is deterministic under repartition") {
+    val docs = ((0L to 30L).map(i =>
+      (i, s"term${i % 7} spark filler w${i % 5} stream x${i % 3}")))
+      .toDF("doc_id", "text")
+    val a = CorpusOps.rm3Rerank(docs, Seq("spark", "stream"), topK = 10)
+      .collect().toSeq
+    val b = CorpusOps.rm3Rerank(docs.repartition(9),
+      Seq("spark", "stream"), topK = 10).collect().toSeq
+    assert(a === b)
+  }
 }
