@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Evaluation & annotation analytics — the measurement side of a
+  * training-data pipeline. Post-training datasets are produced by human
+  * raters and judged by eval harnesses, and both emit tables whose
+  * curation questions are statistical: do the raters agree with each
+  * other (Fleiss' κ — the go/no-go read on a labeling vendor), which
+  * model actually wins the pairwise preferences (Bradley–Terry strength
+  * fit — the aggregate behind every chatbot leaderboard), and how often
+  * does a model solve a task within k samples (the pass@k unbiased
+  * estimator from the Codex paper).
+  *
+  * The test corpus has no annotation columns, so — exactly like
+  * [[CorpusOps.urlFixture]] and [[SftOps.turns]] — the fixtures here
+  * BUILD deterministic rating/pairing structures from each document's
+  * doc_id arithmetic, and the operators genuinely compute over the built
+  * structure. Every ranking/agreement decision is exact integer
+  * arithmetic (floor-quantized millionths), so the full chains replay in
+  * SQL oracles.
+  *
+  * Scale shape: fixtures are bounded explodes (≤ raters per item); every
+  * report is 2–3 map-side-combining aggregations keyed on (source, item)
+  * then (source) — nothing shuffles more than the ratings table, and the
+  * final reports are |sources|- or |models|-row tables.
+  */
+object EvalOps {
+
+  /** Deterministic annotation fixture: `nRaters` categorical ratings per
+    * document over `nCats` categories. Each rater reports the item's base
+    * category `idHash(doc_id) % nCats` unless their noise draw
+    * `(idHash + rater·17) % 10 < 3` flips them to a deterministic other
+    * category — ~70% marginal agreement with real per-item structure, the
+    * regime where κ is informative (κ=1 and κ≈0 are both degenerate
+    * reads). Everything derives from [[CorpusOps.idHash]] rather than raw
+    * doc_id residues because the corpus assigns `source = doc_id % 20`:
+    * any direct `doc_id % k` with gcd(k,20)>1 would be CONSTANT within a
+    * source and collapse κ to ~0 — the prime-modulus hash decorrelates.
+    *
+    * Output: (source, item_id, rater, cat).
+    */
+  def ratings(docs: DataFrame, nRaters: Int = 5, nCats: Int = 4): DataFrame = {
+    val h = CorpusOps.idHash(col("item_id"))
+    val r = col("rater")
+    val base = h % nCats
+    val noisy = (h + r * 17) % 10 < 3
+    val flipped = (base + 1 + (h % 97 + r) % (nCats - 1)) % nCats
+    docs.select(col("source"), col("doc_id").as("item_id"))
+      .select(col("source"), col("item_id"),
+        explode(sequence(lit(0), lit(nRaters - 1))).as("rater"))
+      .withColumn("cat",
+        when(noisy, flipped).otherwise(base).cast("long"))
+  }
+
+  /** Fleiss' κ (q168): chance-corrected inter-annotator agreement for
+    * `nRaters` raters assigning `nCats` categories, per source — THE
+    * acceptance gate on a labeling batch (κ below ~0.4 means the raters
+    * are not measuring the same thing and the labels train noise).
+    *
+    * Exact-arithmetic plan (requires a constant rater count per item,
+    * which the fixture guarantees and the report surfaces as `n_raters`):
+    *   - per (source,item,cat) count c → per item Σc² and n=Σc;
+    *   - P̄  = (ΣᵢΣⱼc²  − N·n) / (N·n·(n−1)), floor-quantized ×1e6 from
+    *     exact BIGINTs;
+    *   - P̄ₑ = Σⱼ(Σᵢcᵢⱼ)² / (N·n)², same quantization;
+    *   - κ = (P̄₆−P̄ₑ₆)·1e6 / (1e6−P̄ₑ₆) floored — computed FROM the two
+    *     quantized values, so both engines make the identical integer
+    *     decisions all the way down.
+    * Three aggregations (item-keyed, then source-keyed twice), report is
+    * |sources| rows.
+    */
+  def fleissKappa(ratingsDf: DataFrame): DataFrame = {
+    val cnt = ratingsDf.groupBy(col("source"), col("item_id"), col("cat"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cnt.groupBy(col("source"), col("item_id"))
+      .agg(sum(col("c") * col("c")).as("s2"), sum(col("c")).as("n_i"))
+    val perSource = perItem.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_items"), sum(col("s2")).as("sum_s2"),
+        max(col("n_i")).as("n_raters"))
+    val catTot = cnt.groupBy(col("source"), col("cat"))
+      .agg(sum(col("c")).as("cj"))
+      .groupBy(col("source")).agg(sum(col("cj") * col("cj")).as("sum_cj2"))
+    val nn = col("n_items") * col("n_raters")
+    val joined = perSource.join(catTot, Seq("source"))
+      .withColumn("pbar6", floor((col("sum_s2") - nn) * 1000000L /
+        (nn * (col("n_raters") - 1))))
+      .withColumn("pe6", floor(col("sum_cj2") * 1000000L / (nn * nn)))
+      .withColumn("kappa6",
+        floor((col("pbar6") - col("pe6")) * 1000000L / (lit(1000000L) - col("pe6"))))
+    joined.select(col("source"), col("n_items"), col("n_raters"),
+      (col("pbar6").cast("double") / 1e6).as("p_bar"),
+      (col("pe6").cast("double") / 1e6).as("p_e"),
+      (col("kappa6").cast("double") / 1e6).as("kappa"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AudioWav, CorpusOps, Dedup, Multimodal, SftOps, Similarity, TextAnalysis}
+import graft.operators.{AudioWav, CorpusOps, Dedup, EvalOps, Multimodal, SftOps, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator queries (north-star extension): dedup,
   * similarity search, text analysis, multimodal columns — each a `queries`
@@ -747,6 +747,13 @@ object LlmOps {
       CorpusOps.rm3Rerank(Tables.fanout(Tables.documents(s, d)),
           Seq("vector", "stream", "filter", "spark"))
         .orderBy(col("rank"))),
+
+    // Fleiss' kappa inter-annotator agreement per source over the
+    // deterministic 5-rater/4-category fixture — every agreement decision
+    // integer-exact (floored millionths)
+    "q168_fleiss_kappa" -> ((s, d) =>
+      EvalOps.fleissKappa(EvalOps.ratings(Tables.documents(s, d)))
+        .orderBy(col("source"))),
 
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
@@ -2450,6 +2457,41 @@ object LlmOps {
          SELECT CAST(row_number() OVER (ORDER BY score6 DESC, doc_id)
              AS BIGINT) AS rank, doc_id, score6
          FROM sc ORDER BY score6 DESC, doc_id LIMIT 20""",
+    // ratings fixture replay (base cat + noise-flip rule), per-item Σc²,
+    // the two floored-millionth agreement terms, and κ computed FROM the
+    // quantized terms — identical integer decisions in both engines
+    "q168_fleiss_kappa" ->
+      """WITH r AS (SELECT source, item_id, g.rater,
+              CASE WHEN (h + g.rater*17) % 10 < 3
+                THEN (h % 4 + 1 + (h % 97 + g.rater) % 3) % 4
+                ELSE h % 4 END AS cat
+            FROM (SELECT source, doc_id AS item_id,
+                    ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+                  FROM documents),
+              (SELECT unnest(generate_series(0, 4)) AS rater) g),
+         cnt AS (SELECT source, item_id, cat, count(*) AS c
+                 FROM r GROUP BY source, item_id, cat),
+         pi AS (SELECT source, item_id, CAST(sum(c*c) AS BIGINT) AS s2,
+                  CAST(sum(c) AS BIGINT) AS n_i
+                FROM cnt GROUP BY source, item_id),
+         ps AS (SELECT source, count(*) AS n_items,
+                  CAST(sum(s2) AS BIGINT) AS sum_s2, max(n_i) AS n_raters
+                FROM pi GROUP BY source),
+         ct AS (SELECT source, CAST(sum(cj*cj) AS BIGINT) AS sum_cj2 FROM
+                  (SELECT source, cat, CAST(sum(c) AS BIGINT) AS cj
+                   FROM cnt GROUP BY source, cat) GROUP BY source),
+         j AS (SELECT ps.source, n_items, n_raters,
+                 CAST(floor((sum_s2 - n_items*n_raters) * 1000000 /
+                   (n_items*n_raters*(n_raters-1))) AS BIGINT) AS pbar6,
+                 CAST(floor(sum_cj2 * 1000000 /
+                   (n_items*n_raters*n_items*n_raters)) AS BIGINT) AS pe6
+               FROM ps JOIN ct USING (source))
+         SELECT source, n_items, n_raters,
+           CAST(pbar6 AS DOUBLE)/1e6 AS p_bar,
+           CAST(pe6 AS DOUBLE)/1e6 AS p_e,
+           CAST(CAST(floor((pbar6-pe6)*1000000/(1000000-pe6)) AS BIGINT)
+             AS DOUBLE)/1e6 AS kappa
+         FROM j ORDER BY source""",
     // turns fixture replay incl. turn text, then the prompt-keyed argmax
     // with the folded (tokens desc, conv asc) BIGINT ordering
     "q166_prompt_dedup" ->
