@@ -94,4 +94,74 @@ object EvalOps {
       (col("pe6").cast("double") / 1e6).as("p_e"),
       (col("kappa6").cast("double") / 1e6).as("kappa"))
   }
+
+  /** Deterministic pairwise-battle fixture: one game per document between
+    * two of `nModels` systems. Contestant a = idHash % m, opponent
+    * b = (a + 1 + idHash % (m−1)) % m (always ≠ a), and the winner is
+    * drawn by an integer rule whose odds are proportional to the models'
+    * TRUE strengths (index+1): a wins iff (idHash % 1009) % (a+b+2) < a+1
+    * — so higher-index models genuinely win more, giving the fit
+    * something real to recover.
+    *
+    * Output: (game_id, model_a, model_b, winner).
+    */
+  def btGames(docs: DataFrame, nModels: Int = 8): DataFrame = {
+    val h = CorpusOps.idHash(col("game_id"))
+    docs.select(col("doc_id").as("game_id"))
+      .withColumn("model_a", (h % nModels).cast("long"))
+      .withColumn("model_b",
+        ((h % nModels + 1 + h % (nModels - 1)) % nModels).cast("long"))
+      .withColumn("winner",
+        when((h % 1009) % (col("model_a") + col("model_b") + 2)
+          < col("model_a") + 1, col("model_a")).otherwise(col("model_b")))
+  }
+
+  /** Bradley–Terry strength fit (q169): maximum-likelihood pairwise
+    * strengths via Hunter's MM algorithm — the aggregate behind every
+    * pairwise-preference leaderboard (chatbot arenas, RLHF reward
+    * sanity checks). Model i's strength update each round is
+    * πᵢ ← Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ), then the vector is renormalized to mean
+    * 1e6. Every update runs in INTEGER millionths (each addend and each
+    * division floor-truncated), so a fixed iteration count produces
+    * bit-identical strengths in any engine — the SQL oracle unrolls the
+    * same `iters` rounds with `//` floor division.
+    *
+    * Scale shape: the corpus-sized work is two aggregations (the
+    * symmetric pair matrix and the win counts); the MM loop then runs on
+    * the DRIVER over ≤ |models|² matrix rows (the centroid-collect
+    * pattern — |models| is leaderboard-sized, never corpus-sized), and
+    * the result returns as |models| literal rows.
+    */
+  def bradleyTerry(games: DataFrame, iters: Int = 10): DataFrame = {
+    val spark = games.sparkSession
+    import spark.implicits._
+    val edges = games.select(col("model_a").as("i"), col("model_b").as("j"))
+      .unionByName(games.select(col("model_b").as("i"), col("model_a").as("j")))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+    val winsDf = games.groupBy(col("winner").as("i")).agg(count(lit(1)).as("w"))
+    // driver-bounded collects: ≤ |models|² + |models| rows
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wins = winsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val models = e.map(_._1).distinct.sorted.toSeq
+    val m = models.length
+    val gamesPer = e.groupBy(_._1).map { case (i, es) => i -> es.map(_._3).sum }
+    val byI = e.groupBy(_._1)
+    var s = models.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val u = models.map { i =>
+        val d = byI(i).map { case (_, j, n) =>
+          n * 1000000000000L / (s(i) + s(j))
+        }.sum
+        i -> (if (d > 0) wins.getOrElse(i, 0L) * 1000000000000L / d else 0L)
+      }.toMap
+      val t = u.values.sum
+      s = u.map { case (i, v) => i -> v * m * 1000000L / t }
+    }
+    val ranked = models.map(i => (i, gamesPer(i), wins.getOrElse(i, 0L), s(i)))
+      .sortBy { case (i, _, _, str) => (-str, i) }
+      .zipWithIndex.map { case ((i, g, w, str), idx) =>
+        (idx + 1L, i, g, w, str.toDouble / 1e6)
+      }
+    ranked.toDF("rank", "model", "games", "wins", "strength")
+  }
 }

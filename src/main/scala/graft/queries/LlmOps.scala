@@ -755,6 +755,13 @@ object LlmOps {
       EvalOps.fleissKappa(EvalOps.ratings(Tables.documents(s, d)))
         .orderBy(col("source"))),
 
+    // Bradley-Terry leaderboard over the deterministic pairwise-battle
+    // fixture: 10 integer-millionth MM rounds, bit-identical to the
+    // oracle's unrolled floor-division iterations
+    "q169_bradley_terry" -> ((s, d) =>
+      EvalOps.bradleyTerry(EvalOps.btGames(Tables.documents(s, d)))
+        .orderBy(col("rank"))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -1358,7 +1365,46 @@ object LlmOps {
          ORDER BY doc_id"""
   }
 
+  /** q169's oracle: the Bradley-Terry MM loop unrolled to `iters` CTE
+    * stages. Every stage uses `//` floor division on BIGINTs — the same
+    * integer decisions as the Scala driver loop, so the strengths are
+    * bit-identical, not approximately equal.
+    */
+  private def btOracleSql(iters: Int): String = {
+    val stages = (1 to iters).map { k =>
+      val prev = s"s${k - 1}"
+      s"""d$k AS MATERIALIZED (SELECT e.i,
+             CAST(sum((e.n * 1000000000000) // (si.s + sj.s)) AS BIGINT) AS d
+           FROM e JOIN $prev si ON si.i = e.i JOIN $prev sj ON sj.i = e.j
+           GROUP BY e.i),
+         u$k AS MATERIALIZED (SELECT d.i, (coalesce(w.w, 0) * 1000000000000) // d.d AS s
+           FROM d$k d LEFT JOIN wins w ON w.i = d.i),
+         s$k AS MATERIALIZED (SELECT i, (s * 8 * 1000000) // t.t AS s
+           FROM u$k, (SELECT CAST(sum(s) AS BIGINT) AS t FROM u$k) t)"""
+    }.mkString(",\n         ")
+    s"""WITH gsrc AS MATERIALIZED (SELECT ((doc_id % 2147483648) * 2654435761)
+              % 2147483647 AS h FROM documents),
+         par AS MATERIALIZED (SELECT h % 8 AS a, (h % 8 + 1 + h % 7) % 8 AS b,
+              h % 1009 AS h2 FROM gsrc),
+         games AS MATERIALIZED (SELECT a, b,
+              CASE WHEN h2 % (a + b + 2) < a + 1 THEN a ELSE b END AS winner
+            FROM par),
+         e AS MATERIALIZED (SELECT i, j, count(*) AS n FROM
+                 (SELECT a AS i, b AS j FROM games
+                  UNION ALL SELECT b, a FROM games) GROUP BY i, j),
+         wins AS MATERIALIZED (SELECT winner AS i, count(*) AS w FROM games GROUP BY winner),
+         gm AS MATERIALIZED (SELECT i, CAST(sum(n) AS BIGINT) AS games FROM e GROUP BY i),
+         s0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS s FROM e),
+         $stages
+         SELECT CAST(row_number() OVER (ORDER BY s DESC, i) AS BIGINT) AS rank,
+           i AS model, gm.games, CAST(coalesce(w.w, 0) AS BIGINT) AS wins,
+           CAST(s AS DOUBLE)/1e6 AS strength
+         FROM s$iters JOIN gm USING (i) LEFT JOIN wins w ON w.i = s$iters.i
+         ORDER BY rank"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q169_bradley_terry" -> btOracleSql(10),
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

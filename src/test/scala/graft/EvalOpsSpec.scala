@@ -55,6 +55,39 @@ class EvalOpsSpec extends SparkSpec {
     assert(c71 === 3L)
   }
 
+  test("bradleyTerry: 2-model integer MM converges to the exact 3:1 ratio") {
+    // A beats B 3 times, B beats A once → MM fixed point s_A/s_B = 3;
+    // normalized to mean 1e6 the integer loop lands exactly on
+    // (1500000, 500000) — computed independently with the same floor rule
+    val g = Seq((1L, 0L, 1L, 0L), (2L, 0L, 1L, 0L), (3L, 1L, 0L, 0L),
+      (4L, 0L, 1L, 1L)).toDF("game_id", "model_a", "model_b", "winner")
+    val out = EvalOps.bradleyTerry(g).orderBy("model").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L))
+    assert(out(0).getLong(2) === 4L && out(0).getLong(3) === 3L)
+    assert(out(0).getDouble(4) === 1.5)
+    assert(out(1).getDouble(4) === 0.5)
+    assert(out(0).getLong(0) === 1L && out(1).getLong(0) === 2L)
+  }
+
+  test("btGames + bradleyTerry recover the planted strength ordering") {
+    val docs = (0L to 499L).map(i => (i, s"t$i", s"src${i % 20}"))
+      .toDF("doc_id", "text", "source")
+    val out = EvalOps.bradleyTerry(EvalOps.btGames(docs))
+    val strength = out.collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    // planted true strengths are index+1: the top model must beat the
+    // bottom decisively, and the rank correlation must be strongly
+    // positive (exact per-pair order can wobble at ~125 games/model)
+    assert(strength(7L) > 2 * strength(0L))
+    val ms = (0L to 7L).map(strength)
+    val pairs = for (a <- 0 until 8; b <- a + 1 until 8) yield
+      if (ms(b) > ms(a)) 1 else -1
+    assert(pairs.sum > 14, s"rank correlation too weak: ${pairs.sum}/28")
+    // deterministic under repartition
+    val again = EvalOps.bradleyTerry(
+      EvalOps.btGames(docs.repartition(13))).collect().toSeq
+    assert(again === out.collect().toSeq)
+  }
+
   test("fleissKappa is deterministic under repartition") {
     val docs = (0L to 99L).map(i => (i, s"t$i", s"src${i % 4}"))
       .toDF("doc_id", "text", "source")
