@@ -164,4 +164,38 @@ object EvalOps {
       }
     ranked.toDF("rank", "model", "games", "wins", "strength")
   }
+
+  /** Deterministic eval-run fixture: per task (document), `n` samples
+    * drawn (4–12, from the id hash) of which `c` solved the task
+    * (0..n, from a decorrelated prime residue). These two integers are
+    * all the pass@k estimator consumes.
+    */
+  def evalRuns(docs: DataFrame): DataFrame = {
+    val h = CorpusOps.idHash(col("task_id"))
+    docs.select(col("doc_id").as("task_id"), col("source"))
+      .withColumn("n", (lit(4) + h % 9).cast("long"))
+      .withColumn("c", ((h % 997) % (col("n") + 1)).cast("long"))
+  }
+
+  /** pass@k (q170): the unbiased estimator from the Codex paper —
+    * pass@k = 1 − C(n−c,k)/C(n,k), the probability that a random size-k
+    * subset of the n samples contains a correct one. Computed as the
+    * exact integer ratio Π(n−c−t)/Π(n−t), t<k (numerator clamped at 0
+    * when n−c<k, where every subset must contain a solve), floored at
+    * millionths — the per-task number every eval report aggregates.
+    * k>n is reported null (the estimator is undefined there). Row-local
+    * arithmetic, zero shuffle.
+    */
+  def passAtK(runs: DataFrame, ks: Seq[Int] = Seq(1, 4, 8)): DataFrame = {
+    def p(k: Int): Column = {
+      val num = aggregate(sequence(lit(0), lit(k - 1)), lit(1L),
+        (acc, t) => acc * greatest(col("n") - col("c") - t, lit(0L)))
+      val den = aggregate(sequence(lit(0), lit(k - 1)), lit(1L),
+        (acc, t) => acc * (col("n") - t))
+      when(col("n") < k, lit(null).cast("double"))
+        .otherwise(
+          (lit(1000000L) - floor(num * 1000000L / den)).cast("double") / 1e6)
+    }
+    ks.foldLeft(runs)((df, k) => df.withColumn(s"pass_$k", p(k)))
+  }
 }

@@ -762,6 +762,12 @@ object LlmOps {
       EvalOps.bradleyTerry(EvalOps.btGames(Tables.documents(s, d)))
         .orderBy(col("rank"))),
 
+    // pass@{1,4,8} unbiased estimator per task over the (n, c) eval-run
+    // fixture — exact integer subset-count ratio, floored millionths
+    "q170_pass_at_k" -> ((s, d) =>
+      EvalOps.passAtK(EvalOps.evalRuns(Tables.documents(s, d)))
+        .orderBy(col("task_id"))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -1405,6 +1411,26 @@ object LlmOps {
 
   val oracleSql: Map[String, String] = Map(
     "q169_bradley_terry" -> btOracleSql(10),
+    // fixture replay + the exact subset-count ratio via list_product over
+    // the same clamped factor lists, cast back to BIGINT before the
+    // millionth floor so the integer decisions match Spark's aggregate()
+    "q170_pass_at_k" -> {
+      def p(k: Int) =
+        s"""CASE WHEN n >= $k THEN
+             CAST(1000000 - floor(
+               CAST(list_product(list_transform(range($k),
+                 x -> greatest(n - c - x, 0))) AS BIGINT) * 1000000 /
+               CAST(list_product(list_transform(range($k),
+                 x -> n - x)) AS BIGINT)) AS DOUBLE)/1e6
+           END AS pass_$k"""
+      s"""WITH r AS (SELECT doc_id AS task_id, source,
+              ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+            FROM documents),
+         t AS (SELECT task_id, source, 4 + h % 9 AS n,
+              (h % 997) % (4 + h % 9 + 1) AS c FROM r)
+         SELECT task_id, source, n, c, ${p(1)}, ${p(4)}, ${p(8)}
+         FROM t ORDER BY task_id"""
+    },
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

@@ -88,6 +88,26 @@ class EvalOpsSpec extends SparkSpec {
     assert(again === out.collect().toSeq)
   }
 
+  test("passAtK: closed-form subset-count cases") {
+    // (n=5,c=2,k=3): 1 - (3·2·1)/(5·4·3) = 0.9 exactly
+    // (n=4,c=0,k=4): 1 - 4!/4! = 0 ; (n=4,c=4,k=1): numerator 0 → 1
+    // (n=3,c=1,k=4): k>n → null ; (n=5,c=3,k=3): n-c<k → 1
+    val runs = Seq((1L, "s", 5L, 2L), (2L, "s", 4L, 0L), (3L, "s", 4L, 4L),
+      (4L, "s", 3L, 1L), (5L, "s", 5L, 3L))
+      .toDF("task_id", "source", "n", "c")
+    val out = EvalOps.passAtK(runs, Seq(1, 3, 4))
+      .orderBy("task_id").collect()
+    def pass(i: Int, colName: String): Any =
+      out(i).getAs[Any](colName)
+    assert(pass(0, "pass_3") === 0.9)
+    assert(pass(1, "pass_4") === 0.0)
+    assert(pass(2, "pass_1") === 1.0)
+    assert(pass(3, "pass_4") === null)
+    assert(pass(4, "pass_3") === 1.0)
+    // monotone in k where defined: pass@1 <= pass@3 on task 1
+    assert(out(0).getDouble(4) <= out(0).getDouble(5))
+  }
+
   test("fleissKappa is deterministic under repartition") {
     val docs = (0L to 99L).map(i => (i, s"t$i", s"src${i % 4}"))
       .toDF("doc_id", "text", "source")
