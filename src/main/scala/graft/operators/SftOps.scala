@@ -183,6 +183,61 @@ object SftOps {
           .as("len_rejected"))
   }
 
+  /** Deterministic agentic tool-call fixture: per document, an assistant
+    * tool-call JSON `{"name":...,"arguments":{"query":...,"top_k":N}}`
+    * whose query is the document's first 3 words. Four anomaly families
+    * keep the audit honest (all idHash-driven so they vary within every
+    * source): h%9=0 calls a tool outside the registry (`shell_exec`),
+    * h%5=0 omits the required `top_k`, h%7=0 sends `top_k` as a string,
+    * and h%13=0 truncates the final brace (the malformed-generation
+    * artifact every agent-trajectory scrape contains).
+    */
+  def toolCalls(docs: DataFrame): DataFrame = {
+    val h = graft.operators.CorpusOps.idHash(col("call_id"))
+    val name = when(h % 9 === 0, lit("shell_exec"))
+      .otherwise(element_at(typedLit(Seq("search", "calculator", "lookup")),
+        (h % 3).cast("int") + 1))
+    val q = concat_ws(" ",
+      slice(filter(split(col("text"), " "), x => x =!= lit("")), 1, 3))
+    val tkVal = when(h % 7 === 0, lit("\"many\""))
+      .otherwise((h % 50).cast("string"))
+    val tkPart = when(h % 5 === 0, lit(""))
+      .otherwise(concat(lit(",\"top_k\":"), tkVal))
+    val js0 = concat(lit("{\"name\":\""), name,
+      lit("\",\"arguments\":{\"query\":\""), q, lit("\""), tkPart, lit("}}"))
+    docs.select(col("doc_id").as("call_id"), col("text"))
+      .withColumn("call_json",
+        when(h % 13 === 0, js0.substr(lit(1), length(js0) - 1)).otherwise(js0))
+      .drop("text")
+  }
+
+  /** Tool-call schema audit (q171): the structural gate an agentic-SFT
+    * ingest runs per trajectory step — does the call parse as JSON at
+    * all (`try_parse_json`, not the lenient path extractor: Jackson
+    * happily reads a prefix of truncated JSON, so extraction success is
+    * NOT validity), is the tool in the registry, is the required query
+    * non-empty, and is `top_k` present with an integer value. Every
+    * field extraction is validity-gated so both engines see null fields
+    * on malformed calls. Row-local, zero shuffle.
+    */
+  def toolCallAudit(calls: DataFrame,
+      allowed: Seq[String] = Seq("search", "calculator", "lookup")): DataFrame = {
+    val js = col("call_json")
+    val valid = try_parse_json(js).isNotNull
+    val name = when(valid, get_json_object(js, "$.name"))
+    val q = when(valid, get_json_object(js, "$.arguments.query"))
+    val tk = when(valid, get_json_object(js, "$.arguments.top_k"))
+    calls.select(col("call_id"), js,
+        valid.as("is_valid_json"),
+        name.as("name"),
+        coalesce(name.isin(allowed: _*), lit(false)).as("name_allowed"),
+        coalesce(length(q) > 0, lit(false)).as("has_query"),
+        coalesce(tk.rlike("^[0-9]+$"), lit(false)).as("topk_ok"))
+      .withColumn("verdict",
+        when(col("is_valid_json") && col("name_allowed") && col("has_query")
+          && col("topk_ok"), "ok").otherwise("bad"))
+  }
+
   /** Preference length-bias audit (q164): per source, how often the
     * chosen completion is simply the LONGER one, and by how much. A
     * reward model trained on pairs where frac_chosen_longer ≫ 0.5 learns

@@ -768,6 +768,12 @@ object LlmOps {
       EvalOps.passAtK(EvalOps.evalRuns(Tables.documents(s, d)))
         .orderBy(col("task_id"))),
 
+    // agentic tool-call schema audit: validity-gated JSON extraction,
+    // registry check, required-arg and arg-type checks per call
+    "q171_tool_call_audit" -> ((s, d) =>
+      SftOps.toolCallAudit(SftOps.toolCalls(Tables.documents(s, d)))
+        .orderBy(col("call_id"))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -1431,6 +1437,50 @@ object LlmOps {
          SELECT task_id, source, n, c, ${p(1)}, ${p(4)}, ${p(8)}
          FROM t ORDER BY task_id"""
     },
+    // fixture replay (name registry pick + anomaly families + brace
+    // truncation), then the same validity-gated extraction battery —
+    // json_valid mirrors try_parse_json, never the lenient prefix read
+    "q171_tool_call_audit" ->
+      """WITH d AS (SELECT doc_id AS call_id, text,
+              ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+            FROM documents),
+         b AS (SELECT call_id, h,
+              CASE WHEN h % 9 = 0 THEN 'shell_exec'
+                ELSE ['search','calculator','lookup'][CAST(h % 3 AS INT) + 1]
+              END AS name,
+              array_to_string(list_filter(string_split(text, ' '),
+                x -> x <> '')[1:3], ' ') AS q
+            FROM d),
+         j0 AS (SELECT call_id, h,
+              '{"name":"' || name || '","arguments":{"query":"' || q || '"' ||
+              CASE WHEN h % 5 = 0 THEN ''
+                ELSE ',"top_k":' || CASE WHEN h % 7 = 0 THEN '"many"'
+                  ELSE CAST(h % 50 AS VARCHAR) END END || '}}' AS js
+            FROM b),
+         j AS (SELECT call_id,
+              CASE WHEN h % 13 = 0 THEN substr(js, 1, length(js) - 1)
+                ELSE js END AS call_json
+            FROM j0),
+         x AS (SELECT call_id, call_json, json_valid(call_json) AS v,
+              CASE WHEN json_valid(call_json)
+                THEN json_extract_string(call_json, '$.name') END AS name,
+              CASE WHEN json_valid(call_json)
+                THEN json_extract_string(call_json, '$.arguments.query')
+              END AS q,
+              CASE WHEN json_valid(call_json)
+                THEN json_extract_string(call_json, '$.arguments.top_k')
+              END AS tk
+            FROM j)
+         SELECT call_id, call_json, v AS is_valid_json, name,
+           coalesce(name IN ('search','calculator','lookup'), false)
+             AS name_allowed,
+           coalesce(length(q) > 0, false) AS has_query,
+           coalesce(regexp_matches(tk, '^[0-9]+$'), false) AS topk_ok,
+           CASE WHEN v AND coalesce(name IN ('search','calculator','lookup'),
+               false) AND coalesce(length(q) > 0, false)
+               AND coalesce(regexp_matches(tk, '^[0-9]+$'), false)
+             THEN 'ok' ELSE 'bad' END AS verdict
+         FROM x ORDER BY call_id""",
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

@@ -147,4 +147,50 @@ class SftOpsSpec extends SparkSpec {
       .orderBy("conv_id", "turn_ord").collect()
     assert(once.toSeq === again.toSeq)
   }
+
+  test("toolCallAudit: every failure family on hand-built calls") {
+    val calls = Seq(
+      (1L, """{"name":"search","arguments":{"query":"a b c","top_k":7}}"""),
+      (2L, """{"name":"search","arguments":{"query":"a b","top_k":7}"""),
+      (3L, """{"name":"shell_exec","arguments":{"query":"a","top_k":2}}"""),
+      (4L, """{"name":"lookup","arguments":{"query":"a b"}}"""),
+      (5L, """{"name":"lookup","arguments":{"query":"a","top_k":"many"}}"""),
+      (6L, """{"name":"lookup","arguments":{"query":"","top_k":3}}"""))
+      .toDF("call_id", "call_json")
+    val out = SftOps.toolCallAudit(calls).orderBy("call_id").collect()
+    def row(i: Int) = out(i)
+    assert(row(0).getString(7) === "ok")
+    // truncated: invalid JSON, every gated field null/false
+    assert(!row(1).getBoolean(2) && row(1).getString(3) == null
+      && !row(1).getBoolean(4) && !row(1).getBoolean(5))
+    assert(row(1).getString(7) === "bad")
+    // unknown tool: valid JSON but not in registry
+    assert(row(2).getBoolean(2) && !row(2).getBoolean(4)
+      && row(2).getString(7) === "bad")
+    // missing top_k
+    assert(row(3).getBoolean(2) && row(3).getBoolean(4)
+      && !row(3).getBoolean(6) && row(3).getString(7) === "bad")
+    // string-typed top_k
+    assert(!row(4).getBoolean(6) && row(4).getString(7) === "bad")
+    // empty query
+    assert(!row(5).getBoolean(5) && row(5).getString(7) === "bad")
+  }
+
+  test("toolCalls fixture: anomaly families land on the idHash residues") {
+    val docs = docsDf(doc(0L, 10), doc(1L, 10), doc(3L, 10))
+    val byId = SftOps.toolCalls(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 0: idHash 0 -> shell_exec, no top_k, truncated final brace
+    assert(byId(0L).startsWith("""{"name":"shell_exec""""))
+    assert(!byId(0L).contains("top_k") && !byId(0L).endsWith("}}"))
+    // doc 1: clean search call with integer top_k 14
+    assert(byId(1L) ===
+      """{"name":"search","arguments":{"query":"w1 w2 w3","top_k":14}}""")
+    // doc 3: unknown tool but otherwise well-formed (top_k 42)
+    assert(byId(3L).contains("shell_exec") && byId(3L).endsWith("""top_k":42}}"""))
+    val audited = SftOps.toolCallAudit(SftOps.toolCalls(docs))
+      .orderBy("call_id").collect()
+    assert(audited(1).getString(7) === "ok")
+    assert(audited(0).getString(7) === "bad" && !audited(0).getBoolean(2))
+  }
 }
