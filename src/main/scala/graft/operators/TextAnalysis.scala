@@ -217,6 +217,62 @@ object TextAnalysis {
     * codegen — at 100 TB promote to a native Expression like
     * shingle_hashes (same kernel-promotion path as q27's 51× win).
     */
+  /** Deterministic mixed-script fixture: appends idHash-selected Unicode
+    * snippets to each document — Cyrillic words (h%4=1), CJK words
+    * (h%4=2), a Latin/Cyrillic CONFUSABLE token "pаypal" whose second
+    * letter is U+0430 CYRILLIC SMALL A (h%4=3, the classic homoglyph
+    * spoof), and invisible zero-width + bidi-override controls ahead of a
+    * word (h%10=0, the text-injection artifact). The corpus is otherwise
+    * pure ASCII, so every non-Latin count below is fixture-attributable.
+    */
+  def scriptFixture(id: Column, text: Column): Column = {
+    val h = CorpusOps.idHash(id)
+    concat(text,
+      when(h % 4 === 1, lit(" привет мир"))
+        .when(h % 4 === 2, lit(" 你好世界"))
+        .when(h % 4 === 3, lit(" pаypal"))
+        .otherwise(lit("")),
+      when(h % 10 === 0, lit(" \u200B\u202Ehidden")).otherwise(lit("")))
+  }
+
+  /** Unicode script-mix audit (q172): the curation/safety signals a
+    * multilingual or spam-facing pipeline reads per document — per-script
+    * character counts (Latin / Cyrillic / CJK), invisible-control count
+    * (zero-width chars U+200B–U+200F and bidi overrides U+202A–U+202E,
+    * the text-injection and render-spoof vector), mixed-script token
+    * count (a single token containing both Latin and Cyrillic letters:
+    * the homoglyph-phishing shape that per-document script ratios miss),
+    * a precedence-deterministic dominant script, and a `suspicious`
+    * verdict (any invisible control or confusable token). Counts are
+    * length-minus-stripped-length over codegen'd regexes — row-local,
+    * zero shuffle, identical code-point semantics in both engines.
+    */
+  def scriptMix(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String): Column =
+      length(t) - length(regexp_replace(t, cls, ""))
+    val latin = cnt("[A-Za-z]")
+    val cyr = cnt("[\\u0400-\\u04FF]")
+    val cjk = cnt("[\\u4E00-\\u9FFF]")
+    val ctl = cnt("[\\u200B-\\u200F\\u202A-\\u202E]")
+    val mixed = size(filter(wsTokens(t), w =>
+      w.rlike("[A-Za-z]") && w.rlike("[\\u0400-\\u04FF]")))
+    docs.select(col(idCol),
+        latin.cast("long").as("n_latin"),
+        cyr.cast("long").as("n_cyrillic"),
+        cjk.cast("long").as("n_cjk"),
+        ctl.cast("long").as("n_controls"),
+        mixed.cast("long").as("n_mixed_tokens"))
+      .withColumn("dominant_script",
+        when(col("n_latin") >= col("n_cyrillic")
+          && col("n_latin") >= col("n_cjk"), "latin")
+          .when(col("n_cyrillic") >= col("n_cjk"), "cyrillic")
+          .otherwise("cjk"))
+      .withColumn("suspicious",
+        col("n_controls") > 0 || col("n_mixed_tokens") > 0)
+  }
+
   def textEmbed(docs: DataFrame, dim: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tokenHash = (t: Column) => aggregate(

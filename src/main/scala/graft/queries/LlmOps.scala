@@ -774,6 +774,13 @@ object LlmOps {
       SftOps.toolCallAudit(SftOps.toolCalls(Tables.documents(s, d)))
         .orderBy(col("call_id"))),
 
+    // unicode script-mix / confusable / invisible-control audit over the
+    // mixed-script fixture — per-script counts, homoglyph tokens, verdict
+    "q172_script_mix" -> ((s, d) =>
+      TextAnalysis.scriptMix(Tables.documents(s, d).withColumn("text",
+          TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
+        .orderBy(col("doc_id"))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -1481,6 +1488,45 @@ object LlmOps {
                AND coalesce(regexp_matches(tk, '^[0-9]+$'), false)
              THEN 'ok' ELSE 'bad' END AS verdict
          FROM x ORDER BY call_id""",
+    // mixed-script fixture replay (invisible controls via chr(), the
+    // confusable via chr(1072) CYRILLIC SMALL A), then the same
+    // strip-and-diff per-script counts — \x{...} classes are RE2's
+    // spelling of the identical code-point ranges
+    "q172_script_mix" ->
+      """WITH d AS (SELECT doc_id, text,
+              ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+            FROM documents),
+         f AS (SELECT doc_id, text ||
+              CASE WHEN h % 4 = 1 THEN ' привет мир'
+                   WHEN h % 4 = 2 THEN ' 你好世界'
+                   WHEN h % 4 = 3 THEN ' p' || chr(1072) || 'ypal'
+                   ELSE '' END ||
+              CASE WHEN h % 10 = 0
+                THEN ' ' || chr(8203) || chr(8238) || 'hidden'
+                ELSE '' END AS t
+            FROM d),
+         c AS (SELECT doc_id,
+              CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+                AS BIGINT) AS n_latin,
+              CAST(length(t) - length(regexp_replace(t,
+                '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+              CAST(length(t) - length(regexp_replace(t,
+                '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+              CAST(length(t) - length(regexp_replace(t,
+                '[\x{200B}-\x{200F}\x{202A}-\x{202E}]', '', 'g'))
+                AS BIGINT) AS n_controls,
+              CAST(len(list_filter(string_split(t, ' '),
+                w -> regexp_matches(w, '[A-Za-z]')
+                  AND regexp_matches(w, '[\x{0400}-\x{04FF}]')))
+                AS BIGINT) AS n_mixed_tokens
+            FROM f)
+         SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_controls,
+           n_mixed_tokens,
+           CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+                WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+                ELSE 'cjk' END AS dominant_script,
+           (n_controls > 0 OR n_mixed_tokens > 0) AS suspicious
+         FROM c ORDER BY doc_id""",
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

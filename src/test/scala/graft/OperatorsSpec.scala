@@ -407,3 +407,52 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 }
+
+/** Unicode script-mix / confusable audit (q172). */
+class ScriptMixSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.TextAnalysis
+
+  test("scriptMix: counts, confusable token, controls, dominance") {
+    val docs = Seq(
+      (1L, "plain ascii words only"),
+      (2L, "see pаypal login now"),          // confusable homoglyph
+      (3L, "привет мир ok"), // привет мир + 1 latin word
+      (4L, "pay \u200B\u202Enow here"),            // invisible controls
+      (5L, "你好世界"))            // CJK only
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(docs).orderBy("doc_id").collect()
+    // doc 1: clean
+    assert(out(0).getLong(4) === 0L && out(0).getLong(5) === 0L)
+    assert(out(0).getString(6) === "latin" && !out(0).getBoolean(7))
+    // doc 2: one mixed-script token, exactly 1 cyrillic char
+    assert(out(1).getLong(2) === 1L && out(1).getLong(5) === 1L)
+    assert(out(1).getBoolean(7))
+    // doc 3: cyrillic-dominant (9 cyr vs 2 latin), no mixed tokens
+    assert(out(2).getLong(2) === 9L && out(2).getLong(5) === 0L)
+    assert(out(2).getString(6) === "cyrillic" && !out(2).getBoolean(7))
+    // doc 4: two invisible controls → suspicious
+    assert(out(3).getLong(4) === 2L && out(3).getBoolean(7))
+    // doc 5: cjk-dominant
+    assert(out(4).getLong(3) === 4L && out(4).getString(6) === "cjk")
+  }
+
+  test("scriptFixture: families land on idHash residues, base text intact") {
+    // idHash(0)=0 → h%4=0 (no script snippet) and h%10=0 (controls)
+    // idHash(3)=1520856342 → h%4=2 → CJK appended
+    val docs = Seq((0L, "base zero"), (3L, "base three")).toDF("doc_id", "text")
+    val fixed = docs.withColumn("text",
+        TextAnalysis.scriptFixture(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fixed(0L) === "base zero \u200B\u202Ehidden")
+    assert(fixed(3L) === "base three 你好世界")
+    val audit = TextAnalysis.scriptMix(docs.withColumn("text",
+        TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
+      .orderBy("doc_id").collect()
+    assert(audit(0).getBoolean(7))          // controls → suspicious
+    assert(audit(1).getLong(3) === 4L)      // 4 CJK chars
+    assert(!audit(1).getBoolean(7))
+  }
+}
