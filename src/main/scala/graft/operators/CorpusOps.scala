@@ -1989,6 +1989,74 @@ object CorpusOps {
     * behind an `ads.` subdomain (so registered-domain folding, not host
     * equality, must be what matches the blocklist).
     */
+  /** Deterministic noisy-URL fixture: per document one URL whose
+    * idHash-driven noise features are exactly the equivalences a crawler
+    * frontier must collapse — scheme/host case (h%2), a `www.` prefix
+    * (h%3), an explicit default port `:443` (h%5), a trailing slash
+    * (h%7), `utm_` tracking params ahead of a real param (h%4=0), a real
+    * `id` param alone (h%4=1), and a fragment (h%6). The underlying
+    * identity (host h%13, path h%37, id h%11) is shared across documents,
+    * so canonicalization produces REAL collisions to dedup.
+    */
+  def urlNoisyFixture(id: Column): Column = {
+    val h = idHash(id)
+    val prefix = concat(lit("https://"),
+      when(h % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), (h % 13).cast("string"), lit(".example.com"),
+      when(h % 5 === 0, lit(":443")).otherwise(lit("")))
+    concat(
+      when(h % 2 === 0, upper(prefix)).otherwise(prefix),
+      lit("/p/"), (h % 37).cast("string"),
+      when(h % 7 === 0, lit("/")).otherwise(lit("")),
+      when(h % 4 === 0, concat(lit("?utm_source=feed&id="), (h % 11).cast("string")))
+        .when(h % 4 === 1, concat(lit("?id="), (h % 11).cast("string")))
+        .otherwise(lit("")),
+      when(h % 6 === 0, lit("#sec")).otherwise(lit("")))
+  }
+
+  /** URL canonicalization (q173): the frontier/dedup normal form every
+    * web-scale corpus keys on — drop the fragment, lowercase the
+    * scheme+authority (never the path: paths are case-sensitive), strip
+    * a `www.` prefix and explicit default ports (:80/:443), drop `utm_*`
+    * tracking parameters while KEEPING real ones (the query string is
+    * split into params and filtered as a LIST, so the `?`/`&` separator
+    * structure survives partial removal — the naive regex strip leaves a
+    * dangling `&`), and strip one trailing slash. Adds `canonical_url`;
+    * intermediates are staged at projection boundaries so each regex
+    * runs once per row. Row-local, shuffle-free; identical regex
+    * semantics in Java and RE2.
+    */
+  def canonicalizeUrls(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val staged = df
+      .withColumn("_nf", regexp_replace(col(urlCol), "#.*$", ""))
+      .withColumn("_a0", regexp_extract(col("_nf"), "^([A-Za-z]+://[^/?]*)", 1))
+      .withColumn("_rest", col("_nf").substr(length(col("_a0")) + 1, length(col("_nf"))))
+    val auth = regexp_replace(
+      regexp_replace(lower(col("_a0")), "^(https?://)www\\.", "$1"),
+      ":(443|80)$", "")
+    val path = regexp_replace(regexp_extract(col("_rest"), "^([^?]*)", 1),
+      "/$", "")
+    val qs = when(instr(col("_rest"), "?") > 0,
+      col("_rest").substr(instr(col("_rest"), "?") + 1, length(col("_rest"))))
+      .otherwise(lit(""))
+    val params = filter(split(qs, "&"),
+      p => !p.startsWith("utm_") && p =!= lit(""))
+    staged.withColumn("canonical_url",
+        concat(auth, path,
+          when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+            .otherwise(lit(""))))
+      .drop("_nf", "_a0", "_rest")
+  }
+
+  /** Canonical-URL dedup report (q173): one row per canonical form with
+    * the variant count and the kept (minimum) id — the frontier's
+    * visited-set semantics. One equi-shuffle on the canonical key with
+    * map-side combine.
+    */
+  def urlCanonicalDedup(df: DataFrame, idCol: String = "doc_id"): DataFrame =
+    df.groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col(idCol)).as("keep_id"))
+
   def urlFixture(id: Column, text: Column): Column = {
     val tld = element_at(typedLit(Seq("com", "org", "net", "io")),
       (id % 4).cast("int") + lit(1))

@@ -781,6 +781,14 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // URL canonicalization + frontier dedup: case/www/port/utm/slash/
+    // fragment noise collapsed to the canonical form, then count+min-id
+    "q173_url_canonical" -> ((s, d) =>
+      CorpusOps.urlCanonicalDedup(CorpusOps.canonicalizeUrls(
+          Tables.documents(s, d).select(col("doc_id"),
+            CorpusOps.urlNoisyFixture(col("doc_id")).as("url"))))
+        .orderBy(col("canonical_url"))),
+
     // corpus-trained unigram-LM cross-entropy quality score
     "q70_lm_score" -> ((s, d) =>
       CorpusOps.lmScore(Tables.fanout(Tables.documents(s, d)))
@@ -1527,6 +1535,50 @@ object LlmOps {
                 ELSE 'cjk' END AS dominant_script,
            (n_controls > 0 OR n_mixed_tokens > 0) AS suspicious
          FROM c ORDER BY doc_id""",
+    // noisy-URL fixture replay, then the same canonicalization chain:
+    // fragment strip, authority lowercase + www/default-port strip,
+    // list-filtered query params, trailing-slash strip, group+min
+    "q173_url_canonical" ->
+      """WITH d AS (SELECT doc_id,
+              ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+            FROM documents),
+         u AS (SELECT doc_id,
+              CASE WHEN h % 2 = 0 THEN upper(pre) ELSE pre END
+              || '/p/' || CAST(h % 37 AS VARCHAR)
+              || CASE WHEN h % 7 = 0 THEN '/' ELSE '' END
+              || CASE WHEN h % 4 = 0
+                   THEN '?utm_source=feed&id=' || CAST(h % 11 AS VARCHAR)
+                   WHEN h % 4 = 1 THEN '?id=' || CAST(h % 11 AS VARCHAR)
+                   ELSE '' END
+              || CASE WHEN h % 6 = 0 THEN '#sec' ELSE '' END AS url
+            FROM (SELECT doc_id, h,
+                'https://' || CASE WHEN h % 3 = 0 THEN 'www.' ELSE '' END
+                || 'site' || CAST(h % 13 AS VARCHAR) || '.example.com'
+                || CASE WHEN h % 5 = 0 THEN ':443' ELSE '' END AS pre
+              FROM d)),
+         c1 AS (SELECT doc_id, nf,
+              regexp_extract(nf, '^([A-Za-z]+://[^/?]*)', 1) AS a0
+            FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf
+                  FROM u)),
+         c2 AS (SELECT doc_id, substr(nf, length(a0) + 1) AS rest,
+              regexp_replace(regexp_replace(lower(a0),
+                '^(https?://)www\.', '\1'), ':(443|80)$', '') AS auth
+            FROM c1),
+         c3 AS (SELECT doc_id, auth,
+              regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '')
+                AS path,
+              CASE WHEN instr(rest, '?') > 0
+                THEN substr(rest, instr(rest, '?') + 1) ELSE '' END AS qs
+            FROM c2),
+         c4 AS (SELECT doc_id, auth || path ||
+              CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+                ELSE '' END AS canonical_url
+            FROM (SELECT doc_id, auth, path,
+                list_filter(string_split(qs, '&'),
+                  p -> NOT starts_with(p, 'utm_') AND p <> '') AS ps
+              FROM c3))
+         SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS keep_id
+         FROM c4 GROUP BY canonical_url ORDER BY canonical_url""",
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

@@ -456,3 +456,70 @@ class ScriptMixSpec extends SparkSpec {
     assert(!audit(1).getBoolean(7))
   }
 }
+
+/** URL canonicalization + frontier dedup (q173). */
+class UrlCanonSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.CorpusOps
+
+  private def canon(urls: String*): Seq[String] =
+    CorpusOps.canonicalizeUrls(
+      urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url"))
+      .orderBy("doc_id").collect().map(_.getString(2)).toSeq
+
+  test("canonicalizeUrls: each noise feature collapses, real params survive") {
+    val out = canon(
+      "HTTPS://WWW.SITE1.EXAMPLE.COM:443/p/5",
+      "https://site1.example.com/p/5",
+      "https://site1.example.com/p/5/",
+      "https://site1.example.com/p/5#frag",
+      "https://site1.example.com/p/5?utm_source=x&id=7",
+      "https://site1.example.com/p/5?id=7",
+      "https://site1.example.com/p/5?utm_campaign=y",
+      "https://site1.example.com:8080/p/5",
+      "https://site1.example.com/P/5")
+    val base = "https://site1.example.com/p/5"
+    assert(out(0) === base)   // case + www + default port
+    assert(out(1) === base)
+    assert(out(2) === base)   // trailing slash
+    assert(out(3) === base)   // fragment
+    assert(out(4) === s"$base?id=7")  // utm dropped, id kept, ? repaired
+    assert(out(5) === s"$base?id=7")
+    assert(out(6) === base)   // only-utm query drops entirely
+    assert(out(7) === "https://site1.example.com:8080/p/5") // non-default port kept
+    assert(out(8) === "https://site1.example.com/P/5")      // path case preserved
+  }
+
+  test("urlCanonicalDedup: variants group, min id kept") {
+    val df = Seq(
+      (10L, "https://www.a.com/x?utm_s=1"),
+      (3L, "HTTPS://A.COM/x"),
+      (7L, "https://a.com/y"))
+      .toDF("doc_id", "url")
+    val out = CorpusOps.urlCanonicalDedup(CorpusOps.canonicalizeUrls(df))
+      .orderBy("canonical_url").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(0) === "https://a.com/x")
+    assert(out(0).getLong(1) === 2L && out(0).getLong(2) === 3L)
+    assert(out(1).getString(0) === "https://a.com/y")
+  }
+
+  test("fixture + canonicalization is deterministic under repartition") {
+    // 500 ids: the linear id-hash is a low-discrepancy sequence, so the
+    // (host,path,id) identity cells only start colliding once the
+    // no-query cell space (13·37=481) saturates
+    val docs = (0L to 499L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.urlCanonicalDedup(CorpusOps.canonicalizeUrls(
+        df.select(col("doc_id"), CorpusOps.urlNoisyFixture(col("doc_id")).as("url"))))
+        .orderBy("canonical_url").collect().toSeq
+    val a = run(docs)
+    assert(a === run(docs.repartition(9)))
+    // the fixture genuinely collides: fewer canonical forms than docs,
+    // and at least one canonical form absorbed multiple variants
+    assert(a.length < 500)
+    assert(a.exists(_.getLong(1) >= 2L))
+  }
+}
