@@ -177,6 +177,55 @@ object EvalOps {
       .withColumn("c", ((h % 997) % (col("n") + 1)).cast("long"))
   }
 
+  /** Deterministic prediction fixture: per document a confidence in
+    * integer millionths (idHash-uniform) and a correctness draw from a
+    * SECOND multiplicative hash step, planted so true accuracy is 4/5 of
+    * stated confidence — a uniformly overconfident model, the exact
+    * pathology a calibration report exists to expose. The correctness
+    * rule is the pure integer comparison u2·5 < conf6·4 (no division
+    * anywhere), so both engines make identical draws. The second draw
+    * FOLDS the hash through a different prime before re-multiplying —
+    * a purely linear second step stays correlated with conf6 over the
+    * id lattice and silently mis-plants the calibration curve.
+    */
+  def predictions(docs: DataFrame): DataFrame = {
+    val h = CorpusOps.idHash(col("pred_id"))
+    val u2 = ((h % 999983L) * 48271L) % 2147483647L % 1000000L
+    docs.select(col("doc_id").as("pred_id"), col("source"))
+      .withColumn("conf6", h % 1000001L)
+      .withColumn("correct", u2 * 5 < col("conf6") * 4)
+  }
+
+  /** Expected calibration error (q174): the reliability-diagram table —
+    * predictions bucketed into 10 equal-width confidence bins per
+    * source; each bin reports its count, mean stated confidence, and
+    * realized accuracy (both floor-quantized millionths from exact
+    * BIGINTs), the |conf−acc| gap, and the source's ECE (the
+    * count-weighted mean gap — THE go/no-go number before trusting a
+    * model's confidences for filtering or routing). Two aggregations
+    * plus a |sources|-partition window; report is ≤ 10·|sources| rows.
+    */
+  def calibrationReport(preds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = preds.withColumn("bin",
+      least(floor(col("conf6") / 100000L), lit(9L)))
+    val perBin = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("conf6")).as("sum_conf6"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("conf6b", floor(col("sum_conf6") / col("n")))
+      .withColumn("acc6b", floor(col("n_correct") * 1000000L / col("n")))
+      .withColumn("gap6", abs(col("conf6b") - col("acc6b")))
+    val w = Window.partitionBy(col("source"))
+    perBin
+      .withColumn("ece6",
+        floor(sum(col("gap6") * col("n")).over(w) / sum(col("n")).over(w)))
+      .select(col("source"), col("bin"), col("n"),
+        (col("conf6b").cast("double") / 1e6).as("conf"),
+        (col("acc6b").cast("double") / 1e6).as("acc"),
+        (col("gap6").cast("double") / 1e6).as("gap"),
+        (col("ece6").cast("double") / 1e6).as("ece"))
+  }
+
   /** pass@k (q170): the unbiased estimator from the Codex paper —
     * pass@k = 1 − C(n−c,k)/C(n,k), the probability that a random size-k
     * subset of the n samples contains a correct one. Computed as the

@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // reliability diagram + ECE per source over the planted-overconfident
+    // prediction fixture — exact integer bin stats, floored millionths
+    "q174_calibration" -> ((s, d) =>
+      EvalOps.calibrationReport(EvalOps.predictions(Tables.documents(s, d)))
+        .orderBy(col("source"), col("bin"))),
+
     // URL canonicalization + frontier dedup: case/www/port/utm/slash/
     // fragment noise collapsed to the canonical form, then count+min-id
     "q173_url_canonical" -> ((s, d) =>
@@ -1579,6 +1585,42 @@ object LlmOps {
               FROM c3))
          SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS keep_id
          FROM c4 GROUP BY canonical_url ORDER BY canonical_url""",
+    // prediction fixture replay (second hash step, division-free
+    // correctness draw), equal-width bins, exact bin stats, windowed ECE
+    "q174_calibration" ->
+      """WITH p AS (SELECT source,
+              h % 1000001 AS conf6,
+              (((h % 999983) * 48271) % 2147483647) % 1000000 * 5
+                < (h % 1000001) * 4
+                AS correct
+            FROM (SELECT source,
+                ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+              FROM documents)),
+         b AS (SELECT source, least(CAST(floor(conf6 / 100000) AS BIGINT), 9)
+                 AS bin, conf6, correct FROM p),
+         g AS (SELECT source, bin, count(*) AS n,
+              CAST(sum(conf6) AS BIGINT) AS sum_conf6,
+              CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_correct
+            FROM b GROUP BY source, bin),
+         s AS (SELECT source, bin, n,
+              CAST(floor(sum_conf6 / n) AS BIGINT) AS conf6b,
+              CAST(floor(n_correct * 1000000 / n) AS BIGINT) AS acc6b
+            FROM g),
+         e AS (SELECT source, bin, n, conf6b, acc6b,
+              abs(conf6b - acc6b) AS gap6,
+              CAST(floor(
+                CAST(sum(abs(conf6b - acc6b) * n) OVER (PARTITION BY source)
+                  AS BIGINT) * 1.0 /
+                CAST(sum(n) OVER (PARTITION BY source) AS BIGINT))
+                AS BIGINT) AS ece6
+            FROM s)
+         SELECT source, bin, n,
+           CAST(conf6b AS DOUBLE)/1e6 AS conf,
+           CAST(acc6b AS DOUBLE)/1e6 AS acc,
+           CAST(gap6 AS DOUBLE)/1e6 AS gap,
+           CAST(ece6 AS DOUBLE)/1e6 AS ece
+         FROM e ORDER BY source, bin""",
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

@@ -108,6 +108,41 @@ class EvalOpsSpec extends SparkSpec {
     assert(out(0).getDouble(4) <= out(0).getDouble(5))
   }
 
+  test("calibrationReport: exact bin stats and weighted ECE") {
+    val preds = Seq(
+      ("s", 1L, 900000L, true), ("s", 2L, 950000L, false), // bin 9
+      ("s", 3L, 50000L, true))                             // bin 0
+      .toDF("source", "pred_id", "conf6", "correct")
+    val out = EvalOps.calibrationReport(preds).orderBy("bin").collect()
+    assert(out.length === 2)
+    // bin 0: conf 0.05, acc 1.0, gap 0.95
+    assert(out(0).getDouble(3) === 0.05 && out(0).getDouble(4) === 1.0)
+    assert(out(0).getDouble(5) === 0.95)
+    // bin 9: conf (0.9+0.95)/2, acc 0.5
+    assert(out(1).getDouble(3) === 0.925 && out(1).getDouble(4) === 0.5)
+    assert(out(1).getDouble(5) === 0.425)
+    // ECE = (0.425·2 + 0.95·1)/3 = 0.6 exactly, same on every row
+    assert(out.forall(_.getDouble(6) === 0.6))
+  }
+
+  test("calibration fixture exposes the planted 4/5 overconfidence") {
+    val docs = (0L to 499L).map(i => (i, s"t$i", s"src${i % 20}"))
+      .toDF("doc_id", "text", "source")
+    val out = EvalOps.calibrationReport(
+      EvalOps.predictions(docs).withColumn("source", lit("all")))
+      .orderBy("bin").collect()
+    // in every bin with real mass, realized accuracy sits below stated
+    // confidence (acc ≈ 0.8·conf by construction)
+    val highBins = out.filter(r => r.getLong(1) >= 5 && r.getLong(2) >= 20)
+    assert(highBins.nonEmpty)
+    highBins.foreach { r =>
+      assert(r.getDouble(4) < r.getDouble(3),
+        s"bin ${r.getLong(1)}: acc ${r.getDouble(4)} !< conf ${r.getDouble(3)}")
+    }
+    // ECE materially positive for an overconfident model
+    assert(out.head.getDouble(6) > 0.05)
+  }
+
   test("fleissKappa is deterministic under repartition") {
     val docs = (0L to 99L).map(i => (i, s"t$i", s"src${i % 4}"))
       .toDF("doc_id", "text", "source")
