@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -236,6 +236,76 @@ object SftOps {
       .withColumn("verdict",
         when(col("is_valid_json") && col("name_allowed") && col("has_query")
           && col("topk_ok"), "ok").otherwise("bad"))
+  }
+
+  /** Preference-pair TEXT fixture: like [[prefPairs]] but materializing
+    * the competing completions as token arrays. Chosen starts at word 7;
+    * rejected starts at a shifted offset (7 + pair_id%4, or word 40 for
+    * the pair_id%9=0 family) — overlapping-but-shifted windows, so
+    * unigram and bigram overlap genuinely vary per pair instead of one
+    * side being a prefix of the other.
+    */
+  def prefPairTexts(docs: DataFrame): DataFrame = {
+    val id = col("pair_id")
+    val cLen = (lit(10) + (id % 20)).cast("int")
+    val rLen = (lit(5) + ((id * 7) % 25)).cast("int")
+    val rOff = when(id % 9 === 0, lit(40))
+      .otherwise((lit(7) + (id % 4)).cast("int"))
+    docs.select(col("doc_id").as("pair_id"), col("source"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("_w"))
+      .select(col("pair_id"), col("source"),
+        slice(col("_w"), lit(7), cLen).as("chosen"),
+        slice(col("_w"), rOff, rLen).as("rejected"))
+  }
+
+  /** Preference-pair ROUGE audit (q175): multiset n-gram overlap between
+    * chosen and rejected — the uninformative-pair detector. A pair whose
+    * completions are near-identical (ROUGE-F ≈ 1) teaches the reward
+    * model nothing and dilutes the update; a standard DPO/RLHF ingest
+    * filter drops them. Reports ROUGE-1 and ROUGE-2 overlap counts and
+    * F-scores per pair; F = 2·ov/(nc+nr) exactly (the harmonic mean of
+    * P=ov/nr and R=ov/nc collapses), floor-quantized at millionths from
+    * exact BIGINT counts.
+    *
+    * Scale shape: per n, one bounded explode of each side's grams, two
+    * map-side-combining (pair,gram) counts, an equi-join on (pair,gram)
+    * (multiset min via least), and a pair-keyed sum — all equi-shuffles
+    * on pair-bounded rows; totals are row-local array sizes.
+    */
+  def pairRouge(pairs: DataFrame): DataFrame = {
+    // completions can be shorter than n (truncated docs): wordNgrams'
+    // position sequence would run DESCENDING into slice(start=0) there,
+    // so gate on size — n=1 is the array itself
+    def grams(c: String, n: Int): Column =
+      if (n == 1) col(c)
+      else when(size(col(c)) >= n, TextAnalysis.wordNgrams(col(c), n))
+        .otherwise(array().cast("array<string>"))
+    def ov(n: Int): DataFrame = {
+      def side(c: String) = pairs
+        .select(col("pair_id"), explode(grams(c, n)).as("g"))
+        .groupBy(col("pair_id"), col("g"))
+        .agg(count(lit(1)).as(s"c_$c"))
+      side("chosen").join(side("rejected"), Seq("pair_id", "g"))
+        .groupBy(col("pair_id"))
+        .agg(sum(least(col("c_chosen"), col("c_rejected"))).as(s"ov$n"))
+    }
+    def sz(c: String, n: Int) =
+      greatest(size(col(c)) - (n - 1), lit(0)).cast("long")
+    def f6(ovc: Column, nc: Column, nr: Column): Column =
+      when(nc + nr > 0,
+        floor(coalesce(ovc, lit(0L)) * 2L * 1000000L / (nc + nr))
+          .cast("double") / 1e6).otherwise(lit(0.0))
+    pairs.select(col("pair_id"), col("source"),
+        sz("chosen", 1).as("nc1"), sz("rejected", 1).as("nr1"),
+        sz("chosen", 2).as("nc2"), sz("rejected", 2).as("nr2"))
+      .join(ov(1), Seq("pair_id"), "left")
+      .join(ov(2), Seq("pair_id"), "left")
+      .select(col("pair_id"), col("source"), col("nc1"), col("nr1"),
+        coalesce(col("ov1"), lit(0L)).as("overlap1"),
+        f6(col("ov1"), col("nc1"), col("nr1")).as("rouge1_f"),
+        col("nc2"), col("nr2"),
+        coalesce(col("ov2"), lit(0L)).as("overlap2"),
+        f6(col("ov2"), col("nc2"), col("nr2")).as("rouge2_f"))
   }
 
   /** Preference length-bias audit (q164): per source, how often the

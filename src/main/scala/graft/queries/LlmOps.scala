@@ -781,6 +781,13 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // ROUGE-1/2 multiset overlap between preference-pair completions —
+    // the uninformative-pair (near-identical chosen/rejected) detector
+    "q175_pair_rouge" -> ((s, d) =>
+      SftOps.pairRouge(SftOps.prefPairTexts(Tables.fanout(
+          Tables.documents(s, d))))
+        .orderBy(col("pair_id"))),
+
     // reliability diagram + ECE per source over the planted-overconfident
     // prediction fixture — exact integer bin stats, floored millionths
     "q174_calibration" -> ((s, d) =>
@@ -1621,6 +1628,59 @@ object LlmOps {
            CAST(gap6 AS DOUBLE)/1e6 AS gap,
            CAST(ece6 AS DOUBLE)/1e6 AS ece
          FROM e ORDER BY source, bin""",
+    // pair-text fixture replay (shifted completion windows), multiset
+    // n-gram overlap via least() on inner-joined counts, exact F-scores
+    "q175_pair_rouge" ->
+      """WITH d AS (SELECT doc_id AS pair_id, source,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         p AS (SELECT pair_id, source,
+              w[7 : 6 + CAST(10 + pair_id % 20 AS INT)] AS chosen,
+              w[o : o - 1 + CAST(5 + (pair_id*7) % 25 AS INT)] AS rejected
+            FROM (SELECT pair_id, source, w,
+                CASE WHEN pair_id % 9 = 0 THEN 40
+                  ELSE CAST(7 + pair_id % 4 AS INT) END AS o
+              FROM d)),
+         c1 AS (SELECT pair_id, g, count(*) AS cc FROM
+                 (SELECT pair_id, unnest(chosen) AS g FROM p)
+               GROUP BY pair_id, g),
+         r1 AS (SELECT pair_id, g, count(*) AS cr FROM
+                 (SELECT pair_id, unnest(rejected) AS g FROM p)
+               GROUP BY pair_id, g),
+         o1 AS (SELECT pair_id, CAST(sum(least(cc, cr)) AS BIGINT) AS ov1
+                FROM c1 JOIN r1 USING (pair_id, g) GROUP BY pair_id),
+         c2 AS (SELECT pair_id, g, count(*) AS cc FROM
+                 (SELECT pair_id, unnest(CASE WHEN len(chosen) >= 2
+                    THEN list_transform(range(1, len(chosen)),
+                      i -> array_to_string(chosen[i:i+1], ' '))
+                    ELSE [] END) AS g FROM p)
+               GROUP BY pair_id, g),
+         r2 AS (SELECT pair_id, g, count(*) AS cr FROM
+                 (SELECT pair_id, unnest(CASE WHEN len(rejected) >= 2
+                    THEN list_transform(range(1, len(rejected)),
+                      i -> array_to_string(rejected[i:i+1], ' '))
+                    ELSE [] END) AS g FROM p)
+               GROUP BY pair_id, g),
+         o2 AS (SELECT pair_id, CAST(sum(least(cc, cr)) AS BIGINT) AS ov2
+                FROM c2 JOIN r2 USING (pair_id, g) GROUP BY pair_id),
+         t AS (SELECT pair_id, source,
+              CAST(len(chosen) AS BIGINT) AS nc1,
+              CAST(len(rejected) AS BIGINT) AS nr1,
+              CAST(greatest(len(chosen) - 1, 0) AS BIGINT) AS nc2,
+              CAST(greatest(len(rejected) - 1, 0) AS BIGINT) AS nr2
+            FROM p)
+         SELECT t.pair_id, source, nc1, nr1,
+           coalesce(ov1, 0) AS overlap1,
+           CASE WHEN nc1 + nr1 > 0 THEN
+             CAST(floor(coalesce(ov1, 0) * 2 * 1000000 / (nc1 + nr1))
+               AS DOUBLE)/1e6 ELSE 0.0 END AS rouge1_f,
+           nc2, nr2, coalesce(ov2, 0) AS overlap2,
+           CASE WHEN nc2 + nr2 > 0 THEN
+             CAST(floor(coalesce(ov2, 0) * 2 * 1000000 / (nc2 + nr2))
+               AS DOUBLE)/1e6 ELSE 0.0 END AS rouge2_f
+         FROM t LEFT JOIN o1 ON o1.pair_id = t.pair_id
+           LEFT JOIN o2 ON o2.pair_id = t.pair_id
+         ORDER BY t.pair_id""",
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

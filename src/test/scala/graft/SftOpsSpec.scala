@@ -193,4 +193,40 @@ class SftOpsSpec extends SparkSpec {
     assert(audited(1).getString(7) === "ok")
     assert(audited(0).getString(7) === "bad" && !audited(0).getBoolean(2))
   }
+
+  test("pairRouge: hand-computed multiset overlap and F-scores") {
+    val pairs = Seq(
+      (1L, "s", Seq("a", "b", "c", "b"), Seq("b", "c", "d")),
+      (2L, "s", Seq("x", "y"), Seq("x", "y")),
+      (3L, "s", Seq("p", "q"), Seq("r", "t")))
+      .toDF("pair_id", "source", "chosen", "rejected")
+    val out = SftOps.pairRouge(pairs).orderBy("pair_id").collect()
+    // pair 1: ov1 = min(2,1)[b] + 1[c] = 2; F1 = 4/7 floored
+    assert(out(0).getLong(4) === 2L)
+    assert(out(0).getDouble(5) === 0.571428)
+    // bigrams: only "b c" shared → F2 = 2/5
+    assert(out(0).getLong(8) === 1L)
+    assert(out(0).getDouble(9) === 0.4)
+    // identical pair: both F-scores exactly 1 — the uninformative case
+    assert(out(1).getDouble(5) === 1.0 && out(1).getDouble(9) === 1.0)
+    // disjoint pair: zero everywhere (left-join coalesce path)
+    assert(out(2).getLong(4) === 0L && out(2).getDouble(5) === 0.0)
+    assert(out(2).getDouble(9) === 0.0)
+  }
+
+  test("prefPairTexts: shifted windows and the disjoint mod-9 family") {
+    val docs = docsDf(doc(1L, 60), doc(9L, 60))
+    val byId = SftOps.prefPairTexts(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[String](2), r.getSeq[String](3)))).toMap
+    // pair 1: chosen = w7..w17 (len 11), rejected starts at 7+1=8 (len 12)
+    assert(byId(1L)._1 === (7 to 17).map(i => s"w$i"))
+    assert(byId(1L)._2 === (8 to 19).map(i => s"w$i"))
+    // pair 9: rejected family starts at word 40
+    assert(byId(9L)._2.head === "w40")
+    // shifted windows genuinely overlap → high but non-trivial rouge1
+    val r = SftOps.pairRouge(SftOps.prefPairTexts(docs))
+      .orderBy("pair_id").collect()
+    assert(r(0).getDouble(5) > 0.5 && r(0).getDouble(5) < 1.0)
+  }
 }
