@@ -100,7 +100,17 @@ object PlanDump {
     "q162_loss_mask" ->
       "Loss-mask accounting: fixture + per-turn fields are row-local projections with a bounded (<=6) Generate; one conv_id-keyed aggregation with map-side partials.",
     "q164_pref_bias" ->
-      "Length-bias audit: slices and lengths row-local, one groupBy(source) collapsing map-side to |sources| rows.")
+      "Length-bias audit: slices and lengths row-local, one groupBy(source) collapsing map-side to |sources| rows.",
+    "q167_rm3_rerank" ->
+      "RM3: both corpus scans term-pruned by broadcast semi-joins at the explode boundary; the feedback model reads ONLY the fbDocs (broadcast id join); the single unpartitioned window ranks the ~fbDocs-doc feedback vocabulary, never the corpus.",
+    "q168_fleiss_kappa" ->
+      "Fleiss kappa: three map-side-combining aggregations ((source,item,cat) -> (source,item) -> source) + the category-margin agg; the joined report is |sources| rows.",
+    "q173_url_canonical" ->
+      "URL canonicalization: regex chain staged at projection boundaries (each regex once per row), then ONE map-side-combined shuffle on the canonical key.",
+    "q174_calibration" ->
+      "Calibration/ECE: two aggregations collapse map-side to |sources|*10 bin cells; the ECE window runs over that cell table, never the predictions.",
+    "q175_pair_rouge" ->
+      "Pair ROUGE: bounded gram explodes, map-side-combined (pair, gram) counts, multiset-min equi-joins, pair-keyed sums; totals are row-local array sizes.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
