@@ -2584,6 +2584,32 @@ object CorpusOps {
     * \|lang\|·\|source\|·buckets classes — nothing downstream is
     * corpus-sized.
     */
+  /** Differentially-private histogram release (q176): per-group counts
+    * released under ε-DP via two-sided geometric (discrete Laplace)
+    * noise — the mechanism for publishing dataset-composition tables
+    * (docs per source/language) without certifying any individual
+    * document's membership. Noise = G₁−G₂ with G geometric
+    * (P(G≥k) = αᵏ, α = alpha6/1e6, ε = ln(1/α)), drawn by inverse CDF
+    * G = ⌊ln(U)/ln(α)⌋ from md5-seeded uniforms so the release is
+    * deterministic per (group, seed) — reproducible audits, and a NEW
+    * seed is a NEW privacy spend, which the seed-in-the-hash makes
+    * explicit. Released counts clamp at 0; true counts never leave the
+    * operator. One map-side-combining aggregation, then row-local noise
+    * on |groups| rows.
+    */
+  def dpHistogram(docs: DataFrame, groupCol: String = "source",
+      alpha6: Long = 500000L, seed: String = "graft-dp-v1"): DataFrame = {
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    def u(tag: String): Column =
+      Dedup.portableHash32(concat(col(groupCol), lit(s"|$seed|$tag"))) %
+        1000000L + 1L
+    val lnAlpha = math.log(alpha6.toDouble / 1e6)
+    def geo(uc: Column): Column =
+      floor(log(uc.cast("double") / 1e6) / lnAlpha).cast("long")
+    counts.select(col(groupCol),
+      greatest(col("n") + geo(u("a")) - geo(u("b")), lit(0L)).as("released"))
+  }
+
   def kAnonymity(docs: DataFrame, k: Long = 5,
       buckets: Int = 10): DataFrame = {
     val sc = col("n_chars").cast("double")

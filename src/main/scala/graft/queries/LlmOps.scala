@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // eps-DP released per-source histogram: deterministic two-sided
+    // geometric noise from md5-seeded inverse-CDF draws, clamped at 0
+    "q176_dp_histogram" -> ((s, d) =>
+      CorpusOps.dpHistogram(Tables.documents(s, d))
+        .orderBy(col("source"))),
+
     // ROUGE-1/2 multiset overlap between preference-pair completions —
     // the uninformative-pair (near-identical chosen/rejected) detector
     "q175_pair_rouge" -> ((s, d) =>
@@ -1681,6 +1687,23 @@ object LlmOps {
          FROM t LEFT JOIN o1 ON o1.pair_id = t.pair_id
            LEFT JOIN o2 ON o2.pair_id = t.pair_id
          ORDER BY t.pair_id""",
+    // same md5-seeded inverse-CDF geometric draws and clamp; ln ratios
+    // floored AFTER the division exactly as the operator computes them
+    "q176_dp_histogram" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+                    GROUP BY source),
+         u AS (SELECT source, n,
+              (CAST('0x' || substr(md5(source || '|graft-dp-v1|a'), 1, 8)
+                 AS BIGINT) % 1000000) + 1 AS u1,
+              (CAST('0x' || substr(md5(source || '|graft-dp-v1|b'), 1, 8)
+                 AS BIGINT) % 1000000) + 1 AS u2
+            FROM c)
+         SELECT source,
+           greatest(n
+             + CAST(floor(ln(u1/1000000.0)/ln(0.5)) AS BIGINT)
+             - CAST(floor(ln(u2/1000000.0)/ln(0.5)) AS BIGINT), 0)
+             AS released
+         FROM u ORDER BY source""",
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

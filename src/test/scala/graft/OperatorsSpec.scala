@@ -523,3 +523,45 @@ class UrlCanonSpec extends SparkSpec {
     assert(a.exists(_.getLong(1) >= 2L))
   }
 }
+
+/** Differentially-private histogram release (q176). */
+class DpHistogramSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.CorpusOps
+
+  test("dpHistogram: exact seeded noise draws, clamp, determinism") {
+    // precomputed md5-seeded draws: source 'a' → noise 0, 'b' → -1
+    val docs = ((1L to 10L).map(i => (i, "t", "a")) ++
+      (11L to 15L).map(i => (i, "t", "b"))).toDF("doc_id", "text", "source")
+    val out = CorpusOps.dpHistogram(docs).orderBy("source").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") === 10L)  // noise 0
+    assert(out("b") === 4L)   // noise -1
+    // clamp at zero: a 1-doc group with noise -1 releases 0, not -1
+    val tiny = Seq((1L, "t", "b")).toDF("doc_id", "text", "source")
+    assert(CorpusOps.dpHistogram(tiny).collect().head.getLong(1) === 0L)
+    // a different seed is a different (deterministic) release
+    val other = CorpusOps.dpHistogram(docs, seed = "graft-dp-v2")
+      .orderBy("source").collect().map(_.getLong(1)).toSeq
+    assert(CorpusOps.dpHistogram(docs, seed = "graft-dp-v2")
+      .orderBy("source").collect().map(_.getLong(1)).toSeq === other)
+    // repartition determinism
+    assert(CorpusOps.dpHistogram(docs.repartition(7)).orderBy("source")
+      .collect().map(_.getLong(1)).toSeq === Seq(10L, 4L))
+  }
+
+  test("dpHistogram: noise magnitude bounded for alpha=0.5 over 20 groups") {
+    val docs = (0L to 499L).map(i => (i, "t", s"src${i % 20}"))
+      .toDF("doc_id", "text", "source")
+    val rel = CorpusOps.dpHistogram(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every group truly has 25 docs; for alpha=0.5 the two-sided
+    // geometric tail makes |noise| > 20 astronomically unlikely — and
+    // the draws are fixed by the seed, so this is a stable check
+    rel.values.foreach(v => assert(v >= 5L && v <= 45L, s"released $v"))
+    // noise is actually non-zero somewhere (the mechanism does perturb)
+    assert(rel.values.exists(_ !== 25L))
+  }
+}
