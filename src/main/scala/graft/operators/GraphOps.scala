@@ -40,6 +40,62 @@ object GraphOps {
       .distinct()
   }
 
+  /** Deterministic reply-forest fixture: post 0 and every idHash%5=0
+    * post start a thread (parent null); every other post replies to a
+    * strictly earlier post `id − (1 + idHash % min(id, 20))`. Back-steps
+    * up to 20 give reply chains tens of hops deep — deep enough that the
+    * doubling in [[threadRoots]] is exercised over multiple rounds.
+    */
+  def forumFixture(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    val h = CorpusOps.idHash(id)
+    docs.select(id.as("id"),
+      when(id === 0 || h % 5 === 0, lit(null).cast("long"))
+        .otherwise(id - (lit(1L) + h % least(id, lit(20L)))).as("parent"))
+  }
+
+  /** Thread-root resolution by POINTER DOUBLING (q177): assembling forum
+    * posts/comments into conversation threads — per post, its thread
+    * root and reply depth. The naive plan walks one parent hop per
+    * round (O(max depth) joins: a 10,000-deep chain = 10,000 shuffles).
+    * Pointer doubling instead squares the jump each round —
+    * anc′(v) = anc(anc(v)), dist′(v) = dist(v) + dist(anc(v)) — so
+    * convergence takes ⌈log₂ depth⌉ rounds: 14 joins for that same
+    * 10,000-deep chain. Roots self-loop at dist 0, making the update a
+    * total function with no null branches in the join.
+    *
+    * Scale shape per round: ONE self equi-join on the ancestor key + a
+    * projection; state is 3 BIGINTs per node; lineage cut per round via
+    * localCheckpoint (the q64/q132 discipline); the driver checks a
+    * one-row convergence count, so rounds stop as soon as every pointer
+    * is at its root.
+    */
+  def threadRoots(posts: DataFrame, maxRounds: Int = 32): DataFrame = {
+    var state = posts.select(col("id").as("node_id"),
+        coalesce(col("parent"), col("id")).as("anc"),
+        when(col("parent").isNull, 0L).otherwise(1L).as("dist"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val lookup = state.select(col("node_id").as("l_id"),
+        col("anc").as("l_anc"), col("dist").as("l_dist"))
+      val next = state.join(lookup, col("anc") === col("l_id"))
+        .select(col("node_id"), col("l_anc").as("anc"),
+          (col("dist") + col("l_dist")).as("dist"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(state.select(col("node_id"), col("anc").as("old_anc")), "node_id")
+        .filter(col("anc") =!= col("old_anc")).limit(1).count() == 0
+      val prev = state
+      state = next
+      prev.unpersist()
+      rounds += 1
+    }
+    state.select(col("node_id"), col("anc").as("root_id"),
+      col("dist").as("depth"))
+  }
+
   /** Fixed-iteration PageRank (damping 0.85) in exact nano-rank BIGINTs:
     * r₀ = ⌊10⁹/n⌋ for every node, then per iteration each node sends
     * ⌊r/outdeg⌋ along each out-edge and receives

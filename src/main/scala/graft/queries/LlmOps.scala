@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AudioWav, CorpusOps, Dedup, EvalOps, Multimodal, SftOps, Similarity, TextAnalysis}
+import graft.operators.{AudioWav, CorpusOps, Dedup, EvalOps, GraphOps, Multimodal, SftOps, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator queries (north-star extension): dedup,
   * similarity search, text analysis, multimodal columns — each a `queries`
@@ -780,6 +780,12 @@ object LlmOps {
       TextAnalysis.scriptMix(Tables.documents(s, d).withColumn("text",
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
+
+    // conversation-thread assembly: per post its thread root and reply
+    // depth, resolved in O(log depth) pointer-doubling rounds
+    "q177_thread_roots" -> ((s, d) =>
+      GraphOps.threadRoots(GraphOps.forumFixture(Tables.documents(s, d)))
+        .orderBy(col("node_id"))),
 
     // eps-DP released per-source histogram: deterministic two-sided
     // geometric noise from md5-seeded inverse-CDF draws, clamped at 0
@@ -1704,6 +1710,25 @@ object LlmOps {
              - CAST(floor(ln(u2/1000000.0)/ln(0.5)) AS BIGINT), 0)
              AS released
          FROM u ORDER BY source""",
+    // reply-forest fixture replay, then a per-node recursive walk to the
+    // root — arg_max(cur, depth) is the walk's endpoint = the root the
+    // doubling loop must agree with
+    "q177_thread_roots" ->
+      """WITH RECURSIVE posts AS (
+           SELECT id, CASE WHEN id = 0 OR h % 5 = 0 THEN NULL
+               ELSE id - (1 + h % least(id, 20)) END AS parent
+           FROM (SELECT doc_id AS id,
+               ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+             FROM documents)),
+         walk AS (
+           SELECT id AS node_id, id AS cur, 0 AS depth FROM posts
+           UNION ALL
+           SELECT w.node_id, p.parent, w.depth + 1
+           FROM walk w JOIN posts p ON p.id = w.cur
+           WHERE p.parent IS NOT NULL)
+         SELECT node_id, arg_max(cur, depth) AS root_id,
+           CAST(max(depth) AS BIGINT) AS depth
+         FROM walk GROUP BY node_id ORDER BY node_id""",
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

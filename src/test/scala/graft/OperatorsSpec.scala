@@ -565,3 +565,58 @@ class DpHistogramSpec extends SparkSpec {
     assert(rel.values.exists(_ !== 25L))
   }
 }
+
+/** Thread-root resolution via pointer doubling (q177). */
+class ThreadRootsSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.GraphOps
+
+  private def posts(rows: (Long, Option[Long])*) =
+    rows.toSeq.map { case (i, p) => (i, p.map(Long.box).orNull) }
+      .toDF("id", "parent")
+      .select(col("id"), col("parent").cast("long"))
+
+  test("threadRoots: forest with two threads, exact roots and depths") {
+    val df = posts(0L -> None, 1L -> Some(0L), 2L -> Some(1L),
+      3L -> Some(2L), 10L -> None, 11L -> Some(10L), 12L -> Some(10L))
+    val out = GraphOps.threadRoots(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) === ((0L, 0L)))
+    assert(out(3L) === ((0L, 3L)))
+    assert(out(2L) === ((0L, 2L)))
+    assert(out(11L) === ((10L, 1L)))
+    assert(out(12L) === ((10L, 1L)))
+  }
+
+  test("threadRoots: 300-deep chain converges (doubling, not hop-by-hop)") {
+    // maxRounds 32 can never finish a 300-deep chain one hop at a time;
+    // only O(log depth) doubling reaches the root within the cap
+    val chain = posts((0L -> None) +:
+      (1L to 300L).map(i => i -> Some(i - 1)): _*)
+    val out = GraphOps.threadRoots(chain).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(300L) === ((0L, 300L)))
+    assert(out(157L) === ((0L, 157L)))
+  }
+
+  test("forumFixture + threadRoots matches a driver-side reference walk") {
+    val docs = (0L to 299L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val fixture = GraphOps.forumFixture(docs)
+    val parents = fixture.collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    }.toMap
+    def walk(i: Long): (Long, Long) = {
+      var cur = i; var d = 0L
+      while (parents(cur).isDefined) { cur = parents(cur).get; d += 1 }
+      (cur, d)
+    }
+    val expected = parents.keys.map(i => i -> walk(i)).toMap
+    val out = GraphOps.threadRoots(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === expected)
+    // the fixture grows real multi-hop threads
+    assert(expected.values.map(_._2).max >= 5L)
+  }
+}
