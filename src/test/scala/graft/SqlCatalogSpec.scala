@@ -349,4 +349,38 @@ class SqlCatalogSpec extends SparkSpec {
     assert(rel.buildScan().count() == 1L)
     assert(rel.schema == t.schema)
   }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: sync-to-source semantics") {
+    val wh = tmpDir("graft-sqlcat-nmbs")
+    spark.conf.set("spark.sql.catalog.sqn", "graft.sqlcat.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqn.warehouse", wh)
+    sql("CREATE NAMESPACE sqn.d")
+    sql("""CREATE TABLE sqn.d.t (id BIGINT, v STRING, amount DOUBLE)
+           TBLPROPERTIES ('unique_keys'='id')""")
+    sql("INSERT INTO sqn.d.t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 30.0)")
+    // full replication MERGE: update matches, insert new, delete rows the
+    // source no longer carries — all in ONE commit
+    sql("""MERGE INTO sqn.d.t t
+           USING (SELECT * FROM VALUES (2L, 'B', 20.0), (9L, 'i', 9.0)
+                  AS v(id, v, amount)) s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET v = s.v, amount = s.amount
+           WHEN NOT MATCHED THEN INSERT (id, v, amount)
+             VALUES (s.id, s.v, s.amount)
+           WHEN NOT MATCHED BY SOURCE AND t.amount < 10.0 THEN DELETE""")
+    // id 1 deleted (absent from source, amount < 10); id 3 survives (the
+    // BY SOURCE condition gates the delete); one version advanced
+    assert(sql("SELECT id, v, amount FROM sqn.d.t ORDER BY id").collect().toSeq ==
+      Seq(Row(2L, "B", 20.0), Row(3L, "c", 30.0), Row(9L, "i", 9.0)))
+    // conditional BY-SOURCE UPDATE marks stale rows in place
+    sql("""MERGE INTO sqn.d.t t
+           USING (SELECT 2L AS id) s
+           ON t.id = s.id
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""")
+    assert(sql("SELECT id, v FROM sqn.d.t ORDER BY id").collect().toSeq ==
+      Seq(Row(2L, "B"), Row(3L, "stale"), Row(9L, "stale")))
+    // the whole first MERGE was one commit: its pre-image is one version back
+    assert(sql("SELECT CAST(count(*) AS BIGINT) FROM sqn.d.t VERSION AS OF 1")
+      .collect().head.getLong(0) == 3L)
+  }
 }
