@@ -2584,6 +2584,58 @@ object CorpusOps {
     * \|lang\|·\|source\|·buckets classes — nothing downstream is
     * corpus-sized.
     */
+  /** Cross-source quantile normalization (q178): maps every document's
+    * quality score to the GLOBAL score distribution at the document's
+    * within-source percentile — CDF matching, the calibration step
+    * before one global keep-threshold can be fair across sources whose
+    * raters/heuristics score on different scales (one source's 0.6 is
+    * another's 0.9; after mapping, a global cut keeps the same per-source
+    * fraction a per-source cut would).
+    *
+    * Scale shape — deliberately NO per-source total-order window over
+    * documents (the q122 straggler argument): percentiles come from the
+    * DISTINCT-SCORE distribution tables instead. Scores are 4dp-quantized
+    * (the [[TextAnalysis.quant4]] invariant), so the per-source table is
+    * ≤ |sources|·10⁴ rows and the global table ≤ 10⁴ rows — the only
+    * windows run over those bounded tables, and the 1001-point global
+    * quantile spine is a broadcast join. Percentiles use percent_rank
+    * tie semantics ((rank−1)/(n−1), rank = first tied row) in exact
+    * floored millionths; the spine lookup is q(t) = min{s : cdfₘₐₓ(s) ≥ t}.
+    */
+  def quantileNormalize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val qs = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        round(col("quality_score") * 10000).cast("long").as("s4"))
+    val srcCnt = qs.groupBy(col("source"), col("s4"))
+      .agg(count(lit(1)).as("cnt"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("s4"))
+    val srcTot = qs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val srcDist = srcCnt.withColumn("cum", sum(col("cnt")).over(wSrc))
+      .join(srcTot, "source")
+      .withColumn("p6", when(col("n_src") === 1, lit(0L)).otherwise(
+        floor((col("cum") - col("cnt")) * 1000000L / (col("n_src") - 1))))
+      .select(col("source"), col("s4"), col("p6"))
+    val globTot = qs.agg(count(lit(1)).as("n_glob"))
+    val globDist = qs.groupBy(col("s4")).agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum(col("gcnt")).over(Window.orderBy(col("s4"))))
+      .crossJoin(broadcast(globTot))
+      .withColumn("pmax6", when(col("n_glob") === 1, lit(1000000L))
+        .otherwise(floor((col("gcum") - 1) * 1000000L / (col("n_glob") - 1))))
+      .select(col("s4").as("g_s4"), col("pmax6"))
+    val spine = spark.range(0, 1001).select(col("id").as("b"))
+    val quantiles = broadcast(spine)
+      .join(globDist, col("pmax6") >= col("b") * 1000)
+      .groupBy(col("b")).agg(min(col("g_s4")).as("norm_s4"))
+    qs.join(srcDist, Seq("source", "s4"))
+      .withColumn("b", floor(col("p6") / 1000L))
+      .join(broadcast(quantiles), Seq("b"))
+      .select(col("doc_id"), col("source"),
+        col("quality_score").as("score"),
+        (col("p6").cast("double") / 1e6).as("src_pct"),
+        (col("norm_s4").cast("double") / 10000.0).as("norm_score"))
+  }
+
   /** Differentially-private histogram release (q176): per-group counts
     * released under ε-DP via two-sided geometric (discrete Laplace)
     * noise — the mechanism for publishing dataset-composition tables

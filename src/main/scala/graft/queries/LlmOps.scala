@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // cross-source score calibration: within-source percentile from the
+    // bounded distinct-score table, mapped onto the global quantile spine
+    "q178_quantile_norm" -> ((s, d) =>
+      CorpusOps.quantileNormalize(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // conversation-thread assembly: per post its thread root and reply
     // depth, resolved in O(log depth) pointer-doubling rounds
     "q177_thread_roots" -> ((s, d) =>
@@ -1729,6 +1735,50 @@ object LlmOps {
          SELECT node_id, arg_max(cur, depth) AS root_id,
            CAST(max(depth) AS BIGINT) AS depth
          FROM walk GROUP BY node_id ORDER BY node_id""",
+    // q32's quality chain, then the same distinct-score distribution
+    // tables: percent_rank-convention source percentiles, the global
+    // max-rank CDF, the 1001-point spine lookup q(t)=min{s: cdf>=t}
+    "q178_quantile_norm" ->
+      """WITH t AS (SELECT doc_id, source, text, length(text) AS nc,
+              len(list_filter(string_split(text,' '), x -> x <> '')) AS nw,
+              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+              len(list_filter(string_split(text,' '),
+                  x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS ns
+            FROM documents),
+         q AS (SELECT doc_id, source,
+              floor((0.4*least(1.0, nw/50.0) + 0.3*(1.0 - np*1.0/nc)
+                    + 0.3*least(1.0, ns*1.0/nw*5.0))*10000)/10000
+                AS quality_score
+            FROM t),
+         qq AS (SELECT doc_id, source, quality_score,
+              CAST(round(quality_score * 10000) AS BIGINT) AS s4 FROM q),
+         sc AS (SELECT source, s4, count(*) AS cnt FROM qq
+                GROUP BY source, s4),
+         st AS (SELECT source, count(*) AS n_src FROM qq GROUP BY source),
+         sd AS (SELECT x.source, s4,
+              CASE WHEN n_src = 1 THEN 0
+                ELSE CAST(floor((cum - cnt) * 1000000 / (n_src - 1))
+                  AS BIGINT) END AS p6
+            FROM (SELECT source, s4, cnt,
+                    sum(cnt) OVER (PARTITION BY source ORDER BY s4) AS cum
+                  FROM sc) x JOIN st ON st.source = x.source),
+         gt AS (SELECT count(*) AS n_glob FROM qq),
+         gd AS (SELECT s4 AS g_s4,
+              CASE WHEN n_glob = 1 THEN 1000000
+                ELSE CAST(floor((gcum - 1) * 1000000 / (n_glob - 1))
+                  AS BIGINT) END AS pmax6
+            FROM (SELECT s4, sum(gcnt) OVER (ORDER BY s4) AS gcum FROM
+                   (SELECT s4, count(*) AS gcnt FROM qq GROUP BY s4)) y, gt),
+         sp AS (SELECT unnest(generate_series(0, 1000)) AS b),
+         qn AS (SELECT b, min(g_s4) AS norm_s4
+                FROM sp JOIN gd ON pmax6 >= b * 1000 GROUP BY b)
+         SELECT doc_id, qq.source, quality_score AS score,
+           CAST(p6 AS DOUBLE)/1e6 AS src_pct,
+           CAST(norm_s4 AS DOUBLE)/10000.0 AS norm_score
+         FROM qq
+           JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
+           JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
+         ORDER BY doc_id""",
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

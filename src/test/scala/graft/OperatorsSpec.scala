@@ -620,3 +620,49 @@ class ThreadRootsSpec extends SparkSpec {
     assert(expected.values.map(_._2).max >= 5L)
   }
 }
+
+/** Cross-source quantile normalization (q178). */
+class QuantileNormSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.CorpusOps
+
+  test("quantileNormalize: shifted sources calibrate to comparable values") {
+    // source A scores systematically higher than source B for the same
+    // within-source standing; after mapping, equal percentiles get
+    // equal normalized scores
+    def doc(i: Long, words: Int, src: String) =
+      (i, (1 to words).map(_ => "zq").mkString(" ") + " end.", src)
+    // word count drives quality_score monotonically below 50 words
+    val docs = ((0 until 10).map(i => doc(i.toLong, 10 + i * 4, "A")) ++
+      (0 until 10).map(i => doc(100L + i, 2 + i, "B"))).toDF("doc_id", "text", "source")
+    val out = CorpusOps.quantileNormalize(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // same within-source rank → same percentile → same normalized score
+    (0 until 10).foreach { i =>
+      val (_, pctA, normA) = out(i.toLong)
+      val (_, pctB, normB) = out(100L + i)
+      assert(pctA === pctB, s"rank $i percentiles differ")
+      assert(normA === normB, s"rank $i normalized scores differ")
+    }
+    // raw scores differ across sources at equal rank (the problem being
+    // fixed); normalized values are monotone in rank
+    assert(out(5L)._1 !== out(105L)._1)
+    val normsA = (0 until 10).map(i => out(i.toLong)._3)
+    assert(normsA === normsA.sorted)
+    // percentile endpoints follow percent_rank convention
+    assert(out(0L)._2 === 0.0 && out(9L)._2 === 1.0)
+  }
+
+  test("quantileNormalize is deterministic under repartition") {
+    val docs = (0L to 199L).map(i =>
+      (i, (1 to (3 + (i % 40)).toInt).map(_ => "w").mkString(" ") + " the.",
+        s"src${i % 5}")).toDF("doc_id", "text", "source")
+    val a = CorpusOps.quantileNormalize(docs).orderBy("doc_id").collect().toSeq
+    val b = CorpusOps.quantileNormalize(docs.repartition(11))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
