@@ -1596,6 +1596,112 @@ object CorpusOps {
     finally release()
   }
 
+  /** Unigram-LM subword vocabulary (q179, the SentencePiece-side
+    * complement to [[trainBpe]]): candidate pieces are every substring of
+    * length 1..`maxPieceLen` of every word OCCURRENCE, counted corpus-wide;
+    * the vocabulary keeps the `topK` most frequent pieces (count desc,
+    * piece asc) plus ALL single characters — the coverage guarantee that
+    * makes every word segmentable, the same reason SentencePiece never
+    * prunes single bytes. Scores are unigram log-probs over the selected
+    * vocabulary's own count mass, floor-quantized to integer micro-nats
+    * (ln then floor×1e6 — one IEEE log per piece, identical in any
+    * engine).
+    *
+    * Scale shape: one bounded explode (≤ len·maxPieceLen candidates per
+    * word), one map-side-combining count, top-K via TakeOrdered; the
+    * returned table is ≤ topK + |alphabet| rows.
+    */
+  def unigramVocab(docs: DataFrame, topK: Int = 512, maxPieceLen: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    val words = docs.select(
+      explode(TextAnalysis.wsTokens(col(textCol))).as("word"))
+    val pieces = words
+      .select(col("word"), explode(sequence(lit(1), length(col("word"))))
+        .as("p"))
+      .select(explode(transform(
+        sequence(lit(1), least(lit(maxPieceLen),
+          length(col("word")) - col("p") + 1)),
+        k => col("word").substr(col("p"), k))).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+    val top = pieces.orderBy(col("cnt").desc, col("piece")).limit(topK)
+    val chars = pieces.filter(length(col("piece")) === 1)
+    val sel = top.unionByName(chars).groupBy(col("piece"))
+      .agg(max(col("cnt")).as("cnt"))
+    val tot = sel.agg(sum(col("cnt")).as("tot"))
+    sel.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        floor(log(col("cnt").cast("double") / col("tot")) * 1000000L)
+          .cast("long").as("score6"))
+  }
+
+  /** Unigram-LM Viterbi segmentation (q180): per document, the number of
+    * subword pieces and the total log-prob of the MAX-LIKELIHOOD
+    * segmentation of every word under a [[unigramVocab]] piece table —
+    * the encode step of a SentencePiece-style tokenizer, and the exact
+    * quantity its EM training maximizes.
+    *
+    * The per-word DP runs as a pure higher-order Catalyst expression:
+    * `aggregate(sequence(1, len), dp₀, step)` carries the dp prefix as an
+    * array of (score6, n_pieces) structs; each step maximizes over the
+    * ≤`maxPieceLen` pieces ending at position i with the deterministic
+    * tie rule (score desc, pieces asc, piece-length asc). Piece scores
+    * reach the lambda as a LITERAL map (the vocabulary is topK-bounded —
+    * the k-means-centroids-as-literals pattern), so the whole DP is
+    * row-local: no join, no shuffle, no UDF. Single-character coverage
+    * from the vocab guarantees every word segments.
+    *
+    * Scale shape: the DP runs once per DISTINCT word (the dedup that
+    * makes tokenizing a 100 TB corpus tractable — word types grow
+    * sub-linearly in tokens), then one equi-join back onto word
+    * occurrences and one doc-keyed aggregation.
+    */
+  def unigramSegment(docs: DataFrame, topK: Int = 512, maxPieceLen: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    // literal score map: topK-bounded driver collect, like k-means
+    // centroids — never corpus-sized
+    val vocab = unigramVocab(docs, topK, maxPieceLen, textCol)
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+    val scoreMap = map(vocab.sortBy(_._1).flatMap { case (p, s) =>
+      Seq(lit(p), lit(s)) }.toIndexedSeq: _*)
+
+    val sentinel = struct(lit(Long.MinValue / 2).as("s"), lit(0L).as("n"),
+      lit(0).as("k"))
+    def better(c: Column, b: Column): Column =
+      c.getField("s") > b.getField("s") ||
+        (c.getField("s") === b.getField("s") &&
+          (c.getField("n") < b.getField("n") ||
+            (c.getField("n") === b.getField("n") &&
+              c.getField("k") < b.getField("k"))))
+    val w = col("word")
+    val step = (acc: Column, i: Column) => {
+      val cands = filter(transform(sequence(lit(1), lit(maxPieceLen)), k => {
+        val sc = element_at(scoreMap, w.substr(i - k + 1, k))
+        val prev = element_at(acc, i - k + 1)
+        when(i >= k && sc.isNotNull,
+          struct((prev.getField("s") + sc).as("s"),
+            (prev.getField("n") + 1L).as("n"), k.as("k")))
+      }), c => c.isNotNull)
+      val best = aggregate(cands, sentinel,
+        (b, c) => when(better(c, b), c).otherwise(b))
+      concat(acc, array(struct(best.getField("s").as("s"),
+        best.getField("n").as("n"))))
+    }
+    val dpInit = array(struct(lit(0L).as("s"), lit(0L).as("n")))
+    val dpLast = element_at(
+      aggregate(sequence(lit(1), length(w)), dpInit, step), length(w) + 1)
+
+    val occurrences = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("word"))
+    val perWord = occurrences.select(w).distinct()
+      .select(w, dpLast.getField("s").as("w_s6"),
+        dpLast.getField("n").as("w_n"))
+    occurrences.join(perWord, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("w_n")).as("n_pieces"),
+        sum(col("w_s6")).as("score6_total"))
+  }
+
   /** Distributed logistic-regression quality scoring: full-batch gradient
     * descent on cheap per-document shape features (token count, raw
     * length, type/token ratio), trained against a slice indicator — the

@@ -781,6 +781,18 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // unigram-LM (SentencePiece-side) subword vocabulary: top-K pieces
+    // + single-char coverage, micro-nat log-prob scores
+    "q179_unigram_vocab" -> ((s, d) =>
+      CorpusOps.unigramVocab(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("piece"))),
+
+    // Viterbi segmentation under the unigram vocab — the DP runs as a
+    // higher-order Catalyst expression per DISTINCT word, zero UDFs
+    "q180_unigram_segment" -> ((s, d) =>
+      CorpusOps.unigramSegment(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // cross-source score calibration: within-source percentile from the
     // bounded distinct-score table, mapped onto the global quantile spine
     "q178_quantile_norm" -> ((s, d) =>
@@ -1461,8 +1473,87 @@ object LlmOps {
          ORDER BY rank"""
   }
 
+  /** q180's oracle: the per-word Viterbi DP as a recursive CTE. State per
+    * (word, position): the dp score/piece-count prefixes as lists; each
+    * step LEFT-JOINs the piece table once per candidate length and picks
+    * the winner under the (score desc, pieces asc, length asc) tie rule
+    * via a single combined integer key (score·4096 − pieces·8 − len: the
+    * low bits can never flip the score comparison, and equal keys are
+    * impossible for distinct lengths).
+    */
+  private def unigramSegOracleSql: String = {
+    def sK(k: Int) = s"(d.ss[d.i + 2 - $k] + p$k.score6)"
+    def nK(k: Int) = s"(d.nn[d.i + 2 - $k] + 1)"
+    def key(k: Int) =
+      s"""CASE WHEN d.i + 1 >= $k AND p$k.piece IS NOT NULL
+           THEN ${sK(k)}*4096 - ${nK(k)}*8 - $k END"""
+    def bkCase: String = (1 to 4).map { k =>
+      val others = (1 to 4).filter(_ != k)
+        .map(j => s"(k$j IS NULL OR k$k >= k$j)").mkString(" AND ")
+      s"WHEN k$k IS NOT NULL AND $others THEN $k"
+    }.mkString("CASE ", " ", " END")
+    def pick(f: Int => String): String =
+      (1 to 4).map(k => s"WHEN bk = $k THEN ${f(k)}")
+        .mkString("CASE ", " ", " END")
+    val joins = (1 to 4).map(k =>
+      s"LEFT JOIN v p$k ON p$k.piece = substr(d.word, d.i + 2 - $k, $k)")
+      .mkString("\n           ")
+    s"""WITH RECURSIVE w AS MATERIALIZED (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS word FROM documents),
+         pos AS (SELECT word, unnest(generate_series(1, length(word))) AS p
+                 FROM w),
+         cand AS (SELECT substr(word, p, t.k) AS piece
+            FROM pos, unnest(generate_series(1,
+              least(4, length(word) - p + 1))) AS t(k)),
+         cnts AS (SELECT piece, count(*) AS cnt FROM cand GROUP BY piece),
+         top AS (SELECT piece, cnt FROM cnts
+                 ORDER BY cnt DESC, piece LIMIT 512),
+         chars AS (SELECT piece, cnt FROM cnts WHERE length(piece) = 1),
+         sel AS (SELECT piece, CAST(max(cnt) AS BIGINT) AS cnt FROM
+                  (SELECT * FROM top UNION ALL SELECT * FROM chars)
+                 GROUP BY piece),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM sel),
+         v AS MATERIALIZED (SELECT piece,
+              CAST(floor(ln(cnt * 1.0 / tot) * 1000000) AS BIGINT) AS score6
+            FROM sel, tot),
+         dw AS MATERIALIZED (SELECT DISTINCT word FROM w),
+         dp AS (
+           SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS ss,
+             [CAST(0 AS BIGINT)] AS nn
+           FROM dw
+           UNION ALL
+           SELECT word, i + 1, list_append(ss, best_s), list_append(nn, best_n)
+           FROM (
+             SELECT d.word, d.i, d.ss, d.nn,
+               ${pick(sK)} AS best_s, ${pick(nK)} AS best_n
+             FROM (
+               SELECT d.word, d.i, d.ss, d.nn,
+                 $bkCase AS bk,
+                 p1.score6 AS sc1, p2.score6 AS sc2,
+                 p3.score6 AS sc3, p4.score6 AS sc4
+               FROM (
+                 SELECT d.*, ${key(1)} AS k1, ${key(2)} AS k2,
+                   ${key(3)} AS k3, ${key(4)} AS k4
+                 FROM dp d
+                 $joins
+                 WHERE d.i < length(d.word)) d
+               $joins) d
+             $joins)
+         ),
+         fin AS (SELECT word, ss[length(word) + 1] AS w_s6,
+              nn[length(word) + 1] AS w_n
+            FROM dp WHERE i = length(word))
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(w_n) AS BIGINT) AS n_pieces,
+           CAST(sum(w_s6) AS BIGINT) AS score6_total
+         FROM w JOIN fin USING (word)
+         GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q169_bradley_terry" -> btOracleSql(10),
+    "q180_unigram_segment" -> unigramSegOracleSql,
     // fixture replay + the exact subset-count ratio via list_product over
     // the same clamped factor lists, cast back to BIGINT before the
     // millionth floor so the integer decisions match Spark's aggregate()
@@ -1779,6 +1870,27 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // candidate-piece enumeration via lateral unnest, top-K ∪ chars,
+    // micro-nat scores over the selected vocabulary's own mass
+    "q179_unigram_vocab" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS word FROM documents),
+         pos AS (SELECT word, unnest(generate_series(1, length(word))) AS p
+                 FROM w),
+         cand AS (SELECT substr(word, p, t.k) AS piece
+            FROM pos, unnest(generate_series(1,
+              least(4, length(word) - p + 1))) AS t(k)),
+         cnts AS (SELECT piece, count(*) AS cnt FROM cand GROUP BY piece),
+         top AS (SELECT piece, cnt FROM cnts
+                 ORDER BY cnt DESC, piece LIMIT 512),
+         chars AS (SELECT piece, cnt FROM cnts WHERE length(piece) = 1),
+         sel AS (SELECT piece, CAST(max(cnt) AS BIGINT) AS cnt FROM
+                  (SELECT * FROM top UNION ALL SELECT * FROM chars)
+                 GROUP BY piece),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM sel)
+         SELECT piece, cnt,
+           CAST(floor(ln(cnt * 1.0 / tot) * 1000000) AS BIGINT) AS score6
+         FROM sel, tot ORDER BY piece""",
     // exact-by-construction: the incremental index's oracle IS brute
     // force, identical to q30's shape
     "q105_vector_index" ->

@@ -666,3 +666,76 @@ class QuantileNormSpec extends SparkSpec {
     assert(a === b)
   }
 }
+
+/** Unigram-LM vocab + Viterbi segmentation (q179/q180). */
+class UnigramSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.CorpusOps
+
+  test("unigramVocab: hand-counted pieces, coverage chars, exact scores") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val v = CorpusOps.unigramVocab(docs).orderBy("piece").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(v.keySet === Set("a", "ab", "b"))
+    assert(v("a")._1 === 2L && v("ab")._1 === 2L && v("b")._1 === 3L)
+    def sc(c: Long) = math.floor(math.log(c.toDouble / 7) * 1e6).toLong
+    assert(v("ab")._2 === sc(2) && v("b")._2 === sc(3))
+  }
+
+  test("unigramSegment: one piece beats two when log-probs say so") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val r = CorpusOps.unigramSegment(docs).collect().head
+    def sc(c: Long) = math.floor(math.log(c.toDouble / 7) * 1e6).toLong
+    assert(r.getLong(1) === 3L)              // words
+    assert(r.getLong(2) === 3L)              // ab=1 piece (beats a+b), b=1
+    assert(r.getLong(3) === 2 * sc(2) + sc(3))
+  }
+
+  test("unigramSegment matches an independent driver-side Viterbi") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
+    val vocab = CorpusOps.unigramVocab(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    def viterbi(word: String): (Long, Long) = {
+      // dp over prefix lengths; tie: score desc, pieces asc, len asc
+      val dp = Array.fill(word.length + 1)((Long.MinValue / 2, 0L))
+      dp(0) = (0L, 0L)
+      for (i <- 1 to word.length) {
+        var best = (Long.MinValue / 2, 0L, 0)
+        for (k <- 1 to math.min(4, i)) {
+          vocab.get(word.substring(i - k, i)).foreach { s =>
+            val c = (dp(i - k)._1 + s, dp(i - k)._2 + 1, k)
+            val betterC = c._1 > best._1 ||
+              (c._1 == best._1 && (c._2 < best._2 ||
+                (c._2 == best._2 && c._3 < best._3)))
+            if (betterC) best = c
+          }
+        }
+        dp(i) = (best._1, best._2)
+      }
+      (dp(word.length)._1, dp(word.length)._2)
+    }
+    val expected = docs.collect().map { r =>
+      val words = r.getAs[String]("text").split(" ").filter(_.nonEmpty)
+      val segs = words.map(viterbi)
+      r.getAs[Long]("doc_id") ->
+        ((words.length.toLong, segs.map(_._2).sum, segs.map(_._1).sum))
+    }.toMap
+    val out = CorpusOps.unigramSegment(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === expected)
+    // segmentation is real: fewer pieces than characters, more than words
+    val (w, p) = (out.values.map(_._1).sum, out.values.map(_._2).sum)
+    assert(p > w, "multi-piece words must exist")
+  }
+
+  test("unigramSegment is deterministic under repartition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
+    val a = CorpusOps.unigramSegment(docs).orderBy("doc_id").collect().toSeq
+    val b = CorpusOps.unigramSegment(docs.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
