@@ -2690,6 +2690,72 @@ object CorpusOps {
     * \|lang\|·\|source\|·buckets classes — nothing downstream is
     * corpus-sized.
     */
+  /** Deterministic HTML-page fixture: wraps each document's words in a
+    * realistic page skeleton — head with title + style + script, an h1,
+    * a nav list of link items, a main paragraph with an inline anchor —
+    * with idHash families adding a second script block (h%3=0) and an
+    * HTML comment (h%4=0). Every visible word comes from the document's
+    * own token stream, so extraction results are closed forms of the
+    * fixture.
+    */
+  def htmlFixture(id: Column, text: Column): Column = {
+    val h = idHash(id)
+    val w = filter(split(text, " "), x => x =!= lit(""))
+    def seg(from: Int, len: Int) = concat_ws(" ", slice(w, from, len))
+    concat(
+      lit("<html><head><title>"), seg(1, 2), lit("</title>"),
+      lit("<style>p{margin:0}</style><script>var a=1;</script></head><body>"),
+      when(h % 3 === 0,
+        lit("<script type=\"text/javascript\">trackPage();</script>"))
+        .otherwise(lit("")),
+      lit("<h1>"), seg(3, 2), lit("</h1>"),
+      when(h % 4 === 0, concat(lit("<!-- draft "), seg(5, 1), lit(" -->")))
+        .otherwise(lit("")),
+      lit("<ul><li><a href=\"/a\">"), seg(6, 1),
+      lit("</a></li><li><a href=\"/b\">"), seg(7, 1),
+      lit("</a></li></ul><div><p>"), seg(8, 12),
+      lit(" <a href=\"/c\">"), seg(20, 2), lit("</a> "), seg(22, 8),
+      lit("</p></div></body></html>"))
+  }
+
+  /** HTML main-content extraction (q181): the WET-style step every web
+    * corpus runs before any text signal — script/style blocks removed
+    * WITH their contents (dotall non-greedy), comments removed, the
+    * title captured, all remaining tags stripped to whitespace and
+    * squeezed. Plus the curation signals layered on the structure:
+    * anchor count and LINK DENSITY (chars inside anchors / extracted
+    * chars — the classic nav/boilerplate discriminator: a page whose
+    * text is mostly link text is a menu, not content). Row-local regex
+    * chain staged at projection boundaries; identical (?s)/lazy
+    * semantics in Java regex and RE2.
+    */
+  def htmlExtract(docs: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html"): DataFrame = {
+    val staged = docs
+      .withColumn("_noscript", regexp_replace(col(htmlCol),
+        "(?s)(<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->)",
+        ""))
+    val title = regexp_extract(col("_noscript"), "(?s)<title>(.*?)</title>", 1)
+    val anchorTexts = regexp_extract_all(col("_noscript"),
+      lit("(?s)<a [^>]*>(.*?)</a>"), lit(1))
+    val extracted = trim(regexp_replace(
+      regexp_replace(col("_noscript"), "<[^>]*>", " "), " +", " "))
+    staged.select(col(idCol),
+        title.as("title"),
+        extracted.as("_x"),
+        size(anchorTexts).cast("long").as("n_links"),
+        length(concat_ws("", anchorTexts)).cast("long").as("_linkchars"))
+      .select(col(idCol), col("title"),
+        length(col("_x")).cast("long").as("text_len"),
+        size(filter(split(col("_x"), " "), x => x =!= lit("")))
+          .cast("long").as("n_words"),
+        col("n_links"),
+        when(length(col("_x")) > 0,
+          floor(col("_linkchars") * 1000000L / length(col("_x")))
+            .cast("double") / 1e6).otherwise(lit(0.0)).as("link_density"),
+        md5(col("_x")).as("extracted_md5"))
+  }
+
   /** Cross-source quantile normalization (q178): maps every document's
     * quality score to the GLOBAL score distribution at the document's
     * within-source percentile — CDF matching, the calibration step

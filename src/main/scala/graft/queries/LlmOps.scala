@@ -781,6 +781,14 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // WET-style HTML main-content extraction + link-density boilerplate
+    // signal over the deterministic page fixture
+    "q181_html_extract" -> ((s, d) =>
+      CorpusOps.htmlExtract(Tables.fanout(Tables.documents(s, d))
+          .select(col("doc_id"),
+            CorpusOps.htmlFixture(col("doc_id"), col("text")).as("html")))
+        .orderBy(col("doc_id"))),
+
     // unigram-LM (SentencePiece-side) subword vocabulary: top-K pieces
     // + single-char coverage, micro-nat log-prob scores
     "q179_unigram_vocab" -> ((s, d) =>
@@ -1870,6 +1878,49 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // page fixture replay, the same dotall/lazy strip chain, group
+    // extraction for anchors, tag strip + squeeze, link-density floor
+    "q181_html_extract" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w,
+              ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+            FROM documents),
+         b AS (SELECT doc_id,
+              '<html><head><title>' || coalesce(array_to_string(w[1:2], ' '), '')
+              || '</title><style>p{margin:0}</style><script>var a=1;</script></head><body>'
+              || CASE WHEN h % 3 = 0
+                   THEN '<script type="text/javascript">trackPage();</script>'
+                   ELSE '' END
+              || '<h1>' || coalesce(array_to_string(w[3:4], ' '), '') || '</h1>'
+              || CASE WHEN h % 4 = 0
+                   THEN '<!-- draft ' || coalesce(array_to_string(w[5:5], ' '), '') || ' -->'
+                   ELSE '' END
+              || '<ul><li><a href="/a">' || coalesce(array_to_string(w[6:6], ' '), '')
+              || '</a></li><li><a href="/b">' || coalesce(array_to_string(w[7:7], ' '), '')
+              || '</a></li></ul><div><p>' || coalesce(array_to_string(w[8:19], ' '), '')
+              || ' <a href="/c">' || coalesce(array_to_string(w[20:21], ' '), '')
+              || '</a> ' || coalesce(array_to_string(w[22:29], ' '), '')
+              || '</p></div></body></html>' AS html
+            FROM d),
+         ns AS (SELECT doc_id, regexp_replace(html,
+              '(?s)(<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->)',
+              '', 'g') AS t FROM b),
+         x AS (SELECT doc_id,
+              regexp_extract(t, '(?s)<title>(.*?)</title>', 1) AS title,
+              trim(regexp_replace(regexp_replace(t, '<[^>]*>', ' ', 'g'),
+                ' +', ' ', 'g')) AS xt,
+              regexp_extract_all(t, '(?s)<a [^>]*>(.*?)</a>', 1) AS anchors
+            FROM ns)
+         SELECT doc_id, title,
+           CAST(length(xt) AS BIGINT) AS text_len,
+           CAST(len(list_filter(string_split(xt, ' '), q -> q <> ''))
+             AS BIGINT) AS n_words,
+           CAST(len(anchors) AS BIGINT) AS n_links,
+           CASE WHEN length(xt) > 0 THEN
+             CAST(floor(len(array_to_string(anchors, '')) * 1000000
+               / length(xt)) AS DOUBLE)/1e6 ELSE 0.0 END AS link_density,
+           md5(xt) AS extracted_md5
+         FROM x ORDER BY doc_id""",
     // candidate-piece enumeration via lateral unnest, top-K ∪ chars,
     // micro-nat scores over the selected vocabulary's own mass
     "q179_unigram_vocab" ->

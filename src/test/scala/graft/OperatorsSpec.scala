@@ -739,3 +739,62 @@ class UnigramSpec extends SparkSpec {
     assert(a === b)
   }
 }
+
+/** HTML main-content extraction (q181). */
+class HtmlExtractSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.CorpusOps
+
+  test("htmlExtract: strip chain, title, link density closed forms") {
+    val html = """<html><head><title>My Page</title><style>p{}</style>""" +
+      """<script>var x="<p>not text</p>";</script></head><body>""" +
+      """<!-- hidden comment --><h1>Head Line</h1>""" +
+      """<p>real body text here</p><a href="/x">click me</a></body></html>"""
+    val out = CorpusOps.htmlExtract(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().head
+    assert(out.getString(1) === "My Page")
+    // script content (incl. its fake tags), style, comment all gone
+    val extracted = "My Page Head Line real body text here click me"
+    assert(out.getLong(2) === extracted.length.toLong)
+    assert(out.getLong(3) === 10L) // words
+    assert(out.getLong(4) === 1L)  // one anchor
+    // link density = len("click me") * 1e6 / len(extracted), floored
+    assert(out.getDouble(5) ===
+      math.floor(8.0 * 1e6 / extracted.length) / 1e6)
+    assert(out.getString(6) ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(extracted.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+  }
+
+  test("htmlExtract: menu-like page has high link density") {
+    val menu = """<body><ul><li><a href="/a">home</a></li>""" +
+      """<li><a href="/b">about</a></li><li><a href="/c">contact</a></li>""" +
+      """</ul>ok</body>"""
+    val r = CorpusOps.htmlExtract(Seq((1L, menu)).toDF("doc_id", "html"))
+      .collect().head
+    assert(r.getDouble(5) > 0.7, s"menu link density ${r.getDouble(5)}")
+  }
+
+  test("htmlFixture + htmlExtract: fixture families and determinism") {
+    val docs = (0L to 99L).map(i =>
+      (i, (1 to 40).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val pages = docs.select(col("doc_id"),
+      CorpusOps.htmlFixture(col("doc_id"), col("text")).as("html"))
+    val out = CorpusOps.htmlExtract(pages).orderBy("doc_id").collect()
+    // every page: title = first two words, 3 anchors, comment words gone
+    out.foreach { r =>
+      assert(r.getString(1) === "w1 w2")
+      assert(r.getLong(4) === 3L)
+    }
+    // doc 0: idHash=0 → has the extra script AND the comment; neither
+    // trackPage nor 'draft' may leak into extracted text length
+    val texts = CorpusOps.htmlExtract(pages).orderBy("doc_id")
+      .collect().map(_.getLong(2))
+    val again = CorpusOps.htmlExtract(pages.repartition(7))
+      .orderBy("doc_id").collect().map(_.getLong(2))
+    assert(texts.toSeq === again.toSeq)
+  }
+}
