@@ -226,6 +226,80 @@ object EvalOps {
         (col("ece6").cast("double") / 1e6).as("ece"))
   }
 
+  /** Wilson score interval (q182): per category (source), the binomial
+    * confidence interval on accuracy that stays honest at small n and
+    * extreme p — the error bars an eval report should print instead of
+    * ±z√(p(1−p)/n) (which collapses to zero width at p∈{0,1}). Computed
+    * over pooled [[evalRuns]] trials; the double chain (one sqrt) is
+    * written identically in both engines and the bounds floor-quantize
+    * at millionths. One aggregation to |categories| rows.
+    */
+  def wilsonCi(runs: DataFrame, z: Double = 1.96): DataFrame = {
+    val agg = runs.groupBy(col("source"))
+      .agg(sum(col("n")).as("trials"), sum(col("c")).as("successes"))
+    val n = col("trials").cast("double")
+    val p = col("successes").cast("double") / n
+    val z2 = z * z
+    val denom = lit(1.0) + lit(z2) / n
+    val center = p + lit(z2) / (n * 2)
+    val margin = lit(z) *
+      sqrt(p * (lit(1.0) - p) / n + lit(z2) / (n * n * 4))
+    def q6(c: Column) = floor(c * 1000000L).cast("double") / 1e6
+    agg.select(col("source"), col("trials"), col("successes"),
+      q6(p).as("acc"),
+      q6((center - margin) / denom).as("ci_lo"),
+      q6((center + margin) / denom).as("ci_hi"))
+  }
+
+  /** Poisson-bootstrap confidence interval (q183): per category, a
+    * 95% CI on accuracy from `replicas` bootstrap resamples — using the
+    * POISSON bootstrap, the resampling scheme that works distributed:
+    * classic bootstrap needs a global sample-with-replacement (a
+    * coordination point), while Poisson(1) weights are independent
+    * per (row, replica), so the whole thing is one bounded explode and
+    * one aggregation. Weights draw by inverse CDF against the literal
+    * millionth-quantized Poisson(1) thresholds from md5-seeded uniforms
+    * — fully integer, bit-identical anywhere. The interval is the
+    * empirical 2.5%/97.5% replica accuracy (lower-rank convention,
+    * exact floored-millionth replica accuracies); the replica table is
+    * |categories|·replicas rows, so the ranking windows are bounded.
+    */
+  def bootstrapCi(runs: DataFrame, replicas: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cumulative Poisson(1) CDF in millionths, k = 0..7 (tail capped)
+    val ts = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L,
+      999916L, 999989L)
+    val u6 = Dedup.portableHash32(concat(col("task_id").cast("string"),
+      lit("|boot|"), col("r").cast("string"))) % 1000000L
+    val weight = ts.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((t, k), rest) => when(u6 < t, k.toLong).otherwise(rest)
+    }
+    val rep = runs.select(col("source"), col("task_id"), col("n"), col("c"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+      .withColumn("w", weight)
+      .groupBy(col("source"), col("r"))
+      .agg(sum(col("w") * col("c")).as("sr"), sum(col("w") * col("n")).as("tr"))
+      .filter(col("tr") > 0)
+      .withColumn("acc6", floor(col("sr") * 1000000L / col("tr")))
+    // replica id in the order: equal accuracies must rank identically
+    // in any engine
+    val wnd = Window.partitionBy(col("source"))
+      .orderBy(col("acc6"), col("r"))
+    val loRank = math.floor(0.025 * (replicas - 1)).toLong + 1
+    val hiRank = math.floor(0.975 * (replicas - 1)).toLong + 1
+    val ranked = rep.withColumn("rk", row_number().over(wnd))
+    val point = runs.groupBy(col("source"))
+      .agg((floor(sum(col("c")) * 1000000L / sum(col("n"))).cast("double")
+        / 1e6).as("acc"))
+    point
+      .join(ranked.filter(col("rk") === loRank)
+        .select(col("source"), (col("acc6").cast("double") / 1e6).as("boot_lo")),
+        Seq("source"))
+      .join(ranked.filter(col("rk") === hiRank)
+        .select(col("source"), (col("acc6").cast("double") / 1e6).as("boot_hi")),
+        Seq("source"))
+  }
+
   /** pass@k (q170): the unbiased estimator from the Codex paper —
     * pass@k = 1 − C(n−c,k)/C(n,k), the probability that a random size-k
     * subset of the n samples contains a correct one. Computed as the

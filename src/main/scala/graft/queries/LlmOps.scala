@@ -781,6 +781,18 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // per-category Wilson score interval over pooled eval trials — the
+    // small-n-honest error bars, identical IEEE chain in both engines
+    "q182_wilson_ci" -> ((s, d) =>
+      EvalOps.wilsonCi(EvalOps.evalRuns(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
+    // per-category 95% Poisson-bootstrap CI: integer inverse-CDF weights
+    // per (task, replica), bounded replica table, lower-rank percentiles
+    "q183_bootstrap_ci" -> ((s, d) =>
+      EvalOps.bootstrapCi(EvalOps.evalRuns(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
     // WET-style HTML main-content extraction + link-density boilerplate
     // signal over the deterministic page fixture
     "q181_html_extract" -> ((s, d) =>
@@ -1878,6 +1890,71 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // pooled trials, then the Wilson chain written in the identical
+    // operation order (z and z·z as the same parsed literals)
+    "q182_wilson_ci" ->
+      """WITH r AS (SELECT source, 4 + h % 9 AS n,
+              (h % 997) % (4 + h % 9 + 1) AS c
+            FROM (SELECT source,
+                ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+              FROM documents)),
+         a AS (SELECT source, CAST(sum(n) AS BIGINT) AS trials,
+              CAST(sum(c) AS BIGINT) AS successes
+            FROM r GROUP BY source),
+         w AS (SELECT source, trials, successes,
+              successes * 1.0 / trials AS p,
+              trials * 1.0 AS nn
+            FROM a)
+         SELECT source, trials, successes,
+           CAST(floor(p * 1000000) AS DOUBLE)/1e6 AS acc,
+           CAST(floor((p + (1.96*1.96)/(nn*2)
+               - 1.96 * sqrt(p*(1.0-p)/nn + (1.96*1.96)/(nn*nn*4)))
+             / (1.0 + (1.96*1.96)/nn) * 1000000) AS DOUBLE)/1e6 AS ci_lo,
+           CAST(floor((p + (1.96*1.96)/(nn*2)
+               + 1.96 * sqrt(p*(1.0-p)/nn + (1.96*1.96)/(nn*nn*4)))
+             / (1.0 + (1.96*1.96)/nn) * 1000000) AS DOUBLE)/1e6 AS ci_hi
+         FROM w ORDER BY source""",
+    // the same md5-seeded Poisson(1) inverse-CDF weights, replica
+    // accuracies as floored millionths, rank-5/rank-195 percentiles
+    "q183_bootstrap_ci" ->
+      """WITH r AS (SELECT doc_id AS task_id, source, 4 + h % 9 AS n,
+              (h % 997) % (4 + h % 9 + 1) AS c
+            FROM (SELECT doc_id, source,
+                ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+              FROM documents)),
+         e AS (SELECT source, task_id, n, c, g.r
+            FROM r, (SELECT unnest(generate_series(0, 199)) AS r) g),
+         u AS (SELECT source, r, n, c,
+              CASE
+                WHEN u6 < 367879 THEN 0 WHEN u6 < 735758 THEN 1
+                WHEN u6 < 919698 THEN 2 WHEN u6 < 981011 THEN 3
+                WHEN u6 < 996340 THEN 4 WHEN u6 < 999405 THEN 5
+                WHEN u6 < 999916 THEN 6 WHEN u6 < 999989 THEN 7
+                ELSE 8 END AS w
+            FROM (SELECT *,
+                CAST('0x' || substr(md5(CAST(task_id AS VARCHAR) || '|boot|'
+                  || CAST(r AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS u6
+              FROM e)),
+         rep AS (SELECT source, r, CAST(sum(w * c) AS BIGINT) AS sr,
+              CAST(sum(w * n) AS BIGINT) AS tr
+            FROM u GROUP BY source, r HAVING sum(w * n) > 0),
+         rk AS (SELECT source, r,
+              CAST(floor(sr * 1000000 / tr) AS BIGINT) AS acc6,
+              row_number() OVER (PARTITION BY source
+                ORDER BY CAST(floor(sr * 1000000 / tr) AS BIGINT), r) AS rk
+            FROM rep),
+         pt AS (SELECT source,
+              CAST(CAST(floor(sum(c) * 1000000 / sum(n)) AS BIGINT)
+                AS DOUBLE)/1e6 AS acc
+            FROM r GROUP BY source)
+         SELECT pt.source, acc,
+           lo.v AS boot_lo, hi.v AS boot_hi
+         FROM pt
+           JOIN (SELECT source, CAST(acc6 AS DOUBLE)/1e6 AS v FROM rk
+                 WHERE rk = 5) lo ON lo.source = pt.source
+           JOIN (SELECT source, CAST(acc6 AS DOUBLE)/1e6 AS v FROM rk
+                 WHERE rk = 195) hi ON hi.source = pt.source
+         ORDER BY pt.source""",
     // page fixture replay, the same dotall/lazy strip chain, group
     // extraction for anchors, tag strip + squeeze, link-density floor
     "q181_html_extract" ->

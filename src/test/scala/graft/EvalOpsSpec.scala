@@ -143,6 +143,39 @@ class EvalOpsSpec extends SparkSpec {
     assert(out.head.getDouble(6) > 0.05)
   }
 
+  test("wilsonCi: classic p=0.5 n=100 values and the p=1 edge") {
+    val runs = Seq(("a", 1L, 50L, 25L), ("a", 2L, 50L, 25L),
+      ("b", 3L, 5L, 5L), ("b", 4L, 5L, 5L))
+      .toDF("source", "task_id", "n", "c")
+    val out = EvalOps.wilsonCi(runs).orderBy("source").collect()
+    // source a: 50/100 → the textbook Wilson interval [0.4038, 0.5962]
+    assert(out(0).getDouble(3) === 0.5)
+    assert(math.abs(out(0).getDouble(4) - 0.40383) < 0.0001)
+    assert(math.abs(out(0).getDouble(5) - 0.59617) < 0.0001)
+    // source b: 10/10 → upper bound exactly 1, lower stays honest
+    assert(out(1).getDouble(3) === 1.0)
+    assert(out(1).getDouble(5) === 1.0)
+    assert(out(1).getDouble(4) > 0.70 && out(1).getDouble(4) < 0.75)
+  }
+
+  test("bootstrapCi: constant-accuracy category collapses to a point") {
+    // every task 2/4 → every Poisson-weighted replica is exactly 0.5
+    val const = (1L to 30L).map(i => ("k", i, 4L, 2L))
+      .toDF("source", "task_id", "n", "c")
+    val row = EvalOps.bootstrapCi(const).collect().head
+    assert(row.getDouble(1) === 0.5)
+    assert(row.getDouble(2) === 0.5 && row.getDouble(3) === 0.5)
+    // varying category: CI brackets the point estimate with real width
+    val varied = (1L to 40L).map(i => ("v", i, 10L, i % 11))
+      .toDF("source", "task_id", "n", "c")
+    val v = EvalOps.bootstrapCi(varied).collect().head
+    assert(v.getDouble(2) < v.getDouble(1) && v.getDouble(1) < v.getDouble(3))
+    assert(v.getDouble(3) - v.getDouble(2) > 0.01)
+    // deterministic under repartition
+    val again = EvalOps.bootstrapCi(varied.repartition(7)).collect().head
+    assert(again === v)
+  }
+
   test("fleissKappa is deterministic under repartition") {
     val docs = (0L to 99L).map(i => (i, s"t$i", s"src${i % 4}"))
       .toDF("doc_id", "text", "source")
