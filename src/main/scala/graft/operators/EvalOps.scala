@@ -226,6 +226,93 @@ object EvalOps {
         (col("ece6").cast("double") / 1e6).as("ece"))
   }
 
+  /** Paired-model correctness fixture: per task, whether model A and
+    * model B each solved it, driven by a shared per-task difficulty plus
+    * independent folded-hash draws — A is planted slightly stronger, and
+    * the shared difficulty makes outcomes correlated (the reason McNemar
+    * exists: a two-proportion test would waste the pairing).
+    */
+  def pairedOutcomes(docs: DataFrame): DataFrame = {
+    val h = CorpusOps.idHash(col("task_id"))
+    val diff = h % 40
+    val uA = ((h % 999983L) * 48271L) % 2147483647L % 100L
+    val uB = ((h % 999979L) * 69621L) % 2147483647L % 100L
+    docs.select(col("doc_id").as("task_id"), col("source"))
+      .withColumn("a_ok", uA < lit(75L) - diff)
+      .withColumn("b_ok", uB < lit(70L) - diff)
+  }
+
+  /** McNemar's test (q184): per category, is model A genuinely better
+    * than model B on PAIRED per-task outcomes — the correct significance
+    * test for "same eval set, two models" (it only scores the discordant
+    * tasks, so shared difficulty cancels). Continuity-corrected
+    * χ² = (|b−c|−1)²/(b+c) computed ENTIRELY in integers (the square is
+    * exact, the ratio floors at millionths), and significance is the
+    * integer comparison χ²₆ > 3841458 (the df=1, α=0.05 critical value
+    * in millionths) — no doubles anywhere in the decision. One
+    * aggregation to |categories| rows.
+    */
+  def mcnemar(outcomes: DataFrame): DataFrame = {
+    val agg = outcomes.groupBy(col("source")).agg(
+      count(lit(1)).as("n_tasks"),
+      sum(when(col("a_ok") && col("b_ok"), 1L).otherwise(0L)).as("both_right"),
+      sum(when(!col("a_ok") && !col("b_ok"), 1L).otherwise(0L)).as("both_wrong"),
+      sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L)).as("a_only"),
+      sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L)).as("b_only"))
+    val b = col("a_only")
+    val c = col("b_only")
+    val d = abs(b - c) - 1
+    val chi6 = when(b + c > 0, floor(d * d * 1000000L / (b + c)))
+      .otherwise(lit(0L))
+    agg.withColumn("chi2_6", chi6)
+      .select(col("source"), col("n_tasks"), col("both_right"),
+        col("both_wrong"), col("a_only"), col("b_only"),
+        (col("chi2_6").cast("double") / 1e6).as("chi2"),
+        (col("chi2_6") > 3841458L).as("significant"),
+        when(col("chi2_6") > 3841458L,
+          when(b > c, "A").otherwise("B")).otherwise("tie").as("winner"))
+  }
+
+  /** Per-rater drift audit (q185): the actionable step after a low
+    * Fleiss κ — WHICH rater disagrees with the room. Majority label per
+    * item (count desc, category asc via a folded integer argmax — no
+    * window), then per rater: agreement with the majority and Cohen's κ
+    * against it (observed and chance agreement both exact floored
+    * millionths; chance from the rater's and the majority's label
+    * marginals). Raters whose κ sits far below the room's are the
+    * relabel/retrain list. Two aggregations + one join; |raters| rows.
+    */
+  def raterDrift(ratingsDf: DataFrame): DataFrame = {
+    val majority = ratingsDf.groupBy(col("item_id"), col("cat"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("item_id"))
+      .agg(max_by(col("cat"), col("cnt") * 1000L - col("cat")).as("maj"))
+    val joined = ratingsDf.join(majority, Seq("item_id"))
+    val nItems = joined.select(col("item_id")).distinct().count()
+    val perRater = joined.groupBy(col("rater")).agg(
+      count(lit(1)).as("n_items"),
+      sum(when(col("cat") === col("maj"), 1L).otherwise(0L)).as("n_agree"))
+    // marginals for chance agreement: rater's label counts × majority's
+    val ratMarg = joined.groupBy(col("rater"), col("cat"))
+      .agg(count(lit(1)).as("rc"))
+    val majMarg = majority.groupBy(col("maj").as("cat"))
+      .agg(count(lit(1)).as("mc"))
+    val pe = ratMarg.join(majMarg, Seq("cat"))
+      .groupBy(col("rater"))
+      .agg(floor(sum(col("rc") * col("mc")) * 1000000L /
+        (lit(nItems) * nItems)).as("pe6"))
+    // a rater whose labels never coincide with any majority label has
+    // chance agreement exactly 0 — left join + coalesce, not a dropped row
+    perRater.join(pe, Seq("rater"), "left")
+      .withColumn("pe6", coalesce(col("pe6"), lit(0L)))
+      .withColumn("po6", floor(col("n_agree") * 1000000L / col("n_items")))
+      .select(col("rater"), col("n_items"), col("n_agree"),
+        (col("po6").cast("double") / 1e6).as("p_agree"),
+        (col("pe6").cast("double") / 1e6).as("p_chance"),
+        (floor((col("po6") - col("pe6")) * 1000000L /
+          (lit(1000000L) - col("pe6"))).cast("double") / 1e6).as("kappa"))
+  }
+
   /** Wilson score interval (q182): per category (source), the binomial
     * confidence interval on accuracy that stays honest at small n and
     * extreme p — the error bars an eval report should print instead of

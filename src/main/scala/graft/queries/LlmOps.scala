@@ -781,6 +781,18 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // McNemar paired-model significance per category — integer-only
+    // continuity-corrected chi-square and critical-value decision
+    "q184_mcnemar" -> ((s, d) =>
+      EvalOps.mcnemar(EvalOps.pairedOutcomes(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
+    // per-rater drift vs the majority label: agreement + Cohen's kappa
+    // against majority — WHICH rater to retrain after a low Fleiss kappa
+    "q185_rater_drift" -> ((s, d) =>
+      EvalOps.raterDrift(EvalOps.ratings(Tables.documents(s, d)))
+        .orderBy(col("rater"))),
+
     // per-category Wilson score interval over pooled eval trials — the
     // small-n-honest error bars, identical IEEE chain in both engines
     "q182_wilson_ci" -> ((s, d) =>
@@ -1890,6 +1902,76 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // fixture replay (two folded-hash draws over shared difficulty),
+    // discordant-cell counts, the all-integer chi-square decision
+    "q184_mcnemar" ->
+      """WITH t AS (SELECT source, h % 40 AS diff,
+              (((h % 999983) * 48271) % 2147483647) % 100 AS ua,
+              (((h % 999979) * 69621) % 2147483647) % 100 AS ub
+            FROM (SELECT source,
+                ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+              FROM documents)),
+         o AS (SELECT source, ua < 75 - diff AS a_ok, ub < 70 - diff AS b_ok
+               FROM t),
+         a AS (SELECT source, count(*) AS n_tasks,
+              CAST(sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT)
+                AS both_right,
+              CAST(sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_wrong,
+              CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS a_only,
+              CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_only
+            FROM o GROUP BY source),
+         c AS (SELECT *, CASE WHEN a_only + b_only > 0
+              THEN CAST(floor((abs(a_only - b_only) - 1)
+                * (abs(a_only - b_only) - 1) * 1000000
+                / (a_only + b_only)) AS BIGINT)
+              ELSE 0 END AS chi6 FROM a)
+         SELECT source, n_tasks, both_right, both_wrong, a_only, b_only,
+           CAST(chi6 AS DOUBLE)/1e6 AS chi2,
+           chi6 > 3841458 AS significant,
+           CASE WHEN chi6 > 3841458
+             THEN CASE WHEN a_only > b_only THEN 'A' ELSE 'B' END
+             ELSE 'tie' END AS winner
+         FROM c ORDER BY source""",
+    // q168's ratings replay, folded-integer majority argmax, per-rater
+    // observed/chance agreement and kappa from the quantized terms
+    "q185_rater_drift" ->
+      """WITH r AS (SELECT item_id, g.rater,
+              CASE WHEN (h + g.rater*17) % 10 < 3
+                THEN (h % 4 + 1 + (h % 97 + g.rater) % 3) % 4
+                ELSE h % 4 END AS cat
+            FROM (SELECT doc_id AS item_id,
+                    ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+                  FROM documents),
+              (SELECT unnest(generate_series(0, 4)) AS rater) g),
+         cnt AS (SELECT item_id, cat, count(*) AS c FROM r
+                 GROUP BY item_id, cat),
+         maj AS (SELECT item_id, arg_max(cat, c * 1000 - cat) AS maj
+                 FROM cnt GROUP BY item_id),
+         j AS (SELECT r.*, maj.maj FROM r JOIN maj USING (item_id)),
+         ni AS (SELECT count(*) AS n FROM maj),
+         pr AS (SELECT rater, count(*) AS n_items,
+              CAST(sum(CASE WHEN cat = maj THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_agree
+            FROM j GROUP BY rater),
+         rm AS (SELECT rater, cat, count(*) AS rc FROM j GROUP BY rater, cat),
+         mm AS (SELECT maj AS cat, count(*) AS mc FROM maj GROUP BY maj),
+         pe AS (SELECT rater,
+              CAST(floor(CAST(sum(rc * mc) AS BIGINT) * 1000000
+                / (n.n * n.n)) AS BIGINT) AS pe6
+            FROM rm JOIN mm USING (cat), ni n GROUP BY rater, n.n),
+         po AS (SELECT pr.rater, pr.n_items, pr.n_agree,
+              CAST(floor(n_agree * 1000000 / pr.n_items) AS BIGINT) AS po6,
+              coalesce(pe6, 0) AS pe6
+            FROM pr LEFT JOIN pe ON pe.rater = pr.rater)
+         SELECT rater, n_items, n_agree,
+           CAST(po6 AS DOUBLE)/1e6 AS p_agree,
+           CAST(pe6 AS DOUBLE)/1e6 AS p_chance,
+           CAST(CAST(floor((po6 - pe6) * 1000000 / (1000000 - pe6))
+             AS BIGINT) AS DOUBLE)/1e6 AS kappa
+         FROM po ORDER BY rater""",
     // pooled trials, then the Wilson chain written in the identical
     // operation order (z and z·z as the same parsed literals)
     "q182_wilson_ci" ->

@@ -176,6 +176,49 @@ class EvalOpsSpec extends SparkSpec {
     assert(again === v)
   }
 
+  test("mcnemar: hand-counted cells, correction, decision edges") {
+    // 20 discordant A-wins vs 5 B-wins: chi2 = (15-1)^2/25 = 7.84 → A
+    val rows = (1 to 20).map(i => ("s", i.toLong, true, false)) ++
+      (21 to 25).map(i => ("s", i.toLong, false, true)) ++
+      (26 to 30).map(i => ("s", i.toLong, true, true)) ++
+      Seq(("s", 31L, false, false)) ++
+      // balanced source: b=c=3 → chi2 = 1/6, not significant
+      (1 to 3).map(i => ("t", 100L + i, true, false)) ++
+      (4 to 6).map(i => ("t", 100L + i, false, true))
+    val df = rows.toDF("source", "task_id", "a_ok", "b_ok")
+    val out = EvalOps.mcnemar(df).orderBy("source").collect()
+    assert(out(0).getLong(2) === 5L && out(0).getLong(3) === 1L)
+    assert(out(0).getLong(4) === 20L && out(0).getLong(5) === 5L)
+    assert(out(0).getDouble(6) === 7.84)
+    assert(out(0).getBoolean(7) && out(0).getString(8) === "A")
+    assert(out(1).getDouble(6) === math.floor(1e6 / 6.0) / 1e6)
+    assert(!out(1).getBoolean(7) && out(1).getString(8) === "tie")
+  }
+
+  test("mcnemar on the fixture: A's planted edge shows up somewhere") {
+    val docs = (0L to 499L).map(i => (i, s"t$i", s"src${i % 20}"))
+      .toDF("doc_id", "text", "source")
+    val out = EvalOps.mcnemar(EvalOps.pairedOutcomes(docs)
+      .withColumn("source", lit("all"))).collect().head
+    // A planted stronger: more A-only than B-only wins overall
+    assert(out.getLong(4) > out.getLong(5))
+  }
+
+  test("raterDrift: the planted-noisier rater scores lowest kappa") {
+    val r = Seq(
+      // 10 items, raters 0/1 always majority cat, rater 2 always off
+      (1 to 10).map(i => (i.toLong, 0L, (i % 2).toLong)),
+      (1 to 10).map(i => (i.toLong, 1L, (i % 2).toLong)),
+      (1 to 10).map(i => (i.toLong, 2L, ((i % 2) + 2).toLong))
+    ).flatten.toDF("item_id", "rater", "cat")
+    val out = EvalOps.raterDrift(r).orderBy("rater").collect()
+    assert(out(0).getDouble(3) === 1.0 && out(1).getDouble(3) === 1.0)
+    assert(out(2).getDouble(3) === 0.0)
+    // kappa: perfect raters 1.0; the off-rater at or below chance
+    assert(out(0).getDouble(5) === 1.0)
+    assert(out(2).getDouble(5) <= 0.0)
+  }
+
   test("fleissKappa is deterministic under repartition") {
     val docs = (0L to 99L).map(i => (i, s"t$i", s"src${i % 4}"))
       .toDF("doc_id", "text", "source")
