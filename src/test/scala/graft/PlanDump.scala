@@ -110,7 +110,17 @@ object PlanDump {
     "q174_calibration" ->
       "Calibration/ECE: two aggregations collapse map-side to |sources|*10 bin cells; the ECE window runs over that cell table, never the predictions.",
     "q175_pair_rouge" ->
-      "Pair ROUGE: bounded gram explodes, map-side-combined (pair, gram) counts, multiset-min equi-joins, pair-keyed sums; totals are row-local array sizes.")
+      "Pair ROUGE: bounded gram explodes, map-side-combined (pair, gram) counts, multiset-min equi-joins, pair-keyed sums; totals are row-local array sizes.",
+    "q177_thread_roots" ->
+      "Thread roots, final converged state: the visible plan is the last localCheckpoint scan + projection — each doubling round was ONE self equi-join on the ancestor key, O(log depth) rounds total.",
+    "q178_quantile_norm" ->
+      "Quantile normalization: NO per-source total-order window over documents — percentiles come from the bounded distinct-score tables; the 1001-point quantile spine joins broadcast.",
+    "q180_unigram_segment" ->
+      "Unigram Viterbi: the DP is a row-local higher-order aggregate over each DISTINCT word (scores as a literal map — no join in the DP); one equi-join back onto occurrences + one doc-keyed aggregation.",
+    "q181_html_extract" ->
+      "HTML extraction: one regex-projection chain (script/style/comment strip staged once per row), zero shuffles before the output sort.",
+    "q183_bootstrap_ci" ->
+      "Poisson bootstrap: bounded 200-way replica explode with integer inverse-CDF weights, map-side-combined (source, replica) sums; ranking windows run over the |sources|·200-row replica table, never the tasks.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
