@@ -226,6 +226,65 @@ object EvalOps {
         (col("ece6").cast("double") / 1e6).as("ece"))
   }
 
+  /** Retrieval-run fixture: 10 queries, each with the documents in its
+    * doc_id%10 slice as candidates; graded relevance (0/1/2) and a
+    * good-but-imperfect ranker score (rel·10 + folded-hash noise) both
+    * derive from a composite id hash — so the ranking genuinely
+    * correlates with relevance and the metrics land in the informative
+    * mid-range instead of 0 or 1.
+    */
+  def retrievalRuns(docs: DataFrame, nQueries: Int = 10): DataFrame = {
+    val qid = (col("doc_id") % nQueries).cast("long")
+    val h = CorpusOps.idHash(col("doc_id") * 1009 + qid)
+    val rel = when(h % 20 === 0, 2L).when(h % 20 <= 2, 1L).otherwise(0L)
+    docs.select(col("doc_id"), qid.as("qid"))
+      .withColumn("rel", rel)
+      .withColumn("score", col("rel") * 10 + (h % 997) % 15)
+  }
+
+  /** IR ranking metrics (q186): recall@k, MRR@k and nDCG@k per query —
+    * the numbers every retrieval change is judged by. All three are
+    * exact: per-rank DCG contributions floor-quantize to millionths
+    * BEFORE summation (⌊(2^rel−1)·10⁶/log₂(r+1)⌋ — summing raw doubles
+    * would make the result depend on aggregation order), so DCG, ideal
+    * DCG and their ratio are integer decisions. System ranking and ideal
+    * ranking are both per-query windows cut at k (WindowGroupLimit-
+    * bounded state); queries with no relevant candidates report 0.
+    */
+  def irMetrics(runs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sysW = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val idealW = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    def gain(relC: Column, rank: Column): Column =
+      floor((pow(lit(2.0), relC.cast("double")) - 1.0) * 1000000L /
+        (log(rank.cast("double") + 1.0) / math.log(2.0))).cast("long")
+    val sys = runs.withColumn("rk", row_number().over(sysW))
+      .filter(col("rk") <= k)
+      .groupBy(col("qid")).agg(
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("rel_found"),
+        min(when(col("rel") > 0, col("rk"))).as("first_rel"),
+        sum(gain(col("rel"), col("rk"))).as("dcg6"))
+    val ideal = runs.withColumn("rk", row_number().over(idealW))
+      .filter(col("rk") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(gain(col("rel"), col("rk"))).as("idcg6"))
+    val totals = runs.groupBy(col("qid"))
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_relevant"))
+    totals.join(sys, Seq("qid")).join(ideal, Seq("qid"))
+      .select(col("qid"), col("n_relevant"),
+        when(col("n_relevant") > 0,
+          floor(col("rel_found") * 1000000L / col("n_relevant"))
+            .cast("double") / 1e6).otherwise(0.0).as(s"recall_$k"),
+        when(col("first_rel").isNotNull,
+          floor(lit(1000000L) / col("first_rel")).cast("double") / 1e6)
+          .otherwise(0.0).as(s"mrr_$k"),
+        when(col("idcg6") > 0,
+          floor(col("dcg6") * 1000000L / col("idcg6"))
+            .cast("double") / 1e6).otherwise(0.0).as(s"ndcg_$k"))
+  }
+
   /** Paired-model correctness fixture: per task, whether model A and
     * model B each solved it, driven by a shared per-task difficulty plus
     * independent folded-hash draws — A is planted slightly stronger, and

@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // recall@10 / MRR@10 / nDCG@10 per query over the graded-relevance
+    // retrieval fixture — per-rank gains quantized BEFORE summation
+    "q186_ir_metrics" -> ((s, d) =>
+      EvalOps.irMetrics(EvalOps.retrievalRuns(Tables.documents(s, d)))
+        .orderBy(col("qid"))),
+
     // McNemar paired-model significance per category — integer-only
     // continuity-corrected chi-square and critical-value decision
     "q184_mcnemar" -> ((s, d) =>
@@ -1902,6 +1908,49 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // fixture replay, both per-query rankings (system by score, ideal by
+    // relevance), floored per-rank gains, integer metric ratios
+    "q186_ir_metrics" ->
+      """WITH r AS (SELECT doc_id, doc_id % 10 AS qid,
+              (((doc_id * 1009 + doc_id % 10) % 2147483648) * 2654435761)
+                % 2147483647 AS h
+            FROM documents),
+         g AS (SELECT doc_id, qid, rel, rel * 10 + (h % 997) % 15 AS score
+            FROM (SELECT doc_id, qid, h,
+                CASE WHEN h % 20 = 0 THEN 2 WHEN h % 20 <= 2 THEN 1
+                  ELSE 0 END AS rel
+              FROM r)),
+         sys AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, doc_id) AS rk FROM g),
+         s10 AS (SELECT qid,
+              CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS rel_found,
+              min(CASE WHEN rel > 0 THEN rk END) AS first_rel,
+              CAST(sum(CAST(floor((power(2.0, rel) - 1.0) * 1000000
+                / (ln(rk + 1.0)/ln(2))) AS BIGINT)) AS BIGINT) AS dcg6
+            FROM sys WHERE rk <= 10 GROUP BY qid),
+         ide AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+              ORDER BY rel DESC, doc_id) AS rk FROM g),
+         i10 AS (SELECT qid,
+              CAST(sum(CAST(floor((power(2.0, rel) - 1.0) * 1000000
+                / (ln(rk + 1.0)/ln(2))) AS BIGINT)) AS BIGINT) AS idcg6
+            FROM ide WHERE rk <= 10 GROUP BY qid),
+         tot AS (SELECT qid,
+              CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_relevant
+            FROM g GROUP BY qid)
+         SELECT tot.qid, n_relevant,
+           CASE WHEN n_relevant > 0 THEN
+             CAST(CAST(floor(rel_found * 1000000 / n_relevant) AS BIGINT)
+               AS DOUBLE)/1e6 ELSE 0.0 END AS recall_10,
+           CASE WHEN first_rel IS NOT NULL THEN
+             CAST(CAST(floor(1000000 / first_rel) AS BIGINT) AS DOUBLE)/1e6
+             ELSE 0.0 END AS mrr_10,
+           CASE WHEN idcg6 > 0 THEN
+             CAST(CAST(floor(dcg6 * 1000000 / idcg6) AS BIGINT)
+               AS DOUBLE)/1e6 ELSE 0.0 END AS ndcg_10
+         FROM tot JOIN s10 USING (qid) JOIN i10 USING (qid)
+         ORDER BY qid""",
     // fixture replay (two folded-hash draws over shared difficulty),
     // discordant-cell counts, the all-integer chi-square decision
     "q184_mcnemar" ->

@@ -219,6 +219,41 @@ class EvalOpsSpec extends SparkSpec {
     assert(out(2).getDouble(5) <= 0.0)
   }
 
+  test("irMetrics: closed-form perfect, inverted, and empty rankings") {
+    // query 0: perfect ranking (scores follow relevance) → ndcg = 1
+    // query 1: the rel-2 doc ranked LAST of 3 → known dcg ratio
+    // query 2: nothing relevant → all zeros
+    val runs = Seq(
+      (1L, 0L, 2L, 30L), (2L, 0L, 1L, 20L), (3L, 0L, 0L, 10L),
+      (11L, 1L, 2L, 1L), (12L, 1L, 0L, 20L), (13L, 1L, 0L, 10L),
+      (21L, 2L, 0L, 5L), (22L, 2L, 0L, 4L))
+      .toDF("doc_id", "qid", "rel", "score")
+    val out = EvalOps.irMetrics(runs).orderBy("qid").collect()
+    assert(out(0).getDouble(2) === 1.0)   // recall
+    assert(out(0).getDouble(3) === 1.0)   // mrr
+    assert(out(0).getDouble(4) === 1.0)   // ndcg
+    // query 1: first (only) relevant at rank 3 → mrr = 1/3 floored
+    assert(out(1).getDouble(3) === 0.333333)
+    val g3 = math.floor(3e6 / (math.log(4.0) / math.log(2.0))).toLong
+    val g1 = math.floor(3e6 / (math.log(2.0) / math.log(2.0))).toLong
+    assert(out(1).getDouble(4) ===
+      math.floor(g3 * 1e6 / g1) / 1e6)
+    assert(out(2).getDouble(2) === 0.0 && out(2).getDouble(3) === 0.0
+      && out(2).getDouble(4) === 0.0)
+  }
+
+  test("retrievalRuns + irMetrics: planted ranker lands mid-range") {
+    val docs = (0L to 499L).map(i => (i, s"t$i", s"src${i % 20}"))
+      .toDF("doc_id", "text", "source")
+    val out = EvalOps.irMetrics(EvalOps.retrievalRuns(docs)).collect()
+    assert(out.length === 10)
+    // the ranker is rel-correlated but noisy: strong but imperfect
+    out.foreach { r =>
+      assert(r.getDouble(4) > 0.5, s"q${r.getLong(0)} ndcg ${r.getDouble(4)}")
+    }
+    assert(out.exists(_.getDouble(4) < 1.0), "noise must cost someone")
+  }
+
   test("fleissKappa is deterministic under repartition") {
     val docs = (0L to 99L).map(i => (i, s"t$i", s"src${i % 4}"))
       .toDF("doc_id", "text", "source")
