@@ -41,7 +41,13 @@ object ScaleProbe {
     // (ctx-window after map-side combine), cross-source LM matrix
     // (|sources|^2 per distinct token), log-odds margins. All expected
     // ~linear in corpus size; the probe is the falsification.
-    "q140_ngram_lm", "q144_source_affinity", "q149_log_odds")
+    "q140_ngram_lm", "q144_source_affinity", "q149_log_odds",
+    // round 8: winnowing's df-capped fingerprint join, RM3's two
+    // term-pruned corpus scans, pair-ROUGE's (pair, gram) joins, and the
+    // unigram Viterbi whose DP cost rides DISTINCT WORDS (should grow
+    // well below the 10x doc growth — word types saturate)
+    "q161_winnow_overlap", "q167_rm3_rerank", "q175_pair_rouge",
+    "q180_unigram_segment")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
