@@ -53,6 +53,69 @@ object Dedup {
       graft.functions.TextHashFunctions
         .shingleHashes(df.sparkSession, col(textCol), n).as("sh"))
 
+  /** Sorted-neighborhood dedup (q187): the database-record-linkage
+    * alternative to LSH — sort the corpus by a blocking key (here the
+    * document's first 3 words: near-identical docs share it and sort
+    * adjacent), then compare only records within a fixed WINDOW of the
+    * sort order, exact-verifying each candidate. Complements MinHash/
+    * SimHash: no hash family, recall rides the key design, and the
+    * candidate count is exactly N·(window−1) by construction.
+    *
+    * The global sort rank is built WITHOUT a total-order window (the
+    * SinglePartition killer): deterministic prefix buckets (first 2 key
+    * chars — a prefix bucket order composes with the in-bucket order to
+    * the true global key order) carry per-bucket row_numbers, and a
+    * |buckets|-row offset table lifts them to global ranks — the q58
+    * distributed-prefix-sum shape. Production swaps the prefix buckets
+    * for repartitionByRange's sampled boundaries; prefix buckets keep
+    * the oracle exact. Window pairs that CROSS bucket boundaries are
+    * caught because adjacency is on the global rank, not the bucket —
+    * spec-pinned. Candidates then verify by exact trigram Jaccard
+    * (q26's convention, whole-doc shingle under 3 words), so the output
+    * contains no false positives at any window size.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, window: Int = 5,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), " "), x => x =!= lit(""))
+    val keyed = df.select(col("doc_id"), toks.as("_w"))
+      .withColumn("bkey", concat_ws(" ", slice(col("_w"), 1, 3)))
+    val bucketed = keyed.withColumn("rng", substring(col("bkey"), 1, 2))
+    val wLocal = Window.partitionBy(col("rng"))
+      .orderBy(col("bkey"), col("doc_id"))
+    val local = bucketed
+      .withColumn("lrk", row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy(lit(1)).orderBy(col("rng"))
+    val offsets = local.groupBy(col("rng")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", sum(col("cnt")).over(wOff) - col("cnt"))
+    val ranked = local.join(offsets.select(col("rng"), col("offset")), Seq("rng"))
+      .select(col("doc_id"), (col("offset") + col("lrk")).as("rk"))
+    val cands = ranked
+      .select(col("doc_id").as("doc_a"),
+        explode(sequence(col("rk") + 1, col("rk") + (window - 1))).as("nrk"))
+      .join(ranked.select(col("doc_id").as("doc_b"), col("rk").as("nrk")),
+        Seq("nrk"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val grams = keyed.select(col("doc_id"),
+        explode(when(size(col("_w")) >= 3,
+          graft.operators.TextAnalysis.wordNgrams(col("_w"), 3))
+          .otherwise(array(concat_ws(" ", col("_w"))))).as("s"))
+      .distinct()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pc = cands
+      .join(grams.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("s")),
+        Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val j = floor(col("c") * lit(1.0) /
+      (col("na") + col("nb") - col("c")) * 10000) / 10000
+    pc.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the per-doc
     * shingle arrays: |A∩B| via array_intersect, |A∪B| from sizes. Cost is
     * O(candidates), never all-pairs.

@@ -781,6 +781,13 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // sorted-neighborhood dedup: global key rank WITHOUT a total-order
+    // window (prefix buckets + offset table), rank-adjacency candidates,
+    // exact trigram-Jaccard verification
+    "q187_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // recall@10 / MRR@10 / nDCG@10 per query over the graded-relevance
     // retrieval fixture — per-rank gains quantized BEFORE summation
     "q186_ir_metrics" -> ((s, d) =>
@@ -1908,6 +1915,37 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // direct global row_number (equivalent to the bucket+offset rank:
+    // the bucket is a key prefix, so the composed order IS the key
+    // order), rank-window self-join, q26's exact-Jaccard convention
+    "q187_sorted_neighborhood" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         k AS (SELECT doc_id,
+              coalesce(array_to_string(w[1:3], ' '), '') AS bkey FROM docs),
+         r AS (SELECT doc_id,
+              row_number() OVER (ORDER BY bkey, doc_id) AS rk FROM k),
+         cand AS (SELECT least(a.doc_id, b.doc_id) AS da,
+              greatest(a.doc_id, b.doc_id) AS db
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [coalesce(array_to_string(w, ' '), '')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pc AS (SELECT da, db, count(*) AS c FROM cand
+                JOIN sh a ON a.doc_id = da
+                JOIN sh b ON b.doc_id = db AND b.s = a.s
+                GROUP BY da, db)
+         SELECT da AS doc_a, db AS doc_b,
+           floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 AS jaccard
+         FROM pc JOIN sizes sa ON da = sa.doc_id
+                 JOIN sizes sb ON db = sb.doc_id
+         WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8
+         ORDER BY doc_a, doc_b""",
     // fixture replay, both per-query rankings (system by score, ideal by
     // relevance), floored per-rank gains, integer metric ratios
     "q186_ir_metrics" ->

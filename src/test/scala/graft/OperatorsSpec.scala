@@ -798,3 +798,53 @@ class HtmlExtractSpec extends SparkSpec {
     assert(texts.toSeq === again.toSeq)
   }
 }
+
+/** Sorted-neighborhood dedup (q187). */
+class SortedNeighborhoodSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Dedup
+
+  test("no false positives; jaccard values equal the exact pipeline's") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val snp = Dedup.sortedNeighborhoodPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(snp.nonEmpty)
+    snp.foreach { case (pair, jac) =>
+      assert(exact.contains(pair), s"false positive $pair")
+      assert(exact(pair) === jac, s"jaccard differs for $pair")
+    }
+    // the first-3-words key catches most planted near-dups here
+    val recall = snp.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${snp.size}/${exact.size})")
+  }
+
+  test("window pairs crossing a bucket boundary are caught") {
+    // near-identical docs whose keys land in DIFFERENT 2-char prefix
+    // buckets ('aa…' vs 'ab…') but sort rank-adjacent: only a GLOBAL
+    // rank adjacency — not per-bucket windows — can pair them
+    val tail = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa zz zz $tail"),
+      (2L, s"ab zz zz $tail"),
+      (3L, s"zz zz zz completely different words " +
+        (1 to 30).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, window = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"boundary pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("deterministic under repartition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.sortedNeighborhoodPairs(docs)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val b = Dedup.sortedNeighborhoodPairs(docs.repartition(9))
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(a === b)
+  }
+}
