@@ -2756,6 +2756,57 @@ object CorpusOps {
         md5(col("_x")).as("extracted_md5"))
   }
 
+  /** Deterministic outlink fixture: per document 3 links, each with a
+    * target host/path from idHash arithmetic (hosts shared ACROSS
+    * documents, so targets accumulate anchors from many sources) and an
+    * anchor text sliced from the document's own words at a per-link
+    * offset. Output: (doc_id, host, anchor).
+    */
+  def linkFixture(docs: DataFrame): DataFrame = {
+    val h = idHash(col("doc_id"))
+    docs.select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= lit("")).as("_w"),
+        explode(sequence(lit(0), lit(2))).as("j"))
+      .select(col("doc_id"),
+        concat(lit("site"), ((h + col("j") * 5) % 13).cast("string"),
+          lit(".example.com")).as("host"),
+        concat_ws(" ",
+          slice(col("_w"), (h % 7 + col("j") * 4 + 1).cast("int"), lit(3)))
+          .as("anchor"))
+      .filter(col("anchor") =!= "")
+  }
+
+  /** Anchor-text aggregation (q188): the inbound-anchor index every web
+    * retrieval stack builds — anchor text describes the TARGET page
+    * better than the page describes itself, so per target host this
+    * collects inbound link counts, distinct referring documents, and the
+    * top-3 anchor TERMS (count desc, term asc) as the host's inbound
+    * description. Shapes: one bounded explode per link, map-side
+    * (host, term) counts, a per-host top-k window over the host's term
+    * table (WindowGroupLimit-bounded), and a |hosts|-row report.
+    */
+  def anchorIndex(links: DataFrame, topK: Int = 3): DataFrame = {
+    val stats = links.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_src_docs"))
+    val terms = links.select(col("host"),
+        explode(TextAnalysis.wsTokens(col("anchor"))).as("term"))
+      .groupBy(col("host"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("cnt").desc, col("term"))
+    // collect_list order is nondeterministic: build the joined string
+    // from the ranked rows via one conditional-min per slot instead
+    val slots = (1 to topK).map { k =>
+      min(when(col("rk") === k, col("term"))).as(s"t$k")
+    }
+    val topDet = terms.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .groupBy(col("host")).agg(slots.head, slots.tail: _*)
+    stats.join(topDet, Seq("host"))
+      .select(col("host"), col("n_links"), col("n_src_docs"),
+        concat_ws(",", (1 to topK).map(k => col(s"t$k")): _*).as("top_terms"))
+  }
+
   /** Cross-source quantile normalization (q178): maps every document's
     * quality score to the GLOBAL score distribution at the document's
     * within-source percentile — CDF matching, the calibration step

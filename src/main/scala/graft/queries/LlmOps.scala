@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // inbound anchor-text index per target host: link counts, distinct
+    // referrers, deterministic top-3 anchor terms
+    "q188_anchor_index" -> ((s, d) =>
+      CorpusOps.anchorIndex(CorpusOps.linkFixture(Tables.documents(s, d)))
+        .orderBy(col("host"))),
+
     // sorted-neighborhood dedup: global key rank WITHOUT a total-order
     // window (prefix buckets + offset table), rank-adjacency candidates,
     // exact trigram-Jaccard verification
@@ -1915,6 +1921,38 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // link fixture replay (shared hosts, per-link anchor slices), term
+    // counts, slot-wise conditional-min top-3, null-skipping concat
+    "q188_anchor_index" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w,
+              ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+            FROM documents),
+         l AS (SELECT doc_id,
+              'site' || CAST((h + j.j * 5) % 13 AS VARCHAR)
+                || '.example.com' AS host,
+              coalesce(array_to_string(
+                w[CAST(h % 7 + j.j * 4 + 1 AS INT)
+                  : CAST(h % 7 + j.j * 4 + 3 AS INT)], ' '), '') AS anchor
+            FROM d, unnest(generate_series(0, 2)) AS j(j)),
+         l2 AS (SELECT * FROM l WHERE anchor <> ''),
+         stats AS (SELECT host, count(*) AS n_links,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+            FROM l2 GROUP BY host),
+         t AS (SELECT host, term, count(*) AS cnt FROM
+                (SELECT host, unnest(list_filter(string_split(anchor, ' '),
+                   x -> x <> '')) AS term FROM l2)
+               GROUP BY host, term),
+         rk AS (SELECT host, term, row_number() OVER (PARTITION BY host
+              ORDER BY cnt DESC, term) AS rk FROM t),
+         top AS (SELECT host,
+              min(CASE WHEN rk = 1 THEN term END) AS t1,
+              min(CASE WHEN rk = 2 THEN term END) AS t2,
+              min(CASE WHEN rk = 3 THEN term END) AS t3
+            FROM rk WHERE rk <= 3 GROUP BY host)
+         SELECT host, n_links, n_src_docs,
+           concat_ws(',', t1, t2, t3) AS top_terms
+         FROM stats JOIN top USING (host) ORDER BY host""",
     // direct global row_number (equivalent to the bucket+offset rank:
     // the bucket is a key prefix, so the composed order IS the key
     // order), rank-window self-join, q26's exact-Jaccard convention

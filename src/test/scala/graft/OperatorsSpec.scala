@@ -848,3 +848,44 @@ class SortedNeighborhoodSpec extends SparkSpec {
     assert(a === b)
   }
 }
+
+/** Anchor-text aggregation (q188). */
+class AnchorIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.CorpusOps
+
+  test("anchorIndex: counts, distinct referrers, deterministic top terms") {
+    val links = Seq(
+      (1L, "h1", "best search engine"),
+      (2L, "h1", "search engine fast"),
+      (2L, "h1", "search here"),
+      (3L, "h2", "one link only"))
+      .toDF("doc_id", "host", "anchor")
+    val out = CorpusOps.anchorIndex(links).orderBy("host").collect()
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 2L)
+    // counts: search=3, engine=2, rest=1 → tie on 1 broken by term asc
+    assert(out(0).getString(3) === "search,engine,best")
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getString(3) === "link,one,only")
+  }
+
+  test("linkFixture: hosts shared across docs, anchors from own words") {
+    val docs = (0L to 199L).map(i =>
+      (i, (1 to 30).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val links = CorpusOps.linkFixture(docs)
+    // 3 links per doc, 13 hosts total, each host fed by many docs
+    assert(links.count() === 600L)
+    val hosts = links.groupBy("host").agg(countDistinct("doc_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hosts.size === 13)
+    assert(hosts.values.forall(_ > 5L))
+    val out = CorpusOps.anchorIndex(links).collect()
+    assert(out.length === 13)
+    // determinism
+    val again = CorpusOps.anchorIndex(CorpusOps.linkFixture(docs.repartition(7)))
+      .orderBy("host").collect().toSeq
+    assert(CorpusOps.anchorIndex(links).orderBy("host").collect().toSeq === again)
+  }
+}
