@@ -2690,6 +2690,55 @@ object CorpusOps {
     * \|lang\|·\|source\|·buckets classes — nothing downstream is
     * corpus-sized.
     */
+  /** Neyman-allocation stratified sample (q189): the survey-sampling
+    * optimum for building an audit/eval sample under a fixed budget —
+    * allocate n_h ∝ N_h·σ_h (stratum size × metric stddev), which
+    * minimizes the stratified estimator's variance; a high-variance
+    * source earns more of the budget than proportional allocation would
+    * give it. Allocation is exact: per-stratum Σx/Σx² BIGINTs → one
+    * sqrt → micro-quantized weights, integer floor shares, and the
+    * largest-remainder method (remainder = n·a₆ mod T, ties by source)
+    * distributes the leftover so shares sum exactly to n. Shares cap at
+    * the stratum size (no reallocation pass — documented). The draw
+    * itself is the deterministic id-hash order per stratum.
+    *
+    * Scale shape: one map-side stats aggregation; allocation runs on the
+    * |strata|-row table (tiny windows); the draw is a per-stratum
+    * ranking window cut at n_h (WindowGroupLimit-bounded state).
+    */
+  def neymanSample(docs: DataFrame, n: Int = 100,
+      metricCol: String = "n_chars"): DataFrame = {
+    val x = col(metricCol).cast("long")
+    val stats = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("nh"), sum(x).as("sx"), sum(x * x).as("sx2"))
+    val variance = (col("sx2").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / col("nh")) /
+      (col("nh") - 1)
+    val a6 = (floor(sqrt(variance) * 1000000L).cast("long") * col("nh"))
+    val weighted = stats.withColumn("a6",
+      when(col("nh") > 1, a6).otherwise(lit(0L)))
+    val tot = weighted.agg(sum(col("a6")).as("t"))
+    val alloc0 = weighted.crossJoin(broadcast(tot))
+      .withColumn("base", floor(col("a6") * n / col("t")).cast("long"))
+      .withColumn("rem", (col("a6") * n) % col("t"))
+    val leftover = lit(n) - sum(col("base")).over(
+      Window.partitionBy(lit(1)))
+    val alloc = alloc0
+      .withColumn("extra_rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))))
+      .withColumn("n_h",
+        least(col("base") + when(col("extra_rk") <= leftover, 1L)
+          .otherwise(0L), col("nh")))
+      .select(col("source"), col("n_h"))
+    val drawW = Window.partitionBy(col("source"))
+      .orderBy(idHash(col("doc_id")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(drawW).cast("long"))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("rk") <= col("n_h"))
+      .select(col("source"), col("doc_id"), col("rk"))
+  }
+
   /** Deterministic HTML-page fixture: wraps each document's words in a
     * realistic page skeleton — head with title + style + script, an h1,
     * a nav list of link items, a main paragraph with an inline anchor —

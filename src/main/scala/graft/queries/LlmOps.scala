@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // Neyman-allocation stratified sample: variance-optimal per-source
+    // budget shares (largest-remainder exact), deterministic hash draw
+    "q189_neyman_sample" -> ((s, d) =>
+      CorpusOps.neymanSample(Tables.documents(s, d))
+        .orderBy(col("source"), col("rk"))),
+
     // inbound anchor-text index per target host: link counts, distinct
     // referrers, deterministic top-3 anchor terms
     "q188_anchor_index" -> ((s, d) =>
@@ -1921,6 +1927,39 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // per-stratum stats, the same sqrt→micro-quantized weights, floored
+    // shares + largest-remainder leftovers, id-hash draw order
+    "q189_neyman_sample" ->
+      """WITH s AS (SELECT source, count(*) AS nh,
+              CAST(sum(n_chars) AS BIGINT) AS sx,
+              CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2
+            FROM documents GROUP BY source),
+         w AS (SELECT source, nh,
+              CASE WHEN nh > 1 THEN
+                CAST(floor(sqrt((CAST(sx2 AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nh)
+                  / (nh - 1)) * 1000000) AS BIGINT) * nh
+              ELSE 0 END AS a6
+            FROM s),
+         t AS (SELECT CAST(sum(a6) AS BIGINT) AS t FROM w),
+         al AS (SELECT source, nh, a6,
+              CAST(floor(a6 * 100 / t.t) AS BIGINT) AS base,
+              (a6 * 100) % t.t AS rem
+            FROM w, t),
+         lo AS (SELECT CAST(100 - sum(base) AS BIGINT) AS leftover FROM al),
+         alloc AS (SELECT source,
+              least(base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END,
+                nh) AS n_h
+            FROM (SELECT *, row_number() OVER
+                    (ORDER BY rem DESC, source) AS rk FROM al) x, lo),
+         draw AS (SELECT source, doc_id, CAST(row_number() OVER
+              (PARTITION BY source ORDER BY
+                ((doc_id % 2147483648) * 2654435761) % 2147483647, doc_id)
+              AS BIGINT) AS rk
+            FROM documents)
+         SELECT d.source, doc_id, rk
+         FROM draw d JOIN alloc a ON a.source = d.source
+         WHERE rk <= a.n_h ORDER BY d.source, rk""",
     // link fixture replay (shared hosts, per-link anchor slices), term
     // counts, slot-wise conditional-min top-3, null-skipping concat
     "q188_anchor_index" ->

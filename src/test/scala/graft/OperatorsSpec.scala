@@ -889,3 +889,40 @@ class AnchorIndexSpec extends SparkSpec {
     assert(CorpusOps.anchorIndex(links).orderBy("host").collect().toSeq === again)
   }
 }
+
+/** Neyman-allocation stratified sampling (q189). */
+class NeymanSampleSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.CorpusOps
+
+  test("high-variance stratum earns more than proportional share") {
+    // two equal-size strata: 'flat' has near-zero variance, 'wild' huge
+    val docs = ((1L to 50L).map(i => (i, "t", "flat", 100L + (i % 2))) ++
+      (51L to 100L).map(i => (i, "t", "wild", (i % 10) * 300L)))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = CorpusOps.neymanSample(docs, n = 40)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.sum === 40L)
+    // proportional would give 20/20; Neyman shifts nearly everything
+    assert(bySrc("wild") > 30L, s"wild got ${bySrc("wild")}")
+    assert(bySrc.getOrElse("flat", 0L) < 10L)
+  }
+
+  test("shares sum exactly to n; caps at stratum size; deterministic") {
+    val docs = ((1L to 5L).map(i => (i, "t", "tiny", (i * 37) % 400)) ++
+      (6L to 105L).map(i => (i, "t", "big", (i * 97) % 900)))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = CorpusOps.neymanSample(docs, n = 50).collect()
+    val bySrc = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    // tiny stratum capped at its 5 rows; no reallocation (documented)
+    assert(bySrc.getOrElse("tiny", 0) <= 5)
+    assert(out.length <= 50 && out.length >= 45)
+    val again = CorpusOps.neymanSample(
+      docs.toDF.repartition(7), n = 50).collect()
+    assert(again.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ===
+      out.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+  }
+}
