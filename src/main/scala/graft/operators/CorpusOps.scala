@@ -2690,6 +2690,105 @@ object CorpusOps {
     * \|lang\|·\|source\|·buckets classes — nothing downstream is
     * corpus-sized.
     */
+  /** Bitext sentence-length fixture: per document a source paragraph of
+    * 3–5 sentence LENGTHS (closed forms of the id hash) and a target
+    * paragraph derived from it by one planted edit family — h%4=0 merges
+    * the first two sentences, h%4=1 splits the first, otherwise 1-1 with
+    * ±3 length noise everywhere. All lengths are closed forms of
+    * (doc_id, position), so both engines build identical arrays without
+    * indexed lambdas. Output: (doc_id, ls, lt).
+    */
+  def bitextFixture(docs: DataFrame): DataFrame = {
+    val h = idHash(col("doc_id"))
+    def lsAt(i: Column): Column = lit(20) + (h % 97 + i * 13) % 60
+    def nz(j: Column): Column = (h % 89 + j * 7) % 7 - 3
+    val m = (lit(3) + h % 3).cast("int")
+    val ls = transform(sequence(lit(1), m), i => lsAt(i).cast("long"))
+    val fam = h % 4
+    val ltMerge = transform(sequence(lit(1), m - 1), j =>
+      when(j === 1, lsAt(lit(1)) + lsAt(lit(2)) + nz(j))
+        .otherwise(lsAt(j + 1) + nz(j)).cast("long"))
+    val ltSplit = transform(sequence(lit(1), m + 1), j =>
+      when(j === 1, floor(lsAt(lit(1)) / 2).cast("long") + nz(j))
+        .when(j === 2,
+          lsAt(lit(1)) - floor(lsAt(lit(1)) / 2).cast("long") + nz(j))
+        .otherwise(lsAt(j - 1) + nz(j)).cast("long"))
+    val ltId = transform(sequence(lit(1), m), j =>
+      (lsAt(j) + nz(j)).cast("long"))
+    docs.select(col("doc_id"), ls.as("ls"),
+      when(fam === 0, ltMerge).when(fam === 1, ltSplit)
+        .otherwise(ltId).as("lt"))
+  }
+
+  /** Gale–Church-style sentence alignment (q190): the length-based
+    * bitext aligner (Gale & Church 1993) — the step between document
+    * pairing (q141's margin mining finds WHICH docs translate each
+    * other) and usable parallel sentences. Per document pair, a 2-D DP
+    * over (source sentence, target sentence) with the five classic moves
+    * (1-1 substitution, 2-1 merge, 1-2 split, 1-0/0-1 skip); the match
+    * cost is the Gaussian length-mismatch surprisal δ²=(lt−ls)²/(6.8·ls)
+    * floor-quantized to 1e4 units plus integer move penalties (0 / 23000
+    * / 45000) — every DP decision is an integer comparison with move
+    * priority as the tie rule.
+    *
+    * The grid runs as a ROW-LOCAL higher-order aggregate over the
+    * flattened (m+1)×(n+1) cells (the [[unigramSegment]] DP pattern in
+    * two dimensions: cell p reads up to five earlier cells at fixed
+    * offsets from the carried array) — no join, no shuffle, no UDF.
+    * Output per doc: alignment move counts and total cost; the planted
+    * edit family is recovered exactly (spec-pinned).
+    */
+  def galeChurchAlign(pairs: DataFrame): DataFrame = {
+    val mC = size(col("ls"))
+    val nC = size(col("lt"))
+    val W = nC + 1
+    val sentinel = struct(lit(Long.MaxValue / 2).as("c"), lit(0L).as("n11"),
+      lit(0L).as("n21"), lit(0L).as("n12"), lit(0L).as("ns"))
+    def d2cost(a: Column, b: Column): Column =
+      floor((b - a).cast("double") * (b - a).cast("double") * 10000.0 /
+        (lit(6.8) * a.cast("double"))).cast("long")
+    def bump(prev: Column, add: Column, f: String): Column = struct(
+      (prev.getField("c") + add).as("c"),
+      (prev.getField("n11") + (if (f == "n11") 1L else 0L)).as("n11"),
+      (prev.getField("n21") + (if (f == "n21") 1L else 0L)).as("n21"),
+      (prev.getField("n12") + (if (f == "n12") 1L else 0L)).as("n12"),
+      (prev.getField("ns") + (if (f == "ns") 1L else 0L)).as("ns"))
+    val step = (acc: Column, p: Column) => {
+      val i = floor(p / W).cast("int")
+      val j = (p % W).cast("int")
+      val lsI = element_at(col("ls"), i)
+      val ltJ = when(j >= 1, element_at(col("lt"), j))
+      val cands = filter(array(
+        when(i >= 1 && j >= 1,
+          bump(element_at(acc, p - W - 1 + 1), d2cost(lsI, ltJ), "n11")),
+        when(i >= 2 && j >= 1,
+          bump(element_at(acc, p - W * 2 - 1 + 1),
+            lit(23000L) + d2cost(element_at(col("ls"), i - 1) + lsI, ltJ),
+            "n21")),
+        when(i >= 1 && j >= 2,
+          bump(element_at(acc, p - W - 2 + 1),
+            lit(23000L) + d2cost(lsI,
+              element_at(col("lt"), j - 1) + ltJ), "n12")),
+        when(i >= 1, bump(element_at(acc, p - W + 1), lit(45000L), "ns")),
+        when(j >= 1, bump(element_at(acc, p - 1 + 1), lit(45000L), "ns"))
+      ), c => c.isNotNull)
+      // strict < keeps the EARLIER candidate on ties = move priority
+      val best = aggregate(cands, sentinel,
+        (b, c) => when(c.getField("c") < b.getField("c"), c).otherwise(b))
+      concat(acc, array(best))
+    }
+    val dp0 = array(struct(lit(0L).as("c"), lit(0L).as("n11"),
+      lit(0L).as("n21"), lit(0L).as("n12"), lit(0L).as("ns")))
+    val last = element_at(
+      aggregate(sequence(lit(1), (mC + 1) * W - 1), dp0, step), (mC + 1) * W)
+    pairs.select(col("doc_id"), mC.cast("long").as("m"),
+        nC.cast("long").as("n"), last.as("_d"))
+      .select(col("doc_id"), col("m"), col("n"),
+        (col("_d.c").cast("double") / 1e4).as("cost"),
+        col("_d.n11").as("n_sub"), col("_d.n21").as("n_merge"),
+        col("_d.n12").as("n_split"), col("_d.ns").as("n_skip"))
+  }
+
   /** Neyman-allocation stratified sample (q189): the survey-sampling
     * optimum for building an audit/eval sample under a fixed budget —
     * allocate n_h ∝ N_h·σ_h (stratum size × metric stddev), which

@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // Gale-Church-style bitext sentence alignment: the 2-D length DP as
+    // a row-local higher-order aggregate; move counts + total cost
+    "q190_bitext_align" -> ((s, d) =>
+      CorpusOps.galeChurchAlign(CorpusOps.bitextFixture(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // Neyman-allocation stratified sample: variance-optimal per-source
     // budget shares (largest-remainder exact), deterministic hash draw
     "q189_neyman_sample" -> ((s, d) =>
@@ -1608,9 +1614,108 @@ object LlmOps {
          GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** q190's oracle: the Gale–Church grid DP as a recursive CTE. One row
+    * per (doc, flattened cell); the recursion carries the dp cost and
+    * the four move-count prefixes as lists. The five candidates are
+    * computed in an inner subquery, the winner picked by a ≤-cascade in
+    * MOVE-PRIORITY order (sub, merge, split, del, ins — mirroring the
+    * operator's strict-< fold that keeps the earlier candidate on ties),
+    * and the chosen predecessor's counters are bumped in the outer
+    * level.
+    */
+  private def gcOracleSql: String = {
+    val lsAt = (i: String) => s"CAST(20 + (h % 97 + ($i) * 13) % 60 AS BIGINT)"
+    val nz = (j: String) => s"((h % 89 + ($j) * 7) % 7 - 3)"
+    def d2(a: String, b: String) =
+      s"""CAST(floor(CAST(($b) - ($a) AS DOUBLE)
+          * CAST(($b) - ($a) AS DOUBLE) * 10000.0
+          / (6.8 * CAST(($a) AS DOUBLE))) AS BIGINT)"""
+    // candidate k: (validity, dp-list position of predecessor, added cost)
+    val cands = Seq(
+      (s"ii >= 1 AND jj >= 1", "pp - w", d2("ls[ii]", "lt[jj]")),
+      (s"ii >= 2 AND jj >= 1", "pp - 2*w",
+        s"23000 + ${d2("ls[ii-1] + ls[ii]", "lt[jj]")}"),
+      (s"ii >= 1 AND jj >= 2", "pp - w - 1",
+        s"23000 + ${d2("ls[ii]", "lt[jj-1] + lt[jj]")}"),
+      (s"ii >= 1", "pp - w + 1", "45000"),
+      (s"jj >= 1", "pp", "45000"))
+    val candCols = cands.zipWithIndex.map { case ((valid, pos, cost), k0) =>
+      val k = k0 + 1
+      s"CASE WHEN $valid THEN cc[$pos] + ($cost) END AS c$k, ($pos) AS q$k"
+    }.mkString(",\n               ")
+    val bk = (1 to 5).map { k =>
+      val others = (1 to 5).filter(_ != k)
+        .map(j => s"(c$j IS NULL OR c$k <= c$j)").mkString(" AND ")
+      s"WHEN c$k IS NOT NULL AND $others THEN $k"
+    }.mkString("CASE ", " ", " END")
+    def pick(f: Int => String) =
+      (1 to 5).map(k => s"WHEN bk = $k THEN ${f(k)}").mkString("CASE ", " ", " END")
+    s"""WITH RECURSIVE d0 AS MATERIALIZED (
+           SELECT doc_id, h, CAST(3 + h % 3 AS INT) AS m
+           FROM (SELECT doc_id,
+               ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+             FROM documents)),
+         pairs AS MATERIALIZED (SELECT doc_id, ls,
+              CASE WHEN h % 4 = 0 THEN
+                list_transform(generate_series(1, m - 1), j ->
+                  CAST(CASE WHEN j = 1
+                    THEN ${lsAt("1")} + ${lsAt("2")} + ${nz("j")}
+                    ELSE ${lsAt("j + 1")} + ${nz("j")} END AS BIGINT))
+              WHEN h % 4 = 1 THEN
+                list_transform(generate_series(1, m + 1), j ->
+                  CAST(CASE WHEN j = 1
+                      THEN CAST(floor(${lsAt("1")} / 2) AS BIGINT) + ${nz("j")}
+                    WHEN j = 2 THEN ${lsAt("1")}
+                      - CAST(floor(${lsAt("1")} / 2) AS BIGINT) + ${nz("j")}
+                    ELSE ${lsAt("j - 1")} + ${nz("j")} END AS BIGINT))
+              ELSE list_transform(generate_series(1, m), j ->
+                CAST(${lsAt("j")} + ${nz("j")} AS BIGINT))
+              END AS lt
+            FROM (SELECT doc_id, h, m,
+                list_transform(generate_series(1, m), i -> ${lsAt("i")}) AS ls
+              FROM d0)),
+         dp AS (
+           SELECT doc_id, ls, lt, len(ls) AS m, len(lt) AS n,
+             len(lt) + 1 AS w, 0 AS p,
+             [CAST(0 AS BIGINT)] AS cc, [CAST(0 AS BIGINT)] AS a11,
+             [CAST(0 AS BIGINT)] AS a21, [CAST(0 AS BIGINT)] AS a12,
+             [CAST(0 AS BIGINT)] AS ans
+           FROM pairs
+           UNION ALL
+           SELECT doc_id, ls, lt, m, n, w, p,
+             list_append(cc, ${pick(k => s"c$k")}),
+             list_append(a11, a11[${pick(k => s"q$k")}]
+               + CASE WHEN bk = 1 THEN 1 ELSE 0 END),
+             list_append(a21, a21[${pick(k => s"q$k")}]
+               + CASE WHEN bk = 2 THEN 1 ELSE 0 END),
+             list_append(a12, a12[${pick(k => s"q$k")}]
+               + CASE WHEN bk = 3 THEN 1 ELSE 0 END),
+             list_append(ans, ans[${pick(k => s"q$k")}]
+               + CASE WHEN bk IN (4, 5) THEN 1 ELSE 0 END)
+           FROM (
+             SELECT *, $bk AS bk FROM (
+               SELECT doc_id, ls, lt, m, n, w, p + 1 AS p, pp,
+                 cc, a11, a21, a12, ans,
+                 $candCols
+               FROM (
+                 SELECT d.*, (d.p + 1) // d.w AS ii, (d.p + 1) % d.w AS jj,
+                   d.p + 1 AS pp
+                 FROM dp d WHERE d.p < (d.m + 1) * d.w - 1) x) y) z
+         ),
+         fin AS (SELECT doc_id, m, n,
+              cc[(m + 1) * w] AS c6, a11[(m + 1) * w] AS n_sub,
+              a21[(m + 1) * w] AS n_merge, a12[(m + 1) * w] AS n_split,
+              ans[(m + 1) * w] AS n_skip
+            FROM dp WHERE p = (m + 1) * w - 1)
+         SELECT doc_id, CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n,
+           CAST(c6 AS DOUBLE)/1e4 AS cost, n_sub, n_merge, n_split, n_skip
+         FROM fin ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q169_bradley_terry" -> btOracleSql(10),
     "q180_unigram_segment" -> unigramSegOracleSql,
+    "q190_bitext_align" -> gcOracleSql,
     // fixture replay + the exact subset-count ratio via list_product over
     // the same clamped factor lists, cast back to BIGINT before the
     // millionth floor so the integer decisions match Spark's aggregate()

@@ -926,3 +926,62 @@ class NeymanSampleSpec extends SparkSpec {
       out.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
   }
 }
+
+/** Gale-Church-style bitext alignment (q190). */
+class BitextAlignSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.CorpusOps
+
+  private def pairs(rows: (Long, Seq[Long], Seq[Long])*) =
+    rows.toSeq.toDF("doc_id", "ls", "lt")
+
+  test("identity, merge, split, and skip alignments recovered exactly") {
+    val out = CorpusOps.galeChurchAlign(pairs(
+      (1L, Seq(40L, 50L, 60L), Seq(41L, 49L, 60L)),   // 3x 1-1
+      (2L, Seq(40L, 50L, 60L), Seq(91L, 60L)),        // merge + 1-1
+      (3L, Seq(80L, 60L), Seq(38L, 42L, 61L)),        // split + 1-1
+      (4L, Seq(40L, 50L), Seq(40L))                   // 1-1 + deletion
+    )).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out(1L) === ((3L, 0L, 0L, 0L)))
+    assert(out(2L) === ((1L, 1L, 0L, 0L)))
+    assert(out(3L) === ((1L, 0L, 1L, 0L)))
+    assert(out(4L) === ((1L, 0L, 0L, 1L)))
+  }
+
+  test("cost arithmetic: single perfect 1-1 pair costs exactly 0") {
+    val r = CorpusOps.galeChurchAlign(pairs((1L, Seq(50L), Seq(50L))))
+      .collect().head
+    assert(r.getDouble(3) === 0.0 && r.getLong(4) === 1L)
+    // and a length-42 vs 50 pair costs floor(64e4/(6.8*50))/1e4
+    val r2 = CorpusOps.galeChurchAlign(pairs((1L, Seq(50L), Seq(42L))))
+      .collect().head
+    assert(r2.getDouble(3) ===
+      math.floor(64.0 * 10000.0 / (6.8 * 50.0)) / 1e4)
+  }
+
+  test("fixture families map to the planted move counts") {
+    val docs = (0L to 199L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val fx = CorpusOps.bitextFixture(docs)
+    val out = CorpusOps.galeChurchAlign(fx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def h(i: Long) = ((i % 2147483648L) * 2654435761L) % 2147483647L
+    (0L to 199L).foreach { i =>
+      val r = out(i)
+      val fam = h(i) % 4
+      if (fam == 0)
+        assert(r.getLong(5) === 1L && r.getLong(6) === 0L,
+          s"doc $i expected one merge: $r")
+      else if (fam == 1)
+        assert(r.getLong(6) === 1L && r.getLong(5) === 0L,
+          s"doc $i expected one split: $r")
+      else
+        assert(r.getLong(5) === 0L && r.getLong(6) === 0L
+          && r.getLong(7) === 0L && r.getLong(4) === r.getLong(1),
+          s"doc $i expected pure 1-1: $r")
+    }
+  }
+}
