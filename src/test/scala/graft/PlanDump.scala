@@ -120,7 +120,13 @@ object PlanDump {
     "q181_html_extract" ->
       "HTML extraction: one regex-projection chain (script/style/comment strip staged once per row), zero shuffles before the output sort.",
     "q183_bootstrap_ci" ->
-      "Poisson bootstrap: bounded 200-way replica explode with integer inverse-CDF weights, map-side-combined (source, replica) sums; ranking windows run over the |sources|·200-row replica table, never the tasks.")
+      "Poisson bootstrap: bounded 200-way replica explode with integer inverse-CDF weights, map-side-combined (source, replica) sums; ranking windows run over the |sources|·200-row replica table, never the tasks.",
+    "q187_sorted_neighborhood" ->
+      "Sorted neighborhood: NO SinglePartition sort — prefix-bucket row_numbers + a tiny offset-table window lift to global ranks; rank-adjacency equi-join; candidate-bounded Jaccard verification.",
+    "q189_neyman_sample" ->
+      "Neyman sampling: one map-side stats aggregation; allocation windows run over the |strata|-row table; the draw is a per-stratum ranking window cut at n_h.",
+    "q190_bitext_align" ->
+      "Bitext alignment: the whole 2-D DP is one row-local projection (higher-order aggregate over flattened cells) — zero joins and zero shuffles before the output sort.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
