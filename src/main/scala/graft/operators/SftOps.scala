@@ -308,6 +308,40 @@ object SftOps {
         f6(col("ov2"), col("nc2"), col("nr2")).as("rouge2_f"))
   }
 
+  /** Length-debiased preference subsample (q191): the REPAIR for the
+    * bias [[lengthBias]] diagnoses — per source, downsample the majority
+    * length-direction class (chosen-longer vs rejected-longer) to the
+    * minority count, so a reward model trained on the survivors cannot
+    * learn "longer wins" from this source's class ratio alone. Ties
+    * carry no length signal and pass through untouched. The kept subset
+    * is the deterministic id-hash order within each (source, class) —
+    * reproducible, and unbiased w.r.t. anything correlated with pair_id.
+    *
+    * Shapes: one tiny (source, class) count aggregation broadcast back,
+    * and per-(source, class) ranking windows cut at the minority count
+    * (WindowGroupLimit-bounded). Output keeps the pair rows plus their
+    * class tag.
+    */
+  def lengthDebias(pairs: DataFrame): DataFrame = {
+    val cls = when(col("len_chosen") > col("len_rejected"), "chosen_longer")
+      .when(col("len_chosen") < col("len_rejected"), "rejected_longer")
+      .otherwise("tie")
+    val tagged = pairs.withColumn("class", cls)
+    val counts = tagged.filter(col("class") =!= "tie")
+      .groupBy(col("source")).agg(
+        sum(when(col("class") === "chosen_longer", 1L).otherwise(0L)).as("ncl"),
+        sum(when(col("class") === "rejected_longer", 1L).otherwise(0L)).as("nrl"))
+      .withColumn("keep_n", least(col("ncl"), col("nrl")))
+      .select(col("source"), col("keep_n"))
+    val w = Window.partitionBy(col("source"), col("class"))
+      .orderBy(graft.operators.CorpusOps.idHash(col("pair_id")), col("pair_id"))
+    tagged.join(broadcast(counts), Seq("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("class") === "tie" || col("rk") <= col("keep_n"))
+      .select(col("source"), col("pair_id"), col("len_chosen"),
+        col("len_rejected"), col("class"))
+  }
+
   /** Preference length-bias audit (q164): per source, how often the
     * chosen completion is simply the LONGER one, and by how much. A
     * reward model trained on pairs where frac_chosen_longer ≫ 0.5 learns

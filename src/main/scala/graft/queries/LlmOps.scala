@@ -781,6 +781,13 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // length-debiased preference subsample: majority length-direction
+    // class downsampled to the minority count per source (q164's repair)
+    "q191_length_debias" -> ((s, d) =>
+      SftOps.lengthDebias(SftOps.prefPairs(Tables.fanout(
+          Tables.documents(s, d))))
+        .orderBy(col("source"), col("pair_id"))),
+
     // Gale-Church-style bitext sentence alignment: the 2-D length DP as
     // a row-local higher-order aggregate; move counts + total cost
     "q190_bitext_align" -> ((s, d) =>
@@ -2032,6 +2039,35 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // q164's pair fixture, class tags, minority-count cap per source,
+    // id-hash keep order within each (source, class)
+    "q191_length_debias" ->
+      """WITH d AS (SELECT doc_id, source,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         p AS (SELECT doc_id AS pair_id, source,
+              CAST(len(w[7 : 6 + CAST(10 + doc_id % 20 AS INT)]) AS BIGINT)
+                AS len_chosen,
+              CAST(len(w[7 : 6 + CAST(5 + (doc_id * 7) % 25 AS INT)])
+                AS BIGINT) AS len_rejected
+            FROM d),
+         t AS (SELECT *, CASE WHEN len_chosen > len_rejected
+                 THEN 'chosen_longer'
+               WHEN len_chosen < len_rejected THEN 'rejected_longer'
+               ELSE 'tie' END AS class FROM p),
+         c AS (SELECT source, least(
+              sum(CASE WHEN class = 'chosen_longer' THEN 1 ELSE 0 END),
+              sum(CASE WHEN class = 'rejected_longer' THEN 1 ELSE 0 END))
+                AS keep_n
+            FROM t WHERE class <> 'tie' GROUP BY source),
+         r AS (SELECT t.*, c.keep_n, row_number() OVER (
+              PARTITION BY t.source, class ORDER BY
+                ((pair_id % 2147483648) * 2654435761) % 2147483647, pair_id)
+              AS rk
+            FROM t JOIN c ON c.source = t.source)
+         SELECT source, pair_id, len_chosen, len_rejected, class
+         FROM r WHERE class = 'tie' OR rk <= keep_n
+         ORDER BY source, pair_id""",
     // per-stratum stats, the same sqrt→micro-quantized weights, floored
     // shares + largest-remainder leftovers, id-hash draw order
     "q189_neyman_sample" ->

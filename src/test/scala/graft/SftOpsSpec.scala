@@ -229,4 +229,45 @@ class SftOpsSpec extends SparkSpec {
       .orderBy("pair_id").collect()
     assert(r(0).getDouble(5) > 0.5 && r(0).getDouble(5) < 1.0)
   }
+
+  test("lengthDebias: majority class capped to minority, ties pass") {
+    val pairs = Seq(
+      // source a: 3 chosen-longer, 1 rejected-longer, 1 tie
+      (1L, "a", 10L, 5L), (2L, "a", 10L, 6L), (3L, "a", 10L, 7L),
+      (4L, "a", 5L, 10L), (5L, "a", 8L, 8L),
+      // source b: only chosen-longer → minority count 0, ties survive
+      (6L, "b", 9L, 5L), (7L, "b", 7L, 7L))
+      .toDF("pair_id", "source", "len_chosen", "len_rejected")
+    val out = SftOps.lengthDebias(pairs).collect()
+      .map(r => r.getLong(1) -> r.getString(4)).toMap
+    val a = out.filterKeys(Set(1L, 2L, 3L, 4L, 5L).contains)
+    assert(a.values.count(_ == "chosen_longer") === 1)
+    assert(a.values.count(_ == "rejected_longer") === 1)
+    assert(a(5L) === "tie")
+    // source b: both longer-pairs dropped, tie kept
+    assert(!out.contains(6L) && out(7L) === "tie")
+  }
+
+  test("lengthDebias repairs the q164 bias on the real fixture") {
+    val docs = (0L to 499L).map(i =>
+      (i, (1 to 60).map(j => s"w$j").mkString(" "), s"src${i % 20}"))
+      .toDF("doc_id", "text", "source")
+    val pairs = SftOps.prefPairs(docs)
+    val kept = SftOps.lengthDebias(pairs)
+    val bias = SftOps.lengthBias(kept.select(col("pair_id"), col("source"),
+      lit("").as("prompt"), col("len_chosen"), col("len_rejected")))
+    // after the repair every source's non-tie classes are balanced:
+    // frac_chosen_longer = n_cl / n_pairs with n_cl == n_rl
+    bias.collect().foreach { r =>
+      val n = r.getAs[Long]("n_pairs")
+      val ncl = r.getAs[Long]("n_chosen_longer")
+      val ties = r.getAs[Long]("n_ties")
+      assert(n - ties === 2 * ncl,
+        s"${r.getString(0)}: $ncl chosen-longer of ${n - ties} non-ties")
+    }
+    // and the repair deterministic under repartition
+    val again = SftOps.lengthDebias(SftOps.prefPairs(docs.repartition(9)))
+      .orderBy("source", "pair_id").collect().toSeq
+    assert(kept.orderBy("source", "pair_id").collect().toSeq === again)
+  }
 }
