@@ -691,6 +691,71 @@ object CorpusOps {
         (floor(sum(col("contrib")) * 1000) / 1000).as("bm25"))
   }
 
+  /** Fielded-document fixture for q192: title = the document's first two
+    * words, body = words 8–29 — the field split [[htmlFixture]] renders
+    * as title/paragraph, without re-running the HTML chain.
+    */
+  def fieldedFixture(docs: DataFrame): DataFrame = {
+    val w = filter(split(col("text"), " "), x => x =!= lit(""))
+    docs.select(col("doc_id"), slice(w, 1, 2).as("title"),
+      slice(w, 8, 22).as("body"))
+  }
+
+  /** BM25F field-weighted ranking (q192): the structured-document form
+    * of BM25 (Robertson & Zaragoza) — a title hit is worth more than a
+    * body hit, and each field gets its OWN length normalization before
+    * the weighted term frequencies combine and pass through the shared
+    * k1 saturation. The field combination is a FIXED expression over
+    * per-field integer tf columns (pivoted via conditional sums, never a
+    * sum over per-field double rows whose order an engine could vary),
+    * per-(doc, term) contributions floor-quantize at micro units, and
+    * the doc score is an exact BIGINT sum — no float accumulation order
+    * anywhere. Top-k is TakeOrdered.
+    *
+    * Scale shape: one explode per field pruned to the query terms at the
+    * explode boundary, two map-side-combining aggregations, broadcast
+    * df/stats, TakeOrdered top-k.
+    */
+  def bm25f(fielded: DataFrame, queryTerms: Seq[String],
+      wTitle: Double = 3.0, wBody: Double = 1.0, b: Double = 0.75,
+      k1: Double = 1.2, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val lens = fielded.select(col("doc_id"),
+      size(col("title")).cast("double").as("lt"),
+      size(col("body")).cast("double").as("lb"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("lt")).as("avgt"), avg(col("lb")).as("avgb"))
+    val toks = fielded.select(col("doc_id"), lit("t").as("field"),
+        explode(col("title")).as("token"))
+      .unionByName(fielded.select(col("doc_id"), lit("b").as("field"),
+        explode(col("body")).as("token")))
+      .filter(col("token").isin(queryTerms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(sum(when(col("field") === "t", 1L).otherwise(0L)).as("tft"),
+        sum(when(col("field") === "b", 1L).otherwise(0L)).as("tfb"))
+    val dfTab = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(lens, Seq("doc_id"))
+      .join(broadcast(dfTab), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("wtf",
+        lit(wTitle) * col("tft").cast("double") /
+          (lit(1 - b) + lit(b) * col("lt") / col("avgt")) +
+        lit(wBody) * col("tfb").cast("double") /
+          (lit(1 - b) + lit(b) * col("lb") / col("avgb")))
+      .withColumn("c6",
+        floor(col("idf") * col("wtf") / (lit(k1) + col("wtf")) * 1000000L)
+          .cast("long"))
+      .groupBy(col("doc_id")).agg(sum(col("c6")).as("score6"))
+    val top = scored.orderBy(col("score6").desc, col("doc_id")).limit(topK)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("score6").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score6"))
+  }
+
   /** RM3 pseudo-relevance feedback (Lavrenko & Croft relevance models,
     * the classic first-pass→expand→rerank loop every lexical retrieval
     * stack ships): score the corpus for the original query with [[bm25]],

@@ -781,6 +781,14 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // BM25F: field-weighted ranking over title/body fields with
+    // per-field length normalization — exact BIGINT scores, top-20
+    "q192_bm25f" -> ((s, d) =>
+      CorpusOps.bm25f(CorpusOps.fieldedFixture(Tables.fanout(
+          Tables.documents(s, d))),
+          Seq("vector", "stream", "filter", "spark"))
+        .orderBy(col("rank"))),
+
     // length-debiased preference subsample: majority length-direction
     // class downsampled to the minority count per source (q164's repair)
     "q191_length_debias" -> ((s, d) =>
@@ -2039,6 +2047,42 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // field split replay, pivoted per-field integer tfs, the identical
+    // weighted-tf and saturation chains, floored micro contributions
+    "q192_bm25f" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         f AS (SELECT doc_id, w[1:2] AS title, w[8:29] AS body FROM d),
+         lens AS (SELECT doc_id, CAST(len(title) AS DOUBLE) AS lt,
+              CAST(len(body) AS DOUBLE) AS lb FROM f),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              avg(lt) AS avgt, avg(lb) AS avgb FROM lens),
+         tk AS (SELECT doc_id, 't' AS field, unnest(title) AS token FROM f
+                UNION ALL
+                SELECT doc_id, 'b', unnest(body) FROM f),
+         tf AS (SELECT doc_id, token,
+              CAST(sum(CASE WHEN field = 't' THEN 1 ELSE 0 END) AS BIGINT)
+                AS tft,
+              CAST(sum(CASE WHEN field = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                AS tfb
+            FROM tk WHERE token IN ('vector','stream','filter','spark')
+            GROUP BY doc_id, token),
+         dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+                 FROM tf GROUP BY token),
+         x AS (SELECT tf.doc_id,
+              3.0 * tft / (0.25 + 0.75 * lt / avgt)
+                + 1.0 * tfb / (0.25 + 0.75 * lb / avgb) AS wtf,
+              df, n_docs
+            FROM tf JOIN lens USING (doc_id) JOIN dfq USING (token), stats),
+         sc AS (SELECT doc_id, CAST(sum(c6) AS BIGINT) AS score6 FROM (
+              SELECT doc_id, CAST(floor(
+                  ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+                  * wtf / (1.2 + wtf) * 1000000) AS BIGINT) AS c6
+              FROM x) y GROUP BY doc_id)
+         SELECT CAST(row_number() OVER (ORDER BY score6 DESC, doc_id)
+             AS BIGINT) AS rank, doc_id, score6
+         FROM sc ORDER BY score6 DESC, doc_id LIMIT 20""",
     // q164's pair fixture, class tags, minority-count cap per source,
     // id-hash keep order within each (source, class)
     "q191_length_debias" ->

@@ -146,4 +146,30 @@ class RetrievalSpec extends SparkSpec {
       Seq("spark", "stream"), topK = 10).collect().toSeq
     assert(a === b)
   }
+
+  test("bm25f: title hits outrank equal body hits; field norms differ") {
+    // docs 1/2 identical except WHERE the query term sits: doc 1 in the
+    // title (weight 3, short field), doc 2 in the body
+    val fielded = Seq(
+      (1L, Seq("spark", "intro"), Seq("filler", "words", "here", "now")),
+      (2L, Seq("other", "intro"), Seq("spark", "words", "here", "now")),
+      (3L, Seq("other", "page"), Seq("filler", "words", "here", "now")))
+      .toDF("doc_id", "title", "body")
+    val out = CorpusOps.bm25f(fielded, Seq("spark"), topK = 5)
+      .orderBy("rank").collect()
+    assert(out.length === 2)                  // doc 3 never matches
+    assert(out(0).getLong(1) === 1L)          // title hit wins
+    assert(out(1).getLong(1) === 2L)
+    assert(out(0).getLong(2) > out(1).getLong(2))
+  }
+
+  test("bm25f is deterministic under repartition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.bm25f(CorpusOps.fieldedFixture(df),
+        Seq("vector", "stream", "filter", "spark")).orderBy("rank")
+        .collect().toSeq
+    assert(run(docs) === run(docs.repartition(9)))
+    assert(run(docs).nonEmpty)
+  }
 }
