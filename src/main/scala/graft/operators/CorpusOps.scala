@@ -3020,6 +3020,65 @@ object CorpusOps {
         concat_ws(",", (1 to topK).map(k => col(s"t$k")): _*).as("top_terms"))
   }
 
+  /** Deterministic robots-policy fixture: each of the 13 fixture hosts
+    * publishes 3 rules — two Disallow path prefixes and one Allow that
+    * re-opens a more specific form of the first Disallow (the shape that
+    * exercises longest-match precedence and allow-wins-ties).
+    */
+  def robotsRules(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val k = col("id")
+    spark.range(0, 13)
+      .select(concat(lit("site"), k.cast("string"),
+          lit(".example.com")).as("host"),
+        explode(array(
+          struct(lit("disallow").as("rule"),
+            concat(lit("/p/"), (k * 7 % 37).cast("string")).as("prefix")),
+          struct(lit("allow").as("rule"),
+            concat(lit("/p/"), (k * 7 % 37).cast("string"), lit("?id="))
+              .as("prefix")),
+          struct(lit("disallow").as("rule"),
+            concat(lit("/p/"), (k * 11 % 37).cast("string")).as("prefix"))))
+          .as("r"))
+      .select(col("host"), col("r.rule").as("rule"),
+        col("r.prefix").as("prefix"))
+  }
+
+  /** Robots-policy crawl filter (q193): the REP decision a crawler (and
+    * a license-respecting corpus builder) applies per URL — among the
+    * host's rules whose prefix matches the URL path, the LONGEST prefix
+    * wins, Allow beats Disallow on equal length, and no match means
+    * allowed. The whole precedence collapses to one argmax over a folded
+    * integer key (2·len + allow-bit; non-matching rules get a null key,
+    * which max_by skips, and coalesce supplies the default) — no window,
+    * no ordering dependence. Rules broadcast (robots files are tiny);
+    * one equi-join on host + one url-keyed aggregation.
+    */
+  def robotsFilter(urls: DataFrame): DataFrame = {
+    val rules = robotsRules(urls.sparkSession)
+    urls.join(broadcast(rules), Seq("host"), "left")
+      .withColumn("mkey",
+        when(col("path").startsWith(col("prefix")),
+          length(col("prefix")) * 2 +
+            when(col("rule") === "allow", 1).otherwise(0)))
+      .groupBy(col("doc_id"), col("host"), col("path"))
+      .agg(coalesce(max_by(col("rule"), col("mkey")), lit("allow"))
+        .as("winning_rule"))
+      .withColumn("allowed", col("winning_rule") === "allow")
+  }
+
+  /** URL path fixture for q193: the q173 identity's host and path plus
+    * the optional id-param suffix, as one path+query string per doc. */
+  def urlPathFixture(docs: DataFrame): DataFrame = {
+    val h = idHash(col("doc_id"))
+    docs.select(col("doc_id"),
+      concat(lit("site"), (h % 13).cast("string"), lit(".example.com"))
+        .as("host"),
+      concat(lit("/p/"), (h % 37).cast("string"),
+        when(h % 4 === 0 || h % 4 === 1,
+          concat(lit("?id="), (h % 11).cast("string"))).otherwise(lit("")))
+        .as("path"))
+  }
+
   /** Cross-source quantile normalization (q178): maps every document's
     * quality score to the GLOBAL score distribution at the document's
     * within-source percentile — CDF matching, the calibration step

@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // robots-policy crawl filter: longest-prefix-match with
+    // allow-wins-ties via one folded-key argmax per URL
+    "q193_robots_filter" -> ((s, d) =>
+      CorpusOps.robotsFilter(CorpusOps.urlPathFixture(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // BM25F: field-weighted ranking over title/body fields with
     // per-field length normalization — exact BIGINT scores, top-20
     "q192_bm25f" -> ((s, d) =>
@@ -2047,6 +2053,37 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // rules + url fixtures replayed, prefix matches keyed 2*len+allow,
+    // arg_max skips null keys, coalesce supplies the default-allow
+    "q193_robots_filter" ->
+      """WITH u AS (SELECT doc_id,
+              'site' || CAST(h % 13 AS VARCHAR) || '.example.com' AS host,
+              '/p/' || CAST(h % 37 AS VARCHAR) ||
+                CASE WHEN h % 4 IN (0, 1)
+                  THEN '?id=' || CAST(h % 11 AS VARCHAR) ELSE '' END AS path
+            FROM (SELECT doc_id,
+                ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+              FROM documents)),
+         r AS (SELECT 'site' || CAST(k AS VARCHAR) || '.example.com' AS host,
+              t.r.rule AS rule, t.r.prefix AS prefix
+            FROM (SELECT unnest(generate_series(0, 12)) AS k) g,
+              unnest([
+                {'rule': 'disallow',
+                 'prefix': '/p/' || CAST(k * 7 % 37 AS VARCHAR)},
+                {'rule': 'allow',
+                 'prefix': '/p/' || CAST(k * 7 % 37 AS VARCHAR) || '?id='},
+                {'rule': 'disallow',
+                 'prefix': '/p/' || CAST(k * 11 % 37 AS VARCHAR)}]) AS t(r)
+            ),
+         j AS (SELECT doc_id, u.host, path, rule,
+              CASE WHEN starts_with(path, prefix)
+                THEN length(prefix) * 2
+                  + CASE WHEN rule = 'allow' THEN 1 ELSE 0 END END AS mkey
+            FROM u LEFT JOIN r ON r.host = u.host)
+         SELECT doc_id, host, path,
+           coalesce(arg_max(rule, mkey), 'allow') AS winning_rule,
+           coalesce(arg_max(rule, mkey), 'allow') = 'allow' AS allowed
+         FROM j GROUP BY doc_id, host, path ORDER BY doc_id""",
     // field split replay, pivoted per-field integer tfs, the identical
     // weighted-tf and saturation chains, floored micro contributions
     "q192_bm25f" ->

@@ -985,3 +985,40 @@ class BitextAlignSpec extends SparkSpec {
     }
   }
 }
+
+/** Robots-policy crawl filter (q193). */
+class RobotsFilterSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.CorpusOps
+
+  test("longest match wins, allow beats disallow on ties, default allow") {
+    // host site0: disallow /p/0, allow /p/0?id=, disallow /p/0 (k*11%37=0)
+    val urls = Seq(
+      (1L, "site0.example.com", "/p/0"),          // disallow match
+      (2L, "site0.example.com", "/p/0?id=3"),     // longer ALLOW wins
+      (3L, "site0.example.com", "/p/9"),          // no rule → allow
+      (4L, "site1.example.com", "/p/7"),          // host1 disallow 7*1
+      (5L, "site1.example.com", "/p/11"))         // host1 disallow 11
+      .toDF("doc_id", "host", "path")
+    val out = CorpusOps.robotsFilter(urls).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(!out(1L))
+    assert(out(2L))
+    assert(out(3L))
+    assert(!out(4L) && !out(5L))
+  }
+
+  test("fixture filter is deterministic and mixes both outcomes") {
+    val docs = (0L to 299L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = CorpusOps.robotsFilter(CorpusOps.urlPathFixture(docs))
+    val allowed = out.filter(col("allowed")).count()
+    val blocked = out.filter(!col("allowed")).count()
+    assert(allowed > 0 && blocked > 0, s"$allowed allowed / $blocked blocked")
+    val again = CorpusOps.robotsFilter(
+      CorpusOps.urlPathFixture(docs.repartition(7)))
+      .orderBy("doc_id").collect().toSeq
+    assert(out.orderBy("doc_id").collect().toSeq === again)
+  }
+}
