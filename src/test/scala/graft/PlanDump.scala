@@ -126,7 +126,11 @@ object PlanDump {
     "q189_neyman_sample" ->
       "Neyman sampling: one map-side stats aggregation; allocation windows run over the |strata|-row table; the draw is a per-stratum ranking window cut at n_h.",
     "q190_bitext_align" ->
-      "Bitext alignment: the whole 2-D DP is one row-local projection (higher-order aggregate over flattened cells) — zero joins and zero shuffles before the output sort.")
+      "Bitext alignment: the whole 2-D DP is one row-local projection (higher-order aggregate over flattened cells) — zero joins and zero shuffles before the output sort.",
+    "q192_bm25f" ->
+      "BM25F: field explodes pruned to query terms at the boundary, pivoted per-field tf aggregation, broadcast df/stats joins, TakeOrderedAndProject top-k.",
+    "q193_robots_filter" ->
+      "Robots filter: broadcast rules join + one URL-keyed aggregation — the precedence logic is a single max_by, no window.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
