@@ -15,6 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Hourly traffic-anomaly audit (q194): the monitoring read over an
+    * event stream — hourly event counts judged against a per-hour-of-day
+    * baseline (the median count of the SAME hour across all days, so
+    * diurnal shape isn't mistaken for anomaly) with a MAD scale; an hour
+    * is anomalous when its deviation exceeds max(3·MAD, 1). Median and
+    * MAD are Spark's EXACT percentile (interpolated midpoint on even
+    * counts — identical arithmetic to DuckDB's median, so .5 values
+    * compare bit-equal). Shapes: one (date, hour) count aggregation,
+    * one 24-row-per-metric baseline aggregation joined back broadcast,
+    * row-local flags — nothing downstream is event-sized.
+    */
+  def hourlyAnomalies(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val hourly = events
+      .groupBy(to_date(col(tsCol)).as("date"),
+        hour(col(tsCol)).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val base = hourly.groupBy(col("hod"))
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val withMed = hourly.join(broadcast(base), Seq("hod"))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = withMed.groupBy(col("hod"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq("hod"))
+      .select(col("date"), col("hod"), col("n"), col("med"), col("mad"),
+        col("dev"),
+        (col("dev") > greatest(col("mad") * 3, lit(1.0))).as("is_anomaly"))
+  }
+
   /** As-of join: for every left row, the single most recent right row with
     * `right.ts <= left.ts`, per key. Implementation: union both sides
     * tagged, sort within key by (ts, side), and carry the last-seen right

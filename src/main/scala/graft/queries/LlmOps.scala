@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // hourly traffic anomalies vs a per-hour-of-day median/MAD baseline
+    // — diurnal shape is not mistaken for anomaly
+    "q194_hourly_anomaly" -> ((s, d) =>
+      graft.operators.TemporalJoins.hourlyAnomalies(Tables.events(s, d))
+        .orderBy(col("date"), col("hod"))),
+
     // robots-policy crawl filter: longest-prefix-match with
     // allow-wins-ties via one folded-key argmax per URL
     "q193_robots_filter" -> ((s, d) =>
@@ -2053,6 +2059,21 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // the same exact interpolated medians (DuckDB median == Spark
+    // percentile 0.5 arithmetic), MAD scale, identical flag rule
+    "q194_hourly_anomaly" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS date, hour(ts) AS hod,
+              count(*) AS n
+            FROM events GROUP BY 1, 2),
+         b AS (SELECT hod, CAST(median(n) AS DOUBLE) AS med
+               FROM h GROUP BY hod),
+         m AS (SELECT date, h.hod, n, med, abs(n - med) AS dev
+               FROM h JOIN b ON b.hod = h.hod),
+         md AS (SELECT hod, CAST(median(dev) AS DOUBLE) AS mad
+                FROM m GROUP BY hod)
+         SELECT date, m.hod, n, med, mad, dev,
+           dev > greatest(mad * 3, 1.0) AS is_anomaly
+         FROM m JOIN md ON md.hod = m.hod ORDER BY date, m.hod""",
     // rules + url fixtures replayed, prefix matches keyed 2*len+allow,
     // arg_max skips null keys, coalesce supplies the default-allow
     "q193_robots_filter" ->

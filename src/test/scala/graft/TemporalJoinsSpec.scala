@@ -79,4 +79,26 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(2).getDouble(3) === 0.5)
     assert(out(0).getDouble(3) === 1.0)
   }
+
+  test("hourlyAnomalies: planted spike flags, diurnal shape does not") {
+    import java.sql.Timestamp
+    // 9 days: hour 3 always has 10 events, hour 4 always 2 — on day 5,
+    // hour 3 spikes to 30. The per-hour baselines must absorb the
+    // diurnal 10-vs-2 difference and flag ONLY the spike.
+    val rows = for {
+      day <- 1 to 9
+      hod <- Seq(3, 4)
+      n = if (day == 5 && hod == 3) 30 else if (hod == 3) 10 else 2
+      i <- 1 to n
+    } yield (day.toLong * 1000 + hod * 100 + i,
+      Timestamp.valueOf(f"2024-01-$day%02d $hod%02d:15:00"), 1L)
+    val ev = rows.toDF("event_id", "ts", "user_id")
+    val out = graft.operators.TemporalJoins.hourlyAnomalies(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getBoolean(6)))).toMap
+    assert(out(("2024-01-05", 3)) === ((30L, true)))
+    assert(out(("2024-01-04", 3)) === ((10L, false)))
+    assert(out(("2024-01-05", 4)) === ((2L, false)))
+    assert(out.values.count(_._2) === 1, "only the spike flags")
+  }
 }
