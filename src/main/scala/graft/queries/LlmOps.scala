@@ -781,6 +781,13 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // portable HLL twin of q44's sketch family: every register and the
+    // estimate itself hash-checked, plus the 3/sqrt(m) error contract
+    "q195_hll_portable" -> ((s, d) =>
+      graft.operators.Sketches.hllReport(Tables.lineitem(s, d),
+          "l_returnflag", "l_partkey")
+        .orderBy(col("l_returnflag"))),
+
     // hourly traffic anomalies vs a per-hour-of-day median/MAD baseline
     // — diurnal shape is not mistaken for anomaly
     "q194_hourly_anomaly" -> ((s, d) =>
@@ -1739,10 +1746,55 @@ object LlmOps {
          FROM fin ORDER BY doc_id"""
   }
 
+  /** q195's oracle: the full portable-HLL replay — md5-prefix hashes,
+    * top-b buckets, the integer leading-zero cascade (no log2: a float
+    * boundary must never decide a register), exact integer register
+    * sums, and the same estimate/correction arithmetic in the same
+    * operation order.
+    */
+  private def hllOracleSql: String = {
+    val b = 10; val m = 1 << b; val wBits = 32 - b; val scaleBit = wBits + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val rhoCase = (1 to wBits).map(r =>
+      s"WHEN w >= ${1L << (wBits - r)} THEN $r")
+      .mkString("CASE ", " ", s" ELSE ${wBits + 1} END")
+    s"""WITH hh AS (SELECT l_returnflag AS grp,
+            CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
+              AS BIGINT) AS h
+          FROM lineitem),
+       rr AS (SELECT grp, h // ${1L << wBits} AS bucket, $rhoCase AS rho
+          FROM (SELECT grp, h, h % ${1L << wBits} AS w FROM hh) x),
+       regs AS (SELECT grp, bucket, max(rho) AS mr FROM rr
+                GROUP BY grp, bucket),
+       folded AS (SELECT grp,
+            CAST(sum(CAST(power(2, $scaleBit - mr) AS BIGINT)) AS BIGINT)
+              AS z_num,
+            count(*) AS used FROM regs GROUP BY grp),
+       ex AS (SELECT l_returnflag AS grp,
+            CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact
+          FROM lineitem GROUP BY 1),
+       est AS (SELECT grp, $m - used AS v,
+            (z_num + ($m - used) * ${1L << scaleBit}) * 1.0
+              / ${(1L << scaleBit).toDouble} AS z
+          FROM folded),
+       e2 AS (SELECT grp, v,
+            CAST($alpha AS DOUBLE) * $m * $m / z AS e_raw FROM est),
+       e3 AS (SELECT grp, CAST(floor(CASE WHEN e_raw <= ${2.5 * m} AND v > 0
+              THEN $m.0 * ln($m.0 / v) ELSE e_raw END) AS BIGINT) AS estimate
+            FROM e2)
+       SELECT e3.grp AS l_returnflag, exact, estimate,
+         CAST(floor(abs(estimate - exact) * 1000000 / exact) AS DOUBLE)/1e6
+           AS rel_err,
+         CAST(abs(estimate - exact) AS DOUBLE)
+           < exact * (3.0 / sqrt($m.0)) AS within_bound
+       FROM e3 JOIN ex ON ex.grp = e3.grp ORDER BY l_returnflag"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q169_bradley_terry" -> btOracleSql(10),
     "q180_unigram_segment" -> unigramSegOracleSql,
     "q190_bitext_align" -> gcOracleSql,
+    "q195_hll_portable" -> hllOracleSql,
     // fixture replay + the exact subset-count ratio via list_product over
     // the same clamped factor lists, cast back to BIGINT before the
     // millionth floor so the integer decisions match Spark's aggregate()

@@ -1022,3 +1022,43 @@ class RobotsFilterSpec extends SparkSpec {
     assert(out.orderBy("doc_id").collect().toSeq === again)
   }
 }
+
+/** Portable HLL distinct-count sketch (q195). */
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Sketches
+
+  test("hllReport: estimates land inside the 3/sqrt(m) contract") {
+    // three groups with known cardinalities spanning both the
+    // linear-counting regime (small) and the raw-HLL regime (large)
+    val rows = (1L to 40L).map(v => ("small", v)) ++
+      (1L to 3000L).map(v => ("mid", v * 7)) ++
+      (1L to 20000L).map(v => ("large", v * 13))
+    val df = rows.toDF("g", "v")
+    val out = Sketches.hllReport(df, "g", "v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out("small")._1 === 40L)
+    assert(out("mid")._1 === 3000L && out("large")._1 === 20000L)
+    out.foreach { case (g, (exact, est, ok)) =>
+      assert(ok, s"$g: estimate $est vs exact $exact outside the bound")
+    }
+    // duplicates must not move the sketch: same registers, same estimate
+    val dup = Sketches.hllReport(
+      df.unionAll(df.filter(col("g") === "mid")), "g", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(dup("mid") === out("mid")._2)
+  }
+
+  test("hllReport is deterministic under repartition") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val a = Sketches.hllReport(li, "l_returnflag", "l_partkey")
+      .orderBy("l_returnflag").collect().toSeq
+    val b = Sketches.hllReport(li.repartition(9), "l_returnflag", "l_partkey")
+      .orderBy("l_returnflag").collect().toSeq
+    assert(a === b)
+    a.foreach(r => assert(r.getBoolean(4), s"bound violated: $r"))
+  }
+}
