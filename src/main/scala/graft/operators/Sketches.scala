@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable sketches — the [[Dedup.minhashLshPairsPortable]] strategy
+  * applied to cardinality estimation: Spark's own `approx_count_distinct`
+  * is a black-box HLL++ whose hashes no SQL oracle can replay (q44 is
+  * rows-only with an error-contract spec for exactly that reason). This
+  * HLL is built from the md5-prefix hash family instead, so EVERY
+  * register value — and therefore the estimate itself — is replayable
+  * bit-for-bit by any engine with md5: the sketch algebra gets a full
+  * hash-checked oracle, not just an error bound.
+  */
+object Sketches {
+
+  /** Rank-of-leading-zeros over the low `wBits` bits of a 32-bit hash,
+    * as a pure integer comparison cascade (ρ = position of the highest
+    * set bit from the top; all-zero word → wBits+1). No log2 — float
+    * boundary rounding must never decide a register.
+    */
+  private def rho(w: Column, wBits: Int): Column =
+    // ρ = wBits − ⌊log₂ w⌋, i.e. the first threshold 2^(wBits−r) that w
+    // reaches walking r = 1, 2, …; fold so r = 1 tests OUTERMOST
+    (wBits to 1 by -1).foldLeft(lit(wBits + 1): Column) { (elseC, r) =>
+      when(w >= (1L << (wBits - r)), lit(r)).otherwise(elseC)
+    }
+
+  /** Portable-HLL distinct-count estimate per group (q195): standard
+    * HyperLogLog with m = 2^`b` registers over [[Dedup.portableHash32]]
+    * values — bucket = top b bits, ρ = leading-zero rank of the
+    * remaining 32−b bits — including the small-range linear-counting
+    * correction (E ≤ 2.5m with empty registers → m·ln(m/V)). The report
+    * compares against the EXACT distinct count and flags whether the
+    * relative error sits inside 3/√m (≈2σ of the HLL standard error) —
+    * the q44 error contract, now hash-checked end to end.
+    *
+    * Scale shape: one map-side-combining (group, bucket) max-ρ
+    * aggregation (the sketch is mergeable by construction — max is
+    * associative/commutative), then a |groups|·m-row register fold.
+    */
+  def hllReport(df: DataFrame, groupCol: String, valueCol: String,
+      b: Int = 10): DataFrame = {
+    val m = 1 << b
+    val wBits = 32 - b
+    val h = Dedup.portableHash32(col(valueCol).cast("string"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val regs = df.select(col(groupCol).as("grp"), h.as("h"))
+      .withColumn("bucket", (col("h") / (1L << wBits)).cast("long"))
+      .withColumn("rho", rho(col("h") % (1L << wBits), wBits))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("mr"))
+    // Z = Σ 2^-ρ summed as EXACT integers scaled by 2^(wBits+1): a raw
+    // double sum would make the estimate depend on aggregation order
+    val scaleBit = wBits + 1
+    val folded = regs.groupBy(col("grp")).agg(
+      sum(expr(s"CAST(power(2, $scaleBit - mr) AS BIGINT)")).as("z_num"),
+      count(lit(1)).as("used"))
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(valueCol)).as("exact"))
+    // empty registers contribute 2^0 = 1 each to Z, and V of them to
+    // the linear-counting branch
+    val zScale = (1L << scaleBit).toDouble
+    val est = folded
+      .withColumn("v", lit(m.toLong) - col("used"))
+      .withColumn("z",
+        (col("z_num") + col("v") * (1L << scaleBit)).cast("double") / zScale)
+      .withColumn("e_raw", lit(alpha) * m * m / col("z"))
+      .withColumn("estimate",
+        floor(when(col("e_raw") <= 2.5 * m && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+          .otherwise(col("e_raw"))).cast("long"))
+    est.join(exact, Seq("grp"))
+      .select(col("grp").as(groupCol), col("exact"), col("estimate"),
+        (floor(abs(col("estimate") - col("exact")) * 1000000L /
+          col("exact")).cast("double") / 1e6).as("rel_err"),
+        (abs(col("estimate") - col("exact")).cast("double") <
+          col("exact") * (3.0 / math.sqrt(m.toDouble))).as("within_bound"))
+  }
+}
