@@ -130,7 +130,9 @@ object PlanDump {
     "q192_bm25f" ->
       "BM25F: field explodes pruned to query terms at the boundary, pivoted per-field tf aggregation, broadcast df/stats joins, TakeOrderedAndProject top-k.",
     "q193_robots_filter" ->
-      "Robots filter: broadcast rules join + one URL-keyed aggregation — the precedence logic is a single max_by, no window.")
+      "Robots filter: broadcast rules join + one URL-keyed aggregation — the precedence logic is a single max_by, no window.",
+    "q195_hll_portable" ->
+      "Portable HLL: one map-side-combining (group, bucket) max-ρ aggregation (the sketch merge IS max), then a |groups|·m register fold — no row survives to the estimate stage.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
