@@ -39,16 +39,36 @@ object Sketches {
     * aggregation (the sketch is mergeable by construction — max is
     * associative/commutative), then a |groups|·m-row register fold.
     */
+  /** The sketch state: one max-ρ register per (group, bucket). This IS
+    * the whole algebra — [[mergeRegisters]] folds any number of
+    * independently-built register tables with a bucket-max, so sharding,
+    * batching, re-ingestion, and arrival order can never change the
+    * final estimate (spec-pinned).
+    */
+  def registers(df: DataFrame, groupCol: String, valueCol: String,
+      b: Int = 10): DataFrame = {
+    val wBits = 32 - b
+    val h = Dedup.portableHash32(col(valueCol).cast("string"))
+    df.select(col(groupCol).as("grp"), h.as("h"))
+      .withColumn("bucket", (col("h") / (1L << wBits)).cast("long"))
+      .withColumn("rho", rho(col("h") % (1L << wBits), wBits))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("mr"))
+  }
+
+  /** Merge independently-built register tables (incremental/streaming
+    * ingestion, shard-parallel sketching): bucket-max, associative,
+    * commutative, idempotent.
+    */
+  def mergeRegisters(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("bucket")).agg(max(col("mr")).as("mr"))
+
   def hllReport(df: DataFrame, groupCol: String, valueCol: String,
       b: Int = 10): DataFrame = {
     val m = 1 << b
     val wBits = 32 - b
-    val h = Dedup.portableHash32(col(valueCol).cast("string"))
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val regs = df.select(col(groupCol).as("grp"), h.as("h"))
-      .withColumn("bucket", (col("h") / (1L << wBits)).cast("long"))
-      .withColumn("rho", rho(col("h") % (1L << wBits), wBits))
-      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("mr"))
+    val regs = registers(df, groupCol, valueCol, b)
     // Z = Σ 2^-ρ summed as EXACT integers scaled by 2^(wBits+1): a raw
     // double sum would make the estimate depend on aggregation order
     val scaleBit = wBits + 1

@@ -1061,4 +1061,19 @@ class SketchesSpec extends SparkSpec {
     assert(a === b)
     a.foreach(r => assert(r.getBoolean(4), s"bound violated: $r"))
   }
+
+  test("registers merge: sharded + re-ingested batches equal one-shot") {
+    val rows = (1L to 5000L).map(v => ("g", v * 11)).toDF("g", "v")
+    val oneShot = Sketches.registers(rows, "g", "v")
+      .orderBy("bucket").collect().toSeq
+    // three overlapping shards (values re-ingested across shards), each
+    // sketched independently, then merged — must equal the one-shot
+    val parts = Seq(
+      rows.filter(col("v") % 3 === 0), rows.filter(col("v") % 3 =!= 0),
+      rows.limit(1000))
+      .map(Sketches.registers(_, "g", "v"))
+    val merged = Sketches.mergeRegisters(parts: _*)
+      .orderBy("bucket").collect().toSeq
+    assert(merged === oneShot)
+  }
 }
