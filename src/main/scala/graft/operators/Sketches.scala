@@ -26,6 +26,60 @@ object Sketches {
       when(w >= (1L << (wBits - r)), lit(r)).otherwise(elseC)
     }
 
+  /** Rolling distinct-user counts via register reuse (q196): the
+    * WAU-style product metric computed the way sketches earn their keep
+    * at scale — per-DAY registers are built ONCE from the raw events,
+    * and every trailing `windowDays` window is answered by MERGING the
+    * ≤ windowDays register sets (a ~m-row fold per window) instead of
+    * re-scanning raw events per window. The report pairs each day's
+    * trailing estimate with the EXACT trailing distinct count and the
+    * 3/√m contract verdict — at 100 TB the exact side is the thing this
+    * operator exists to avoid, and here it is the oracle's witness.
+    *
+    * Scale shape: one event scan builds day-registers (|days|·m rows);
+    * the window spine join and merges never touch raw events again.
+    */
+  def rollingDistinct(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", windowDays: Int = 7, b: Int = 10): DataFrame = {
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val scaleBit = 32 - b + 1
+    val dayRegs = registers(
+      events.select(to_date(col(tsCol)).as("grp"), col(userCol)),
+      "grp", userCol, b)
+      .withColumnRenamed("grp", "day")
+    val days = dayRegs.select(col("day")).distinct()
+    val spine = days.select(col("day").as("win_end"))
+    val winRegs = spine.join(dayRegs,
+        col("day") <= col("win_end") &&
+          col("day") > date_sub(col("win_end"), windowDays))
+      .groupBy(col("win_end"), col("bucket")).agg(max(col("mr")).as("mr"))
+    val folded = winRegs.groupBy(col("win_end")).agg(
+      sum(expr(s"CAST(power(2, $scaleBit - mr) AS BIGINT)")).as("z_num"),
+      count(lit(1)).as("used"))
+    val est = folded
+      .withColumn("v", lit(m.toLong) - col("used"))
+      .withColumn("z",
+        (col("z_num") + col("v") * (1L << scaleBit)).cast("double") /
+          (1L << scaleBit).toDouble)
+      .withColumn("e_raw", lit(alpha) * m * m / col("z"))
+      .withColumn("estimate",
+        floor(when(col("e_raw") <= 2.5 * m && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+          .otherwise(col("e_raw"))).cast("long"))
+      .select(col("win_end"), col("estimate"))
+    val exact = spine.join(
+        events.select(to_date(col(tsCol)).as("day"), col(userCol)),
+        col("day") <= col("win_end") &&
+          col("day") > date_sub(col("win_end"), windowDays))
+      .groupBy(col("win_end"))
+      .agg(countDistinct(col(userCol)).as("exact"))
+    exact.join(est, Seq("win_end"))
+      .select(col("win_end"), col("exact"), col("estimate"),
+        (abs(col("estimate") - col("exact")).cast("double") <
+          col("exact") * (3.0 / math.sqrt(m.toDouble))).as("within_bound"))
+  }
+
   /** Portable-HLL distinct-count estimate per group (q195): standard
     * HyperLogLog with m = 2^`b` registers over [[Dedup.portableHash32]]
     * values — bucket = top b bits, ρ = leading-zero rank of the

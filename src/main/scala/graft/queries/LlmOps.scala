@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // rolling 7-day distinct users from MERGED per-day HLL registers —
+    // sketch reuse instead of per-window raw re-scans, exact witness
+    "q196_rolling_distinct" -> ((s, d) =>
+      graft.operators.Sketches.rollingDistinct(Tables.events(s, d))
+        .orderBy(col("win_end"))),
+
     // portable HLL twin of q44's sketch family: every register and the
     // estimate itself hash-checked, plus the 3/sqrt(m) error contract
     "q195_hll_portable" -> ((s, d) =>
@@ -1790,11 +1796,54 @@ object LlmOps {
        FROM e3 JOIN ex ON ex.grp = e3.grp ORDER BY l_returnflag"""
   }
 
+  /** q196's oracle: per-day register replay, the trailing-window
+    * bucket-max merge, and the same estimate arithmetic as q195. */
+  private def rollingOracleSql: String = {
+    val b = 10; val m = 1 << b; val wBits = 32 - b; val scaleBit = wBits + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val rhoCase = (1 to wBits).map(r =>
+      s"WHEN w >= ${1L << (wBits - r)} THEN $r")
+      .mkString("CASE ", " ", s" ELSE ${wBits + 1} END")
+    s"""WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+       hh AS (SELECT day, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+            1, 8) AS BIGINT) AS h FROM e),
+       rr AS (SELECT day, h // ${1L << wBits} AS bucket, $rhoCase AS rho
+          FROM (SELECT day, h, h % ${1L << wBits} AS w FROM hh) x),
+       regs AS (SELECT day, bucket, max(rho) AS mr FROM rr
+                GROUP BY day, bucket),
+       spine AS (SELECT DISTINCT day AS win_end FROM e),
+       wr AS (SELECT win_end, bucket, max(mr) AS mr
+          FROM spine s JOIN regs r
+            ON r.day <= s.win_end AND r.day > s.win_end - 7
+          GROUP BY win_end, bucket),
+       folded AS (SELECT win_end,
+            CAST(sum(CAST(power(2, $scaleBit - mr) AS BIGINT)) AS BIGINT)
+              AS z_num,
+            count(*) AS used FROM wr GROUP BY win_end),
+       est AS (SELECT win_end, $m - used AS v,
+            (z_num + ($m - used) * ${1L << scaleBit}) * 1.0
+              / ${(1L << scaleBit).toDouble} AS z FROM folded),
+       e2 AS (SELECT win_end, v,
+            CAST($alpha AS DOUBLE) * $m * $m / z AS e_raw FROM est),
+       e3 AS (SELECT win_end, CAST(floor(CASE WHEN e_raw <= ${2.5 * m}
+              AND v > 0 THEN $m.0 * ln($m.0 / v) ELSE e_raw END) AS BIGINT)
+              AS estimate FROM e2),
+       ex AS (SELECT s.win_end, CAST(count(DISTINCT user_id) AS BIGINT)
+              AS exact
+          FROM spine s JOIN e ON e.day <= s.win_end AND e.day > s.win_end - 7
+          GROUP BY s.win_end)
+       SELECT ex.win_end, exact, estimate,
+         CAST(abs(estimate - exact) AS DOUBLE)
+           < exact * (3.0 / sqrt($m.0)) AS within_bound
+       FROM ex JOIN e3 ON e3.win_end = ex.win_end ORDER BY ex.win_end"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q169_bradley_terry" -> btOracleSql(10),
     "q180_unigram_segment" -> unigramSegOracleSql,
     "q190_bitext_align" -> gcOracleSql,
     "q195_hll_portable" -> hllOracleSql,
+    "q196_rolling_distinct" -> rollingOracleSql,
     // fixture replay + the exact subset-count ratio via list_product over
     // the same clamped factor lists, cast back to BIGINT before the
     // millionth floor so the integer decisions match Spark's aggregate()

@@ -1076,4 +1076,18 @@ class SketchesSpec extends SparkSpec {
       .orderBy("bucket").collect().toSeq
     assert(merged === oneShot)
   }
+
+  test("rollingDistinct: windows bound holds and windows accumulate") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Sketches.rollingDistinct(ev)
+      .orderBy("win_end").collect()
+    assert(out.length >= 7)
+    out.foreach(r => assert(r.getBoolean(3),
+      s"window ${r.getDate(0)}: est ${r.getLong(2)} vs ${r.getLong(1)}"))
+    // trailing-7 exact counts must exceed any single day early on
+    val exacts = out.map(_.getLong(1))
+    assert(exacts.take(7).zip(exacts.take(7).tail)
+      .forall { case (a, b2) => b2 >= a },
+      "trailing window grows through the first week")
+  }
 }
