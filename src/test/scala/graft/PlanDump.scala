@@ -132,7 +132,9 @@ object PlanDump {
     "q193_robots_filter" ->
       "Robots filter: broadcast rules join + one URL-keyed aggregation — the precedence logic is a single max_by, no window.",
     "q195_hll_portable" ->
-      "Portable HLL: one map-side-combining (group, bucket) max-ρ aggregation (the sketch merge IS max), then a |groups|·m register fold — no row survives to the estimate stage.")
+      "Portable HLL: one map-side-combining (group, bucket) max-ρ aggregation (the sketch merge IS max), then a |groups|·m register fold — no row survives to the estimate stage.",
+    "q196_rolling_distinct" ->
+      "Rolling distinct: ONE event scan builds day-registers; every trailing window is a register-table join + bucket-max — raw events are never re-scanned per window.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
