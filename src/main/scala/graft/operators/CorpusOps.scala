@@ -2903,6 +2903,85 @@ object CorpusOps {
       .select(col("source"), col("doc_id"), col("rk"))
   }
 
+  /** Deterministic model-output fixture for q197: 50 "generations", the
+    * even idHash half copied VERBATIM from a corpus document (words
+    * 5–24 of doc idHash%500 — the memorized case), the odd half the
+    * same words REVERSED (same unigram profile, so unigram-level
+    * attribution would false-positive; n-gram provenance must not).
+    */
+  def generationFixture(docs: DataFrame, nGens: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    val gens = spark.range(0, nGens).select(col("id").as("gen_id"))
+      .withColumn("h", idHash(col("gen_id")))
+      .withColumn("src_doc", col("h") % 500)
+    val w = filter(split(col("text"), " "), x => x =!= lit(""))
+    gens.join(docs.select(col("doc_id").as("src_doc"),
+        slice(w, 5, 20).as("_w")), Seq("src_doc"))
+      .select(col("gen_id"),
+        when(col("h") % 2 === 0, concat_ws(" ", col("_w")))
+          .otherwise(concat_ws(" ", reverse(col("_w")))).as("gen_text"))
+  }
+
+  /** Generation-provenance attribution (q197): the reverse memorization
+    * lookup — given model outputs, WHERE in the training corpus did each
+    * come from. Every `n`-gram of a generation is probed against the
+    * corpus n-gram inverted index; the report gives per generation the
+    * fraction of its n-gram positions found verbatim (coverage), the
+    * dominant source document (folded-key argmax: match count desc, doc
+    * asc), and a copied/original verdict at `threshold` coverage. The
+    * complement of [[memorizationRisk]]: q155 predicts which CORPUS text
+    * is regurgitation-prone, this attributes a concrete OUTPUT back to
+    * its source — the audit pair every extraction review needs.
+    *
+    * Scale shape: generations are tiny next to the corpus; the corpus
+    * side is the distinct (doc, gram) relation joined on the gram key —
+    * the inverted-index shape (q125's), never pairwise.
+    */
+  def provenance(gens: DataFrame, corpus: DataFrame, n: Int = 5,
+      threshold6: Long = 800000L): DataFrame = {
+    val gw = filter(split(col("gen_text"), " "), x => x =!= lit(""))
+    val genGrams = gens.select(col("gen_id"), gw.as("_w"))
+      .select(col("gen_id"),
+        posexplode(when(size(col("_w")) >= n,
+          TextAnalysis.wordNgrams(col("_w"), n))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("gen_id"), col("pos"), col("col").as("g"))
+    val corpusGrams = corpus.select(col("doc_id"),
+        explode(when(size(filter(split(col("text"), " "),
+            x => x =!= lit(""))) >= n,
+          TextAnalysis.wordNgrams(
+            filter(split(col("text"), " "), x => x =!= lit("")), n))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .distinct()
+    val hits = genGrams.join(corpusGrams, Seq("g"))
+    val perDoc = hits.groupBy(col("gen_id"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = perDoc.groupBy(col("gen_id"))
+      .agg(max_by(col("doc_id"), col("cnt") * 1000000L - col("doc_id"))
+        .as("top_source"))
+    val matched = hits.groupBy(col("gen_id"))
+      .agg(countDistinct(col("pos")).as("n_matched"))
+    // anchor on the full generation set: a generation too short to carry
+    // one n-gram still gets a row (n_pos 0, verdict original)
+    val totals = gens.select(col("gen_id"))
+      .join(genGrams.groupBy(col("gen_id")).agg(count(lit(1)).as("n_pos")),
+        Seq("gen_id"), "left")
+      .withColumn("n_pos", coalesce(col("n_pos"), lit(0L)))
+    totals
+      .join(matched, Seq("gen_id"), "left")
+      .join(top, Seq("gen_id"), "left")
+      .withColumn("cov6",
+        when(col("n_pos") > 0,
+          floor(coalesce(col("n_matched"), lit(0L)) * 1000000L /
+            col("n_pos")).cast("long")).otherwise(lit(0L)))
+      .select(col("gen_id"), col("n_pos"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (col("cov6").cast("double") / 1e6).as("coverage"),
+        col("top_source"),
+        when(col("cov6") >= threshold6, "copied").otherwise("original")
+          .as("verdict"))
+  }
+
   /** Deterministic HTML-page fixture: wraps each document's words in a
     * realistic page skeleton — head with title + style + script, an h1,
     * a nav list of link items, a main paragraph with an inline anchor —

@@ -781,6 +781,14 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // generation-provenance attribution: n-gram coverage vs the corpus
+    // inverted index, dominant source doc, copied/original verdicts
+    "q197_provenance" -> ((s, d) => {
+      val docs = Tables.fanout(Tables.documents(s, d))
+      CorpusOps.provenance(CorpusOps.generationFixture(docs), docs)
+        .orderBy(col("gen_id"))
+    }),
+
     // rolling 7-day distinct users from MERGED per-day HLL registers —
     // sketch reuse instead of per-window raw re-scans, exact witness
     "q196_rolling_distinct" -> ((s, d) =>
@@ -1839,6 +1847,56 @@ object LlmOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // generation fixture replay (verbatim vs reversed halves), 5-gram
+    // inverted-index probe, distinct-position coverage, folded argmax
+    "q197_provenance" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+         g0 AS (SELECT g.gen_id,
+              ((g.gen_id % 2147483648) * 2654435761) % 2147483647 AS h
+            FROM (SELECT unnest(generate_series(0, 49)) AS gen_id) g),
+         gen AS (SELECT gen_id,
+              CASE WHEN h % 2 = 0 THEN coalesce(array_to_string(sw, ' '), '')
+                ELSE coalesce(array_to_string(list_reverse(sw), ' '), '')
+              END AS gen_text
+            FROM (SELECT gen_id, h, d.w[5:24] AS sw
+                  FROM g0 JOIN docs d ON d.doc_id = h % 500)),
+         gg AS (SELECT gen_id, t.i AS pos,
+              array_to_string(gw[t.i : t.i + 4], ' ') AS g
+            FROM (SELECT gen_id,
+                list_filter(string_split(gen_text, ' '), x -> x <> '') AS gw
+              FROM gen) x,
+              unnest(generate_series(1, greatest(len(gw) - 4, 0))) AS t(i)),
+         cg AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+              THEN list_transform(generate_series(1, len(w) - 4),
+                   i -> array_to_string(w[i:i+4], ' '))
+              ELSE [] END) AS s FROM docs) t),
+         hits AS (SELECT gen_id, pos, doc_id FROM gg
+                  JOIN cg ON cg.s = gg.g),
+         pd AS (SELECT gen_id, doc_id, count(*) AS cnt FROM hits
+                GROUP BY gen_id, doc_id),
+         top AS (SELECT gen_id,
+              arg_max(doc_id, cnt * 1000000 - doc_id) AS top_source
+            FROM pd GROUP BY gen_id),
+         mt AS (SELECT gen_id, CAST(count(DISTINCT pos) AS BIGINT)
+                AS n_matched FROM hits GROUP BY gen_id),
+         tot AS (SELECT gen_id, count(*) AS n_pos FROM gg GROUP BY gen_id),
+         allg AS (SELECT g0.gen_id, coalesce(tot.n_pos, 0) AS n_pos,
+              coalesce(mt.n_matched, 0) AS n_matched, top.top_source
+            FROM g0 LEFT JOIN tot ON tot.gen_id = g0.gen_id
+              LEFT JOIN mt ON mt.gen_id = g0.gen_id
+              LEFT JOIN top ON top.gen_id = g0.gen_id),
+         cv AS (SELECT *, CASE WHEN n_pos > 0
+              THEN CAST(floor(n_matched * 1000000 / n_pos) AS BIGINT)
+              ELSE 0 END AS cov6 FROM allg)
+         SELECT gen_id, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(cov6 AS DOUBLE)/1e6 AS coverage, top_source,
+           CASE WHEN cov6 >= 800000 THEN 'copied' ELSE 'original' END
+             AS verdict
+         FROM cv ORDER BY gen_id""",
     "q169_bradley_terry" -> btOracleSql(10),
     "q180_unigram_segment" -> unigramSegOracleSql,
     "q190_bitext_align" -> gcOracleSql,

@@ -1091,3 +1091,40 @@ class SketchesSpec extends SparkSpec {
       "trailing window grows through the first week")
   }
 }
+
+/** Generation-provenance attribution (q197). */
+class ProvenanceSpec extends SparkSpec {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.CorpusOps
+
+  test("verbatim spans attribute to their source; reversed text does not") {
+    val corpus = Seq(
+      (10L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (11L, (100 to 140).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val gens = Seq(
+      (1L, (8 to 27).map(i => s"w$i").mkString(" ")),      // verbatim
+      (2L, (27 to 8 by -1).map(i => s"w$i").mkString(" ")), // reversed
+      (3L, "totally novel words that never appeared anywhere at all ok"))
+      .toDF("gen_id", "gen_text")
+    val out = CorpusOps.provenance(gens, corpus).orderBy("gen_id").collect()
+    assert(out(0).getDouble(3) === 1.0)
+    assert(out(0).getLong(4) === 10L && out(0).getString(5) === "copied")
+    assert(out(1).getDouble(3) === 0.0 && out(1).getString(5) === "original")
+    assert(out(2).getDouble(3) === 0.0 && out(2).getString(5) === "original")
+  }
+
+  test("fixture halves split cleanly into copied vs original") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val gens = CorpusOps.generationFixture(docs)
+    val out = CorpusOps.provenance(gens, docs).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    def h(i: Long) = ((i % 2147483648L) * 2654435761L) % 2147483647L
+    out.foreach { case (g, verdict) =>
+      if (h(g) % 2 == 0) assert(verdict === "copied", s"gen $g")
+      else assert(verdict === "original", s"gen $g")
+    }
+  }
+}
