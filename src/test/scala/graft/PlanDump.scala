@@ -134,7 +134,9 @@ object PlanDump {
     "q195_hll_portable" ->
       "Portable HLL: one map-side-combining (group, bucket) max-ρ aggregation (the sketch merge IS max), then a |groups|·m register fold — no row survives to the estimate stage.",
     "q196_rolling_distinct" ->
-      "Rolling distinct: ONE event scan builds day-registers; every trailing window is a register-table join + bucket-max — raw events are never re-scanned per window.")
+      "Rolling distinct: ONE event scan builds day-registers; every trailing window is a register-table join + bucket-max — raw events are never re-scanned per window.",
+    "q197_provenance" ->
+      "Provenance: generation grams equi-join the distinct corpus (doc, gram) relation — the inverted-index probe shape; per-generation aggregates are gram-bounded, never pairwise.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
