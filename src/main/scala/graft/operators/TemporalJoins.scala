@@ -15,6 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Event-flow transition matrix (q198): the Markov view of the event
+    * stream — for every ordered pair of CONSECUTIVE events of the same
+    * user, a (from, to) count and the row-normalized transition
+    * probability (floored millionths from exact counts): the product-
+    * analytics flow diagram, and the complement of [[funnel]] (funnel
+    * asks "did the prescribed path happen"; this asks "what paths
+    * actually happen"). Consecutive pairs come from a per-user lag
+    * window ordered by (ts, event_id) — the event_id tiebreak makes
+    * simultaneous events deterministic; user partitions are
+    * session-sized, never stream-sized. One window + one count
+    * aggregation + a broadcast row-margin join.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val margins = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_n"))
+    pairs.join(broadcast(margins), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (floor(col("n") * 1000000L / col("row_n")).cast("double") / 1e6)
+          .as("p"))
+  }
+
   /** Hourly traffic-anomaly audit (q194): the monitoring read over an
     * event stream — hourly event counts judged against a per-hour-of-day
     * baseline (the median count of the SAME hour across all days, so

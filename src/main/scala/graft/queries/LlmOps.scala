@@ -781,6 +781,12 @@ object LlmOps {
           TextAnalysis.scriptFixture(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // per-user consecutive-event Markov transition matrix with exact
+    // row-normalized probabilities — the what-actually-happens flow view
+    "q198_transitions" -> ((s, d) =>
+      graft.operators.TemporalJoins.transitions(Tables.events(s, d))
+        .orderBy(col("from_type"), col("to_type"))),
+
     // generation-provenance attribution: n-gram coverage vs the corpus
     // inverted index, dominant source doc, copied/original verdicts
     "q197_provenance" -> ((s, d) => {
@@ -2218,6 +2224,23 @@ object LlmOps {
            JOIN sd ON sd.source = qq.source AND sd.s4 = qq.s4
            JOIN qn ON qn.b = CAST(floor(p6 / 1000) AS BIGINT)
          ORDER BY doc_id""",
+    // the same (ts, event_id)-ordered per-user lag, counts, margins,
+    // floored-millionth row probabilities
+    "q198_transitions" ->
+      """WITH p AS (SELECT
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS from_type,
+              event_type AS to_type
+            FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM p
+               WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+         m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+               FROM c GROUP BY from_type)
+         SELECT c.from_type, to_type, n,
+           CAST(CAST(floor(n * 1000000 / row_n) AS BIGINT) AS DOUBLE)/1e6
+             AS p
+         FROM c JOIN m ON m.from_type = c.from_type
+         ORDER BY c.from_type, to_type""",
     // the same exact interpolated medians (DuckDB median == Spark
     // percentile 0.5 arithmetic), MAD scale, identical flag rule
     "q194_hourly_anomaly" ->

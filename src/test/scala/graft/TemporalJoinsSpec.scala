@@ -101,4 +101,24 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(("2024-01-05", 4)) === ((2L, false)))
     assert(out.values.count(_._2) === 1, "only the spike flags")
   }
+
+  test("transitions: per-user consecutive pairs, exact row probabilities") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(1), 100L, "visit"), (2L, t(2), 100L, "cart"),
+      (3L, t(3), 100L, "buy"),
+      (4L, t(1), 200L, "visit"), (5L, t(2), 200L, "cart"),
+      (6L, t(3), 200L, "visit"),
+      // user 300's events must NOT pair with anyone else's
+      (7L, t(9), 300L, "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.TemporalJoins.transitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("visit", "cart")) === ((2L, 1.0)))
+    assert(out(("cart", "buy")) === ((1L, 0.5)))
+    assert(out(("cart", "visit")) === ((1L, 0.5)))
+    assert(out.size === 3, s"unexpected transitions: ${out.keys}")
+  }
 }
