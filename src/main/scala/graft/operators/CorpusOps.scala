@@ -2875,16 +2875,24 @@ object CorpusOps {
     val x = col(metricCol).cast("long")
     val stats = docs.groupBy(col("source")).agg(
       count(lit(1)).as("nh"), sum(x).as("sx"), sum(x * x).as("sx2"))
-    val variance = (col("sx2").cast("double") -
+    // clamp at 0: sx2 - sx²/nh is a catastrophic cancellation on a
+    // near-constant large stratum — a tiny NEGATIVE residual would make
+    // sqrt() NaN and silently zero the stratum's weight
+    val variance = greatest((col("sx2").cast("double") -
       col("sx").cast("double") * col("sx").cast("double") / col("nh")) /
-      (col("nh") - 1)
+      (col("nh") - 1), lit(0.0))
     val a6 = (floor(sqrt(variance) * 1000000L).cast("long") * col("nh"))
     val weighted = stats.withColumn("a6",
       when(col("nh") > 1, a6).otherwise(lit(0L)))
-    val tot = weighted.agg(sum(col("a6")).as("t"))
+    // t = 0 (every stratum singleton or zero-variance) would divide by
+    // zero below; fall back to PROPORTIONAL allocation (weight = nh),
+    // the textbook Neyman degenerate case
+    val tot = weighted.agg(sum(col("a6")).as("t"), sum(col("nh")).as("tn"))
     val alloc0 = weighted.crossJoin(broadcast(tot))
-      .withColumn("base", floor(col("a6") * n / col("t")).cast("long"))
-      .withColumn("rem", (col("a6") * n) % col("t"))
+      .withColumn("w6", when(col("t") > 0, col("a6")).otherwise(col("nh")))
+      .withColumn("tt", when(col("t") > 0, col("t")).otherwise(col("tn")))
+      .withColumn("base", floor(col("w6") * n / col("tt")).cast("long"))
+      .withColumn("rem", (col("w6") * n) % col("tt"))
     val leftover = lit(n) - sum(col("base")).over(
       Window.partitionBy(lit(1)))
     val alloc = alloc0
@@ -2927,8 +2935,8 @@ object CorpusOps {
     * come from. Every `n`-gram of a generation is probed against the
     * corpus n-gram inverted index; the report gives per generation the
     * fraction of its n-gram positions found verbatim (coverage), the
-    * dominant source document (folded-key argmax: match count desc, doc
-    * asc), and a copied/original verdict at `threshold` coverage. The
+    * dominant source document (top-1 window argmax: match count desc,
+    * doc asc), and a copied/original verdict at `threshold` coverage. The
     * complement of [[memorizationRisk]]: q155 predicts which CORPUS text
     * is regurgitation-prone, this attributes a concrete OUTPUT back to
     * its source — the audit pair every extraction review needs.
@@ -2956,9 +2964,16 @@ object CorpusOps {
     val hits = genGrams.join(corpusGrams, Seq("g"))
     val perDoc = hits.groupBy(col("gen_id"), col("doc_id"))
       .agg(count(lit(1)).as("cnt"))
-    val top = perDoc.groupBy(col("gen_id"))
-      .agg(max_by(col("doc_id"), col("cnt") * 1000000L - col("doc_id"))
-        .as("top_source"))
+    // (cnt desc, doc_id asc) argmax as a top-1 window, NOT a folded
+    // integer key: a cnt*K - doc_id fold silently inverts the order once
+    // doc_id >= K (a count step is crossed by the id term), and no K is
+    // safe for every corpus. row_number carries no id bound and Spark
+    // rewrites the rk=1 filter to a WindowGroupLimit (top-1 per key).
+    val topW = Window.partitionBy(col("gen_id"))
+      .orderBy(col("cnt").desc, col("doc_id"))
+    val top = perDoc.withColumn("_rk", row_number().over(topW))
+      .filter(col("_rk") === 1)
+      .select(col("gen_id"), col("doc_id").as("top_source"))
     val matched = hits.groupBy(col("gen_id"))
       .agg(countDistinct(col("pos")).as("n_matched"))
     // anchor on the full generation set: a generation too short to carry
@@ -3210,18 +3225,23 @@ object CorpusOps {
         (col("norm_s4").cast("double") / 10000.0).as("norm_score"))
   }
 
-  /** Differentially-private histogram release (q176): per-group counts
-    * released under ε-DP via two-sided geometric (discrete Laplace)
-    * noise — the mechanism for publishing dataset-composition tables
-    * (docs per source/language) without certifying any individual
-    * document's membership. Noise = G₁−G₂ with G geometric
+  /** DP-histogram MECHANISM, deterministically simulated (q176): the
+    * two-sided-geometric (discrete Laplace) noisy-counts shape every
+    * ε-DP composition release uses — noise = G₁−G₂ with G geometric
     * (P(G≥k) = αᵏ, α = alpha6/1e6, ε = ln(1/α)), drawn by inverse CDF
-    * G = ⌊ln(U)/ln(α)⌋ from md5-seeded uniforms so the release is
-    * deterministic per (group, seed) — reproducible audits, and a NEW
-    * seed is a NEW privacy spend, which the seed-in-the-hash makes
-    * explicit. Released counts clamp at 0; true counts never leave the
-    * operator. One map-side-combining aggregation, then row-local noise
-    * on |groups| rows.
+    * G = ⌊ln(U)/ln(α)⌋, released counts clamped at 0.
+    *
+    * NOT private as shipped: the uniforms come from
+    * portableHash32(group|seed|tag) so the noise is a deterministic
+    * function of the PUBLIC group key and the seed — anyone holding the
+    * seed (and with the default, everyone) recomputes the noise and
+    * subtracts it back to the exact counts. That determinism is the
+    * point here: it is what lets the DuckDB oracle hash-check the
+    * mechanism's arithmetic end to end. A production release MUST swap
+    * in a secret, per-release seed (one seed = one privacy spend) kept
+    * out of the published artifact; only then does the ε accounting
+    * mean anything. One map-side-combining aggregation, then row-local
+    * noise on |groups| rows.
     */
   def dpHistogram(docs: DataFrame, groupCol: String = "source",
       alpha6: Long = 500000L, seed: String = "graft-dp-v1"): DataFrame = {

@@ -14,6 +14,51 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** The three-regime HLL correction over columns `e_raw` / `v` (Flajolet
+    * et al. §4): small range (E ≤ 2.5m with empty registers) → linear
+    * counting m·ln(m/V); LARGE range (E > 2³²/30) → −2³²·ln(1 − E/2³²),
+    * de-biasing the 32-bit-hash collision saturation as true cardinality
+    * approaches 2³² (without it the estimate biases LOW from ~1.4e8 —
+    * exactly the regime a rolling-distinct-users metric reaches at the
+    * claimed scale); otherwise the raw estimate. Branch order is part of
+    * the contract — the SQL oracles replay the same CASE in the same
+    * order. Hard ceiling regardless: a 32-bit hash family cannot count
+    * past ~2³² distincts; shard the keyspace (extra group column) above
+    * that.
+    */
+  private val TwoP32 = 4294967296.0
+  private def hllCorrect(m: Int): Column =
+    when(col("e_raw") <= 2.5 * m && col("v") > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+      .when(col("e_raw") > TwoP32 / 30.0,
+        lit(-TwoP32) * log(lit(1.0) - col("e_raw") / TwoP32))
+      .otherwise(col("e_raw"))
+
+  /** Fold a register table keyed by `keyCol` into (keyCol, estimate):
+    * the exact-integer Z sum (a raw double sum would make the estimate
+    * depend on aggregation order), empty-register back-fill, and the
+    * three-regime correction. The ONE estimate path — [[hllReport]] and
+    * [[rollingDistinct]] both end here, and the branch spec drives it
+    * directly with synthetic registers (real data can't reach the
+    * large-range regime in a test).
+    */
+  def estimateRegisters(regs: DataFrame, keyCol: String,
+      b: Int = 10): DataFrame = {
+    val m = 1 << b
+    val scaleBit = 32 - b + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs.groupBy(col(keyCol)).agg(
+        sum(expr(s"CAST(power(2, $scaleBit - mr) AS BIGINT)")).as("z_num"),
+        count(lit(1)).as("used"))
+      .withColumn("v", lit(m.toLong) - col("used"))
+      .withColumn("z",
+        (col("z_num") + col("v") * (1L << scaleBit)).cast("double") /
+          (1L << scaleBit).toDouble)
+      .withColumn("e_raw", lit(alpha) * m * m / col("z"))
+      .withColumn("estimate", floor(hllCorrect(m)).cast("long"))
+      .select(col(keyCol), col("estimate"))
+  }
+
   /** Rank-of-leading-zeros over the low `wBits` bits of a 32-bit hash,
     * as a pure integer comparison cascade (ρ = position of the highest
     * set bit from the top; all-zero word → wBits+1). No log2 — float
@@ -42,8 +87,6 @@ object Sketches {
   def rollingDistinct(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", windowDays: Int = 7, b: Int = 10): DataFrame = {
     val m = 1 << b
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val scaleBit = 32 - b + 1
     val dayRegs = registers(
       events.select(to_date(col(tsCol)).as("grp"), col(userCol)),
       "grp", userCol, b)
@@ -54,20 +97,7 @@ object Sketches {
         col("day") <= col("win_end") &&
           col("day") > date_sub(col("win_end"), windowDays))
       .groupBy(col("win_end"), col("bucket")).agg(max(col("mr")).as("mr"))
-    val folded = winRegs.groupBy(col("win_end")).agg(
-      sum(expr(s"CAST(power(2, $scaleBit - mr) AS BIGINT)")).as("z_num"),
-      count(lit(1)).as("used"))
-    val est = folded
-      .withColumn("v", lit(m.toLong) - col("used"))
-      .withColumn("z",
-        (col("z_num") + col("v") * (1L << scaleBit)).cast("double") /
-          (1L << scaleBit).toDouble)
-      .withColumn("e_raw", lit(alpha) * m * m / col("z"))
-      .withColumn("estimate",
-        floor(when(col("e_raw") <= 2.5 * m && col("v") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
-          .otherwise(col("e_raw"))).cast("long"))
-      .select(col("win_end"), col("estimate"))
+    val est = estimateRegisters(winRegs, "win_end", b)
     val exact = spine.join(
         events.select(to_date(col(tsCol)).as("day"), col(userCol)),
         col("day") <= col("win_end") &&
@@ -83,8 +113,8 @@ object Sketches {
   /** Portable-HLL distinct-count estimate per group (q195): standard
     * HyperLogLog with m = 2^`b` registers over [[Dedup.portableHash32]]
     * values — bucket = top b bits, ρ = leading-zero rank of the
-    * remaining 32−b bits — including the small-range linear-counting
-    * correction (E ≤ 2.5m with empty registers → m·ln(m/V)). The report
+    * remaining 32−b bits — with BOTH the small-range linear-counting and
+    * the 32-bit large-range corrections ([[hllCorrect]]). The report
     * compares against the EXACT distinct count and flags whether the
     * relative error sits inside 3/√m (≈2σ of the HLL standard error) —
     * the q44 error contract, now hash-checked end to end.
@@ -120,29 +150,10 @@ object Sketches {
   def hllReport(df: DataFrame, groupCol: String, valueCol: String,
       b: Int = 10): DataFrame = {
     val m = 1 << b
-    val wBits = 32 - b
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val regs = registers(df, groupCol, valueCol, b)
-    // Z = Σ 2^-ρ summed as EXACT integers scaled by 2^(wBits+1): a raw
-    // double sum would make the estimate depend on aggregation order
-    val scaleBit = wBits + 1
-    val folded = regs.groupBy(col("grp")).agg(
-      sum(expr(s"CAST(power(2, $scaleBit - mr) AS BIGINT)")).as("z_num"),
-      count(lit(1)).as("used"))
     val exact = df.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(valueCol)).as("exact"))
-    // empty registers contribute 2^0 = 1 each to Z, and V of them to
-    // the linear-counting branch
-    val zScale = (1L << scaleBit).toDouble
-    val est = folded
-      .withColumn("v", lit(m.toLong) - col("used"))
-      .withColumn("z",
-        (col("z_num") + col("v") * (1L << scaleBit)).cast("double") / zScale)
-      .withColumn("e_raw", lit(alpha) * m * m / col("z"))
-      .withColumn("estimate",
-        floor(when(col("e_raw") <= 2.5 * m && col("v") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
-          .otherwise(col("e_raw"))).cast("long"))
+    val est = estimateRegisters(regs, "grp", b)
     est.join(exact, Seq("grp"))
       .select(col("grp").as(groupCol), col("exact"), col("estimate"),
         (floor(abs(col("estimate") - col("exact")) * 1000000L /

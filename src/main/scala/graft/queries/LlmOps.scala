@@ -1555,7 +1555,11 @@ object LlmOps {
   /** q169's oracle: the Bradley-Terry MM loop unrolled to `iters` CTE
     * stages. Every stage uses `//` floor division on BIGINTs — the same
     * integer decisions as the Scala driver loop, so the strengths are
-    * bit-identical, not approximately equal.
+    * bit-identical, not approximately equal. The renormalization factor
+    * is the model count OBSERVED in the edge set (mc CTE), mirroring the
+    * operator's `models.length` — a hard-coded 8 would silently diverge
+    * on any slice where fewer models appear or with a non-default
+    * nModels fixture.
     */
   private def btOracleSql(iters: Int): String = {
     val stages = (1 to iters).map { k =>
@@ -1566,8 +1570,8 @@ object LlmOps {
            GROUP BY e.i),
          u$k AS MATERIALIZED (SELECT d.i, (coalesce(w.w, 0) * 1000000000000) // d.d AS s
            FROM d$k d LEFT JOIN wins w ON w.i = d.i),
-         s$k AS MATERIALIZED (SELECT i, (s * 8 * 1000000) // t.t AS s
-           FROM u$k, (SELECT CAST(sum(s) AS BIGINT) AS t FROM u$k) t)"""
+         s$k AS MATERIALIZED (SELECT i, (s * mc.m * 1000000) // t.t AS s
+           FROM u$k, (SELECT CAST(sum(s) AS BIGINT) AS t FROM u$k) t, mc)"""
     }.mkString(",\n         ")
     s"""WITH gsrc AS MATERIALIZED (SELECT ((doc_id % 2147483648) * 2654435761)
               % 2147483647 AS h FROM documents),
@@ -1581,6 +1585,7 @@ object LlmOps {
                   UNION ALL SELECT b, a FROM games) GROUP BY i, j),
          wins AS MATERIALIZED (SELECT winner AS i, count(*) AS w FROM games GROUP BY winner),
          gm AS MATERIALIZED (SELECT i, CAST(sum(n) AS BIGINT) AS games FROM e GROUP BY i),
+         mc AS MATERIALIZED (SELECT CAST(count(DISTINCT i) AS BIGINT) AS m FROM e),
          s0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS s FROM e),
          $stages
          SELECT CAST(row_number() OVER (ORDER BY s DESC, i) AS BIGINT) AS rank,
@@ -1769,8 +1774,9 @@ object LlmOps {
   /** q195's oracle: the full portable-HLL replay — md5-prefix hashes,
     * top-b buckets, the integer leading-zero cascade (no log2: a float
     * boundary must never decide a register), exact integer register
-    * sums, and the same estimate/correction arithmetic in the same
-    * operation order.
+    * sums, and the same estimate/correction arithmetic (small-range
+    * linear counting AND 32-bit large-range branch, same CASE order as
+    * Sketches.hllCorrect) in the same operation order.
     */
   private def hllOracleSql: String = {
     val b = 10; val m = 1 << b; val wBits = 32 - b; val scaleBit = wBits + 1
@@ -1800,7 +1806,10 @@ object LlmOps {
        e2 AS (SELECT grp, v,
             CAST($alpha AS DOUBLE) * $m * $m / z AS e_raw FROM est),
        e3 AS (SELECT grp, CAST(floor(CASE WHEN e_raw <= ${2.5 * m} AND v > 0
-              THEN $m.0 * ln($m.0 / v) ELSE e_raw END) AS BIGINT) AS estimate
+              THEN $m.0 * ln($m.0 / v)
+              WHEN e_raw > ${4294967296.0 / 30.0}
+              THEN -4294967296.0 * ln(1.0 - e_raw / 4294967296.0)
+              ELSE e_raw END) AS BIGINT) AS estimate
             FROM e2)
        SELECT e3.grp AS l_returnflag, exact, estimate,
          CAST(floor(abs(estimate - exact) * 1000000 / exact) AS DOUBLE)/1e6
@@ -1840,7 +1849,10 @@ object LlmOps {
        e2 AS (SELECT win_end, v,
             CAST($alpha AS DOUBLE) * $m * $m / z AS e_raw FROM est),
        e3 AS (SELECT win_end, CAST(floor(CASE WHEN e_raw <= ${2.5 * m}
-              AND v > 0 THEN $m.0 * ln($m.0 / v) ELSE e_raw END) AS BIGINT)
+              AND v > 0 THEN $m.0 * ln($m.0 / v)
+              WHEN e_raw > ${4294967296.0 / 30.0}
+              THEN -4294967296.0 * ln(1.0 - e_raw / 4294967296.0)
+              ELSE e_raw END) AS BIGINT)
               AS estimate FROM e2),
        ex AS (SELECT s.win_end, CAST(count(DISTINCT user_id) AS BIGINT)
               AS exact
@@ -1854,7 +1866,7 @@ object LlmOps {
 
   val oracleSql: Map[String, String] = Map(
     // generation fixture replay (verbatim vs reversed halves), 5-gram
-    // inverted-index probe, distinct-position coverage, folded argmax
+    // inverted-index probe, distinct-position coverage, top-1 argmax
     "q197_provenance" ->
       """WITH docs AS (SELECT doc_id,
               list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -1883,9 +1895,10 @@ object LlmOps {
                   JOIN cg ON cg.s = gg.g),
          pd AS (SELECT gen_id, doc_id, count(*) AS cnt FROM hits
                 GROUP BY gen_id, doc_id),
-         top AS (SELECT gen_id,
-              arg_max(doc_id, cnt * 1000000 - doc_id) AS top_source
-            FROM pd GROUP BY gen_id),
+         top AS (SELECT gen_id, doc_id AS top_source FROM
+              (SELECT gen_id, doc_id, row_number() OVER (PARTITION BY gen_id
+                 ORDER BY cnt DESC, doc_id) AS rk FROM pd)
+            WHERE rk = 1),
          mt AS (SELECT gen_id, CAST(count(DISTINCT pos) AS BIGINT)
                 AS n_matched FROM hits GROUP BY gen_id),
          tot AS (SELECT gen_id, count(*) AS n_pos FROM gg GROUP BY gen_id),
@@ -2361,15 +2374,19 @@ object LlmOps {
             FROM documents GROUP BY source),
          w AS (SELECT source, nh,
               CASE WHEN nh > 1 THEN
-                CAST(floor(sqrt((CAST(sx2 AS DOUBLE)
+                CAST(floor(sqrt(greatest((CAST(sx2 AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nh)
-                  / (nh - 1)) * 1000000) AS BIGINT) * nh
+                  / (nh - 1), 0.0)) * 1000000) AS BIGINT) * nh
               ELSE 0 END AS a6
             FROM s),
-         t AS (SELECT CAST(sum(a6) AS BIGINT) AS t FROM w),
+         t AS (SELECT CAST(sum(a6) AS BIGINT) AS t,
+               CAST(sum(nh) AS BIGINT) AS tn FROM w),
          al AS (SELECT source, nh, a6,
-              CAST(floor(a6 * 100 / t.t) AS BIGINT) AS base,
-              (a6 * 100) % t.t AS rem
+              CAST(floor((CASE WHEN t.t > 0 THEN a6 ELSE nh END) * 100
+                / (CASE WHEN t.t > 0 THEN t.t ELSE t.tn END)) AS BIGINT)
+                AS base,
+              ((CASE WHEN t.t > 0 THEN a6 ELSE nh END) * 100)
+                % (CASE WHEN t.t > 0 THEN t.t ELSE t.tn END) AS rem
             FROM w, t),
          lo AS (SELECT CAST(100 - sum(base) AS BIGINT) AS leftover FROM al),
          alloc AS (SELECT source,

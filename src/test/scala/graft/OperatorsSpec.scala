@@ -925,6 +925,36 @@ class NeymanSampleSpec extends SparkSpec {
     assert(again.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ===
       out.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
   }
+
+  test("catastrophic-cancellation stratum cannot NaN-poison the draw") {
+    // 997 docs at 3155532 + one at 3155533: true variance ≈ 1/997 > 0,
+    // but sx2 − sx²/nh computes to −0.002 in doubles (sx² > 2⁵³).
+    // Unclamped, sqrt(−ε) = NaN poisons the weight; DuckDB would even
+    // refuse the NaN→BIGINT cast, desyncing operator and oracle. The
+    // greatest(·, 0) clamp pins both at weight 0 (≈ the true tiny σ).
+    val docs = ((1L to 997L).map(i =>
+        (i, "t", "cancel", if (i == 1L) 3155533L else 3155532L)) ++
+      (1001L to 1100L).map(i => (i, "t", "varied", (i * 97) % 900)))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = CorpusOps.neymanSample(docs, n = 40).collect()
+    assert(out.length === 40)
+    assert(out.forall(_.getString(0) == "varied"),
+      "zero-clamped stratum draws nothing; the varied stratum absorbs n")
+    assert(out.forall(!_.isNullAt(2)))
+  }
+
+  test("zero total weight falls back to proportional allocation") {
+    // every stratum constant-metric → all Neyman weights 0 → t = 0;
+    // without the fallback the allocation divides by zero and the
+    // sample comes back EMPTY. Proportional shares: 60:30 → 20:10.
+    val docs = ((1L to 60L).map(i => (i, "t", "a", 100L)) ++
+      (61L to 90L).map(i => (i, "t", "b", 777L)))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = CorpusOps.neymanSample(docs, n = 30).collect()
+    val bySrc = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(out.length === 30)
+    assert(bySrc("a") === 20 && bySrc("b") === 10)
+  }
 }
 
 /** Gale-Church-style bitext alignment (q190). */
@@ -1075,6 +1105,37 @@ class SketchesSpec extends SparkSpec {
     val merged = Sketches.mergeRegisters(parts: _*)
       .orderBy("bucket").collect().toSeq
     assert(merged === oneShot)
+  }
+
+  test("estimateRegisters: all three correction regimes, pinned arithmetic") {
+    // real data cannot reach the large-range regime in a test (it needs
+    // ~1.4e8 distincts), so drive the shared estimate fold directly with
+    // synthetic registers; expected values replicate the operator's
+    // exact-integer Z fold + double arithmetic
+    val m = 1024
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val two32 = 4294967296.0
+    val regs =
+      (0L until 40L).map(bk => ("small", bk, 1)) ++    // 984 empty → LC
+      (0L until 1024L).map(bk => ("raw", bk, 5)) ++    // z = 32 → raw
+      (0L until 1024L).map(bk => ("huge", bk, 20))     // z = 2^-10 → LR
+    val out = Sketches.estimateRegisters(
+      regs.toDF("grp", "bucket", "mr"), "grp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small range: linear counting m·ln(m/V), V = 984 empty registers
+    assert(out("small") === math.floor(m * math.log(m / 984.0)).toLong)
+    // raw regime: alpha·m²/z with z = 1024·2⁻⁵ = 32, no correction
+    val eRawMid = alpha * m * m / 32.0
+    assert(eRawMid > 2.5 * m && eRawMid <= two32 / 30.0)
+    assert(out("raw") === math.floor(eRawMid).toLong)
+    // LARGE range: e_raw = alpha·m²·2¹⁰ ≈ 7.7e8 > 2³²/30 → the
+    // −2³²·ln(1−E/2³²) de-bias, which must push the estimate UP
+    val eRawHuge = alpha * m * m * 1024.0
+    assert(eRawHuge > two32 / 30.0)
+    val expected = math.floor(-two32 * math.log(1.0 - eRawHuge / two32))
+    assert(out("huge") === expected.toLong)
+    assert(out("huge") > math.floor(eRawHuge).toLong,
+      "large-range branch must correct the collision bias upward")
   }
 
   test("rollingDistinct: windows bound holds and windows accumulate") {
