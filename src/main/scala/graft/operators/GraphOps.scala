@@ -96,6 +96,59 @@ object GraphOps {
       col("dist").as("depth"))
   }
 
+  /** Fixed-iteration HITS (q199) in exact micro-score BIGINTs: the
+    * hub/authority complement of [[pageRank]] — PageRank scores where you
+    * LAND, HITS separates pages that ARE good (authorities: linked from
+    * good hubs) from pages that POINT well (hubs: linking to good
+    * authorities). Curation uses both: link directories and aggregator
+    * index pages are high-hub/low-authority and usually boilerplate-heavy,
+    * while high-authority pages are the keep set.
+    *
+    * Per iteration: a′(v) = Σ_{(u,v)∈E} h(u), then L∞-normalize in
+    * integers a(v) = ⌊a′(v)·10⁶ / max a′⌋ (no sqrt — an L2 norm would put
+    * a float boundary inside every score; the max-norm is the standard
+    * convergent alternative and keeps every intermediate a BIGINT the SQL
+    * oracle replays bit-for-bit); then h′(u) = Σ_{(u,v)∈E} a(v) and the
+    * same normalization. Nodes with no in-links (out-links) hold score 0
+    * via the left join's coalesce.
+    *
+    * Scale shape: per iteration two equi-joins (edges ⨝ scores, each
+    * co-partitionable with the edge list bucketed by src/dst) + two
+    * map-side-combined sums + two one-row max aggregates broadcast back;
+    * carried state is one BIGINT per node per side, lineage cut per round
+    * via localCheckpoint. Overflow bound: score·10⁶ ≤ maxdeg·10¹², so
+    * BIGINTs hold to in/out-degree < 9·10⁶; shard hotter supernodes (or
+    * lift to DECIMAL(38,0)/HUGEINT) past that.
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    val ids = nodes.select(col(idCol).as("id"))
+    var hubs = ids.select(col("id"), lit(1000000L).as("h"))
+    var auths = ids.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val araw = edges.join(hubs, col("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val amax = araw.agg(max(col("ar")).as("am"))
+      auths = ids.join(araw, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("id"),
+          coalesce(expr("ar * 1000000 div am"), lit(0L)).as("a"))
+        .localCheckpoint(eager = true)
+      val hraw = edges.join(auths, col("dst") === col("id"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val hmax = hraw.agg(max(col("hr")).as("hm"))
+      hubs = ids.join(hraw, col("id") === col("src"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(col("id"),
+          coalesce(expr("hr * 1000000 div hm"), lit(0L)).as("h"))
+        .localCheckpoint(eager = true)
+    }
+    auths.join(hubs, "id")
+      .select(col("id").as(idCol), col("a").as("auth6"), col("h").as("hub6"),
+        (col("a").cast("double") / 1e6).as("auth"),
+        (col("h").cast("double") / 1e6).as("hub"))
+  }
+
   /** Fixed-iteration PageRank (damping 0.85) in exact nano-rank BIGINTs:
     * r₀ = ⌊10⁹/n⌋ for every node, then per iteration each node sends
     * ⌊r/outdeg⌋ along each out-edge and receives

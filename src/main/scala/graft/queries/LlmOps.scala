@@ -598,6 +598,17 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // HITS hubs/authorities over the same link fixture: max-normalized
+    // integer micro-scores, oracle replays every iteration bit-for-bit
+    "q199_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id"))
+      val edges = graft.operators.GraphOps.linkFixture(nodes, n)
+      graft.operators.GraphOps.hits(edges, nodes, iters = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition filters: duplicate word / bigram fractions
     "q67_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.fanout(Tables.documents(s, d)))
@@ -1217,6 +1228,42 @@ object LlmOps {
        SELECT id AS doc_id, r AS rank_nano,
          CAST(r AS DOUBLE) / 1e9 AS rank
        FROM i$iters ORDER BY doc_id"""
+    b.toString
+  }
+
+  /** q199's oracle: the HITS loop unrolled — per round, the in-link hub
+    * sum, a one-row max, the `//`-floored L∞ normalization (exactly where
+    * the engine's `div` floors), then the same on the out-link side.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val b = new StringBuilder(
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+       nodes AS (SELECT doc_id FROM documents),
+       pre AS (SELECT doc_id AS src, (31*doc_id+7) % n AS d1,
+                 (17*doc_id+3) % n AS d2, (5*doc_id+11) % n AS d3
+               FROM nodes, nn),
+       edges0 AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM pre),
+       edges AS (SELECT DISTINCT src, dst FROM edges0 WHERE dst <> src),
+       h0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS h FROM nodes)""")
+    for (t <- 1 to iters) b ++= s""",
+       ar$t AS (SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS ar
+         FROM edges e JOIN h${t - 1} h ON e.src = h.id GROUP BY e.dst),
+       am$t AS (SELECT CAST(max(ar) AS BIGINT) AS am FROM ar$t),
+       a$t AS (SELECT nd.doc_id AS id,
+           COALESCE((ar.ar * 1000000) // am.am, 0) AS a
+         FROM nodes nd CROSS JOIN am$t am
+         LEFT JOIN ar$t ar ON ar.id = nd.doc_id),
+       hr$t AS (SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS hr
+         FROM edges e JOIN a$t a ON e.dst = a.id GROUP BY e.src),
+       hm$t AS (SELECT CAST(max(hr) AS BIGINT) AS hm FROM hr$t),
+       h$t AS (SELECT nd.doc_id AS id,
+           COALESCE((hr.hr * 1000000) // hm.hm, 0) AS h
+         FROM nodes nd CROSS JOIN hm$t hm
+         LEFT JOIN hr$t hr ON hr.id = nd.doc_id)"""
+    b ++= s"""
+       SELECT a.id AS doc_id, a.a AS auth6, h.h AS hub6,
+         CAST(a.a AS DOUBLE) / 1e6 AS auth, CAST(h.h AS DOUBLE) / 1e6 AS hub
+       FROM a$iters a JOIN h$iters h ON a.id = h.id ORDER BY doc_id"""
     b.toString
   }
 
@@ -3993,6 +4040,7 @@ object LlmOps {
     "q95_bpe_encode" -> bpeEncodeOracle(8),
     "q129_bpe_compression" -> bpeCompressionOracle(8),
     "q132_pagerank" -> pageRankOracle(3),
+    "q199_hits" -> hitsOracle(3),
     // the portable-hash permutation replayed exactly: same md5-prefix
     // hash, same shard routing, same within-shard (key, id) rank
     "q137_epoch_order" ->

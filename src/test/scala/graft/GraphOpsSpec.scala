@@ -41,6 +41,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(a.values.toSet.size > 1, "floors + collapsed edges break symmetry")
   }
 
+  test("hits: one iteration on a hand-computed 4-node graph") {
+    import spark.implicits._
+    // 0→2, 1→2, 2→3: node 2 is the authority (2 in-links), 0/1 the hubs
+    val edges = Seq((0L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val r = GraphOps.hits(edges, nodes, iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    // a′ = {2: 2e6, 3: 1e6}, amax = 2e6 → a = {2: 1e6, 3: 500000}
+    assert(r(2L) === ((1000000L, 500000L))) // 2's hub score: only a(3)
+    assert(r(3L) === ((500000L, 0L)))       // sink: authority, no hub
+    // h′ = {0: 1e6, 1: 1e6, 2: 500000}, hmax = 1e6
+    assert(r(0L) === ((0L, 1000000L)))
+    assert(r(1L) === ((0L, 1000000L)))
+  }
+
+  test("hits: deterministic under repartitioning, scores in [0, 1e6]") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id"))
+    val edges = GraphOps.linkFixture(nodes, n)
+    val a = GraphOps.hits(edges, nodes, n.toInt.min(3))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val b = GraphOps.hits(edges.repartition(7), nodes.repartition(3),
+        n.toInt.min(3))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(a === b, "integer scores must not depend on partitioning")
+    assert(a.values.forall { case (au, h) =>
+      au >= 0 && au <= 1000000L && h >= 0 && h <= 1000000L })
+    // L∞ normalization pins at least one node to exactly 1e6 on each side
+    assert(a.values.exists(_._1 === 1000000L))
+    assert(a.values.exists(_._2 === 1000000L))
+  }
+
   test("linkFixture: in-range, no self-loops, collapsed multi-edges") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.count()
