@@ -273,6 +273,75 @@ object TextAnalysis {
         col("n_controls") > 0 || col("n_mixed_tokens") > 0)
   }
 
+  /** Mojibake signature → repair table (q200), ORDERED: each left side is
+    * the cp1252 rendering of a common UTF-8 sequence decoded as single
+    * bytes (é → C3 A9 → "Ã©"; ’ → E2 80 99 → "â€™"), i.e. the ftfy-style
+    * closed set of double-encoding artifacts; the right side is the
+    * character the bytes originally encoded. Longer (3-char) signatures
+    * sit first so the chained repair never rewrites a prefix of a longer
+    * artifact. The q200 oracle is GENERATED from this same list, so
+    * operator and oracle cannot drift.
+    */
+  val mojibakeMap: Seq[(String, String)] = Seq(
+    "\u00E2\u20AC\u2122" -> "\u2019", // a-circ,euro,tm -> right quote
+    "\u00E2\u20AC\u0153" -> "\u201C", // a-circ,euro,oe -> left dquote
+    "\u00C3\u00A9" -> "\u00E9",        // A-tilde,copyright -> e-acute
+    "\u00C3\u00A8" -> "\u00E8",        // A-tilde,diaeresis -> e-grave
+    "\u00C3\u00AF" -> "\u00EF",        // A-tilde,macron -> i-diaeresis
+    "\u00C3\u00A7" -> "\u00E7",        // A-tilde,section -> c-cedilla
+    "\u00C2\u00A0" -> " ")              // A-circ,NBSP -> plain space
+
+  /** Deterministic encoding-damage fixture: four idHash classes append a
+    * mojibake-damaged phrase (single or multiple artifacts), a CLEAN
+    * accented phrase (the false-positive probe — correctly-encoded é/è/ï
+    * must not flag), or nothing.
+    */
+  /** The fixture phrases, shared with the q200 oracle builder (which
+    * re-emits them as chr() concatenations) so both engines append
+    * byte-identical text. Classes 1\u20133 are damaged; class 4 is CLEAN
+    * accented text \u2014 the false-positive probe.
+    */
+  val MojibakePhrases: Seq[String] = Seq(
+    " caf\u00C3\u00A9 cr\u00C3\u00A8me",
+    " it\u00E2\u20AC\u2122s \u00E2\u20AC\u0153very\u00E2\u20AC\u0153 good",
+    " na\u00C3\u00AFve fa\u00C3\u00A7ade r\u00C3\u00A9sum\u00C3\u00A9",
+    " caf\u00E9 cr\u00E8me na\u00EFve")
+
+  def mojibakeFixture(id: Column, text: Column): Column = {
+    val h = CorpusOps.idHash(id)
+    concat(text,
+      when(h % 5 === 1, lit(MojibakePhrases(0)))
+        .when(h % 5 === 2, lit(MojibakePhrases(1)))
+        .when(h % 5 === 3, lit(MojibakePhrases(2)))
+        .when(h % 5 === 4, lit(MojibakePhrases(3)))
+        .otherwise(lit("")))
+  }
+
+  /** Encoding-damage scan + repair (q200): per document, the count of
+    * mojibake artifacts from [[mojibakeMap]], a damaged verdict, and the
+    * repaired text with every artifact mapped back to its original
+    * character — the web-corpus cleaning pass that runs before any
+    * quality scoring (a damaged "café" tokenizes as garbage and drags
+    * down language-ID and stopword ratios). Counting is the exact
+    * literal-replace length delta (no regex: the signatures contain no
+    * metacharacters and plain replace keeps both engines byte-identical);
+    * repair is the ordered replacement chain. Row-local and codegen'd —
+    * zero shuffle at any scale.
+    */
+  def mojibake(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val n = mojibakeMap.map { case (sig, _) =>
+      ((length(t) - length(replace(t, lit(sig), lit("")))) / sig.length)
+        .cast("long")
+    }.reduce(_ + _)
+    val repaired = mojibakeMap.foldLeft(t) { case (c, (sig, fix)) =>
+      replace(c, lit(sig), lit(fix))
+    }
+    docs.select(col(idCol), n.as("n_mojibake"), (n > 0).as("damaged"),
+      repaired.as("repaired"))
+  }
+
   def textEmbed(docs: DataFrame, dim: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tokenHash = (t: Column) => aggregate(

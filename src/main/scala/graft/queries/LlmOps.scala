@@ -598,6 +598,16 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // encoding-damage scan + repair over the mojibake fixture: artifact
+    // counts, damaged verdicts, and the repaired text
+    "q200_mojibake" -> ((s, d) => {
+      val ta = graft.operators.TextAnalysis
+      Tables.documents(s, d)
+        .withColumn("text", ta.mojibakeFixture(col("doc_id"), col("text")))
+        .transform(ta.mojibake(_))
+        .orderBy(col("doc_id"))
+    }),
+
     // HITS hubs/authorities over the same link fixture: max-normalized
     // integer micro-scores, oracle replays every iteration bit-for-bit
     "q199_hits" -> ((s, d) => {
@@ -1265,6 +1275,41 @@ object LlmOps {
          CAST(a.a AS DOUBLE) / 1e6 AS auth, CAST(h.h AS DOUBLE) / 1e6 AS hub
        FROM a$iters a JOIN h$iters h ON a.id = h.id ORDER BY doc_id"""
     b.toString
+  }
+
+  /** q200's oracle, GENERATED from [[graft.operators.TextAnalysis
+    * .mojibakeMap]] (same signature order, same replace chain) so the
+    * operator and oracle cannot drift; every non-ASCII character is
+    * emitted as chr(codepoint) so the SQL survives any transport
+    * encoding.
+    */
+  private def mojibakeOracle: String = {
+    def s(str: String): String = str.map { c =>
+      if (c >= ' ' && c.toInt < 127 && c != '\'') s"'$c'"
+      else s"chr(${c.toInt})"
+    }.mkString("(", " || ", ")")
+    val mm = graft.operators.TextAnalysis.mojibakeMap
+    val cnt = mm.map { case (sig, _) =>
+      s"(length(t) - length(replace(t, ${s(sig)}, ''))) // ${sig.length}"
+    }.mkString(" + ")
+    val rep = mm.foldLeft("t") { case (e, (sig, fix)) =>
+      s"replace($e, ${s(sig)}, ${s(fix)})"
+    }
+    val Seq(p1, p2, p3, p4) =
+      graft.operators.TextAnalysis.MojibakePhrases.map(s)
+    s"""WITH d AS (SELECT doc_id, text,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+       f AS (SELECT doc_id, text ||
+            CASE WHEN h % 5 = 1 THEN $p1
+                 WHEN h % 5 = 2 THEN $p2
+                 WHEN h % 5 = 3 THEN $p3
+                 WHEN h % 5 = 4 THEN $p4
+                 ELSE '' END AS t
+          FROM d),
+       c AS (SELECT doc_id, t, CAST($cnt AS BIGINT) AS n FROM f)
+       SELECT doc_id, n AS n_mojibake, n > 0 AS damaged, $rep AS repaired
+       FROM c ORDER BY doc_id"""
   }
 
   private def bpeEncodeOracle(merges: Int): String =
@@ -4041,6 +4086,7 @@ object LlmOps {
     "q129_bpe_compression" -> bpeCompressionOracle(8),
     "q132_pagerank" -> pageRankOracle(3),
     "q199_hits" -> hitsOracle(3),
+    "q200_mojibake" -> mojibakeOracle,
     // the portable-hash permutation replayed exactly: same md5-prefix
     // hash, same shard routing, same within-shard (key, id) rank
     "q137_epoch_order" ->

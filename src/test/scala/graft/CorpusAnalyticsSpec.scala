@@ -832,6 +832,50 @@ class CorpusAnalyticsSpec extends SparkSpec {
     real.foreach(r => assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
   }
 
+  test("mojibake: damaged classes flag and repair; clean accents don't") {
+    import spark.implicits._
+    val ta = graft.operators.TextAnalysis
+    val toy = Seq(
+      (1L, "plain ascii"),
+      (2L, "one caf\u00C3\u00A9 here"),
+      (3L, "it\u00E2\u20AC\u2122s \u00E2\u20AC\u0153ok\u00E2\u20AC\u0153"),
+      (4L, "clean caf\u00E9 na\u00EFve"),
+      (5L, "nb\u00C2\u00A0sp"))
+      .toDF("doc_id", "text")
+    val out = ta.mojibake(toy).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getString(3)))).toMap
+    assert(out(1L) === ((0L, false, "plain ascii")))
+    assert(out(2L) === ((1L, true, "one caf\u00E9 here")))
+    assert(out(3L) === ((3L, true, "it\u2019s \u201Cok\u201C")))
+    // correctly-encoded accents are NOT artifacts
+    assert(out(4L) === ((0L, false, "clean caf\u00E9 na\u00EFve")))
+    assert(out(5L) === ((1L, true, "nb sp")))
+    // repair is idempotent: a second scan over repaired text is clean
+    val again = ta.mojibake(ta.mojibake(toy)
+      .select(col("doc_id"), col("repaired").as("text"))).collect()
+    again.foreach(r => assert(r.getLong(1) === 0L, s"not idempotent: $r"))
+    // fixture contract on real docs: exactly the three damaged classes
+    // flag, and the clean-accent class repairs to itself
+    val fixed = docs.withColumn("text",
+      ta.mojibakeFixture(col("doc_id"), col("text")))
+    val h = ((col("doc_id") % 2147483648L) * 2654435761L) % 2147483647L
+    val scanned = ta.mojibake(fixed.withColumn("cls", h % 5)
+      .select(col("doc_id"), col("cls"), col("text")))
+      .join(fixed.withColumn("cls2", h % 5)
+        .select(col("doc_id"), col("cls2")), "doc_id")
+    import org.apache.spark.sql.functions.{count => cnt}
+    val byCls = scanned.groupBy(col("cls2"))
+      .agg(cnt(when(col("damaged"), 1)).as("dmg"), cnt(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    byCls.foreach { case (cls, (dmg, n)) =>
+      if (cls == 1L || cls == 2L || cls == 3L)
+        assert(dmg === n, s"class $cls should all flag")
+      else assert(dmg === 0L, s"class $cls must not flag")
+    }
+  }
+
   test("contextAssemble: budget-feasible ranked prefix, exact accounting") {
     val out = Similarity.contextAssemble(docs, embs, nQueries = 4,
       budget = 128L).collect()
