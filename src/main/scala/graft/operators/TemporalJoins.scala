@@ -15,6 +15,42 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Time-decay daily trend (q201): per event type, daily counts smoothed
+    * by an exponentially-weighted moving average with decay 1/2 — the
+    * freshness-weighted activity signal a mixture scheduler reads when
+    * recent volume should outweigh history (the EWMA complement of
+    * [[hourlyAnomaly]]'s median baseline). The decay is DYADIC on
+    * purpose: s₁ = n₁·10⁶, s_r = (n_r·10⁶ + s_{r−1}) div 2 keeps every
+    * step an exact BIGINT halving, so the per-step floor lands at the
+    * same place in both engines and the whole recurrence hash-checks
+    * (an arbitrary α multiplies counts by 10⁶ twice and overflows the
+    * day-count regime this serves).
+    *
+    * The recurrence is inherently sequential PER KEY, so it runs as an
+    * `aggregate` fold over the key's day array: one map-side-combined
+    * (key, day) count shuffle, then one row per key holding ≤|days|
+    * structs — state bounded by the calendar, never by event volume.
+    * 100 TB of events still folds the same few-hundred-element arrays.
+    */
+  def ewmaTrend(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val packed = daily.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("ds"))
+    val folded = packed.withColumn("es",
+      expr("""aggregate(ds,
+          CAST(array() AS ARRAY<STRUCT<day: DATE, n: BIGINT, s: BIGINT>>),
+          (acc, x) -> array_append(acc, struct(x.day AS day, x.n AS n,
+            CASE WHEN size(acc) = 0 THEN x.n * 1000000L
+                 ELSE (x.n * 1000000L + element_at(acc, -1).s) div 2
+            END AS s)))"""))
+    folded.select(col(keyCol), explode(col("es")).as("e"))
+      .select(col(keyCol), col("e.day").as("day"), col("e.n").as("n"),
+        col("e.s").as("ewma6"),
+        (col("e.s").cast("double") / 1e6).as("ewma"))
+  }
+
   /** Event-flow transition matrix (q198): the Markov view of the event
     * stream — for every ordered pair of CONSECUTIVE events of the same
     * user, a (from, to) count and the row-normalized transition

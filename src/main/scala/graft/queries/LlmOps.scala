@@ -598,6 +598,12 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // dyadic-EWMA daily trend per event type: exact integer halving
+    // recurrence, oracle replays it as a recursive CTE over day ranks
+    "q201_ewma_trend" -> ((s, d) =>
+      graft.operators.TemporalJoins.ewmaTrend(Tables.events(s, d))
+        .orderBy(col("event_type"), col("day"))),
+
     // encoding-damage scan + repair over the mojibake fixture: artifact
     // counts, damaged verdicts, and the repaired text
     "q200_mojibake" -> ((s, d) => {
@@ -4087,6 +4093,24 @@ object LlmOps {
     "q132_pagerank" -> pageRankOracle(3),
     "q199_hits" -> hitsOracle(3),
     "q200_mojibake" -> mojibakeOracle,
+    // the same dyadic halving recurrence, driven by a recursive CTE
+    // joining day-rank r to r−1 per event type
+    "q201_ewma_trend" ->
+      """WITH RECURSIVE dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         r AS (SELECT event_type, day, n, row_number() OVER
+              (PARTITION BY event_type ORDER BY day) AS rn FROM dc),
+         e AS (SELECT event_type, day, n, rn, n * 1000000 AS s
+               FROM r WHERE rn = 1
+               UNION ALL
+               SELECT r.event_type, r.day, r.n, r.rn,
+                 (r.n * 1000000 + e.s) // 2
+               FROM r JOIN e ON r.event_type = e.event_type
+                 AND r.rn = e.rn + 1)
+         SELECT event_type, day, n, CAST(s AS BIGINT) AS ewma6,
+           CAST(s AS DOUBLE) / 1e6 AS ewma
+         FROM e ORDER BY event_type, day""",
     // the portable-hash permutation replayed exactly: same md5-prefix
     // hash, same shard routing, same within-shard (key, id) rank
     "q137_epoch_order" ->

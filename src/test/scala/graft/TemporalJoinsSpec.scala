@@ -121,4 +121,34 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(("cart", "visit")) === ((1L, 0.5)))
     assert(out.size === 3, s"unexpected transitions: ${out.keys}")
   }
+
+  test("ewmaTrend: exact dyadic fold, keys independent, odd-sum floors") {
+    import java.sql.Timestamp
+    def t(d: Int, i: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:0$i:00")
+    // type a: daily counts 4, 2, 8 → s = 4e6, 3e6, 5.5e6
+    // type b: counts 1, 2 → s = 1e6, (2e6+1e6) div 2 = 1.5e6
+    // plus an odd case: 1, 0-day gap is NOT filled (days observed only)
+    val ev = (
+      (1 to 4).map(i => (i.toLong, t(1, i), 10L, "a")) ++
+        (5 to 6).map(i => (i.toLong, t(2, i), 10L, "a")) ++
+        (7 to 14).map(i => (i.toLong - 6, t(3, (i - 6)), 10L, "a")) ++
+        Seq((20L, t(1, 1), 20L, "b")) ++
+        (21 to 22).map(i => (i.toLong, t(3, i - 20), 20L, "b")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.TemporalJoins.ewmaTrend(ev).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a", "2024-01-01")) === ((4L, 4000000L)))
+    assert(out(("a", "2024-01-02")) === ((2L, 3000000L)))
+    assert(out(("a", "2024-01-03")) === ((8L, 5500000L)))
+    // key b folds its own days only — no bleed from a's day-2 count
+    assert(out(("b", "2024-01-01")) === ((1L, 1000000L)))
+    assert(out(("b", "2024-01-03")) === ((2L, 1500000L)))
+    assert(out.size === 5)
+    // determinism under repartitioning (collect_list order must not leak)
+    val again = graft.operators.TemporalJoins.ewmaTrend(ev.repartition(7))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(again === out)
+  }
 }
