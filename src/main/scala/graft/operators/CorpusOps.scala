@@ -2609,6 +2609,72 @@ object CorpusOps {
     * sort); the rank window runs over N ROWS (constant, corpus-size-
     * independent) after the limit.
     */
+  /** Heaps-law vocabulary-growth fit (q202): V(N) ≈ K·N^β measured at
+    * `k` doc-id checkpoints — the tokenizer-planning read ([[zipfFit]]'s
+    * companion: Zipf says how mass concentrates, Heaps says how fast NEW
+    * types keep arriving, i.e. whether a 32k/64k/128k vocab saturates).
+    * Per checkpoint c: N_c = tokens in docs with id ≤ ⌊max_id·c/k⌋ and
+    * V_c = types whose FIRST occurrence (min doc_id per word — one
+    * map-side-combined agg, no global sort) lies ≤ the threshold; then
+    * the same quantized log-log least squares as [[zipfFit]] over the k
+    * points gives β (slope) and ln K (intercept).
+    *
+    * Scale shape: per-doc token counts and first-occurrence docs are two
+    * linear aggregations; the checkpoint fan-out is a broadcast k-row
+    * cross join collapsed straight back to k rows by a map-side-combined
+    * sum — no running-total window over the corpus (an unpartitioned
+    * cumulative-sum window would serialize |docs| rows through one
+    * task). Every moment is an exact BIGINT; slope/r² floor-quantized.
+    */
+  def heapsFit(docs: DataFrame, k: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perDoc = docs.select(col(idCol).as("id"),
+      size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("nt"))
+    val firstOcc = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(min(col("id")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("nv"))
+    val mx = broadcast(perDoc.agg(max(col("id")).as("mx")))
+    val cks = mx.select(explode(sequence(lit(1), lit(k))).as("c"),
+      col("mx"))
+      .select(col("c"), expr("mx * c div " + k).as("thresh"))
+    val toks = perDoc.crossJoin(broadcast(cks))
+      .filter(col("id") <= col("thresh"))
+      .groupBy(col("c"), col("thresh")).agg(sum(col("nt")).as("n_tokens"))
+    val types = firstOcc.crossJoin(broadcast(cks))
+      .filter(col("fd") <= col("thresh"))
+      .groupBy(col("c").as("c2")).agg(sum(col("nv")).as("n_types"))
+    val pts = toks.join(types, col("c") === col("c2")).drop("c2")
+      .withColumn("x", floor(log(col("n_tokens").cast("double")) * 1000))
+      .withColumn("y", floor(log(col("n_types").cast("double")) * 1000))
+    val m = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val denY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // degenerate guards: a SATURATED vocab (all checkpoints at the same
+    // n_types) zeroes denY — a legitimate corpus signal, not an error —
+    // and ANSI double division by exact 0 throws; slope/r² are undefined
+    // there, reported as NULL in both engines
+    val fit = m.select(
+      when(denX =!= 0.0, floor(num / denX * 10000L).cast("double") / 1e4)
+        .as("beta"),
+      when(denX =!= 0.0, floor((col("sy").cast("double")
+          - num / denX * col("sx").cast("double"))
+        / (col("n") * lit(1000L)).cast("double")
+        * 10000L).cast("double") / 1e4).as("ln_k"),
+      when(denX =!= 0.0 && denY =!= 0.0,
+        floor(num * num / (denX * denY) * 1000000L).cast("double") / 1e6)
+        .as("r2"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("c").cast("long").as("checkpoint"), col("thresh"),
+        col("n_tokens"), col("n_types"), col("beta"), col("ln_k"),
+        col("r2"))
+  }
+
   def zipfFit(docs: DataFrame, topN: Int = 1000,
       textCol: String = "text"): DataFrame = {
     val freq = docs

@@ -598,6 +598,12 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Heaps-law vocab growth at 10 doc-id checkpoints + quantized
+    // log-log least squares (beta, ln K, r2)
+    "q202_heaps_fit" -> ((s, d) =>
+      graft.operators.CorpusOps.heapsFit(Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("checkpoint"))),
+
     // dyadic-EWMA daily trend per event type: exact integer halving
     // recurrence, oracle replays it as a recursive CTE over day ranks
     "q201_ewma_trend" -> ((s, d) =>
@@ -4093,6 +4099,62 @@ object LlmOps {
     "q132_pagerank" -> pageRankOracle(3),
     "q199_hits" -> hitsOracle(3),
     "q200_mojibake" -> mojibakeOracle,
+    // same checkpoints (max-id thresholds), first-occurrence vocab
+    // accounting, and quantized log-log moments as the operator
+    "q202_heaps_fit" ->
+      """WITH pd AS (SELECT doc_id AS id,
+              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS nt
+            FROM documents),
+         fo AS (SELECT w, min(id) AS fd FROM (
+              SELECT doc_id AS id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS w
+              FROM documents) GROUP BY w),
+         fv AS (SELECT fd, CAST(count(*) AS BIGINT) AS nv FROM fo
+                GROUP BY fd),
+         mx AS (SELECT max(id) AS mx FROM pd),
+         ck AS (SELECT c, (mx.mx * c) // 10 AS thresh
+            FROM (SELECT unnest(generate_series(1, 10)) AS c), mx),
+         toks AS (SELECT ck.c, ck.thresh,
+              CAST(sum(pd.nt) AS BIGINT) AS n_tokens
+            FROM pd JOIN ck ON pd.id <= ck.thresh GROUP BY ck.c, ck.thresh),
+         typs AS (SELECT ck.c, CAST(sum(fv.nv) AS BIGINT) AS n_types
+            FROM fv JOIN ck ON fv.fd <= ck.thresh GROUP BY ck.c),
+         pts AS (SELECT toks.c, thresh, n_tokens, n_types,
+              CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)
+                AS x,
+              CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1000) AS BIGINT)
+                AS y
+            FROM toks JOIN typs ON toks.c = typs.c),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(y*y) AS BIGINT) AS syy
+           FROM pts),
+         fit AS (SELECT
+             CASE WHEN n*sxx - sx*sx <> 0 THEN
+               floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE) * 10000) / 1e4
+             END AS beta,
+             CASE WHEN n*sxx - sx*sx <> 0 THEN
+               floor((CAST(sy AS DOUBLE)
+                   - CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(n*1000 AS DOUBLE) * 10000) / 1e4
+             END AS ln_k,
+             CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0 THEN
+               floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                   * CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (CAST(n*sxx - sx*sx AS DOUBLE)
+                   * CAST(n*syy - sy*sy AS DOUBLE))
+                 * 1000000) / 1e6
+             END AS r2
+           FROM m)
+         SELECT CAST(c AS BIGINT) AS checkpoint, thresh, n_tokens,
+           n_types, beta, ln_k, r2
+         FROM pts, fit ORDER BY checkpoint""",
     // the same dyadic halving recurrence, driven by a recursive CTE
     // joining day-rank r to r−1 per event type
     "q201_ewma_trend" ->

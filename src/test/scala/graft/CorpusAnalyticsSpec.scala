@@ -1099,6 +1099,41 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("heapsFit: exact checkpoint accounting, sublinear beta bounds") {
+    import spark.implicits._
+    // doc i = "a b w<i> x<i>": 4 tokens, 2 shared + 2 new per doc →
+    // N_c = 4c, V_c = 2 + 2c at thresholds c = 1..10 (max id 10)
+    val toy = (1 to 10).map(i => (i.toLong, s"a b w$i x$i"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.heapsFit(toy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(6)))).toMap
+    assert(out.size === 10)
+    (1 to 10).foreach { c =>
+      val (thresh, nTok, nTyp, _, _) = out(c.toLong)
+      assert(thresh === c.toLong)
+      assert(nTok === 4L * c, s"checkpoint $c tokens")
+      assert(nTyp === 2L + 2L * c, s"checkpoint $c types")
+    }
+    // V = N/2 + 2: the +2 flattens the low-N end of the log-log line —
+    // analytic slope (ln22−ln4)/(ln40−ln4) ≈ 0.74
+    val (_, _, _, beta, r2) = out(5L)
+    assert(beta > 0.7 && beta <= 0.8, s"beta $beta")
+    assert(r2 > 0.98, s"r2 $r2")
+    // real corpus: growth curve is monotone, beta in the sane band
+    val real = CorpusOps.heapsFit(docs).collect().sortBy(_.getLong(0))
+    assert(real.length === 10)
+    real.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) <= b.getLong(2) && a.getLong(3) <= b.getLong(3))
+    }
+    // a saturated vocab (flat n_types) legitimately yields NULL slope
+    if (!real.head.isNullAt(4)) {
+      val rb = real.head.getDouble(4)
+      assert(rb >= 0.0 && rb <= 1.1, s"real beta $rb")
+    } else assert(real.map(_.getLong(3)).distinct.length === 1,
+      "null beta is only legal when the growth curve is flat")
+  }
+
   test("zipfFit: synthetic Zipf corpus recovers slope -1, real corpus is zipfian") {
     import spark.implicits._
     // token t_r appears round(1000/r) times: an exact Zipf distribution
