@@ -2609,6 +2609,52 @@ object CorpusOps {
     * sort); the rank window runs over N ROWS (constant, corpus-size-
     * independent) after the limit.
     */
+  /** Good-Turing frequency-of-frequencies report (q203): N_r = how many
+    * word types occur exactly r times, the smoothed count r* =
+    * (r+1)·N_{r+1}/N_r, and the unseen-mass estimate p₀ = N₁/N — the
+    * quantities every smoothed LM (Katz backoff, simple Good-Turing) is
+    * built from, and the OOV-rate forecast a tokenizer/eval split needs
+    * ([[heapsFit]] says how fast new types arrive; p₀ says how much
+    * probability the NEXT token draw puts on types never seen). Reported
+    * for r ≤ `maxR` (the regime where GT smoothing is actually used;
+    * above it r* ≈ r). r* and p₀ are exact BIGINT millionth divisions —
+    * no float boundary — and r* = 0 marks the standard truncation where
+    * N_{r+1} = 0.
+    *
+    * Measured over word BIGRAMS by default: GT smoothing lives in the
+    * low-count regime, and a unigram table over a bounded vocab has no
+    * singletons once the corpus is a few hundred docs (an empty report);
+    * the n-gram table is where N₁..N₁₀ stay populated at any corpus
+    * size — and it is the table Katz backoff actually smooths.
+    *
+    * Scale shape: the gram-count agg (map-side combine), a |distinct r|-
+    * row frequency-of-frequencies agg, a self-join on r+1 over that tiny
+    * table, and a one-row totals broadcast. Nothing after the first agg
+    * is corpus-sized.
+    */
+  def goodTuring(docs: DataFrame, maxR: Int = 10, n: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val w = col("_w")
+    val grams = when(size(w) >= n, TextAnalysis.wordNgrams(w, n))
+      .otherwise(array())
+    val freq = docs
+      .withColumn("_w", TextAnalysis.wsTokens(col(textCol)))
+      .select(explode(grams).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val fof = freq.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = freq.agg(sum(col("c")).as("n_tokens"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"))
+    val next = fof.select(col("r").as("r1"), col("n_r").as("n_r1"))
+    fof.filter(col("r") <= maxR)
+      .join(next, col("r") + 1 === col("r1"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_r_next", coalesce(col("n_r1"), lit(0L)))
+      .withColumn("num6", (col("r") + 1) * col("n_r_next") * 1000000L)
+      .select(col("r"), col("n_r"), col("n_r_next"),
+        (expr("num6 div n_r").cast("double") / 1e6).as("r_star"),
+        (expr("n1 * 1000000 div n_tokens").cast("double") / 1e6).as("p0"))
+  }
+
   /** Heaps-law vocabulary-growth fit (q202): V(N) ≈ K·N^β measured at
     * `k` doc-id checkpoints — the tokenizer-planning read ([[zipfFit]]'s
     * companion: Zipf says how mass concentrates, Heaps says how fast NEW

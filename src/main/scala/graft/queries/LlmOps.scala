@@ -598,6 +598,13 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Good-Turing frequency-of-frequencies: N_r, smoothed r*, unseen
+    // mass p0 — exact millionth divisions
+    "q203_good_turing" -> ((s, d) =>
+      graft.operators.CorpusOps.goodTuring(
+          Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("r"))),
+
     // Heaps-law vocab growth at 10 doc-id checkpoints + quantized
     // log-log least squares (beta, ln K, r2)
     "q202_heaps_fit" -> ((s, d) =>
@@ -4099,6 +4106,32 @@ object LlmOps {
     "q132_pagerank" -> pageRankOracle(3),
     "q199_hits" -> hitsOracle(3),
     "q200_mojibake" -> mojibakeOracle,
+    // same word counts, frequency-of-frequencies, r+1 self-join, and
+    // exact BIGINT millionth divisions
+    "q203_good_turing" ->
+      """WITH dw AS (SELECT list_filter(string_split(text, ' '),
+              x -> x <> '') AS w
+            FROM documents),
+         toks AS (SELECT unnest(CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w)-1),
+                   i -> array_to_string(w[i:i+1], ' '))
+              ELSE [] END) AS g
+            FROM dw),
+         freq AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM toks
+                  GROUP BY g),
+         fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM freq
+                 GROUP BY c),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+           FROM freq)
+         SELECT f.r, f.n_r,
+           CAST(coalesce(n2.n_r, 0) AS BIGINT) AS n_r_next,
+           CAST(((f.r + 1) * coalesce(n2.n_r, 0) * 1000000) // f.n_r
+             AS DOUBLE) / 1e6 AS r_star,
+           CAST((n1 * 1000000) // n_tokens AS DOUBLE) / 1e6 AS p0
+         FROM fof f LEFT JOIN fof n2 ON f.r + 1 = n2.r
+         CROSS JOIN tot
+         WHERE f.r <= 10 ORDER BY f.r""",
     // same checkpoints (max-id thresholds), first-occurrence vocab
     // accounting, and quantized log-log moments as the operator
     "q202_heaps_fit" ->

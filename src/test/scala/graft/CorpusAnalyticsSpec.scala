@@ -1099,6 +1099,32 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("goodTuring: hand-computed N_r, r*, p0; truncation at missing r+1") {
+    import spark.implicits._
+    // bigram counts: "a a"=3, "d d"=2, "a d"=1, "d b"=1 (doc 2 is a
+    // single word → no bigrams) → N1=2, N2=1, N3=1, N=7
+    val toy = Seq((1L, "a a a a d d d b"), (2L, "c")).toDF("doc_id", "text")
+    val out = CorpusOps.goodTuring(toy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((2L, 1L, 1.0, 0.285714)))   // r* = 2·1/2
+    assert(out(2L) === ((1L, 1L, 3.0, 0.285714)))   // r* = 3·1/1
+    assert(out(3L) === ((1L, 0L, 0.0, 0.285714)))   // N4 = 0 → truncated
+    assert(out.size === 3)
+    // real corpus: the GT identity Σ_{r≤maxR} r·N_r ≤ N over bigrams,
+    // p0 ∈ (0,1), and the low-count regime is actually populated
+    val real = CorpusOps.goodTuring(docs).collect()
+    assert(real.nonEmpty, "bigram table must keep N_1..N_10 populated")
+    val n = docs.select(explode(graft.operators.TextAnalysis.wordNgrams(
+        graft.operators.TextAnalysis.wsTokens(col("text")), 2)))
+      .count()
+    assert(real.map(r => r.getLong(0) * r.getLong(1)).sum <= n)
+    real.foreach { r =>
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0)
+      assert(r.getLong(0) >= 1L && r.getLong(0) <= 10L)
+    }
+  }
+
   test("heapsFit: exact checkpoint accounting, sublinear beta bounds") {
     import spark.implicits._
     // doc i = "a b w<i> x<i>": 4 tokens, 2 shared + 2 new per doc →
