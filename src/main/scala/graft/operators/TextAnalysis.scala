@@ -273,6 +273,66 @@ object TextAnalysis {
         col("n_controls") > 0 || col("n_mixed_tokens") > 0)
   }
 
+  /** Category blocklist for the q204 safety gate — the C4-style badwords
+    * mechanism with a deliberately tame demonstration lexicon (the
+    * mechanics, not the list, are the operator: swap in a production
+    * blocklist per category without touching the plan). Categories carry
+    * their own policy: `any` flags on a single hit (the zero-tolerance
+    * class), `repeat` flags only at ≥2 hits (incidental single mentions
+    * pass).
+    */
+  val UnsafeLexicon: Seq[(String, Seq[String], String)] = Seq(
+    ("weapons", Seq("rifle", "pistol", "ammo", "grenade"), "any"),
+    ("drugs", Seq("meth", "opioid", "fentanyl"), "any"),
+    ("gambling", Seq("casino", "poker", "jackpot", "betting"), "repeat"),
+    ("profanity", Seq("damn", "hell", "crap"), "repeat"))
+
+  /** Deterministic lexicon-hit fixture: idHash classes append a single
+    * zero-tolerance term, a repeated `repeat`-class term (flags), a
+    * SINGLE `repeat`-class term (must NOT flag), or nothing.
+    */
+  def unsafeFixture(id: Column, text: Column): Column = {
+    val h = CorpusOps.idHash(id)
+    concat(text,
+      when(h % 6 === 1, lit(" rifle"))
+        .when(h % 6 === 2, lit(" casino poker"))
+        .when(h % 6 === 3, lit(" damn"))
+        .when(h % 6 === 4, lit(" meth casino"))
+        .otherwise(lit("")))
+  }
+
+  /** Lexicon safety gate (q204): per document, hit counts for every
+    * blocklist category (case-insensitive whole-token match — substring
+    * matching is the classic C4 false-positive bug: "class" ⊃ "ass"),
+    * the per-category policy verdict from [[UnsafeLexicon]], a keep
+    * decision, and the ordered comma-joined list of tripped categories
+    * for drop auditing. One tokenize + |categories| array filters per
+    * row — row-local, codegen'd, zero shuffle.
+    */
+  def unsafeGate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val staged = docs.withColumn("_t", toks)
+    val counts = UnsafeLexicon.map { case (cat, terms, _) =>
+      cat -> size(filter(col("_t"), t => t.isin(terms.map(lit): _*)))
+        .cast("long")
+    }
+    val flags = UnsafeLexicon.map { case (cat, _, policy) =>
+      val n = col(s"n_$cat")
+      cat -> (if (policy == "any") n >= 1 else n >= 2)
+    }
+    val withCounts = counts.foldLeft(staged) { case (df, (cat, c)) =>
+      df.withColumn(s"n_$cat", c)
+    }
+    val reasons = concat_ws(",",
+      flags.map { case (cat, bad) => when(bad, cat) }: _*)
+    withCounts.drop("_t")
+      .withColumn("flag_reasons", reasons)
+      .withColumn("keep", col("flag_reasons") === "")
+      .select(col(idCol) +: counts.map(c => col(s"n_${c._1}")) :+
+        col("flag_reasons") :+ col("keep"): _*)
+  }
+
   /** Mojibake signature → repair table (q200), ORDERED: each left side is
     * the cp1252 rendering of a common UTF-8 sequence decoded as single
     * bytes (é → C3 A9 → "Ã©"; ’ → E2 80 99 → "â€™"), i.e. the ftfy-style

@@ -598,6 +598,16 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // category-blocklist safety gate over the lexicon fixture:
+    // per-category whole-token hit counts, policy verdicts, audit trail
+    "q204_unsafe_gate" -> ((s, d) => {
+      val ta = graft.operators.TextAnalysis
+      Tables.documents(s, d)
+        .withColumn("text", ta.unsafeFixture(col("doc_id"), col("text")))
+        .transform(ta.unsafeGate(_))
+        .orderBy(col("doc_id"))
+    }),
+
     // Good-Turing frequency-of-frequencies: N_r, smoothed r*, unseen
     // mass p0 — exact millionth divisions
     "q203_good_turing" -> ((s, d) =>
@@ -1329,6 +1339,45 @@ object LlmOps {
        c AS (SELECT doc_id, t, CAST($cnt AS BIGINT) AS n FROM f)
        SELECT doc_id, n AS n_mojibake, n > 0 AS damaged, $rep AS repaired
        FROM c ORDER BY doc_id"""
+  }
+
+  /** q204's oracle, GENERATED from [[graft.operators.TextAnalysis
+    * .UnsafeLexicon]] — same categories, same term lists, same per-
+    * category policy thresholds, same reason order.
+    */
+  private def unsafeGateOracle: String = {
+    val lex = graft.operators.TextAnalysis.UnsafeLexicon
+    val counts = lex.map { case (cat, terms, _) =>
+      val l = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, x -> list_contains($l, x))) AS BIGINT) AS n_$cat"
+    }.mkString(",\n              ")
+    val reasons = lex.map { case (cat, _, policy) =>
+      val th = if (policy == "any") 1 else 2
+      s"CASE WHEN n_$cat >= $th THEN '$cat' END"
+    }.mkString(", ")
+    val ncols = lex.map(l => s"n_${l._1}").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, text,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+       f AS (SELECT doc_id, lower(text ||
+            CASE WHEN h % 6 = 1 THEN ' rifle'
+                 WHEN h % 6 = 2 THEN ' casino poker'
+                 WHEN h % 6 = 3 THEN ' damn'
+                 WHEN h % 6 = 4 THEN ' meth casino'
+                 ELSE '' END) AS t
+          FROM d),
+       w AS (SELECT doc_id,
+            list_filter(string_split(t, ' '), x -> x <> '') AS toks
+          FROM f),
+       c AS (SELECT doc_id,
+              $counts
+          FROM w),
+       r AS (SELECT doc_id, $ncols,
+            concat_ws(',', $reasons) AS flag_reasons
+          FROM c)
+       SELECT doc_id, $ncols, flag_reasons,
+         flag_reasons = '' AS keep
+       FROM r ORDER BY doc_id"""
   }
 
   private def bpeEncodeOracle(merges: Int): String =
@@ -4106,6 +4155,7 @@ object LlmOps {
     "q132_pagerank" -> pageRankOracle(3),
     "q199_hits" -> hitsOracle(3),
     "q200_mojibake" -> mojibakeOracle,
+    "q204_unsafe_gate" -> unsafeGateOracle,
     // same word counts, frequency-of-frequencies, r+1 self-join, and
     // exact BIGINT millionth divisions
     "q203_good_turing" ->

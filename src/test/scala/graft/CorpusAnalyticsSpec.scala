@@ -1099,6 +1099,46 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("unsafeGate: policy thresholds, whole-token matching, audit order") {
+    import spark.implicits._
+    val ta = graft.operators.TextAnalysis
+    val toy = Seq(
+      (1L, "a clean doc"),
+      (2L, "one rifle here"),                // zero-tolerance: flags at 1
+      (3L, "casino night"),                  // repeat-class single: keeps
+      (4L, "casino then poker again"),       // repeat-class double: flags
+      (5L, "Damn HELL"),                     // case-insensitive repeat
+      (6L, "the rifleman ammunition"),       // substrings must NOT hit
+      (7L, "rifle damn damn"))               // multi-category, fixed order
+      .toDF("doc_id", "text")
+    val out = ta.unsafeGate(toy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getString(5), r.getBoolean(6)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, "", true)))
+    assert(out(2L) === ((1L, 0L, 0L, "weapons", false)))
+    assert(out(3L) === ((0L, 1L, 0L, "", true)))
+    assert(out(4L) === ((0L, 2L, 0L, "gambling", false)))
+    assert(out(5L) === ((0L, 0L, 2L, "profanity", false)))
+    assert(out(6L) === ((0L, 0L, 0L, "", true)), "no substring hits")
+    assert(out(7L) === ((1L, 0L, 2L, "weapons,profanity", false)))
+    // fixture contract on real docs: class 3 (single repeat-class term)
+    // and classes 0/5 keep; classes 1/2/4 flag
+    val h = ((col("doc_id") % 2147483648L) * 2654435761L) % 2147483647L
+    val real = ta.unsafeGate(docs.withColumn("text",
+        ta.unsafeFixture(col("doc_id"), col("text"))))
+      .join(docs.select(col("doc_id"), (h % 6).as("cls")), "doc_id")
+    val byCls = real.groupBy(col("cls"))
+      .agg(count(when(!col("keep"), 1)).as("flagged"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    byCls.foreach { case (cls, (flagged, n)) =>
+      if (cls == 1L || cls == 2L || cls == 4L)
+        assert(flagged === n, s"class $cls must all flag")
+      else assert(flagged === 0L, s"class $cls must keep")
+    }
+  }
+
   test("goodTuring: hand-computed N_r, r*, p0; truncation at missing r+1") {
     import spark.implicits._
     // bigram counts: "a a"=3, "d d"=2, "a d"=1, "d b"=1 (doc 2 is a
