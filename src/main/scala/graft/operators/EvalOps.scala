@@ -467,4 +467,38 @@ object EvalOps {
     }
     ks.foldLeft(runs)((df, k) => df.withColumn(s"pass_$k", p(k)))
   }
+
+  /** Exact rank-sum AUC (q206): the Mann-Whitney probability that a
+    * classifier/quality score ranks a random positive above a random
+    * negative, with the standard half-credit for ties — THE
+    * threshold-free read on whether a score separates classes at all
+    * (the [[calibrationReport]] complement: ECE asks "are the
+    * probabilities honest", AUC asks "is the ordering right").
+    *
+    * Computed WITHOUT a corpus-sized ranking window: scores collapse to
+    * a (score → n_pos, n_neg) table first (map-side combine), the
+    * negatives-below cumulative runs over |distinct scores| rows (a
+    * quantized score has a BOUNDED value set — the only window in the
+    * plan is value-set-sized, never corpus-sized), and
+    * U₂ = Σ_s n₊(s)·(2·negBelow(s) + n₋(s)) counts concordant pairs
+    * doubled to keep tie half-credit integral. auc = ⌊U₂·10⁶/(2·n₊n₋)⌋
+    * exact BIGINTs — overflow bound n₊·n₋ < 4.6·10¹² (≈3M balanced
+    * rows); past that, stratify per group or lift U₂ to DECIMAL.
+    */
+  def rankAuc(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("s")).agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val cum = g.withColumn("below_n",
+      coalesce(sum(col("nn")).over(w), lit(0L)))
+    cum.agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"),
+        sum(col("np") * (lit(2L) * col("below_n") + col("nn"))).as("u2"))
+      .select(col("tp").as("n_pos"), col("tn").as("n_neg"),
+        (expr("u2 * 1000000 div (2 * tp * tn)").cast("double") / 1e6)
+          .as("auc"))
+  }
 }

@@ -598,6 +598,19 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // exact Mann-Whitney AUC of the quality score against a planted
+    // binary class (positives get a stopword boost) — tie half-credit
+    "q206_rank_auc" -> ((s, d) => {
+      val ta = graft.operators.TextAnalysis
+      val h = ((col("doc_id") % 2147483648L) * 2654435761L) % 2147483647L
+      val labeled = Tables.fanout(Tables.documents(s, d))
+        .withColumn("pos", h % 2 === 0)
+        .withColumn("text", when(col("pos"),
+          concat(col("text"), lit(" of the is"))).otherwise(col("text")))
+      graft.operators.EvalOps.rankAuc(
+        ta.withQuality(labeled), "quality_score", "pos")
+    }),
+
     // category-blocklist safety gate over the lexicon fixture:
     // per-category whole-token hit counts, policy verdicts, audit trail
     "q204_unsafe_gate" -> ((s, d) => {
@@ -4156,6 +4169,43 @@ object LlmOps {
     "q199_hits" -> hitsOracle(3),
     "q200_mojibake" -> mojibakeOracle,
     "q204_unsafe_gate" -> unsafeGateOracle,
+    // same boost fixture, same quality-score arithmetic as q32, then the
+    // score-collapsed rank-sum with doubled tie half-credit
+    "q206_rank_auc" ->
+      """WITH d AS (SELECT doc_id, text,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+       f AS (SELECT h % 2 = 0 AS pos,
+            CASE WHEN h % 2 = 0 THEN text || ' of the is' ELSE text END
+              AS text
+          FROM d),
+       t AS (SELECT pos, length(text) AS nc,
+            len(list_filter(string_split(text,' '), x -> x <> '')) AS nw,
+            length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+            len(list_filter(string_split(text,' '),
+                x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+              AS ns
+          FROM f),
+       q AS (SELECT pos,
+            floor((0.4*least(1.0, nw/50.0) + 0.3*(1.0 - np*1.0/nc)
+                  + 0.3*least(1.0, ns*1.0/nw*5.0))*10000)/10000 AS s
+          FROM t),
+       g AS (SELECT s,
+            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+            CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg
+          FROM q GROUP BY s),
+       c AS (SELECT s, npos, nneg,
+            CAST(coalesce(sum(nneg) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below_n
+          FROM g),
+       u AS (SELECT CAST(sum(npos) AS BIGINT) AS tp,
+            CAST(sum(nneg) AS BIGINT) AS tn,
+            CAST(sum(npos * (2*below_n + nneg)) AS BIGINT) AS u2
+          FROM c)
+       SELECT tp AS n_pos, tn AS n_neg,
+         CAST(u2 * 1000000 // (2*tp*tn) AS DOUBLE)/1e6 AS auc
+       FROM u""",
     // same word counts, frequency-of-frequencies, r+1 self-join, and
     // exact BIGINT millionth divisions
     "q203_good_turing" ->

@@ -266,4 +266,26 @@ class EvalOpsSpec extends SparkSpec {
     val k = a.head.getDouble(5)
     assert(k > 0.2 && k < 0.9, s"kappa out of informative band: $k")
   }
+
+  test("rankAuc: hand-computed tie half-credit and the degenerate ends") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Double) = {
+      val r = EvalOps.rankAuc(rows.toDF("score", "pos"), "score", "pos")
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // pos {3, 2}, neg {1, 2}: 3 wins + 1 tie of 4 pairs → 0.875
+    assert(auc(Seq((3.0, true), (2.0, true), (1.0, false), (2.0, false)))
+      === ((2L, 2L, 0.875)))
+    // perfect separation → 1.0; inverted → 0.0; all tied → 0.5
+    assert(auc(Seq((9.0, true), (8.0, true), (1.0, false)))._3 === 1.0)
+    assert(auc(Seq((1.0, true), (9.0, false)))._3 === 0.0)
+    assert(auc(Seq((5.0, true), (5.0, false), (5.0, true)))._3 === 0.5)
+    // repartition determinism (cumulative window over the value set)
+    val big = (1 to 500).map(i => ((i % 13).toDouble, i % 3 == 0))
+    val a1 = auc(big)
+    val a2 = EvalOps.rankAuc(big.toDF("score", "pos").repartition(17),
+      "score", "pos").collect().head
+    assert(a1 === ((a2.getLong(0), a2.getLong(1), a2.getDouble(2))))
+  }
 }
