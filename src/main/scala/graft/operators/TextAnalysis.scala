@@ -273,6 +273,64 @@ object TextAnalysis {
         col("n_controls") > 0 || col("n_mixed_tokens") > 0)
   }
 
+  /** Sentence-izing fixture for q205: the corpus tables carry no
+    * punctuation, so every `every`-th token gets a trailing period —
+    * giving documents a real words-per-sentence around `every` instead
+    * of one degenerate corpus-length sentence. Index-driven transform
+    * (both engines address w[i] O(1)); empty docs pass through.
+    */
+  def sentenceFixture(text: Column, every: Int = 12): Column = {
+    val w = wsTokens(text)
+    when(size(w) >= 1,
+      array_join(transform(sequence(lit(1), size(w)), i =>
+        when(i % every === 0, concat(element_at(w, i), lit(".")))
+          .otherwise(element_at(w, i))), " "))
+      .otherwise(text)
+  }
+
+  /** Flesch reading-ease readability (q205): 206.835 − 1.015·(words/
+    * sentence) − 84.6·(syllables/word) with the standard band verdict —
+    * the classic prose-complexity gate a curation pipeline runs next to
+    * [[withQuality]] (quality asks "is it text at all", readability asks
+    * "what register of text"). Syllables use the deterministic
+    * vowel-group heuristic max(1, |[aeiouy]+ runs|) per token; sentences
+    * are terminator runs [.!?]+ clamped to ≥1. Both ratios pass through
+    * exact BIGINT millionths before the (identical-order) double
+    * arithmetic, so the 1e-4-floored score and its band agree
+    * cross-engine. Row-local, zero shuffle.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val staged = docs.withColumn("_t", wsTokens(lower(t)))
+    val syl = aggregate(col("_t"), lit(0L), (a, w) =>
+      a + greatest(lit(1),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))).cast("long"))
+    staged
+      .withColumn("n_words", size(col("_t")).cast("long"))
+      .withColumn("n_sentences",
+        greatest(lit(1),
+          size(regexp_extract_all(t, lit("[.!?]+"), lit(0)))).cast("long"))
+      .withColumn("n_syllables", syl)
+      .withColumn("wps6", expr("n_words * 1000000 div n_sentences"))
+      .withColumn("spw6", when(col("n_words") > 0,
+        expr("n_syllables * 1000000 div n_words")).otherwise(lit(0L)))
+      .withColumn("flesch",
+        floor((lit(206.835)
+          - lit(1.015) * (col("wps6").cast("double") / 1e6)
+          - lit(84.6) * (col("spw6").cast("double") / 1e6)) * 10000)
+          / 10000)
+      .withColumn("band",
+        when(col("flesch") >= 70.0, "easy")
+          .when(col("flesch") >= 50.0, "standard")
+          .otherwise("difficult"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (col("wps6").cast("double") / 1e6).as("words_per_sentence"),
+        (col("spw6").cast("double") / 1e6).as("syllables_per_word"),
+        col("flesch"), col("band"))
+  }
+
   /** Category blocklist for the q204 safety gate — the C4-style badwords
     * mechanism with a deliberately tame demonstration lexicon (the
     * mechanics, not the list, are the operator: swap in a production

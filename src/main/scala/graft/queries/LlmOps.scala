@@ -598,6 +598,16 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Flesch reading ease over sentence-ized text: exact integer ratio
+    // staging, identical-order double score, band verdicts
+    "q205_readability" -> ((s, d) => {
+      val ta = graft.operators.TextAnalysis
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("text", ta.sentenceFixture(col("text")))
+        .transform(ta.readability(_))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact Mann-Whitney AUC of the quality score against a planted
     // binary class (positives get a stopword boost) — tie half-credit
     "q206_rank_auc" -> ((s, d) => {
@@ -4171,6 +4181,49 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // same sentence-izing fixture (index-driven), vowel-group syllable
+    // heuristic, integer ratio staging, and double score arithmetic
+    "q205_readability" ->
+      """WITH d0 AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w0,
+            text AS orig
+          FROM documents),
+       f AS (SELECT doc_id, CASE WHEN len(w0) >= 1
+            THEN array_to_string(list_transform(
+              generate_series(1, len(w0)),
+              i -> CASE WHEN i % 12 = 0 THEN w0[i] || '.'
+                   ELSE w0[i] END), ' ')
+            ELSE orig END AS text
+          FROM d0),
+       t AS (SELECT doc_id, text,
+            list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+          FROM f),
+       s AS (SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS n_sentences,
+            CAST(coalesce(list_sum(list_transform(w, x ->
+              greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+              AS BIGINT) AS n_syllables
+          FROM t),
+       r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+            (n_words * 1000000) // n_sentences AS wps6,
+            CASE WHEN n_words > 0
+              THEN (n_syllables * 1000000) // n_words ELSE 0 END AS spw6
+          FROM s),
+       q AS (SELECT doc_id, n_words, n_sentences, n_syllables, wps6, spw6,
+            floor((206.835 - 1.015 * (CAST(wps6 AS DOUBLE) / 1e6)
+              - 84.6 * (CAST(spw6 AS DOUBLE) / 1e6)) * 10000) / 10000
+              AS flesch
+          FROM r)
+       SELECT doc_id, n_words, n_sentences, n_syllables,
+         CAST(wps6 AS DOUBLE) / 1e6 AS words_per_sentence,
+         CAST(spw6 AS DOUBLE) / 1e6 AS syllables_per_word,
+         flesch,
+         CASE WHEN flesch >= 70.0 THEN 'easy'
+              WHEN flesch >= 50.0 THEN 'standard'
+              ELSE 'difficult' END AS band
+       FROM q ORDER BY doc_id""",
     "q206_rank_auc" ->
       """WITH d AS (SELECT doc_id, text,
             ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h

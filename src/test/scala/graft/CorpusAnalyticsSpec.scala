@@ -1099,6 +1099,37 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("readability: exact counts, bands at the classic thresholds") {
+    import spark.implicits._
+    val ta = graft.operators.TextAnalysis
+    val toy = Seq(
+      // 4 words, 1 sentence-terminator run, syllables 1+1+1+1 = 4:
+      // wps=4, spw=1 → flesch = 206.835 − 4.06 − 84.6 = 118.175 → easy
+      (1L, "a be go my."),
+      // no terminator → clamps to 1 sentence; "xyzzy" has 2 y-runs
+      (2L, "xyzzy"),
+      // long single sentence drags the score down to difficult
+      (3L, Seq.fill(100)("strength").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = ta.readability(toy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(6), r.getString(7)))).toMap
+    assert(out(1L) === ((4L, 1L, 4L, 118.175, "easy")))
+    assert(out(2L)._2 === 1L && out(2L)._3 === 2L)
+    // 100 words / 1 sentence: −1.015·100 dominates
+    assert(out(3L)._1 === 100L && out(3L)._5 === "difficult")
+    assert(out(3L)._4 < 50.0)
+    // sentence fixture: every 12th token gains a period; the trailing
+    // partial sentence has no terminator, so for n ≥ 24 words wps =
+    // n/⌊n/12⌋ ∈ [12, 12·(1+11/24)] ≈ [12, 17.5]
+    val fixed = ta.readability(
+      docs.withColumn("text", ta.sentenceFixture(col("text"))))
+    fixed.filter(col("n_words") >= 24).collect().foreach { r =>
+      val wps = r.getDouble(4)
+      assert(wps >= 12.0 && wps <= 17.5, s"wps $wps for ${r.getLong(0)}")
+    }
+  }
+
   test("unsafeGate: policy thresholds, whole-token matching, audit order") {
     import spark.implicits._
     val ta = graft.operators.TextAnalysis
