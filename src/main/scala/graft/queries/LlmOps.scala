@@ -598,6 +598,12 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Fano-factor dispersion of daily event volumes: exact BIGINT
+    // variance/mean fold, regular/poisson/bursty verdicts
+    "q207_dispersion" -> ((s, d) =>
+      graft.operators.TemporalJoins.dispersion(Tables.events(s, d))
+        .orderBy(col("event_type"))),
+
     // Flesch reading ease over sentence-ized text: exact integer ratio
     // staging, identical-order double score, band verdicts
     "q205_readability" -> ((s, d) => {
@@ -4181,6 +4187,29 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // same daily counts, same exact BIGINT moment folds and verdicts
+    "q207_dispersion" ->
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+              CAST(sum(n) AS BIGINT) AS s, CAST(sum(n*n) AS BIGINT) AS q
+            FROM dc GROUP BY event_type),
+         f AS (SELECT event_type, d, s, q,
+              CASE WHEN d > 1 AND s > 0
+                THEN ((d*q - s*s) * 1000000) // (s * (d - 1)) END AS fano6
+            FROM m)
+         SELECT event_type, d AS n_days, s AS n_events,
+           CAST((s * 1000000) // d AS DOUBLE) / 1e6 AS mean_daily,
+           CASE WHEN d > 1 THEN
+             CAST(((d*q - s*s) * 1000000) // (d * (d - 1)) AS DOUBLE) / 1e6
+           END AS variance,
+           CAST(fano6 AS DOUBLE) / 1e6 AS fano,
+           CASE WHEN fano6 IS NULL THEN NULL
+                WHEN fano6 < 700000 THEN 'regular'
+                WHEN fano6 > 1500000 THEN 'bursty'
+                ELSE 'poisson' END AS verdict
+         FROM f ORDER BY event_type""",
     // same sentence-izing fixture (index-driven), vowel-group syllable
     // heuristic, integer ratio staging, and double score arithmetic
     "q205_readability" ->

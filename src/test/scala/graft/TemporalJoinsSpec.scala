@@ -122,6 +122,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.size === 3, s"unexpected transitions: ${out.keys}")
   }
 
+  test("dispersion: exact Fano fold, verdicts, degenerate null") {
+    import java.sql.Timestamp
+    def t(d: Int, i: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:$i%02d:00")
+    // "flat": 3,3,3 daily → var 0 → fano 0 (regular)
+    // "spike": 1,1,10 → mean 4, var = (3·102−144)/6 = 27, F = 27/4 = 6.75
+    // "one": single day → null fano
+    val ev = (
+      (0 until 9).map(i => (i.toLong, t(1 + i / 3, i % 3), 1L, "flat")) ++
+        Seq((20L, t(1, 0), 2L, "spike"), (21L, t(2, 0), 2L, "spike")) ++
+        (30 until 40).map(i => (i.toLong, t(3, i - 30), 2L, "spike")) ++
+        Seq((50L, t(1, 5), 3L, "one")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.TemporalJoins.dispersion(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getLong(1) === 3L)
+    assert(out("flat").getDouble(5) === 0.0)
+    assert(out("flat").getString(6) === "regular")
+    assert(out("spike").getDouble(3) === 4.0)      // mean
+    assert(out("spike").getDouble(4) === 27.0)     // sample variance
+    assert(out("spike").getDouble(5) === 6.75)     // Fano
+    assert(out("spike").getString(6) === "bursty")
+    assert(out("one").isNullAt(5) && out("one").isNullAt(6))
+  }
+
   test("ewmaTrend: exact dyadic fold, keys independent, odd-sum floors") {
     import java.sql.Timestamp
     def t(d: Int, i: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:0$i:00")
