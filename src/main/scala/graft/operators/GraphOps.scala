@@ -96,6 +96,78 @@ object GraphOps {
       col("dist").as("depth"))
   }
 
+  /** Degree-tiered link fixture for the k-core peel (q208): a ring
+    * (i → i+1 mod n) gives every node baseline undirected degree 2, and
+    * the third of nodes with idHash%3 = 0 additionally emit the three
+    * affine links — a hub overlay whose incidental targets lift SOME
+    * chain nodes to degree 3+. The point is degree DIVERSITY: the
+    * [[linkFixture]] expander is too uniform for peeling (any k either
+    * keeps everything or cascades to empty), while this graph peels a
+    * real boundary over several rounds and leaves a non-trivial 3-core.
+    */
+  def tieredLinkFixture(docs: DataFrame, n: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    val i = col(idCol)
+    val h = CorpusOps.idHash(i)
+    val ring = docs.select(i.as("src"), ((i + 1) % n).as("dst"))
+    val hubs = docs.filter(h % 3 === 0).select(i.as("src"),
+      explode(array(
+        (lit(31L) * i + 7L) % n,
+        (lit(17L) * i + 3L) % n,
+        (lit(5L) * i + 11L) % n)).as("dst"))
+    ring.union(hubs).filter(col("dst") =!= col("src")).distinct()
+  }
+
+  /** K-core peel to FIXPOINT (q208): iteratively remove nodes whose
+    * degree in the SURVIVING undirected subgraph is < k — the densest-
+    * neighborhood filter crawl curation uses above the per-node reads
+    * ([[pageRank]]/[[hits]] score nodes; the k-core keeps the cohesive
+    * subgraph and drops tendrils/link-chains whose every member looks
+    * fine individually). The driver loops until the surviving edge
+    * count stops changing (a one-long count per round, the
+    * [[threadRoots]] convergence discipline), capped at `maxRounds`;
+    * the SQL oracle unrolls a FIXED stage count past the fixture's
+    * measured fixpoint — post-fixpoint peel stages are identities, so
+    * early-exit Spark and fully-unrolled SQL agree bit-for-bit.
+    *
+    * Scale shape per round: one degree aggregation (map-side combine) +
+    * one semi-join of edges against survivors per endpoint — all equi-
+    * shuffles on node ids; carried state is the surviving edge list,
+    * monotonically shrinking; lineage cut per round.
+    */
+  def kCore(edges: DataFrame, nodes: DataFrame, k: Int = 3,
+      maxRounds: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var e = sym.localCheckpoint(eager = true)
+    var prev = -1L
+    var cur = e.count()
+    var rounds = 0
+    while (cur != prev && rounds < maxRounds) {
+      prev = cur
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val surv = deg.filter(col("deg") >= k).select(col("id"))
+      val next = e
+        .join(surv.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(surv.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = true)
+      val old = e
+      e = next
+      old.unpersist()
+      cur = e.count()
+      rounds += 1
+    }
+    val finalDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    nodes.select(col(idCol))
+      .join(finalDeg, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("deg"), lit(0L)).as("core_degree"),
+        (coalesce(col("deg"), lit(0L)) >= k).as("in_core"))
+  }
+
   /** Fixed-iteration HITS (q199) in exact micro-score BIGINTs: the
     * hub/authority complement of [[pageRank]] — PageRank scores where you
     * LAND, HITS separates pages that ARE good (authorities: linked from

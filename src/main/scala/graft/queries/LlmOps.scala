@@ -666,6 +666,17 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // k-core peel to fixpoint over the degree-tiered fixture:
+    // surviving-subgraph degrees and core membership
+    "q208_kcore" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id"))
+      val edges = graft.operators.GraphOps.tieredLinkFixture(nodes, n)
+      graft.operators.GraphOps.kCore(edges, nodes, k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // HITS hubs/authorities over the same link fixture: max-normalized
     // integer micro-scores, oracle replays every iteration bit-for-bit
     "q199_hits" -> ((s, d) => {
@@ -1407,6 +1418,48 @@ object LlmOps {
        SELECT doc_id, $ncols, flag_reasons,
          flag_reasons = '' AS keep
        FROM r ORDER BY doc_id"""
+  }
+
+  /** q208's oracle: the k-core peel unrolled — per round a degree CTE,
+    * a survivor filter at `k`, and the both-endpoints edge semi-join.
+    * `rounds` sits past the fixture's measured fixpoint (9 at sf0.1);
+    * post-fixpoint stages are identities, matching the engine's
+    * early-exit loop exactly.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val b = new StringBuilder(
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+       nodes AS (SELECT doc_id FROM documents),
+       ring AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst
+                FROM nodes, nn),
+       hub0 AS (SELECT doc_id AS src, (31*doc_id+7) % n AS d1,
+                 (17*doc_id+3) % n AS d2, (5*doc_id+11) % n AS d3
+               FROM nodes, nn
+               WHERE (((doc_id % 2147483648) * 2654435761) % 2147483647)
+                 % 3 = 0),
+       hubs AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM hub0),
+       edges AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM hubs)
+          WHERE dst <> src),
+       e0 AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges))""")
+    // MATERIALIZED is load-bearing: e(t-1) is referenced twice per
+    // round, so inlined CTEs would double the scan DAG every stage —
+    // 2^rounds scans by the end
+    for (t <- 1 to rounds) b ++= s""",
+       d$t AS MATERIALIZED (SELECT src AS id, count(*) AS deg
+               FROM e${t - 1} GROUP BY src),
+       s$t AS MATERIALIZED (SELECT id FROM d$t WHERE deg >= $k),
+       e$t AS MATERIALIZED (SELECT e.src, e.dst FROM e${t - 1} e
+         JOIN s$t a ON e.src = a.id JOIN s$t b ON e.dst = b.id)"""
+    b ++= s""",
+       fd AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+              FROM e$rounds GROUP BY src)
+       SELECT doc_id, coalesce(deg, 0) AS core_degree,
+         coalesce(deg, 0) >= $k AS in_core
+       FROM nodes LEFT JOIN fd ON doc_id = fd.id ORDER BY doc_id"""
+    b.toString
   }
 
   private def bpeEncodeOracle(merges: Int): String =
@@ -4183,6 +4236,7 @@ object LlmOps {
     "q129_bpe_compression" -> bpeCompressionOracle(8),
     "q132_pagerank" -> pageRankOracle(3),
     "q199_hits" -> hitsOracle(3),
+    "q208_kcore" -> kCoreOracle(3, 16),
     "q200_mojibake" -> mojibakeOracle,
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the

@@ -77,6 +77,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(a.values.exists(_._2 === 1000000L))
   }
 
+  test("kCore: cascading tail peel on a hand graph; fixture converges") {
+    import spark.implicits._
+    // triangle 0-1-2 with a tail 2-3-4: k=2 peels 4 (deg 1), then 3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    val out = GraphOps.kCore(edges, nodes, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out(0L) === ((2L, true)))
+    assert(out(1L) === ((2L, true)))
+    assert(out(2L) === ((2L, true)), "triangle survives at its own degree")
+    assert(out(3L) === ((0L, false)), "peeled after its leaf went")
+    assert(out(4L) === ((0L, false)))
+    // q208 fixture: fixpoint well inside maxRounds (a higher cap changes
+    // nothing), a NON-trivial core, and every member at degree >= k
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val nd = docs.select(col("doc_id"))
+    val fx = GraphOps.tieredLinkFixture(nd, n)
+    val a = GraphOps.kCore(fx, nd, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val b = GraphOps.kCore(fx, nd, k = 3, maxRounds = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(a === b, "fixpoint must land inside the default cap")
+    val core = a.filter(_._3)
+    assert(core.nonEmpty && core.length < a.length, "non-trivial peel")
+    core.foreach { case (id, deg, _) =>
+      assert(deg >= 3L, s"core member $id below k") }
+  }
+
   test("linkFixture: in-range, no self-loops, collapsed multi-edges") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.count()
