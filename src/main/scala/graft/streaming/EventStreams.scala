@@ -82,6 +82,56 @@ object EventStreams {
       last_event: String,
       last_ts: Timestamp)
 
+  final case class MgEvent(event_type: String, user_id: Long)
+  final case class MgState(n: Long, keys: Seq[Long], counts: Seq[Long])
+  final case class HeavyHitter(event_type: String, user_id: Long,
+      count_lb: Long, n_processed: Long)
+
+  /** Streaming Misra-Gries heavy hitters (k-counter frequent-items
+    * sketch) per event type: the UNBOUNDED-cardinality complement of the
+    * batch heavy-hitter report — a windowless stream over billions of
+    * distinct users cannot keep exact per-user counts, but k counters
+    * per group guarantee every item with true frequency > n/(k+1)
+    * survives, with counter ≤ true count ≤ counter + n/(k+1). State is
+    * EXACTLY k (key, count) pairs per group — independent of stream
+    * length and user cardinality, the property that makes it safe at
+    * 100 TB/day where the per-user-profile state shape would OOM the
+    * state store.
+    *
+    * Each micro-batch folds its group's events into the carried
+    * counters (hit: +1; room: insert; full: decrement-all, drop zeros)
+    * and emits the post-batch snapshot. Events are folded in user_id
+    * order: ANY order yields a valid MG sketch, but partition-race
+    * order would make replays flap; the sort pins one deterministic
+    * sketch per input set.
+    */
+  def heavyHitters(events: Dataset[MgEvent], k: Int = 8): Dataset[HeavyHitter] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[MgState, HeavyHitter](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (et: String, it: Iterator[MgEvent], state: GroupState[MgState]) =>
+          val st = state.getOption.getOrElse(MgState(0L, Nil, Nil))
+          var n = st.n
+          val counters = scala.collection.mutable.LinkedHashMap(
+            st.keys.zip(st.counts): _*)
+          it.toSeq.sortBy(_.user_id).foreach { e =>
+            n += 1
+            if (counters.contains(e.user_id)) counters(e.user_id) += 1
+            else if (counters.size < k) counters(e.user_id) = 1L
+            else counters.keys.toSeq.foreach { ky =>
+              val c = counters(ky) - 1
+              if (c <= 0) counters.remove(ky) else counters(ky) = c
+            }
+          }
+          state.update(MgState(n, counters.keys.toSeq,
+            counters.values.toSeq))
+          counters.toSeq.map { case (u, c) => HeavyHitter(et, u, c, n) }
+            .iterator
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: a running per-user
     * profile (count, total, last event), emitted on every update —
     * the engine's `mapGroupsWithState` surface for semantics windows can't

@@ -102,6 +102,57 @@ class EventStreamsSpec extends SparkSpec {
     assert(finalProfiles === batch)
   }
 
+  test("misra-gries heavy hitters: bounded state, MG guarantees, carryover") {
+    import EventStreams.{MgEvent, HeavyHitter}
+    // skewed synthetic stream: user 42 owns ~40% of 'view' traffic; the
+    // 'click' type is uniform (no qualifying heavy hitter required)
+    val dir = tmpDir("mg-stream")
+    val rows = (0 until 900).map { i =>
+      if (i % 5 < 2) MgEvent("view", 42L)
+      else MgEvent(if (i % 2 == 0) "view" else "click", (i % 37).toLong)
+    }
+    rows.grouped(300).zipWithIndex.foreach { case (chunk, b) =>
+      chunk.toDS().repartition(1).write.parquet(s"$dir/b$b")
+    }
+    val files = (0 until 3).map(b => s"$dir/b$b")
+    // deterministic 3-batch replay via ascending mtimes
+    files.zipWithIndex.foreach { case (f, i) =>
+      new java.io.File(f).listFiles().foreach(
+        _.setLastModified(System.currentTimeMillis() - (3 - i) * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(rows.toDS().schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/b*")
+      .as[MgEvent]
+    val out = runToMemory(
+      EventStreams.heavyHitters(stream, k = 4).toDF(), "mg", "append")
+      .as[HeavyHitter].collect()
+    // final snapshot per type = rows at the max n_processed
+    val finalSnap = out.groupBy(_.event_type).map { case (et, rs) =>
+      et -> rs.filter(_.n_processed == rs.map(_.n_processed).max)
+    }
+    val trueCounts = rows.groupBy(e => (e.event_type, e.user_id))
+      .view.mapValues(_.size.toLong).toMap
+    val nByType = rows.groupBy(_.event_type)
+      .view.mapValues(_.size.toLong).toMap
+    finalSnap.foreach { case (et, hh) =>
+      assert(hh.length <= 4, s"$et state exceeded k")
+      assert(hh.head.n_processed === nByType(et), s"$et carryover broke")
+      hh.foreach { h =>
+        val t = trueCounts((et, h.user_id))
+        assert(h.count_lb <= t, s"counter above true count: $h")
+        assert(h.count_lb >= t - nByType(et) / 5,
+          s"counter below the MG floor: $h vs true $t")
+      }
+    }
+    // the MG guarantee: any item with true freq > n/(k+1) must survive —
+    // user 42 has ~53% of 'view' traffic
+    val viewHh = finalSnap("view").map(_.user_id).toSet
+    assert(trueCounts(("view", 42L)) > nByType("view") / 5)
+    assert(viewHh.contains(42L), s"dominant user evicted: $viewHh")
+  }
+
   test("stream-stream interval join (click attribution): streaming == batch") {
     val batchEvents = spark.read.parquet(eventsDir)
     def split(df: org.apache.spark.sql.DataFrame) = (
