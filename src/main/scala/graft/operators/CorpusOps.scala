@@ -2609,6 +2609,61 @@ object CorpusOps {
     * sort); the rank window runs over N ROWS (constant, corpus-size-
     * independent) after the limit.
     */
+  /** Per-source information panel (q209): unigram entropy H₁, bigram
+    * entropy H₂, conditional entropy H(next|prev) ≈ H₂ − H₁ (the chain
+    * rule with the bigram-prefix marginal approximated by the unigram
+    * table — exact up to each doc's final token), and redundancy
+    * 1 − (H₂−H₁)/H₁ — the information-theoretic complement of the
+    * compression-ratio signal (deflate measures byte-level structure;
+    * this measures TOKEN-level predictability, the thing LM loss
+    * actually sees: boilerplate-heavy sources have high redundancy and
+    * contribute little gradient signal per token).
+    *
+    * Engine-portable exactness, the [[sourceAffinity]] discipline: each
+    * type's ln(c/T) quantizes to integer millionths ONCE (row-local),
+    * entropies are exact BIGINT dot products then one integer division —
+    * no order-dependent float sum anywhere.
+    *
+    * Scale shape: two map-side-combined (source, gram) aggs; everything
+    * after is |sources|-sized.
+    */
+  def entropyPanel(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def h6(grams: DataFrame): DataFrame = {
+      val cnt = grams.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("source"))
+        .agg(sum(col("c")).as("tt"), count(lit(1)).as("v"))
+      cnt.join(tot, "source")
+        .withColumn("l6",
+          floor(log(col("c").cast("double") / col("tt")) * 1000000L)
+            .cast("long"))
+        .groupBy(col("source")).agg(sum(col("c") * col("l6")).as("s"),
+          first(col("tt")).as("tt"), first(col("v")).as("v"))
+        .withColumn("h6", expr("(-s) div tt"))
+    }
+    val staged = docs.withColumn("_w", TextAnalysis.wsTokens(col(textCol)))
+    val uni = h6(staged.select(col("source"), explode(col("_w")).as("g")))
+      .select(col("source"), col("tt").as("n_tokens"), col("v").as("vocab"),
+        col("h6").as("h1_6"))
+    val grams = when(size(col("_w")) >= 2,
+      TextAnalysis.wordNgrams(col("_w"), 2)).otherwise(array())
+    val bi = h6(staged.select(col("source"), explode(grams).as("g")))
+      .select(col("source"), col("h6").as("h2_6"))
+    // greatest(·,0): true conditional entropy is nonnegative, but the
+    // unigram approximation of the prefix marginal can dip below zero on
+    // tiny/deterministic sources — and a NEGATIVE numerator would split
+    // the engines (Spark div truncates toward zero, SQL // floors)
+    uni.join(bi, "source")
+      .withColumn("red6",
+        when(col("h1_6") > 0, lit(1000000L) -
+          expr("greatest(h2_6 - h1_6, 0L) * 1000000 div h1_6")))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (col("h1_6").cast("double") / 1e6).as("h_unigram"),
+        (col("h2_6").cast("double") / 1e6).as("h_bigram"),
+        ((col("h2_6") - col("h1_6")).cast("double") / 1e6).as("h_cond"),
+        (col("red6").cast("double") / 1e6).as("redundancy"))
+  }
+
   /** Good-Turing frequency-of-frequencies report (q203): N_r = how many
     * word types occur exactly r times, the smoothed count r* =
     * (r+1)·N_{r+1}/N_r, and the unseen-mass estimate p₀ = N₁/N — the

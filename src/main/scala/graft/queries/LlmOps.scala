@@ -637,6 +637,13 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source entropy panel: quantized-log exact BIGINT entropies,
+    // conditional entropy, redundancy
+    "q209_entropy" -> ((s, d) =>
+      graft.operators.CorpusOps.entropyPanel(
+          Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
     // Good-Turing frequency-of-frequencies: N_r, smoothed r*, unseen
     // mass p0 — exact millionth divisions
     "q203_good_turing" -> ((s, d) =>
@@ -4342,6 +4349,48 @@ object LlmOps {
        SELECT tp AS n_pos, tn AS n_neg,
          CAST(u2 * 1000000 // (2*tp*tn) AS DOUBLE)/1e6 AS auc
        FROM u""",
+    // same per-type millionth-quantized logs, BIGINT dot products, and
+    // integer divisions on both gram orders
+    "q209_entropy" ->
+      """WITH dw AS (SELECT source,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+       u AS (SELECT source, unnest(w) AS g FROM dw),
+       uc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM u
+              GROUP BY source, g),
+       ut AS (SELECT source, CAST(sum(c) AS BIGINT) AS tt,
+              CAST(count(*) AS BIGINT) AS v FROM uc GROUP BY source),
+       uh AS (SELECT uc.source,
+            CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE) / tt) * 1000000)
+              AS BIGINT)) AS BIGINT) AS s
+          FROM uc JOIN ut ON uc.source = ut.source GROUP BY uc.source),
+       u6 AS (SELECT ut.source, tt AS n_tokens, v AS vocab,
+            (-s) // tt AS h1_6
+          FROM uh JOIN ut ON uh.source = ut.source),
+       b AS (SELECT source, unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(generate_series(1, len(w)-1),
+                 i -> array_to_string(w[i:i+1], ' '))
+            ELSE [] END) AS g
+          FROM dw),
+       bc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM b
+              GROUP BY source, g),
+       bt AS (SELECT source, CAST(sum(c) AS BIGINT) AS tt FROM bc
+              GROUP BY source),
+       bh AS (SELECT bc.source,
+            CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE) / tt) * 1000000)
+              AS BIGINT)) AS BIGINT) AS s
+          FROM bc JOIN bt ON bc.source = bt.source GROUP BY bc.source),
+       b6 AS (SELECT bt.source, (-s) // tt AS h2_6
+          FROM bh JOIN bt ON bh.source = bt.source)
+       SELECT u6.source, n_tokens, vocab,
+         CAST(h1_6 AS DOUBLE) / 1e6 AS h_unigram,
+         CAST(h2_6 AS DOUBLE) / 1e6 AS h_bigram,
+         CAST(h2_6 - h1_6 AS DOUBLE) / 1e6 AS h_cond,
+         CASE WHEN h1_6 > 0 THEN
+           CAST(1000000 - (greatest(h2_6 - h1_6, 0) * 1000000) // h1_6
+             AS DOUBLE) / 1e6
+         END AS redundancy
+       FROM u6 JOIN b6 ON u6.source = b6.source ORDER BY u6.source""",
     // same word counts, frequency-of-frequencies, r+1 self-join, and
     // exact BIGINT millionth divisions
     "q203_good_turing" ->

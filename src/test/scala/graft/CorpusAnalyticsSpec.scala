@@ -1099,6 +1099,34 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("entropyPanel: hand-quantized entropies, clamps, corpus sanity") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "x x x x", "det"),      // one type → H1 = 0, redundancy null
+      (2L, "x y x y", "alt"))      // H1 = ln2; tiny-sample H2 < H1
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.entropyPanel(toy).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val det = out("det")
+    assert(det.getLong(1) === 4L && det.getLong(2) === 1L)
+    assert(det.getDouble(3) === 0.0 && det.isNullAt(6))
+    val alt = out("alt")
+    // quantized by hand: l6(2/4) = −693148 → H1 = 693148 µnats;
+    // bigrams {xy:2, yx:1}: 2·(−405466)+1·(−1098613) → H2 = 636515
+    assert(alt.getDouble(3) === 0.693148)
+    assert(alt.getDouble(4) === 0.636515)
+    assert(alt.getDouble(5) === -0.056633, "raw h_cond is unclamped")
+    // clamped redundancy: negative h_cond reads as fully redundant
+    assert(alt.getDouble(6) === 1.0)
+    // real corpus: H2 ≥ H1 (positive h_cond), redundancy ∈ [0, 1]
+    val real = CorpusOps.entropyPanel(docs).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getDouble(4) >= r.getDouble(3), s"H2 < H1 on ${r.getString(0)}")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
   test("readability: exact counts, bands at the classic thresholds") {
     import spark.implicits._
     val ta = graft.operators.TextAnalysis
