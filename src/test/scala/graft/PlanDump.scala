@@ -136,7 +136,17 @@ object PlanDump {
     "q196_rolling_distinct" ->
       "Rolling distinct: ONE event scan builds day-registers; every trailing window is a register-table join + bucket-max — raw events are never re-scanned per window.",
     "q197_provenance" ->
-      "Provenance: generation grams equi-join the distinct corpus (doc, gram) relation — the inverted-index probe shape; per-generation aggregates are gram-bounded, never pairwise.")
+      "Provenance: generation grams equi-join the distinct corpus (doc, gram) relation — the inverted-index probe shape; per-generation aggregates are gram-bounded, never pairwise.",
+    "q199_hits" ->
+      "HITS (one normalize step shown; loop lineage-cut per round): edge-score equi-join, map-side-combined sum, one-row max broadcast back — no per-node driver state.",
+    "q202_heaps_fit" ->
+      "Heaps fit: broadcast 10-row checkpoint fan-out collapsed by map-side sums — no corpus-wide running-total window; the regression runs on 10 points.",
+    "q206_rank_auc" ->
+      "Rank AUC: corpus collapses to the (score, n_pos, n_neg) value set before the only window in the plan; the cumulative runs over distinct scores, never rows.",
+    "q208_kcore" ->
+      "K-core (post-fixpoint read): degree agg + two left-semi joins per round over a shrinking edge list, lineage cut per round; final read is one left join onto nodes.",
+    "q209_entropy" ->
+      "Entropy panel: two map-side-combined (source, gram) aggs; log quantization is row-local; everything after the counts is |sources|-sized.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
