@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -91,6 +91,17 @@ object TextHashOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** 256-bin byte histogram of a binary payload. */
+  def byteHistogram(b: Array[Byte]): ArrayData = {
+    val h = new Array[Long](256)
+    var i = 0
+    while (i < b.length) {
+      h(b(i) & 0xFF) += 1L
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(h)
+  }
+
   /** 64-bit SimHash over the token-hash multiset: bit i is set iff tokens
     * with bit i set outnumber those without (strict majority — identical
     * to the Σ±1 > 0 vote). 0 for a token-less document.
@@ -117,6 +128,36 @@ object TextHashOps {
     }
     out
   }
+}
+
+/** `byte_histogram(binary)` — 256-bin byte-value histogram as
+  * array<long>; the binary-payload kernel behind Multimodal.binaryNearDup
+  * (q210). Native for the same reason as the text kernels: a
+  * `transform(sequence(...), i -> get_byte(...))` composition would lose
+  * whole-stage codegen and risk constraint-propagation duplication; this
+  * is one linear pass per row.
+  */
+case class ByteHistogram(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"byte_histogram expects binary, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "byte_histogram"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.byteHistogram(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashOps.byteHistogram($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
 }
 
 /** `shingle_hashes(text, n)` — sorted distinct hashed word n-grams as
@@ -174,6 +215,17 @@ object TextHashFunctions {
 
   private val shingleIdent = FunctionIdentifier("shingle_hashes")
   private val simhashIdent = FunctionIdentifier("simhash64")
+  private val bytehistIdent = FunctionIdentifier("byte_histogram")
+
+  private val bytehistInfo = new ExpressionInfo(
+    classOf[ByteHistogram].getCanonicalName, null, "byte_histogram",
+    "_FUNC_(binary) - 256-bin byte-value histogram", "")
+
+  private[functions] val bytehistBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.size == 1, "byte_histogram takes exactly 1 argument")
+      ByteHistogram(children.head)
+  }
 
   private val shingleInfo = new ExpressionInfo(
     classOf[ShingleHashes].getCanonicalName, null, "shingle_hashes",
@@ -209,6 +261,14 @@ object TextHashFunctions {
     if (!reg.functionExists(simhashIdent)) {
       reg.registerFunction(simhashIdent, simhashInfo, simhashBuilder)
     }
+    if (!reg.functionExists(bytehistIdent)) {
+      reg.registerFunction(bytehistIdent, bytehistInfo, bytehistBuilder)
+    }
+  }
+
+  def byteHistogram(spark: SparkSession, payload: Column): Column = {
+    register(spark)
+    call_function("byte_histogram", payload)
   }
 
   def shingleHashes(spark: SparkSession, text: Column, n: Int): Column = {

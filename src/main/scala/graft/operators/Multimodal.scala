@@ -114,6 +114,76 @@ object Multimodal {
     * oracle mirrors both sides in SQL: it re-builds the header hex and
     * re-extracts every field with byte (hex-substring) arithmetic.
     */
+  /** Deterministic binary-payload fixture for q210: 64 bytes built from
+    * doc_id arithmetic as a HEX string (so the SQL oracle can build the
+    * identical payload with printf), then unhex'd to real BinaryType on
+    * the engine side. Docs share a FAMILY (idHash % 25) whose generator
+    * fixes bytes 0..15 exactly (the blocking prefix) and the bulk
+    * pattern; three family-relative positions past byte 16 mutate per
+    * doc — near-duplicates within a family, unrelated across families.
+    */
+  def binaryFixtureHex(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = ((id % 2147483648L) * 2654435761L) % 2147483647L
+    val fam = h % 25
+    // Column./ is DOUBLE division — (h − h%25)/25 is an exact multiple,
+    // so the double quotient is the exact integer and the cast is the
+    // same value DuckDB's `h // 25` produces
+    val v = ((h - h % 25L) / 25L).cast("long")
+    concat_ws("",
+      transform(sequence(lit(0), lit(63)), j => {
+        val base = (fam * 31L + j * 17L) % 256
+        val mut = when(
+          j === lit(16L) + v % 7 || j === lit(32L) + v % 11
+            || j === lit(48L) + v % 13, v % 5 + 1L).otherwise(lit(0L))
+        lpad(lower(hex((base + mut) % 256)), 2, "0")
+      }))
+  }
+
+  /** Binary near-duplicate detection over opaque payloads (q210): the
+    * multimodal analog of text shingle dedup — re-encoded or slightly-
+    * edited media shares its byte-value DISTRIBUTION even when offsets
+    * shift, so candidate pairs are verified on exact 256-bin byte
+    * histograms (the native codegen [[graft.functions.ByteHistogram]]
+    * expression — one linear pass per row, BinaryType in, array<long>
+    * out). Blocking is a header-prefix equi-join (first `prefixBytes`
+    * bytes as hex): format containers put their magic + layout words
+    * first, so same-container variants collide and the pair space is
+    * block-bounded, never corpus². Similarity is cos² in EXACT integers
+    * — cos2_6 = ⌊dot²·10⁶/(‖a‖²‖b‖²)⌋ — so no sqrt and no float sum
+    * anywhere; pairs at or above `minCos2Micro` survive.
+    *
+    * Scale shape: histograms and norms are row-local; one equi-join on
+    * the prefix key; per-pair work is a 256-long zip — bounded by block
+    * sizes exactly like the text dedup family.
+    */
+  def binaryNearDup(spark: SparkSession, docs: DataFrame,
+      prefixBytes: Int = 8,
+      minCos2Micro: Long = 900000L): DataFrame = {
+    val hexed = docs.select(col("doc_id"),
+      binaryFixtureHex(col("doc_id")).as("hx"))
+    val withHist = hexed
+      .withColumn("payload", unhex(col("hx")))
+      .withColumn("hist",
+        graft.functions.TextHashFunctions.byteHistogram(spark, col("payload")))
+      .withColumn("norm2", aggregate(col("hist"), lit(0L),
+        (a, x) => a + x * x))
+      .withColumn("block", substring(col("hx"), 1, prefixBytes * 2))
+      .select(col("doc_id"), col("block"), col("hist"), col("norm2"))
+    val a = withHist.select(col("doc_id").as("doc_a"), col("block"),
+      col("hist").as("ha"), col("norm2").as("na"))
+    val b = withHist.select(col("doc_id").as("doc_b"), col("block"),
+      col("hist").as("hb"), col("norm2").as("nb"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dot", aggregate(
+        zip_with(col("ha"), col("hb"), (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x))
+      .withColumn("cos2_6", expr("dot * dot * 1000000 div (na * nb)"))
+      .filter(col("cos2_6") >= minCos2Micro)
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        (col("cos2_6").cast("double") / 1e6).as("cos2"))
+  }
+
   def imageHeaderQuery(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     val parsed = documents.select(col("doc_id")).as[Long].mapPartitions { it =>

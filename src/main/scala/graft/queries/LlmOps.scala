@@ -637,6 +637,13 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // binary-payload near-dup: native byte_histogram expression,
+    // prefix blocking, exact integer cos² verification
+    "q210_binary_neardup" -> ((s, d) =>
+      graft.operators.Multimodal.binaryNearDup(s,
+          Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // per-source entropy panel: quantized-log exact BIGINT entropies,
     // conditional entropy, redundancy
     "q209_entropy" -> ((s, d) =>
@@ -4349,6 +4356,45 @@ object LlmOps {
        SELECT tp AS n_pos, tn AS n_neg,
          CAST(u2 * 1000000 // (2*tp*tn) AS DOUBLE)/1e6 AS auc
        FROM u""",
+    // same payload bytes from doc_id arithmetic, histogram counts as a
+    // (doc, byte-value) table, same prefix block and integer cos²
+    "q210_binary_neardup" ->
+      """WITH d AS (SELECT doc_id,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+       p AS (SELECT doc_id, h % 25 AS fam, h // 25 AS v FROM d),
+       bytes AS (SELECT doc_id, g.j,
+            ((fam*31 + g.j*17) % 256 +
+             CASE WHEN g.j = 16 + v % 7 OR g.j = 32 + v % 11
+                    OR g.j = 48 + v % 13
+               THEN v % 5 + 1 ELSE 0 END) % 256 AS bv
+          FROM p CROSS JOIN
+            (SELECT unnest(generate_series(0, 63)) AS j) g),
+       blk AS (SELECT doc_id,
+            array_to_string(list_transform(generate_series(0, 7),
+              j -> printf('%02x', CAST((fam*31 + j*17) % 256 AS BIGINT))),
+              '') AS block
+          FROM p),
+       cnt AS (SELECT doc_id, bv, CAST(count(*) AS BIGINT) AS c
+          FROM bytes GROUP BY doc_id, bv),
+       nrm AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS n2 FROM cnt
+          GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM blk a JOIN blk b
+            ON a.block = b.block AND a.doc_id < b.doc_id),
+       dots AS (SELECT pr.doc_a, pr.doc_b,
+            CAST(sum(ca.c * cb.c) AS BIGINT) AS dot
+          FROM pairs pr
+          JOIN cnt ca ON ca.doc_id = pr.doc_a
+          JOIN cnt cb ON cb.doc_id = pr.doc_b AND cb.bv = ca.bv
+          GROUP BY pr.doc_a, pr.doc_b)
+       SELECT dots.doc_a, dots.doc_b, dot,
+         CAST((dot*dot*1000000) // (na.n2 * nb.n2) AS DOUBLE)/1e6 AS cos2
+       FROM dots
+       JOIN nrm na ON na.doc_id = dots.doc_a
+       JOIN nrm nb ON nb.doc_id = dots.doc_b
+       WHERE (dot*dot*1000000) // (na.n2 * nb.n2) >= 900000
+       ORDER BY doc_a, doc_b""",
     // same per-type millionth-quantized logs, BIGINT dot products, and
     // integer divisions on both gram orders
     "q209_entropy" ->

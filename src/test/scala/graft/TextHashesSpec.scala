@@ -85,6 +85,37 @@ class TextHashesSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [shingle_hashes"), plan)
   }
 
+  test("ByteHistogram: exact bins, codegen fusion, and the q210 pair contract") {
+    // histogram vs hand-count over a literal payload (0x00 01 01 ff ff ff)
+    val hist = Seq(Tuple1("000101ffffff")).toDF("hx")
+      .select(TextHashFunctions.byteHistogram(spark, unhex(col("hx")))
+        .as("h"))
+      .as[Seq[Long]].collect().head
+    assert(hist.length === 256)
+    assert(hist(0) === 1L && hist(1) === 2L && hist(255) === 3L)
+    assert(hist.sum === 6L)
+    // stays inside whole-stage codegen like the text kernels (the q210
+    // FIXTURE's higher-order hex builder legitimately doesn't fuse; the
+    // kernel itself must)
+    val plan = docs.select(TextHashFunctions.byteHistogram(spark,
+        unhex(lpad(hex(col("doc_id")), 16, "0"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [byte_histogram"), plan)
+    // q210 contract: pairs only within a family (same 8-byte prefix),
+    // ordered a<b, cos² >= threshold, and mutated-but-same-family docs
+    // DO pair (near-dup, not exact-dup)
+    val out = graft.operators.Multimodal.binaryNearDup(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+    assert(out.nonEmpty)
+    val h = (i: Long) => ((i % 2147483648L) * 2654435761L) % 2147483647L
+    out.foreach { case ((a, b), c) =>
+      assert(a < b)
+      assert(h(a) % 25 === h(b) % 25, s"cross-family pair ($a,$b)")
+      assert(c >= 0.9 && c <= 1.0)
+    }
+    assert(out.exists(_._2 < 1.0), "mutations must yield sub-1.0 near-dups")
+  }
+
   test("prefix-filtered Jaccard equals brute force, including J==t boundaries") {
     // planted cases: identical pair, exact-0.8 pair (5-shingle superset of
     // a 4-shingle doc: J = 4/5), disjoint docs, sub-n-gram short docs
