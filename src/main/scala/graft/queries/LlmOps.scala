@@ -637,6 +637,11 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // CSV ingest round-trip: schema'd PERMISSIVE read, planted corrupt
+    // rows dead-lettered, exact BIGINT totals over the clean slice
+    "q211_csv_roundtrip" -> ((s, d) =>
+      graft.sources.CsvIngest.roundtrip(s, d)),
+
     // binary-payload near-dup: native byte_histogram expression,
     // prefix blocking, exact integer cos² verification
     "q210_binary_neardup" -> ((s, d) =>
@@ -4356,6 +4361,20 @@ object LlmOps {
        SELECT tp AS n_pos, tn AS n_neg,
          CAST(u2 * 1000000 // (2*tp*tn) AS DOUBLE)/1e6 AS auc
        FROM u""",
+    // the oracle never sees the CSV: it recomputes the corruption slice
+    // from the same row-key hash and aggregates the complement
+    "q211_csv_roundtrip" ->
+      """WITH k AS (SELECT l_returnflag,
+            CAST(l_quantity AS BIGINT) AS q,
+            ((((l_orderkey*10 + l_linenumber) % 2147483648) * 2654435761)
+              % 2147483647) % 29 = 0 AS bad
+          FROM lineitem),
+       m AS (SELECT CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_malformed FROM k)
+       SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(q) AS BIGINT) AS sum_qty, n_malformed
+       FROM k, m WHERE NOT bad
+       GROUP BY l_returnflag, n_malformed ORDER BY l_returnflag""",
     // same payload bytes from doc_id arithmetic, histogram counts as a
     // (doc, byte-value) table, same prefix block and integer cos²
     "q210_binary_neardup" ->
