@@ -117,21 +117,35 @@ object Multimodal {
   /** Deterministic binary-payload fixture for q210: 64 bytes built from
     * doc_id arithmetic as a HEX string (so the SQL oracle can build the
     * identical payload with printf), then unhex'd to real BinaryType on
-    * the engine side. Docs share a FAMILY (idHash % 25) whose generator
-    * fixes bytes 0..15 exactly (the blocking prefix) and the bulk
-    * pattern; three family-relative positions past byte 16 mutate per
-    * doc — near-duplicates within a family, unrelated across families.
+    * the engine side. Docs share a FAMILY whose generator fixes the
+    * 8-byte blocking prefix (the family's base-256 digits — NOT a
+    * mod-256 fold, which would alias families ≡ mod 256 and merge their
+    * blocks) and the bulk pattern; three family-relative positions past
+    * byte 16 mutate per doc — near-duplicates within a family,
+    * unrelated across families.
+    *
+    * `nFamilies` SCALES WITH THE CORPUS (callers pass ~n/20): a fixed
+    * family count would grow every block linearly with the corpus and
+    * send the verification join quadratic — exactly the failure the
+    * scale probe exists to catch (it did: 49× wall at 10× docs before
+    * this knob). Real containers behave like the scaled fixture: more
+    * images means more distinct headers, not fatter header classes.
     */
-  def binaryFixtureHex(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def binaryFixtureHex(id: org.apache.spark.sql.Column,
+      nFamilies: Long): org.apache.spark.sql.Column = {
     val h = ((id % 2147483648L) * 2654435761L) % 2147483647L
-    val fam = h % 25
-    // Column./ is DOUBLE division — (h − h%25)/25 is an exact multiple,
-    // so the double quotient is the exact integer and the cast is the
-    // same value DuckDB's `h // 25` produces
-    val v = ((h - h % 25L) / 25L).cast("long")
+    val fam = h % nFamilies
+    // Column./ is DOUBLE division — the numerators are exact multiples
+    // of the divisor (or the divisor is a power of two), so each double
+    // quotient is the exact integer DuckDB's `//` produces
+    val v = ((h - h % nFamilies) / nFamilies).cast("long")
     concat_ws("",
       transform(sequence(lit(0), lit(63)), j => {
-        val base = (fam * 31L + j * 17L) % 256
+        val digitDiv = when(j % 4 === 0, 1L).when(j % 4 === 1, 256L)
+          .when(j % 4 === 2, 65536L).otherwise(lit(16777216L))
+        val digit = ((fam / digitDiv).cast("long") % 256 + j * 17L) % 256
+        val bulk = (fam * 31L + j * 17L) % 256
+        val base = when(j < 8, digit).otherwise(bulk)
         val mut = when(
           j === lit(16L) + v % 7 || j === lit(32L) + v % 11
             || j === lit(48L) + v % 13, v % 5 + 1L).otherwise(lit(0L))
@@ -159,8 +173,11 @@ object Multimodal {
   def binaryNearDup(spark: SparkSession, docs: DataFrame,
       prefixBytes: Int = 8,
       minCos2Micro: Long = 900000L): DataFrame = {
+    // family count rides the corpus (~20 docs/family) so block sizes —
+    // and with them the pair-join cost — stay CONSTANT as data grows
+    val nFamilies = math.max(25L, docs.count() / 20L)
     val hexed = docs.select(col("doc_id"),
-      binaryFixtureHex(col("doc_id")).as("hx"))
+      binaryFixtureHex(col("doc_id"), nFamilies).as("hx"))
     val withHist = hexed
       .withColumn("payload", unhex(col("hx")))
       .withColumn("hist",

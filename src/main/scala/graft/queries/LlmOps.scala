@@ -4378,12 +4378,19 @@ object LlmOps {
     // same payload bytes from doc_id arithmetic, histogram counts as a
     // (doc, byte-value) table, same prefix block and integer cos²
     "q210_binary_neardup" ->
-      """WITH d AS (SELECT doc_id,
+      """WITH nf AS (SELECT greatest(25, count(*) // 20) AS f
+          FROM documents),
+       d AS (SELECT doc_id,
             ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
           FROM documents),
-       p AS (SELECT doc_id, h % 25 AS fam, h // 25 AS v FROM d),
+       p AS (SELECT doc_id, h % nf.f AS fam, h // nf.f AS v
+          FROM d, nf),
        bytes AS (SELECT doc_id, g.j,
-            ((fam*31 + g.j*17) % 256 +
+            (CASE WHEN g.j < 8 THEN
+               ((fam // (CASE g.j % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+                         WHEN 2 THEN 65536 ELSE 16777216 END)) % 256
+                 + g.j*17) % 256
+             ELSE (fam*31 + g.j*17) % 256 END +
              CASE WHEN g.j = 16 + v % 7 OR g.j = 32 + v % 11
                     OR g.j = 48 + v % 13
                THEN v % 5 + 1 ELSE 0 END) % 256 AS bv
@@ -4391,7 +4398,10 @@ object LlmOps {
             (SELECT unnest(generate_series(0, 63)) AS j) g),
        blk AS (SELECT doc_id,
             array_to_string(list_transform(generate_series(0, 7),
-              j -> printf('%02x', CAST((fam*31 + j*17) % 256 AS BIGINT))),
+              j -> printf('%02x', CAST(
+                ((fam // (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+                          WHEN 2 THEN 65536 ELSE 16777216 END)) % 256
+                  + j*17) % 256 AS BIGINT))),
               '') AS block
           FROM p),
        cnt AS (SELECT doc_id, bv, CAST(count(*) AS BIGINT) AS c

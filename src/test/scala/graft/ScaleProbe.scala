@@ -47,7 +47,13 @@ object ScaleProbe {
     // unigram Viterbi whose DP cost rides DISTINCT WORDS (should grow
     // well below the 10x doc growth — word types saturate)
     "q161_winnow_overlap", "q167_rm3_rerank", "q175_pair_rouge",
-    "q180_unigram_segment")
+    "q180_unigram_segment",
+    // round 9: the iterated-join HITS normalization, the checkpoint
+    // fan-out Heaps fit, the k-core peel (rounds grow ~log with the
+    // critical boundary, each round linear), the two-gram-agg entropy
+    // panel, and the block-bounded binary near-dup pair join
+    "q199_hits", "q202_heaps_fit", "q208_kcore", "q209_entropy",
+    "q210_binary_neardup")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path

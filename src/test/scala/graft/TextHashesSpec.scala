@@ -107,10 +107,11 @@ class TextHashesSpec extends SparkSpec {
     val out = graft.operators.Multimodal.binaryNearDup(spark, docs)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
     assert(out.nonEmpty)
+    val nFam = math.max(25L, docs.count() / 20L)
     val h = (i: Long) => ((i % 2147483648L) * 2654435761L) % 2147483647L
     out.foreach { case ((a, b), c) =>
       assert(a < b)
-      assert(h(a) % 25 === h(b) % 25, s"cross-family pair ($a,$b)")
+      assert(h(a) % nFam === h(b) % nFam, s"cross-family pair ($a,$b)")
       assert(c >= 0.9 && c <= 1.0)
     }
     assert(out.exists(_._2 < 1.0), "mutations must yield sub-1.0 near-dups")
