@@ -468,6 +468,58 @@ object EvalOps {
     ks.foldLeft(runs)((df, k) => df.withColumn(s"pass_$k", p(k)))
   }
 
+  /** Murphy decomposition of the Brier score (q212), per source:
+    * BS = REL − RES + UNC + resid over the same 10 equal-width
+    * confidence bins as [[calibrationReport]] — ECE localizes WHERE
+    * confidences lie; this splits the total probabilistic loss into
+    * miscalibration (REL: fixable by remapping confidences), honest
+    * discrimination (RES: how much the bins separate outcomes — no
+    * remap can buy more), irreducible base-rate noise (UNC), and the
+    * within-bin residual (exactly 0 when a bin's confidences are
+    * constant; reported, not hidden, so the identity is auditable).
+    *
+    * All terms are exact BIGINT folds in millis-squared micro-units:
+    * per-bin squares divide by n_b as integers, per-source terms divide
+    * by N (and N³ for RES) — no float sums. Overflow bound n_b·N < 3·10⁶
+    * per source; shard hotter sources. Two aggregations, then
+    * |sources|-sized arithmetic.
+    */
+  def brierDecomposition(preds: DataFrame): DataFrame = {
+    val p3 = expr("conf6 div 1000")
+    val y = when(col("correct"), 1L).otherwise(0L)
+    val binned = preds
+      .withColumn("bin", least(floor(col("conf6") / 100000L), lit(9L)))
+      .withColumn("p3", p3).withColumn("y", y)
+      .withColumn("d", col("p3") - lit(1000L) * col("y"))
+    val perBin = binned.groupBy(col("source"), col("bin")).agg(
+      count(lit(1)).as("nb"), sum(col("p3")).as("sb"),
+      sum(col("p3") * col("p3")).as("qb"), sum(col("y")).as("yb"),
+      sum(col("d") * col("d")).as("d2b"))
+    val perSrc = perBin.groupBy(col("source")).agg(
+      sum(col("nb")).as("n"), sum(col("yb")).as("ytot"),
+      sum(col("d2b")).as("d2"))
+    perBin.join(perSrc, "source")
+      .withColumn("relT",
+        expr("(sb - 1000 * yb) * (sb - 1000 * yb) div nb"))
+      .withColumn("resT",
+        expr("(yb * n - ytot * nb) * (yb * n - ytot * nb) * 1000000 div nb"))
+      .groupBy(col("source")).agg(
+        first(col("n")).as("n"), first(col("ytot")).as("ytot"),
+        first(col("d2")).as("d2"),
+        sum(col("relT")).as("relSum"), sum(col("resT")).as("resSum"))
+      .withColumn("bs6", expr("d2 div n"))
+      .withColumn("rel6", expr("relSum div n"))
+      .withColumn("res6", expr("resSum div (n * n * n)"))
+      .withColumn("unc6", expr("ytot * (n - ytot) * 1000000 div (n * n)"))
+      .select(col("source"), col("n"),
+        (col("bs6").cast("double") / 1e6).as("brier"),
+        (col("rel6").cast("double") / 1e6).as("reliability"),
+        (col("res6").cast("double") / 1e6).as("resolution"),
+        (col("unc6").cast("double") / 1e6).as("uncertainty"),
+        ((col("bs6") - (col("rel6") - col("res6") + col("unc6")))
+          .cast("double") / 1e6).as("resid"))
+  }
+
   /** Exact rank-sum AUC (q206): the Mann-Whitney probability that a
     * classifier/quality score ranks a random positive above a random
     * negative, with the standard half-credit for ties — THE

@@ -1044,6 +1044,13 @@ object LlmOps {
           Tables.documents(s, d))))
         .orderBy(col("pair_id"))),
 
+    // Murphy decomposition of the Brier score per source over the same
+    // prediction fixture — exact BIGINT folds, auditable residual
+    "q212_brier_decomp" -> ((s, d) =>
+      EvalOps.brierDecomposition(
+          EvalOps.predictions(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
     // reliability diagram + ECE per source over the planted-overconfident
     // prediction fixture — exact integer bin stats, floored millionths
     "q174_calibration" -> ((s, d) =>
@@ -2331,6 +2338,50 @@ object LlmOps {
          FROM c4 GROUP BY canonical_url ORDER BY canonical_url""",
     // prediction fixture replay (second hash step, division-free
     // correctness draw), equal-width bins, exact bin stats, windowed ECE
+    // same prediction fixture, same bins; every term the same integer
+    // fold (millis-squared micro-units), residual included
+    "q212_brier_decomp" ->
+      """WITH p AS (SELECT source,
+              h % 1000001 AS conf6,
+              (((h % 999983) * 48271) % 2147483647) % 1000000 * 5
+                < (h % 1000001) * 4
+                AS correct
+            FROM (SELECT source,
+                ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+              FROM documents)),
+         b AS (SELECT source,
+              least(CAST(floor(conf6 / 100000) AS BIGINT), 9) AS bin,
+              conf6 // 1000 AS p3,
+              CASE WHEN correct THEN 1 ELSE 0 END AS y
+            FROM p),
+         g AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS nb,
+              CAST(sum(p3) AS BIGINT) AS sb,
+              CAST(sum(p3 * p3) AS BIGINT) AS qb,
+              CAST(sum(y) AS BIGINT) AS yb,
+              CAST(sum((p3 - 1000 * y) * (p3 - 1000 * y)) AS BIGINT) AS d2b
+            FROM b GROUP BY source, bin),
+         s AS (SELECT source, CAST(sum(nb) AS BIGINT) AS n,
+              CAST(sum(yb) AS BIGINT) AS ytot,
+              CAST(sum(d2b) AS BIGINT) AS d2
+            FROM g GROUP BY source),
+         t AS (SELECT g.source, s.n, s.ytot, s.d2,
+              CAST(sum(((sb - 1000 * yb) * (sb - 1000 * yb)) // nb)
+                AS BIGINT) AS relsum,
+              CAST(sum(((yb * n - ytot * nb) * (yb * n - ytot * nb)
+                * 1000000) // nb) AS BIGINT) AS ressum
+            FROM g JOIN s ON g.source = s.source
+            GROUP BY g.source, s.n, s.ytot, s.d2),
+         f AS (SELECT source, n, d2 // n AS bs6, relsum // n AS rel6,
+              ressum // (n * n * n) AS res6,
+              (ytot * (n - ytot) * 1000000) // (n * n) AS unc6
+            FROM t)
+         SELECT source, n,
+           CAST(bs6 AS DOUBLE)/1e6 AS brier,
+           CAST(rel6 AS DOUBLE)/1e6 AS reliability,
+           CAST(res6 AS DOUBLE)/1e6 AS resolution,
+           CAST(unc6 AS DOUBLE)/1e6 AS uncertainty,
+           CAST(bs6 - (rel6 - res6 + unc6) AS DOUBLE)/1e6 AS resid
+         FROM f ORDER BY source""",
     "q174_calibration" ->
       """WITH p AS (SELECT source,
               h % 1000001 AS conf6,

@@ -267,6 +267,39 @@ class EvalOpsSpec extends SparkSpec {
     assert(k > 0.2 && k < 0.9, s"kappa out of informative band: $k")
   }
 
+  test("brierDecomposition: hand toy, identity residual, fixture sanity") {
+    import spark.implicits._
+    // one source, constant-confidence bins → resid must be EXACTLY 0:
+    // bin 8 (conf 0.8): outcomes {1, 1, 0}; bin 2 (conf 0.2): {0}
+    // BS = ((0.2)²+(0.2)²+(0.8)²+(0.2)²)/4 = 0.19
+    // REL = (3(0.8−2/3)² + 1(0.2−0)²)/4 = (0.05333+0.04)/4 ≈ 0.023333
+    // RES = (3(2/3−0.5)² + 1(0−0.5)²)/4 = (0.08333+0.25)/4 ≈ 0.083333
+    // UNC = 0.5·0.5 = 0.25 → REL−RES+UNC = 0.19 = BS ✓
+    val toy = Seq(
+      ("s", 800000L, true), ("s", 800000L, true), ("s", 800000L, false),
+      ("s", 200000L, false))
+      .toDF("source", "conf6", "correct")
+    val r = EvalOps.brierDecomposition(toy).collect().head
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.19)
+    assert(math.abs(r.getDouble(3) - 0.023333) < 2e-6, s"rel ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 0.083333) < 2e-6, s"res ${r.getDouble(4)}")
+    assert(r.getDouble(5) === 0.25)
+    assert(math.abs(r.getDouble(6)) < 5e-6, "constant-conf bins → resid ≈ 0")
+    // real fixture: all terms nonnegative (up to floor), identity holds
+    // within floor slack, UNC ≤ 0.25
+    val real = EvalOps.brierDecomposition(EvalOps.predictions(
+      Tables.documents(spark, "/root/testdata/sf0.001"))).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (bs, rel, res, unc, resid) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(bs >= 0 && rel >= 0 && res >= 0 && unc >= 0 && unc <= 0.25)
+      assert(math.abs(bs - (rel - res + unc + resid)) < 1e-9)
+      assert(bs > 0 && bs < 1)
+    }
+  }
+
   test("rankAuc: hand-computed tie half-credit and the degenerate ends") {
     import spark.implicits._
     def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Double) = {
