@@ -15,6 +15,41 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Weekly cohort retention matrix (q213): users grouped by their
+    * first-seen epoch-week (cohort), each later week's active fraction
+    * of that cohort — THE product-analytics read the funnel/transition
+    * views don't give (those ask what users do; this asks whether they
+    * COME BACK), and for a data engine the canonical test that
+    * first-touch attribution, distinct-per-window, and ratio arithmetic
+    * compose. Epoch-weeks (days-since-1970 div 7) — calendar weekofyear
+    * would fold across year boundaries. Retention is an exact BIGINT
+    * millionth division; offset 0 is 1.0 by construction (the built-in
+    * sanity row).
+    *
+    * Scale shape: one (user, week) distinct (map-side partial), one
+    * min-agg for cohorts, one equi-join back on user, one (cohort,
+    * offset) count — all user-keyed equi-shuffles; the matrix itself is
+    * |weeks|² rows.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val uw = events.select(col(userCol).as("u"),
+        expr(s"datediff(to_date($tsCol), DATE'1970-01-01') div 7")
+          .cast("long").as("w"))
+      .distinct()
+    val firstW = uw.groupBy(col("u")).agg(min(col("w")).as("cw"))
+    val cohorts = firstW.groupBy(col("cw"))
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(firstW, "u")
+      .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohorts), "cw")
+      .select(col("cw").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("cohort_size"),
+        (expr("n_active * 1000000 div cohort_size").cast("double") / 1e6)
+          .as("retention"))
+  }
+
   /** Daily-count dispersion (q207): the Fano factor variance/mean of an
     * event type's daily volumes — the one-number answer to "is this
     * stream Poisson-regular or bursty" that picks monitoring thresholds

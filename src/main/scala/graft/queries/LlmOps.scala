@@ -598,6 +598,12 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // weekly cohort retention matrix: first-touch cohorts, epoch-weeks,
+    // exact millionth fractions
+    "q213_retention" -> ((s, d) =>
+      graft.operators.TemporalJoins.retention(Tables.events(s, d))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // Fano-factor dispersion of daily event volumes: exact BIGINT
     // variance/mean fold, regular/poisson/bursty verdicts
     "q207_dispersion" -> ((s, d) =>
@@ -4311,6 +4317,24 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // same epoch-week fold, first-touch cohorts, and millionth division
+    "q213_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+            (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS w
+          FROM events),
+         fw AS (SELECT u, CAST(min(w) AS BIGINT) AS cw FROM uw GROUP BY u),
+         ch AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+                FROM fw GROUP BY cw),
+         cells AS (SELECT fw.cw, uw.w - fw.cw AS week_offset,
+              CAST(count(*) AS BIGINT) AS n_active
+            FROM uw JOIN fw ON uw.u = fw.u
+            GROUP BY fw.cw, uw.w - fw.cw)
+         SELECT cells.cw AS cohort_week, week_offset, n_active,
+           cohort_size,
+           CAST((n_active * 1000000) // cohort_size AS DOUBLE) / 1e6
+             AS retention
+         FROM cells JOIN ch ON ch.cw = cells.cw
+         ORDER BY cohort_week, week_offset""",
     // same daily counts, same exact BIGINT moment folds and verdicts
     "q207_dispersion" ->
       """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -122,6 +122,40 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.size === 3, s"unexpected transitions: ${out.keys}")
   }
 
+  test("retention: first-touch cohorts, exact fractions, offset-0 = 1") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // epoch-weeks: 2024-01-01..03 one week; 2024-01-08.. next
+    // cohort A (week of Jan 1): users 1,2,3; user 1 returns both weeks,
+    // user 2 returns week+1 only, user 3 never returns
+    // cohort B (week of Jan 8): user 4, returns week+1
+    val ev = Seq(
+      (1L, t(1), 1L, "visit"), (2L, t(2), 2L, "visit"),
+      (3L, t(3), 3L, "visit"),
+      (4L, t(8), 1L, "visit"), (5L, t(9), 2L, "visit"),
+      (6L, t(15), 1L, "visit"),
+      (7L, t(8), 4L, "visit"), (8L, t(16), 4L, "visit"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.TemporalJoins.retention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val wA = out.keys.map(_._1).min
+    assert(out((wA, 0L)) === ((3L, 3L, 1.0)))
+    assert(out((wA, 1L)) === ((2L, 3L, 0.666666)))
+    assert(out((wA, 2L)) === ((1L, 3L, 0.333333)))
+    assert(out((wA + 1, 0L)) === ((1L, 1L, 1.0)))
+    assert(out((wA + 1, 1L)) === ((1L, 1L, 1.0)))
+    assert(out.size === 5)
+    // real events: every cohort has offset-0 at exactly 1.0, fractions
+    // are monotonically bounded by 1, cohort sizes partition the users
+    val real = graft.operators.TemporalJoins.retention(
+      Tables.events(spark, "/root/testdata/sf0.001")).collect()
+    val zero = real.filter(_.getLong(1) == 0L)
+    assert(zero.nonEmpty)
+    zero.foreach(r => assert(r.getDouble(4) === 1.0))
+    real.foreach(r => assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+  }
+
   test("dispersion: exact Fano fold, verdicts, degenerate null") {
     import java.sql.Timestamp
     def t(d: Int, i: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:$i%02d:00")
