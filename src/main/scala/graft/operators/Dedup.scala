@@ -195,6 +195,52 @@ object Dedup {
     try out.localCheckpoint(true) finally docs.unpersist(blocking = false)
   }
 
+  /** Directional shingle containment (q214): C(A→B) = |A∩B|/|A| ≥ t —
+    * the asymmetric complement of [[ngramJaccardPairs]]: a short doc
+    * embedded verbatim in a much longer one has containment ≈ 1 while
+    * its Jaccard is tiny (the union is dominated by the container), so
+    * symmetric dedup never sees it. This is the shingle-level cousin of
+    * the q88 exact-substring pass: q88 excises literal byte spans;
+    * containment catches embed-with-edits.
+    *
+    * Prefix filtering adapts: C ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so A's
+    * smallest shared shingle sits inside its first |A|−⌈t·|A|⌉+1
+    * elements (pigeonhole over the shared hash order) — but B gives no
+    * such bound (it may be arbitrarily larger), so candidates join A's
+    * prefix against B's FULL shingle index, and there is no length
+    * filter. Exact array-intersect verification on candidates only.
+    * Cost rides Σ_s prefixA(s)·df(s); on template-heavy corpora cap hot
+    * shingles df-style (the q161 winnow join's knob) before the probe.
+    */
+  def containmentPairs(df: DataFrame, n: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val docs = shingleArrays(df, n).withColumn("n_sh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefLen =
+      (col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1).cast("int")
+    val prefA = docs.select(col("doc_id").as("doc_a"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("s"))
+    val allB = docs.select(col("doc_id").as("doc_b"),
+      explode(col("sh")).as("s"))
+    val cands = prefA.join(allB, Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val out = cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment",
+        TextAnalysis.quant4(col("common").cast("double")
+          / size(col("sh_a"))))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+    // same pin-release discipline as the Jaccard path
+    try out.localCheckpoint(eager = true)
+    finally docs.unpersist(blocking = false)
+  }
+
   /** Near-duplicate CLUSTERS from the exact pair graph: connected
     * components by iterative min-label propagation (each round, every doc
     * adopts the smallest label among itself and its neighbors — converges

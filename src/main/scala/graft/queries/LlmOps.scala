@@ -598,6 +598,13 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // directional shingle containment: embed-with-edits detection the
+    // symmetric Jaccard threshold never sees
+    "q214_containment" -> ((s, d) =>
+      graft.operators.Dedup.containmentPairs(
+          Tables.fanout(Tables.documents(s, d)), n = 3, threshold = 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // weekly cohort retention matrix: first-touch cohorts, epoch-weeks,
     // exact millionth fractions
     "q213_retention" -> ((s, d) =>
@@ -4317,6 +4324,27 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // brute-force directional containment over string shingle sets —
+    // the prefix filter is an optimization, not a semantic
+    "q214_containment" ->
+      """WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+         SELECT da AS doc_a, db AS doc_b,
+                floor(1.0*c/sa.n*10000)/10000 AS containment
+         FROM pairs JOIN sizes sa ON da = sa.doc_id
+         WHERE floor(1.0*c/sa.n*10000)/10000 >= 0.9
+         ORDER BY doc_a, doc_b""",
     // same epoch-week fold, first-touch cohorts, and millionth division
     "q213_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id AS u,

@@ -151,6 +151,46 @@ class TextHashesSpec extends SparkSpec {
     assert(out((1L, 3L)) === 1.0)
   }
 
+  test("containmentPairs: asymmetry, brute-force equality, Jaccard blindspot") {
+    val toy = Seq(
+      (1L, "a b c d e f"),                       // 4 trigrams
+      // doc 1 embedded verbatim inside a much longer doc: C(1→2) = 1.0
+      (2L, "a b c d e f g h i j k l m n o p"),   // 14 trigrams
+      (3L, "x y z w v"),                         // unrelated
+      (4L, "a b c d e f")                        // identical to 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(toy, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out((1L, 2L)) === 1.0, "embedded doc is contained")
+    assert(!out.contains((2L, 1L)), "container is NOT contained (4/14)")
+    assert(out((1L, 4L)) === 1.0 && out((4L, 1L)) === 1.0)
+    assert(out((4L, 2L)) === 1.0)
+    assert(out.keys.forall { case (a, b) => a != b && !Set(a, b)(3L) })
+    // the symmetric view misses the embedding: J(1,2) = 4/14 << 0.8
+    val j = Dedup.ngramJaccardPairs(toy, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j((1L, 2L)), "Jaccard is blind to the embedded pair")
+    // prefix-filtered result equals the brute-force ordered-pair scan
+    // on a real corpus slice
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001").limit(150)
+    val arrays = Dedup.shingleArrays(corpus, 3)
+    val brute = arrays.as("a").crossJoin(arrays.as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("common",
+        size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("c", graft.operators.TextAnalysis.quant4(
+        col("common").cast("double") / size(col("a.sh"))))
+      .filter(col("c") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val pref = Dedup.containmentPairs(corpus, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(pref === brute)
+  }
+
   test("df-ordered prefixes: identical pairs+scores, on toy docs and real corpus") {
     val toy = Seq(
       (1L, "a b c d e f g"), (2L, "a b c d e f"), (3L, "a b c d e f g"),
