@@ -598,6 +598,29 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // SCD2 dimension history: changed keys close + reopen, no-op
+    // updates produce zero churn, new keys open their first interval
+    "q215_scd2" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val h =
+        ((col("c_custkey") % 2147483648L) * 2654435761L) % 2147483647L
+      val current = cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey"))
+        .withColumn("valid_from", lit(java.sql.Date.valueOf("2024-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val updates = cust
+        .filter(h % 4 <= 1)
+        .select(col("c_custkey"),
+          when(h % 4 === 0, concat(lit("SEG"), (h % 5).cast("string")))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"),
+          lit(java.sql.Date.valueOf("2024-02-01")).as("ts"))
+      graft.table.Scd2.applyBatch(current, updates, "c_custkey",
+          Seq("c_mktsegment", "c_nationkey"), "ts")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
     // directional shingle containment: embed-with-edits detection the
     // symmetric Jaccard threshold never sees
     "q214_containment" -> ((s, d) =>
@@ -4324,6 +4347,26 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // the SCD2 outcome replayed as set algebra: changed keys emit a
+    // closed row + an open SEG row, everyone else stays open-unchanged
+    "q215_scd2" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+            ((c_custkey % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM customer),
+         changed AS (SELECT * FROM c WHERE h % 4 = 0)
+         SELECT c_custkey, c_mktsegment, c_nationkey,
+           DATE '2024-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, true AS is_current
+         FROM c WHERE h % 4 <> 0
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_nationkey,
+           DATE '2024-01-01', DATE '2024-02-01', false
+         FROM changed
+         UNION ALL
+         SELECT c_custkey, 'SEG' || CAST(h % 5 AS VARCHAR), c_nationkey,
+           DATE '2024-02-01', CAST(NULL AS DATE), true
+         FROM changed
+         ORDER BY c_custkey, valid_from""",
     // brute-force directional containment over string shingle sets —
     // the prefix filter is an optimization, not a semantic
     "q214_containment" ->

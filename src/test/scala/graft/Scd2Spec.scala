@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import graft.table.Scd2
+
+/** SCD2 dimension history (q215): change/no-op/new-key/latest-wins
+  * semantics and closed-history passthrough.
+  */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("changed closes+reopens, no-op is zero churn, history passes through") {
+    val current = Seq(
+      // key 1: one closed ancestor + an open row
+      (1L, "A", d("2023-01-01"), Option(d("2023-06-01")), false),
+      (1L, "B", d("2023-06-01"), None: Option[Date], true),
+      (2L, "A", d("2023-01-01"), None: Option[Date], true),
+      (3L, "C", d("2023-01-01"), None: Option[Date], true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "B2", d("2024-02-01")),   // real change
+      (2L, "A", d("2024-02-01")),    // no-op: same attrs
+      (9L, "NEW", d("2024-02-01")),  // brand-new key
+      // key 3: two updates in one batch — only the latest applies
+      (3L, "MID", d("2024-01-15")),
+      (3L, "FINAL", d("2024-02-01")))
+      .toDF("k", "seg", "ts")
+    val out = Scd2.applyBatch(current, updates, "k", Seq("seg"), "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getBoolean(4)))
+      .toSet
+    assert(out === Set(
+      // key 1: untouched closed ancestor, closed-out B, new open B2
+      (1L, "A", "2023-01-01", Some("2023-06-01"), false),
+      (1L, "B", "2023-06-01", Some("2024-02-01"), false),
+      (1L, "B2", "2024-02-01", None, true),
+      // key 2: no-op → the ORIGINAL open row, zero churn
+      (2L, "A", "2023-01-01", None, true),
+      // key 3: latest-in-batch wins; MID never materializes
+      (3L, "C", "2023-01-01", Some("2024-02-01"), false),
+      (3L, "FINAL", "2024-02-01", None, true),
+      // key 9: first interval opens
+      (9L, "NEW", "2024-02-01", None, true)))
+    // invariant: exactly one open row per live key
+    val opens = out.filter(_._5).groupBy(_._1).view.mapValues(_.size)
+    assert(opens.values.forall(_ == 1))
+  }
+
+  test("q215 fixture: row accounting matches the planted change slice") {
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val n = cust.count()
+    val h = ((col("c_custkey") % 2147483648L) * 2654435761L) % 2147483647L
+    val nChanged = cust.filter(h % 4 === 0).count()
+    val out = SparkEntry.queries("q215_scd2")(spark, "/root/testdata/sf0.001")
+    assert(out.count() === n + nChanged, "one extra row per changed key")
+    assert(out.filter(col("is_current")).count() === n)
+    assert(out.filter(!col("is_current")).count() === nChanged)
+    // the no-op slice (h%4==1) must still carry its ORIGINAL valid_from
+    assert(out.filter(h % 4 === 1 && col("valid_from") =!=
+      lit(Date.valueOf("2024-01-01"))).count() === 0)
+  }
+}
