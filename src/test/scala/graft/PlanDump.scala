@@ -146,7 +146,13 @@ object PlanDump {
     "q208_kcore" ->
       "K-core (post-fixpoint read): degree agg + two left-semi joins per round over a shrinking edge list, lineage cut per round; final read is one left join onto nodes.",
     "q209_entropy" ->
-      "Entropy panel: two map-side-combined (source, gram) aggs; log quantization is row-local; everything after the counts is |sources|-sized.")
+      "Entropy panel: two map-side-combined (source, gram) aggs; log quantization is row-local; everything after the counts is |sources|-sized.",
+    "q210_binary_neardup" ->
+      "Binary near-dup: row-local byte_histogram codegen kernel, prefix-block equi-join (block sizes constant in corpus growth), per-pair 256-long zip verification.",
+    "q214_containment" ->
+      "Containment: A-prefix explode joins B's full shingle index (the asymmetric prefix filter), distinct candidates, exact array-intersect verification only on candidates.",
+    "q215_scd2" ->
+      "SCD2: batch-sized latest-per-key window, ONE full-outer equi-join of open rows vs the batch, row-local branch logic, closed-history union — no history-sized operator anywhere.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
