@@ -520,6 +520,33 @@ object EvalOps {
           .cast("double") / 1e6).as("resid"))
   }
 
+  /** Average precision / PR-AUC (q216): Σ_thresholds ΔTP·precision —
+    * the rare-positive companion to [[rankAuc]] (ROC-AUC stays
+    * optimistic under class imbalance because FPR divides by the huge
+    * negative count; precision divides by retrieved, so AP collapses
+    * exactly when a filter would actually drown in false positives).
+    * Ties enter as whole threshold blocks with precision measured after
+    * the block — the standard step-wise definition. Same value-set
+    * collapse as rankAuc: the only window runs over distinct quantized
+    * scores, cumulative TP/FP are exact BIGINTs, per-threshold
+    * precision quantizes to millionths once, ap = ⌊Σ ΔTP·prec₆ / P⌋.
+    */
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("s")).agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    g.withColumn("tp", sum(col("np")).over(w))
+      .withColumn("fp", sum(col("nn")).over(w))
+      .withColumn("prec6", expr("tp * 1000000 div (tp + fp)"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * col("prec6")).as("apNum"))
+      .select(col("n_pos"), col("n_neg"),
+        (expr("apNum div n_pos").cast("double") / 1e6).as("ap"))
+  }
+
   /** Exact rank-sum AUC (q206): the Mann-Whitney probability that a
     * classifier/quality score ranks a random positive above a random
     * negative, with the standard half-credit for ties — THE

@@ -650,6 +650,19 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // average precision (PR-AUC) of the same planted class — the
+    // imbalance-honest companion read to q206
+    "q216_pr_auc" -> ((s, d) => {
+      val ta = graft.operators.TextAnalysis
+      val h = ((col("doc_id") % 2147483648L) * 2654435761L) % 2147483647L
+      val labeled = Tables.fanout(Tables.documents(s, d))
+        .withColumn("pos", h % 2 === 0)
+        .withColumn("text", when(col("pos"),
+          concat(col("text"), lit(" of the is"))).otherwise(col("text")))
+      graft.operators.EvalOps.prAuc(
+        ta.withQuality(labeled), "quality_score", "pos")
+    }),
+
     // exact Mann-Whitney AUC of the quality score against a planted
     // binary class (positives get a stopword boost) — tie half-credit
     "q206_rank_auc" -> ((s, d) => {
@@ -4472,6 +4485,46 @@ object LlmOps {
               WHEN flesch >= 50.0 THEN 'standard'
               ELSE 'difficult' END AS band
        FROM q ORDER BY doc_id""",
+    // same fixture and score collapse as q206; descending cumulative
+    // TP/FP over the value set, per-threshold millionth precision
+    "q216_pr_auc" ->
+      """WITH d AS (SELECT doc_id, text,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+       f AS (SELECT h % 2 = 0 AS pos,
+            CASE WHEN h % 2 = 0 THEN text || ' of the is' ELSE text END
+              AS text
+          FROM d),
+       t AS (SELECT pos, length(text) AS nc,
+            len(list_filter(string_split(text,' '), x -> x <> '')) AS nw,
+            length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+            len(list_filter(string_split(text,' '),
+                x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+              AS ns
+          FROM f),
+       q AS (SELECT pos,
+            floor((0.4*least(1.0, nw/50.0) + 0.3*(1.0 - np*1.0/nc)
+                  + 0.3*least(1.0, ns*1.0/nw*5.0))*10000)/10000 AS s
+          FROM t),
+       g AS (SELECT s,
+            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+            CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg
+          FROM q GROUP BY s),
+       c AS (SELECT s, npos, nneg,
+            CAST(sum(npos) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS tp,
+            CAST(sum(nneg) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS fp
+          FROM g),
+       p AS (SELECT npos, nneg, (tp * 1000000) // (tp + fp) AS prec6
+          FROM c)
+       SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+         CAST(sum(nneg) AS BIGINT) AS n_neg,
+         CAST(CAST(sum(npos * prec6) AS BIGINT)
+           // CAST(sum(npos) AS BIGINT) AS DOUBLE) / 1e6 AS ap
+       FROM p""",
     "q206_rank_auc" ->
       """WITH d AS (SELECT doc_id, text,
             ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h

@@ -300,6 +300,31 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("prAuc: hand-computed threshold blocks and the baseline property") {
+    import spark.implicits._
+    def ap(rows: Seq[(Double, Boolean)]): Double =
+      EvalOps.prAuc(rows.toDF("score", "pos"), "score", "pos")
+        .collect().head.getDouble(2)
+    // pos {4, 2}, neg {3}: threshold 4 → prec 1 (ΔTP 1); threshold 3 →
+    // ΔTP 0; threshold 2 → tp2/fp1 prec 2/3 (ΔTP 1) → AP = 0.833333
+    assert(ap(Seq((4.0, true), (3.0, false), (2.0, true))) === 0.833333)
+    // perfect separation → 1.0
+    assert(ap(Seq((9.0, true), (8.0, true), (1.0, false))) === 1.0)
+    // all scores tied → one block: AP = prevalence
+    assert(ap(Seq((5.0, true), (5.0, false), (5.0, false),
+      (5.0, false))) === 0.25)
+    // inverted ranking floors toward prevalence, never below it
+    val inv = ap(Seq((1.0, true), (9.0, false), (8.0, false),
+      (7.0, false)))
+    assert(inv === 0.25, s"worst case = prevalence at the last block, $inv")
+    // repartition determinism
+    val big = (1 to 400).map(i => ((i % 11).toDouble, i % 4 == 0))
+    val a = ap(big)
+    val b = EvalOps.prAuc(big.toDF("score", "pos").repartition(13),
+      "score", "pos").collect().head.getDouble(2)
+    assert(a === b)
+  }
+
   test("rankAuc: hand-computed tie half-credit and the degenerate ends") {
     import spark.implicits._
     def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Double) = {
