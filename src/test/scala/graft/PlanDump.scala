@@ -152,7 +152,11 @@ object PlanDump {
     "q214_containment" ->
       "Containment: A-prefix explode joins B's full shingle index (the asymmetric prefix filter), distinct candidates, exact array-intersect verification only on candidates.",
     "q215_scd2" ->
-      "SCD2: batch-sized latest-per-key window, ONE full-outer equi-join of open rows vs the batch, row-local branch logic, closed-history union — no history-sized operator anywhere.")
+      "SCD2: batch-sized latest-per-key window, ONE full-outer equi-join of open rows vs the batch, row-local branch logic, closed-history union — no history-sized operator anywhere.",
+    "q213_retention" ->
+      "Cohort retention: (user, week) distinct with map-side partials, min-agg cohorts, one user-keyed join back, broadcast cohort sizes — the matrix is |weeks|^2 rows.",
+    "q216_pr_auc" ->
+      "PR-AUC: corpus collapses to the score value set before the single descending cumulative window; AP is one more aggregation over that tiny table.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
