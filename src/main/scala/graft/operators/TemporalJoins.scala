@@ -15,6 +15,42 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Funnel conversion latency (q217): for each adjacent step pair of
+    * the funnel, the distribution of time-to-convert across users —
+    * [[funnel]] counts WHO progresses, this measures HOW LONG the hop
+    * takes (the number an activation team actually tunes). First-touch
+    * timestamp per (user, step), per-pair latency in exact microseconds
+    * (unix_micros in both engines — whole-second truncation would bake
+    * in a hidden rounding), negative hops dropped (converted before
+    * entering), then n / median / p90 seconds via the engine's exact
+    * interpolated percentile (the q39-established cross-engine match).
+    *
+    * Scale shape: one (user, step) min-agg, one user-keyed equi-join per
+    * step pair over the |steps|-bounded first-touch table, one exact
+    * percentile per pair (value buffer bounded by converting users).
+    */
+  def conversionLatency(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ft = events.filter(col("event_type").isin(steps.map(lit): _*))
+      .groupBy(col("user_id"), col("event_type")).agg(min(col("ts")).as("t"))
+    val pairs = steps.sliding(2).toSeq.map { case Seq(a, b) =>
+      val from = ft.filter(col("event_type") === a)
+        .select(col("user_id"), col("t").as("t_from"))
+      val to = ft.filter(col("event_type") === b)
+        .select(col("user_id").as("u2"), col("t").as("t_to"))
+      from.join(to, col("user_id") === col("u2"))
+        .filter(col("t_to") >= col("t_from"))
+        .select(lit(s"$a->$b").as("step"),
+          ((unix_micros(col("t_to")) - unix_micros(col("t_from")))
+            .cast("double") / 1e6).as("lat_sec"))
+    }
+    pairs.reduce(_ union _)
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(lat_sec, 0.5)"), 4).as("p50_sec"),
+        round(expr("percentile(lat_sec, 0.9)"), 4).as("p90_sec"))
+  }
+
   /** Weekly cohort retention matrix (q213): users grouped by their
     * first-seen epoch-week (cohort), each later week's active fraction
     * of that cohort — THE product-analytics read the funnel/transition

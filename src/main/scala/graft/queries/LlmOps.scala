@@ -598,6 +598,12 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // funnel conversion-latency distribution per adjacent step pair:
+    // exact micro latencies, interpolated p50/p90 seconds
+    "q217_conversion_lag" -> ((s, d) =>
+      graft.operators.TemporalJoins.conversionLatency(Tables.events(s, d))
+        .orderBy(col("step"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -4360,6 +4366,30 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // same first-touch mins, microsecond epochs, non-negative hops, and
+    // interpolated percentiles
+    "q217_conversion_lag" ->
+      """WITH ft AS (SELECT user_id, event_type, min(ts) AS t
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')
+          GROUP BY user_id, event_type),
+       u AS (
+         SELECT 'view->click' AS step,
+           CAST(epoch_us(c.t) - epoch_us(v.t) AS DOUBLE) / 1e6 AS lat_sec
+         FROM ft v JOIN ft c ON v.user_id = c.user_id
+           AND v.event_type = 'view' AND c.event_type = 'click'
+         WHERE c.t >= v.t
+         UNION ALL
+         SELECT 'click->purchase',
+           CAST(epoch_us(p.t) - epoch_us(c.t) AS DOUBLE) / 1e6
+         FROM ft c JOIN ft p ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+         WHERE p.t >= c.t)
+       SELECT step, CAST(count(*) AS BIGINT) AS n,
+         round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lat_sec), 4)
+           AS p50_sec,
+         round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lat_sec), 4)
+           AS p90_sec
+       FROM u GROUP BY step ORDER BY step""",
     // the SCD2 outcome replayed as set algebra: changed keys emit a
     // closed row + an open SEG row, everyone else stays open-unchanged
     "q215_scd2" ->

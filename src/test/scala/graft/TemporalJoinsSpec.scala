@@ -122,6 +122,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.size === 3, s"unexpected transitions: ${out.keys}")
   }
 
+  test("conversionLatency: first-touch hops, negative drop, exact p50/p90") {
+    import java.sql.Timestamp
+    def t(m: Int, s: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    val ev = Seq(
+      // user 1: view@0:00, click@1:00 (60 s), purchase@3:00 (120 s)
+      (1L, t(0, 0), 1L, "view"), (2L, t(1, 0), 1L, "click"),
+      (3L, t(3, 0), 1L, "purchase"),
+      // user 2: view@0:00, click@0:30 (30 s); duplicate later view must
+      // NOT move first-touch
+      (4L, t(0, 0), 2L, "view"), (5L, t(0, 30), 2L, "click"),
+      (6L, t(5, 0), 2L, "view"),
+      // user 3: click BEFORE view → negative hop dropped
+      (7L, t(1, 0), 3L, "click"), (8L, t(2, 0), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.TemporalJoins.conversionLatency(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    // view->click: {60, 30} → p50 interpolates to 45, p90 to 57
+    assert(out("view->click") === ((2L, 45.0, 57.0)))
+    // click->purchase: single 120 s hop
+    assert(out("click->purchase") === ((1L, 120.0, 120.0)))
+    assert(out.size === 2)
+  }
+
   test("retention: first-touch cohorts, exact fractions, offset-0 = 1") {
     import java.sql.Timestamp
     def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
