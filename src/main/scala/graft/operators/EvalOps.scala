@@ -481,8 +481,14 @@ object EvalOps {
     * All terms are exact BIGINT folds in millis-squared micro-units:
     * per-bin squares divide by n_b as integers, per-source terms divide
     * by N (and N³ for RES) — no float sums. Overflow bound n_b·N < 3·10⁶
-    * per source; shard hotter sources. Two aggregations, then
-    * |sources|-sized arithmetic.
+    * per source (the RES term squares n_b·N-sized magnitudes and scales
+    * by 10⁶); ENFORCED at execution by an `assert_true` fused into the
+    * resT projection — past the bound the job fails loud with a
+    * shard-the-source message instead of silently wrapping under
+    * non-ANSI arithmetic (DuckDB would error; the engine must too).
+    * Zero extra pass: the assert rides the existing per-bin rows.
+    * Shard hotter sources. Two aggregations, then |sources|-sized
+    * arithmetic.
     */
   def brierDecomposition(preds: DataFrame): DataFrame = {
     val p3 = expr("conf6 div 1000")
@@ -502,7 +508,11 @@ object EvalOps {
       .withColumn("relT",
         expr("(sb - 1000 * yb) * (sb - 1000 * yb) div nb"))
       .withColumn("resT",
-        expr("(yb * n - ytot * nb) * (yb * n - ytot * nb) * 1000000 div nb"))
+        expr("if(assert_true(nb * n <= 3000000, " +
+          "'brierDecomposition: nb*N exceeds the exact-BIGINT bound " +
+          "3e6 for the resolution term - shard the source') is null, " +
+          "(yb * n - ytot * nb) * (yb * n - ytot * nb) * 1000000 div nb, " +
+          "cast(null as bigint))"))
       .groupBy(col("source")).agg(
         first(col("n")).as("n"), first(col("ytot")).as("ytot"),
         first(col("d2")).as("d2"),
@@ -530,6 +540,11 @@ object EvalOps {
     * collapse as rankAuc: the only window runs over distinct quantized
     * scores, cumulative TP/FP are exact BIGINTs, per-threshold
     * precision quantizes to millionths once, ap = ⌊Σ ΔTP·prec₆ / P⌋.
+    * Overflow bound: each term np·prec₆ ≤ np·10⁶, so
+    * apNum ≤ n₊·10⁶ < 2⁶³ holds until n₊ ≈ 9.2·10¹² positives —
+    * comfortably past any labeled corpus; no DECIMAL lift needed
+    * (contrast rankAuc, whose U₂ is pair-COUNT-sized and binds at
+    * n₊·n₋ < 4.6·10¹²).
     */
   def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val g = df.groupBy(col(scoreCol).as("s")).agg(

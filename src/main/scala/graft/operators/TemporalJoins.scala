@@ -19,15 +19,28 @@ object TemporalJoins {
     * the funnel, the distribution of time-to-convert across users —
     * [[funnel]] counts WHO progresses, this measures HOW LONG the hop
     * takes (the number an activation team actually tunes). First-touch
-    * timestamp per (user, step), per-pair latency in exact microseconds
-    * (unix_micros in both engines — whole-second truncation would bake
-    * in a hidden rounding), negative hops dropped (converted before
-    * entering), then n / median / p90 seconds via the engine's exact
-    * interpolated percentile (the q39-established cross-engine match).
+    * timestamp per (user, step), per-pair latency quantized to integer
+    * MILLISECONDS (floor — product latencies below 1 ms are noise),
+    * negative hops dropped (converted before entering), then
+    * n / median / p90 seconds by linear interpolation at rank q·(n−1)
+    * — percentile_cont semantics, replayed in exact BIGINTs.
     *
-    * Scale shape: one (user, step) min-agg, one user-keyed equi-join per
-    * step pair over the |steps|-bounded first-touch table, one exact
-    * percentile per pair (value buffer bounded by converting users).
+    * Deliberately NOT Spark's exact `percentile`: that aggregate
+    * buffers every group value in ONE task's aggregation buffer, and
+    * the group key here is the step pair (~|steps| groups), so a
+    * 100 TB funnel would funnel all converting users' latencies into
+    * one reducer. Instead latencies collapse to a (step, lat_ms → n)
+    * table first (map-side combine; bounded by DISTINCT quantized
+    * latencies, not users), the only window runs over that value-set
+    * cumulative, and the interpolation reads two rows of it — the
+    * value-set-collapse pattern rankAuc/prAuc established. Interpolated
+    * values carry exactly one decimal digit of ms (frac ∈ k/10), so
+    * tenth-of-ms integer units are exact and the /10⁴ emit is the only
+    * float op.
+    *
+    * Scale shape: one (user, step) min-agg, one user-keyed equi-join
+    * per step pair over the |steps|-bounded first-touch table, one
+    * (step, lat_ms) count, one value-set-sized window.
     */
   def conversionLatency(events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
@@ -42,13 +55,35 @@ object TemporalJoins {
         .filter(col("t_to") >= col("t_from"))
         .select(lit(s"$a->$b").as("step"),
           ((unix_micros(col("t_to")) - unix_micros(col("t_from")))
-            .cast("double") / 1e6).as("lat_sec"))
+            .divide(lit(1000L)).cast("long")).as("lat_ms"))
     }
-    pairs.reduce(_ union _)
-      .groupBy(col("step"))
-      .agg(count(lit(1)).as("n"),
-        round(expr("percentile(lat_sec, 0.5)"), 4).as("p50_sec"),
-        round(expr("percentile(lat_sec, 0.9)"), 4).as("p90_sec"))
+    val g = pairs.reduce(_ union _)
+      .groupBy(col("step"), col("lat_ms")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("step")).orderBy(col("lat_ms"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt"))
+        .over(Window.partitionBy(col("step"))))
+    // rank r_q = q·(n−1) = lo + frac with frac in tenths; value at
+    // 0-based index i is the first lat_ms whose cumulative count
+    // exceeds i. vhi falls back to vlo when lo is the last index
+    // (frac is provably 0 there).
+    def vAt(loE: String): (Column, Column) = (
+      min(when(col("cum") > expr(loE), col("lat_ms"))),
+      min(when(col("cum") > expr(loE) + 1, col("lat_ms"))))
+    val (vlo50, vhi50) = vAt("(n - 1) div 2")
+    val (vlo90, vhi90) = vAt("(9 * (n - 1)) div 10")
+    cum.groupBy(col("step")).agg(
+        max(col("n")).as("n"),
+        vlo50.as("vlo50"), vhi50.as("vhi50"),
+        vlo90.as("vlo90"), vhi90.as("vhi90"))
+      .select(col("step"), col("n"),
+        (expr("vlo50 * 10 + 5 * ((n - 1) % 2) " +
+          "* (coalesce(vhi50, vlo50) - vlo50)")
+          .cast("double") / 10000).as("p50_sec"),
+        (expr("vlo90 * 10 + ((9 * (n - 1)) % 10) " +
+          "* (coalesce(vhi90, vlo90) - vlo90)")
+          .cast("double") / 10000).as("p90_sec"))
   }
 
   /** Weekly cohort retention matrix (q213): users grouped by their
@@ -301,6 +336,13 @@ object TemporalJoins {
     * previous anchor — \|steps\| bounded passes over user-keyed equi
     * joins (the key is the natural partitioner; no windows, no
     * per-user sort). Counts are exact; conversions floored at 1e-6.
+    *
+    * Per-step persist contract: each step's anchor table is persisted
+    * BEFORE its count action, so step i's `.count()` reads the cached
+    * anchors instead of re-executing the cumulative join lineage back
+    * to `events` — a k-step funnel scans events once per step (O(k)
+    * scans), not O(k²). Each anchor set is unpersisted as soon as the
+    * next step has materialized on top of it.
     */
   def funnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
@@ -310,14 +352,19 @@ object TemporalJoins {
     import spark.implicits._
     var anchors = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      .persist()
     var counts = Vector(anchors.count())
     steps.tail.foreach { st =>
+      val prev = anchors
       anchors = events.filter(col(typeCol) === st)
-        .join(anchors, Seq(userCol))
+        .join(prev, Seq(userCol))
         .filter(col(tsCol) > col("_t"))
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
-      counts :+= anchors.count()
+        .persist()
+      counts :+= anchors.count() // materializes on top of cached prev
+      prev.unpersist()
     }
+    anchors.unpersist()
     steps.indices.map { i =>
       val conv = if (i == 0) 1.0
         else math.floor(counts(i) * 1000000.0 / counts(i - 1)) / 1e6

@@ -4366,30 +4366,47 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
-    // same first-touch mins, microsecond epochs, non-negative hops, and
-    // interpolated percentiles
+    // same first-touch mins, same floor-ms quantization, same exact
+    // integer rank interpolation over the (step, lat_ms -> n) value set
     "q217_conversion_lag" ->
       """WITH ft AS (SELECT user_id, event_type, min(ts) AS t
           FROM events WHERE event_type IN ('view', 'click', 'purchase')
           GROUP BY user_id, event_type),
        u AS (
          SELECT 'view->click' AS step,
-           CAST(epoch_us(c.t) - epoch_us(v.t) AS DOUBLE) / 1e6 AS lat_sec
+           (epoch_us(c.t) - epoch_us(v.t)) // 1000 AS lat_ms
          FROM ft v JOIN ft c ON v.user_id = c.user_id
            AND v.event_type = 'view' AND c.event_type = 'click'
          WHERE c.t >= v.t
          UNION ALL
          SELECT 'click->purchase',
-           CAST(epoch_us(p.t) - epoch_us(c.t) AS DOUBLE) / 1e6
+           (epoch_us(p.t) - epoch_us(c.t)) // 1000
          FROM ft c JOIN ft p ON c.user_id = p.user_id
            AND c.event_type = 'click' AND p.event_type = 'purchase'
-         WHERE p.t >= c.t)
-       SELECT step, CAST(count(*) AS BIGINT) AS n,
-         round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lat_sec), 4)
+         WHERE p.t >= c.t),
+       g AS (SELECT step, lat_ms, CAST(count(*) AS BIGINT) AS cnt
+         FROM u GROUP BY step, lat_ms),
+       c AS (SELECT step, lat_ms, cnt,
+           sum(cnt) OVER (PARTITION BY step ORDER BY lat_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY step) AS n
+         FROM g),
+       q AS (SELECT step, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum > (n - 1) // 2 THEN lat_ms END) AS vlo50,
+           min(CASE WHEN cum > (n - 1) // 2 + 1 THEN lat_ms END) AS vhi50,
+           min(CASE WHEN cum > (9 * (n - 1)) // 10 THEN lat_ms END)
+             AS vlo90,
+           min(CASE WHEN cum > (9 * (n - 1)) // 10 + 1 THEN lat_ms END)
+             AS vhi90
+         FROM c GROUP BY step)
+       SELECT step, n,
+         CAST(vlo50 * 10 + 5 * ((n - 1) % 2)
+           * (coalesce(vhi50, vlo50) - vlo50) AS DOUBLE) / 10000
            AS p50_sec,
-         round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lat_sec), 4)
+         CAST(vlo90 * 10 + ((9 * (n - 1)) % 10)
+           * (coalesce(vhi90, vlo90) - vlo90) AS DOUBLE) / 10000
            AS p90_sec
-       FROM u GROUP BY step ORDER BY step""",
+       FROM q ORDER BY step""",
     // the SCD2 outcome replayed as set algebra: changed keys emit a
     // closed row + an open SEG row, everyone else stays open-unchanged
     "q215_scd2" ->

@@ -45,12 +45,20 @@ object CsvIngest {
     * from dead letters → per-flag totals plus the dead-letter count.
     * Quantities are integral by data contract, so the totals are exact
     * BIGINT sums (a double sum would ride aggregation order).
+    *
+    * Resource discipline: the |flags|-bounded result is materialized
+    * INSIDE this call, then the CSV cache is unpersisted and the temp
+    * directory deleted — repeated bench/verify loops must not
+    * accumulate executor storage memory or scratch disk for the
+    * session lifetime. The returned frame is a local relation of the
+    * (≤ |return-flags|) aggregate rows.
     */
   def roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))
-    val dir = Files.createTempDirectory("graft-csv").toString
+    val dirPath = Files.createTempDirectory("graft-csv")
+    val dir = dirPath.toString
     renderWithCorruption(li).write.mode("overwrite").text(dir)
     // cache() is load-bearing: Spark disallows querying ONLY the
     // corrupt-record column straight off a raw CSV scan (the parser
@@ -62,14 +70,24 @@ object CsvIngest {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(dir)
       .cache()
-    val deadLetters = back.agg(
-      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
-        .as("n_malformed"))
-    back.filter(col("_corrupt").isNull)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("sum_qty"))
-      .crossJoin(broadcast(deadLetters))
-      .orderBy(col("l_returnflag"))
+    try {
+      val deadLetters = back.agg(
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+          .as("n_malformed"))
+      val out = back.filter(col("_corrupt").isNull)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .crossJoin(broadcast(deadLetters))
+        .orderBy(col("l_returnflag"))
+      // bounded collect (≤ |return-flags| rows) so cleanup can run now
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      back.unpersist()
+      Files.walk(dirPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
   }
 }

@@ -100,10 +100,15 @@ object EventStreams {
     *
     * Each micro-batch folds its group's events into the carried
     * counters (hit: +1; room: insert; full: decrement-all, drop zeros)
-    * and emits the post-batch snapshot. Events are folded in user_id
-    * order: ANY order yields a valid MG sketch, but partition-race
-    * order would make replays flap; the sort pins one deterministic
-    * sketch per input set.
+    * and emits the post-batch snapshot. The group iterator is folded
+    * DIRECTLY — never buffered: any fold order yields a valid MG
+    * sketch (the error bound is order-free), and materializing the
+    * iterator (`toSeq`) would make per-trigger heap O(group batch
+    * size), cutting against the bounded-state rationale exactly when
+    * one event type dominates a micro-batch. The resulting sketch can
+    * differ across partition-race orders run-to-run; tests pin
+    * determinism by asserting the order-free MG guarantees (count
+    * bounds, survivor floor), not exact counter values.
     */
   def heavyHitters(events: Dataset[MgEvent], k: Int = 8): Dataset[HeavyHitter] = {
     val spark = events.sparkSession
@@ -116,7 +121,7 @@ object EventStreams {
           var n = st.n
           val counters = scala.collection.mutable.LinkedHashMap(
             st.keys.zip(st.counts): _*)
-          it.toSeq.sortBy(_.user_id).foreach { e =>
+          it.foreach { e =>
             n += 1
             if (counters.contains(e.user_id)) counters(e.user_id) += 1
             else if (counters.size < k) counters(e.user_id) = 1L

@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   * history that survives compaction and reads as a plain join.
   *
   * Batch semantics (one call = one CDC micro-batch): latest update per
-  * key wins within the batch (ts-desc window, key tiebreak); a changed
+  * key wins within the batch — ts desc, ties broken by `seqCol` desc
+  * when the caller supplies a stable sequence (the CDC `_seq` the table
+  * layer stamps is the natural choice), else by the tracked attribute
+  * VALUES ascending. Both tiebreaks are functions of row CONTENT, never
+  * of physical row order (`monotonically_increasing_id` would pick a
+  * different winner under repartition); a changed
   * tracked attribute closes the open row at the update ts and opens a
   * new one; an update equal on every tracked attribute is a NO-OP (no
   * churn rows — the detail naive implementations get wrong and that
@@ -29,11 +34,14 @@ import org.apache.spark.sql.functions._
 object Scd2 {
 
   def applyBatch(current: DataFrame, updates: DataFrame, keyCol: String,
-      attrCols: Seq[String], tsCol: String): DataFrame = {
+      attrCols: Seq[String], tsCol: String,
+      seqCol: Option[String] = None): DataFrame = {
     val outCols = (keyCol +: attrCols) ++
       Seq("valid_from", "valid_to", "is_current")
+    val tiebreak = seqCol.map(s => Seq(col(s).desc))
+      .getOrElse(attrCols.map(col(_).asc))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).desc, monotonically_increasing_id())
+      .orderBy(col(tsCol).desc +: tiebreak: _*)
     val latest = updates.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col(keyCol).as("_k") +:

@@ -51,6 +51,30 @@ class Scd2Spec extends SparkSpec {
     assert(opens.values.forall(_ == 1))
   }
 
+  test("same-key same-ts ties resolve repartition-invariantly") {
+    val current = Seq((1L, "A", d("2023-01-01"), None: Option[Date], true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "Z", d("2024-02-01")), (1L, "B", d("2024-02-01")),
+      (1L, "M", d("2024-02-01")))
+      .toDF("k", "seg", "ts")
+    def winner(parts: Int, seqCol: Option[String] = None,
+        up: org.apache.spark.sql.DataFrame = updates): String =
+      Scd2.applyBatch(current, up.repartition(parts), "k", Seq("seg"),
+          "ts", seqCol)
+        .filter(col("is_current")).collect().map(_.getString(1)).head
+    // content tiebreak (no seq): attr-ascending — "B" — on ANY layout
+    assert(winner(1) === "B")
+    assert(winner(17) === "B")
+    assert(winner(3) === winner(17))
+    // caller-supplied stable sequence: highest _seq wins, any layout
+    val seqUp = Seq((1L, "Z", d("2024-02-01"), 10L),
+      (1L, "B", d("2024-02-01"), 30L), (1L, "M", d("2024-02-01"), 20L))
+      .toDF("k", "seg", "ts", "_seq")
+    assert(winner(1, Some("_seq"), seqUp) === "B")
+    assert(winner(17, Some("_seq"), seqUp) === "B")
+  }
+
   test("q215 fixture: row accounting matches the planted change slice") {
     val cust = Tables.customer(spark, "/root/testdata/sf0.001")
     val n = cust.count()

@@ -146,6 +146,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("conversionLatency: 1e5 distinct latencies, no corpus-sized " +
+      "percentile buffer in the plan") {
+    // 100k users, each with a view at t0 and a click i ms later —
+    // 100k DISTINCT latencies, the shape that would blow the exact
+    // `percentile` aggregate's single-group buffer
+    val base = spark.range(1, 100001)
+    val views = base.selectExpr("id AS event_id",
+      "timestamp_micros(1700000000000000) AS ts", "id AS user_id",
+      "'view' AS event_type")
+    val clicks = base.selectExpr("id + 200000 AS event_id",
+      "timestamp_micros(1700000000000000 + id * 1000) AS ts",
+      "id AS user_id", "'click' AS event_type")
+    val out = graft.operators.TemporalJoins
+      .conversionLatency(views.union(clicks))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      "plan must not carry the exact percentile aggregate")
+    val r = out.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // independent check: sorted lat_ms = 1..100000; percentile_cont at
+    // q(n-1): p50 = 50000.5 ms, p90 = 90000.1 ms
+    assert(r("view->click") === ((100000L, 50.0005, 90.0001)))
+  }
+
   test("retention: first-touch cohorts, exact fractions, offset-0 = 1") {
     import java.sql.Timestamp
     def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
