@@ -53,7 +53,17 @@ object ScaleProbe {
     // critical boundary, each round linear), the two-gram-agg entropy
     // panel, and the block-bounded binary near-dup pair join
     "q199_hits", "q202_heaps_fit", "q208_kcore", "q209_entropy",
-    "q210_binary_neardup")
+    "q210_binary_neardup",
+    // round 10 (VERDICT r7 task 5): the r7 additions with no datapoints
+    // yet — CSV dead-letter roundtrip (linear scan + bounded agg),
+    // cohort retention (user-keyed equi-shuffles), containment pairs
+    // (shingle-blocked join), SCD2 (batch-sized window + full-outer on
+    // the key), PR AUC (value-set collapse), and conversion latency
+    // (the q217 rewrite: replicas repeat the same latency VALUES, so
+    // the value set stays constant while input grows 10x — the direct
+    // falsification of any corpus-sized percentile buffer)
+    "q211_csv_roundtrip", "q213_retention", "q214_containment",
+    "q215_scd2", "q216_pr_auc", "q217_conversion_lag")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
@@ -100,14 +110,52 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$DstDir/embeddings.parquet")
 
+    // relational/event replicas for the r7-addition probes: each replica
+    // is a DISJOINT key population (ids shifted by 10^7 per replica)
+    // with identical per-key behavior — funnel hop latencies, cohort
+    // shapes, and SCD2 change slices keep their sf0.1 density instead
+    // of colliding into artificial 10-way duplicates
+    val events = spark.read.parquet(s"$SrcDir/events.parquet")
+    events.crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("rep").cast("long") * 10000000L)
+          .as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep").cast("long") * 10000000L)
+          .as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$DstDir/events.parquet")
+
+    val li = spark.read.parquet(s"$SrcDir/lineitem.parquet")
+    li.crossJoin(broadcast(reps))
+      .select((col("l_orderkey") + col("rep").cast("long") * 10000000L)
+          .as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$DstDir/lineitem.parquet")
+
+    val cust = spark.read.parquet(s"$SrcDir/customer.parquet")
+    cust.crossJoin(broadcast(reps))
+      .select((col("c_custkey") + col("rep").cast("long") * 10000000L)
+          .as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$DstDir/customer.parquet")
+
     println(s"[scale] generated $DstDir: documents ${nDocs * Replicas}, " +
-      s"embeddings ${nEmbs * Replicas}")
+      s"embeddings ${nEmbs * Replicas}, events/lineitem/customer x$Replicas")
   }
 
   /** Per-query minimum over `sweeps` full passes (the Bench.scala
     * stall-guard recipe) at one scale dir.
     */
-  def timeAll(spark: SparkSession, dir: String, sweeps: Int): Map[String, Double] = {
+  def timeAll(spark: SparkSession, dir: String, sweeps: Int,
+      chain: Seq[String] = ChainQueries): Map[String, Double] = {
     val registry = SparkEntry.queries ++ ExtraQueries
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -115,8 +163,8 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    ChainQueries.foreach(once) // warm pass outside timing
-    (1 to sweeps).flatMap(_ => ChainQueries.map(q => q -> once(q)))
+    chain.foreach(once) // warm pass outside timing
+    (1 to sweeps).flatMap(_ => chain.map(q => q -> once(q)))
       .groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).min }
   }
 
@@ -168,11 +216,16 @@ object ScaleProbe {
     if (mode == "gen" || mode == "all") gen(spark)
     if (mode == "probe" || mode == "all") {
       val sweeps = sys.env.getOrElse("SCALE_SWEEPS", "3").toInt
-      val small = timeAll(spark, SrcDir, sweeps)
-      val big = timeAll(spark, DstDir, sweeps)
+      // dev loop: SCALE_ONLY=q213_retention,q217_conversion_lag probes a
+      // subset; unset = the full chain
+      val only = sys.env.get("SCALE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val chain = ChainQueries.filter(q => only.forall(_.contains(q)))
+      val small = timeAll(spark, SrcDir, sweeps, chain)
+      val big = timeAll(spark, DstDir, sweeps, chain)
       println(f"""| query | sf0.1 (s) | 10x docs (s) | growth | exponent |""")
       println(f"""|---|---|---|---|---|""")
-      ChainQueries.foreach { q =>
+      chain.foreach { q =>
         val (a, b) = (small(q), big(q))
         val growth = b / a
         val expo = math.log(growth) / math.log(Replicas.toDouble)
