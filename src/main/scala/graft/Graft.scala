@@ -35,7 +35,10 @@ import graft.table.MergeTable
   * TemporalJoins, and the persistent incremental indexes IncrementalDedup /
   * IncrementalSplit / VectorIndex), stream analytics in `graft.streaming`
   * (EventStreams, CorpusStreams: prepare / dedupedIngest / curatedIngest /
-  * splitIngest).
+  * splitIngest). The COMPOSED end-to-end curation job — landing stream →
+  * gates → persistent near-dup dedup → leak-safe split → benchmark-span
+  * decontamination → clean table → shard release, with a chain-wide
+  * crash-replay contract — is `graft.pipeline.CurationPipeline`.
   */
 object Graft {
 

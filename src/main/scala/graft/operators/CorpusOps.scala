@@ -375,18 +375,66 @@ object CorpusOps {
     * compose with [[contaminatedBloom]]'s bloom prefilter on the span
     * table first.
     */
-  def removeContaminatedSpans(docs: DataFrame, benchmark: DataFrame,
-      n: Int = 8): DataFrame = {
-    val (dm, starts) = spanTables(docs, n)
-    val benchH = benchmark
+  /** The benchmark's distinct word-n-gram hash set — the selection side
+    * of both contaminated-span operators. Benchmark-sized, tiny against
+    * the corpus.
+    */
+  private def benchSpanHashes(benchmark: DataFrame, n: Int): DataFrame =
+    benchmark
       .select(TextAnalysis.wsTokens(col("text")).as("bw"))
       .select(col("bw"), size(col("bw")).as("blen"))
       .select(col("bw"),
         explode(sequence(lit(1), greatest(col("blen") - (n - 1), lit(1)))).as("i"))
       .select(xxhash64(array_join(slice(col("bw"), col("i"), lit(n)), " ")).as("h"))
       .distinct()
-    val out = exciseSpans(dm, starts, benchH, n)
+
+  def removeContaminatedSpans(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val (dm, starts) = spanTables(docs, n)
+    val out = exciseSpans(dm, starts, benchSpanHashes(benchmark, n), n)
     PlanCapture.record("q118_decontam_spans (pre-checkpoint)", out)
+    try out.localCheckpoint(true) finally starts.unpersist(blocking = false)
+  }
+
+  /** [[removeContaminatedSpans]]'s TEXT-emitting sibling — the form a
+    * curation PIPELINE needs: instead of the audit digest
+    * (n_removed, clean_md5), it returns the reassembled cleaned text
+    * itself so downstream stages (split landing, shard export) ship the
+    * surgically decontaminated document. Same span selection, same
+    * coverage expansion, same anti-join excision; the only difference
+    * is that the per-doc fold emits `array_join` of the surviving
+    * tokens rather than its md5. Reassembly is whitespace-normalizing
+    * by construction (tokens re-joined with single spaces — the same
+    * canonical form every shingle/token operator in this engine
+    * already keys on). Fully-contaminated documents come back with
+    * empty text and `n_removed = n_tokens`; the caller decides whether
+    * to keep the husk.
+    *
+    * Output: (doc_id, text, n_tokens, n_removed), one row per input
+    * doc, eagerly checkpointed (compact — one row per doc).
+    */
+  def removeContaminatedSpansText(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val (dm, starts) = spanTables(docs, n)
+    val covered = starts.join(benchSpanHashes(benchmark, n), Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), least(col("i") + (n - 1), col("len")))).as("j"))
+      .distinct()
+    val toks = dm
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    val out = dm.select(col("doc_id"), col("len").cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
     try out.localCheckpoint(true) finally starts.unpersist(blocking = false)
   }
 

@@ -213,6 +213,40 @@ object ScaleProbe {
         println(f"| ${b + 1} | $nDocs | $before | $sec%.2f |")
       }
     }
+    // `chain`: the capstone CurationPipeline end-to-end (gates →
+    // incremental dedup → split → decontamination → clean landing) as
+    // ONE job, timed at 1× and 10× documents — the composed-capability
+    // datapoint, not a per-operator one. Fresh pipeline root per run
+    // (the chain is stateful); a small warmup run pays codegen/JIT
+    // outside both timed windows. Three epochs per run so the
+    // cross-epoch index paths (the part that could hide an O(index)
+    // term) are on the clock.
+    if (mode == "chain" || mode == "all") {
+      def runChain(dir: String, limit: Long): Double = {
+        val all = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val docs = if (limit > 0) all.filter(col("doc_id") % 7919 < limit)
+          else all
+        val bench = docs.filter(pmod(col("doc_id"), lit(997)) === 3)
+          .select(col("text")).limit(50).localCheckpoint(true)
+        val root = Files.createTempDirectory("chainprobe").toString
+        val p = graft.pipeline.CurationPipeline.create(s"$root/p")
+        val nB = 3
+        val slices = (0 until nB).map(b =>
+          docs.filter(pmod(col("doc_id"), lit(nB)) === b)
+            .localCheckpoint(true))
+        val t0 = System.nanoTime()
+        slices.zipWithIndex.foreach { case (s, i) =>
+          p.applyEpoch(s, bench, s"e$i") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      runChain(SrcDir, limit = 500) // warmup
+      val a = runChain(SrcDir, 0)
+      val b = runChain(DstDir, 0)
+      val expo = math.log(b / a) / math.log(Replicas.toDouble)
+      println(f"| curation_chain_3epoch | $a%.2f | $b%.2f | ${b / a}%.1f× " +
+        f"| $expo%.2f |")
+    }
     if (mode == "gen" || mode == "all") gen(spark)
     if (mode == "probe" || mode == "all") {
       val sweeps = sys.env.getOrElse("SCALE_SWEEPS", "3").toInt
