@@ -960,6 +960,91 @@ object CorpusOps {
   def shardExpr(id: Column, nShards: Int): Column =
     idHash(id) % nShards
 
+  /** Training-shard composition audit (q219) — the shuffle-quality read
+    * a trainer takes BEFORE streaming shards: per shard, how far its
+    * group mix (source, language, …) drifts from the corpus-global mix,
+    * as total-variation distance over millionth-quantized shares. The
+    * failure it catches is the classic one: a shard key correlated with
+    * the audited attribute (modulo on an id that encodes source, range
+    * on a crawl-ordered id) silently turns "shuffled" training data
+    * into single-source blocks — gradient noise goes structured and no
+    * loss curve says why. Hash shards read `mixed`; a correlated scheme
+    * lights up `skewed` with top_share ≈ 1.
+    *
+    * Exact staging: per-cell shares p₆ = ⌊o·10⁶/T⌋ and global q₆ =
+    * ⌊gₙ·10⁶/G⌋ are integer millionths; tv = (Σ|p₆−q₆|) div 2 — no
+    * float sums, and absent (shard, group) cells COUNT (their |0−q₆|
+    * term is exactly the missing mass), which is why the fold runs over
+    * the dense shard×group grid, not just observed cells.
+    *
+    * Scale shape: one map-side-combined (shard, group) count; the grid
+    * and everything after are |shards|·|groups| rows — the audit's
+    * premise is a bounded group attribute (sources, langs), never a
+    * high-cardinality column.
+    */
+  def shardMix(docs: DataFrame, shardCol: String, groupCol: String,
+      skewAt: Double = 0.25): DataFrame = {
+    val o = docs.groupBy(col(shardCol).as("shard"), col(groupCol).as("g"))
+      .agg(count(lit(1)).as("o"))
+    val shardTot = o.groupBy(col("shard")).agg(sum(col("o")).as("t"))
+    val gTot = o.groupBy(col("g")).agg(sum(col("o")).as("gn"))
+    val grand = gTot.agg(sum(col("gn")).as("gt"))
+    val grid = shardTot
+      .crossJoin(broadcast(gTot.crossJoin(broadcast(grand))))
+    val cells = grid.join(o, Seq("shard", "g"), "left")
+      .withColumn("oo", coalesce(col("o"), lit(0L)))
+      .withColumn("p6", expr("oo * 1000000 div t"))
+      .withColumn("q6", expr("gn * 1000000 div gt"))
+    cells.groupBy(col("shard"))
+      .agg(max(col("t")).as("n_docs"),
+        sum(when(col("oo") > 0, 1L).otherwise(0L)).as("n_groups"),
+        (expr("sum(abs(p6 - q6)) div 2").cast("double") / 1e6).as("tv"),
+        (max(col("p6")).cast("double") / 1e6).as("top_share"))
+      .withColumn("verdict",
+        when(col("tv") >= skewAt, "skewed").otherwise("mixed"))
+  }
+
+  /** Padding-waste report (q220) — the batching-efficiency read behind
+    * every "tokens/sec" number: sequences padded to a fixed `seqLen`
+    * burn compute on pad tokens, and LENGTH-BUCKETED batching (pad only
+    * to the next power-of-two bucket ceiling, the bucketing every
+    * serious data loader ships) recovers most of it. Per bucket:
+    * real-token and pad-token totals under both policies and the
+    * millionth-floored waste fractions — the delta IS the speedup
+    * bucketing buys on this corpus. Documents are truncated at `seqLen`
+    * (the trainer's cap); the bucket floor is 16 (tiny sequences batch
+    * together regardless).
+    *
+    * Row-local arithmetic (token count, CASE-threshold bucket ceiling —
+    * no float log2) + one bucket-keyed aggregation; output is
+    * |buckets| ≤ log₂(seqLen) rows.
+    */
+  def paddingWaste(docs: DataFrame, seqLen: Int = 128,
+      textCol: String = "text"): DataFrame = {
+    require(seqLen >= 16 && (seqLen & (seqLen - 1)) == 0,
+      "seqLen must be a power of two >= 16")
+    val toks = least(size(TextAnalysis.wsTokens(col(textCol)))
+      .cast("long"), lit(seqLen.toLong))
+    val ceilings = Iterator.iterate(16L)(_ * 2)
+      .takeWhile(_ <= seqLen).toSeq
+    val bucket = ceilings.init.foldRight(lit(seqLen.toLong)) {
+      (c, rest) => when(col("_tk") <= c, lit(c)).otherwise(rest)
+    }
+    docs.withColumn("_tk", toks)
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tk")).as("n_tokens"),
+        sum(col("bucket") - col("_tk")).as("n_pad_bucketed"),
+        sum(lit(seqLen.toLong) - col("_tk")).as("n_pad_naive"))
+      .withColumn("waste",
+        expr("n_pad_bucketed * 1000000 div (n_tokens + n_pad_bucketed)")
+          .cast("double") / 1e6)
+      .withColumn("waste_naive",
+        expr("n_pad_naive * 1000000 div (n_tokens + n_pad_naive)")
+          .cast("double") / 1e6)
+  }
+
   /** Export the corpus as `nShards` training shards: hash-assigned via
     * [[shardExpr]], one directory per shard, rows sorted by id inside
     * each shard file — the deterministic final-mile layout a trainer

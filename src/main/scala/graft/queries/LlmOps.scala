@@ -604,6 +604,86 @@ object LlmOps {
       graft.operators.TemporalJoins.conversionLatency(Tables.events(s, d))
         .orderBy(col("step"))),
 
+    // shard-mix audit: hash shards vs the classic correlated-key
+    // mistake (doc_id % 20 == the source encoding) — the latter lights
+    // up skewed with top_share = 1
+    "q219_shard_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val co = graft.operators.CorpusOps
+      val hash = docs.withColumn("shard",
+        co.shardExpr(col("doc_id"), 8))
+      val mod = docs.withColumn("shard", pmod(col("doc_id"), lit(20)))
+      co.shardMix(hash, "shard", "source")
+        .withColumn("scheme", lit("hash"))
+        .unionByName(co.shardMix(mod, "shard", "source")
+          .withColumn("scheme", lit("modulo")))
+        .select(col("scheme"), col("shard"), col("n_docs"),
+          col("n_groups"), col("tv"), col("top_share"), col("verdict"))
+        .orderBy(col("scheme"), col("shard"))
+    }),
+
+    // padding-waste report: fixed-seqLen padding vs power-of-two
+    // length-bucketed batching over the fanout corpus
+    "q220_padding_waste" -> ((s, d) =>
+      graft.operators.CorpusOps.paddingWaste(
+          Tables.fanout(Tables.documents(s, d)), seqLen = 128)
+        .orderBy(col("bucket"))),
+
+    // Fellegi–Sunter record linkage: a planted dirty copy of the
+    // customer table (one tail digit flipped, bal/segment perturbed on
+    // hash slices, plus unlinked fresh records) linked back via two
+    // skip-position blocking passes + integer milli-bit weights
+    "q218_record_linkage" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val h =
+        ((col("c_custkey") % 2147483648L) * 2654435761L) % 2147483647L
+      val clean = cust.select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal"), col("c_nationkey"))
+      val base = cust.withColumn("_h", h)
+      val dirtyMatch = base.filter(col("_h") % 3 === 0)
+        .withColumn("_p", expr("cast(_h % 4 + 6 as int)"))
+        .select((col("c_custkey") + 10000000L).as("d_id"),
+          expr("concat(substring(c_name, 1, 8 + _p), " +
+            "cast((cast(substring(c_name, 9 + _p, 1) as int) + 1) % 10 " +
+            "as string), substring(c_name, 10 + _p))").as("d_name"),
+          when(col("_h") % 7 === 0, lit("XXXSEG"))
+            .otherwise(col("c_mktsegment")).as("d_seg"),
+          (col("c_acctbal") + when(col("_h") % 5 === 0, lit(3.5))
+            .otherwise(lit(0.25))).as("d_bal"),
+          col("c_nationkey").as("d_nat"))
+      val dirtyFresh = base.filter(col("_h") % 3 === 1)
+        .select((col("c_custkey") + 20000000L).as("d_id"),
+          expr("concat('Customer#', lpad(cast(999999999 - c_custkey " +
+            "as string), 9, '0'))").as("d_name"),
+          col("c_mktsegment").as("d_seg"),
+          (col("c_acctbal") + lit(100.0)).as("d_bal"),
+          col("c_nationkey").as("d_nat"))
+      val lk = graft.operators.Linkage
+      lk.linkage(clean, dirtyMatch.unionByName(dirtyFresh),
+          passes = Seq(
+            (concat_ws(":", col("c_nationkey"),
+                expr("substring(c_name, 10, 7)")),
+              concat_ws(":", col("d_nat"),
+                expr("substring(d_name, 10, 7)"))),
+            (concat_ws(":", col("c_nationkey"),
+                expr("substring(c_name, 10, 5)"),
+                expr("substring(c_name, 17, 2)")),
+              concat_ws(":", col("d_nat"),
+                expr("substring(d_name, 10, 5)"),
+                expr("substring(d_name, 17, 2)")))),
+          fields = Seq(
+            lk.Field("name", levenshtein(col("c_name"), col("d_name")) <= 1,
+              5000L, -3000L),
+            lk.Field("seg", col("c_mktsegment") === col("d_seg"),
+              1500L, -1200L),
+            lk.Field("bal", abs(col("c_acctbal") - col("d_bal")) <= 1.0,
+              1800L, -1500L)),
+          matchAt = 5000L, nonMatchBelow = 0L)
+        .select(col("d_id"), col("c_custkey"), col("name_agree"),
+          col("seg_agree"), col("bal_agree"), col("score"), col("verdict"))
+        .orderBy(col("d_id"), col("c_custkey"))
+    }),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -4366,6 +4446,123 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // same dense shard x group grid, same millionth share quantization
+    // and integer TV fold
+    "q219_shard_mix" ->
+      """WITH a AS (
+          SELECT 'hash' AS scheme,
+            CAST(((doc_id % 2147483648) * 2654435761) % 2147483647 % 8
+              AS BIGINT) AS shard, source FROM documents
+          UNION ALL
+          SELECT 'modulo', doc_id % 20, source FROM documents),
+        o AS (SELECT scheme, shard, source AS g,
+            CAST(count(*) AS BIGINT) AS o
+          FROM a GROUP BY scheme, shard, source),
+        st AS (SELECT scheme, shard, CAST(sum(o) AS BIGINT) AS t
+          FROM o GROUP BY scheme, shard),
+        gt AS (SELECT scheme, g, CAST(sum(o) AS BIGINT) AS gn
+          FROM o GROUP BY scheme, g),
+        gg AS (SELECT scheme, CAST(sum(gn) AS BIGINT) AS gtot
+          FROM gt GROUP BY scheme),
+        grid AS (SELECT st.scheme, st.shard, st.t, gt.g, gt.gn, gg.gtot
+          FROM st JOIN gt ON st.scheme = gt.scheme
+            JOIN gg ON st.scheme = gg.scheme),
+        cells AS (SELECT grid.scheme, grid.shard, grid.t,
+            coalesce(o.o, 0) AS oo,
+            (coalesce(o.o, 0) * 1000000) // grid.t AS p6,
+            (grid.gn * 1000000) // grid.gtot AS q6
+          FROM grid LEFT JOIN o ON o.scheme = grid.scheme
+            AND o.shard = grid.shard AND o.g = grid.g),
+        m AS (SELECT scheme, shard, CAST(max(t) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN oo > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_groups,
+            CAST(sum(abs(p6 - q6)) // 2 AS DOUBLE) / 1e6 AS tv,
+            CAST(max(p6) AS DOUBLE) / 1e6 AS top_share
+          FROM cells GROUP BY scheme, shard)
+        SELECT scheme, shard, n_docs, n_groups, tv, top_share,
+          CASE WHEN tv >= 0.25 THEN 'skewed' ELSE 'mixed' END AS verdict
+        FROM m ORDER BY scheme, shard""",
+    // same truncation cap, same CASE-threshold bucket ceilings, same
+    // millionth-floored waste fractions
+    "q220_padding_waste" ->
+      """WITH t AS (SELECT least(CAST(len(list_filter(
+              string_split(text, ' '), x -> x <> '')) AS BIGINT), 128)
+            AS tk FROM documents),
+        b AS (SELECT tk,
+            CASE WHEN tk <= 16 THEN 16 WHEN tk <= 32 THEN 32
+                 WHEN tk <= 64 THEN 64 ELSE 128 END AS bucket
+          FROM t),
+        g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(tk) AS BIGINT) AS n_tokens,
+            CAST(sum(bucket - tk) AS BIGINT) AS n_pad_bucketed,
+            CAST(sum(128 - tk) AS BIGINT) AS n_pad_naive
+          FROM b GROUP BY 1)
+        SELECT bucket, n_docs, n_tokens, n_pad_bucketed, n_pad_naive,
+          CAST((n_pad_bucketed * 1000000)
+            // (n_tokens + n_pad_bucketed) AS DOUBLE) / 1e6 AS waste,
+          CAST((n_pad_naive * 1000000)
+            // (n_tokens + n_pad_naive) AS DOUBLE) / 1e6 AS waste_naive
+        FROM g ORDER BY bucket""",
+    // same planted perturbations, same two blocking passes, same
+    // levenshtein band and integer milli-bit weight fold
+    "q218_record_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+            c_nationkey,
+            ((c_custkey % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM customer),
+        dm AS (SELECT c_custkey + 10000000 AS d_id,
+            substring(c_name, 1, 8 + CAST(h % 4 + 6 AS INT))
+              || CAST((CAST(substring(c_name, 9 + CAST(h % 4 + 6 AS INT),
+                   1) AS INT) + 1) % 10 AS VARCHAR)
+              || substring(c_name, 10 + CAST(h % 4 + 6 AS INT)) AS d_name,
+            CASE WHEN h % 7 = 0 THEN 'XXXSEG' ELSE c_mktsegment END
+              AS d_seg,
+            c_acctbal + CASE WHEN h % 5 = 0 THEN 3.5 ELSE 0.25 END
+              AS d_bal,
+            c_nationkey AS d_nat
+          FROM c WHERE h % 3 = 0),
+        df AS (SELECT c_custkey + 20000000 AS d_id,
+            'Customer#' || lpad(CAST(999999999 - c_custkey AS VARCHAR),
+              9, '0') AS d_name,
+            c_mktsegment AS d_seg, c_acctbal + 100.0 AS d_bal,
+            c_nationkey AS d_nat
+          FROM c WHERE h % 3 = 1),
+        d AS (SELECT * FROM dm UNION ALL SELECT * FROM df),
+        cand AS (
+          SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+            d.d_id, d.d_name, d.d_seg, d.d_bal
+          FROM c JOIN d
+            ON CAST(c.c_nationkey AS VARCHAR) || ':'
+                 || substring(c.c_name, 10, 7)
+             = CAST(d.d_nat AS VARCHAR) || ':'
+                 || substring(d.d_name, 10, 7)
+          UNION
+          SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+            d.d_id, d.d_name, d.d_seg, d.d_bal
+          FROM c JOIN d
+            ON CAST(c.c_nationkey AS VARCHAR) || ':'
+                 || substring(c.c_name, 10, 5)
+                 || ':' || substring(c.c_name, 17, 2)
+             = CAST(d.d_nat AS VARCHAR) || ':'
+                 || substring(d.d_name, 10, 5)
+                 || ':' || substring(d.d_name, 17, 2)),
+        scored AS (SELECT d_id, c_custkey,
+            levenshtein(c_name, d_name) <= 1 AS name_agree,
+            c_mktsegment = d_seg AS seg_agree,
+            abs(c_acctbal - d_bal) <= 1.0 AS bal_agree
+          FROM cand),
+        w AS (SELECT d_id, c_custkey, name_agree, seg_agree, bal_agree,
+            CAST(CASE WHEN name_agree THEN 5000 ELSE -3000 END
+              + CASE WHEN seg_agree THEN 1500 ELSE -1200 END
+              + CASE WHEN bal_agree THEN 1800 ELSE -1500 END AS BIGINT)
+              AS score
+          FROM scored)
+        SELECT d_id, c_custkey, name_agree, seg_agree, bal_agree, score,
+          CASE WHEN score >= 5000 THEN 'match'
+               WHEN score < 0 THEN 'non_match'
+               ELSE 'possible' END AS verdict
+        FROM w ORDER BY d_id, c_custkey""",
     // same first-touch mins, same floor-ms quantization, same exact
     // integer rank interpolation over the (step, lat_ms -> n) value set
     "q217_conversion_lag" ->

@@ -1280,4 +1280,65 @@ class CorpusAnalyticsSpec extends SparkSpec {
       s"uniform text must fit poorly: r2 ${real.getDouble(5)}")
     assert(real.getLong(0) <= 1000L && real.getLong(1) >= real.getLong(0))
   }
+
+  test("shardMix: perfectly mixed shards read mixed, a correlated key " +
+      "reads skewed with top_share 1, absent cells count") {
+    import spark.implicits._
+    // 2 sources x 40 docs; shard A = id div 40 (every shard sees both
+    // sources evenly), shard B = id%2 == the source index (total
+    // correlation)
+    val docs = (0L until 80L).map(i => (i, s"s${i % 2}"))
+      .toDF("doc_id", "src")
+    val mixed = CorpusOps.shardMix(
+      docs.withColumn("shard", expr("doc_id div 40")), "shard", "src")
+      .collect()
+    assert(mixed.forall(_.getAs[String]("verdict") === "mixed"))
+    assert(mixed.forall(_.getAs[Double]("tv") === 0.0))
+    val skew = CorpusOps.shardMix(
+      docs.withColumn("shard", (col("doc_id") % 2).cast("long")),
+      "shard", "src").collect() // shard == src index: fully correlated
+    // doc_id%2 IS the source here, so each shard holds one source:
+    // tv = |1 - 0.5| /? -> shares p=(1e6,0), q=(5e5,5e5): tv = 0.5
+    assert(skew.forall(r => r.getAs[Double]("tv") === 0.5
+      && r.getAs[String]("verdict") === "skewed"
+      && r.getAs[Double]("top_share") === 1.0
+      && r.getAs[Long]("n_groups") === 1L))
+  }
+
+  test("shardMix mixed case is genuinely balanced (distinct schemes differ)") {
+    import spark.implicits._
+    // 4 sources, shard = id div 4 groups ids 0-3,4-7,... each shard
+    // sees all four sources once -> tv 0
+    val docs = (0L until 16L).map(i => (i, s"s${i % 4}"))
+      .toDF("doc_id", "src")
+    val out = CorpusOps.shardMix(
+      docs.withColumn("shard", expr("doc_id div 4")), "shard", "src")
+      .collect()
+    assert(out.length === 4)
+    assert(out.forall(r => r.getAs[Double]("tv") === 0.0
+      && r.getAs[Long]("n_groups") === 4L))
+  }
+
+  test("paddingWaste: hand-counted buckets, truncation cap, naive vs " +
+      "bucketed totals") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10)),   // bucket 16, pad 6 (naive 118)
+      (2L, words(16)),   // bucket 16, pad 0 (naive 112)
+      (3L, words(40)),   // bucket 64, pad 24 (naive 88)
+      (4L, words(200)))  // truncated to 128, bucket 128, pad 0
+      .toDF("doc_id", "text")
+    val out = CorpusOps.paddingWaste(docs, seqLen = 128).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out(16L) === ((2L, 26L, 6L, 230L)))
+    assert(out(64L) === ((1L, 40L, 24L, 88L)))
+    assert(out(128L) === ((1L, 128L, 0L, 0L)))
+    assert(out.size === 3)
+    // waste fractions: bucketed strictly <= naive everywhere
+    val fr = CorpusOps.paddingWaste(docs, seqLen = 128)
+      .select("waste", "waste_naive").collect()
+    assert(fr.forall(r => r.getDouble(0) <= r.getDouble(1)))
+  }
 }
