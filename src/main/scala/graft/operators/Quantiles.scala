@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe exact quantiles — the q217/rankAuc value-set-collapse
+  * pattern productized into a reusable operator, because Spark's two
+  * built-in options both fail a 100 TB corpus in a different way:
+  * exact `percentile` buffers EVERY group value inside one aggregation
+  * buffer (a corpus-sized group = one reducer's heap), and
+  * `percentile_approx` trades the answer away entirely (t-digest error
+  * is unbounded relative to the quantile gap on skewed data, and its
+  * result is not reproducible across engines — useless against an
+  * oracle).
+  *
+  * Here values must be INTEGRAL (quantize first — floor-ms, token
+  * counts, cents; the quantization grid is the caller's declared
+  * precision): each group collapses to a (group, value → count) table
+  * with map-side combine, the only window runs over that value set
+  * (bounded by DISTINCT values, never rows), and percentile_cont's
+  * linear interpolation at rank q·(n−1) is replayed in exact integer
+  * den-ths: for q = num/den, lo = ⌊num·(n−1)/den⌋, rem = num·(n−1) mod
+  * den, result·den = v_lo·den + rem·(v_hi − v_lo). The ONLY float op is
+  * the final /den emit — bit-identical across engines.
+  */
+object Quantiles {
+
+  /** One requested quantile: output column name + q as num/den
+    * (e.g. ("p50", 1, 2), ("p99", 99, 100)).
+    */
+  final case class Q(name: String, num: Int, den: Int) {
+    require(num >= 0 && num <= den && den > 0, s"bad quantile $num/$den")
+  }
+
+  /** Exact interpolated quantiles of integral `valueCol` per
+    * `groupCol`: one row per group with `n` plus one double column per
+    * requested quantile. The plan's only window is value-set-sized.
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Q]): DataFrame = {
+    require(qs.nonEmpty)
+    val g = df.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("_g"))))
+    // value at 0-based index i = first _v whose cumulative count
+    // exceeds i; vhi falls back to vlo at the last index (rem = 0 there)
+    def lo(q: Q): String = s"(${q.num} * (_n - 1)) div ${q.den}"
+    val aggs: Seq[Column] = max(col("_n")).as("n") +: qs.flatMap { q =>
+      Seq(min(when(col("_cum") > expr(lo(q)), col("_v")))
+          .as(s"_lo_${q.name}"),
+        min(when(col("_cum") > expr(lo(q)) + 1, col("_v")))
+          .as(s"_hi_${q.name}"))
+    }
+    val folded = cum.groupBy(col("_g")).agg(aggs.head, aggs.tail: _*)
+    val outs: Seq[Column] = qs.map { q =>
+      (expr(s"_lo_${q.name} * ${q.den} + ((${q.num} * (n - 1)) " +
+        s"% ${q.den}) * (coalesce(_hi_${q.name}, _lo_${q.name}) " +
+        s"- _lo_${q.name})")
+        .cast("double") / q.den).as(q.name)
+    }
+    folded.select(col("_g").as(groupCol) +: col("n") +: outs: _*)
+  }
+
+  /** Tukey outlier fences per group (q221): quartiles of an integral
+    * measure via [[groupedQuantiles]], fences at Q1 − 1.5·IQR and
+    * Q3 + 1.5·IQR, and the per-group outlier census — the robust
+    * per-source length/score screen that flags a crawl slice whose
+    * distribution tail went wrong without assuming normality (the
+    * MAD-based hourlyAnomalies cousin, for static corpora).
+    *
+    * The fence comparison stays exact: quartiles carry exact
+    * quarter-units (den = 4), so `v` is an outlier iff
+    * 8·v < 8·Q1q − 12·IQRq (resp. >) — all BIGINT, no float fence.
+    * Two passes: the value-set quantile fold, then one broadcast join
+    * of the |groups|-row fence table back onto the (group, value)
+    * COLLAPSED table (never the raw rows) for the census.
+    */
+  def outlierFences(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("_g"))))
+    def lo(num: Int): String = s"($num * (_n - 1)) div 4"
+    def qq(num: Int, nm: String): Seq[Column] = Seq(
+      min(when(col("_cum") > expr(lo(num)), col("_v"))).as(s"_lo_$nm"),
+      min(when(col("_cum") > expr(lo(num)) + 1, col("_v"))).as(s"_hi_$nm"))
+    val folded = cum.groupBy(col("_g"))
+      .agg(max(col("_n")).as("n"),
+        (qq(1, "q1") ++ qq(2, "med") ++ qq(3, "q3")): _*)
+    def q4(nm: String, num: Int): Column =
+      expr(s"_lo_$nm * 4 + (($num * (n - 1)) % 4) " +
+        s"* (coalesce(_hi_$nm, _lo_$nm) - _lo_$nm)")
+    val fences = folded
+      .withColumn("_q1q", q4("q1", 1))
+      .withColumn("_medq", q4("med", 2))
+      .withColumn("_q3q", q4("q3", 3))
+      .withColumn("_iqrq", col("_q3q") - col("_q1q"))
+    val census = g.join(broadcast(fences), "_g")
+      .groupBy(col("_g"))
+      .agg(
+        sum(when(col("_v") * 8 < col("_q1q") * 2 - col("_iqrq") * 3,
+          col("_c")).otherwise(0L)).as("n_low"),
+        sum(when(col("_v") * 8 > col("_q3q") * 2 + col("_iqrq") * 3,
+          col("_c")).otherwise(0L)).as("n_high"))
+    fences.join(census, "_g")
+      .select(col("_g").as(groupCol), col("n"),
+        (col("_q1q").cast("double") / 4).as("q1"),
+        (col("_medq").cast("double") / 4).as("median"),
+        (col("_q3q").cast("double") / 4).as("q3"),
+        (col("_iqrq").cast("double") / 4).as("iqr"),
+        col("n_low"), col("n_high"),
+        (expr("(n_low + n_high) * 1000000 div n").cast("double") / 1e6)
+          .as("outlier_frac"))
+  }
+}

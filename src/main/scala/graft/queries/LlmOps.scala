@@ -604,6 +604,31 @@ object LlmOps {
       graft.operators.TemporalJoins.conversionLatency(Tables.events(s, d))
         .orderBy(col("step"))),
 
+    // Tukey outlier fences per source over token counts: exact
+    // quarter-unit quartiles via the value-set collapse, integer fence
+    // comparisons, collapsed-table census
+    "q221_length_fences" -> ((s, d) =>
+      graft.operators.Quantiles.outlierFences(
+          Tables.fanout(Tables.documents(s, d))
+            .withColumn("n_toks",
+              size(graft.operators.TextAnalysis.wsTokens(col("text")))
+                .cast("long")),
+          "source", "n_toks")
+        .orderBy(col("source"))),
+
+    // grouped quantile panel over event purchase values (half-up cent
+    // quantization): p50/p90/p99 per event type, value-set windows only
+    "q222_value_quantiles" -> ((s, d) => {
+      val qt = graft.operators.Quantiles
+      qt.groupedQuantiles(
+          Tables.events(s, d)
+            .withColumn("cents", expr("cast(value * 100 + 0.5 as bigint)")),
+          "event_type", "cents",
+          Seq(qt.Q("p50_cents", 1, 2), qt.Q("p90_cents", 9, 10),
+            qt.Q("p99_cents", 99, 100)))
+        .orderBy(col("event_type"))
+    }),
+
     // shard-mix audit: hash shards vs the classic correlated-key
     // mistake (doc_id % 20 == the source encoding) — the latter lights
     // up skewed with top_share = 1
@@ -4446,6 +4471,77 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // same value-set collapse, same quarter-unit quartile staging and
+    // integer 8x fence comparisons over the collapsed table
+    "q221_length_fences" ->
+      """WITH t AS (SELECT source, CAST(len(list_filter(
+              string_split(text, ' '), x -> x <> '')) AS BIGINT) AS v
+            FROM documents),
+        g AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+          FROM t GROUP BY source, v),
+        cum AS (SELECT source, v, c,
+            sum(c) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(c) OVER (PARTITION BY source) AS n
+          FROM g),
+        f AS (SELECT source, CAST(max(n) AS BIGINT) AS n,
+            min(CASE WHEN cum > (1*(n-1))//4 THEN v END) AS lo_q1,
+            min(CASE WHEN cum > (1*(n-1))//4 + 1 THEN v END) AS hi_q1,
+            min(CASE WHEN cum > (2*(n-1))//4 THEN v END) AS lo_med,
+            min(CASE WHEN cum > (2*(n-1))//4 + 1 THEN v END) AS hi_med,
+            min(CASE WHEN cum > (3*(n-1))//4 THEN v END) AS lo_q3,
+            min(CASE WHEN cum > (3*(n-1))//4 + 1 THEN v END) AS hi_q3
+          FROM cum GROUP BY source),
+        q AS (SELECT source, n,
+            lo_q1*4 + ((1*(n-1))%4) * (coalesce(hi_q1,lo_q1)-lo_q1)
+              AS q1q,
+            lo_med*4 + ((2*(n-1))%4) * (coalesce(hi_med,lo_med)-lo_med)
+              AS medq,
+            lo_q3*4 + ((3*(n-1))%4) * (coalesce(hi_q3,lo_q3)-lo_q3)
+              AS q3q
+          FROM f),
+        q2 AS (SELECT source, n, q1q, medq, q3q, q3q - q1q AS iqrq
+          FROM q),
+        cen AS (SELECT g.source,
+            CAST(sum(CASE WHEN g.v*8 < q2.q1q*2 - q2.iqrq*3
+              THEN g.c ELSE 0 END) AS BIGINT) AS n_low,
+            CAST(sum(CASE WHEN g.v*8 > q2.q3q*2 + q2.iqrq*3
+              THEN g.c ELSE 0 END) AS BIGINT) AS n_high
+          FROM g JOIN q2 ON g.source = q2.source GROUP BY g.source)
+        SELECT q2.source, n, CAST(q1q AS DOUBLE)/4 AS q1,
+          CAST(medq AS DOUBLE)/4 AS median, CAST(q3q AS DOUBLE)/4 AS q3,
+          CAST(iqrq AS DOUBLE)/4 AS iqr, n_low, n_high,
+          CAST(((n_low + n_high) * 1000000) // n AS DOUBLE)/1e6
+            AS outlier_frac
+        FROM q2 JOIN cen ON q2.source = cen.source ORDER BY q2.source""",
+    // same half-up cent quantization, same integer rank interpolation
+    // per quantile over the per-type value set
+    "q222_value_quantiles" ->
+      """WITH t AS (SELECT event_type,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+          FROM t GROUP BY event_type, v),
+        cum AS (SELECT event_type, v, c,
+            sum(c) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(c) OVER (PARTITION BY event_type) AS n
+          FROM g),
+        f AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+            min(CASE WHEN cum > (1*(n-1))//2 THEN v END) AS lo50,
+            min(CASE WHEN cum > (1*(n-1))//2 + 1 THEN v END) AS hi50,
+            min(CASE WHEN cum > (9*(n-1))//10 THEN v END) AS lo90,
+            min(CASE WHEN cum > (9*(n-1))//10 + 1 THEN v END) AS hi90,
+            min(CASE WHEN cum > (99*(n-1))//100 THEN v END) AS lo99,
+            min(CASE WHEN cum > (99*(n-1))//100 + 1 THEN v END) AS hi99
+          FROM cum GROUP BY event_type)
+        SELECT event_type, n,
+          CAST(lo50*2 + ((1*(n-1))%2) * (coalesce(hi50,lo50)-lo50)
+            AS DOUBLE)/2 AS p50_cents,
+          CAST(lo90*10 + ((9*(n-1))%10) * (coalesce(hi90,lo90)-lo90)
+            AS DOUBLE)/10 AS p90_cents,
+          CAST(lo99*100 + ((99*(n-1))%100) * (coalesce(hi99,lo99)-lo99)
+            AS DOUBLE)/100 AS p99_cents
+        FROM f ORDER BY event_type""",
     // same dense shard x group grid, same millionth share quantization
     // and integer TV fold
     "q219_shard_mix" ->

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantiles
+
+/** Scale-safe grouped quantiles (q221/q222): exact percentile_cont
+  * equivalence, value-set-only plan shape, Tukey fence census.
+  */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupedQuantiles equals Spark's exact percentile on every " +
+      "group and quantile (odd/even n, heavy ties)") {
+    val rows = Seq.tabulate(101)(i => ("odd", i.toLong)) ++
+      Seq.tabulate(100)(i => ("even", (i * 3).toLong)) ++
+      Seq.fill(50)(("ties", 7L)) ++ Seq.fill(50)(("ties", 11L))
+    val df = rows.toDF("g", "v").repartition(7)
+    val qs = Seq(Quantiles.Q("p25", 1, 4), Quantiles.Q("p50", 1, 2),
+      Quantiles.Q("p90", 9, 10), Quantiles.Q("p99", 99, 100))
+    val mine = Quantiles.groupedQuantiles(df, "g", "v", qs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val ref = df.groupBy("g").agg(
+        expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"),
+        expr("percentile(v, 0.9)"), expr("percentile(v, 0.99)"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    // 1e-9 tolerance: the built-in interpolates in FLOATS (0.9*(n-1)
+    // carries binary error, e.g. 267.30000000000007); the integer-rank
+    // formulation is the exact value — strictly tighter, never looser
+    assert(mine.keySet === ref.keySet)
+    mine.foreach { case (g, (a, b, c, d)) =>
+      val (ra, rb, rc, rd) = ref(g)
+      assert(math.abs(a - ra) < 1e-9 && math.abs(b - rb) < 1e-9 &&
+        math.abs(c - rc) < 1e-9 && math.abs(d - rd) < 1e-9,
+        s"$g: ($a,$b,$c,$d) vs ($ra,$rb,$rc,$rd)")
+    }
+  }
+
+  test("plan carries no percentile aggregate; windows run over the " +
+      "collapsed value set") {
+    val df = spark.range(100000)
+      .selectExpr("id % 3 AS g", "id % 97 AS v") // 97 distinct values
+    val out = Quantiles.groupedQuantiles(df, "g", "v",
+      Seq(Quantiles.Q("p50", 1, 2)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"))
+    val r = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(r.values.forall(v => v >= 0 && v <= 96))
+  }
+
+  test("outlierFences: hand case — quartiles, fences, census on the " +
+      "collapsed table") {
+    // group a: 1..11 plus outliers 100, -50; quartiles of 13 values
+    val vals = (1L to 11L) ++ Seq(100L, -50L)
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val out = Quantiles.outlierFences(df, "g", "v").collect().head
+    // sorted: -50,1..11,100 (n=13): q1 idx 3 -> 3; med idx 6 -> 6;
+    // q3 idx 9 -> 9; iqr 6; fences [-6, 18]
+    assert(out.getAs[Long]("n") === 13L)
+    assert(out.getAs[Double]("q1") === 3.0)
+    assert(out.getAs[Double]("median") === 6.0)
+    assert(out.getAs[Double]("q3") === 9.0)
+    assert(out.getAs[Double]("iqr") === 6.0)
+    assert(out.getAs[Long]("n_low") === 1L)   // -50
+    assert(out.getAs[Long]("n_high") === 1L)  // 100
+  }
+
+  test("outlierFences: fractional-quarter fences stay exact") {
+    // n=6 values 0,10,20,30,40,1000: q1 = 12.5, q3 = 37.5, iqr = 25
+    // fences [-25, 75] -> only 1000 is high
+    val df = Seq(0L, 10L, 20L, 30L, 40L, 1000L).map(("a", _))
+      .toDF("g", "v")
+    val out = Quantiles.outlierFences(df, "g", "v").collect().head
+    assert(out.getAs[Double]("q1") === 12.5)
+    assert(out.getAs[Double]("q3") === 37.5)
+    assert(out.getAs[Long]("n_low") === 0L)
+    assert(out.getAs[Long]("n_high") === 1L)
+    assert(out.getAs[Double]("outlier_frac") === 0.166666)
+  }
+}
