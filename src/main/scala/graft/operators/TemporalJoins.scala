@@ -196,6 +196,63 @@ object TemporalJoins {
         (col("e.s").cast("double") / 1e6).as("ewma"))
   }
 
+  /** Two-sided CUSUM changepoint detection (q223) over a key's daily
+    * event volumes — the Page (1954) sequential test the EWMA trend
+    * (q201) and the MAD hourly anomalies (q38-family) don't give: EWMA
+    * shows drift, MAD flags single outlier buckets, CUSUM detects a
+    * SUSTAINED small shift (a 15% volume drop spread over a week that
+    * no single day makes alarming) and names the day the evidence
+    * crossed the line. S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ − k) accumulates
+    * upward drift, S⁻ₜ the mirror; alarm when either exceeds h.
+    * Textbook tuning baked in: allowance k = μ/`kDiv` (default half a
+    * 20% shift), threshold h = `hMult`·μ.
+    *
+    * Exact integer staging: counts scale to millionths, μ₆ = ⌊Σn·10⁶/d⌋,
+    * and the whole recurrence folds in BIGINTs — engine-portable
+    * bit-for-bit (the oracle replays it as a recursive CTE).
+    *
+    * Scale shape = [[ewmaTrend]]'s: one map-side-combined (key, day)
+    * count, then one aggregate-fold per key over ≤|days| structs —
+    * state bounded by the calendar, never event volume.
+    */
+  def cusum(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", kDiv: Int = 10, hMult: Int = 5): DataFrame = {
+    val daily = events.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"))
+      .withColumn("mu6", expr("s * 1000000 div n_days"))
+      .withColumn("k6", expr(s"mu6 div $kDiv"))
+      .withColumn("h6", expr(s"$hMult * mu6"))
+    val packed = daily.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("ds"))
+      .join(broadcast(stats), keyCol)
+    val folded = packed.withColumn("es",
+      expr("""aggregate(ds,
+          CAST(array() AS ARRAY<STRUCT<day: DATE, sp: BIGINT, sn: BIGINT>>),
+          (acc, x) -> array_append(acc, struct(x.day AS day,
+            greatest(CAST(0 AS BIGINT),
+              CASE WHEN size(acc) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE element_at(acc, -1).sp END
+                + x.n * 1000000L - mu6 - k6) AS sp,
+            greatest(CAST(0 AS BIGINT),
+              CASE WHEN size(acc) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE element_at(acc, -1).sn END
+                + mu6 - x.n * 1000000L - k6) AS sn)))"""))
+    folded
+      .withColumn("cusum_max6",
+        expr("array_max(transform(es, x -> greatest(x.sp, x.sn)))"))
+      .withColumn("first_alarm",
+        expr("try_element_at(filter(es, x -> greatest(x.sp, x.sn) > h6)" +
+          ", 1).day"))
+      .select(col(keyCol), col("n_days"),
+        (col("mu6").cast("double") / 1e6).as("mean_daily"),
+        (col("cusum_max6").cast("double") / 1e6).as("cusum_max"),
+        col("first_alarm"),
+        when(col("first_alarm").isNull, "stable").otherwise("alarm")
+          .as("verdict"))
+  }
+
   /** Event-flow transition matrix (q198): the Markov view of the event
     * stream — for every ordered pair of CONSECUTIVE events of the same
     * user, a (from, to) count and the row-normalized transition

@@ -604,6 +604,12 @@ object LlmOps {
       graft.operators.TemporalJoins.conversionLatency(Tables.events(s, d))
         .orderBy(col("step"))),
 
+    // two-sided CUSUM changepoint scan over daily volumes per event
+    // type: exact integer recurrence, alarm day named
+    "q223_cusum" -> ((s, d) =>
+      graft.operators.TemporalJoins.cusum(Tables.events(s, d))
+        .orderBy(col("event_type"))),
+
     // Tukey outlier fences per source over token counts: exact
     // quarter-unit quartiles via the value-set collapse, integer fence
     // comparisons, collapsed-table census
@@ -4471,6 +4477,47 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // same daily counts, same integer millionth CUSUM recurrence
+    // replayed as a recursive CTE, same k/h tuning
+    "q223_cusum" ->
+      """WITH RECURSIVE dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(n) AS BIGINT) AS s
+            FROM dc GROUP BY event_type),
+        mm AS (SELECT event_type, n_days,
+              (s * 1000000) // n_days AS mu6,
+              ((s * 1000000) // n_days) // 10 AS k6,
+              5 * ((s * 1000000) // n_days) AS h6
+            FROM m),
+        r AS (SELECT dc.event_type, day, n, row_number() OVER
+              (PARTITION BY dc.event_type ORDER BY day) AS rn
+            FROM dc),
+        e AS (SELECT r.event_type, r.day, r.rn,
+              greatest(0, r.n * 1000000 - mm.mu6 - mm.k6) AS sp,
+              greatest(0, mm.mu6 - r.n * 1000000 - mm.k6) AS sn
+            FROM r JOIN mm ON r.event_type = mm.event_type WHERE rn = 1
+          UNION ALL
+          SELECT r.event_type, r.day, r.rn,
+              greatest(0, e.sp + r.n * 1000000 - mm.mu6 - mm.k6),
+              greatest(0, e.sn + mm.mu6 - r.n * 1000000 - mm.k6)
+            FROM r JOIN e ON r.event_type = e.event_type
+              AND r.rn = e.rn + 1
+            JOIN mm ON mm.event_type = r.event_type),
+        a AS (SELECT e.event_type,
+              CAST(max(greatest(sp, sn)) AS BIGINT) AS mx,
+              min(CASE WHEN greatest(sp, sn) > mm.h6 THEN day END)
+                AS first_alarm
+            FROM e JOIN mm ON e.event_type = mm.event_type
+            GROUP BY e.event_type)
+        SELECT mm.event_type, mm.n_days,
+          CAST(mm.mu6 AS DOUBLE) / 1e6 AS mean_daily,
+          CAST(a.mx AS DOUBLE) / 1e6 AS cusum_max, a.first_alarm,
+          CASE WHEN a.first_alarm IS NULL THEN 'stable' ELSE 'alarm' END
+            AS verdict
+        FROM mm JOIN a ON mm.event_type = a.event_type
+        ORDER BY mm.event_type""",
     // same value-set collapse, same quarter-unit quartile staging and
     // integer 8x fence comparisons over the collapsed table
     "q221_length_fences" ->

@@ -170,6 +170,35 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(r("view->click") === ((100000L, 50.0005, 90.0001)))
   }
 
+  test("cusum: sustained shift alarms on the exact crossing day, " +
+      "stable stays quiet, mirror shift trips the S- side") {
+    import java.sql.Timestamp
+    def rows(et: String, daily: Seq[Int]): Seq[(Long, Timestamp, Long, String)] =
+      daily.zipWithIndex.flatMap { case (n, d) =>
+        (1 to n).map(i => (d * 10000L + i,
+          Timestamp.valueOf(f"2024-01-${d + 1}%02d 10:00:00"),
+          i.toLong, et))
+      }
+    // steady: 10/day x 20 -> S+ = S- = 0 throughout (x = mu exactly)
+    // up: 10/day x 10 then 100/day x 10. mu = 55, k = 5.5, h = 275.
+    //   The mean is GLOBAL, so the low half itself drifts: S- gains
+    //   55 - 5.5 - 10 = 39.5/day from day 1 and crosses 275 on day 7
+    //   (39.5 * 7 = 276.5) -> first_alarm Jan 07; S- peaks at 395 on
+    //   day 10, and the high half pushes S+ to the same 395 by day 20
+    // down: the exact mirror (S+ trips first) -> Jan 07 too
+    val ev = (rows("steady", Seq.fill(20)(10)) ++
+      rows("up", Seq.fill(10)(10) ++ Seq.fill(10)(100)) ++
+      rows("down", Seq.fill(10)(100) ++ Seq.fill(10)(10)))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.TemporalJoins.cusum(ev).collect()
+      .map(r => r.getString(0) -> ((r.getString(5),
+        Option(r.getDate(4)).map(_.toString), r.getDouble(3)))).toMap
+    assert(out("steady")._1 === "stable" && out("steady")._2 === None)
+    assert(out("steady")._3 === 0.0)
+    assert(out("up") === (("alarm", Some("2024-01-07"), 395.0)))
+    assert(out("down") === (("alarm", Some("2024-01-07"), 395.0)))
+  }
+
   test("retention: first-touch cohorts, exact fractions, offset-0 = 1") {
     import java.sql.Timestamp
     def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
