@@ -595,4 +595,55 @@ object EvalOps {
         (expr("u2 * 1000000 div (2 * tp * tn)").cast("double") / 1e6)
           .as("auc"))
   }
+
+  /** Split-conformal calibration (q226) — the distribution-free
+    * selective-prediction guarantee (Vovk et al.; Angelopoulos & Bates
+    * 2021 tutorial formulation): from a calibration split's integral
+    * nonconformity scores, q̂ = the k-th smallest with
+    * k = ⌈(n+1)(1−α)⌉, and any future example accepted iff its score
+    * ≤ q̂ is covered with probability ≥ 1−α — no model or
+    * distributional assumption. The holdout coverage column is the
+    * finite-sample audit of that guarantee (≈ 1−α up to ±O(1/√n)).
+    *
+    * q̂ is an exact ORDER STATISTIC (no interpolation — the conformal
+    * guarantee needs the ceiling rank, not a smoothed quantile):
+    * k = ((n+1)·(den−num) + den − 1) div den in exact integers, capped
+    * at n (α smaller than 1/(n+1) has no finite guarantee; the cap
+    * makes q̂ the max score — the honest degenerate answer). Per-group
+    * value-set collapse + one value-set window; the holdout census
+    * joins the |groups|-row threshold table broadcast onto the
+    * COLLAPSED test value table.
+    */
+  def conformalThreshold(df: DataFrame, groupCol: String,
+      scoreCol: String, calCol: String, alphaNum: Int = 1,
+      alphaDen: Int = 10): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen)
+    val g = df.groupBy(col(groupCol).as("_g"), col(scoreCol).as("_v"))
+      .agg(sum(when(col(calCol), 1L).otherwise(0L)).as("_cc"),
+        sum(when(!col(calCol), 1L).otherwise(0L)).as("_tc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = g.withColumn("_cum", sum(col("_cc")).over(w))
+      .withColumn("_n", sum(col("_cc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))))
+    val k = expr(s"least(_n, ((_n + 1) * ${alphaDen - alphaNum} " +
+      s"+ $alphaDen - 1) div $alphaDen)")
+    val fences = cum.withColumn("_k", k)
+      .groupBy(col("_g"))
+      .agg(max(col("_n")).as("n_cal"), max(col("_k")).as("k"),
+        min(when(col("_cum") >= col("_k"), col("_v"))).as("qhat"))
+    g.join(broadcast(fences), "_g")
+      .groupBy(col("_g"))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+        max(col("qhat")).as("qhat"),
+        sum(col("_tc")).as("n_test"),
+        sum(when(col("_v") <= col("qhat"), col("_tc")).otherwise(0L))
+          .as("_cov"))
+      .select(col("_g").as(groupCol), col("n_cal"), col("k"),
+        col("qhat"), col("n_test"),
+        (expr("_cov * 1000000 div n_test").cast("double") / 1e6)
+          .as("coverage"))
+  }
 }

@@ -85,4 +85,50 @@ object ScalePatterns {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Key-skew diagnosis (q225) — the report a planner reads BEFORE
+    * picking [[saltedJoin]]/[[saltedAgg]] factors: per keyed relation,
+    * the key-frequency Gini coefficient, the heaviest key's row share,
+    * and the recommended salt factor (how many ways the hot key must
+    * split so no task exceeds an average partition's share). The
+    * advice the engine's skew helpers otherwise leave to folklore,
+    * computed from the data.
+    *
+    * Exact staging with NO corpus-sized window: key counts collapse to
+    * a frequencies-of-frequencies table (count value c → m keys), the
+    * only window runs over DISTINCT count values, and the tied-rank
+    * Gini fold is closed-form per class — keys ranked ascending, a
+    * class at cumulative rank R with m keys and count c contributes
+    * c·m·(2R + m − n) to the numerator; gini₆ = ⌊Σ·10⁶/(n·S)⌋ with
+    * n = keys, S = rows. Overflow bound: c·m·2n per class needs
+    * S·n < 4.6·10¹⁸ — past that lift the fold to DECIMAL(38,0).
+    * salt_factor = ⌈top_count·parts/S⌉ (1 = no salting needed);
+    * verdict `salt` exactly when the top key exceeds an average
+    * partition (top_count·parts > S).
+    */
+  def keySkewReport(df: DataFrame, key: String,
+      parts: Int = 32): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val fof = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val tot = fof.agg(sum(col("m")).as("nk"),
+      sum(col("c") * col("m")).as("s"), max(col("c")).as("top_count"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    fof.withColumn("r", coalesce(sum(col("m")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("nk")).as("n_keys"), max(col("s")).as("n_rows"),
+        max(col("top_count")).as("top_count"),
+        sum(expr("c * m * (2 * r + m - nk)")).as("gnum"))
+      .select(col("n_keys"), col("n_rows"), col("top_count"),
+        (expr("top_count * 1000000 div n_rows").cast("double") / 1e6)
+          .as("top_share"),
+        (expr("gnum * 1000000 div (n_keys * n_rows)").cast("double")
+          / 1e6).as("gini"),
+        greatest(lit(1L),
+          expr(s"(top_count * $parts + n_rows - 1) div n_rows"))
+          .as("salt_factor"),
+        when(expr(s"top_count * $parts > n_rows"), "salt")
+          .otherwise("even").as("verdict"))
+  }
 }

@@ -604,6 +604,37 @@ object LlmOps {
       graft.operators.TemporalJoins.conversionLatency(Tables.events(s, d))
         .orderBy(col("step"))),
 
+    // key-skew diagnosis: freq-of-freq Gini + top-key share + salt
+    // recommendation over three differently-shaped keyed relations
+    "q225_key_skew" -> ((s, d) => {
+      val sp = graft.operators.ScalePatterns
+      def rep(df: org.apache.spark.sql.DataFrame, key: String,
+          label: String) =
+        sp.keySkewReport(df, key).withColumn("relation", lit(label))
+      rep(Tables.events(s, d), "user_id", "events.user_id")
+        .unionByName(rep(Tables.events(s, d), "event_type",
+          "events.event_type"))
+        .unionByName(rep(Tables.lineitem(s, d), "l_orderkey",
+          "lineitem.l_orderkey"))
+        .select(col("relation"), col("n_keys"), col("n_rows"),
+          col("top_count"), col("top_share"), col("gini"),
+          col("salt_factor"), col("verdict"))
+        .orderBy(col("relation"))
+    }),
+
+    // split-conformal threshold per source over n_chars nonconformity:
+    // exact ceiling-rank order statistic + holdout coverage audit
+    "q226_conformal" -> ((s, d) => {
+      val h =
+        ((col("doc_id") % 2147483648L) * 2654435761L) % 2147483647L
+      graft.operators.EvalOps.conformalThreshold(
+          Tables.fanout(Tables.documents(s, d))
+            .withColumn("cal", h % 2 === 0)
+            .withColumn("nc", col("n_chars").cast("long")),
+          "source", "nc", "cal")
+        .orderBy(col("source"))
+    }),
+
     // two-sided CUSUM changepoint scan over daily volumes per event
     // type: exact integer recurrence, alarm day named
     "q223_cusum" -> ((s, d) =>
@@ -4477,6 +4508,84 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // same freq-of-freq collapse, same closed-form tied-rank Gini fold
+    // and salt arithmetic per relation
+    "q225_key_skew" ->
+      """WITH c1 AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1),
+        f1 AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c1 GROUP BY c),
+        w1 AS (SELECT c, m, coalesce(sum(m) OVER (ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+          FROM f1),
+        t1 AS (SELECT CAST(sum(m) AS BIGINT) AS nk,
+            CAST(sum(c*m) AS BIGINT) AS s, CAST(max(c) AS BIGINT) AS topc
+          FROM f1),
+        g1 AS (SELECT nk, s, topc,
+            CAST(sum(c*m*(2*r + m - nk)) AS BIGINT) AS gnum
+          FROM w1, t1 GROUP BY nk, s, topc),
+        c2 AS (SELECT event_type AS k, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1),
+        f2 AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c2 GROUP BY c),
+        w2 AS (SELECT c, m, coalesce(sum(m) OVER (ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+          FROM f2),
+        t2 AS (SELECT CAST(sum(m) AS BIGINT) AS nk,
+            CAST(sum(c*m) AS BIGINT) AS s, CAST(max(c) AS BIGINT) AS topc
+          FROM f2),
+        g2 AS (SELECT nk, s, topc,
+            CAST(sum(c*m*(2*r + m - nk)) AS BIGINT) AS gnum
+          FROM w2, t2 GROUP BY nk, s, topc),
+        c3 AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1),
+        f3 AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c3 GROUP BY c),
+        w3 AS (SELECT c, m, coalesce(sum(m) OVER (ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+          FROM f3),
+        t3 AS (SELECT CAST(sum(m) AS BIGINT) AS nk,
+            CAST(sum(c*m) AS BIGINT) AS s, CAST(max(c) AS BIGINT) AS topc
+          FROM f3),
+        g3 AS (SELECT nk, s, topc,
+            CAST(sum(c*m*(2*r + m - nk)) AS BIGINT) AS gnum
+          FROM w3, t3 GROUP BY nk, s, topc),
+        u AS (
+          SELECT 'events.user_id' AS relation, * FROM g1
+          UNION ALL SELECT 'events.event_type', * FROM g2
+          UNION ALL SELECT 'lineitem.l_orderkey', * FROM g3)
+        SELECT relation, nk AS n_keys, s AS n_rows, topc AS top_count,
+          CAST((topc*1000000)//s AS DOUBLE)/1e6 AS top_share,
+          CAST((gnum*1000000)//(nk*s) AS DOUBLE)/1e6 AS gini,
+          CAST(greatest(1, (topc*32 + s - 1)//s) AS BIGINT)
+            AS salt_factor,
+          CASE WHEN topc*32 > s THEN 'salt' ELSE 'even' END AS verdict
+        FROM u ORDER BY relation""",
+    // same ceiling-rank k, same order-statistic threshold and holdout
+    // census over the collapsed value table
+    "q226_conformal" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 % 2 = 0
+              AS cal
+          FROM documents),
+        g AS (SELECT source, v,
+            CAST(sum(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+            CAST(sum(CASE WHEN cal THEN 0 ELSE 1 END) AS BIGINT) AS tc
+          FROM d GROUP BY source, v),
+        cum AS (SELECT source, v, cc, tc,
+            sum(cc) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cc) OVER (PARTITION BY source) AS n
+          FROM g),
+        f AS (SELECT source, CAST(max(n) AS BIGINT) AS n_cal,
+            CAST(max(least(n, ((n + 1) * 9 + 9) // 10)) AS BIGINT) AS k,
+            min(CASE WHEN cum >= least(n, ((n + 1) * 9 + 9) // 10)
+              THEN v END) AS qhat
+          FROM cum GROUP BY source),
+        cov AS (SELECT g.source, CAST(sum(tc) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN g.v <= f.qhat THEN tc ELSE 0 END)
+              AS BIGINT) AS covd
+          FROM g JOIN f ON g.source = f.source GROUP BY g.source)
+        SELECT f.source, n_cal, k, qhat, n_test,
+          CAST((covd * 1000000) // n_test AS DOUBLE) / 1e6 AS coverage
+        FROM f JOIN cov ON f.source = cov.source ORDER BY f.source""",
     // same daily counts, same integer millionth CUSUM recurrence
     // replayed as a recursive CTE, same k/h tuning
     "q223_cusum" ->

@@ -346,4 +346,37 @@ class EvalOpsSpec extends SparkSpec {
       "score", "pos").collect().head
     assert(a1 === ((a2.getLong(0), a2.getLong(1), a2.getDouble(2))))
   }
+
+  test("conformalThreshold: ceiling-rank order statistic, degenerate " +
+      "cap, holdout coverage census") {
+    // group a: cal scores 1..19 -> k = ceil(20*0.9) = 18, qhat = 18;
+    // test scores 1..20 -> coverage 18/20 = 0.9
+    val a = (1L to 19L).map(v => ("a", v, true)) ++
+      (1L to 20L).map(v => ("a", v, false))
+    // group b: 5 cal scores -> k = ceil(6*0.9) = 6 > 5 -> capped at 5,
+    // qhat = max cal score 50; all 4 test scores <= 50 -> coverage 1.0
+    val b = Seq(10L, 20L, 30L, 40L, 50L).map(v => ("b", v, true)) ++
+      Seq(5L, 15L, 45L, 50L).map(v => ("b", v, false))
+    val out = EvalOps.conformalThreshold(
+        (a ++ b).toDF("g", "v", "cal").repartition(7), "g", "v", "cal")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("a") === ((19L, 18L, 18L, 20L, 0.9)))
+    assert(out("b") === ((5L, 5L, 50L, 4L, 1.0)))
+  }
+
+  test("conformalThreshold holds its 1-alpha guarantee on an exchangeable " +
+      "split") {
+    // 2000 iid-ish scores hash-split 50/50: empirical holdout coverage
+    // must land near 0.9 (exchangeability => within a few percent)
+    val rows = (1 to 2000).map { i =>
+      val h = (i * 2654435761L) % 2147483647L
+      ("g", h % 1000L, h % 2 == 0)
+    }
+    val out = EvalOps.conformalThreshold(
+        rows.toDF("g", "v", "cal"), "g", "v", "cal")
+      .collect().head
+    val cov = out.getDouble(5)
+    assert(cov >= 0.85 && cov <= 0.95, s"coverage $cov")
+  }
 }

@@ -97,4 +97,37 @@ class ScalePatternsSpec extends SparkSpec {
       .orderBy($"doc_id").collect()
     assert(naive.toSeq === twoPass.toSeq)
   }
+
+  test("keySkewReport: uniform keys read even/gini 0, one hot key " +
+      "flips the verdict with the right salt factor") {
+    import graft.operators.ScalePatterns
+    // uniform: 64 keys x 4 rows -> gini 0, top_share 1/64, salt 1
+    val uni = (0L until 256L).map(i => i % 64).toDF("k")
+    val u = ScalePatterns.keySkewReport(uni, "k").collect().head
+    assert(u.getAs[Long]("n_keys") === 64L)
+    assert(u.getAs[Double]("gini") === 0.0)
+    assert(u.getAs[Long]("salt_factor") === 1L)
+    assert(u.getAs[String]("verdict") === "even")
+    // hot: one key holds half the rows (128 of 256, 63 keys share rest)
+    val hot = ((0L until 128L).map(_ => 0L) ++
+      (0L until 128L).map(i => 1L + i % 63)).toDF("k")
+    val h = ScalePatterns.keySkewReport(hot, "k", parts = 32)
+      .collect().head
+    assert(h.getAs[Long]("top_count") === 128L)
+    assert(h.getAs[Double]("top_share") === 0.5)
+    // top key needs ceil(128*32/256) = 16 salt splits
+    assert(h.getAs[Long]("salt_factor") === 16L)
+    assert(h.getAs[String]("verdict") === "salt")
+    assert(h.getAs[Double]("gini") > 0.4)
+  }
+
+  test("keySkewReport gini matches the textbook per-key formula") {
+    import graft.operators.ScalePatterns
+    // counts 1,2,3,4 over 4 keys: G = sum((2i-n-1)x_i)/(n*S)
+    //   = (-3*1 + -1*2 + 1*3 + 3*4)/(4*10) = 10/40 = 0.25
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(4)("d")).toDF("k")
+    val g = ScalePatterns.keySkewReport(df, "k").collect().head
+    assert(g.getAs[Double]("gini") === 0.25)
+  }
 }
