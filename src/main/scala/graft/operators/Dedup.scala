@@ -938,4 +938,42 @@ object Dedup {
       .select(col("ca"), col("sa"), col("cb"), col("sb"),
         (col("ca") === col("cb") && col("sa") === col("sb")).as("same"))
   }
+
+  /** LSH band-tuning table (q228) — the parameter-selection report
+    * behind every MinHash deployment: for each banding of a k-hash
+    * signature, the measured candidate volume (the COST: pairs the
+    * verifier must score) against the measured recall of true
+    * near-dup pairs (the QUALITY: banding theory says a pair at
+    * similarity s survives with p = 1−(1−s^r)^b, so fewer, longer
+    * bands are cheap and blind; more, shorter bands are thorough and
+    * expensive). Ground truth is the exact prefix-filtered Jaccard
+    * join — this table is how you pick bands for YOUR corpus instead
+    * of trusting the formula's iid assumptions.
+    *
+    * Driver-side loop over |bandConfigs| (bounded, documented):
+    * each config is one portable-LSH pass with verification threshold
+    * 0 (candidates keep their exact verified Jaccard), so n_cand and
+    * n_found come from the same frame. recall₆ is an exact integer
+    * millionth; found ⊆ true by construction (same shingle sets, same
+    * quantized Jaccard), so recall ≤ 1 always.
+    */
+  def lshTuningTable(df: DataFrame, n: Int = 3, k: Int = 16,
+      bandConfigs: Seq[Int] = Seq(2, 4, 8),
+      threshold: Double = 0.8): DataFrame = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(k % _ == 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val truth = ngramJaccardPairs(df, n, threshold)
+    val nTrue = truth.count()
+    val rows = bandConfigs.sorted.map { b =>
+      val cands = minhashLshPairsPortable(df, n, k, b, threshold = 0.0)
+      val nCand = cands.count()
+      val nFound = cands.filter(col("jaccard") >= threshold).count()
+      val recall =
+        if (nTrue == 0L) 1.0 else (nFound * 1000000L / nTrue).toDouble / 1e6
+      (b.toLong, (k / b).toLong, nTrue, nCand, nFound, recall)
+    }
+    rows.toDF("bands", "rows_per_band", "n_true", "n_cand", "n_found",
+      "recall")
+  }
 }

@@ -475,4 +475,52 @@ object TextAnalysis {
       size(wsTokens(col(textCol))).cast("long").as("n_tokens"),
       emb.as("emb"))
   }
+
+  /** Code-likeness gate (q227) — the prose/code router a pretraining
+    * mixture needs BEFORE weighting (code belongs in the corpus, but at
+    * a chosen rate and through code-specific cleaning, not the prose
+    * gates: Gopher's stopword/punctuation rules mis-score source files
+    * wholesale). Five row-local signals, each an exact millionth ratio:
+    * symbol-char density ({};()=<>[]), semicolon-terminated line
+    * fraction, indented-line fraction, bounded keyword hits
+    * (def/class/return/import/function/var/val/if/for/while), bounded
+    * camelCase-token hits. The composite is an integer fold —
+    * code₆ = min(10⁶, (2·sym₆ + 2·semi₆ + ind₆)/5 + 25000·min(kw,20)
+    * + 15000·min(camel,20)) — with `is_code` at the 0.30 operating
+    * point. Weights are heuristic by design (it's a GATE, not a
+    * classifier); the spec pins the operating point on planted
+    * code/prose fixtures. Zero shuffle; line splitting uses
+    * startswith/endswith, not regex, so both engines tokenize lines
+    * identically.
+    */
+  def codeScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val kwPat = "\\b(def|class|return|import|function|var|val|if|for|while)\\b"
+    val camelPat = "\\b[a-z]+[A-Z][A-Za-z0-9]*\\b"
+    val staged = df
+      .withColumn("_nc", greatest(length(col(textCol)), lit(1)))
+      .withColumn("_sym", length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[{}();=<>\\[\\]]", "")))
+      .withColumn("_ln", split(col(textCol), "\n"))
+      .withColumn("_nl", greatest(size(col("_ln")), lit(1)))
+      .withColumn("_semi",
+        size(filter(col("_ln"), x => x.endsWith(";"))))
+      .withColumn("_ind",
+        size(filter(col("_ln"),
+          x => x.startsWith("  ") || x.startsWith("\t"))))
+      .withColumn("_kw",
+        size(regexp_extract_all(col(textCol), lit(kwPat), lit(0))))
+      .withColumn("_camel",
+        size(regexp_extract_all(col(textCol), lit(camelPat), lit(0))))
+    staged
+      .withColumn("sym6", expr("cast(_sym as bigint) * 1000000 div _nc"))
+      .withColumn("semi6", expr("cast(_semi as bigint) * 1000000 div _nl"))
+      .withColumn("ind6", expr("cast(_ind as bigint) * 1000000 div _nl"))
+      .withColumn("code6", expr(
+        "least(cast(1000000 as bigint), (2 * sym6 + 2 * semi6 + ind6) " +
+          "div 5 + least(cast(_kw as bigint), 20) * 25000 " +
+          "+ least(cast(_camel as bigint), 20) * 15000)"))
+      .withColumn("code_score", col("code6").cast("double") / 1e6)
+      .withColumn("is_code", col("code6") >= 300000L)
+      .drop("_nc", "_sym", "_ln", "_nl", "_semi", "_ind", "_kw", "_camel")
+  }
 }

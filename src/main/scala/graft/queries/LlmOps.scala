@@ -604,6 +604,30 @@ object LlmOps {
       graft.operators.TemporalJoins.conversionLatency(Tables.events(s, d))
         .orderBy(col("step"))),
 
+    // code-likeness gate: five exact millionth signals + integer
+    // composite over a planted code-snippet slice
+    "q227_code_detect" -> ((s, d) => {
+      val h =
+        ((col("doc_id") % 2147483648L) * 2654435761L) % 2147483647L
+      val snippet = "\ndef compute(x):\n    return x * 2;\n" +
+        "class FooBar:\n    val camelCaseVar = compute(42);"
+      val docs = Tables.fanout(Tables.documents(s, d))
+        .withColumn("text", when(h % 5 === 0,
+          concat(col("text"), lit(snippet))).otherwise(col("text")))
+      graft.operators.TextAnalysis.codeScore(docs)
+        .select(col("doc_id"), col("sym6"), col("semi6"), col("ind6"),
+          col("code6"), col("code_score"), col("is_code"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH band-tuning table: candidate volume vs measured recall of the
+    // exact near-dup pairs for 2/4/8-band splits of the 16-hash
+    // portable signature
+    "q228_lsh_tuning" -> ((s, d) =>
+      graft.operators.Dedup.lshTuningTable(
+          Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("bands"))),
+
     // key-skew diagnosis: freq-of-freq Gini + top-key share + salt
     // recommendation over three differently-shaped keyed relations
     "q225_key_skew" -> ((s, d) => {
@@ -1869,6 +1893,86 @@ object LlmOps {
          SELECT da AS doc_a, db AS doc_b, jaccard
          FROM jac WHERE jaccard >= 0.8
          ORDER BY doc_a, doc_b"""
+
+  /** q228 oracle: the q101 portable signature chain re-banded per
+    * config; candidates LEFT-join their common-shingle counts so
+    * zero-overlap band collisions still count as candidates (the
+    * engine's verify-at-threshold-0 keeps them too). Truth = the
+    * brute-force shingle self-join.
+    */
+  private val lshTuningSql: String = {
+    val P = graft.operators.Dedup.PortableP
+    def cfg(bands: Int): String = {
+      val rows = 16 / bands
+      val bandSelects = (0 until bands).map { b =>
+        val key = (b * rows until (b + 1) * rows).map(i => s"h$i")
+          .reduce((acc, h) => s"(($acc) * 31 + $h) % $P")
+        s"SELECT doc_id, $b AS band, ($key) AS bkey FROM sig"
+      }.mkString("\n            UNION ALL ")
+      s"""bk$bands AS ($bandSelects),
+         cand$bands AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bk$bands a JOIN bk$bands b ON a.band = b.band
+              AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         cm$bands AS (SELECT da, db, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT cand.da, cand.db, sa.s
+              FROM cand$bands cand
+              JOIN sh sa ON sa.doc_id = cand.da
+              JOIN sh sb ON sb.doc_id = cand.db AND sb.s = sa.s) t
+            GROUP BY da, db),
+         jac$bands AS (SELECT c2.da, c2.db,
+              floor(1.0*coalesce(cm.c, 0)
+                /(sa.n + sb.n - coalesce(cm.c, 0))*10000)/10000 AS j
+            FROM cand$bands c2
+            LEFT JOIN cm$bands cm ON cm.da = c2.da AND cm.db = c2.db
+            JOIN sizes sa ON c2.da = sa.doc_id
+            JOIN sizes sb ON c2.db = sb.doc_id),
+         agg$bands AS (SELECT $bands AS bands, $rows AS rows_per_band,
+              CAST(count(*) AS BIGINT) AS n_cand,
+              CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_found
+            FROM jac$bands)"""
+    }
+    val mins = (0 until 16).map(i =>
+      s"min((b*${2L * i + 3} + ${7919L * i + 1}) % $P) AS h$i")
+      .mkString(",\n                ")
+    s"""WITH docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         hb AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(s),1,8) AS BIGINT) AS b
+                FROM sh),
+         sig AS (SELECT doc_id,
+                $mins
+            FROM hb GROUP BY doc_id),
+         tcm AS (SELECT a.doc_id AS da, b.doc_id AS db,
+              CAST(count(*) AS BIGINT) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+         truth AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM (
+            SELECT da FROM tcm
+            JOIN sizes sa ON da = sa.doc_id
+            JOIN sizes sb ON db = sb.doc_id
+            WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8) t),
+         ${cfg(2)},
+         ${cfg(4)},
+         ${cfg(8)},
+         u AS (SELECT * FROM agg2 UNION ALL SELECT * FROM agg4
+               UNION ALL SELECT * FROM agg8)
+         SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           truth.n_true, u.n_cand, u.n_found,
+           CASE WHEN truth.n_true = 0 THEN 1.0
+             ELSE CAST((u.n_found * 1000000) // truth.n_true AS DOUBLE)
+               / 1e6 END AS recall
+         FROM u, truth ORDER BY bands"""
+  }
 
   /** q110 oracle: the q101 candidate chain re-gated by levenshtein
     * similarity on the candidate texts (jaccard kept, not filtered).
@@ -4508,6 +4612,50 @@ object LlmOps {
     "q204_unsafe_gate" -> unsafeGateOracle,
     // same boost fixture, same quality-score arithmetic as q32, then the
     // score-collapsed rank-sum with doubled tie half-credit
+    // same planted snippet, same five millionth signals (LIKE-based
+    // line predicates, regex keyword/camel counts), same composite
+    "q227_code_detect" ->
+      """WITH d AS (SELECT doc_id,
+            CASE WHEN ((doc_id % 2147483648) * 2654435761)
+                % 2147483647 % 5 = 0
+              THEN text || chr(10) || 'def compute(x):' || chr(10)
+                || '    return x * 2;' || chr(10) || 'class FooBar:'
+                || chr(10) || '    val camelCaseVar = compute(42);'
+              ELSE text END AS t2
+          FROM documents),
+        s AS (SELECT doc_id,
+            greatest(length(t2), 1) AS nc,
+            length(t2) - length(regexp_replace(t2,
+              '[{}();=<>\[\]]', '', 'g')) AS sym,
+            string_split(t2, chr(10)) AS lns,
+            len(regexp_extract_all(t2,
+              '\b(def|class|return|import|function|var|val|if|for|while)\b'))
+              AS kw,
+            len(regexp_extract_all(t2,
+              '\b[a-z]+[A-Z][A-Za-z0-9]*\b')) AS camel
+          FROM d),
+        s2 AS (SELECT doc_id, nc, sym, kw, camel,
+            greatest(len(lns), 1) AS nl,
+            len(list_filter(lns, x -> x LIKE '%;')) AS nsemi,
+            len(list_filter(lns, x -> x LIKE '  %'
+              OR x LIKE chr(9) || '%')) AS nind
+          FROM s),
+        s3 AS (SELECT doc_id,
+            (CAST(sym AS BIGINT) * 1000000) // nc AS sym6,
+            (CAST(nsemi AS BIGINT) * 1000000) // nl AS semi6,
+            (CAST(nind AS BIGINT) * 1000000) // nl AS ind6,
+            kw, camel
+          FROM s2),
+        s4 AS (SELECT doc_id, sym6, semi6, ind6,
+            least(1000000, (2*sym6 + 2*semi6 + ind6) // 5
+              + least(CAST(kw AS BIGINT), 20) * 25000
+              + least(CAST(camel AS BIGINT), 20) * 15000) AS code6
+          FROM s3)
+        SELECT doc_id, sym6, semi6, ind6, code6,
+          CAST(code6 AS DOUBLE) / 1e6 AS code_score,
+          code6 >= 300000 AS is_code
+        FROM s4 ORDER BY doc_id""",
+    "q228_lsh_tuning" -> lshTuningSql,
     // same freq-of-freq collapse, same closed-form tied-rank Gini fold
     // and salt arithmetic per relation
     "q225_key_skew" ->
