@@ -156,7 +156,21 @@ object PlanDump {
     "q213_retention" ->
       "Cohort retention: (user, week) distinct with map-side partials, min-agg cohorts, one user-keyed join back, broadcast cohort sizes — the matrix is |weeks|^2 rows.",
     "q216_pr_auc" ->
-      "PR-AUC: corpus collapses to the score value set before the single descending cumulative window; AP is one more aggregation over that tiny table.")
+      "PR-AUC: corpus collapses to the score value set before the single descending cumulative window; AP is one more aggregation over that tiny table.",
+    "q217_conversion_lag" ->
+      "Conversion latency: first-touch min-agg, per-hop user-keyed equi-joins, (step, lat_ms) value-set collapse — the only window and the interpolation run over the collapsed set; NO exact-percentile aggregate anywhere.",
+    "q218_record_linkage" ->
+      "Record linkage: two blocking-pass equi-joins unioned and deduped, then row-local agreement predicates and the integer weight fold — pair space is block-bounded, never clean x dirty.",
+    "q221_length_fences" ->
+      "Outlier fences: (source, length) value-set collapse, quartiles from the value-set window, census via broadcast fence join onto the COLLAPSED table — raw rows are scanned exactly once.",
+    "q223_cusum" ->
+      "CUSUM: map-side-combined (key, day) counts, broadcast per-key stats, one aggregate-fold per key over the calendar-bounded day array.",
+    "q225_key_skew" ->
+      "Key skew: per-key counts collapse to frequencies-of-frequencies; the Gini window runs over DISTINCT count values only.",
+    "q226_conformal" ->
+      "Conformal: per-group value-set collapse, ceiling-rank order statistic from the value-set cumulative, holdout census via broadcast threshold join.",
+    "q228_lsh_tuning" ->
+      "LSH tuning: per config one band-bucket equi-join + verification of candidates only; truth from the prefix-filtered exact join; |configs| bounded driver loop.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
