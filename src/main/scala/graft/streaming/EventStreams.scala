@@ -174,4 +174,48 @@ object EventStreams {
           }
       }
   }
+
+  final case class BucketCount(key: String, bucket: Long, n: Long)
+  final case class CusumState(sp: Long, sn: Long)
+  final case class CusumAlert(key: String, bucket: Long, sp6: Long,
+      sn6: Long, alarm: Boolean)
+
+  /** Streaming two-sided CUSUM monitor — the continuously-running face
+    * of [[graft.operators.TemporalJoins.cusum]] (q223): per-key (S⁺, S⁻)
+    * accumulators carried across micro-batches in keyed state, fed
+    * pre-bucketed counts (key, bucket, n) and a FIXED per-key baseline
+    * (μ₆, k₆, h₆ from a historical batch run — a self-updating mean
+    * would let a slow drift recalibrate itself invisible, the classic
+    * monitoring mistake). Emits one row per processed bucket with the
+    * exact post-bucket accumulators and the alarm flag; the integer
+    * recurrence is IDENTICAL to the batch operator's, so a series split
+    * across any trigger boundaries produces the same S values the batch
+    * fold produces on the whole series (the spec's equivalence check).
+    *
+    * State is exactly two BIGINTs per key. The group's batch is folded
+    * in bucket order: unlike the MG sketch the recurrence is
+    * order-SENSITIVE, and a trigger's buckets-per-key are bounded by
+    * the trigger window (days per trigger), so the in-memory sort is
+    * bounded by calendar, not volume.
+    */
+  def cusumMonitor(counts: Dataset[BucketCount],
+      baseline: Map[String, (Long, Long, Long)]): Dataset[CusumAlert] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[BucketCount], state: GroupState[CusumState]) =>
+          val (mu6, k6, h6) = baseline.getOrElse(key, (0L, 0L, Long.MaxValue))
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = it.toSeq.sortBy(_.bucket).map { bc =>
+            val sp = math.max(0L, st.sp + bc.n * 1000000L - mu6 - k6)
+            val sn = math.max(0L, st.sn + mu6 - bc.n * 1000000L - k6)
+            st = CusumState(sp, sn)
+            CusumAlert(key, bc.bucket, sp, sn, sp > h6 || sn > h6)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

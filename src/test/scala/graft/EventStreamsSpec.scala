@@ -102,6 +102,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(finalProfiles === batch)
   }
 
+  test("cusumMonitor: trigger-split series equals one-shot, recurrence " +
+      "matches an independent fold, alarms on both sides") {
+    import EventStreams.{BucketCount, CusumAlert}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the q223 'up' series: 10/day x10 then 100/day x10; baseline from
+    // the full series (mu 55, k 5.5, h 275 in millionths)
+    val series = (1L to 20L).map(b =>
+      BucketCount("up", b, if (b <= 10) 10L else 100L))
+    val base = Map("up" -> (55000000L, 5500000L, 275000000L))
+    def run(chunks: Seq[Seq[BucketCount]], name: String): Seq[CusumAlert] = {
+      val mem = MemoryStream[BucketCount]
+      val q = EventStreams.cusumMonitor(mem.toDS(), base).toDF()
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).as[CusumAlert].collect().sortBy(_.bucket).toSeq
+    }
+    val oneShot = run(Seq(series), "cusum_a")
+    val split = run(Seq(series.take(7), series.slice(7, 13),
+      series.drop(13)), "cusum_b")
+    assert(oneShot === split, "state must carry across triggers")
+    // independent fold of the same integer recurrence
+    var (sp, sn) = (0L, 0L)
+    val expected = series.map { bc =>
+      sp = math.max(0L, sp + bc.n * 1000000L - 55000000L - 5500000L)
+      sn = math.max(0L, sn + 55000000L - bc.n * 1000000L - 5500000L)
+      CusumAlert("up", bc.bucket, sp, sn, sp > 275000000L || sn > 275000000L)
+    }
+    assert(oneShot === expected)
+    // S- trips on bucket 7 (low half vs global mean), S+ on bucket 17
+    assert(oneShot.filter(_.alarm).map(_.bucket).min === 7L)
+    assert(oneShot.find(_.bucket == 17L).get.sp6 > 275000000L)
+  }
+
   test("misra-gries heavy hitters: bounded state, MG guarantees, carryover") {
     import EventStreams.{MgEvent, HeavyHitter}
     // skewed synthetic stream: user 42 owns ~40% of 'view' traffic; the
