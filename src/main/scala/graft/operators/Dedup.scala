@@ -950,12 +950,14 @@ object Dedup {
     * join — this table is how you pick bands for YOUR corpus instead
     * of trusting the formula's iid assumptions.
     *
-    * Driver-side loop over |bandConfigs| (bounded, documented):
-    * each config is one portable-LSH pass with verification threshold
-    * 0 (candidates keep their exact verified Jaccard), so n_cand and
-    * n_found come from the same frame. recall₆ is an exact integer
-    * millionth; found ⊆ true by construction (same shingle sets, same
-    * quantized Jaccard), so recall ≤ 1 always.
+    * Driver-side loop over |bandConfigs| (bounded, documented). The
+    * shingle sets, base hashes, and 16-column signature table are
+    * computed ONCE and persisted — per config only the (cheap) banding
+    * fold, the bucket self-join, and candidate verification at
+    * threshold 0 run, so n_cand and n_found come from the same frame.
+    * recall₆ is an exact integer millionth; found ⊆ true by
+    * construction (same shingle sets, same quantized Jaccard), so
+    * recall ≤ 1 always.
     */
   def lshTuningTable(df: DataFrame, n: Int = 3, k: Int = 16,
       bandConfigs: Seq[Int] = Seq(2, 4, 8),
@@ -965,15 +967,57 @@ object Dedup {
     import spark.implicits._
     val truth = ngramJaccardPairs(df, n, threshold)
     val nTrue = truth.count()
-    val rows = bandConfigs.sorted.map { b =>
-      val cands = minhashLshPairsPortable(df, n, k, b, threshold = 0.0)
-      val nCand = cands.count()
-      val nFound = cands.filter(col("jaccard") >= threshold).count()
-      val recall =
-        if (nTrue == 0L) 1.0 else (nFound * 1000000L / nTrue).toDouble / 1e6
-      (b.toLong, (k / b).toLong, nTrue, nCand, nFound, recall)
+    // shared signature chain (the expensive part), once for all configs
+    val w = col("_w")
+    val shingleStrs = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", w)))
+    val docs = df
+      .withColumn("_w", filter(split(col("text"), " "), t => t =!= lit("")))
+      .select(col("doc_id"), array_distinct(shingleStrs).as("sh"))
+      .withColumn("hb", transform(col("sh"), s => portableHash32(s)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigCols = (0 until k).map(i =>
+      array_min(transform(col("hb"),
+        b => (b * lit(2L * i + 3) + lit(7919L * i + 1)) % lit(PortableP)))
+        .as(s"h$i"))
+    val sig = docs.select(col("doc_id") +: sigCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = bandConfigs.sorted.map { b =>
+        val rowsPer = k / b
+        def fold(cs: Seq[Column]): Column =
+          cs.reduce((acc, h) => (acc * lit(31L) + h) % lit(PortableP))
+        val bandStructs = (0 until b).map { bb =>
+          struct(lit(bb).as("band"),
+            fold((bb * rowsPer until (bb + 1) * rowsPer)
+              .map(i => col(s"h$i"))).as("bkey"))
+        }
+        val buckets = sig
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bkey").as("bkey"))
+        val cands = buckets.as("a").join(buckets.as("b"),
+            col("a.band") === col("b.band")
+              && col("a.bkey") === col("b.bkey")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val verified = verifyJaccard(cands,
+          docs.select(col("doc_id"), col("sh")), threshold = 0.0)
+        val nCand = verified.count()
+        val nFound = verified.filter(col("jaccard") >= threshold).count()
+        val recall =
+          if (nTrue == 0L) 1.0
+          else (nFound * 1000000L / nTrue).toDouble / 1e6
+        (b.toLong, (k / b).toLong, nTrue, nCand, nFound, recall)
+      }
+      rows.toDF("bands", "rows_per_band", "n_true", "n_cand", "n_found",
+        "recall")
+    } finally {
+      sig.unpersist(blocking = false)
+      docs.unpersist(blocking = false)
     }
-    rows.toDF("bands", "rows_per_band", "n_true", "n_cand", "n_found",
-      "recall")
   }
 }
