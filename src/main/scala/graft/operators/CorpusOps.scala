@@ -2940,6 +2940,57 @@ object CorpusOps {
           .as("r2"))
   }
 
+  /** Hill tail-index estimator (q231) — the heavy-tail diagnostic for
+    * document lengths (and any positive size metric): if the upper tail
+    * follows a power law P(X > x) ∝ x^−α, the Hill estimator over the
+    * top-k order statistics x₍₁₎ ≥ … ≥ x₍ₖ₊₁₎ is
+    * α̂ = [ (1/k)·Σ_{i≤k} ln x₍ᵢ₎ − ln x₍ₖ₊₁₎ ]⁻¹ (Hill 1975). Why a
+    * pipeline cares: α ≤ 1 means the MEAN of the tail is infinite-ish —
+    * shard sizing, packing-buffer bounds, and per-partition memory
+    * budgets derived from average document length are all lies; α tells
+    * you which percentile you must provision for instead. Reported per
+    * source with the tail threshold x₍ₖ₊₁₎ so the fit is auditable.
+    *
+    * Engine-portable exactness, the [[zipfFit]] discipline: each order
+    * statistic's ln quantizes to integer millionths ONCE (row-local),
+    * the Hill sum is an exact BIGINT, and α̂ is one integer division
+    * k·10¹² div (Σt₆ − k·t₆₍ₖ₊₁₎) — no order-dependent float anywhere.
+    * Groups with ≤ k+1 rows or a degenerate tail (all top values equal)
+    * report a NULL α̂ rather than a fake one.
+    *
+    * Scale shape: the rank window is a WindowGroupLimit-pushable
+    * row_number ≤ k+1 filter (per-partition top-(k+1) + merge — never a
+    * global per-source sort), then |sources|·(k+1)-row arithmetic; the
+    * group totals are one map-side-combining count.
+    */
+  def hillTail(docs: DataFrame, groupCol: String = "source",
+      valueCol: String = "n_chars", k: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("x").desc, col("doc_id"))
+    val ranked = docs
+      .select(col(groupCol), col(valueCol).cast("long").as("x"),
+        col("doc_id"))
+      .filter(col("x") >= 1L)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k + 1)
+      .withColumn("t6",
+        floor(log(col("x").cast("double")) * 1000000L).cast("long"))
+    val top = ranked.groupBy(col(groupCol)).agg(
+      sum(when(col("r") <= k, col("t6")).otherwise(0L)).as("s6"),
+      max(when(col("r") === k + 1, col("t6"))).as("tk6"),
+      max(when(col("r") === k + 1, col("x"))).as("x_k1"))
+    val tot = docs.filter(col(valueCol).cast("long") >= 1L)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    top.join(tot, groupCol)
+      .withColumn("inv6", col("s6") - lit(k.toLong) * col("tk6"))
+      .select(col(groupCol), col("n"), lit(k.toLong).as("k"),
+        col("x_k1").as("x_threshold"),
+        (when(col("inv6") > 0,
+          expr(s"${k}L * 1000000000000L div inv6"))
+          .cast("double") / 1e6).as("alpha"))
+  }
+
   /** Cross-source LM affinity matrix — every source scored under every
     * source's add-one-smoothed unigram LM: H(s, m) = −Σ_t p_s(t)·ln
     * p_m(t), plus the EXCESS over self-scoring H(s,m) − H(s,s). This is
@@ -3570,6 +3621,58 @@ object CorpusOps {
       .groupBy(col("lang"), col("source"), col("len_bucket"))
       .agg(count(lit(1)).as("group_size"))
       .withColumn("at_risk", col("group_size") < k)
+  }
+
+  /** l-diversity audit (q230) — the [[kAnonymity]] follow-up: k-anonymity
+    * bounds re-identification but not ATTRIBUTE disclosure (a k=50 class
+    * whose sensitive value is constant leaks that value for everyone in
+    * it). Per equivalence class over the quasi-identifiers
+    * (lang, length-bucket — the same bucket rule as q148), treating
+    * `source` as the sensitive attribute: class size, distinct sensitive
+    * values, the dominant value's share, the sensitive-value entropy,
+    * and the two standard verdicts — distinct l-diversity
+    * (l_distinct ≥ l) and entropy l-diversity (H ≥ ln l, Machanavajjhala
+    * et al. 2007).
+    *
+    * Entropy is engine-portable the [[entropyPanel]] way: each cell's
+    * ln(c/n) quantizes to integer millionths row-locally, H₆ is an exact
+    * BIGINT dot product divided once; the ln(l) threshold is a Scala-side
+    * constant inlined into both engines. Scale shape: one map-side-
+    * combining (QI, sensitive) cell aggregation, then |cells|-sized
+    * arithmetic — nothing touches raw rows twice.
+    */
+  def lDiversity(docs: DataFrame, l: Long = 3,
+      buckets: Int = 10): DataFrame = {
+    val lnL6 = math.floor(math.log(l.toDouble) * 1e6).toLong
+    val sc = col("n_chars").cast("double")
+    val stats = docs.agg(min(sc).as("lo"), max(sc).as("hi"))
+    val cells = docs.crossJoin(broadcast(stats))
+      .select(col("lang"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(greatest(
+              floor((sc - col("lo")) * buckets / (col("hi") - col("lo"))),
+              lit(0.0)), lit((buckets - 1).toDouble)).cast("long"))
+          .as("len_bucket"),
+        col("source"))
+      .groupBy(col("lang"), col("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val cls = cells.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("l_distinct"),
+        max(col("c")).as("top_cnt"))
+    cells.join(cls, Seq("lang", "len_bucket"))
+      .withColumn("l6",
+        floor(log(col("c").cast("double") / col("n")) * 1000000L)
+          .cast("long"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(first(col("n")).as("n"), first(col("l_distinct")).as("l_distinct"),
+        first(col("top_cnt")).as("top_cnt"), sum(col("c") * col("l6")).as("s"))
+      .withColumn("h6", expr("(-s) div n"))
+      .select(col("lang"), col("len_bucket"), col("n"), col("l_distinct"),
+        (floor(col("top_cnt") * 1000000L / col("n")).cast("double") / 1e6)
+          .as("top_share"),
+        (col("h6").cast("double") / 1e6).as("entropy"),
+        (col("l_distinct") >= l).as("distinct_ok"),
+        (col("h6") >= lnL6).as("entropy_ok"))
   }
 
   /** Distinguishing lexicon — Monroe, Colaresi & Quinn's "Fightin' Words"

@@ -646,4 +646,71 @@ object EvalOps {
         (expr("_cov * 1000000 div n_test").cast("double") / 1e6)
           .as("coverage"))
   }
+
+  /** Spearman rank correlation with tie-averaged ranks (q232) — the
+    * quality-signal agreement read: two scoring columns that RANK the
+    * corpus the same way are redundant gates (keep the cheaper one);
+    * ρ near 0 says the signals measure different things and both earn
+    * their compute. Pearson on midranks, the standard tie-corrected
+    * Spearman.
+    *
+    * Exactness without corpus-sized sorts or float sums: ranks come from
+    * the VALUE-SET collapse (the [[rankAuc]] discipline) — per group and
+    * signal, distinct values get cumulative counts, and a tied block's
+    * average rank enters as the exact INTEGER doubled-midrank
+    * r₂ = 2·cum_before + c + 1. Each doc joins its two doubled midranks
+    * back (distinct-value tables, broadcastable), and the five Pearson
+    * moments are exact sums lifted to DECIMAL(38,0) at aggregation — the
+    * Σr₂² ≈ 4n³ term would pass 2⁶³ at n ≈ 1.3·10⁶ as BIGINT, while the
+    * decimal lift keeps the covariance products n·Σab − Σa·Σb ≈ 4n⁴
+    * exact to n ≈ 10⁹ rows per group (stratify past that). ρ then
+    * divides identical exact decimals (→ identical doubles via IEEE
+    * round-half-even, sqrt correctly rounded by the standard) in both
+    * engines, 1e-6-floored. Zero variance in either signal → NULL ρ.
+    *
+    * Scale shape: two map-side-combining (group, value) collapses, rank
+    * windows over the collapsed VALUE SETS (never the corpus), two
+    * broadcast joins back to docs, one moment aggregation.
+    */
+  def spearman(df: DataFrame, groupCol: String, colA: String,
+      colB: String): DataFrame = {
+    def midranks(vc: String): DataFrame = {
+      val g = df.groupBy(col(groupCol).as("_g"), col(vc).as("_v"))
+        .agg(count(lit(1)).as("_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_g")).orderBy(col("_v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      g.withColumn("_cum", sum(col("_c")).over(w))
+        .select(col("_g"), col("_v"),
+          (lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1L).as("_r2"))
+    }
+    val ra = midranks(colA).withColumnRenamed("_v", "_va")
+      .withColumnRenamed("_r2", "_ra")
+    val rb = midranks(colB).withColumnRenamed("_v", "_vb")
+      .withColumnRenamed("_r2", "_rb")
+    val dec = "decimal(38,0)"
+    val joined = df
+      .select(col(groupCol).as("_g"), col(colA).as("_va"),
+        col(colB).as("_vb"))
+      .join(broadcast(ra), Seq("_g", "_va"))
+      .join(broadcast(rb), Seq("_g", "_vb"))
+    val m = joined.groupBy(col("_g")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("_ra").cast(dec)).as("sa"),
+      sum(col("_rb").cast(dec)).as("sb"),
+      sum((col("_ra") * col("_ra")).cast(dec)).as("saa"),
+      sum((col("_rb") * col("_rb")).cast(dec)).as("sbb"),
+      sum((col("_ra") * col("_rb")).cast(dec)).as("sab"))
+    m.withColumn("num",
+        (col("n") * col("sab") - col("sa") * col("sb")).cast("double"))
+      .withColumn("da",
+        (col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+      .withColumn("db",
+        (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))
+      .select(col("_g").as(groupCol), col("n").cast("long").as("n"),
+        (when(col("da") > 0 && col("db") > 0,
+          floor(col("num") / (sqrt(col("da")) * sqrt(col("db")))
+            * 1000000L)).cast("double") / 1e6).as("rho"))
+  }
 }

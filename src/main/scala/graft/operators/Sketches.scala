@@ -161,4 +161,72 @@ object Sketches {
         (abs(col("estimate") - col("exact")).cast("double") <
           col("exact") * (3.0 / math.sqrt(m.toDouble))).as("within_bound"))
   }
+
+  /** Per-key Count-Min index columns: row j's counter index is the
+    * affine-mod-P family over the md5-prefix base hash — the SAME
+    * portable family as the MinHash signatures — reduced mod `w`. Pure
+    * integer, replayable by any engine with md5.
+    */
+  private def cmIdx(key: Column, j: Int, w: Int): Column =
+    (Dedup.portableHash32(key.cast("string")) * lit(2L * j + 3) +
+      lit(7919L * j + 1)) % lit(Dedup.PortableP) % lit(w.toLong)
+
+  /** Portable Count-Min sketch counters (Cormode & Muthukrishnan): a
+    * d×w counter grid where row j increments counter h_j(key) by the
+    * key's weight. Counters are ADDITIVE, so the sketch is mergeable by
+    * plain (j, idx) sum — shard-parallel builds, streaming micro-batch
+    * folds, and re-ingestion all commute (spec-pinned). Built from the
+    * per-key pre-aggregate rather than raw rows: counter additivity
+    * makes the two exactly equal, and the pre-aggregate is the canonical
+    * map-side-combining groupBy, so the d-way fan-out explodes |keys|
+    * rows, never |rows|. Output is the FIXED d·w-row state regardless of
+    * key cardinality — that bounded state (here 4·256 = 1 024 counters)
+    * is the whole point at 100 TB, where the exact per-key table this
+    * test-scale report carries as witness is the thing production
+    * cannot afford to keep hot.
+    */
+  def cmCounters(df: DataFrame, keyCol: String, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    val keyCnt = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = (0 until d).map(j =>
+      struct(lit(j.toLong).as("j"), cmIdx(col("key"), j, w).as("idx")))
+    keyCnt.select(explode(array(probes: _*)).as("ji"), col("cnt"))
+      .groupBy(col("ji.j").as("j"), col("ji.idx").as("idx"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Count-Min point-query report (q229): the top-`topN` keys by exact
+    * frequency (the heavy-hitter regime CM exists for), each paired with
+    * its sketch estimate = min over the d rows of the key's counters,
+    * the overcount (CM never undercounts — estimate ≥ exact ALWAYS, by
+    * construction), and the ε-bound verdict `overcount·w ≤ 3·N` (the
+    * standard guarantee is overcount ≤ e·N/w w.p. 1−e^−d; 3 ≥ e keeps
+    * the check in exact integers). The top-N cut breaks count ties by
+    * key so both engines select the identical set.
+    *
+    * Scale shape: one map-side-combining per-key count; the d·w counter
+    * grid and the topN probe set are both tiny and broadcast; everything
+    * downstream is |topN|·d rows.
+    */
+  def cmReport(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 256,
+      topN: Int = 20): DataFrame = {
+    val counters = cmCounters(df, keyCol, d, w)
+    val keyCnt = df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact"))
+    val nTotal = keyCnt.agg(sum(col("exact")).as("n_total"))
+    val top = keyCnt.orderBy(col("exact").desc, col(keyCol)).limit(topN)
+    val probes = top.select(col(keyCol), col("exact"),
+        explode(array((0 until d).map(j => struct(lit(j.toLong).as("j"),
+          cmIdx(col(keyCol), j, w).as("idx"))): _*)).as("ji"))
+      .select(col(keyCol), col("exact"),
+        col("ji.j").as("j"), col("ji.idx").as("idx"))
+    probes.join(broadcast(counters), Seq("j", "idx"))
+      .groupBy(col(keyCol), col("exact"))
+      .agg(min(col("cnt")).as("estimate"))
+      .crossJoin(broadcast(nTotal))
+      .select(col(keyCol), col("exact"), col("estimate"),
+        (col("estimate") - col("exact")).as("overcount"),
+        ((col("estimate") - col("exact")) * w <=
+          lit(3L) * col("n_total")).as("within_bound"))
+  }
 }

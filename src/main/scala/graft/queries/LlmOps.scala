@@ -628,6 +628,37 @@ object LlmOps {
           Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("bands"))),
 
+    // portable Count-Min sketch: top-20 user frequencies vs the 4x256
+    // counter grid's min-estimate, overcount >= 0 by construction,
+    // eps-bound verdict in exact integers
+    "q229_countmin" -> ((s, d) =>
+      graft.operators.Sketches.cmReport(Tables.events(s, d), "user_id")
+        .orderBy(col("exact").desc, col("user_id"))),
+
+    // l-diversity audit over the q148 equivalence classes with source
+    // as the sensitive attribute: distinct-l + entropy-l verdicts
+    "q230_l_diversity" -> ((s, d) =>
+      graft.operators.CorpusOps.lDiversity(Tables.documents(s, d), l = 3L)
+        .orderBy(col("lang"), col("len_bucket"))),
+
+    // Hill tail-index per source over document lengths: top-k order
+    // statistics, quantized-ln Hill sum, one integer division
+    "q231_hill_tail" -> ((s, d) =>
+      graft.operators.CorpusOps.hillTail(Tables.documents(s, d), k = 10)
+        .orderBy(col("source"))),
+
+    // Spearman rank correlation (tie-averaged midranks) between doc
+    // length and distinct-token vocabulary per source
+    "q232_rank_corr" -> ((s, d) => {
+      val docs = Tables.fanout(Tables.documents(s, d))
+        .withColumn("n_vocab",
+          size(array_distinct(
+            graft.operators.TextAnalysis.wsTokens(col("text"))))
+            .cast("long"))
+      graft.operators.EvalOps.spearman(docs, "source", "n_chars", "n_vocab")
+        .orderBy(col("source"))
+    }),
+
     // key-skew diagnosis: freq-of-freq Gini + top-key share + salt
     // recommendation over three differently-shaped keyed relations
     "q225_key_skew" -> ((s, d) => {
@@ -4656,6 +4687,119 @@ object LlmOps {
           code6 >= 300000 AS is_code
         FROM s4 ORDER BY doc_id""",
     "q228_lsh_tuning" -> lshTuningSql,
+    // same md5-prefix affine family, counters from the per-key
+    // pre-aggregate (additive, so exactly equal to per-row builds),
+    // min over the d=4 probes, integer eps-bound
+    "q229_countmin" ->
+      """WITH kc AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1),
+        hh AS (SELECT key, cnt,
+            CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8) AS BIGINT)
+              AS h
+          FROM kc),
+        pr AS (SELECT key, cnt, j,
+            ((h * (2*j + 3) + 7919*j + 1) % 2147483647) % 256 AS idx
+          FROM hh, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        co AS (SELECT j, idx, CAST(sum(cnt) AS BIGINT) AS c
+          FROM pr GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM kc),
+        top AS (SELECT key, cnt AS exact FROM kc
+          ORDER BY cnt DESC, key LIMIT 20),
+        est AS (SELECT t.key, t.exact, min(co.c) AS estimate
+          FROM top t JOIN pr ON pr.key = t.key
+          JOIN co ON co.j = pr.j AND co.idx = pr.idx
+          GROUP BY 1, 2)
+        SELECT key AS user_id, exact, estimate,
+          estimate - exact AS overcount,
+          (estimate - exact) * 256 <= 3 * n_total AS within_bound
+        FROM est, tot ORDER BY exact DESC, user_id""",
+    // q148's bucket rule, source as the sensitive attribute; entropy is
+    // the row-local quantized-ln dot product, ln(3) threshold inlined
+    "q230_l_diversity" ->
+      """WITH st AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+            CAST(max(n_chars) AS DOUBLE) AS hi FROM documents),
+        cell AS (SELECT lang,
+            CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+              ELSE CAST(least(greatest(floor(
+                (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)), 0.0), 9.0)
+                AS BIGINT) END AS len_bucket,
+            source, CAST(count(*) AS BIGINT) AS c
+          FROM documents, st GROUP BY 1, 2, 3),
+        cls AS (SELECT lang, len_bucket, CAST(sum(c) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS l_distinct,
+            CAST(max(c) AS BIGINT) AS top_cnt
+          FROM cell GROUP BY 1, 2),
+        e AS (SELECT cell.lang, cell.len_bucket, c, n,
+            CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS l6
+          FROM cell JOIN cls USING (lang, len_bucket)),
+        h AS (SELECT lang, len_bucket,
+            CAST((-sum(c * l6)) // max(n) AS BIGINT) AS h6
+          FROM e GROUP BY 1, 2)
+        SELECT cls.lang, cls.len_bucket, n, l_distinct,
+          CAST(floor(top_cnt * 1000000 / n) AS DOUBLE) / 1e6 AS top_share,
+          CAST(h6 AS DOUBLE) / 1e6 AS entropy,
+          l_distinct >= 3 AS distinct_ok,
+          h6 >= 1098612 AS entropy_ok
+        FROM cls JOIN h USING (lang, len_bucket)
+        ORDER BY lang, len_bucket""",
+    // top-(k+1) order statistics per source, per-row quantized ln,
+    // exact Hill sum, one integer division; thin/degenerate tails NULL
+    "q231_hill_tail" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x, doc_id
+            FROM documents WHERE n_chars >= 1),
+        r AS (SELECT source, x, row_number() OVER (PARTITION BY source
+            ORDER BY x DESC, doc_id) AS r FROM d),
+        t AS (SELECT source, r, x,
+            CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000) AS BIGINT) AS t6
+          FROM r WHERE r <= 11),
+        a AS (SELECT source,
+            sum(CASE WHEN r <= 10 THEN t6 ELSE 0 END) AS s6,
+            max(CASE WHEN r = 11 THEN t6 END) AS tk6,
+            max(CASE WHEN r = 11 THEN x END) AS x_k1
+          FROM t GROUP BY 1),
+        n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1)
+        SELECT a.source, n.n, CAST(10 AS BIGINT) AS k,
+          x_k1 AS x_threshold,
+          CASE WHEN s6 - 10 * tk6 > 0
+            THEN CAST(10000000000000 // (s6 - 10 * tk6) AS DOUBLE) / 1e6
+          END AS alpha
+        FROM a JOIN n USING (source) ORDER BY a.source""",
+    // value-set-collapse midranks (exact doubled integers), Pearson
+    // moments in HUGEINT (= the engine's DECIMAL(38,0) lift), identical
+    // double division
+    "q232_rank_corr" ->
+      """WITH d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS va,
+            CAST(len(list_distinct(list_filter(string_split(text, ' '),
+              x -> x <> ''))) AS BIGINT) AS vb
+          FROM documents),
+        ga AS (SELECT g, va, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+        ra AS (SELECT g, va, 2 * (sum(c) OVER (PARTITION BY g ORDER BY va
+            ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS r2 FROM ga),
+        gb AS (SELECT g, vb, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+        rb AS (SELECT g, vb, 2 * (sum(c) OVER (PARTITION BY g ORDER BY vb
+            ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS r2 FROM gb),
+        j AS (SELECT d.g, ra.r2 AS ra2, rb.r2 AS rb2
+          FROM d JOIN ra ON ra.g = d.g AND ra.va = d.va
+                 JOIN rb ON rb.g = d.g AND rb.vb = d.vb),
+        m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+            sum(CAST(ra2 AS HUGEINT)) AS sa,
+            sum(CAST(rb2 AS HUGEINT)) AS sb,
+            sum(CAST(ra2 AS HUGEINT) * ra2) AS saa,
+            sum(CAST(rb2 AS HUGEINT) * rb2) AS sbb,
+            sum(CAST(ra2 AS HUGEINT) * rb2) AS sab
+          FROM j GROUP BY 1)
+        SELECT g AS source, CAST(n AS BIGINT) AS n,
+          CASE WHEN CAST(n * saa - sa * sa AS DOUBLE) > 0
+                AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+            THEN CAST(floor(CAST(n * sab - sa * sb AS DOUBLE)
+              / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                 * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+              * 1000000) AS DOUBLE) / 1e6
+          END AS rho
+        FROM m ORDER BY source""",
     // same freq-of-freq collapse, same closed-form tied-rank Gini fold
     // and salt arithmetic per relation
     "q225_key_skew" ->
