@@ -170,7 +170,13 @@ object PlanDump {
     "q226_conformal" ->
       "Conformal: per-group value-set collapse, ceiling-rank order statistic from the value-set cumulative, holdout census via broadcast threshold join.",
     "q228_lsh_tuning" ->
-      "LSH tuning: per config one band-bucket equi-join + verification of candidates only; truth from the prefix-filtered exact join; |configs| bounded driver loop.")
+      "LSH tuning: per config one band-bucket equi-join + verification of candidates only; truth from the prefix-filtered exact join; |configs| bounded driver loop.",
+    "q229_countmin" ->
+      "Count-Min: one map-side-combined per-key count, bounded d-way fan-out of the key table, broadcast of the fixed d x w counter grid onto the topN probes.",
+    "q231_hill_tail" ->
+      "Hill tail: rank filter planned as WindowGroupLimit (per-partition top-(k+1) + merge), then |sources|-sized arithmetic; totals are one map-side count.",
+    "q232_rank_corr" ->
+      "Spearman: two (group, value) collapses, rank windows over the collapsed value sets, broadcast midrank joins back, one decimal moment aggregation.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
