@@ -3012,6 +3012,68 @@ object CorpusOps {
     * per DISTINCT token, bounded by source-count², never corpus-sized;
     * the final matrix agg collapses to |sources|² rows.
     */
+  /** Jensen–Shannon divergence matrix (q233) — the SYMMETRIC, bounded
+    * [0, ln 2] companion to [[sourceAffinity]]'s cross-entropy view:
+    * JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, over per-source
+    * unigram distributions. Where the affinity matrix answers "does m's
+    * data model s" (asymmetric, unbounded), JSD is the metric-like
+    * pairwise distance clustering/mixture design wants: symmetric,
+    * finite even with disjoint vocabularies (disjoint → exactly ln 2),
+    * and √JSD is a true metric.
+    *
+    * Exactness: each present token contributes p·ln(2p/(p+q)) where the
+    * ratio 2·c_a·t_b / (c_a·t_b + c_b·t_a) has EXACT integer inputs; the
+    * ln input is built with a pinned double op order (both engines run
+    * the identical IEEE chain), quantized to integer millionths
+    * row-locally, then Σ c_a·l₆ is an exact BIGINT dot product divided
+    * once by t_a — no order-dependent float sum. Zero-q tokens hit the
+    * same expression with c_b = 0 (ratio 2 → ln 2 exactly). BIGINT bound:
+    * Σ c·|l₆| ≤ t·10⁶·ln t — safe to ~3·10¹¹ tokens per source; lift the
+    * dot product to DECIMAL past that.
+    *
+    * Scale shape: one (source, token) aggregation; the directional term
+    * table is the [[sourceAffinity]] fan-out — |sources| per distinct
+    * a-cell via a broadcast source list, LEFT-joined to the b-cells on
+    * (token, source) — bounded by |sources|²·|distinct tokens|, never
+    * corpus-sized; the matrix agg collapses to |sources|² rows.
+    */
+  def jsdMatrix(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = docs
+      .select(col("source"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = c.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val cells = c.join(totals, Seq("source"))
+    val aSide = cells.select(col("source").as("sa"), col("tok"),
+      col("c").as("ca"), col("t").as("ta"))
+    val srcs = totals.select(col("source").as("sb"), col("t").as("tb"))
+    val bSide = cells.select(col("source").as("sb"), col("tok"),
+      col("c").as("cb"))
+    val terms = aSide.crossJoin(broadcast(srcs))
+      .filter(col("sa") =!= col("sb"))
+      .join(bSide, Seq("sb", "tok"), "left")
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+      // pinned double chain: (2.0·ca·tb) / (ca·tb + cb·ta)
+      .withColumn("l6", floor(log(
+        (lit(2.0) * col("ca").cast("double") * col("tb")) /
+          (col("ca").cast("double") * col("tb") +
+            col("cb").cast("double") * col("ta"))) * 1000000L)
+        .cast("long"))
+    // greatest(·,0): true KL(P‖M) ≥ 0, but per-term floors can push the
+    // quantized sum a few millionths below zero on near-identical
+    // distributions — and a NEGATIVE numerator would split the engines
+    // (Spark div truncates toward zero, SQL // floors)
+    val dir = terms.groupBy(col("sa"), col("sb"))
+      .agg(sum(col("ca") * col("l6")).as("s"), first(col("ta")).as("ta"))
+      .withColumn("t6", expr("greatest(s, 0L) div ta"))
+      .select(col("sa"), col("sb"), col("t6"))
+    dir.as("x").join(dir.as("y"),
+        col("x.sa") === col("y.sb") && col("x.sb") === col("y.sa"))
+      .filter(col("x.sa") < col("x.sb"))
+      .select(col("x.sa").as("source_a"), col("x.sb").as("source_b"),
+        (expr("(x.t6 + y.t6) div 2").cast("double") / 1e6).as("jsd"))
+  }
+
   def sourceAffinity(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val c = docs
       .select(col("source"),

@@ -713,4 +713,45 @@ object EvalOps {
           floor(col("num") / (sqrt(col("da")) * sqrt(col("db")))
             * 1000000L)).cast("double") / 1e6).as("rho"))
   }
+
+  /** Youden-J operating point (q234) — the threshold-selection step
+    * [[rankAuc]] deliberately doesn't take: AUC says whether a score CAN
+    * separate classes; a deployed gate needs ONE cutoff, and Youden's
+    * J = TPR − FPR names the threshold where the score separates them
+    * best (the ROC point farthest above the diagonal — the right choice
+    * when false positives and false negatives cost the same; re-weight J
+    * when they don't). Classification rule: positive iff score ≥ t,
+    * t swept over the OBSERVED score values.
+    *
+    * Exactness, the rankAuc discipline: the corpus collapses to the
+    * score value set, TP/FP at each candidate threshold come from one
+    * descending cumulative window over that collapsed table, TPR/FPR/J
+    * are exact floored millionths, and the winner is a deterministic
+    * (J desc, threshold asc) top-1 — ties break toward the LOWER cutoff
+    * (keeps more data at equal J; pinned so both engines agree). One
+    * aggregation + one value-set window + a TakeOrdered(1).
+    */
+  def youdenThreshold(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("s")).agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = g.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+    g.withColumn("tp", sum(col("np")).over(w))
+      .withColumn("fp", sum(col("nn")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("tpr6", expr("tp * 1000000 div n_pos"))
+      .withColumn("fpr6", expr("fp * 1000000 div n_neg"))
+      .withColumn("j6", col("tpr6") - col("fpr6"))
+      .orderBy(col("j6").desc, col("s"))
+      .limit(1)
+      .select(col("s").as("threshold"), col("n_pos"), col("n_neg"),
+        col("tp"), col("fp"),
+        (col("tpr6").cast("double") / 1e6).as("tpr"),
+        (col("fpr6").cast("double") / 1e6).as("fpr"),
+        (col("j6").cast("double") / 1e6).as("youden_j"))
+  }
 }

@@ -428,4 +428,54 @@ object TemporalJoins {
       (i + 1L, steps(i), counts(i), conv)
     }.toDF("step", "event_type", "n_users", "conversion")
   }
+
+  /** Nelson–Aalen cumulative hazard over user lifetimes (q235) — the
+    * censoring-honest churn read [[retention]] can't give: a user whose
+    * last event is RECENT hasn't churned, they just haven't been
+    * observed long enough, and counting them as gone biases every naive
+    * "days active" histogram. Lifetime = days between a user's first
+    * and last event; a user is an observed churn only when their last
+    * event predates the corpus horizon by ≥ `censorDays` (otherwise
+    * they're censored: still in every risk set up to their duration,
+    * never an event). H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ (Nelson 1972, Aalen 1978)
+    * with nᵢ = users whose duration ≥ tᵢ — chosen over Kaplan–Meier
+    * because the estimator is a pure SUM of per-step rationals: each
+    * step quantizes to an exact integer millionth and the cumulative is
+    * an exact BIGINT fold (KM's product would need order-dependent float
+    * multiplication or a ln/exp round-trip).
+    *
+    * Scale shape: one (user) min/max aggregation (map-side combinable),
+    * then EVERYTHING runs on the collapsed (duration → counts) table —
+    * the two cumulative windows are value-set-sized (bounded by the
+    * calendar, not users).
+    */
+  def hazard(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", censorDays: Int = 7): DataFrame = {
+    val span = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("first_d"),
+        max(to_date(col(tsCol))).as("last_d"))
+    val horizon = events.agg(max(to_date(col(tsCol))).as("gmax"))
+    val u = span.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long")
+          .as("dur"),
+        (datediff(col("gmax"), col("last_d")) >= censorDays)
+          .as("observed"))
+    val g = u.groupBy(col("dur")).agg(count(lit(1)).as("n_enter"),
+      sum(when(col("observed"), 1L).otherwise(0L)).as("n_events"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dur").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dur"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    g.withColumn("n_risk", sum(col("n_enter")).over(wDesc))
+      .withColumn("h6", expr("n_events * 1000000 div n_risk"))
+      .withColumn("ch6", sum(col("h6")).over(wAsc))
+      .select(col("dur").as("duration_days"), col("n_risk"),
+        col("n_events"),
+        (col("h6").cast("double") / 1e6).as("hazard"),
+        (col("ch6").cast("double") / 1e6).as("cum_hazard"))
+  }
 }

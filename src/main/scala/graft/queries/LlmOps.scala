@@ -659,6 +659,32 @@ object LlmOps {
         .orderBy(col("source"))
     }),
 
+    // Jensen-Shannon divergence matrix between source unigram models:
+    // symmetric bounded pairwise distance, exact BIGINT dot products
+    "q233_jsd_matrix" -> ((s, d) =>
+      graft.operators.CorpusOps.jsdMatrix(
+          Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // Youden-J operating point over the q206 planted-class fixture:
+    // best classification threshold from the collapsed score value set
+    "q234_youden" -> ((s, d) => {
+      val ta = graft.operators.TextAnalysis
+      val h = ((col("doc_id") % 2147483648L) * 2654435761L) % 2147483647L
+      val labeled = Tables.fanout(Tables.documents(s, d))
+        .withColumn("pos", h % 2 === 0)
+        .withColumn("text", when(col("pos"),
+          concat(col("text"), lit(" of the is"))).otherwise(col("text")))
+      graft.operators.EvalOps.youdenThreshold(
+        ta.withQuality(labeled), "quality_score", "pos")
+    }),
+
+    // Nelson-Aalen cumulative hazard over user lifetimes with horizon
+    // censoring: exact integer per-step rationals, value-set windows
+    "q235_hazard" -> ((s, d) =>
+      graft.operators.TemporalJoins.hazard(Tables.events(s, d))
+        .orderBy(col("duration_days"))),
+
     // key-skew diagnosis: freq-of-freq Gini + top-key share + salt
     // recommendation over three differently-shaped keyed relations
     "q225_key_skew" -> ((s, d) => {
@@ -4800,6 +4826,106 @@ object LlmOps {
               * 1000000) AS DOUBLE) / 1e6
           END AS rho
         FROM m ORDER BY source""",
+    // same pinned double chain inside ln, per-token millionth floor,
+    // exact BIGINT dot product with the >= 0 clamp, directional table
+    // joined to its transpose
+    "q233_jsd_matrix" ->
+      """WITH tk AS (SELECT source,
+            unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS tok
+          FROM documents),
+        c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+          FROM tk GROUP BY 1, 2),
+        t AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+          FROM c GROUP BY 1),
+        a AS (SELECT c.source AS sa, tok, c.c AS ca, t.t AS ta
+          FROM c JOIN t USING (source)),
+        terms AS (SELECT a.sa, sb.source AS sb, a.ca, a.ta,
+            sb.t AS tb, coalesce(b.c, 0) AS cb
+          FROM a CROSS JOIN t sb
+          LEFT JOIN c b ON b.source = sb.source AND b.tok = a.tok
+          WHERE a.sa <> sb.source),
+        l AS (SELECT sa, sb, ca, ta,
+            CAST(floor(ln((2.0 * CAST(ca AS DOUBLE) * tb)
+              / (CAST(ca AS DOUBLE) * tb + CAST(cb AS DOUBLE) * ta))
+              * 1000000) AS BIGINT) AS l6
+          FROM terms),
+        dir AS (SELECT sa, sb,
+            CAST(greatest(sum(ca * l6), 0) AS BIGINT) // max(ta) AS t6
+          FROM l GROUP BY 1, 2)
+        SELECT x.sa AS source_a, x.sb AS source_b,
+          CAST((x.t6 + y.t6) // 2 AS DOUBLE) / 1e6 AS jsd
+        FROM dir x JOIN dir y ON x.sa = y.sb AND x.sb = y.sa
+        WHERE x.sa < x.sb ORDER BY source_a, source_b""",
+    // the q206 fixture + score chain, descending cumulative TP/FP over
+    // the collapsed score set, (J desc, threshold asc) top-1
+    "q234_youden" ->
+      """WITH d AS (SELECT doc_id, text,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+        f AS (SELECT h % 2 = 0 AS pos,
+            CASE WHEN h % 2 = 0 THEN text || ' of the is' ELSE text END
+              AS text
+          FROM d),
+        t AS (SELECT pos, length(text) AS nc,
+            len(list_filter(string_split(text,' '), x -> x <> '')) AS nw,
+            length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+            len(list_filter(string_split(text,' '),
+                x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+              AS ns
+          FROM f),
+        q AS (SELECT pos,
+            floor((0.4*least(1.0, nw/50.0) + 0.3*(1.0 - np*1.0/nc)
+                  + 0.3*least(1.0, ns*1.0/nw*5.0))*10000)/10000 AS s
+          FROM t),
+        g AS (SELECT s,
+            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+            CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+          FROM q GROUP BY s),
+        cum AS (SELECT s,
+            CAST(sum(np) OVER (ORDER BY s DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+            CAST(sum(nn) OVER (ORDER BY s DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+          FROM g),
+        tot AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+            CAST(sum(nn) AS BIGINT) AS n_neg FROM g),
+        j AS (SELECT s, tp, fp, n_pos, n_neg,
+            tp * 1000000 // n_pos AS tpr6,
+            fp * 1000000 // n_neg AS fpr6
+          FROM cum, tot)
+        SELECT s AS threshold, n_pos, n_neg, tp, fp,
+          CAST(tpr6 AS DOUBLE) / 1e6 AS tpr,
+          CAST(fpr6 AS DOUBLE) / 1e6 AS fpr,
+          CAST(tpr6 - fpr6 AS DOUBLE) / 1e6 AS youden_j
+        FROM j ORDER BY tpr6 - fpr6 DESC, s LIMIT 1""",
+    // user lifetime spans, horizon censoring, collapsed-duration risk
+    // sets, exact millionth steps, BIGINT cumulative
+    "q235_hazard" ->
+      """WITH sp AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+            max(CAST(ts AS DATE)) AS l
+          FROM events GROUP BY 1),
+        gm AS (SELECT max(CAST(ts AS DATE)) AS gmax FROM events),
+        u AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS dur,
+            date_diff('day', l, gmax) >= 7 AS observed
+          FROM sp, gm),
+        g AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_enter,
+            CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_events
+          FROM u GROUP BY 1),
+        r AS (SELECT dur, n_events,
+            CAST(sum(n_enter) OVER (ORDER BY dur DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+          FROM g),
+        h AS (SELECT dur, n_risk, n_events,
+            n_events * 1000000 // n_risk AS h6 FROM r),
+        ch AS (SELECT dur, n_risk, n_events, h6,
+            CAST(sum(h6) OVER (ORDER BY dur
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ch6 FROM h)
+        SELECT dur AS duration_days, n_risk, n_events,
+          CAST(h6 AS DOUBLE) / 1e6 AS hazard,
+          CAST(ch6 AS DOUBLE) / 1e6 AS cum_hazard
+        FROM ch ORDER BY duration_days""",
     // same freq-of-freq collapse, same closed-form tied-rank Gini fold
     // and salt arithmetic per relation
     "q225_key_skew" ->

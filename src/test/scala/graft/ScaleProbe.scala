@@ -63,7 +63,14 @@ object ScaleProbe {
     // the value set stays constant while input grows 10x — the direct
     // falsification of any corpus-sized percentile buffer)
     "q211_csv_roundtrip", "q213_retention", "q214_containment",
-    "q215_scd2", "q216_pr_auc", "q217_conversion_lag")
+    "q215_scd2", "q216_pr_auc", "q217_conversion_lag",
+    // round 11: Count-Min (per-key count + fixed-grid broadcast —
+    // expect ~linear scan cost, constant sketch cost), Hill tail
+    // (WindowGroupLimit top-k, expect ~flat), Spearman (value-set
+    // collapses; disjoint replica keys keep the value sets growing
+    // sub-linearly), l-diversity (one cell agg)
+    "q229_countmin", "q230_l_diversity", "q231_hill_tail",
+    "q232_rank_corr")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
