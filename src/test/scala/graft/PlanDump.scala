@@ -176,7 +176,11 @@ object PlanDump {
     "q231_hill_tail" ->
       "Hill tail: rank filter planned as WindowGroupLimit (per-partition top-(k+1) + merge), then |sources|-sized arithmetic; totals are one map-side count.",
     "q232_rank_corr" ->
-      "Spearman: two (group, value) collapses, rank windows over the collapsed value sets, broadcast midrank joins back, one decimal moment aggregation.")
+      "Spearman: two (group, value) collapses, rank windows over the collapsed value sets, broadcast midrank joins back, one decimal moment aggregation.",
+    "q233_jsd_matrix" ->
+      "JSD: one (source, token) agg; term fan-out = broadcast source list + left join to the cell table on (source, token) - |sources|^2 per distinct token, collapsing to a |sources|^2 matrix.",
+    "q235_hazard" ->
+      "Nelson-Aalen: one user min/max agg, broadcast horizon, then risk sets and both cumulatives over the collapsed (duration -> counts) table.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
