@@ -3737,6 +3737,56 @@ object CorpusOps {
         (col("h6") >= lnL6).as("entropy_ok"))
   }
 
+  /** t-closeness audit (q236) — the third leg of the release-privacy
+    * triad ([[kAnonymity]] bounds re-identification, [[lDiversity]]
+    * bounds attribute disclosure by COUNT; t-closeness bounds it by
+    * DISTRIBUTION, Li et al. 2007): an attacker learns something even
+    * from a diverse class if its sensitive-value mix differs sharply
+    * from the published global mix. Per equivalence class (same QIs and
+    * bucket rule as q148/q230, `source` sensitive): the Earth Mover's
+    * Distance to the global distribution — which for categorical values
+    * under unit ground distance IS total variation
+    * ½·Σ_s |c_s/n − g_s/N| — and the verdict against threshold `t`.
+    *
+    * Exactness: TV's numerator Σ|c_s·N − g_s·n| is an exact BIGINT over
+    * the DENSE class×source grid (absent values contribute their global
+    * mass — a LEFT join from the grid, the [[shardMix]] discipline),
+    * quantized once by one integer division; overflow bound
+    * Σ|·|·10⁶ < 2⁶³ ⇒ n·N ≲ 4.6·10¹² per class — stratify the release
+    * past that. Scale shape: one (QI, sensitive) cell agg, a
+    * \|classes\|×\|sources\| grid, nothing corpus-sized twice.
+    */
+  def tCloseness(docs: DataFrame, t6: Long = 300000L,
+      buckets: Int = 10): DataFrame = {
+    val sc = col("n_chars").cast("double")
+    val stats = docs.agg(min(sc).as("lo"), max(sc).as("hi"))
+    val cells = docs.crossJoin(broadcast(stats))
+      .select(col("lang"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(greatest(
+              floor((sc - col("lo")) * buckets / (col("hi") - col("lo"))),
+              lit(0.0)), lit((buckets - 1).toDouble)).cast("long"))
+          .as("len_bucket"),
+        col("source"))
+      .groupBy(col("lang"), col("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val cls = cells.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("c")).as("n"))
+    val glob = cells.groupBy(col("source")).agg(sum(col("c")).as("g"))
+    val nTot = cells.agg(sum(col("c")).as("nn"))
+    val grid = cls.crossJoin(broadcast(glob))
+      .join(cells, Seq("lang", "len_bucket", "source"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+    grid.groupBy(col("lang"), col("len_bucket"))
+      .agg(first(col("n")).as("n"), first(col("nn")).as("nn"),
+        sum(abs(col("c") * col("nn") - col("g") * col("n"))).as("num"))
+      .withColumn("tv6", expr("num * 1000000 div (2 * n * nn)"))
+      .select(col("lang"), col("len_bucket"), col("n"),
+        (col("tv6").cast("double") / 1e6).as("tv"),
+        (col("tv6") <= t6).as("t_ok"))
+  }
+
   /** Distinguishing lexicon — Monroe, Colaresi & Quinn's "Fightin' Words"
     * log-odds with informative Dirichlet prior: for each source, the
     * terms whose usage most distinguishes it from the REST of the corpus,

@@ -429,6 +429,60 @@ object TemporalJoins {
     }.toDF("step", "event_type", "n_users", "conversion")
   }
 
+  /** Mann–Kendall trend test over daily volumes (q237) — the
+    * SIGNIFICANCE companion to the point-estimate trend ops (EWMA shows
+    * drift, CUSUM names the day a known-size shift crossed; MK answers
+    * "is there ANY monotone trend at all, and is it more than chance"
+    * without assuming a distribution or shift size — Mann 1945,
+    * Kendall 1975, the standard hydrology/monitoring test):
+    * S = Σ_{i<j} sign(xⱼ − xᵢ) over time-ordered daily counts,
+    * Var(S) = [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]/18 with the tie
+    * correction, z = (S∓1)/√Var (continuity-corrected), two-sided
+    * α = 0.05 verdict at |z| ≥ 1.96.
+    *
+    * Exactness: S and the Var numerator are exact BIGINTs (the pair
+    * table and tie groups are both calendar-bounded — days², never
+    * rows); z is one identical IEEE chain on exact longs, 1e-6-floored;
+    * all-tied series (Var = 0) report NULL z and "none".
+    *
+    * Scale shape: one map-side-combining (key, day) count; the pair
+    * self-join and tie aggregation run on the collapsed daily table.
+    */
+  def mannKendall(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.k") === col("b.k") && col("a.day") < col("b.day"))
+      .select(col("a.k").as("k"),
+        when(col("b.cnt") > col("a.cnt"), 1L)
+          .when(col("b.cnt") < col("a.cnt"), -1L).otherwise(0L).as("sg"))
+      .groupBy(col("k")).agg(sum(col("sg")).as("s"))
+    val n = daily.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("k"), col("cnt"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2L + 5)).as("tsum"))
+    // LEFT from the key census: a single-day key has no pairs at all —
+    // it must still report (S = 0, Var = 0, trend none), not vanish
+    n.join(s, Seq("k"), "left").join(ties, "k")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("v18",
+        col("n") * (col("n") - 1) * (col("n") * 2L + 5) - col("tsum"))
+      .withColumn("z6", when(col("v18") > 0, floor(
+        (when(col("s") > 0, col("s") - 1)
+          .when(col("s") < 0, col("s") + 1).otherwise(0L)).cast("double")
+          / sqrt(col("v18").cast("double") / 18.0) * 1000000L)
+        .cast("long")))
+      .select(col("k").as(typeCol), col("n").as("n_days"),
+        col("s").as("s_stat"), col("v18"),
+        (col("z6").cast("double") / 1e6).as("z"),
+        when(col("z6").isNull || abs(col("z6")) < 1960000L, "none")
+          .when(col("s") > 0, "increasing").otherwise("decreasing")
+          .as("trend"))
+  }
+
   /** Nelson–Aalen cumulative hazard over user lifetimes (q235) — the
     * censoring-honest churn read [[retention]] can't give: a user whose
     * last event is RECENT hasn't churned, they just haven't been

@@ -685,6 +685,18 @@ object LlmOps {
       graft.operators.TemporalJoins.hazard(Tables.events(s, d))
         .orderBy(col("duration_days"))),
 
+    // t-closeness audit: per-class EMD (= total variation, categorical
+    // unit distance) to the global source mix, dense grid, exact BIGINT
+    "q236_t_closeness" -> ((s, d) =>
+      graft.operators.CorpusOps.tCloseness(Tables.documents(s, d))
+        .orderBy(col("lang"), col("len_bucket"))),
+
+    // Mann-Kendall monotone-trend significance over daily volumes per
+    // event type: exact S and tie-corrected variance, z verdict
+    "q237_mann_kendall" -> ((s, d) =>
+      graft.operators.TemporalJoins.mannKendall(Tables.events(s, d))
+        .orderBy(col("event_type"))),
+
     // key-skew diagnosis: freq-of-freq Gini + top-key share + salt
     // recommendation over three differently-shaped keyed relations
     "q225_key_skew" -> ((s, d) => {
@@ -4926,6 +4938,69 @@ object LlmOps {
           CAST(h6 AS DOUBLE) / 1e6 AS hazard,
           CAST(ch6 AS DOUBLE) / 1e6 AS cum_hazard
         FROM ch ORDER BY duration_days""",
+    // q148's bucket rule, dense class x source grid with absent-cell
+    // global mass, exact BIGINT TV numerator, one integer division
+    "q236_t_closeness" ->
+      """WITH st AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+            CAST(max(n_chars) AS DOUBLE) AS hi FROM documents),
+        cell AS (SELECT lang,
+            CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+              ELSE CAST(least(greatest(floor(
+                (CAST(n_chars AS DOUBLE) - lo) * 10 / (hi - lo)), 0.0), 9.0)
+                AS BIGINT) END AS len_bucket,
+            source, CAST(count(*) AS BIGINT) AS c
+          FROM documents, st GROUP BY 1, 2, 3),
+        cls AS (SELECT lang, len_bucket, CAST(sum(c) AS BIGINT) AS n
+          FROM cell GROUP BY 1, 2),
+        gsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS g
+          FROM cell GROUP BY 1),
+        nt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cell),
+        grid AS (SELECT cls.lang, cls.len_bucket, cls.n, gsrc.source,
+            gsrc.g, coalesce(cell.c, 0) AS c, nn
+          FROM cls CROSS JOIN gsrc
+          LEFT JOIN cell ON cell.lang = cls.lang
+            AND cell.len_bucket = cls.len_bucket
+            AND cell.source = gsrc.source,
+          nt),
+        agg AS (SELECT lang, len_bucket, max(n) AS n, max(nn) AS nn,
+            CAST(sum(abs(c * nn - g * n)) AS BIGINT) AS num
+          FROM grid GROUP BY 1, 2)
+        SELECT lang, len_bucket, n,
+          CAST(num * 1000000 // (2 * n * nn) AS DOUBLE) / 1e6 AS tv,
+          num * 1000000 // (2 * n * nn) <= 300000 AS t_ok
+        FROM agg ORDER BY lang, len_bucket""",
+    // collapsed daily table, calendar-bounded pair join, exact S and
+    // tie-corrected Var numerator, identical IEEE z chain
+    "q237_mann_kendall" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        s AS (SELECT a.k,
+            CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+              WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s
+          FROM daily a JOIN daily b ON a.k = b.k AND a.day < b.day
+          GROUP BY 1),
+        n AS (SELECT k, CAST(count(*) AS BIGINT) AS n
+          FROM daily GROUP BY 1),
+        ties AS (SELECT k,
+            CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+          FROM (SELECT k, cnt, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2) x GROUP BY 1),
+        j AS (SELECT n.k, n.n, coalesce(s.s, 0) AS s,
+            n.n * (n.n - 1) * (2 * n.n + 5) - tsum AS v18
+          FROM n LEFT JOIN s ON s.k = n.k JOIN ties ON ties.k = n.k),
+        z AS (SELECT k, n, s, v18,
+            CASE WHEN v18 > 0 THEN CAST(floor(
+              CAST(CASE WHEN s > 0 THEN s - 1
+                WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
+              / sqrt(CAST(v18 AS DOUBLE) / 18.0) * 1000000) AS BIGINT)
+            END AS z6
+          FROM j)
+        SELECT k AS event_type, n AS n_days, s AS s_stat, v18,
+          CAST(z6 AS DOUBLE) / 1e6 AS z,
+          CASE WHEN z6 IS NULL OR abs(z6) < 1960000 THEN 'none'
+            WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+        FROM z ORDER BY event_type""",
     // same freq-of-freq collapse, same closed-form tied-rank Gini fold
     // and salt arithmetic per relation
     "q225_key_skew" ->
