@@ -70,7 +70,13 @@ object ScaleProbe {
     // collapses; disjoint replica keys keep the value sets growing
     // sub-linearly), l-diversity (one cell agg)
     "q229_countmin", "q230_l_diversity", "q231_hill_tail",
-    "q232_rank_corr")
+    "q232_rank_corr",
+    // round 11b: JSD (|sources|^2-per-distinct-token fan-out — the one
+    // new op with a quadratic-IN-SOURCES term, probed to confirm it
+    // rides tokens not rows), privacy grid, MK pair join
+    // (calendar-bounded), Youden value-set sweep, hazard value-set
+    "q233_jsd_matrix", "q234_youden", "q235_hazard",
+    "q236_t_closeness", "q237_mann_kendall")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
