@@ -31,6 +31,8 @@ import graft.table.MergeTable
   *   CALL graft.system.create_branch('db.t', 'audit')   -- WAP: write...
   *   CALL graft.system.publish_branch('db.t', 'audit')  -- ...audit, publish
   *   CALL graft.system.drop_branch('db.t', 'audit')
+  *   CALL graft.system.add_check('db.t', 'nonneg', 'amount >= 0')
+  *   CALL graft.system.drop_check('db.t', 'nonneg')
   * }}}
   *
   * Each returns one row with the table's latest version after the call.
@@ -161,6 +163,23 @@ private[sqlcat] object GraftProcedures {
       (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
         val t = resolve(l, in.getUTF8String(0).toString)
         t.removeOrphanFiles(in.getLong(1)); t.latestVersion
+      })),
+    // Delta-style CHECK constraints: add validates EXISTING rows first;
+    // every later append/apply rejects whole batches that violate.
+    // CALL graft.system.add_check('db.t', 'amount_nonneg', 'amount >= 0')
+    "add_check" -> ((Seq(p("table", StringType), p("name", StringType),
+        p("expr", StringType)),
+      (s: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.addCheckConstraint(s, in.getUTF8String(1).toString,
+          in.getUTF8String(2).toString)
+        t.latestVersion
+      })),
+    "drop_check" -> ((Seq(p("table", StringType), p("name", StringType)),
+      (_: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.dropCheckConstraint(in.getUTF8String(1).toString)
+        t.latestVersion
       })))
 
   def names: Seq[String] = defs.keys.toSeq.sorted

@@ -693,6 +693,65 @@ final class MergeTable(
     * the (usually cached) input, never a re-read of written files. Powers
     * `lookup` data skipping; None for non-integral keys or empty input.
     */
+  // ---- CHECK constraints (Delta-style, reject-whole-batch) ----
+
+  private val constraintsFile: Path = rootPath.resolve("_constraints")
+
+  /** Named CHECK constraints, persisted beside the manifests (TSV
+    * name→SQL) so reopened handles and other JVMs enforce them too.
+    * Re-read per write — one tiny local file against a Spark job's cost,
+    * and the cross-JVM-freshness property the manifest pointer already
+    * has. SQL-standard semantics: a row violates only when the
+    * expression evaluates to FALSE (NULL passes).
+    */
+  def checkConstraints: Map[String, String] =
+    if (!Files.exists(constraintsFile)) Map.empty
+    else Files.readAllLines(constraintsFile).asScala
+      .filter(_.nonEmpty).map { l =>
+        val Array(n, e) = l.split("\t", 2); n -> e
+      }.toMap
+
+  /** Add a CHECK constraint after validating EXISTING rows satisfy it
+    * (the Delta contract — a constraint that is already false would make
+    * every later write's rejection arbitrary).
+    */
+  def addCheckConstraint(spark: SparkSession, name: String,
+      exprSql: String): Unit = synchronized {
+    require(!name.exists(c => c == '\t' || c == '\n'), "bad constraint name")
+    val bad = read(spark).filter(!coalesce(expr(exprSql), lit(true))).count()
+    if (bad > 0) throw new MergeTable.ConstraintViolationException(name, bad,
+      s"cannot add CHECK $name ($exprSql): $bad existing rows violate it")
+    val all = checkConstraints + (name -> exprSql)
+    Files.write(constraintsFile,
+      all.toSeq.sorted.map { case (n, e) => s"$n\t$e" }.mkString("\n")
+        .getBytes("UTF-8"))
+  }
+
+  def dropCheckConstraint(name: String): Unit = synchronized {
+    val all = checkConstraints - name
+    if (all.isEmpty) Files.deleteIfExists(constraintsFile)
+    else Files.write(constraintsFile,
+      all.toSeq.sorted.map { case (n, e) => s"$n\t$e" }.mkString("\n")
+        .getBytes("UTF-8"))
+    ()
+  }
+
+  /** Per-constraint violation-count aggregate columns (violation =
+    * expression FALSE; NULL passes, per SQL CHECK).
+    */
+  private def constraintMetrics(cks: Seq[(String, String)]) =
+    cks.zipWithIndex.map { case ((_, e), i) =>
+      count(when(expr(e) === false, 1)).as(s"_ck$i")
+    }
+
+  private def failOnViolations(cks: Seq[(String, String)],
+      counts: Seq[Long]): Unit =
+    cks.zip(counts).find(_._2 > 0).foreach { case ((n, e), c) =>
+      throw new MergeTable.ConstraintViolationException(n, c,
+        s"CHECK $n ($e) rejected the batch: $c violating rows " +
+          "(nothing committed)")
+    }
+
   private def keyRangeOf(rows: DataFrame): Option[(Long, Long)] = {
     if (schema(keyCol).dataType != LongType) return None
     val r = rows.agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
@@ -711,7 +770,20 @@ final class MergeTable(
       // already-applied batch (checkpoint recovery) must cost zero Spark jobs
       if (batchId.exists(id =>
           currentSnapshot.exists(_.appliedBatches.contains(id)))) return
-      val range = keyRangeOf(rows)
+      val cks = checkConstraints.toSeq.sortBy(_._1)
+      val range = if (cks.isEmpty) keyRangeOf(rows) else {
+        // constraint counts FUSED into the existing key-range agg — no
+        // extra job per batch; violations throw before any file is staged
+        val keyIsLong = schema(keyCol).dataType == LongType
+        val aggs = (if (keyIsLong)
+            Seq(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+          else Seq(count(lit(1)).as("lo"))) ++ constraintMetrics(cks)
+        val r = rows.agg(aggs.head, aggs.tail: _*).collect().head
+        failOnViolations(cks,
+          cks.indices.map(i => r.getLong(r.fieldIndex(s"_ck$i"))))
+        if (keyIsLong && !r.isNullAt(0)) Some((r.getLong(0), r.getLong(1)))
+        else None
+      }
       withCommitRetries("appendAll") { () =>
         val prev = currentSnapshot
         onBaseSnapshotRead()
@@ -775,6 +847,7 @@ final class MergeTable(
             .filter(col("_rn") === 1).drop("_rn")
         } else batch.dropDuplicates(keyCol)
 
+      val cks = checkConstraints.toSeq.sortBy(_._1)
       val cached = lww.cache()
       try {
         withCommitRetries("applyBatch") { () =>
@@ -799,7 +872,10 @@ final class MergeTable(
               count(lit(1)).as("nup"),
               count(when(col("operation") === "update", 1)).as("nupd")) ++
               (if (keyIsLong) Seq(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
-               else Nil)
+               else Nil) ++
+              // CHECK violation counts ride the same write-job observation
+              // (zero extra jobs); upserts only — tombstones carry no payload
+              constraintMetrics(cks)
             val upserts = cached.filter(col("operation").isin("insert", "update"))
               .observe(upObs, upMetrics.head, upMetrics.tail: _*)
             val rawData = writeUpserts(upserts, v)
@@ -834,6 +910,15 @@ final class MergeTable(
             val newDels =
               if (nDels > 0) rawDels
               else { rawDels.foreach(f => Files.deleteIfExists(deleteDir.resolve(f))); Vector.empty }
+
+            // reject-whole-batch BEFORE commit: staged files reclaimed, the
+            // snapshot never advances, the table is byte-identical
+            val ckCounts = cks.indices.map(i => metric(s"_ck$i"))
+            if (ckCounts.exists(_ > 0)) {
+              newData.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+              newDels.foreach(f => Files.deleteIfExists(deleteDir.resolve(f)))
+              failOnViolations(cks, ckCounts)
+            }
 
             try commit(Snapshot(
               v,
@@ -2117,6 +2202,16 @@ object MergeTable {
     * re-reading and re-issuing is the caller's call, never automatic.
     */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** A write batch violated a table CHECK constraint: nothing was
+    * committed (staged files are reclaimed before the throw), the table
+    * is byte-identical to before the call — reject-whole-batch
+    * semantics, the Delta/ANSI CHECK behavior. Route bad rows to a
+    * dead-letter sink upstream (CdcTransformer's error path) when
+    * partial acceptance is wanted.
+    */
+  final class ConstraintViolationException(val constraint: String,
+      val violations: Long, msg: String) extends RuntimeException(msg)
 
   /** One JVM-wide monitor per table/branch metadata root — concurrent
     * handles on the same table share it (each handle's `synchronized`
