@@ -180,6 +180,14 @@ private[sqlcat] object GraftProcedures {
         val t = resolve(l, in.getUTF8String(0).toString)
         t.dropCheckConstraint(in.getUTF8String(1).toString)
         t.latestVersion
+      })),
+    // per-file Bloom point-lookup index on a non-key column:
+    // CALL graft.system.build_bloom('db.t', 'tag')
+    "build_bloom" -> ((Seq(p("table", StringType), p("column", StringType)),
+      (s: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.buildBloomIndex(s, in.getUTF8String(1).toString)
+        t.latestVersion
       })))
 
   def names: Seq[String] = defs.keys.toSeq.sorted

@@ -1223,6 +1223,114 @@ final class MergeTable(
     * can move a key's sort value across file ranges, and last-write-wins
     * must see both copies.)
     */
+  // ---- bloom file-skip index (point-lookup data skipping on a
+  //      NON-key column, where fileStats/colStats ranges don't help) ----
+
+  private def bloomFile(column: String): Path =
+    rootPath.resolve("bloom").resolve(s"${phys(column)}.tsv")
+
+  /** Build a per-FILE Bloom index for `column` over the CURRENT
+    * snapshot's data files. Files are immutable, so every entry stays
+    * true forever; files written after the build simply have no entry
+    * and are conservatively scanned (correctness never depends on index
+    * freshness — rebuild to restore pruning power, e.g. after
+    * compaction). Sized at `bits` per file with `hashes` probes
+    * (defaults ≈ 1% fpp at ~850 distinct values/file).
+    *
+    * Built DISTRIBUTED: one pass computes every row's probe positions
+    * (a bounded `hashes`-way explode), one distinct-collapsing
+    * aggregation per (file, position) — never a driver loop over files,
+    * never a per-file job. The collected index is ≤ |files|·bits BITS.
+    */
+  def buildBloomIndex(spark: SparkSession, column: String,
+      bits: Int = 8192, hashes: Int = 5): Unit = synchronized {
+    require(!partitionCol.contains(column),
+      "partition column is already dir-pruned; bloom-index a payload column")
+    currentSnapshot.foreach { snap =>
+      if (snap.dataFiles.nonEmpty) {
+        val paths = snap.dataFiles.map(f => dataDir.resolve(f).toString)
+        val probes = (0 until hashes).map(i =>
+          pmod(xxhash64(col(phys(column)), lit(i)), lit(bits.toLong)))
+        val posByFile = spark.read.parquet(paths: _*)
+          .select(input_file_name().as("_f"),
+            explode(array(probes: _*)).as("_p"))
+          .groupBy(col("_f"), col("_p")).agg(count(lit(1)))
+          .groupBy(col("_f")).agg(collect_list(col("_p")).as("_ps"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+        val lines = snap.dataFiles.flatMap { f =>
+          // input_file_name is a URI; match manifests' relative names
+          posByFile.collectFirst {
+            case (uri, ps) if uri.endsWith(f) =>
+              val bs = new java.util.BitSet(bits)
+              ps.foreach(p => bs.set(p.toInt))
+              s"$f\t$bits\t$hashes\t" + java.util.Base64.getEncoder
+                .encodeToString(bs.toByteArray)
+          }
+        }
+        Files.createDirectories(bloomFile(column).getParent)
+        Files.write(bloomFile(column), lines.mkString("\n").getBytes("UTF-8"))
+        ()
+      }
+    }
+  }
+
+  private def loadBloom(column: String)
+      : Map[String, (Int, Int, java.util.BitSet)] =
+    if (!Files.exists(bloomFile(column))) Map.empty
+    else Files.readAllLines(bloomFile(column)).asScala.filter(_.nonEmpty)
+      .map { l =>
+        val Array(f, b, k, b64) = l.split("\t", 4)
+        f -> ((b.toInt, k.toInt, java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(b64))))
+      }.toMap
+
+  /** The files a bloom-pruned point lookup on `column === value` would
+    * scan — files without an index entry are conservatively included.
+    * Exposed for spec/plan inspection, like [[prunedFilesFor]].
+    */
+  private[graft] def bloomPrunedFilesFor(spark: SparkSession,
+      column: String, value: Any, snap: Snapshot): Seq[String] = {
+    val idx = loadBloom(column)
+    if (idx.isEmpty) snap.dataFiles
+    else {
+      // probe positions via the SAME expression chain the build used —
+      // one 1-row local job (the bounded centroid-collect pattern)
+      val posFor = scala.collection.mutable.Map.empty[(Int, Int), Seq[Long]]
+      def positions(bits: Int, hashes: Int): Seq[Long] =
+        posFor.getOrElseUpdate((bits, hashes), {
+          val probes = (0 until hashes).map(i =>
+            pmod(xxhash64(lit(value), lit(i)), lit(bits.toLong)))
+          spark.range(1).select(array(probes: _*).as("p"))
+            .collect().head.getSeq[Long](0)
+        })
+      snap.dataFiles.filter(f => idx.get(f).forall { case (b, k, bs) =>
+        positions(b, k).forall(p => bs.get(p.toInt))
+      })
+    }
+  }
+
+  /** Point lookup on a non-key column with bloom file skipping: files
+    * whose filter says "definitely absent" are never opened. Result ≡
+    * `read().filter(col === value)` — the residual filter always stays
+    * on top; pending merge work / deletes / bucketed layouts fall back
+    * to the plain filtered read (same guards as [[readWhere]]).
+    */
+  def lookupBloom(spark: SparkSession, column: String,
+      value: Any): DataFrame = {
+    val pred = col(column) === lit(value)
+    currentSnapshot match {
+      case None => emptyDf(spark)
+      case Some(snap)
+          if !snap.requiresDedup && snap.deleteFiles.isEmpty
+            && snap.buckets.isEmpty =>
+        val wanted = bloomPrunedFilesFor(spark, column, value, snap).toVector
+        if (wanted.isEmpty) emptyDf(spark).filter(pred)
+        else readSnapshot(spark, snap.copy(dataFiles = wanted)).filter(pred)
+      case _ => read(spark).filter(pred)
+    }
+  }
+
   def readWhere(spark: SparkSession, column: String, lo: Long, hi: Long): DataFrame = {
     val pred = col(column).cast("long").between(lo, hi)
     currentSnapshot match {
