@@ -65,6 +65,43 @@ object Quantiles {
     folded.select(col("_g").as(groupCol) +: col("n") +: outs: _*)
   }
 
+  /** WEIGHTED quantiles per group (q238) — the question a token-budgeted
+    * pipeline actually asks: not "the median document" but "the document
+    * length below which half the TOKENS sit" (shard sizing, packing
+    * buffers, and cost models all weight by tokens, not documents; a
+    * doc-count median is dominated by the short tail). Semantics = the
+    * type-1 weighted quantile: the smallest value whose cumulative
+    * weight reaches ⌈q·W⌉ — an exact ORDER STATISTIC (no interpolation;
+    * weighted-interpolation conventions differ across libraries, the
+    * ceiling-rank definition is unambiguous and engine-replayable).
+    *
+    * Exactness: integral values and weights, k = (num·W + den − 1) div
+    * den in BIGINTs, the answer a min-over-threshold on the value-set
+    * cumulative — the [[groupedQuantiles]] shape with weight sums as the
+    * collapse counts. Rows with non-positive weight are dropped (they
+    * have no mass). Overflow bound num·W < 2⁶³ ⇒ W ≲ 9·10¹⁶ at
+    * percentiles (den = 100).
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, qs: Seq[Q]): DataFrame = {
+    require(qs.nonEmpty)
+    val g = df.filter(col(weightCol) > 0)
+      .groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(sum(col(weightCol)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_w", sum(col("_c")).over(Window.partitionBy(col("_g"))))
+    val aggs: Seq[Column] = max(col("_w")).as("w_total") +: qs.map { q =>
+      min(when(col("_cum") >=
+          expr(s"(${q.num} * _w + ${q.den} - 1) div ${q.den}"), col("_v")))
+        .as(q.name)
+    }
+    cum.groupBy(col("_g")).agg(aggs.head, aggs.tail: _*)
+      .select(col("_g").as(groupCol) +: col("w_total") +:
+        qs.map(q => col(q.name)): _*)
+  }
+
   /** Tukey outlier fences per group (q221): quartiles of an integral
     * measure via [[groupedQuantiles]], fences at Q1 − 1.5·IQR and
     * Q3 + 1.5·IQR, and the per-group outlier census — the robust

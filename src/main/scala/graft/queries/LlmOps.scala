@@ -697,6 +697,19 @@ object LlmOps {
       graft.operators.TemporalJoins.mannKendall(Tables.events(s, d))
         .orderBy(col("event_type"))),
 
+    // token-WEIGHTED length quantiles per source: type-1 ceiling-rank
+    // order statistics over the value-set cumulative of weight sums
+    "q238_weighted_quantiles" -> ((s, d) => {
+      val q = graft.operators.Quantiles
+      val docs = Tables.fanout(Tables.documents(s, d))
+        .withColumn("n_toks",
+          size(graft.operators.TextAnalysis.wsTokens(col("text")))
+            .cast("long"))
+      q.weightedQuantiles(docs, "source", "n_chars", "n_toks",
+          Seq(q.Q("p25", 1, 4), q.Q("p50", 1, 2), q.Q("p90", 9, 10)))
+        .orderBy(col("source"))
+    }),
+
     // key-skew diagnosis: freq-of-freq Gini + top-key share + salt
     // recommendation over three differently-shaped keyed relations
     "q225_key_skew" -> ((s, d) => {
@@ -5001,6 +5014,26 @@ object LlmOps {
           CASE WHEN z6 IS NULL OR abs(z6) < 1960000 THEN 'none'
             WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
         FROM z ORDER BY event_type""",
+    // weight-collapsed value sets, ceiling-rank k = ceil(q*W), min over
+    // the cumulative -- all BIGINT
+    "q238_weighted_quantiles" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS wt
+          FROM documents WHERE len(list_filter(string_split(text, ' '),
+            x -> x <> '')) > 0),
+        g AS (SELECT source, v, CAST(sum(wt) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+        cum AS (SELECT source, v, c,
+            CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+            CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS w
+          FROM g)
+        SELECT source, max(w) AS w_total,
+          min(CASE WHEN cw >= (1 * w + 3) // 4 THEN v END) AS p25,
+          min(CASE WHEN cw >= (1 * w + 1) // 2 THEN v END) AS p50,
+          min(CASE WHEN cw >= (9 * w + 9) // 10 THEN v END) AS p90
+        FROM cum GROUP BY source ORDER BY source""",
     // same freq-of-freq collapse, same closed-form tied-rank Gini fold
     // and salt arithmetic per relation
     "q225_key_skew" ->

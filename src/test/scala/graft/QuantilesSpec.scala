@@ -81,4 +81,26 @@ class QuantilesSpec extends SparkSpec {
     assert(out.getAs[Long]("n_high") === 1L)
     assert(out.getAs[Double]("outlier_frac") === 0.166666)
   }
+
+  test("weightedQuantiles: type-1 ceiling-rank by mass; zero weights " +
+      "carry none; one heavy value dominates") {
+    // values 10/20/30 with weights 1/1/8 (W=10): ceil(.25*10)=3 -> 30;
+    // ceil(.5*10)=5 -> 30; the heavy value owns everything past w=2
+    val df = Seq(("g", 10L, 1L), ("g", 20L, 1L), ("g", 30L, 8L),
+      ("g", 99L, 0L)).toDF("g", "v", "wt")
+    val qs = Seq(Quantiles.Q("p25", 1, 4), Quantiles.Q("p50", 1, 2),
+      Quantiles.Q("p90", 9, 10))
+    val r = Quantiles.weightedQuantiles(df, "g", "v", "wt", qs)
+      .collect().head
+    assert(r.getAs[Long]("w_total") === 10L, "zero-weight row excluded")
+    assert(r.getAs[Long]("p25") === 30L)
+    assert(r.getAs[Long]("p50") === 30L)
+    assert(r.getAs[Long]("p90") === 30L)
+    // uniform weights degenerate to the unweighted ceiling-rank statistic
+    val u = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 1L))
+      .toDF("g", "v", "wt")
+    val r2 = Quantiles.weightedQuantiles(u, "g", "v", "wt",
+      Seq(Quantiles.Q("p50", 1, 2))).collect().head
+    assert(r2.getAs[Long]("p50") === 2L, "ceil(0.5*4)=2 -> second value")
+  }
 }
