@@ -123,6 +123,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "files"      => Some(s => t.filesDf(s))
         case "refs"       => Some(s => t.refsDf(s))
         case "partitions" => Some(s => t.partitionsDf(s))
+        case "stats"      => Some(s => t.statsDf(s))
         case _            => None
       }
       dfFn.foreach(f => return new GraftMetaTable(fullName(ident), f))

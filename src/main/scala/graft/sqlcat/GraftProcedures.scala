@@ -188,6 +188,12 @@ private[sqlcat] object GraftProcedures {
         val t = resolve(l, in.getUTF8String(0).toString)
         t.buildBloomIndex(s, in.getUTF8String(1).toString)
         t.latestVersion
+      })),
+    // ANALYZE TABLE analog: one-pass per-column stats -> `t.stats`
+    "analyze" -> ((Seq(p("table", StringType)),
+      (s: SparkSession, in: InternalRow, l: LakeCatalog) => {
+        val t = resolve(l, in.getUTF8String(0).toString)
+        t.analyze(s); t.latestVersion
       })))
 
   def names: Seq[String] = defs.keys.toSeq.sorted

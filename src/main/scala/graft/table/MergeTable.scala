@@ -1640,6 +1640,72 @@ final class MergeTable(
       op = "rollback"))
   }
 
+  // ---- ANALYZE / .stats (Iceberg-puffin / ANALYZE TABLE analog) ----
+
+  private def statsFile: Path = rootPath.resolve("_stats")
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Collect per-column table statistics in ONE pass over the
+    * merge-consistent read (row count; per column: null count, NDV via
+    * the codegen'd approx sketch, min/max as strings) and persist them
+    * beside the manifests, stamped with the snapshot version analyzed.
+    * The CBO food Iceberg ships as puffin blobs / `ANALYZE TABLE`
+    * computes: mixture planners read NDV to choose broadcast vs shuffle,
+    * null counts to order filters, min/max to sanity-check ingest. Stats
+    * are advisory metadata (estimates allowed) — nothing in the read
+    * path depends on them, so staleness is harmless and visible (the
+    * `.stats` table carries an `is_stale` flag).
+    */
+  def analyze(spark: SparkSession): Unit = synchronized {
+    currentSnapshot.foreach { snap =>
+      val df = read(spark)
+      val aggs = count(lit(1)).as("_n") +: payloadCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        approx_count_distinct(col(c)).as(s"_ndv_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+      val n = r.getLong(r.fieldIndex("_n"))
+      val lines = s"${snap.version}\t$n" +: payloadCols.map { c =>
+        def str(f: String): String = {
+          val i = r.fieldIndex(f)
+          if (r.isNullAt(i)) "" else enc(r.get(i).toString)
+        }
+        Seq(c, r.getLong(r.fieldIndex(s"_null_$c")),
+          r.getLong(r.fieldIndex(s"_ndv_$c")),
+          str(s"_min_$c"), str(s"_max_$c")).mkString("\t")
+      }
+      Files.write(statsFile, lines.mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  /** `<table>.stats` metadata table: the persisted [[analyze]] results
+    * plus the staleness flag (analyzed version ≠ current head).
+    */
+  def statsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    if (!Files.exists(statsFile))
+      return spark.emptyDataset[(String, Long, Long, Long, Option[String],
+          Option[String], Long, Boolean)]
+        .toDF("column", "n_rows", "n_nulls", "ndv", "min", "max",
+          "analyzed_version", "is_stale")
+    val all = Files.readAllLines(statsFile).asScala.toSeq
+    val Array(v, n) = all.head.split("\t", 2)
+    val cur = latestVersion
+    all.tail.map { l =>
+      val Array(c, nulls, ndv, mn, mx) = l.split("\t", 5)
+      (c, n.toLong, nulls.toLong, ndv.toLong,
+        if (mn.isEmpty) None else Some(dec(mn)),
+        if (mx.isEmpty) None else Some(dec(mx)),
+        v.toLong, v.toLong != cur)
+    }.toDF("column", "n_rows", "n_nulls", "ndv", "min", "max",
+      "analyzed_version", "is_stale")
+  }
+
   /** Snapshot history as a DataFrame — the engine's analog of Iceberg's
     * `<table>.snapshots` metadata table.
     */
