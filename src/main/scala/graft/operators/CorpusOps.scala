@@ -739,6 +739,60 @@ object CorpusOps {
         (floor(sum(col("contrib")) * 1000) / 1000).as("bm25"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (q239) — the
+    * language-modeling ranker beside [[bm25]]/[[bm25f]] (Ponte & Croft;
+    * Zhai & Lafferty's Dirichlet prior): score(d) = Σ_{t∈Q}
+    * ln((tf + μ·p(t|C)) / (dl + μ)), where ABSENT query terms still
+    * contribute (the smoothed corpus prior — the property BM25 lacks and
+    * the reason QL degrades more gracefully on short docs). OOV query
+    * terms (cf = 0) are dropped, the standard convention (their smoothed
+    * probability is 0 for every document — an undefined ln and no
+    * ranking signal).
+    *
+    * Exactness: the smoothed ratio is (tf·|C| + μ·cf) / ((dl + μ)·|C|)
+    * — exact BIGINT numerator/denominator into ONE double division →
+    * ln → millionth floor per (doc, term); the doc score sums ≤ |Q|
+    * integers (order-free). Overflow bound (dl + μ)·|C| < 2⁶³ ⇒
+    * |C| ≲ 9·10¹³ at dl ≤ 10⁵. Deterministic (score desc, doc_id) top-k.
+    *
+    * Scale shape: one explode pruned to query terms at the boundary,
+    * map-side tf/cf aggs, a |docs|×|Q| grid via a broadcast term list
+    * LEFT-joined to tf, TakeOrdered top-k.
+    */
+  def qlDirichlet(docs: DataFrame, queryTerms: Seq[String], mu: Int = 2000,
+      topK: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val staged = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.wsTokens(col(textCol)).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
+    val toks = staged.select(col("doc_id"), explode(col("w")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val cfTab = toks.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    val ctot = staged.agg(sum(col("dl")).as("ctot"))
+    val grid = staged.select(col("doc_id"), col("dl"))
+      .crossJoin(broadcast(cfTab))
+      .join(tf, Seq("doc_id", "token"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .crossJoin(broadcast(ctot))
+      .withColumn("l6", floor(log(
+        (col("tf") * col("ctot") + lit(mu.toLong) * col("cf"))
+          .cast("double") /
+        ((col("dl") + mu) * col("ctot")).cast("double")) * 1000000L)
+        .cast("long"))
+    val top = grid.groupBy(col("doc_id"))
+      .agg(sum(col("l6")).as("score6"),
+        sum(when(col("tf") > 0, 1L).otherwise(0L)).as("n_hit"))
+      .orderBy(col("score6").desc, col("doc_id")).limit(topK)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score6").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_hit"),
+        (col("score6").cast("double") / 1e6).as("ql_score"))
+  }
+
   /** Fielded-document fixture for q192: title = the document's first two
     * words, body = words 8–29 — the field split [[htmlFixture]] renders
     * as title/paragraph, without re-running the HTML chain.

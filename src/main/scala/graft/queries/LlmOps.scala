@@ -697,6 +697,14 @@ object LlmOps {
       graft.operators.TemporalJoins.mannKendall(Tables.events(s, d))
         .orderBy(col("event_type"))),
 
+    // query-likelihood Dirichlet retrieval: smoothed LM ranker where
+    // absent query terms still contribute the corpus prior
+    "q239_ql_dirichlet" -> ((s, d) =>
+      graft.operators.CorpusOps.qlDirichlet(
+          Tables.fanout(Tables.documents(s, d)),
+          Seq("vector", "stream", "filter", "spark"))
+        .orderBy(col("rank"))),
+
     // token-WEIGHTED length quantiles per source: type-1 ceiling-rank
     // order statistics over the value-set cumulative of weight sums
     "q238_weighted_quantiles" -> ((s, d) => {
@@ -5014,6 +5022,41 @@ object LlmOps {
           CASE WHEN z6 IS NULL OR abs(z6) < 1960000 THEN 'none'
             WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
         FROM z ORDER BY event_type""",
+    // exact BIGINT smoothed ratio into one double ln per (doc, term),
+    // |Q|-bounded integer sums, deterministic top-k
+    "q239_ql_dirichlet" ->
+      """WITH w AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        st AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+        ct AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot FROM st),
+        tk AS (SELECT doc_id, unnest(w) AS token FROM w),
+        qt AS (SELECT doc_id, token FROM tk
+          WHERE token IN ('vector', 'stream', 'filter', 'spark')),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM qt GROUP BY 1, 2),
+        cf AS (SELECT token, CAST(count(*) AS BIGINT) AS cf
+          FROM qt GROUP BY 1),
+        grid AS (SELECT st.doc_id, st.dl, cf.token, cf.cf,
+            coalesce(tf.tf, 0) AS tf, ctot
+          FROM st CROSS JOIN cf
+          LEFT JOIN tf ON tf.doc_id = st.doc_id AND tf.token = cf.token,
+          ct),
+        l AS (SELECT doc_id,
+            CAST(floor(ln(CAST(tf * ctot + 2000 * cf AS DOUBLE)
+              / CAST((dl + 2000) * ctot AS DOUBLE)) * 1000000) AS BIGINT)
+              AS l6,
+            tf
+          FROM grid),
+        sc AS (SELECT doc_id, CAST(sum(l6) AS BIGINT) AS score6,
+            CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hit
+          FROM l GROUP BY 1),
+        top AS (SELECT doc_id, n_hit, score6 FROM sc
+          ORDER BY score6 DESC, doc_id LIMIT 20)
+        SELECT row_number() OVER (ORDER BY score6 DESC, doc_id) AS rank,
+          doc_id, n_hit, CAST(score6 AS DOUBLE) / 1e6 AS ql_score
+        FROM top ORDER BY rank""",
     // weight-collapsed value sets, ceiling-rank k = ceil(q*W), min over
     // the cumulative -- all BIGINT
     "q238_weighted_quantiles" ->

@@ -172,4 +172,32 @@ class RetrievalSpec extends SparkSpec {
     assert(run(docs) === run(docs.repartition(9)))
     assert(run(docs).nonEmpty)
   }
+
+  test("qlDirichlet: hand-quantized smoothed scores; absent terms " +
+      "contribute the prior; OOV terms dropped") {
+    import spark.implicits._
+    def l6(tf: Long, cf: Long, dl: Long, ctot: Long, mu: Long) =
+      math.floor(math.log((tf * ctot + mu * cf).toDouble /
+        ((dl + mu) * ctot).toDouble) * 1e6).toLong
+    val docs = Seq((1L, "a b"), (2L, "a a c")).toDF("doc_id", "text")
+    val out = CorpusOps.qlDirichlet(docs, Seq("a", "c"), mu = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // ctot=5, cf(a)=3, cf(c)=1; d2 (both hits) outranks d1
+    val d2 = (l6(2, 3, 3, 5, 2) + l6(1, 1, 3, 5, 2)).toDouble / 1e6
+    val d1 = (l6(1, 3, 2, 5, 2) + l6(0, 1, 2, 5, 2)).toDouble / 1e6
+    assert(out.toSeq === Seq((1, 2L, 2L, d2), (2, 1L, 1L, d1)))
+    // an OOV query term changes nothing (dropped, standard convention)
+    val withOov = CorpusOps.qlDirichlet(docs, Seq("a", "c", "zzz"), mu = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(withOov.toSeq === out.toSeq)
+    // a doc with NO query hits is still ranked (prior-only score)
+    val three = Seq((1L, "a b"), (2L, "a a c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val all = CorpusOps.qlDirichlet(three, Seq("a"), mu = 2).collect()
+    assert(all.length === 3)
+    assert(all.map(_.getLong(1)).contains(3L))
+    assert(all.find(_.getLong(1) == 3L).get.getLong(2) === 0L, "n_hit 0")
+  }
 }
