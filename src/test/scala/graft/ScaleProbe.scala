@@ -76,7 +76,10 @@ object ScaleProbe {
     // rides tokens not rows), privacy grid, MK pair join
     // (calendar-bounded), Youden value-set sweep, hazard value-set
     "q233_jsd_matrix", "q234_youden", "q235_hazard",
-    "q236_t_closeness", "q237_mann_kendall")
+    "q236_t_closeness", "q237_mann_kendall",
+    // round 11c: weighted value-set quantiles; QL's |docs|x|Q| grid
+    // (the one linear-in-docs fan-out of the batch)
+    "q238_weighted_quantiles", "q239_ql_dirichlet")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
