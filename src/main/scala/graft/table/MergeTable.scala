@@ -752,6 +752,42 @@ final class MergeTable(
           "(nothing committed)")
     }
 
+  /** Partial-acceptance companion to the CHECK enforcement: split the
+    * batch on the table's constraints, append the CLEAN slice here and
+    * the violating slice — payload plus a `violated` column naming the
+    * FIRST failing constraint — to `deadLetter` (the table-layer face of
+    * CdcTransformer's error-sink semantics; use plain appendAll when a
+    * bad row should poison the whole batch instead). Both appends key
+    * idempotence off derived batch ids, so checkpoint-recovery replays
+    * land each slice exactly-once even when the crash fell between the
+    * two commits. Returns (clean, dead) row counts, read from the split
+    * aggregation (the persisted split costs one pass; the clean append's
+    * fused re-check then passes by construction).
+    */
+  def appendWithDeadLetter(rows: DataFrame, deadLetter: MergeTable,
+      batchId: Option[String] = None): (Long, Long) = {
+    val cks = checkConstraints.toSeq.sortBy(_._1)
+    if (cks.isEmpty) {
+      val n = rows.count()
+      appendAll(rows, batchId)
+      return (n, 0L)
+    }
+    val violated = coalesce(cks.map { case (n, e) =>
+      when(expr(e) === false, lit(n))
+    }: _*)
+    val flagged = rows.withColumn("_violated", violated).persist()
+    try {
+      val clean = flagged.filter(col("_violated").isNull).drop("_violated")
+      val dead = flagged.filter(col("_violated").isNotNull)
+        .withColumnRenamed("_violated", "violated")
+      val nClean = clean.count()
+      val nDead = dead.count()
+      if (nClean > 0) appendAll(clean, batchId.map(_ + "-clean"))
+      if (nDead > 0) deadLetter.appendAll(dead, batchId.map(_ + "-dead"))
+      (nClean, nDead)
+    } finally { flagged.unpersist(blocking = false); () }
+  }
+
   private def keyRangeOf(rows: DataFrame): Option[(Long, Long)] = {
     if (schema(keyCol).dataType != LongType) return None
     val r = rows.agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))

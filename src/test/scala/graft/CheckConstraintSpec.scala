@@ -89,6 +89,34 @@ class CheckConstraintSpec extends SparkSpec {
     assert(t2.read(spark).count() === 2L)
   }
 
+  test("appendWithDeadLetter: clean slice lands, violators route with " +
+      "the first failing constraint named; replay is exactly-once") {
+    val root = Files.createTempDirectory("ckdl").toString
+    val t = new MergeTable(s"$root/t", schema, keyCol = "id",
+      partitionCol = None).create()
+    val dlSchema = StructType(schema.fields :+
+      StructField("violated", StringType))
+    val dl = new MergeTable(s"$root/dl", dlSchema, keyCol = "id",
+      partitionCol = None).create()
+    t.addCheckConstraint(spark, "a_nonneg", "amount >= 0")
+    t.addCheckConstraint(spark, "b_tag", "tag != 'bad'")
+    val batch = Seq((1L, 10L, "ok"), (2L, -1L, "ok"), (3L, -2L, "bad"),
+      (4L, 5L, "bad")).toDF("id", "amount", "tag")
+    val (nc, nd) = t.appendWithDeadLetter(batch, dl, Some("e0"))
+    assert((nc, nd) === ((1L, 3L)))
+    assert(t.read(spark).count() === 1L)
+    val deadRows = dl.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // constraint names sort (a_nonneg, b_tag): the FIRST failing wins
+    assert(deadRows === Map(2L -> "a_nonneg", 3L -> "a_nonneg",
+      4L -> "b_tag"))
+    // checkpoint-recovery replay: both derived batch ids skip
+    val (nc2, nd2) = t.appendWithDeadLetter(batch, dl, Some("e0"))
+    assert((nc2, nd2) === ((1L, 3L)), "counts re-reported")
+    assert(t.read(spark).count() === 1L && dl.read(spark).count() === 3L,
+      "no duplicate rows after replay")
+  }
+
   test("SQL surface: CALL add_check/drop_check gate INSERT through the " +
       "catalog") {
     val wh = Files.createTempDirectory("ckproc").toString
