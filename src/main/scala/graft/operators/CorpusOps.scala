@@ -739,6 +739,81 @@ object CorpusOps {
         (floor(sum(col("contrib")) * 1000) / 1000).as("bm25"))
   }
 
+  /** Multinomial Naive Bayes source classifier (q240) — the cheap
+    * domain/provenance classifier every mixture pipeline trains before
+    * reaching for embeddings (the CCNet/fastText-classifier role: route
+    * unlabeled text to the source whose unigram model likes it most,
+    * then audit the mixture): train add-one-smoothed per-source token
+    * models on one corpus half, classify the held-out half, report
+    * per-source accuracy. Also the direct measure of how SEPARABLE the
+    * sources are — near-chance accuracy says the source labels carry no
+    * lexical signal and source-balancing work is cosmetic.
+    *
+    * Exactness: ln p(t|s) = ln((c_st + 1)/(T_s + V)) quantizes to
+    * integer millionths once per (source, token) — the [[sourceAffinity]]
+    * discipline — and a test doc's score under s is the exact BIGINT dot
+    * product Σ tf·l6 plus the quantized ln-prior; the predicted source
+    * is a row_number window over (score6 desc, source) per doc (the
+    * provenance argmax shape — no float comparison, deterministic ties).
+    * Unseen-in-s tokens hit the same smoothed expression with c = 0; the
+    * vocabulary is the TRAIN vocabulary (test-only tokens carry no
+    * trained signal for any class and are dropped, the standard NB
+    * convention; a test doc with ZERO train-vocab tokens has no lexical
+    * evidence at all and is excluded from the report).
+    *
+    * Scale shape: one train (source, token) agg; the score grid is
+    * (distinct test (doc, token)) × |sources| via a broadcast model join
+    * — bounded by |sources|·test tokens, never corpus²; the argmax
+    * window partitions by doc.
+    */
+  def nbSourceClassifier(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val half = idHash(col("doc_id")) % 2 === 0
+    val toks = docs.withColumn("_train", half)
+      .select(col("doc_id"), col("source"), col("_train"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+    val train = toks.filter(col("_train"))
+    val cells = train.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val vocabN = cells.agg(countDistinct(col("tok")).as("v"))
+    val docsPer = train.select(col("doc_id"), col("source")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val nTrain = docsPer.agg(sum(col("nd")).as("ntr"))
+    // per-source model rows for EVERY train-vocab token: the grid side
+    val vocab = cells.select(col("tok")).distinct()
+    val model = totals.crossJoin(broadcast(vocabN))
+      .crossJoin(vocab)
+      .join(cells, Seq("source", "tok"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("l6", floor(log((col("c") + 1).cast("double") /
+        (col("t") + col("v")).cast("double")) * 1000000L).cast("long"))
+      .select(col("source").as("model"), col("tok"), col("l6"))
+    val prior = docsPer.crossJoin(broadcast(nTrain))
+      .withColumn("p6", floor(log(col("nd").cast("double") / col("ntr"))
+        * 1000000L).cast("long"))
+      .select(col("source").as("model"), col("p6"))
+    val testTf = toks.filter(!col("_train"))
+      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = testTf.join(model, Seq("tok"))
+      .groupBy(col("doc_id"), col("source"), col("model"))
+      .agg(sum(col("tf") * col("l6")).as("s6"))
+      .join(broadcast(prior), Seq("model"))
+      .withColumn("score6", col("s6") + col("p6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score6").desc, col("model"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("model") === col("source"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        expr("n_correct * 1000000 div n_test").cast("double") / 1e6)
+  }
+
   /** Query-likelihood retrieval with Dirichlet smoothing (q239) — the
     * language-modeling ranker beside [[bm25]]/[[bm25f]] (Ponte & Croft;
     * Zhai & Lafferty's Dirichlet prior): score(d) = Σ_{t∈Q}

@@ -697,6 +697,13 @@ object LlmOps {
       graft.operators.TemporalJoins.mannKendall(Tables.events(s, d))
         .orderBy(col("event_type"))),
 
+    // Naive Bayes source classifier: train on even-hash half, classify
+    // the holdout, per-source accuracy -- the source-separability probe
+    "q240_nb_classifier" -> ((s, d) =>
+      graft.operators.CorpusOps.nbSourceClassifier(
+          Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
     // query-likelihood Dirichlet retrieval: smoothed LM ranker where
     // absent query terms still contribute the corpus prior
     "q239_ql_dirichlet" -> ((s, d) =>
@@ -5022,6 +5029,51 @@ object LlmOps {
           CASE WHEN z6 IS NULL OR abs(z6) < 1960000 THEN 'none'
             WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
         FROM z ORDER BY event_type""",
+    // same split, smoothed model grid, BIGINT dot products, row_number
+    // argmax, integer accuracy
+    "q240_nb_classifier" ->
+      """WITH tk AS (SELECT doc_id, source,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 % 2 = 0
+              AS tr,
+            unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS tok
+          FROM documents),
+        cells AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+          FROM tk WHERE tr GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+          FROM cells GROUP BY 1),
+        vn AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cells),
+        vocab AS (SELECT DISTINCT tok FROM cells),
+        model AS (SELECT tot.source AS model, vocab.tok,
+            CAST(floor(ln(CAST(coalesce(cells.c, 0) + 1 AS DOUBLE)
+              / CAST(tot.t + vn.v AS DOUBLE)) * 1000000) AS BIGINT) AS l6
+          FROM tot CROSS JOIN vocab
+          LEFT JOIN cells ON cells.source = tot.source
+            AND cells.tok = vocab.tok, vn),
+        dp AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+          FROM tk WHERE tr GROUP BY 1),
+        ntr AS (SELECT CAST(sum(nd) AS BIGINT) AS ntr FROM dp),
+        prior AS (SELECT source AS model,
+            CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(ntr AS DOUBLE))
+              * 1000000) AS BIGINT) AS p6
+          FROM dp, ntr),
+        ttf AS (SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM tk WHERE NOT tr GROUP BY 1, 2, 3),
+        sc AS (SELECT ttf.doc_id, ttf.source, model.model,
+            CAST(sum(tf * l6) AS BIGINT) AS s6
+          FROM ttf JOIN model ON model.tok = ttf.tok GROUP BY 1, 2, 3),
+        sc2 AS (SELECT sc.doc_id, sc.source, sc.model, s6 + p6 AS score6
+          FROM sc JOIN prior USING (model)),
+        pred AS (SELECT doc_id, source, model, row_number()
+            OVER (PARTITION BY doc_id ORDER BY score6 DESC, model) AS rn
+          FROM sc2),
+        agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN model = source THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+          FROM pred WHERE rn = 1 GROUP BY 1)
+        SELECT source, n_test, n_correct,
+          CAST(n_correct * 1000000 // n_test AS DOUBLE) / 1e6 AS accuracy
+        FROM agg ORDER BY source""",
     // exact BIGINT smoothed ratio into one double ln per (doc, term),
     // |Q|-bounded integer sums, deterministic top-k
     "q239_ql_dirichlet" ->

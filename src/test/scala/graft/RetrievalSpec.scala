@@ -200,4 +200,27 @@ class RetrievalSpec extends SparkSpec {
     assert(all.map(_.getLong(1)).contains(3L))
     assert(all.find(_.getLong(1) == 3L).get.getLong(2) === 0L, "n_hit 0")
   }
+
+  test("nbSourceClassifier: planted disjoint vocabularies classify " +
+      "perfectly; full holdout accounted") {
+    import spark.implicits._
+    def isTrain(id: Long): Boolean =
+      ((id % 2147483648L) * 2654435761L) % 2147483647L % 2 == 0
+    val docs = (0L until 40L).map { i =>
+      val src = if (i % 2 == 0) "cats" else "dogs"
+      val text = if (src == "cats") "meow purr meow whiskers"
+        else "woof bark woof fetch"
+      (i, src, text)
+    }.toDF("doc_id", "source", "text")
+    val out = CorpusOps.nbSourceClassifier(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out.keySet === Set("cats", "dogs"))
+    out.foreach { case (s, (n, c, acc)) =>
+      assert(n === c && acc === 1.0, s"$s: $n/$c")
+    }
+    val nTest = (0L until 40L).count(!isTrain(_))
+    assert(out.values.map(_._1).sum === nTest.toLong,
+      "every holdout doc classified")
+  }
 }
