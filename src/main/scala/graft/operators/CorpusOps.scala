@@ -761,10 +761,15 @@ object CorpusOps {
     * convention; a test doc with ZERO train-vocab tokens has no lexical
     * evidence at all and is excluded from the report).
     *
-    * Scale shape: one train (source, token) agg; the score grid is
-    * (distinct test (doc, token)) × |sources| via a broadcast model join
-    * — bounded by |sources|·test tokens, never corpus²; the argmax
-    * window partitions by doc.
+    * Scale shape — the sparse decomposition: with m₆(s) = the quantized
+    * absent-token score ln(1/(T_s+V)), score(d, s) = dl_v·m₆(s) +
+    * Σ_{t present in s} tf·(l₆(t,s) − m₆(s)) — integer-IDENTICAL to
+    * summing l₆ over the full vocabulary (the floors subtract exactly),
+    * but the dense vocab×|sources| model grid never materializes: the
+    * only token-keyed join is test tf against the PRESENT train cells,
+    * and the base term is a |test docs|×|sources| cross of two tiny
+    * frames. One train (source, token) agg; the argmax window partitions
+    * by doc.
     */
   def nbSourceClassifier(docs: DataFrame,
       textCol: String = "text"): DataFrame = {
@@ -780,27 +785,40 @@ object CorpusOps {
     val docsPer = train.select(col("doc_id"), col("source")).distinct()
       .groupBy(col("source")).agg(count(lit(1)).as("nd"))
     val nTrain = docsPer.agg(sum(col("nd")).as("ntr"))
-    // per-source model rows for EVERY train-vocab token: the grid side
-    val vocab = cells.select(col("tok")).distinct()
-    val model = totals.crossJoin(broadcast(vocabN))
-      .crossJoin(vocab)
-      .join(cells, Seq("source", "tok"), "left")
-      .withColumn("c", coalesce(col("c"), lit(0L)))
-      .withColumn("l6", floor(log((col("c") + 1).cast("double") /
-        (col("t") + col("v")).cast("double")) * 1000000L).cast("long"))
-      .select(col("source").as("model"), col("tok"), col("l6"))
-    val prior = docsPer.crossJoin(broadcast(nTrain))
+    def l6(c: Column, t: Column, v: Column): Column =
+      floor(log((c + 1).cast("double") / (t + v).cast("double"))
+        * 1000000L).cast("long")
+    // per-model constants: absent-token score m6 and the ln-prior
+    val base = totals.crossJoin(broadcast(vocabN))
+      .withColumn("m6", l6(lit(0L), col("t"), col("v")))
+      .join(docsPer.withColumnRenamed("source", "sourcep"),
+        col("source") === col("sourcep"))
+      .crossJoin(broadcast(nTrain))
       .withColumn("p6", floor(log(col("nd").cast("double") / col("ntr"))
         * 1000000L).cast("long"))
-      .select(col("source").as("model"), col("p6"))
+      .select(col("source").as("model"), col("m6"), col("p6"))
+    // PRESENT cells only, carrying the exact integer delta over m6
+    val model = cells.join(totals, Seq("source"))
+      .crossJoin(broadcast(vocabN))
+      .withColumn("d6",
+        l6(col("c"), col("t"), col("v")) - l6(lit(0L), col("t"), col("v")))
+      .select(col("source").as("model"), col("tok"), col("d6"))
     val testTf = toks.filter(!col("_train"))
       .groupBy(col("doc_id"), col("source"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val scored = testTf.join(model, Seq("tok"))
-      .groupBy(col("doc_id"), col("source"), col("model"))
-      .agg(sum(col("tf") * col("l6")).as("s6"))
-      .join(broadcast(prior), Seq("model"))
-      .withColumn("score6", col("s6") + col("p6"))
+    // dl_v = the doc's token mass WITHIN the train vocabulary (test-only
+    // tokens score identically under every model and are dropped)
+    val inVocab = testTf.join(
+      cells.select(col("tok")).distinct(), Seq("tok"), "left_semi")
+    val docMass = inVocab.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf")).as("dlv"))
+    val present = inVocab.join(model, Seq("tok"))
+      .groupBy(col("doc_id"), col("model"))
+      .agg(sum(col("tf") * col("d6")).as("sp6"))
+    val scored = docMass.crossJoin(broadcast(base))
+      .join(present, Seq("doc_id", "model"), "left")
+      .withColumn("score6",
+        col("dlv") * col("m6") + coalesce(col("sp6"), lit(0L)) + col("p6"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score6").desc, col("model"))

@@ -79,7 +79,10 @@ object ScaleProbe {
     "q236_t_closeness", "q237_mann_kendall",
     // round 11c: weighted value-set quantiles; QL's |docs|x|Q| grid
     // (the one linear-in-docs fan-out of the batch)
-    "q238_weighted_quantiles", "q239_ql_dirichlet")
+    "q238_weighted_quantiles", "q239_ql_dirichlet",
+    // round 11d: NB model grid rides train-vocab x sources — replica
+    // token-suffixing grows vocab ~10x, the probe bounds the grid cost
+    "q240_nb_classifier")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
