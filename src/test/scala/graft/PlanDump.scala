@@ -180,7 +180,11 @@ object PlanDump {
     "q233_jsd_matrix" ->
       "JSD: one (source, token) agg; term fan-out = broadcast source list + left join to the cell table on (source, token) - |sources|^2 per distinct token, collapsing to a |sources|^2 matrix.",
     "q235_hazard" ->
-      "Nelson-Aalen: one user min/max agg, broadcast horizon, then risk sets and both cumulatives over the collapsed (duration -> counts) table.")
+      "Nelson-Aalen: one user min/max agg, broadcast horizon, then risk sets and both cumulatives over the collapsed (duration -> counts) table.",
+    "q239_ql_dirichlet" ->
+      "QL-Dirichlet: explode pruned to query terms at the boundary, |docs| x |Q| grid via broadcast term list, TakeOrdered top-k.",
+    "q240_nb_classifier" ->
+      "Sparse NB: present-cell token join only (no vocab x sources grid), broadcast per-model constants, per-doc argmax window.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
