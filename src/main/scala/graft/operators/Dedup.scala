@@ -307,6 +307,63 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
 
+  /** Cluster chaining audit (q241) — the transitive-closure honesty
+    * check on [[nearDupClusters]]: connected components chain A~B~C into
+    * one cluster even when A and C are nothing alike, and at crawl scale
+    * boilerplate bridges can weld unrelated documents into one giant
+    * cluster whose min-id "survivor" then silently deletes distinct
+    * content. Per multi-doc cluster (capped at `maxClusterSize` members
+    * — the audit is pairwise; production triages bigger clusters
+    * separately): exact Jaccard over EVERY intra-cluster pair (not just
+    * the ≥ threshold edges that built the component — chained pairs can
+    * share zero shingles), the minimum and mean pairwise similarity, the
+    * fraction of pairs that are true edges, and the `chained` verdict
+    * (some pair below threshold). A clean corpus shows frac_edges = 1;
+    * chained = true rows are where survivor-based dedup over-deletes.
+    *
+    * Exactness: per-pair j₄ = ⌊c·10⁴/(nₐ+n_b−c)⌋ as BIGINT (c, n from
+    * the shingle sets — q26's convention), min/sum exact, mean one
+    * integer division. Scale shape: clusters are edge-participants only
+    * and the pair fan-out is Σ size² bounded by the size cap; shingle
+    * arrays join per pair (two equi-joins), everything else is
+    * |clusters|-sized.
+    */
+  def clusterChainAudit(df: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxClusterSize: Int = 100): DataFrame = {
+    val thr4 = math.round(threshold * 10000).toInt
+    val clusters = nearDupClusters(df, n, threshold)
+    val kept = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") <= maxClusterSize)
+    val m = clusters.join(broadcast(kept), "cluster")
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.cluster") === col("b.cluster")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cluster").as("cluster"), col("a.size").as("size"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sh = shingleArrays(df, n)
+    val j = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        "doc_b")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb")))
+        .cast("long"))
+      .withColumn("j4", expr(
+        "c * 10000 div (size(sha) + size(shb) - c)"))
+    j.groupBy(col("cluster"))
+      .agg(first(col("size")).as("size"), count(lit(1)).as("n_pairs"),
+        min(col("j4")).as("minj4"), sum(col("j4")).as("sumj4"),
+        sum(when(col("j4") >= thr4, 1L).otherwise(0L)).as("n_edges"))
+      .select(col("cluster"), col("size"), col("n_pairs"),
+        (col("minj4").cast("double") / 1e4).as("min_jaccard"),
+        (expr("sumj4 * 100 div n_pairs").cast("double") / 1e6)
+          .as("avg_jaccard"),
+        (expr("n_edges * 1000000 div n_pairs").cast("double") / 1e6)
+          .as("frac_edges"),
+        (col("minj4") < thr4).as("chained"))
+  }
+
   /** Dedup SURVIVORS — the filtered corpus after near-dup clustering:
     * every document keeps its row unless it sits in a cluster and is not
     * that cluster's minimum doc_id (the canonical representative). This is

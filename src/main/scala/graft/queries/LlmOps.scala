@@ -697,6 +697,13 @@ object LlmOps {
       graft.operators.TemporalJoins.mannKendall(Tables.events(s, d))
         .orderBy(col("event_type"))),
 
+    // cluster chaining audit: exact Jaccard over EVERY intra-cluster
+    // pair -- where transitive closure over-merges, named per cluster
+    "q241_chain_audit" -> ((s, d) =>
+      graft.operators.Dedup.clusterChainAudit(
+          Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("cluster"))),
+
     // Naive Bayes source classifier: train on even-hash half, classify
     // the holdout, per-source accuracy -- the source-separability probe
     "q240_nb_classifier" -> ((s, d) =>
@@ -5029,6 +5036,61 @@ object LlmOps {
           CASE WHEN z6 IS NULL OR abs(z6) < 1960000 THEN 'none'
             WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
         FROM z ORDER BY event_type""",
+    // the q64 recursive component chain + EVERY intra-cluster pair LEFT
+    // joined to the common-shingle table (chained pairs may share zero)
+    "q241_chain_audit" ->
+      """WITH RECURSIVE
+        docs AS (SELECT doc_id,
+             list_filter(string_split(text,' '), x -> x <> '') AS w
+           FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w)-2),
+                  i -> array_to_string(w[i:i+2], ' '))
+             ELSE [array_to_string(w, ' ')] END) AS s
+           FROM docs) t),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+        ep AS (SELECT da, db
+           FROM cm JOIN sizes sa ON da = sa.doc_id
+                   JOIN sizes sb ON db = sb.doc_id
+           WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8),
+        edges AS (SELECT da AS a, db AS b FROM ep
+                  UNION SELECT db, da FROM ep),
+        reach(a, b) AS (SELECT a, b FROM edges
+                  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        clu AS (SELECT n.a AS doc_id,
+             CAST(least(n.a, min(r.b)) AS BIGINT) AS cluster
+           FROM (SELECT DISTINCT a FROM edges) n JOIN reach r ON r.a = n.a
+           GROUP BY n.a),
+        ksz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+           FROM clu GROUP BY 1 HAVING count(*) <= 100),
+        mm AS (SELECT clu.doc_id, clu.cluster, ksz.size
+           FROM clu JOIN ksz USING (cluster)),
+        pp AS (SELECT a.cluster, a.size, a.doc_id AS da, b.doc_id AS db
+           FROM mm a JOIN mm b
+           ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+        jj AS (SELECT pp.cluster, pp.size,
+            CAST(coalesce(cm.c, 0) * 10000
+              // (sa.n + sb.n - coalesce(cm.c, 0)) AS BIGINT) AS j4
+          FROM pp LEFT JOIN cm ON cm.da = pp.da AND cm.db = pp.db
+          JOIN sizes sa ON sa.doc_id = pp.da
+          JOIN sizes sb ON sb.doc_id = pp.db),
+        agg AS (SELECT cluster, max(size) AS size,
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(min(j4) AS BIGINT) AS minj4,
+            CAST(sum(j4) AS BIGINT) AS sumj4,
+            CAST(sum(CASE WHEN j4 >= 8000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_edges
+          FROM jj GROUP BY 1)
+        SELECT cluster, size, n_pairs,
+          CAST(minj4 AS DOUBLE) / 1e4 AS min_jaccard,
+          CAST(sumj4 * 100 // n_pairs AS DOUBLE) / 1e6 AS avg_jaccard,
+          CAST(n_edges * 1000000 // n_pairs AS DOUBLE) / 1e6 AS frac_edges,
+          minj4 < 8000 AS chained
+        FROM agg ORDER BY cluster""",
     // same split, smoothed model grid, BIGINT dot products, row_number
     // argmax, integer accuracy
     "q240_nb_classifier" ->

@@ -56,4 +56,32 @@ class CodeGateLshTuningSpec extends SparkSpec {
     // at 8x2 banding the planted near-dups are essentially all caught
     assert(t(2)._6 >= 0.9, s"8-band recall ${t(2)._6}")
   }
+
+  test("clusterChainAudit: planted A~B~C chain flags with exact pairwise " +
+      "floor; identical pair is clean; size cap excludes") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"a$i")
+    val b = a.updated(29, "zz")             // differs from A at pos 30
+    val c = b.updated(0, "yy")              // differs from A at pos 1+30
+    val docs = Seq(
+      (1L, a.mkString(" ")), (2L, b.mkString(" ")), (3L, c.mkString(" ")),
+      (10L, "same same text here exactly"), (11L, "same same text here exactly"))
+      .toDF("doc_id", "text")
+    // threshold 0.9: A-B and B-C are 27/29 = .9310 edges, A-C is
+    // 26/30 = .8666 -- connected only by chaining
+    val out = Dedup.clusterChainAudit(docs, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val chain = out(1L)
+    assert(chain.getLong(1) === 3L && chain.getLong(2) === 3L)
+    assert(chain.getDouble(3) === 0.8666, "min = floor(26e4/30)/1e4")
+    assert(chain.getDouble(4) === 0.909533, "avg = (9310+8666+9310)*100 div 3")
+    assert(chain.getDouble(5) === 0.666666 && chain.getBoolean(6))
+    val clean = out(10L)
+    assert(clean.getDouble(3) === 1.0 && clean.getDouble(5) === 1.0)
+    assert(!clean.getBoolean(6))
+    // the size cap drops the triple, keeps the pair
+    val capped = Dedup.clusterChainAudit(docs, threshold = 0.9,
+      maxClusterSize = 2).collect().map(_.getLong(0)).toSet
+    assert(capped === Set(10L))
+  }
 }
