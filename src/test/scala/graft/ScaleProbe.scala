@@ -82,7 +82,10 @@ object ScaleProbe {
     "q238_weighted_quantiles", "q239_ql_dirichlet",
     // round 11d: NB model grid rides train-vocab x sources — replica
     // token-suffixing grows vocab ~10x, the probe bounds the grid cost
-    "q240_nb_classifier")
+    "q240_nb_classifier",
+    // round 11e: chain audit — pair fan-out bounded by the size cap,
+    // cluster count grows ~linear
+    "q241_chain_audit")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
