@@ -642,8 +642,15 @@ object EvalOps {
         sum(when(col("_v") <= col("qhat"), col("_tc")).otherwise(0L))
           .as("_cov"))
       .select(col("_g").as(groupCol), col("n_cal"), col("k"),
-        col("qhat"), col("n_test"),
-        (expr("_cov * 1000000 div n_test").cast("double") / 1e6)
+        // degenerate splits report NULL, consistently with the oracle: a
+        // group with no calibration rows has no order statistic to take
+        // (without the guard qhat would silently be the group MINIMUM —
+        // cum >= k holds vacuously at k = 0), and a group with no holdout
+        // rows has no coverage to audit (DuckDB's // would raise on the
+        // zero divisor where Spark's div yields NULL).
+        when(col("n_cal") > 0, col("qhat")).as("qhat"), col("n_test"),
+        when(col("n_test") > 0,
+          expr("_cov * 1000000 div n_test").cast("double") / 1e6)
           .as("coverage"))
   }
 

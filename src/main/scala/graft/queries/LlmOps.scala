@@ -787,7 +787,8 @@ object LlmOps {
       val qt = graft.operators.Quantiles
       qt.groupedQuantiles(
           Tables.events(s, d)
-            .withColumn("cents", expr("cast(value * 100 + 0.5 as bigint)")),
+            .withColumn("cents",
+              expr("cast(floor(value * 100 + 0.5) as bigint)")),
           "event_type", "cents",
           Seq(qt.Q("p50_cents", 1, 2), qt.Q("p90_cents", 9, 10),
             qt.Q("p99_cents", 99, 100)))
@@ -5260,14 +5261,16 @@ object LlmOps {
         f AS (SELECT source, CAST(max(n) AS BIGINT) AS n_cal,
             CAST(max(least(n, ((n + 1) * 9 + 9) // 10)) AS BIGINT) AS k,
             min(CASE WHEN cum >= least(n, ((n + 1) * 9 + 9) // 10)
-              THEN v END) AS qhat
+              AND n > 0 THEN v END) AS qhat
           FROM cum GROUP BY source),
         cov AS (SELECT g.source, CAST(sum(tc) AS BIGINT) AS n_test,
             CAST(sum(CASE WHEN g.v <= f.qhat THEN tc ELSE 0 END)
               AS BIGINT) AS covd
           FROM g JOIN f ON g.source = f.source GROUP BY g.source)
         SELECT f.source, n_cal, k, qhat, n_test,
-          CAST((covd * 1000000) // n_test AS DOUBLE) / 1e6 AS coverage
+          CASE WHEN n_test > 0
+            THEN CAST((covd * 1000000) // n_test AS DOUBLE) / 1e6
+          END AS coverage
         FROM f JOIN cov ON f.source = cov.source ORDER BY f.source""",
     // same daily counts, same integer millionth CUSUM recurrence
     // replayed as a recursive CTE, same k/h tuning

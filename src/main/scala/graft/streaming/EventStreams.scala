@@ -176,7 +176,8 @@ object EventStreams {
   }
 
   final case class BucketCount(key: String, bucket: Long, n: Long)
-  final case class CusumState(sp: Long, sn: Long)
+  final case class CusumState(sp: Long, sn: Long,
+      lastBucket: Long = Long.MinValue)
   final case class CusumAlert(key: String, bucket: Long, sp6: Long,
       sn6: Long, alarm: Boolean)
 
@@ -192,11 +193,18 @@ object EventStreams {
     * across any trigger boundaries produces the same S values the batch
     * fold produces on the whole series (the spec's equivalence check).
     *
-    * State is exactly two BIGINTs per key. The group's batch is folded
-    * in bucket order: unlike the MG sketch the recurrence is
-    * order-SENSITIVE, and a trigger's buckets-per-key are bounded by
-    * the trigger window (days per trigger), so the in-memory sort is
-    * bounded by calendar, not volume.
+    * State is three BIGINTs per key: (S⁺, S⁻) plus the last bucket
+    * folded. The group's batch is folded in bucket order: unlike the MG
+    * sketch the recurrence is order-SENSITIVE, and a trigger's
+    * buckets-per-key are bounded by the trigger window (days per
+    * trigger), so the in-memory sort is bounded by calendar, not volume.
+    * A bucket arriving in a LATER trigger that sorts at or before the
+    * last folded bucket cannot be folded without corrupting the
+    * recurrence — it is dropped and reported as a non-alarm row with
+    * sp6 = sn6 = -1 (the sentinel is impossible for a real accumulator,
+    * which is ≥ 0), so late data is visible to the sink instead of
+    * silently skewing S⁺/S⁻. Deliver buckets in order (e.g. watermarked
+    * upstream aggregation) for exact batch equivalence.
     */
   def cusumMonitor(counts: Dataset[BucketCount],
       baseline: Map[String, (Long, Long, Long)]): Dataset[CusumAlert] = {
@@ -209,10 +217,16 @@ object EventStreams {
           val (mu6, k6, h6) = baseline.getOrElse(key, (0L, 0L, Long.MaxValue))
           var st = state.getOption.getOrElse(CusumState(0L, 0L))
           val out = it.toSeq.sortBy(_.bucket).map { bc =>
-            val sp = math.max(0L, st.sp + bc.n * 1000000L - mu6 - k6)
-            val sn = math.max(0L, st.sn + mu6 - bc.n * 1000000L - k6)
-            st = CusumState(sp, sn)
-            CusumAlert(key, bc.bucket, sp, sn, sp > h6 || sn > h6)
+            if (bc.bucket <= st.lastBucket)
+              // late arrival: already folded past this bucket — folding it
+              // now would corrupt the order-sensitive recurrence. Flag it.
+              CusumAlert(key, bc.bucket, -1L, -1L, alarm = false)
+            else {
+              val sp = math.max(0L, st.sp + bc.n * 1000000L - mu6 - k6)
+              val sn = math.max(0L, st.sn + mu6 - bc.n * 1000000L - k6)
+              st = CusumState(sp, sn, bc.bucket)
+              CusumAlert(key, bc.bucket, sp, sn, sp > h6 || sn > h6)
+            }
           }
           state.update(st)
           out.iterator

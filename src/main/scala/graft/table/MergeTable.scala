@@ -718,6 +718,11 @@ final class MergeTable(
   def addCheckConstraint(spark: SparkSession, name: String,
       exprSql: String): Unit = synchronized {
     require(!name.exists(c => c == '\t' || c == '\n'), "bad constraint name")
+    // The expression is persisted verbatim on one TSV line; a newline (or
+    // CR) would orphan a continuation line and break every later
+    // checkConstraints parse. Reject up front rather than corrupt the file.
+    require(!exprSql.exists(c => c == '\n' || c == '\r'),
+      "constraint expression must be single-line (no newlines)")
     val bad = read(spark).filter(!coalesce(expr(exprSql), lit(true))).count()
     if (bad > 0) throw new MergeTable.ConstraintViolationException(name, bad,
       s"cannot add CHECK $name ($exprSql): $bad existing rows violate it")
@@ -1295,9 +1300,11 @@ final class MergeTable(
           .collect()
           .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
         val lines = snap.dataFiles.flatMap { f =>
-          // input_file_name is a URI; match manifests' relative names
+          // input_file_name is a URI; match manifests' relative names on a
+          // path-segment boundary so a file name that is a proper suffix of
+          // another segment can never mis-associate bitsets across files.
           posByFile.collectFirst {
-            case (uri, ps) if uri.endsWith(f) =>
+            case (uri, ps) if uri.endsWith("/" + f) =>
               val bs = new java.util.BitSet(bits)
               ps.foreach(p => bs.set(p.toInt))
               s"$f\t$bits\t$hashes\t" + java.util.Base64.getEncoder

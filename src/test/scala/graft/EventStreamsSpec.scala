@@ -137,6 +137,15 @@ class EventStreamsSpec extends SparkSpec {
     // S- trips on bucket 7 (low half vs global mean), S+ on bucket 17
     assert(oneShot.filter(_.alarm).map(_.bucket).min === 7L)
     assert(oneShot.find(_.bucket == 17L).get.sp6 > 275000000L)
+    // a bucket arriving in a LATER trigger at-or-before the last folded
+    // one must not be refolded (order-sensitive recurrence): it comes
+    // back flagged with the -1 sentinel, and the in-order rows are
+    // bit-identical to the uncorrupted one-shot run
+    val late = run(Seq(series.take(10),
+      series.slice(10, 20) :+ BucketCount("up", 5L, 999L)), "cusum_c")
+    assert(late.count(_.sp6 == -1L) === 1)
+    assert(late.find(a => a.bucket == 5L && a.sp6 == -1L).get.sn6 === -1L)
+    assert(late.filter(_.sp6 >= 0L) === oneShot)
   }
 
   test("misra-gries heavy hitters: bounded state, MG guarantees, carryover") {
