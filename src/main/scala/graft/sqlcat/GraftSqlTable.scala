@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TruncatableTable}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
@@ -65,15 +66,47 @@ final class GraftSqlTable(
 
   /** V1 fallback scan: the merged snapshot as an RDD[Row]. Correct but
     * conversion-heavy; superseded by the extension's plan splice.
+    *
+    * The scan reports manifest-derived statistics
+    * (`SupportsReportStatistics`): without them Spark prices this
+    * relation at `defaultSizeInBytes` (~10²⁵ B) and a small dimension
+    * table can NEVER broadcast — every key join sort-merges, exactly the
+    * plan a 1000-executor cluster can least afford. Size is the
+    * snapshot's summed data-file bytes (an upper bound on the merged
+    * output — the safe direction); row count and per-column NDV / null
+    * counts flow through when persisted ANALYZE stats match this exact
+    * snapshot version ([[MergeTable.scanEstimate]]).
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new V1Scan with SupportsReportStatistics {
         override def readSchema(): StructType = mergeTable.schema
+        override def estimateStatistics(): Statistics = {
+          val (bytes, rows, cols) = mergeTable.scanEstimate(asOfVersion)
+          new Statistics {
+            override def sizeInBytes(): util.OptionalLong =
+              util.OptionalLong.of(bytes)
+            override def numRows(): util.OptionalLong =
+              rows.fold(util.OptionalLong.empty())(util.OptionalLong.of)
+            override def columnStats()
+                : util.Map[NamedReference, ColumnStatistics] =
+              cols.map { case (c, (nulls, ndv)) =>
+                (Expressions.column(c): NamedReference) ->
+                  (new ColumnStatistics {
+                    override def nullCount(): util.OptionalLong =
+                      util.OptionalLong.of(nulls)
+                    override def distinctCount(): util.OptionalLong =
+                      util.OptionalLong.of(ndv)
+                  }: ColumnStatistics)
+              }.asJava
+          }
+        }
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = mergeTable.schema
+            // same estimate for planners that consult the V1 relation
+            override def sizeInBytes: Long = mergeTable.scanEstimate(asOfVersion)._1
             override def buildScan(): RDD[Row] =
               mergeTable.read(ctx.sparkSession, asOfVersion).rdd
           }.asInstanceOf[T]

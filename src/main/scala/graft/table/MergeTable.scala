@@ -1726,6 +1726,52 @@ final class MergeTable(
     }
   }
 
+  /** Scan-planning estimate for the merged read at `asOfVersion` (head by
+    * default) — the CBO feed behind the DSv2 scan's
+    * `SupportsReportStatistics` ([[graft.sqlcat.GraftSqlTable]]), the
+    * engine analog of Iceberg/Delta reporting snapshot totals into Spark's
+    * join planner. Returns (sizeInBytes, rowCount, column → (nullCount,
+    * NDV)):
+    *
+    *   - sizeInBytes = Σ on-disk bytes of the snapshot's data files — an
+    *     UPPER bound on the merged output (delete files and LWW dedup only
+    *     shrink it), which is the safe direction for broadcast decisions:
+    *     an overestimate can at worst miss a broadcast, never produce one
+    *     that overwhelms executors. O(|files|) local metadata stats, the
+    *     same cost class as reading the manifest itself.
+    *   - rowCount and per-column stats come from the persisted [[analyze]]
+    *     results and are used ONLY when stamped with exactly this
+    *     snapshot version — stale stats describe a different table and
+    *     could under-size a grown one.
+    */
+  private[graft] def scanEstimate(asOfVersion: Option[Long] = None)
+      : (Long, Option[Long], Map[String, (Long, Long)]) = {
+    val snapOpt =
+      try asOfVersion.map(readManifest).orElse(currentSnapshot)
+      catch { case _: Exception => None }
+    snapOpt match {
+      case None => (0L, Some(0L), Map.empty)
+      case Some(snap) =>
+        val bytes = snap.dataFiles.iterator.map { f =>
+          val p = dataDir.resolve(f)
+          try { if (Files.exists(p)) Files.size(p) else 0L }
+          catch { case _: java.io.IOException => 0L }
+        }.sum
+        val fresh =
+          if (!Files.exists(statsFile)) None
+          else {
+            val all = Files.readAllLines(statsFile).asScala.toSeq
+            val Array(v, n) = all.head.split("\t", 2)
+            if (v.toLong != snap.version) None
+            else Some((n.toLong, all.tail.map { l =>
+              val Array(c, nulls, ndv, _, _) = l.split("\t", 5)
+              c -> ((nulls.toLong, ndv.toLong))
+            }.toMap))
+          }
+        (bytes, fresh.map(_._1), fresh.map(_._2).getOrElse(Map.empty))
+    }
+  }
+
   /** `<table>.stats` metadata table: the persisted [[analyze]] results
     * plus the staleness flag (analyzed version ≠ current head).
     */
