@@ -117,6 +117,30 @@ object Bench {
     // identical, so the swing is HOST noise, not a table-layer regression;
     // the absolute number tracks host conditions run to run.
     println(f"""{"metric":"summary","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"stall_suspect":$stallSuspect,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"cdc_note":"rate is host-sensitive; r8 interleaved A/B vs round-6 code showed no code regression","n_queries":${results.size},"sf":"$sfDir"}""")
+    // The stdout tail-capture above truncates the per-query map past ~64
+    // entries; persist the COMPLETE map as a repo-root artifact so
+    // round-over-round regression diffs can audit 100% of queries. The
+    // round number derives from the newest CORRECTNESS_r{N}.json present
+    // (this bench run belongs to the round AFTER the last judged one).
+    try {
+      val base = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+      val entries = Option(base.toFile.list()).map(_.toSeq).getOrElse(Nil)
+      val round = entries.flatMap { n =>
+        "CORRECTNESS_r(\\d+)\\.json".r
+          .findFirstMatchIn(n).map(_.group(1).toInt)
+      }.maxOption.map(_ + 1).getOrElse(0)
+      val detail = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+        .mkString("{\n  ", ",\n  ", "\n}")
+      val body =
+        f"""{"metric":"total","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"sweeps":$nSweeps,"sweep_totals":$sweepJson,"stall_suspect":$stallSuspect,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"sf":"$sfDir","n_queries":${results.size},
+"queries":$detail}"""
+      java.nio.file.Files.write(
+        base.resolve(f"BENCH_DETAIL_r$round%02d.json"),
+        body.getBytes("UTF-8"))
+      ()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] detail artifact write failed: $e")
+    }
     spark.stop()
   }
 }

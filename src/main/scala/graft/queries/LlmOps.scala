@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -825,43 +825,11 @@ object LlmOps {
     // hash slices, plus unlinked fresh records) linked back via two
     // skip-position blocking passes + integer milli-bit weights
     "q218_record_linkage" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-      val h =
-        ((col("c_custkey") % 2147483648L) * 2654435761L) % 2147483647L
-      val clean = cust.select(col("c_custkey"), col("c_name"),
-        col("c_mktsegment"), col("c_acctbal"), col("c_nationkey"))
-      val base = cust.withColumn("_h", h)
-      val dirtyMatch = base.filter(col("_h") % 3 === 0)
-        .withColumn("_p", expr("cast(_h % 4 + 6 as int)"))
-        .select((col("c_custkey") + 10000000L).as("d_id"),
-          expr("concat(substring(c_name, 1, 8 + _p), " +
-            "cast((cast(substring(c_name, 9 + _p, 1) as int) + 1) % 10 " +
-            "as string), substring(c_name, 10 + _p))").as("d_name"),
-          when(col("_h") % 7 === 0, lit("XXXSEG"))
-            .otherwise(col("c_mktsegment")).as("d_seg"),
-          (col("c_acctbal") + when(col("_h") % 5 === 0, lit(3.5))
-            .otherwise(lit(0.25))).as("d_bal"),
-          col("c_nationkey").as("d_nat"))
-      val dirtyFresh = base.filter(col("_h") % 3 === 1)
-        .select((col("c_custkey") + 20000000L).as("d_id"),
-          expr("concat('Customer#', lpad(cast(999999999 - c_custkey " +
-            "as string), 9, '0'))").as("d_name"),
-          col("c_mktsegment").as("d_seg"),
-          (col("c_acctbal") + lit(100.0)).as("d_bal"),
-          col("c_nationkey").as("d_nat"))
+      val (clean, dirty) = linkageFixture(s, d)
       val lk = graft.operators.Linkage
-      lk.linkage(clean, dirtyMatch.unionByName(dirtyFresh),
-          passes = Seq(
-            (concat_ws(":", col("c_nationkey"),
-                expr("substring(c_name, 10, 7)")),
-              concat_ws(":", col("d_nat"),
-                expr("substring(d_name, 10, 7)"))),
-            (concat_ws(":", col("c_nationkey"),
-                expr("substring(c_name, 10, 5)"),
-                expr("substring(c_name, 17, 2)")),
-              concat_ws(":", col("d_nat"),
-                expr("substring(d_name, 10, 5)"),
-                expr("substring(d_name, 17, 2)")))),
+      lk.linkage(clean, dirty,
+          cleanId = "c_custkey", dirtyId = "d_id",
+          passes = linkagePasses,
           fields = Seq(
             lk.Field("name", levenshtein(col("c_name"), col("d_name")) <= 1,
               5000L, -3000L),
@@ -872,6 +840,27 @@ object LlmOps {
           matchAt = 5000L, nonMatchBelow = 0L)
         .select(col("d_id"), col("c_custkey"), col("name_agree"),
           col("seg_agree"), col("bal_agree"), col("score"), col("verdict"))
+        .orderBy(col("d_id"), col("c_custkey"))
+    }),
+
+    // q218b: same planted fixture, but the m/u parameters are LEARNED —
+    // integer EM over the 2^3 agreement-pattern census (3 rounds, exact
+    // BigInt millionths; the oracle replays the rounds as unrolled
+    // HUGEINT CTEs) — and the verdict bands on the match POSTERIOR still
+    // recover the planted slice without any caller-supplied weights
+    "q218b_linkage_em" -> ((s, d) => {
+      val (clean, dirty) = linkageFixture(s, d)
+      graft.operators.Linkage.linkageEm(clean, dirty,
+          cleanId = "c_custkey", dirtyId = "d_id",
+          passes = linkagePasses,
+          fields = Seq(
+            ("name", levenshtein(col("c_name"), col("d_name")) <= 1),
+            ("seg", col("c_mktsegment") === col("d_seg")),
+            ("bal", abs(col("c_acctbal") - col("d_bal")) <= 1.0)),
+          iters = 3, matchAt6 = 900000L, nonMatchBelow6 = 100000L)
+        .select(col("d_id"), col("c_custkey"), col("name_agree"),
+          col("seg_agree"), col("bal_agree"), col("posterior6"),
+          col("verdict"))
         .orderBy(col("d_id"), col("c_custkey"))
     }),
 
@@ -1542,6 +1531,167 @@ object LlmOps {
     * pure integer mixing (Similarity.planes), embedded as literals so the
     * oracle computes the exact same bucket assignment.
     */
+  /** q218/q218b planted linkage fixture: a dirty copy of customer with
+    * one name tail digit flipped at a hash-chosen position, segment and
+    * balance perturbed on hash slices, plus unlinked fresh records.
+    */
+  private def linkageFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val cust = Tables.customer(s, d)
+    val h = ((col("c_custkey") % 2147483648L) * 2654435761L) % 2147483647L
+    val clean = cust.select(col("c_custkey"), col("c_name"),
+      col("c_mktsegment"), col("c_acctbal"), col("c_nationkey"))
+    val base = cust.withColumn("_h", h)
+    val dirtyMatch = base.filter(col("_h") % 3 === 0)
+      .withColumn("_p", expr("cast(_h % 4 + 6 as int)"))
+      .select((col("c_custkey") + 10000000L).as("d_id"),
+        expr("concat(substring(c_name, 1, 8 + _p), " +
+          "cast((cast(substring(c_name, 9 + _p, 1) as int) + 1) % 10 " +
+          "as string), substring(c_name, 10 + _p))").as("d_name"),
+        when(col("_h") % 7 === 0, lit("XXXSEG"))
+          .otherwise(col("c_mktsegment")).as("d_seg"),
+        (col("c_acctbal") + when(col("_h") % 5 === 0, lit(3.5))
+          .otherwise(lit(0.25))).as("d_bal"),
+        col("c_nationkey").as("d_nat"))
+    val dirtyFresh = base.filter(col("_h") % 3 === 1)
+      .select((col("c_custkey") + 20000000L).as("d_id"),
+        expr("concat('Customer#', lpad(cast(999999999 - c_custkey " +
+          "as string), 9, '0'))").as("d_name"),
+        col("c_mktsegment").as("d_seg"),
+        (col("c_acctbal") + lit(100.0)).as("d_bal"),
+        col("c_nationkey").as("d_nat"))
+    (clean, dirtyMatch.unionByName(dirtyFresh))
+  }
+
+  /** Two skip-position blocking passes over name substrings + nation. */
+  private def linkagePasses: Seq[(Column, Column)] = Seq(
+    (concat_ws(":", col("c_nationkey"),
+        expr("substring(c_name, 10, 7)")),
+      concat_ws(":", col("d_nat"),
+        expr("substring(d_name, 10, 7)"))),
+    (concat_ws(":", col("c_nationkey"),
+        expr("substring(c_name, 10, 5)"),
+        expr("substring(c_name, 17, 2)")),
+      concat_ws(":", col("d_nat"),
+        expr("substring(d_name, 10, 5)"),
+        expr("substring(d_name, 17, 2)"))))
+
+  /** q218b oracle: the integer EM replayed as unrolled HUGEINT CTE
+    * rounds — a genuine second implementation of
+    * [[graft.operators.Linkage.emEstimate]]'s recurrence (census →
+    * E-step posterior → clamped M-step, `iters` times, then a final
+    * E step), exact because every operation is integer (floor division
+    * on non-negative HUGEINTs ≡ BigInt truncation).
+    */
+  private def linkageEmOracle(iters: Int): String = {
+    val S = "1000000"
+    // product terms for the E step against round-state alias `r`
+    def prodM(r: String) = (1 to 3).map(i =>
+      s"(CASE WHEN cen.pat // ${1 << (i - 1)} % 2 = 1 THEN $r.m$i " +
+        s"ELSE $S - $r.m$i END)").mkString(" * ")
+    def prodU(r: String) = (1 to 3).map(i =>
+      s"(CASE WHEN cen.pat // ${1 << (i - 1)} % 2 = 1 THEN $r.u$i " +
+        s"ELSE $S - $r.u$i END)").mkString(" * ")
+    def eStep(k: Int, r: String) =
+      s"""e$k AS (SELECT cen.pat, cen.n,
+           ($r.p * ${prodM(r)}) AS num,
+           (($S - $r.p) * ${prodU(r)}) AS den
+         FROM cen, $r),
+       w$k AS (SELECT pat, n, num * $S // (num + den) AS w FROM e$k)"""
+    def mStep(k: Int) = {
+      def mOf(i: Int) =
+        s"""CASE WHEN s$k.sw = 0 THEN CAST(900000 AS HUGEINT)
+           ELSE greatest(CAST(1 AS HUGEINT), least(CAST(999999 AS HUGEINT),
+             COALESCE((SELECT CAST(sum(n * w) AS HUGEINT) FROM w$k
+               WHERE pat // ${1 << (i - 1)} % 2 = 1), 0)
+             * $S // s$k.sw)) END AS m$i"""
+      def uOf(i: Int) =
+        s"""CASE WHEN s$k.swn = 0 THEN CAST(100000 AS HUGEINT)
+           ELSE greatest(CAST(1 AS HUGEINT), least(CAST(999999 AS HUGEINT),
+             COALESCE((SELECT CAST(sum(n * ($S - w)) AS HUGEINT) FROM w$k
+               WHERE pat // ${1 << (i - 1)} % 2 = 1), 0)
+             * $S // s$k.swn)) END AS u$i"""
+      s"""s$k AS (SELECT CAST(sum(n * w) AS HUGEINT) AS sw,
+           CAST(sum(n * ($S - w)) AS HUGEINT) AS swn FROM w$k),
+       r$k AS (SELECT
+           greatest(CAST(1 AS HUGEINT), least(CAST(999999 AS HUGEINT),
+             s$k.sw // nn.total)) AS p,
+           ${(1 to 3).map(mOf).mkString(",\n           ")},
+           ${(1 to 3).map(uOf).mkString(",\n           ")}
+         FROM s$k, nn)"""
+    }
+    val rounds = (1 to iters).map(k => eStep(k, s"r${k - 1}") + ",\n       " +
+      mStep(k)).mkString(",\n       ")
+    s"""WITH c AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+            c_nationkey,
+            ((c_custkey % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM customer),
+        dm AS (SELECT c_custkey + 10000000 AS d_id,
+            substring(c_name, 1, 8 + CAST(h % 4 + 6 AS INT))
+              || CAST((CAST(substring(c_name, 9 + CAST(h % 4 + 6 AS INT),
+                   1) AS INT) + 1) % 10 AS VARCHAR)
+              || substring(c_name, 10 + CAST(h % 4 + 6 AS INT)) AS d_name,
+            CASE WHEN h % 7 = 0 THEN 'XXXSEG' ELSE c_mktsegment END
+              AS d_seg,
+            c_acctbal + CASE WHEN h % 5 = 0 THEN 3.5 ELSE 0.25 END
+              AS d_bal,
+            c_nationkey AS d_nat
+          FROM c WHERE h % 3 = 0),
+        df AS (SELECT c_custkey + 20000000 AS d_id,
+            'Customer#' || lpad(CAST(999999999 - c_custkey AS VARCHAR),
+              9, '0') AS d_name,
+            c_mktsegment AS d_seg, c_acctbal + 100.0 AS d_bal,
+            c_nationkey AS d_nat
+          FROM c WHERE h % 3 = 1),
+        d AS (SELECT * FROM dm UNION ALL SELECT * FROM df),
+        cand AS (
+          SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+            d.d_id, d.d_name, d.d_seg, d.d_bal
+          FROM c JOIN d
+            ON CAST(c.c_nationkey AS VARCHAR) || ':'
+                 || substring(c.c_name, 10, 7)
+             = CAST(d.d_nat AS VARCHAR) || ':'
+                 || substring(d.d_name, 10, 7)
+          UNION
+          SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+            d.d_id, d.d_name, d.d_seg, d.d_bal
+          FROM c JOIN d
+            ON CAST(c.c_nationkey AS VARCHAR) || ':'
+                 || substring(c.c_name, 10, 5)
+                 || ':' || substring(c.c_name, 17, 2)
+             = CAST(d.d_nat AS VARCHAR) || ':'
+                 || substring(d.d_name, 10, 5)
+                 || ':' || substring(d.d_name, 17, 2)),
+        pt AS (SELECT d_id, c_custkey,
+            levenshtein(c_name, d_name) <= 1 AS name_agree,
+            c_mktsegment = d_seg AS seg_agree,
+            abs(c_acctbal - d_bal) <= 1.0 AS bal_agree,
+            CAST(CASE WHEN levenshtein(c_name, d_name) <= 1
+                THEN 1 ELSE 0 END
+              + CASE WHEN c_mktsegment = d_seg THEN 2 ELSE 0 END
+              + CASE WHEN abs(c_acctbal - d_bal) <= 1.0 THEN 4 ELSE 0 END
+              AS BIGINT) AS pat
+          FROM cand),
+        cen AS (SELECT pat, CAST(count(*) AS HUGEINT) AS n
+          FROM pt GROUP BY pat),
+        nn AS (SELECT CAST(sum(n) AS HUGEINT) AS total FROM cen),
+        r0 AS (SELECT CAST(100000 AS HUGEINT) AS p,
+            CAST(900000 AS HUGEINT) AS m1, CAST(900000 AS HUGEINT) AS m2,
+            CAST(900000 AS HUGEINT) AS m3,
+            CAST(100000 AS HUGEINT) AS u1, CAST(100000 AS HUGEINT) AS u2,
+            CAST(100000 AS HUGEINT) AS u3),
+       $rounds,
+       ${eStep(iters + 1, s"r$iters")}
+        SELECT pt.d_id, pt.c_custkey, pt.name_agree, pt.seg_agree,
+          pt.bal_agree, CAST(wf.w AS BIGINT) AS posterior6,
+          CASE WHEN wf.w >= 900000 THEN 'match'
+               WHEN wf.w < 100000 THEN 'non_match'
+               ELSE 'possible' END AS verdict
+        FROM pt JOIN (SELECT pat, w FROM w${iters + 1}) wf
+          ON pt.pat = wf.pat
+        ORDER BY pt.d_id, pt.c_custkey"""
+  }
+
   private def planeLit(p: Seq[Double]): String =
     p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
 
@@ -5501,6 +5651,9 @@ object LlmOps {
                WHEN score < 0 THEN 'non_match'
                ELSE 'possible' END AS verdict
         FROM w ORDER BY d_id, c_custkey""",
+    // same census, same integer EM rounds unrolled as HUGEINT CTEs
+    "q218b_linkage_em" -> linkageEmOracle(3),
+
     // same first-touch mins, same floor-ms quantization, same exact
     // integer rank interpolation over the (step, lat_ms -> n) value set
     "q217_conversion_lag" ->
