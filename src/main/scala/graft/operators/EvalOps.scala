@@ -478,17 +478,23 @@ object EvalOps {
     * within-bin residual (exactly 0 when a bin's confidences are
     * constant; reported, not hidden, so the identity is auditable).
     *
-    * All terms are exact BIGINT folds in millis-squared micro-units:
+    * All terms are exact integer folds in millis-squared micro-units:
     * per-bin squares divide by n_b as integers, per-source terms divide
-    * by N (and N³ for RES) — no float sums. Overflow bound n_b·N < 3·10⁶
-    * per source (the RES term squares n_b·N-sized magnitudes and scales
-    * by 10⁶); ENFORCED at execution by an `assert_true` fused into the
-    * resT projection — past the bound the job fails loud with a
-    * shard-the-source message instead of silently wrapping under
-    * non-ANSI arithmetic (DuckDB would error; the engine must too).
-    * Zero extra pass: the assert rides the existing per-bin rows.
-    * Shard hotter sources. Two aggregations, then |sources|-sized
-    * arithmetic.
+    * by N (and N³ for RES) — no float sums. The RES term's
+    * d²·10⁶ div n_b (d = y_b·N − y·n_b, |d| ≤ n_b·N) would overflow
+    * BIGINT past n_b·N ≈ 3·10⁶, so it is computed by EXACT
+    * quotient/remainder algebra — with q = d div n_b, r = d mod n_b:
+    * d²·10⁶ div n_b = q²·n_b·10⁶ + 2qr·10⁶ + (r² div n_b)·10⁶ +
+    * (r² mod n_b)·10⁶ div n_b — where every true DIVISION runs on
+    * BIGINT-safe magnitudes and only the (division-free, hence exact)
+    * products are lifted to DECIMAL(38,0); the REL/UNC terms use the
+    * same decomposition entirely in BIGINT. The values are
+    * algebraically IDENTICAL to the direct formulas, so the DuckDB
+    * oracle keeps its direct HUGEINT replay (exact to n_b·N ≈ 1.3·10¹⁶
+    * on its side). Engine bound: N ≤ 10⁹ rows per source — ENFORCED by
+    * an `assert_true` fused into the per-bin projection, failing loud
+    * with a shard-the-source message instead of silently wrapping.
+    * Two aggregations, then |sources|-sized arithmetic.
     */
   def brierDecomposition(preds: DataFrame): DataFrame = {
     val p3 = expr("conf6 div 1000")
@@ -499,28 +505,53 @@ object EvalOps {
       .withColumn("d", col("p3") - lit(1000L) * col("y"))
     val perBin = binned.groupBy(col("source"), col("bin")).agg(
       count(lit(1)).as("nb"), sum(col("p3")).as("sb"),
-      sum(col("p3") * col("p3")).as("qb"), sum(col("y")).as("yb"),
-      sum(col("d") * col("d")).as("d2b"))
+      sum(col("y")).as("yb"), sum(col("d") * col("d")).as("d2b"))
     val perSrc = perBin.groupBy(col("source")).agg(
       sum(col("nb")).as("n"), sum(col("yb")).as("ytot"),
       sum(col("d2b")).as("d2"))
     perBin.join(perSrc, "source")
-      .withColumn("relT",
-        expr("(sb - 1000 * yb) * (sb - 1000 * yb) div nb"))
-      .withColumn("resT",
-        expr("if(assert_true(nb * n <= 3000000, " +
-          "'brierDecomposition: nb*N exceeds the exact-BIGINT bound " +
-          "3e6 for the resolution term - shard the source') is null, " +
-          "(yb * n - ytot * nb) * (yb * n - ytot * nb) * 1000000 div nb, " +
-          "cast(null as bigint))"))
+      // REL: e² div nb with e = |sb − 1000·yb| ≤ nb·10³; q/r-decomposed
+      // so every product stays under 2⁶³ at N ≤ 10⁹ (qe ≤ 10³,
+      // re < nb ≤ 10⁹ → qe²·nb ≤ 10¹⁵, re² ≤ 10¹⁸)
+      .withColumn("_ea", expr("abs(sb - 1000 * yb)"))
+      .withColumn("_qe", expr("_ea div nb"))
+      .withColumn("_re", expr("_ea % nb"))
+      .withColumn("relT", expr(
+        "_qe * _qe * nb + 2 * _qe * _re + _re * _re div nb"))
+      // RES: d²·10⁶ div nb, same decomposition; the two overflow-prone
+      // products (q²·nb·10⁶ ≤ 10³³, 2qr·10⁶ ≤ 2·10²⁴) lift to
+      // DECIMAL(38,0) — exact multiplications, no decimal division
+      .withColumn("_a", expr(
+        "if(assert_true(n <= 1000000000, " +
+          "'brierDecomposition: source exceeds the exact-arithmetic " +
+          "bound 1e9 rows - shard the source') is null, " +
+          "abs(yb * n - ytot * nb), cast(null as bigint))"))
+      .withColumn("_q", expr("_a div nb"))
+      .withColumn("_r", expr("_a % nb"))
+      .withColumn("resT", expr(
+        "cast(_q as decimal(38,0)) * _q * nb * 1000000" +
+          " + cast(2 * _q * _r as decimal(38,0)) * 1000000" +
+          " + cast((_r * _r div nb) * 1000000" +
+          "        + (_r * _r % nb) * 1000000 div nb as decimal(38,0))"))
       .groupBy(col("source")).agg(
         first(col("n")).as("n"), first(col("ytot")).as("ytot"),
         first(col("d2")).as("d2"),
-        sum(col("relT")).as("relSum"), sum(col("resT")).as("resSum"))
+        sum(col("relT")).as("relSum"),
+        sum(col("resT")).cast("decimal(38,0)").as("resSum"))
       .withColumn("bs6", expr("d2 div n"))
       .withColumn("rel6", expr("relSum div n"))
-      .withColumn("res6", expr("resSum div (n * n * n)"))
-      .withColumn("unc6", expr("ytot * (n - ytot) * 1000000 div (n * n)"))
+      // res6 = resSum div n³ exactly: subtract the decimal remainder,
+      // then the division is exact (integral quotient ≤ 10⁶ — no
+      // rounding can occur on an exact integer result)
+      .withColumn("_n3", expr("cast(n as decimal(38,0)) * n * n"))
+      .withColumn("res6", expr(
+        "cast((resSum - pmod(resSum, _n3)) / _n3 as bigint)"))
+      // UNC: v·10⁶ div n² as ((v·10⁶ div n) div n) — the floor-nesting
+      // identity ⌊⌊x/n⌋/n⌋ = ⌊x/n²⌋ — with the inner div decomposed to
+      // stay in BIGINT (v div n ≤ n/4 ≤ 2.5·10⁸)
+      .withColumn("_v", expr("ytot * (n - ytot)"))
+      .withColumn("unc6", expr(
+        "((_v div n) * 1000000 + (_v % n) * 1000000 div n) div n"))
       .select(col("source"), col("n"),
         (col("bs6").cast("double") / 1e6).as("brier"),
         (col("rel6").cast("double") / 1e6).as("reliability"),

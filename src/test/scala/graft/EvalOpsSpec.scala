@@ -300,6 +300,49 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("brierDecomposition: exact far past the old 3e6 nb*N ceiling " +
+      "(q/r-decomposed arithmetic vs direct BigInt reference)") {
+    import spark.implicits._
+    // 100k rows in ONE source: nb*N ≈ 10^9 — the pre-lift BIGINT bound
+    // (3e6) is exceeded 300×; the decomposed engine arithmetic must
+    // equal a direct BigInt replay of the ORIGINAL formulas bit-for-bit
+    val n = 100000
+    val rows = (0 until n).map { i =>
+      ("big", (i.toLong * 97L) % 1000000L, i % 3 == 0)
+    }
+    val got = EvalOps.brierDecomposition(rows.toDF("source", "conf6", "correct"))
+      .collect().head
+    // direct reference in unbounded integers
+    case class B(var nb: Long = 0, var sb: Long = 0, var yb: Long = 0,
+      var d2b: Long = 0)
+    val bins = scala.collection.mutable.Map.empty[Long, B]
+    rows.foreach { case (_, conf6, correct) =>
+      val p3 = conf6 / 1000
+      val bin = math.min(conf6 / 100000, 9L)
+      val y = if (correct) 1L else 0L
+      val d = p3 - 1000 * y
+      val b = bins.getOrElseUpdate(bin, B())
+      b.nb += 1; b.sb += p3; b.yb += y; b.d2b += d * d
+    }
+    val nn = BigInt(n)
+    val ytot = BigInt(bins.values.map(_.yb).sum)
+    val d2 = BigInt(bins.values.map(_.d2b).sum)
+    val relSum = bins.values.map { b =>
+      val e = BigInt(b.sb) - 1000 * BigInt(b.yb); e * e / b.nb }.sum
+    val resSum = bins.values.map { b =>
+      val d = BigInt(b.yb) * nn - ytot * BigInt(b.nb)
+      d * d * 1000000 / b.nb }.sum
+    val bs6 = d2 / nn
+    val rel6 = relSum / nn
+    val res6 = resSum / (nn * nn * nn)
+    val unc6 = ytot * (nn - ytot) * 1000000 / (nn * nn)
+    assert(got.getLong(1) === n.toLong)
+    assert(got.getDouble(2) === bs6.toDouble / 1e6, "brier")
+    assert(got.getDouble(3) === rel6.toDouble / 1e6, "reliability")
+    assert(got.getDouble(4) === res6.toDouble / 1e6, "resolution")
+    assert(got.getDouble(5) === unc6.toDouble / 1e6, "uncertainty")
+  }
+
   test("prAuc: hand-computed threshold blocks and the baseline property") {
     import spark.implicits._
     def ap(rows: Seq[(Double, Boolean)]): Double =
