@@ -124,4 +124,25 @@ object CorpusStreams {
           col("n_before"), col("n_after"), col("p"), col("q"), col("psi"))
       out.appendAll(rep, Some(s"drift-$epoch"))
     }
+
+  /** Continuous CHECK-gated ingestion — the streaming face of
+    * [[graft.table.MergeTable.appendWithDeadLetter]]: each micro-batch
+    * splits on `out`'s CHECK constraints, the clean slice appends to
+    * `out`, violators (payload + `violated` column naming the first
+    * failing constraint) to `deadLetter`. Idempotence keys off the epoch
+    * id through appendWithDeadLetter's derived `-clean`/`-dead` batch
+    * ids, so a checkpoint-recovery replay lands EACH slice exactly-once
+    * even when the crash fell between the two commits (the replayed
+    * epoch short-circuits whichever slice already committed and applies
+    * only the missing one). Constraints are re-read per batch, so
+    * ALTER-style constraint changes take effect on the next epoch
+    * without restarting the stream.
+    */
+  def checkedIngest(docs: DataFrame, out: graft.table.MergeTable,
+      deadLetter: graft.table.MergeTable)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
+      out.appendWithDeadLetter(b, deadLetter, Some(s"checked-$epoch"))
+      ()
+    }
 }

@@ -108,6 +108,52 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(a(11L) === ((false, "pii")))
   }
 
+  test("checkedIngest: CHECK-gated partial acceptance lands both slices " +
+      "exactly-once across two epochs and a crash between commits") {
+    import graft.table.MergeTable
+    import org.apache.spark.sql.types.StructType
+    val root = java.nio.file.Files.createTempDirectory("checked").toString
+    val out = new MergeTable(s"$root/clean",
+      StructType.fromDDL("doc_id BIGINT, n_tokens BIGINT"),
+      keyCol = "doc_id", partitionCol = None).create()
+    val dl = new MergeTable(s"$root/dead",
+      StructType.fromDDL("doc_id BIGINT, n_tokens BIGINT, violated STRING"),
+      keyCol = "doc_id", partitionCol = None).create()
+    out.appendAll(Seq((0L, 5L)).toDF("doc_id", "n_tokens"))
+    out.addCheckConstraint(spark, "tokens_positive", "n_tokens > 0")
+
+    // simulate a crash that fell BETWEEN the two commits of epoch 0: the
+    // clean slice already landed under the derived id, the dead one did
+    // not — the streaming replay below must apply ONLY the missing slice
+    out.appendAll(Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_tokens"),
+      Some("checked-0-clean"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = CorpusStreams.checkedIngest(
+        mem.toDF().toDF("doc_id", "n_tokens"), out, dl)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      // epoch 0 replays the pre-crash batch: 2 clean (already committed)
+      // + 2 violators (missing)
+      mem.addData((1L, 10L), (2L, 20L), (3L, 0L), (4L, -7L))
+      q.processAllAvailable()
+      // epoch 1: fresh batch, one violator
+      mem.addData((10L, 1L), (11L, -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val clean = out.read(spark).select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clean === Map(0L -> 5L, 1L -> 10L, 2L -> 20L, 10L -> 1L),
+      s"clean slice exactly-once (no duplicate epoch-0 rows): $clean")
+    val dead = dl.read(spark).select("doc_id", "violated").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dead === Map(3L -> "tokens_positive", 4L -> "tokens_positive",
+      11L -> "tokens_positive"),
+      s"dead slice exactly-once with the failing constraint named: $dead")
+  }
+
   test("driftMonitor: per-epoch PSI rows land exactly-once, shift alarms") {
     import graft.table.MergeTable
     import org.apache.spark.sql.types.StructType
