@@ -1392,6 +1392,27 @@ object CorpusOps {
         splitExpr(col("cluster"), trainPct, valPct).as("split"))
   }
 
+  /** Leakage-safe K-FOLD assignment (q244) — [[leakSafeSplit]]
+    * generalized to cross-validation: fold = idHash(cluster
+    * representative) mod k, so near-duplicate documents (and,
+    * transitively, whole dedup components) always share a fold and no
+    * fold's holdout is contaminated by a near-copy in another fold's
+    * training side — the k-fold version of the
+    * benchmark-contamination-by-split bug. Singletons hash their own id
+    * (degenerating to plain stratified folding exactly). Same scale
+    * shape as leakSafeSplit: cluster discovery ∝ near-pair density, one
+    * left equi-join against the clustered-doc set, a row-local hash.
+    */
+  def leakSafeFolds(docs: DataFrame, k: Int, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(k >= 2, "k-fold needs k >= 2")
+    val clusters = Dedup.nearDupClusters(docs, n, threshold)
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .select(col("doc_id"), col("cluster"),
+        (idHash(col("cluster")) % k).as("fold"))
+  }
+
   /** Fair-share token-budget selection: [[tokenBudgetSelect]]'s pure
     * quality ordering lets one dominant source crowd every other out of
     * the training set; [[sourceQuota]] caps a source but guarantees

@@ -792,4 +792,172 @@ object EvalOps {
         (col("fpr6").cast("double") / 1e6).as("fpr"),
         (col("j6").cast("double") / 1e6).as("youden_j"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov D per group vs the REST of the
+    * corpus (q242) — the distribution-drift test that reads the WHOLE
+    * shape where PSI (driftReport) reads binned mass and JSD reads
+    * token mixes: D = max over the value set of |ECDF_group −
+    * ECDF_rest|, the supremum norm whose critical band
+    * c(α)·√((n+m)/nm) needs no distributional assumption. The per-source
+    * curation read: a source whose length/quality distribution diverges
+    * from the corpus gets inspected before its mixture weight rises.
+    *
+    * Exactness, the rankAuc discipline: the corpus collapses to the
+    * (group, value → count) VALUE SET; per-group and rest cumulative
+    * counts come from one window over the |groups|×|values| GRID (the
+    * jsdMatrix fan-out shape — grid rows, never corpus rows; both jump
+    * sets must be probed, hence the full grid), each ECDF quantizes to
+    * exact floored millionths (cum·10⁶ div n — two independent floors,
+    * the documented quantization), D6 = max |difference|, tie on the
+    * max broken toward the SMALLEST value. The critical band uses
+    * IEEE-sqrt on exact integer ratios (the spearman precedent) at
+    * α = 0.05 (c = 1.358). Groups covering the whole corpus (no rest)
+    * report NULL, the conformal degenerate-split contract.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val g = df.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val vals = g.groupBy(col("_v")).agg(sum(col("_c")).as("_ct"))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val valsCum = vals.withColumn("_cumall", sum(col("_ct")).over(wAll))
+    val groups = g.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+    val nAll = g.agg(sum(col("_c")).as("_nall"))
+    val grid = valsCum.crossJoin(broadcast(groups))
+      .join(g, Seq("_g", "_v"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val d = grid.withColumn("_cum", sum(col("_c")).over(wG))
+      .crossJoin(broadcast(nAll))
+      .withColumn("_nrest", col("_nall") - col("_n"))
+      .withColumn("_cumrest", col("_cumall") - col("_cum"))
+      .withColumn("d6", when(col("_nrest") > 0,
+        abs(expr("_cum * 1000000 div _n")
+          - expr("_cumrest * 1000000 div _nrest"))))
+    val dmax = d.withColumn("_dmax",
+      max(col("d6")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_g"))))
+    dmax.groupBy(col("_g"))
+      .agg(max(col("_n")).as("n_group"), max(col("_nrest")).as("n_rest"),
+        max(col("d6")).as("d6"),
+        min(when(col("d6") === col("_dmax"), col("_v"))).as("at_value"))
+      .withColumn("crit6", when(col("n_rest") > 0,
+        floor(lit(1358000.0) * sqrt((col("n_group") + col("n_rest"))
+          .cast("double") / (col("n_group") * col("n_rest"))
+          .cast("double"))).cast("long")))
+      .select(col("_g").as(groupCol), col("n_group"), col("n_rest"),
+        col("at_value"),
+        (col("d6").cast("double") / 1e6).as("d_stat"),
+        (col("crit6").cast("double") / 1e6).as("crit_05"),
+        (col("d6") > col("crit6")).as("drifted"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR selection (q243) — the
+    * multiple-comparisons gate every per-slice eval sweep needs: read
+    * 200 slice deltas at α = 0.05 each and ~10 "significant" ones are
+    * noise; BH picks the largest k with p₍ᵢ₎ ≤ i·α/m and flags ranks
+    * ≤ k, controlling the EXPECTED false-discovery fraction at α
+    * (Benjamini & Hochberg 1995) — the standard remedy that keeps
+    * power, unlike Bonferroni's m-fold penalty.
+    *
+    * Inputs are caller-supplied millionth p-values (the linkage-weights
+    * contract: produce p6 with whatever test fits the data). All
+    * decisions are exact integers — the step-up test cross-multiplies
+    * to p6·αden·m ≤ i·αnum·10⁶ (no division at all; overflows BIGINT
+    * only past 9·10¹⁸/(αden·10⁶) ≈ 10¹⁰ tests), rank ties break on
+    * (p6, id) so both engines see one deterministic order. m = the
+    * number of TESTS (slices), so the windows here are m-row small by
+    * construction — this is a report-sized operator, not a corpus one.
+    */
+  def bhSelect(tests: DataFrame, idCol: String, pCol: String,
+      alphaNum: Int = 5, alphaDen: Int = 100): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pCol), col(idCol))
+    val m = tests.agg(count(lit(1)).as("_m"))
+    val ranked = tests
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(m))
+      .withColumn("_ok",
+        col(pCol) * alphaDen * col("_m") <= col("rank") * alphaNum * 1000000L)
+    val kStar = ranked.agg(
+      coalesce(max(when(col("_ok"), col("rank"))), lit(0L)).as("_k"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col(idCol), col(pCol), col("rank"), col("_m").as("m"),
+        (col("rank") <= col("_k")).as("discovery"))
+  }
+
+  /** Sparse ratings fixture for [[krippendorffAlpha]]: the [[ratings]]
+    * grid with a deterministic DROPOUT (rater r skips item u when
+    * (h + 23r) % 5 = 0), so units carry UNEQUAL rater counts — the
+    * missing-data regime Krippendorff handles and Fleiss' κ cannot.
+    */
+  def ratingsSparse(docs: DataFrame, nRaters: Int = 5, nCats: Int = 4)
+      : DataFrame = {
+    val h = CorpusOps.idHash(col("item_id"))
+    ratings(docs, nRaters, nCats)
+      .filter((h + col("rater") * 23L) % 5 =!= 0)
+  }
+
+  /** Krippendorff's α, nominal data (q245) — the inter-annotator
+    * agreement coefficient that tolerates MISSING ratings: real labeling
+    * batches never have every rater on every item (dropout, spot
+    * checks, vendor rotation), which breaks Fleiss' κ's constant-m
+    * assumption; α's coincidence-matrix formulation pools whatever
+    * pairs exist. Per source:
+    *
+    *   D_o = Σ_u Σ_c o_uc·(m_u − o_uc)/(m_u − 1) / n,
+    *   D_e = Σ_c n_c·(n − n_c) / (n·(n−1)),   α = 1 − D_o/D_e
+    *
+    * over units with m_u ≥ 2 (singleton units carry no pair evidence
+    * and are excluded from BOTH pools, the standard treatment; n = Σm_u
+    * over included units). Exact arithmetic: the per-unit fraction
+    * quantizes once (·10⁶ div (m_u−1), the dimEnergy
+    * quantize-before-aggregate discipline), D_e uses the brier
+    * nested-floor identity ⌊⌊x·10⁶/n⌋/(n−1)⌋ with the inner product
+    * q/r-decomposed — exact to 10⁹ ratings per source — and α₆
+    * computes FROM the two quantized values (the fleissKappa pattern),
+    * so both engines make identical integer decisions all the way down.
+    * Three aggregations; report is |sources| rows.
+    */
+  def krippendorffAlpha(ratingsDf: DataFrame): DataFrame = {
+    val cnt = ratingsDf.groupBy(col("source"), col("item_id"), col("cat"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cnt.groupBy(col("source"), col("item_id"))
+      .agg(sum(col("c")).as("m"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("m") >= 2)
+    // observed: per-unit Σc(m−c) = m² − Σc², quantized per unit
+    val doPer = perItem
+      .withColumn("du6", expr("(m * m - s2) * 1000000 div (m - 1)"))
+      .groupBy(col("source"))
+      .agg(sum(col("m")).as("n"), count(lit(1)).as("n_units"),
+        sum(col("du6")).as("duSum"))
+      .withColumn("do6", expr("duSum div n"))
+    // expected: pooled category totals over the included units only
+    val included = cnt.join(
+      perItem.select(col("source"), col("item_id")),
+      Seq("source", "item_id"))
+    val nc = included.groupBy(col("source"), col("cat"))
+      .agg(sum(col("c")).as("nc"))
+    val dePer = nc.join(doPer.select(col("source"), col("n")), "source")
+      // Σ_c nc·(n − nc) ≤ n²: q/r-decompose the ·10⁶ so every product
+      // stays in BIGINT at n ≤ 10⁹ (the brier discipline)
+      .groupBy(col("source"))
+      .agg(sum(expr("nc * (n - nc)")).as("x"), max(col("n")).as("n"))
+      .withColumn("de6", expr(
+        "((x div n) * 1000000 + (x % n) * 1000000 div n) div (n - 1)"))
+    doPer.join(dePer.select(col("source"), col("de6")), "source")
+      .withColumn("alpha6",
+        when(col("de6") > 0, expr("(de6 - do6) * 1000000 div de6")))
+      .select(col("source"), col("n_units"), col("n").as("n_ratings"),
+        (col("do6").cast("double") / 1e6).as("d_obs"),
+        (col("de6").cast("double") / 1e6).as("d_exp"),
+        (col("alpha6").cast("double") / 1e6).as("alpha"))
+  }
 }

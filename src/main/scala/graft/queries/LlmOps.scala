@@ -864,6 +864,44 @@ object LlmOps {
         .orderBy(col("d_id"), col("c_custkey"))
     }),
 
+    // exact two-sample KS per source vs the rest of the corpus over
+    // n_chars: value-set grid ECDFs, integer millionth D, IEEE-sqrt
+    // critical band at alpha = 0.05
+    "q242_ks_test" -> ((s, d) =>
+      graft.operators.EvalOps.ksTest(Tables.documents(s, d),
+        "source", "n_chars").orderBy(col("source"))),
+
+    // Benjamini-Hochberg step-up over per-(source, lang) slice pseudo
+    // p-values (hash-derived, with a planted small-p rule on
+    // n_docs % 7 = 0 slices): exact cross-multiplied step-up decisions
+    "q243_bh_fdr" -> ((s, d) => {
+      val slices = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(min(col("doc_id")).as("test_id"),
+          count(lit(1)).as("n_docs"))
+      val h = ((col("test_id") % 2147483648L) * 2654435761L) % 2147483647L
+      val tests = slices.select(col("test_id"),
+        when(col("n_docs") % 7 === 0, h % 1000L)
+          .otherwise(h % 1000000L).as("p6"))
+      graft.operators.EvalOps.bhSelect(tests, "test_id", "p6")
+        .orderBy(col("rank"))
+    }),
+
+    // leakage-safe k-fold: fold hashed on the near-dup cluster
+    // representative, so components never straddle folds
+    "q244_leak_folds" -> ((s, d) =>
+      graft.operators.CorpusOps.leakSafeFolds(
+          Tables.fanout(Tables.documents(s, d)), k = 5)
+        .orderBy(col("doc_id"))),
+
+    // Krippendorff's alpha (nominal) over the SPARSE ratings fixture
+    // (deterministic rater dropout -> unequal raters per item, the
+    // regime Fleiss' kappa cannot handle)
+    "q245_krippendorff" -> ((s, d) =>
+      graft.operators.EvalOps.krippendorffAlpha(
+          graft.operators.EvalOps.ratingsSparse(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {

@@ -85,7 +85,19 @@ object ScaleProbe {
     "q240_nb_classifier",
     // round 11e: chain audit — pair fan-out bounded by the size cap,
     // cluster count grows ~linear
-    "q241_chain_audit")
+    "q241_chain_audit",
+    // gen-12 (VERDICT r8 task 6): the q218–q228 additions with no
+    // datapoints yet — linkage pair space under block growth (blocks
+    // stay replica-disjoint by the c_name rule above), the EM variant's
+    // census + two candidate passes, shard-mix/padding/fences/quantiles
+    // (agg + value-set collapses, expect ~linear scan cost), CUSUM
+    // (calendar-bounded fold), key-skew fof collapse, conformal census,
+    // row-local code gate, and LSH band tuning (the |configs| loop must
+    // re-band the SIGNATURE table per config, never rescan the corpus)
+    "q218_record_linkage", "q218b_linkage_em", "q219_shard_mix",
+    "q220_padding_waste", "q221_length_fences", "q222_value_quantiles",
+    "q223_cusum", "q225_key_skew", "q226_conformal", "q227_code_detect",
+    "q228_lsh_tuning")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
@@ -160,11 +172,21 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$DstDir/lineitem.parquet")
 
+    // c_name carries the custkey digits (TPC-H 'Customer#%09d'), and the
+    // linkage probes BLOCK on name substrings — replicas must re-derive
+    // the digits from the shifted key, or every block would collide
+    // across replicas and the pair space would grow replicas² (a fixture
+    // artifact, not operator behavior; the documents suffixing rule,
+    // applied to names)
     val cust = spark.read.parquet(s"$SrcDir/customer.parquet")
     cust.crossJoin(broadcast(reps))
       .select((col("c_custkey") + col("rep").cast("long") * 10000000L)
           .as("c_custkey"),
-        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        when(col("rep") === 0, col("c_name"))
+          .otherwise(concat(lit("Customer#"),
+            lpad((col("c_custkey") + col("rep").cast("long") * 10000000L)
+              .cast("string"), 9, "0"))).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"),
         col("c_mktsegment"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$DstDir/customer.parquet")
