@@ -5692,6 +5692,150 @@ object LlmOps {
     // same census, same integer EM rounds unrolled as HUGEINT CTEs
     "q218b_linkage_em" -> linkageEmOracle(3),
 
+    // same value-set grid ECDFs, same two-floor millionth D, same
+    // IEEE-sqrt critical band
+    "q242_ks_test" ->
+      """WITH g AS (SELECT source AS gsrc, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY source, n_chars),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY v),
+        vc AS (SELECT v, ct, sum(ct) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+          FROM vals),
+        grp AS (SELECT gsrc, CAST(sum(c) AS BIGINT) AS n FROM g
+          GROUP BY gsrc),
+        na AS (SELECT CAST(sum(c) AS BIGINT) AS nall FROM g),
+        grid AS (SELECT grp.gsrc, vc.v, vc.cumall, grp.n,
+            coalesce(g.c, 0) AS c
+          FROM vc CROSS JOIN grp
+          LEFT JOIN g ON g.gsrc = grp.gsrc AND g.v = vc.v),
+        cum AS (SELECT gsrc, v, n, cumall,
+            sum(c) OVER (PARTITION BY gsrc ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM grid),
+        dd AS (SELECT gsrc, v, n, (SELECT nall FROM na) - n AS nrest,
+            CASE WHEN (SELECT nall FROM na) - n > 0 THEN
+              abs(cum * 1000000 // n - (cumall - cum) * 1000000
+                // ((SELECT nall FROM na) - n)) END AS d6
+          FROM cum),
+        dm AS (SELECT gsrc, max(n) AS n_group, max(nrest) AS n_rest,
+            max(d6) AS d6 FROM dd GROUP BY gsrc),
+        av AS (SELECT dd.gsrc, min(dd.v) AS at_value
+          FROM dd JOIN dm ON dd.gsrc = dm.gsrc AND dd.d6 = dm.d6
+          GROUP BY dd.gsrc)
+        SELECT dm.gsrc AS source, n_group, n_rest, at_value,
+          CAST(d6 AS DOUBLE) / 1e6 AS d_stat,
+          CASE WHEN n_rest > 0 THEN CAST(floor(1358000.0 *
+            sqrt((n_group + n_rest)::DOUBLE / (n_group * n_rest)::DOUBLE))
+            AS DOUBLE) / 1e6 END AS crit_05,
+          d6 > CAST(floor(1358000.0 *
+            sqrt((n_group + n_rest)::DOUBLE / (n_group * n_rest)::DOUBLE))
+            AS BIGINT) AS drifted
+        FROM dm LEFT JOIN av ON dm.gsrc = av.gsrc ORDER BY dm.gsrc""",
+
+    // same slice pseudo p-values, same cross-multiplied step-up
+    "q243_bh_fdr" ->
+      """WITH s AS (SELECT source, lang,
+            CAST(min(doc_id) AS BIGINT) AS test_id,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source, lang),
+        t AS (SELECT test_id,
+            CASE WHEN n_docs % 7 = 0
+              THEN ((test_id % 2147483648) * 2654435761) % 2147483647
+                % 1000
+              ELSE ((test_id % 2147483648) * 2654435761) % 2147483647
+                % 1000000 END AS p6
+          FROM s),
+        rk AS (SELECT test_id, p6,
+            CAST(row_number() OVER (ORDER BY p6, test_id) AS BIGINT)
+              AS rank,
+            CAST(count(*) OVER () AS BIGINT) AS m
+          FROM t),
+        k AS (SELECT coalesce(max(CASE WHEN p6 * 100 * m
+            <= rank * 5 * 1000000 THEN rank END), 0) AS kstar FROM rk)
+        SELECT test_id, p6, rank, m,
+          rank <= (SELECT kstar FROM k) AS discovery
+        FROM rk ORDER BY rank""",
+
+    // the q113 component chain with the split CASE replaced by mod-k
+    "q244_leak_folds" ->
+      """WITH RECURSIVE
+         docs AS (SELECT doc_id,
+              list_filter(string_split(text,' '), x -> x <> '') AS w
+            FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w)-2),
+                   i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS s
+            FROM docs) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+         pairs AS (SELECT da, db
+            FROM cm JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+            WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8),
+         edges AS (SELECT da AS a, db AS b FROM pairs
+                   UNION SELECT db, da FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                   UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         clus AS (SELECT n.a AS doc_id, least(n.a, min(r.b)) AS cluster
+            FROM (SELECT DISTINCT a FROM edges) n JOIN reach r ON r.a = n.a
+            GROUP BY n.a)
+         SELECT d.doc_id,
+           CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster,
+           CAST(((coalesce(c.cluster, d.doc_id) % 2147483648)
+                 * 2654435761) % 2147483647 % 5 AS BIGINT) AS fold
+         FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+         ORDER BY d.doc_id""",
+
+    // same sparse ratings rebuild, same per-unit quantization, same
+    // nested-floor expected disagreement, alpha from the two quantized
+    // values
+    "q245_krippendorff" ->
+      """WITH base AS (SELECT source, doc_id AS item_id FROM documents),
+        r AS (SELECT source, item_id, rater,
+            ((item_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM base CROSS JOIN
+            (SELECT unnest(generate_series(0, 4)) AS rater)),
+        rr AS (SELECT source, item_id, rater,
+            CASE WHEN (h + rater * 17) % 10 < 3
+              THEN (h % 4 + 1 + (h % 97 + rater) % 3) % 4
+              ELSE h % 4 END AS cat
+          FROM r WHERE (h + rater * 23) % 5 <> 0),
+        cnt AS (SELECT source, item_id, cat, CAST(count(*) AS BIGINT) AS c
+          FROM rr GROUP BY 1, 2, 3),
+        per AS (SELECT source, item_id, CAST(sum(c) AS BIGINT) AS m,
+            CAST(sum(c * c) AS BIGINT) AS s2
+          FROM cnt GROUP BY 1, 2 HAVING sum(c) >= 2),
+        dop AS (SELECT source, CAST(sum(m) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS n_units,
+            CAST(sum((m * m - s2) * 1000000 // (m - 1)) AS BIGINT)
+              AS dusum
+          FROM per GROUP BY source),
+        d_o AS (SELECT source, n, n_units, dusum // n AS do6 FROM dop),
+        inc AS (SELECT cnt.source, cnt.item_id, cnt.cat, cnt.c
+          FROM cnt JOIN per ON cnt.source = per.source
+            AND cnt.item_id = per.item_id),
+        nc AS (SELECT source, cat, CAST(sum(c) AS BIGINT) AS nc
+          FROM inc GROUP BY 1, 2),
+        dep AS (SELECT nc.source,
+            CAST(sum(nc * (n - nc)) AS BIGINT) AS x, max(n) AS n
+          FROM nc JOIN d_o ON nc.source = d_o.source GROUP BY nc.source),
+        d_e AS (SELECT source,
+            ((x // n) * 1000000 + (x % n) * 1000000 // n) // (n - 1)
+              AS de6 FROM dep)
+        SELECT d_o.source, n_units, d_o.n AS n_ratings,
+          CAST(do6 AS DOUBLE) / 1e6 AS d_obs,
+          CAST(de6 AS DOUBLE) / 1e6 AS d_exp,
+          CASE WHEN de6 > 0
+            THEN CAST((de6 - do6) * 1000000 // de6 AS DOUBLE) / 1e6
+          END AS alpha
+        FROM d_o JOIN d_e ON d_o.source = d_e.source
+        ORDER BY d_o.source""",
+
     // same first-touch mins, same floor-ms quantization, same exact
     // integer rank interpolation over the (step, lat_ms -> n) value set
     "q217_conversion_lag" ->

@@ -239,6 +239,37 @@ class DataSelectionSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("leakSafeFolds: components share a fold, singletons hash their own " +
+      "id, no near-dup pair straddles folds on the real fixture") {
+    import spark.implicits._
+    def bucket(id: Long, k: Int): Long =
+      ((id % 2147483648L) * 2654435761L) % 2147483647L % k
+    // a near-dup pair whose ids hash to DIFFERENT folds naively
+    val a = (1L to 500L).find(bucket(_, 5) == 0L).get
+    val b = (1L to 500L).find(bucket(_, 5) == 3L).get
+    val nearDup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (a, nearDup), (b, nearDup + " tail"),
+      (900L, "completely unrelated text about astronomy and telescopes")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.leakSafeFolds(docs, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(bucket(a, 5) != bucket(b, 5), "fixture exhibits the naive straddle")
+    assert(out(a)._2 === out(b)._2, s"pair must share a fold: $out")
+    assert(out(a)._2 === bucket(math.min(a, b), 5),
+      "fold hashes the component representative")
+    assert(out(900L)._2 === bucket(900L, 5), "singleton degenerates")
+    // real fixture: no near-dup pair straddles any of the 5 folds
+    val real = Tables.documents(spark, sf).select("doc_id", "text")
+    val folds = CorpusOps.leakSafeFolds(real, k = 5)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(real, 3, 0.8)
+    val straddle = pairs
+      .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fa")), "doc_a")
+      .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fb")), "doc_b")
+      .filter(col("fa") =!= col("fb")).count()
+    assert(straddle === 0L, "a straddling pair means cross-fold leakage")
+  }
+
   test("fairBudgetSelect: floors bank every source, fill is the best prefix") {
     val budget = 20000L
     val floorT = 500L

@@ -422,4 +422,94 @@ class EvalOpsSpec extends SparkSpec {
     val cov = out.getDouble(5)
     assert(cov >= 0.85 && cov <= 0.95, s"coverage $cov")
   }
+
+  test("ksTest: hand ECDFs, disjoint supports give D = 1, argmax ties " +
+      "break to the smallest value") {
+    import spark.implicits._
+    // disjoint supports: A = {1..4}, B = {5..8} -> D = 1.0, first value
+    // where the gap is maximal = 4 (A's ECDF hits 1, B's still 0)
+    val rows = (1L to 4L).map(v => ("A", v)) ++ (5L to 8L).map(v => ("B", v))
+    val out = EvalOps.ksTest(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(4) === 1.0)
+    assert(out("A").getLong(3) === 4L, "argmax at A's last jump")
+    assert(out("B").getDouble(4) === 1.0)
+    assert(out("B").getLong(3) === 4L, "same sup point from B's view")
+    assert(out("A").getBoolean(6), "D = 1 at n = m = 4 clears crit")
+    // interleaved: A = {1, 3}, B = {2, 4}: at v=1 |1/2 - 0| = 0.5 = D
+    val out2 = EvalOps.ksTest(
+      Seq(("A", 1L), ("A", 3L), ("B", 2L), ("B", 4L)).toDF("g", "v"),
+      "g", "v").collect().map(r => r.getString(0) -> r).toMap
+    assert(out2("A").getDouble(4) === 0.5)
+    assert(out2("A").getLong(3) === 1L)
+    // crit at n = m = 2: 1.358 * sqrt(4/4) = 1.358 -> not drifted
+    assert(!out2("A").getBoolean(6))
+    // identical samples -> D = 0
+    val out3 = EvalOps.ksTest(
+      Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("g", "v"),
+      "g", "v").collect().map(r => r.getString(0) -> r).toMap
+    assert(out3("A").getDouble(4) === 0.0)
+  }
+
+  test("bhSelect: step-up includes a rank that fails its own threshold " +
+      "when a later rank passes") {
+    import spark.implicits._
+    // m = 10, alpha = 0.05 -> crit(i) = 0.005 i. Sorted p: rank 2
+    // (0.011 > 0.010) fails its own line but rank 4 (0.019 <= 0.020)
+    // passes, so k* = 4 and ranks 1..4 are ALL discoveries - the
+    // step-up property that distinguishes BH from Holm/step-down
+    val p6 = Seq(1000L, 11000L, 12000L, 19000L, 110000L, 200000L,
+      300000L, 400000L, 500000L, 600000L)
+    val tests = p6.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("test_id", "p6")
+    val out = EvalOps.bhSelect(tests, "test_id", "p6")
+      .collect().map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+    assert((1L to 4L).forall(out(_)), s"ranks 1-4 discovered: $out")
+    assert((5L to 10L).forall(!out(_)), s"ranks 5-10 not: $out")
+    // all p = 1: zero discoveries (kstar = 0 path)
+    val none = EvalOps.bhSelect(
+      Seq((1L, 1000000L), (2L, 1000000L)).toDF("test_id", "p6"),
+      "test_id", "p6").collect()
+    assert(none.forall(!_.getBoolean(4)))
+  }
+
+  test("krippendorffAlpha: perfect agreement gives alpha 1, singleton " +
+      "units are excluded, hand case matches a BigInt replay") {
+    import spark.implicits._
+    // perfect agreement on 4 units (2-3 raters each) + one singleton
+    // unit that must not count
+    val perfect = Seq(
+      ("s", 1L, 0L, 2L), ("s", 1L, 1L, 2L), ("s", 1L, 2L, 2L),
+      ("s", 2L, 0L, 3L), ("s", 2L, 1L, 3L),
+      ("s", 3L, 0L, 2L), ("s", 3L, 1L, 2L),
+      ("s", 4L, 0L, 3L), ("s", 4L, 1L, 3L), ("s", 4L, 2L, 3L),
+      ("s", 9L, 0L, 1L)) // singleton: one rating only
+      .toDF("source", "item_id", "rater", "cat")
+    val p = EvalOps.krippendorffAlpha(perfect).collect().head
+    assert(p.getLong(1) === 4L, "singleton unit excluded from n_units")
+    assert(p.getLong(2) === 10L, "and from the pooled ratings")
+    assert(p.getDouble(3) === 0.0, "perfect agreement: D_obs = 0")
+    assert(p.getDouble(5) === 1.0, "alpha = 1")
+    // mixed hand case, checked against an independent BigInt replay of
+    // the documented quantization
+    val mixed = Seq(
+      ("s", 1L, 0L, 0L), ("s", 1L, 1L, 0L), ("s", 1L, 2L, 1L),
+      ("s", 2L, 0L, 1L), ("s", 2L, 1L, 1L),
+      ("s", 3L, 0L, 0L), ("s", 3L, 1L, 2L))
+      .toDF("source", "item_id", "rater", "cat")
+    val g = EvalOps.krippendorffAlpha(mixed).collect().head
+    // unit 1: m=3, counts {0:2, 1:1} -> m^2 - s2 = 9 - 5 = 4, /(m-1)=2
+    //   -> du6 = 2000000; unit 2: m=2 {1:2} -> 0; unit 3: m=2 {0,2}
+    //   -> (4-2)/1 = 2 -> du6 = 2000000
+    // Do6 = 4000000 div 7 = 571428
+    // totals over included: n=7, nc = {0:3, 1:3, 2:1}
+    //   x = 3*4 + 3*4 + 1*6 = 30
+    //   de6 = ((30 div 7)*1e6 + (30%7)*1e6 div 7) div 6 = (4000000 +
+    //   285714) div 6 = 714285
+    // alpha6 = (714285 - 571428)*1e6 div 714285 = 142857000000/714285
+    //   = exactly 200000
+    assert(g.getDouble(3) === 0.571428)
+    assert(g.getDouble(4) === 0.714285)
+    assert(g.getDouble(5) === 0.2)
+  }
 }
