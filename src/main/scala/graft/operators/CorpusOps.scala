@@ -3011,6 +3011,44 @@ object CorpusOps {
         (expr("n1 * 1000000 div n_tokens").cast("double") / 1e6).as("p0"))
   }
 
+  /** Chao1 vocabulary-richness estimate per source (q247) — the
+    * nonparametric "how many types does the UNSEEN tail hold" read
+    * (Chao 1984): observed distinct tokens D plus the
+    * singleton/doubleton correction f₁²/(2f₂) — an asymptotic LOWER
+    * bound on true type richness using only the rarest counts, where
+    * [[heapsFit]] extrapolates a power law and [[goodTuring]] prices the
+    * next token. The tokenizer-budget complement: a source whose chao1
+    * far exceeds its observed D still yields new types to a bigger
+    * crawl; a saturated source doesn't. The bias-corrected
+    * f₁(f₁−1)/(2(f₂+1)) form applies when f₂ = 0 (Chao's own fix —
+    * the raw form divides by zero). Coverage Ĉ = 1 − f₁/N (Good 1953)
+    * rides along as exact floored millionths.
+    *
+    * All integer: the correction divides whole counts (an ESTIMATE of a
+    * type count — sub-token precision is noise), f₁² stays in BIGINT to
+    * f₁ ≈ 3·10⁹ types. One token aggregation, then a fof collapse per
+    * source; the report is |sources| rows.
+    */
+  def chao1(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val freq = docs
+      .select(col(srcCol).as("source"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    freq.groupBy(col("source")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("d_observed"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1", col("d_observed") + when(col("f2") > 0,
+          expr("f1 * f1 div (2 * f2)"))
+        .otherwise(expr("f1 * (f1 - 1) div (2 * (f2 + 1))")))
+      .select(col("source"), col("n_tokens"), col("d_observed"),
+        col("f1"), col("f2"), col("chao1"),
+        (expr("(n_tokens - f1) * 1000000 div n_tokens")
+          .cast("double") / 1e6).as("coverage"))
+  }
+
   /** Heaps-law vocabulary-growth fit (q202): V(N) ≈ K·N^β measured at
     * `k` doc-id checkpoints — the tokenizer-planning read ([[zipfFit]]'s
     * companion: Zipf says how mass concentrates, Heaps says how fast NEW

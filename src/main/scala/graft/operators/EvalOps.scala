@@ -904,6 +904,62 @@ object EvalOps {
       .filter((h + col("rater") * 23L) % 5 =!= 0)
   }
 
+  /** Pairwise Cohen's κ matrix (q248) — WHICH rater disagrees:
+    * [[fleissKappa]] and [[krippendorffAlpha]] score the pool; when the
+    * pool number is low the actionable question is which annotator (or
+    * model-as-judge) diverges from the others, read off the pairwise κ
+    * matrix row that sits below the rest (retrain or drop that rater).
+    * For each rater pair within a source, over their CO-RATED items:
+    * p_o = agreements/n, p_e = Σ_c marginal_a(c)·marginal_b(c)/n²,
+    * κ = (p_o − p_e)/(1 − p_e).
+    *
+    * Exact arithmetic: the pair relation is a self-join on (source,
+    * item) with fan-out ≤ raters² per item (bounded, the ratings-grid
+    * shape); marginals aggregate from the SAME joined relation so they
+    * count exactly the co-rated subset; p_e uses the brier nested-floor
+    * identity ⌊⌊x·10⁶/n⌋/n⌋ with x = Σ nₐ·n_b ≤ n² (exact to 10⁹
+    * co-rated items per pair), and κ₆ computes from the two quantized
+    * values (the fleissKappa pattern). Perfect agreement with p_e = 1
+    * (both raters constant on one category) reports NULL — κ is
+    * undefined there. Report is |sources|·|raters|² rows.
+    */
+  def cohenKappaMatrix(ratingsDf: DataFrame): DataFrame = {
+    val a = ratingsDf.select(col("source"), col("item_id"),
+      col("rater").as("rater_a"), col("cat").as("cat_a"))
+    val b = ratingsDf.select(col("source"), col("item_id"),
+      col("rater").as("rater_b"), col("cat").as("cat_b"))
+    val pairs = a.join(b, Seq("source", "item_id"))
+      .filter(col("rater_a") < col("rater_b"))
+    val base = pairs.groupBy(col("source"), col("rater_a"), col("rater_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cat_a") === col("cat_b"), 1L).otherwise(0L))
+          .as("agree"))
+    val margA = pairs.groupBy(col("source"), col("rater_a"),
+        col("rater_b"), col("cat_a").as("cat"))
+      .agg(count(lit(1)).as("na"))
+    val margB = pairs.groupBy(col("source"), col("rater_a"),
+        col("rater_b"), col("cat_b").as("cat"))
+      .agg(count(lit(1)).as("nb"))
+    val x = margA.join(margB,
+        Seq("source", "rater_a", "rater_b", "cat"), "inner")
+      .groupBy(col("source"), col("rater_a"), col("rater_b"))
+      .agg(sum(col("na") * col("nb")).as("x"))
+    base.join(x, Seq("source", "rater_a", "rater_b"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .withColumn("po6", expr("agree * 1000000 div n"))
+      .withColumn("pe6", expr(
+        "((x div n) * 1000000 + (x % n) * 1000000 div n) div n"))
+      // κ can be NEGATIVE (below-chance agreement): both engines
+      // truncate integer division toward zero (Spark div ≡ DuckDB //,
+      // verified on negatives), so the plain quotient is portable
+      .withColumn("kappa6", when(col("pe6") < 1000000L,
+        expr("(po6 - pe6) * 1000000 div (1000000 - pe6)")))
+      .select(col("source"), col("rater_a"), col("rater_b"), col("n"),
+        (col("po6").cast("double") / 1e6).as("p_obs"),
+        (col("pe6").cast("double") / 1e6).as("p_exp"),
+        (col("kappa6").cast("double") / 1e6).as("kappa"))
+  }
+
   /** Krippendorff's α, nominal data (q245) — the inter-annotator
     * agreement coefficient that tolerates MISSING ratings: real labeling
     * batches never have every rater on every item (dropout, spot

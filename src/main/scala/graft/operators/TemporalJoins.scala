@@ -532,4 +532,59 @@ object TemporalJoins {
         (col("h6").cast("double") / 1e6).as("hazard"),
         (col("ch6").cast("double") / 1e6).as("cum_hazard"))
   }
+
+  /** Kaplan–Meier survival curve (q246) — the product-limit companion
+    * to [[hazard]]'s sum-form: S(t) = Π_{tᵢ ≤ t} (nᵢ − dᵢ)/nᵢ, the
+    * probability a user remains active past t under the same censoring
+    * contract (recent last-events are censored, in every risk set up to
+    * their duration, never an event). The curve every retention report
+    * plots; Nelson–Aalen's exp(−H) approximates it, KM IS it.
+    *
+    * The hazard doc's objection to KM — an order-dependent float
+    * product — dissolves under the integer SEQUENTIAL fold (the q223
+    * CUSUM discipline): s₆(tᵢ) = s₆(tᵢ₋₁)·(nᵢ − dᵢ) div nᵢ from
+    * s₆ = 10⁶, folded in ascending duration order over the COLLAPSED
+    * (duration → counts) value set. Each step is exact integer
+    * arithmetic (s₆·n ≤ 10⁶·10⁹ stays in BIGINT), the order is pinned
+    * by the value set, and the oracle replays the recurrence as a
+    * recursive CTE bit-for-bit. Per-step floors drift at most 10⁻⁶ per
+    * step below the real product — a DEFINED quantization, not float
+    * nondeterminism. Same scale shape as hazard: one user-keyed
+    * aggregation, then calendar-bounded value-set work.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", censorDays: Int = 7): DataFrame = {
+    val span = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("first_d"),
+        max(to_date(col(tsCol))).as("last_d"))
+    val horizon = events.agg(max(to_date(col(tsCol))).as("gmax"))
+    val u = span.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long")
+          .as("dur"),
+        (datediff(col("gmax"), col("last_d")) >= censorDays)
+          .as("observed"))
+    val g = u.groupBy(col("dur")).agg(count(lit(1)).as("n_enter"),
+      sum(when(col("observed"), 1L).otherwise(0L)).as("n_events"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dur").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val packed = g.withColumn("n_risk", sum(col("n_enter")).over(wDesc))
+      .agg(array_sort(collect_list(struct(col("dur"), col("n_risk"),
+        col("n_events")))).as("ds"))
+    // the q223 in-plan sequential fold: calendar-bounded array, one row
+    packed.withColumn("rows", expr(
+      """aggregate(ds,
+          CAST(array() AS ARRAY<STRUCT<dur: BIGINT, n_risk: BIGINT,
+            n_events: BIGINT, s6: BIGINT>>),
+          (acc, x) -> array_append(acc, struct(x.dur AS dur,
+            x.n_risk AS n_risk, x.n_events AS n_events,
+            (CASE WHEN size(acc) = 0 THEN 1000000L
+                  ELSE element_at(acc, -1).s6 END)
+              * (x.n_risk - x.n_events) div x.n_risk AS s6)))"""))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.dur").as("duration_days"), col("r.n_risk"),
+        col("r.n_events"),
+        (col("r.s6").cast("double") / 1e6).as("survival"))
+  }
 }

@@ -902,6 +902,24 @@ object LlmOps {
           graft.operators.EvalOps.ratingsSparse(Tables.documents(s, d)))
         .orderBy(col("source"))),
 
+    // Kaplan-Meier survival over user lifetimes with the q235 censoring
+    // contract; integer product-limit fold over the duration value set
+    "q246_kaplan_meier" -> ((s, d) =>
+      graft.operators.TemporalJoins.kaplanMeier(Tables.events(s, d))
+        .orderBy(col("duration_days"))),
+
+    // Chao1 vocabulary-richness estimate + Good coverage per source
+    "q247_chao1" -> ((s, d) =>
+      graft.operators.CorpusOps.chao1(Tables.documents(s, d))
+        .orderBy(col("source"))),
+
+    // pairwise Cohen's kappa matrix over the sparse ratings fixture:
+    // which rater disagrees, not just whether the pool does
+    "q248_kappa_matrix" -> ((s, d) =>
+      graft.operators.EvalOps.cohenKappaMatrix(
+          graft.operators.EvalOps.ratingsSparse(Tables.documents(s, d)))
+        .orderBy(col("source"), col("rater_a"), col("rater_b"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -5162,6 +5180,102 @@ object LlmOps {
           CAST(h6 AS DOUBLE) / 1e6 AS hazard,
           CAST(ch6 AS DOUBLE) / 1e6 AS cum_hazard
         FROM ch ORDER BY duration_days""",
+    // same censoring contract as q235, the product-limit fold replayed
+    // as a recursive CTE over the duration value set
+    "q246_kaplan_meier" ->
+      """WITH RECURSIVE sp AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+            max(CAST(ts AS DATE)) AS l
+          FROM events GROUP BY 1),
+        gm AS (SELECT max(CAST(ts AS DATE)) AS gmax FROM events),
+        u AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS dur,
+            date_diff('day', l, gmax) >= 7 AS observed
+          FROM sp, gm),
+        g AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_enter,
+            CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_events
+          FROM u GROUP BY 1),
+        r AS (SELECT dur, n_events,
+            CAST(sum(n_enter) OVER (ORDER BY dur DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+          FROM g),
+        rn AS (SELECT dur, n_risk, n_events,
+            CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS i
+          FROM r),
+        km(i, dur, n_risk, n_events, s6) AS (
+          SELECT i, dur, n_risk, n_events,
+              1000000 * (n_risk - n_events) // n_risk
+            FROM rn WHERE i = 1
+          UNION ALL
+          SELECT rn.i, rn.dur, rn.n_risk, rn.n_events,
+              km.s6 * (rn.n_risk - rn.n_events) // rn.n_risk
+            FROM rn JOIN km ON rn.i = km.i + 1)
+        SELECT dur AS duration_days, n_risk, n_events,
+          CAST(s6 AS DOUBLE) / 1e6 AS survival
+        FROM km ORDER BY duration_days""",
+
+    // same whitespace tokens, same fof counts, same integer correction
+    "q247_chao1" ->
+      """WITH t AS (SELECT source,
+            unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS w
+          FROM documents),
+        f AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+          FROM t GROUP BY 1, 2),
+        s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS d_observed,
+            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+            CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+          FROM f GROUP BY source)
+        SELECT source, n_tokens, d_observed, f1, f2,
+          d_observed + CASE WHEN f2 > 0 THEN f1 * f1 // (2 * f2)
+            ELSE f1 * (f1 - 1) // (2 * (f2 + 1)) END AS chao1,
+          CAST((n_tokens - f1) * 1000000 // n_tokens AS DOUBLE) / 1e6
+            AS coverage
+        FROM s ORDER BY source""",
+
+    // same sparse ratings rebuild, same co-rated pair relation and
+    // nested-floor expectation, kappa from the two quantized values
+    "q248_kappa_matrix" ->
+      """WITH base0 AS (SELECT source, doc_id AS item_id FROM documents),
+        r AS (SELECT source, item_id, rater,
+            ((item_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM base0 CROSS JOIN
+            (SELECT unnest(generate_series(0, 4)) AS rater)),
+        rr AS (SELECT source, item_id, rater,
+            CASE WHEN (h + rater * 17) % 10 < 3
+              THEN (h % 4 + 1 + (h % 97 + rater) % 3) % 4
+              ELSE h % 4 END AS cat
+          FROM r WHERE (h + rater * 23) % 5 <> 0),
+        p AS (SELECT a.source, a.item_id, a.rater AS ra, b.rater AS rb,
+            a.cat AS ca, b.cat AS cb
+          FROM rr a JOIN rr b ON a.source = b.source
+            AND a.item_id = b.item_id AND a.rater < b.rater),
+        pairs AS (SELECT source, ra, rb, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+              AS agree
+          FROM p GROUP BY 1, 2, 3),
+        ma AS (SELECT source, ra, rb, ca AS cat,
+            CAST(count(*) AS BIGINT) AS na FROM p GROUP BY 1, 2, 3, 4),
+        mb AS (SELECT source, ra, rb, cb AS cat,
+            CAST(count(*) AS BIGINT) AS nb FROM p GROUP BY 1, 2, 3, 4),
+        xx AS (SELECT ma.source, ma.ra, ma.rb,
+            CAST(sum(na * nb) AS BIGINT) AS x
+          FROM ma JOIN mb ON ma.source = mb.source AND ma.ra = mb.ra
+            AND ma.rb = mb.rb AND ma.cat = mb.cat
+          GROUP BY 1, 2, 3),
+        q AS (SELECT pairs.source, ra, rb, n,
+            agree * 1000000 // n AS po6,
+            ((coalesce(x, 0) // n) * 1000000
+              + (coalesce(x, 0) % n) * 1000000 // n) // n AS pe6
+          FROM pairs LEFT JOIN xx USING (source, ra, rb))
+        SELECT source, ra AS rater_a, rb AS rater_b, n,
+          CAST(po6 AS DOUBLE) / 1e6 AS p_obs,
+          CAST(pe6 AS DOUBLE) / 1e6 AS p_exp,
+          CASE WHEN pe6 < 1000000 THEN
+            CAST((po6 - pe6) * 1000000 // (1000000 - pe6) AS DOUBLE) / 1e6
+          END AS kappa
+        FROM q ORDER BY source, rater_a, rater_b""",
+
     // q148's bucket rule, dense class x source grid with absent-cell
     // global mass, exact BIGINT TV numerator, one integer division
     "q236_t_closeness" ->

@@ -1341,4 +1341,23 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .select("waste", "waste_naive").collect()
     assert(fr.forall(r => r.getDouble(0) <= r.getDouble(1)))
   }
+
+  test("chao1: hand f1/f2 correction, bias-corrected f2=0 branch, " +
+      "saturated corpus estimates its own size") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b c", "s1"),     // a:2 b:1 c:1 -> D 3, f1 2, f2 1
+      (2L, "x y", "s2"),         // D 2, f1 2, f2 0 -> corrected branch
+      (3L, "k k k k", "s3"))     // no singletons: chao1 = D
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.chao1(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // s1: chao1 = 3 + 2*2 div 2 = 5; coverage (4-2)/4 = 0.5
+    assert(out("s1") === ((4L, 3L, 2L, 1L, 5L, 0.5)))
+    // s2: f2 = 0 -> 2 + 2*1 div 2 = 3; coverage 0
+    assert(out("s2") === ((2L, 2L, 2L, 0L, 3L, 0.0)))
+    // s3: f1 = 0 -> estimate equals observed; coverage 1
+    assert(out("s3") === ((4L, 1L, 0L, 0L, 1L, 1.0)))
+  }
 }

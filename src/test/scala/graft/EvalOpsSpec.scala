@@ -512,4 +512,36 @@ class EvalOpsSpec extends SparkSpec {
     assert(g.getDouble(4) === 0.714285)
     assert(g.getDouble(5) === 0.2)
   }
+
+  test("cohenKappaMatrix: hand po/pe/kappa incl. a below-chance negative " +
+      "pair and the undefined pe=1 case") {
+    import spark.implicits._
+    // raters 0/1 on items 1-4: cats (0,0),(1,1),(0,1),(2,2) -> agree 3/4
+    // rater 2: (1,0,1,0) -> vs rater 0 agree 0 (below chance)
+    // rater 3: constant cat 0; rater 4: constant cat 0 (pe = 1 -> NULL)
+    val rows = Seq(
+      ("s", 1L, 0, 0L), ("s", 2L, 0, 1L), ("s", 3L, 0, 0L), ("s", 4L, 0, 2L),
+      ("s", 1L, 1, 0L), ("s", 2L, 1, 1L), ("s", 3L, 1, 1L), ("s", 4L, 1, 2L),
+      ("s", 1L, 2, 1L), ("s", 2L, 2, 0L), ("s", 3L, 2, 1L), ("s", 4L, 2, 0L),
+      ("s", 1L, 3, 0L), ("s", 2L, 3, 0L), ("s", 3L, 3, 0L), ("s", 4L, 3, 0L),
+      ("s", 1L, 4, 0L), ("s", 2L, 4, 0L), ("s", 3L, 4, 0L), ("s", 4L, 4, 0L))
+      .toDF("source", "item_id", "rater", "cat")
+    val out = EvalOps.cohenKappaMatrix(rows).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r).toMap
+    // (0,1): po6 750000; marginals a{0:2,1:1,2:1} b{0:1,1:2,2:1} ->
+    // x = 2+2+1 = 5 -> pe6 = (1250000) div 4 = 312500;
+    // kappa6 = 437500*1e6 div 687500 = 636363
+    val r01 = out((0, 1))
+    assert(r01.getDouble(4) === 0.75 && r01.getDouble(5) === 0.3125)
+    assert(r01.getDouble(6) === 0.636363)
+    // (0,2): agree 0; a{0:2,1:1,2:1} c{0:2,1:2} -> x = 4+2 = 6 ->
+    // pe6 = 1500000 div 4 = 375000; kappa6 = -375000*1e6 div 625000 = -0.6
+    val r02 = out((0, 2))
+    assert(r02.getDouble(4) === 0.0 && r02.getDouble(6) === -0.6)
+    // (3,4): both constant same cat -> po 1, pe 1 -> kappa undefined
+    val r34 = out((3, 4))
+    assert(r34.getDouble(4) === 1.0 && r34.getDouble(5) === 1.0)
+    assert(r34.isNullAt(6), "pe = 1 leaves kappa undefined")
+    assert(out.size === 10, "all 5-choose-2 pairs present")
+  }
 }

@@ -75,4 +75,35 @@ class JsdYoudenHazardSpec extends SparkSpec {
     val out = TemporalJoins.hazard(events).collect()
     assert(out.forall(_.getDouble(4) === 0.0))
   }
+
+  test("kaplanMeier: hand product-limit steps under the same censoring " +
+      "contract, per-step integer floors") {
+    def ts(day: Int) = new Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    // horizon = day 31 (u6). Durations: 0 × {u1 observed, u2 censored
+    // gap 3, u6 censored gap 0}; 5 × {u3 observed, u4 censored gap 1};
+    // 10 × {u5 observed, gap 11}
+    val events = Seq(
+      (1L, ts(0)),
+      (2L, ts(28)),
+      (3L, ts(4)), (3L, ts(9)),
+      (4L, ts(25)), (4L, ts(30)),
+      (5L, ts(10)), (5L, ts(20)),
+      (6L, ts(31)))
+      .toDF("user_id", "ts")
+    val out = TemporalJoins.kaplanMeier(events).orderBy("duration_days")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // s6 fold: 1e6·5/6 = 833333; ·2/3 = 555555 (1666666 div 3); ·0 = 0
+    assert(out.toSeq === Seq(
+      (0L, 6L, 1L, 0.833333),
+      (5L, 3L, 1L, 0.555555),
+      (10L, 1L, 1L, 0.0)))
+    // all censored: survival stays exactly 1 at every step
+    val flat = Seq((1L, ts(0)), (1L, ts(9)), (2L, ts(3)), (2L, ts(9)))
+      .toDF("user_id", "ts")
+    assert(TemporalJoins.kaplanMeier(flat).collect()
+      .forall(_.getDouble(3) === 1.0))
+  }
 }
