@@ -612,15 +612,22 @@ object Similarity {
     * argmin ties break toward the lowest cluster id (array_position
     * returns the FIRST minimal entry).
     */
-  def kmeansClusters(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val e = asDouble(emb)
-    def distTo(cv: Array[Double]): Column =
-      aggregate(zip_with(col("v"), typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    def argmin(cents: Array[Array[Double]]): Column = {
-      val dists = array(cents.map(distTo): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("long")
-    }
+  private def distTo(cv: Array[Double]): Column =
+    aggregate(zip_with(col("v"), typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def argminCents(cents: Array[Array[Double]]): Column = {
+    val dists = array(cents.map(distTo): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("long")
+  }
+
+  /** Lloyd training shared by [[kmeansClusters]] and
+    * [[silhouetteSimplified]]: deterministic md5-order seeds, `iters`
+    * assign/recenter rounds, centroids collected per round (bounded by
+    * k — the documented collect pattern).
+    */
+  private def lloydCentroids(e: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
@@ -628,7 +635,7 @@ object Similarity {
     require(cents.length == k, s"corpus smaller than k=$k")
     var it = 0
     while (it < iters) {
-      val upd = e.withColumn("cluster", argmin(cents))
+      val upd = e.withColumn("cluster", argminCents(cents))
         .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cluster"), col("i")).agg(avg(col("x")).as("m"))
         .groupBy(col("cluster"))
@@ -639,7 +646,48 @@ object Similarity {
       cents = cents.indices.map(c => upd.getOrElse(c, cents(c))).toArray
       it += 1
     }
-    e.select(col("vec_id"), argmin(cents).as("cluster"))
+    cents
+  }
+
+  def kmeansClusters(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = asDouble(emb)
+    e.select(col("vec_id"), argminCents(lloydCentroids(e, k, iters)).as("cluster"))
+  }
+
+  /** Simplified silhouette sweep over candidate k (q249) — the
+    * k-selection read behind every [[kmeansClusters]]/IVF-nlist choice:
+    * per vector, a = distance to its OWN centroid and b = distance to
+    * the nearest OTHER centroid, s = (b − a)/max(a, b) (Hruschka et
+    * al.'s simplified silhouette — the classic silhouette's all-pairs
+    * within-cluster distances can never run at corpus scale; the
+    * centroid surrogate is row-local against k broadcast literals).
+    * Higher mean s = tighter, better-separated clustering; sweep the
+    * candidate list and pick the max.
+    *
+    * Per-row s quantizes to floored millionths BEFORE aggregation (the
+    * dimEnergy discipline) and the mean is one integer division, so the
+    * report replays exactly in the oracle (distance folds are
+    * fixed-order IEEE sums — the q89 Lloyd-replay precedent).
+    * Degenerate a = b = 0 (a vector ON a duplicated centroid) reports
+    * s = 0. Cost: |ks| trainings + one row-local pass each; the report
+    * is |ks| rows.
+    */
+  def silhouetteSimplified(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8),
+      iters: Int = 3): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 2), "silhouette needs k >= 2")
+    val e = asDouble(emb)
+    ks.map { k =>
+      val cents = lloydCentroids(e, k, iters)
+      val dists = array_sort(array(cents.map(distTo): _*))
+      val a = sqrt(element_at(dists, 1))
+      val b = sqrt(element_at(dists, 2))
+      val s6 = when(greatest(a, b) > 0,
+        floor((b - a) / greatest(a, b) * 1000000d)).otherwise(0L)
+      e.select(s6.as("s6"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("s6")).as("ssum"))
+        .select(lit(k.toLong).as("k"), col("n_vecs"),
+          (expr("ssum div n_vecs").cast("double") / 1e6).as("silhouette"))
+    }.reduce(_ unionByName _)
   }
 
   /** Cluster-balanced sampling: a deterministic fixed-size sample per

@@ -902,6 +902,14 @@ object LlmOps {
           graft.operators.EvalOps.ratingsSparse(Tables.documents(s, d)))
         .orderBy(col("source"))),
 
+    // simplified-silhouette k sweep over the embeddings: the
+    // k-selection read for kmeans/IVF nlist
+    "q249_silhouette" -> ((s, d) =>
+      graft.operators.Similarity.silhouetteSimplified(
+          Tables.fanout(Tables.embeddings(s, d)), ks = Seq(2, 4, 8),
+          iters = 3)
+        .orderBy(col("k"))),
+
     // Kaplan-Meier survival over user lifetimes with the q235 censoring
     // contract; integer product-limit fold over the duration value set
     "q246_kaplan_meier" -> ((s, d) =>
@@ -2096,12 +2104,17 @@ object LlmOps {
     * first-minimum). Empty cells keep the previous centroid via the
     * LEFT JOIN + coalesce.
     */
-  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
-    def distSql(c: String): String =
-      s"""list_sum(list_transform(generate_series(1, $dim),
-         i -> (e.v[i]-$c.cv[i])*(e.v[i]-$c.cv[i])))"""
+  private def kmDistSql(dim: Int, c: String): String =
+    s"""list_sum(list_transform(generate_series(1, $dim),
+       i -> (e.v[i]-$c.cv[i])*(e.v[i]-$c.cv[i])))"""
+
+  /** The Lloyd CTE chain shared by q89/q123/q249 oracles: `e` +
+    * md5-ordered seeds + `iters` assign/recenter rounds, ending at the
+    * `c<iters>` centroid relation.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     val b = new StringBuilder
-    b ++= s"""WITH e AS (SELECT vec_id,
+    b ++= s"""e AS (SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
               AS cent_id, v AS cv
@@ -2112,7 +2125,7 @@ object LlmOps {
        a$t AS (SELECT vec_id, v, cent_id FROM (
            SELECT e.vec_id, e.v, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY ${distSql("c")}, c.cent_id) AS rn
+               ORDER BY ${kmDistSql(dim, "c")}, c.cent_id) AS rn
            FROM e CROSS JOIN $prev c) t WHERE rn = 1),
        m$t AS (SELECT cent_id, list(m ORDER BY d) AS cv FROM (
            SELECT cent_id, d, avg(v[d]) AS m FROM (
@@ -2121,13 +2134,37 @@ object LlmOps {
        c$t AS (SELECT c.cent_id, coalesce(m.cv, c.cv) AS cv
            FROM $prev c LEFT JOIN m$t m USING (cent_id))"""
     }
-    b ++= s"""
+    b.toString
+  }
+
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)}
        SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster FROM (
          SELECT e.vec_id, c.cent_id,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY ${distSql("c")}, c.cent_id) AS rn
+             ORDER BY ${kmDistSql(dim, "c")}, c.cent_id) AS rn
          FROM e CROSS JOIN c$iters c) t WHERE rn = 1 ORDER BY vec_id"""
-    b.toString
+
+  /** q249 oracle: per candidate k, the same Lloyd chain, per-vector
+    * sorted centroid distances, the same simplified-silhouette floor
+    * quantization, and the integer mean.
+    */
+  private def silhouetteOracle(ks: Seq[Int], iters: Int, dim: Int): String = {
+    def one(k: Int): String =
+      s"""(WITH ${kmeansCtes(k, iters, dim)},
+         dl AS (SELECT e.vec_id,
+             list_sort(list(${kmDistSql(dim, "c")})) AS ds
+           FROM e CROSS JOIN c$iters c GROUP BY e.vec_id),
+         s AS (SELECT CASE WHEN greatest(sqrt(ds[1]), sqrt(ds[2])) > 0
+             THEN CAST(floor((sqrt(ds[2]) - sqrt(ds[1]))
+               / greatest(sqrt(ds[1]), sqrt(ds[2])) * 1000000) AS BIGINT)
+             ELSE 0 END AS s6 FROM dl)
+         SELECT CAST($k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(s6) // count(*) AS DOUBLE) / 1e6 AS silhouette
+         FROM s)"""
+    ks.map(one).mkString("SELECT * FROM (\n", "\nUNION ALL ",
+      "\n) ORDER BY k")
   }
 
   private val lshProbesSql: String =
@@ -5180,6 +5217,9 @@ object LlmOps {
           CAST(h6 AS DOUBLE) / 1e6 AS hazard,
           CAST(ch6 AS DOUBLE) / 1e6 AS cum_hazard
         FROM ch ORDER BY duration_days""",
+    // same Lloyd chains per k, same sorted-distance silhouette floors
+    "q249_silhouette" -> silhouetteOracle(Seq(2, 4, 8), 3, 64),
+
     // same censoring contract as q235, the product-limit fold replayed
     // as a recursive CTE over the duration value set
     "q246_kaplan_meier" ->

@@ -1342,6 +1342,32 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(fr.forall(r => r.getDouble(0) <= r.getDouble(1)))
   }
 
+  test("silhouetteSimplified: k matching the planted structure wins, " +
+      "bounds hold, degenerate duplicates give exactly 0") {
+    import spark.implicits._
+    // two well-separated 2-D blobs: k = 2 must clearly beat k = 4
+    val blobs = (
+      Seq((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0))
+        .zipWithIndex.map { case ((x, y), i) =>
+          (i.toLong, Array(x.toFloat, y.toFloat)) } ++
+      Seq((10.0, 10.0), (10.0, 11.0), (11.0, 10.0), (11.0, 11.0))
+        .zipWithIndex.map { case ((x, y), i) =>
+          ((i + 4).toLong, Array(x.toFloat, y.toFloat)) })
+      .toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteSimplified(blobs, ks = Seq(2, 4),
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2) > 0.8, s"separated blobs at the true k: ${out(2)}")
+    assert(out(2) > out(4), s"true k must win the sweep: $out")
+    assert(out.values.forall(s => s >= -1.0 && s <= 1.0))
+    // all-identical vectors: every distance 0 -> the degenerate guard
+    val same = (1L to 6L).map(i => (i, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val deg = Similarity.silhouetteSimplified(same, ks = Seq(2), iters = 1)
+      .collect().head
+    assert(deg.getDouble(2) === 0.0)
+  }
+
   test("chao1: hand f1/f2 correction, bias-corrected f2=0 branch, " +
       "saturated corpus estimates its own size") {
     import spark.implicits._
