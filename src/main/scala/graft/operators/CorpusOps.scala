@@ -3146,6 +3146,112 @@ object CorpusOps {
           .as("r2"))
   }
 
+  /** Data-scaling loss curve (q250) — the measurement behind every
+    * "is more of this data worth it" decision: train the [[bigramLmScore]]
+    * language model on k NESTED prefixes of a train split (deterministic
+    * id-hash slices, so prefix c contains prefix c−1), score ONE fixed
+    * holdout's transitions under each, and report the per-checkpoint
+    * cross-entropy plus the log-log slope of xent vs train tokens — the
+    * finite-data face of the scaling-law fit (Kaplan et al. 2020 fit
+    * L = L∞ + a·N^−b; with a weak bigram LM far from its plateau the
+    * log-log slope IS the −b read, and a slope near 0 says this corpus
+    * has stopped teaching this model family).
+    *
+    * Unseen-event contract (a trained-on-everything join can't drop
+    * rows here the way bigramLmScore's inner join does — small prefixes
+    * MUST pay for what they haven't seen):
+    * p = λ·c₂/c_prev (0 when the prefix never saw `prev`) +
+    * (1−λ)·(c_cur+1)/(N+V) — add-one on the unigram backoff keeps p > 0
+    * always. Per-transition −ln p quantizes to floored millionths
+    * (zipfFit's log discipline), the holdout collapses to DISTINCT
+    * transitions with multiplicities, and each checkpoint's xent is one
+    * integer division. The slope reuses the quantized log-log LSQ.
+    *
+    * Shape at scale: count tables build once per SLICE (one pass), the
+    * cumulative-per-checkpoint expansion joins each count row against
+    * the ≤ k later checkpoints (a k-row broadcast — vocab·k and
+    * bigrams·k rows, both corpus-sublinear), and the holdout side is
+    * the eval slice's transition VALUE SET. Nothing is per-checkpoint
+    * rescanned.
+    */
+  def lossCurveFit(docs: DataFrame, k: Int = 5, lambda: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2)
+    val spark = docs.sparkSession
+    val h = idHash(col(idCol))
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.wsTokens(col(textCol)).as("w"),
+      (h % 10 === 0).as("is_eval"),
+      // (h/10) exact in double for h < 2^53; cast truncates = floor on
+      // the non-negative hash, matching the oracle's integer h // 10
+      (((h / 10).cast("long")) % k).as("slice"))
+    def transitions(df: DataFrame): DataFrame = df.select(col("slice"),
+      explode(when(size(col("w")) >= 2,
+        zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur"))))
+        .otherwise(array())).as("t"))
+      .select(col("slice"), col("t.prev").as("prev"), col("t.cur").as("cur"))
+    val train = base.filter(!col("is_eval"))
+    val cps = broadcast(spark.range(1, k + 1).select(col("id").as("cp")))
+    // per-slice counts once; cumulative per checkpoint via the k-row join
+    val uniSlice = train.select(col("slice"),
+        explode(col("w")).as("token"))
+      .groupBy(col("slice"), col("token")).agg(count(lit(1)).as("c"))
+    val uniCum = uniSlice.join(cps, col("slice") < col("cp"))
+      .groupBy(col("cp"), col("token")).agg(sum(col("c")).as("c1"))
+    val biCum = transitions(train)
+      .groupBy(col("slice"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c"))
+      .join(cps, col("slice") < col("cp"))
+      .groupBy(col("cp"), col("prev"), col("cur"))
+      .agg(sum(col("c")).as("c2"))
+    val totals = uniCum.groupBy(col("cp"))
+      .agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("v"))
+    // holdout transition value set with multiplicities
+    val ho = transitions(base.filter(col("is_eval")))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_t"))
+    val scored = ho.crossJoin(cps)
+      .join(biCum, Seq("cp", "prev", "cur"), "left")
+      .join(uniCum.select(col("cp"), col("token").as("prev"),
+        col("c1").as("c_prev")), Seq("cp", "prev"), "left")
+      .join(uniCum.select(col("cp"), col("token").as("cur"),
+        col("c1").as("c_cur")), Seq("cp", "cur"), "left")
+      .join(broadcast(totals), "cp")
+      .withColumn("p",
+        lit(lambda) * when(coalesce(col("c_prev"), lit(0L)) > 0,
+          coalesce(col("c2"), lit(0L)).cast("double") / col("c_prev"))
+          .otherwise(lit(0.0))
+        + lit(1 - lambda) * (coalesce(col("c_cur"), lit(0L)) + 1)
+          .cast("double") / (col("n_tok") + col("v")).cast("double"))
+      .withColumn("q6", floor(-log(col("p")) * 1000000d))
+      .groupBy(col("cp"))
+      .agg(sum(col("n_t")).as("n_trans"),
+        sum(col("n_t") * col("q6")).as("qsum"))
+      .withColumn("xent6", expr("qsum div n_trans"))
+      .join(broadcast(totals), "cp")
+    // quantized log-log LSQ over the k (ln N, ln xent) points
+    val pts = scored.select(
+      floor(log(col("n_tok").cast("double")) * 1000).as("x"),
+      floor(log(col("xent6").cast("double") / 1e6) * 1000).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val denY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val fit = m.select(
+      (floor(num / denX * 10000L).cast("double") / 1e4).as("slope"),
+      (floor(num * num / (denX * denY) * 1000000L).cast("double") / 1e6)
+        .as("r2"))
+    scored.crossJoin(broadcast(fit))
+      .select(col("cp").as("checkpoint"), col("n_tok").as("n_train_tokens"),
+        col("n_trans").as("n_holdout_transitions"),
+        (col("xent6").cast("double") / 1e6).as("xent"),
+        col("slope"), col("r2"))
+  }
+
   /** Hill tail-index estimator (q231) — the heavy-tail diagnostic for
     * document lengths (and any positive size metric): if the upper tail
     * follows a power law P(X > x) ∝ x^−α, the Hill estimator over the

@@ -902,6 +902,12 @@ object LlmOps {
           graft.operators.EvalOps.ratingsSparse(Tables.documents(s, d)))
         .orderBy(col("source"))),
 
+    // data-scaling loss curve: bigram-LM holdout xent at 5 nested
+    // train prefixes + the quantized log-log slope
+    "q250_loss_curve" -> ((s, d) =>
+      graft.operators.CorpusOps.lossCurveFit(Tables.documents(s, d), k = 5)
+        .orderBy(col("checkpoint"))),
+
     // simplified-silhouette k sweep over the embeddings: the
     // k-selection read for kmeans/IVF nlist
     "q249_silhouette" -> ((s, d) =>
@@ -5219,6 +5225,80 @@ object LlmOps {
         FROM ch ORDER BY duration_days""",
     // same Lloyd chains per k, same sorted-distance silhouette floors
     "q249_silhouette" -> silhouetteOracle(Seq(2, 4, 8), 3, 64),
+
+    // same nested train slices, cumulative count tables, add-one JM
+    // smoothing, per-transition millionth floors, and log-log LSQ
+    "q250_loss_curve" ->
+      """WITH b AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+        bb AS (SELECT doc_id, w, h % 10 = 0 AS is_eval,
+            (h // 10) % 5 AS slice FROM b),
+        tr AS (SELECT slice, w FROM bb WHERE NOT is_eval),
+        us AS (SELECT slice, token, CAST(count(*) AS BIGINT) AS c FROM
+            (SELECT slice, unnest(w) AS token FROM tr) u GROUP BY 1, 2),
+        cp AS (SELECT unnest(generate_series(1, 5)) AS cp),
+        uc AS (SELECT cp, token, CAST(sum(c) AS BIGINT) AS c1
+          FROM us JOIN cp ON us.slice < cp.cp GROUP BY 1, 2),
+        bs AS (SELECT slice, prev, cur, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT slice, w[i] AS prev, w[i+1] AS cur FROM
+            (SELECT slice, w, unnest(generate_series(1, len(w)-1)) AS i
+             FROM tr WHERE len(w) >= 2) t) p
+          GROUP BY 1, 2, 3),
+        bc AS (SELECT cp, prev, cur, CAST(sum(c) AS BIGINT) AS c2
+          FROM bs JOIN cp ON bs.slice < cp.cp GROUP BY 1, 2, 3),
+        tot AS (SELECT cp, CAST(sum(c1) AS BIGINT) AS n_tok,
+            CAST(count(*) AS BIGINT) AS v FROM uc GROUP BY cp),
+        ho AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_t FROM
+            (SELECT w[i] AS prev, w[i+1] AS cur FROM
+              (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+               FROM bb WHERE is_eval AND len(w) >= 2) t) e
+          GROUP BY 1, 2),
+        sc AS (SELECT cp.cp, ho.n_t,
+            coalesce(bc.c2, 0) AS c2, coalesce(up.c1, 0) AS c_prev,
+            coalesce(ucu.c1, 0) AS c_cur, tot.n_tok, tot.v
+          FROM ho CROSS JOIN cp
+          LEFT JOIN bc ON bc.cp = cp.cp AND bc.prev = ho.prev
+            AND bc.cur = ho.cur
+          LEFT JOIN uc up ON up.cp = cp.cp AND up.token = ho.prev
+          LEFT JOIN uc ucu ON ucu.cp = cp.cp AND ucu.token = ho.cur
+          JOIN tot ON tot.cp = cp.cp),
+        q AS (SELECT cp, n_t,
+            CAST(floor(-ln(0.5 * (CASE WHEN c_prev > 0
+                THEN CAST(c2 AS DOUBLE) / c_prev ELSE 0 END)
+              + 0.5 * CAST(c_cur + 1 AS DOUBLE)
+                / CAST(n_tok + v AS DOUBLE)) * 1000000) AS BIGINT) AS q6
+          FROM sc),
+        xe AS (SELECT cp, CAST(sum(n_t) AS BIGINT) AS n_trans,
+            CAST(sum(n_t * q6) AS BIGINT) // CAST(sum(n_t) AS BIGINT)
+              AS xent6
+          FROM q GROUP BY cp),
+        pts AS (SELECT
+            CAST(floor(ln(CAST(n_tok AS DOUBLE)) * 1000) AS BIGINT) AS x,
+            CAST(floor(ln(CAST(xent6 AS DOUBLE) / 1e6) * 1000) AS BIGINT)
+              AS y
+          FROM xe JOIN tot USING (cp)),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x*x) AS BIGINT) AS sxx,
+            CAST(sum(x*y) AS BIGINT) AS sxy,
+            CAST(sum(y*y) AS BIGINT) AS syy FROM pts),
+        ft AS (SELECT
+            CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+              / CAST(n*sxx - sx*sx AS DOUBLE) * 10000) AS DOUBLE) / 1e4
+              AS slope,
+            CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                * CAST(n*sxy - sx*sy AS DOUBLE)
+              / (CAST(n*sxx - sx*sx AS DOUBLE)
+                * CAST(n*syy - sy*sy AS DOUBLE)) * 1000000) AS DOUBLE)
+              / 1e6 AS r2
+          FROM mm)
+        SELECT xe.cp AS checkpoint, tot.n_tok AS n_train_tokens,
+          n_trans AS n_holdout_transitions,
+          CAST(xent6 AS DOUBLE) / 1e6 AS xent, slope, r2
+        FROM xe JOIN tot USING (cp) CROSS JOIN ft
+        ORDER BY checkpoint""",
 
     // same censoring contract as q235, the product-limit fold replayed
     // as a recursive CTE over the duration value set

@@ -270,6 +270,26 @@ class DataSelectionSpec extends SparkSpec {
     assert(straddle === 0L, "a straddling pair means cross-fold leakage")
   }
 
+  test("lossCurveFit: nested prefixes grow monotonically, more data " +
+      "lowers holdout xent, the log-log slope is negative") {
+    val docs = Tables.documents(spark, sf)
+    val out = CorpusOps.lossCurveFit(docs, k = 5)
+      .orderBy(col("checkpoint")).collect()
+    assert(out.length === 5)
+    val toks = out.map(_.getLong(1))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b },
+      s"nested prefixes must strictly grow: ${toks.toSeq}")
+    val nTrans = out.map(_.getLong(2)).distinct
+    assert(nTrans.length === 1, "fixed holdout: same transitions per cp")
+    val xents = out.map(_.getDouble(3))
+    assert(xents.forall(_ > 0))
+    assert(xents.last < xents.head,
+      s"more data must lower holdout xent: ${xents.toSeq}")
+    assert(out.head.getDouble(4) < 0, "log-log slope negative")
+    val r2 = out.head.getDouble(5)
+    assert(r2 >= 0 && r2 <= 1)
+  }
+
   test("fairBudgetSelect: floors bank every source, fill is the best prefix") {
     val budget = 20000L
     val floorT = 500L

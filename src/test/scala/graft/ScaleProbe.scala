@@ -97,7 +97,21 @@ object ScaleProbe {
     "q218_record_linkage", "q218b_linkage_em", "q219_shard_mix",
     "q220_padding_waste", "q221_length_fences", "q222_value_quantiles",
     "q223_cusum", "q225_key_skew", "q226_conformal", "q227_code_detect",
-    "q228_lsh_tuning")
+    "q228_lsh_tuning",
+    // gen-12b: the round's new operators — KS grid (|sources|×|values|,
+    // rides the value set), BH (m-row by construction), leak-safe
+    // k-fold (the q113 component chain + a hash), Krippendorff /
+    // kappa-matrix (bounded rater fan-out), KM (calendar value set),
+    // chao1 (token agg + fof), silhouette (|ks| trainings, row-local
+    // scoring)
+    "q242_ks_test", "q243_bh_fdr", "q244_leak_folds",
+    "q245_krippendorff", "q246_kaplan_meier", "q247_chao1",
+    "q248_kappa_matrix", "q249_silhouette",
+    // gen-12c: loss curve — count tables build once per slice; the
+    // cumulative expansion and holdout scoring ride vocab/bigram value
+    // sets, which replica token-suffixing grows ~10x (the q240 lesson:
+    // this is the batch's vocab-bound member, the probe is the check)
+    "q250_loss_curve")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
