@@ -184,7 +184,21 @@ object PlanDump {
     "q239_ql_dirichlet" ->
       "QL-Dirichlet: explode pruned to query terms at the boundary, |docs| x |Q| grid via broadcast term list, TakeOrdered top-k.",
     "q240_nb_classifier" ->
-      "Sparse NB: present-cell token join only (no vocab x sources grid), broadcast per-model constants, per-doc argmax window.")
+      "Sparse NB: present-cell token join only (no vocab x sources grid), broadcast per-model constants, per-doc argmax window.",
+    "q218_record_linkage" ->
+      "Fellegi-Sunter: per-pass block joins on (id, blockKey) projections, id-pair distinct two longs wide, full rows attach once; agreement fold row-local.",
+    "q218b_linkage_em" ->
+      "Linkage EM: same blocked candidates; census = one <=2^k-pattern agg (bounded collect), posterior attaches as a literal CASE chain - no extra join.",
+    "q242_ks_test" ->
+      "KS: value-set collapse, |groups|x|values| grid from a broadcast groups table, per-group cumulative window over the GRID, never corpus rows.",
+    "q244_leak_folds" ->
+      "Leak-safe folds: the q64 prefix-filtered component chain + one left join of the corpus against the clustered set, row-local fold hash.",
+    "q248_kappa_matrix" ->
+      "Kappa matrix: (source, item) self-join with <=raters^2 fan-out, marginals from the SAME joined relation, |sources|x|raters|^2 output arithmetic.",
+    "q249_silhouette" ->
+      "Silhouette sweep: per k, centroids as plan literals, sorted-distance scoring row-local, one count/sum aggregate - zero joins.",
+    "q250_loss_curve" ->
+      "Loss curve: per-slice count tables once, cumulative expansion via k-row broadcast range join, holdout scored as its transition value set.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
