@@ -156,4 +156,119 @@ object Quantiles {
         (expr("(n_low + n_high) * 1000000 div n").cast("double") / 1e6)
           .as("outlier_frac"))
   }
+
+  /** Winsorized and trimmed means per group (q251) — the robust central
+    * tendency a raw mean can't give over heavy-tailed size metrics (one
+    * 100 MB document drags a source's mean length arbitrarily; shard
+    * sizing and cost models read the robust center): clip (winsorize)
+    * or drop (trim) the k = ⌊p·n⌋ most extreme rows at EACH end, k-th
+    * order statistics taken exactly — no interpolation, so the bounds
+    * are actual corpus values.
+    *
+    * Value-set discipline throughout: bounds come from the collapsed
+    * cumulative (value at 0-based rank k = first value whose cumulative
+    * exceeds k), the winsorized sum is Σ c·clamp(v) over the COLLAPSED
+    * table, and the trimmed sum credits each value its rank-interval
+    * overlap with [k, n−k) — ties split by rank exactly as a sorted
+    * array would. Means emit as floored millionths via the nested
+    * (sum div n)·10⁶ + (sum mod n)·10⁶ div n — BIGINT-safe whenever the
+    * plain value sum is (Σ|v| < 2⁶³, the standard sum bound).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      pNum: Int = 5, pDen: Int = 100): DataFrame = {
+    require(pNum >= 0 && 2L * pNum < pDen, "need p < 1/2 per end")
+    val g = df.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("_g"))))
+    val k = s"($pNum * _n) div $pDen"
+    val bounds = cum.groupBy(col("_g")).agg(
+      max(col("_n")).as("n"), max(expr(k)).as("k"),
+      min(when(col("_cum") > expr(k), col("_v"))).as("lo_clip"),
+      min(when(col("_cum") > expr(s"_n - 1 - ($k)"), col("_v")))
+        .as("hi_clip"))
+    cum.join(broadcast(bounds), "_g")
+      .withColumn("_clamped",
+        col("_c") * greatest(col("lo_clip"), least(col("hi_clip"), col("_v"))))
+      // rank-interval overlap of this value's rows [cum−c, cum) with the
+      // kept band [k, n−k): exact tie splitting
+      .withColumn("_keep", greatest(lit(0L),
+        least(col("_cum"), col("n") - col("k"))
+          - greatest(col("_cum") - col("_c"), col("k"))))
+      .groupBy(col("_g"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("n_clipped_per_end"),
+        max(col("lo_clip")).as("lo_clip"), max(col("hi_clip")).as("hi_clip"),
+        sum(col("_clamped")).as("_ws"),
+        sum(col("_keep") * col("_v")).as("_ts"))
+      .withColumn("_tn", col("n") - lit(2L) * col("n_clipped_per_end"))
+      .select(col("_g").as(groupCol), col("n"), col("n_clipped_per_end"),
+        col("lo_clip"), col("hi_clip"),
+        (expr("(_ws div n) * 1000000 + (_ws % n) * 1000000 div n")
+          .cast("double") / 1e6).as("winsorized_mean"),
+        (expr("(_ts div _tn) * 1000000 + (_ts % _tn) * 1000000 div _tn")
+          .cast("double") / 1e6).as("trimmed_mean"))
+  }
+
+  /** Median absolute deviation per group (q252) — the robust scale
+    * beside [[winsorizedStats]]' robust center: MAD = median(|v −
+    * median(v)|), the estimator with a 50% breakdown point that one
+    * corrupted crawl slice cannot move (stddev's breakdown is 0% —
+    * a single absurd value inflates it without bound). Reported with
+    * the 3.5-MAD robust-outlier census (Iglewicz & Hoaglin's modified
+    * z cutoff) — the static-corpus generalization of
+    * hourlyAnomalies' per-hour MAD baselines to ANY grouping.
+    *
+    * Exactness: the median interpolates in exact HALF-units over the
+    * value set (med₂ = 2·median); deviations |2v − med₂| are integer
+    * half-units whose value set collapses AGAIN (two values
+    * equidistant from the median merge — the second collapse is what
+    * keeps the deviation window value-set-sized); the deviation median
+    * interpolates in half-units of half-units (quarter-units of the
+    * original, mad_q = 4·MAD); and the outlier test cross-multiplies:
+    * |v − med| > 3.5·MAD ⟺ 4·|2v − med₂| > 7·mad_q — all BIGINT. Two
+    * value-set windows, two broadcast joins of |groups|-row tables back
+    * onto collapsed values; raw rows are touched exactly once.
+    */
+  def groupedMad(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def median2(collapsed: DataFrame, vCol: String): DataFrame = {
+      val cum = collapsed
+        .withColumn("_cum", sum(col("_c")).over(
+          Window.partitionBy(col("_g")).orderBy(col(vCol))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("_n", sum(col("_c")).over(
+          Window.partitionBy(col("_g"))))
+      cum.groupBy(col("_g")).agg(
+        max(col("_n")).as("_n"),
+        min(when(col("_cum") > expr("(_n - 1) div 2"), col(vCol)))
+          .as("_vlo"),
+        min(when(col("_cum") > expr("(_n - 1) div 2 + 1"), col(vCol)))
+          .as("_vhi"))
+        .withColumn("_m2", expr(
+          "_vlo * 2 + ((_n - 1) % 2) * (coalesce(_vhi, _vlo) - _vlo)"))
+    }
+    val med = median2(g, "_v")
+      .select(col("_g"), col("_n").as("n"), col("_m2").as("med2"))
+    val devs = g.join(broadcast(med), "_g")
+      .withColumn("_d", abs(col("_v") * 2 - col("med2")))
+      .groupBy(col("_g"), col("_d")).agg(sum(col("_c")).as("_c"))
+    val mad = median2(devs, "_d")
+      .select(col("_g"), col("_m2").as("mad_q"))
+    val fences = med.join(mad, "_g")
+    val census = g.join(broadcast(fences), "_g")
+      .groupBy(col("_g"))
+      .agg(sum(when(abs(col("_v") * 2 - col("med2")) * 4
+        > col("mad_q") * 7, col("_c")).otherwise(0L)).as("n_outliers"))
+    fences.join(census, "_g")
+      .select(col("_g").as(groupCol), col("n"),
+        (col("med2").cast("double") / 2).as("median"),
+        (col("mad_q").cast("double") / 4).as("mad"),
+        col("n_outliers"))
+  }
 }

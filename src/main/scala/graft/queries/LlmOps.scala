@@ -902,6 +902,20 @@ object LlmOps {
           graft.operators.EvalOps.ratingsSparse(Tables.documents(s, d)))
         .orderBy(col("source"))),
 
+    // winsorized + trimmed per-source length means: robust centers with
+    // exact order-statistic clips and rank-interval tie splitting
+    "q251_winsorized" -> ((s, d) =>
+      graft.operators.Quantiles.winsorizedStats(Tables.documents(s, d),
+        "source", "n_chars").orderBy(col("source"))),
+
+    // grouped MAD + 3.5-MAD robust outlier census over cent-quantized
+    // event values (the q222 quantization grid)
+    "q252_grouped_mad" -> ((s, d) =>
+      graft.operators.Quantiles.groupedMad(
+        Tables.events(s, d).withColumn("cents",
+          expr("cast(floor(value * 100 + 0.5) as bigint)")),
+        "event_type", "cents").orderBy(col("event_type"))),
+
     // data-scaling loss curve: bigram-LM holdout xent at 5 nested
     // train prefixes + the quantized log-log slope
     "q250_loss_curve" -> ((s, d) =>
@@ -5225,6 +5239,88 @@ object LlmOps {
         FROM ch ORDER BY duration_days""",
     // same Lloyd chains per k, same sorted-distance silhouette floors
     "q249_silhouette" -> silhouetteOracle(Seq(2, 4, 8), 3, 64),
+
+    // same order-statistic clips, rank-interval overlaps, nested-floor
+    // millionth means
+    "q251_winsorized" ->
+      """WITH g AS (SELECT source AS _g, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2),
+        cum AS (SELECT _g, v, c,
+            sum(c) OVER (PARTITION BY _g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(c) OVER (PARTITION BY _g) AS n
+          FROM g),
+        b AS (SELECT _g, CAST(max(n) AS BIGINT) AS n,
+            CAST(max((5 * n) // 100) AS BIGINT) AS k,
+            min(CASE WHEN cum > (5 * n) // 100 THEN v END) AS lo_clip,
+            min(CASE WHEN cum > n - 1 - ((5 * n) // 100) THEN v END)
+              AS hi_clip
+          FROM cum GROUP BY _g),
+        j AS (SELECT cum._g, b.n, b.k, b.lo_clip, b.hi_clip,
+            cum.c * greatest(b.lo_clip, least(b.hi_clip, cum.v))
+              AS clamped,
+            greatest(0, least(cum.cum, b.n - b.k)
+              - greatest(cum.cum - cum.c, b.k)) * cum.v AS kept
+          FROM cum JOIN b ON cum._g = b._g),
+        s AS (SELECT _g, max(n) AS n, max(k) AS n_clipped_per_end,
+            max(lo_clip) AS lo_clip, max(hi_clip) AS hi_clip,
+            CAST(sum(clamped) AS BIGINT) AS ws,
+            CAST(sum(kept) AS BIGINT) AS ts
+          FROM j GROUP BY _g)
+        SELECT _g AS source, n, n_clipped_per_end, lo_clip, hi_clip,
+          CAST((ws // n) * 1000000 + (ws % n) * 1000000 // n AS DOUBLE)
+            / 1e6 AS winsorized_mean,
+          CAST((ts // (n - 2 * n_clipped_per_end)) * 1000000
+            + (ts % (n - 2 * n_clipped_per_end)) * 1000000
+              // (n - 2 * n_clipped_per_end) AS DOUBLE) / 1e6
+            AS trimmed_mean
+        FROM s ORDER BY source""",
+
+    // same half-unit median, second deviation collapse, quarter-unit
+    // MAD, cross-multiplied 3.5-MAD census
+    "q252_grouped_mad" ->
+      """WITH t AS (SELECT event_type AS _g,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        g AS (SELECT _g, v, CAST(count(*) AS BIGINT) AS c
+          FROM t GROUP BY 1, 2),
+        cum AS (SELECT _g, v, c,
+            sum(c) OVER (PARTITION BY _g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(c) OVER (PARTITION BY _g) AS n
+          FROM g),
+        m AS (SELECT _g, CAST(max(n) AS BIGINT) AS n,
+            min(CASE WHEN cum > (n - 1) // 2 THEN v END) AS vlo,
+            min(CASE WHEN cum > (n - 1) // 2 + 1 THEN v END) AS vhi
+          FROM cum GROUP BY _g),
+        med AS (SELECT _g, n,
+            vlo * 2 + ((n - 1) % 2) * (coalesce(vhi, vlo) - vlo) AS med2
+          FROM m),
+        dv AS (SELECT g._g, abs(g.v * 2 - med.med2) AS d,
+            CAST(sum(g.c) AS BIGINT) AS c
+          FROM g JOIN med ON g._g = med._g GROUP BY 1, 2),
+        cum2 AS (SELECT _g, d, c,
+            sum(c) OVER (PARTITION BY _g ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(c) OVER (PARTITION BY _g) AS n
+          FROM dv),
+        m2 AS (SELECT _g, CAST(max(n) AS BIGINT) AS n,
+            min(CASE WHEN cum > (n - 1) // 2 THEN d END) AS vlo,
+            min(CASE WHEN cum > (n - 1) // 2 + 1 THEN d END) AS vhi
+          FROM cum2 GROUP BY _g),
+        mad AS (SELECT _g,
+            vlo * 2 + ((n - 1) % 2) * (coalesce(vhi, vlo) - vlo) AS mad_q
+          FROM m2),
+        cen AS (SELECT g._g,
+            CAST(sum(CASE WHEN abs(g.v * 2 - med.med2) * 4 > mad.mad_q * 7
+              THEN g.c ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM g JOIN med ON g._g = med._g JOIN mad ON g._g = mad._g
+          GROUP BY g._g)
+        SELECT med._g AS event_type, med.n,
+          CAST(med2 AS DOUBLE) / 2 AS median,
+          CAST(mad_q AS DOUBLE) / 4 AS mad, n_outliers
+        FROM med JOIN mad ON med._g = mad._g JOIN cen ON med._g = cen._g
+        ORDER BY event_type""",
 
     // same nested train slices, cumulative count tables, add-one JM
     // smoothing, per-transition millionth floors, and log-log LSQ

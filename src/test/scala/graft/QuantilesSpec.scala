@@ -103,4 +103,54 @@ class QuantilesSpec extends SparkSpec {
       Seq(Quantiles.Q("p50", 1, 2))).collect().head
     assert(r2.getAs[Long]("p50") === 2L, "ceil(0.5*4)=2 -> second value")
   }
+
+  test("winsorizedStats: hand clips, tie-splitting trimmed overlap, an " +
+      "extreme value cannot move either robust mean") {
+    import spark.implicits._
+    // 10 values, p = 10% -> k = 1 clipped per end: raw 1..9 plus a wild
+    // 1000; winsorize clips {1 -> 2, 1000 -> 9}; trim drops both
+    val vals = (1L to 9L) :+ 1000L
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val r = Quantiles.winsorizedStats(df, "g", "v",
+      pNum = 10, pDen = 100).collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n_clipped_per_end") === 1L)
+    assert(r.getAs[Long]("lo_clip") === 2L)
+    assert(r.getAs[Long]("hi_clip") === 9L)
+    // winsorized: (2+2..9+9)/10 = (44+9+2)/10 ... sum = 2+2+3+..+8+9+9 = 55
+    assert(r.getAs[Double]("winsorized_mean") === 5.5)
+    // trimmed: (2+..+9)/8 = 44/8 = 5.5
+    assert(r.getAs[Double]("trimmed_mean") === 5.5)
+    // the wild value's MAGNITUDE is irrelevant: 10^6 instead of 10^3
+    val df2 = ((1L to 9L) :+ 1000000L).map(("g", _)).toDF("g", "v")
+    val r2 = Quantiles.winsorizedStats(df2, "g", "v", 10, 100)
+      .collect().head
+    assert(r2.getAs[Double]("winsorized_mean") === 5.5)
+    assert(r2.getAs[Double]("trimmed_mean") === 5.5)
+    // tie splitting: six 5s with k = 1 -> exactly one 5 trimmed per end
+    val ties = Seq.fill(6)(5L).map(("t", _)).toDF("g", "v")
+    val rt = Quantiles.winsorizedStats(ties, "g", "v", 20, 100)
+      .collect().head
+    assert(rt.getAs[Double]("trimmed_mean") === 5.0)
+    assert(rt.getAs[Double]("winsorized_mean") === 5.0)
+  }
+
+  test("groupedMad: hand median/MAD, 3.5-MAD census, 50% breakdown " +
+      "against stddev's 0%") {
+    import spark.implicits._
+    // {1,2,3,4,5,100}: median = 3.5, deviations {2.5,1.5,0.5,0.5,1.5,96.5}
+    // -> MAD = median{0.5,0.5,1.5,1.5,2.5,96.5} = 1.5
+    val df = Seq(1L, 2L, 3L, 4L, 5L, 100L).map(("g", _)).toDF("g", "v")
+    val r = Quantiles.groupedMad(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Double]("median") === 3.5)
+    assert(r.getAs[Double]("mad") === 1.5)
+    // outliers: |v - 3.5| > 3.5*1.5 = 5.25 -> only 100
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    // breakdown: make the outlier absurd - median and MAD unmoved
+    val df2 = Seq(1L, 2L, 3L, 4L, 5L, 1000000L).map(("g", _)).toDF("g", "v")
+    val r2 = Quantiles.groupedMad(df2, "g", "v").collect().head
+    assert(r2.getAs[Double]("median") === 3.5)
+    assert(r2.getAs[Double]("mad") === 1.5)
+  }
 }

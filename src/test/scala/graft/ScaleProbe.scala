@@ -111,7 +111,11 @@ object ScaleProbe {
     // cumulative expansion and holdout scoring ride vocab/bigram value
     // sets, which replica token-suffixing grows ~10x (the q240 lesson:
     // this is the batch's vocab-bound member, the probe is the check)
-    "q250_loss_curve")
+    "q250_loss_curve",
+    // gen-12d: two more value-set-collapse members (winsorized means
+    // ride the n_chars value set; MAD adds the second deviation
+    // collapse) — expect scan-dominated, near-flat
+    "q251_winsorized", "q252_grouped_mad")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
