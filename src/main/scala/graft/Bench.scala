@@ -55,6 +55,33 @@ object Bench {
     // still trustworthy, only the wall clock ate stalls.
     val SuspectSec = 4.0
     val nSweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt.max(1)
+
+    // ---- calibration anchor (PINNED — never change this workload) ----
+    // A fixed, SF-independent compute+shuffle workload whose time is
+    // reported alongside every bench so cross-round comparisons can be
+    // host-normalized: a uniform host slowdown moves this number by the
+    // same factor as the queries; a code regression moves only the
+    // queries. 2·10⁸ rows hashed + 1024-bucket aggregate (CPU/codegen
+    // path) plus a 2·10⁶-row repartition+sort (shuffle path), min of 3.
+    def calibrationSec(): Double = {
+      import org.apache.spark.sql.functions.{sum => fsum, count => fcount, expr}
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 200000000L, 1, 32)
+          .selectExpr("xxhash64(id) as h")
+          .groupBy(expr("pmod(h, 1024)").as("b"))
+          .agg(fsum("h").as("s"), fcount(expr("*")).as("c"))
+          .write.format("noop").mode("overwrite").save()
+        spark.range(0, 2000000L, 1, 32)
+          .selectExpr("xxhash64(id) as h", "id")
+          .repartition(32, expr("pmod(h, 32)"))
+          .sortWithinPartitions("h")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val calibration = calibrationSec()
+    System.err.println(f"[bench] calibration anchor $calibration%.3f s")
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -105,7 +132,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val sweepJson = sweepTotals.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"sweeps":$nSweeps,"sweep_totals":$sweepJson,"stall_suspect":$stallSuspect,"queries":$qs,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"sweeps":$nSweeps,"sweep_totals":$sweepJson,"stall_suspect":$stallSuspect,"calibration_sec":$calibration%.3f,"queries":$qs,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"sf":"$sfDir"}""")
     // The full line above is ~3 KB; snapshot tooling that keeps only the tail
     // of the bench output has been observed to truncate it (BENCH_r05.json
     // lost q00–q23, `value`, `wall` and `stall_suspect`). Emit a second,
@@ -116,27 +143,43 @@ object Bench {
     // host measured 20.4k/20.2k (r6) vs 20.9k/19.8k (HEAD) - statistically
     // identical, so the swing is HOST noise, not a table-layer regression;
     // the absolute number tracks host conditions run to run.
-    println(f"""{"metric":"summary","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"stall_suspect":$stallSuspect,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"cdc_note":"rate is host-sensitive; r8 interleaved A/B vs round-6 code showed no code regression","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"summary","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"stall_suspect":$stallSuspect,"calibration_sec":$calibration%.3f,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"cdc_note":"rate is host-sensitive; r8 interleaved A/B vs round-6 code showed no code regression; calibration_sec is the pinned host anchor (see Bench.calibrationSec)","n_queries":${results.size},"sf":"$sfDir"}""")
     // The stdout tail-capture above truncates the per-query map past ~64
     // entries; persist the COMPLETE map as a repo-root artifact so
     // round-over-round regression diffs can audit 100% of queries. The
     // round number derives from the newest CORRECTNESS_r{N}.json present
     // (this bench run belongs to the round AFTER the last judged one).
+    // Path anchoring: SPARK_GRAFT_OUT_DIR if set, else the nearest
+    // ancestor of CWD containing build.sbt (the repo root), else CWD —
+    // so a bench launched from a subdir still lands the artifact where
+    // the round tooling looks. A same-round rerun never overwrites: the
+    // artifact of record stays single-run (min-of-sweeps WITHIN a run is
+    // the estimator; cross-run merging is not comparable), so a second
+    // run suffixes `.run2`, `.run3`, ….
     try {
-      val base = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+      val cwd = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+      val base = sys.env.get("SPARK_GRAFT_OUT_DIR")
+        .map(java.nio.file.Paths.get(_))
+        .orElse(Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt"))))
+        .getOrElse(cwd)
       val entries = Option(base.toFile.list()).map(_.toSeq).getOrElse(Nil)
       val round = entries.flatMap { n =>
         "CORRECTNESS_r(\\d+)\\.json".r
           .findFirstMatchIn(n).map(_.group(1).toInt)
       }.maxOption.map(_ + 1).getOrElse(0)
+      val target = Iterator.from(1)
+        .map { i =>
+          val suffix = if (i == 1) "" else s".run$i"
+          base.resolve(f"BENCH_DETAIL_r$round%02d$suffix.json")
+        }
+        .find(p => !java.nio.file.Files.exists(p)).get
       val detail = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{\n  ", ",\n  ", "\n}")
       val body =
-        f"""{"metric":"total","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"sweeps":$nSweeps,"sweep_totals":$sweepJson,"stall_suspect":$stallSuspect,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"sf":"$sfDir","n_queries":${results.size},
+        f"""{"metric":"total","value":$minSum%.3f,"unit":"sec","wall":$wallSec%.3f,"sweeps":$nSweeps,"sweep_totals":$sweepJson,"stall_suspect":$stallSuspect,"calibration_sec":$calibration%.3f,"cdc_rec_per_sec":${cdc.recPerSec}%.1f,"cdc_freshness_sec":$freshness%.2f,"sf":"$sfDir","n_queries":${results.size},
 "queries":$detail}"""
-      java.nio.file.Files.write(
-        base.resolve(f"BENCH_DETAIL_r$round%02d.json"),
-        body.getBytes("UTF-8"))
+      java.nio.file.Files.write(target, body.getBytes("UTF-8"))
       ()
     } catch { case e: Exception =>
       System.err.println(s"[bench] detail artifact write failed: $e")

@@ -51,6 +51,13 @@ object Linkage {
   private def candidates(clean: DataFrame, dirty: DataFrame,
       cleanId: String, dirtyId: String,
       passes: Seq[(Column, Column)]): DataFrame = {
+    // The pair-dedup contract requires unique ids per side: a duplicated
+    // id would fan each candidate pair out by its copy count at the
+    // join-back and silently multi-score it. Fail loud instead — one
+    // single-column map-side-combined aggregate per input, the same cost
+    // class as the pass projections themselves.
+    requireUniqueIds(clean, cleanId, "clean")
+    requireUniqueIds(dirty, dirtyId, "dirty")
     val pairs = passes.map { case (ck, dk) =>
       clean.select(col(cleanId).as("_cid"), ck.as("_bk"))
         .join(dirty.select(col(dirtyId).as("_did"), dk.as("_bk")), "_bk")
@@ -60,6 +67,15 @@ object Linkage {
       .join(clean, pairs("_cid") === clean(cleanId))
       .join(dirty, pairs("_did") === dirty(dirtyId))
       .drop("_cid", "_did")
+  }
+
+  private def requireUniqueIds(df: DataFrame, idCol: String,
+      side: String): Unit = {
+    val r = df.agg(count(col(idCol)).as("_n"),
+      countDistinct(col(idCol)).as("_d")).collect().head
+    require(r.getLong(0) == r.getLong(1),
+      s"linkage $side frame must have unique $idCol values: " +
+        s"${r.getLong(0)} non-null rows vs ${r.getLong(1)} distinct")
   }
 
   /** Blocked Fellegi–Sunter linkage of `dirty` records against `clean`.

@@ -84,8 +84,10 @@ final class GraftSqlTable(
         override def estimateStatistics(): Statistics = {
           val (bytes, rows, cols) = mergeTable.scanEstimate(asOfVersion)
           new Statistics {
+            // None = manifest unreadable → let Spark fall back to
+            // defaultSizeInBytes rather than pricing the table as empty
             override def sizeInBytes(): util.OptionalLong =
-              util.OptionalLong.of(bytes)
+              bytes.fold(util.OptionalLong.empty())(util.OptionalLong.of)
             override def numRows(): util.OptionalLong =
               rows.fold(util.OptionalLong.empty())(util.OptionalLong.of)
             override def columnStats()
@@ -105,8 +107,11 @@ final class GraftSqlTable(
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = mergeTable.schema
-            // same estimate for planners that consult the V1 relation
-            override def sizeInBytes: Long = mergeTable.scanEstimate(asOfVersion)._1
+            // same estimate for planners that consult the V1 relation;
+            // unknown → defaultSizeInBytes (the anti-broadcast direction)
+            override def sizeInBytes: Long =
+              mergeTable.scanEstimate(asOfVersion)._1.getOrElse(
+                ctx.sparkSession.sessionState.conf.defaultSizeInBytes)
             override def buildScan(): RDD[Row] =
               mergeTable.read(ctx.sparkSession, asOfVersion).rdd
           }.asInstanceOf[T]

@@ -1743,21 +1743,32 @@ final class MergeTable(
     *     results and are used ONLY when stamped with exactly this
     *     snapshot version — stale stats describe a different table and
     *     could under-size a grown one.
+    *
+    * Size = `None` means UNKNOWN (manifest unreadable — transient IO, a
+    * torn rewrite): the caller must fall back to Spark's
+    * `defaultSizeInBytes`, never to 0. `(Some(0), Some(0))` is reserved
+    * for a genuinely snapshot-less table. Conflating the two would let a
+    * transient manifest error price a large table as empty and broadcast
+    * it — the one direction the upper-bound contract above must not fail.
+    * A malformed `_stats` file (truncated mid-[[analyze]] rewrite)
+    * degrades to size-only statistics: stats are advisory, the scan is
+    * not.
     */
   private[graft] def scanEstimate(asOfVersion: Option[Long] = None)
-      : (Long, Option[Long], Map[String, (Long, Long)]) = {
+      : (Option[Long], Option[Long], Map[String, (Long, Long)]) = {
     val snapOpt =
-      try asOfVersion.map(readManifest).orElse(currentSnapshot)
-      catch { case _: Exception => None }
+      try Some(asOfVersion.map(readManifest).orElse(currentSnapshot))
+      catch { case _: Exception => None } // unreadable ≠ empty
     snapOpt match {
-      case None => (0L, Some(0L), Map.empty)
-      case Some(snap) =>
+      case None => (None, None, Map.empty)
+      case Some(None) => (Some(0L), Some(0L), Map.empty)
+      case Some(Some(snap)) =>
         val bytes = snap.dataFiles.iterator.map { f =>
           val p = dataDir.resolve(f)
           try { if (Files.exists(p)) Files.size(p) else 0L }
           catch { case _: java.io.IOException => 0L }
         }.sum
-        val fresh =
+        val fresh = scala.util.Try {
           if (!Files.exists(statsFile)) None
           else {
             val all = Files.readAllLines(statsFile).asScala.toSeq
@@ -1768,7 +1779,8 @@ final class MergeTable(
               c -> ((nulls.toLong, ndv.toLong))
             }.toMap))
           }
-        (bytes, fresh.map(_._1), fresh.map(_._2).getOrElse(Map.empty))
+        }.toOption.flatten
+        (Some(bytes), fresh.map(_._1), fresh.map(_._2).getOrElse(Map.empty))
     }
   }
 

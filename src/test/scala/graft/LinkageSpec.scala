@@ -38,6 +38,27 @@ class LinkageSpec extends SparkSpec {
     assert(out.size === 3, s"exactly one row per candidate pair: $out")
   }
 
+  test("duplicate ids fail loud: a duplicated input id would fan each " +
+      "pair out by its copy count and multi-score it") {
+    val dirty = Seq((11L, "abcdwxyz", "rome"))
+      .toDF("d_id", "d_name", "d_city")
+    val dupClean = Seq((1L, "abcdwxyz", "rome"), (1L, "abcdwxyz", "lyon"))
+      .toDF("id", "name", "city")
+    val e = intercept[IllegalArgumentException] {
+      Linkage.linkage(dupClean, dirty, "id", "d_id", passes, fields,
+        5000L, 0L).collect()
+    }
+    assert(e.getMessage.contains("unique id"), e.getMessage)
+    val dupDirty = Seq((11L, "abcdwxyz", "rome"), (11L, "abcdwxyz", "rome"))
+      .toDF("d_id", "d_name", "d_city")
+    val clean = Seq((1L, "abcdwxyz", "rome")).toDF("id", "name", "city")
+    val e2 = intercept[IllegalArgumentException] {
+      Linkage.linkage(clean, dupDirty, "id", "d_id", passes, fields,
+        5000L, 0L).collect()
+    }
+    assert(e2.getMessage.contains("unique d_id"), e2.getMessage)
+  }
+
   test("possible band sits between the two thresholds") {
     val clean = Seq((1L, "abcdwxyz", "rome")).toDF("id", "name", "city")
     val dirty = Seq((11L, "abcdwxyX", "lyon"))

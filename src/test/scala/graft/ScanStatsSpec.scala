@@ -82,6 +82,27 @@ class ScanStatsSpec extends SparkSpec {
     assert(s2.columnStats.isEmpty)
   }
 
+  test("malformed _stats degrades to size-only statistics (stats are " +
+      "advisory; a torn ANALYZE rewrite must not fail planning)") {
+    val root = Files.createTempDirectory("scanstats-torn").toString
+    val t = new MergeTable(s"$root/t", schema, keyCol = "id",
+      partitionCol = None).create()
+    t.appendAll((1L to 50L).map(i => (i, i, s"t$i"))
+      .toDF("id", "amount", "tag"))
+    t.analyze(spark)
+    // simulate every malformed shape a non-atomic rewrite can leave:
+    // empty file, truncated header, truncated column row
+    for (bad <- Seq("", "garbage-no-tab",
+        s"${t.currentSnapshot.get.version}\t50\nid\t0")) {
+      Files.write(Paths.get(t.root, "_stats"), bad.getBytes("UTF-8"))
+      val s = scanStats(t) // must not throw
+      assert(s.sizeInBytes.getAsLong === dataBytes(t),
+        "size still flows from the manifest")
+      assert(!s.numRows.isPresent && s.columnStats.isEmpty,
+        s"malformed _stats (${bad.take(12)}…) must drop to size-only")
+    }
+  }
+
   test("empty and missing snapshots price at zero (never " +
       "defaultSizeInBytes)") {
     val root = Files.createTempDirectory("scanstats0").toString
