@@ -671,23 +671,42 @@ object Similarity {
     * Degenerate a = b = 0 (a vector ON a duplicated centroid) reports
     * s = 0. Cost: |ks| trainings + one row-local pass each; the report
     * is |ks| rows.
+    *
+    * Scan discipline: the double-cast projection is materialized ONCE
+    * (eager localCheckpoint) and shared by every training iteration and
+    * scoring pass across the whole k sweep — |ks|·(iters+2) passes read
+    * the checkpointed blocks instead of re-scanning the source and
+    * re-deriving the cast each time (at 100 TB that is the difference
+    * between one corpus read and ~a dozen). The |ks|-row report is
+    * itself eagerly checkpointed so the big intermediate can be
+    * released before returning (the trainBpe release pattern —
+    * localCheckpoint blocks are not cacheManager-visible, so the RDD
+    * ids are diffed and unpersisted directly).
     */
   def silhouetteSimplified(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8),
       iters: Int = 3): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 2), "silhouette needs k >= 2")
-    val e = asDouble(emb)
-    ks.map { k =>
-      val cents = lloydCentroids(e, k, iters)
-      val dists = array_sort(array(cents.map(distTo): _*))
-      val a = sqrt(element_at(dists, 1))
-      val b = sqrt(element_at(dists, 2))
-      val s6 = when(greatest(a, b) > 0,
-        floor((b - a) / greatest(a, b) * 1000000d)).otherwise(0L)
-      e.select(s6.as("s6"))
-        .agg(count(lit(1)).as("n_vecs"), sum(col("s6")).as("ssum"))
-        .select(lit(k.toLong).as("k"), col("n_vecs"),
-          (expr("ssum div n_vecs").cast("double") / 1e6).as("silhouette"))
-    }.reduce(_ unionByName _)
+    val sc = emb.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val e = asDouble(emb).localCheckpoint(eager = true)
+    val eIds = sc.getPersistentRDDs.keySet.toSet -- before
+    try {
+      ks.map { k =>
+        val cents = lloydCentroids(e, k, iters)
+        val dists = array_sort(array(cents.map(distTo): _*))
+        val a = sqrt(element_at(dists, 1))
+        val b = sqrt(element_at(dists, 2))
+        val s6 = when(greatest(a, b) > 0,
+          floor((b - a) / greatest(a, b) * 1000000d)).otherwise(0L)
+        e.select(s6.as("s6"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("s6")).as("ssum"))
+          .select(lit(k.toLong).as("k"), col("n_vecs"),
+            (expr("ssum div n_vecs").cast("double") / 1e6).as("silhouette"))
+      }.reduce(_ unionByName _).localCheckpoint(eager = true)
+    } finally {
+      eIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** Cluster-balanced sampling: a deterministic fixed-size sample per
