@@ -129,16 +129,80 @@ object Scd2 {
   def rowId(keyCol: String): org.apache.spark.sql.Column =
     concat_ws(":", col(keyCol), col("valid_from").cast("string"))
 
+  /** Seed an open-rows side table from an existing dimension (attach-time
+    * bootstrap for [[scd2Ingest]]'s `openSide` option): the side table
+    * must hold EXACTLY the dimension's open rows before the first epoch
+    * runs, or the first delta would re-open already-closed intervals.
+    * Epoch-keyed so an interrupted attach replays as a no-op.
+    */
+  def seedOpenSide(spark: org.apache.spark.sql.SparkSession,
+      dim: MergeTable, side: MergeTable): Unit =
+    side.appendAll(
+      dim.read(spark).filter(col("is_current"))
+        .select(side.schema.fieldNames.map(col(_)): _*),
+      Some("scd2open-seed"))
+
+  /** One epoch of [[scd2Ingest]] — exposed for tests that inject a crash
+    * between the two table commits. Commit order is load-bearing: `dim`
+    * commits FIRST, so a crash between the dim and side commits replays
+    * against the STALE side state and recomputes the identical delta
+    * (the dim commit then no-ops on its epoch key, the side commit
+    * completes) — whereas side-first would make the replay's delta empty
+    * and the dim commit would never happen.
+    */
+  private[graft] def scd2EpochApply(b: DataFrame, epoch: Long,
+      dim: MergeTable, keyCol: String, attrCols: Seq[String], tsCol: String,
+      seqCol: Option[String], openSide: Option[MergeTable]): Unit = {
+    val spark = b.sparkSession
+    openSide match {
+      case None =>
+        val current = dim.read(spark).drop("row_id")
+        val delta = deltaBatch(current, b, keyCol, attrCols, tsCol, seqCol)
+          .withColumn("row_id", rowId(keyCol))
+          .withColumn("operation", lit("update"))
+        dim.applyBatch(delta, Some(s"scd2-$epoch"))
+      case Some(side) =>
+        // O(open) read: the side table CONTAINS only open rows (one per
+        // live key, LWW-upserted below), so `current` never scans the
+        // dimension's closed history. A side table rather than
+        // is_current partitioning: under merge-on-read a close-out's
+        // superseding row lands in the OTHER partition, so a pruned
+        // open-partition scan would resurrect the stale version.
+        val current = side.read(spark)
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        // the O(changed) delta feeds TWO commits — checkpoint it so the
+        // open-rows join runs once, then release the blocks
+        val delta = deltaBatch(current, b, keyCol, attrCols, tsCol, seqCol)
+          .withColumn("row_id", rowId(keyCol))
+          .withColumn("operation", lit("update"))
+          .localCheckpoint(eager = true)
+        val ids = sc.getPersistentRDDs.keySet.toSet -- before
+        try {
+          dim.applyBatch(delta, Some(s"scd2-$epoch"))
+          // the opened slice IS the side upsert: one open row per
+          // changed/new key replaces (LWW on keyCol) the superseded one
+          side.applyBatch(delta.filter(col("is_current")).drop("row_id"),
+            Some(s"scd2open-$epoch"))
+        } finally ids.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** `openSide` (gen-13): a second keyed engine table (key = `keyCol`,
+    * schema = dim minus row_id) holding exactly the OPEN rows, making the
+    * per-epoch READ O(open) as well — without it every micro-batch scans
+    * the dimension's full history even though only open rows join. Seed
+    * it with [[seedOpenSide]] when attaching to a non-empty dimension.
+    * Crash safety between the two epoch-keyed commits: see
+    * [[scd2EpochApply]].
+    */
   def scd2Ingest(updates: DataFrame, dim: MergeTable, keyCol: String,
       attrCols: Seq[String], tsCol: String,
-      seqCol: Option[String] = None)
+      seqCol: Option[String] = None,
+      openSide: Option[MergeTable] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
-      val spark = b.sparkSession
-      val current = dim.read(spark).drop("row_id")
-      val delta = deltaBatch(current, b, keyCol, attrCols, tsCol, seqCol)
-        .withColumn("row_id", rowId(keyCol))
-        .withColumn("operation", lit("update"))
-      dim.applyBatch(delta, Some(s"scd2-$epoch"))
+      scd2EpochApply(b, epoch, dim, keyCol, attrCols, tsCol, seqCol, openSide)
     }
 }

@@ -148,4 +148,83 @@ class Scd2Spec extends SparkSpec {
         "operation").withColumn("row_id", Scd2.rowId("k")), Some("scd2-1"))
     assert(dim.latestVersion === vBefore, "replayed epoch commits nothing")
   }
+
+  test("scd2Ingest openSide: O(open) per-epoch read, side == dim open rows, " +
+      "crash between the two commits converges on replay") {
+    import java.sql.Timestamp
+    import graft.table.MergeTable
+    import org.apache.spark.sql.types.StructType
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    def mkDim(root: String) = new MergeTable(s"$root/dim",
+      StructType.fromDDL("row_id STRING, k BIGINT, seg STRING, " +
+        "valid_from TIMESTAMP, valid_to TIMESTAMP, is_current BOOLEAN"),
+      keyCol = "row_id", partitionCol = None).create()
+    def mkSide(root: String) = new MergeTable(s"$root/open",
+      StructType.fromDDL("k BIGINT, seg STRING, " +
+        "valid_from TIMESTAMP, valid_to TIMESTAMP, is_current BOOLEAN"),
+      keyCol = "k", partitionCol = None).create()
+    def bootstrap(dim: MergeTable): Unit = dim.appendAll(Seq(
+      (1L, "A", ts("2023-01-01"), None: Option[Timestamp], true),
+      (2L, "A", ts("2023-01-01"), None: Option[Timestamp], true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+      .withColumn("row_id", Scd2.rowId("k"))
+      .select("row_id", "k", "seg", "valid_from", "valid_to", "is_current"))
+    val e0 = Seq((1L, "B", ts("2024-02-01")), (2L, "A", ts("2024-02-01")),
+      (9L, "NEW", ts("2024-02-01"))).toDF("k", "seg", "ts")
+    val e1 = Seq((1L, "C", ts("2024-03-01"))).toDF("k", "seg", "ts")
+    def dimState(dim: MergeTable) = dim.read(spark)
+      .select("row_id", "k", "seg", "valid_to", "is_current").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getTimestamp(3)).map(_.toString.take(10)),
+        r.getBoolean(4))).toSet
+
+    // reference run: both epochs uninterrupted through the side path
+    val rootA = java.nio.file.Files.createTempDirectory("scd2oA").toString
+    val dimA = mkDim(rootA); val sideA = mkSide(rootA); bootstrap(dimA)
+    Scd2.seedOpenSide(spark, dimA, sideA)
+    assert(sideA.read(spark).count() === 2, "seed = the open rows")
+    Scd2.scd2EpochApply(e0, 0, dimA, "k", Seq("seg"), "ts", None, Some(sideA))
+    Scd2.scd2EpochApply(e1, 1, dimA, "k", Seq("seg"), "ts", None, Some(sideA))
+    // end state identical to the no-side path on the same epochs
+    val rootB = java.nio.file.Files.createTempDirectory("scd2oB").toString
+    val dimB = mkDim(rootB); bootstrap(dimB)
+    Scd2.scd2EpochApply(e0, 0, dimB, "k", Seq("seg"), "ts", None, None)
+    Scd2.scd2EpochApply(e1, 1, dimB, "k", Seq("seg"), "ts", None, None)
+    assert(dimState(dimA) === dimState(dimB),
+      "openSide path and full-scan path produce the same dimension")
+    // O(open): the side table holds one row per LIVE key (3), never the
+    // interval history (dim is at 5 rows after two change epochs)
+    assert(sideA.read(spark).count() === 3)
+    assert(dimA.read(spark).count() === 5)
+    val sideRows = sideA.read(spark).select("k", "seg").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sideRows === Set((1L, "C"), (2L, "A"), (9L, "NEW")),
+      "side == dim's open rows")
+    // idempotent replay of a COMPLETED epoch: both commits no-op
+    val (dv, sv) = (dimA.latestVersion, sideA.latestVersion)
+    Scd2.scd2EpochApply(e1, 1, dimA, "k", Seq("seg"), "ts", None, Some(sideA))
+    assert(dimA.latestVersion === dv && sideA.latestVersion === sv)
+
+    // crash BETWEEN the two commits: run epoch 1 on a fresh pair, but
+    // pre-apply only the dim commit (what a crash after dim.applyBatch
+    // leaves behind), then replay the full epoch — the replay recomputes
+    // the identical delta from the STALE side, dim no-ops on its epoch
+    // key, side completes; end state == the uninterrupted reference
+    val rootC = java.nio.file.Files.createTempDirectory("scd2oC").toString
+    val dimC = mkDim(rootC); val sideC = mkSide(rootC); bootstrap(dimC)
+    Scd2.seedOpenSide(spark, dimC, sideC)
+    Scd2.scd2EpochApply(e0, 0, dimC, "k", Seq("seg"), "ts", None, Some(sideC))
+    val staleDelta = Scd2.deltaBatch(sideC.read(spark), e1,
+        "k", Seq("seg"), "ts", None)
+      .withColumn("row_id", Scd2.rowId("k"))
+      .withColumn("operation", lit("update"))
+    dimC.applyBatch(staleDelta, Some("scd2-1")) // "crash" happens here
+    assert(sideC.read(spark).count() === 3 &&
+      sideC.read(spark).filter(col("seg") === "C").count() === 0,
+      "side is one epoch behind after the simulated crash")
+    Scd2.scd2EpochApply(e1, 1, dimC, "k", Seq("seg"), "ts", None, Some(sideC))
+    assert(dimState(dimC) === dimState(dimA), "replay converges")
+    assert(sideC.read(spark).select("k", "seg").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === sideRows)
+  }
 }
