@@ -1055,6 +1055,68 @@ class CorpusAnalyticsSpec extends SparkSpec {
     r1.values.foreach(v => assert(v > 0.0 && v <= 1.2))
   }
 
+  test("compressionRatio pinned-fixture contract: per-class ratio ordering, " +
+      "absolute bands, and an exact independent deflate replay") {
+    import spark.implicits._
+    // Closed-form fixture, every byte a function of doc_id (the q99/q100
+    // pattern): three compressibility classes whose ORDERING and bands
+    // are pinned, so a codec / level / reset regression fails this test
+    // deterministically instead of passing a rows-only check.
+    //   class 0 (rep):   one token repeated — boilerplate, crushes
+    //   class 1 (prose): diverse pseudo-words — the natural-text band
+    //   class 2 (noise): base64 of a chained-md5 byte stream — ~6 bits
+    //                    of entropy per char, deflate can't win much
+    def md5Stream(seed: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var b = seed.toString.getBytes("UTF-8")
+      val acc = new java.io.ByteArrayOutputStream()
+      (1 to 40).foreach { _ => b = md.digest(b); acc.write(b) }
+      java.util.Base64.getEncoder.encodeToString(acc.toByteArray)
+    }
+    val fixture = (0L until 60L).map { id =>
+      val text = (id % 3) match {
+        case 0 => (s"tok${id / 3 % 5} ") * (100 + id).toInt
+        case 1 => (1 to 150)
+          .map(i => s"w${(id * 31 + i * 7919) % 2000}").mkString(" ")
+        case _ => md5Stream(id)
+      }
+      (id, text)
+    }
+    val out = TextAnalysis.compressionRatio(fixture.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    def cls(c: Long) = out.collect { case (id, v) if id % 3 == c => v }.toSeq
+    // pinned ORDERING: every rep ratio below every prose ratio below
+    // every noise ratio — class separation, not just class means
+    assert(cls(0).map(_._3).max < cls(1).map(_._3).min,
+      "repetition must compress strictly harder than prose")
+    assert(cls(1).map(_._3).max < cls(2).map(_._3).min,
+      "prose must compress strictly harder than the md5 stream")
+    // pinned absolute bands (generous vs measured, tight vs regressions:
+    // a level-1 Deflater, a missing reset, or a broken finish loop lands
+    // outside at least one band)
+    assert(cls(0).forall(_._3 <= 0.10), s"rep band: ${cls(0).map(_._3)}")
+    assert(cls(1).forall(v => v._3 >= 0.20 && v._3 <= 0.80),
+      s"prose band: ${cls(1).map(_._3)}")
+    assert(cls(2).forall(_._3 >= 0.70), s"noise band: ${cls(2).map(_._3)}")
+    // exact independent replay of EVERY n_compressed: a fresh driver-side
+    // Deflater at the contract level (6) must reproduce the byte counts
+    // bit-for-bit (and n_bytes must equal the UTF-8 length)
+    fixture.foreach { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(bytes); d.finish()
+      var total = 0L
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      val (nBytes, nCompressed, _) = out(id)
+      assert(nBytes === bytes.length.toLong, s"doc $id n_bytes")
+      assert(nCompressed === total, s"doc $id n_compressed replay")
+    }
+  }
+
   test("bitextMine: translation pairs clear the margin, hub vectors don't") {
     import spark.implicits._
     // e1↔f1 and e2↔f2 are near-identical (translations); e3 is a hub
