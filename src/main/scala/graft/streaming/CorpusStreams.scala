@@ -145,4 +145,95 @@ object CorpusStreams {
       out.appendWithDeadLetter(b, deadLetter, Some(s"checked-$epoch"))
       ()
     }
+
+  /** One epoch of [[pipelineIngest]] — exposed so tests can kill the
+    * pipeline at every inter-table boundary and replay. Stage order and
+    * the per-boundary crash argument (all nine commits key idempotence
+    * off the `pipe-<epoch>` id family; every stage's OUTPUT is a
+    * deterministic function of the batch and of state the stage itself
+    * has not yet committed, so a replay recomputes identical inputs for
+    * whatever commits are still missing):
+    *
+    *   1–2. CHECK gate → `checked` + `deadLetter`
+    *        (`pipe-N-clean` / `pipe-N-dead`; appendWithDeadLetter's
+    *        between-slices crash contract)
+    *   3.   curationReport on the clean slice → `audit`
+    *        (`pipe-N:audit`; EVERY clean doc's audit row lands, kept or
+    *        not — drop provenance is recorded at ingest time)
+    *   4–5. cross-batch near-dedup of the curation-kept docs against the
+    *        persistent index (`pipe-N:sigs` / `pipe-N:bands`; sig-without-
+    *        bands is inert, replay completes — IncrementalDedup's
+    *        contract; replays return identical survivors)
+    *   6–8. cluster-consistent split of the survivors against the
+    *        registry (`pipe-N:reg`/`:sigs`/`:bands`; IncrementalSplit's
+    *        replay contract)
+    *   9.   survivors + split column → `corpus` (`pipe-N:corpus`)
+    *
+    * Leak-safety under growth: `dedupThreshold` must be ≥
+    * `splitThreshold` (tighter), so a late near-variant that the dedup
+    * KEEPS as corpus still matches its indexed sibling at the split
+    * threshold and inherits the sibling's split — the gap between the
+    * two thresholds is exactly the similarity band where a document is
+    * "new enough to keep, close enough to leak".
+    *
+    * Epoch hygiene: every intermediate the stages checkpoint (clean
+    * slice, audit report, survivors, assignments) is released at epoch
+    * end via the getPersistentRDDs diff — a continuously-running
+    * pipeline holds no per-epoch blocks.
+    */
+  private[graft] def pipelineEpoch(b: DataFrame, epoch: Long,
+      checked: graft.table.MergeTable, deadLetter: graft.table.MergeTable,
+      audit: graft.table.MergeTable, dedup: graft.operators.IncrementalDedup,
+      split: graft.operators.IncrementalSplit,
+      corpus: graft.table.MergeTable,
+      dedupThreshold: Double, splitThreshold: Double,
+      minQuality: Double, allowedLangs: Seq[String]): Unit = {
+    require(dedupThreshold >= splitThreshold,
+      "leak-safety needs the dedup threshold at least as tight as the " +
+        s"split threshold (dedup $dedupThreshold < split $splitThreshold " +
+        "would keep near-variants without inheriting their sibling's split)")
+    val id = s"pipe-$epoch"
+    val sc = b.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    try {
+      val (clean, _, _) = checked.appendWithDeadLetterKept(b, deadLetter, Some(id))
+      val report = graft.operators.CorpusOps
+        .curationReport(clean, minQuality, allowedLangs)
+        .localCheckpoint(eager = true)
+      audit.appendAll(report, Some(s"$id:audit"))
+      val kept = clean.join(report.filter(col("keep")).select("doc_id"), "doc_id")
+      val survivors = dedup.dedupeBatch(kept, dedupThreshold, Some(id))
+      val assigned = split.assignBatch(survivors, splitThreshold, Some(id))
+      corpus.appendAll(
+        survivors.join(assigned.select(col("doc_id"), col("split")), "doc_id"),
+        Some(s"$id:corpus"))
+    } finally (sc.getPersistentRDDs.keySet.toSet -- before).foreach(rid =>
+      sc.getPersistentRDDs.get(rid).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** The composed continuous curation pipeline (gen-13 capstone): CHECK
+    * gate → curation audit → persistent cross-batch near-dedup →
+    * cluster-consistent split → corpus landing, every stage in its own
+    * engine table under ONE `pipe-<epoch>` id family — the streaming
+    * twin of the batch [[graft.pipeline.CurationPipeline]]. A crash
+    * between ANY two of the nine per-epoch commits leaves a committed
+    * prefix that the checkpoint replay completes exactly-once (see
+    * [[pipelineEpoch]] for the stage-by-stage argument). `corpus` rows
+    * carry the assigned split column; the `audit` table records every
+    * CHECK-clean document's gate verdicts; `deadLetter` the violators
+    * with the failing constraint named.
+    */
+  def pipelineIngest(docs: DataFrame,
+      checked: graft.table.MergeTable, deadLetter: graft.table.MergeTable,
+      audit: graft.table.MergeTable, dedup: graft.operators.IncrementalDedup,
+      split: graft.operators.IncrementalSplit,
+      corpus: graft.table.MergeTable,
+      dedupThreshold: Double = 0.9, splitThreshold: Double = 0.7,
+      minQuality: Double = 0.5,
+      allowedLangs: Seq[String] = Seq("en", "de", "fr", "es", "ja"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
+      pipelineEpoch(b, epoch, checked, deadLetter, audit, dedup, split,
+        corpus, dedupThreshold, splitThreshold, minQuality, allowedLangs)
+    }
 }

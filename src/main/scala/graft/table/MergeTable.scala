@@ -777,10 +777,7 @@ final class MergeTable(
       appendAll(rows, batchId)
       return (n, 0L)
     }
-    val violated = coalesce(cks.map { case (n, e) =>
-      when(expr(e) === false, lit(n))
-    }: _*)
-    val flagged = rows.withColumn("_violated", violated).persist()
+    val flagged = rows.withColumn("_violated", violatedColumn(cks)).persist()
     try {
       val clean = flagged.filter(col("_violated").isNull).drop("_violated")
       val dead = flagged.filter(col("_violated").isNotNull)
@@ -790,6 +787,46 @@ final class MergeTable(
       if (nClean > 0) appendAll(clean, batchId.map(_ + "-clean"))
       if (nDead > 0) deadLetter.appendAll(dead, batchId.map(_ + "-dead"))
       (nClean, nDead)
+    } finally { flagged.unpersist(blocking = false); () }
+  }
+
+  /** First-failing-constraint column (violation = expression FALSE;
+    * NULL passes, per SQL CHECK) — shared by [[appendWithDeadLetter]]
+    * and [[appendWithDeadLetterKept]] so the two gates can never drift.
+    */
+  private def violatedColumn(cks: Seq[(String, String)]) =
+    coalesce(cks.map { case (n, e) => when(expr(e) === false, lit(n)) }: _*)
+
+  /** [[appendWithDeadLetter]] returning the committed CLEAN slice itself
+    * (eagerly checkpointed, so it stays consumable after internal caches
+    * release) — the handoff a composed pipeline needs when the gated
+    * slice feeds further stages within the same epoch. Same derived
+    * `-clean`/`-dead` batch ids, same replay contract; the returned
+    * frame is deterministic for a given (batch, constraints), so a
+    * checkpoint-recovery replay hands downstream stages the identical
+    * slice. Caller owns the checkpoint blocks (release via the
+    * getPersistentRDDs diff pattern in a long-running stream).
+    */
+  def appendWithDeadLetterKept(rows: DataFrame, deadLetter: MergeTable,
+      batchId: Option[String] = None): (DataFrame, Long, Long) = {
+    val cks = checkConstraints.toSeq.sortBy(_._1)
+    if (cks.isEmpty) {
+      val kept = rows.localCheckpoint(eager = true)
+      val n = kept.count()
+      appendAll(kept, batchId)
+      return (kept, n, 0L)
+    }
+    val flagged = rows.withColumn("_violated", violatedColumn(cks)).persist()
+    try {
+      val clean = flagged.filter(col("_violated").isNull).drop("_violated")
+        .localCheckpoint(eager = true)
+      val dead = flagged.filter(col("_violated").isNotNull)
+        .withColumnRenamed("_violated", "violated")
+      val nClean = clean.count()
+      val nDead = dead.count()
+      if (nClean > 0) appendAll(clean, batchId.map(_ + "-clean"))
+      if (nDead > 0) deadLetter.appendAll(dead, batchId.map(_ + "-dead"))
+      (clean, nClean, nDead)
     } finally { flagged.unpersist(blocking = false); () }
   }
 
