@@ -857,6 +857,197 @@ object EvalOps {
         (col("d6") > col("crit6")).as("drifted"))
   }
 
+  /** Mann–Whitney U per group vs the REST of the corpus (q253) —
+    * [[ksTest]]'s location-shift companion: KS asks "is the shape
+    * different", U asks "is one distribution stochastically LARGER",
+    * which is the curation question behind every per-source length /
+    * quality comparison (a source whose documents rank systematically
+    * low gets inspected, not just one that merely differs). Reported
+    * with the tie-corrected normal z and the rank-biserial effect size
+    * (= Cliff's δ), because at corpus n the z is always "significant" —
+    * the effect size is the read.
+    *
+    * Exactness, the rankAuc/ksTest discipline: the corpus collapses to
+    * the (group, value → count) VALUE SET; midranks come DOUBLED from
+    * one cumulative window (rank2 = 2·cum − ct + 1 — integer-exact, no
+    * half-rank floats), 2U₁ = Σ c·rank2 − n₁(n₁+1). The tie-corrected
+    * variance is computed as 4·Var = n₁·n₂·(N³ − N − Σ(t³−t)) div
+    * (3N(N−1)) with the product in exact DECIMAL(38,0) and ONE integral
+    * division (ceiling N ≤ 2·10⁶ — the binding term is the tie cube sum
+    * Σ(t³−t) ≤ N³ carried in BIGINT; the quotient fits to N ≤ 4·10⁶ and
+    * the decimal product to N ≤ 4·10⁸), then ONE IEEE
+    * sqrt: z6 = ⌊(2U₁ − n₁n₂)·10⁶ / √(4Var)⌋. Rank-biserial is exact
+    * truncating decimal division: rb6 = (2U₁ − n₁n₂)·10⁶ div n₁n₂
+    * (Spark `div` and DuckDB `//` both truncate toward zero — verified,
+    * so negative effects replay). Groups covering the whole corpus
+    * (n_rest = 0) and all-tied corpora (variance 0) report NULL, the
+    * ksTest degenerate contract. `shifted` = |z6| > 1 959 964 (α=0.05
+    * two-sided).
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val g = df.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val vals = g.groupBy(col("_v")).agg(sum(col("_c")).as("_ct"))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val ranked = vals.withColumn("_rank2",
+      lit(2L) * sum(col("_ct")).over(wAll) - col("_ct") + 1L)
+    val tie = vals.agg(
+      sum(col("_ct") * col("_ct") * col("_ct") - col("_ct")).as("_t"))
+    val nAll = g.agg(sum(col("_c")).as("_nall"))
+    val per = g.join(ranked.select(col("_v"), col("_rank2")), Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("n_group"),
+        sum(col("_c") * col("_rank2")).as("_r2"))
+    per.crossJoin(broadcast(nAll)).crossJoin(broadcast(tie))
+      .withColumn("n_rest", col("_nall") - col("n_group"))
+      .withColumn("u2", col("_r2") - col("n_group") * (col("n_group") + 1L))
+      .withColumn("_v4", when(col("_nall") > 1, expr(
+        """CAST(n_group AS DECIMAL(38,0)) * n_rest *
+           (CAST(_nall AS DECIMAL(38,0)) * _nall * _nall - _nall - _t)
+           div (3 * CAST(_nall AS DECIMAL(38,0)) * (_nall - 1))""")))
+      .withColumn("_z6", when(col("n_rest") > 0 && col("_v4") > 0,
+        floor((col("u2") - col("n_group") * col("n_rest")).cast("double")
+          * 1e6 / sqrt(col("_v4").cast("double"))).cast("long")))
+      .withColumn("_rb6", when(col("n_rest") > 0, expr(
+        """CAST(u2 - n_group * n_rest AS DECIMAL(38,0)) * 1000000
+           div (CAST(n_group AS DECIMAL(38,0)) * n_rest)""")))
+      .select(col("_g").as(groupCol), col("n_group"), col("n_rest"),
+        col("u2"),
+        (col("_z6").cast("double") / 1e6).as("z"),
+        (col("_rb6").cast("double") / 1e6).as("rank_biserial"),
+        (abs(col("_z6")) > 1959964L).as("shifted"))
+  }
+
+  /** Two-group log-rank test (Mantel 1966; q254) — the significance
+    * companion to [[TemporalJoins.kaplanMeier]]: two survival curves
+    * always look different at corpus n, the log-rank χ² says whether the
+    * separation exceeds chance under the SAME censoring contract. Input
+    * is the reduced per-unit frame (group, duration, observed) — exactly
+    * what the KM derivation produces per user — with EXACTLY two groups
+    * (checked; the pair read is the A/B question, k-group needs the
+    * k−1-df extension).
+    *
+    * Exactness: risk sets come from one DESCENDING cumulative per group
+    * over the duration value-set GRID (the ksTest grid shape — both
+    * groups probed at every event time); per-event-time expectation and
+    * variance quantize BEFORE the sum (e6 = d·n₁·10⁶ div n, v6 =
+    * d·n₁·(n−n₁)·(n−d)·10⁶ div n²(n−1), products exact in
+    * DECIMAL(38,0) to n ≤ 4·10⁸ per time); χ²₆ = (O₁·10⁶ − E6)² div V6
+    * with the square in DECIMAL(38,0). `significant` at α = 0.05 is
+    * χ²₆ > 3 841 459 (χ²₁ 95th percentile). Zero-variance degenerate
+    * (every event time single-group-at-risk) reports NULL. The two
+    * group labels surface as a bounded 2-row collect (the Linkage
+    * census pattern).
+    */
+  def logRank(units: DataFrame, groupCol: String, durCol: String,
+      obsCol: String): DataFrame = {
+    val g2 = units.groupBy(col(durCol).as("_d"), col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_enter"),
+        sum(when(col(obsCol), 1L).otherwise(0L)).as("_ev"))
+    val groups = g2.groupBy(col("_g")).agg(sum(col("_enter")).as("_ng"))
+      .orderBy(col("_g")).collect()
+    require(groups.length == 2,
+      s"logRank needs exactly two groups, got ${groups.length}")
+    val (ga, na) = (groups(0).get(0), groups(0).getLong(1))
+    val (gb, nb) = (groups(1).get(0), groups(1).getLong(1))
+    val vals = g2.select(col("_d")).distinct()
+    val gcol = g2.schema("_g").dataType
+    val glist = vals.sparkSession.createDataFrame(
+      vals.sparkSession.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(ga), org.apache.spark.sql.Row(gb)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_g", gcol))))
+    val grid = vals.crossJoin(broadcast(glist))
+      .join(g2, Seq("_d", "_g"), "left")
+      .withColumn("_enter", coalesce(col("_enter"), lit(0L)))
+      .withColumn("_ev", coalesce(col("_ev"), lit(0L)))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_d").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val risk = grid.withColumn("_atrisk", sum(col("_enter")).over(wDesc))
+    val perDur = risk.groupBy(col("_d")).agg(
+      sum(col("_atrisk")).as("_n"), sum(col("_ev")).as("_dd"),
+      sum(when(col("_g") === lit(ga), col("_atrisk")).otherwise(0L)).as("_na"),
+      sum(when(col("_g") === lit(ga), col("_ev")).otherwise(0L)).as("_da"))
+    val terms = perDur
+      .withColumn("_e6",
+        expr("CAST(_dd AS DECIMAL(38,0)) * _na * 1000000 div _n"))
+      .withColumn("_v6", when(col("_n") > 1, expr(
+        """CAST(_dd AS DECIMAL(38,0)) * _na * (_n - _na) * (_n - _dd)
+           * 1000000 div (CAST(_n AS DECIMAL(38,0)) * _n * (_n - 1))"""))
+        .otherwise(lit(0L)))
+    terms.agg(sum(col("_e6")).as("_E6"), sum(col("_v6")).as("_V6"),
+        sum(col("_da")).as("events_a"), sum(col("_dd")).as("events_total"))
+      .withColumn("_chi26", when(col("_V6") > 0, expr(
+        """CAST(events_a * 1000000 - _E6 AS DECIMAL(38,0))
+           * (events_a * 1000000 - _E6) div _V6""")))
+      .select(lit(ga).cast("string").as("group_a"),
+        lit(gb).cast("string").as("group_b"),
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        col("events_a"), col("events_total"),
+        (col("_E6").cast("double") / 1e6).as("expected_a"),
+        (col("_chi26").cast("double") / 1e6).as("chi2"),
+        (col("_chi26") > 3841459L).as("significant"))
+  }
+
+  /** Kendall's τ-b per group (q255) — the rank-correlation read between
+    * two corpus measures (does longer text rank higher on quality?)
+    * that, unlike Pearson, ignores scale and, unlike Spearman's ρ,
+    * handles heavy ties through the τ-b denominator. Concordant /
+    * discordant mass comes from ONE self-join of the joint (x, y)
+    * VALUE-SET cells on group equality + strict x-dominance (each
+    * unordered pair counted once; cells², report-sized — never corpus
+    * pairs; quantize high-cardinality measures into buckets first, the
+    * caller's contract). Tie terms are exact integers (n₀ = n(n−1)/2,
+    * n₁ = Σ tx(tx−1)/2, n₂ = Σ ty(ty−1)/2); τ₆ = ⌊(nc − nd)·10⁶ /
+    * √((n₀−n₁)·(n₀−n₂))⌋ — ONE IEEE sqrt of the tie product computed
+    * exactly in DECIMAL(38,0) (a √a·√b split would cost one ulp and
+    * turn perfect agreement into 0.999999; the single sqrt of the exact
+    * product reports exact ±1). All-tied on either measure (n₀ = n₁ or
+    * n₀ = n₂) reports NULL.
+    */
+  def kendallTauB(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("_g"), col(xCol).as("_x"),
+      col(yCol).as("_y")).agg(count(lit(1)).as("_c"))
+    val a = cells.select(col("_g"), col("_x").as("_xa"),
+      col("_y").as("_ya"), col("_c").as("_ca"))
+    val b = cells.select(col("_g"), col("_x").as("_xb"),
+      col("_y").as("_yb"), col("_c").as("_cb"))
+    val conc = a.join(b, Seq("_g")).filter(col("_xa") < col("_xb"))
+      .groupBy(col("_g"))
+      .agg(sum(when(col("_ya") < col("_yb"), col("_ca") * col("_cb"))
+        .otherwise(0L)).as("concordant"),
+        sum(when(col("_ya") > col("_yb"), col("_ca") * col("_cb"))
+          .otherwise(0L)).as("discordant"))
+    val nG = cells.groupBy(col("_g")).agg(sum(col("_c")).as("n"))
+    val tx = cells.groupBy(col("_g"), col("_x"))
+      .agg(sum(col("_c")).as("_tc"))
+      .groupBy(col("_g"))
+      .agg(expr("sum(_tc * (_tc - 1)) div 2").as("ties_x"))
+    val ty = cells.groupBy(col("_g"), col("_y"))
+      .agg(sum(col("_c")).as("_tc"))
+      .groupBy(col("_g"))
+      .agg(expr("sum(_tc * (_tc - 1)) div 2").as("ties_y"))
+    nG.join(conc, Seq("_g"), "left").join(tx, Seq("_g")).join(ty, Seq("_g"))
+      .withColumn("concordant", coalesce(col("concordant"), lit(0L)))
+      .withColumn("discordant", coalesce(col("discordant"), lit(0L)))
+      .withColumn("_n0", expr("n * (n - 1) div 2"))
+      .withColumn("_tau6", when(
+        col("_n0") > col("ties_x") && col("_n0") > col("ties_y"),
+        floor((col("concordant") - col("discordant")).cast("double") * 1e6
+          / sqrt(expr("""CAST(CAST(_n0 - ties_x AS DECIMAL(38,0))
+              * (_n0 - ties_y) AS DOUBLE)""")))
+          .cast("long")))
+      .select(col("_g").as(groupCol), col("n"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"),
+        (col("_tau6").cast("double") / 1e6).as("tau"))
+  }
+
   /** Benjamini–Hochberg step-up FDR selection (q243) — the
     * multiple-comparisons gate every per-slice eval sweep needs: read
     * 200 slice deltas at α = 0.05 each and ~10 "significant" ones are

@@ -948,6 +948,41 @@ object LlmOps {
           graft.operators.EvalOps.ratingsSparse(Tables.documents(s, d)))
         .orderBy(col("source"), col("rater_a"), col("rater_b"))),
 
+    // Mann-Whitney U per source vs rest over n_chars: doubled integer
+    // midranks, DECIMAL(38,0) tie-corrected variance + one IEEE sqrt,
+    // exact truncating rank-biserial — ksTest's location-shift companion
+    "q253_mann_whitney" -> ((s, d) =>
+      graft.operators.EvalOps.mannWhitney(Tables.documents(s, d),
+        "source", "n_chars").orderBy(col("source"))),
+
+    // two-cohort log-rank over user lifetimes (q246's censoring
+    // contract; cohorts by user_id parity): quantized per-event-time
+    // E6/V6 sums, chi2_6 = D^2 div V6
+    "q254_log_rank" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val span = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_d"),
+          max(to_date(col("ts"))).as("last_d"))
+      val horizon = ev.agg(max(to_date(col("ts"))).as("gmax"))
+      val units = span.crossJoin(broadcast(horizon))
+        .select(when(col("user_id") % 2 === 0, "cohort_even")
+            .otherwise("cohort_odd").as("cohort"),
+          datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+          (datediff(col("gmax"), col("last_d")) >= 7).as("observed"))
+      graft.operators.EvalOps.logRank(units, "cohort", "dur", "observed")
+    }),
+
+    // Kendall tau-b per source between length and word-count buckets:
+    // cells^2 concordance join, exact tie terms, one exact-product sqrt
+    "q255_kendall_tau" -> ((s, d) => {
+      val d2 = Tables.documents(s, d).select(col("source"),
+        expr("n_chars div 200").as("len_bucket"),
+        expr("size(filter(split(text, ' '), x -> x != '')) div 20")
+          .as("word_bucket"))
+      graft.operators.EvalOps.kendallTauB(d2, "source",
+        "len_bucket", "word_bucket").orderBy(col("source"))
+    }),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -5491,6 +5526,142 @@ object LlmOps {
             CAST((po6 - pe6) * 1000000 // (1000000 - pe6) AS DOUBLE) / 1e6
           END AS kappa
         FROM q ORDER BY source, rater_a, rater_b""",
+
+    // same doubled-midrank chain in HUGEINT: rank2 = 2*cum - ct + 1,
+    // 2U1 = sum(c*rank2) - n1(n1+1), 4Var = n1*n2*(N^3-N-T) // 3N(N-1),
+    // z6 = floor((2U1 - n1n2)*1e6 / sqrt(4Var)), rb6 exact truncating
+    "q253_mann_whitney" ->
+      """WITH g AS (SELECT source AS gsrc, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY v),
+        rk AS (SELECT v, ct, 2 * sum(ct) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct + 1
+            AS rank2
+          FROM vals),
+        tie AS (SELECT CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct)
+            AS HUGEINT) AS t FROM vals),
+        na AS (SELECT CAST(sum(c) AS BIGINT) AS nall FROM g),
+        per AS (SELECT gsrc, CAST(sum(c) AS BIGINT) AS n1,
+            CAST(sum(c * rank2) AS BIGINT) AS r2
+          FROM g JOIN rk USING (v) GROUP BY gsrc),
+        st AS (SELECT gsrc, n1, nall - n1 AS n2,
+            r2 - n1 * (n1 + 1) AS u2,
+            CASE WHEN nall > 1 THEN CAST(n1 AS HUGEINT) * (nall - n1) *
+              (CAST(nall AS HUGEINT) * nall * nall - nall
+                - (SELECT t FROM tie))
+              // (3 * CAST(nall AS HUGEINT) * (nall - 1)) END AS v4
+          FROM per, na)
+        SELECT gsrc AS source, n1 AS n_group, n2 AS n_rest, u2,
+          CASE WHEN n2 > 0 AND v4 > 0 THEN
+            CAST(floor(CAST(u2 - n1 * n2 AS DOUBLE) * 1e6
+              / sqrt(CAST(v4 AS DOUBLE))) AS DOUBLE) / 1e6 END AS z,
+          CASE WHEN n2 > 0 THEN
+            CAST(CAST(u2 - n1 * n2 AS HUGEINT) * 1000000
+              // (CAST(n1 AS HUGEINT) * n2) AS DOUBLE) / 1e6
+          END AS rank_biserial,
+          CASE WHEN n2 > 0 AND v4 > 0 THEN
+            abs(floor(CAST(u2 - n1 * n2 AS DOUBLE) * 1e6
+              / sqrt(CAST(v4 AS DOUBLE)))) > 1959964 END AS shifted
+        FROM st ORDER BY source""",
+
+    // same censoring reduction as q246, parity cohorts, the same
+    // grid/descending-cumulative risk sets and quantized E6/V6 sums
+    "q254_log_rank" ->
+      """WITH sp AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+            max(CAST(ts AS DATE)) AS l
+          FROM events GROUP BY 1),
+        gm AS (SELECT max(CAST(ts AS DATE)) AS gmax FROM events),
+        u AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'cohort_even'
+              ELSE 'cohort_odd' END AS g,
+            CAST(date_diff('day', f, l) AS BIGINT) AS dur,
+            date_diff('day', l, gmax) >= 7 AS obs
+          FROM sp, gm),
+        g2 AS (SELECT dur, g, CAST(count(*) AS BIGINT) AS enter,
+            CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS ev
+          FROM u GROUP BY 1, 2),
+        gl AS (SELECT DISTINCT g FROM g2),
+        vals AS (SELECT DISTINCT dur FROM g2),
+        grid AS (SELECT vals.dur, gl.g, coalesce(g2.enter, 0) AS enter,
+            coalesce(g2.ev, 0) AS ev
+          FROM vals CROSS JOIN gl
+          LEFT JOIN g2 ON g2.dur = vals.dur AND g2.g = gl.g),
+        risk AS (SELECT dur, g, ev,
+            sum(enter) OVER (PARTITION BY g ORDER BY dur DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS atrisk
+          FROM grid),
+        pd AS (SELECT dur, CAST(sum(atrisk) AS BIGINT) AS n,
+            CAST(sum(ev) AS BIGINT) AS dd,
+            CAST(sum(CASE WHEN g = 'cohort_even' THEN atrisk ELSE 0 END)
+              AS BIGINT) AS na_,
+            CAST(sum(CASE WHEN g = 'cohort_even' THEN ev ELSE 0 END)
+              AS BIGINT) AS da
+          FROM risk GROUP BY dur),
+        terms AS (SELECT da, dd,
+            CAST(dd AS HUGEINT) * na_ * 1000000 // n AS e6,
+            CASE WHEN n > 1 THEN CAST(dd AS HUGEINT) * na_ * (n - na_)
+              * (n - dd) * 1000000
+              // (CAST(n AS HUGEINT) * n * (n - 1)) ELSE 0 END AS v6
+          FROM pd),
+        s AS (SELECT CAST(sum(e6) AS HUGEINT) AS e6s,
+            CAST(sum(v6) AS HUGEINT) AS v6s,
+            CAST(sum(da) AS BIGINT) AS oa,
+            CAST(sum(dd) AS BIGINT) AS ot
+          FROM terms),
+        cnt AS (SELECT CAST(sum(CASE WHEN g = 'cohort_even' THEN 1
+              ELSE 0 END) AS BIGINT) AS na2,
+            CAST(sum(CASE WHEN g = 'cohort_odd' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb2
+          FROM u)
+        SELECT 'cohort_even' AS group_a, 'cohort_odd' AS group_b,
+          na2 AS n_a, nb2 AS n_b, oa AS events_a, ot AS events_total,
+          CAST(e6s AS DOUBLE) / 1e6 AS expected_a,
+          CASE WHEN v6s > 0 THEN
+            CAST(CAST(oa * 1000000 - e6s AS HUGEINT)
+              * (oa * 1000000 - e6s) // v6s AS DOUBLE) / 1e6 END AS chi2,
+          CASE WHEN v6s > 0 THEN
+            CAST(oa * 1000000 - e6s AS HUGEINT)
+              * (oa * 1000000 - e6s) // v6s > 3841459 END AS significant
+        FROM s, cnt""",
+
+    // same value-set cells, one strict-x-dominance cells^2 join per
+    // source, exact tie terms, one IEEE sqrt of the exact tie product
+    "q255_kendall_tau" ->
+      """WITH d2 AS (SELECT source, CAST(n_chars AS BIGINT) // 200 AS x,
+            CAST(len(list_filter(string_split(text, ' '), s -> s <> ''))
+              AS BIGINT) // 20 AS y
+          FROM documents),
+        cells AS (SELECT source, x, y, CAST(count(*) AS BIGINT) AS c
+          FROM d2 GROUP BY 1, 2, 3),
+        cd AS (SELECT a.source,
+            CAST(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+              AS BIGINT) AS nc,
+            CAST(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+              AS BIGINT) AS nd
+          FROM cells a JOIN cells b
+            ON a.source = b.source AND a.x < b.x
+          GROUP BY 1),
+        ng AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+          FROM cells GROUP BY 1),
+        tx AS (SELECT source,
+            CAST(sum(tc * (tc - 1)) // 2 AS BIGINT) AS ties_x
+          FROM (SELECT source, x, CAST(sum(c) AS BIGINT) AS tc
+            FROM cells GROUP BY 1, 2) GROUP BY 1),
+        ty AS (SELECT source,
+            CAST(sum(tc * (tc - 1)) // 2 AS BIGINT) AS ties_y
+          FROM (SELECT source, y, CAST(sum(c) AS BIGINT) AS tc
+            FROM cells GROUP BY 1, 2) GROUP BY 1),
+        j AS (SELECT ng.source, n, coalesce(nc, 0) AS concordant,
+            coalesce(nd, 0) AS discordant, ties_x, ties_y,
+            n * (n - 1) // 2 AS n0
+          FROM ng LEFT JOIN cd USING (source)
+            JOIN tx USING (source) JOIN ty USING (source))
+        SELECT source, n, concordant, discordant, ties_x, ties_y,
+          CASE WHEN n0 > ties_x AND n0 > ties_y THEN
+            CAST(floor(CAST(concordant - discordant AS DOUBLE) * 1e6
+              / sqrt(CAST(CAST(n0 - ties_x AS HUGEINT)
+                * (n0 - ties_y) AS DOUBLE))) AS DOUBLE) / 1e6
+          END AS tau
+        FROM j ORDER BY source""",
 
     // q148's bucket rule, dense class x source grid with absent-cell
     // global mass, exact BIGINT TV numerator, one integer division

@@ -544,4 +544,117 @@ class EvalOpsSpec extends SparkSpec {
     assert(r34.isNullAt(6), "pe = 1 leaves kappa undefined")
     assert(out.size === 10, "all 5-choose-2 pairs present")
   }
+
+  test("mannWhitney: hand rank sums with ties, closed-form z, complement " +
+      "symmetry, all-tied NULL, separation significance") {
+    import spark.implicits._
+    // a = {1, 2, 2, 5}, b = {2, 3, 4}: doubled midranks 2/6/10/12/14,
+    // R2(a) = 2+6+6+14 = 28, 2U1(a) = 28 - 4*5 = 8 (direct count: one 5
+    // beats all three b's = 3, two 2-vs-2 half-ties = 1 -> U1 = 4)
+    val df = (Seq(1, 2, 2, 5).map(("a", _)) ++ Seq(2, 3, 4).map(("b", _)))
+      .toDF("g", "v")
+    val out = EvalOps.mannWhitney(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) === 4L && a.getLong(2) === 3L)
+    assert(a.getLong(3) === 8L, "2U1 from doubled midranks")
+    // 4Var = n1*n2*(N^3 - N - T) div (3N(N-1)) with T = 2^3-2 for the
+    // tied triple = 24: 12*312 div 126 = 29; z6 = floor(-4e6/sqrt(29))
+    assert(a.getDouble(4) === -0.742782, "closed-form tie-corrected z")
+    assert(a.getDouble(5) === -0.333333, "rank-biserial truncates toward 0")
+    assert(!a.getBoolean(6), "not significant at n = 7")
+    // complement: 2U1(b) = 2*n1*n2 - 2U1(a); rb flips sign exactly
+    val b = out("b")
+    assert(b.getLong(3) === 16L && b.getDouble(5) === 0.333333)
+    assert(math.abs(a.getDouble(4) + b.getDouble(4)) <= 2e-6,
+      "z antisymmetric up to the two floors")
+    // all-tied corpus: variance 0 -> z and shifted NULL, rb 0
+    val tied = Seq(("a", 7), ("a", 7), ("b", 7), ("b", 7)).toDF("g", "v")
+    val t = EvalOps.mannWhitney(tied, "g", "v").collect()
+    t.foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(6), "all-tied: z undefined")
+      assert(r.getDouble(5) === 0.0, "all-tied: zero effect")
+    }
+    // clear separation at n = 200: shifted, effect size pinned at -1/+1
+    val sep = ((1 to 100).map(("lo", _)) ++ (1001 to 1100).map(("hi", _)))
+      .toDF("g", "v")
+    val s = EvalOps.mannWhitney(sep, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(s("lo").getDouble(5) === -1.0 && s("hi").getDouble(5) === 1.0)
+    assert(s("lo").getBoolean(6) && s("hi").getBoolean(6), "separation is significant")
+    assert(s("lo").getDouble(4) < -12 && s("hi").getDouble(4) > 12)
+  }
+
+  test("logRank: censoring semantics, exact-integer chi2 replay, " +
+      "separation significance, identical groups near-zero") {
+    import spark.implicits._
+    // hand fixture: A = {1 obs, 2 cens}, B = {2 obs}
+    //   t=1: n=3 (all at risk), d=1 (A's event), nA=2
+    //     e6 = 1*2*1e6 div 3 = 666666; v6 = 1*2*1*2*1e6 div (9*2) = 222222
+    //   t=2: n=2 (A-cens + B), d=1 (B's event), nA=1
+    //     e6 = 1*1*1e6 div 2 = 500000; v6 = 1*1*1*1*1e6 div (4*1) = 250000
+    //   O_A = 1, E6 = 1166666, V6 = 472222
+    //   chi26 = (1000000-1166666)^2 div 472222 = 58823*... exact below
+    val units = Seq(("A", 1L, true), ("A", 2L, false), ("B", 2L, true))
+      .toDF("g", "dur", "obs")
+    val r = EvalOps.logRank(units, "g", "dur", "obs").collect()(0)
+    assert(r.getString(0) === "A" && r.getString(1) === "B")
+    assert(r.getLong(2) === 2L && r.getLong(3) === 1L)
+    assert(r.getLong(4) === 1L && r.getLong(5) === 2L)
+    assert(r.getDouble(6) === 1.166666, "E_A from quantized per-time sums")
+    val d = BigInt(1000000 - 1166666)
+    assert(r.getDouble(7) === (d * d / 472222).toLong / 1e6,
+      "chi2 replays the exact integer chain")
+    assert(!r.getBoolean(8))
+    // identical survival in both groups: chi2 ~ 0
+    val same = (1 to 50).flatMap(i =>
+      Seq(("A", i.toLong, true), ("B", i.toLong, true))).toDF("g", "dur", "obs")
+    val rs = EvalOps.logRank(same, "g", "dur", "obs").collect()(0)
+    assert(rs.getDouble(7) <= 0.000001 && !rs.getBoolean(8))
+    // full separation (every A dies at 1, every B survives past 100)
+    val sepu = ((1 to 50).map(_ => ("A", 1L, true)) ++
+      (1 to 50).map(_ => ("B", 100L, false))).toDF("g", "dur", "obs")
+    val rp = EvalOps.logRank(sepu, "g", "dur", "obs").collect()(0)
+    assert(rp.getBoolean(8), s"separation must be significant: $rp")
+    // censoring semantics: flipping A's censored unit to observed moves
+    // expected_a (it becomes an event at t=2) — the obs column is load-
+    // bearing, not cosmetic
+    val units2 = Seq(("A", 1L, true), ("A", 2L, true), ("B", 2L, true))
+      .toDF("g", "dur", "obs")
+    val r2 = EvalOps.logRank(units2, "g", "dur", "obs").collect()(0)
+    assert(r2.getLong(4) === 2L && r2.getDouble(6) != r.getDouble(6))
+    // exactly-two-groups contract
+    val e = intercept[IllegalArgumentException] {
+      EvalOps.logRank(units.withColumn("g", lit("only")), "g", "dur", "obs")
+    }
+    assert(e.getMessage.contains("exactly two groups"))
+  }
+
+  test("kendallTauB: perfect agreement/reversal, hand tie case, " +
+      "all-tied NULL") {
+    import spark.implicits._
+    // perfect agreement and perfect reversal, no ties
+    val mono = (1 to 10).map(i => ("up", i, i)) ++
+      (1 to 10).map(i => ("down", i, -i))
+    val m = EvalOps.kendallTauB(mono.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("up").getDouble(6) === 1.0 && m("down").getDouble(6) === -1.0)
+    assert(m("up").getLong(2) === 45L && m("up").getLong(3) === 0L)
+    // hand tie case: (1,1),(1,2),(2,1),(2,2),(2,2): n=5, n0=10
+    //   cells: (1,1)x(2,2):2 + (1,1)x(2,1)? y tied-> no; (1,2)x(2,?) ...
+    //   concordant: (1,1)-(2,2) c=2; discordant: (1,2)-(2,1) c=1
+    //   ties_x: x=1 ct2 ->1; x=2 ct3 ->3 => 4; ties_y: y=1 ct2 ->1, y=2 ct3 ->3 => 4
+    //   tau6 = floor((2-1)*1e6 / (sqrt(6)*sqrt(6))) = 166666
+    val tiedf = Seq((1, 1), (1, 2), (2, 1), (2, 2), (2, 2))
+      .map { case (x, y) => ("t", x, y) }.toDF("g", "x", "y")
+    val t = EvalOps.kendallTauB(tiedf, "g", "x", "y").collect()(0)
+    assert(t.getLong(1) === 5L && t.getLong(2) === 2L && t.getLong(3) === 1L)
+    assert(t.getLong(4) === 4L && t.getLong(5) === 4L)
+    assert(t.getDouble(6) === 0.166666, "hand tau-b with tie terms")
+    // all x tied: denominator term zero -> NULL
+    val ax = Seq(("c", 1, 1), ("c", 1, 2), ("c", 1, 3)).toDF("g", "x", "y")
+    val ar = EvalOps.kendallTauB(ax, "g", "x", "y").collect()(0)
+    assert(ar.isNullAt(6), "x all-tied leaves tau undefined")
+    assert(ar.getLong(2) === 0L && ar.getLong(3) === 0L)
+  }
 }
