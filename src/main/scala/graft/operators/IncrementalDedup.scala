@@ -109,7 +109,10 @@ final class IncrementalDedup private (
         batchId.map(_ + ":bands"))
       // eager checkpoint: the caller's actions must not re-run the
       // clustering/verification DAG after the internal caches release
-      within.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      val out = within.join(dropped, Seq("doc_id"), "left_anti")
+      PlanCapture.record(
+        "q104_incremental_dedup (delta-vs-index pass, pre-checkpoint)", out)
+      out.localCheckpoint(true)
     } finally {
       acceptedSh.unpersist(blocking = false)
       sh.unpersist(blocking = false)

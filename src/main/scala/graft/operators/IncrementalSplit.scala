@@ -106,16 +106,18 @@ final class IncrementalSplit private (
         .groupBy(col("rep")).agg(min(col("m")).as("anchor"))
       val reg = registry.read(spark)
         .select(col("doc_id").as("anchor"), col("split").as("inh_split"))
-      val assigned = withRep
+      val assigned0 = withRep
         .join(anchors, "rep")
         .join(reg, Seq("anchor"), "left")
         .select(col("doc_id"), col("rep"),
           coalesce(col("anchor"), lit(-1L)).as("anchor"),
           coalesce(col("inh_split"),
             CorpusOps.splitExpr(col("rep"), trainPct, valPct)).as("split"))
-        // eager checkpoint: three appends and the caller must not re-run
-        // the clustering/matching DAG per consumer
-        .localCheckpoint(true)
+      PlanCapture.record(
+        "q116_incremental_split (assign pass, pre-checkpoint)", assigned0)
+      // eager checkpoint: three appends and the caller must not re-run
+      // the clustering/matching DAG per consumer
+      val assigned = assigned0.localCheckpoint(true)
 
       registry.appendAll(assigned.select(col("doc_id"), col("split")),
         batchId.map(_ + ":reg"))

@@ -159,8 +159,6 @@ object PlanDump {
       "PR-AUC: corpus collapses to the score value set before the single descending cumulative window; AP is one more aggregation over that tiny table.",
     "q217_conversion_lag" ->
       "Conversion latency: first-touch min-agg, per-hop user-keyed equi-joins, (step, lat_ms) value-set collapse — the only window and the interpolation run over the collapsed set; NO exact-percentile aggregate anywhere.",
-    "q218_record_linkage" ->
-      "Record linkage: two blocking-pass equi-joins unioned and deduped, then row-local agreement predicates and the integer weight fold — pair space is block-bounded, never clean x dirty.",
     "q221_length_fences" ->
       "Outlier fences: (source, length) value-set collapse, quartiles from the value-set window, census via broadcast fence join onto the COLLAPSED table — raw rows are scanned exactly once.",
     "q223_cusum" ->
@@ -198,13 +196,32 @@ object PlanDump {
     "q249_silhouette" ->
       "Silhouette sweep: per k, centroids as plan literals, sorted-distance scoring row-local, one count/sum aggregate - zero joins.",
     "q250_loss_curve" ->
-      "Loss curve: per-slice count tables once, cumulative expansion via k-row broadcast range join, holdout scored as its transition value set.")
+      "Loss curve: per-slice count tables once, cumulative expansion via k-row broadcast range join, holdout scored as its transition value set.",
+    "q103_sketch_bounds" ->
+      "Sketch error contract: exact distinct/percentile AND their sketch estimates as aggregates of ONE grouped pass over one scan — two answer sets by design (the contract compares them), never two scans.",
+    "q104_incremental_dedup" ->
+      "Incremental dedup, delta-vs-index pass (batch 2 captured): within-batch prefix-filtered clustering, band-bucket equi-join of the BATCH against the persisted bands table (bucket the index by bkey at scale for a zero-index-side-shuffle join), stored-signature exact verification of candidates only, left-anti survivor cut — the corpus is never re-paired.",
+    "q108_content_chunks" ->
+      "Content-defined chunking: the per-doc Rabin rolling window and cut selection are ONE row-local projection (higher-order aggregates over the token array) — zero joins, zero shuffles before the output sort.",
+    "q116_incremental_split" ->
+      "Incremental split, assign pass (batch 2 captured): within-batch components + band-bucket candidates vs the registry index, exact verification, min-anchor per cluster, split inheritance via one left join against the registry — O(batch + candidates) per batch.",
+    "q65_sql_dml" ->
+      "SQL DML drive: the post-UPDATE/DELETE read is a pruned graft DSv2 scan (file-skipping via key-range stats) — the evidence is the catalog surface executing real plans, not a wide DAG.",
+    "q66_dedup_survivors" ->
+      "Quality-policy survivors: the cluster frame (near-pair participants only, lineage-cut) feeds one per-cluster ranking window + a broadcastable left-anti join against the corpus — corpus-sized work is the anti-join scan only.",
+    "q253_mann_whitney" ->
+      "Mann-Whitney: (group, value) collapse, doubled midranks from ONE cumulative window over distinct values, per-group rank-sum aggregation + two one-row broadcasts — corpus rows never enter a window.",
+    "q254_log_rank" ->
+      "Log-rank: duration value-set grid x 2 cohorts, per-cohort descending cumulative for risk sets, quantized per-time E6/V6 terms collapsing to one report row.",
+    "q255_kendall_tau" ->
+      "Kendall tau-b: joint (x, y) value-set cells, ONE strict-x-dominance cells^2 self-join per group, tie terms from cell margins — report-sized relations after the first aggregation.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-plandump")
+      .config("spark.sql.extensions", "graft.sqlcat.GraftSqlExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
