@@ -115,7 +115,12 @@ object ScaleProbe {
     // gen-12d: two more value-set-collapse members (winsorized means
     // ride the n_chars value set; MAD adds the second deviation
     // collapse) — expect scan-dominated, near-flat
-    "q251_winsorized", "q252_grouped_mad")
+    "q251_winsorized", "q252_grouped_mad",
+    // gen-13: Mann-Whitney (one global value-set window + per-group
+    // rank-sum agg), log-rank (duration value-set grid x 2 cohorts),
+    // Kendall tau-b (cells^2 per source — replica token-suffixing grows
+    // the word-bucket value set, the probe bounds the cells^2 term)
+    "q253_mann_whitney", "q254_log_rank", "q255_kendall_tau")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
