@@ -1535,6 +1535,49 @@ object CorpusOps {
       firstFail.as("first_fail"): _*)
   }
 
+  /** Corpus snapshot diff (q259) — the dataset-versioning read every
+    * release pipeline needs between two corpus snapshots: per doc_id,
+    * `added` / `removed` / `unchanged` (byte-identical text) /
+    * `minor_edit` (n-gram Jaccard between the two versions ≥
+    * `threshold` — a re-crawl that gained a footer) / `rewrite`
+    * (same id, substantively different content — the class that must
+    * re-enter curation and dedup from scratch). Complements
+    * [[graft.table.MergeTable]]'s change feed: the feed says WHICH rows
+    * changed between table versions, this says HOW MUCH the content
+    * moved.
+    *
+    * Shape at scale: ONE full-outer equi-join on doc_id; the Jaccard is
+    * row-local between the two text versions of the SAME id (gram sets
+    * built per row — never a pair join, never corpus²). Short-doc
+    * convention mirrors [[Dedup]]'s shingling: a doc with < n words is
+    * its single space-joined gram.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def gramSet(t: Column): Column = {
+      val w = TextAnalysis.wsTokens(t)
+      array_distinct(when(size(w) >= n, TextAnalysis.wordNgrams(w, n))
+        .otherwise(array(concat_ws(" ", w))))
+    }
+    val a = v1.select(col(idCol).as("doc_id"), col(textCol).as("_t1"))
+    val b = v2.select(col(idCol).as("doc_id"), col(textCol).as("_t2"))
+    val sa = gramSet(col("_t1"))
+    val sb = gramSet(col("_t2"))
+    val inter = size(array_intersect(sa, sb))
+    val jac = TextAnalysis.quant4(inter.cast("double")
+      / (size(sa) + size(sb) - inter))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_t1").isNull, "added")
+          .when(col("_t2").isNull, "removed")
+          .when(col("_t1") === col("_t2"), "unchanged")
+          .when(jac >= threshold, "minor_edit")
+          .otherwise("rewrite").as("status"),
+        when(col("_t1").isNotNull && col("_t2").isNotNull &&
+          col("_t1") =!= col("_t2"), jac).as("jaccard"))
+  }
+
   /** Fixed-length training-sequence packing — the final pretraining
     * data-prep stage: conceptually concatenate every document's tokens
     * in id order into one stream, cut the stream into consecutive

@@ -1048,6 +1048,47 @@ object EvalOps {
         (col("_tau6").cast("double") / 1e6).as("tau"))
   }
 
+  /** Cochran–Armitage trend test per group (q256-family; q257) — the
+    * ORDERED-categories significance read [[kendallTauB]]'s continuous
+    * form doesn't give: a binary outcome (flag) against ordinal scores
+    * w (bucket indices), testing whether the flag RATE trends
+    * monotonically across the ordered buckets (Cochran 1954, Armitage
+    * 1955 — the dose-response / "does quality fall with length bucket"
+    * test). χ²-equivalent z with one degree of freedom.
+    *
+    * Exact arithmetic: per (group, bucket): n_i, flagged n1_i; the
+    * statistic numerator T·N = N·Σwᵢn1ᵢ − N₁·Σwᵢnᵢ and the variance
+    * product N₁(N−N₁)(N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²) are exact (the latter in
+    * DECIMAL(38,0)); v = product div N is the one defined floor
+    * (quotient fits BIGINT to N·w² ≲ 10⁹ per group — generous for any
+    * per-group bucket census), then ONE IEEE sqrt:
+    * z6 = ⌊T·N·10⁶ / √v⌋. Degenerate groups (one bucket, all-flagged,
+    * none-flagged → variance 0) report NULL, the ksTest contract.
+    */
+  def cochranArmitage(df: DataFrame, groupCol: String, bucketCol: String,
+      flagCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("_g"), col(bucketCol).as("_w"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col(flagCol), 1L).otherwise(0L)).as("_n1"))
+    cells.groupBy(col("_g"))
+      .agg(sum(col("_n")).as("n"), sum(col("_n1")).as("n_flag"),
+        sum(col("_w") * col("_n")).as("_sw"),
+        sum(col("_w") * col("_n1")).as("_sw1"),
+        sum(col("_w") * col("_w") * col("_n")).as("_sww"))
+      .withColumn("_tn", col("n") * col("_sw1") - col("n_flag") * col("_sw"))
+      .withColumn("_v", expr(
+        """CAST(n_flag AS DECIMAL(38,0)) * (n - n_flag) *
+           (CAST(n AS DECIMAL(38,0)) * _sww - CAST(_sw AS DECIMAL(38,0)) * _sw)
+           div n"""))
+      .withColumn("_z6", when(col("_v") > 0,
+        floor(col("_tn").cast("double") * 1e6
+          / sqrt(col("_v").cast("double"))).cast("long")))
+      .select(col("_g").as(groupCol), col("n"), col("n_flag"),
+        col("_tn").as("t_n"),
+        (col("_z6").cast("double") / 1e6).as("z"),
+        (abs(col("_z6")) > 1959964L).as("trending"))
+  }
+
   /** Benjamini–Hochberg step-up FDR selection (q243) — the
     * multiple-comparisons gate every per-slice eval sweep needs: read
     * 200 slice deltas at α = 0.05 each and ~10 "significant" ones are

@@ -253,6 +253,102 @@ object TemporalJoins {
           .as("verdict"))
   }
 
+  /** Page–Hinkley drift detector over daily volumes (q258) — the
+    * UNKNOWN-baseline companion to [[cusum]]: CUSUM needs a trusted μ
+    * (its in-sample mean makes it a retrospective test); Page–Hinkley
+    * (Page 1954, the mean-shift form used by streaming-ML drift
+    * monitors) tracks xₜ against the RUNNING mean and alarms when the
+    * cumulative positive deviation m_t leaves its own historical
+    * minimum by more than λ — no baseline parameter, self-calibrating
+    * as data arrives.
+    *
+    * Exact integer staging: x̄₆(t) = cum·10⁶ div t (running mean as a
+    * defined floor), term_t = x_t·10⁶ − x̄₆(t) − δ₆,
+    * m₆ = running Σ term, excursion₆ = m₆ − min_{s≤t} m₆, alarm when
+    * excursion₆ > λ₆. Every stage is a per-key window over the
+    * COLLAPSED daily table (calendar-bounded; no recursion — unlike
+    * CUSUM's max(0, ·) clamp, PH's running mean and min are plain
+    * cumulative windows, so the oracle replays without a recursive
+    * CTE).
+    */
+  def pageHinkley(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", delta: Double = 0.0, lambda: Double = 50.0)
+      : DataFrame = {
+    val delta6 = math.floor(delta * 1e6).toLong
+    val lambda6 = math.floor(lambda * 1e6).toLong
+    val daily = events.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val terms = daily
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("day"))).cast("long"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("xbar6", expr("cum * 1000000 div t"))
+      .withColumn("term", col("n") * 1000000L - col("xbar6") - delta6)
+      .withColumn("m6", sum(col("term")).over(w))
+      .withColumn("exc6", col("m6") - min(col("m6")).over(w))
+    terms.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("exc6")).as("exc6"),
+        min(when(col("exc6") > lambda6, col("day"))).as("first_alarm"))
+      .select(col(keyCol), col("n_days"),
+        (col("exc6").cast("double") / 1e6).as("max_excursion"),
+        col("first_alarm"),
+        when(col("first_alarm").isNull, "stable").otherwise("drift")
+          .as("verdict"))
+  }
+
+  /** Theil–Sen slope over daily volumes (q256) — the MAGNITUDE
+    * companion to [[mannKendall]]: MK says whether a monotone trend
+    * exceeds chance, Theil–Sen says how big it is, robustly — the
+    * median of all pairwise day-to-day slopes (Theil 1950, Sen 1968)
+    * tolerates up to ~29% wild days where an OLS fit follows them.
+    *
+    * Exactness: slopes quantize to millionths by truncating integer
+    * division ((cnt_j − cnt_i)·10⁶ div (day_j − day_i); Spark `div`
+    * and DuckDB `//` both truncate toward zero, so negative slopes
+    * replay), the LOWER weighted median is the pinned order statistic
+    * (rank ⌈m/2⌉ over (slope6, then i-day, j-day) — fully ordered, so
+    * ties are deterministic), and the intercept is the median of
+    * (cnt − slope6·day) residual levels under the same rule. Pair
+    * table is calendar-bounded (days² per key, never rows); single-day
+    * keys report NULL slope.
+    */
+  def theilSen(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("x", datediff(col("day"), to_date(lit("1970-01-01")))
+        .cast("long"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.k") === col("b.k") && col("a.x") < col("b.x"))
+      .select(col("a.k").as("k"), col("a.x").as("xi"), col("b.x").as("xj"),
+        expr("(b.cnt - a.cnt) * 1000000 div (b.x - a.x)").as("slope6"))
+    val m = pairs.groupBy(col("k")).agg(count(lit(1)).as("n_pairs"))
+    val wS = Window.partitionBy(col("k"))
+      .orderBy(col("slope6"), col("xi"), col("xj"))
+    val med = pairs.withColumn("rn", row_number().over(wS).cast("long"))
+      .join(m, "k")
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("k"), col("n_pairs"), col("slope6"))
+    val nD = daily.groupBy(col("k")).agg(count(lit(1)).as("n_days"))
+    val wI = Window.partitionBy(col("k"))
+      .orderBy(col("lev6"), col("day"))
+    val icpt = daily.join(med.select(col("k"), col("slope6")), "k")
+      .withColumn("lev6", col("cnt") * 1000000L - col("slope6") * col("x"))
+      .withColumn("rn", row_number().over(wI).cast("long"))
+      .join(nD, "k")
+      .filter(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("k"), col("lev6"))
+    nD.join(med, Seq("k"), "left").join(icpt, Seq("k"), "left")
+      .select(col("k").as(typeCol), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (col("slope6").cast("double") / 1e6).as("slope_per_day"),
+        (col("lev6").cast("double") / 1e6).as("level"))
+  }
+
   /** Event-flow transition matrix (q198): the Markov view of the event
     * stream — for every ordered pair of CONSECUTIVE events of the same
     * user, a (from, to) count and the row-normalized transition

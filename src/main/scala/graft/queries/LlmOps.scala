@@ -983,6 +983,43 @@ object LlmOps {
         "len_bucket", "word_bucket").orderBy(col("source"))
     }),
 
+    // Theil-Sen robust slope of daily volumes — q237 Mann-Kendall's
+    // magnitude companion: truncating-division slope6 pairs over the
+    // calendar-bounded daily table, pinned lower-median order statistic
+    "q256_theil_sen" -> ((s, d) =>
+      graft.operators.TemporalJoins.theilSen(Tables.events(s, d))
+        .orderBy(col("event_type"))),
+
+    // Cochran-Armitage trend: does the English share trend across
+    // length buckets per source (exact T*N and DECIMAL(38,0) variance)
+    "q257_cochran_armitage" -> ((s, d) =>
+      graft.operators.EvalOps.cochranArmitage(
+          Tables.documents(s, d).select(col("source"),
+            expr("n_chars div 200").as("len_bucket"),
+            (col("lang") === "en").as("is_en")),
+          "source", "len_bucket", "is_en")
+        .orderBy(col("source"))),
+
+    // Page-Hinkley self-calibrating drift over daily volumes: running
+    // mean/min as plain cumulative windows, lambda = 50 events
+    "q258_page_hinkley" -> ((s, d) =>
+      graft.operators.TemporalJoins.pageHinkley(Tables.events(s, d),
+        lambda = 50.0).orderBy(col("event_type"))),
+
+    // corpus snapshot diff: v1 drops doc_id%10==0, v2 drops %10==3 and
+    // appends a 3-word marker to %7==0 texts — added/removed/unchanged/
+    // minor_edit/rewrite per doc with the row-local version Jaccard
+    "q259_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" revision marker two")))
+          .otherwise(col("text")))
+      graft.operators.CorpusOps.snapshotDiff(v1, v2)
+        .orderBy(col("doc_id"))
+    }),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -5662,6 +5699,138 @@ object LlmOps {
                 * (n0 - ties_y) AS DOUBLE))) AS DOUBLE) / 1e6
           END AS tau
         FROM j ORDER BY source""",
+
+    // same truncating slope6 pairs over the daily table, same pinned
+    // lower-median rank on (slope6, xi, xj) / (lev6, day)
+    "q256_theil_sen" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        d2 AS (SELECT k, day, cnt,
+            CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+          FROM daily),
+        pairs AS (SELECT a.k AS k, a.x AS xi, b.x AS xj,
+            (b.cnt - a.cnt) * 1000000 // (b.x - a.x) AS slope6
+          FROM d2 a JOIN d2 b ON a.k = b.k AND a.x < b.x),
+        m AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM pairs GROUP BY k),
+        pr AS (SELECT k, slope6, CAST(row_number() OVER (PARTITION BY k
+            ORDER BY slope6, xi, xj) AS BIGINT) AS rn
+          FROM pairs),
+        med AS (SELECT pr.k, m.n_pairs, pr.slope6
+          FROM pr JOIN m ON pr.k = m.k AND pr.rn = (m.n_pairs + 1) // 2),
+        nd AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days
+          FROM d2 GROUP BY k),
+        lv AS (SELECT d2.k AS k, cnt * 1000000 - med.slope6 * x AS lev6,
+            day FROM d2 JOIN med ON d2.k = med.k),
+        lr AS (SELECT k, lev6, CAST(row_number() OVER (PARTITION BY k
+            ORDER BY lev6, day) AS BIGINT) AS rn
+          FROM lv),
+        ic AS (SELECT lr.k, lr.lev6
+          FROM lr JOIN nd ON lr.k = nd.k AND lr.rn = (nd.n_days + 1) // 2)
+        SELECT nd.k AS event_type, n_days,
+          coalesce(n_pairs, 0) AS n_pairs,
+          CAST(slope6 AS DOUBLE) / 1e6 AS slope_per_day,
+          CAST(lev6 AS DOUBLE) / 1e6 AS level
+        FROM nd LEFT JOIN med ON nd.k = med.k
+          LEFT JOIN ic ON nd.k = ic.k
+        ORDER BY event_type""",
+
+    // same cell census, exact T*N and HUGEINT variance product, the
+    // same one defined floor and one IEEE sqrt
+    "q257_cochran_armitage" ->
+      """WITH c AS (SELECT source, CAST(n_chars AS BIGINT) // 200 AS w,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1
+          FROM documents GROUP BY 1, 2),
+        s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n,
+            CAST(sum(n1) AS BIGINT) AS n_flag,
+            CAST(sum(w * n) AS BIGINT) AS sw,
+            CAST(sum(w * n1) AS BIGINT) AS sw1,
+            CAST(sum(w * w * n) AS BIGINT) AS sww
+          FROM c GROUP BY source),
+        t AS (SELECT source, n, n_flag, n * sw1 - n_flag * sw AS tn,
+            CAST(n_flag AS HUGEINT) * (n - n_flag) *
+              (CAST(n AS HUGEINT) * sww - CAST(sw AS HUGEINT) * sw)
+              // n AS v
+          FROM s)
+        SELECT source, n, n_flag, tn AS t_n,
+          CASE WHEN v > 0 THEN CAST(floor(CAST(tn AS DOUBLE) * 1e6
+            / sqrt(CAST(v AS DOUBLE))) AS DOUBLE) / 1e6 END AS z,
+          CASE WHEN v > 0 THEN abs(floor(CAST(tn AS DOUBLE) * 1e6
+            / sqrt(CAST(v AS DOUBLE)))) > 1959964 END AS trending
+        FROM t ORDER BY source""",
+
+    // same running-mean/min cumulative windows over the daily table,
+    // delta6 = 0, lambda6 = 50000000
+    "q258_page_hinkley" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        w AS (SELECT k, day, n,
+            CAST(row_number() OVER (PARTITION BY k ORDER BY day)
+              AS BIGINT) AS t,
+            CAST(sum(n) OVER (PARTITION BY k ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+          FROM daily),
+        tm AS (SELECT k, day,
+            n * 1000000 - (cum * 1000000 // t) AS term FROM w),
+        mm AS (SELECT k, day, sum(term) OVER (PARTITION BY k ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m6
+          FROM tm),
+        ex AS (SELECT k, day, m6 - min(m6) OVER (PARTITION BY k
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS exc6
+          FROM mm)
+        SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(max(exc6) AS DOUBLE) / 1e6 AS max_excursion,
+          min(CASE WHEN exc6 > 50000000 THEN day END) AS first_alarm,
+          CASE WHEN min(CASE WHEN exc6 > 50000000 THEN day END) IS NULL
+            THEN 'stable' ELSE 'drift' END AS verdict
+        FROM ex GROUP BY k ORDER BY event_type""",
+
+    // same two snapshot slices, same short-doc gram convention, same
+    // row-local version Jaccard with the 1e-4 floor
+    "q259_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 10 <> 0),
+        v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+              THEN text || ' revision marker two' ELSE text END AS text
+          FROM documents WHERE doc_id % 10 <> 3),
+        j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+            v1.text AS t1, v2.text AS t2
+          FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id),
+        g AS (SELECT doc_id, t1, t2,
+            list_filter(string_split(t1, ' '), x -> x <> '') AS w1,
+            list_filter(string_split(t2, ' '), x -> x <> '') AS w2
+          FROM j),
+        g2 AS (SELECT doc_id, t1, t2,
+            list_distinct(CASE WHEN len(w1) >= 3
+              THEN list_transform(generate_series(1, len(w1) - 2),
+                i -> array_to_string(w1[i:i+2], ' '))
+              ELSE [array_to_string(w1, ' ')] END) AS sa,
+            list_distinct(CASE WHEN len(w2) >= 3
+              THEN list_transform(generate_series(1, len(w2) - 2),
+                i -> array_to_string(w2[i:i+2], ' '))
+              ELSE [array_to_string(w2, ' ')] END) AS sb
+          FROM g),
+        g3 AS (SELECT doc_id, t1, t2,
+            len(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+            len(sa) AS la, len(sb) AS lb
+          FROM g2)
+        SELECT doc_id,
+          CASE WHEN t1 IS NULL THEN 'added'
+               WHEN t2 IS NULL THEN 'removed'
+               WHEN t1 = t2 THEN 'unchanged'
+               WHEN floor(1.0 * inter / (la + lb - inter) * 10000)
+                 / 10000 >= 0.8 THEN 'minor_edit'
+               ELSE 'rewrite' END AS status,
+          CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t1 <> t2
+            THEN CAST(floor(1.0 * inter / (la + lb - inter) * 10000)
+              / 10000 AS DOUBLE) END AS jaccard
+        FROM g3 ORDER BY doc_id""",
 
     // q148's bucket rule, dense class x source grid with absent-cell
     // global mass, exact BIGINT TV numerator, one integer division

@@ -509,4 +509,26 @@ class DataSelectionSpec extends SparkSpec {
     val total = step.values.map(_._3).sum
     assert(total > 0.999 && total <= 1.0 + 1e-9, s"sum $total")
   }
+
+  test("snapshotDiff: all five classes, exact version Jaccard, " +
+      "short-doc gram convention") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j k l m n o" // 15 words, 13 trigrams
+    val v1 = Seq((1L, base), (2L, "x"), (3L, "gone doc"),
+      (5L, "stable doc text here")).toDF("doc_id", "text")
+    val v2 = Seq((1L, base + " tail word added"), (2L, "y"),
+      (4L, "brand new doc"), (5L, "stable doc text here"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.CorpusOps.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.toString)))).toMap
+    // appending 3 words keeps all 13 grams, adds 3: J = 13/16 = 0.8125
+    assert(out(1L) === (("minor_edit", Some("0.8125"))))
+    // single-word docs compare as their one space-joined gram: disjoint
+    assert(out(2L) === (("rewrite", Some("0.0"))))
+    assert(out(3L) === (("removed", None)))
+    assert(out(4L) === (("added", None)))
+    assert(out(5L) === (("unchanged", None)))
+    assert(out.size === 5)
+  }
 }

@@ -657,4 +657,36 @@ class EvalOpsSpec extends SparkSpec {
     assert(ar.isNullAt(6), "x all-tied leaves tau undefined")
     assert(ar.getLong(2) === 0L && ar.getLong(3) === 0L)
   }
+
+  test("cochranArmitage: hand 2xk table, exact T*N and variance floor, " +
+      "degenerate NULLs") {
+    import spark.implicits._
+    // buckets 0/1/2 with (n, flagged) = (10,1), (10,5), (10,9):
+    //   N=30, N1=15, Sw=30, Sw1=23, Sww=50
+    //   T*N = 30*23 - 15*30 = 240
+    //   v = 15*15*(30*50 - 900) div 30 = 135000 div 30 = 4500
+    //   z6 = floor(240e6 / sqrt(4500)) = 3577708
+    val rows = (1 to 10).flatMap(i => Seq(
+      ("s", 0L, i <= 1), ("s", 1L, i <= 5), ("s", 2L, i <= 9)))
+    val out = EvalOps.cochranArmitage(rows.toDF("g", "w", "f"),
+      "g", "w", "f").collect()(0)
+    assert(out.getLong(1) === 30L && out.getLong(2) === 15L)
+    assert(out.getLong(3) === 240L, "exact T*N")
+    assert(out.getDouble(4) === 3.577708, "closed-form z from v = 4500")
+    assert(out.getBoolean(5), "a 10%->90% ramp trends")
+    // flat rates: T*N = 0, z = 0, no trend
+    val flat = (1 to 10).flatMap(i => Seq(
+      ("s", 0L, i <= 5), ("s", 1L, i <= 5), ("s", 2L, i <= 5)))
+    val fo = EvalOps.cochranArmitage(flat.toDF("g", "w", "f"),
+      "g", "w", "f").collect()(0)
+    assert(fo.getLong(3) === 0L && fo.getDouble(4) === 0.0 &&
+      !fo.getBoolean(5))
+    // degenerate: all-flagged (variance 0) and single-bucket -> NULL
+    val deg = Seq(("a", 0L, true), ("a", 1L, true),
+      ("b", 1L, true), ("b", 1L, false)).toDF("g", "w", "f")
+    EvalOps.cochranArmitage(deg, "g", "w", "f").collect().foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5),
+        s"degenerate group must report NULL: $r")
+    }
+  }
 }

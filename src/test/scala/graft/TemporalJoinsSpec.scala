@@ -286,4 +286,67 @@ class TemporalJoinsSpec extends SparkSpec {
         ((r.getLong(2), r.getLong(3)))).toMap
     assert(again === out)
   }
+
+  test("theilSen: exact slope on a clean ramp, robustness to one wild day, " +
+      "pinned lower median, single-day NULL") {
+    // counts per (type, day): "ramp" = 1,3,5 (all pair slopes = 2);
+    // "noisy" = 1,10,3 (slopes 9e6, -7e6, 1e6 -> median 1.0 — an OLS fit
+    // would chase the spike); "lone" = single day
+    def mk(t: String, day: String, n: Int) =
+      (1 to n).map(_ => (t, ts(s"$day 10:00:00")))
+    val ev = (mk("ramp", "2024-01-01", 1) ++ mk("ramp", "2024-01-02", 3) ++
+      mk("ramp", "2024-01-03", 5) ++
+      mk("noisy", "2024-01-01", 1) ++ mk("noisy", "2024-01-02", 10) ++
+      mk("noisy", "2024-01-03", 3) ++
+      mk("lone", "2024-01-01", 2)).toDF("event_type", "ts")
+    val out = TemporalJoins.theilSen(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("ramp").getLong(2) === 3L &&
+      out("ramp").getDouble(3) === 2.0)
+    assert(out("noisy").getDouble(3) === 1.0, "median shrugs off the spike")
+    // level = lower median of (cnt - slope*epochday); epochday(2024-01-01)
+    // = 19723: levels -19722, -19714, -19722 -> tie broken by day -> -19722
+    assert(out("noisy").getDouble(4) === -19722.0)
+    assert(out("lone").getLong(1) === 1L && out("lone").getLong(2) === 0L)
+    assert(out("lone").isNullAt(3) && out("lone").isNullAt(4))
+    // even pair count pins the LOWER median: counts 1,2,4 over 3 days +
+    // day 4 count 4 -> 6 pairs, slopes sorted [0,666666,1e6,1e6,1.5e6,2e6]
+    // -> rank (6+1) div 2 = 3 -> 1.0
+    val ev4 = (mk("e", "2024-01-01", 1) ++ mk("e", "2024-01-02", 2) ++
+      mk("e", "2024-01-03", 4) ++ mk("e", "2024-01-04", 4))
+      .toDF("event_type", "ts")
+    val o4 = TemporalJoins.theilSen(ev4).collect()(0)
+    assert(o4.getLong(2) === 6L && o4.getDouble(3) === 1.0)
+  }
+
+  test("pageHinkley: constant series never drifts, a sustained shift " +
+      "alarms, exact integer replay of the excursion chain") {
+    def mk(t: String, day: Int, n: Int) =
+      (1 to n).map(_ => (t, ts(f"2024-01-$day%02d 10:00:00")))
+    // flat: 10/day for 10 days; shifted: 10/day for 5 then 30/day for 5
+    val ev = ((1 to 10).flatMap(d => mk("flat", d, 10)) ++
+      (1 to 5).flatMap(d => mk("shift", d, 10)) ++
+      (6 to 10).flatMap(d => mk("shift", d, 30))).toDF("event_type", "ts")
+    val out = TemporalJoins.pageHinkley(ev, lambda = 20.0).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getDouble(2) === 0.0 &&
+      out("flat").getString(4) === "stable")
+    // exact replay of the defined integer chain for the shifted series
+    val xs = Seq.fill(5)(10L) ++ Seq.fill(5)(30L)
+    var cum = 0L; var m6 = 0L; var minM = Long.MaxValue
+    var maxExc = 0L; var firstAlarm: Option[Int] = None
+    xs.zipWithIndex.foreach { case (x, i) =>
+      cum += x
+      m6 += x * 1000000L - (cum * 1000000L) / (i + 1)
+      minM = math.min(minM, m6)
+      val exc = m6 - minM
+      maxExc = math.max(maxExc, exc)
+      if (exc > 20000000L && firstAlarm.isEmpty) firstAlarm = Some(i + 1)
+    }
+    assert(out("shift").getString(4) === "drift")
+    assert(out("shift").getDouble(2) === maxExc / 1e6,
+      "max excursion replays the integer chain")
+    assert(out("shift").getDate(3).toString ===
+      f"2024-01-${firstAlarm.get}%02d")
+  }
 }
