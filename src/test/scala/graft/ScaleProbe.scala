@@ -120,7 +120,13 @@ object ScaleProbe {
     // rank-sum agg), log-rank (duration value-set grid x 2 cohorts),
     // Kendall tau-b (cells^2 per source — replica token-suffixing grows
     // the word-bucket value set, the probe bounds the cells^2 term)
-    "q253_mann_whitney", "q254_log_rank", "q255_kendall_tau")
+    "q253_mann_whitney", "q254_log_rank", "q255_kendall_tau",
+    // gen-14: Theil-Sen / Page-Hinkley ride the calendar-bounded daily
+    // table (pairs = days^2 per key, constant in event volume); CA is
+    // one cell census; snapshot diff is one id-keyed full-outer join
+    // with row-local gram math (linear scan, no pair term)
+    "q256_theil_sen", "q257_cochran_armitage", "q258_page_hinkley",
+    "q259_snapshot_diff")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
