@@ -214,7 +214,15 @@ object PlanDump {
     "q254_log_rank" ->
       "Log-rank: duration value-set grid x 2 cohorts, per-cohort descending cumulative for risk sets, quantized per-time E6/V6 terms collapsing to one report row.",
     "q255_kendall_tau" ->
-      "Kendall tau-b: joint (x, y) value-set cells, ONE strict-x-dominance cells^2 self-join per group, tie terms from cell margins — report-sized relations after the first aggregation.")
+      "Kendall tau-b: joint (x, y) value-set cells, ONE strict-x-dominance cells^2 self-join per group, tie terms from cell margins — report-sized relations after the first aggregation.",
+    "q256_theil_sen" ->
+      "Theil-Sen: daily value-set collapse, days^2-per-key pair join (calendar-bounded, constant in event volume), two pinned-median ranking windows over pair/level tables — raw events enter one aggregation only.",
+    "q257_cochran_armitage" ->
+      "Cochran-Armitage: one (group, bucket) cell census with map-side partials; everything after is |groups|-row arithmetic (exact decimal variance, one sqrt).",
+    "q258_page_hinkley" ->
+      "Page-Hinkley: daily collapse, then four per-key cumulative windows (rank, sum, running mean, running min) over the calendar-bounded table — no recursion, no corpus-sized window.",
+    "q259_snapshot_diff" ->
+      "Snapshot diff: ONE full-outer equi-join on doc_id; gram sets and the version Jaccard are row-local projections — never a pair join.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
