@@ -67,10 +67,12 @@ object Bench {
       import org.apache.spark.sql.functions.{sum => fsum, count => fcount, expr}
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
+        // summand bounded to 2^20 so the 2e8-row sum stays ~2e14 —
+        // summing raw 64-bit hashes overflows BIGINT under ANSI
         spark.range(0, 200000000L, 1, 32)
           .selectExpr("xxhash64(id) as h")
           .groupBy(expr("pmod(h, 1024)").as("b"))
-          .agg(fsum("h").as("s"), fcount(expr("*")).as("c"))
+          .agg(fsum(expr("pmod(h, 1048576)")).as("s"), fcount(expr("*")).as("c"))
           .write.format("noop").mode("overwrite").save()
         spark.range(0, 2000000L, 1, 32)
           .selectExpr("xxhash64(id) as h", "id")
