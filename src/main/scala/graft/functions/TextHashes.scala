@@ -128,6 +128,18 @@ object TextHashOps {
     }
     out
   }
+
+  /** Unicode NFC with an isNormalized fast path (the common ASCII/NFC
+    * case is one scan, no allocation). Called from interpreted eval AND
+    * generated code — must stay a static-shaped helper.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** `byte_histogram(binary)` — 256-bin byte-value histogram as
@@ -211,6 +223,38 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `nfc_normalize(text)` — Unicode NFC (canonical composition) as a
+  * native codegen expression. Spark has no normalization builtin; the
+  * HOF/UDF alternatives either leave whole-stage codegen or serialize
+  * through Scala functions. java.text.Normalizer implements UAX#15
+  * exactly as DuckDB's utf8proc does, so outputs are oracle-comparable
+  * byte-for-byte. The already-NFC fast path (`Normalizer.isNormalized`)
+  * skips the rebuild — on mostly-ASCII corpora the common case is one
+  * scan, zero allocation.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashOps.nfcNormalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
 
   private val shingleIdent = FunctionIdentifier("shingle_hashes")
@@ -279,5 +323,25 @@ object TextHashFunctions {
   def simHash64(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("simhash64", text)
+  }
+
+  private val nfcIdent = FunctionIdentifier("nfc_normalize")
+
+  private val nfcInfo = new ExpressionInfo(
+    classOf[NfcNormalize].getCanonicalName, null, "nfc_normalize",
+    "_FUNC_(text) - Unicode NFC canonical composition", "")
+
+  private[functions] val nfcBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.size == 1, "nfc_normalize takes exactly 1 argument")
+      NfcNormalize(children.head)
+  }
+
+  def nfcNormalize(spark: SparkSession, text: Column): Column = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(nfcIdent)) {
+      reg.registerFunction(nfcIdent, nfcInfo, nfcBuilder)
+    }
+    call_function("nfc_normalize", text)
   }
 }

@@ -191,6 +191,47 @@ object TextAnalysis {
       .toDF(idCol, "n_bytes", "n_compressed", "ratio")
   }
 
+  /** Unicode text normalization (q260) — the canonical-form pass every
+    * multi-source corpus needs BEFORE dedup and tokenization: the same
+    * word crawled as composed "é" and as "e"+U+0301 hashes differently,
+    * splitting near-dup clusters and inflating vocabularies; zero-width
+    * characters hide inside tokens; curly quotes/dashes fork otherwise
+    * identical n-grams. Stages (each a defined, oracle-replayable
+    * transform):
+    *
+    *   1. NFC canonical composition — the native codegen
+    *      [[graft.functions.NfcNormalize]] expression (java.text
+    *      .Normalizer implements UAX#15 exactly as DuckDB's utf8proc,
+    *      so outputs compare byte-for-byte);
+    *   2. invisible-format strip: ZWSP/ZWNJ/ZWJ/BOM/soft-hyphen;
+    *   3. typographic standardization: curly quotes → ASCII quotes,
+    *      en/em dash → hyphen.
+    *
+    * Emits the cleaned text plus the audit columns a curation report
+    * wants (changed flag, before/after char counts). Row-local codegen
+    * end to end — no shuffle, no UDF. Idempotent: normalize ∘ normalize
+    * = normalize (spec-pinned).
+    */
+  def normalizeText(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val nfc = graft.functions.TextHashFunctions
+      .nfcNormalize(spark, col(textCol))
+    val cleaned =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(nfc, "[\u200B\u200C\u200D\uFEFF\u00AD]", ""),
+            "[\u2018\u2019]", "'"),
+          "[\u201C\u201D]", "\""),
+        "[\u2013\u2014]", "-")
+    docs.select(col(idCol),
+      cleaned.as("text_clean"),
+      (cleaned =!= col(textCol)).as("changed"),
+      length(col(textCol)).cast("long").as("n_chars_before"),
+      length(cleaned).cast("long").as("n_chars_after"))
+  }
+
   /** Polynomial rolling hash fingerprint over characters,
     * `h = (h*31 + codepoint) mod (2^31-1)` — order-sensitive, so it
     * distinguishes permuted documents where bag-of-words hashes collide.

@@ -1020,6 +1020,27 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode normalization audit over planted anomalies: NFC via the
+    // native codegen expression (combining acute composes), zero-width
+    // strip, curly-quote/dash standardization — per-doc audit with the
+    // cleaned text's md5 so the oracle checks the BYTES, not just flags
+    "q260_normalize_text" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val injected = docs
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" caf"), lit("e"), lit("\u0301")))
+          .otherwise(col("text")))
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(lit("\u200B"), col("text"))).otherwise(col("text")))
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(lit("\u201C"), col("text"), lit("\u201D")))
+          .otherwise(col("text")))
+      graft.operators.TextAnalysis.normalizeText(injected)
+        .withColumn("clean_md5", md5(col("text_clean")))
+        .drop("text_clean")
+        .orderBy(col("doc_id"))
+    }),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -5831,6 +5852,34 @@ object LlmOps {
             THEN CAST(floor(1.0 * inter / (la + lb - inter) * 10000)
               / 10000 AS DOUBLE) END AS jaccard
         FROM g3 ORDER BY doc_id""",
+
+    // same planted anomalies (combining acute / ZWSP / curly quotes),
+    // utf8proc NFC == java.text.Normalizer NFC (both UAX#15), same
+    // strip/standardize classes with the 'g' flag, md5 over the bytes
+    "q260_normalize_text" ->
+      """WITH inj AS (SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 THEN chr(8220) ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0 THEN chr(8203) ELSE '' END ||
+            text ||
+            CASE WHEN doc_id % 5 = 0 THEN ' cafe' || chr(769) ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0 THEN chr(8221) ELSE '' END AS t
+          FROM documents),
+        norm AS (SELECT doc_id, t,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(nfc_normalize(t),
+                    '[' || chr(8203) || chr(8204) || chr(8205)
+                      || chr(65279) || chr(173) || ']', '', 'g'),
+                  '[' || chr(8216) || chr(8217) || ']', '''', 'g'),
+                '[' || chr(8220) || chr(8221) || ']', '"', 'g'),
+              '[' || chr(8211) || chr(8212) || ']', '-', 'g') AS clean
+          FROM inj)
+        SELECT doc_id, clean <> t AS changed,
+          CAST(length(t) AS BIGINT) AS n_chars_before,
+          CAST(length(clean) AS BIGINT) AS n_chars_after,
+          md5(clean) AS clean_md5
+        FROM norm ORDER BY doc_id""",
 
     // q148's bucket rule, dense class x source grid with absent-cell
     // global mass, exact BIGINT TV numerator, one integer division

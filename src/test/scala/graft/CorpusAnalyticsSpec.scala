@@ -1117,6 +1117,35 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("normalizeText: NFC composition, invisible strip, typographic " +
+      "standardization, ASCII no-op, idempotence") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "caf" + "e\u0301" + " au lait"),   // combining acute
+      (2L, "a\u200Bb\u200Cc\u200Dd\uFEFFe\u00ADf"), // invisibles
+      (3L, "\u201Cq\u201D \u2018x\u2019 a\u2013b\u2014c"), // quotes/dashes
+      (4L, "plain ascii text stays put"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.normalizeText(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("caf\u00e9 au lait", true, 13L, 12L)),
+      "NFC composes e + U+0301 into é")
+    assert(out(2L) === (("abcdef", true, 11L, 6L)),
+      "all five invisible classes stripped")
+    assert(out(3L) === (("\"q\" 'x' a-b-c", true, 13L, 13L)))
+    assert(out(4L) === (("plain ascii text stays put", false, 26L, 26L)))
+    // idempotence: normalize(normalize(x)) == normalize(x)
+    val again = graft.operators.TextAnalysis.normalizeText(
+      graft.operators.TextAnalysis.normalizeText(fixture)
+        .select(col("doc_id"), col("text_clean").as("text")))
+    assert(again.filter(col("changed")).count() === 0L)
+    // the native expression keeps its isNormalized fast path honest
+    val direct = graft.functions.TextHashFunctions
+      .nfcNormalize(spark, lit("already normal"))
+    assert(fixture.select(direct).head().getString(0) === "already normal")
+  }
+
   test("bitextMine: translation pairs clear the margin, hub vectors don't") {
     import spark.implicits._
     // e1↔f1 and e2↔f2 are near-identical (translations); e3 is a hub

@@ -222,7 +222,9 @@ object PlanDump {
     "q258_page_hinkley" ->
       "Page-Hinkley: daily collapse, then four per-key cumulative windows (rank, sum, running mean, running min) over the calendar-bounded table — no recursion, no corpus-sized window.",
     "q259_snapshot_diff" ->
-      "Snapshot diff: ONE full-outer equi-join on doc_id; gram sets and the version Jaccard are row-local projections — never a pair join.")
+      "Snapshot diff: ONE full-outer equi-join on doc_id; gram sets and the version Jaccard are row-local projections — never a pair join.",
+    "q260_normalize_text" ->
+      "Unicode normalization: the native nfc_normalize codegen expression + regex chain in one row-local projection — zero joins, zero shuffles before the output sort.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -126,7 +126,10 @@ object ScaleProbe {
     // one cell census; snapshot diff is one id-keyed full-outer join
     // with row-local gram math (linear scan, no pair term)
     "q256_theil_sen", "q257_cochran_armitage", "q258_page_hinkley",
-    "q259_snapshot_diff")
+    "q259_snapshot_diff",
+    // gen-15: row-local NFC + regex chain (linear scan by construction;
+    // the probe is the falsification)
+    "q260_normalize_text")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
