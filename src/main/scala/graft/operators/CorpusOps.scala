@@ -1578,6 +1578,53 @@ object CorpusOps {
           col("_t1") =!= col("_t2"), jac).as("jaccard"))
   }
 
+  /** Inter-source containment matrix (q261) — [[sourceOverlap]]'s
+    * shared-count diagnostic upgraded to the DECISION read: for every
+    * source pair (dense spine — non-overlapping pairs report 0, they
+    * don't vanish), the exact Jaccard and BOTH directional containments
+    * of the distinct word-n-gram sets, plus the set sizes. Containment
+    * is the source-pruning signal Jaccard hides: a small crawl 95%
+    * contained in an existing source is redundant even though the
+    * pair's Jaccard is tiny — drop or down-quota it before it enters
+    * the pipeline ([[sourceQuota]]'s upstream question).
+    *
+    * Shape at scale: the inverted-index shape, never pairwise scans —
+    * one distinct (source, gram) relation (map-side combinable), per-
+    * source set sizes from it, and pair intersections from the gram-
+    * keyed self-join (fan-out per gram = sources sharing it, bounded by
+    * |sources|; work rides SHARED grams, not the corpus square).
+    * Quantization: j6/containment6 = exact ·10⁶ integer divisions.
+    */
+  def sourceContainment(docs: DataFrame, n: Int = 3,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val w = TextAnalysis.wsTokens(col(textCol))
+    val gramArr = when(size(w) >= n, TextAnalysis.wordNgrams(w, n))
+      .otherwise(array(concat_ws(" ", w)))  // Dedup's short-doc convention
+    val grams = docs.select(col(sourceCol).as("_s"),
+        explode(gramArr).as("_g"))
+      .distinct()
+    val sizes = grams.groupBy(col("_s")).agg(count(lit(1)).as("_n"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a._g") === col("b._g") && col("a._s") < col("b._s"))
+      .groupBy(col("a._s").as("_sa"), col("b._s").as("_sb"))
+      .agg(count(lit(1)).as("_i"))
+    // dense pair spine: pairs sharing NOTHING must still report 0
+    val spine = sizes.select(col("_s").as("_sa"), col("_n").as("_na"))
+      .join(sizes.select(col("_s").as("_sb"), col("_n").as("_nb")),
+        col("_sa") < col("_sb"))
+    spine.join(inter, Seq("_sa", "_sb"), "left")
+      .withColumn("_i", coalesce(col("_i"), lit(0L)))
+      .select(col("_sa").as("source_a"), col("_sb").as("source_b"),
+        col("_na").as("n_grams_a"), col("_nb").as("n_grams_b"),
+        col("_i").as("n_shared"),
+        (expr("_i * 1000000 div (_na + _nb - _i)").cast("double") / 1e6)
+          .as("jaccard"),
+        (expr("_i * 1000000 div _na").cast("double") / 1e6)
+          .as("containment_a"),
+        (expr("_i * 1000000 div _nb").cast("double") / 1e6)
+          .as("containment_b"))
+  }
+
   /** Fixed-length training-sequence packing — the final pretraining
     * data-prep stage: conceptually concatenate every document's tokens
     * in id order into one stream, cut the stream into consecutive

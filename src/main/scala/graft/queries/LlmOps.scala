@@ -1041,6 +1041,14 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // inter-source containment matrix: q87's shared counts upgraded to
+    // exact pairwise Jaccard + BOTH directional containments over a
+    // dense pair spine (inverted-index shape, never pairwise scans)
+    "q261_source_containment" -> ((s, d) =>
+      graft.operators.CorpusOps.sourceContainment(
+          Tables.fanout(Tables.documents(s, d)))
+        .orderBy(col("source_a"), col("source_b"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -5852,6 +5860,34 @@ object LlmOps {
             THEN CAST(floor(1.0 * inter / (la + lb - inter) * 10000)
               / 10000 AS DOUBLE) END AS jaccard
         FROM g3 ORDER BY doc_id""",
+
+    // same distinct (source, gram) relation (short-doc convention), same
+    // gram-keyed intersections and integer-millionth divisions over the
+    // dense pair spine
+    "q261_source_containment" ->
+      """WITH w0 AS (SELECT source,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        g AS (SELECT DISTINCT source AS s, gr FROM (
+          SELECT source, unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS gr
+          FROM w0) t),
+        sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY s),
+        iv AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS i
+          FROM g a JOIN g b ON a.gr = b.gr AND a.s < b.s
+          GROUP BY 1, 2),
+        sp AS (SELECT x.s AS sa, y.s AS sb, x.n AS na, y.n AS nb
+          FROM sz x JOIN sz y ON x.s < y.s),
+        j AS (SELECT sp.sa, sp.sb, na, nb, coalesce(i, 0) AS i
+          FROM sp LEFT JOIN iv ON sp.sa = iv.sa AND sp.sb = iv.sb)
+        SELECT sa AS source_a, sb AS source_b, na AS n_grams_a,
+          nb AS n_grams_b, i AS n_shared,
+          CAST(i * 1000000 // (na + nb - i) AS DOUBLE) / 1e6 AS jaccard,
+          CAST(i * 1000000 // na AS DOUBLE) / 1e6 AS containment_a,
+          CAST(i * 1000000 // nb AS DOUBLE) / 1e6 AS containment_b
+        FROM j ORDER BY source_a, source_b""",
 
     // same planted anomalies (combining acute / ZWSP / curly quotes),
     // utf8proc NFC == java.text.Normalizer NFC (both UAX#15), same

@@ -531,4 +531,31 @@ class DataSelectionSpec extends SparkSpec {
     assert(out(5L) === (("unchanged", None)))
     assert(out.size === 5)
   }
+
+  test("sourceContainment: asymmetric containment vs Jaccard, dense " +
+      "spine zeros, identical sources at 1.0") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j k l m"          // 13 words, 11 grams
+    val docs = Seq(
+      (1L, "A", base),
+      (2L, "B", base),                              // B == A
+      (3L, "C", "z1 z2 z3 z4 z5"),                  // disjoint, 3 grams
+      (4L, "D", base + " n o p q r"))               // A ⊂ D (16 grams)
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.CorpusOps.sourceContainment(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out.size === 6, "dense spine: all 4C2 pairs present")
+    assert(out(("A", "B")) === ((11L, 11L, 11L, 1.0, 1.0, 1.0)))
+    // A fully contained in D; D only 11/16 contained in A
+    val (na, nd, sh, j, ca, cd) = out(("A", "D"))
+    assert(na === 11L && nd === 16L && sh === 11L)
+    assert(ca === 1.0, "A is fully contained in D")
+    assert(cd === math.floor(11e6 / 16) / 1e6, "D is not")
+    assert(j === math.floor(11e6 / 16) / 1e6)
+    assert(ca > j, "containment is the signal Jaccard hides")
+    // disjoint pair reports zeros, not absence
+    assert(out(("A", "C")) === ((11L, 3L, 0L, 0.0, 0.0, 0.0)))
+  }
 }

@@ -224,7 +224,9 @@ object PlanDump {
     "q259_snapshot_diff" ->
       "Snapshot diff: ONE full-outer equi-join on doc_id; gram sets and the version Jaccard are row-local projections — never a pair join.",
     "q260_normalize_text" ->
-      "Unicode normalization: the native nfc_normalize codegen expression + regex chain in one row-local projection — zero joins, zero shuffles before the output sort.")
+      "Unicode normalization: the native nfc_normalize codegen expression + regex chain in one row-local projection — zero joins, zero shuffles before the output sort.",
+    "q261_source_containment" ->
+      "Source containment: distinct (source, gram) relation with map-side combine, gram-keyed self-join for intersections (rides shared grams), |sources|^2 spine join — document cardinality never reaches the pair stage.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -129,7 +129,11 @@ object ScaleProbe {
     "q259_snapshot_diff",
     // gen-15: row-local NFC + regex chain (linear scan by construction;
     // the probe is the falsification)
-    "q260_normalize_text")
+    "q260_normalize_text",
+    // gen-15b: dense containment spine — the distinct (source, gram)
+    // relation grows with vocabulary under replica suffixing; the
+    // gram-keyed pair join rides shared grams only
+    "q261_source_containment")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
