@@ -130,8 +130,9 @@ object TextHashOps {
   }
 
   /** Unicode NFC with an isNormalized fast path (the common ASCII/NFC
-    * case is one scan, no allocation). Called from interpreted eval AND
-    * generated code — must stay a static-shaped helper.
+    * case is one scan + the String copy, no rebuild). Called from
+    * interpreted eval AND generated code — must stay a static-shaped
+    * helper.
     */
   def nfcNormalize(s: UTF8String): UTF8String = {
     val str = s.toString
@@ -229,8 +230,8 @@ case class SimHash64(child: Expression)
   * through Scala functions. java.text.Normalizer implements UAX#15
   * exactly as DuckDB's utf8proc does, so outputs are oracle-comparable
   * byte-for-byte. The already-NFC fast path (`Normalizer.isNormalized`)
-  * skips the rebuild — on mostly-ASCII corpora the common case is one
-  * scan, zero allocation.
+  * skips the rebuild and returns the INPUT UTF8String — the cost floor
+  * is the one String copy isNormalized needs, not a normalize pass.
   */
 case class NfcNormalize(child: Expression)
     extends UnaryExpression with Serializable {
