@@ -1248,4 +1248,205 @@ object EvalOps {
         (col("de6").cast("double") / 1e6).as("d_exp"),
         (col("alpha6").cast("double") / 1e6).as("alpha"))
   }
+
+  /** Kruskal–Wallis H test per slice (q262) — the k-group extension of
+    * [[mannWhitney]]: U answers "is THIS source shifted vs the rest",
+    * H answers the prior question "do the k sources differ AT ALL in
+    * location" with one k−1-df test, the gate you run before k per-source
+    * follow-ups (and the nonparametric ANOVA every mixture audit wants:
+    * length/quality distributions are never normal).
+    *
+    * Exactness, the [[mannWhitney]] discipline: per slice the corpus
+    * collapses to the (group, value → count) VALUE SET; DOUBLED midranks
+    * from one cumulative window (rank2 = 2·cum − ct + 1), doubled rank
+    * sums R2_g = Σ c·rank2. H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1)
+    * quantizes as term6_g = R2_g²·10⁶ div (4n_g) (exact DECIMAL(38,0);
+    * R2_g ≤ 2N·n_g so the square ≤ 4N²n_g² ≤ 4N⁴ — ceiling N ≤ 10⁷ with
+    * 10-plus digits of headroom), H6 = 12·Σterm6 div (N(N+1)) −
+    * 3(N+1)·10⁶. Tie correction divides by C = 1 − Σ(t³−t)/(N³−N):
+    * Hadj6 = H6·(N³−N) div (N³−N−T), NULL when every value is tied
+    * (C = 0, the [[ksTest]] degenerate contract); the tie cube Σ(t³−t)
+    * rides BIGINT, binding at per-value tie counts ≤ 2·10⁶ (the
+    * [[mannWhitney]] ceiling — ANSI overflows LOUD past it, never
+    * silently wrong). The α = 0.05 critical value for df = k−1 comes
+    * from the Wilson–Hilferty cube
+    * χ²₀.₉₅(ν) ≈ ν(1 − 2/(9ν) + 1.6449√(2/(9ν)))³ — closed-form double
+    * arithmetic (one IEEE sqrt, explicit w·w·w multiplies — never pow,
+    * which is only ~1-ulp across libms) both engines replay
+    * bit-identically, exact-vs-table error < 0.6% at ν ≥ 1.
+    *
+    * Scale: one (slice, group, value) aggregation, windows over the
+    * slice-partitioned VALUE SET (never row-count-sized), |slices|-row
+    * output.
+    */
+  def kruskalWallis(df: DataFrame, sliceCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = df.groupBy(col(sliceCol).as("_s"), col(groupCol).as("_g"),
+        col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val vals = g.groupBy(col("_s"), col("_v")).agg(sum(col("_c")).as("_ct"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_s")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val ranked = vals.withColumn("_rank2",
+      lit(2L) * sum(col("_ct")).over(wAll) - col("_ct") + 1L)
+    val ties = vals.groupBy(col("_s")).agg(
+      sum(col("_ct") * col("_ct") * col("_ct") - col("_ct")).as("_t"),
+      sum(col("_ct")).as("_nall"))
+    val perGrp = g
+      .join(ranked.select(col("_s"), col("_v"), col("_rank2")),
+        Seq("_s", "_v"))
+      .groupBy(col("_s"), col("_g"))
+      .agg(sum(col("_c")).as("_n"),
+        sum(col("_c") * col("_rank2")).as("_r2"))
+      .withColumn("_term6", expr(
+        "CAST(_r2 AS DECIMAL(38,0)) * _r2 * 1000000 div (4 * _n)"))
+    perGrp.groupBy(col("_s"))
+      .agg(count(lit(1)).as("k"), sum(col("_term6")).as("_sum6"))
+      .join(broadcast(ties), Seq("_s"))
+      .withColumn("_h6", expr(
+        """12 * _sum6 div (CAST(_nall AS DECIMAL(38,0)) * (_nall + 1))
+           - 3 * (_nall + 1) * 1000000"""))
+      .withColumn("_denom", expr(
+        "CAST(_nall AS DECIMAL(38,0)) * _nall * _nall - _nall - _t"))
+      .withColumn("_hadj6", when(col("_denom") > 0, expr(
+        """_h6 * (CAST(_nall AS DECIMAL(38,0)) * _nall * _nall - _nall)
+           div _denom""")))
+      .withColumn("_nu", (col("k") - 1L).cast("double"))
+      // explicit w·w·w, not pow(w,3): multiplication is correctly
+      // rounded IEEE in every engine, pow is only ~1 ulp
+      .withColumn("_wh", lit(1.0) - lit(2.0) / (lit(9.0) * col("_nu"))
+        + lit(1.6448536269514722) * sqrt(lit(2.0) / (lit(9.0) * col("_nu"))))
+      .withColumn("_crit6", when(col("k") >= 2, floor(col("_nu")
+        * col("_wh") * col("_wh") * col("_wh") * 1e6).cast("long")))
+      .select(col("_s").as(sliceCol), col("k"), col("_nall").as("n"),
+        (col("_hadj6").cast("double") / 1e6).as("h"),
+        (col("_crit6").cast("double") / 1e6).as("crit_05"),
+        when(col("_hadj6").isNotNull && col("_crit6").isNotNull,
+          col("_hadj6") > col("_crit6")).as("differs"))
+  }
+
+  /** 1-D Wasserstein (earth-mover) distance per group vs the REST of the
+    * corpus (q263) — [[ksTest]] reports the WORST single CDF gap, W₁
+    * integrates ALL of it: W₁ = ∫|F_g − F_rest| dv, the average number
+    * of value-units a document must move to turn one distribution into
+    * the other. The pair is the standard drift read — KS flags, W₁
+    * sizes the flag in the value's own units (chars, tokens, score
+    * points), which is what decides whether a drifted source needs
+    * re-curation or a shrug.
+    *
+    * Exactness, the [[ksTest]] grid: the corpus collapses to the global
+    * value set; every (group, value) grid cell gets cumulative counts
+    * from one partitioned window; per-cell gap6 = |cum·10⁶ div n −
+    * cumrest·10⁶ div nrest| (each CDF quantized exactly like ksTest's
+    * d6), and W₁6 = Σ gap6·(next_v − v) over the value grid (lead()
+    * on the value set; the top value contributes 0 — both CDFs are 1
+    * there). Integer throughout: gap6 ≤ 10⁶, Δv ≤ range, the sum ≤
+    * 10⁶·range·|grid| — BIGINT-safe to range·|values| ≤ 10¹².
+    * `w1_norm` = W₁/range rescales to [0,1] for cross-column
+    * comparison (one truncating div by the value range). Groups
+    * covering the whole corpus report NULL (no rest to compare).
+    *
+    * Scale: identical plan shape to [[ksTest]] — value-set windows, a
+    * broadcast groups spine, one final per-group aggregation.
+    */
+  def wasserstein1d(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val g = df.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val vals = g.groupBy(col("_v")).agg(sum(col("_c")).as("_ct"))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wLead = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+    val valsCum = vals
+      .withColumn("_cumall", sum(col("_ct")).over(wAll))
+      .withColumn("_dv", coalesce(lead(col("_v"), 1).over(wLead)
+        - col("_v"), lit(0L)))
+    val groups = g.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+    val nAll = g.agg(sum(col("_c")).as("_nall"),
+      (max(col("_v")) - min(col("_v"))).as("_range"))
+    val grid = valsCum.crossJoin(broadcast(groups))
+      .join(g, Seq("_g", "_v"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    grid.withColumn("_cum", sum(col("_c")).over(wG))
+      .crossJoin(broadcast(nAll))
+      .withColumn("_nrest", col("_nall") - col("_n"))
+      .withColumn("_cumrest", col("_cumall") - col("_cum"))
+      .withColumn("_gap6", when(col("_nrest") > 0,
+        abs(expr("_cum * 1000000 div _n")
+          - expr("_cumrest * 1000000 div _nrest"))))
+      .groupBy(col("_g"))
+      .agg(max(col("_n")).as("n_group"), max(col("_nrest")).as("n_rest"),
+        sum(col("_gap6") * col("_dv")).as("_w6"),
+        max(col("_range")).as("_range"))
+      .select(col("_g").as(groupCol), col("n_group"), col("n_rest"),
+        (col("_w6").cast("double") / 1e6).as("w1"),
+        when(col("_range") > 0, expr("_w6 div _range").cast("double") / 1e6)
+          .as("w1_norm"))
+  }
+
+  /** Population Stability Index per group vs the corpus baseline (q264)
+    * — the deployment-monitoring staple: bucket the BASELINE distribution
+    * into deciles, then PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over the
+    * group's vs the baseline's bucket shares. The industry read: < 0.1
+    * stable, 0.1–0.2 watch, > 0.2 act — `action` surfaces the last.
+    * Complements [[ksTest]]/[[wasserstein1d]]: PSI is the one score
+    * operations teams already alarm on, and its fixed-bucket form is
+    * what a 100 TB scoreboard can afford (10 buckets per group, not a
+    * value grid per comparison).
+    *
+    * Determinism: decile edges come from the corpus VALUE SET — a value
+    * lands in bucket min(9, left_rank·10 div N) (left rank = cumulative
+    * count strictly below it), so heavy values stay atomic and both
+    * engines compute identical buckets with pure integers. Shares are
+    * +1/+10 Laplace-smoothed (p = (n_gb+1)/(n_g+10)) so empty buckets
+    * stay finite — the standard PSI patch. The summand mixes exact
+    * integer ratios into IEEE doubles and one ln per bucket; like
+    * [[CorpusOps.sourceKl]] the result clamps at 0 and quantizes to
+    * millionths AFTER the 10-term sum (PSI ≥ 0 mathematically; the
+    * float sum of a zero-drift group can land at ±1e-16).
+    *
+    * Scale: one (group, bucket) census over the bucket-tagged value set,
+    * a broadcast 10-bucket × groups dense spine, |groups|-row output.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val g = df.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val vals = g.groupBy(col("_v")).agg(sum(col("_c")).as("_ct"))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val nAll = g.agg(sum(col("_c")).as("_nall"))
+    val bucketed = vals
+      .withColumn("_below", sum(col("_ct")).over(wAll) - col("_ct"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("_b", least(lit(9L), expr("_below * 10 div _nall")))
+    val baseline = bucketed.groupBy(col("_b")).agg(sum(col("_ct")).as("_nb"))
+    val grpBucket = g
+      .join(bucketed.select(col("_v"), col("_b")), Seq("_v"))
+      .groupBy(col("_g"), col("_b")).agg(sum(col("_c")).as("_ngb"))
+    val groups = g.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+    val spine = broadcast(groups)
+      .crossJoin(broadcast(baseline))
+      .join(grpBucket, Seq("_g", "_b"), "left")
+      .withColumn("_ngb", coalesce(col("_ngb"), lit(0L)))
+      .crossJoin(broadcast(nAll))
+      .withColumn("_p", (col("_ngb") + 1L).cast("double")
+        / (col("_n") + 10L).cast("double"))
+      .withColumn("_q", (col("_nb") + 1L).cast("double")
+        / (col("_nall") + 10L).cast("double"))
+    spine.groupBy(col("_g"))
+      .agg(max(col("_n")).as("n_group"),
+        (floor(greatest(lit(0.0), sum((col("_p") - col("_q"))
+          * log(col("_p") / col("_q")))) * 1e6) / 1e6).as("psi"))
+      .select(col("_g").as(groupCol), col("n_group"), col("psi"),
+        (col("psi") > 0.2).as("action"))
+  }
 }

@@ -271,4 +271,65 @@ object Quantiles {
         (col("mad_q").cast("double") / 4).as("mad"),
         col("n_outliers"))
   }
+
+  /** Gini concentration + Lorenz landmarks of a NONNEGATIVE integral
+    * value per group (q265) — the ownership read a mixture audit runs on
+    * token counts: a source where 10% of the documents own 80% of the
+    * tokens is a few-giant-docs source (dedup/chunking behaves very
+    * differently there than where mass is even). Reports the Gini
+    * coefficient plus the two Lorenz points people actually quote —
+    * the bottom-half share and the top-decile share.
+    *
+    * Exactness by value-set collapse — no per-row ranking window: a tied
+    * block of value v with count c at cumulative count `cum` occupies
+    * ranks (cum−c+1 … cum), so 2·Σᵢ i·x₍ᵢ₎ = Σ_blocks v·c·(2cum−c+1) —
+    * the [[EvalOps.mannWhitney]] doubled-midrank identity applied to
+    * weighted values. Gini = (2Σi·x − (n+1)S)/(nS) quantizes as one
+    * DECIMAL(38,0) truncating division; with S ≤ Σv·c the products are
+    * exact to n·S ≤ 10³⁰. Lorenz cut at m individuals interpolates
+    * INSIDE a tied block exactly: cumx_at(m) = cumx − v·(cum − m) at the
+    * first block with cum ≥ m (pure integers). Groups with S = 0 report
+    * NULL (Lorenz undefined); negative values are the caller's bug (the
+    * doc contract — Gini is a nonnegative-mass statistic).
+    *
+    * Scale: one (group, value) census, value-set-sized windows
+    * partitioned by group, |groups|-row output.
+    */
+  def giniConcentration(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_cumx", sum(col("_v") * col("_c")).over(w))
+    val totals = cum.groupBy(col("_g"))
+      .agg(max(col("_cum")).as("_ntot"), max(col("_cumx")).as("_tot"))
+    // the cut interpolates in the FIRST block with cum ≥ m (struct-min =
+    // arg-min on the strictly increasing _cum — a later block's formula
+    // undershoots, it assumes rank-(m..cum) mass at ITS value)
+    def cumxAt(m: Column): Column =
+      min(when(col("_cum") >= m, struct(col("_cum"),
+        (col("_cumx") - col("_v") * (col("_cum") - m)).as("x"))))
+        .getField("x")
+    cum.join(broadcast(totals), "_g")
+      .groupBy(col("_g"))
+      .agg(max(col("_ntot")).as("n"), max(col("_tot")).as("total"),
+        sum(expr("CAST(_v AS DECIMAL(38,0)) * _c * (2 * _cum - _c + 1)"))
+          .as("_s1x2"),
+        cumxAt(expr("_ntot div 2")).as("_bhalf"),
+        cumxAt(expr("_ntot - _ntot div 10")).as("_below90"))
+      .withColumn("_gini6", when(col("total") > 0, expr(
+        """(_s1x2 - (CAST(n AS DECIMAL(38,0)) + 1) * total) * 1000000
+           div (CAST(n AS DECIMAL(38,0)) * total)""")))
+      .select(col("_g").as(groupCol), col("n"), col("total"),
+        (col("_gini6").cast("double") / 1e6).as("gini"),
+        when(col("total") > 0,
+          expr("_bhalf * 1000000 div total").cast("double") / 1e6)
+          .as("bottom_half_share"),
+        when(col("total") > 0,
+          expr("(total - _below90) * 1000000 div total")
+            .cast("double") / 1e6).as("top_decile_share"))
+  }
 }

@@ -1049,6 +1049,38 @@ object LlmOps {
           Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("source_a"), col("source_b"))),
 
+    // Kruskal-Wallis per lang: do the 20 sources differ in length
+    // distribution at all — doubled midranks, exact DECIMAL(38,0) H,
+    // tie-corrected, Wilson-Hilferty critical cube
+    "q262_kruskal_wallis" -> ((s, d) =>
+      graft.operators.EvalOps.kruskalWallis(
+          Tables.documents(s, d).select(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_bucket")),
+          "lang", "source", "len_bucket")
+        .orderBy(col("lang"))),
+
+    // 1-D Wasserstein drift per source vs rest: the ksTest grid with
+    // the CDF gap INTEGRATED over the value axis (chars moved per doc)
+    "q263_wasserstein" -> ((s, d) =>
+      graft.operators.EvalOps.wasserstein1d(Tables.documents(s, d),
+        "source", "n_chars").orderBy(col("source"))),
+
+    // PSI per source vs the corpus baseline: value-set decile buckets,
+    // +1/+10 Laplace shares, the 0.2 industry action line
+    "q264_psi_drift" -> ((s, d) =>
+      graft.operators.EvalOps.psiDrift(Tables.documents(s, d),
+        "source", "n_chars").orderBy(col("source"))),
+
+    // Gini + Lorenz landmarks of per-doc word counts per source:
+    // doubled-midrank weighted identity, exact in-block Lorenz cuts
+    "q265_gini_tokens" -> ((s, d) =>
+      graft.operators.Quantiles.giniConcentration(
+          Tables.documents(s, d).select(col("source"),
+            expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)")
+              .as("n_words")),
+          "source", "n_words")
+        .orderBy(col("source"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -5888,6 +5920,150 @@ object LlmOps {
           CAST(i * 1000000 // na AS DOUBLE) / 1e6 AS containment_a,
           CAST(i * 1000000 // nb AS DOUBLE) / 1e6 AS containment_b
         FROM j ORDER BY source_a, source_b""",
+
+    // same doubled midranks per lang slice, HUGEINT term6/H6 chain,
+    // the same explicit Wilson-Hilferty w*w*w cube
+    "q262_kruskal_wallis" ->
+      """WITH g AS (SELECT lang AS s, source AS grp, n_chars // 100 AS v,
+            CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2, 3),
+        vals AS (SELECT s, v, CAST(sum(c) AS BIGINT) AS ct
+          FROM g GROUP BY 1, 2),
+        rk AS (SELECT s, v, ct, 2 * sum(ct) OVER (PARTITION BY s ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct + 1
+            AS rank2
+          FROM vals),
+        ties AS (SELECT s, CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct)
+              AS HUGEINT) AS t, CAST(sum(ct) AS BIGINT) AS nall
+          FROM vals GROUP BY 1),
+        per AS (SELECT g.s, g.grp, CAST(sum(c) AS BIGINT) AS n1,
+            CAST(sum(c * rank2) AS BIGINT) AS r2
+          FROM g JOIN rk ON g.s = rk.s AND g.v = rk.v GROUP BY 1, 2),
+        t6 AS (SELECT s, grp,
+            CAST(r2 AS HUGEINT) * r2 * 1000000 // (4 * n1) AS term6
+          FROM per),
+        ag AS (SELECT s, CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(term6) AS HUGEINT) AS sum6 FROM t6 GROUP BY 1),
+        j AS (SELECT ag.s, k, nall,
+            12 * sum6 // (CAST(nall AS HUGEINT) * (nall + 1))
+              - 3 * (nall + 1) * 1000000 AS h6,
+            CAST(nall AS HUGEINT) * nall * nall - nall - t AS denom,
+            CAST(nall AS HUGEINT) * nall * nall - nall AS n3n
+          FROM ag JOIN ties USING (s)),
+        j2 AS (SELECT s, k, nall,
+            CASE WHEN denom > 0 THEN h6 * n3n // denom END AS hadj6,
+            CASE WHEN k >= 2 THEN 1.0 - 2.0 / (9.0 * (k - 1))
+              + 1.6448536269514722 * sqrt(2.0 / (9.0 * (k - 1))) END AS wh
+          FROM j),
+        j3 AS (SELECT s, k, nall, hadj6,
+            CASE WHEN k >= 2 THEN CAST(floor(
+              CAST(k - 1 AS DOUBLE) * wh * wh * wh * 1e6) AS BIGINT)
+            END AS crit6
+          FROM j2)
+        SELECT s AS lang, k, nall AS n,
+          CAST(hadj6 AS DOUBLE) / 1e6 AS h,
+          CAST(crit6 AS DOUBLE) / 1e6 AS crit_05,
+          CASE WHEN hadj6 IS NOT NULL AND crit6 IS NOT NULL
+            THEN hadj6 > crit6 END AS differs
+        FROM j3 ORDER BY lang""",
+
+    // same global value grid as q242's ksTest, per-cell quantized CDF
+    // gap, gap6*dv integrated with lead() deltas
+    "q263_wasserstein" ->
+      """WITH g AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY 1),
+        vc AS (SELECT v, ct, sum(ct) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall,
+            coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS dv
+          FROM vals),
+        grps AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY 1),
+        na AS (SELECT CAST(sum(c) AS BIGINT) AS nall,
+            max(v) - min(v) AS rng FROM g),
+        grid AS (SELECT vc.v, vc.cumall, vc.dv, grps.grp, grps.n,
+            coalesce(g.c, 0) AS c
+          FROM vc CROSS JOIN grps
+          LEFT JOIN g ON g.grp = grps.grp AND g.v = vc.v),
+        cm AS (SELECT grp, n, v, dv, cumall,
+            sum(c) OVER (PARTITION BY grp ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM grid),
+        fin AS (SELECT grp, n, nall - n AS nrest, dv, rng,
+            CASE WHEN nall - n > 0 THEN abs(cum * 1000000 // n
+              - (cumall - cum) * 1000000 // (nall - n)) END AS gap6
+          FROM cm, na)
+        SELECT grp AS source, max(n) AS n_group, max(nrest) AS n_rest,
+          CAST(sum(gap6 * dv) AS DOUBLE) / 1e6 AS w1,
+          CASE WHEN max(rng) > 0 THEN
+            CAST(sum(gap6 * dv) // max(rng) AS DOUBLE) / 1e6 END AS w1_norm
+        FROM fin GROUP BY grp ORDER BY source""",
+
+    // same left-rank decile buckets over the corpus value set, +1/+10
+    // Laplace shares, identical IEEE summands, clamp-then-floor
+    "q264_psi_drift" ->
+      """WITH g AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY 1),
+        na AS (SELECT CAST(sum(c) AS BIGINT) AS nall FROM g),
+        bk AS (SELECT v, ct, least(9, (sum(ct) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+              * 10 // nall) AS b
+          FROM vals, na),
+        base AS (SELECT b, CAST(sum(ct) AS BIGINT) AS nb FROM bk GROUP BY 1),
+        gb AS (SELECT grp, b, CAST(sum(c) AS BIGINT) AS ngb
+          FROM g JOIN bk USING (v) GROUP BY 1, 2),
+        grps AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY 1),
+        spine AS (SELECT grps.grp, grps.n, base.b, base.nb, nall,
+            coalesce(gb.ngb, 0) AS ngb
+          FROM grps CROSS JOIN base
+          LEFT JOIN gb ON gb.grp = grps.grp AND gb.b = base.b, na),
+        sm AS (SELECT grp, max(n) AS n_group,
+            floor(greatest(0.0, sum(
+              (CAST(ngb + 1 AS DOUBLE) / (n + 10)
+                - CAST(nb + 1 AS DOUBLE) / (nall + 10))
+              * ln((CAST(ngb + 1 AS DOUBLE) / (n + 10))
+                / (CAST(nb + 1 AS DOUBLE) / (nall + 10))))) * 1e6) / 1e6
+              AS psi
+          FROM spine GROUP BY grp)
+        SELECT grp AS source, n_group, psi, psi > 0.2 AS action
+        FROM sm ORDER BY source""",
+
+    // same weighted doubled-midrank identity and in-block Lorenz
+    // interpolation; arg_min FILTER = the struct-min first block
+    "q265_gini_tokens" ->
+      """WITH d0 AS (SELECT source AS grp,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS v
+          FROM documents),
+        g AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+          FROM d0 GROUP BY 1, 2),
+        cm AS (SELECT grp, v, c,
+            sum(c) OVER (PARTITION BY grp ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(v * c) OVER (PARTITION BY grp ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumx
+          FROM g),
+        tot AS (SELECT grp, max(cum) AS ntot, max(cumx) AS tt
+          FROM cm GROUP BY 1),
+        agg AS (SELECT cm.grp, max(ntot) AS n, max(tt) AS total,
+            CAST(sum(CAST(v AS HUGEINT) * c * (2 * cum - c + 1))
+              AS HUGEINT) AS s1x2,
+            arg_min(cumx - v * (cum - ntot // 2), cum)
+              FILTER (WHERE cum >= ntot // 2) AS bhalf,
+            arg_min(cumx - v * (cum - (ntot - ntot // 10)), cum)
+              FILTER (WHERE cum >= ntot - ntot // 10) AS below90
+          FROM cm JOIN tot ON cm.grp = tot.grp GROUP BY 1)
+        SELECT grp AS source, n, total,
+          CASE WHEN total > 0 THEN
+            CAST((s1x2 - (CAST(n AS HUGEINT) + 1) * total) * 1000000
+              // (CAST(n AS HUGEINT) * total) AS DOUBLE) / 1e6
+          END AS gini,
+          CASE WHEN total > 0 THEN
+            CAST(bhalf * 1000000 // total AS DOUBLE) / 1e6
+          END AS bottom_half_share,
+          CASE WHEN total > 0 THEN
+            CAST((total - below90) * 1000000 // total AS DOUBLE) / 1e6
+          END AS top_decile_share
+        FROM agg ORDER BY source""",
 
     // same planted anomalies (combining acute / ZWSP / curly quotes),
     // utf8proc NFC == java.text.Normalizer NFC (both UAX#15), same

@@ -689,4 +689,80 @@ class EvalOpsSpec extends SparkSpec {
         s"degenerate group must report NULL: $r")
     }
   }
+
+  test("kruskalWallis: hand doubled-rank H with tie correction, " +
+      "Wilson-Hilferty critical value, all-tied NULL, separation") {
+    // a={1,2}, b={2,3}, c={5}: rank2 = 2/5/5/8/10, R2 = 7/13/10,
+    // term6 = 49e6 div 8 / 169e6 div 8 / 100e6 div 4, sum6 = 52_250_000
+    // H6 = 12*sum6 div 30 - 18e6 = 2_900_000; T = 6, N3-N = 120
+    // Hadj6 = 2_900_000*120 div 114 = 3_052_631
+    val df = (Seq(1L, 2L).map(("a", _)) ++ Seq(2L, 3L).map(("b", _))
+      ++ Seq(5L).map(("c", _))).map { case (g, v) => ("s", g, v) }
+      .toDF("slice", "g", "v")
+    val r = EvalOps.kruskalWallis(df, "slice", "g", "v").collect().head
+    assert(r.getLong(1) === 3L && r.getLong(2) === 5L)
+    assert(r.getDouble(3) === 3.052631, "tie-corrected H from exact chain")
+    // WH at nu=2: 2*(1 - 1/9 + 1.6449*sqrt(1/9))^3 ~ 5.937 (true 5.991)
+    assert(math.abs(r.getDouble(4) - 5.991) < 0.06, s"crit ${r.getDouble(4)}")
+    assert(!r.getBoolean(5), "H below critical at n=5")
+    // all-tied slice: C = 0 -> NULL H and verdict
+    val tied = Seq(("s", "a", 7L), ("s", "a", 7L), ("s", "b", 7L))
+      .toDF("slice", "g", "v")
+    val t = EvalOps.kruskalWallis(tied, "slice", "g", "v").collect().head
+    assert(t.isNullAt(3) && t.isNullAt(5), "all-tied: H undefined")
+    // three disjoint-range groups at n=90: H ~ chi2 far past crit
+    val sep = ((1 to 30).map(v => ("s", "lo", v.toLong))
+      ++ (101 to 130).map(v => ("s", "mid", v.toLong))
+      ++ (201 to 230).map(v => ("s", "hi", v.toLong)))
+      .toDF("slice", "g", "v")
+    val sp = EvalOps.kruskalWallis(sep, "slice", "g", "v").collect().head
+    assert(sp.getBoolean(5), "clean separation is significant")
+    assert(sp.getDouble(3) > 70, s"near-max H, got ${sp.getDouble(3)}")
+  }
+
+  test("wasserstein1d: closed-form mass transport, identical-dist zero, " +
+      "normalization, CDF-gap quantization") {
+    // a = {0,0}, b = {10,10}: every doc moves 10 units -> W1 = 10 both
+    val df = Seq(("a", 0L), ("a", 0L), ("b", 10L), ("b", 10L))
+      .toDF("g", "v")
+    val out = EvalOps.wasserstein1d(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(3) === 10.0 && out("b").getDouble(3) === 10.0)
+    assert(out("a").getDouble(4) === 1.0, "normalized by range 10")
+    // identical distributions: W1 exactly 0
+    val same = Seq(("a", 0L), ("a", 10L), ("b", 0L), ("b", 10L))
+      .toDF("g", "v")
+    EvalOps.wasserstein1d(same, "g", "v").collect().foreach { r =>
+      assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0)
+    }
+    // hand quantization: a={0}, b={0,5}: grid v=0: Fa=1, Fb=1/2 ->
+    // gap6 = 1e6 - 500000, dv=5 -> w1 = 2.5
+    val h = Seq(("a", 0L), ("b", 0L), ("b", 5L)).toDF("g", "v")
+    val ha = EvalOps.wasserstein1d(h, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ha("a").getDouble(3) === 2.5)
+    assert(ha("b").getDouble(3) === 2.5, "vs-rest symmetry on two groups")
+  }
+
+  test("psiDrift: single-group exact zero, matched distributions stay " +
+      "under watch line, planted shift crosses 0.2, bucket determinism") {
+    // one group IS the baseline: every p == q -> psi exactly 0
+    val solo = (1L to 10L).map(("only", _)).toDF("g", "v")
+    val s = EvalOps.psiDrift(solo, "g", "v").collect().head
+    assert(s.getDouble(2) === 0.0 && !s.getBoolean(3))
+    // two identical groups: smoothing-only wobble, far under 0.1
+    val same = (1L to 50L).flatMap(v => Seq(("a", v), ("b", v)))
+      .toDF("g", "v")
+    EvalOps.psiDrift(same, "g", "v").collect().foreach { r =>
+      assert(r.getDouble(2) < 0.01, s"matched dist psi ${r.getDouble(2)}")
+      assert(!r.getBoolean(3))
+    }
+    // planted shift: a owns the low half, b the high half -> both act
+    val shift = ((1L to 50L).map(("a", _)) ++ (51L to 100L).map(("b", _)))
+      .toDF("g", "v")
+    EvalOps.psiDrift(shift, "g", "v").collect().foreach { r =>
+      assert(r.getDouble(2) > 0.2 && r.getBoolean(3),
+        s"disjoint halves must trip the action line: $r")
+    }
+  }
 }

@@ -226,7 +226,15 @@ object PlanDump {
     "q260_normalize_text" ->
       "Unicode normalization: the native nfc_normalize codegen expression + regex chain in one row-local projection — zero joins, zero shuffles before the output sort.",
     "q261_source_containment" ->
-      "Source containment: distinct (source, gram) relation with map-side combine, gram-keyed self-join for intersections (rides shared grams), |sources|^2 spine join — document cardinality never reaches the pair stage.")
+      "Source containment: distinct (source, gram) relation with map-side combine, gram-keyed self-join for intersections (rides shared grams), |sources|^2 spine join — document cardinality never reaches the pair stage.",
+    "q262_kruskal_wallis" ->
+      "Kruskal-Wallis: (slice, group, value) collapse, ONE slice-partitioned cumulative window over distinct values for doubled midranks, per-(slice,group) rank-sum agg, |slices|-row tail arithmetic.",
+    "q263_wasserstein" ->
+      "Wasserstein-1D: the ksTest grid — value-set cumulative + lead() deltas, broadcast groups spine, per-group quantized CDF-gap integration; corpus rows enter exactly one aggregation.",
+    "q264_psi_drift" ->
+      "PSI: decile buckets assigned on the value set (one global cumulative window), (group, bucket) census, broadcast 10-bucket x groups dense spine — report-sized after the first aggregation.",
+    "q265_gini_tokens" ->
+      "Gini/Lorenz: (group, value) collapse, group-partitioned cumulative windows, struct-min first-block Lorenz cuts fused into ONE per-group aggregate — no per-row ranking window.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

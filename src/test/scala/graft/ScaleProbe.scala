@@ -133,7 +133,13 @@ object ScaleProbe {
     // gen-15b: dense containment spine — the distinct (source, gram)
     // relation grows with vocabulary under replica suffixing; the
     // gram-keyed pair join rides shared grams only
-    "q261_source_containment")
+    "q261_source_containment",
+    // gen-16: four value-set-collapse members — KW rides per-slice
+    // bucket value sets, Wasserstein/PSI the global n_chars value set
+    // (grid = |groups|x|values| / |groups|x10), Gini the per-group
+    // word-count value set; all report-sized after one aggregation
+    "q262_kruskal_wallis", "q263_wasserstein", "q264_psi_drift",
+    "q265_gini_tokens")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
