@@ -1449,4 +1449,62 @@ object EvalOps {
       .select(col("_g").as(groupCol), col("n_group"), col("psi"),
         (col("psi") > 0.2).as("action"))
   }
+
+  /** Isotonic (PAV) calibration per source (q269) — the FIT step behind
+    * [[calibrationReport]]: the report says the model's confidences are
+    * off, the isotonic fit produces the monotone mapping conf → P(correct)
+    * you actually deploy (Zadrozny & Elkan 2002's standard recipe;
+    * distribution-free, unlike Platt's sigmoid). Output per occupied
+    * confidence bin: raw rate and the fitted monotone rate.
+    *
+    * The fit uses the max-min CLOSED FORM of pool-adjacent-violators —
+    * fitted(k) = max_{i≤k} min_{j≥k} mean(pos, i..j) — instead of the
+    * sequential pooling loop: the loop is inherently serial, the closed
+    * form is two windows over the B² interval table (B ≤ 20 bins per
+    * source, so B² is report-sized; the corpus only pays the one bin
+    * census). Interval means quantize FIRST — m6(i,j) = pos(i..j)·10⁶
+    * div cnt(i..j) from prefix sums — then min/max run on exact integers,
+    * so both engines pool identically (quantized PAV: fitted values can
+    * sit 1 millionth off the rational optimum, monotonicity is preserved
+    * — min/max of integers — and the spec asserts it).
+    *
+    * Scale: one (source, bin) census over the predictions, per-(source,i)
+    * suffix-min window + per-(source,k) max aggregation over B²-row
+    * relations — everything after the census is report-sized.
+    */
+  def isotonicCalibration(preds: DataFrame, bins: Int = 20): DataFrame = {
+    val b = preds.withColumn("_bin",
+        least(floor(col("conf6") / lit(1000000L / bins)), lit(bins - 1L)))
+      .groupBy(col("source"), col("_bin"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("_bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val pref = b
+      .withColumn("_cn", sum(col("_n")).over(w))
+      .withColumn("_cp", sum(col("_pos")).over(w))
+    val lo = pref.select(col("source"), col("_bin").as("_i"),
+      (col("_cn") - col("_n")).as("_cn0"), (col("_cp") - col("_pos")).as("_cp0"))
+    val hi = pref.select(col("source").as("_src2"), col("_bin").as("_j"),
+      col("_cn").as("_cnj"), col("_cp").as("_cpj"))
+    val intervals = lo
+      .join(hi, col("source") === col("_src2") && col("_i") <= col("_j"))
+      .withColumn("_m6", expr(
+        "(_cpj - _cp0) * 1000000 div (_cnj - _cn0)"))
+    val wSuf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("_i")).orderBy(col("_j").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val fitted = intervals
+      .withColumn("_sm", min(col("_m6")).over(wSuf))
+      .groupBy(col("source"), col("_j").as("_bin"))
+      .agg(max(col("_sm")).as("_fit6"))
+    b.join(fitted, Seq("source", "_bin"))
+      .select(col("source"), col("_bin").as("bin"), col("_n").as("n"),
+        col("_pos").as("n_correct"),
+        (expr("_pos * 1000000 div _n").cast("double") / 1e6).as("raw_rate"),
+        (col("_fit6").cast("double") / 1e6).as("fitted_rate"))
+  }
 }

@@ -257,4 +257,88 @@ object GraphOps {
     ranks.select(col("id").as(idCol), col("r").as("rank_nano"),
       (col("r").cast("double") / 1e9).as("rank"))
   }
+
+  /** Triangle-bearing link fixture for [[triangleCount]] (q266): the
+    * [[tieredLinkFixture]] ring + affine hub overlay, plus a chord
+    * (i → i+2 mod n) for every idHash%7 = 0 node — each chord closes the
+    * ring path i → i+1 → i+2 into a GUARANTEED triangle at every SF
+    * (the plain ring is one n-cycle with zero triangles; affine-overlap
+    * triangles alone are too rare at small n to exercise the operator).
+    */
+  def triangleFixture(docs: DataFrame, n: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    val i = col(idCol)
+    val h = CorpusOps.idHash(i)
+    val ring = docs.select(i.as("src"), ((i + 1) % n).as("dst"))
+    val chords = docs.filter(h % 7 === 0)
+      .select(i.as("src"), ((i + 2) % n).as("dst"))
+    val hubs = docs.filter(h % 3 === 0).select(i.as("src"),
+      explode(array(
+        (lit(31L) * i + 7L) % n,
+        (lit(17L) * i + 3L) % n,
+        (lit(5L) * i + 11L) % n)).as("dst"))
+    ring.union(chords).union(hubs)
+      .filter(col("dst") =!= col("src")).distinct()
+  }
+
+  /** Exact per-node triangle census + local clustering coefficient
+    * (q266) — the cohesion read beside [[kCore]]'s peel: a crawl node
+    * whose neighbors ALSO link each other sits in real community
+    * structure; link farms and spam chains have high degree but
+    * near-zero closure. cc(v) = 2·t(v)/(d(v)·(d(v)−1)), NULL below
+    * degree 2.
+    *
+    * The enumeration is DEGREE-ORIENTED (the Latapy/"forward" method,
+    * the standard distributed-triangle trick): orient each undirected
+    * edge from its (degree, id)-smaller endpoint to the larger, build
+    * wedges only from each node's ORIENTED out-neighbors, and close
+    * them with one more oriented-edge equi-join. Every triangle is
+    * found exactly once (its (degree,id)-minimum vertex owns it), and
+    * wedge work is Σ outdeg² = O(m^1.5) instead of the naive Σ deg²,
+    * which a single hub makes quadratic — this is what survives a
+    * power-law graph at 100 TB. All equi-joins on node ids; counts are
+    * exact BIGINTs; cc quantizes as 2t·10⁶ div d(d−1).
+    */
+  def triangleCount(edges: DataFrame, nodes: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // orient: keep (u, v) with (deg(u), u) < (deg(v), v)
+    val oriented = sym
+      .join(deg.select(col("id").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")), "dst")
+      .filter(col("du") < col("dv")
+        || (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"),
+        col("dv").as("dvv"))
+    // wedges (u; v, w) with v before w in the SAME orientation order,
+    // closed by the oriented edge v -> w
+    val e1 = oriented.select(col("u").as("wu"), col("v").as("wv"),
+      col("dvv").as("dwv"))
+    val e2 = oriented.select(col("u").as("wu2"), col("v").as("ww"),
+      col("dvv").as("dww"))
+    val tri = e1
+      .join(e2, col("wu") === col("wu2")
+        && (col("dwv") < col("dww")
+          || (col("dwv") === col("dww") && col("wv") < col("ww"))))
+      .join(oriented.select(col("u").as("wv"), col("v").as("ww")),
+        Seq("wv", "ww"))
+      .select(col("wu").as("a"), col("wv").as("b"), col("ww").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("t"))
+    nodes.select(col(idCol))
+      .join(deg, col(idCol) === col("id"), "left")
+      .drop("id")
+      .join(perNode, col(idCol) === col("id"), "left")
+      .drop("id")
+      .select(col(idCol),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("2 * coalesce(t, 0L) * 1000000 div (deg * (deg - 1))")
+            .cast("double") / 1e6).as("clustering"))
+  }
 }

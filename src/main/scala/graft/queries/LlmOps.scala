@@ -1081,6 +1081,50 @@ object LlmOps {
           "source", "n_words")
         .orderBy(col("source"))),
 
+    // exact triangle census + clustering coefficient over the chorded
+    // ring fixture: degree-oriented wedge enumeration (each triangle
+    // found once at its (deg,id)-min vertex), never sum-of-deg^2
+    "q266_triangles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id"))
+      val edges = graft.operators.GraphOps.triangleFixture(nodes, n)
+      graft.operators.GraphOps.triangleCount(edges, nodes)
+        .orderBy(col("doc_id"))
+    }),
+
+    // chi-square + Cramer's V over every metadata column pair: dense
+    // margin spine (absent cells carry their expected mass), exact
+    // DECIMAL cell terms, one IEEE sqrt per pair
+    "q267_cramers_v" -> ((s, d) =>
+      graft.operators.Association.cramersV(
+          Tables.documents(s, d).select(col("source"), col("lang"),
+            expr("n_chars div 200").as("len_bucket")),
+          Seq("source", "lang", "len_bucket"))
+        .orderBy(col("col_a"), col("col_b"))),
+
+    // association rules over per-order brand baskets: presence
+    // semantics, support cut, exact integer confidence + lift
+    "q268_basket_pairs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pt = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))
+      val baskets = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      graft.operators.Association.frequentPairs(baskets,
+          "l_orderkey", "p_brand", minSupport = 3L)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // isotonic (PAV) calibration fit per source over the q174
+    // prediction fixture: max-min closed form on quantized interval
+    // means — two windows over the B^2 interval table
+    "q269_isotonic" -> ((s, d) =>
+      graft.operators.EvalOps.isotonicCalibration(
+          graft.operators.EvalOps.predictions(Tables.documents(s, d)))
+        .orderBy(col("source"), col("bin"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -2145,6 +2189,52 @@ object LlmOps {
     * post-fixpoint stages are identities, matching the engine's
     * early-exit loop exactly.
     */
+  /** q267 oracle: one cell census + dense margin spine + HUGEINT chi2
+    * per column pair, all pairs unioned — the same arithmetic as
+    * Association.cramersV with suffix-indexed CTEs per pair.
+    */
+  private def cramersOracle(pairs: Seq[(String, String)]): String = {
+    val b = new StringBuilder(
+      "WITH d AS (SELECT source, lang, n_chars // 200 AS len_bucket FROM documents)")
+    pairs.zipWithIndex.foreach { case ((a, c), i) =>
+      b ++= s""",
+        cells_$i AS (SELECT $a AS _a, $c AS _b,
+            CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+        ra_$i AS (SELECT _a, CAST(sum(o) AS BIGINT) AS ra
+          FROM cells_$i GROUP BY 1),
+        cb_$i AS (SELECT _b, CAST(sum(o) AS BIGINT) AS cb
+          FROM cells_$i GROUP BY 1),
+        nt_$i AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS noc FROM cells_$i),
+        spine_$i AS (SELECT ra.ra, cb.cb, coalesce(cl.o, 0) AS o, n, noc
+          FROM ra_$i ra CROSS JOIN cb_$i cb
+          LEFT JOIN cells_$i cl ON cl._a = ra._a AND cl._b = cb._b, nt_$i),
+        agg_$i AS (SELECT max(n) AS n, max(noc) AS occupied_cells,
+            CAST(sum((CAST(o AS HUGEINT) * n - CAST(ra AS HUGEINT) * cb)
+              * (CAST(o AS HUGEINT) * n - CAST(ra AS HUGEINT) * cb)
+              * 1000000 // (CAST(n AS HUGEINT) * ra * cb)) AS HUGEINT)
+              AS chi6
+          FROM spine_$i),
+        res_$i AS (SELECT '$a' AS col_a, '$c' AS col_b, n, occupied_cells,
+            ((SELECT CAST(count(*) AS BIGINT) FROM ra_$i) - 1)
+              * ((SELECT CAST(count(*) AS BIGINT) FROM cb_$i) - 1) AS dof,
+            CAST(chi6 AS DOUBLE) / 1e6 AS chi2,
+            CASE WHEN least(
+                (SELECT count(*) FROM ra_$i) - 1,
+                (SELECT count(*) FROM cb_$i) - 1) > 0 THEN
+              floor(sqrt(CAST(chi6 AS DOUBLE) / (1e6 * n * least(
+                (SELECT count(*) FROM ra_$i) - 1,
+                (SELECT count(*) FROM cb_$i) - 1))) * 1e6) / 1e6
+            END AS cramers_v
+          FROM agg_$i)"""
+    }
+    b ++= "\n        "
+    b ++= pairs.indices.map(i => s"SELECT * FROM res_$i")
+      .mkString(" UNION ALL ")
+    b ++= " ORDER BY col_a, col_b"
+    b.toString
+  }
+
   private def kCoreOracle(k: Int, rounds: Int): String = {
     val b = new StringBuilder(
       """WITH nn AS (SELECT count(*) AS n FROM documents),
@@ -6064,6 +6154,123 @@ object LlmOps {
             CAST((total - below90) * 1000000 // total AS DOUBLE) / 1e6
           END AS top_decile_share
         FROM agg ORDER BY source""",
+
+    // same chorded-ring fixture, same (deg,id) orientation, wedge join
+    // and closing-edge join — every triangle counted once per vertex
+    "q266_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (SELECT doc_id FROM documents),
+        ring AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst
+          FROM nodes, nn),
+        chords AS (SELECT doc_id AS src, (doc_id + 2) % n AS dst
+          FROM nodes, nn
+          WHERE (((doc_id % 2147483648) * 2654435761) % 2147483647)
+            % 7 = 0),
+        hub0 AS (SELECT doc_id AS src, (31*doc_id+7) % n AS d1,
+            (17*doc_id+3) % n AS d2, (5*doc_id+11) % n AS d3
+          FROM nodes, nn
+          WHERE (((doc_id % 2147483648) * 2654435761) % 2147483647)
+            % 3 = 0),
+        hubs AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM hub0),
+        edges AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM ring UNION ALL
+             SELECT src, dst FROM chords UNION ALL
+             SELECT src, dst FROM hubs)
+          WHERE dst <> src),
+        sym AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+        deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+          FROM sym GROUP BY 1),
+        ori AS (SELECT s.src AS u, s.dst AS v, dv.deg AS dvv
+          FROM sym s JOIN deg du ON s.src = du.id
+            JOIN deg dv ON s.dst = dv.id
+          WHERE du.deg < dv.deg
+            OR (du.deg = dv.deg AND s.src < s.dst)),
+        tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+          FROM ori a JOIN ori b ON a.u = b.u
+            AND (a.dvv < b.dvv OR (a.dvv = b.dvv AND a.v < b.v))
+          JOIN ori c ON c.u = a.v AND c.v = b.v),
+        pn AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+            SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY 1)
+        SELECT doc_id, coalesce(deg.deg, 0) AS degree,
+          coalesce(pn.t, 0) AS triangles,
+          CASE WHEN coalesce(deg.deg, 0) >= 2 THEN
+            CAST(2 * coalesce(pn.t, 0) * 1000000
+              // (deg.deg * (deg.deg - 1)) AS DOUBLE) / 1e6
+          END AS clustering
+        FROM nodes LEFT JOIN deg ON doc_id = deg.id
+          LEFT JOIN pn ON doc_id = pn.id
+        ORDER BY doc_id""",
+
+    // same pair censuses over the dense margin spine, HUGEINT cell
+    // terms, identical sqrt argument
+    "q267_cramers_v" -> cramersOracle(Seq(
+      ("source", "lang"), ("source", "len_bucket"),
+      ("lang", "len_bucket"))),
+
+    // same distinct (order, brand) baskets, basket-keyed pair join,
+    // integer confidence/lift with the HUGEINT product
+    "q268_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b),
+        supp AS (SELECT item, CAST(count(*) AS BIGINT) AS s
+          FROM b GROUP BY 1),
+        co AS (SELECT x.item AS item_a, y.item AS item_b,
+            CAST(count(*) AS BIGINT) AS support
+          FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+        j AS (SELECT co.item_a, co.item_b, co.support, sa.s AS supp_a,
+            sb.s AS supp_b, nb,
+            CAST(co.support AS HUGEINT) * nb * 1000000
+              // (CAST(sa.s AS HUGEINT) * sb.s) AS lift6
+          FROM co JOIN supp sa ON co.item_a = sa.item
+            JOIN supp sb ON co.item_b = sb.item, nb)
+        SELECT item_a, item_b, support, supp_a, supp_b,
+          CAST(support * 1000000 // supp_a AS DOUBLE) / 1e6 AS conf_a_b,
+          CAST(support * 1000000 // supp_b AS DOUBLE) / 1e6 AS conf_b_a,
+          CAST(lift6 AS DOUBLE) / 1e6 AS lift,
+          lift6 > 1000000 AS positive
+        FROM j ORDER BY item_a, item_b""",
+
+    // same prediction fixture as q174, same quantized interval means,
+    // suffix-min window + per-bin max = the max-min PAV closed form
+    "q269_isotonic" ->
+      """WITH p AS (SELECT doc_id AS pred_id, source,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647
+              % 1000001 AS conf6,
+            ((((doc_id % 2147483648) * 2654435761) % 2147483647
+              % 999983) * 48271) % 2147483647 % 1000000 AS u2
+          FROM documents),
+        b AS (SELECT source, least(conf6 // 50000, 19) AS bin,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN u2 * 5 < conf6 * 4 THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+          FROM p GROUP BY 1, 2),
+        pref AS (SELECT source, bin, n, pos,
+            sum(n) OVER (PARTITION BY source ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+            sum(pos) OVER (PARTITION BY source ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+          FROM b),
+        iv AS (SELECT l.source, l.bin AS i, h.bin AS j,
+            (h.cp - (l.cp - l.pos)) * 1000000
+              // (h.cn - (l.cn - l.n)) AS m6
+          FROM pref l JOIN pref h
+            ON l.source = h.source AND l.bin <= h.bin),
+        sm AS (SELECT source, i, j, min(m6) OVER (PARTITION BY source, i
+            ORDER BY j DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+          FROM iv),
+        fit AS (SELECT source, j AS bin, max(sm) AS fit6
+          FROM sm GROUP BY 1, 2)
+        SELECT b.source AS source, b.bin AS bin, n, pos AS n_correct,
+          CAST(pos * 1000000 // n AS DOUBLE) / 1e6 AS raw_rate,
+          CAST(fit6 AS DOUBLE) / 1e6 AS fitted_rate
+        FROM b JOIN fit ON b.source = fit.source AND b.bin = fit.bin
+        ORDER BY b.source, b.bin""",
 
     // same planted anomalies (combining acute / ZWSP / curly quotes),
     // utf8proc NFC == java.text.Normalizer NFC (both UAX#15), same

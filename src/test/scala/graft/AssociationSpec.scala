@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Association
+
+/** Categorical association (q267/q268): closed-form chi-square/V on
+  * perfect and independent tables, rule arithmetic on hand baskets.
+  */
+class AssociationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cramersV: perfect association V=1, independence V=0, " +
+      "single-valued column NULL, dof bookkeeping") {
+    // perfect 2x2: a<->x, b<->y (5 each): chi2 = N = 10, V = 1
+    val perfect = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("u", "w")
+    val p = Association.cramersV(perfect, Seq("u", "w")).collect().head
+    assert(p.getAs[Long]("n") === 10L && p.getAs[Long]("dof") === 1L)
+    assert(p.getAs[Double]("chi2") === 10.0)
+    assert(p.getAs[Double]("cramers_v") === 1.0)
+    // independent uniform 2x2 (5 per cell): chi2 exactly 0
+    val ind = (for (u <- Seq("a", "b"); w <- Seq("x", "y");
+      _ <- 1 to 5) yield (u, w)).toDF("u", "w")
+    val i = Association.cramersV(ind, Seq("u", "w")).collect().head
+    assert(i.getAs[Double]("chi2") === 0.0)
+    assert(i.getAs[Double]("cramers_v") === 0.0)
+    // constant column: min(r-1, c-1) = 0 -> V undefined
+    val const = Seq(("a", "x"), ("a", "y")).toDF("u", "w")
+    val c = Association.cramersV(const, Seq("u", "w")).collect().head
+    assert(c.getAs[Long]("dof") === 0L)
+    assert(c.isNullAt(c.fieldIndex("cramers_v")))
+    // three columns -> three pair rows, 2x3 dof = 2
+    val tri = (Seq(("a", "x", "p"), ("a", "y", "q"), ("b", "z", "p"),
+      ("b", "x", "q"), ("a", "z", "p"), ("b", "y", "q")))
+      .toDF("u", "w", "t")
+    val rows = Association.cramersV(tri, Seq("u", "w", "t")).collect()
+    assert(rows.length === 3)
+    val uw = rows.find(r => r.getString(0) == "u" && r.getString(1) == "w").get
+    assert(uw.getAs[Long]("dof") === 2L, "(2-1)*(3-1)")
+  }
+
+  test("cramersV: absent cells contribute expected mass (dense spine)") {
+    // 2x2 with an EMPTY (b,x) cell: o = [[4,0],[0,4]] minus one row ->
+    // a/x 4, a/y 1, b/y 4: margins ra=5/4, cb=4/5, N=9
+    // chi2*1e-6 from the dense spine must include the (b,x) zero cell
+    // term (0*9 - 4*4)^2 / (9*4*4) = 256/144
+    val df = (Seq.fill(4)(("a", "x")) ++ Seq.fill(1)(("a", "y"))
+      ++ Seq.fill(4)(("b", "y"))).toDF("u", "w")
+    val r = Association.cramersV(df, Seq("u", "w")).collect().head
+    // exact per-cell chain: cells (a,x): (4*9-5*4)^2*1e6 div (9*5*4)=
+    // 256e6 div 180 = 1422222; (a,y): (1*9-5*5)^2*1e6 div (9*5*5) =
+    // 256e6 div 225 = 1137777; (b,x): 256e6 div 144 = 1777777;
+    // (b,y): (4*9-4*5)^2*1e6 div (9*4*5) = 256e6 div 180 = 1422222
+    val chi6 = 1422222L + 1137777L + 1777777L + 1422222L
+    assert(r.getAs[Double]("chi2") === chi6 / 1e6)
+    assert(r.getAs[Long]("occupied_cells") === 3L)
+  }
+
+  test("frequentPairs: support cut, truncating confidence, lift " +
+      "strictly-greater contract, presence semantics") {
+    // b1{A,A,B,C} (dup A counts once), b2{A,B}, b3{A}
+    val baskets = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "A")).toDF("bk", "item")
+    val out = Association.frequentPairs(baskets, "bk", "item", 2L).collect()
+    assert(out.length === 1, "only AB reaches support 2")
+    val ab = out.head
+    assert(ab.getString(0) === "A" && ab.getString(1) === "B")
+    assert(ab.getAs[Long]("support") === 2L)
+    assert(ab.getAs[Long]("supp_a") === 3L && ab.getAs[Long]("supp_b") === 2L)
+    assert(ab.getAs[Double]("conf_a_b") === 0.666666, "2e6 div 3 truncates")
+    assert(ab.getAs[Double]("conf_b_a") === 1.0)
+    // lift = 2*3/(3*2) = exactly 1 -> NOT positive (strict >)
+    assert(ab.getAs[Double]("lift") === 1.0)
+    assert(!ab.getAs[Boolean]("positive"))
+    // genuinely positive co-occurrence: C,D always together, E alone
+    val pos = Seq((1L, "C"), (1L, "D"), (2L, "C"), (2L, "D"), (3L, "E"))
+      .toDF("bk", "item")
+    val cd = Association.frequentPairs(pos, "bk", "item", 2L).collect().head
+    assert(cd.getAs[Double]("lift") === 1.5 && cd.getAs[Boolean]("positive"))
+  }
+}

@@ -765,4 +765,35 @@ class EvalOpsSpec extends SparkSpec {
         s"disjoint halves must trip the action line: $r")
     }
   }
+
+  test("isotonicCalibration: violator pooling to the pooled mean, " +
+      "monotone input unchanged, fitted sequence always monotone") {
+    // bin0 rate 1.0, bin1 rate 0.0 -> PAV pools both to 2/4 = 0.5
+    val pool = Seq(("s", 10000L, true), ("s", 20000L, true),
+      ("s", 60000L, false), ("s", 70000L, false))
+      .toDF("source", "conf6", "correct")
+    val p = EvalOps.isotonicCalibration(pool).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(p(0L).getDouble(4) === 1.0 && p(1L).getDouble(4) === 0.0)
+    assert(p(0L).getDouble(5) === 0.5 && p(1L).getDouble(5) === 0.5,
+      "adjacent violators pool to the weighted mean")
+    // already-monotone rates are a fixpoint
+    val mono = Seq(("s", 10000L, false), ("s", 10001L, false),
+      ("s", 60000L, true), ("s", 60001L, false),
+      ("s", 960000L, true), ("s", 960001L, true))
+      .toDF("source", "conf6", "correct")
+    val m = EvalOps.isotonicCalibration(mono).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(m(0L).getDouble(5) === 0.0 && m(1L).getDouble(5) === 0.5
+      && m(19L).getDouble(5) === 1.0, "monotone input: fitted == raw")
+    // fixture predictions: fitted must be nondecreasing within source
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fit = EvalOps.isotonicCalibration(EvalOps.predictions(docs))
+      .orderBy(col("source"), col("bin")).collect()
+    fit.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val fs = rows.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(fs.zip(fs.tail).forall { case (a, b) => a <= b },
+        s"non-monotone fit for $src: ${fs.mkString(",")}")
+    }
+  }
 }

@@ -120,4 +120,46 @@ class GraphOpsSpec extends SparkSpec {
       .collect().head
     assert(od.getLong(0) >= 2L && od.getLong(1) <= 3L, od.toString)
   }
+
+  test("triangleCount: hand triangle+pendant, K4 closure, square zero, " +
+      "each triangle owned once") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4 on node 1
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .toDF("src", "dst")
+    val out = GraphOps.triangleCount(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 3L && out(1L).getLong(2) === 1L)
+    assert(out(1L).getDouble(3) === 0.333333, "cc = 2*1/(3*2) truncated")
+    assert(out(2L).getDouble(3) === 1.0, "degree-2 closed pair")
+    assert(out(4L).getLong(2) === 0L && out(4L).isNullAt(3),
+      "pendant: no triangles, cc undefined below degree 2")
+    // K4: 4 triangles total, 3 per node, cc 1 everywhere (the explode
+    // sum = 3*count(tri) checks each triangle is enumerated ONCE)
+    val k4n = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val k4e = (for (i <- 0 to 3; j <- 0 to 3 if i < j)
+      yield (i.toLong, j.toLong)).toDF("src", "dst")
+    val k4 = GraphOps.triangleCount(k4e, k4n).collect()
+    k4.foreach { r =>
+      assert(r.getLong(2) === 3L && r.getDouble(3) === 1.0, r.toString)
+    }
+    // 4-cycle: plenty of paths, zero closure
+    val sqe = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    GraphOps.triangleCount(sqe, k4n).collect().foreach { r =>
+      assert(r.getLong(2) === 0L && r.getDouble(3) === 0.0)
+    }
+  }
+
+  test("triangleFixture: chords guarantee triangles at fixture scale") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id"))
+    val edges = GraphOps.triangleFixture(nodes, n)
+    assert(edges.filter(col("dst") === col("src")).count() === 0)
+    val tri = GraphOps.triangleCount(edges, nodes)
+    val total = tri.agg(sum(col("triangles"))).collect().head.getLong(0)
+    assert(total >= 3 * (n / 7 - 2),
+      s"every chord closes a ring triangle, got vertex-sum $total")
+  }
 }

@@ -234,7 +234,15 @@ object PlanDump {
     "q264_psi_drift" ->
       "PSI: decile buckets assigned on the value set (one global cumulative window), (group, bucket) census, broadcast 10-bucket x groups dense spine — report-sized after the first aggregation.",
     "q265_gini_tokens" ->
-      "Gini/Lorenz: (group, value) collapse, group-partitioned cumulative windows, struct-min first-block Lorenz cuts fused into ONE per-group aggregate — no per-row ranking window.")
+      "Gini/Lorenz: (group, value) collapse, group-partitioned cumulative windows, struct-min first-block Lorenz cuts fused into ONE per-group aggregate — no per-row ranking window.",
+    "q266_triangles" ->
+      "Triangles: degree-ORIENTED edge list (each triangle owned by its (deg,id)-min vertex), wedge equi-join from oriented out-neighbors + one closing-edge equi-join — work is sum-outdeg^2 = O(m^1.5), hub-safe; never the naive sum-deg^2.",
+    "q267_cramers_v" ->
+      "Cramer's V: per column pair ONE (a,b) cell census (margins/N aggregate the same relation), broadcast dense margin spine, report-sized chi2 fold — the corpus is scanned once across the unioned pair branches.",
+    "q268_basket_pairs" ->
+      "Basket pairs: distinct (basket, item) relation, basket-keyed self-join (work = sum k_b^2, bounded by basket size, never |items|^2), map-side-combined support counts, broadcast basket-count for lift.",
+    "q269_isotonic" ->
+      "Isotonic PAV: one (source, bin) census over predictions, then the max-min closed form as a suffix-min window + per-bin max over the B^2 interval table — report-sized after the census, no sequential pooling loop.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -139,7 +139,14 @@ object ScaleProbe {
     // (grid = |groups|x|values| / |groups|x10), Gini the per-group
     // word-count value set; all report-sized after one aggregation
     "q262_kruskal_wallis", "q263_wasserstein", "q264_psi_drift",
-    "q265_gini_tokens")
+    "q265_gini_tokens",
+    // gen-16b: triangles (degree-oriented wedge join, sum-outdeg^2
+    // bounded — the probe checks the orientation holds the pair term
+    // down), Cramer's V (|pairs| cell censuses), basket pairs
+    // (basket-keyed self-join, k_b^2 per basket), isotonic PAV
+    // (bin census + B^2 interval table)
+    "q266_triangles", "q267_cramers_v", "q268_basket_pairs",
+    "q269_isotonic")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
