@@ -1260,9 +1260,11 @@ object EvalOps {
     * collapses to the (group, value → count) VALUE SET; DOUBLED midranks
     * from one cumulative window (rank2 = 2·cum − ct + 1), doubled rank
     * sums R2_g = Σ c·rank2. H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1)
-    * quantizes as term6_g = R2_g²·10⁶ div (4n_g) (exact DECIMAL(38,0);
-    * R2_g ≤ 2N·n_g so the square ≤ 4N²n_g² ≤ 4N⁴ — ceiling N ≤ 10⁷ with
-    * 10-plus digits of headroom), H6 = 12·Σterm6 div (N(N+1)) −
+    * quantizes as term6_g = R2_g²·10⁶ div (4n_g), kept in DECIMAL(38,0)
+    * end to end via the exact q/r split a·10⁶ div b = (a div b)·10⁶ +
+    * (a%b)·10⁶ div b (term6 reaches N³·10⁶ — past BIGINT at N ≈ 2·10⁴,
+    * the 10× probe caught it; R2_g ≤ 2N·n_g so the square ≤ 4N⁴ —
+    * ceiling N ≤ 10⁷ with headroom), H6 = 12·Σterm6 div (N(N+1)) −
     * 3(N+1)·10⁶. Tie correction divides by C = 1 − Σ(t³−t)/(N³−N):
     * Hadj6 = H6·(N³−N) div (N³−N−T), NULL when every value is tied
     * (C = 0, the [[ksTest]] degenerate contract); the tie cube Σ(t³−t)
@@ -1300,10 +1302,17 @@ object EvalOps {
       .groupBy(col("_s"), col("_g"))
       .agg(sum(col("_c")).as("_n"),
         sum(col("_c") * col("_rank2")).as("_r2"))
+      // term6 = R2²·10⁶ div (4n) can reach N³·10⁶ — q/r-decompose so the
+      // ·10⁶ happens in DECIMAL (the krippendorff discipline): exact
+      // identity a·10⁶ div b = (a div b)·10⁶ + (a % b)·10⁶ div b
       .withColumn("_term6", expr(
-        "CAST(_r2 AS DECIMAL(38,0)) * _r2 * 1000000 div (4 * _n)"))
+        """CAST(CAST(_r2 AS DECIMAL(38,0)) * _r2 div (4 * _n)
+             AS DECIMAL(38,0)) * 1000000
+           + (CAST(_r2 AS DECIMAL(38,0)) * _r2 % (4 * _n))
+             * 1000000 div (4 * _n)"""))
     perGrp.groupBy(col("_s"))
-      .agg(count(lit(1)).as("k"), sum(col("_term6")).as("_sum6"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("_term6").cast("decimal(38,0)")).as("_sum6"))
       .join(broadcast(ties), Seq("_s"))
       .withColumn("_h6", expr(
         """12 * _sum6 div (CAST(_nall AS DECIMAL(38,0)) * (_nall + 1))

@@ -221,6 +221,12 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$DstDir/lineitem.parquet")
 
+    // part is a DIMENSION for the basket probe (q268): replicas shift
+    // l_orderkey only, so baskets grow 10x against the same part/brand
+    // dim — copy it through unchanged
+    spark.read.parquet(s"$SrcDir/part.parquet")
+      .write.mode("overwrite").parquet(s"$DstDir/part.parquet")
+
     // c_name carries the custkey digits (TPC-H 'Customer#%09d'), and the
     // linkage probes BLOCK on name substrings — replicas must re-derive
     // the digits from the shifted key, or every block would collide
