@@ -363,4 +363,154 @@ object Multimodal {
         col("height").cast("long").as("height"),
         col("brightness"))
       .orderBy(col("doc_id"))
+
+  /** Deterministic CELL image for the perceptual-hash pipeline (q270):
+    * 72×64 grayscale, tiled as a 9×8 grid of 8×8 CONSTANT cells — the
+    * fixture trick that makes a real-codec dHash oracle-checkable:
+    * average-pooling a constant cell returns the cell value EXACTLY, so
+    * a SQL engine that cannot run a codec can still replay the
+    * downsampled grid (and therefore every hash bit) from id arithmetic.
+    * Base cells derive from the doc's GROUP (id div 4) so each group of
+    * 4 docs shares a pattern; members 1–3 flip one LAST-COLUMN cell each
+    * (row 2·m, value 255 > any base cell's 0..199) — a last-column flip
+    * perturbs exactly one horizontal comparison, so within-group
+    * Hamming ≤ 2 while cross-group hashes differ in ~32 bits.
+    */
+  private[graft] def cellValue(id: Long, cx: Int, cy: Int): Int = {
+    val gid = id / 4
+    val m = (id % 4).toInt
+    if (m != 0 && cx == 8 && cy == 2 * m) 255
+    // the mix needs a NONLINEAR step (w·w mod p): any affine map has a
+    // CONSTANT consecutive-cell difference mod p, so the comparison-bit
+    // sequence is quasi-periodic (three-distance structure) and distinct
+    // groups collide hash-wide — measured: 1293 zero-distance cross-group
+    // pairs at 500 docs affine, zero with the square
+    else {
+      val w = (gid * 8191L + cy * 73L + cx) % 2147483647L * 2654435761L %
+        2147483647L
+      (w * w % 2147483647L % 200L).toInt
+    }
+  }
+
+  private[graft] def cellImage(id: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val v = cellValue(id, cx, cy)
+        val rgb = (v << 16) | (v << 8) | v
+        var y = cy * 8
+        while (y < cy * 8 + 8) {
+          var x = cx * 8
+          while (x < cx * 8 + 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    img
+  }
+
+  /** Per-document 64-bit dHash through a REAL codec round trip (q270):
+    * build the cell image, encode PNG (even ids) / BMP (odd — both
+    * lossless JDK codecs), decode the BYTES back with ImageIO,
+    * average-pool the red channel over the 9×8 cell grid (exact: sum of
+    * 64 equal pixels div 64), then the standard difference hash — bit
+    * (x, y) = 1 iff cell(x+1, y) > cell(x, y), 8 comparisons × 8 rows.
+    * The 64 bits pack as two NONNEGATIVE 32-bit halves (rows 0–3 → hi,
+    * 4–7 → lo) so every downstream xor/bit_count/band extraction stays
+    * in portable BIGINT range (a single 64-bit pack would put bit 63 in
+    * the sign). Row-local, partition-wise; one wrong pixel anywhere in
+    * encode→decode→pool flips a hash bit and fails the oracle.
+    */
+  def imagePhash(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val baos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(cellImage(id), fmt, baos),
+          s"no ImageIO writer for $fmt")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(baos.toByteArray))
+        require(img != null && img.getWidth == 72 && img.getHeight == 64,
+          s"phash round-trip decode failed for doc $id ($fmt)")
+        val grid = Array.ofDim[Int](8, 9)
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 9) {
+            var s = 0L
+            var y = cy * 8
+            while (y < cy * 8 + 8) {
+              var x = cx * 8
+              while (x < cx * 8 + 8) {
+                s += (img.getRGB(x, y) >> 16) & 0xFF; x += 1
+              }
+              y += 1
+            }
+            grid(cy)(cx) = (s / 64L).toInt
+            cx += 1
+          }
+          cy += 1
+        }
+        var hi = 0L; var lo = 0L
+        var r = 0
+        while (r < 8) {
+          var x = 0
+          while (x < 8) {
+            if (grid(r)(x + 1) > grid(r)(x)) {
+              val bit = (r % 4) * 8 + x
+              if (r < 4) hi |= 1L << bit else lo |= 1L << bit
+            }
+            x += 1
+          }
+          r += 1
+        }
+        (id, hi, lo)
+      }
+    }.toDF("doc_id", "phash_hi", "phash_lo")
+  }
+
+  /** Image near-dup pairs by perceptual-hash Hamming distance (q270):
+    * the multimodal face of the simhash dedup family — [[imagePhash]]
+    * signatures, 4×16-bit BAND bucketing, exact Hamming verification of
+    * candidates only. With maxHamming ≤ 3 the banding is COMPLETE by
+    * pigeonhole (≤ 3 differing bits cannot touch all 4 bands), so the
+    * banded join returns EXACTLY the brute-force pair set — the oracle
+    * checks that claim by running the full quadratic comparison, which
+    * only the fixture-scale SQL side can afford. Verification is
+    * bit_count(hi⊕hi') + bit_count(lo⊕lo'), codegen'd.
+    *
+    * Scale: band signatures explode ×4, bucket equi-join rides hash
+    * collisions (near-dup density, never corpus²), candidate dedup on
+    * the id pair — the minhashLshPairs shape, image-typed.
+    */
+  def phashNearDups(spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding is only complete to Hamming 3")
+    val sigs = imagePhash(spark, documents).localCheckpoint(true)
+    val bands = sigs.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+      explode(array(
+        concat(lit("b0:"), expr("phash_hi div 65536")),
+        concat(lit("b1:"), expr("phash_hi % 65536")),
+        concat(lit("b2:"), expr("phash_lo div 65536")),
+        concat(lit("b3:"), expr("phash_lo % 65536")))).as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bkey") === col("b.bkey")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash_hi").as("hi_a"), col("a.phash_lo").as("lo_a"),
+        col("b.phash_hi").as("hi_b"), col("b.phash_lo").as("lo_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

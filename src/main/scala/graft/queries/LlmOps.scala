@@ -1125,6 +1125,14 @@ object LlmOps {
           graft.operators.EvalOps.predictions(Tables.documents(s, d)))
         .orderBy(col("source"), col("bin"))),
 
+    // image near-dups by 64-bit dHash through a REAL codec round trip
+    // (PNG/BMP), 4x16 band bucketing (COMPLETE at Hamming <= 3 by
+    // pigeonhole) + bit_count verify; the oracle brute-forces all pairs
+    // from the closed-form cell grid, checking the banding's exactness
+    "q270_image_phash" -> ((s, d) =>
+      graft.operators.Multimodal.phashNearDups(s, Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -6271,6 +6279,43 @@ object LlmOps {
           CAST(fit6 AS DOUBLE) / 1e6 AS fitted_rate
         FROM b JOIN fit ON b.source = fit.source AND b.bin = fit.bin
         ORDER BY b.source, b.bin""",
+
+    // the closed-form cell grid (constant 8x8 cells survive the codec
+    // round trip and average-pool back exactly), same dHash bits and
+    // hi/lo packing, then BRUTE-FORCE all pairs — if the engine's
+    // banded join dropped one true pair, this hash mismatches
+    "q270_image_phash" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        cells AS (SELECT doc_id, cx, cy,
+            CASE WHEN doc_id % 4 <> 0 AND cx = 8
+                AND cy = 2 * (doc_id % 4) THEN 255
+              ELSE (((doc_id // 4 * 8191 + cy * 73 + cx) % 2147483647)
+                  * 2654435761 % 2147483647)
+                * (((doc_id // 4 * 8191 + cy * 73 + cx) % 2147483647)
+                  * 2654435761 % 2147483647)
+                % 2147483647 % 200
+            END AS v
+          FROM ids, generate_series(0, 8) t1(cx),
+            generate_series(0, 7) t2(cy)),
+        bits AS (SELECT a.doc_id, a.cy AS r, a.cx AS x,
+            CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+            AND a.cy = b.cy AND b.cx = a.cx + 1
+          WHERE a.cx < 8),
+        packed AS (SELECT doc_id,
+            CAST(sum(CASE WHEN r < 4
+              THEN bit * (1::BIGINT << ((r % 4) * 8 + x))
+              ELSE 0 END) AS BIGINT) AS hi,
+            CAST(sum(CASE WHEN r >= 4
+              THEN bit * (1::BIGINT << ((r % 4) * 8 + x))
+              ELSE 0 END) AS BIGINT) AS lo
+          FROM bits GROUP BY 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.hi, b.hi))
+            + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        ORDER BY doc_a, doc_b""",
 
     // same planted anomalies (combining acute / ZWSP / curly quotes),
     // utf8proc NFC == java.text.Normalizer NFC (both UAX#15), same

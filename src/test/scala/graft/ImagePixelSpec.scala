@@ -75,4 +75,60 @@ class ImagePixelSpec extends SparkSpec {
       assert(r.getDouble(6) === ((id * 13) % 256).toDouble)
     }
   }
+
+  /** Closed-form dHash computed straight from cellValue — the codec-free
+    * twin the codec path must reproduce bit for bit.
+    */
+  private def directHash(id: Long): (Long, Long) = {
+    var hi = 0L; var lo = 0L
+    for (r <- 0 until 8; x <- 0 until 8)
+      if (Multimodal.cellValue(id, x + 1, r) > Multimodal.cellValue(id, x, r)) {
+        val bit = (r % 4) * 8 + x
+        if (r < 4) hi |= 1L << bit else lo |= 1L << bit
+      }
+    (hi, lo)
+  }
+
+  test("imagePhash: codec round trip reproduces the closed-form hash; " +
+      "halves stay in 32-bit range") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 17L, 100L, 12345L)
+    val out = Multimodal.imagePhash(spark, ids.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ids.foreach { id =>
+      assert(out(id) === directHash(id),
+        s"codec path diverged from cell closed form for $id")
+      assert(out(id)._1 >= 0L && out(id)._1 < (1L << 32)
+        && out(id)._2 >= 0L && out(id)._2 < (1L << 32))
+    }
+  }
+
+  test("phashNearDups: within-group Hamming <= 2, banding equals brute " +
+      "force, threshold-3 cap enforced") {
+    import spark.implicits._
+    val n = 200L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = Multimodal.phashNearDups(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every group of 4 closes all 6 pairs (single last-column flips
+    // move at most one comparison each -> pairwise <= 2)
+    val within = pairs.filter { case (a, b, _) => a / 4 == b / 4 }
+    assert(within.length >= (n / 4 * 6 - 6).toInt,
+      s"groups must pair up, got ${within.length}")
+    assert(pairs.forall(_._3 <= 3))
+    assert(within.forall(_._3 <= 2), "one-cell flips move <= 2 bits")
+    // banding completeness: brute force over the same signatures
+    val hashes = (0L until n).map(id => id -> directHash(id))
+    val brute = for {
+      (a, (ha, la)) <- hashes; (b, (hb, lb)) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 3
+    } yield (a, b, d.toLong)
+    assert(pairs.toSet === brute.toSet,
+      "4x16 banding must be COMPLETE at Hamming <= 3")
+    // the guard: a threshold past the pigeonhole guarantee is refused
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDups(spark, docs, maxHamming = 4)
+    }
+  }
 }

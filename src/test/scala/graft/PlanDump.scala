@@ -242,7 +242,9 @@ object PlanDump {
     "q268_basket_pairs" ->
       "Basket pairs: distinct (basket, item) relation, basket-keyed self-join (work = sum k_b^2, bounded by basket size, never |items|^2), map-side-combined support counts, broadcast basket-count for lift.",
     "q269_isotonic" ->
-      "Isotonic PAV: one (source, bin) census over predictions, then the max-min closed form as a suffix-min window + per-bin max over the B^2 interval table — report-sized after the census, no sequential pooling loop.")
+      "Isotonic PAV: one (source, bin) census over predictions, then the max-min closed form as a suffix-min window + per-bin max over the B^2 interval table — report-sized after the census, no sequential pooling loop.",
+    "q270_image_phash" ->
+      "Image dHash near-dups: partition-wise codec round trip (encode/decode/pool row-local), localCheckpointed signatures, 4x16 band-bucket equi-join (COMPLETE at Hamming <= 3 by pigeonhole) + codegen bit_count verify — pair work rides near-dup density, never images^2.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -146,7 +146,11 @@ object ScaleProbe {
     // (basket-keyed self-join, k_b^2 per basket), isotonic PAV
     // (bin census + B^2 interval table)
     "q266_triangles", "q267_cramers_v", "q268_basket_pairs",
-    "q269_isotonic")
+    "q269_isotonic",
+    // gen-16c: real-codec dHash (row-local encode/decode/pool) + the
+    // banded pair join riding near-dup density — the probe checks the
+    // codec pass scales linearly and the band join never goes corpus^2
+    "q270_image_phash")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
