@@ -282,4 +282,123 @@ object AudioWav {
       "mean_l", "mean_r", "rms")
       .orderBy(col("doc_id"))
   }
+
+  /** Per-frame amplitude for the fingerprint fixture (q271) — the audio
+    * twin of Multimodal.cellValue: FRAME-CONSTANT PCM (65 frames × 64
+    * samples), amplitude from the same NONLINEAR w² mix (an affine mix's
+    * constant consecutive-frame difference makes energy-delta bits
+    * quasi-periodic — the q270 lesson, documented there). Groups of 4
+    * docs share a pattern; members 1–3 spike frame 16·m to 6000 (above
+    * the 0..3999 base range), perturbing at most the two adjacent
+    * energy comparisons — within-group Hamming ≤ 4, cross-group ~32.
+    */
+  private[graft] def ampFor(id: Long, f: Int): Int = {
+    val gid = id / 4
+    val mm = (id % 4).toInt
+    if (mm != 0 && f == 16 * mm) 6000
+    else {
+      val w = (gid * 8191L + f * 127L + 5L) % 2147483647L * 2654435761L %
+        2147483647L
+      (w * w % 2147483647L % 4000L).toInt
+    }
+  }
+
+  /** Minimal mono 16-bit WAV with frame-constant amplitudes — real RIFF
+    * bytes for the fingerprint round trip.
+    */
+  private[graft] def buildFingerprintWav(id: Long): Array[Byte] = {
+    val frames = 65; val win = 64
+    val dataBytes = frames * win * 2
+    val riffSize = 4 + (8 + 16) + (8 + dataBytes)
+    val buf = ByteBuffer.allocate(8 + riffSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000)
+      .putInt(16000 * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var f = 0
+    while (f < frames) {
+      val a = ampFor(id, f).toShort
+      var i = 0
+      while (i < win) { buf.putShort(a); i += 1 }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** 64-bit energy-delta audio fingerprint through the REAL chunk walker
+    * (q271) — the time-domain cousin of spectral fingerprints
+    * (Chromaprint-style delta coding without the FFT the oracle can't
+    * replay): build the doc WAV, parse the bytes back with [[samplesL]],
+    * sum-of-squares energy per 64-sample frame (exact BIGINT), bit b =
+    * energy(b+1) > energy(b) over 65 frames, packed as two nonnegative
+    * 32-bit halves (the q270 convention). One mis-parsed byte, wrong
+    * frame boundary, or sign error flips a bit and fails the oracle.
+    */
+  def audioFingerprint(spark: SparkSession, documents: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val s = samplesL(buildFingerprintWav(id)).getOrElse(
+          sys.error(s"fingerprint parse failed for doc $id"))
+        require(s.length == 65 * 64, s"bad sample count for doc $id")
+        val e = Array.tabulate(65) { f =>
+          var sq = 0L
+          var i = f * 64
+          while (i < f * 64 + 64) { val v = s(i).toLong; sq += v * v; i += 1 }
+          sq
+        }
+        var hi = 0L; var lo = 0L
+        var b = 0
+        while (b < 64) {
+          if (e(b + 1) > e(b)) {
+            if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        (id, hi, lo)
+      }
+    }.toDF("doc_id", "fp_hi", "fp_lo")
+  }
+
+  /** Audio near-dup pairs by fingerprint Hamming distance (q271) —
+    * [[audioFingerprint]] signatures under 8×8-bit band bucketing +
+    * exact bit_count verification. Eight bands are COMPLETE to
+    * Hamming 7 by pigeonhole (≤ 7 differing bits cannot touch all 8
+    * bands); the default threshold 6 covers the fixture's ≤ 4
+    * within-group distance with margin, and the guard refuses
+    * thresholds past the guarantee. Same scale shape as the image
+    * path: signatures localCheckpointed, band join rides near-dup
+    * density, candidates dedup on the id pair.
+    */
+  def audioNearDups(spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    import org.apache.spark.sql.functions.{array, concat, explode, lit}
+    require(maxHamming <= 7, "8x8 banding is only complete to Hamming 7")
+    val sigs = audioFingerprint(spark, documents).localCheckpoint(true)
+    val bandCols = (0 until 8).map { i =>
+      val half = if (i < 4) "fp_hi" else "fp_lo"
+      val shift = 1L << ((i % 4) * 8)
+      concat(lit(s"a$i:"),
+        org.apache.spark.sql.functions.expr(s"$half div $shift % 256"))
+    }
+    val bands = sigs.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+      explode(array(bandCols: _*)).as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"), col("a.bkey") === col("b.bkey")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp_hi").as("hi_a"), col("a.fp_lo").as("lo_a"),
+        col("b.fp_hi").as("hi_b"), col("b.fp_lo").as("lo_b"))
+      .distinct()
+      .withColumn("hamming",
+        org.apache.spark.sql.functions
+          .expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -1133,6 +1133,13 @@ object LlmOps {
       graft.operators.Multimodal.phashNearDups(s, Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // audio near-dups by 64-bit energy-delta fingerprint through the
+    // REAL RIFF walker; 8x8 banding (complete at Hamming <= 7), exact
+    // bit_count verify — the oracle brute-forces from closed-form amps
+    "q271_audio_fingerprint" -> ((s, d) =>
+      graft.operators.AudioWav.audioNearDups(s, Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -6315,6 +6322,39 @@ object LlmOps {
             + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
         FROM packed a JOIN packed b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        ORDER BY doc_a, doc_b""",
+
+    // closed-form frame amplitudes (energy compare == amp compare for
+    // nonneg constant frames), same bit/packing chain, brute-force
+    // pairs at Hamming <= 6 — checks the 8-band join's completeness
+    "q271_audio_fingerprint" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        amps AS (SELECT doc_id, f,
+            CASE WHEN doc_id % 4 <> 0 AND f = 16 * (doc_id % 4) THEN 6000
+              ELSE (((doc_id // 4 * 8191 + f * 127 + 5) % 2147483647)
+                  * 2654435761 % 2147483647)
+                * (((doc_id // 4 * 8191 + f * 127 + 5) % 2147483647)
+                  * 2654435761 % 2147483647)
+                % 2147483647 % 4000
+            END AS amp
+          FROM ids, generate_series(0, 64) t(f)),
+        bits AS (SELECT a.doc_id, a.f AS b,
+            CASE WHEN n.amp > a.amp THEN 1 ELSE 0 END AS bit
+          FROM amps a JOIN amps n ON a.doc_id = n.doc_id
+            AND n.f = a.f + 1
+          WHERE a.f < 64),
+        packed AS (SELECT doc_id,
+            CAST(sum(CASE WHEN b < 32
+              THEN bit * (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS hi,
+            CAST(sum(CASE WHEN b >= 32
+              THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT)
+              AS lo
+          FROM bits GROUP BY 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.hi, b.hi))
+            + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
         ORDER BY doc_a, doc_b""",
 
     // same planted anomalies (combining acute / ZWSP / curly quotes),

@@ -136,4 +136,55 @@ class AudioWavSpec extends SparkSpec {
       assert(zc === expected, s"window $w (cross=$cross)")
     }
   }
+
+  /** Codec-free fingerprint twin straight from ampFor — what the real
+    * RIFF round trip must reproduce bit for bit.
+    */
+  private def directFp(id: Long): (Long, Long) = {
+    var hi = 0L; var lo = 0L
+    for (b <- 0 until 64)
+      if (AudioWav.ampFor(id, b + 1) > AudioWav.ampFor(id, b)) {
+        if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
+      }
+    (hi, lo)
+  }
+
+  test("audioFingerprint: RIFF round trip reproduces the closed-form " +
+      "bits; halves in 32-bit range") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 17L, 100L, 54321L)
+    val out = AudioWav.audioFingerprint(spark, ids.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    ids.foreach { id =>
+      assert(out(id) === directFp(id),
+        s"decode path diverged from amp closed form for $id")
+      assert(out(id)._1 >= 0L && out(id)._1 < (1L << 32)
+        && out(id)._2 >= 0L && out(id)._2 < (1L << 32))
+    }
+  }
+
+  test("audioNearDups: within-group Hamming <= 4, 8-band join equals " +
+      "brute force, guard past the pigeonhole limit") {
+    import spark.implicits._
+    val n = 200L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = AudioWav.audioNearDups(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val within = pairs.filter { case (a, b, _) => a / 4 == b / 4 }
+    assert(within.length === (n / 4 * 6).toInt,
+      "a spiked frame moves <= 2 bits, so every group pair is <= 4")
+    assert(within.forall(_._3 <= 4))
+    val hashes = (0L until n).map(id => id -> directFp(id))
+    val brute = for {
+      (a, (ha, la)) <- hashes; (b, (hb, lb)) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 6
+    } yield (a, b, d.toLong)
+    assert(pairs.toSet === brute.toSet,
+      "8x8 banding must be COMPLETE at Hamming <= 6")
+    intercept[IllegalArgumentException] {
+      AudioWav.audioNearDups(spark, docs, maxHamming = 8)
+    }
+  }
 }

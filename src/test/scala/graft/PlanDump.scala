@@ -244,7 +244,9 @@ object PlanDump {
     "q269_isotonic" ->
       "Isotonic PAV: one (source, bin) census over predictions, then the max-min closed form as a suffix-min window + per-bin max over the B^2 interval table — report-sized after the census, no sequential pooling loop.",
     "q270_image_phash" ->
-      "Image dHash near-dups: partition-wise codec round trip (encode/decode/pool row-local), localCheckpointed signatures, 4x16 band-bucket equi-join (COMPLETE at Hamming <= 3 by pigeonhole) + codegen bit_count verify — pair work rides near-dup density, never images^2.")
+      "Image dHash near-dups: partition-wise codec round trip (encode/decode/pool row-local), localCheckpointed signatures, 4x16 band-bucket equi-join (COMPLETE at Hamming <= 3 by pigeonhole) + codegen bit_count verify — pair work rides near-dup density, never images^2.",
+    "q271_audio_fingerprint" ->
+      "Audio energy-delta fingerprint: RIFF build/parse + frame energies row-local, 8x8-bit band join (COMPLETE at Hamming <= 7) + bit_count verify — the q270 shape with a wider-threshold banding proof.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

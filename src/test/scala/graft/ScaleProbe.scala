@@ -150,7 +150,9 @@ object ScaleProbe {
     // gen-16c: real-codec dHash (row-local encode/decode/pool) + the
     // banded pair join riding near-dup density — the probe checks the
     // codec pass scales linearly and the band join never goes corpus^2
-    "q270_image_phash")
+    "q270_image_phash",
+    // gen-16d: the audio twin — RIFF round trip row-local, 8-band join
+    "q271_audio_fingerprint")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
