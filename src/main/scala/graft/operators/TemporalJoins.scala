@@ -683,4 +683,58 @@ object TemporalJoins {
         col("r.n_events"),
         (col("r.s6").cast("double") / 1e6).as("survival"))
   }
+
+  /** Holt's linear-trend double exponential smoothing over per-key daily
+    * volumes (q272) — the FORECASTING read beside the detector family:
+    * ewmaTrend tracks the level, mannKendall/theilSen test and size a
+    * trend retrospectively; Holt carries level AND trend forward and
+    * answers "what does tomorrow look like", which is what capacity
+    * planning actually asks of an event stream. Fixed α = 1/5,
+    * β = 1/10 (the exact-rational choice that keeps every step one
+    * truncating division).
+    *
+    * Recurrence in integer millionths, the [[cusum]] fold shape
+    * (calendar-bounded per-key array, `aggregate` higher-order fold —
+    * state is one 4-BIGINT struct, NEVER a per-row window):
+    * l₆⁰ = x₀·10⁶, b₆⁰ = 0; then pred₆ = l₆+b₆,
+    * l₆′ = (xₜ·10⁶ + 4·pred₆) div 5, b₆′ = (l₆′ − l₆ + 9·b₆) div 10,
+    * one-step error err₆ = xₜ·10⁶ − pred₆ accumulating Σ|err₆|.
+    * Divisions hit negative operands on declining series — Spark `div`
+    * and DuckDB `//` both truncate toward zero (the verified theilSen
+    * contract), so the SQL oracle replays the fold as a recursive CTE
+    * bit for bit. Single-day keys report trend 0 and NULL mae.
+    *
+    * Output per key: n_days, final level/trend, the one-step-ahead
+    * forecast l+b, and the in-sample MAE of the one-step forecasts
+    * (mae₆ = Σ|err₆| div n_err) — the honesty number beside the
+    * forecast.
+    */
+  def holtLinear(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val packed = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(struct(col("day"), col("x")))).as("ds"))
+    val folded = packed.withColumn("st", expr(
+      """aggregate(ds,
+          CAST(NULL AS STRUCT<l6: BIGINT, b6: BIGINT,
+            sae: BIGINT, nerr: BIGINT>),
+          (acc, d) -> CASE WHEN acc IS NULL THEN
+              struct(d.x * 1000000 AS l6, CAST(0 AS BIGINT) AS b6,
+                CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS nerr)
+            ELSE struct(
+              (d.x * 1000000 + 4 * (acc.l6 + acc.b6)) div 5 AS l6,
+              ((d.x * 1000000 + 4 * (acc.l6 + acc.b6)) div 5
+                - acc.l6 + 9 * acc.b6) div 10 AS b6,
+              acc.sae + abs(d.x * 1000000 - acc.l6 - acc.b6) AS sae,
+              acc.nerr + 1 AS nerr) END)"""))
+    folded.select(col(keyCol), col("n_days"),
+      (col("st.l6").cast("double") / 1e6).as("level"),
+      (col("st.b6").cast("double") / 1e6).as("trend"),
+      ((col("st.l6") + col("st.b6")).cast("double") / 1e6)
+        .as("forecast_next"),
+      when(col("st.nerr") > 0,
+        expr("st.sae div st.nerr").cast("double") / 1e6).as("mae"))
+  }
 }

@@ -1140,6 +1140,13 @@ object LlmOps {
       graft.operators.AudioWav.audioNearDups(s, Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Holt linear-trend smoothing of daily volumes: exact integer
+    // level/trend recurrence (alpha=1/5, beta=1/10), one-step MAE —
+    // the oracle replays the fold as a recursive CTE
+    "q272_holt_trend" -> ((s, d) =>
+      graft.operators.TemporalJoins.holtLinear(Tables.events(s, d))
+        .orderBy(col("event_type"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -6356,6 +6363,38 @@ object LlmOps {
         FROM packed a JOIN packed b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
         ORDER BY doc_a, doc_b""",
+
+    // same daily collapse, the fold replayed as a recursive CTE with
+    // identical truncating divisions (// toward zero, negatives incl.)
+    "q272_holt_trend" ->
+      """WITH RECURSIVE daily AS (SELECT event_type AS k,
+            CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        nd AS (SELECT k, day, x, CAST(row_number() OVER (PARTITION BY k
+            ORDER BY day) AS BIGINT) AS rn
+          FROM daily),
+        hw AS (
+          SELECT k, rn, x * 1000000 AS l6, CAST(0 AS BIGINT) AS b6,
+            CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS nerr
+          FROM nd WHERE rn = 1
+          UNION ALL
+          SELECT n.k, n.rn,
+            (n.x * 1000000 + 4 * (h.l6 + h.b6)) // 5 AS l6,
+            ((n.x * 1000000 + 4 * (h.l6 + h.b6)) // 5
+              - h.l6 + 9 * h.b6) // 10 AS b6,
+            h.sae + abs(n.x * 1000000 - h.l6 - h.b6) AS sae,
+            h.nerr + 1 AS nerr
+          FROM hw h JOIN nd n ON n.k = h.k AND n.rn = h.rn + 1),
+        last AS (SELECT k, max(rn) AS n_days FROM hw GROUP BY 1),
+        fin AS (SELECT hw.k, last.n_days, hw.l6, hw.b6, hw.sae, hw.nerr
+          FROM hw JOIN last ON hw.k = last.k AND hw.rn = last.n_days)
+        SELECT k AS event_type, n_days,
+          CAST(l6 AS DOUBLE) / 1e6 AS level,
+          CAST(b6 AS DOUBLE) / 1e6 AS trend,
+          CAST(l6 + b6 AS DOUBLE) / 1e6 AS forecast_next,
+          CASE WHEN nerr > 0 THEN
+            CAST(sae // nerr AS DOUBLE) / 1e6 END AS mae
+        FROM fin ORDER BY event_type""",
 
     // same planted anomalies (combining acute / ZWSP / curly quotes),
     // utf8proc NFC == java.text.Normalizer NFC (both UAX#15), same

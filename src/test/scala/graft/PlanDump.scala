@@ -246,7 +246,9 @@ object PlanDump {
     "q270_image_phash" ->
       "Image dHash near-dups: partition-wise codec round trip (encode/decode/pool row-local), localCheckpointed signatures, 4x16 band-bucket equi-join (COMPLETE at Hamming <= 3 by pigeonhole) + codegen bit_count verify — pair work rides near-dup density, never images^2.",
     "q271_audio_fingerprint" ->
-      "Audio energy-delta fingerprint: RIFF build/parse + frame energies row-local, 8x8-bit band join (COMPLETE at Hamming <= 7) + bit_count verify — the q270 shape with a wider-threshold banding proof.")
+      "Audio energy-delta fingerprint: RIFF build/parse + frame energies row-local, 8x8-bit band join (COMPLETE at Hamming <= 7) + bit_count verify — the q270 shape with a wider-threshold banding proof.",
+    "q272_holt_trend" ->
+      "Holt linear trend: daily collapse, per-key aggregate() fold over the calendar-bounded struct array (state = one 4-BIGINT struct) — no per-row window, no recursion in the plan; raw events enter one aggregation.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

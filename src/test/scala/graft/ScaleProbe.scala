@@ -152,7 +152,10 @@ object ScaleProbe {
     // codec pass scales linearly and the band join never goes corpus^2
     "q270_image_phash",
     // gen-16d: the audio twin — RIFF round trip row-local, 8-band join
-    "q271_audio_fingerprint")
+    "q271_audio_fingerprint",
+    // gen-16e: Holt fold over the calendar-bounded daily table (cusum
+    // shape — state one struct per key, constant in event volume)
+    "q272_holt_trend")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path

@@ -349,4 +349,46 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out("shift").getDate(3).toString ===
       f"2024-01-${firstAlarm.get}%02d")
   }
+
+  test("holtLinear: hand two-day recurrence, constant-series fixpoint, " +
+      "single-day degenerate, fold matches a reference replay") {
+    import java.sql.Timestamp
+    def rows(et: String, daily: Seq[Int]): Seq[(Long, Timestamp, Long, String)] =
+      daily.zipWithIndex.flatMap { case (n, d) =>
+        (1 to n).map(i => (d * 10000L + i,
+          Timestamp.valueOf(f"2024-01-${d + 1}%02d 10:00:00"),
+          i.toLong, et))
+      }
+    // hand: [10, 20] -> l1 = (20e6 + 4*10e6) div 5 = 12e6, b1 = 2e6
+    // div 10 = 0.2e6, forecast 12.2, one error |20e6-10e6| -> mae 10
+    val df = (rows("hand", Seq(10, 20)) ++ rows("const", Seq(7, 7, 7, 7))
+      ++ rows("solo", Seq(5))
+      ++ rows("wavy", Seq(12, 3, 25, 7, 19, 2, 30, 11, 6, 22)))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = TemporalJoins.holtLinear(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val h = out("hand")
+    assert(h.getLong(1) === 2L && h.getDouble(2) === 12.0)
+    assert(h.getDouble(3) === 0.2 && h.getDouble(4) === 12.2)
+    assert(h.getDouble(5) === 10.0)
+    // constant series is a fixpoint: level = x, trend 0, mae 0
+    val c = out("const")
+    assert(c.getDouble(2) === 7.0 && c.getDouble(3) === 0.0)
+    assert(c.getDouble(4) === 7.0 && c.getDouble(5) === 0.0)
+    // single day: trend 0, no one-step errors
+    assert(out("solo").getDouble(3) === 0.0
+      && out("solo").isNullAt(5))
+    // reference replay with Scala's toward-zero Long division (the div
+    // contract), negative trends included
+    var l = 12000000L; var b = 0L; var sae = 0L; var ne = 0L
+    Seq(3, 25, 7, 19, 2, 30, 11, 6, 22).foreach { x =>
+      val pred = l + b
+      val l2 = (x * 1000000L + 4 * pred) / 5
+      b = (l2 - l + 9 * b) / 10
+      sae += math.abs(x * 1000000L - pred); ne += 1; l = l2
+    }
+    val w = out("wavy")
+    assert(w.getDouble(2) === l / 1e6 && w.getDouble(3) === b / 1e6)
+    assert(w.getDouble(5) === (sae / ne) / 1e6)
+  }
 }
