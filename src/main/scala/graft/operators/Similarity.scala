@@ -1378,4 +1378,48 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cos_sim"))
   }
+
+  /** Per-label centroid drift against the corpus centroid (q274) — the
+    * embedding-space mix audit: a label (source, task, language) whose
+    * centroid points away from the corpus centroid contributes a
+    * different REGION of embedding space, the geometric cousin of
+    * [[CorpusOps.sourceKl]]'s token-distribution read; run it between
+    * snapshot versions and it becomes embedding-drift monitoring for a
+    * re-embedded corpus.
+    *
+    * Exactness: components quantize per row FIRST (q6 = ⌊x·10⁶⌋ — float
+    * → double is exact, one deterministic floor), so the per-(label,
+    * dim) sums are pure BIGINT and the global centroid is their sum —
+    * cosine is scale-invariant, so SUMS stand in for means and no
+    * division happens at all until the final cos. dot/norms accumulate
+    * in DECIMAL(38,0) (cl ≤ n·10⁶, squares ≤ n²·10¹² — exact to
+    * n ≈ 10¹²); cos6 = ⌊dot/(√na·√nb)·10⁶⌋ with two correctly-rounded
+    * IEEE sqrts both engines replay. Zero-norm labels (all-zero
+    * vectors) report NULL.
+    *
+    * Scale: one posexplode aggregation to (label, dim) — dims·|labels|
+    * rows — then report-sized arithmetic; raw vectors are scanned once.
+    */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val comp = prepLabeled(emb)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("q6", floor(col("x") * 1000000L).cast("long"))
+    val byLabel = comp.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q6")).as("cl"), count(lit(1)).as("nv"))
+    val global = byLabel.groupBy(col("dim")).agg(sum(col("cl")).as("cg"))
+    byLabel.join(global, "dim")
+      .groupBy(col("label"))
+      .agg(max(col("nv")).as("n_vecs"),
+        sum(expr("CAST(cl AS DECIMAL(38,0)) * cg")).as("_dot"),
+        sum(expr("CAST(cl AS DECIMAL(38,0)) * cl")).as("_na"),
+        sum(expr("CAST(cg AS DECIMAL(38,0)) * cg")).as("_nb"))
+      .withColumn("_cos6", when(col("_na") > 0 && col("_nb") > 0,
+        floor(col("_dot").cast("double")
+          / (sqrt(col("_na").cast("double"))
+            * sqrt(col("_nb").cast("double"))) * 1e6).cast("long")))
+      .select(col("label"), col("n_vecs"),
+        (col("_cos6").cast("double") / 1e6).as("cos_to_global"),
+        when(col("_cos6").isNotNull, col("_cos6") < 980000L)
+          .as("drifted"))
+  }
 }

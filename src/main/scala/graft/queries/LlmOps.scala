@@ -1147,6 +1147,20 @@ object LlmOps {
       graft.operators.TemporalJoins.holtLinear(Tables.events(s, d))
         .orderBy(col("event_type"))),
 
+    // ORC round trip: write lineitem partitioned-by-flag to ORC, read
+    // back with a pushed timestamp predicate, exact BIGINT aggregate —
+    // the oracle computes from PARQUET, so the hash only matches if the
+    // ORC layout preserved every row and value
+    "q273_orc_roundtrip" -> ((s, d) =>
+      graft.sources.OrcIngest.roundtrip(s, d)),
+
+    // embedding-space mix audit: per-label centroid cosine vs the
+    // corpus centroid — per-row quantized components, BIGINT sums
+    // (cosine is scale-invariant, so sums stand in for means)
+    "q274_centroid_drift" -> ((s, d) =>
+      graft.operators.Similarity.centroidDrift(Tables.embeddings(s, d))
+        .orderBy(col("label"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -6395,6 +6409,47 @@ object LlmOps {
           CASE WHEN nerr > 0 THEN
             CAST(sae // nerr AS DOUBLE) / 1e6 END AS mae
         FROM fin ORDER BY event_type""",
+
+    // the same aggregate over the ORIGINAL parquet — a hash match means
+    // the ORC write/read preserved rows, partition keys, and values
+    "q273_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          min(l_orderkey) AS min_orderkey,
+          max(l_orderkey) AS max_orderkey
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59'
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same per-row quantization, BIGINT (label, dim) sums, HUGEINT
+    // dot/norms, identical sqrt-product cosine
+    "q274_centroid_drift" ->
+      """WITH comp AS (SELECT label,
+            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS q6,
+            unnest(generate_series(1, len(embedding))) AS dim
+          FROM embeddings),
+        bl AS (SELECT label, dim, CAST(sum(q6) AS BIGINT) AS cl,
+            CAST(count(*) AS BIGINT) AS nv
+          FROM comp GROUP BY 1, 2),
+        g AS (SELECT dim, CAST(sum(cl) AS BIGINT) AS cg
+          FROM bl GROUP BY 1),
+        agg AS (SELECT label, max(nv) AS n_vecs,
+            CAST(sum(CAST(cl AS HUGEINT) * cg) AS HUGEINT) AS dot,
+            CAST(sum(CAST(cl AS HUGEINT) * cl) AS HUGEINT) AS na,
+            CAST(sum(CAST(cg AS HUGEINT) * cg) AS HUGEINT) AS nb
+          FROM bl JOIN g USING (dim) GROUP BY 1),
+        fin AS (SELECT label, n_vecs,
+            CASE WHEN na > 0 AND nb > 0 THEN
+              CAST(floor(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                * 1e6) AS BIGINT) END AS cos6
+          FROM agg)
+        SELECT label, n_vecs,
+          CAST(cos6 AS DOUBLE) / 1e6 AS cos_to_global,
+          CASE WHEN cos6 IS NOT NULL THEN cos6 < 980000 END AS drifted
+        FROM fin ORDER BY label""",
 
     // same planted anomalies (combining acute / ZWSP / curly quotes),
     // utf8proc NFC == java.text.Normalizer NFC (both UAX#15), same

@@ -1477,4 +1477,41 @@ class CorpusAnalyticsSpec extends SparkSpec {
     // s3: f1 = 0 -> estimate equals observed; coverage 1
     assert(out("s3") === ((4L, 1L, 0L, 0L, 1L, 1.0)))
   }
+
+  test("centroidDrift: hand cosine vs global, single-label identity, " +
+      "zero-norm NULL, scale invariance of the sum trick") {
+    import spark.implicits._
+    // A: two copies of (1,0); B: one (0,1). global sums = (2e6, 1e6)
+    // cos(A) = 2/sqrt(5) -> 894427 floored; cos(B) = 1/sqrt(5) -> 447213
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDrift(df).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getLong(1) === 2L)
+    assert(out(0).getDouble(2) === 0.894427 && out(0).getBoolean(3))
+    assert(out(1).getDouble(2) === 0.447213 && out(1).getBoolean(3))
+    // single label IS the corpus: cosine exactly 1, not drifted
+    val solo = Seq((1L, Seq(0.25f, -0.5f), 7), (2L, Seq(0.5f, 0.125f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val s = Similarity.centroidDrift(solo).collect().head
+    assert(s.getDouble(2) === 1.0 && !s.getBoolean(3))
+    // zero-norm label: undefined cosine -> NULLs, not a crash
+    val z = Seq((1L, Seq(0.0f, 0.0f), 3), (2L, Seq(1.0f, 1.0f), 4))
+      .toDF("vec_id", "embedding", "label")
+    val zr = Similarity.centroidDrift(z).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(zr(3).isNullAt(2) && zr(3).isNullAt(3))
+    // cosine is scale-invariant, so the sum-instead-of-mean trick is
+    // exact: halving every vector (dyadic values, so quantization is
+    // lossless) reproduces the report bit for bit
+    def fix(s: Float) = Seq(
+      (1L, Seq(0.5f * s, 0.75f * s), 0), (2L, Seq(0.25f * s, 0.5f * s), 0),
+      (5L, Seq(-0.75f * s, 0.25f * s), 1))
+      .toDF("vec_id", "embedding", "label")
+    val full = Similarity.centroidDrift(fix(1.0f)).collect().toSeq
+    val half = Similarity.centroidDrift(fix(0.5f)).collect().toSeq
+    assert(full === half, "scaled corpus must report identical cosines")
+  }
 }

@@ -248,7 +248,11 @@ object PlanDump {
     "q271_audio_fingerprint" ->
       "Audio energy-delta fingerprint: RIFF build/parse + frame energies row-local, 8x8-bit band join (COMPLETE at Hamming <= 7) + bit_count verify — the q270 shape with a wider-threshold banding proof.",
     "q272_holt_trend" ->
-      "Holt linear trend: daily collapse, per-key aggregate() fold over the calendar-bounded struct array (state = one 4-BIGINT struct) — no per-row window, no recursion in the plan; raw events enter one aggregation.")
+      "Holt linear trend: daily collapse, per-key aggregate() fold over the calendar-bounded struct array (state = one 4-BIGINT struct) — no per-row window, no recursion in the plan; raw events enter one aggregation.",
+    "q273_orc_roundtrip" ->
+      "ORC roundtrip: partitioned-by-flag ORC write, read back with the timestamp predicate PUSHED into the ORC scan (PushedFilters) and partition pruning available to flag-filtered readers — one scan, one aggregate.",
+    "q274_centroid_drift" ->
+      "Centroid drift: ONE posexplode aggregation to (label, dim) BIGINT sums (per-row quantization keeps cross-row sums exact), dim-keyed join against the |dims|-row global, report-sized cosine arithmetic.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

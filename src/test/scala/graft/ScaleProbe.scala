@@ -155,7 +155,11 @@ object ScaleProbe {
     "q271_audio_fingerprint",
     // gen-16e: Holt fold over the calendar-bounded daily table (cusum
     // shape — state one struct per key, constant in event volume)
-    "q272_holt_trend")
+    "q272_holt_trend",
+    // gen-16f: ORC write+read roundtrip (IO-bound, linear by
+    // construction); centroid drift (one posexplode aggregation to
+    // (label, dim), then report-sized)
+    "q273_orc_roundtrip", "q274_centroid_drift")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
