@@ -131,4 +131,66 @@ object DataQuality {
         coalesce(col("n_rows"), lit(0L)).as("n_rows"))
       .withColumn("is_gap", col("n_rows") === 0L)
   }
+
+  /** Benford's-law floored-millionth expected shares for first digits
+    * 1..9 (p_d = log₁₀(1 + 1/d)): CONSTANTS, not computed — a runtime
+    * log10 would put an engine-specific ulp inside every expected
+    * share. They sum to 999 995 (five floors), documented not patched.
+    */
+  private[graft] val Benford6: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** Benford first-digit audit per group (q276) — the numeric
+    * data-quality read beside [[profile]]: naturally-generated
+    * multiplicative quantities (prices, populations, transaction
+    * amounts) follow log₁₀(1+1/d) first-digit shares; fabricated,
+    * truncated, or re-scaled columns don't, which is why auditors run
+    * exactly this census. Values < 1 in absolute value (no leading
+    * digit in the integer part) and zeros are excluded and counted.
+    *
+    * Determinism: the first digit comes from the DECIMAL STRING of
+    * ⌊|x|⌋ (integer-to-string is exact in every engine — no float
+    * formatting anywhere); observed shares are share6 = n_d·10⁶ div n;
+    * expected shares are the pinned [[Benford6]] constants; the
+    * total-variation distance folds as Σ|share6 − p6| div 2 over the
+    * DENSE 9-digit spine (an absent digit contributes its full
+    * expected mass). `suspect` = TV > 0.05 — the conventional audit
+    * line.
+    *
+    * Scale: one (group, digit) census with map-side partials, a
+    * broadcast 9-row spine, |groups|·9-row output.
+    */
+  def benfordAudit(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df
+      .withColumn("_m", floor(abs(col(valueCol))).cast("long"))
+      .withColumn("_d", when(col("_m") >= 1L,
+        substring(col("_m").cast("string"), 1, 1).cast("int")))
+    val counted = digits.groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_rows"),
+        sum(when(col("_d").isNull, 1L).otherwise(0L)).as("n_excluded"))
+    val census = digits.filter(col("_d").isNotNull)
+      .groupBy(col(groupCol).as("_g"), col("_d")).agg(count(lit(1)).as("_c"))
+    val spine = counted.select(col("_g"), col("n_excluded"),
+        (col("_rows") - col("n_excluded")).as("_n"))
+      .crossJoin(broadcast(Benford6.toDF("_d", "_p6")))
+      .join(census, Seq("_g", "_d"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+      .withColumn("_share6", when(col("_n") > 0,
+        expr("_c * 1000000 div _n")).otherwise(lit(0L)))
+    val tv = spine.groupBy(col("_g"))
+      .agg(sum(abs(col("_share6") - col("_p6"))).as("_tvs"))
+      .withColumn("_tv6", expr("_tvs div 2"))
+      .drop("_tvs")
+    spine.join(tv, "_g")
+      .select(col("_g").as(groupCol), col("_d").as("digit"),
+        col("_n").as("n"), col("n_excluded"), col("_c").as("n_digit"),
+        (col("_share6").cast("double") / 1e6).as("obs_share"),
+        (col("_p6").cast("double") / 1e6).as("benford_share"),
+        (col("_tv6").cast("double") / 1e6).as("tv"),
+        (col("_tv6") > 50000L).as("suspect"))
+  }
 }

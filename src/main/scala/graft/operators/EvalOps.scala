@@ -1459,6 +1459,70 @@ object EvalOps {
         (col("psi") > 0.2).as("action"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test (q275) — the
+    * Simpson's-paradox-proof A/B readout: comparing a binary outcome
+    * between two cohorts POOLED across strata can reverse sign when the
+    * strata differ in both mix and base rate; CMH tests the common
+    * association WITHIN strata (Mantel & Haenszel 1959), and the MH
+    * common odds ratio is the effect size that pools correctly. The
+    * curation read: "does cohort A really produce more flagged docs, or
+    * does it just over-sample the stratum where everyone flags?"
+    *
+    * Exactness: per stratum the 2×2 census (a = treated successes,
+    * margins n1/n0/m1/m0, N); E6 = n1·m1·10⁶ div N and
+    * V6 = n1·n0·m1·m0·10⁶ div (N²(N−1)) in DECIMAL(38,0) (products ≤
+    * N⁴·10⁶ — the cramersV ceiling); χ²₆ = D² div ΣV6 with
+    * D = Σa·10⁶ − ΣE6 squared in DECIMAL — the units cancel to
+    * millionth-χ². OR_MH = Σ(a·d·10⁶ div N) over Σ(b·c·10⁶ div N), one
+    * more truncating division, NULL when the denominator is 0.
+    * Degenerate strata (single-cohort or single-outcome, V = 0)
+    * contribute their E and 0 variance — the standard convention.
+    * `significant` at α = 0.05 is χ²₆ > 3 841 459 (1 df).
+    *
+    * Scale: one (stratum, cohort, outcome) census with map-side
+    * partials; everything after is |strata|-row arithmetic folding to
+    * ONE report row.
+    */
+  def cmhTest(df: DataFrame, stratumCol: String, cohortCol: String,
+      outcomeCol: String): DataFrame = {
+    val cells = df.groupBy(col(stratumCol).as("_s"))
+      .agg(
+        sum(when(col(cohortCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("_a"),
+        sum(when(col(cohortCol) && !col(outcomeCol), 1L).otherwise(0L))
+          .as("_b"),
+        sum(when(!col(cohortCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("_c"),
+        sum(when(!col(cohortCol) && !col(outcomeCol), 1L).otherwise(0L))
+          .as("_d"))
+      .withColumn("_n", col("_a") + col("_b") + col("_c") + col("_d"))
+      .withColumn("_e6", expr(
+        """CAST(_a + _b AS DECIMAL(38,0)) * (_a + _c) * 1000000 div _n"""))
+      .withColumn("_v6", when(col("_n") > 1, expr(
+        """CAST(_a + _b AS DECIMAL(38,0)) * (_c + _d) * (_a + _c)
+           * (_b + _d) * 1000000
+           div (CAST(_n AS DECIMAL(38,0)) * _n * (_n - 1))"""))
+        .otherwise(lit(0L)))
+      .withColumn("_or_num6", expr(
+        "CAST(_a AS DECIMAL(38,0)) * _d * 1000000 div _n"))
+      .withColumn("_or_den6", expr(
+        "CAST(_b AS DECIMAL(38,0)) * _c * 1000000 div _n"))
+    cells.agg(count(lit(1)).as("n_strata"), sum(col("_n")).as("n"),
+        sum(col("_a") * 1000000L).as("_sa6"), sum(col("_e6")).as("_se6"),
+        sum(col("_v6")).as("_sv6"),
+        sum(col("_or_num6")).as("_num6"), sum(col("_or_den6")).as("_den6"))
+      .withColumn("_chi6", when(col("_sv6") > 0, expr(
+        """CAST(_sa6 - _se6 AS DECIMAL(38,0)) * (_sa6 - _se6)
+           div _sv6""")))
+      .select(col("n_strata"), col("n"),
+        (col("_chi6").cast("double") / 1e6).as("chi2"),
+        when(col("_den6") > 0,
+          expr("_num6 * 1000000 div _den6").cast("double") / 1e6)
+          .as("or_mh"),
+        when(col("_chi6").isNotNull, col("_chi6") > 3841459L)
+          .as("significant"))
+  }
+
   /** Isotonic (PAV) calibration per source (q269) — the FIT step behind
     * [[calibrationReport]]: the report says the model's confidences are
     * off, the isotonic fit produces the monotone mapping conf → P(correct)

@@ -1161,6 +1161,23 @@ object LlmOps {
       graft.operators.Similarity.centroidDrift(Tables.embeddings(s, d))
         .orderBy(col("label"))),
 
+    // CMH stratified 2x2: does the even-id cohort long-doc rate differ
+    // from the odd cohort CONTROLLING for language — exact E6/V6 sums,
+    // MH common odds ratio, chi2_1 at alpha=0.05
+    "q275_cmh_test" -> ((s, d) =>
+      graft.operators.EvalOps.cmhTest(
+        Tables.documents(s, d).select(col("lang"),
+          (col("doc_id") % 2 === 0).as("cohort_even"),
+          (col("n_chars") > 306).as("is_long")),
+        "lang", "cohort_even", "is_long")),
+
+    // Benford first-digit audit of extended prices per return flag:
+    // pinned log10 constants, dense digit spine, integer TV fold
+    "q276_benford" -> ((s, d) =>
+      graft.operators.DataQuality.benfordAudit(
+          Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag"), col("digit"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -6450,6 +6467,87 @@ object LlmOps {
           CAST(cos6 AS DOUBLE) / 1e6 AS cos_to_global,
           CASE WHEN cos6 IS NOT NULL THEN cos6 < 980000 END AS drifted
         FROM fin ORDER BY label""",
+
+    // same per-stratum census, HUGEINT E6/V6, the same units-cancelling
+    // chi2_6 = D^2 div sum(V6) and MH odds-ratio fold
+    "q275_cmh_test" ->
+      """WITH cells AS (SELECT lang,
+            CAST(sum(CASE WHEN doc_id % 2 = 0 AND n_chars > 306
+              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN doc_id % 2 = 0 AND n_chars <= 306
+              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(sum(CASE WHEN doc_id % 2 <> 0 AND n_chars > 306
+              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN doc_id % 2 <> 0 AND n_chars <= 306
+              THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM documents GROUP BY 1),
+        st AS (SELECT lang, a, b, c, d, a + b + c + d AS n,
+            CAST(a + b AS HUGEINT) * (a + c) * 1000000
+              // (a + b + c + d) AS e6,
+            CASE WHEN a + b + c + d > 1 THEN
+              CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+                * 1000000 // (CAST(a + b + c + d AS HUGEINT)
+                  * (a + b + c + d) * (a + b + c + d - 1))
+            ELSE 0 END AS v6,
+            CAST(a AS HUGEINT) * d * 1000000 // (a + b + c + d) AS num6,
+            CAST(b AS HUGEINT) * c * 1000000 // (a + b + c + d) AS den6
+          FROM cells),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+            CAST(sum(n) AS BIGINT) AS n,
+            CAST(sum(a * 1000000) AS HUGEINT) AS sa6,
+            CAST(sum(e6) AS HUGEINT) AS se6,
+            CAST(sum(v6) AS HUGEINT) AS sv6,
+            CAST(sum(num6) AS HUGEINT) AS snum6,
+            CAST(sum(den6) AS HUGEINT) AS sden6
+          FROM st),
+        fin AS (SELECT n_strata, n,
+            CASE WHEN sv6 > 0 THEN
+              (sa6 - se6) * (sa6 - se6) // sv6 END AS chi6,
+            snum6, sden6
+          FROM agg)
+        SELECT n_strata, n, CAST(chi6 AS DOUBLE) / 1e6 AS chi2,
+          CASE WHEN sden6 > 0 THEN
+            CAST(snum6 * 1000000 // sden6 AS DOUBLE) / 1e6 END AS or_mh,
+          CASE WHEN chi6 IS NOT NULL THEN chi6 > 3841459 END
+            AS significant
+        FROM fin""",
+
+    // same integer-string first digits, pinned Benford constants,
+    // dense spine, TV fold
+    "q276_benford" ->
+      """WITH dg AS (SELECT l_returnflag AS g,
+            CASE WHEN CAST(floor(abs(l_extendedprice)) AS BIGINT) >= 1
+              THEN CAST(substr(CAST(CAST(floor(abs(l_extendedprice))
+                AS BIGINT) AS VARCHAR), 1, 1) AS INT) END AS d
+          FROM lineitem),
+        counted AS (SELECT g, CAST(count(*) AS BIGINT) AS rows_all,
+            CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_excluded
+          FROM dg GROUP BY 1),
+        census AS (SELECT g, d, CAST(count(*) AS BIGINT) AS c
+          FROM dg WHERE d IS NOT NULL GROUP BY 1, 2),
+        bf AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d,
+            unnest([301029,176091,124938,96910,79181,66946,57991,51152,
+              45757]) AS p6),
+        spine AS (SELECT counted.g, counted.n_excluded,
+            rows_all - n_excluded AS n, bf.d, bf.p6,
+            coalesce(census.c, 0) AS c
+          FROM counted CROSS JOIN bf
+          LEFT JOIN census ON census.g = counted.g AND census.d = bf.d),
+        sp2 AS (SELECT g, n_excluded, n, d, p6, c,
+            CASE WHEN n > 0 THEN c * 1000000 // n ELSE 0 END AS share6
+          FROM spine),
+        tv AS (SELECT g, CAST(sum(abs(share6 - p6)) AS BIGINT) // 2
+            AS tv6
+          FROM sp2 GROUP BY 1)
+        SELECT sp2.g AS l_returnflag, sp2.d AS digit, sp2.n,
+          sp2.n_excluded, sp2.c AS n_digit,
+          CAST(share6 AS DOUBLE) / 1e6 AS obs_share,
+          CAST(p6 AS DOUBLE) / 1e6 AS benford_share,
+          CAST(tv6 AS DOUBLE) / 1e6 AS tv,
+          tv6 > 50000 AS suspect
+        FROM sp2 JOIN tv ON sp2.g = tv.g
+        ORDER BY sp2.g, sp2.d""",
 
     // same planted anomalies (combining acute / ZWSP / curly quotes),
     // utf8proc NFC == java.text.Normalizer NFC (both UAX#15), same

@@ -84,4 +84,38 @@ class DataQualitySpec extends SparkSpec {
     assert(report.forall(_.getBoolean(3)), "golden branch must pass the gate")
     t.publishBranch("audit")
   }
+
+  test("benfordAudit: uniform digits trip the line, Benford-shaped " +
+      "counts pass, exclusions and negatives handled, dense spine") {
+    import spark.implicits._
+    // uniform 1..9: every share 111111, TV = 537454/2 -> 0.268727
+    val uni = (1 to 9).map(d => ("u", d.toDouble)).toDF("g", "v")
+    val u = DataQuality.benfordAudit(uni, "g", "v").collect()
+    assert(u.length === 9)
+    u.foreach { r =>
+      assert(r.getAs[Double]("tv") === 0.268727)
+      assert(r.getAs[Boolean]("suspect"))
+      assert(r.getAs[Double]("obs_share") === 0.111111)
+    }
+    // counts proportional to Benford (n=1000): TV = 911/2 -> 0.000455
+    val counts = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val good = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("b", (i + 1) * 10.0 + 0.5))
+    }.toDF("g", "v")
+    val g = DataQuality.benfordAudit(good, "g", "v").collect()
+    g.foreach { r =>
+      assert(r.getAs[Double]("tv") === 0.000455)
+      assert(!r.getAs[Boolean]("suspect"))
+    }
+    // |x| < 1 and 0 excluded and counted; negatives keep their digit;
+    // an absent digit still gets its dense-spine row
+    val mix = Seq(("m", 0.0), ("m", 0.5), ("m", -0.25), ("m", -23.7),
+      ("m", 245.0)).toDF("g", "v")
+    val m = DataQuality.benfordAudit(mix, "g", "v").collect()
+      .map(r => r.getAs[Int]("digit") -> r).toMap
+    assert(m.size === 9, "dense 9-digit spine")
+    assert(m(2).getAs[Long]("n") === 2L && m(2).getAs[Long]("n_excluded") === 3L)
+    assert(m(2).getAs[Long]("n_digit") === 2L, "-23.7 and 245.0 both lead with 2")
+    assert(m(7).getAs[Long]("n_digit") === 0L)
+  }
 }

@@ -766,6 +766,41 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("cmhTest: hand two-strata chain (consistent OR 2.25, chi2 " +
+      "0.745098), separation significance, degenerate stratum") {
+    import spark.implicits._
+    // S1: T 9/1, C 8/2; S2: T 2/8, C 1/9 — per-stratum OR 2.25 both,
+    // E6 = 8.5e6 + 1.5e6, V6 = 671052 x2, D = 1e6
+    // chi2_6 = 1e12 div 1342104 = 745098; OR_MH = 1.8e6*1e6 div 8e5
+    def rows(s: String, t: Boolean, y: Boolean, k: Int) =
+      Seq.fill(k)((s, t, y))
+    val df = (rows("s1", true, true, 9) ++ rows("s1", true, false, 1)
+      ++ rows("s1", false, true, 8) ++ rows("s1", false, false, 2)
+      ++ rows("s2", true, true, 2) ++ rows("s2", true, false, 8)
+      ++ rows("s2", false, true, 1) ++ rows("s2", false, false, 9))
+      .toDF("s", "t", "y")
+    val r = EvalOps.cmhTest(df, "s", "t", "y").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 40L)
+    assert(r.getDouble(2) === 0.745098, "exact integer chi2 chain")
+    assert(r.getDouble(3) === 2.25, "MH common OR pools per-stratum 2.25")
+    assert(!r.getBoolean(4))
+    // strong within-stratum association -> significant
+    val sep = (rows("a", true, true, 50) ++ rows("a", true, false, 5)
+      ++ rows("a", false, true, 5) ++ rows("a", false, false, 50)
+      ++ rows("b", true, true, 40) ++ rows("b", true, false, 10)
+      ++ rows("b", false, true, 10) ++ rows("b", false, false, 40))
+      .toDF("s", "t", "y")
+    val sp = EvalOps.cmhTest(sep, "s", "t", "y").collect().head
+    assert(sp.getBoolean(4) && sp.getDouble(2) > 50)
+    // a single-cohort stratum contributes zero variance, no crash
+    val deg = (rows("only_t", true, true, 3) ++ rows("only_t", true, false, 2)
+      ++ rows("mixed", true, true, 4) ++ rows("mixed", true, false, 1)
+      ++ rows("mixed", false, true, 1) ++ rows("mixed", false, false, 4))
+      .toDF("s", "t", "y")
+    val dg = EvalOps.cmhTest(deg, "s", "t", "y").collect().head
+    assert(dg.getLong(0) === 2L && dg.getDouble(2) > 0)
+  }
+
   test("isotonicCalibration: violator pooling to the pooled mean, " +
       "monotone input unchanged, fitted sequence always monotone") {
     // bin0 rate 1.0, bin1 rate 0.0 -> PAV pools both to 2/4 = 0.5

@@ -252,7 +252,11 @@ object PlanDump {
     "q273_orc_roundtrip" ->
       "ORC roundtrip: partitioned-by-flag ORC write, read back with the timestamp predicate PUSHED into the ORC scan (PushedFilters) and partition pruning available to flag-filtered readers — one scan, one aggregate.",
     "q274_centroid_drift" ->
-      "Centroid drift: ONE posexplode aggregation to (label, dim) BIGINT sums (per-row quantization keeps cross-row sums exact), dim-keyed join against the |dims|-row global, report-sized cosine arithmetic.")
+      "Centroid drift: ONE posexplode aggregation to (label, dim) BIGINT sums (per-row quantization keeps cross-row sums exact), dim-keyed join against the |dims|-row global, report-sized cosine arithmetic.",
+    "q275_cmh_test" ->
+      "CMH: one (stratum) census with map-side partials computing all four 2x2 cells as conditional sums, |strata|-row exact E6/V6 arithmetic folding to ONE report row.",
+    "q276_benford" ->
+      "Benford: row-local first digit from the integer's decimal string, one (group, digit) census, broadcast 9-row constant spine, integer TV fold — report-sized after the census.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -159,7 +159,10 @@ object ScaleProbe {
     // gen-16f: ORC write+read roundtrip (IO-bound, linear by
     // construction); centroid drift (one posexplode aggregation to
     // (label, dim), then report-sized)
-    "q273_orc_roundtrip", "q274_centroid_drift")
+    "q273_orc_roundtrip", "q274_centroid_drift",
+    // gen-16g: CMH (one stratum census folding to one row), Benford
+    // (one (group, digit) census + 9-row spine)
+    "q275_cmh_test", "q276_benford")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
