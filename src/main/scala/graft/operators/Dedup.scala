@@ -1077,4 +1077,49 @@ object Dedup {
       docs.unpersist(blocking = false)
     }
   }
+
+  /** Dedup ROI report (q277) — the DECISION read on top of
+    * [[nearDupClusters]]: before running a corpus-wide dedup rewrite,
+    * what does it actually buy? Per CLUSTER SIZE: how many clusters,
+    * how many duplicate documents a survivors-only policy drops, and
+    * how many words that saves (the q66 survivor convention — each
+    * cluster keeps its minimum doc_id, which is exactly the cluster id
+    * [[nearDupClusters]] assigns, so the survivor's cost is one join on
+    * the cluster id, no ranking window). Singletons appear as the
+    * size-1 row with zero savings — the report is a complete census of
+    * the corpus, not just the clustered slice; `saved_share` is each
+    * size's words_saved over the WHOLE corpus word count.
+    *
+    * Scale: the cluster pass is [[nearDupClusters]]'s (prefix-filtered
+    * pairs + label propagation); the report itself is one left join of
+    * the per-doc word counts against the cluster labels, one
+    * cluster-keyed aggregation, one size-keyed aggregation — all
+    * equi-shuffles, output ≤ max-cluster-size rows.
+    */
+  def dedupRoi(df: DataFrame, n: Int = 3, threshold: Double = 0.8)
+      : DataFrame = {
+    val clusters = nearDupClusters(df, n, threshold)
+    val words = df.select(col("doc_id"),
+      size(TextAnalysis.wsTokens(col("text"))).cast("long").as("nw"))
+    val labeled = words
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val perCluster = labeled.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("s"), sum(col("nw")).as("total_w"))
+      .join(words.select(col("doc_id").as("cluster"),
+        col("nw").as("surv_w")), Seq("cluster"))
+    val corpus = words.agg(sum(col("nw")).as("corpus_w"))
+    perCluster.groupBy(col("s").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("s")).as("n_docs"),
+        sum(col("s") - 1L).as("n_dup_docs"),
+        sum(col("total_w")).as("words_total"),
+        sum(col("total_w") - col("surv_w")).as("words_saved"))
+      .crossJoin(broadcast(corpus))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("n_dup_docs"), col("words_total"), col("words_saved"),
+        when(col("corpus_w") > 0,
+          expr("words_saved * 1000000 div corpus_w")
+            .cast("double") / 1e6).as("saved_share"))
+  }
 }

@@ -1178,6 +1178,13 @@ object LlmOps {
           Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
         .orderBy(col("l_returnflag"), col("digit"))),
 
+    // dedup ROI: per cluster size, docs dropped and words saved under
+    // the min-doc survivor policy, over a complete corpus census
+    "q277_dedup_roi" -> ((s, d) =>
+      graft.operators.Dedup.dedupRoi(
+          Tables.fanout(Tables.documents(s, d)), n = 3, threshold = 0.8)
+        .orderBy(col("cluster_size"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -6548,6 +6555,54 @@ object LlmOps {
           tv6 > 50000 AS suspect
         FROM sp2 JOIN tv ON sp2.g = tv.g
         ORDER BY sp2.g, sp2.d""",
+
+    // the q64 cluster chain + the survivor-on-cluster-id join (cluster
+    // id IS the min member) and the size census
+    "q277_dedup_roi" ->
+      """WITH RECURSIVE
+        docs AS (SELECT doc_id,
+            list_filter(string_split(text,' '), x -> x <> '') AS w
+          FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+            THEN list_transform(generate_series(1, len(w)-2),
+                 i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM docs) t),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT da, db
+          FROM cm JOIN sizes sa ON da = sa.doc_id
+                  JOIN sizes sb ON db = sb.doc_id
+          WHERE floor(1.0*c/(sa.n + sb.n - c)*10000)/10000 >= 0.8),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        cl AS (SELECT n.a AS doc_id,
+            CAST(least(n.a, min(r.b)) AS BIGINT) AS cluster
+          FROM (SELECT DISTINCT a FROM edges) n JOIN reach r ON r.a = n.a
+          GROUP BY n.a),
+        words AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw FROM docs),
+        lab AS (SELECT w.doc_id, coalesce(cl.cluster, w.doc_id) AS cluster,
+            w.nw
+          FROM words w LEFT JOIN cl ON w.doc_id = cl.doc_id),
+        per AS (SELECT lab.cluster, CAST(count(*) AS BIGINT) AS s,
+            CAST(sum(lab.nw) AS BIGINT) AS total_w, max(sv.nw) AS surv_w
+          FROM lab JOIN words sv ON lab.cluster = sv.doc_id
+          GROUP BY 1),
+        cw AS (SELECT CAST(sum(nw) AS BIGINT) AS corpus_w FROM words)
+        SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+          CAST(sum(s) AS BIGINT) AS n_docs,
+          CAST(sum(s - 1) AS BIGINT) AS n_dup_docs,
+          CAST(sum(total_w) AS BIGINT) AS words_total,
+          CAST(sum(total_w - surv_w) AS BIGINT) AS words_saved,
+          CASE WHEN corpus_w > 0 THEN
+            CAST(sum(total_w - surv_w) * 1000000 // corpus_w AS DOUBLE)
+              / 1e6 END AS saved_share
+        FROM per, cw GROUP BY s, corpus_w ORDER BY cluster_size""",
 
     // same planted anomalies (combining acute / ZWSP / curly quotes),
     // utf8proc NFC == java.text.Normalizer NFC (both UAX#15), same

@@ -1188,4 +1188,30 @@ class ProvenanceSpec extends SparkSpec {
       else assert(verdict === "original", s"gen $g")
     }
   }
+
+  test("dedupRoi: complete size census, min-doc survivor savings, " +
+      "singleton zero row, corpus-share denominator") {
+    // cluster {1,2,3} (identical 4-word docs), cluster {10,11}
+    // (identical 6-word docs), singletons 20 and 21
+    val w4 = "alpha beta gamma delta"
+    val w6 = "one two three four five six"
+    val docs = Seq((1L, w4), (2L, w4), (3L, w4),
+      (10L, w6), (11L, w6),
+      (20L, "lonely document here"), (21L, "another singleton text row"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupRoi(docs, 3, 0.8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    // corpus words = 3*4 + 2*6 + 3 + 4 = 31
+    val s3 = out(3L)
+    assert(s3.getLong(1) === 1L && s3.getLong(2) === 3L && s3.getLong(3) === 2L)
+    assert(s3.getLong(4) === 12L && s3.getLong(5) === 8L,
+      "three 4-word copies keep one -> 8 words saved")
+    assert(s3.getDouble(6) === math.floor(8L * 1000000L / 31L) / 1e6)
+    val s2 = out(2L)
+    assert(s2.getLong(5) === 6L, "two 6-word copies keep one")
+    val s1 = out(1L)
+    assert(s1.getLong(1) === 2L && s1.getLong(3) === 0L
+      && s1.getLong(5) === 0L, "singletons: complete census, zero savings")
+  }
 }

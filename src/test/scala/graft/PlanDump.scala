@@ -256,7 +256,9 @@ object PlanDump {
     "q275_cmh_test" ->
       "CMH: one (stratum) census with map-side partials computing all four 2x2 cells as conditional sums, |strata|-row exact E6/V6 arithmetic folding to ONE report row.",
     "q276_benford" ->
-      "Benford: row-local first digit from the integer's decimal string, one (group, digit) census, broadcast 9-row constant spine, integer TV fold — report-sized after the census.")
+      "Benford: row-local first digit from the integer's decimal string, one (group, digit) census, broadcast 9-row constant spine, integer TV fold — report-sized after the census.",
+    "q277_dedup_roi" ->
+      "Dedup ROI: the q64 prefix-filtered cluster pass, then one left join of per-doc word counts against cluster labels + survivor join ON THE CLUSTER ID (min member — no ranking window) + two aggregations to a <= max-cluster-size report.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

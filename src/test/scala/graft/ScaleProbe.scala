@@ -162,7 +162,10 @@ object ScaleProbe {
     "q273_orc_roundtrip", "q274_centroid_drift",
     // gen-16g: CMH (one stratum census folding to one row), Benford
     // (one (group, digit) census + 9-row spine)
-    "q275_cmh_test", "q276_benford")
+    "q275_cmh_test", "q276_benford",
+    // gen-16h: ROI report on top of the cluster pass (pair work =
+    // q64's prefix-filtered chain; the report is two aggregations)
+    "q277_dedup_roi")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
