@@ -79,6 +79,69 @@ object Association {
     }.reduce(_.unionByName(_))
   }
 
+  /** Pairwise mutual information + normalized MI over categorical
+    * columns (q278) — [[cramersV]]'s information-theoretic complement:
+    * V measures deviation-from-independence in χ² units (dominated by
+    * the heaviest cells), MI measures it in nats (how many bits one
+    * column tells you about the other — the number a feature-selection
+    * or leakage audit actually wants), and NMI = MI/min(H_a, H_b)
+    * rescales to [0,1] so pairs with different alphabet sizes compare.
+    *
+    * Exactness, the [[CorpusOps.sourceKl]]/q70 ln discipline: per
+    * OCCUPIED cell (absent cells contribute exactly 0 to MI — no dense
+    * spine here, unlike χ²) the summand (c/N)·ln(c·N/(rₐ·c_b)) is built
+    * from exact-integer ratios pushed through IEEE double division
+    * (correctly rounded, engine-identical; products c·N and rₐ·c_b stay
+    * in BIGINT to N ≤ 3·10⁹), one ln, then floor-quantized to
+    * millionths PER CELL and integer-summed — identical doubles in, so
+    * identical integers out. MI ≥ 0 mathematically; per-cell floors
+    * bias the sum down by < |cells|·10⁻⁶, so the total clamps at 0.
+    * Entropies quantize the same way per margin value; NMI is one
+    * truncating division, NULL when a column is single-valued (H = 0).
+    *
+    * Scale: the [[cramersV]] shape — |pairs| cell censuses over one
+    * scan, report-sized arithmetic after.
+    */
+  def mutualInfo(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val cells = df.groupBy(col(a).as("_a"), col(b).as("_b"))
+        .agg(count(lit(1)).as("_o"))
+      val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+      val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+      val n = cells.agg(sum(col("_o")).as("_n"))
+      def h6(margin: DataFrame, mcol: String): DataFrame =
+        margin.crossJoin(broadcast(n))
+          .withColumn("_t6", floor((col(mcol).cast("double")
+            / col("_n").cast("double"))
+            * -log(col(mcol).cast("double") / col("_n").cast("double"))
+            * 1e6).cast("long"))
+          .agg(sum(col("_t6")).as(s"h6$mcol"))
+      val mi = cells
+        .join(ra, "_a").join(cb, "_b")
+        .crossJoin(broadcast(n))
+        .withColumn("_m6", floor((col("_o").cast("double")
+          / col("_n").cast("double"))
+          * log((col("_o") * col("_n")).cast("double")
+            / (col("_ra") * col("_cb")).cast("double")) * 1e6)
+          .cast("long"))
+        .agg(max(col("_n")).as("n"), sum(col("_m6")).as("_mi6raw"))
+        .withColumn("_mi6", greatest(lit(0L), col("_mi6raw")))
+      mi.crossJoin(broadcast(h6(ra, "_ra")))
+        .crossJoin(broadcast(h6(cb, "_cb")))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+          (col("_mi6").cast("double") / 1e6).as("mi"),
+          (col("h6_ra").cast("double") / 1e6).as("h_a"),
+          (col("h6_cb").cast("double") / 1e6).as("h_b"),
+          when(least(col("h6_ra"), col("h6_cb")) > 0,
+            expr("_mi6 * 1000000 div least(h6_ra, h6_cb)")
+              .cast("double") / 1e6).as("nmi"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Frequent co-occurring item pairs with support / confidence / lift
     * (q268) — Agrawal-style association rules restricted to pairs (the
     * 2-itemset census IS the workhorse read; longer itemsets derive from

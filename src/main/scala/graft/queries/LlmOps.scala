@@ -1185,6 +1185,15 @@ object LlmOps {
           Tables.fanout(Tables.documents(s, d)), n = 3, threshold = 0.8)
         .orderBy(col("cluster_size"))),
 
+    // mutual information + NMI over the q267 column pairs: per-cell
+    // quantized ln summands, clamp-at-zero, entropy-normalized
+    "q278_mutual_info" -> ((s, d) =>
+      graft.operators.Association.mutualInfo(
+          Tables.documents(s, d).select(col("source"), col("lang"),
+            expr("n_chars div 200").as("len_bucket")),
+          Seq("source", "lang", "len_bucket"))
+        .orderBy(col("col_a"), col("col_b"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -2287,6 +2296,54 @@ object LlmOps {
                 (SELECT count(*) FROM cb_$i) - 1))) * 1e6) / 1e6
             END AS cramers_v
           FROM agg_$i)"""
+    }
+    b ++= "\n        "
+    b ++= pairs.indices.map(i => s"SELECT * FROM res_$i")
+      .mkString(" UNION ALL ")
+    b ++= " ORDER BY col_a, col_b"
+    b.toString
+  }
+
+  /** q278 oracle: occupied-cell MI and margin entropies per pair with
+    * the SAME double-division/ln/floor chain as Association.mutualInfo.
+    */
+  private def mutualInfoOracle(pairs: Seq[(String, String)]): String = {
+    val b = new StringBuilder(
+      "WITH d AS (SELECT source, lang, n_chars // 200 AS len_bucket FROM documents)")
+    pairs.zipWithIndex.foreach { case ((a, c), i) =>
+      b ++= s""",
+        cells_$i AS (SELECT $a AS _a, $c AS _b,
+            CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+        ra_$i AS (SELECT _a, CAST(sum(o) AS BIGINT) AS ra
+          FROM cells_$i GROUP BY 1),
+        cb_$i AS (SELECT _b, CAST(sum(o) AS BIGINT) AS cb
+          FROM cells_$i GROUP BY 1),
+        nt_$i AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells_$i),
+        mi_$i AS (SELECT max(n) AS n,
+            greatest(0, CAST(sum(CAST(floor(
+              (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(o * n AS DOUBLE) / CAST(ra * cb AS DOUBLE))
+              * 1e6) AS BIGINT)) AS BIGINT)) AS mi6
+          FROM cells_$i JOIN ra_$i USING (_a) JOIN cb_$i USING (_b),
+            nt_$i),
+        ha_$i AS (SELECT CAST(sum(CAST(floor(
+            (CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+            * (-ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)))
+            * 1e6) AS BIGINT)) AS BIGINT) AS h6a
+          FROM ra_$i, nt_$i),
+        hb_$i AS (SELECT CAST(sum(CAST(floor(
+            (CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+            * (-ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)))
+            * 1e6) AS BIGINT)) AS BIGINT) AS h6b
+          FROM cb_$i, nt_$i),
+        res_$i AS (SELECT '$a' AS col_a, '$c' AS col_b, n,
+            CAST(mi6 AS DOUBLE) / 1e6 AS mi,
+            CAST(h6a AS DOUBLE) / 1e6 AS h_a,
+            CAST(h6b AS DOUBLE) / 1e6 AS h_b,
+            CASE WHEN least(h6a, h6b) > 0 THEN
+              CAST(mi6 * 1000000 // least(h6a, h6b) AS DOUBLE) / 1e6
+            END AS nmi
+          FROM mi_$i, ha_$i, hb_$i)"""
     }
     b ++= "\n        "
     b ++= pairs.indices.map(i => s"SELECT * FROM res_$i")
@@ -6267,6 +6324,12 @@ object LlmOps {
     // same pair censuses over the dense margin spine, HUGEINT cell
     // terms, identical sqrt argument
     "q267_cramers_v" -> cramersOracle(Seq(
+      ("source", "lang"), ("source", "len_bucket"),
+      ("lang", "len_bucket"))),
+
+    // same occupied-cell censuses, identical IEEE ratio/ln chains,
+    // per-cell millionth floors then integer sums
+    "q278_mutual_info" -> mutualInfoOracle(Seq(
       ("source", "lang"), ("source", "len_bucket"),
       ("lang", "len_bucket"))),
 

@@ -56,6 +56,29 @@ class AssociationSpec extends SparkSpec {
     assert(r.getAs[Long]("occupied_cells") === 3L)
   }
 
+  test("mutualInfo: perfect pair hits ln2 with NMI exactly 1, " +
+      "independence exactly 0, single-valued NULL NMI") {
+    // perfect 2x2: per cell (5/10)*ln(2) -> 346573 floored, x2 cells;
+    // margins give the same entropy -> NMI = 1.0 exactly
+    val perfect = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("u", "w")
+    val p = Association.mutualInfo(perfect, Seq("u", "w")).collect().head
+    assert(p.getAs[Double]("mi") === 0.693146, "quantized ln 2")
+    assert(p.getAs[Double]("h_a") === 0.693146
+      && p.getAs[Double]("h_b") === 0.693146)
+    assert(p.getAs[Double]("nmi") === 1.0)
+    // independent uniform: every cell ln-ratio is ln 1 = 0
+    val ind = (for (u <- Seq("a", "b"); w <- Seq("x", "y");
+      _ <- 1 to 5) yield (u, w)).toDF("u", "w")
+    val i = Association.mutualInfo(ind, Seq("u", "w")).collect().head
+    assert(i.getAs[Double]("mi") === 0.0 && i.getAs[Double]("nmi") === 0.0)
+    // constant column: zero entropy -> NMI undefined, MI clamps to 0
+    val const = Seq(("a", "x"), ("a", "y")).toDF("u", "w")
+    val c = Association.mutualInfo(const, Seq("u", "w")).collect().head
+    assert(c.getAs[Double]("mi") === 0.0)
+    assert(c.isNullAt(c.fieldIndex("nmi")))
+  }
+
   test("frequentPairs: support cut, truncating confidence, lift " +
       "strictly-greater contract, presence semantics") {
     // b1{A,A,B,C} (dup A counts once), b2{A,B}, b3{A}

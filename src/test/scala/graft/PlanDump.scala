@@ -258,7 +258,9 @@ object PlanDump {
     "q276_benford" ->
       "Benford: row-local first digit from the integer's decimal string, one (group, digit) census, broadcast 9-row constant spine, integer TV fold — report-sized after the census.",
     "q277_dedup_roi" ->
-      "Dedup ROI: the q64 prefix-filtered cluster pass, then one left join of per-doc word counts against cluster labels + survivor join ON THE CLUSTER ID (min member — no ranking window) + two aggregations to a <= max-cluster-size report.")
+      "Dedup ROI: the q64 prefix-filtered cluster pass, then one left join of per-doc word counts against cluster labels + survivor join ON THE CLUSTER ID (min member — no ranking window) + two aggregations to a <= max-cluster-size report.",
+    "q278_mutual_info" ->
+      "Mutual information: per column pair one OCCUPIED-cell census (no dense spine — absent cells are exact zeros in MI), margin joins, per-cell quantized ln summands folding to a report row per pair.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -165,7 +165,9 @@ object ScaleProbe {
     "q275_cmh_test", "q276_benford",
     // gen-16h: ROI report on top of the cluster pass (pair work =
     // q64's prefix-filtered chain; the report is two aggregations)
-    "q277_dedup_roi")
+    "q277_dedup_roi",
+    // gen-16i: MI matrix — the q267 census shape, report-sized after
+    "q278_mutual_info")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
