@@ -131,4 +131,19 @@ class ImagePixelSpec extends SparkSpec {
       Multimodal.phashNearDups(spark, docs, maxHamming = 4)
     }
   }
+
+  test("phash/audio band joins plan as equi-joins — no nested loop, " +
+      "no cartesian product") {
+    import spark.implicits._
+    val docs = (0L until 64L).toDF("doc_id")
+    Seq(Multimodal.phashNearDups(spark, docs),
+      graft.operators.AudioWav.audioNearDups(spark, docs)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+        s"band join degraded to a pairwise scan:\n$plan")
+      assert(plan.contains("bkey"),
+        "candidate join must key on the band bucket")
+    }
+  }
 }
