@@ -6235,7 +6235,10 @@ object LlmOps {
         FROM sm ORDER BY source""",
 
     // same weighted doubled-midrank identity and in-block Lorenz
-    // interpolation; arg_min FILTER = the struct-min first block
+    // interpolation; the first block with cum >= m is located by a plain
+    // min(CASE ...) over the strictly-increasing cum (no arg_min FILTER
+    // — that construct proved version-sensitive across DuckDB builds,
+    // round-10 verdict) and joined back for the in-block arithmetic
     "q265_gini_tokens" ->
       """WITH d0 AS (SELECT source AS grp,
             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -6251,14 +6254,18 @@ object LlmOps {
           FROM g),
         tot AS (SELECT grp, max(cum) AS ntot, max(cumx) AS tt
           FROM cm GROUP BY 1),
-        agg AS (SELECT cm.grp, max(ntot) AS n, max(tt) AS total,
+        cuts AS (SELECT cm.grp, max(ntot) AS n, max(tt) AS total,
             CAST(sum(CAST(v AS HUGEINT) * c * (2 * cum - c + 1))
               AS HUGEINT) AS s1x2,
-            arg_min(cumx - v * (cum - ntot // 2), cum)
-              FILTER (WHERE cum >= ntot // 2) AS bhalf,
-            arg_min(cumx - v * (cum - (ntot - ntot // 10)), cum)
-              FILTER (WHERE cum >= ntot - ntot // 10) AS below90
-          FROM cm JOIN tot ON cm.grp = tot.grp GROUP BY 1)
+            min(CASE WHEN cum >= ntot // 2 THEN cum END) AS cut1,
+            min(CASE WHEN cum >= ntot - ntot // 10 THEN cum END) AS cut2
+          FROM cm JOIN tot ON cm.grp = tot.grp GROUP BY 1),
+        agg AS (SELECT cuts.grp, n, total, s1x2,
+            b1.cumx - b1.v * (b1.cum - n // 2) AS bhalf,
+            b2.cumx - b2.v * (b2.cum - (n - n // 10)) AS below90
+          FROM cuts
+          LEFT JOIN cm b1 ON b1.grp = cuts.grp AND b1.cum = cuts.cut1
+          LEFT JOIN cm b2 ON b2.grp = cuts.grp AND b2.cum = cuts.cut2)
         SELECT grp AS source, n, total,
           CASE WHEN total > 0 THEN
             CAST((s1x2 - (CAST(n AS HUGEINT) + 1) * total) * 1000000
