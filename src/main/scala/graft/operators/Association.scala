@@ -36,7 +36,11 @@ object Association {
     * χ²₆ = Σ cell6. V = √(χ²/(N·min(r−1, c−1))) takes the one IEEE sqrt
     * on the exact-integer ratio; dof = (r−1)(c−1). Single-valued columns
     * report NULL V (min(r−1,c−1) = 0 — V undefined, the degenerate
-    * contract).
+    * contract). NULL category values are EXCLUDED from each pair's
+    * census up front (a NULL is not a category: countDistinct, equi-join
+    * margins, and SQL oracles all disagree on its bookkeeping — callers
+    * who want missingness as a level coalesce to a sentinel upstream);
+    * n is therefore per-pair when NULL patterns differ across columns.
     *
     * Scale: |pairs| censuses over one scan (Spark shares the scan across
     * the unioned branches), each collapsing to |A|·|B| cells; everything
@@ -48,7 +52,8 @@ object Association {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
     pairs.map { case (a, b) =>
-      val cells = df.groupBy(col(a).as("_a"), col(b).as("_b"))
+      val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("_a"), col(b).as("_b"))
         .agg(count(lit(1)).as("_o"))
       val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
       val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
@@ -108,7 +113,9 @@ object Association {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
     pairs.map { case (a, b) =>
-      val cells = df.groupBy(col(a).as("_a"), col(b).as("_b"))
+      // same NULL contract as [[cramersV]]: a NULL is not a category
+      val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("_a"), col(b).as("_b"))
         .agg(count(lit(1)).as("_o"))
       val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
       val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))

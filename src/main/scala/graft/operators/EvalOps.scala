@@ -1263,14 +1263,17 @@ object EvalOps {
     * quantizes as term6_g = R2_g²·10⁶ div (4n_g), kept in DECIMAL(38,0)
     * end to end via the exact q/r split a·10⁶ div b = (a div b)·10⁶ +
     * (a%b)·10⁶ div b (term6 reaches N³·10⁶ — past BIGINT at N ≈ 2·10⁴,
-    * the 10× probe caught it; R2_g ≤ 2N·n_g so the square ≤ 4N⁴ —
-    * ceiling N ≤ 10⁷ with headroom), H6 = 12·Σterm6 div (N(N+1)) −
-    * 3(N+1)·10⁶. Tie correction divides by C = 1 − Σ(t³−t)/(N³−N):
-    * Hadj6 = H6·(N³−N) div (N³−N−T), NULL when every value is tied
-    * (C = 0, the [[ksTest]] degenerate contract); the tie cube Σ(t³−t)
-    * rides BIGINT, binding at per-value tie counts ≤ 2·10⁶ (the
-    * [[mannWhitney]] ceiling — ANSI overflows LOUD past it, never
-    * silently wrong). The α = 0.05 critical value for df = k−1 comes
+    * the 10× probe caught it). Spark's `div` always RETURNS BIGINT, so
+    * the square is q/r-split too: R2² div 4n = (R2 div 4n)·R2 +
+    * ((R2 % 4n)·R2) div 4n — every individual quotient ≤ R2 ≤ 2N², so
+    * the LONG-quotient bind sits at N ≈ 2·10⁹ per slice (Σterm6 ≈
+    * N³·10⁶ stays a DECIMAL(38,0) sum, good to N ≈ 3·10¹⁰).
+    * H6 = 12·Σterm6 div (N(N+1)) − 3(N+1)·10⁶. Tie correction divides
+    * by C = 1 − Σ(t³−t)/(N³−N): Hadj6 = H6·(N³−N) div (N³−N−T), NULL
+    * when every value is tied (C = 0, the [[ksTest]] degenerate
+    * contract); the tie cube Σ(t³−t) rides DECIMAL(38,0) so per-value
+    * tie counts share the same ceiling (ANSI overflows LOUD past it,
+    * never silently wrong). The α = 0.05 critical value for df = k−1 comes
     * from the Wilson–Hilferty cube
     * χ²₀.₉₅(ν) ≈ ν(1 − 2/(9ν) + 1.6449√(2/(9ν)))³ — closed-form double
     * arithmetic (one IEEE sqrt, explicit w·w·w multiplies — never pow,
@@ -1294,7 +1297,10 @@ object EvalOps {
     val ranked = vals.withColumn("_rank2",
       lit(2L) * sum(col("_ct")).over(wAll) - col("_ct") + 1L)
     val ties = vals.groupBy(col("_s")).agg(
-      sum(col("_ct") * col("_ct") * col("_ct") - col("_ct")).as("_t"),
+      // tie cube in DECIMAL — t³ in BIGINT would bind per-value tie
+      // counts at ~2·10⁶; DECIMAL lifts it past the term6 ceiling
+      sum(col("_ct").cast("decimal(38,0)") * col("_ct") * col("_ct")
+        - col("_ct")).as("_t"),
       sum(col("_ct")).as("_nall"))
     val perGrp = g
       .join(ranked.select(col("_s"), col("_v"), col("_rank2")),
@@ -1304,10 +1310,16 @@ object EvalOps {
         sum(col("_c") * col("_rank2")).as("_r2"))
       // term6 = R2²·10⁶ div (4n) can reach N³·10⁶ — q/r-decompose so the
       // ·10⁶ happens in DECIMAL (the krippendorff discipline): exact
-      // identity a·10⁶ div b = (a div b)·10⁶ + (a % b)·10⁶ div b
+      // identity a·10⁶ div b = (a div b)·10⁶ + (a % b)·10⁶ div b.
+      // Spark `div` ALWAYS returns BIGINT, so the square itself is also
+      // split before dividing (R2² div 4n = (R2 div 4n)·R2 +
+      // ((R2 % 4n)·R2) div 4n — exact since the first term's product is
+      // a multiple of 4n): every individual quotient is ≤ R2 ≤ 2N²,
+      // LONG-safe to N ≈ 2·10⁹ instead of binding at N³ ≈ 2·10⁶
       .withColumn("_term6", expr(
-        """CAST(CAST(_r2 AS DECIMAL(38,0)) * _r2 div (4 * _n)
-             AS DECIMAL(38,0)) * 1000000
+        """(CAST(_r2 div (4 * _n) AS DECIMAL(38,0)) * _r2
+            + CAST(_r2 % (4 * _n) AS DECIMAL(38,0)) * _r2 div (4 * _n))
+             * 1000000
            + (CAST(_r2 AS DECIMAL(38,0)) * _r2 % (4 * _n))
              * 1000000 div (4 * _n)"""))
     perGrp.groupBy(col("_s"))

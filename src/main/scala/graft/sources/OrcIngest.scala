@@ -29,13 +29,31 @@ object OrcIngest {
     * discipline — a double sum would ride aggregation order). The temp
     * layout is deleted after the |flags×status|-bounded result
     * materializes; the returned frame is a local relation.
+    *
+    * Scratch placement: `scratchDir` (or the `graft.scratch.dir` session
+    * conf) names a CLUSTER-VISIBLE location — on a multi-node deployment
+    * executors writing a driver-local java.io.tmpdir path would each hit
+    * their own machine's filesystem and the read-back would silently see
+    * a partial layout. Absent both, the fallback is java.io.tmpdir,
+    * guarded to local-mode masters where driver and executors share one
+    * filesystem.
     */
-  def roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+  def roundtrip(spark: SparkSession, sfDir: String,
+      scratchDir: Option[String] = None): DataFrame = {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-    val dirPath = Files.createTempDirectory("graft-orc")
-    val dir = dirPath.toString
+    val dir = scratchDir
+      .orElse(spark.conf.getOption("graft.scratch.dir"))
+      .map(_.stripSuffix("/") + "/graft-orc-" +
+        java.util.UUID.randomUUID.toString) match {
+      case Some(shared) => shared
+      case None =>
+        require(spark.sparkContext.isLocal,
+          "OrcIngest.roundtrip on a non-local master needs a shared " +
+            "scratch location: pass scratchDir or set graft.scratch.dir")
+        Files.createTempDirectory("graft-orc").toString
+    }
     li.write.mode("overwrite").partitionBy("l_returnflag").orc(dir)
     try {
       val back = spark.read.orc(dir)
@@ -54,12 +72,12 @@ object OrcIngest {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
     } finally {
-      // best-effort scratch cleanup (the CsvIngest discipline)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(dirPath.toFile)
+      // best-effort scratch cleanup through the Hadoop FS API so
+      // shared (non-local-posix) scratch locations clean up too
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      ()
     }
   }
 

@@ -56,6 +56,23 @@ class AssociationSpec extends SparkSpec {
     assert(r.getAs[Long]("occupied_cells") === 3L)
   }
 
+  test("cramersV/mutualInfo: NULL category values are excluded from " +
+      "the pair census (n, margins, dof all agree)") {
+    // perfect 2x2 plus NULL-polluted rows in each column: the census
+    // must be identical to the clean frame — NULL is not a category,
+    // so n=10, r=c=2, dof=1, V=1 (not a 3x3 with a NULL margin)
+    val clean = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+    val polluted = (clean ++ Seq((null, "x"), ("a", null), (null, null)))
+      .toDF("u", "w")
+    val r = Association.cramersV(polluted, Seq("u", "w")).collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Double]("cramers_v") === 1.0)
+    val m = Association.mutualInfo(polluted, Seq("u", "w")).collect().head
+    assert(m.getAs[Long]("n") === 10L)
+    assert(m.getAs[Double]("nmi") === 1.0)
+  }
+
   test("mutualInfo: perfect pair hits ln2 with NMI exactly 1, " +
       "independence exactly 0, single-valued NULL NMI") {
     // perfect 2x2: per cell (5/10)*ln(2) -> 346573 floored, x2 cells;
