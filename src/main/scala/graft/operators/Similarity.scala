@@ -265,6 +265,29 @@ object Similarity {
       broadcastQueries: Boolean): DataFrame = {
     val spark = assigned.sparkSession
     val qj = if (broadcastQueries) broadcast(q) else q
+    val candCells = ivfCandidateCells(assigned, q, qcell, k, nProbe,
+      pairFilter, broadcastQueries)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val scored = assigned.join(candCells, Seq("cell"))
+      .join(qj, Seq("q_id"))
+      .filter(pairFilter)
+      .withColumn("cos_sim",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+
+  /** The exactness-proven (query, cell) candidate set [[ivfExactRank]]
+    * scores — extracted (pure code motion) so [[VectorIndex]] can
+    * MEASURE pruning power (scored fraction of the corpus) with the
+    * exact production bound rather than a diverging replica.
+    */
+  private[graft] def ivfCandidateCells(assigned: DataFrame, q: DataFrame,
+      qcell: DataFrame, k: Int, nProbe: Int, pairFilter: Column,
+      broadcastQueries: Boolean): DataFrame = {
+    val spark = assigned.sparkSession
+    val qj = if (broadcastQueries) broadcast(q) else q
 
     // per-cell angular radius, slack for fp + the 4dp output rounding
     val cellStats = assigned.groupBy(col("cell"))
@@ -292,19 +315,12 @@ object Similarity {
     val floorJ = if (broadcastQueries) broadcast(floor) else floor
 
     // phase 2: every cell whose angular bound can beat the floor
-    val candCells = qcell.join(broadcast(cellStats), Seq("cell"))
+    qcell.join(broadcast(cellStats), Seq("cell"))
       .join(floorJ, Seq("q_id"), "left")
       .withColumn("theta", acos(greatest(least(col("qsim"), lit(1.0)), lit(-1.0))))
       .withColumn("bound", cos(greatest(col("theta") - col("rang"), lit(0.0))))
       .filter(col("bound") >= coalesce(col("floor"), lit(NoFloor)) - lit(FloorSlack))
       .select(col("q_id"), col("cell"))
-    val scored = assigned.join(candCells, Seq("cell"))
-      .join(qj, Seq("q_id"))
-      .filter(pairFilter)
-      .withColumn("cos_sim",
-        round(GraftFunctions.cosineSim(spark, col("qv"), col("v")), 4))
-    scored.withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
   }
 
   /** Deterministic pseudo-random hyperplanes: element (i,j) is ±1 from a

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,20 +22,40 @@ import graft.table.MergeTable
   * member↔centroid similarities at query time, so drifted data (new
   * vectors far from any trained centroid) only WIDENS radii — the bound
   * loses pruning power, never correctness. Centroid staleness is a
-  * performance dial (re-create the index to restore pruning), not a
-  * recall risk — the exactness proof at ivfExactRank's doc applies
-  * verbatim because it never assumes centroid optimality.
+  * performance dial, not a recall risk — the exactness proof at
+  * ivfExactRank's doc applies verbatim because it never assumes centroid
+  * optimality.
+  *
+  * The dial's maintenance action is [[recluster]] — the IVF analog of
+  * merge-on-read compaction (the reference sets exactly such a
+  * threshold for its delete-file debt, README.md:307; centroid-radius
+  * debt is the same shape): retrain from a bounded fresh sample of the
+  * CURRENT corpus, re-assign every vector in one row-local broadcast
+  * pass (O(N·nlist) flops, one scan, no pairwise work), and publish the
+  * new (centroids, vectors) PAIR as a new index GENERATION behind an
+  * atomically-flipped `CURRENT` pointer. The pair must swap together —
+  * mixing one generation's cells with another's centroids would break
+  * the radius geometry the exactness bound is computed from — so the
+  * generation directory, not the table version, is the swap unit.
+  * Readers holding the previous generation keep a consistent pair
+  * mid-swap (time travel across the swap = [[VectorIndex.open]] at an
+  * explicit generation); superseded generations are retained until the
+  * caller GCs them. Single-maintainer contract, like compaction:
+  * ingest pauses for the swap (a batch appended to the old generation
+  * after recluster's read would be silently absent from the new one —
+  * [[addBatch]] guards by refusing stale-generation writes).
   *
   * Both members are engine tables: atomic commits, batchId-idempotent
   * replay (streaming-checkpoint safe), time travel (query the index AS
   * OF an ingest point by opening the tables at a version), change feed.
   *   - `centroids` — (cent_id, cv: array<double>), nlist rows, written
-  *     once at create
+  *     once per generation
   *   - `vectors`   — (vec_id, v: array<double>, cell, csim): the
   *     assignment rows ivfExactRank consumes directly
   */
-final class VectorIndex private (
+final class VectorIndex private[operators] (
     val root: String,
+    val generation: Int,
     val centroids: MergeTable,
     val vectors: MergeTable,
     val nlist: Int) {
@@ -48,8 +68,15 @@ final class VectorIndex private (
 
   /** Assign `vecs` (vec_id, embedding) to their nearest stored centroid
     * and append to the index. Idempotent under `batchId` replay.
+    * Refuses to write through a handle whose generation has been
+    * superseded by [[recluster]] — the batch would land invisibly in an
+    * abandoned generation; reopen (or use recluster's returned handle).
     */
   def addBatch(vecs: DataFrame, batchId: Option[String] = None): Unit = {
+    val cur = VectorIndex.currentGeneration(root)
+    require(cur == generation,
+      s"stale index handle: generation $generation superseded by $cur " +
+        s"(recluster happened); reopen VectorIndex at $root")
     val spark = vecs.sparkSession
     val assigned = Similarity.assignCells(Similarity.asDouble(vecs), centArr(spark))
     vectors.appendAll(assigned, batchId)
@@ -60,6 +87,15 @@ final class VectorIndex private (
     * [[Similarity.ivfTopKExact]] / brute force (self-pairs excluded).
     */
   def query(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val (assigned, q, qcell) = queryInputs(queries)
+    Similarity.ivfExactRank(assigned, q, qcell, k, nProbe,
+      col("vec_id") =!= col("q_id"), broadcastQueries = true)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
+  private def queryInputs(queries: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = centArr(spark).toSeq.toDF("cent_id", "cv")
@@ -71,10 +107,57 @@ final class VectorIndex private (
       .withColumn("qsim",
         graft.functions.GraftFunctions.cosineSim(spark, col("qv"), col("cv")))
       .select(col("q_id"), col("cent_id").as("cell"), col("qsim"))
-    Similarity.ivfExactRank(assigned, q, qcell, k, nProbe,
+    (assigned, q, qcell)
+  }
+
+  /** Measured pruning power of the index for this query batch: the
+    * fraction of (query, corpus-vector) pairs the exact two-phase bound
+    * actually scores (1.0 = degraded to brute force). Computed from
+    * [[Similarity.ivfCandidateCells]] — the PRODUCTION candidate set,
+    * not a replica — so the number is the real work saved. This is the
+    * drift gauge: when it climbs toward 1, [[recluster]] restores it.
+    */
+  def scoredFraction(queries: DataFrame, k: Int, nProbe: Int = 4): Double = {
+    val (assigned, q, qcell) = queryInputs(queries)
+    val cand = Similarity.ivfCandidateCells(assigned, q, qcell, k, nProbe,
       col("vec_id") =!= col("q_id"), broadcastQueries = true)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"), col("cos_sim"))
+    val cellSizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    val scored = cand.join(broadcast(cellSizes), Seq("cell"))
+      .agg(sum(col("sz"))).collect()(0).getLong(0)
+    val n = vectors.read(queries.sparkSession).count()
+    val nq = q.count()
+    if (n == 0 || nq == 0) 0.0 else scored.toDouble / (n.toDouble * nq)
+  }
+
+  /** Retrain + re-assign + atomic swap; returns the handle for the new
+    * generation (this handle stays readable as the pre-swap snapshot).
+    * Cost: one bounded-sample Lloyd (≤ nlist·64 vectors on the driver,
+    * constant in corpus size), one O(N·nlist)-flop row-local assignment
+    * scan, two table creates — never any pairwise or shuffle work.
+    */
+  def recluster(spark: SparkSession, iters: Int = 3): VectorIndex = {
+    import spark.implicits._
+    val cur = VectorIndex.currentGeneration(root)
+    require(cur == generation,
+      s"stale index handle: generation $generation superseded by $cur")
+    val corpus = vectors.read(spark).select(col("vec_id"),
+      col("v").as("embedding"))
+    val newCents = Similarity.trainCentroids(corpus, nlist, iters)
+    val nextGen = generation + 1
+    val dir = VectorIndex.genDir(root, nextGen)
+    Files.createDirectories(Paths.get(dir))
+    val cents = new MergeTable(s"$dir/centroids", VectorIndex.CentSchema,
+      keyCol = "cent_id", partitionCol = None).create()
+    cents.appendAll(newCents.toSeq.toDF("cent_id", "cv"),
+      Some(s"retrain-g$nextGen"))
+    val vecs = new MergeTable(s"$dir/vectors", VectorIndex.VecSchema,
+      keyCol = "vec_id", partitionCol = None).create()
+    vecs.appendAll(
+      Similarity.assignCells(corpus.select(col("vec_id"),
+        col("embedding").as("v")), newCents),
+      Some(s"reassign-g$nextGen"))
+    VectorIndex.publishGeneration(root, nextGen)
+    new VectorIndex(root, nextGen, cents, vecs, nlist)
   }
 
   /** Indexed corpus size — monitoring/spec hook. */
@@ -82,9 +165,39 @@ final class VectorIndex private (
 }
 
 object VectorIndex {
-  private val CentSchema = StructType.fromDDL("cent_id INT, cv ARRAY<DOUBLE>")
-  private val VecSchema =
+  private[operators] val CentSchema =
+    StructType.fromDDL("cent_id INT, cv ARRAY<DOUBLE>")
+  private[operators] val VecSchema =
     StructType.fromDDL("vec_id BIGINT, v ARRAY<DOUBLE>, cell INT, csim DOUBLE")
+
+  /** Generation 0 is the legacy flat layout (root/centroids, root/
+    * vectors — pre-recluster indexes keep working untouched); later
+    * generations live under root/gen-NNNN.
+    */
+  private[operators] def genDir(root: String, gen: Int): String =
+    if (gen == 0) root else f"$root/gen-$gen%04d"
+
+  /** The published generation: contents of root/CURRENT, absent = 0. */
+  def currentGeneration(root: String): Int = {
+    val p = Paths.get(root, "CURRENT")
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), "UTF-8").trim.toInt
+    else 0
+  }
+
+  /** Atomic pointer flip: write-temp + ATOMIC_MOVE, the same
+    * last-writer-wins primitive the table layer commits through — a
+    * reader sees either the old generation or the new, never a torn
+    * pointer.
+    */
+  private[operators] def publishGeneration(root: String, gen: Int): Unit = {
+    val tmp = Paths.get(root, s".CURRENT.tmp-$gen")
+    Files.write(tmp, gen.toString.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(root, "CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   /** Train on `initial` (vec_id, embedding), persist centroids, index the
     * initial batch. `nlist` is pinned in the centroids table itself.
@@ -100,16 +213,22 @@ object VectorIndex {
     cents.appendAll(centArr.toSeq.toDF("cent_id", "cv"), Some("train"))
     val vecs = new MergeTable(s"$root/vectors", VecSchema,
       keyCol = "vec_id", partitionCol = None).create()
-    val idx = new VectorIndex(root, cents, vecs, nlist)
+    val idx = new VectorIndex(root, 0, cents, vecs, nlist)
     idx.addBatch(initial, Some("initial"))
     idx
   }
 
-  /** Reopen from disk; nlist = the centroid count on record. */
-  def open(root: String): VectorIndex = {
-    val cents = MergeTable.open(s"$root/centroids")
-    val vecs = MergeTable.open(s"$root/vectors")
+  /** Reopen the PUBLISHED generation (root/CURRENT, absent = the legacy
+    * flat layout); nlist = the centroid count on record. Pass an
+    * explicit `generation` to time-travel across a [[VectorIndex.recluster]]
+    * swap — superseded generations stay consistent pairs on disk.
+    */
+  def open(root: String, generation: Option[Int] = None): VectorIndex = {
+    val gen = generation.getOrElse(currentGeneration(root))
+    val dir = genDir(root, gen)
+    val cents = MergeTable.open(s"$dir/centroids")
+    val vecs = MergeTable.open(s"$dir/vectors")
     val spark = SparkSession.active
-    new VectorIndex(root, cents, vecs, cents.read(spark).count().toInt)
+    new VectorIndex(root, gen, cents, vecs, cents.read(spark).count().toInt)
   }
 }

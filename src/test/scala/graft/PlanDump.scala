@@ -260,7 +260,9 @@ object PlanDump {
     "q277_dedup_roi" ->
       "Dedup ROI: the q64 prefix-filtered cluster pass, then one left join of per-doc word counts against cluster labels + survivor join ON THE CLUSTER ID (min member — no ranking window) + two aggregations to a <= max-cluster-size report.",
     "q278_mutual_info" ->
-      "Mutual information: per column pair one OCCUPIED-cell census (no dense spine — absent cells are exact zeros in MI), margin joins, per-cell quantized ln summands folding to a report row per pair.")
+      "Mutual information: per column pair one OCCUPIED-cell census (no dense spine — absent cells are exact zeros in MI), margin joins, per-cell quantized ln summands folding to a report row per pair.",
+    "q110_edit_verified_dups" ->
+      "Edit-verified near-dups: the portable MinHash band-bucket equi-join emits the candidate pairs; the O(|a|*|b|) levenshtein DP sits strictly BEHIND two doc_id equi-joins that fetch only candidate texts — the DP never sees a non-candidate pair, so pair work rides LSH admissions, never corpus^2.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

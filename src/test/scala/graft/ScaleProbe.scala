@@ -367,6 +367,91 @@ object ScaleProbe {
       println(f"| curation_chain_3epoch | $a%.2f | $b%.2f | ${b / a}%.1f× " +
         f"| $expo%.2f |")
     }
+    // `recluster`: the VectorIndex maintenance action at 1x vs 10x
+    // vectors — create on the replica-0-ish fifth of the corpus, ingest
+    // the (shifted-replica) rest so centroids are genuinely stale, then
+    // time recluster() and measure the pruning (scoredFraction) it buys
+    // back. Expected cost shape: ~LINEAR in N by construction (training
+    // samples <= nlist*64 rows regardless of N; the re-assign is one
+    // O(N*nlist)-flop row-local scan; the swap is two table commits) —
+    // this probe is the falsification of any hidden pairwise term.
+    if (mode == "recluster" || mode == "all") {
+      def runReclust(dir: String): (Double, Double, Double) = {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val root = Files.createTempDirectory("reclustprobe").toString
+        val idx = graft.operators.VectorIndex.create(s"$root/idx",
+          e.filter(pmod(col("vec_id"), lit(5)) === 0), nlist = 16)
+        idx.addBatch(e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          Some("drift"))
+        val queries = e.filter(col("vec_id") < 200)
+        val fBefore = idx.scoredFraction(queries, k = 10)
+        val t0 = System.nanoTime()
+        val idx2 = idx.recluster(spark)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val fAfter = idx2.scoredFraction(queries, k = 10)
+        (sec, fBefore, fAfter)
+      }
+      runReclust(SrcDir) // warmup: codegen/JIT/commit-path
+      val (a, fb1, fa1) = runReclust(SrcDir)
+      val (b, fb2, fa2) = runReclust(DstDir)
+      val expo = math.log(b / a) / math.log(Replicas.toDouble)
+      println(f"| vecindex_recluster | $a%.2f | $b%.2f | ${b / a}%.1f× " +
+        f"| $expo%.2f |")
+      println(f"[recluster] scoredFraction 1x: $fb1%.3f -> $fa1%.3f; " +
+        f"10x: $fb2%.3f -> $fa2%.3f")
+    }
+    // `pipeline` (round-11 verdict task 7): the streaming capstone's
+    // composed per-epoch cost — CHECK gate → audit → cross-batch dedup →
+    // split → corpus landing through pipelineEpoch (the exact code the
+    // foreachBatch stream drives), 3 epochs, fresh table family per run.
+    // Same shape as `chain` but through the nine-table streaming face.
+    if (mode == "pipeline" || mode == "all") {
+      import org.apache.spark.sql.types.StructType
+      def runPipe(dir: String, limit: Long): Double = {
+        val all = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val docs = if (limit > 0) all.filter(col("doc_id") % 7919 < limit)
+          else all
+        val root = Files.createTempDirectory("pipeprobe").toString
+        val checked = new graft.table.MergeTable(s"$root/checked",
+          StructType.fromDDL("doc_id BIGINT, lang STRING, text STRING"),
+          keyCol = "doc_id", partitionCol = None).create()
+        checked.addCheckConstraint(spark, "nonneg_id", "doc_id >= 0")
+        val dl = new graft.table.MergeTable(s"$root/dead",
+          StructType.fromDDL(
+            "doc_id BIGINT, lang STRING, text STRING, violated STRING"),
+          keyCol = "doc_id", partitionCol = None).create()
+        val audit = new graft.table.MergeTable(s"$root/audit",
+          StructType.fromDDL("doc_id BIGINT, gate_exact BOOLEAN, " +
+            "gate_lang BOOLEAN, gate_gopher BOOLEAN, gate_quality BOOLEAN, " +
+            "gate_pii BOOLEAN, keep BOOLEAN, first_fail STRING"),
+          keyCol = "doc_id", partitionCol = None).create()
+        val corpus = new graft.table.MergeTable(s"$root/corpus",
+          StructType.fromDDL(
+            "doc_id BIGINT, lang STRING, text STRING, split STRING"),
+          keyCol = "doc_id", partitionCol = None).create()
+        val dedup = graft.operators.IncrementalDedup.create(s"$root/dedup")
+        val split = graft.operators.IncrementalSplit.create(s"$root/split")
+        val nB = 3
+        val slices = (0 until nB).map(bi =>
+          docs.filter(pmod(col("doc_id"), lit(nB)) === bi)
+            .localCheckpoint(true))
+        val t0 = System.nanoTime()
+        slices.zipWithIndex.foreach { case (s, i) =>
+          graft.streaming.CorpusStreams.pipelineEpoch(s, i.toLong, checked,
+            dl, audit, dedup, split, corpus, 0.9, 0.7, 0.5,
+            Seq("en", "de", "fr", "es", "ja"))
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      runPipe(SrcDir, limit = 500) // warmup
+      val a = runPipe(SrcDir, 0)
+      val b = runPipe(DstDir, 0)
+      val expo = math.log(b / a) / math.log(Replicas.toDouble)
+      println(f"| pipeline_ingest_3epoch | $a%.2f | $b%.2f | ${b / a}%.1f× " +
+        f"| $expo%.2f |")
+    }
     if (mode == "gen" || mode == "all") gen(spark)
     if (mode == "probe" || mode == "all") {
       val sweeps = sys.env.getOrElse("SCALE_SWEEPS", "3").toInt

@@ -54,6 +54,75 @@ class VectorIndexSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("recluster: exact before/during/after the swap, pruning " +
+      "recovers, stale writers refused") {
+    // train on one tight cluster, then drift HARD: three shifted
+    // clusters the trained centroids never saw — radii widen, pruning
+    // decays, and recluster is the maintenance action that restores it
+    val root = tmpDir("vecidx")
+    val idx = VectorIndex.create(root, vecs(0 until 40), nlist = 6)
+    idx.addBatch(vecs(100 until 140, shift = 2.5), Some("d1"))
+    idx.addBatch(vecs(200 until 240, shift = -2.5), Some("d2"))
+    idx.addBatch(vecs(300 until 340, shift = 5.0), Some("d3"))
+    val all = vecs(0 until 40)
+      .union(vecs(100 until 140, shift = 2.5))
+      .union(vecs(200 until 240, shift = -2.5))
+      .union(vecs(300 until 340, shift = 5.0))
+    val queries = all.filter(col("vec_id").isin(1L, 110L, 210L, 310L))
+    def ranked(ix: VectorIndex): Set[(Long, Long, Long, Double)] =
+      ix.query(queries, k = 7)
+        .select("q_id", "neighbor_id", "rank", "cos_sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val want = Similarity.bruteForceTopK(all, queries, k = 7)
+      .select("q_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    // BEFORE: exact (the standing guarantee) but pruning has decayed
+    assert(ranked(idx) === want)
+    val fracBefore = idx.scoredFraction(queries, k = 7)
+
+    // SWAP: retrain + re-assign + atomic pointer flip
+    val idx2 = idx.recluster(spark)
+    assert(idx2.generation === 1)
+    assert(VectorIndex.currentGeneration(root) === 1)
+
+    // AFTER: same corpus, same exact answers, measurably better pruning
+    assert(idx2.indexedVectors(spark) === 160)
+    assert(ranked(idx2) === want)
+    val fracAfter = idx2.scoredFraction(queries, k = 7)
+    assert(fracAfter < fracBefore,
+      f"recluster must recover pruning: $fracBefore%.3f -> $fracAfter%.3f")
+
+    // DURING (time travel): the superseded generation remains a
+    // CONSISTENT (centroids, vectors) pair — a reader that resolved
+    // CURRENT before the flip still gets exact answers from it
+    val old = VectorIndex.open(root, generation = Some(0))
+    assert(old.generation === 0)
+    assert(ranked(old) === want)
+
+    // stale handles must not write into an abandoned generation
+    val e = intercept[IllegalArgumentException] {
+      idx.addBatch(vecs(400 until 410), Some("late"))
+    }
+    assert(e.getMessage.contains("stale index handle"))
+
+    // the published generation ingests + replays as before, and a fresh
+    // open() resolves it
+    idx2.addBatch(vecs(400 until 410), Some("late"))
+    idx2.addBatch(vecs(400 until 410), Some("late"))
+    assert(idx2.indexedVectors(spark) === 170)
+    val re = VectorIndex.open(root)
+    assert(re.generation === 1 && re.indexedVectors(spark) === 170)
+    val all2 = all.union(vecs(400 until 410))
+    val got2 = re.query(queries, k = 7)
+      .select("q_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want2 = Similarity.bruteForceTopK(all2, queries, k = 7)
+      .select("q_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got2 === want2)
+  }
+
   test("addBatch replay is a no-op; open() resumes from disk") {
     val root = tmpDir("vecidx")
     val idx = VectorIndex.create(root, vecs(0 until 20), nlist = 4)
