@@ -1194,6 +1194,104 @@ object LlmOps {
           Seq("source", "lang", "len_bucket"))
         .orderBy(col("col_a"), col("col_b"))),
 
+    // gen-17 (round 11): parametric/effect-size inference battery —
+    // exact x1e6 integer F machinery, value-set effect sizes, calendar
+    // time-axis reads. All on raw fixture columns, no fanout.
+
+    // one-way ANOVA per lang: do sources differ in mean length at all
+    "q279_anova" -> ((s, d) =>
+      graft.operators.Inference.anovaF(
+          Tables.documents(s, d), "lang", "source", "n_chars")
+        .orderBy(col("lang"))),
+
+    // Brown–Forsythe: are the per-source length VARIANCES comparable
+    "q280_brown_forsythe" -> ((s, d) =>
+      graft.operators.Inference.brownForsythe(
+          Tables.documents(s, d), "lang", "source", "n_chars")
+        .orderBy(col("lang"))),
+
+    // Cohen's d / Hedges' g per source vs rest on length
+    "q281_cohens_d" -> ((s, d) =>
+      graft.operators.Inference.cohensD(
+          Tables.documents(s, d), "source", "n_chars")
+        .orderBy(col("source"))),
+
+    // Cliff's delta (ordinal effect size) per source vs rest
+    "q282_cliffs_delta" -> ((s, d) =>
+      graft.operators.Inference.cliffsDelta(
+          Tables.documents(s, d), "source", "n_chars")
+        .orderBy(col("source"))),
+
+    // Hellinger distance matrix between sources over length deciles
+    "q283_hellinger" -> ((s, d) =>
+      graft.operators.Inference.hellingerMatrix(
+          Tables.documents(s, d), "source", "n_chars")
+        .orderBy(col("group_a"), col("group_b"))),
+
+    // Wald–Wolfowitz runs test on daily event volume per type
+    "q284_runs_test" -> ((s, d) =>
+      graft.operators.Inference.runsTest(
+          Tables.events(s, d), "event_type", "ts")
+        .orderBy(col("event_type"))),
+
+    // ACF lags 1..7 of daily counts per type, dense calendar spine
+    "q285_acf" -> ((s, d) =>
+      graft.operators.Inference.acf(
+          Tables.events(s, d), "event_type", "ts", maxLag = 7)
+        .orderBy(col("event_type"), col("lag"))),
+
+    // best single change point (binary segmentation step) per type
+    "q286_changepoint" -> ((s, d) =>
+      graft.operators.Inference.changepoint(
+          Tables.events(s, d), "event_type", "ts")
+        .orderBy(col("event_type"))),
+
+    // Dunn post-hoc pairwise rank z after the q262 omnibus
+    "q287_dunn" -> ((s, d) =>
+      graft.operators.Inference.dunnPosthoc(
+          Tables.documents(s, d), "source", "n_chars")
+        .orderBy(col("group_a"), col("group_b"))),
+
+    // Wilson 95% score interval for per-source long-doc rates
+    "q288_wilson" -> ((s, d) =>
+      graft.operators.Inference.wilsonInterval(
+          Tables.documents(s, d), "source", col("n_chars") >= 306)
+        .orderBy(col("source"))),
+
+    // Jonckheere–Terpstra ordered trend: does event value shift
+    // monotonically across hour-of-day quarters
+    "q289_jonckheere" -> ((s, d) =>
+      graft.operators.Inference.jonckheereTerpstra(
+          Tables.events(s, d).select(
+            expr("hour(ts) div 6").as("bucket"),
+            floor(col("value") * 100).cast("long").as("cents")),
+          "bucket", "cents")
+        .orderBy(col("k"))),
+
+    // weekday seasonality = exact eta2 of the weekday factor + peaks
+    "q290_seasonality" -> ((s, d) =>
+      graft.operators.Inference.weekdaySeasonality(
+          Tables.events(s, d), "event_type", "ts")
+        .orderBy(col("event_type"))),
+
+    // Friedman + Kendall's W: event types ranked within each day
+    "q291_friedman" -> ((s, d) =>
+      graft.operators.Inference.friedman(
+          Tables.events(s, d), "event_type", "ts")
+        .orderBy(col("k"))),
+
+    // Poisson dispersion audit of daily volumes per type
+    "q292_dispersion" -> ((s, d) =>
+      graft.operators.Inference.dispersionAudit(
+          Tables.events(s, d), "event_type", "ts")
+        .orderBy(col("event_type"))),
+
+    // Burrows' Delta stylometry matrix over the top-30 corpus words
+    "q293_burrows_delta" -> ((s, d) =>
+      graft.operators.Inference.burrowsDelta(
+          Tables.documents(s, d), "source", "text", topM = 30)
+        .orderBy(col("group_a"), col("group_b"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -6339,6 +6437,640 @@ object LlmOps {
     "q278_mutual_info" -> mutualInfoOracle(Seq(
       ("source", "lang"), ("source", "len_bucket"),
       ("lang", "len_bucket"))),
+
+    // same per-group x1e6 q/r-split S²/n terms (quantize-per-term then
+    // integer-sum), same truncating F/eta2 divisions, same
+    // Wilson–Hilferty cube for the chi2 gate
+    "q279_anova" ->
+      """WITH g AS (SELECT lang, source, CAST(n_chars AS BIGINT) AS v
+            FROM documents),
+        grp AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(v) AS BIGINT) AS s,
+            CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+          FROM g GROUP BY 1, 2),
+        t AS (SELECT lang, source, n, s, q,
+            (CAST(s AS HUGEINT) * s // n) * 1000000
+              + (CAST(s AS HUGEINT) * s % n) * 1000000 // n AS t6
+          FROM grp),
+        sl AS (SELECT lang, CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS stot,
+            CAST(sum(q) AS HUGEINT) AS q, CAST(sum(t6) AS HUGEINT) AS a6
+          FROM t GROUP BY 1),
+        c AS (SELECT lang, k, n, q, a6,
+            (CAST(stot AS HUGEINT) * stot // n) * 1000000
+              + (CAST(stot AS HUGEINT) * stot % n) * 1000000 // n AS c6
+          FROM sl),
+        f AS (SELECT lang, k, n, a6 - c6 AS ssb6,
+            q * 1000000 - a6 AS ssw6, q * 1000000 - c6 AS sst6,
+            k - 1 AS dfb, n - k AS dfw FROM c),
+        r0 AS (SELECT lang, k, n, dfb,
+            CASE WHEN dfb > 0 AND dfw > 0 AND ssw6 > 0 THEN
+              ssb6 * dfw * 1000000 // (ssw6 * dfb) END AS f6,
+            CASE WHEN sst6 > 0 THEN ssb6 * 1000000 // sst6 END AS eta6,
+            CASE WHEN dfb >= 1 THEN 1.0 - 2.0 / (9.0 * CAST(dfb AS DOUBLE))
+              + 1.6448536269514722
+                * sqrt(2.0 / (9.0 * CAST(dfb AS DOUBLE))) END AS wh
+          FROM f),
+        r AS (SELECT lang, k, n, dfb, f6, eta6,
+            CASE WHEN dfb >= 1 THEN CAST(floor(CAST(dfb AS DOUBLE)
+              * wh * wh * wh * 1e6) AS BIGINT) END AS crit6
+          FROM r0)
+        SELECT lang, k, n, CAST(f6 AS DOUBLE) / 1e6 AS f_stat,
+          CAST(eta6 AS DOUBLE) / 1e6 AS eta2,
+          CASE WHEN f6 IS NOT NULL AND crit6 IS NOT NULL
+            THEN CAST(f6 * dfb AS DOUBLE) > crit6 END AS significant
+        FROM r ORDER BY lang""",
+
+    // same lower-median cut on the group value set, |v-m| re-census,
+    // then the IDENTICAL exact F chain
+    "q280_brown_forsythe" ->
+      """WITH g0 AS (SELECT lang, source, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2, 3),
+        ng AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS ng
+          FROM g0 GROUP BY 1, 2),
+        cm AS (SELECT lang, source, v, c,
+            sum(c) OVER (PARTITION BY lang, source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM g0),
+        med AS (SELECT cm.lang, cm.source, min(v) AS m
+          FROM cm JOIN ng ON cm.lang = ng.lang AND cm.source = ng.source
+          WHERE cum >= (ng + 1) // 2 GROUP BY 1, 2),
+        z AS (SELECT g0.lang, g0.source, abs(v - m) AS v,
+            CAST(sum(c) AS BIGINT) AS c
+          FROM g0 JOIN med ON g0.lang = med.lang AND g0.source = med.source
+          GROUP BY 1, 2, 3),
+        grp AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(v * c) AS BIGINT) AS s,
+            CAST(sum(CAST(v AS HUGEINT) * v * c) AS HUGEINT) AS q
+          FROM z GROUP BY 1, 2),
+        t AS (SELECT lang, source, n, s, q,
+            (CAST(s AS HUGEINT) * s // n) * 1000000
+              + (CAST(s AS HUGEINT) * s % n) * 1000000 // n AS t6
+          FROM grp),
+        sl AS (SELECT lang, CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS stot,
+            CAST(sum(q) AS HUGEINT) AS q, CAST(sum(t6) AS HUGEINT) AS a6
+          FROM t GROUP BY 1),
+        c AS (SELECT lang, k, n, q, a6,
+            (CAST(stot AS HUGEINT) * stot // n) * 1000000
+              + (CAST(stot AS HUGEINT) * stot % n) * 1000000 // n AS c6
+          FROM sl),
+        f AS (SELECT lang, k, n, a6 - c6 AS ssb6,
+            q * 1000000 - a6 AS ssw6, q * 1000000 - c6 AS sst6,
+            k - 1 AS dfb, n - k AS dfw FROM c),
+        r0 AS (SELECT lang, k, n, dfb,
+            CASE WHEN dfb > 0 AND dfw > 0 AND ssw6 > 0 THEN
+              ssb6 * dfw * 1000000 // (ssw6 * dfb) END AS f6,
+            CASE WHEN sst6 > 0 THEN ssb6 * 1000000 // sst6 END AS eta6,
+            CASE WHEN dfb >= 1 THEN 1.0 - 2.0 / (9.0 * CAST(dfb AS DOUBLE))
+              + 1.6448536269514722
+                * sqrt(2.0 / (9.0 * CAST(dfb AS DOUBLE))) END AS wh
+          FROM f),
+        r AS (SELECT lang, k, n, dfb, f6, eta6,
+            CASE WHEN dfb >= 1 THEN CAST(floor(CAST(dfb AS DOUBLE)
+              * wh * wh * wh * 1e6) AS BIGINT) END AS crit6
+          FROM r0)
+        SELECT lang, k, n, CAST(f6 AS DOUBLE) / 1e6 AS w_stat,
+          CAST(eta6 AS DOUBLE) / 1e6 AS eta2,
+          CASE WHEN f6 IS NOT NULL AND crit6 IS NOT NULL
+            THEN CAST(f6 * dfb AS DOUBLE) > crit6 END AS significant
+        FROM r ORDER BY lang""",
+
+    // same exact moments, identical double chain (one sqrt), floor
+    // quantization, thresholds compared on the quantized value
+    "q281_cohens_d" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+            CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nall,
+            CAST(sum(s) AS BIGINT) AS sall,
+            CAST(sum(q) AS HUGEINT) AS qall FROM g),
+        e AS (SELECT source, n, nall - n AS nr, s, sall - s AS sr,
+            q, qall - q AS qr, nall FROM g, t WHERE nall - n > 0),
+        v AS (SELECT source, n, nr, s, sr, nall,
+            CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE) AS vg,
+            CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+              / CAST(nr AS DOUBLE) AS vr FROM e),
+        d AS (SELECT source, n, nall,
+            CASE WHEN (vg + vr) / CAST(nall - 2 AS DOUBLE) > 0 THEN
+              (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))
+              / sqrt((vg + vr) / CAST(nall - 2 AS DOUBLE)) END AS dd
+          FROM v),
+        q2 AS (SELECT source, n,
+            CAST(floor(dd * 1e6) AS BIGINT) AS d6,
+            CAST(floor(dd * (1.0 - 3.0
+              / (4.0 * CAST(nall - 2 AS DOUBLE) - 1.0)) * 1e6)
+              AS BIGINT) AS g6
+          FROM d)
+        SELECT source, n, CAST(d6 AS DOUBLE) / 1e6 AS cohens_d,
+          CAST(g6 AS DOUBLE) / 1e6 AS hedges_g,
+          CASE WHEN d6 IS NULL THEN NULL
+            WHEN abs(d6) < 200000 THEN 'negligible'
+            WHEN abs(d6) < 500000 THEN 'small'
+            WHEN abs(d6) < 800000 THEN 'medium'
+            ELSE 'large' END AS magnitude
+        FROM q2 ORDER BY source""",
+
+    // same two cumulative windows (global + per-group), same signed
+    // dominance fold, one truncating division, Romano cuts on the
+    // quantized value
+    "q282_cliffs_delta" ->
+      """WITH cells AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS tot
+          FROM cells GROUP BY 1),
+        vc AS (SELECT v, tot, sum(tot) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumT
+          FROM vals),
+        na AS (SELECT CAST(sum(c) AS BIGINT) AS nall FROM cells),
+        gn AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+          FROM cells GROUP BY 1),
+        gc AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumC
+          FROM cells),
+        j AS (SELECT gc.g, c, (cumT - tot) - (cumC - c) AS lo,
+            (nall - cumT) - (gn.ng - cumC) AS hi
+          FROM gc JOIN vc ON gc.v = vc.v
+            JOIN gn ON gc.g = gn.g, na),
+        agg AS (SELECT j.g, CAST(sum(CAST(c AS HUGEINT) * (lo - hi))
+              AS HUGEINT) AS draw
+          FROM j GROUP BY 1),
+        r AS (SELECT agg.g, gn.ng, nall - gn.ng AS nr,
+            draw * 1000000 // (CAST(gn.ng AS HUGEINT) * (nall - gn.ng))
+              AS d6
+          FROM agg JOIN gn ON agg.g = gn.g, na
+          WHERE nall - gn.ng > 0)
+        SELECT g AS source, ng AS n, CAST(d6 AS DOUBLE) / 1e6
+            AS cliffs_delta,
+          CASE WHEN abs(d6) < 147000 THEN 'negligible'
+            WHEN abs(d6) < 330000 THEN 'small'
+            WHEN abs(d6) < 474000 THEN 'medium'
+            ELSE 'large' END AS magnitude
+        FROM r ORDER BY source""",
+
+    // same q264 left-rank decile grid, per-shared-bucket floor'd
+    // Bhattacharyya summands integer-summed, same two-level sqrt chain
+    "q283_hellinger" ->
+      """WITH g AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY 1),
+        na AS (SELECT CAST(sum(c) AS BIGINT) AS nall FROM g),
+        bk AS (SELECT v, least(9, (sum(ct) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+              * 10 // nall) AS b
+          FROM vals, na),
+        gb AS (SELECT grp, b, CAST(sum(c) AS BIGINT) AS ngb
+          FROM g JOIN bk ON g.v = bk.v GROUP BY 1, 2),
+        gn AS (SELECT grp, CAST(sum(ngb) AS BIGINT) AS ng
+          FROM gb GROUP BY 1),
+        pr AS (SELECT a.grp AS ga, bb.grp AS gb2,
+            CAST(floor(sqrt((CAST(a.ngb AS DOUBLE)
+                / CAST(an.ng AS DOUBLE))
+              * (CAST(bb.ngb AS DOUBLE) / CAST(bn.ng AS DOUBLE))) * 1e6)
+              AS BIGINT) AS cell6
+          FROM gb a JOIN gb bb ON a.b = bb.b AND a.grp < bb.grp
+            JOIN gn an ON a.grp = an.grp
+            JOIN gn bn ON bb.grp = bn.grp),
+        bcs AS (SELECT ga, gb2, CAST(sum(cell6) AS BIGINT) AS bc6
+          FROM pr GROUP BY 1, 2),
+        spine AS (SELECT a.grp AS ga, b.grp AS gb2
+          FROM gn a JOIN gn b ON a.grp < b.grp),
+        bc AS (SELECT spine.ga, spine.gb2, coalesce(bc6, 0) AS bc6
+          FROM spine LEFT JOIN bcs
+            ON spine.ga = bcs.ga AND spine.gb2 = bcs.gb2)
+        SELECT ga AS group_a, gb2 AS group_b,
+          CAST(least(bc6, 1000000) AS DOUBLE) / 1e6 AS bc,
+          CAST(floor(sqrt(greatest(0.0,
+            1.0 - CAST(bc6 AS DOUBLE) / 1e6)) * 1e6) AS BIGINT)
+            / 1e6 AS hellinger
+        FROM bc ORDER BY group_a, group_b""",
+
+    // same lower-median cut on daily counts, tie days dropped, runs via
+    // lag over the calendar, identical mu/sigma double chain
+    "q284_runs_test" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        mv AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+          FROM daily GROUP BY 1, 2),
+        nd AS (SELECT g, CAST(sum(c) AS BIGINT) AS ndays
+          FROM mv GROUP BY 1),
+        cm AS (SELECT g, x, c, sum(c) OVER (PARTITION BY g ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM mv),
+        med AS (SELECT cm.g, min(x) AS m
+          FROM cm JOIN nd ON cm.g = nd.g
+          WHERE cum >= (ndays + 1) // 2 GROUP BY 1),
+        sg AS (SELECT daily.g, d,
+            CASE WHEN x > m THEN 1 ELSE -1 END AS sign
+          FROM daily JOIN med ON daily.g = med.g WHERE x <> m),
+        rr AS (SELECT g, sign,
+            lag(sign) OVER (PARTITION BY g ORDER BY d) AS prev FROM sg),
+        agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2,
+            CAST(sum(CASE WHEN prev IS NULL OR prev <> sign
+              THEN 1 ELSE 0 END) AS BIGINT) AS r
+          FROM rr GROUP BY 1),
+        z AS (SELECT g, n, n1, n2, r,
+            CASE WHEN n1 > 0 AND n2 > 0 AND
+              (2.0 * n1 * n2 * (2.0 * n1 * n2 - n))
+                / (CAST(n AS DOUBLE) * n * CAST(n - 1 AS DOUBLE)) > 0
+            THEN CAST(floor((CAST(r AS DOUBLE)
+              - (2.0 * n1 * n2 / CAST(n AS DOUBLE) + 1.0))
+              / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n))
+                / (CAST(n AS DOUBLE) * n * CAST(n - 1 AS DOUBLE)))
+              * 1e6) AS BIGINT) END AS z6
+          FROM agg)
+        SELECT g AS event_type, n AS n_days, n1 AS n_above,
+          n2 AS n_below, r AS runs, CAST(z6 AS DOUBLE) / 1e6 AS z,
+          CASE WHEN z6 IS NOT NULL THEN abs(z6) <= 1959964 END
+            AS consistent_with_random
+        FROM z ORDER BY event_type""",
+
+    // same dense calendar spine, same n²-scaled exact mean-removal
+    // identity, one truncating division per lag
+    "q285_acf" ->
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        span AS (SELECT g, min(d) AS dlo, max(d) AS dhi
+          FROM d0 GROUP BY 1),
+        spine AS (SELECT g, CAST(unnest(generate_series(dlo, dhi,
+            INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+        daily AS (SELECT spine.g, spine.d, coalesce(x, 0) AS x,
+            date_diff('day', dlo, spine.d) AS t
+          FROM spine LEFT JOIN d0 ON spine.g = d0.g AND spine.d = d0.d
+            JOIN span ON spine.g = span.g),
+        st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+          FROM daily GROUP BY 1),
+        lg AS (SELECT g, t, x, k, t + k AS tj
+          FROM daily, unnest(generate_series(1, 7)) AS u(k)),
+        pr AS (SELECT lg.g, k,
+            CAST(sum(CAST(lg.x AS HUGEINT) * tl.x) AS HUGEINT) AS p,
+            CAST(sum(lg.x) AS BIGINT) AS h,
+            CAST(sum(tl.x) AS BIGINT) AS t2
+          FROM lg JOIN daily tl ON lg.g = tl.g AND lg.tj = tl.t
+          GROUP BY 1, 2),
+        r AS (SELECT pr.g, k, n,
+            CAST(n AS HUGEINT) * n * p
+              - CAST(n AS HUGEINT) * s * (h + t2)
+              + (CAST(n AS HUGEINT) - k) * s * s AS num,
+            CAST(n AS HUGEINT) * n * q
+              - CAST(n AS HUGEINT) * s * s AS den
+          FROM pr JOIN st ON pr.g = st.g)
+        SELECT g AS event_type, k AS lag, n AS n_days,
+          CASE WHEN den > 0 THEN
+            CAST(num * 1000000 // den AS DOUBLE) / 1e6 END AS acf
+        FROM r ORDER BY event_type, lag""",
+
+    // same dense spine + cumulative prefix, exact x1e6 q/r-split gain
+    // terms, max-then-join-back argmax (the q265-fix recipe), earliest
+    // day tie-break
+    "q286_changepoint" ->
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        span AS (SELECT g, min(d) AS dlo, max(d) AS dhi
+          FROM d0 GROUP BY 1),
+        daily AS (SELECT spine.g, spine.d, coalesce(x, 0) AS x
+          FROM (SELECT g, CAST(unnest(generate_series(dlo, dhi,
+              INTERVAL 1 DAY)) AS DATE) AS d FROM span) spine
+          LEFT JOIN d0 ON spine.g = d0.g AND spine.d = d0.d),
+        cm AS (SELECT g, d, x,
+            row_number() OVER (PARTITION BY g ORDER BY d) AS tau,
+            sum(x) OVER (PARTITION BY g ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+          FROM daily),
+        tot AS (SELECT g, CAST(max(tau) AS BIGINT) AS n,
+            CAST(max(sl) AS BIGINT) AS s FROM cm GROUP BY 1),
+        gains AS (SELECT cm.g, d, tau, sl, s - sl AS sr, n - tau AS nr,
+            n, s,
+            ((CAST(sl AS HUGEINT) * sl // tau) * 1000000
+              + (CAST(sl AS HUGEINT) * sl % tau) * 1000000 // tau)
+            + ((CAST(s - sl AS HUGEINT) * (s - sl) // (n - tau)) * 1000000
+              + (CAST(s - sl AS HUGEINT) * (s - sl) % (n - tau))
+                * 1000000 // (n - tau))
+            - ((CAST(s AS HUGEINT) * s // n) * 1000000
+              + (CAST(s AS HUGEINT) * s % n) * 1000000 // n) AS g6
+          FROM cm JOIN tot ON cm.g = tot.g WHERE tau < n),
+        best AS (SELECT g, max(g6) AS gmax FROM gains GROUP BY 1),
+        at1 AS (SELECT gains.g, min(d) AS change_day
+          FROM gains JOIN best ON gains.g = best.g AND gains.g6 = best.gmax
+          GROUP BY 1),
+        res AS (SELECT gains.g, n AS n_days, at1.change_day, gmax,
+            sl, tau, sr, nr
+          FROM gains JOIN at1 ON gains.g = at1.g
+              AND gains.d = at1.change_day
+            JOIN best ON gains.g = best.g)
+        SELECT g AS event_type, n_days, change_day,
+          CAST(gmax AS DOUBLE) / 1e6 AS gain,
+          CAST(CAST(sl AS HUGEINT) * 1000000 // tau AS DOUBLE) / 1e6
+            AS mean_before,
+          CAST(CAST(sr AS HUGEINT) * 1000000 // nr AS DOUBLE) / 1e6
+            AS mean_after
+        FROM res ORDER BY event_type""",
+
+    // same doubled midranks over the global value set, same tie cube,
+    // identical z double chain, unadjusted 1.959964 gate + m shipped
+    "q287_dunn" ->
+      """WITH g AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY 1),
+        rk AS (SELECT v, 2 * sum(ct) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - ct + 1 AS rank2 FROM vals),
+        ties AS (SELECT CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct)
+              AS HUGEINT) AS t,
+            CAST(sum(ct) AS BIGINT) AS nall FROM vals),
+        pg AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(CAST(c AS HUGEINT) * rank2) AS HUGEINT) AS r2
+          FROM g JOIN rk ON g.v = rk.v GROUP BY 1),
+        kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM pg),
+        pr AS (SELECT a.grp AS ga, b.grp AS gb, a.n AS na, b.n AS nb,
+            a.r2 AS r2a, b.r2 AS r2b
+          FROM pg a JOIN pg b ON a.grp < b.grp),
+        z AS (SELECT ga, gb, na, nb,
+            CASE WHEN CAST(nall AS DOUBLE) * CAST(nall + 1 AS DOUBLE)
+                / 12.0 - CAST(t AS DOUBLE)
+                / (12.0 * CAST(nall - 1 AS DOUBLE)) > 0
+            THEN CAST(floor(
+              (CAST(r2a AS DOUBLE) / (2.0 * CAST(na AS DOUBLE))
+                - CAST(r2b AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)))
+              / sqrt((CAST(nall AS DOUBLE) * CAST(nall + 1 AS DOUBLE)
+                  / 12.0 - CAST(t AS DOUBLE)
+                  / (12.0 * CAST(nall - 1 AS DOUBLE)))
+                * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+              * 1e6) AS BIGINT) END AS z6, k
+          FROM pr, ties, kk)
+        SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+          CAST(z6 AS DOUBLE) / 1e6 AS z,
+          k * (k - 1) // 2 AS bonferroni_m,
+          CASE WHEN z6 IS NOT NULL THEN abs(z6) > 1959964 END
+            AS significant_unadj
+        FROM z ORDER BY group_a, group_b""",
+
+    // same exact counts, identical Wilson double chain (z constants
+    // written as the same literal product), floor quantization
+    "q288_wilson" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+          FROM documents GROUP BY 1),
+        e AS (SELECT source, n, s,
+            CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+            1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE) AS den,
+            CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE)) AS ctr,
+            1.959964 * sqrt((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+              + (1.959964 * 1.959964) / (4.0 * CAST(n AS DOUBLE)
+                * CAST(n AS DOUBLE))) AS rad
+          FROM g)
+        SELECT source, n, s AS successes,
+          floor(p * 1e6) / 1e6 AS p_hat,
+          floor((ctr - rad) / den * 1e6) / 1e6 AS wilson_lo,
+          floor((ctr + rad) / den * 1e6) / 1e6 AS wilson_hi
+        FROM e ORDER BY source""",
+
+    // same dense group x value grid, same doubled dominance fold, same
+    // no-tie mu/sigma closed forms and floor'd z
+    "q289_jonckheere" ->
+      """WITH d0 AS (SELECT hour(ts) // 6 AS g,
+            CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+          FROM d0 GROUP BY 1, 2),
+        vals AS (SELECT DISTINCT v FROM cells),
+        grps AS (SELECT DISTINCT g FROM cells),
+        grid AS (SELECT grps.g, vals.v, coalesce(c, 0) AS c
+          FROM grps CROSS JOIN vals
+          LEFT JOIN cells ON grps.g = cells.g AND vals.v = cells.v),
+        cum AS (SELECT g, v, c,
+            sum(c) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS lt
+          FROM grid),
+        j2 AS (SELECT CAST(sum(CAST(b.c AS HUGEINT)
+              * (2 * a.lt + a.c)) AS HUGEINT) AS j2
+          FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g),
+        ns AS (SELECT CAST(sum(n) AS BIGINT) AS nall,
+            CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sn2,
+            CAST(sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS HUGEINT)
+              AS sn23
+          FROM (SELECT g, CAST(sum(c) AS BIGINT) AS n
+            FROM cells GROUP BY 1)),
+        r AS (SELECT k, nall, j2,
+            (CAST(nall AS HUGEINT) * nall - sn2) // 2 AS mu2,
+            (CAST(nall AS DOUBLE) * CAST(nall AS DOUBLE)
+              * (2.0 * CAST(nall AS DOUBLE) + 3.0)
+              - CAST(sn23 AS DOUBLE)) / 72.0 AS var FROM j2, ns),
+        zz AS (SELECT k, nall, j2,
+            CASE WHEN var > 0 THEN CAST(floor(
+              (CAST(j2 AS DOUBLE) - CAST(mu2 AS DOUBLE))
+                / (2.0 * sqrt(var)) * 1e6) AS BIGINT) END AS z6
+          FROM r)
+        SELECT k, nall AS n, CAST(j2 AS DOUBLE) / 2.0 AS j_stat,
+          CAST(z6 AS DOUBLE) / 1e6 AS z,
+          CASE WHEN z6 IS NOT NULL THEN abs(z6) > 1959964 END AS trend
+        FROM zz ORDER BY k""",
+
+    // same dense calendar spine, isodow grid, the IDENTICAL exact F
+    // chain with slice = event_type / group = weekday, peak/trough by
+    // max-then-join-back on exact x1e6 weekday means
+    "q290_seasonality" ->
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        span AS (SELECT g, min(d) AS dlo, max(d) AS dhi
+          FROM d0 GROUP BY 1),
+        daily AS (SELECT spine.g, spine.d, coalesce(x, 0) AS x,
+            isodow(spine.d) AS wd
+          FROM (SELECT g, CAST(unnest(generate_series(dlo, dhi,
+              INTERVAL 1 DAY)) AS DATE) AS d FROM span) spine
+          LEFT JOIN d0 ON spine.g = d0.g AND spine.d = d0.d),
+        cells AS (SELECT g AS s, wd AS grp, x AS v,
+            CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY 1, 2, 3),
+        grp AS (SELECT s, grp, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(v * c) AS BIGINT) AS sg,
+            CAST(sum(CAST(v AS HUGEINT) * v * c) AS HUGEINT) AS q
+          FROM cells GROUP BY 1, 2),
+        t AS (SELECT s, n, sg, q,
+            (CAST(sg AS HUGEINT) * sg // n) * 1000000
+              + (CAST(sg AS HUGEINT) * sg % n) * 1000000 // n AS t6
+          FROM grp),
+        sl AS (SELECT s, CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(n) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS stot,
+            CAST(sum(q) AS HUGEINT) AS q, CAST(sum(t6) AS HUGEINT) AS a6
+          FROM t GROUP BY 1),
+        c AS (SELECT s, k, n, q, a6,
+            (CAST(stot AS HUGEINT) * stot // n) * 1000000
+              + (CAST(stot AS HUGEINT) * stot % n) * 1000000 // n AS c6
+          FROM sl),
+        f AS (SELECT s, k, n, a6 - c6 AS ssb6,
+            q * 1000000 - a6 AS ssw6, q * 1000000 - c6 AS sst6,
+            k - 1 AS dfb, n - k AS dfw FROM c),
+        r0 AS (SELECT s, k, n, dfb,
+            CASE WHEN dfb > 0 AND dfw > 0 AND ssw6 > 0 THEN
+              ssb6 * dfw * 1000000 // (ssw6 * dfb) END AS f6,
+            CASE WHEN sst6 > 0 THEN ssb6 * 1000000 // sst6 END AS eta6,
+            CASE WHEN dfb >= 1 THEN 1.0
+              - 2.0 / (9.0 * CAST(greatest(dfb, 1) AS DOUBLE))
+              + 1.6448536269514722 * sqrt(2.0
+                / (9.0 * CAST(greatest(dfb, 1) AS DOUBLE))) END AS wh
+          FROM f),
+        r AS (SELECT s, k, n, dfb, f6, eta6,
+            CASE WHEN dfb >= 1 THEN CAST(floor(
+              CAST(greatest(dfb, 1) AS DOUBLE) * wh * wh * wh * 1e6)
+              AS BIGINT) END AS crit6
+          FROM r0),
+        means AS (SELECT g AS s, wd, CAST(sum(x) AS BIGINT) AS sw,
+            CAST(count(*) AS BIGINT) AS nw FROM daily GROUP BY 1, 2),
+        m6 AS (SELECT s, wd,
+            CAST(sw AS HUGEINT) * 1000000 // nw AS m6 FROM means),
+        mx AS (SELECT s, max(m6) AS mmax, min(m6) AS mmin
+          FROM m6 GROUP BY 1),
+        peak AS (SELECT m6.s, min(wd) AS peak_weekday
+          FROM m6 JOIN mx ON m6.s = mx.s AND m6.m6 = mx.mmax GROUP BY 1),
+        trough AS (SELECT m6.s, min(wd) AS trough_weekday
+          FROM m6 JOIN mx ON m6.s = mx.s AND m6.m6 = mx.mmin GROUP BY 1)
+        SELECT r.s AS event_type, k, n, CAST(f6 AS DOUBLE) / 1e6 AS f_stat,
+          CAST(eta6 AS DOUBLE) / 1e6 AS seasonal_strength,
+          CASE WHEN f6 IS NOT NULL AND crit6 IS NOT NULL
+            THEN CAST(f6 * dfb AS DOUBLE) > crit6 END AS significant,
+          peak_weekday, trough_weekday
+        FROM r JOIN peak ON r.s = peak.s JOIN trough ON r.s = trough.s
+        ORDER BY event_type""",
+
+    // same dense day x treatment grid, per-day doubled midranks, exact
+    // integer tie-corrected Q and W, WH cube gate
+    "q291_friedman" ->
+      """WITH d0 AS (SELECT event_type AS t, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        days AS (SELECT DISTINCT d FROM d0),
+        ts2 AS (SELECT DISTINCT t FROM d0),
+        grid AS (SELECT ts2.t, days.d, coalesce(x, 0) AS x
+          FROM days CROSS JOIN ts2
+          LEFT JOIN d0 ON ts2.t = d0.t AND days.d = d0.d),
+        pdv AS (SELECT d, x, CAST(count(*) AS BIGINT) AS ct
+          FROM grid GROUP BY 1, 2),
+        rk AS (SELECT d, x, 2 * sum(ct) OVER (PARTITION BY d ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - ct + 1 AS rank2 FROM pdv),
+        r AS (SELECT grid.t, grid.d, rank2
+          FROM grid JOIN rk ON grid.d = rk.d AND grid.x = rk.x),
+        st AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n,
+            CAST(count(DISTINCT t) AS BIGINT) AS k,
+            CAST(sum(CAST(rank2 AS HUGEINT) * rank2) AS HUGEINT) AS a2
+          FROM r),
+        pt AS (SELECT t, CAST(sum(rank2) AS BIGINT) AS r2
+          FROM r GROUP BY 1),
+        n2 AS (SELECT max(n) AS n, max(k) AS k, max(a2) AS a2,
+            CAST(sum((CAST(r2 AS HUGEINT) - CAST(n AS HUGEINT) * (k + 1))
+              * (CAST(r2 AS HUGEINT) - CAST(n AS HUGEINT) * (k + 1)))
+              AS HUGEINT) AS n2
+          FROM pt, st),
+        dd AS (SELECT n, k, n2,
+            a2 - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1) AS dd
+          FROM n2),
+        q AS (SELECT n, k, n2, dd,
+            CASE WHEN dd > 0 THEN (k - 1) * n2 * 1000000 // dd END AS q6,
+            CASE WHEN dd > 0 THEN n2 * 1000000 // (dd * n) END AS w6,
+            CASE WHEN k >= 2 THEN 1.0
+              - 2.0 / (9.0 * CAST(greatest(k - 1, 1) AS DOUBLE))
+              + 1.6448536269514722 * sqrt(2.0
+                / (9.0 * CAST(greatest(k - 1, 1) AS DOUBLE))) END AS wh
+          FROM dd),
+        q2 AS (SELECT n, k, q6, w6,
+            CASE WHEN k >= 2 THEN CAST(floor(
+              CAST(greatest(k - 1, 1) AS DOUBLE) * wh * wh * wh * 1e6)
+              AS BIGINT) END AS crit6
+          FROM q)
+        SELECT k, n AS n_days, CAST(q6 AS DOUBLE) / 1e6 AS friedman_q,
+          CAST(w6 AS DOUBLE) / 1e6 AS kendalls_w,
+          CASE WHEN q6 IS NOT NULL AND crit6 IS NOT NULL
+            THEN q6 > crit6 END AS differs
+        FROM q2 ORDER BY k""",
+
+    // same spine, exact one-division dispersion/chi2, WH(n-1) gate
+    "q292_dispersion" ->
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        span AS (SELECT g, min(d) AS dlo, max(d) AS dhi
+          FROM d0 GROUP BY 1),
+        daily AS (SELECT spine.g, spine.d, coalesce(x, 0) AS x
+          FROM (SELECT g, CAST(unnest(generate_series(dlo, dhi,
+              INTERVAL 1 DAY)) AS DATE) AS d FROM span) spine
+          LEFT JOIN d0 ON spine.g = d0.g AND spine.d = d0.d),
+        st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+          FROM daily GROUP BY 1),
+        e AS (SELECT g, n, s,
+            CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS num
+          FROM st),
+        r AS (SELECT g, n, s,
+            CASE WHEN n > 1 AND s > 0 THEN
+              num * 1000000 // ((n - 1) * s) END AS d6,
+            CASE WHEN n > 1 AND s > 0 THEN
+              num * 1000000 // s END AS chi6,
+            CASE WHEN n >= 2 THEN 1.0
+              - 2.0 / (9.0 * CAST(greatest(n - 1, 1) AS DOUBLE))
+              + 1.6448536269514722 * sqrt(2.0
+                / (9.0 * CAST(greatest(n - 1, 1) AS DOUBLE))) END AS wh
+          FROM e),
+        r2 AS (SELECT g, n, s, d6, chi6,
+            CASE WHEN n >= 2 THEN CAST(floor(
+              CAST(greatest(n - 1, 1) AS DOUBLE) * wh * wh * wh * 1e6)
+              AS BIGINT) END AS crit6
+          FROM r)
+        SELECT g AS event_type, n AS n_days, s AS n_events,
+          CAST(d6 AS DOUBLE) / 1e6 AS dispersion,
+          CAST(chi6 AS DOUBLE) / 1e6 AS chi2,
+          CASE WHEN chi6 IS NOT NULL AND crit6 IS NOT NULL
+            THEN chi6 > crit6 END AS overdispersed
+        FROM r2 ORDER BY event_type""",
+
+    // same top-30 cut, integer-first frequencies, pure-integer word
+    // moments, identical z chain, per-word floors integer-summed
+    "q293_burrows_delta" ->
+      """WITH toks AS (SELECT source AS g,
+            unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS w FROM documents),
+        wc AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2),
+        tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM wc GROUP BY 1),
+        top AS (SELECT w FROM (SELECT w, CAST(sum(c) AS BIGINT) AS cw
+          FROM wc GROUP BY 1 ORDER BY cw DESC, w LIMIT 30)),
+        grid AS (SELECT tot.g, top.w, t, coalesce(c, 0) AS c
+          FROM tot CROSS JOIN top
+          LEFT JOIN wc ON tot.g = wc.g AND top.w = wc.w),
+        f AS (SELECT g, w,
+            CAST(c AS HUGEINT) * 1000000 // t AS f6 FROM grid),
+        ws AS (SELECT w, CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(f6) AS BIGINT) AS s6,
+            CAST(sum(CAST(f6 AS HUGEINT) * f6) AS HUGEINT) AS q6
+          FROM f GROUP BY 1),
+        wd AS (SELECT w, k, s6,
+            CAST(k AS HUGEINT) * q6 - CAST(s6 AS HUGEINT) * s6 AS det
+          FROM ws
+          WHERE CAST(k AS HUGEINT) * q6 - CAST(s6 AS HUGEINT) * s6 > 0),
+        z AS (SELECT f.w, g,
+            (CAST(k AS DOUBLE) * CAST(f6 AS DOUBLE) - CAST(s6 AS DOUBLE))
+              / sqrt(CAST(det AS DOUBLE)) AS z
+          FROM f JOIN wd ON f.w = wd.w),
+        pr AS (SELECT a.g AS ga, b.g AS gb,
+            CAST(floor(abs(a.z - b.z) * 1e6) AS BIGINT) AS d6
+          FROM z a JOIN z b ON a.w = b.w AND a.g < b.g),
+        agg AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS m,
+            CAST(sum(d6) AS BIGINT) AS s FROM pr GROUP BY 1, 2)
+        SELECT ga AS group_a, gb AS group_b, m AS n_words,
+          CAST(s // m AS DOUBLE) / 1e6 AS delta
+        FROM agg ORDER BY group_a, group_b""",
 
     // same distinct (order, brand) baskets, basket-keyed pair join,
     // integer confidence/lift with the HUGEINT product

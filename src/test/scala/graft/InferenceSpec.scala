@@ -1,0 +1,285 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Inference
+
+/** Gen-17 inference battery (q279–q288): closed-form expectations on
+  * hand fixtures — every assertion below is integer arithmetic done in
+  * the test comment, not a recorded engine output.
+  */
+class InferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (String, String, Long)*): DataFrame =
+    rows.toDF("lang", "source", "n_chars")
+
+  test("anovaF: closed-form two-group F, eta2, significance; " +
+      "degenerate slices NULL") {
+    // a={2,2,4,4} b={6,6,8,8}: SSB=32, SSW=8, F=(32/1)/(8/6)=24,
+    // eta2=32/40=0.8; dfb=1 crit~3.84 -> significant
+    val df = docs(
+      (Seq(2L, 2L, 4L, 4L).map(v => ("x", "a", v))
+        ++ Seq(6L, 6L, 8L, 8L).map(v => ("x", "b", v))
+        // slice y: single group -> F NULL
+        ++ Seq(1L, 2L).map(v => ("y", "a", v))
+        // slice z: zero within-variance -> SSW=0 -> F NULL
+        ++ Seq(3L, 3L).map(v => ("z", "a", v))
+        ++ Seq(5L, 5L).map(v => ("z", "b", v))): _*)
+    val r = Inference.anovaF(df, "lang", "source", "n_chars")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("x").getAs[Double]("f_stat") === 24.0)
+    assert(r("x").getAs[Double]("eta2") === 0.8)
+    assert(r("x").getAs[Boolean]("significant"))
+    assert(r("y").isNullAt(r("y").fieldIndex("f_stat")))
+    assert(r("z").isNullAt(r("z").fieldIndex("f_stat")))
+    assert(r("z").getAs[Double]("eta2") === 1.0)
+  }
+
+  test("brownForsythe: spread difference via |v - lower median|") {
+    // a={5,5,5,5} (z all 0), b={1,5,5,9} (m=5, z={4,0,0,4}):
+    // z-ANOVA: S_a=0 Q_a=0; S_b=8 Q_b=32; A6=16e6, C6=8e6,
+    // SSB6=8e6, SSW6=16e6 -> W=(8/1)/(16/6)=3.0, not significant
+    val df = docs(
+      (Seq(5L, 5L, 5L, 5L).map(v => ("x", "a", v))
+        ++ Seq(1L, 5L, 5L, 9L).map(v => ("x", "b", v))): _*)
+    val r = Inference.brownForsythe(df, "lang", "source", "n_chars")
+      .collect().head
+    assert(r.getAs[Double]("w_stat") === 3.0)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("cohensD: closed-form pooled-SD effect size + Hedges correction") {
+    val df = docs(
+      (Seq(2L, 2L, 4L, 4L).map(v => ("x", "a", v))
+        ++ Seq(6L, 6L, 8L, 8L).map(v => ("x", "b", v))): _*)
+    val r = Inference.cohensD(df, "source", "n_chars")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // d_a = (3-7)/sqrt((4+4)/6) = -4/sqrt(4/3); replay the exact chain
+    val d = (12.0 / 4.0 - 28.0 / 4.0) / math.sqrt((4.0 + 4.0) / 6.0)
+    assert(r("a").getAs[Double]("cohens_d") === math.floor(d * 1e6) / 1e6)
+    assert(r("a").getAs[String]("magnitude") === "large")
+    val corr = 1.0 - 3.0 / (4.0 * 6.0 - 1.0)
+    assert(r("a").getAs[Double]("hedges_g")
+      === math.floor(d * corr * 1e6) / 1e6)
+    // symmetric pair: b vs rest is the mirror image
+    assert(r("b").getAs[Double]("cohens_d")
+      === math.floor(-d * 1e6) / 1e6)
+  }
+
+  test("cliffsDelta: full separation = ±1, ties shrink |delta|") {
+    val df = docs(("x", "a", 1L), ("x", "a", 2L),
+      ("x", "b", 3L), ("x", "b", 4L))
+    val r = Inference.cliffsDelta(df, "source", "n_chars")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Double]("cliffs_delta") === -1.0)
+    assert(r("b").getAs[Double]("cliffs_delta") === 1.0)
+    assert(r("a").getAs[String]("magnitude") === "large")
+    // a={1,2} b={2,3}: pairs (1,2)<,(1,3)<,(2,2)=,(2,3)< -> delta_a=-3/4
+    val df2 = docs(("x", "a", 1L), ("x", "a", 2L),
+      ("x", "b", 2L), ("x", "b", 3L))
+    val r2 = Inference.cliffsDelta(df2, "source", "n_chars")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r2("a").getAs[Double]("cliffs_delta") === -0.75)
+  }
+
+  test("hellinger: identical = (1, 0), disjoint = (0, 1), " +
+      "disjoint pairs still appear") {
+    // x and y identical over two buckets (p=.5 each): BC=1, H=0;
+    // z disjoint from both (values 21 -> its own decile)
+    val df = docs(
+      ((1 to 5).map(_ => ("l", "x", 1L)) ++ (1 to 5).map(_ => ("l", "x", 11L))
+        ++ (1 to 5).map(_ => ("l", "y", 1L))
+        ++ (1 to 5).map(_ => ("l", "y", 11L))
+        ++ (1 to 10).map(_ => ("l", "z", 21L))): _*)
+    val r = Inference.hellingerMatrix(df, "source", "n_chars")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r(("x", "y")).getAs[Double]("bc") === 1.0)
+    assert(r(("x", "y")).getAs[Double]("hellinger") === 0.0)
+    assert(r(("x", "z")).getAs[Double]("bc") === 0.0)
+    assert(r(("x", "z")).getAs[Double]("hellinger") === 1.0)
+    assert(r.size === 3, "all pairs present, including disjoint")
+  }
+
+  private def events(rows: (String, String)*): DataFrame =
+    rows.toDF("event_type", "_ts")
+      .select(col("event_type"), to_timestamp(col("_ts")).as("ts"))
+
+  /** n events of type `t` on day d (2024-03-0d). */
+  private def day(t: String, d: Int, n: Int): Seq[(String, String)] =
+    (1 to n).map(_ => (t, f"2024-03-$d%02d 12:00:00"))
+
+  test("runsTest: closed-form z on a hand sequence; degenerate NULL") {
+    // daily counts [2,9,2,9,5,9]: value set {2:2,5:1,9:3}, lower median
+    // (cum >= 3) = 5 -> the 5-day drops; signs -+-++ -> R=4, n1=3, n2=2
+    // mu = 12/5+1 = 3.4, var = 12*(12-5)/(25*4) = 0.84
+    val e = events((day("a", 1, 2) ++ day("a", 2, 9) ++ day("a", 3, 2)
+      ++ day("a", 4, 9) ++ day("a", 5, 5) ++ day("a", 6, 9)
+      // type b: all days equal -> everything tied at the median -> no
+      // signed days -> the group vanishes (no runs to test)
+      ++ day("b", 1, 3) ++ day("b", 2, 3)): _*)
+    val r = Inference.runsTest(e, "event_type", "ts").collect()
+    assert(r.map(_.getString(0)).toSet === Set("a"))
+    val a = r.head
+    assert(a.getAs[Long]("runs") === 4L)
+    assert(a.getAs[Long]("n_above") === 3L && a.getAs[Long]("n_below") === 2L)
+    val z = (4.0 - (2.0 * 3 * 2 / 5.0 + 1.0)) /
+      math.sqrt((2.0 * 3 * 2 * (2.0 * 3 * 2 - 5)) / (5.0 * 5 * 4.0))
+    assert(a.getAs[Double]("z") === math.floor(z * 1e6) / 1e6)
+    assert(a.getAs[Boolean]("consistent_with_random"))
+  }
+
+  test("acf: exact integer lags on a period-2 series; constant NULL") {
+    // x=[1,3,1,3,1,3]: den=n2Q-nS2=216; lag1 num=-180 -> -833334e-6
+    // (truncation toward zero of -180e6/216 = -833333.33 -> -833333);
+    // lag2 num=144 -> 666666e-6
+    val e = events((day("a", 1, 1) ++ day("a", 2, 3) ++ day("a", 3, 1)
+      ++ day("a", 4, 3) ++ day("a", 5, 1) ++ day("a", 6, 3)
+      ++ day("c", 1, 2) ++ day("c", 2, 2) ++ day("c", 3, 2)): _*)
+    val r = Inference.acf(e, "event_type", "ts", maxLag = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    assert(r(("a", 1L)).getAs[Double]("acf") === -0.833333)
+    assert(r(("a", 2L)).getAs[Double]("acf") === 0.666666)
+    assert(r(("c", 1L)).isNullAt(r(("c", 1L)).fieldIndex("acf")))
+  }
+
+  test("changepoint: locates the step, exact gain and segment means, " +
+      "gap days count as zero") {
+    // series [0,0,0,10,10] via days 1..5 with day 1-3 absent for type
+    // a EXCEPT day 1 present with 0? -> use explicit: days 1,2,3 have
+    // 0 events is impossible to land as rows; instead [1,1,1,11,11]:
+    // S=25, n=5; tau=3: T(3,3)=3e6, T(22,2)=242e6, T(25,5)=125e6 ->
+    // gain6 = 3+242-125 = 120e6; tau=1: T(1,1)=1 + T(24,4)=144 - 125
+    // = 20; tau=2: T(2,2)=2+T(23,3)=176.333->176333333e-6... compute:
+    // 23*23=529, 529e6 div 3 = 176333333, +2e6 = 178333333; -125e6 =
+    // 53.333; tau=4: T(14,4)=49+T(11,1)=121-125=45 -> best tau=3,
+    // change_day=day3, mean_before=1, mean_after=11
+    val e = events((day("a", 1, 1) ++ day("a", 2, 1) ++ day("a", 3, 1)
+      ++ day("a", 4, 11) ++ day("a", 5, 11)): _*)
+    val r = Inference.changepoint(e, "event_type", "ts").collect().head
+    assert(r.getAs[java.sql.Date]("change_day").toString === "2024-03-03")
+    assert(r.getAs[Double]("gain") === 120.0)
+    assert(r.getAs[Double]("mean_before") === 1.0)
+    assert(r.getAs[Double]("mean_after") === 11.0)
+    // gap day counts as ZERO: [5,_,5] -> spine [5,0,5]; best split
+    // cannot see the gap as absence-of-data
+    val e2 = events((day("b", 1, 5) ++ day("b", 3, 5)): _*)
+    val r2 = Inference.changepoint(e2, "event_type", "ts").collect().head
+    assert(r2.getAs[Long]("n_days") === 3L)
+  }
+
+  test("dunn: closed-form pairwise z from doubled midranks") {
+    // a={1,1} b={3,3}: rank2(1)=3, rank2(3)=7; R2a=6, R2b=14; N=4,
+    // T=12; varTerm=20/12-12/36=4/3; z=(1.5-3.5)/sqrt(4/3*1)= -1.7320..
+    val df = docs(("x", "a", 1L), ("x", "a", 1L),
+      ("x", "b", 3L), ("x", "b", 3L))
+    val r = Inference.dunnPosthoc(df, "source", "n_chars").collect().head
+    val z = (6.0 / 4.0 - 14.0 / 4.0) / math.sqrt(
+      (4.0 * 5.0 / 12.0 - 12.0 / (12.0 * 3.0)) * (1.0 / 2.0 + 1.0 / 2.0))
+    assert(r.getAs[Double]("z") === math.floor(z * 1e6) / 1e6)
+    assert(r.getAs[Long]("bonferroni_m") === 1L)
+    assert(!r.getAs[Boolean]("significant_unadj"))
+  }
+
+  test("jonckheereTerpstra: perfect ordered separation, tie halves " +
+      "counted exactly") {
+    // g0={1,2} g1={3,4} g2={5,6}: J=12 (J2=24); mu=6, var=6.3333
+    val df = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (2L, 5L),
+      (2L, 6L)).toDF("bucket", "cents")
+    val r = Inference.jonckheereTerpstra(df, "bucket", "cents")
+      .collect().head
+    assert(r.getAs[Double]("j_stat") === 12.0)
+    val z = (24.0 - 12.0) / (2.0 * math.sqrt(
+      (36.0 * 36.0 * 15.0 / 36.0 - (3 * 4.0 * 7.0)) / 72.0))
+    assert(r.getAs[Double]("z") === math.floor(z * 1e6) / 1e6)
+    assert(r.getAs[Boolean]("trend"))
+    // tie case: g0={1,2} g1={2,3}: U = 3.5 -> j_stat 3.5 (J2=7)
+    val df2 = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L))
+      .toDF("bucket", "cents")
+    val r2 = Inference.jonckheereTerpstra(df2, "bucket", "cents")
+      .collect().head
+    assert(r2.getAs[Double]("j_stat") === 3.5)
+  }
+
+  test("weekdaySeasonality: exact F/eta2 of the weekday factor, " +
+      "peak and trough located") {
+    // 2024-03-04 is a Monday. Two weeks: Mondays 5 and 7 events, all
+    // other days 1 -> SSB6=42857143, SSW6=2e6, F=25.0 exactly
+    val e = events(((4 to 17).flatMap { d =>
+      val n = if (d == 4) 5 else if (d == 11) 7 else 1
+      day("a", d, n)
+    }): _*)
+    val r = Inference.weekdaySeasonality(e, "event_type", "ts")
+      .collect().head
+    assert(r.getAs[Double]("f_stat") === 25.0)
+    assert(r.getAs[Double]("seasonal_strength") > 0.9)
+    assert(r.getAs[Boolean]("significant"))
+    assert(r.getAs[Int]("peak_weekday") === 1)
+    assert(r.getAs[Int]("trough_weekday") === 2)
+  }
+
+  test("friedman: perfect concordance hits Q = n(k-1), W = 1") {
+    // 3 types, 3 days, same within-day order every day
+    val e = events((day("a", 1, 3) ++ day("b", 1, 2) ++ day("c", 1, 1)
+      ++ day("a", 2, 30) ++ day("b", 2, 20) ++ day("c", 2, 10)
+      ++ day("a", 3, 5) ++ day("b", 3, 4) ++ day("c", 3, 2)): _*)
+    val r = Inference.friedman(e, "event_type", "ts").collect().head
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Double]("friedman_q") === 6.0)
+    assert(r.getAs[Double]("kendalls_w") === 1.0)
+    assert(r.getAs[Boolean]("differs"), "6.0 > WH chi2(2) ~ 5.937")
+  }
+
+  test("dispersion: exact index on a hand series, constant = 0") {
+    // a: [1,5] -> D = chi2 = 16/6 = 2.666666 (n-1 = 1); b constant
+    val e = events((day("a", 1, 1) ++ day("a", 2, 5)
+      ++ day("b", 1, 3) ++ day("b", 2, 3)): _*)
+    val r = Inference.dispersionAudit(e, "event_type", "ts")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Double]("dispersion") === 2.666666)
+    assert(r("a").getAs[Double]("chi2") === 2.666666)
+    assert(!r("a").getAs[Boolean]("overdispersed"), "2.67 < chi2(1)=3.84")
+    assert(r("b").getAs[Double]("dispersion") === 0.0)
+    assert(!r("b").getAs[Boolean]("overdispersed"))
+  }
+
+  test("burrowsDelta: mirror-image sources replay the exact z chain") {
+    // a = 'x x y', b = 'x y y': f6 = {666666, 333333} mirrored
+    val df = Seq(("a", "x x y"), ("b", "x y y")).toDF("source", "text")
+    val r = Inference.burrowsDelta(df, "source", "text", topM = 30)
+      .collect().head
+    assert(r.getAs[Long]("n_words") === 2L)
+    val s6 = 999999.0
+    val q6 = 666666.0 * 666666.0 + 333333.0 * 333333.0
+    val det = 2.0 * q6 - s6 * s6
+    val dz = (2.0 * 666666.0 - s6) / math.sqrt(det) -
+      (2.0 * 333333.0 - s6) / math.sqrt(det)
+    val d6 = math.floor(math.abs(dz) * 1e6)
+    assert(r.getAs[Double]("delta") === d6 / 1e6)
+  }
+
+  test("wilson: bounds bracket p_hat, replay the exact chain, and " +
+      "survive the p=0 edge Wald dies at") {
+    val df = docs(("x", "a", 400L), ("x", "a", 100L), ("x", "a", 100L),
+      ("x", "a", 100L), ("x", "b", 100L))
+    val r = Inference.wilsonInterval(df, "source", col("n_chars") >= 306)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Double]("p_hat") === 0.25)
+    val z = 1.959964; val z2 = z * z; val n = 4.0; val p = 0.25
+    val den = 1.0 + z2 / n
+    val ctr = p + z2 / (2.0 * n)
+    val rad = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    assert(a.getAs[Double]("wilson_lo")
+      === math.floor((ctr - rad) / den * 1e6) / 1e6)
+    assert(a.getAs[Double]("wilson_hi")
+      === math.floor((ctr + rad) / den * 1e6) / 1e6)
+    assert(a.getAs[Double]("wilson_lo") > 0.0, "Wilson lo > 0 at p=0.25 n=4")
+    // p = 0: lo must be 0-ish and hi strictly positive (the Wald
+    // interval would be the degenerate [0,0])
+    val b = r("b")
+    assert(b.getAs[Double]("p_hat") === 0.0)
+    assert(b.getAs[Double]("wilson_hi") > 0.0)
+  }
+}

@@ -262,7 +262,23 @@ object PlanDump {
     "q278_mutual_info" ->
       "Mutual information: per column pair one OCCUPIED-cell census (no dense spine — absent cells are exact zeros in MI), margin joins, per-cell quantized ln summands folding to a report row per pair.",
     "q110_edit_verified_dups" ->
-      "Edit-verified near-dups: the portable MinHash band-bucket equi-join emits the candidate pairs; the O(|a|*|b|) levenshtein DP sits strictly BEHIND two doc_id equi-joins that fetch only candidate texts — the DP never sees a non-candidate pair, so pair work rides LSH admissions, never corpus^2.")
+      "Edit-verified near-dups: the portable MinHash band-bucket equi-join emits the candidate pairs; the O(|a|*|b|) levenshtein DP sits strictly BEHIND two doc_id equi-joins that fetch only candidate texts — the DP never sees a non-candidate pair, so pair work rides LSH admissions, never corpus^2.",
+    "q279_anova" ->
+      "One-way ANOVA: ONE (slice, group, value) census with map-side partials, per-group exact x1e6 S^2/n terms, |slices|-row F/eta2 arithmetic — corpus rows enter exactly one aggregation.",
+    "q282_cliffs_delta" ->
+      "Cliff's delta: global + per-group cumulative windows over the VALUE SET (the mannWhitney U-from-CDF identity, signed) — dominance counted without any pair join.",
+    "q283_hellinger" ->
+      "Hellinger matrix: one census to |groups|x10 decile masses, bucket-keyed |groups|^2-bounded join, spine-completed so disjoint supports report H=1 — report-sized after the first aggregation.",
+    "q285_acf" ->
+      "ACF: events collapse to the dense calendar spine; the lag-exploded equi-join is |groups|*days*maxLag (constant in event volume); exact n^2-scaled mean removal, one truncating division per lag.",
+    "q286_changepoint" ->
+      "Changepoint: calendar-bounded cumulative prefix, exact x1e6 q/r-split gain per split, max-then-join-back argmax (no version-sensitive arg_max constructs).",
+    "q289_jonckheere" ->
+      "Jonckheere-Terpstra: dense |groups|x|values| grid (the ksTest shape), per-group cumulative window, ordered-pair dominance fold — trend counted from CDFs, never a row-pair join.",
+    "q291_friedman" ->
+      "Friedman/Kendall W: dense day x treatment grid, per-day doubled midranks over <=k-row value censuses, exact integer tie-corrected Q — ranks never leave the calendar.",
+    "q293_burrows_delta" ->
+      "Burrows Delta: one token census, top-M TakeOrdered cut, |sources|xM dense grid with integer-first frequencies — the z/delta arithmetic is report-sized; corpus text is scanned once.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

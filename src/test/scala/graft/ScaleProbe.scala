@@ -167,7 +167,22 @@ object ScaleProbe {
     // q64's prefix-filtered chain; the report is two aggregations)
     "q277_dedup_roi",
     // gen-16i: MI matrix — the q267 census shape, report-sized after
-    "q278_mutual_info")
+    "q278_mutual_info",
+    // gen-17: the inference battery — q279/q280 ride the (lang, source,
+    // value) census (value sets grow sub-linearly), q281/q282/q287/q288
+    // are one-census + report-sized tails, q283 is the census + a
+    // 10-bucket pair join, q284/q285/q286 are calendar-bounded (daily
+    // collapse; replicas add VOLUME to the same days, so the day grid
+    // is constant — the direct falsification of any per-event term)
+    "q279_anova", "q280_brown_forsythe", "q281_cohens_d",
+    "q282_cliffs_delta", "q283_hellinger", "q284_runs_test",
+    "q285_acf", "q286_changepoint", "q287_dunn", "q288_wilson",
+    // gen-17c: JT rides the dense (4-bucket x cents-value) grid — the
+    // events value set is the growth axis; Friedman/seasonality/
+    // dispersion are calendar-bounded; Burrows rides the token census
+    // + a fixed 30-word grid
+    "q289_jonckheere", "q290_seasonality", "q291_friedman",
+    "q292_dispersion", "q293_burrows_delta")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
