@@ -160,6 +160,23 @@ final class VectorIndex private[operators] (
     new VectorIndex(root, nextGen, cents, vecs, nlist)
   }
 
+  /** Threshold-gated maintenance — the IVF analog of the table layer's
+    * delete-file compaction threshold (the reference pins exactly such
+    * a dial for its MoR debt, README.md:307): measure the scored
+    * fraction on a caller-supplied probe workload and [[recluster]]
+    * only when pruning has decayed past `maxScoredFraction`. Returns
+    * the (possibly new) handle plus the measured fraction so callers
+    * can log the decision. The probe should be a representative query
+    * sample — its cost is one index query's candidate pass.
+    */
+  def maintain(spark: SparkSession, probeQueries: DataFrame, k: Int,
+      maxScoredFraction: Double = 0.5, nProbe: Int = 4,
+      iters: Int = 3): (VectorIndex, Double) = {
+    val frac = scoredFraction(probeQueries, k, nProbe)
+    if (frac > maxScoredFraction) (recluster(spark, iters), frac)
+    else (this, frac)
+  }
+
   /** Indexed corpus size — monitoring/spec hook. */
   def indexedVectors(spark: SparkSession): Long = vectors.read(spark).count()
 }

@@ -123,6 +123,38 @@ class VectorIndexSpec extends SparkSpec {
     assert(got2 === want2)
   }
 
+  test("maintain: below-threshold is a no-op, decayed pruning triggers " +
+      "the swap, both report the measured fraction") {
+    val root = tmpDir("vecidx")
+    val idx = VectorIndex.create(root, vecs(0 until 40), nlist = 6)
+    idx.addBatch(vecs(100 until 140, shift = 2.5), Some("d1"))
+    idx.addBatch(vecs(300 until 340, shift = 5.0), Some("d2"))
+    val all = vecs(0 until 40)
+      .union(vecs(100 until 140, shift = 2.5))
+      .union(vecs(300 until 340, shift = 5.0))
+    val probe = all.filter(col("vec_id").isin(1L, 110L, 310L))
+    val fDrift = idx.scoredFraction(probe, k = 7)
+    // threshold above the measured drift fraction: no swap
+    val (same, f1) = idx.maintain(spark, probe, k = 7,
+      maxScoredFraction = math.min(1.0, fDrift + 0.01))
+    assert(same.generation === 0 && f1 === fDrift)
+    // threshold below it: swap happens, handle advances, exactness holds
+    val (next, f2) = idx.maintain(spark, probe, k = 7,
+      maxScoredFraction = fDrift - 0.01)
+    assert(f2 === fDrift)
+    assert(next.generation === 1)
+    assert(VectorIndex.currentGeneration(root) === 1)
+    val got = next.query(probe, k = 7)
+      .select("q_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = Similarity.bruteForceTopK(all, probe, k = 7)
+      .select("q_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(next.scoredFraction(probe, k = 7) < fDrift,
+      "the swap must have recovered pruning on the drifted fixture")
+  }
+
   test("addBatch replay is a no-op; open() resumes from disk") {
     val root = tmpDir("vecidx")
     val idx = VectorIndex.create(root, vecs(0 until 20), nlist = 4)
