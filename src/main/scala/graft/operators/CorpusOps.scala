@@ -4396,4 +4396,73 @@ object CorpusOps {
           .cast("double") / 1e6)
       .select(col("doc_id"), col("n_grams"), col("n_shared"), col("novelty"))
   }
+
+  /** Quality-weighted mixture allocation (q295) — the budget decision a
+    * mixture designer makes after the audits: given per-source token
+    * availability (whitespace tokens of Gopher-KEPT docs) and quality
+    * (the gopherFilter keep rate), allocate a corpus-wide token budget
+    * B = ΣT·budgetPerMille/1000 with quality-squared weighting
+    * w_s = keep6²·T_s (emphasize quality — the standard high-quality
+    * upsampling shape) under a per-source repetition cap of
+    * capMilliEpochs/1000 epochs (alloc_s ≤ cap·T_s — data repeated too
+    * often stops helping). Water-filling is ONE redistribution round:
+    * clamp, then share the clamped surplus across uncapped sources by
+    * weight, clamp again (deterministic; any residual stays
+    * unallocated and is visible as B − Σalloc). Every step is exact
+    * BIGINT/DECIMAL with truncating divisions — the whole allocation
+    * replays in the oracle bit-for-bit.
+    *
+    * Scale: the gopher gate is row-local; one aggregation to |sources|
+    * rows; the allocation arithmetic is report-sized.
+    */
+  def mixtureAllocation(df: DataFrame, groupCol: String,
+      budgetPerMille: Int = 500, capMilliEpochs: Int = 2000): DataFrame = {
+    val gated = TextAnalysis.gopherFilter(df)
+      .withColumn("_tok",
+        size(filter(split(col("text"), " "), t => t =!= lit("")))
+          .cast("long"))
+    val per = gated.groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("_kept"),
+        sum(when(col("keep"), col("_tok")).otherwise(0L)).as("_t"))
+      .withColumn("_keep6", expr("_kept * 1000000 div nullif(n_docs, 0)"))
+      .withColumn("_w", expr(
+        "CAST(_keep6 AS DECIMAL(38,0)) * _keep6 * _t"))
+    val tot = per.agg(sum(col("_t")).as("_tall"),
+      sum(col("_w").cast("decimal(38,0)")).as("_wall"))
+    val raw = per.crossJoin(broadcast(tot))
+      .withColumn("_b", expr(
+        s"CAST(_tall AS DECIMAL(38,0)) * $budgetPerMille div 1000"))
+      // weights normalize to parts-per-1e9 BEFORE multiplying into the
+      // budget: B*w directly would pass DECIMAL38 near 1e13 corpus
+      // tokens; B*w9 caps at B*1e9 <= 1e24 (granularity 1e-9 of B)
+      .withColumn("_w9", coalesce(expr(
+        "_w * 1000000000 div nullif(_wall, 0)"), lit(0L)))
+      .withColumn("_raw", expr("_b * _w9 div 1000000000"))
+      .withColumn("_cap", expr(
+        s"CAST(_t AS DECIMAL(38,0)) * $capMilliEpochs div 1000"))
+      .withColumn("_a1", least(col("_raw"), col("_cap")))
+      .withColumn("_capped1", col("_raw") > col("_cap"))
+    val round2 = raw.agg(
+      sum(col("_a1")).as("_alloc1"),
+      sum(when(!col("_capped1"), col("_w").cast("decimal(38,0)"))
+        .otherwise(lit(0))).as("_wunc"))
+    raw.crossJoin(broadcast(round2))
+      .withColumn("_left", col("_b") - col("_alloc1"))
+      .withColumn("_wu9", coalesce(expr(
+        "_w * 1000000000 div nullif(_wunc, 0)"), lit(0L)))
+      .withColumn("_a2", when(col("_capped1"), col("_a1"))
+        .otherwise(col("_a1")
+          + expr("_left * _wu9 div 1000000000")))
+      .withColumn("_alloc", least(col("_a2"), col("_cap")))
+      .withColumn("_e6", expr(
+        "CAST(_alloc AS DECIMAL(38,0)) * 1000000 div nullif(_t, 0)"))
+      .select(col("_g").as(groupCol), col("n_docs"),
+        (col("_keep6").cast("double") / 1e6).as("keep_rate"),
+        col("_t").as("tokens_avail"),
+        col("_b").cast("long").as("budget_tokens"),
+        col("_alloc").cast("long").as("alloc_tokens"),
+        (col("_e6").cast("double") / 1e6).as("epochs"),
+        (col("_a2") > col("_cap") || col("_capped1")).as("capped"))
+  }
 }

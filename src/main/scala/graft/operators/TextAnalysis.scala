@@ -564,4 +564,36 @@ object TextAnalysis {
       .withColumn("is_code", col("code6") >= 300000L)
       .drop("_nc", "_sym", "_ln", "_nl", "_semi", "_ind", "_kw", "_camel")
   }
+
+  /** Tokenizer fertility per group (q294) — the multilingual mixture
+    * designer's number: subword tokens per whitespace word (fertility)
+    * and characters per subword token, under the engine's regex
+    * subword proxy (the q34 tokenizer: letter runs / digit runs /
+    * single marks — a BPE stand-in that both engines replay exactly).
+    * High-fertility languages consume budget faster per WORD of
+    * content; chars-per-token is the compression read. Exact BIGINT
+    * sums, one truncating ×10⁶ division per ratio; groups with zero
+    * words/subtokens report NULL.
+    *
+    * Scale: row-local token counts, one aggregation, |groups| rows.
+    */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+      textCol: String = "text"): DataFrame = {
+    val words = size(filter(split(col(textCol), " "), t => t =!= lit("")))
+    val subtoks = size(regexp_extract_all(col(textCol),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    df.groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(words.cast("long")).as("words"),
+        sum(subtoks.cast("long")).as("subtokens"),
+        sum(length(col(textCol)).cast("long")).as("chars"))
+      .withColumn("_f6", expr(
+        "CAST(subtokens AS DECIMAL(38,0)) * 1000000 div nullif(words, 0)"))
+      .withColumn("_c6", expr(
+        "CAST(chars AS DECIMAL(38,0)) * 1000000 div nullif(subtokens, 0)"))
+      .select(col("_g").as(groupCol), col("n_docs"), col("words"),
+        col("subtokens"), col("chars"),
+        (col("_f6").cast("double") / 1e6).as("fertility"),
+        (col("_c6").cast("double") / 1e6).as("chars_per_token"))
+  }
 }

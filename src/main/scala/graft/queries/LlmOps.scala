@@ -1292,6 +1292,19 @@ object LlmOps {
           Tables.documents(s, d), "source", "text", topM = 30)
         .orderBy(col("group_a"), col("group_b"))),
 
+    // tokenizer fertility per lang under the q34 subword proxy
+    "q294_fertility" -> ((s, d) =>
+      graft.operators.TextAnalysis.tokenizerFertility(
+          Tables.documents(s, d), "lang")
+        .orderBy(col("lang"))),
+
+    // quality-squared-weighted token budget with a 2-epoch cap
+    "q295_mixture_alloc" -> ((s, d) =>
+      graft.operators.CorpusOps.mixtureAllocation(
+          Tables.documents(s, d), "source",
+          budgetPerMille = 500, capMilliEpochs = 2000)
+        .orderBy(col("source"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -7071,6 +7084,86 @@ object LlmOps {
         SELECT ga AS group_a, gb AS group_b, m AS n_words,
           CAST(s // m AS DOUBLE) / 1e6 AS delta
         FROM agg ORDER BY group_a, group_b""",
+
+    // same whitespace/regex token counts, exact sums, one truncating
+    // division per ratio
+    "q294_fertility" ->
+      """WITH d AS (SELECT lang,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS w,
+            CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS st,
+            CAST(length(text) AS BIGINT) AS ch
+          FROM documents),
+        g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(w) AS BIGINT) AS words,
+            CAST(sum(st) AS BIGINT) AS subtokens,
+            CAST(sum(ch) AS BIGINT) AS chars
+          FROM d GROUP BY 1)
+        SELECT lang, n_docs, words, subtokens, chars,
+          CASE WHEN words > 0 THEN CAST(CAST(subtokens AS HUGEINT)
+            * 1000000 // words AS DOUBLE) / 1e6 END AS fertility,
+          CASE WHEN subtokens > 0 THEN CAST(CAST(chars AS HUGEINT)
+            * 1000000 // subtokens AS DOUBLE) / 1e6 END AS chars_per_token
+        FROM g ORDER BY lang""",
+
+    // the q72 gate chain feeding the same exact integer allocation:
+    // keep6^2-weighted availability normalized to parts-per-1e9, one
+    // clamp + one redistribution round, every step a truncating //
+    "q295_mixture_alloc" ->
+      """WITH d AS (SELECT source, doc_id, text, length(text) AS n_chars,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        m AS (SELECT source, doc_id, len(w) AS n_words,
+            CAST(len(w) AS BIGINT) AS tok,
+            floor(1.0*length(replace(text,' ',''))/len(w)*10000)/10000 AS awl,
+            floor((1.0 - 1.0*len(list_distinct(w))/len(w))*10000)/10000 AS dupf,
+            floor(1.0*length(regexp_replace(text,'[^0-9]','','g'))/n_chars*10000)/10000 AS digr,
+            floor(1.0*len(list_filter(w, x -> list_contains(
+              ['the','a','of','and','to','in','is','on','for','with'], x)))/len(w)*10000)/10000 AS stopr
+          FROM d),
+        r AS (SELECT source, tok,
+            (n_words >= 20 AND n_words <= 100000) AND
+            (awl >= 3.0 AND awl <= 10.0) AND (stopr > 0) AND
+            (dupf <= 0.6) AND (digr <= 0.1) AS keep
+          FROM m),
+        per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+            CAST(sum(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS t
+          FROM r GROUP BY 1),
+        k AS (SELECT source, n_docs, kept, t,
+            kept * 1000000 // n_docs AS keep6 FROM per),
+        w2 AS (SELECT source, n_docs, keep6, t,
+            CAST(keep6 AS HUGEINT) * keep6 * t AS w FROM k),
+        tot AS (SELECT CAST(sum(t) AS BIGINT) AS tall,
+            CAST(sum(w) AS HUGEINT) AS wall FROM w2),
+        raw AS (SELECT source, n_docs, keep6, t, w,
+            CAST(tall AS HUGEINT) * 500 // 1000 AS b,
+            CASE WHEN wall > 0 THEN w * 1000000000 // wall ELSE 0 END AS w9,
+            CAST(t AS HUGEINT) * 2000 // 1000 AS cap
+          FROM w2, tot),
+        a1 AS (SELECT source, n_docs, keep6, t, w, b, cap,
+            b * w9 // 1000000000 AS raw,
+            least(b * w9 // 1000000000, cap) AS a1,
+            b * w9 // 1000000000 > cap AS capped1
+          FROM raw),
+        r2 AS (SELECT CAST(sum(a1) AS HUGEINT) AS alloc1,
+            CAST(sum(CASE WHEN NOT capped1 THEN w ELSE 0 END) AS HUGEINT)
+              AS wunc FROM a1),
+        fin AS (SELECT source, n_docs, keep6, t, b, cap, a1, capped1,
+            CASE WHEN capped1 THEN a1
+              ELSE a1 + (b - alloc1)
+                * (CASE WHEN wunc > 0 THEN w * 1000000000 // wunc
+                   ELSE 0 END) // 1000000000 END AS a2
+          FROM a1, r2)
+        SELECT source, n_docs,
+          CAST(keep6 AS DOUBLE) / 1e6 AS keep_rate,
+          t AS tokens_avail, CAST(b AS BIGINT) AS budget_tokens,
+          CAST(least(a2, cap) AS BIGINT) AS alloc_tokens,
+          CASE WHEN t > 0 THEN CAST(least(a2, cap) * 1000000 // t
+            AS DOUBLE) / 1e6 END AS epochs,
+          a2 > cap OR capped1 AS capped
+        FROM fin ORDER BY source""",
 
     // same distinct (order, brand) baskets, basket-keyed pair join,
     // integer confidence/lift with the HUGEINT product

@@ -278,7 +278,9 @@ object PlanDump {
     "q291_friedman" ->
       "Friedman/Kendall W: dense day x treatment grid, per-day doubled midranks over <=k-row value censuses, exact integer tie-corrected Q — ranks never leave the calendar.",
     "q293_burrows_delta" ->
-      "Burrows Delta: one token census, top-M TakeOrdered cut, |sources|xM dense grid with integer-first frequencies — the z/delta arithmetic is report-sized; corpus text is scanned once.")
+      "Burrows Delta: one token census, top-M TakeOrdered cut, |sources|xM dense grid with integer-first frequencies — the z/delta arithmetic is report-sized; corpus text is scanned once.",
+    "q295_mixture_alloc" ->
+      "Mixture allocation: the row-local gopher gate feeds ONE per-source aggregation; the budget/cap/redistribution arithmetic is |sources|-row with two 1-row broadcast totals — corpus text is scanned once.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -182,7 +182,10 @@ object ScaleProbe {
     // dispersion are calendar-bounded; Burrows rides the token census
     // + a fixed 30-word grid
     "q289_jonckheere", "q290_seasonality", "q291_friedman",
-    "q292_dispersion", "q293_burrows_delta")
+    "q292_dispersion", "q293_burrows_delta",
+    // gen-17d: fertility is one row-local census; the allocator is the
+    // row-local gopher gate + |sources|-row exact arithmetic
+    "q294_fertility", "q295_mixture_alloc")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
