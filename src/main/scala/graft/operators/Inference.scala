@@ -304,7 +304,7 @@ object Inference {
     // every pair appears, including fully-disjoint supports (no shared
     // bucket → BC 0, H 1 — exactly the case Hellinger exists to bound)
     val spine = gn.select(col("_g").as("_ga"))
-      .crossJoin(gn.select(col("_g").as("_gb")))
+      .crossJoin(broadcast(gn.select(col("_g").as("_gb"))))
       .filter(col("_ga") < col("_gb"))
     spine.join(shared, Seq("_ga", "_gb"), "left")
       .withColumn("_bc6", coalesce(col("_bc6"), lit(0L)))
@@ -534,7 +534,7 @@ object Inference {
       col("_r2").as("_r2a"))
     val b = perGrp.select(col("_g").as("_gb"), col("_n").as("_nb"),
       col("_r2").as("_r2b"))
-    a.crossJoin(b).filter(col("_ga") < col("_gb"))
+    a.crossJoin(broadcast(b)).filter(col("_ga") < col("_gb"))
       .crossJoin(broadcast(ties)).crossJoin(broadcast(k))
       // variance term: (N(N+1)/12 − T/(12(N−1))) — doubles from exact
       // integers (T is DECIMAL but < N³ ≈ 2^63 territory is fine as
@@ -616,7 +616,7 @@ object Inference {
       .agg(count(lit(1)).as("_c"))
     val vals = cells.select(col("_v")).distinct()
     val grps = cells.select(col("_g")).distinct()
-    val grid = grps.crossJoin(vals)
+    val grid = vals.crossJoin(broadcast(grps))
       .join(cells, Seq("_g", "_v"), "left")
       .withColumn("_c", coalesce(col("_c"), lit(0L)))
     val wg = Window.partitionBy(col("_g")).orderBy(col("_v"))
@@ -720,7 +720,7 @@ object Inference {
       .agg(count(lit(1)).as("_x"))
     val days = daily0.select(col("_d")).distinct()
     val treats = daily0.select(col("_t")).distinct()
-    val grid = days.crossJoin(treats)
+    val grid = days.crossJoin(broadcast(treats))
       .join(daily0, Seq("_t", "_d"), "left")
       .withColumn("_x", coalesce(col("_x"), lit(0L)))
     val perDayVal = grid.groupBy(col("_d"), col("_x"))
