@@ -109,7 +109,11 @@ object Inference {
         (col("_f6").cast("double") / 1e6).as("f_stat"),
         (col("_eta6").cast("double") / 1e6).as("eta2"),
         when(col("_f6").isNotNull && col("_crit6").isNotNull,
-          col("_f6") * col("_dfb") > col("_crit6")).as("significant"))
+          // DECIMAL(38,0) product: BIGINT _f6·_dfb can ANSI-overflow at
+          // extreme F (sub-unit ssw6) where the oracle's HUGEINT side
+          // returns a value — keep both sides exact and total
+          col("_f6").cast("decimal(38,0)") * col("_dfb") > col("_crit6"))
+          .as("significant"))
   }
 
   /** Brown–Forsythe homogeneity-of-variance test per slice (q280) —
@@ -191,8 +195,8 @@ object Inference {
         / (lit(4.0) * (col("_nall") - 2L).cast("double") - lit(1.0)))
       .withColumn("_g6", floor(col("_d") * col("_corr") * 1e6).cast("long"))
       .select(col("_g").as(groupCol), col("_n").as("n"),
-        (col("_d6").cast("double") / 1e6).as("cohens_d"),
-        (col("_g6").cast("double") / 1e6).as("hedges_g"),
+        col("_d6").as("cohens_d6"),
+        col("_g6").as("hedges_g6"),
         when(col("_d6").isNull, lit(null).cast("string"))
           .when(abs(col("_d6")) < 200000L, "negligible")
           .when(abs(col("_d6")) < 500000L, "small")
@@ -249,7 +253,7 @@ object Inference {
       .withColumn("_d6", expr("""CASE WHEN _nr > 0 THEN
         _dRaw * 1000000 div nullif(CAST(_ng AS DECIMAL(38,0)) * _nr, 0) END"""))
       .select(col("_g").as(groupCol), col("_ng").as("n"),
-        (col("_d6").cast("double") / 1e6).as("cliffs_delta"),
+        col("_d6").cast("long").as("cliffs_delta6"),
         when(abs(col("_d6")) < 147000L, "negligible")
           .when(abs(col("_d6")) < 330000L, "small")
           .when(abs(col("_d6")) < 474000L, "medium")
@@ -425,7 +429,7 @@ object Inference {
         expr("_num * 1000000 div nullif(_den, 0)")))
       .select(col("_g").as(groupCol), col("_k").cast("long").as("lag"),
         col("_n").as("n_days"),
-        (col("_acf6").cast("double") / 1e6).as("acf"))
+        col("_acf6").cast("long").as("acf6"))
   }
 
   /** Best single change point per group over the daily count series
@@ -860,6 +864,6 @@ object Inference {
       .withColumn("_delta6", expr("_sum6 div _m"))
       .select(col("_ga").as("group_a"), col("_gb").as("group_b"),
         col("_m").as("n_words"),
-        (col("_delta6").cast("double") / 1e6).as("delta"))
+        col("_delta6").cast("long").as("delta6"))
   }
 }

@@ -24,10 +24,13 @@ object TextAnalysis {
       i => concat_ws(" ", slice(w, i, lit(n))))
 
   /** BPE-ish subword pre-tokenization: letter runs, digit runs, single
-    * punctuation — the usual byte-pair pre-split regex family.
+    * punctuation — the usual byte-pair pre-split regex family. The
+    * whitespace class is spelled out rather than `\s` because Java's
+    * `\s` includes U+000B vertical tab while RE2's (the oracle's) does
+    * not — the explicit class is identical in both engines.
     */
   def bpeTokens(c: Column): Column =
-    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0))
 
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -581,7 +584,7 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val words = size(filter(split(col(textCol), " "), t => t =!= lit("")))
     val subtoks = size(regexp_extract_all(col(textCol),
-      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0)))
     df.groupBy(col(groupCol).as("_g"))
       .agg(count(lit(1)).as("n_docs"),
         sum(words.cast("long")).as("words"),

@@ -2379,7 +2379,8 @@ object LlmOps {
     pairs.zipWithIndex.foreach { case ((a, c), i) =>
       b ++= s""",
         cells_$i AS (SELECT $a AS _a, $c AS _b,
-            CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+            CAST(count(*) AS BIGINT) AS o FROM d
+          WHERE $a IS NOT NULL AND $c IS NOT NULL GROUP BY 1, 2),
         ra_$i AS (SELECT _a, CAST(sum(o) AS BIGINT) AS ra
           FROM cells_$i GROUP BY 1),
         cb_$i AS (SELECT _b, CAST(sum(o) AS BIGINT) AS cb
@@ -2424,7 +2425,8 @@ object LlmOps {
     pairs.zipWithIndex.foreach { case ((a, c), i) =>
       b ++= s""",
         cells_$i AS (SELECT $a AS _a, $c AS _b,
-            CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+            CAST(count(*) AS BIGINT) AS o FROM d
+          WHERE $a IS NOT NULL AND $c IS NOT NULL GROUP BY 1, 2),
         ra_$i AS (SELECT _a, CAST(sum(o) AS BIGINT) AS ra
           FROM cells_$i GROUP BY 1),
         cb_$i AS (SELECT _b, CAST(sum(o) AS BIGINT) AS cb
@@ -4644,7 +4646,7 @@ object LlmOps {
       """SELECT doc_id,
            CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_ws,
            CAST(len(regexp_extract_all(text,
-             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]')) AS BIGINT) AS n_bpe
          FROM documents ORDER BY doc_id""",
     "q35_text_fingerprint" ->
       """SELECT doc_id, CAST(list_reduce(
@@ -6349,7 +6351,9 @@ object LlmOps {
     // interpolation; the first block with cum >= m is located by a plain
     // min(CASE ...) over the strictly-increasing cum (no arg_min FILTER
     // — that construct proved version-sensitive across DuckDB builds,
-    // round-10 verdict) and joined back for the in-block arithmetic
+    // round-10 verdict) and joined back for the in-block arithmetic.
+    // Hashed columns are BIGINT millionths on BOTH sides (round-12
+    // escalation): no float division anywhere in the contract.
     "q265_gini_tokens" ->
       """WITH d0 AS (SELECT source AS grp,
             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -6380,14 +6384,15 @@ object LlmOps {
         SELECT grp AS source, n, total,
           CASE WHEN total > 0 THEN
             CAST((s1x2 - (CAST(n AS HUGEINT) + 1) * total) * 1000000
-              // (CAST(n AS HUGEINT) * total) AS DOUBLE) / 1e6
-          END AS gini,
+              // (CAST(n AS HUGEINT) * total) AS BIGINT)
+          END AS gini6,
           CASE WHEN total > 0 THEN
-            CAST(bhalf * 1000000 // total AS DOUBLE) / 1e6
-          END AS bottom_half_share,
+            CAST(CAST(bhalf AS HUGEINT) * 1000000 // total AS BIGINT)
+          END AS bottom_half_share6,
           CASE WHEN total > 0 THEN
-            CAST((total - below90) * 1000000 // total AS DOUBLE) / 1e6
-          END AS top_decile_share
+            CAST(CAST(total - below90 AS HUGEINT) * 1000000 // total
+              AS BIGINT)
+          END AS top_decile_share6
         FROM agg ORDER BY source""",
 
     // same chorded-ring fixture, same (deg,id) orientation, wedge join
@@ -6491,7 +6496,7 @@ object LlmOps {
         SELECT lang, k, n, CAST(f6 AS DOUBLE) / 1e6 AS f_stat,
           CAST(eta6 AS DOUBLE) / 1e6 AS eta2,
           CASE WHEN f6 IS NOT NULL AND crit6 IS NOT NULL
-            THEN CAST(f6 * dfb AS DOUBLE) > crit6 END AS significant
+            THEN f6 * dfb > crit6 END AS significant
         FROM r ORDER BY lang""",
 
     // same lower-median cut on the group value set, |v-m| re-census,
@@ -6547,7 +6552,7 @@ object LlmOps {
         SELECT lang, k, n, CAST(f6 AS DOUBLE) / 1e6 AS w_stat,
           CAST(eta6 AS DOUBLE) / 1e6 AS eta2,
           CASE WHEN f6 IS NOT NULL AND crit6 IS NOT NULL
-            THEN CAST(f6 * dfb AS DOUBLE) > crit6 END AS significant
+            THEN f6 * dfb > crit6 END AS significant
         FROM r ORDER BY lang""",
 
     // same exact moments, identical double chain (one sqrt), floor
@@ -6579,8 +6584,7 @@ object LlmOps {
               / (4.0 * CAST(nall - 2 AS DOUBLE) - 1.0)) * 1e6)
               AS BIGINT) AS g6
           FROM d)
-        SELECT source, n, CAST(d6 AS DOUBLE) / 1e6 AS cohens_d,
-          CAST(g6 AS DOUBLE) / 1e6 AS hedges_g,
+        SELECT source, n, d6 AS cohens_d6, g6 AS hedges_g6,
           CASE WHEN d6 IS NULL THEN NULL
             WHEN abs(d6) < 200000 THEN 'negligible'
             WHEN abs(d6) < 500000 THEN 'small'
@@ -6617,8 +6621,7 @@ object LlmOps {
               AS d6
           FROM agg JOIN gn ON agg.g = gn.g, na
           WHERE nall - gn.ng > 0)
-        SELECT g AS source, ng AS n, CAST(d6 AS DOUBLE) / 1e6
-            AS cliffs_delta,
+        SELECT g AS source, ng AS n, CAST(d6 AS BIGINT) AS cliffs_delta6,
           CASE WHEN abs(d6) < 147000 THEN 'negligible'
             WHEN abs(d6) < 330000 THEN 'small'
             WHEN abs(d6) < 474000 THEN 'medium'
@@ -6740,7 +6743,7 @@ object LlmOps {
           FROM pr JOIN st ON pr.g = st.g)
         SELECT g AS event_type, k AS lag, n AS n_days,
           CASE WHEN den > 0 THEN
-            CAST(num * 1000000 // den AS DOUBLE) / 1e6 END AS acf
+            CAST(num * 1000000 // den AS BIGINT) END AS acf6
         FROM r ORDER BY event_type, lag""",
 
     // same dense spine + cumulative prefix, exact x1e6 q/r-split gain
@@ -6954,7 +6957,7 @@ object LlmOps {
         SELECT r.s AS event_type, k, n, CAST(f6 AS DOUBLE) / 1e6 AS f_stat,
           CAST(eta6 AS DOUBLE) / 1e6 AS seasonal_strength,
           CASE WHEN f6 IS NOT NULL AND crit6 IS NOT NULL
-            THEN CAST(f6 * dfb AS DOUBLE) > crit6 END AS significant,
+            THEN f6 * dfb > crit6 END AS significant,
           peak_weekday, trough_weekday
         FROM r JOIN peak ON r.s = peak.s JOIN trough ON r.s = trough.s
         ORDER BY event_type""",
@@ -7082,7 +7085,7 @@ object LlmOps {
         agg AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS m,
             CAST(sum(d6) AS BIGINT) AS s FROM pr GROUP BY 1, 2)
         SELECT ga AS group_a, gb AS group_b, m AS n_words,
-          CAST(s // m AS DOUBLE) / 1e6 AS delta
+          CAST(s // m AS BIGINT) AS delta6
         FROM agg ORDER BY group_a, group_b""",
 
     // same whitespace/regex token counts, exact sums, one truncating
@@ -7092,7 +7095,7 @@ object LlmOps {
             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
               AS BIGINT) AS w,
             CAST(len(regexp_extract_all(text,
-              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS st,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]')) AS BIGINT) AS st,
             CAST(length(text) AS BIGINT) AS ch
           FROM documents),
         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -58,14 +58,14 @@ class InferenceSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x).toMap
     // d_a = (3-7)/sqrt((4+4)/6) = -4/sqrt(4/3); replay the exact chain
     val d = (12.0 / 4.0 - 28.0 / 4.0) / math.sqrt((4.0 + 4.0) / 6.0)
-    assert(r("a").getAs[Double]("cohens_d") === math.floor(d * 1e6) / 1e6)
+    assert(r("a").getAs[Long]("cohens_d6") === math.floor(d * 1e6).toLong)
     assert(r("a").getAs[String]("magnitude") === "large")
     val corr = 1.0 - 3.0 / (4.0 * 6.0 - 1.0)
-    assert(r("a").getAs[Double]("hedges_g")
-      === math.floor(d * corr * 1e6) / 1e6)
+    assert(r("a").getAs[Long]("hedges_g6")
+      === math.floor(d * corr * 1e6).toLong)
     // symmetric pair: b vs rest is the mirror image
-    assert(r("b").getAs[Double]("cohens_d")
-      === math.floor(-d * 1e6) / 1e6)
+    assert(r("b").getAs[Long]("cohens_d6")
+      === math.floor(-d * 1e6).toLong)
   }
 
   test("cliffsDelta: full separation = ±1, ties shrink |delta|") {
@@ -73,15 +73,15 @@ class InferenceSpec extends SparkSpec {
       ("x", "b", 3L), ("x", "b", 4L))
     val r = Inference.cliffsDelta(df, "source", "n_chars")
       .collect().map(x => x.getString(0) -> x).toMap
-    assert(r("a").getAs[Double]("cliffs_delta") === -1.0)
-    assert(r("b").getAs[Double]("cliffs_delta") === 1.0)
+    assert(r("a").getAs[Long]("cliffs_delta6") === -1000000L)
+    assert(r("b").getAs[Long]("cliffs_delta6") === 1000000L)
     assert(r("a").getAs[String]("magnitude") === "large")
     // a={1,2} b={2,3}: pairs (1,2)<,(1,3)<,(2,2)=,(2,3)< -> delta_a=-3/4
     val df2 = docs(("x", "a", 1L), ("x", "a", 2L),
       ("x", "b", 2L), ("x", "b", 3L))
     val r2 = Inference.cliffsDelta(df2, "source", "n_chars")
       .collect().map(x => x.getString(0) -> x).toMap
-    assert(r2("a").getAs[Double]("cliffs_delta") === -0.75)
+    assert(r2("a").getAs[Long]("cliffs_delta6") === -750000L)
   }
 
   test("hellinger: identical = (1, 0), disjoint = (0, 1), " +
@@ -139,9 +139,9 @@ class InferenceSpec extends SparkSpec {
       ++ day("c", 1, 2) ++ day("c", 2, 2) ++ day("c", 3, 2)): _*)
     val r = Inference.acf(e, "event_type", "ts", maxLag = 2)
       .collect().map(x => (x.getString(0), x.getLong(1)) -> x).toMap
-    assert(r(("a", 1L)).getAs[Double]("acf") === -0.833333)
-    assert(r(("a", 2L)).getAs[Double]("acf") === 0.666666)
-    assert(r(("c", 1L)).isNullAt(r(("c", 1L)).fieldIndex("acf")))
+    assert(r(("a", 1L)).getAs[Long]("acf6") === -833333L)
+    assert(r(("a", 2L)).getAs[Long]("acf6") === 666666L)
+    assert(r(("c", 1L)).isNullAt(r(("c", 1L)).fieldIndex("acf6")))
   }
 
   test("changepoint: locates the step, exact gain and segment means, " +
@@ -256,7 +256,7 @@ class InferenceSpec extends SparkSpec {
     val dz = (2.0 * 666666.0 - s6) / math.sqrt(det) -
       (2.0 * 333333.0 - s6) / math.sqrt(det)
     val d6 = math.floor(math.abs(dz) * 1e6)
-    assert(r.getAs[Double]("delta") === d6 / 1e6)
+    assert(r.getAs[Long]("delta6") === d6.toLong)
   }
 
   test("wilson: bounds bracket p_hat, replay the exact chain, and " +

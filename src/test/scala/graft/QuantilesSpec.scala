@@ -161,27 +161,27 @@ class QuantilesSpec extends SparkSpec {
     val eq = Seq.fill(4)(("g", 5L)).toDF("g", "v")
     val e = Quantiles.giniConcentration(eq, "g", "v").collect().head
     assert(e.getAs[Long]("n") === 4L && e.getAs[Long]("total") === 20L)
-    assert(e.getAs[Double]("gini") === 0.0)
-    assert(e.getAs[Double]("bottom_half_share") === 0.5)
+    assert(e.getAs[Long]("gini6") === 0L)
+    assert(e.getAs[Long]("bottom_half_share6") === 500000L)
     // one doc owns everything: gini = (n-1)/n = 0.75 at n=4
     val mx = Seq(("g", 0L), ("g", 0L), ("g", 0L), ("g", 10L)).toDF("g", "v")
     val m = Quantiles.giniConcentration(mx, "g", "v").collect().head
-    assert(m.getAs[Double]("gini") === 0.75)
-    assert(m.getAs[Double]("bottom_half_share") === 0.0)
+    assert(m.getAs[Long]("gini6") === 750000L)
+    assert(m.getAs[Long]("bottom_half_share6") === 0L)
     // cut inside a tied block: {1,1,1,1,2} bottom-2 mass = 2/6
     val ib = Seq.fill(4)(("g", 1L)).toDF("g", "v")
       .union(Seq(("g", 2L)).toDF("g", "v"))
     val i = Quantiles.giniConcentration(ib, "g", "v").collect().head
-    assert(i.getAs[Double]("bottom_half_share") === 0.333333)
+    assert(i.getAs[Long]("bottom_half_share6") === 333333L)
     // the cut must use the FIRST qualifying block: {1,2,5} m=1 -> 1/8
     // (a later block's formula would go negative: 8 - 5*2 = -2)
     val fb = Seq(("g", 1L), ("g", 2L), ("g", 5L)).toDF("g", "v")
     val f = Quantiles.giniConcentration(fb, "g", "v").collect().head
-    assert(f.getAs[Double]("bottom_half_share") === 0.125)
+    assert(f.getAs[Long]("bottom_half_share6") === 125000L)
     // all-zero mass: Lorenz undefined -> NULLs, not a crash
     val z = Seq(("g", 0L), ("g", 0L)).toDF("g", "v")
     val zr = Quantiles.giniConcentration(z, "g", "v").collect().head
-    assert(zr.isNullAt(zr.fieldIndex("gini")))
-    assert(zr.isNullAt(zr.fieldIndex("bottom_half_share")))
+    assert(zr.isNullAt(zr.fieldIndex("gini6")))
+    assert(zr.isNullAt(zr.fieldIndex("bottom_half_share6")))
   }
 }
