@@ -122,8 +122,10 @@ final class VectorIndex private[operators] (
     val cand = Similarity.ivfCandidateCells(assigned, q, qcell, k, nProbe,
       col("vec_id") =!= col("q_id"), broadcastQueries = true)
     val cellSizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    // sum() over zero candidate rows is NULL — coalesce before the read
+    // so an empty probe batch reports 0.0 instead of throwing
     val scored = cand.join(broadcast(cellSizes), Seq("cell"))
-      .agg(sum(col("sz"))).collect()(0).getLong(0)
+      .agg(coalesce(sum(col("sz")), lit(0L))).collect()(0).getLong(0)
     val n = vectors.read(queries.sparkSession).count()
     val nq = q.count()
     if (n == 0 || nq == 0) 0.0 else scored.toDouble / (n.toDouble * nq)
@@ -156,6 +158,11 @@ final class VectorIndex private[operators] (
       Similarity.assignCells(corpus.select(col("vec_id"),
         col("embedding").as("v")), newCents),
       Some(s"reassign-g$nextGen"))
+    // the re-assign carried EVERY batch the old generation had applied,
+    // so the old ledger must dedupe here too: without it, a streaming
+    // checkpoint replay of a pre-swap epoch re-appends rows the new
+    // generation already contains (AnnIngestStreamSpec pins this)
+    vecs.inheritAppliedBatches(vectors.appliedBatchIds)
     VectorIndex.publishGeneration(root, nextGen)
     new VectorIndex(root, nextGen, cents, vecs, nlist)
   }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -223,6 +225,74 @@ object CorpusStreams {
     * CHECK-clean document's gate verdicts; `deadLetter` the violators
     * with the failing constraint named.
     */
+  /** One epoch of [[annIngest]], exposed for boundary-replay tests (the
+    * [[pipelineEpoch]] precedent): append the batch to the PUBLISHED
+    * index generation, then — on maintenance epochs — measure pruning on
+    * the batch itself and swap generations only past the threshold.
+    */
+  private[graft] def annEpoch(b: DataFrame, epoch: Long, root: String,
+      k: Int, maxScoredFraction: Double, maintainEvery: Int, nProbe: Int,
+      onMaintain: (Long, Double, Int) => Unit): Unit = {
+    val idx = graft.operators.VectorIndex.open(root)
+    idx.addBatch(b, Some(s"ann-$epoch"))
+    if (maintainEvery > 0 && (epoch + 1) % maintainEvery == 0) {
+      // maintenance is epoch-marker-keyed, NOT merely threshold-gated: a
+      // replayed epoch could measure a post-swap fraction still above
+      // the threshold (small corpora, adversarial probes) and swap
+      // AGAIN — so the completed decision is recorded like any other
+      // epoch commit and replays skip it. The marker lands atomically
+      // AFTER the swap; a crash inside that window at worst re-runs one
+      // maintenance pass, which is exact (a duplicate recluster is
+      // correct, just redundant work), never wrong.
+      val dir = Paths.get(root, ".maint")
+      Files.createDirectories(dir)
+      val marker = dir.resolve(s"epoch-$epoch")
+      if (!Files.exists(marker)) {
+        val (next, frac) = idx.maintain(b.sparkSession, b, k,
+          maxScoredFraction, nProbe)
+        val tmp = dir.resolve(s".epoch-$epoch.tmp")
+        Files.write(tmp, f"$frac%.6f g${next.generation}".getBytes("UTF-8"))
+        Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        onMaintain(epoch, frac, next.generation)
+      }
+    }
+  }
+
+  /** Continuous ANN-index ingestion with threshold-gated maintenance —
+    * the streaming face of [[graft.operators.VectorIndex.maintain]]:
+    * each micro-batch of (vec_id, embedding) rows appends to the
+    * PUBLISHED index generation (the handle reopens per epoch, so a swap
+    * from an earlier epoch is picked up instead of tripping the
+    * stale-writer guard), and every `maintainEvery` epochs the batch
+    * itself doubles as the probe workload: `scoredFraction` is measured
+    * on the production candidate pass and [[graft.operators.VectorIndex.recluster]]
+    * runs only when pruning has decayed past `maxScoredFraction`.
+    *
+    * Idempotence & crash story: the append keys off `ann-<epoch>`
+    * (replay = no-op by the MergeTable contract), and the maintenance
+    * DECISION keys off an atomically-written per-epoch marker under
+    * `root/.maint/` — re-measuring on replay is not enough, because a
+    * post-swap fraction can legitimately still exceed the threshold and
+    * would swap again. A crash between append and maintain replays into
+    * append-no-op + one maintenance pass; a crash between the swap and
+    * its marker at worst re-runs one maintenance pass, which is exact
+    * (a duplicate recluster is redundant work, never a wrong answer).
+    * Probe = the batch is deliberate: ingest drift shows up
+    * first in the newest vectors, so the batch is the most adverse
+    * available sample for the pruning gauge — and it costs no second
+    * stored workload.
+    */
+  def annIngest(vecs: DataFrame, root: String, k: Int = 5,
+      maxScoredFraction: Double = 0.5, maintainEvery: Int = 4,
+      nProbe: Int = 4,
+      onMaintain: (Long, Double, Int) => Unit = (_, _, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
+      annEpoch(b, epoch, root, k, maxScoredFraction, maintainEvery,
+        nProbe, onMaintain)
+    }
+
   def pipelineIngest(docs: DataFrame,
       checked: graft.table.MergeTable, deadLetter: graft.table.MergeTable,
       audit: graft.table.MergeTable, dedup: graft.operators.IncrementalDedup,

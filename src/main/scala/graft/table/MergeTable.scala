@@ -837,6 +837,38 @@ final class MergeTable(
     if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
   }
 
+  /** The replay-dedup ledger: batch ids whose commits have landed on
+    * this table. Exposed so a DERIVED table can [[inheritAppliedBatches]].
+    */
+  def appliedBatchIds: Set[String] =
+    currentSnapshot.map(_.appliedBatches).getOrElse(Set.empty)
+
+  /** Merge `ids` into the replay-dedup ledger without touching data — a
+    * metadata-only commit. The rebuilt-derived-table move: when a new
+    * table's CONTENTS replace another table's (an index recluster's
+    * re-assign scan is the canonical case), every epoch id already folded
+    * into the source must dedupe against the derived table too, or a
+    * checkpoint replay of one of those epochs lands a second copy of a
+    * batch whose rows the derivation already carried over.
+    */
+  def inheritAppliedBatches(ids: Set[String]): Unit = synchronized {
+    if (ids.nonEmpty) withCommitRetries("inheritAppliedBatches") { () =>
+      val prev = currentSnapshot
+      onBaseSnapshotRead()
+      val have = prev.map(_.appliedBatches).getOrElse(Set.empty)
+      if ((ids -- have).nonEmpty) {
+        val v = prev.map(_.version).getOrElse(-1L) + 1
+        commit(Snapshot(v,
+          prev.map(_.dataFiles).getOrElse(Vector.empty),
+          prev.map(_.deleteFiles).getOrElse(Vector.empty),
+          have ++ ids,
+          prev.exists(_.requiresDedup),
+          prev.map(_.fileStats).getOrElse(Map.empty),
+          op = "append"))
+      }
+    }
+  }
+
   /** Bootstrap / full-load append: no merge, no dedup flag flip.
     * (Reference full-load phase, dms_aurora_mysql_to_kinesis.py:126–135.)
     */
