@@ -10,6 +10,35 @@ import org.apache.spark.sql.SparkSession
   * full plan including result production.
   */
 object Bench {
+  // ---- calibration anchor (PINNED — never change this workload) ----
+  // A fixed, SF-independent compute+shuffle workload whose time is
+  // reported alongside every bench so cross-round comparisons can be
+  // host-normalized: a uniform host slowdown moves this number by the
+  // same factor as the queries; a code regression moves only the
+  // queries. 2·10⁸ rows hashed + 1024-bucket aggregate (CPU/codegen
+  // path) plus a 2·10⁶-row repartition+sort (shuffle path), min of 3.
+  // (Hoisted from main unchanged in round 12 so PerfProbe can report
+  // the same anchor next to its warm timings.)
+  def calibrationSec(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{sum => fsum, count => fcount, expr}
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // summand bounded to 2^20 so the 2e8-row sum stays ~2e14 —
+      // summing raw 64-bit hashes overflows BIGINT under ANSI
+      spark.range(0, 200000000L, 1, 32)
+        .selectExpr("xxhash64(id) as h")
+        .groupBy(expr("pmod(h, 1024)").as("b"))
+        .agg(fsum(expr("pmod(h, 1048576)")).as("s"), fcount(expr("*")).as("c"))
+        .write.format("noop").mode("overwrite").save()
+      spark.range(0, 2000000L, 1, 32)
+        .selectExpr("xxhash64(id) as h", "id")
+        .repartition(32, expr("pmod(h, 32)"))
+        .sortWithinPartitions("h")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,33 +85,7 @@ object Bench {
     val SuspectSec = 4.0
     val nSweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt.max(1)
 
-    // ---- calibration anchor (PINNED — never change this workload) ----
-    // A fixed, SF-independent compute+shuffle workload whose time is
-    // reported alongside every bench so cross-round comparisons can be
-    // host-normalized: a uniform host slowdown moves this number by the
-    // same factor as the queries; a code regression moves only the
-    // queries. 2·10⁸ rows hashed + 1024-bucket aggregate (CPU/codegen
-    // path) plus a 2·10⁶-row repartition+sort (shuffle path), min of 3.
-    def calibrationSec(): Double = {
-      import org.apache.spark.sql.functions.{sum => fsum, count => fcount, expr}
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        // summand bounded to 2^20 so the 2e8-row sum stays ~2e14 —
-        // summing raw 64-bit hashes overflows BIGINT under ANSI
-        spark.range(0, 200000000L, 1, 32)
-          .selectExpr("xxhash64(id) as h")
-          .groupBy(expr("pmod(h, 1024)").as("b"))
-          .agg(fsum(expr("pmod(h, 1048576)")).as("s"), fcount(expr("*")).as("c"))
-          .write.format("noop").mode("overwrite").save()
-        spark.range(0, 2000000L, 1, 32)
-          .selectExpr("xxhash64(id) as h", "id")
-          .repartition(32, expr("pmod(h, 32)"))
-          .sortWithinPartitions("h")
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    }
-    val calibration = calibrationSec()
+    val calibration = calibrationSec(spark)
     System.err.println(f"[bench] calibration anchor $calibration%.3f s")
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -46,10 +46,14 @@ object PerfProbe {
     )
     val queries = args.drop(1)
     if (queries.nonEmpty) {
+      // the pinned Bench anchor, so a probe reading is host-normalizable
+      // against any official BENCH_DETAIL artifact
+      println(f"[probe] calibration anchor ${Bench.calibrationSec(spark)}%.3f s")
       queries.foreach { q =>
         val fn = variants.getOrElse(q, SparkEntry.queries(q))
         time(s"$q cold")(noop(fn(spark, sfDir)))
         time(s"$q warm")(noop(fn(spark, sfDir)))
+        time(s"$q warm2")(noop(fn(spark, sfDir)))
       }
     } else {
       import graft.operators.Dedup

