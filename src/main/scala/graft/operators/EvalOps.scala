@@ -301,6 +301,31 @@ object EvalOps {
       .withColumn("b_ok", uB < lit(70L) - diff)
   }
 
+  /** k-model paired correctness fixture (q296): [[pairedOutcomes]]
+    * generalized — per task, model m solves it iff an independent
+    * folded-hash draw clears a per-model base rate minus the SHARED
+    * per-task difficulty (the correlation that makes a paired test the
+    * right tool). Long format (task_id, source, model, ok); base rates
+    * 78/74/70/66 plant a real ordering for Cochran's Q to find.
+    */
+  def modelOutcomes(docs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 4, s"fixture supports 2..4 models, got $k")
+    val h = CorpusOps.idHash(col("task_id"))
+    val diff = h % 40
+    val mults = Seq(48271L, 69621L, 16807L, 40692L)
+    val mods = Seq(999983L, 999979L, 999961L, 999959L)
+    val bases = Seq(78L, 74L, 70L, 66L)
+    val arr = array((0 until k).map { m =>
+      val u = ((h % mods(m)) * mults(m)) % 2147483647L % 100L
+      struct(lit(s"m$m").as("model"),
+        (u < lit(bases(m)) - diff).as("ok"))
+    }: _*)
+    docs.select(col("doc_id").as("task_id"), col("source"))
+      .withColumn("_mo", explode(arr))
+      .select(col("task_id"), col("source"),
+        col("_mo.model").as("model"), col("_mo.ok").as("ok"))
+  }
+
   /** McNemar's test (q184): per category, is model A genuinely better
     * than model B on PAIRED per-task outcomes — the correct significance
     * test for "same eval set, two models" (it only scores the discordant

@@ -866,4 +866,183 @@ object Inference {
         col("_m").as("n_words"),
         col("_delta6").cast("long").as("delta6"))
   }
+
+  /** Cochran's Q per slice (q296) — the k-model generalization of
+    * McNemar (Cochran 1950): on PAIRED binary outcomes (same task set,
+    * k models), do the models' success rates genuinely differ? With
+    * G_j = per-model successes, L_i = per-task successes, T = ΣL:
+    * Q = k(k−1)·Σ_j(G_j − T/k)² / (kT − ΣL_i²), computed exactly as
+    * (k−1)·Σ(k·G_j − T)²·10⁶ div (k·(kT − ΣL²)) — pure integers to one
+    * truncating division (products ≤ k²N²·k·10⁶, DECIMAL(38,0) headroom
+    * to N ≈ 10¹⁴ tasks at k ≤ 8). The gate is χ²₀.₉₅(k−1) by the shared
+    * Wilson–Hilferty cube ([[anovaF]]'s recipe), compared as plain
+    * BIGINT — q6 is already a quantized statistic, no product needed.
+    * Saturated slices (every task solved by all models or by none:
+    * kT = ΣL²) have no discordance to test → NULL.
+    *
+    * Scale: two censuses (per-model, per-task totals) + |slices|-row
+    * arithmetic. The per-task census is the big one (|tasks| rows) and
+    * folds map-side; nothing pairs.
+    */
+  def cochranQ(outcomes: DataFrame, sliceCol: String, taskCol: String,
+      modelCol: String, okCol: String): DataFrame = {
+    val base = outcomes.select(col(sliceCol).as("_s"),
+      col(taskCol).as("_t"), col(modelCol).as("_m"),
+      col(okCol).cast("boolean").as("_ok"))
+    val g = base.groupBy(col("_s"), col("_m"))
+      .agg(sum(when(col("_ok"), 1L).otherwise(0L)).as("_gj"))
+    val l = base.groupBy(col("_s"), col("_t"))
+      .agg(sum(when(col("_ok"), 1L).otherwise(0L)).as("_li"))
+    val tots = l.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_li")).as("_tt"),
+        sum(col("_li") * col("_li")).as("_l2"))
+    val ks = g.groupBy(col("_s")).agg(count(lit(1)).as("_k"))
+    g.join(broadcast(tots), Seq("_s")).join(broadcast(ks), Seq("_s"))
+      .groupBy(col("_s"))
+      .agg(max(col("_k")).as("_k"), max(col("_n")).as("_n"),
+        max(col("_tt")).as("_tt"), max(col("_l2")).as("_l2"),
+        sum(expr("""CAST(_k AS DECIMAL(38,0)) * _gj - _tt""")
+          * expr("""CAST(_k AS DECIMAL(38,0)) * _gj - _tt""")).as("_sq"))
+      .withColumn("_den", expr(
+        "CAST(_k AS DECIMAL(38,0)) * (_k * _tt - _l2)"))
+      .withColumn("_q6", when(col("_den") > 0, expr(
+        """CAST(_k - 1 AS DECIMAL(38,0)) * _sq * 1000000
+           div nullif(_den, 0)""").cast("long")))
+      .withColumn("_nu", greatest(col("_k") - 1L, lit(1L)).cast("double"))
+      .withColumn("_wh", lit(1.0) - lit(2.0) / (lit(9.0) * col("_nu"))
+        + lit(1.6448536269514722)
+          * sqrt(lit(2.0) / (lit(9.0) * col("_nu"))))
+      .withColumn("_crit6", when(col("_k") >= 2, floor(col("_nu")
+        * col("_wh") * col("_wh") * col("_wh") * 1e6).cast("long")))
+      .select(col("_s").as(sliceCol), col("_k").as("k"),
+        col("_n").as("n_tasks"), col("_q6").as("q6"),
+        when(col("_q6").isNotNull && col("_crit6").isNotNull,
+          col("_q6") > col("_crit6")).as("differs"))
+  }
+
+  /** Mood's median test across groups (q298) — "do the groups share a
+    * median": one GLOBAL value-set median (the [[Quantiles]] doubled-
+    * median recipe, exact under ties), one above/≤ census per group,
+    * and the 2×k chi-square over the resulting table with margin-based
+    * expectations — each cell contributes (O·N − row·col)²·10⁶ div
+    * (N·row·col) (the [[Association]] Cramér arithmetic). Ties at the
+    * median count as ≤ (the classical convention). Gate = χ²₀.₉₅(k−1)
+    * via the Wilson–Hilferty cube. Degenerate margins (no mass above or
+    * none at-or-below the median) → NULL. ONE report row: the test is
+    * global by construction.
+    *
+    * Exactness ceiling: the cell terms square O·N products — exact
+    * while N² ·10⁶ fits DECIMAL(38,0), i.e. N ≤ ~10¹⁵ rows (the
+    * Cramér-matrix ceiling, same arithmetic).
+    *
+    * Scale: one value census; the median window runs over the VALUE
+    * SET; everything after is |groups|-row.
+    */
+  def moodMedian(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("_g"),
+        col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val vals = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_ct"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vals.withColumn("_cum", sum(col("_ct")).over(w))
+    val nAll = cells.agg(sum(col("_c")).as("_n"))
+    val med = cum.crossJoin(broadcast(nAll)).agg(
+        max(col("_n")).as("_n"),
+        min(when(col("_cum") > expr("(_n - 1) div 2"), col("_v")))
+          .as("_vlo"),
+        min(when(col("_cum") > expr("(_n - 1) div 2 + 1"), col("_v")))
+          .as("_vhi"))
+      .withColumn("_med2", expr(
+        "_vlo * 2 + ((_n - 1) % 2) * (coalesce(_vhi, _vlo) - _vlo)"))
+      .select(col("_n"), col("_med2"))
+    val byG = cells.crossJoin(broadcast(med))
+      .groupBy(col("_g"))
+      .agg(sum(when(col("_v") * 2 > col("_med2"), col("_c"))
+          .otherwise(0L)).as("_a"),
+        sum(col("_c")).as("_ng"),
+        max(col("_n")).as("_n"), max(col("_med2")).as("_med2"))
+    val t2 = byG.agg(sum(col("_a")).as("_ta"),
+      sum(col("_ng") - col("_a")).as("_tb"), count(lit(1)).as("_k"),
+      max(col("_n")).as("_n"), max(col("_med2")).as("_med2"))
+    byG.select(col("_g"), col("_a"), col("_ng"))
+      .crossJoin(broadcast(t2))
+      // total cell terms (div nullif — the ANSI fused-stage discipline)
+      .withColumn("_c6", expr(
+        """(CAST(_a AS DECIMAL(38,0)) * _n - CAST(_ta AS DECIMAL(38,0)) * _ng)
+             * (CAST(_a AS DECIMAL(38,0)) * _n - CAST(_ta AS DECIMAL(38,0)) * _ng)
+             * 1000000 div nullif(CAST(_n AS DECIMAL(38,0)) * _ta * _ng, 0)
+           + (CAST(_ng - _a AS DECIMAL(38,0)) * _n - CAST(_tb AS DECIMAL(38,0)) * _ng)
+             * (CAST(_ng - _a AS DECIMAL(38,0)) * _n - CAST(_tb AS DECIMAL(38,0)) * _ng)
+             * 1000000 div nullif(CAST(_n AS DECIMAL(38,0)) * _tb * _ng, 0)"""))
+      .groupBy()
+      .agg(max(col("_k")).as("_k"), max(col("_n")).as("_n"),
+        max(col("_med2")).as("_med2"), max(col("_ta")).as("_ta"),
+        max(col("_tb")).as("_tb"), sum(col("_c6")).as("_chi6raw"))
+      .withColumn("_chi6", when(col("_ta") > 0 && col("_tb") > 0,
+        col("_chi6raw").cast("long")))
+      .withColumn("_nu", greatest(col("_k") - 1L, lit(1L)).cast("double"))
+      .withColumn("_wh", lit(1.0) - lit(2.0) / (lit(9.0) * col("_nu"))
+        + lit(1.6448536269514722)
+          * sqrt(lit(2.0) / (lit(9.0) * col("_nu"))))
+      .withColumn("_crit6", when(col("_k") >= 2, floor(col("_nu")
+        * col("_wh") * col("_wh") * col("_wh") * 1e6).cast("long")))
+      .select(col("_k").as("k"), col("_n").as("n"),
+        col("_med2").as("median_x2"), col("_chi6").as("chi6"),
+        when(col("_chi6").isNotNull && col("_crit6").isNotNull,
+          col("_chi6") > col("_crit6")).as("differs"))
+  }
+
+  /** Durbin–Watson statistic per group (q299) — first-order serial
+    * correlation of the DAILY volume series around its mean (the
+    * mean-only-model DW; the regression-residual version needs a fitted
+    * slope, [[EvalOps]]'s Theil–Sen reads trend separately):
+    * d = Σ_{t≥2}(x_t − x_{t−1})² / Σ(x_t − x̄)², which n-scales to the
+    * pure-integer d = n·Σdiff²·10⁶ div (n·Σx² − (Σx)²) — no mean ever
+    * materializes. d ≈ 2 means no autocorrelation, → 0 positive,
+    * → 4 negative; the reading labels compare the QUANTIZED value at
+    * the conventional 1.0/1.5/2.5/3.0 cuts. Constant series (zero
+    * variance) → NULL. Gap days count as zero volume via the dense
+    * calendar spine ([[acf]]'s construction — a sparse series would
+    * fake correlation across gaps).
+    *
+    * Scale: events collapse to the calendar; the lag window runs over
+    * the bounded day spine, never event rows.
+    */
+  def durbinWatson(events: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    val daily0 = events.groupBy(col(groupCol).as("_g"),
+        to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_x"))
+    val span = daily0.groupBy(col("_g"))
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+    val daily = span.select(col("_g"),
+        explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+      .join(daily0, Seq("_g", "_d"), "left")
+      .withColumn("_x", coalesce(col("_x"), lit(0L)))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_d"))
+    daily.withColumn("_xp", lag(col("_x"), 1).over(w))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+        sum(col("_x").cast("decimal(38,0)") * col("_x")).as("_q"),
+        sum(when(col("_xp").isNotNull,
+          (col("_x") - col("_xp")).cast("decimal(38,0)")
+            * (col("_x") - col("_xp")))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("_dd"))
+      .withColumn("_den", expr(
+        """CAST(_n AS DECIMAL(38,0)) * _q
+           - CAST(_s AS DECIMAL(38,0)) * _s"""))
+      .withColumn("_dw6", when(col("_den") > 0, expr(
+        """CAST(_n AS DECIMAL(38,0)) * _dd * 1000000
+           div nullif(_den, 0)""").cast("long")))
+      .select(col("_g").as(groupCol), col("_n").as("n_days"),
+        col("_dw6").as("dw6"),
+        when(col("_dw6").isNull, lit(null).cast("string"))
+          .when(col("_dw6") < 1000000L, "strong_positive")
+          .when(col("_dw6") < 1500000L, "positive")
+          .when(col("_dw6") <= 2500000L, "none")
+          .when(col("_dw6") <= 3000000L, "negative")
+          .otherwise("strong_negative").as("reading"))
+  }
 }

@@ -599,4 +599,37 @@ object TextAnalysis {
         (col("_f6").cast("double") / 1e6).as("fertility"),
         (col("_c6").cast("double") / 1e6).as("chars_per_token"))
   }
+
+  /** Yule's K characteristic per group (q297) — the classical
+    * sample-size-invariant lexical-concentration constant (Yule 1944):
+    * K = 10⁴·(Σ_m m²·V_m − N)/N² over the token frequency spectrum
+    * (V_m = word types occurring m times, N = tokens). Since
+    * Σ m²·V_m = Σ_types c², one (group, word) census suffices:
+    * K₆ = (Σc² − N)·10¹⁰ div N², one truncating division over exact
+    * DECIMAL(38,0) integers (Σc² ≤ N² keeps the ×10¹⁰ product inside 38
+    * digits to N ≈ 10¹³ tokens — 100 TB headroom). Repetitive/templated
+    * sources read high K (a dedup/boilerplate planning signal the
+    * entropy battery reads from the opposite side); K is famously
+    * stable under corpus growth where type/token ratios are not, which
+    * is why stylometry quotes it.
+    *
+    * Scale: one token census with map-side combine; |groups|-row tail.
+    */
+  def yuleK(df: DataFrame, groupCol: String, textCol: String = "text")
+      : DataFrame = {
+    val toks = df.select(col(groupCol).as("_g"),
+      explode(filter(split(col(textCol), " "), t => t =!= lit("")))
+        .as("_w"))
+    val wc = toks.groupBy(col("_g"), col("_w")).agg(count(lit(1)).as("_c"))
+    wc.groupBy(col("_g")).agg(
+        sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("_c").cast("decimal(38,0)") * col("_c")).as("_s2"))
+      .withColumn("yule_k6", when(col("n_tokens") > 0, expr(
+        """(_s2 - n_tokens) * 10000000000
+           div nullif(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens, 0)"""))
+        .cast("long"))
+      .select(col("_g").as(groupCol), col("n_tokens"), col("n_types"),
+        col("yule_k6"))
+  }
 }

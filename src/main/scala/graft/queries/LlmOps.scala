@@ -1305,6 +1305,33 @@ object LlmOps {
           budgetPerMille = 500, capMilliEpochs = 2000)
         .orderBy(col("source"))),
 
+    // Cochran's Q per source over the 4-model paired-outcome fixture:
+    // the k-model McNemar, exact integers to one truncating division
+    "q296_cochran_q" -> ((s, d) =>
+      graft.operators.Inference.cochranQ(
+          graft.operators.EvalOps.modelOutcomes(Tables.documents(s, d)),
+          "source", "task_id", "model", "ok")
+        .orderBy(col("source"))),
+
+    // Yule's K lexical-concentration constant per source: one token
+    // census, K6 = (sum c^2 - N) * 1e10 div N^2
+    "q297_yule_k" -> ((s, d) =>
+      graft.operators.TextAnalysis.yuleK(Tables.documents(s, d), "source")
+        .orderBy(col("source"))),
+
+    // Mood's median test across sources on n_chars: global value-set
+    // median + 2xk margin chi-square, one report row
+    "q298_mood_median" -> ((s, d) =>
+      graft.operators.Inference.moodMedian(
+        Tables.documents(s, d), "source", "n_chars")),
+
+    // Durbin-Watson per event type over the dense daily spine: the
+    // n-scaled integer identity, labels on the quantized value
+    "q299_durbin_watson" -> ((s, d) =>
+      graft.operators.Inference.durbinWatson(
+          Tables.events(s, d), "event_type", "ts")
+        .orderBy(col("event_type"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -7167,6 +7194,168 @@ object LlmOps {
             AS DOUBLE) / 1e6 END AS epochs,
           a2 > cap OR capped1 AS capped
         FROM fin ORDER BY source""",
+
+    // same 4-branch folded-hash outcome fixture, same per-model/per-task
+    // censuses, HUGEINT Q arithmetic, Wilson-Hilferty gate compared on
+    // BIGINT millionths (no float division anywhere in a hashed column)
+    "q296_cochran_q" ->
+      """WITH t AS (SELECT doc_id AS task_id, source,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+        o AS (
+          SELECT task_id, source, 'm0' AS mdl,
+            (((h % 999983) * 48271) % 2147483647) % 100 < 78 - h % 40 AS ok
+          FROM t
+          UNION ALL SELECT task_id, source, 'm1',
+            (((h % 999979) * 69621) % 2147483647) % 100 < 74 - h % 40
+          FROM t
+          UNION ALL SELECT task_id, source, 'm2',
+            (((h % 999961) * 16807) % 2147483647) % 100 < 70 - h % 40
+          FROM t
+          UNION ALL SELECT task_id, source, 'm3',
+            (((h % 999959) * 40692) % 2147483647) % 100 < 66 - h % 40
+          FROM t),
+        g AS (SELECT source, mdl,
+            CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS gj
+          FROM o GROUP BY 1, 2),
+        l AS (SELECT source, task_id,
+            CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS li
+          FROM o GROUP BY 1, 2),
+        tt AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(li) AS BIGINT) AS t2, CAST(sum(li * li) AS BIGINT)
+              AS l2
+          FROM l GROUP BY 1),
+        ks AS (SELECT source, CAST(count(*) AS BIGINT) AS k
+          FROM g GROUP BY 1),
+        sq AS (SELECT g.source, max(k) AS k, max(n) AS n, max(t2) AS t2,
+            max(l2) AS l2,
+            CAST(sum(CAST(k * gj - t2 AS HUGEINT) * (k * gj - t2))
+              AS HUGEINT) AS s2
+          FROM g JOIN tt ON g.source = tt.source
+            JOIN ks ON g.source = ks.source
+          GROUP BY 1),
+        r AS (SELECT source, k, n,
+            CAST(k AS HUGEINT) * (k * t2 - l2) AS den,
+            CAST(k - 1 AS HUGEINT) * s2 * 1000000 AS num
+          FROM sq),
+        fin AS (SELECT source, k, n,
+            CASE WHEN den > 0 THEN CAST(num // den AS BIGINT) END AS q6,
+            CASE WHEN k >= 2 THEN 1.0 - 2.0 / (9.0 * (k - 1))
+              + 1.6448536269514722 * sqrt(2.0 / (9.0 * (k - 1))) END AS wh
+          FROM r)
+        SELECT source, k, n AS n_tasks, q6,
+          CASE WHEN q6 IS NOT NULL AND k >= 2 THEN
+            q6 > CAST(floor((k - 1) * wh * wh * wh * 1e6) AS BIGINT)
+          END AS differs
+        FROM fin ORDER BY source""",
+
+    // same whitespace token census; K6 = (sum c^2 - N) * 1e10 // N^2
+    "q297_yule_k" ->
+      """WITH toks AS (SELECT source,
+            unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS w
+          FROM documents),
+        wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2),
+        agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS n_types,
+            CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+          FROM wc GROUP BY 1)
+        SELECT source, n_tokens, n_types,
+          CASE WHEN n_tokens > 0 THEN
+            CAST((s2 - n_tokens) * 10000000000
+              // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+          END AS yule_k6
+        FROM agg ORDER BY source""",
+
+    // same global doubled-median value-set cut, above/<= census per
+    // source, Cramer-style margin chi-square cell terms, WH gate
+    "q298_mood_median" ->
+      """WITH cells AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct
+          FROM cells GROUP BY 1),
+        na AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        cm AS (SELECT v, sum(ct) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM vals),
+        med AS (SELECT max(n) AS n,
+            min(CASE WHEN cum > (n - 1) // 2 THEN v END) AS vlo,
+            min(CASE WHEN cum > (n - 1) // 2 + 1 THEN v END) AS vhi
+          FROM cm, na),
+        m2 AS (SELECT n,
+            vlo * 2 + ((n - 1) % 2) * (coalesce(vhi, vlo) - vlo) AS med2
+          FROM med),
+        bg AS (SELECT g,
+            CAST(sum(CASE WHEN v * 2 > med2 THEN c ELSE 0 END) AS BIGINT)
+              AS a,
+            CAST(sum(c) AS BIGINT) AS ng
+          FROM cells, m2 GROUP BY 1),
+        t2 AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+            CAST(sum(ng - a) AS BIGINT) AS tb,
+            CAST(count(*) AS BIGINT) AS k FROM bg),
+        ct AS (SELECT g,
+            (CAST(a AS HUGEINT) * n - CAST(ta AS HUGEINT) * ng)
+              * (CAST(a AS HUGEINT) * n - CAST(ta AS HUGEINT) * ng)
+              * 1000000
+              // nullif(CAST(n AS HUGEINT) * ta * ng, 0)
+            + (CAST(ng - a AS HUGEINT) * n - CAST(tb AS HUGEINT) * ng)
+              * (CAST(ng - a AS HUGEINT) * n - CAST(tb AS HUGEINT) * ng)
+              * 1000000
+              // nullif(CAST(n AS HUGEINT) * tb * ng, 0) AS c6,
+            ta, tb, k, n, med2
+          FROM bg, t2, m2),
+        s AS (SELECT max(k) AS k, max(n) AS n, max(med2) AS med2,
+            max(ta) AS ta, max(tb) AS tb,
+            CAST(sum(c6) AS HUGEINT) AS chi6raw
+          FROM ct),
+        fin AS (SELECT k, n, med2,
+            CASE WHEN ta > 0 AND tb > 0 THEN CAST(chi6raw AS BIGINT) END
+              AS chi6,
+            CASE WHEN k >= 2 THEN 1.0 - 2.0 / (9.0 * (k - 1))
+              + 1.6448536269514722 * sqrt(2.0 / (9.0 * (k - 1))) END AS wh
+          FROM s)
+        SELECT k, n, med2 AS median_x2, chi6,
+          CASE WHEN chi6 IS NOT NULL AND k >= 2 THEN
+            chi6 > CAST(floor((k - 1) * wh * wh * wh * 1e6) AS BIGINT)
+          END AS differs
+        FROM fin""",
+
+    // same dense daily spine, n-scaled integer DW identity, labels on
+    // the quantized value
+    "q299_durbin_watson" ->
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        span AS (SELECT g, min(d) AS dlo, max(d) AS dhi
+          FROM d0 GROUP BY 1),
+        daily AS (SELECT spine.g, spine.d, coalesce(x, 0) AS x
+          FROM (SELECT g, CAST(unnest(generate_series(dlo, dhi,
+              INTERVAL 1 DAY)) AS DATE) AS d FROM span) spine
+          LEFT JOIN d0 ON spine.g = d0.g AND spine.d = d0.d),
+        lagd AS (SELECT g, x,
+            lag(x) OVER (PARTITION BY g ORDER BY d) AS xp FROM daily),
+        agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
+            CAST(sum(CASE WHEN xp IS NOT NULL THEN
+              CAST(x - xp AS HUGEINT) * (x - xp) ELSE 0 END) AS HUGEINT)
+              AS dd
+          FROM lagd GROUP BY 1),
+        r AS (SELECT g, n,
+            CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS den,
+            CAST(n AS HUGEINT) * dd * 1000000 AS num
+          FROM agg),
+        fin AS (SELECT g, n,
+            CASE WHEN den > 0 THEN CAST(num // den AS BIGINT) END AS dw6
+          FROM r)
+        SELECT g AS event_type, n AS n_days, dw6,
+          CASE WHEN dw6 IS NULL THEN NULL
+            WHEN dw6 < 1000000 THEN 'strong_positive'
+            WHEN dw6 < 1500000 THEN 'positive'
+            WHEN dw6 <= 2500000 THEN 'none'
+            WHEN dw6 <= 3000000 THEN 'negative'
+            ELSE 'strong_negative' END AS reading
+        FROM fin ORDER BY event_type""",
 
     // same distinct (order, brand) baskets, basket-keyed pair join,
     // integer confidence/lift with the HUGEINT product

@@ -282,4 +282,70 @@ class InferenceSpec extends SparkSpec {
     assert(b.getAs[Double]("p_hat") === 0.0)
     assert(b.getAs[Double]("wilson_hi") > 0.0)
   }
+
+  test("cochranQ: closed-form Q on a hand 4x3 outcome matrix; " +
+      "saturated slice NULL") {
+    // tasks x models (m0,m1,m2): t1=110, t2=100, t3=111, t4=000
+    // G=(3,2,1) T=6 L=(2,1,3,0) sumL2=14 k=3
+    // den = k(kT - sumL2) = 3*(18-14) = 12
+    // sum(kG - T)^2 = 9 + 0 + 9 = 18 -> Q = (k-1)*18/12 = 3.0
+    val rows = Seq(
+      (1L, "s", "m0", true), (1L, "s", "m1", true), (1L, "s", "m2", false),
+      (2L, "s", "m0", true), (2L, "s", "m1", false), (2L, "s", "m2", false),
+      (3L, "s", "m0", true), (3L, "s", "m1", true), (3L, "s", "m2", true),
+      (4L, "s", "m0", false), (4L, "s", "m1", false), (4L, "s", "m2", false),
+      // saturated slice: every task solved by every model -> kT = sumL2
+      (1L, "z", "m0", true), (1L, "z", "m1", true),
+      (2L, "z", "m0", true), (2L, "z", "m1", true))
+      .toDF("task_id", "source", "model", "ok")
+    val r = Inference.cochranQ(rows, "source", "task_id", "model", "ok")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("s").getAs[Long]("k") === 3L)
+    assert(r("s").getAs[Long]("n_tasks") === 4L)
+    assert(r("s").getAs[Long]("q6") === 3000000L)
+    // chi2(2) crit ~ 5.99: Q=3 not significant
+    assert(!r("s").getAs[Boolean]("differs"))
+    assert(r("z").isNullAt(r("z").fieldIndex("q6")))
+  }
+
+  test("moodMedian: complete 2-group separation = chi2 n; " +
+      "constant corpus NULL") {
+    // a={1,2,3} b={4,5,6}: med2=7 (median 3.5); above = (0,3)
+    // each cell term (O*N - row*col)^2*1e6/(N*row*col) = 81e6/54 = 1.5e6
+    // -> chi6 = 4 * 1.5e6 = 6e6 = n (the 2x2 full-separation identity)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val r = Inference.moodMedian(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k") === 2L && r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("median_x2") === 7L)
+    assert(r.getAs[Long]("chi6") === 6000000L)
+    assert(r.getAs[Boolean]("differs"), "chi2=6 > 3.84 at df=1")
+    // all values equal: nothing above the median -> NULL, not a crash
+    val z = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    val zr = Inference.moodMedian(z, "g", "v").collect().head
+    assert(zr.isNullAt(zr.fieldIndex("chi6")))
+    assert(zr.isNullAt(zr.fieldIndex("differs")))
+  }
+
+  test("durbinWatson: alternating = 3.0, gap-day step = 1.5, " +
+      "constant NULL") {
+    // x=[1,3,1,3]: S=8 Q=20 den=4*20-64=16; D=3*4=12
+    // dw6 = 4*12*1e6/16 = 3,000,000 -> 'negative' (boundary inclusive)
+    val e1 = events((day("a", 1, 1) ++ day("a", 2, 3) ++ day("a", 3, 1)
+      ++ day("a", 4, 3)
+      // x=[10,10,0,0,10,10] via gap days: days 3-4 absent -> spine zeros
+      ++ day("b", 1, 10) ++ day("b", 2, 10) ++ day("b", 5, 10)
+      ++ day("b", 6, 10)
+      ++ day("c", 1, 2) ++ day("c", 2, 2) ++ day("c", 3, 2)): _*)
+    val r = Inference.durbinWatson(e1, "event_type", "ts")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("dw6") === 3000000L)
+    assert(r("a").getAs[String]("reading") === "negative")
+    // b: x=[10,10,0,0,10,10]: S=40 Q=400 den=6*400-1600=800
+    // D=100+0+100+0+0... diffs: 0,-10,0,10,0 -> 200; dw6=6*200e6/800=1.5e6
+    assert(r("b").getAs[Long]("dw6") === 1500000L)
+    assert(r("b").getAs[String]("reading") === "none")
+    assert(r("c").isNullAt(r("c").fieldIndex("dw6")))
+    assert(r("c").getAs[String]("reading") === null)
+  }
 }

@@ -74,4 +74,22 @@ class MixtureSpec extends SparkSpec {
       + r("b").getAs[Long]("alloc_tokens")
       === r("a").getAs[Long]("budget_tokens"))
   }
+
+  test("yuleK: closed-form K on hand spectra; repetition reads higher") {
+    // 'x x y': N=3 types=2 S2=5 -> K6 = (5-3)*1e10 // 9 = 2222222222
+    // 'x x x x': N=4 S2=16 -> K6 = 12e10 // 16 = 7500000000
+    val df = Seq(("a", "x x y"), ("b", "x x x x")).toDF("g", "text")
+    val r = TextAnalysis.yuleK(df, "g")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("n_tokens") === 3L)
+    assert(r("a").getAs[Long]("n_types") === 2L)
+    assert(r("a").getAs[Long]("yule_k6") === 2222222222L)
+    assert(r("b").getAs[Long]("yule_k6") === 7500000000L)
+    assert(r("b").getAs[Long]("yule_k6") > r("a").getAs[Long]("yule_k6"),
+      "pure repetition must read more concentrated")
+    // all-hapax text: S2 = N -> K exactly 0
+    val h = Seq(("c", "p q r s")).toDF("g", "text")
+    val rc = TextAnalysis.yuleK(h, "g").collect().head
+    assert(rc.getAs[Long]("yule_k6") === 0L)
+  }
 }

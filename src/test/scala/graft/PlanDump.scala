@@ -280,7 +280,15 @@ object PlanDump {
     "q293_burrows_delta" ->
       "Burrows Delta: one token census, top-M TakeOrdered cut, |sources|xM dense grid with integer-first frequencies — the z/delta arithmetic is report-sized; corpus text is scanned once.",
     "q295_mixture_alloc" ->
-      "Mixture allocation: the row-local gopher gate feeds ONE per-source aggregation; the budget/cap/redistribution arithmetic is |sources|-row with two 1-row broadcast totals — corpus text is scanned once.")
+      "Mixture allocation: the row-local gopher gate feeds ONE per-source aggregation; the budget/cap/redistribution arithmetic is |sources|-row with two 1-row broadcast totals — corpus text is scanned once.",
+    "q296_cochran_q" ->
+      "Cochran's Q: two censuses (per-model, per-task success totals) with map-side combine, two broadcast joins of report-sized totals, |slices|-row Q arithmetic — no pair term, the task census is the only |tasks|-row relation.",
+    "q297_yule_k" ->
+      "Yule's K: one (source, word) token census -> per-source spectrum moments; the K division is |sources|-row. Corpus text scanned once.",
+    "q298_mood_median" ->
+      "Mood's median: global doubled-median over the VALUE SET (one value-set window), per-group above/<= census, one broadcast 1-row margin join, 2xk chi-square in report-sized arithmetic.",
+    "q299_durbin_watson" ->
+      "Durbin-Watson: events collapse to the dense daily calendar; the lag window runs over the bounded day spine, never event rows; |groups|-row division tail.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -195,7 +195,15 @@ object ScaleProbe {
     "q292_dispersion", "q293_burrows_delta",
     // gen-17d: fertility is one row-local census; the allocator is the
     // row-local gopher gate + |sources|-row exact arithmetic
-    "q294_fertility", "q295_mixture_alloc")
+    "q294_fertility", "q295_mixture_alloc",
+    // gen-18 (round 12): Cochran's Q rides two censuses (per-model and
+    // per-task totals — the task census is |tasks| rows, map-side
+    // combined), Yule's K one token census (suffixed replicas grow the
+    // vocabulary ~10x, the probe bounds the census), Mood's median one
+    // global value-set window + per-group census, Durbin-Watson the
+    // calendar-bounded daily lag (replicas add volume to the same days)
+    "q296_cochran_q", "q297_yule_k", "q298_mood_median",
+    "q299_durbin_watson")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
