@@ -946,6 +946,73 @@ object EvalOps {
         (abs(col("_z6")) > 1959964L).as("shifted"))
   }
 
+  /** Ansari–Bradley scale test per group vs rest (q301) — the rank
+    * companion [[mannWhitney]] is for LOCATION: do the group's values
+    * SPREAD differently than the rest's, detected without any variance
+    * computation (robust to heavy tails where an F-test lies). Scores
+    * fold the midranks toward the ends: a = min(r, N+1−r), small at
+    * both extremes — a group owning the tails scores LOW. Tie-exact by
+    * the doubled-midrank identity: with m₂ = 2·cum − c + 1 (the
+    * [[mannWhitney]] rank2), the doubled score a₂ = (N+1) − |m₂ −
+    * (N+1)| is a pure integer. z is the permutation moment form
+    * z = (N·S₂ − n_g·T₂) / (N·√Var₄), Var₄ = n_g·n_r·(N·Q₄ − T₂²) div
+    * (N²(N−1)) — the [[mannWhitney]] quantize-then-sqrt recipe (scores
+    * replace ranks; the variance formula is the general finite-
+    * population one, so midrank ties are already priced in).
+    *
+    * Exactness ceiling: N·Q₄ and T₂² ride N⁴ and the variance product
+    * n_g·n_r·N⁴ ≈ N⁶ — DECIMAL(38,0)-exact to N ≈ 2·10⁶ rows per call
+    * (an ANSI overflow past that, never a silent wrap); sample or
+    * pre-aggregate above (the [[mannWhitney]]-family ceiling, stated
+    * there for N⁵).
+    *
+    * Scale: one value census; all windows over the VALUE SET.
+    */
+  def ansariBradley(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val g = df.groupBy(col(groupCol).as("_g"),
+        col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val vals = g.groupBy(col("_v")).agg(sum(col("_c")).as("_ct"))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val nAll = g.agg(sum(col("_c")).as("_nall"))
+    val scored = vals
+      .withColumn("_m2", lit(2L) * sum(col("_ct")).over(wAll)
+        - col("_ct") + 1L)
+      .crossJoin(broadcast(nAll))
+      .withColumn("_a2", col("_nall") + 1L
+        - abs(col("_m2") - (col("_nall") + 1L)))
+    val tots = scored.agg(max(col("_nall")).as("_nall"),
+      sum(col("_ct") * col("_a2")).as("_t2"),
+      sum(col("_ct").cast("decimal(38,0)") * col("_a2") * col("_a2"))
+        .as("_q4"))
+    val per = g.join(scored.select(col("_v"), col("_a2")), Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("n_group"),
+        sum(col("_c") * col("_a2")).as("_s2"))
+    per.crossJoin(broadcast(tots))
+      .withColumn("n_rest", col("_nall") - col("n_group"))
+      .filter(col("n_rest") > 0)
+      .withColumn("_var4", when(col("_nall") > 1, expr(
+        """CAST(n_group AS DECIMAL(38,0)) * n_rest *
+           (CAST(_nall AS DECIMAL(38,0)) * _q4
+             - CAST(_t2 AS DECIMAL(38,0)) * _t2)
+           div nullif(CAST(_nall AS DECIMAL(38,0)) * _nall
+             * (_nall - 1), 0)""")))
+      .withColumn("_z6", when(col("_var4") > 0,
+        floor(expr("""CAST(CAST(_nall AS DECIMAL(38,0)) * _s2
+            - CAST(n_group AS DECIMAL(38,0)) * _t2 AS DOUBLE)""")
+          * 1e6 / (col("_nall").cast("double")
+            * expr("nullif(sqrt(CAST(_var4 AS DOUBLE)), 0.0)")))
+          .cast("long")))
+      .select(col("_g").as(groupCol), col("n_group"), col("n_rest"),
+        col("_s2").as("ab2"), col("_z6").as("z6"),
+        when(col("_z6").isNotNull, abs(col("_z6")) > 1959964L)
+          .as("spread_differs"))
+  }
+
   /** Two-group log-rank test (Mantel 1966; q254) — the significance
     * companion to [[TemporalJoins.kaplanMeier]]: two survival curves
     * always look different at corpus n, the log-rank χ² says whether the

@@ -867,6 +867,61 @@ object Inference {
         col("_delta6").cast("long").as("delta6"))
   }
 
+  /** Partial autocorrelation (q300) — Durbin–Levinson unrolled on the
+    * QUANTIZED [[acf]] values: PACF at lag k is the correlation left at
+    * k after the shorter lags are regressed out — the read that tells
+    * an AR order ("is the weekly spike direct memory or just lag-1
+    * compounding"). The recursion runs entirely in ×10⁶ fixed point:
+    * fixed-mul a⊗b = a·b div 10⁶ (truncating, sign-exact in both
+    * engines — the DivProbe contract), φ_{k,k} = (r_k − Σφ_{k−1,j} ⊗
+    * r_{k−j})·10⁶ div (10⁶ − Σφ_{k−1,j} ⊗ r_j), φ_{k,j} = φ_{k−1,j} −
+    * φ_{k,k} ⊗ φ_{k−1,k−j} — every intermediate a BIGINT millionth, so
+    * the oracle replays it digit for digit (the k-core unrolled-stage
+    * precedent). Degenerate levels (den ≤ 0 from a near-unit-root
+    * series, or a missing/NULL ρ) propagate NULL from that lag up.
+    *
+    * Scale: the ACF census does all the data work; the recursion runs
+    * on the |groups|-row PIVOTED report frame — maxLag² report-sized
+    * column ops, zero additional scans.
+    */
+  def pacf(events: DataFrame, groupCol: String, tsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12, s"unrolled to 12 lags, got $maxLag")
+    val r = acf(events, groupCol, tsCol, maxLag)
+    var piv = r.groupBy(col(groupCol), col("n_days"))
+      .pivot("lag", (1 to maxLag).map(k => k.toLong: Any))
+      .agg(first(col("acf6")))
+    (1 to maxLag).foreach(k => piv = piv.withColumnRenamed(k.toString, s"_r$k"))
+    def fmul(a: String, b: String): String =
+      s"(CAST($a AS DECIMAL(38,0)) * $b div 1000000)"
+    piv = piv.withColumn("_p_1_1", col("_r1"))
+    (2 to maxLag).foreach { k =>
+      val num = (s"CAST(_r$k AS DECIMAL(38,0))" +:
+        (1 until k).map(j => s" - ${fmul(s"_p_${k - 1}_$j", s"_r${k - j}")}"))
+        .mkString
+      val den = ("CAST(1000000 AS DECIMAL(38,0))" +:
+        (1 until k).map(j => s" - ${fmul(s"_p_${k - 1}_$j", s"_r$j")}"))
+        .mkString
+      piv = piv
+        .withColumn(s"_num_$k", expr(num))
+        .withColumn(s"_den_$k", expr(den))
+        .withColumn(s"_p_${k}_$k", expr(
+          s"""CASE WHEN _den_$k > 0 THEN
+              CAST(_num_$k AS DECIMAL(38,0)) * 1000000
+                div nullif(_den_$k, 0) END"""))
+      (1 until k).foreach { j =>
+        piv = piv.withColumn(s"_p_${k}_$j", expr(
+          s"_p_${k - 1}_$j - ${fmul(s"_p_${k}_$k", s"_p_${k - 1}_${k - j}")}"))
+      }
+    }
+    piv.select(col(groupCol), col("n_days"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k.toLong).as("lag"),
+            col(s"_p_${k}_$k").cast("long").as("pacf6"))): _*)).as("_kv"))
+      .select(col(groupCol), col("_kv.lag").as("lag"), col("n_days"),
+        col("_kv.pacf6").as("pacf6"))
+  }
+
   /** Cochran's Q per slice (q296) — the k-model generalization of
     * McNemar (Cochran 1950): on PAIRED binary outcomes (same task set,
     * k models), do the models' success rates genuinely differ? With
@@ -992,6 +1047,64 @@ object Inference {
         col("_med2").as("median_x2"), col("_chi6").as("chi6"),
         when(col("_chi6").isNotNull && col("_crit6").isNotNull,
           col("_chi6") > col("_crit6")).as("differs"))
+  }
+
+  /** Sequential probability ratio test per group (q302) — Wald's SPRT,
+    * the early-stopping read a long-running A/B or data-quality monitor
+    * actually wants: instead of fixing n in advance, accumulate the
+    * log-likelihood ratio of H1 (success rate p1) vs H0 (p0) trial by
+    * trial and STOP the first day the cumulative LLR crosses either
+    * boundary — accept H1 at ln((1−β)/α), accept H0 at ln(β/(1−α)).
+    * Trials here are events, success = `successCol`; increments fold
+    * daily (x_d successes, n_d trials): Δ = x_d·L1 + (n_d − x_d)·L0.
+    *
+    * Exactness: the ONLY irrational inputs are four constants, frozen
+    * as ×10⁶ integer literals in BOTH engines (α = β = 0.05, p0 = 0.3,
+    * p1 = 0.4): L1 = ⌊ln(p1/p0)·10⁶⌋ = 287682, L0 = ⌊ln((1−p1)/
+    * (1−p0))·10⁶⌋ = −154151, A6 = ⌊ln(19)·10⁶⌋ = 2944438, B6 =
+    * −2944439. Everything downstream is BIGINT sums, one cumulative
+    * window over the DAY value set, and the min-CASE-join-back first-
+    * crossing cut (the q265-fix recipe). No crossing → 'continue'.
+    *
+    * Scale: events collapse to daily (group, day, x, n) census rows;
+    * the cum window rides the calendar, never event rows.
+    */
+  def sprt(events: DataFrame, groupCol: String, tsCol: String,
+      successCol: Column): DataFrame = {
+    val l1 = 287682L
+    val l0 = -154151L
+    val a6 = 2944438L
+    val b6 = -2944439L
+    val daily = events.groupBy(col(groupCol).as("_g"),
+        to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("_x"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("_llr", sum(col("_x") * lit(l1)
+        + (col("_n") - col("_x")) * lit(l0)).over(w))
+    cum.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_days"), sum(col("_n")).as("n_trials"),
+        sum(col("_x")).as("n_success"),
+        min(when(col("_llr") >= a6, col("_d"))).as("_d1"),
+        min(when(col("_llr") <= b6, col("_d"))).as("_d0"),
+        // the final cumulative LLR is just the total increment sum —
+        // no last-row construct needed (the arg_min/max_by lesson)
+        sum(col("_x") * lit(l1) + (col("_n") - col("_x")) * lit(l0))
+          .as("final_llr6"))
+      .withColumn("decision",
+        when(col("_d1").isNotNull
+            && (col("_d0").isNull || col("_d1") <= col("_d0")),
+          "accept_h1")
+          .when(col("_d0").isNotNull, "accept_h0")
+          .otherwise("continue"))
+      .withColumn("decision_day",
+        when(col("decision") === "accept_h1", col("_d1"))
+          .when(col("decision") === "accept_h0", col("_d0")))
+      .select(col("_g").as(groupCol), col("n_days"), col("n_trials"),
+        col("n_success"), col("decision"), col("decision_day"),
+        col("final_llr6"))
   }
 
   /** Durbin–Watson statistic per group (q299) — first-order serial

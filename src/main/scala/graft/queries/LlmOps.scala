@@ -1332,6 +1332,27 @@ object LlmOps {
           Tables.events(s, d), "event_type", "ts")
         .orderBy(col("event_type"))),
 
+    // PACF lags 1..7: Durbin-Levinson in x1e6 fixed point over the
+    // quantized ACF values — every intermediate a BIGINT millionth
+    "q300_pacf" -> ((s, d) =>
+      graft.operators.Inference.pacf(Tables.events(s, d),
+          "event_type", "ts")
+        .orderBy(col("event_type"), col("lag"))),
+
+    // Ansari-Bradley rank scale test per source vs rest: folded
+    // doubled-midrank scores, permutation moments, one sqrt
+    "q301_ansari_bradley" -> ((s, d) =>
+      graft.operators.EvalOps.ansariBradley(
+          Tables.documents(s, d), "source", "n_chars")
+        .orderBy(col("source"))),
+
+    // Wald SPRT per event type: frozen x1e6 LLR constants, calendar
+    // cum, first-crossing decision (alpha=beta=0.05, p0=0.3 p1=0.4)
+    "q302_sprt" -> ((s, d) =>
+      graft.operators.Inference.sprt(Tables.events(s, d),
+          "event_type", "ts", col("value") >= 100.0)
+        .orderBy(col("event_type"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -2396,6 +2417,80 @@ object LlmOps {
     * post-fixpoint stages are identities, matching the engine's
     * early-exit loop exactly.
     */
+  /** q300 oracle: the q285 ACF chain pivoted to r1..rK, then the
+    * Durbin–Levinson recursion UNROLLED as fixed-point HUGEINT stages
+    * (the k-core unrolled-oracle precedent) — fixed-mul a·b // 10⁶ at
+    * every step, digit-identical to the engine's DECIMAL(38,0) chain.
+    */
+  private def pacfOracle(maxLag: Int): String = {
+    def fm(a: String, b: String) = s"(CAST($a AS HUGEINT) * $b // 1000000)"
+    val b = new StringBuilder(
+      s"""WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        span AS (SELECT g, min(d) AS dlo, max(d) AS dhi
+          FROM d0 GROUP BY 1),
+        spine AS (SELECT g, CAST(unnest(generate_series(dlo, dhi,
+            INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+        daily AS (SELECT spine.g, spine.d, coalesce(x, 0) AS x,
+            date_diff('day', dlo, spine.d) AS t
+          FROM spine LEFT JOIN d0 ON spine.g = d0.g AND spine.d = d0.d
+            JOIN span ON spine.g = span.g),
+        st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+          FROM daily GROUP BY 1),
+        lg AS (SELECT g, t, x, k, t + k AS tj
+          FROM daily, unnest(generate_series(1, $maxLag)) AS u(k)),
+        pr AS (SELECT lg.g, k,
+            CAST(sum(CAST(lg.x AS HUGEINT) * tl.x) AS HUGEINT) AS p,
+            CAST(sum(lg.x) AS BIGINT) AS h,
+            CAST(sum(tl.x) AS BIGINT) AS t2
+          FROM lg JOIN daily tl ON lg.g = tl.g AND lg.tj = tl.t
+          GROUP BY 1, 2),
+        r AS (SELECT pr.g, k, n,
+            CAST(n AS HUGEINT) * n * p
+              - CAST(n AS HUGEINT) * s * (h + t2)
+              + (CAST(n AS HUGEINT) - k) * s * s AS num,
+            CAST(n AS HUGEINT) * n * q
+              - CAST(n AS HUGEINT) * s * s AS den
+          FROM pr JOIN st ON pr.g = st.g),
+        acf0 AS (SELECT g, k, n, CASE WHEN den > 0 THEN
+            CAST(num * 1000000 // den AS BIGINT) END AS acf6 FROM r),
+        pv AS (SELECT g, max(n) AS n""")
+    (1 to maxLag).foreach(k =>
+      b ++= s",\n            max(CASE WHEN k = $k THEN acf6 END) AS r$k")
+    b ++= "\n          FROM acf0 GROUP BY 1),\n" +
+      "        l1 AS (SELECT *, r1 AS p_1_1 FROM pv)"
+    (2 to maxLag).foreach { k =>
+      val num = (s"CAST(r$k AS HUGEINT)" +:
+        (1 until k).map(j => s" - ${fm(s"p_${k - 1}_$j", s"r${k - j}")}"))
+        .mkString
+      val den = ("CAST(1000000 AS HUGEINT)" +:
+        (1 until k).map(j => s" - ${fm(s"p_${k - 1}_$j", s"r$j")}"))
+        .mkString
+      b ++= s""",
+        l${k}a AS (SELECT *, ($num) AS num_$k, ($den) AS den_$k
+          FROM l${k - 1}),
+        l${k}b AS (SELECT *, CASE WHEN den_$k > 0 THEN
+            CAST(num_$k AS HUGEINT) * 1000000 // den_$k END AS p_${k}_$k
+          FROM l${k}a)"""
+      val projs = (1 until k).map(j =>
+        s"p_${k - 1}_$j - ${fm(s"p_${k}_$k", s"p_${k - 1}_${k - j}")}" +
+          s" AS p_${k}_$j").mkString(",\n            ")
+      b ++= s""",
+        l$k AS (SELECT *,
+            $projs
+          FROM l${k}b)"""
+    }
+    b ++= "\n        "
+    b ++= (1 to maxLag).map(k =>
+      s"SELECT g AS event_type, CAST($k AS BIGINT) AS lag, n AS n_days, " +
+        s"CAST(p_${k}_$k AS BIGINT) AS pacf6 FROM l$maxLag")
+      .mkString("\n        UNION ALL ")
+    b ++= "\n        ORDER BY event_type, lag"
+    b.toString
+  }
+
   /** q267 oracle: one cell census + dense margin spine + HUGEINT chi2
     * per column pair, all pairs unioned — the same arithmetic as
     * Association.cramersV with suffix-indexed CTEs per pair.
@@ -7356,6 +7451,80 @@ object LlmOps {
             WHEN dw6 <= 3000000 THEN 'negative'
             ELSE 'strong_negative' END AS reading
         FROM fin ORDER BY event_type""",
+
+    // the q285 chain pivoted + the Durbin-Levinson recursion unrolled
+    // in HUGEINT fixed point (generator-built, the k-core precedent)
+    "q300_pacf" -> pacfOracle(7),
+
+    // same folded doubled-midrank scores, same permutation moments and
+    // quantize-then-sqrt z chain as the engine
+    "q301_ansari_bradley" ->
+      """WITH g AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct
+          FROM g GROUP BY 1),
+        na AS (SELECT CAST(sum(c) AS BIGINT) AS nall FROM g),
+        sc AS (SELECT v, ct, 2 * sum(ct) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - ct + 1 AS m2
+          FROM vals),
+        a AS (SELECT v, ct, nall + 1 - abs(m2 - (nall + 1)) AS a2
+          FROM sc, na),
+        tots AS (SELECT CAST(sum(ct * a2) AS BIGINT) AS t2,
+            CAST(sum(CAST(ct AS HUGEINT) * a2 * a2) AS HUGEINT) AS q4
+          FROM a),
+        per AS (SELECT grp, CAST(sum(c) AS BIGINT) AS ng,
+            CAST(sum(c * a2) AS BIGINT) AS s2
+          FROM g JOIN a ON g.v = a.v GROUP BY 1),
+        r AS (SELECT grp, ng, nall - ng AS nr, s2, t2, q4, nall
+          FROM per, tots, na WHERE nall - ng > 0),
+        vv AS (SELECT grp, ng, nr, s2, nall,
+            CASE WHEN nall > 1 THEN CAST(ng AS HUGEINT) * nr
+              * (CAST(nall AS HUGEINT) * q4 - CAST(t2 AS HUGEINT) * t2)
+              // nullif(CAST(nall AS HUGEINT) * nall * (nall - 1), 0)
+            END AS var4,
+            CAST(nall AS HUGEINT) * s2 - CAST(ng AS HUGEINT) * t2 AS num
+          FROM r),
+        z AS (SELECT grp, ng, nr, s2,
+            CASE WHEN var4 > 0 THEN CAST(floor(CAST(num AS DOUBLE) * 1e6
+              / (CAST(nall AS DOUBLE) * sqrt(CAST(var4 AS DOUBLE))))
+              AS BIGINT) END AS z6
+          FROM vv)
+        SELECT grp AS source, ng AS n_group, nr AS n_rest, s2 AS ab2,
+          z6, CASE WHEN z6 IS NOT NULL THEN abs(z6) > 1959964 END
+            AS spread_differs
+        FROM z ORDER BY source""",
+
+    // same frozen x1e6 constants, same daily census + calendar cum,
+    // same min-CASE first-crossing cut; final LLR = the total sum
+    "q302_sprt" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        cum AS (SELECT g, d, n, x,
+            sum(x * 287682 + (n - x) * (-154151)) OVER (PARTITION BY g
+              ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS llr
+          FROM daily),
+        agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(n) AS BIGINT) AS n_trials,
+            CAST(sum(x) AS BIGINT) AS n_success,
+            min(CASE WHEN llr >= 2944438 THEN d END) AS d1,
+            min(CASE WHEN llr <= -2944439 THEN d END) AS d0,
+            CAST(sum(x * 287682 + (n - x) * (-154151)) AS BIGINT)
+              AS final_llr6
+          FROM cum GROUP BY 1)
+        SELECT g AS event_type, n_days, n_trials, n_success,
+          CASE WHEN d1 IS NOT NULL AND (d0 IS NULL OR d1 <= d0)
+              THEN 'accept_h1'
+            WHEN d0 IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+          CASE WHEN d1 IS NOT NULL AND (d0 IS NULL OR d1 <= d0) THEN d1
+            WHEN d0 IS NOT NULL THEN d0 END AS decision_day,
+          final_llr6
+        FROM agg ORDER BY event_type""",
 
     // same distinct (order, brand) baskets, basket-keyed pair join,
     // integer confidence/lift with the HUGEINT product

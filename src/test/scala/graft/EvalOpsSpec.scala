@@ -831,4 +831,30 @@ class EvalOpsSpec extends SparkSpec {
         s"non-monotone fit for $src: ${fs.mkString(",")}")
     }
   }
+
+  test("ansariBradley: folded scores on a hand census, tail group reads " +
+      "negative z; covering group positive") {
+    import spark.implicits._
+    // values 1,4,5,6,10 (c=1 each), N=5: doubled scores a2 = 6-|2r-6|
+    // = [2,4,6,4,2]; group a = {1,10} owns the tails: S2=4, T2=18,
+    // Q4=76; num = N*S2 - ng*T2 = -16; var4 = 6*(5*76-324) div 100 = 3
+    // z6 = floor(-16e6 / (5*sqrt(3)))
+    val df = Seq(("a", 1L), ("a", 10L), ("b", 4L), ("b", 5L), ("b", 6L))
+      .toDF("g", "v")
+    val r = graft.operators.EvalOps.ansariBradley(df, "g", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("ab2") === 4L)
+    val want = math.floor(-16e6 / (5.0 * math.sqrt(3.0))).toLong
+    assert(r("a").getAs[Long]("z6") === want)
+    assert(!r("a").getAs[Boolean]("spread_differs"))
+    // the mirror group: S2=14, num = 5*14 - 3*18 = +16, same var4 = 3
+    // (floor is NOT antisymmetric: floor(+x) = -floor(-x) - 1 here)
+    val wantB = math.floor(16e6 / (5.0 * math.sqrt(3.0))).toLong
+    assert(r("b").getAs[Long]("z6") === wantB)
+    // single distinct value: zero variance -> NULL
+    val z = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    val zr = graft.operators.EvalOps.ansariBradley(z, "g", "v")
+      .collect().head
+    assert(zr.isNullAt(zr.fieldIndex("z6")))
+  }
 }

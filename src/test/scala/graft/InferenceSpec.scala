@@ -348,4 +348,58 @@ class InferenceSpec extends SparkSpec {
     assert(r("c").isNullAt(r("c").fieldIndex("dw6")))
     assert(r("c").getAs[String]("reading") === null)
   }
+
+  test("pacf: Durbin-Levinson fixed-point replay on the period-2 " +
+      "series; constant NULL") {
+    // same series as the acf test: r1 = -833333, r2 = 666666 (x1e6).
+    // Replay the recursion independently in JVM longs (/ truncates
+    // toward zero, same as Spark div / DuckDB //):
+    def fm(a: Long, b: Long): Long = a * b / 1000000L
+    val r1 = -833333L
+    val r2 = 666666L
+    val p11 = r1
+    val num2 = r2 - fm(p11, r1)
+    val den2 = 1000000L - fm(p11, r1)
+    val p22 = num2 * 1000000L / den2
+    val e = events((day("a", 1, 1) ++ day("a", 2, 3) ++ day("a", 3, 1)
+      ++ day("a", 4, 3) ++ day("a", 5, 1) ++ day("a", 6, 3)
+      ++ day("c", 1, 2) ++ day("c", 2, 2) ++ day("c", 3, 2)): _*)
+    val r = Inference.pacf(e, "event_type", "ts", maxLag = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    assert(r(("a", 1L)).getAs[Long]("pacf6") === p11)
+    assert(r(("a", 2L)).getAs[Long]("pacf6") === p22)
+    // PACF(1) must equal ACF(1) by construction
+    assert(p11 === -833333L)
+    // constant series: all ACF NULL -> all PACF NULL
+    assert(r(("c", 1L)).isNullAt(r(("c", 1L)).fieldIndex("pacf6")))
+    assert(r(("c", 2L)).isNullAt(r(("c", 2L)).fieldIndex("pacf6")))
+  }
+
+  test("sprt: H1 crossing, H0 crossing, and continue, with exact " +
+      "frozen-constant LLR sums") {
+    // 10 successes/day: +2876820/day -> crosses A6=2944438 on day 2;
+    // 10 failures/day: -1541510/day -> crosses B6=-2944439 on day 2;
+    // 1 success total: +287682, no crossing -> continue
+    val rows =
+      (1 to 2).flatMap(d => (1 to 10).map(_ =>
+        ("a", f"2024-03-$d%02d 12:00:00", 200.0))) ++
+      (1 to 2).flatMap(d => (1 to 10).map(_ =>
+        ("b", f"2024-03-$d%02d 12:00:00", 1.0))) ++
+      Seq(("c", "2024-03-01 12:00:00", 200.0))
+    val df = rows.toDF("event_type", "_ts", "value")
+      .select(col("event_type"), to_timestamp(col("_ts")).as("ts"),
+        col("value"))
+    val r = Inference.sprt(df, "event_type", "ts",
+        col("value") >= 100.0)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[String]("decision") === "accept_h1")
+    assert(r("a").getAs[java.sql.Date]("decision_day").toString
+      === "2024-03-02")
+    assert(r("a").getAs[Long]("final_llr6") === 2L * 10L * 287682L)
+    assert(r("b").getAs[String]("decision") === "accept_h0")
+    assert(r("b").getAs[Long]("final_llr6") === 2L * 10L * -154151L)
+    assert(r("c").getAs[String]("decision") === "continue")
+    assert(r("c").isNullAt(r("c").fieldIndex("decision_day")))
+    assert(r("c").getAs[Long]("final_llr6") === 287682L)
+  }
 }

@@ -288,7 +288,13 @@ object PlanDump {
     "q298_mood_median" ->
       "Mood's median: global doubled-median over the VALUE SET (one value-set window), per-group above/<= census, one broadcast 1-row margin join, 2xk chi-square in report-sized arithmetic.",
     "q299_durbin_watson" ->
-      "Durbin-Watson: events collapse to the dense daily calendar; the lag window runs over the bounded day spine, never event rows; |groups|-row division tail.")
+      "Durbin-Watson: events collapse to the dense daily calendar; the lag window runs over the bounded day spine, never event rows; |groups|-row division tail.",
+    "q300_pacf" ->
+      "PACF: the q285 ACF census does all data work; the Durbin-Levinson recursion is unrolled x1e6 fixed-point column arithmetic on the |groups|-row PIVOTED report frame — maxLag^2 report-sized ops, zero extra scans.",
+    "q301_ansari_bradley" ->
+      "Ansari-Bradley: one value census, folded doubled-midrank scores over the VALUE SET window, permutation-moment z with one sqrt — the mannWhitney plan shape with scores in place of ranks.",
+    "q302_sprt" ->
+      "SPRT: events collapse to (group, day, trials, successes); the cumulative LLR window rides the calendar; first-crossing located by min-CASE, no last-row construct.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -203,7 +203,12 @@ object ScaleProbe {
     // global value-set window + per-group census, Durbin-Watson the
     // calendar-bounded daily lag (replicas add volume to the same days)
     "q296_cochran_q", "q297_yule_k", "q298_mood_median",
-    "q299_durbin_watson")
+    "q299_durbin_watson",
+    // gen-18d: PACF = the ACF census + a report-sized unrolled
+    // recursion (calendar-bounded); Ansari-Bradley rides the n_chars
+    // VALUE SET (near-flat expected); SPRT is one daily census +
+    // calendar cum (replicas add volume to the same days)
+    "q300_pacf", "q301_ansari_bradley", "q302_sprt")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
