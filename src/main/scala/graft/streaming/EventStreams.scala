@@ -232,4 +232,59 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class TrialCount(key: String, bucket: Long, trials: Long,
+      successes: Long)
+  final case class SprtState(llr6: Long, decided: String,
+      lastBucket: Long = Long.MinValue)
+  final case class SprtVerdict(key: String, bucket: Long, llr6: Long,
+      decision: String)
+
+  /** Streaming Wald SPRT — the continuously-running face of
+    * [[graft.operators.Inference.sprt]] (q302): per-key cumulative LLR
+    * carried across micro-batches in keyed state, fed pre-bucketed
+    * (key, bucket, trials, successes) counts. Constants default to the
+    * q302 frozen ×10⁶ literals (p0 = 0.3 vs p1 = 0.4, α = β = 0.05).
+    *
+    * The decision is STICKY — Wald's test ENDS at the first boundary
+    * crossing; buckets after a decision re-emit the decided verdict
+    * with the accumulator frozen at its crossing value (continuing to
+    * accumulate would resurrect exactly the p-value-peeking mistake
+    * the sequential test exists to prevent). A restart replays to the
+    * same decision because the fold is the same integer recurrence.
+    * Late buckets (at or before the last folded one) are flagged with
+    * the impossible llr6 = Long.MinValue sentinel and decision 'late'
+    * — visible, never silently folded out of order (the
+    * [[cusumMonitor]] contract).
+    */
+  def sprtMonitor(counts: Dataset[TrialCount],
+      l1: Long = 287682L, l0: Long = -154151L,
+      a6: Long = 2944438L, b6: Long = -2944439L): Dataset[SprtVerdict] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.groupByKey(_.key)
+      .flatMapGroupsWithState[SprtState, SprtVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[TrialCount], state: GroupState[SprtState]) =>
+          var st = state.getOption.getOrElse(SprtState(0L, ""))
+          val out = it.toSeq.sortBy(_.bucket).map { tc =>
+            if (tc.bucket <= st.lastBucket)
+              SprtVerdict(key, tc.bucket, Long.MinValue, "late")
+            else if (st.decided.nonEmpty) {
+              st = st.copy(lastBucket = tc.bucket)
+              SprtVerdict(key, tc.bucket, st.llr6, st.decided)
+            } else {
+              val llr = st.llr6 + tc.successes * l1 +
+                (tc.trials - tc.successes) * l0
+              val dec = if (llr >= a6) "accept_h1"
+                else if (llr <= b6) "accept_h0" else "continue"
+              st = SprtState(llr, if (dec == "continue") "" else dec,
+                tc.bucket)
+              SprtVerdict(key, tc.bucket, llr, dec)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

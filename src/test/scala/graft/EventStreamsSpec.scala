@@ -148,6 +148,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(late.filter(_.sp6 >= 0L) === oneShot)
   }
 
+  test("sprtMonitor: trigger-split equals one-shot, decision is sticky " +
+      "at the crossing value, late buckets flagged") {
+    import EventStreams.{TrialCount, SprtVerdict}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // 10 successes/bucket: +2876820/bucket -> crosses A6 on bucket 2,
+    // then the verdict must FREEZE (llr stays at the crossing value)
+    val series = (1L to 5L).map(b => TrialCount("p", b, 10L, 10L)) ++
+      (1L to 5L).map(b => TrialCount("n", b, 10L, 0L))
+    def run(chunks: Seq[Seq[TrialCount]], name: String): Seq[SprtVerdict] = {
+      val mem = MemoryStream[TrialCount]
+      val q = EventStreams.sprtMonitor(mem.toDS()).toDF()
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).as[SprtVerdict].collect()
+        .sortBy(v => (v.key, v.bucket)).toSeq
+    }
+    val oneShot = run(Seq(series), "sprt_a")
+    val split = run(Seq(series.take(3), series.slice(3, 8),
+      series.drop(8)), "sprt_b")
+    assert(oneShot === split, "state must carry across triggers")
+    val p = oneShot.filter(_.key == "p")
+    assert(p.map(_.decision) ===
+      Seq("continue", "accept_h1", "accept_h1", "accept_h1", "accept_h1"))
+    // frozen at the crossing value: 2 buckets of 10*287682
+    assert(p.drop(1).forall(_.llr6 === 2L * 10L * 287682L))
+    val n = oneShot.filter(_.key == "n")
+    assert(n.map(_.decision) ===
+      Seq("continue", "accept_h0", "accept_h0", "accept_h0", "accept_h0"))
+    assert(n.drop(1).forall(_.llr6 === 2L * 10L * -154151L))
+    // late bucket: flagged with the sentinel, in-order rows unchanged
+    val late = run(Seq(series.take(5),
+      series.drop(5) :+ TrialCount("p", 2L, 99L, 99L)), "sprt_c")
+    assert(late.count(_.decision == "late") === 1)
+    assert(late.find(_.decision == "late").get.llr6 === Long.MinValue)
+    assert(late.filter(_.decision != "late") === oneShot)
+  }
+
   test("misra-gries heavy hitters: bounded state, MG guarantees, carryover") {
     import EventStreams.{MgEvent, HeavyHitter}
     // skewed synthetic stream: user 42 owns ~40% of 'view' traffic; the
