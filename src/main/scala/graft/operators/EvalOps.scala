@@ -95,6 +95,56 @@ object EvalOps {
       (col("kappa6").cast("double") / 1e6).as("kappa"))
   }
 
+  /** Gwet's AC1 (q304) — the chance-corrected agreement that survives
+    * the "kappa paradox": [[fleissKappa]]'s chance model charges the
+    * raters for PREVALENCE (two raters agreeing that almost everything
+    * is the majority class read κ ≈ 0 even at 95% raw agreement);
+    * Gwet's chance model 2008 prices chance agreement by category
+    * UNCERTAINTY instead — p_e = Σ_c π_c(1−π_c)/(q−1) — so skewed
+    * label distributions don't zero out honest agreement. Same census
+    * as Fleiss (constant raters r per item, the fixture contract):
+    * p_a = (Σ r_ic(r_ic−1)) / (n·r(r−1)), π_c = C_c/(nr), and
+    * AC1 = (p_a − p_e)/(1 − p_e) closed-forms to one exact integer
+    * division: AC1₆ = (paN·eD − eN·paD)·10⁶ div (paD·(eD − eN)) with
+    * eN = Σ C_c(nr − C_c), eD = (q−1)(nr)² — every term BIGINT/DECIMAL
+    * (ceiling: paN·eD rides n³r⁴q, exact in DECIMAL(38,0) to n ≈ 10⁸
+    * items at r = 5). q counts the OBSERVED categories in the group;
+    * q < 2 or eD = eN (all mass one category) → NULL.
+    *
+    * Scale: the Fleiss census shapes — item-keyed then source-keyed
+    * aggregations, |sources|-row arithmetic.
+    */
+  def gwetAC1(ratingsDf: DataFrame): DataFrame = {
+    val cnt = ratingsDf.groupBy(col("source"), col("item_id"), col("cat"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cnt.groupBy(col("source"), col("item_id"))
+      .agg(sum(col("c") * (col("c") - 1L)).as("agree2"),
+        sum(col("c")).as("n_i"))
+    val perSource = perItem.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_items"), sum(col("agree2")).as("_pan"),
+        max(col("n_i")).as("n_raters"), min(col("n_i")).as("_rmin"))
+    val catTot = cnt.groupBy(col("source"), col("cat"))
+      .agg(sum(col("c")).as("_cc"))
+    val cats = catTot.groupBy(col("source"))
+      .agg(count(lit(1)).as("_q"), sum(col("_cc")).as("_nr"),
+        sum(col("_cc").cast("decimal(38,0)") * col("_cc")).as("_cc2"))
+    perSource.join(cats, Seq("source"))
+      // eN = Σ C_c(nr − C_c) = nr·Σ C_c − Σ C_c² ; eD = (q−1)(nr)²
+      .withColumn("_en", expr(
+        "CAST(_nr AS DECIMAL(38,0)) * _nr - _cc2"))
+      .withColumn("_ed", expr(
+        "(_q - 1) * CAST(_nr AS DECIMAL(38,0)) * _nr"))
+      .withColumn("_pad", expr(
+        "CAST(n_items AS DECIMAL(38,0)) * n_raters * (n_raters - 1)"))
+      .withColumn("_ac16", when(col("_rmin") === col("n_raters")
+          && col("_q") >= 2 && col("n_raters") >= 2
+          && col("_ed") > col("_en"), expr(
+        """(CAST(_pan AS DECIMAL(38,0)) * _ed - _en * _pad) * 1000000
+           div nullif(_pad * (_ed - _en), 0)""").cast("long")))
+      .select(col("source"), col("n_items"), col("n_raters"),
+        col("_q").as("n_cats"), col("_ac16").as("ac1_6"))
+  }
+
   /** Deterministic pairwise-battle fixture: one game per document between
     * two of `nModels` systems. Contestant a = idHash % m, opponent
     * b = (a + 1 + idHash % (m−1)) % m (always ≠ a), and the winner is

@@ -975,6 +975,56 @@ object Inference {
           col("_q6") > col("_crit6")).as("differs"))
   }
 
+  /** KR-20 / Cronbach's α on dichotomous items per slice (q303) — the
+    * internal-consistency companion to [[cochranQ]] on the SAME two
+    * censuses: where Q asks "do the models differ", α asks "do the
+    * items (models) measure one underlying difficulty" — the number an
+    * eval-battery owner reads before averaging model scores into one
+    * leaderboard column (α below ~0.7 means the items disagree about
+    * what is hard and the average hides it). For dichotomous outcomes
+    * Cronbach's α IS Kuder–Richardson 20:
+    * α = k/(k−1) · (1 − Σ_j p_j q_j / σ²_total), which closed-forms to
+    * pure integers as α₆ = k·(D − Σ G_j(N−G_j))·10⁶ div ((k−1)·D) with
+    * D = N·ΣL² − T² (N× the total-score variance, scaled to cancel
+    * every denominator). Zero total-score variance (D = 0 — all tasks
+    * same summed score) → NULL; k < 2 → NULL. α can be negative
+    * (items anti-correlate) — the sign survives truncation exactly.
+    *
+    * Scale: the same per-model/per-task censuses as [[cochranQ]];
+    * |slices|-row arithmetic after.
+    */
+  def kr20(outcomes: DataFrame, sliceCol: String, taskCol: String,
+      modelCol: String, okCol: String): DataFrame = {
+    val base = outcomes.select(col(sliceCol).as("_s"),
+      col(taskCol).as("_t"), col(modelCol).as("_m"),
+      col(okCol).cast("boolean").as("_ok"))
+    val g = base.groupBy(col("_s"), col("_m"))
+      .agg(sum(when(col("_ok"), 1L).otherwise(0L)).as("_gj"))
+    val l = base.groupBy(col("_s"), col("_t"))
+      .agg(sum(when(col("_ok"), 1L).otherwise(0L)).as("_li"))
+    val tots = l.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_li")).as("_tt"),
+        sum(col("_li") * col("_li")).as("_l2"))
+    g.join(broadcast(tots), Seq("_s"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_k"), max(col("_n")).as("_n"),
+        max(col("_tt")).as("_tt"), max(col("_l2")).as("_l2"),
+        sum(expr("CAST(_gj AS DECIMAL(38,0)) * (_n - _gj)")).as("_sgq"))
+      .withColumn("_d", expr(
+        """CAST(_n AS DECIMAL(38,0)) * _l2
+           - CAST(_tt AS DECIMAL(38,0)) * _tt"""))
+      .withColumn("_a6", when(col("_k") >= 2 && col("_d") > 0, expr(
+        """CAST(_k AS DECIMAL(38,0)) * (_d - _sgq) * 1000000
+           div nullif((_k - 1) * _d, 0)""").cast("long")))
+      .select(col("_s").as(sliceCol), col("_k").as("k"),
+        col("_n").as("n_tasks"), col("_a6").as("alpha6"),
+        when(col("_a6").isNull, lit(null).cast("string"))
+          .when(col("_a6") >= 900000L, "excellent")
+          .when(col("_a6") >= 800000L, "good")
+          .when(col("_a6") >= 700000L, "acceptable")
+          .otherwise("questionable").as("consistency"))
+  }
+
   /** Mood's median test across groups (q298) — "do the groups share a
     * median": one GLOBAL value-set median (the [[Quantiles]] doubled-
     * median recipe, exact under ties), one above/≤ census per group,

@@ -1353,6 +1353,21 @@ object LlmOps {
           "event_type", "ts", col("value") >= 100.0)
         .orderBy(col("event_type"))),
 
+    // KR-20 / Cronbach's alpha on the 4-model outcome matrix: the
+    // internal-consistency read on the same censuses as Cochran's Q
+    "q303_kr20" -> ((s, d) =>
+      graft.operators.Inference.kr20(
+          graft.operators.EvalOps.modelOutcomes(Tables.documents(s, d)),
+          "source", "task_id", "model", "ok")
+        .orderBy(col("source"))),
+
+    // Gwet's AC1 over the 5-rater/4-cat fixture: the prevalence-robust
+    // chance model next to Fleiss' kappa (q168)
+    "q304_gwet_ac1" -> ((s, d) =>
+      graft.operators.EvalOps.gwetAC1(
+          graft.operators.EvalOps.ratings(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -7525,6 +7540,94 @@ object LlmOps {
             WHEN d0 IS NOT NULL THEN d0 END AS decision_day,
           final_llr6
         FROM agg ORDER BY event_type""",
+
+    // same 4-branch fixture and censuses as q296; alpha6 one exact
+    // HUGEINT division, labels compared on the quantized value
+    "q303_kr20" ->
+      """WITH t AS (SELECT doc_id AS task_id, source,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+        o AS (
+          SELECT task_id, source, 'm0' AS mdl,
+            (((h % 999983) * 48271) % 2147483647) % 100 < 78 - h % 40 AS ok
+          FROM t
+          UNION ALL SELECT task_id, source, 'm1',
+            (((h % 999979) * 69621) % 2147483647) % 100 < 74 - h % 40
+          FROM t
+          UNION ALL SELECT task_id, source, 'm2',
+            (((h % 999961) * 16807) % 2147483647) % 100 < 70 - h % 40
+          FROM t
+          UNION ALL SELECT task_id, source, 'm3',
+            (((h % 999959) * 40692) % 2147483647) % 100 < 66 - h % 40
+          FROM t),
+        g AS (SELECT source, mdl,
+            CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS gj
+          FROM o GROUP BY 1, 2),
+        l AS (SELECT source, task_id,
+            CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS li
+          FROM o GROUP BY 1, 2),
+        tt AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(li) AS BIGINT) AS t2,
+            CAST(sum(li * li) AS BIGINT) AS l2
+          FROM l GROUP BY 1),
+        sq AS (SELECT g.source, CAST(count(*) AS BIGINT) AS k,
+            max(n) AS n, max(t2) AS t2, max(l2) AS l2,
+            CAST(sum(CAST(gj AS HUGEINT) * (n - gj)) AS HUGEINT) AS sgq
+          FROM g JOIN tt ON g.source = tt.source GROUP BY 1),
+        r AS (SELECT source, k, n,
+            CAST(n AS HUGEINT) * l2 - CAST(t2 AS HUGEINT) * t2 AS d, sgq
+          FROM sq),
+        fin AS (SELECT source, k, n,
+            CASE WHEN k >= 2 AND d > 0 THEN
+              CAST(CAST(k AS HUGEINT) * (d - sgq) * 1000000
+                // ((k - 1) * d) AS BIGINT) END AS alpha6
+          FROM r)
+        SELECT source, k, n AS n_tasks, alpha6,
+          CASE WHEN alpha6 IS NULL THEN NULL
+            WHEN alpha6 >= 900000 THEN 'excellent'
+            WHEN alpha6 >= 800000 THEN 'good'
+            WHEN alpha6 >= 700000 THEN 'acceptable'
+            ELSE 'questionable' END AS consistency
+        FROM fin ORDER BY source""",
+
+    // same 5-rater/4-cat fixture as q168; the Gwet chance model in one
+    // exact HUGEINT division
+    "q304_gwet_ac1" ->
+      """WITH r AS (SELECT source, item_id, g.rater,
+            CASE WHEN (h + g.rater*17) % 10 < 3
+              THEN (h % 4 + 1 + (h % 97 + g.rater) % 3) % 4
+              ELSE h % 4 END AS cat
+          FROM (SELECT source, doc_id AS item_id,
+                  ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+                FROM documents),
+            (SELECT unnest(generate_series(0, 4)) AS rater) g),
+        cnt AS (SELECT source, item_id, cat, CAST(count(*) AS BIGINT) AS c
+          FROM r GROUP BY source, item_id, cat),
+        pi AS (SELECT source, item_id,
+            CAST(sum(c * (c - 1)) AS BIGINT) AS agree2,
+            CAST(sum(c) AS BIGINT) AS n_i
+          FROM cnt GROUP BY source, item_id),
+        ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+            CAST(sum(agree2) AS BIGINT) AS pan,
+            max(n_i) AS n_raters, min(n_i) AS rmin
+          FROM pi GROUP BY source),
+        ct AS (SELECT source, cat, CAST(sum(c) AS BIGINT) AS cc
+          FROM cnt GROUP BY source, cat),
+        cs AS (SELECT source, CAST(count(*) AS BIGINT) AS q,
+            CAST(sum(cc) AS BIGINT) AS nr,
+            CAST(sum(CAST(cc AS HUGEINT) * cc) AS HUGEINT) AS cc2
+          FROM ct GROUP BY source),
+        j AS (SELECT ps.source, n_items, n_raters, rmin, pan, q, nr,
+            CAST(nr AS HUGEINT) * nr - cc2 AS en,
+            (q - 1) * CAST(nr AS HUGEINT) * nr AS ed,
+            CAST(n_items AS HUGEINT) * n_raters * (n_raters - 1) AS pad
+          FROM ps JOIN cs ON ps.source = cs.source)
+        SELECT source, n_items, n_raters, q AS n_cats,
+          CASE WHEN rmin = n_raters AND q >= 2 AND n_raters >= 2
+              AND ed > en THEN
+            CAST((CAST(pan AS HUGEINT) * ed - en * pad) * 1000000
+              // (pad * (ed - en)) AS BIGINT) END AS ac1_6
+        FROM j ORDER BY source""",
 
     // same distinct (order, brand) baskets, basket-keyed pair join,
     // integer confidence/lift with the HUGEINT product

@@ -857,4 +857,35 @@ class EvalOpsSpec extends SparkSpec {
       .collect().head
     assert(zr.isNullAt(zr.fieldIndex("z6")))
   }
+
+  test("gwetAC1: closed-form on a hand census, and the kappa paradox — " +
+      "skewed prevalence zeroes Fleiss but not AC1") {
+    import spark.implicits._
+    // 2 items x 2 raters: item 1 agrees on cat 0, item 2 splits
+    // paN=2 paD=4 nr=4 C=(3,1) eN=16-10=6 eD=16
+    // AC1_6 = (2*16 - 6*4)*1e6 div (4*10) = 200000
+    val small = Seq((1L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 0L), (2L, 1L, 1L))
+      .map { case (i, r, c) => ("s", i, r, c) }
+      .toDF("source", "item_id", "rater", "cat")
+    val a = graft.operators.EvalOps.gwetAC1(small).collect().head
+    assert(a.getAs[Long]("ac1_6") === 200000L)
+    // the paradox fixture: 9/10 items unanimous majority class, 1 split
+    // -> raw agreement 0.9, but Fleiss pe = 0.905 makes kappa NEGATIVE
+    // while AC1's uncertainty-based pe = 0.095 reads the agreement:
+    // AC1_6 = (18*400 - 38*20)*1e6 div (20*362) = 889502
+    val skew = ((1L to 9L).flatMap(i => Seq((i, 0L, 0L), (i, 1L, 0L)))
+      ++ Seq((10L, 0L, 0L), (10L, 1L, 1L)))
+      .map { case (i, r, c) => ("s", i, r, c) }
+      .toDF("source", "item_id", "rater", "cat")
+    val g = graft.operators.EvalOps.gwetAC1(skew).collect().head
+    assert(g.getAs[Long]("ac1_6") === 889502L)
+    val f = graft.operators.EvalOps.fleissKappa(skew).collect().head
+    assert(f.getAs[Double]("kappa") < 0.0,
+      "Fleiss must show the paradox on this fixture")
+    // all mass in one category: ed = en -> NULL
+    val mono = Seq(("s", 1L, 0L, 0L), ("s", 1L, 1L, 0L))
+      .toDF("source", "item_id", "rater", "cat")
+    val m = graft.operators.EvalOps.gwetAC1(mono).collect().head
+    assert(m.isNullAt(m.fieldIndex("ac1_6")))
+  }
 }

@@ -402,4 +402,26 @@ class InferenceSpec extends SparkSpec {
     assert(r("c").isNullAt(r("c").fieldIndex("decision_day")))
     assert(r("c").getAs[Long]("final_llr6") === 287682L)
   }
+
+  test("kr20: closed-form alpha on the Cochran hand matrix; zero " +
+      "total-variance NULL") {
+    // same 4x3 matrix as cochranQ: G=(3,2,1) N=4 T=6 sumL2=14
+    // D = 4*14 - 36 = 20; sum G(N-G) = 3+4+3 = 10
+    // alpha6 = 3*(20-10)*1e6 div (2*20) = 750000
+    val rows = Seq(
+      (1L, "s", "m0", true), (1L, "s", "m1", true), (1L, "s", "m2", false),
+      (2L, "s", "m0", true), (2L, "s", "m1", false), (2L, "s", "m2", false),
+      (3L, "s", "m0", true), (3L, "s", "m1", true), (3L, "s", "m2", true),
+      (4L, "s", "m0", false), (4L, "s", "m1", false), (4L, "s", "m2", false),
+      // all tasks summed score 2: zero total-score variance -> NULL
+      (1L, "z", "m0", true), (1L, "z", "m1", true),
+      (2L, "z", "m0", true), (2L, "z", "m1", true))
+      .toDF("task_id", "source", "model", "ok")
+    val r = Inference.kr20(rows, "source", "task_id", "model", "ok")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("s").getAs[Long]("alpha6") === 750000L)
+    assert(r("s").getAs[String]("consistency") === "acceptable")
+    assert(r("z").isNullAt(r("z").fieldIndex("alpha6")))
+    assert(r("z").getAs[String]("consistency") === null)
+  }
 }

@@ -294,7 +294,11 @@ object PlanDump {
     "q301_ansari_bradley" ->
       "Ansari-Bradley: one value census, folded doubled-midrank scores over the VALUE SET window, permutation-moment z with one sqrt — the mannWhitney plan shape with scores in place of ranks.",
     "q302_sprt" ->
-      "SPRT: events collapse to (group, day, trials, successes); the cumulative LLR window rides the calendar; first-crossing located by min-CASE, no last-row construct.")
+      "SPRT: events collapse to (group, day, trials, successes); the cumulative LLR window rides the calendar; first-crossing located by min-CASE, no last-row construct.",
+    "q303_kr20" ->
+      "KR-20/Cronbach alpha: the Cochran per-model + per-task censuses (map-side combined), one broadcast join, |slices|-row exact division.",
+    "q304_gwet_ac1" ->
+      "Gwet AC1: the Fleiss census shapes (item-keyed then source-keyed aggregations), one join of |sources|-row frames, exact HUGEINT-class division.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -208,7 +208,9 @@ object ScaleProbe {
     // recursion (calendar-bounded); Ansari-Bradley rides the n_chars
     // VALUE SET (near-flat expected); SPRT is one daily census +
     // calendar cum (replicas add volume to the same days)
-    "q300_pacf", "q301_ansari_bradley", "q302_sprt")
+    "q300_pacf", "q301_ansari_bradley", "q302_sprt",
+    // gen-18e: KR-20 shares Cochran's censuses; AC1 the Fleiss census
+    "q303_kr20", "q304_gwet_ac1")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
