@@ -129,6 +129,45 @@ object TextHashOps {
     out
   }
 
+  /** JL sign-projection text embedding (the q97 kernel): per
+    * whitespace token, the polynomial rolling hash over CODE POINTS
+    * h = (h·31 + cp) mod (2³¹−1); per dimension j, the ±1 vote
+    * sign(popcount(h·2654435761 + j·2246822519) even). One linear pass
+    * over the string; n_tokens counted in the same pass. Arithmetic is
+    * digit-identical to the former HOF formulation (and to the DuckDB
+    * oracle's ord/substr chain): code points match DuckDB's
+    * character-based substr, the modulus never sees a negative, and
+    * h·2654435761 ≤ 5.7·10¹⁸ never overflows a long.
+    */
+  def jlEmbed(s: UTF8String, dim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val out = new Array[Long](dim)
+    var nTok = 0L
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      if (str.charAt(i) == ' ') i += 1
+      else {
+        nTok += 1L
+        var h = 0L
+        while (i < n && str.charAt(i) != ' ') {
+          val cp = str.codePointAt(i)
+          h = (h * 31L + cp) % 2147483647L
+          i += Character.charCount(cp)
+        }
+        var j = 0
+        while (j < dim) {
+          val m = h * 2654435761L + j.toLong * 2246822519L
+          if ((java.lang.Long.bitCount(m) & 1) == 0) out(j) += 1L
+          else out(j) -= 1L
+          j += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, UnsafeArrayData.fromPrimitiveArray(out)))
+  }
+
   /** Unicode NFC with an isNormalized fast path (the common ASCII/NFC
     * case is one scan + the String copy, no rebuild). Called from
     * interpreted eval AND generated code — must stay a static-shaped
@@ -256,6 +295,45 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** `jl_embed(text, dim)` — struct<n_tokens: bigint, emb: array<bigint>>:
+  * the hashed-bag-of-words Johnson–Lindenstrauss sign projection as ONE
+  * native codegen expression. The HOF formulation it replaces
+  * (aggregate-inside-transform, one lambda fold per character plus one
+  * per (token, dim) pair) was the TextAnalysis scaladoc's own marked
+  * 100 TB promotion target: HOFs leave whole-stage codegen AND are
+  * exposed to constraint-propagation lambda-tree duplication (the
+  * object-level comment above). This is one linear pass per row.
+  */
+case class JlEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && dim >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jl_embed expects (string, dim>=1), got " +
+        s"(${child.dataType.simpleString}, $dim)")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tokens", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("emb",
+        ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def prettyName: String = "jl_embed"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.jlEmbed(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashOps.jlEmbed($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): JlEmbed =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
 
   private val shingleIdent = FunctionIdentifier("shingle_hashes")
@@ -344,5 +422,31 @@ object TextHashFunctions {
       reg.registerFunction(nfcIdent, nfcInfo, nfcBuilder)
     }
     call_function("nfc_normalize", text)
+  }
+
+  private val jlIdent = FunctionIdentifier("jl_embed")
+
+  private val jlInfo = new ExpressionInfo(
+    classOf[JlEmbed].getCanonicalName, null, "jl_embed",
+    "_FUNC_(text, dim) - JL sign-projection embedding as " +
+      "struct(n_tokens, emb)", "")
+
+  private[functions] val jlBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.size == 2, "jl_embed takes exactly 2 arguments")
+      val dim = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"jl_embed dim must be an int literal, got $other")
+      }
+      JlEmbed(children.head, dim)
+  }
+
+  def jlEmbed(spark: SparkSession, text: Column, dim: Int): Column = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(jlIdent)) {
+      reg.registerFunction(jlIdent, jlInfo, jlBuilder)
+    }
+    call_function("jl_embed", text, org.apache.spark.sql.functions.lit(dim))
   }
 }

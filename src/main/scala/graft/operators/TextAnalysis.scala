@@ -257,9 +257,11 @@ object TextAnalysis {
     * so the vector is exactly engine-replicable; only the norm rounds.
     *
     * Row-local per document: one linear pass per (token, dim) pair, no
-    * shuffle, scales with input splits. The HOF nest leaves whole-stage
-    * codegen — at 100 TB promote to a native Expression like
-    * shingle_hashes (same kernel-promotion path as q27's 51× win).
+    * shuffle, scales with input splits. Round 12 promoted the HOF nest
+    * (which left whole-stage codegen and risked lambda-tree
+    * duplication) to the native [[graft.functions.JlEmbed]] expression
+    * — the kernel-promotion path q27's shingle_hashes took; the spec
+    * pins bit-equality against the original HOF formulation.
     */
   /** Deterministic mixed-script fixture: appends idHash-selected Unicode
     * snippets to each document — Cyrillic words (h%4=1), CJK words
@@ -506,6 +508,21 @@ object TextAnalysis {
 
   def textEmbed(docs: DataFrame, dim: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val st = graft.functions.TextHashFunctions.jlEmbed(
+      docs.sparkSession, col(textCol), dim)
+    docs.withColumn("_jl", st)
+      .select(col(idCol).as("doc_id"),
+        col("_jl.n_tokens").as("n_tokens"),
+        col("_jl.emb").as("emb"))
+  }
+
+  /** The pre-promotion HOF formulation of [[textEmbed]], kept ONLY as
+    * the spec's bit-equality reference for the native kernel — never
+    * call it on real data (it leaves whole-stage codegen and one lambda
+    * fold per character).
+    */
+  private[graft] def textEmbedHof(docs: DataFrame, dim: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tokenHash = (t: Column) => aggregate(
       filter(split(t, ""), c => c =!= ""),
       lit(0L),

@@ -139,6 +139,16 @@ class DataSelectionSpec extends SparkSpec {
     }
     assert(cos(v(1L), v(2L)) === 1.0)
     assert(cos(v(1L), v(3L)) < 0.9)
+    // the native jl_embed kernel must be BIT-identical to the original
+    // HOF formulation it replaced (round-12 codegen promotion) — incl.
+    // a multi-byte token exercising the code-point rolling hash
+    val mixed = toy.union(Seq((5L, "caf\u00e9 na\u00efve \u4f60\u597d x"))
+      .toDF("doc_id", "text"))
+    val native = TextAnalysis.textEmbed(mixed).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val hof = TextAnalysis.textEmbedHof(mixed).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(native === hof, "native kernel must replay the HOF chain")
   }
 
   test("logregScore: separable labels get separated probabilities") {

