@@ -86,7 +86,69 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `sign_project(v, outDim)` — the JL ±1 sign projection of a double
+  * vector as one native codegen loop (q73's kernel): out[j] =
+  * Σᵢ v[i]·sign(popcount((i+1)·2654435761 + j·2246822519) even), the
+  * sign applied as an exact negation and the sum accumulated in the
+  * SAME left-to-right order as the HOF fold it replaces, so outputs are
+  * bit-identical (the jl_embed promotion playbook; spec-pinned). The
+  * HOF composition (transform-of-aggregate-of-zip_with) allocated two
+  * intermediate arrays per (row, dim) and left whole-stage codegen.
+  */
+case class SignProject(child: Expression, outDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if outDim >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sign_project expects (array<double>, outDim>=1), got " +
+        s"(${child.dataType.simpleString}, $outDim)")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "sign_project"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    GraftFunctions.signProjectKernel(v, outDim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions.signProjectKernel($c, $outDim);")
+
+  override protected def withNewChildInternal(newChild: Expression): SignProject =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
+
+  /** Shared by interpreted eval and generated code — one pass per dim,
+    * additions in the HOF fold's left-to-right element order.
+    */
+  def signProjectKernel(v: ArrayData, outDim: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      val jm = j.toLong * 2246822519L
+      var a = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getDouble(i)
+        val m = (i + 1).toLong * 2654435761L + jm
+        a = a + (if ((java.lang.Long.bitCount(m) & 1) == 0) x else -x)
+        i += 1
+      }
+      out(j) = a
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 
   private val ident = FunctionIdentifier("cosine_sim")
 
@@ -113,6 +175,34 @@ object GraftFunctions {
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("cosine_sim", a, b)
+  }
+
+  private val spIdent = FunctionIdentifier("sign_project")
+
+  private val spInfo = new ExpressionInfo(
+    classOf[SignProject].getCanonicalName, null, "sign_project",
+    "_FUNC_(v, outDim) - JL sign projection of a double vector", "")
+
+  private[functions] val spBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.size == 2, "sign_project takes exactly 2 arguments")
+      val d = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions
+          .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"sign_project outDim must be an int literal, got $other")
+      }
+      SignProject(children.head, d)
+  }
+
+  /** `sign_project(v, outDim)` as a Column (registers on first use). */
+  def signProject(spark: SparkSession, v: Column, outDim: Int): Column = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(spIdent)) {
+      reg.registerFunction(spIdent, spInfo, spBuilder)
+    }
+    call_function("sign_project", v,
+      org.apache.spark.sql.functions.lit(outDim))
   }
 }
 

@@ -46,11 +46,24 @@ object Similarity {
     * before exact cosine on the survivors, and a 48× storage cut at
     * out=16 over 768-dim floats. Stateless and partitioning-independent:
     * the "matrix" is a formula, never materialized or broadcast. Row-
-    * local per vector (scales with splits); the HOF composition leaves
-    * whole-stage codegen — at 100 TB promote the kernel to a native
-    * Expression like cosine_sim.
+    * local per vector (scales with splits). Round 12 promoted the HOF
+    * composition (which left whole-stage codegen and allocated two
+    * intermediate arrays per (row, dim)) to the native
+    * [[graft.functions.SignProject]] expression — same kernel-promotion
+    * path as jl_embed/cosine_sim; the spec pins bit-equality against
+    * the retained HOF reference below.
     */
   def signProject(emb: DataFrame, outDim: Int = 16): DataFrame = {
+    val e = asDouble(emb)
+    e.withColumn("proj", graft.functions.GraftFunctions.signProject(
+      emb.sparkSession, col("v"), outDim))
+  }
+
+  /** The pre-promotion HOF formulation of [[signProject]], kept ONLY as
+    * the spec's bit-equality reference for the native kernel.
+    */
+  private[graft] def signProjectHof(emb: DataFrame, outDim: Int = 16)
+      : DataFrame = {
     val e = asDouble(emb)
     // sign = popcount parity of a linear index mix — multiplicative-mod
     // parities are structurally correlated across j (measured r > 0.9 on

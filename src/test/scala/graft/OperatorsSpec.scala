@@ -233,6 +233,14 @@ class OperatorsSpec extends SparkSpec {
     val rankInProj = pairs.count(p => proj(p) < proj(nearestOrig))
     assert(rankInProj < pairs.size / 2,
       s"nearest pair fell to rank $rankInProj of ${pairs.size} after projection")
+
+    // the native sign_project kernel must be BIT-identical to the HOF
+    // formulation it replaced (round-12 codegen promotion): same sign
+    // mix, same left-to-right summation order, exact +/- application
+    val hof = Similarity.signProjectHof(e, outDim = 16)
+      .select($"vec_id", $"proj")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    assert(a === hof, "native kernel must replay the HOF float chain")
   }
 }
 

@@ -299,6 +299,8 @@ object PlanDump {
       "KR-20/Cronbach alpha: the Cochran per-model + per-task censuses (map-side combined), one broadcast join, |slices|-row exact division.",
     "q304_gwet_ac1" ->
       "Gwet AC1: the Fleiss census shapes (item-keyed then source-keyed aggregations), one join of |sources|-row frames, exact HUGEINT-class division.",
+    "q73_embed_project" ->
+      "JL sign projection via the native sign_project codegen expression (round-12 promotion): one allocation-free loop per row vs the transform-of-aggregate-of-zip_with HOF nest (two intermediate arrays per (row, dim), outside codegen). Bit-identical to the HOF chain (spec-pinned), oracle unchanged. Gain is ~10% host-normalized on THIS fixture's narrow vectors (the allocation win scales with vector width — at 768-dim production embeddings the HOF intermediates dominate).",
     "q97_text_embed" ->
       "JL text embedding through the native jl_embed codegen expression (round-12 promotion of the HOF nest): ONE linear pass per row inside WholeStageCodegen, bit-identical to the former aggregate-in-transform formulation (spec-pinned). Measured warm 0.56 s at calibration anchor 1.124 s vs the r11 official 1.123 s at anchor 0.887 s — ~2.5x faster host-normalized.")
 
