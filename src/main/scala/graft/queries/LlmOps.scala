@@ -6490,7 +6490,11 @@ object LlmOps {
     // — that construct proved version-sensitive across DuckDB builds,
     // round-10 verdict) and joined back for the in-block arithmetic.
     // Hashed columns are BIGINT millionths on BOTH sides (round-12
-    // escalation): no float division anywhere in the contract.
+    // escalation): no float division anywhere in the contract. The
+    // cumulative n/total columns come from windowed sum(BIGINT), which
+    // DuckDB widens to HUGEINT (float64 through arrow) — cast back to
+    // BIGINT in the final projection so the typed hash matches Spark's
+    // int64 (round-12 verdict root cause).
     "q265_gini_tokens" ->
       """WITH d0 AS (SELECT source AS grp,
             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -6518,7 +6522,8 @@ object LlmOps {
           FROM cuts
           LEFT JOIN cm b1 ON b1.grp = cuts.grp AND b1.cum = cuts.cut1
           LEFT JOIN cm b2 ON b2.grp = cuts.grp AND b2.cum = cuts.cut2)
-        SELECT grp AS source, n, total,
+        SELECT grp AS source,
+          CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
           CASE WHEN total > 0 THEN
             CAST((s1x2 - (CAST(n AS HUGEINT) + 1) * total) * 1000000
               // (CAST(n AS HUGEINT) * total) AS BIGINT)
