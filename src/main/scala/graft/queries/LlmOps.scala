@@ -504,6 +504,29 @@ object LlmOps {
       TextAnalysis.compressionRatio(Tables.fanout(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // q147's CONTRACT twin (the q103 recipe): the deflate byte counts
+    // cannot be oracle-replayed (DuckDB has no deflate), but the exact
+    // inputs and the contract can — emit doc_id + the exact UTF-8 byte
+    // count (oracle: octet_length(encode(text))) plus booleans asserting
+    // (a) the ratio sits in the pinned-fixture band [0.25, 1.30]
+    // (measured [0.38, 1.13] across all 3 SFs), (b) the deflate overhead
+    // bound n_bytes+64 holds with a sane 8-byte floor, and (c) the
+    // emitted ratio is exactly the 4dp floor of n_compressed/n_bytes.
+    // The oracle computes the exact side and TRUE literals: a codec
+    // regression flips a boolean and fails the hash.
+    "q147b_compress_contract" -> ((s, d) => {
+      val recomputed = floor(col("n_compressed").cast("double")
+        / nullif(col("n_bytes").cast("double"), lit(0.0)) * 10000) / 10000
+      TextAnalysis.compressionRatio(Tables.fanout(Tables.documents(s, d)))
+        .select(col("doc_id"), col("n_bytes"),
+          (col("ratio") >= 0.25 && col("ratio") <= 1.30).as("ratio_in_band"),
+          (col("n_compressed") >= 8
+            && col("n_compressed") <= col("n_bytes") + 64).as("overhead_ok"),
+          ((col("n_bytes") === 0 && col("ratio") === 1.0)
+            || col("ratio") === recomputed).as("ratio_consistent"))
+        .orderBy(col("doc_id"))
+    }),
+
     // k-anonymity release audit over (lang, source, length-bucket)
     "q148_k_anonymity" -> ((s, d) =>
       CorpusOps.kAnonymity(Tables.documents(s, d), k = 5L)
@@ -9506,6 +9529,16 @@ object LlmOps {
          FROM a ORDER BY q_id""",
     // exact-integer contingency margins; expected/contrib divide the
     // identical longs in double space
+    // q147b: exact inputs + TRUE contract literals — DuckDB has no
+    // deflate, so the oracle replays the exact side (UTF-8 byte count)
+    // and pins every Spark-computed contract boolean at TRUE.
+    "q147b_compress_contract" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         TRUE AS ratio_in_band, TRUE AS overhead_ok,
+         TRUE AS ratio_consistent
+         FROM documents ORDER BY doc_id""",
+
     "q146_source_balance" ->
       """WITH st AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
               CAST(max(n_chars) AS DOUBLE) AS hi, count(*) AS n
