@@ -649,4 +649,82 @@ object TextAnalysis {
       .select(col("_g").as(groupCol), col("n_tokens"), col("n_types"),
         col("yule_k6"))
   }
+
+  /** Unicode-confusable/homoglyph fold audit (q305) — the dedup-evasion
+    * normalizer: spam/SEO content swaps Cyrillic/Greek lookalikes (and
+    * fullwidth forms/ligatures) into Latin text so exact and shingle
+    * keys stop colliding; at 100 TB those evaders are precisely the
+    * mass-produced duplicates dedup exists to kill. Adds
+    *
+    *   - `fold` — the native [[graft.functions.ConfusableFold]] skeleton
+    *     (fixed public UTS #39-derived table, 1:1 codepoints + ligature
+    *     expansions), the drop-in dedup key: hash `fold`, not `text`;
+    *   - `n_confusable` — confusable-codepoint count (the triage signal:
+    *     0 for clean ASCII, high for evasion-suspect text).
+    *
+    * Exactly replayable in SQL: [[graft.functions.ConfusableTable]]
+    * generates the oracle's translate()+replace() chain from the SAME
+    * table, so the two sides cannot drift. Row-local codegen end to
+    * end — no shuffle; the dedup census downstream shuffles on the
+    * folded key exactly as the unfolded chain does.
+    */
+  def confusableFold(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val allFrom = graft.functions.ConfusableTable.singleFrom +
+      graft.functions.ConfusableTable.multi.map(_._1).mkString
+    docs
+      .withColumn("fold", graft.functions.ConfusableFoldFunction
+        .confusableFold(docs.sparkSession, col(textCol)))
+      .withColumn("n_confusable",
+        (length(col(textCol))
+          - length(translate(col(textCol), allFrom, ""))).cast("long"))
+  }
+
+  /** Homoglyph-evader fixture alphabet: the Latin letters a dedup evader
+    * swaps for their glyph-identical Cyrillic forms. Both sides of q305
+    * build the SAME evader twins from this pair (Spark translate ≡
+    * DuckDB translate, 1:1 codepoints), so the fixture cannot drift.
+    */
+  private[graft] val EvaderLatin = "aeopcxAEOPCX"
+  private[graft] val EvaderCyrillic = "аеорсхАЕОРСХ"
+
+  /** Confusable-dedup evasion audit (q305): plants deterministic
+    * homoglyph evader twins (h-gated 30% of docs, Latin→Cyrillic swap —
+    * text differs, glyphs identical), folds with [[confusableFold]],
+    * and reports the per-source census proving the fold re-collides
+    * them:
+    *
+    *   - `distinct_text` vs `distinct_fold` — every evader twin is a
+    *     NEW distinct text but folds back onto its original, so
+    *     `fold_collisions = distinct_text - distinct_fold` counts
+    *     exactly the evaders exact-dedup would have missed;
+    *   - `n_conf_rows` / `n_confusable` — the triage signal mass.
+    *
+    * Exact integers end to end. One scan + one per-source aggregation
+    * (map-side combined; countDistinct expands to two exact passes over
+    * the same shuffle) — at 100 TB this is the cost of the exact-dedup
+    * census it guards, on ~1.3× the rows.
+    */
+  def confusableDedupAudit(docs: DataFrame): DataFrame = {
+    val h = ((col("doc_id") % 2147483648L) * 2654435761L) % 2147483647L
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+    val evaders = base.where((h % 10) < 3)
+      .select(col("doc_id"), col("source"),
+        translate(col("text"), EvaderLatin, EvaderCyrillic).as("text"))
+    val all = base.withColumn("variant", lit("orig"))
+      .unionByName(evaders.withColumn("variant", lit("evader")))
+    confusableFold(all)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("variant") === "evader", 1L).otherwise(0L))
+          .as("n_evaders"),
+        sum(when(col("n_confusable") > 0, 1L).otherwise(0L))
+          .as("n_conf_rows"),
+        sum(col("n_confusable")).as("n_confusable"),
+        countDistinct(col("text")).as("distinct_text"),
+        countDistinct(col("fold")).as("distinct_fold"))
+      .withColumn("fold_collisions",
+        col("distinct_text") - col("distinct_fold"))
+  }
 }

@@ -1391,6 +1391,13 @@ object LlmOps {
           graft.operators.EvalOps.ratings(Tables.documents(s, d)))
         .orderBy(col("source"))),
 
+    // confusable-fold dedup-evasion audit: homoglyph evader twins are
+    // new distinct texts that fold back onto their originals —
+    // fold_collisions counts exactly what exact-dedup would have missed
+    "q305_confusable_fold" -> ((s, d) =>
+      TextAnalysis.confusableDedupAudit(Tables.documents(s, d))
+        .orderBy(col("source"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -7656,6 +7663,43 @@ object LlmOps {
             CAST((CAST(pan AS HUGEINT) * ed - en * pad) * 1000000
               // (pad * (ed - en)) AS BIGINT) END AS ac1_6
         FROM j ORDER BY source""",
+
+    // fold chain + evader alphabet + confusable-count char set are all
+    // GENERATED from graft.functions.ConfusableTable / the shared
+    // evader pair — the two sides share one table and cannot drift.
+    // Every sum(BIGINT) is cast back to BIGINT (HUGEINT-widening class,
+    // round-12 root cause).
+    "q305_confusable_fold" -> {
+      val allFrom = graft.functions.ConfusableTable.singleFrom +
+        graft.functions.ConfusableTable.multi.map(_._1).mkString
+      s"""WITH base AS (SELECT doc_id, source, text,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+        rows_all AS (
+          SELECT source, text, 'orig' AS variant FROM base
+          UNION ALL
+          SELECT source,
+            translate(text, '${graft.operators.TextAnalysis.EvaderLatin}',
+              '${graft.operators.TextAnalysis.EvaderCyrillic}') AS text,
+            'evader' AS variant FROM base WHERE h % 10 < 3),
+        f AS (SELECT source, variant, text,
+            ${graft.functions.ConfusableTable.oracleSql("text")} AS fold,
+            CAST(length(text)
+              - length(translate(text, '$allFrom', '')) AS BIGINT)
+              AS n_confusable
+          FROM rows_all)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN variant = 'evader' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_evaders,
+          CAST(sum(CASE WHEN n_confusable > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_conf_rows,
+          CAST(sum(n_confusable) AS BIGINT) AS n_confusable,
+          CAST(count(DISTINCT text) AS BIGINT) AS distinct_text,
+          CAST(count(DISTINCT fold) AS BIGINT) AS distinct_fold,
+          CAST(count(DISTINCT text) - count(DISTINCT fold) AS BIGINT)
+            AS fold_collisions
+        FROM f GROUP BY source ORDER BY source"""
+    },
 
     // same distinct (order, brand) baskets, basket-keyed pair join,
     // integer confidence/lift with the HUGEINT product

@@ -299,6 +299,8 @@ object PlanDump {
       "KR-20/Cronbach alpha: the Cochran per-model + per-task censuses (map-side combined), one broadcast join, |slices|-row exact division.",
     "q304_gwet_ac1" ->
       "Gwet AC1: the Fleiss census shapes (item-keyed then source-keyed aggregations), one join of |sources|-row frames, exact HUGEINT-class division.",
+    "q305_confusable_fold" ->
+      "Confusable-fold dedup-evasion audit: the fold skeleton and the confusable count are row-local codegen (native confusable_fold expression + translate), fused with the evader-twin union into one scan pass; the only shuffle is the per-source census whose two countDistincts expand over the same exchange. No join anywhere — at 100 TB this costs the exact-dedup census it guards, on ~1.3x the rows.",
     "q73_embed_project" ->
       "JL sign projection via the native sign_project codegen expression (round-12 promotion): one allocation-free loop per row vs the transform-of-aggregate-of-zip_with HOF nest (two intermediate arrays per (row, dim), outside codegen). Bit-identical to the HOF chain (spec-pinned), oracle unchanged. Gain is ~10% host-normalized on THIS fixture's narrow vectors (the allocation win scales with vector width — at 768-dim production embeddings the HOF intermediates dominate).",
     "q97_text_embed" ->

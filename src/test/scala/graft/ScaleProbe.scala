@@ -210,7 +210,13 @@ object ScaleProbe {
     // calendar cum (replicas add volume to the same days)
     "q300_pacf", "q301_ansari_bradley", "q302_sprt",
     // gen-18e: KR-20 shares Cochran's censuses; AC1 the Fleiss census
-    "q303_kr20", "q304_gwet_ac1")
+    "q303_kr20", "q304_gwet_ac1",
+    // round 13: confusable fold — 1.3x rows through a row-local codegen
+    // translate chain, then ONE per-source agg whose countDistinct pair
+    // shuffles the distinct (text, fold) sets; distinct texts grow
+    // linearly with the suffixed replicas, so ~linear is the honest
+    // expectation and the probe is the falsification
+    "q305_confusable_fold")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
