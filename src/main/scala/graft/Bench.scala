@@ -21,6 +21,21 @@ object Bench {
   // the same anchor next to its warm timings.)
   def calibrationSec(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions.{sum => fsum, count => fcount, expr}
+    // warm the anchor's OWN codegen/JIT paths at 1/100 scale before
+    // sampling: the pre-sweep call is otherwise the JVM's first heavy
+    // workload of the run and min-of-3 alone leaves it biased high vs
+    // post-sweep samples, skewing the lower-median on stable hosts
+    // (round-12 advice). ~0.1 s, outside the timed region.
+    spark.range(0, 2000000L, 1, 32)
+      .selectExpr("xxhash64(id) as h")
+      .groupBy(expr("pmod(h, 1024)").as("b"))
+      .agg(fsum(expr("pmod(h, 1048576)")).as("s"), fcount(expr("*")).as("c"))
+      .write.format("noop").mode("overwrite").save()
+    spark.range(0, 20000L, 1, 32)
+      .selectExpr("xxhash64(id) as h", "id")
+      .repartition(32, expr("pmod(h, 32)"))
+      .sortWithinPartitions("h")
+      .write.format("noop").mode("overwrite").save()
     (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       // summand bounded to 2^20 so the 2e8-row sum stays ~2e14 —

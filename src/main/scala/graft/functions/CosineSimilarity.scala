@@ -107,6 +107,18 @@ case class SignProject(child: Expression, outDim: Int)
         s"(${child.dataType.simpleString}, $outDim)")
   }
 
+  // A null ELEMENT poisons the projection: the kernel returns null and
+  // the whole expression is NULL (round-12 advice — getDouble on a null
+  // slot would otherwise read an arbitrary value). The HOF reference
+  // degrades to an array of outDim nulls in the same case; whole-row
+  // NULL is the total-expression equivalent under this containsNull=false
+  // output type, and both are "unusable output", never a wrong number.
+  override def nullable: Boolean =
+    child.nullable || (child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _                => true
+    })
+
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def prettyName: String = "sign_project"
@@ -117,8 +129,20 @@ case class SignProject(child: Expression, outDim: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.GraftFunctions.signProjectKernel($c, $outDim);")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("proj")
+      // when nullable=false (non-null elements proven at analysis time)
+      // ev.isNull is the literal "false" — not assignable, and the kernel
+      // can't return null either, so only emit the null branch if needed
+      val nullBranch =
+        if (nullable) s"if ($tmp == null) { ${ev.isNull} = true; } else"
+        else ""
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+          graft.functions.GraftFunctions.signProjectKernel($c, $outDim);
+        $nullBranch { ${ev.value} = $tmp; }
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SignProject =
     copy(child = newChild)
@@ -127,10 +151,16 @@ case class SignProject(child: Expression, outDim: Int)
 object GraftFunctions {
 
   /** Shared by interpreted eval and generated code — one pass per dim,
-    * additions in the HOF fold's left-to-right element order.
+    * additions in the HOF fold's left-to-right element order. Returns
+    * null (→ NULL expression result) if any element slot is null.
     */
   def signProjectKernel(v: ArrayData, outDim: Int): ArrayData = {
     val n = v.numElements()
+    var k = 0
+    while (k < n) {
+      if (v.isNullAt(k)) return null
+      k += 1
+    }
     val out = new Array[Double](outDim)
     var j = 0
     while (j < outDim) {

@@ -242,6 +242,21 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
     assert(a === hof, "native kernel must replay the HOF float chain")
   }
+
+  test("sign projection: a null vector element yields NULL, never a misread") {
+    // round-12 advice: getDouble on a null slot reads an arbitrary value;
+    // the kernel must detect the slot and return whole-expression NULL
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.signProject(df, outDim = 4)
+      .select($"vec_id", $"proj").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else r.getSeq[Double](1).toVector)).toMap
+    assert(out(1L) != null && out(1L).size == 4)
+    assert(out(2L) == null, "null element must poison the projection")
+  }
 }
 
 class CorpusOpsSpec extends SparkSpec {
