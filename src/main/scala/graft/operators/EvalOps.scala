@@ -192,7 +192,32 @@ object EvalOps {
     // driver-bounded collects: ≤ |models|² + |models| rows
     val e = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val wins = winsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val models = e.map(_._1).distinct.sorted.toSeq
+    val ranked = btMmFit(e.toSeq, wins, iters).map {
+      case (rank, i, g, w, str) => (rank, i, g, w, str.toDouble / 1e6)
+    }
+    ranked.toDF("rank", "model", "games", "wins", "strength")
+  }
+
+  /** The integer MM core of [[bradleyTerry]], extracted verbatim so the
+    * streaming face ([[graft.streaming.EventStreams.bradleyTerryMonitor]])
+    * refits the SAME recurrence per epoch and the spec can assert stream
+    * ≡ batch bit-for-bit. Pure function on a leaderboard-sized census:
+    * `edges` is the symmetric (i, j, n) pair matrix (both directions
+    * present), `wins` the per-model win counts. Every addend and every
+    * division floor-truncates in ×10⁶ / ×10¹² integer space, so a fixed
+    * `iters` yields bit-identical strengths in any engine — the q169
+    * SQL oracle unrolls the same rounds with `//`. Sums are order-free
+    * (Long addition is associative; each addend is independently
+    * floored), so map-iteration order cannot leak into the result.
+    * Ceiling: n·10¹² stays in BIGINT to n ≈ 9.2·10⁶ games per ordered
+    * pair — pre-bucket beyond that.
+    *
+    * Returns (rank, model, games, wins, strength6) sorted by
+    * (−strength6, model), rank 1-based.
+    */
+  private[graft] def btMmFit(e: Seq[(Long, Long, Long)],
+      wins: Map[Long, Long], iters: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    val models = e.map(_._1).distinct.sorted
     val m = models.length
     val gamesPer = e.groupBy(_._1).map { case (i, es) => i -> es.map(_._3).sum }
     val byI = e.groupBy(_._1)
@@ -207,12 +232,11 @@ object EvalOps {
       val t = u.values.sum
       s = u.map { case (i, v) => i -> v * m * 1000000L / t }
     }
-    val ranked = models.map(i => (i, gamesPer(i), wins.getOrElse(i, 0L), s(i)))
+    models.map(i => (i, gamesPer(i), wins.getOrElse(i, 0L), s(i)))
       .sortBy { case (i, _, _, str) => (-str, i) }
       .zipWithIndex.map { case ((i, g, w, str), idx) =>
-        (idx + 1L, i, g, w, str.toDouble / 1e6)
+        (idx + 1L, i, g, w, str)
       }
-    ranked.toDF("rank", "model", "games", "wins", "strength")
   }
 
   /** Deterministic eval-run fixture: per task (document), `n` samples

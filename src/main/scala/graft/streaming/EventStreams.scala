@@ -287,4 +287,104 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class BtGame(key: String, epoch: Long, model_a: Long,
+      model_b: Long, winner: Long)
+  final case class BtCensus(lastEpoch: Long, pi: Seq[Long], pj: Seq[Long],
+      pn: Seq[Long], wm: Seq[Long], wn: Seq[Long])
+  final case class BtStanding(key: String, epoch: Long, rank: Long,
+      model: Long, games: Long, wins: Long, strength6: Long)
+
+  /** Streaming Bradley–Terry leaderboard — the continuously-running face
+    * of [[graft.operators.EvalOps.bradleyTerry]] (q169): the CUMULATIVE
+    * pair census (symmetric nᵢⱼ matrix + per-model win counts) carried
+    * across micro-batches in keyed state, refit per epoch with the SAME
+    * integer MM recurrence ([[graft.operators.EvalOps.btMmFit]] — the
+    * exact code the batch operator runs), emitting the post-epoch
+    * leaderboard: one (rank, model, games, wins, strength6) row per
+    * model per folded epoch. A leaderboard that only ever refits from
+    * scratch over all history re-reads the full game log every update;
+    * this face reads each game once and keeps only the census.
+    *
+    * State is the m² pair counts + m win counts per key — LEADERBOARD-
+    * sized (50 models ≈ 2.5k longs), independent of stream length. The
+    * group's batch iterator is folded DIRECTLY into per-epoch census
+    * increments (never buffered: census accumulation is order-free
+    * within an epoch), so per-trigger heap is O(epochs·m²), not O(games).
+    * The MM refit is O(iters·m²) per epoch, executor-side on the census.
+    *
+    * Epochs are CLOSED once folded (the [[cusumMonitor]] contract — the
+    * emitted leaderboard for an epoch must never silently change): a
+    * game arriving at or before the last folded epoch is not folded;
+    * each late (epoch, key) group returns one flagged sentinel row
+    * (rank = −1, model = −1, games = dropped-game count, strength6 =
+    * Long.MinValue) so late data is visible to the sink. Deliver each
+    * epoch wholly within one trigger (e.g. file-per-epoch landing, the
+    * annIngest posture) for exact batch equivalence; a replayed epoch
+    * is a no-op on the census — the replay comes back flagged instead
+    * of double-counting (the spec pins exactly this).
+    */
+  def bradleyTerryMonitor(games: Dataset[BtGame], iters: Int = 10)
+      : Dataset[BtStanding] = {
+    val spark = games.sparkSession
+    import spark.implicits._
+    games.groupByKey(_.key)
+      .flatMapGroupsWithState[BtCensus, BtStanding](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[BtGame], state: GroupState[BtCensus]) =>
+          val st = state.getOption.getOrElse(
+            BtCensus(Long.MinValue, Nil, Nil, Nil, Nil, Nil))
+          val pairs = scala.collection.mutable.LinkedHashMap(
+            st.pi.lazyZip(st.pj).lazyZip(st.pn)
+              .map((i, j, n) => (i, j) -> n).toSeq: _*)
+          val wins = scala.collection.mutable.LinkedHashMap(
+            st.wm.zip(st.wn): _*)
+          // fold the iterator directly into per-epoch increments
+          val epPairs = scala.collection.mutable.Map
+            .empty[Long, scala.collection.mutable.Map[(Long, Long), Long]]
+          val epWins = scala.collection.mutable.Map
+            .empty[Long, scala.collection.mutable.Map[Long, Long]]
+          val late = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+          var lastEpoch = st.lastEpoch
+          it.foreach { g =>
+            if (g.epoch <= lastEpoch)
+              late(g.epoch) = late.getOrElse(g.epoch, 0L) + 1L
+            else {
+              val p = epPairs.getOrElseUpdate(g.epoch,
+                scala.collection.mutable.Map.empty)
+              p((g.model_a, g.model_b)) =
+                p.getOrElse((g.model_a, g.model_b), 0L) + 1L
+              p((g.model_b, g.model_a)) =
+                p.getOrElse((g.model_b, g.model_a), 0L) + 1L
+              val w = epWins.getOrElseUpdate(g.epoch,
+                scala.collection.mutable.Map.empty)
+              w(g.winner) = w.getOrElse(g.winner, 0L) + 1L
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[BtStanding]
+          epPairs.keys.toSeq.sorted.foreach { ep =>
+            epPairs(ep).foreach { case (k, n) =>
+              pairs(k) = pairs.getOrElse(k, 0L) + n
+            }
+            epWins(ep).foreach { case (mdl, w) =>
+              wins(mdl) = wins.getOrElse(mdl, 0L) + w
+            }
+            lastEpoch = ep
+            val edges = pairs.toSeq.map { case ((i, j), n) => (i, j, n) }
+            out ++= graft.operators.EvalOps
+              .btMmFit(edges, wins.toMap, iters)
+              .map { case (r, mdl, g, w, s6) =>
+                BtStanding(key, ep, r, mdl, g, w, s6)
+              }
+          }
+          late.foreach { case (ep, n) =>
+            out += BtStanding(key, ep, -1L, -1L, n, 0L, Long.MinValue)
+          }
+          val (pi, pj, pn) = pairs.toSeq
+            .map { case ((i, j), n) => (i, j, n) }.unzip3
+          state.update(BtCensus(lastEpoch, pi, pj, pn,
+            wins.keys.toSeq, wins.values.toSeq))
+          out.iterator
+      }
+  }
 }

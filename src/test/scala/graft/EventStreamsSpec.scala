@@ -189,6 +189,65 @@ class EventStreamsSpec extends SparkSpec {
     assert(late.filter(_.decision != "late") === oneShot)
   }
 
+  test("bradleyTerryMonitor: per-epoch refit over the cumulative census, " +
+      "trigger-split equals one-shot, final epoch equals batch, replayed " +
+      "epoch flagged not double-counted") {
+    import EventStreams.{BtGame, BtStanding}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // two-epoch drift: epoch 1 favors model 2 (beats 0 and 1 in 8/10),
+    // epoch 2 flips — model 0 sweeps both rivals 9/10 — so the
+    // cumulative leaderboard must rank 2 first after epoch 1 and 0
+    // first after epoch 2
+    def games(ep: Long, a: Long, b: Long, aWins: Int, n: Int): Seq[BtGame] =
+      (0 until n).map(g =>
+        BtGame("arena", ep, a, b, if (g < aWins) a else b))
+    val ep1 = games(1L, 2L, 0L, 8, 10) ++ games(1L, 2L, 1L, 8, 10) ++
+      games(1L, 0L, 1L, 5, 10)
+    val ep2 = games(2L, 0L, 2L, 9, 10) ++ games(2L, 0L, 1L, 9, 10) ++
+      games(2L, 1L, 2L, 5, 10)
+    def run(chunks: Seq[Seq[BtGame]], name: String): Seq[BtStanding] = {
+      val mem = MemoryStream[BtGame]
+      val q = EventStreams.bradleyTerryMonitor(mem.toDS()).toDF()
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).as[BtStanding].collect()
+        .sortBy(s => (s.epoch, s.rank, s.model)).toSeq
+    }
+    val oneShot = run(Seq(ep1, ep2), "bt_a")
+    // one leaderboard row per model per epoch
+    assert(oneShot.count(_.epoch == 1L) === 3)
+    assert(oneShot.count(_.epoch == 2L) === 3)
+    // drift visible: 2 tops epoch 1, 0 tops the cumulative epoch 2
+    assert(oneShot.find(s => s.epoch == 1L && s.rank == 1L).get.model === 2L)
+    assert(oneShot.find(s => s.epoch == 2L && s.rank == 1L).get.model === 0L)
+    // census accumulates: epoch-2 games column counts BOTH epochs
+    assert(oneShot.filter(_.epoch == 2L).map(_.games).sum === 120L)
+    // state carries across trigger boundaries (epochs in separate
+    // triggers ≡ both in one)
+    val split = run(Seq(ep1 ++ ep2), "bt_b")
+    assert(oneShot === split, "state must carry across triggers")
+    // final epoch ≡ the batch operator on the full game log (the shared
+    // btMmFit makes this bit-exact: strength6 = round(strength·1e6))
+    val batch = graft.operators.EvalOps.bradleyTerry(
+      (ep1 ++ ep2).toDF().select($"model_a", $"model_b", $"winner"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), math.round(r.getDouble(4) * 1e6))).toSeq
+    val streamFinal = oneShot.filter(_.epoch == 2L)
+      .map(s => (s.rank, s.model, s.games, s.wins, s.strength6))
+    assert(streamFinal === batch)
+    // replayed epoch: flagged with the sentinel row, never refolded —
+    // the in-order rows are bit-identical to the clean run
+    val replay = run(Seq(ep1, ep2, ep1), "bt_c")
+    val flagged = replay.filter(_.strength6 == Long.MinValue)
+    assert(flagged.map(s => (s.epoch, s.rank, s.model, s.games)) ===
+      Seq((1L, -1L, -1L, 30L)))
+    assert(replay.filterNot(_.strength6 == Long.MinValue) === oneShot)
+  }
+
   test("misra-gries heavy hitters: bounded state, MG guarantees, carryover") {
     import EventStreams.{MgEvent, HeavyHitter}
     // skewed synthetic stream: user 42 owns ~40% of 'view' traffic; the
