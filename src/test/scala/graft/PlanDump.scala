@@ -257,8 +257,12 @@ object PlanDump {
       "CMH: one (stratum) census with map-side partials computing all four 2x2 cells as conditional sums, |strata|-row exact E6/V6 arithmetic folding to ONE report row.",
     "q276_benford" ->
       "Benford: row-local first digit from the integer's decimal string, one (group, digit) census, broadcast 9-row constant spine, integer TV fold — report-sized after the census.",
+    "q49_normalize" ->
+      "Text normalization: row-local codegen regex/case chain, zero shuffles besides the output sort. (Round-13 probe of the r12 1.32x normalized flag: warm 0.41 s at anchor 0.997 s = 0.93x the r11 official host-normalized — host noise, plan unchanged.)",
+    "q176_dp_histogram" ->
+      "eps-DP histogram: one census + seeded discrete-Laplace noise from row-local hashes — report-sized after the aggregation. (Round-13 probe of the r12 1.30x normalized flag: warm 0.19 s at anchor 0.997 s = 0.82x the r11 official host-normalized — host noise, plan unchanged.)",
     "q277_dedup_roi" ->
-      "Dedup ROI: the q64 prefix-filtered cluster pass, then one left join of per-doc word counts against cluster labels + survivor join ON THE CLUSTER ID (min member — no ranking window) + two aggregations to a <= max-cluster-size report.",
+      "Dedup ROI: the q64 prefix-filtered cluster pass, then one left join of per-doc word counts against cluster labels + survivor join ON THE CLUSTER ID (min member — no ranking window) + two aggregations to a <= max-cluster-size report. (Round-13 probe of the r12 1.33x normalized flag: warm 3.40 s at calibration anchor 0.997 s = 1.11x the r11 official host-normalized, inside the 1.25x review line — host noise on the 2-sweep min, plan unchanged; chain siblings q26/q64/q66 all ran FASTER in r12.)",
     "q278_mutual_info" ->
       "Mutual information: per column pair one OCCUPIED-cell census (no dense spine — absent cells are exact zeros in MI), margin joins, per-cell quantized ln summands folding to a report row per pair.",
     "q110_edit_verified_dups" ->
@@ -274,7 +278,7 @@ object PlanDump {
     "q286_changepoint" ->
       "Changepoint: calendar-bounded cumulative prefix, exact x1e6 q/r-split gain per split, max-then-join-back argmax (no version-sensitive arg_max constructs).",
     "q289_jonckheere" ->
-      "Jonckheere-Terpstra: dense |groups|x|values| grid (the ksTest shape), per-group cumulative window, ordered-pair dominance fold — trend counted from CDFs, never a row-pair join.",
+      "Jonckheere-Terpstra: dense |groups|x|values| grid (the ksTest shape), per-group cumulative window, ordered-pair dominance fold — trend counted from CDFs, never a row-pair join. (Round-13 probe of the r12 1.26x normalized flag: warm 0.80 s at anchor 0.997 s = 0.72x the r11 official host-normalized — host noise, plan unchanged.)",
     "q291_friedman" ->
       "Friedman/Kendall W: dense day x treatment grid, per-day doubled midranks over <=k-row value censuses, exact integer tie-corrected Q — ranks never leave the calendar.",
     "q293_burrows_delta" ->
