@@ -455,7 +455,7 @@ object ScaleProbe {
     // split → corpus landing through pipelineEpoch (the exact code the
     // foreachBatch stream drives), 3 epochs, fresh table family per run.
     // Same shape as `chain` but through the nine-table streaming face.
-    if (mode == "pipeline" || mode == "all") {
+    if (mode == "pipeline" || mode == "pipeline100" || mode == "all") {
       import org.apache.spark.sql.types.StructType
       def runPipe(dir: String, limit: Long): Double = {
         val all = spark.read.parquet(s"$dir/documents.parquet")
@@ -495,11 +495,23 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }
       runPipe(SrcDir, limit = 500) // warmup
-      val a = runPipe(SrcDir, 0)
-      val b = runPipe(DstDir, 0)
-      val expo = math.log(b / a) / math.log(Replicas.toDouble)
-      println(f"| pipeline_ingest_3epoch | $a%.2f | $b%.2f | ${b / a}%.1f× " +
-        f"| $expo%.2f |")
+      if (mode == "pipeline100") {
+        // round-12 verdict task 8: one composed 3-epoch chain at 100×
+        // (the gen100 replica set — run `gen100` first), matching the
+        // dense-grid/CDC-demux 100× evidence. Epoch slicing is the same
+        // doc_id % 3, so each epoch carries ~33 replicas' volume.
+        val a = runPipe(SrcDir, 0)
+        val b = runPipe(Dst100, 0)
+        val expo = math.log(b / a) / math.log(Replicas100.toDouble)
+        println(f"| pipeline_ingest_3epoch_100x | $a%.2f | $b%.2f " +
+          f"| ${b / a}%.1f× | $expo%.2f |")
+      } else {
+        val a = runPipe(SrcDir, 0)
+        val b = runPipe(DstDir, 0)
+        val expo = math.log(b / a) / math.log(Replicas.toDouble)
+        println(f"| pipeline_ingest_3epoch | $a%.2f | $b%.2f | ${b / a}%.1f× " +
+          f"| $expo%.2f |")
+      }
     }
     if (mode == "gen100") {
       Files.createDirectories(Paths.get(Dst100))
