@@ -145,6 +145,131 @@ object EvalOps {
         col("_q").as("n_cats"), col("_ac16").as("ac1_6"))
   }
 
+  /** Randolph's free-marginal multirater κ (q309) — the third corner of
+    * the chance-correction triangle beside [[fleissKappa]] (prevalence-
+    * based pe, punishes skewed labels) and [[gwetAC1]] (uncertainty-
+    * based pe): Randolph (2005) prices chance at the FIXED-marginal
+    * floor pe = 1/q — the right model when raters are NOT quota-bound
+    * to reproduce a label distribution (every labeling rubric without
+    * per-class quotas), and the standard companion report when Fleiss κ
+    * and raw agreement disagree. κ_free = (p̄ − 1/q)/(1 − 1/q).
+    *
+    * Exactness: p̄₆ is the IDENTICAL Fleiss quantity (same census, same
+    * floor); κ_free₆ = (p̄₆·q − 10⁶) div (q − 1) — one truncating
+    * division on the already-quantized p̄₆ (the fleiss κ₆ double-floor
+    * contract). q counts the OBSERVED categories in the group (the
+    * gwetAC1 convention, documented — a category no rater ever used is
+    * unknowable here). Constant-raters contract gated (rmin = rmax);
+    * q < 2 or r < 2 → NULL.
+    *
+    * Scale: the Fleiss census shapes — item-keyed then source-keyed
+    * aggregations, |sources|-row arithmetic.
+    */
+  def randolphKappa(ratingsDf: DataFrame): DataFrame = {
+    val cnt = ratingsDf.groupBy(col("source"), col("item_id"), col("cat"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cnt.groupBy(col("source"), col("item_id"))
+      .agg(sum(col("c") * col("c")).as("s2"), sum(col("c")).as("n_i"))
+    val perSource = perItem.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_items"), sum(col("s2")).as("sum_s2"),
+        max(col("n_i")).as("n_raters"), min(col("n_i")).as("_rmin"))
+    val cats = cnt.groupBy(col("source"))
+      .agg(countDistinct(col("cat")).as("n_cats"))
+    val nn = col("n_items") * col("n_raters")
+    perSource.join(cats, Seq("source"))
+      .withColumn("_pbar6", floor((col("sum_s2") - nn) * 1000000L /
+        (nn * (col("n_raters") - 1))))
+      .withColumn("kfree6", when(col("_rmin") === col("n_raters")
+          && col("n_cats") >= 2 && col("n_raters") >= 2,
+        expr("(_pbar6 * n_cats - 1000000) div (n_cats - 1)")))
+      .select(col("source"), col("n_items"), col("n_raters"),
+        col("n_cats"), col("_pbar6").as("pbar6"), col("kfree6"))
+  }
+
+  /** Deterministic paired-categorical fixture for [[bowker]]: per task,
+    * model A's and model B's answer CATEGORY (0..q−1) — the multi-class
+    * face of [[modelOutcomes]]' booleans. A's category is the id-hash
+    * class; B agrees except on a decorrelated draw (second
+    * multiplicative fold through a different prime — the [[predictions]]
+    * nonlinearity discipline, an affine second step would correlate
+    * with catA over the id lattice): u%20 ∈ {0,1,2} → B answers one
+    * class UP (mod q), u%20 = 3 → one class DOWN — a planted 3:1
+    * directional asymmetry, exactly what Bowker exists to detect.
+    * Output (task_id, source, cat_a, cat_b).
+    */
+  def pairedCats(docs: DataFrame, nCats: Int = 4): DataFrame = {
+    val h = CorpusOps.idHash(col("task_id"))
+    val u = ((h % 999983L) * 48271L) % 2147483647L % 20L
+    val ca = h % nCats
+    docs.select(col("doc_id").as("task_id"), col("source"))
+      .withColumn("cat_a", ca.cast("long"))
+      .withColumn("cat_b",
+        when(u < 3, (ca + 1) % nCats)
+          .when(u === 3, (ca + nCats - 1) % nCats)
+          .otherwise(ca).cast("long"))
+  }
+
+  /** Bowker's symmetry test (q310) — [[mcnemar]] generalized to q ≥ 2
+    * answer categories: on paired per-task categorical outcomes, is the
+    * disagreement DIRECTIONAL (model B systematically drifts answers
+    * toward certain classes — the signature of a miscalibrated refusal/
+    * hedge class) or symmetric noise? χ² = Σ_{i<j}(n_ij−n_ji)²/(n_ij+n_ji)
+    * with df = #{pairs with n_ij+n_ji > 0} (empty pairs carry no
+    * information and drop from both the sum and the df — the standard
+    * convention).
+    *
+    * Exactness: the (source, cat_a, cat_b) census collapses map-side;
+    * the q(q−1)/2 pair spine is a broadcast literal grid; each term
+    * floors independently at millionths ((n_ij−n_ji)²·10⁶ div
+    * (n_ij+n_ji) — per-term flooring, replayed identically by the
+    * oracle) and χ²₆ is their exact sum. Significance via the
+    * Wilson–Hilferty cube at the OBSERVED df (the friedman recipe),
+    * df floored at 1 under the gate. df = 0 (no discordant pairs at
+    * all) → NULL.
+    *
+    * Scale: corpus rows enter ONE census; everything after is
+    * |sources|·q²-row arithmetic.
+    */
+  def bowker(paired: DataFrame, nCats: Int = 4): DataFrame = {
+    val cells = paired.groupBy(col("source"),
+        col("cat_a").as("_i"), col("cat_b").as("_j"))
+      .agg(count(lit(1)).as("_c"))
+    val srcs = paired.select(col("source")).distinct()
+    val pairSpine = (for { i <- 0 until nCats; j <- (i + 1) until nCats }
+      yield (i.toLong, j.toLong)).toSeq
+    val spine = srcs.crossJoin(broadcast(
+      paired.sparkSession.createDataFrame(pairSpine)
+        .toDF("_i", "_j")))
+    val terms = spine
+      .join(cells, Seq("source", "_i", "_j"), "left")
+      .withColumnRenamed("_c", "_nij")
+      .join(cells.select(col("source"), col("_i").as("_j"),
+        col("_j").as("_i"), col("_c").as("_nji")),
+        Seq("source", "_i", "_j"), "left")
+      .withColumn("_nij", coalesce(col("_nij"), lit(0L)))
+      .withColumn("_nji", coalesce(col("_nji"), lit(0L)))
+      .withColumn("_tot", col("_nij") + col("_nji"))
+      .withColumn("_t6", when(col("_tot") > 0,
+        expr("""CAST(_nij - _nji AS DECIMAL(38,0)) * (_nij - _nji)
+                * 1000000 div nullif(_tot, 0)""").cast("long"))
+        .otherwise(lit(0L)))
+    terms.groupBy(col("source"))
+      .agg(count(lit(1)).as("_npairs"),
+        sum(when(col("_tot") > 0, 1L).otherwise(0L)).as("df"),
+        sum(col("_t6")).as("chi2_6"),
+        sum(col("_tot")).as("n_discordant"))
+      .withColumn("_nu", greatest(col("df"), lit(1L)).cast("double"))
+      .withColumn("_wh", lit(1.0) - lit(2.0) / (lit(9.0) * col("_nu"))
+        + lit(1.6448536269514722) * sqrt(lit(2.0) / (lit(9.0) * col("_nu"))))
+      .withColumn("crit6", when(col("df") >= 1, floor(col("_nu")
+        * col("_wh") * col("_wh") * col("_wh") * 1e6).cast("long")))
+      .select(col("source"), col("df"), col("n_discordant"),
+        when(col("df") >= 1, col("chi2_6")).as("chi2_6"),
+        col("crit6"),
+        when(col("df") >= 1, col("chi2_6") > col("crit6"))
+          .as("asymmetric"))
+  }
+
   /** Deterministic pairwise-battle fixture: one game per document between
     * two of `nModels` systems. Contestant a = idHash % m, opponent
     * b = (a + 1 + idHash % (m−1)) % m (always ≠ a), and the winner is
@@ -954,6 +1079,120 @@ object EvalOps {
         (col("d6").cast("double") / 1e6).as("d_stat"),
         (col("crit6").cast("double") / 1e6).as("crit_05"),
         (col("d6") > col("crit6")).as("drifted"))
+  }
+
+  // shared by cvmTest/kuiper: the ksTest VALUE-SET grid with the ECDF
+  // difference carried as the EXACT common-denominator integer
+  // dInt = cum·n_rest − cum_rest·n (= (F−G)·n·n_rest) — no per-row
+  // quantization at all; each statistic floors exactly once at the end.
+  private def edfGrid(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val g = df.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val vals = g.groupBy(col("_v")).agg(sum(col("_c")).as("_ct"))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val valsCum = vals.withColumn("_cumall", sum(col("_ct")).over(wAll))
+    val groups = g.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+    val nAll = g.agg(sum(col("_c")).as("_nall"))
+    val grid = valsCum.crossJoin(broadcast(groups))
+      .join(g, Seq("_g", "_v"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    grid.withColumn("_cum", sum(col("_c")).over(wG))
+      .crossJoin(broadcast(nAll))
+      .withColumn("_nrest", col("_nall") - col("_n"))
+      .withColumn("_dint", col("_cum").cast("decimal(38,0)") * col("_nrest")
+        - (col("_cumall") - col("_cum")).cast("decimal(38,0)") * col("_n"))
+  }
+
+  /** Cramér–von Mises two-sample test per group vs the REST (q306) —
+    * [[ksTest]]'s INTEGRATED-difference companion: KS reads only the
+    * single worst ECDF gap, so a distribution that differs a little
+    * EVERYWHERE (the usual shape of template/boilerplate contamination
+    * spread across a source) can hide under the D line; CvM sums the
+    * squared gap over the whole pooled sample and catches exactly that.
+    * T = nm/N² · Σ_pooled (F(x)−G(x))², the Anderson (1962) two-sample
+    * form, evaluated at every pooled observation (each distinct value
+    * weighted by its pooled multiplicity).
+    *
+    * Exactness: over the value-set grid the gap is the EXACT integer
+    * dInt = cum·m − cum_rest·n, so Σ ct·dInt² is exact DECIMAL(38,0)
+    * and T₆ = (Σ ct·dInt²)·10⁶ div (N²·n·m) — ONE truncating division,
+    * no per-point quantization (tighter than the ksTest read, which
+    * floors each ECDF — affordable here because the common denominator
+    * never leaves integer space). Ceiling: Σ ct·dInt² ≤ N·(nm)² rides
+    * DECIMAL(38,0) to N ≈ 2·10⁶ pooled rows per comparison — collapse
+    * to value sets upstream holds the grid far below that. Verdict:
+    * t6 > 461000, the asymptotic ω² α = 0.05 point (0.461, Anderson
+    * 1962) as a fixed integer constant (the mcnemar 3841458 precedent).
+    * Groups covering the whole corpus report NULL (the ksTest
+    * degenerate contract).
+    *
+    * Scale: identical to ksTest — |groups|×|values| grid rows, never
+    * corpus rows; one grid aggregation to |groups| report rows.
+    */
+  def cvmTest(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    edfGrid(df, groupCol, valueCol)
+      .groupBy(col("_g"))
+      .agg(max(col("_n")).as("n_group"), max(col("_nrest")).as("n_rest"),
+        sum(col("_ct").cast("decimal(38,0)") * col("_dint") * col("_dint"))
+          .as("_sd2"), max(col("_nall")).as("_nall"))
+      .withColumn("cvm6", when(col("n_rest") > 0, expr(
+        """_sd2 * 1000000 div nullif(CAST(_nall AS DECIMAL(38,0)) * _nall
+           * n_group * n_rest, 0)""").cast("long")))
+      .select(col("_g").as(groupCol), col("n_group"), col("n_rest"),
+        col("cvm6"), when(col("n_rest") > 0, col("cvm6") > 461000L)
+          .as("differs"))
+  }
+
+  /** Kuiper two-sample test per group vs the REST (q307) — the
+    * rotation-invariant [[ksTest]]: V = D⁺ + D⁻ weighs the largest gap
+    * ABOVE and the largest gap BELOW equally, so it keeps power at the
+    * distribution's tails (a source whose lengths differ only in the
+    * extremes moves D⁺ and D⁻ asymmetrically little but their SUM
+    * reliably) — the classic astronomy/circular-statistics variant,
+    * Kuiper (1960).
+    *
+    * Exactness: D⁺ = max(dInt), D⁻ = max(−dInt) as exact integers over
+    * the grid (both sups land on pooled jump points, where the grid
+    * evaluates both ECDFs), clamped at 0; V₆ = (D⁺int + D⁻int)·10⁶ div
+    * (n·m) — ONE floor on the sum. Critical band 1 747 000·√(N/(nm))
+    * via one IEEE sqrt (the ksTest 1.358 recipe; 1.747 is the
+    * asymptotic Kuiper α = 0.05 point). n_rest = 0 → NULL.
+    *
+    * Scale: the ksTest grid shape exactly.
+    */
+  def kuiper(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    edfGrid(df, groupCol, valueCol)
+      .groupBy(col("_g"))
+      .agg(max(col("_n")).as("n_group"), max(col("_nrest")).as("n_rest"),
+        greatest(max(col("_dint")), lit(0L).cast("decimal(38,0)"))
+          .as("_dp"),
+        greatest(max(-col("_dint")), lit(0L).cast("decimal(38,0)"))
+          .as("_dm"))
+      .withColumn("dplus6", when(col("n_rest") > 0, expr(
+        """_dp * 1000000 div nullif(CAST(n_group AS DECIMAL(38,0))
+           * n_rest, 0)""").cast("long")))
+      .withColumn("dminus6", when(col("n_rest") > 0, expr(
+        """_dm * 1000000 div nullif(CAST(n_group AS DECIMAL(38,0))
+           * n_rest, 0)""").cast("long")))
+      .withColumn("v6", when(col("n_rest") > 0, expr(
+        """(_dp + _dm) * 1000000 div nullif(CAST(n_group AS DECIMAL(38,0))
+           * n_rest, 0)""").cast("long")))
+      .withColumn("crit6", when(col("n_rest") > 0,
+        floor(lit(1747000.0) * sqrt((col("n_group") + col("n_rest"))
+          .cast("double") / (col("n_group") * col("n_rest"))
+          .cast("double"))).cast("long")))
+      .select(col("_g").as(groupCol), col("n_group"), col("n_rest"),
+        col("dplus6"), col("dminus6"), col("v6"), col("crit6"),
+        (col("v6") > col("crit6")).as("differs"))
   }
 
   /** Mann–Whitney U per group vs the REST of the corpus (q253) —

@@ -341,4 +341,52 @@ object GraphOps {
           expr("2 * coalesce(t, 0L) * 1000000 div (deg * (deg - 1))")
             .cast("double") / 1e6).as("clustering"))
   }
+
+  /** Degree assortativity coefficient (q311) — Newman (2002): the
+    * Pearson correlation of endpoint degrees over edges. The ONE-number
+    * topology read beside [[triangleCount]]'s closure: assortative
+    * (r > 0, peers link peers — real communities) vs disassortative
+    * (r < 0, hubs link leaves — the star/spam-farm shape). A crawl
+    * graph that flips sign between snapshots changed its growth regime.
+    *
+    * Exactness: over the SYMMETRIZED distinct edge relation (each
+    * undirected edge in both directions — the formula is invariant to
+    * the doubling, all sums scale together), with M = |directed edges|,
+    * A = Σ dᵤdᵥ, B = Σ(dᵤ+dᵥ), C = Σ(dᵤ²+dᵥ²), the correlation
+    * closed-forms to ONE truncating division on exact integers:
+    * r₆ = (4MA − B²)·10⁶ div (2MC − B²) — no per-edge quantization.
+    * DECIMAL(38,0) ceiling: MA ≤ M·dmax² rides to M ≈ 10¹² edges at
+    * dmax ≈ 10⁶. Degenerate regular graphs (den = 0, every degree
+    * equal) → NULL.
+    *
+    * Scale: one degree aggregation + one broadcast degree join onto
+    * edges + one global sum — never a wedge or pair term; the cost is
+    * the [[triangleCount]] degree-join prefix alone.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val e = sym
+      .join(deg.select(col("id").as("src"), col("deg").as("_du")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("_dv")), "dst")
+    e.agg(count(lit(1)).as("_m"),
+        countDistinct(col("src")).as("n_nodes"),
+        sum(col("_du").cast("decimal(38,0)") * col("_dv")).as("_a"),
+        sum(col("_du") + col("_dv")).as("_b"),
+        sum(col("_du").cast("decimal(38,0)") * col("_du")
+          + col("_dv").cast("decimal(38,0)") * col("_dv")).as("_c"))
+      .withColumn("_num", expr(
+        """4 * CAST(_m AS DECIMAL(38,0)) * _a
+           - CAST(_b AS DECIMAL(38,0)) * _b"""))
+      .withColumn("_den", expr(
+        """2 * CAST(_m AS DECIMAL(38,0)) * _c
+           - CAST(_b AS DECIMAL(38,0)) * _b"""))
+      .select(expr("_m div 2").as("n_edges"),
+        col("n_nodes"),
+        when(col("_den") > 0,
+          expr("_num * 1000000 div nullif(_den, 0)").cast("long"))
+          .as("assort6"))
+  }
 }

@@ -1208,4 +1208,170 @@ object Inference {
           .when(col("_dw6") <= 3000000L, "negative")
           .otherwise("strong_negative").as("reading"))
   }
+
+  /** Ljung–Box portmanteau test per group (q312) — the ONE-number read
+    * over [[acf]]'s per-lag battery: Q = n(n+2)·Σ_{k≤h} r_k²/(n−k)
+    * ~ χ²(h) asks "is there ANY autocorrelation in the first h lags",
+    * the standard is-this-series-white gate before trusting an ingest
+    * trend model (per-lag eyeballing multiplies comparisons; the
+    * portmanteau prices them once).
+    *
+    * Exactness (composable by construction): each r_k is the EXACT
+    * already-quantized acf₆ the q285 battery reports — per lag
+    * t_k = acf₆² div (n−k) (BIGINT: acf₆² ≤ 10¹²), and
+    * Q₆ = n(n+2)·Σt_k div 10⁶ — the documented double-floor contract
+    * (floor at each lag, one final floor), replayed term-for-term by
+    * the oracle. Any NULL lag (constant series) nulls Q. Significance
+    * via the Wilson–Hilferty cube at df = h (the friedman recipe).
+    * Requires n > h (else NULL).
+    *
+    * Scale: [[acf]] does all data-sized work (events collapse to the
+    * calendar; the lag join is calendar-bounded); this adds one
+    * |groups|·h-row aggregation.
+    */
+  def ljungBox(events: DataFrame, groupCol: String, tsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    val a = acf(events, groupCol, tsCol, maxLag)
+    val terms = a
+      .withColumn("_t", when(col("acf6").isNotNull
+          && col("n_days") > col("lag"),
+        expr("acf6 * acf6 div (n_days - lag)")))
+    terms.groupBy(col(groupCol))
+      .agg(max(col("n_days")).as("n_days"),
+        count(lit(1)).as("_h"),
+        sum(when(col("_t").isNull, 1L).otherwise(0L)).as("_nulls"),
+        sum(col("_t")).as("_st"))
+      .withColumn("lb_q6", when(col("_nulls") === 0
+          && col("n_days") > lit(maxLag), expr(
+        """CAST(n_days AS DECIMAL(38,0)) * (n_days + 2) * _st
+           div 1000000""").cast("long")))
+      .withColumn("_nu", lit(maxLag.toDouble))
+      .withColumn("_wh", lit(1.0) - lit(2.0) / (lit(9.0) * col("_nu"))
+        + lit(1.6448536269514722) * sqrt(lit(2.0) / (lit(9.0) * col("_nu"))))
+      .withColumn("crit6",
+        floor(col("_nu") * col("_wh") * col("_wh") * col("_wh") * 1e6)
+          .cast("long"))
+      .select(col(groupCol), col("n_days"), col("lb_q6"), col("crit6"),
+        when(col("lb_q6").isNotNull, col("lb_q6") > col("crit6"))
+          .as("autocorrelated"))
+  }
+
+  /** Wald–Wolfowitz turning-point randomness test per group (q313) —
+    * the LOCAL-structure complement to [[runsTest]] (runs reads
+    * above/below-median persistence, turning points read zig-zag
+    * frequency): over the dense daily calendar, count strict local
+    * extrema (x_{t−1} < x_t > x_{t+1} or the mirror — ties break
+    * neither way, the classic strict convention, documented); under
+    * randomness E[T] = 2(n−2)/3, Var[T] = (16n−29)/90, and too FEW
+    * turns is trend/level-shift while too MANY is oscillation
+    * (negative autocorrelation — an ingest dedup artifact).
+    *
+    * Exactness: T and n are exact integers off the spine;
+    * z₆ = ⌊(3T − 2(n−2))·10⁶ / √((16n−29)/10)⌋ — the numerator is the
+    * exact integer 3·(T − E[T]) and the denominator ONE IEEE sqrt of
+    * 9·Var (the mannWhitney z recipe). Verdict |z₆| > 1 959 964
+    * (α = 0.05 two-sided). n < 4 → NULL.
+    *
+    * Scale: events collapse to the calendar; the lag/lead window runs
+    * over the bounded day spine; |groups|-row arithmetic after.
+    */
+  def turningPoints(events: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    val daily0 = events.groupBy(col(groupCol).as("_g"),
+        to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_x"))
+    val span = daily0.groupBy(col("_g"))
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+    val daily = span.select(col("_g"),
+        explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+      .join(daily0, Seq("_g", "_d"), "left")
+      .withColumn("_x", coalesce(col("_x"), lit(0L)))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_d"))
+    val marked = daily
+      .withColumn("_p", lag(col("_x"), 1).over(w))
+      .withColumn("_f", lead(col("_x"), 1).over(w))
+      .withColumn("_turn", when(col("_p").isNotNull && col("_f").isNotNull
+        && ((col("_p") < col("_x") && col("_x") > col("_f"))
+          || (col("_p") > col("_x") && col("_x") < col("_f"))), 1L)
+        .otherwise(0L))
+    marked.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_days"), sum(col("_turn")).as("n_turns"))
+      .withColumn("tp_z6", when(col("n_days") >= 4, floor(
+        (lit(3L) * col("n_turns") - lit(2L) * (col("n_days") - 2L))
+          .cast("double") * 1e6
+          / sqrt((lit(16L) * col("n_days") - 29L).cast("double") / 10.0))
+        .cast("long")))
+      .select(col("_g").as(groupCol), col("n_days"), col("n_turns"),
+        col("tp_z6"),
+        when(col("tp_z6").isNotNull, abs(col("tp_z6")) > 1959964L)
+          .as("nonrandom"))
+  }
+
+  /** Page's L trend test (q308) — [[friedman]]'s ORDERED-alternative
+    * sibling: Friedman asks "do the treatments differ at all", Page
+    * (1963) asks "do they increase in a PRE-SPECIFIED order" — the
+    * right test when the treatments carry an a-priori ordering (model
+    * versions, quality tiers, dose-like mixture weights) where the
+    * omnibus test wastes power. Treatments are ordered by NAME (the
+    * deterministic a-priori order both engines share, documented);
+    * L = Σ_j j·R_j over within-day ranks.
+    *
+    * Exactness: doubled midranks over the ≤k-row per-day value census
+    * (the friedman machinery verbatim) make L₂ = Σ j·R₂_j exact
+    * integer; E[L₂] = n·k(k+1)²/2 is exact integer (k(k+1) always
+    * even), and z₆ = ⌊(L₂−E₂)·6·10⁶ / (k(k+1)·√(n(k²−1)))⌋ — ONE IEEE
+    * sqrt on the exact integer n(k²−1) (Var[L₂] = n·k²(k+1)²(k²−1)/36).
+    * The classic null variance assumes untied blocks; with midranks it
+    * is the standard conservative approximation (documented — both
+    * engines replay the identical convention). One-sided verdicts at
+    * ±1 644 854 (α = 0.05): 'increasing' / 'decreasing' / 'none'.
+    * k < 3 or n = 0 → NULL.
+    *
+    * Scale: calendar-bounded — the friedman grid exactly; |treatments|-
+    * row arithmetic after.
+    */
+  def pageTrend(events: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    val daily0 = events.groupBy(col(groupCol).as("_t"),
+        to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_x"))
+    val days = daily0.select(col("_d")).distinct()
+    val treats = daily0.select(col("_t")).distinct()
+    val grid = days.crossJoin(broadcast(treats))
+      .join(daily0, Seq("_t", "_d"), "left")
+      .withColumn("_x", coalesce(col("_x"), lit(0L)))
+    val perDayVal = grid.groupBy(col("_d"), col("_x"))
+      .agg(count(lit(1)).as("_ct"))
+    val wd = Window.partitionBy(col("_d")).orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = perDayVal
+      .withColumn("_rank2",
+        lit(2L) * sum(col("_ct")).over(wd) - col("_ct") + 1L)
+      .select(col("_d"), col("_x"), col("_rank2"))
+    val r = grid.join(ranked, Seq("_d", "_x"))
+    // a-priori treatment order = name order, as a dense 1..k index
+    val order = treats
+      .withColumn("_j", row_number().over(
+        Window.orderBy(col("_t"))).cast("long"))
+    val perT = r.groupBy(col("_t"))
+      .agg(sum(col("_rank2")).as("_r2"))
+      .join(broadcast(order), Seq("_t"))
+    val stats = r.agg(countDistinct(col("_d")).as("_n"),
+      countDistinct(col("_t")).as("_k"))
+    perT.agg(sum(col("_j") * col("_r2")).as("_l2"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_e2", expr("_n * _k * (_k + 1) * (_k + 1) div 2"))
+      .withColumn("page_z6", when(col("_k") >= 3 && col("_n") >= 1, floor(
+        (col("_l2") - col("_e2")).cast("double") * 6e6
+          / (col("_k").cast("double") * (col("_k") + 1L).cast("double")
+            * sqrt((col("_n") * (col("_k") * col("_k") - 1L))
+              .cast("double"))))
+        .cast("long")))
+      .select(col("_k").as("k"), col("_n").as("n_days"),
+        col("_l2").as("l2"), col("page_z6"),
+        when(col("page_z6").isNull, lit(null).cast("string"))
+          .when(col("page_z6") > 1644854L, "increasing")
+          .when(col("page_z6") < -1644854L, "decreasing")
+          .otherwise("none").as("trend"))
+  }
 }

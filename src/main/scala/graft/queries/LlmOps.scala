@@ -1398,6 +1398,58 @@ object LlmOps {
       TextAnalysis.confusableDedupAudit(Tables.documents(s, d))
         .orderBy(col("source"))),
 
+    // Cramér–von Mises two-sample per source vs rest: the integrated
+    // ECDF-gap companion to q242's sup-gap KS
+    "q306_cvm_test" -> ((s, d) =>
+      graft.operators.EvalOps.cvmTest(Tables.documents(s, d),
+        "source", "n_chars").orderBy(col("source"))),
+
+    // Kuiper V = D+ + D- per source vs rest: the tail-sensitive,
+    // rotation-invariant KS variant
+    "q307_kuiper" -> ((s, d) =>
+      graft.operators.EvalOps.kuiper(Tables.documents(s, d),
+        "source", "n_chars").orderBy(col("source"))),
+
+    // Page's L ordered-alternative trend across name-ordered treatments
+    // blocked by day (the friedman grid)
+    "q308_page_trend" -> ((s, d) =>
+      graft.operators.Inference.pageTrend(
+        Tables.events(s, d), "event_type", "ts")),
+
+    // Randolph's free-marginal multirater kappa: the fixed-marginal
+    // corner of the Fleiss/Gwet chance-correction triangle
+    "q309_randolph_kappa" -> ((s, d) =>
+      graft.operators.EvalOps.randolphKappa(
+          graft.operators.EvalOps.ratings(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
+    // Bowker symmetry test on paired multi-category model answers
+    "q310_bowker" -> ((s, d) =>
+      graft.operators.EvalOps.bowker(
+          graft.operators.EvalOps.pairedCats(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
+    // Newman degree assortativity over the q266 triangle-fixture graph
+    "q311_assortativity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val edges = graft.operators.GraphOps.triangleFixture(
+        docs.select(col("doc_id")), n)
+      graft.operators.GraphOps.assortativity(edges)
+    }),
+
+    // Ljung–Box portmanteau over the q285 ACF battery
+    "q312_ljung_box" -> ((s, d) =>
+      graft.operators.Inference.ljungBox(
+          Tables.events(s, d), "event_type", "ts", maxLag = 7)
+        .orderBy(col("event_type"))),
+
+    // Wald–Wolfowitz turning-point randomness test on daily volumes
+    "q313_turning_points" -> ((s, d) =>
+      graft.operators.Inference.turningPoints(
+          Tables.events(s, d), "event_type", "ts")
+        .orderBy(col("event_type"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -7700,6 +7752,348 @@ object LlmOps {
             AS fold_collisions
         FROM f GROUP BY source ORDER BY source"""
     },
+
+    // the q242 value-set grid with the ECDF gap carried as the exact
+    // common-denominator integer dint = cum*m - cumrest*n; ONE floor
+    "q306_cvm_test" ->
+      """WITH g AS (SELECT source AS gsrc, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY source, n_chars),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY v),
+        vc AS (SELECT v, ct, sum(ct) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+          FROM vals),
+        grp AS (SELECT gsrc, CAST(sum(c) AS BIGINT) AS n FROM g
+          GROUP BY gsrc),
+        na AS (SELECT CAST(sum(c) AS BIGINT) AS nall FROM g),
+        grid AS (SELECT grp.gsrc, vc.v, vc.ct, vc.cumall, grp.n,
+            coalesce(g.c, 0) AS c
+          FROM vc CROSS JOIN grp
+          LEFT JOIN g ON g.gsrc = grp.gsrc AND g.v = vc.v),
+        cum AS (SELECT gsrc, v, ct, n, cumall,
+            sum(c) OVER (PARTITION BY gsrc ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM grid),
+        dd AS (SELECT gsrc, n, (SELECT nall FROM na) - n AS nrest, ct,
+            CAST(cum AS HUGEINT) * ((SELECT nall FROM na) - n)
+              - CAST(cumall - cum AS HUGEINT) * n AS dint
+          FROM cum),
+        agg AS (SELECT gsrc, max(n) AS n_group, max(nrest) AS n_rest,
+            CAST(sum(CAST(ct AS HUGEINT) * dint * dint) AS HUGEINT)
+              AS sd2,
+            max(n + nrest) AS nall FROM dd GROUP BY gsrc),
+        fin AS (SELECT gsrc, n_group, n_rest,
+            CASE WHEN n_rest > 0 THEN CAST(sd2 * 1000000
+              // (CAST(nall AS HUGEINT) * nall * n_group * n_rest)
+              AS BIGINT) END AS cvm6
+          FROM agg)
+        SELECT gsrc AS source, n_group, n_rest, cvm6,
+          CASE WHEN n_rest > 0 THEN cvm6 > 461000 END AS differs
+        FROM fin ORDER BY source""",
+
+    // same grid/dint; D+ and D- exact integer maxima, one floor on the
+    // sum, 1.747-band critical value via one IEEE sqrt
+    "q307_kuiper" ->
+      """WITH g AS (SELECT source AS gsrc, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY source, n_chars),
+        vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY v),
+        vc AS (SELECT v, ct, sum(ct) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+          FROM vals),
+        grp AS (SELECT gsrc, CAST(sum(c) AS BIGINT) AS n FROM g
+          GROUP BY gsrc),
+        na AS (SELECT CAST(sum(c) AS BIGINT) AS nall FROM g),
+        grid AS (SELECT grp.gsrc, vc.v, vc.cumall, grp.n,
+            coalesce(g.c, 0) AS c
+          FROM vc CROSS JOIN grp
+          LEFT JOIN g ON g.gsrc = grp.gsrc AND g.v = vc.v),
+        cum AS (SELECT gsrc, v, n, cumall,
+            sum(c) OVER (PARTITION BY gsrc ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM grid),
+        dd AS (SELECT gsrc, n, (SELECT nall FROM na) - n AS nrest,
+            CAST(cum AS HUGEINT) * ((SELECT nall FROM na) - n)
+              - CAST(cumall - cum AS HUGEINT) * n AS dint
+          FROM cum),
+        agg AS (SELECT gsrc, max(n) AS n_group, max(nrest) AS n_rest,
+            greatest(max(dint), 0) AS dp, greatest(max(-dint), 0) AS dm
+          FROM dd GROUP BY gsrc),
+        fin AS (SELECT gsrc, n_group, n_rest,
+            CASE WHEN n_rest > 0 THEN CAST(dp * 1000000
+              // (CAST(n_group AS HUGEINT) * n_rest) AS BIGINT) END
+              AS dplus6,
+            CASE WHEN n_rest > 0 THEN CAST(dm * 1000000
+              // (CAST(n_group AS HUGEINT) * n_rest) AS BIGINT) END
+              AS dminus6,
+            CASE WHEN n_rest > 0 THEN CAST((dp + dm) * 1000000
+              // (CAST(n_group AS HUGEINT) * n_rest) AS BIGINT) END
+              AS v6,
+            CASE WHEN n_rest > 0 THEN CAST(floor(1747000.0 *
+              sqrt((n_group + n_rest)::DOUBLE
+                / (n_group * n_rest)::DOUBLE)) AS BIGINT) END AS crit6
+          FROM agg)
+        SELECT gsrc AS source, n_group, n_rest, dplus6, dminus6, v6,
+          crit6, v6 > crit6 AS differs
+        FROM fin ORDER BY source""",
+
+    // the q291 friedman grid/rank chain + the name-order index j;
+    // L2 exact, z via one IEEE sqrt on exact n(k^2-1)
+    "q308_page_trend" ->
+      """WITH d0 AS (SELECT event_type AS t, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        days AS (SELECT DISTINCT d FROM d0),
+        ts2 AS (SELECT DISTINCT t FROM d0),
+        grid AS (SELECT ts2.t, days.d, coalesce(x, 0) AS x
+          FROM days CROSS JOIN ts2
+          LEFT JOIN d0 ON ts2.t = d0.t AND days.d = d0.d),
+        pdv AS (SELECT d, x, CAST(count(*) AS BIGINT) AS ct
+          FROM grid GROUP BY 1, 2),
+        rk AS (SELECT d, x, 2 * sum(ct) OVER (PARTITION BY d ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - ct + 1 AS rank2 FROM pdv),
+        r AS (SELECT grid.t, grid.d, rank2
+          FROM grid JOIN rk ON grid.d = rk.d AND grid.x = rk.x),
+        st AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n,
+            CAST(count(DISTINCT t) AS BIGINT) AS k FROM r),
+        pt AS (SELECT t, CAST(sum(rank2) AS BIGINT) AS r2
+          FROM r GROUP BY 1),
+        ord AS (SELECT t, CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+            AS j FROM ts2),
+        l AS (SELECT CAST(sum(j * r2) AS BIGINT) AS l2
+          FROM pt JOIN ord USING (t)),
+        f AS (SELECT n, k, l2,
+            n * k * (k + 1) * (k + 1) // 2 AS e2 FROM l, st),
+        z AS (SELECT n, k, l2,
+            CASE WHEN k >= 3 AND n >= 1 THEN CAST(floor(
+              CAST(l2 - e2 AS DOUBLE) * 6e6
+              / (CAST(k AS DOUBLE) * (k + 1)
+                * sqrt(CAST(n * (k * k - 1) AS DOUBLE)))) AS BIGINT) END
+              AS page_z6
+          FROM f)
+        SELECT k, n AS n_days, l2, page_z6,
+          CASE WHEN page_z6 IS NULL THEN NULL
+            WHEN page_z6 > 1644854 THEN 'increasing'
+            WHEN page_z6 < -1644854 THEN 'decreasing'
+            ELSE 'none' END AS trend
+        FROM z""",
+
+    // the q168 fixture + census; kfree6 = one truncating division on
+    // the SAME quantized pbar6 (the double-floor contract)
+    "q309_randolph_kappa" ->
+      """WITH r AS (SELECT source, item_id, g.rater,
+              CASE WHEN (h + g.rater*17) % 10 < 3
+                THEN (h % 4 + 1 + (h % 97 + g.rater) % 3) % 4
+                ELSE h % 4 END AS cat
+            FROM (SELECT source, doc_id AS item_id,
+                    ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+                  FROM documents),
+              (SELECT unnest(generate_series(0, 4)) AS rater) g),
+         cnt AS (SELECT source, item_id, cat, count(*) AS c
+                 FROM r GROUP BY source, item_id, cat),
+         pi AS (SELECT source, item_id, CAST(sum(c*c) AS BIGINT) AS s2,
+                  CAST(sum(c) AS BIGINT) AS n_i
+                FROM cnt GROUP BY source, item_id),
+         ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+                  CAST(sum(s2) AS BIGINT) AS sum_s2,
+                  max(n_i) AS n_raters, min(n_i) AS rmin
+                FROM pi GROUP BY source),
+         qs AS (SELECT source, CAST(count(DISTINCT cat) AS BIGINT)
+                  AS n_cats FROM cnt GROUP BY source),
+         j AS (SELECT ps.source, n_items, n_raters, rmin, n_cats,
+                 CAST(floor((sum_s2 - n_items*n_raters) * 1000000 /
+                   (n_items*n_raters*(n_raters-1))) AS BIGINT) AS pbar6
+               FROM ps JOIN qs USING (source))
+         SELECT source, n_items, n_raters, n_cats, pbar6,
+           CASE WHEN rmin = n_raters AND n_cats >= 2 AND n_raters >= 2
+             THEN (pbar6 * n_cats - 1000000) // (n_cats - 1) END
+             AS kfree6
+         FROM j ORDER BY source""",
+
+    // fixture replay (same idHash + decorrelated second fold), occupied
+    // cells + i<j pair spine, per-pair floored terms, WH(df) gate
+    "q310_bowker" ->
+      """WITH p AS (SELECT doc_id AS task_id, source,
+            ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+          FROM documents),
+        pc AS (SELECT task_id, source, h % 4 AS ca,
+            ((h % 999983) * 48271) % 2147483647 % 20 AS u FROM p),
+        ab AS (SELECT source, ca AS cat_a,
+            CASE WHEN u < 3 THEN (ca + 1) % 4
+              WHEN u = 3 THEN (ca + 3) % 4 ELSE ca END AS cat_b
+          FROM pc),
+        cells AS (SELECT source, cat_a AS i, cat_b AS j,
+            CAST(count(*) AS BIGINT) AS c FROM ab GROUP BY 1, 2, 3),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        spine AS (SELECT source, a.i, b.j FROM srcs,
+            unnest(generate_series(0, 3)) a(i),
+            unnest(generate_series(0, 3)) b(j)
+          WHERE a.i < b.j),
+        terms AS (SELECT spine.source,
+            coalesce(cij.c, 0) AS nij, coalesce(cji.c, 0) AS nji
+          FROM spine
+          LEFT JOIN cells cij ON cij.source = spine.source
+            AND cij.i = spine.i AND cij.j = spine.j
+          LEFT JOIN cells cji ON cji.source = spine.source
+            AND cji.i = spine.j AND cji.j = spine.i),
+        t6 AS (SELECT source, nij + nji AS tot,
+            CASE WHEN nij + nji > 0 THEN
+              CAST(CAST(nij - nji AS HUGEINT) * (nij - nji) * 1000000
+                // (nij + nji) AS BIGINT) ELSE 0 END AS t6
+          FROM terms),
+        agg AS (SELECT source,
+            CAST(sum(CASE WHEN tot > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS df,
+            CAST(sum(t6) AS BIGINT) AS chi2_6,
+            CAST(sum(tot) AS BIGINT) AS n_discordant
+          FROM t6 GROUP BY source),
+        wh AS (SELECT source, df, chi2_6, n_discordant,
+            CAST(greatest(df, 1) AS DOUBLE) AS nu FROM agg),
+        wh2 AS (SELECT source, df, chi2_6, n_discordant, nu,
+            1.0 - 2.0/(9.0*nu)
+              + 1.6448536269514722 * sqrt(2.0/(9.0*nu)) AS w FROM wh)
+        SELECT source, df, n_discordant,
+          CASE WHEN df >= 1 THEN chi2_6 END AS chi2_6,
+          CASE WHEN df >= 1
+            THEN CAST(floor(nu * w * w * w * 1e6) AS BIGINT) END
+            AS crit6,
+          CASE WHEN df >= 1 THEN
+            chi2_6 > CAST(floor(nu * w * w * w * 1e6) AS BIGINT) END
+            AS asymmetric
+        FROM wh2 ORDER BY source""",
+
+    // the q266 fixture edges + symmetrized degrees; the correlation
+    // closed-forms to one HUGEINT division
+    "q311_assortativity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (SELECT doc_id FROM documents),
+        ring AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst
+          FROM nodes, nn),
+        chords AS (SELECT doc_id AS src, (doc_id + 2) % n AS dst
+          FROM nodes, nn
+          WHERE (((doc_id % 2147483648) * 2654435761) % 2147483647)
+            % 7 = 0),
+        hub0 AS (SELECT doc_id AS src, (31*doc_id+7) % n AS d1,
+            (17*doc_id+3) % n AS d2, (5*doc_id+11) % n AS d3
+          FROM nodes, nn
+          WHERE (((doc_id % 2147483648) * 2654435761) % 2147483647)
+            % 3 = 0),
+        hubs AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM hub0),
+        edges AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM ring UNION ALL
+             SELECT src, dst FROM chords UNION ALL
+             SELECT src, dst FROM hubs)
+          WHERE dst <> src),
+        sym AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+        deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+          FROM sym GROUP BY 1),
+        e AS (SELECT du.deg AS a, dv.deg AS b
+          FROM sym s JOIN deg du ON s.src = du.id
+            JOIN deg dv ON s.dst = dv.id),
+        ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+            (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+            CAST(sum(CAST(a AS HUGEINT) * b) AS HUGEINT) AS aa,
+            CAST(sum(a + b) AS BIGINT) AS bb,
+            CAST(sum(CAST(a AS HUGEINT) * a + CAST(b AS HUGEINT) * b)
+              AS HUGEINT) AS cc
+          FROM e)
+        SELECT m // 2 AS n_edges, n_nodes,
+          CASE WHEN 2 * CAST(m AS HUGEINT) * cc
+              - CAST(bb AS HUGEINT) * bb > 0
+            THEN CAST((4 * CAST(m AS HUGEINT) * aa
+                - CAST(bb AS HUGEINT) * bb) * 1000000
+              // (2 * CAST(m AS HUGEINT) * cc
+                - CAST(bb AS HUGEINT) * bb) AS BIGINT) END AS assort6
+        FROM ag""",
+
+    // the q285 ACF chain verbatim, then the portmanteau fold: per-lag
+    // floored t_k = acf6^2 div (n-k), one final floor (the documented
+    // double-floor contract), WH(7) gate
+    "q312_ljung_box" ->
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        span AS (SELECT g, min(d) AS dlo, max(d) AS dhi
+          FROM d0 GROUP BY 1),
+        spine AS (SELECT g, CAST(unnest(generate_series(dlo, dhi,
+            INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+        daily AS (SELECT spine.g, spine.d, coalesce(x, 0) AS x,
+            date_diff('day', dlo, spine.d) AS t
+          FROM spine LEFT JOIN d0 ON spine.g = d0.g AND spine.d = d0.d
+            JOIN span ON spine.g = span.g),
+        st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+          FROM daily GROUP BY 1),
+        lg AS (SELECT g, t, x, k, t + k AS tj
+          FROM daily, unnest(generate_series(1, 7)) AS u(k)),
+        pr AS (SELECT lg.g, k,
+            CAST(sum(CAST(lg.x AS HUGEINT) * tl.x) AS HUGEINT) AS p,
+            CAST(sum(lg.x) AS BIGINT) AS h,
+            CAST(sum(tl.x) AS BIGINT) AS t2
+          FROM lg JOIN daily tl ON lg.g = tl.g AND lg.tj = tl.t
+          GROUP BY 1, 2),
+        r AS (SELECT pr.g, k, n,
+            CAST(n AS HUGEINT) * n * p
+              - CAST(n AS HUGEINT) * s * (h + t2)
+              + (CAST(n AS HUGEINT) - k) * s * s AS num,
+            CAST(n AS HUGEINT) * n * q
+              - CAST(n AS HUGEINT) * s * s AS den
+          FROM pr JOIN st ON pr.g = st.g),
+        a AS (SELECT g, k, n, CASE WHEN den > 0 THEN
+            CAST(num * 1000000 // den AS BIGINT) END AS acf6 FROM r),
+        tt AS (SELECT g, n, CASE WHEN acf6 IS NOT NULL AND n > k
+            THEN acf6 * acf6 // (n - k) END AS tk FROM a),
+        ag AS (SELECT g, max(n) AS n_days,
+            CAST(sum(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS nulls,
+            CAST(sum(tk) AS BIGINT) AS stt FROM tt GROUP BY g),
+        fin AS (SELECT g, n_days,
+            CASE WHEN nulls = 0 AND n_days > 7 THEN
+              CAST(CAST(n_days AS HUGEINT) * (n_days + 2) * stt
+                // 1000000 AS BIGINT) END AS lb_q6,
+            CAST(floor(7.0 * (1.0 - 2.0/63.0
+              + 1.6448536269514722 * sqrt(2.0/63.0))
+              * (1.0 - 2.0/63.0 + 1.6448536269514722 * sqrt(2.0/63.0))
+              * (1.0 - 2.0/63.0 + 1.6448536269514722 * sqrt(2.0/63.0))
+              * 1e6) AS BIGINT) AS crit6
+          FROM ag)
+        SELECT g AS event_type, n_days, lb_q6, crit6,
+          CASE WHEN lb_q6 IS NOT NULL THEN lb_q6 > crit6 END
+            AS autocorrelated
+        FROM fin ORDER BY event_type""",
+
+    // dense spine + lag/lead strict-extrema census; z via one IEEE
+    // sqrt; ties break neither way (the strict convention)
+    "q313_turning_points" ->
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        span AS (SELECT g, min(d) AS dlo, max(d) AS dhi
+          FROM d0 GROUP BY 1),
+        daily AS (SELECT spine.g, spine.d, coalesce(x, 0) AS x
+          FROM (SELECT g, CAST(unnest(generate_series(dlo, dhi,
+              INTERVAL 1 DAY)) AS DATE) AS d FROM span) spine
+          LEFT JOIN d0 ON spine.g = d0.g AND spine.d = d0.d),
+        trip AS (SELECT g, x,
+            lag(x) OVER (PARTITION BY g ORDER BY d) AS p,
+            lead(x) OVER (PARTITION BY g ORDER BY d) AS f
+          FROM daily),
+        mk AS (SELECT g, CASE WHEN p IS NOT NULL AND f IS NOT NULL
+            AND ((p < x AND x > f) OR (p > x AND x < f))
+            THEN 1 ELSE 0 END AS turn FROM trip),
+        ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(turn) AS BIGINT) AS n_turns FROM mk GROUP BY g)
+        SELECT g AS event_type, n_days, n_turns,
+          CASE WHEN n_days >= 4 THEN CAST(floor(
+            CAST(3 * n_turns - 2 * (n_days - 2) AS DOUBLE) * 1e6
+            / sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 10.0)) AS BIGINT)
+            END AS tp_z6,
+          CASE WHEN n_days >= 4 THEN abs(CAST(floor(
+            CAST(3 * n_turns - 2 * (n_days - 2) AS DOUBLE) * 1e6
+            / sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 10.0)) AS BIGINT))
+            > 1959964 END AS nonrandom
+        FROM ag ORDER BY event_type""",
 
     // same distinct (order, brand) baskets, basket-keyed pair join,
     // integer confidence/lift with the HUGEINT product

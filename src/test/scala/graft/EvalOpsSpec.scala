@@ -888,4 +888,97 @@ class EvalOpsSpec extends SparkSpec {
     val m = graft.operators.EvalOps.gwetAC1(mono).collect().head
     assert(m.isNullAt(m.fieldIndex("ac1_6")))
   }
+
+  test("randolphKappa: chance-level reads 0, perfect reads 1e6, " +
+      "one-category NULL, double-floor replay") {
+    // A: item1 unanimous, item2 split, q=2 -> pbar6=500000,
+    // kfree = 2*0.5-1 = 0 (agreement exactly at the 1/q floor)
+    // B: both items unanimous over two cats -> pbar6=1e6, kfree=1e6
+    // C: every rating cat0 -> q=1 -> NULL
+    val r = Seq(
+      ("A", 1L, 0L, 0L), ("A", 1L, 1L, 0L),
+      ("A", 2L, 0L, 0L), ("A", 2L, 1L, 1L),
+      ("B", 1L, 0L, 0L), ("B", 1L, 1L, 0L),
+      ("B", 2L, 0L, 1L), ("B", 2L, 1L, 1L),
+      ("C", 1L, 0L, 0L), ("C", 1L, 1L, 0L))
+      .toDF("source", "item_id", "rater", "cat")
+    val out = EvalOps.randolphKappa(r).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(out("A").getAs[Long]("pbar6") === 500000L)
+    assert(out("A").getAs[Long]("kfree6") === 0L)
+    assert(out("B").getAs[Long]("kfree6") === 1000000L)
+    assert(out("C").isNullAt(out("C").fieldIndex("kfree6")))
+    // the double-floor contract: kfree6 derives from the quantized
+    // pbar6, never from a fresh exact ratio
+    out.values.filterNot(_.isNullAt(out("A").fieldIndex("kfree6")))
+      .foreach { x =>
+        val q = x.getAs[Long]("n_cats")
+        assert(x.getAs[Long]("kfree6") ===
+          (x.getAs[Long]("pbar6") * q - 1000000L) / (q - 1L))
+      }
+  }
+
+  test("bowker: per-pair floored terms, observed df, planted asymmetry " +
+      "flagged, concordant-only NULL") {
+    def rows(src: String, cells: ((Long, Long), Int)*): Seq[(String, Long, Long, Long)] =
+      cells.zipWithIndex.flatMap { case (((a, b), n), i) =>
+        (0 until n).map(k => (src, i * 1000L + k, a, b))
+      }
+    // S: n01=3, n10=1, n12=2, n21=2, pair (0,2) empty -> df=2,
+    // chi2_6 = floor(4e6/4) + 0 = 1e6, below WH chi2(2) -> symmetric
+    // T: n01=10, n10=0 -> df=1, chi2_6 = 10e6 > WH chi2(1) -> asymmetric
+    // U: all concordant (diagonal only) -> df=0 -> NULL
+    val paired = (rows("S", (0L, 1L) -> 3, (1L, 0L) -> 1,
+        (1L, 2L) -> 2, (2L, 1L) -> 2, (0L, 0L) -> 5)
+      ++ rows("T", (0L, 1L) -> 10, (2L, 2L) -> 3)
+      ++ rows("U", (0L, 0L) -> 4, (1L, 1L) -> 4))
+      .toDF("source", "task_id", "cat_a", "cat_b")
+    val out = EvalOps.bowker(paired, nCats = 3).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(out("S").getAs[Long]("df") === 2L)
+    assert(out("S").getAs[Long]("chi2_6") === 1000000L)
+    assert(!out("S").getAs[Boolean]("asymmetric"))
+    assert(out("T").getAs[Long]("df") === 1L)
+    assert(out("T").getAs[Long]("chi2_6") === 10000000L)
+    assert(out("T").getAs[Boolean]("asymmetric"))
+    assert(out("U").getAs[Long]("df") === 0L)
+    assert(out("U").isNullAt(out("U").fieldIndex("chi2_6")))
+    assert(out("U").isNullAt(out("U").fieldIndex("asymmetric")))
+  }
+
+  test("cvmTest: exact one-floor T on a hand grid, symmetric across " +
+      "the two-group split, whole-corpus group NULL") {
+    // A = {1,1,2}, B = {2,3}: dInt over pooled values (1,2,3) =
+    // (4,3,0) from A's side; sum ct*d^2 = 2*16+2*9 = 50
+    // T6(A) = 50e6 div (25*3*2) = 333333 ; T6(B) identical (d mirrors)
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("g", "v")
+    val out = EvalOps.cvmTest(df, "g", "v").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(out("A").getAs[Long]("cvm6") === 333333L)
+    assert(out("B").getAs[Long]("cvm6") === 333333L)
+    assert(!out("A").getAs[Boolean]("differs"), "0.33 < 0.461")
+    val solo = Seq(("A", 1L), ("A", 2L)).toDF("g", "v")
+    val s = EvalOps.cvmTest(solo, "g", "v").collect().head
+    assert(s.isNullAt(s.fieldIndex("cvm6")))
+  }
+
+  test("kuiper: D+ and D- exact, V one floor on the sum, the mirror " +
+      "group swaps the sides, crit via the 1.747 band") {
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("g", "v")
+    val out = EvalOps.kuiper(df, "g", "v").collect()
+      .map(x => x.getString(0) -> x).toMap
+    // A's ECDF sits above rest everywhere: D+ = 4/6, D- = 0
+    assert(out("A").getAs[Long]("dplus6") === 666666L)
+    assert(out("A").getAs[Long]("dminus6") === 0L)
+    assert(out("A").getAs[Long]("v6") === 666666L)
+    // B mirrors: the gap flips sign
+    assert(out("B").getAs[Long]("dplus6") === 0L)
+    assert(out("B").getAs[Long]("dminus6") === 666666L)
+    assert(out("B").getAs[Long]("v6") === 666666L)
+    assert(out("A").getAs[Long]("crit6") ===
+      math.floor(1747000.0 * math.sqrt(5.0 / 6.0)).toLong)
+    assert(!out("A").getAs[Boolean]("differs"))
+  }
 }

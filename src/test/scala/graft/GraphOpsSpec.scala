@@ -162,4 +162,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(total >= 3 * (n / 7 - 2),
       s"every chord closes a ring triangle, got vertex-sum $total")
   }
+
+  test("assortativity: star reads exactly -1e6, regular ring NULL, " +
+      "two cliques joined by a bridge read negative but above -1") {
+    import spark.implicits._
+    // K1,3: every edge joins degree 3 to degree 1 -> r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = GraphOps.assortativity(star).collect().head
+    assert(s.getAs[Long]("n_edges") === 3L)
+    assert(s.getAs[Long]("n_nodes") === 4L)
+    assert(s.getAs[Long]("assort6") === -1000000L)
+    // 4-cycle: all degrees equal -> zero variance -> NULL
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    val r = GraphOps.assortativity(ring).collect().head
+    assert(r.isNullAt(r.fieldIndex("assort6")))
+    // two triangles + a bridge: bridge endpoints have degree 3, the
+    // rest 2 -> mildly disassortative, strictly inside (-1e6, 0)
+    val bridged = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L)).toDF("src", "dst")
+    val b = GraphOps.assortativity(bridged).collect().head
+    val a6 = b.getAs[Long]("assort6")
+    assert(a6 < 0L && a6 > -1000000L, s"got $a6")
+    // direction/duplication invariance: reversing and duplicating
+    // edges must not move the coefficient (symmetrize + distinct)
+    val noisy = bridged.union(bridged.select(col("dst").as("src"),
+      col("src").as("dst"))).union(bridged)
+    assert(GraphOps.assortativity(noisy).collect().head
+      .getAs[Long]("assort6") === a6)
+  }
 }

@@ -244,6 +244,84 @@ class InferenceSpec extends SparkSpec {
     assert(!r("b").getAs[Boolean]("overdispersed"))
   }
 
+  test("ljungBox: exact double-floor Q on the period-2 series, " +
+      "constant series NULL, short series NULL") {
+    // 'a' = the acf spec series [1,3,1,3,1,3]: acf6(1) = -833333,
+    // acf6(2) = 666666 (pinned there); t1 = 833333^2 div 5, t2 =
+    // 666666^2 div 4; Q6 = 6*8*(t1+t2) div 1e6 = 11999983
+    val e = events((day("a", 1, 1) ++ day("a", 2, 3) ++ day("a", 3, 1)
+      ++ day("a", 4, 3) ++ day("a", 5, 1) ++ day("a", 6, 3)
+      ++ day("c", 1, 2) ++ day("c", 2, 2) ++ day("c", 3, 2)): _*)
+    val r = Inference.ljungBox(e, "event_type", "ts", maxLag = 2)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val t1 = 833333L * 833333L / 5L
+    val t2 = 666666L * 666666L / 4L
+    assert(r("a").getAs[Long]("lb_q6") === 6L * 8L * (t1 + t2) / 1000000L)
+    assert(r("a").getAs[Long]("lb_q6") === 11999983L)
+    assert(r("a").getAs[Boolean]("autocorrelated"), "12.0 > WH chi2(2)")
+    // constant series: acf6 NULL at every lag -> Q NULL
+    assert(r("c").isNullAt(r("c").fieldIndex("lb_q6")))
+    // n <= maxLag: the 3-day series at h = 7 has no testable lags
+    val short = Inference.ljungBox(e, "event_type", "ts", maxLag = 7)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(short("c").isNullAt(short("c").fieldIndex("lb_q6")))
+  }
+
+  test("turningPoints: strict extrema counted, monotone reads nonrandom, " +
+      "ties break neither way, short series NULL") {
+    val e = events((
+      // a: [2,9,2,9,5] -> interior days 2,3,4 all strict turns (T=3)
+      day("a", 1, 2) ++ day("a", 2, 9) ++ day("a", 3, 2)
+      ++ day("a", 4, 9) ++ day("a", 5, 5)
+      // b: monotone 1..7 -> T=0, far too few turns -> nonrandom
+      ++ (1 to 7).flatMap(d => day("b", d, d))
+      // t: [2,2,5,2] -> the plateau day 2 (2,2,5) and day 3 (2,5,2):
+      // only day 3 is a STRICT turn; day 2's tie breaks neither way
+      ++ day("t", 1, 2) ++ day("t", 2, 2) ++ day("t", 3, 5)
+      ++ day("t", 4, 2)
+      // s: 3 days -> below the n >= 4 floor -> NULL
+      ++ day("s", 1, 1) ++ day("s", 2, 5) ++ day("s", 3, 1)): _*)
+    val r = Inference.turningPoints(e, "event_type", "ts")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("n_turns") === 3L)
+    assert(r("a").getAs[Long]("tp_z6") ===
+      math.floor((3.0 * 3 - 2 * 3) * 1e6
+        / math.sqrt((16.0 * 5 - 29) / 10.0)).toLong)
+    assert(!r("a").getAs[Boolean]("nonrandom"))
+    assert(r("b").getAs[Long]("n_turns") === 0L)
+    assert(r("b").getAs[Long]("tp_z6") ===
+      math.floor(-10.0 * 1e6 / math.sqrt((16.0 * 7 - 29) / 10.0)).toLong)
+    assert(r("b").getAs[Boolean]("nonrandom"), "monotone = no turns")
+    assert(r("t").getAs[Long]("n_turns") === 1L)
+    assert(r("s").isNullAt(r("s").fieldIndex("tp_z6")))
+  }
+
+  test("pageTrend: perfect name-ordered trend reads increasing, the " +
+      "mirror decreasing, k = 2 NULL") {
+    // 12 days, every day a < b < c in volume: per-day j*rank2 sum = 28,
+    // L2 = 336, E2 = 288, Var2 = 384 -> z6 = 2449489, one-sided sig
+    val up = (1 to 12).flatMap(d =>
+      day("a", d, 1) ++ day("b", d, 2) ++ day("c", d, 3))
+    val r = Inference.pageTrend(events(up: _*), "event_type", "ts")
+      .collect().head
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("n_days") === 12L)
+    assert(r.getAs[Long]("l2") === 336L)
+    assert(r.getAs[Long]("page_z6") === 2449489L)
+    assert(r.getAs[String]("trend") === "increasing")
+    val down = (1 to 12).flatMap(d =>
+      day("a", d, 3) ++ day("b", d, 2) ++ day("c", d, 1))
+    val r2 = Inference.pageTrend(events(down: _*), "event_type", "ts")
+      .collect().head
+    assert(r2.getAs[Long]("page_z6") === -2449490L,
+      "mirror truncates toward zero from the negative side")
+    assert(r2.getAs[String]("trend") === "decreasing")
+    val two = (1 to 4).flatMap(d => day("a", d, 1) ++ day("b", d, 2))
+    val r3 = Inference.pageTrend(events(two: _*), "event_type", "ts")
+      .collect().head
+    assert(r3.isNullAt(r3.fieldIndex("page_z6")))
+    assert(r3.isNullAt(r3.fieldIndex("trend")))
+  }
+
   test("burrowsDelta: mirror-image sources replay the exact z chain") {
     // a = 'x x y', b = 'x y y': f6 = {666666, 333333} mirrored
     val df = Seq(("a", "x x y"), ("b", "x y y")).toDF("source", "text")

@@ -303,6 +303,22 @@ object PlanDump {
       "KR-20/Cronbach alpha: the Cochran per-model + per-task censuses (map-side combined), one broadcast join, |slices|-row exact division.",
     "q304_gwet_ac1" ->
       "Gwet AC1: the Fleiss census shapes (item-keyed then source-keyed aggregations), one join of |sources|-row frames, exact HUGEINT-class division.",
+    "q306_cvm_test" ->
+      "Cramer-von Mises: the q242 value-set grid with the ECDF gap as an exact common-denominator integer (no per-point quantization); one grid aggregation to |groups| rows, one division per group.",
+    "q307_kuiper" ->
+      "Kuiper V: same grid; D+ and D- are integer maxima over the grid, one floor on their sum — the ksTest plan shape with a second max.",
+    "q308_page_trend" ->
+      "Page's L: the friedman dense day x treatment grid and per-day value-set midranks; the name-order index joins broadcast; L2/E2/z are 1-row arithmetic.",
+    "q309_randolph_kappa" ->
+      "Randolph kappa_free: the Fleiss item census (map-side combined) + one per-source division on the already-quantized pbar6 — report-sized after the census.",
+    "q310_bowker" ->
+      "Bowker symmetry: one (source, cat_a, cat_b) census, a broadcast literal 6-pair spine, two cell joins, per-pair floored terms folding to |sources| rows.",
+    "q311_assortativity" ->
+      "Degree assortativity: symmetrized distinct edges + two broadcast degree joins + ONE global sum — the correlation closed-forms to a single division; no wedge/pair term (the triangleCount prefix without the triangle join).",
+    "q312_ljung_box" ->
+      "Ljung-Box: the q285 ACF chain does all data work (calendar-bounded lag join); the portmanteau is a |groups|x7 aggregation with per-lag floored terms.",
+    "q313_turning_points" ->
+      "Turning points: events collapse to the dense calendar; lag/lead windows run over the bounded day spine; |groups|-row z arithmetic.",
     "q305_confusable_fold" ->
       "Confusable-fold dedup-evasion audit: the fold skeleton and the confusable count are row-local codegen (native confusable_fold expression + translate), fused with the evader-twin union into one scan pass; the only shuffle is the per-source census whose two countDistincts expand over the same exchange. No join anywhere — at 100 TB this costs the exact-dedup census it guards, on ~1.3x the rows.",
     "q73_embed_project" ->

@@ -216,7 +216,17 @@ object ScaleProbe {
     // shuffles the distinct (text, fold) sets; distinct texts grow
     // linearly with the suffixed replicas, so ~linear is the honest
     // expectation and the probe is the falsification
-    "q305_confusable_fold")
+    "q305_confusable_fold",
+    // gen-19a: CvM/Kuiper ride the q242 n_chars VALUE-SET grid (near-
+    // flat value growth under replicas); Randolph the Fleiss census;
+    // Bowker one (source, ca, cb) census + a literal 6-pair spine
+    "q306_cvm_test", "q307_kuiper", "q309_randolph_kappa", "q310_bowker",
+    // gen-19b: Page/Ljung-Box/turning-points are calendar-bounded
+    // (replicas add volume to the same days); assortativity is the
+    // triangle-fixture degree join + one global sum — edge table grows
+    // with docs, no wedge term
+    "q308_page_trend", "q311_assortativity", "q312_ljung_box",
+    "q313_turning_points")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
