@@ -288,6 +288,60 @@ object EventStreams {
       }
   }
 
+  final case class PhState(t: Long, cum: Long, m6: Long, minm6: Long,
+      lastBucket: Long = Long.MinValue)
+  final case class PhAlert(key: String, bucket: Long, exc6: Long,
+      alarm: Boolean)
+
+  /** Streaming Page–Hinkley monitor — the continuously-running face of
+    * [[graft.operators.TemporalJoins.pageHinkley]] (q258), completing
+    * the drift-monitor trio beside [[cusumMonitor]] (fixed baseline) and
+    * [[sprtMonitor]] (sequential decision): Page–Hinkley needs NO
+    * baseline — it tracks the excursion of the cumulative deviation
+    * from the RUNNING mean, the right monitor when no stable history
+    * exists yet. Per-key state is four BIGINTs (t, Σx, M₆, min M₆);
+    * fed pre-bucketed (key, bucket, n) counts it folds the EXACT batch
+    * recurrence — x̄₆ = cum·10⁶ div t, M₆ += n·10⁶ − x̄₆ − δ₆,
+    * exc₆ = M₆ − min M₆ — so a series split across any trigger
+    * boundaries produces bit-identically the batch excursions (the
+    * cusumMonitor equivalence contract). Emits one row per folded
+    * bucket with the post-bucket excursion and the alarm (exc₆ > λ₆);
+    * the alarm is NOT sticky (Page–Hinkley is a monitor, not a
+    * sequential decision — [[sprtMonitor]] owns stickiness). Late
+    * buckets (at or before the last folded one) return flagged with
+    * the impossible exc₆ = −1 sentinel, never silently refolded.
+    */
+  def pageHinkleyMonitor(counts: Dataset[BucketCount],
+      delta6: Long = 0L, lambda6: Long = 50000000L): Dataset[PhAlert] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[BucketCount], state: GroupState[PhState]) =>
+          // minm6 starts at the SENTINEL MaxValue: the batch window min
+          // includes the current row, so after the first bucket the min
+          // IS m6 itself (exc = 0 at t = 1, exactly as the batch fold)
+          var st = state.getOption.getOrElse(
+            PhState(0L, 0L, 0L, Long.MaxValue))
+          val out = it.toSeq.sortBy(_.bucket).map { bc =>
+            if (bc.bucket <= st.lastBucket)
+              PhAlert(key, bc.bucket, -1L, alarm = false)
+            else {
+              val t = st.t + 1
+              val cum = st.cum + bc.n
+              val xbar6 = cum * 1000000L / t
+              val m6 = st.m6 + bc.n * 1000000L - xbar6 - delta6
+              val minm6 = math.min(st.minm6, m6)
+              st = PhState(t, cum, m6, minm6, bc.bucket)
+              PhAlert(key, bc.bucket, m6 - minm6, (m6 - minm6) > lambda6)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class BtGame(key: String, epoch: Long, model_a: Long,
       model_b: Long, winner: Long)
   final case class BtCensus(lastEpoch: Long, pi: Seq[Long], pj: Seq[Long],

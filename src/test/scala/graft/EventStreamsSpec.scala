@@ -189,6 +189,50 @@ class EventStreamsSpec extends SparkSpec {
     assert(late.filter(_.decision != "late") === oneShot)
   }
 
+  test("pageHinkleyMonitor: trigger-split equals one-shot, recurrence " +
+      "matches an independent batch fold, level shift alarms, late " +
+      "buckets flagged") {
+    import EventStreams.{BucketCount, PhAlert}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the q258/q223 shape: 10 buckets of 10/day then 10 of 100/day —
+    // the running-mean excursion must cross lambda=50 shortly after the
+    // shift with NO baseline supplied (the Page-Hinkley selling point)
+    val series = (1L to 20L).map(b =>
+      BucketCount("up", b, if (b <= 10) 10L else 100L))
+    def run(chunks: Seq[Seq[BucketCount]], name: String): Seq[PhAlert] = {
+      val mem = MemoryStream[BucketCount]
+      val q = EventStreams.pageHinkleyMonitor(mem.toDS()).toDF()
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).as[PhAlert].collect().sortBy(_.bucket).toSeq
+    }
+    val oneShot = run(Seq(series), "ph_a")
+    val split = run(Seq(series.take(7), series.slice(7, 13),
+      series.drop(13)), "ph_b")
+    assert(oneShot === split, "state must carry across triggers")
+    // independent fold of the exact batch recurrence (q258's integers)
+    var (t, cum, m6, minm6) = (0L, 0L, 0L, Long.MaxValue)
+    val expected = series.map { bc =>
+      t += 1; cum += bc.n
+      m6 += bc.n * 1000000L - cum * 1000000L / t
+      minm6 = math.min(minm6, m6)
+      PhAlert("up", bc.bucket, m6 - minm6, (m6 - minm6) > 50000000L)
+    }
+    assert(oneShot === expected)
+    // flat prefix never alarms; the shift must
+    assert(oneShot.take(10).forall(!_.alarm))
+    assert(oneShot.exists(_.alarm), "level shift x10 must trip lambda=50")
+    // late bucket: flagged with the -1 sentinel, in-order rows unchanged
+    val late = run(Seq(series.take(10),
+      series.drop(10) :+ BucketCount("up", 4L, 999L)), "ph_c")
+    assert(late.count(_.exc6 == -1L) === 1)
+    assert(late.filter(_.exc6 >= 0L) === oneShot)
+  }
+
   test("bradleyTerryMonitor: per-epoch refit over the cumulative census, " +
       "trigger-split equals one-shot, final epoch equals batch, replayed " +
       "epoch flagged not double-counted") {
