@@ -1195,6 +1195,73 @@ object EvalOps {
         (col("v6") > col("crit6")).as("differs"))
   }
 
+  /** Rank-biased overlap between two rankers, per source (q316) —
+    * Webber/Moffat/Zobel (2010), the standard top-weighted similarity
+    * between two rankings: Kendall/Spearman weight every position
+    * equally, but for retrieval/quality rankers only the HEAD matters —
+    * RBO's geometric weights (p = 0.9) price rank 1 disagreements ~10×
+    * rank 10 ones. Here the two production-shaped rankers are the
+    * byte-length prior (n_chars desc) and the whitespace-token prior
+    * (word count desc) over each source's documents — how
+    * interchangeable are the two cheap length proxies a curation
+    * pipeline might rank by. Ties broken by doc_id on BOTH rankers
+    * (fully deterministic, documented).
+    *
+    * Exactness: overlap_d (|A_d ∩ B_d| per depth d ≤ 10) is an exact
+    * integer census — each common doc contributes from depth
+    * max(rankA, rankB) on, so one (source, max-rank) census + a
+    * cumulative over the 10-row depth spine covers all depths. With
+    * p = 9/10 the weight (1−p)·p^(d−1)/d = 9^(d−1)/(d·10^d) is exact
+    * rational: term₆ = overlap_d·9^(d−1)·10⁶ div (d·10^d), floored PER
+    * DEPTH, and rbo₆ is their exact sum (10 floors, documented — the
+    * truncated-at-depth-10 lower-bound RBO, no extrapolation term).
+    *
+    * Scale: two per-source ranking windows (WindowGroupLimit caps each
+    * partition at the depth before the full sort), one depth-10 equi
+    * join, a 10·|sources|-row spine — corpus rows never pair.
+    */
+  def rbo(docs: DataFrame, depth: Int = 10): DataFrame = {
+    require(depth == 10, "the exact 9^k/10^k weight table is depth-10")
+    val W = org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val nWords = size(filter(split(col("text"), " "), t => t =!= lit("")))
+      .cast("long")
+    val base = docs.select(col("source"), col("doc_id"), col("n_chars"),
+      nWords.as("_nw"))
+    val wA = W.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wB = W.partitionBy(col("source"))
+      .orderBy(col("_nw").desc, col("doc_id"))
+    val a = base.withColumn("_ra", row_number().over(wA).cast("long"))
+      .filter(col("_ra") <= depth)
+      .select(col("source"), col("doc_id"), col("_ra"))
+    val b = base.withColumn("_rb", row_number().over(wB).cast("long"))
+      .filter(col("_rb") <= depth)
+      .select(col("source"), col("doc_id"), col("_rb"))
+    val census = a.join(b, Seq("source", "doc_id"))
+      .withColumn("_m", greatest(col("_ra"), col("_rb")))
+      .groupBy(col("source"), col("_m")).agg(count(lit(1)).as("_c"))
+    // exact weight table: (d, 9^(d-1), 10^d)
+    val weights = (1 to depth).map { d =>
+      (d.toLong, math.pow(9, d - 1).toLong, math.pow(10, d).toLong)
+    }
+    val spine = docs.select(col("source")).distinct()
+      .crossJoin(broadcast(
+        spark.createDataFrame(weights).toDF("_d", "_p9", "_p10")))
+    val wCum = W.partitionBy(col("source")).orderBy(col("_d"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    spine.join(census, spine("source") === census("source")
+        && col("_m") === col("_d"), "left")
+      .select(spine("source"), col("_d"), col("_p9"), col("_p10"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+      .withColumn("_ov", sum(col("_c")).over(wCum))
+      .withColumn("_t6",
+        expr("_ov * _p9 * 1000000 div (_d * _p10)"))
+      .groupBy(col("source"))
+      .agg(max(col("_ov")).as("n_common"), sum(col("_t6")).as("rbo6"))
+      .select(col("source"), col("n_common"), col("rbo6"))
+  }
+
   /** Mann–Whitney U per group vs the REST of the corpus (q253) —
     * [[ksTest]]'s location-shift companion: KS asks "is the shape
     * different", U asks "is one distribution stochastically LARGER",

@@ -363,6 +363,46 @@ object GraphOps {
     * edges + one global sum — never a wedge or pair term; the cost is
     * the [[triangleCount]] degree-join prefix alone.
     */
+  /** Directed reciprocity (q315) — over the DIRECTED edge relation
+    * (no symmetrization — direction IS the signal): the fraction of
+    * links that are returned, r = |E ∩ Eᵀ|/|E|, plus Garlaschelli–
+    * Loffredo's density-corrected ρ = (r − ā)/(1 − ā) with
+    * ā = m/(n(n−1)) — raw r is inflated on dense graphs, ρ reads
+    * reciprocity RELATIVE to chance (reply graphs: high ρ =
+    * conversation, ρ ≈ 0 = broadcast, ρ < 0 = deliberate
+    * non-returning, the link-scheme shape).
+    *
+    * Exactness: mutual-edge count by one self-equi-join on the
+    * reversed key; r₆ = mutual·10⁶ div m and
+    * ρ₆ = (mutual·n(n−1) − m²)·10⁶ div (m·(n(n−1) − m)) — each ONE
+    * truncating division on exact DECIMAL(38,0) terms. Complete
+    * digraphs (denominator 0) and m = 0 → NULL ρ.
+    *
+    * Scale: one equi-join + one aggregation over edges; n comes from
+    * the caller's node relation — never a pair term.
+    */
+  def reciprocity(edges: DataFrame, nNodes: Long): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val mutual = e.alias("a").join(e.alias("b"),
+      col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .select(col("a.src"), col("a.dst"))
+    e.agg(count(lit(1)).as("_m"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("_mu"))))
+      .withColumn("_np", lit(nNodes).cast("decimal(38,0)")
+        * (lit(nNodes) - 1L))
+      .withColumn("r6", when(col("_m") > 0,
+        expr("_mu * 1000000 div nullif(_m, 0)")))
+      .withColumn("rho6", when(col("_m") > 0
+          && expr("CAST(_m AS DECIMAL(38,0)) * (_np - _m)") > 0,
+        expr("""(CAST(_mu AS DECIMAL(38,0)) * _np
+            - CAST(_m AS DECIMAL(38,0)) * _m) * 1000000
+          div nullif(CAST(_m AS DECIMAL(38,0)) * (_np - _m), 0)""")
+          .cast("long")))
+      .select(col("_m").as("n_edges"), col("_mu").as("n_mutual"),
+        col("r6"), col("rho6"))
+  }
+
   def assortativity(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))

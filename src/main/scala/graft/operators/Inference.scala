@@ -1307,6 +1307,62 @@ object Inference {
           .as("nonrandom"))
   }
 
+  /** KPSS level-stationarity test per group (q314) — the NULL-reversed
+    * companion to [[TemporalJoins.mannKendall]]/[[durbinWatson]]: MK's
+    * null is "no trend" (failing to reject proves nothing), KPSS's null
+    * is "stationary around a level" (Kwiatkowski–Phillips–Schmidt–Shin
+    * 1992) — rejecting HERE is positive evidence the ingest volume
+    * wandered, the right framing for "can I trust a fixed capacity
+    * plan". Statistic η = Σ_t S_t² / (n²·σ̂²) over demeaned partial
+    * sums S_t on the dense calendar spine (lag-0 long-run variance —
+    * the simple variant, documented).
+    *
+    * Exactness: n·S_t = n·cum_t − t·S is an exact integer, so
+    * Σ(nS_t)² is exact DECIMAL(38,0) and
+    * η₆ = Σ(n·cum_t − t·S)²·10⁶ div (n²·(nQ − S²)) — ONE truncating
+    * division (n²σ̂² = nQ − S² exactly). Verdict vs the fixed 5%
+    * level-stationarity point 0.463 as the integer constant 463000
+    * (the cvmTest fixed-constant precedent). Constant series (σ̂² = 0)
+    * or n < 2 → NULL.
+    *
+    * Scale: events collapse to the calendar; one cumulative window
+    * over the bounded day spine; |groups|-row division tail.
+    */
+  def kpss(events: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    val daily0 = events.groupBy(col(groupCol).as("_g"),
+        to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_x"))
+    val span = daily0.groupBy(col("_g"))
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+    val daily = span.select(col("_g"),
+        explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+      .join(daily0, Seq("_g", "_d"), "left")
+      .withColumn("_x", coalesce(col("_x"), lit(0L)))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("_t", count(lit(1)).over(w))
+      .withColumn("_cum", sum(col("_x")).over(w))
+    val stats = daily.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+        sum(col("_x").cast("decimal(38,0)") * col("_x")).as("_q"))
+    cum.join(broadcast(stats), Seq("_g"))
+      .withColumn("_ns", col("_n").cast("decimal(38,0)") * col("_cum")
+        - col("_t").cast("decimal(38,0)") * col("_s"))
+      .groupBy(col("_g"))
+      .agg(max(col("_n")).as("n_days"),
+        sum(col("_ns") * col("_ns")).as("_ss"),
+        max(expr("""CAST(_n AS DECIMAL(38,0)) * _q
+          - CAST(_s AS DECIMAL(38,0)) * _s""")).as("_den"))
+      .withColumn("kpss6", when(col("n_days") >= 2 && col("_den") > 0,
+        expr("""_ss * 1000000 div nullif(CAST(n_days AS DECIMAL(38,0))
+          * n_days * _den, 0)""").cast("long")))
+      .select(col("_g").as(groupCol), col("n_days"), col("kpss6"),
+        when(col("kpss6").isNotNull, col("kpss6") > 463000L)
+          .as("nonstationary"))
+  }
+
   /** Page's L trend test (q308) — [[friedman]]'s ORDERED-alternative
     * sibling: Friedman asks "do the treatments differ at all", Page
     * (1963) asks "do they increase in a PRE-SPECIFIED order" — the

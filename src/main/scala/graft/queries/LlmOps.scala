@@ -1450,6 +1450,29 @@ object LlmOps {
           Tables.events(s, d), "event_type", "ts")
         .orderBy(col("event_type"))),
 
+    // KPSS level-stationarity (null = stationary — the reversed-null
+    // companion to Mann–Kendall) on daily volumes
+    "q314_kpss" -> ((s, d) =>
+      graft.operators.Inference.kpss(
+          Tables.events(s, d), "event_type", "ts")
+        .orderBy(col("event_type"))),
+
+    // directed reciprocity + density-corrected rho over the q266
+    // fixture's DIRECTED edges (pre-symmetrization)
+    "q315_reciprocity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val edges = graft.operators.GraphOps.triangleFixture(
+        docs.select(col("doc_id")), n)
+      graft.operators.GraphOps.reciprocity(edges, n)
+    }),
+
+    // rank-biased overlap between the byte-length and token-count
+    // rankers per source (p = 0.9, depth 10, exact rational weights)
+    "q316_rbo" -> ((s, d) =>
+      graft.operators.EvalOps.rbo(Tables.documents(s, d))
+        .orderBy(col("source"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -8094,6 +8117,119 @@ object LlmOps {
             / sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 10.0)) AS BIGINT))
             > 1959964 END AS nonrandom
         FROM ag ORDER BY event_type""",
+
+    // dense spine + cumulative partial sums; n*S_t exact integer, one
+    // division; fixed 463000 level-stationarity constant
+    "q314_kpss" ->
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        span AS (SELECT g, min(d) AS dlo, max(d) AS dhi
+          FROM d0 GROUP BY 1),
+        daily AS (SELECT spine.g, spine.d, coalesce(x, 0) AS x
+          FROM (SELECT g, CAST(unnest(generate_series(dlo, dhi,
+              INTERVAL 1 DAY)) AS DATE) AS d FROM span) spine
+          LEFT JOIN d0 ON spine.g = d0.g AND spine.d = d0.d),
+        cm AS (SELECT g, x,
+            row_number() OVER (PARTITION BY g ORDER BY d) AS t,
+            sum(x) OVER (PARTITION BY g ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM daily),
+        st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+          FROM daily GROUP BY 1),
+        ns AS (SELECT cm.g, n, s, q,
+            CAST(n AS HUGEINT) * cum - CAST(t AS HUGEINT) * s AS nst
+          FROM cm JOIN st ON cm.g = st.g),
+        ag AS (SELECT g, max(n) AS n_days,
+            CAST(sum(nst * nst) AS HUGEINT) AS ss,
+            max(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS den
+          FROM ns GROUP BY g),
+        fin AS (SELECT g, n_days,
+            CASE WHEN n_days >= 2 AND den > 0 THEN
+              CAST(ss * 1000000 // (CAST(n_days AS HUGEINT) * n_days
+                * den) AS BIGINT) END AS kpss6
+          FROM ag)
+        SELECT g AS event_type, n_days, kpss6,
+          CASE WHEN kpss6 IS NOT NULL THEN kpss6 > 463000 END
+            AS nonstationary
+        FROM fin ORDER BY event_type""",
+
+    // the q266 DIRECTED edge fixture (no symmetrization); mutual count
+    // via one reversed-key self-join, one division per statistic
+    "q315_reciprocity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (SELECT doc_id FROM documents),
+        ring AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst
+          FROM nodes, nn),
+        chords AS (SELECT doc_id AS src, (doc_id + 2) % n AS dst
+          FROM nodes, nn
+          WHERE (((doc_id % 2147483648) * 2654435761) % 2147483647)
+            % 7 = 0),
+        hub0 AS (SELECT doc_id AS src, (31*doc_id+7) % n AS d1,
+            (17*doc_id+3) % n AS d2, (5*doc_id+11) % n AS d3
+          FROM nodes, nn
+          WHERE (((doc_id % 2147483648) * 2654435761) % 2147483647)
+            % 3 = 0),
+        hubs AS (SELECT src, unnest([d1, d2, d3]) AS dst FROM hub0),
+        edges AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM ring UNION ALL
+             SELECT src, dst FROM chords UNION ALL
+             SELECT src, dst FROM hubs)
+          WHERE dst <> src),
+        mu AS (SELECT CAST(count(*) AS BIGINT) AS mu
+          FROM edges a JOIN edges b
+            ON a.src = b.dst AND a.dst = b.src),
+        ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+            (SELECT mu FROM mu) AS mu,
+            (SELECT CAST(n AS HUGEINT) * (n - 1) FROM nn) AS np
+          FROM edges)
+        SELECT m AS n_edges, mu AS n_mutual,
+          CASE WHEN m > 0 THEN mu * 1000000 // m END AS r6,
+          CASE WHEN m > 0 AND CAST(m AS HUGEINT) * (np - m) > 0 THEN
+            CAST((CAST(mu AS HUGEINT) * np - CAST(m AS HUGEINT) * m)
+              * 1000000 // (CAST(m AS HUGEINT) * (np - m)) AS BIGINT)
+            END AS rho6
+        FROM ag""",
+
+    // two deterministic per-source ranking windows, the max-rank
+    // census + depth-10 spine, exact 9^k/10^k rational weights with
+    // per-depth floors
+    "q316_rbo" ->
+      """WITH base AS (SELECT source, doc_id,
+            CAST(n_chars AS BIGINT) AS nc,
+            CAST(len(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS BIGINT) AS nw
+          FROM documents),
+        a AS (SELECT source, doc_id, ra FROM (SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+              ORDER BY nc DESC, doc_id) AS ra FROM base)
+          WHERE ra <= 10),
+        b AS (SELECT source, doc_id, rb FROM (SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+              ORDER BY nw DESC, doc_id) AS rb FROM base)
+          WHERE rb <= 10),
+        cen AS (SELECT a.source, greatest(ra, rb) AS m,
+            CAST(count(*) AS BIGINT) AS c
+          FROM a JOIN b ON a.source = b.source AND a.doc_id = b.doc_id
+          GROUP BY 1, 2),
+        spine AS (SELECT s.source, w.d, w.p9, w.p10
+          FROM (SELECT DISTINCT source FROM documents) s,
+            (VALUES (1, 1, 10), (2, 9, 100), (3, 81, 1000),
+              (4, 729, 10000), (5, 6561, 100000), (6, 59049, 1000000),
+              (7, 531441, 10000000), (8, 4782969, 100000000),
+              (9, 43046721, 1000000000),
+              (10, 387420489, 10000000000)) w(d, p9, p10)),
+        j AS (SELECT spine.source, d, p9, p10, coalesce(c, 0) AS c
+          FROM spine LEFT JOIN cen ON cen.source = spine.source
+            AND cen.m = spine.d),
+        cm AS (SELECT source, d, p9, p10,
+            sum(c) OVER (PARTITION BY source ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ov
+          FROM j)
+        SELECT source, CAST(max(ov) AS BIGINT) AS n_common,
+          CAST(sum(ov * p9 * 1000000 // (d * p10)) AS BIGINT) AS rbo6
+        FROM cm GROUP BY source ORDER BY source""",
 
     // same distinct (order, brand) baskets, basket-keyed pair join,
     // integer confidence/lift with the HUGEINT product

@@ -963,6 +963,34 @@ class EvalOpsSpec extends SparkSpec {
     assert(s.isNullAt(s.fieldIndex("cvm6")))
   }
 
+  test("rbo: identical rankers replay the exact per-depth floors, " +
+      "head disagreement scores below full agreement") {
+    // s: both rankers order doc1 > doc2 > doc3 (longer = more words)
+    // u: 2 docs, identical order
+    // t: 2 docs, rank-1 disagreement (chars and words reversed)
+    val docs = Seq(
+      ("s", 1L, 30L, "a b c"), ("s", 2L, 20L, "a b"), ("s", 3L, 10L, "a"),
+      ("u", 4L, 30L, "a b"), ("u", 5L, 20L, "a"),
+      ("t", 6L, 100L, "a"), ("t", 7L, 50L, "b c"))
+      .toDF("source", "doc_id", "n_chars", "text")
+    val out = EvalOps.rbo(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    def expect(overlap: Int => Long): Long =
+      (1 to 10).map { d =>
+        overlap(d) * math.pow(9, d - 1).toLong * 1000000L /
+          (d * math.pow(10, d).toLong)
+      }.sum
+    assert(out("s").getAs[Long]("n_common") === 3L)
+    assert(out("s").getAs[Long]("rbo6") === expect(d => math.min(d, 3)))
+    assert(out("s").getAs[Long]("rbo6") === 461247L)
+    assert(out("u").getAs[Long]("rbo6") === expect(d => math.min(d, 2)))
+    // t: rank 1 disagrees, both docs present from depth 2 on
+    assert(out("t").getAs[Long]("rbo6") ===
+      expect(d => if (d == 1) 0L else 2L))
+    assert(out("t").getAs[Long]("rbo6") < out("u").getAs[Long]("rbo6"),
+      "a head disagreement must cost more than deep-rank equality")
+  }
+
   test("kuiper: D+ and D- exact, V one floor on the sum, the mirror " +
       "group swaps the sides, crit via the 1.747 band") {
     val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))

@@ -191,4 +191,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.assortativity(noisy).collect().head
       .getAs[Long]("assort6") === a6)
   }
+
+  test("reciprocity: exact r and density-corrected rho, complete " +
+      "digraph NULL rho, non-returning reads negative") {
+    import spark.implicits._
+    // one mutual pair + one one-way link on 3 nodes:
+    // r = 2/3, rho = (2*6 - 9)/(3*(6-3)) = 1/3
+    val mixed = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val m = GraphOps.reciprocity(mixed, nNodes = 3L).collect().head
+    assert(m.getAs[Long]("n_edges") === 3L)
+    assert(m.getAs[Long]("n_mutual") === 2L)
+    assert(m.getAs[Long]("r6") === 666666L)
+    assert(m.getAs[Long]("rho6") === 333333L)
+    // complete digraph on 2 nodes: chance = certainty -> rho undefined
+    val k2 = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val c = GraphOps.reciprocity(k2, nNodes = 2L).collect().head
+    assert(c.getAs[Long]("r6") === 1000000L)
+    assert(c.isNullAt(c.fieldIndex("rho6")))
+    // zero mutual links on a sparse graph: below chance -> negative
+    val oneway = Seq((1L, 2L), (3L, 1L)).toDF("src", "dst")
+    val o = GraphOps.reciprocity(oneway, nNodes = 3L).collect().head
+    assert(o.getAs[Long]("r6") === 0L)
+    assert(o.getAs[Long]("rho6") === -500000L)
+    // self-loops and duplicates are dropped before counting
+    val dirty = mixed.union(mixed)
+      .union(Seq((1L, 1L)).toDF("src", "dst"))
+    assert(GraphOps.reciprocity(dirty, nNodes = 3L).collect().head
+      .getAs[Long]("r6") === 666666L)
+  }
 }

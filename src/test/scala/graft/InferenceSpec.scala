@@ -296,6 +296,25 @@ class InferenceSpec extends SparkSpec {
     assert(r("s").isNullAt(r("s").fieldIndex("tp_z6")))
   }
 
+  test("kpss: ramp reads nonstationary, alternating stays level, " +
+      "constant NULL — exact one-division eta") {
+    val e = events((
+      // r: counts 1..8 -> eta6 = 17472e6 div 21504 = 812500 > 463000
+      (1 to 8).flatMap(d => day("r", d, d))
+      // a: [3,1,3,1] -> eta6 = 32e6 div 256 = 125000
+      ++ day("a", 1, 3) ++ day("a", 2, 1) ++ day("a", 3, 3)
+      ++ day("a", 4, 1)
+      // c: constant -> variance 0 -> NULL
+      ++ day("c", 1, 2) ++ day("c", 2, 2)): _*)
+    val r = Inference.kpss(e, "event_type", "ts")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("r").getAs[Long]("kpss6") === 812500L)
+    assert(r("r").getAs[Boolean]("nonstationary"))
+    assert(r("a").getAs[Long]("kpss6") === 125000L)
+    assert(!r("a").getAs[Boolean]("nonstationary"))
+    assert(r("c").isNullAt(r("c").fieldIndex("kpss6")))
+  }
+
   test("pageTrend: perfect name-ordered trend reads increasing, the " +
       "mirror decreasing, k = 2 NULL") {
     // 12 days, every day a < b < c in volume: per-day j*rank2 sum = 28,

@@ -319,6 +319,12 @@ object PlanDump {
       "Ljung-Box: the q285 ACF chain does all data work (calendar-bounded lag join); the portmanteau is a |groups|x7 aggregation with per-lag floored terms.",
     "q313_turning_points" ->
       "Turning points: events collapse to the dense calendar; lag/lead windows run over the bounded day spine; |groups|-row z arithmetic.",
+    "q314_kpss" ->
+      "KPSS: events collapse to the dense calendar; one cumulative window over the bounded day spine; n*S_t stays integer so the |groups|-row tail is one exact division.",
+    "q315_reciprocity" ->
+      "Reciprocity: the directed fixture edges + ONE reversed-key self-equi-join for the mutual count + one aggregation — no symmetrization, no pair term.",
+    "q316_rbo" ->
+      "RBO: two per-source ranking windows with WindowGroupLimit capping each partition at depth 10 before the full sort, a depth-10 equi join, then a 10x|sources| spine — corpus rows never pair.",
     "q305_confusable_fold" ->
       "Confusable-fold dedup-evasion audit: the fold skeleton and the confusable count are row-local codegen (native confusable_fold expression + translate), fused with the evader-twin union into one scan pass; the only shuffle is the per-source census whose two countDistincts expand over the same exchange. No join anywhere — at 100 TB this costs the exact-dedup census it guards, on ~1.3x the rows.",
     "q73_embed_project" ->

@@ -226,7 +226,12 @@ object ScaleProbe {
     // triangle-fixture degree join + one global sum — edge table grows
     // with docs, no wedge term
     "q308_page_trend", "q311_assortativity", "q312_ljung_box",
-    "q313_turning_points")
+    "q313_turning_points",
+    // gen-20: KPSS calendar-bounded; reciprocity one reversed-key edge
+    // self-join (grows with docs); RBO two WindowGroupLimit-capped
+    // per-source rankings + a depth-10 spine (the ranking windows scan
+    // the corpus once, everything after is 10x|sources| rows)
+    "q314_kpss", "q315_reciprocity", "q316_rbo")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
