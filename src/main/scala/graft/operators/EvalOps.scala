@@ -145,6 +145,76 @@ object EvalOps {
         col("_q").as("n_cats"), col("_ac16").as("ac1_6"))
   }
 
+  /** Deterministic paired-score fixture for [[wilcoxonSignedRank]]:
+    * per task, model A's and model B's scores in integer millionths.
+    * A's score is hash-uniform; B's is A's plus a decorrelated noise
+    * term (second multiplicative fold through a different prime — the
+    * [[pairedCats]] nonlinearity discipline) that is POSITIVELY biased
+    * (+[0..30000) on u%5<3, −[0..20000) otherwise) — a planted median
+    * shift for the signed-rank test to find, with enough sign mixing
+    * that the test is non-trivial. ~1/40 of diffs land exactly 0 (the
+    * zero-drop path stays exercised). Output (task_id, source,
+    * score_a6, score_b6).
+    */
+  def pairedScores(docs: DataFrame): DataFrame = {
+    val h = CorpusOps.idHash(col("task_id"))
+    val u = ((h % 999979L) * 69621L) % 2147483647L
+    val noise = when(u % 5 < 3, (u % 30000L))
+      .otherwise(-(u % 20000L))
+    docs.select(col("doc_id").as("task_id"), col("source"))
+      .withColumn("score_a6", (h % 1000000L).cast("long"))
+      .withColumn("score_b6",
+        (col("score_a6") + when(u % 40 === 0, 0L).otherwise(noise))
+          .cast("long"))
+  }
+
+  /** Wilcoxon signed-rank test per source (q318) — the PAIRED-samples
+    * gap in the location battery ([[mannWhitney]] compares independent
+    * groups; [[mcnemar]] pairs booleans; this pairs CONTINUOUS scores
+    * — "did model B genuinely score higher than A on the same tasks",
+    * with shared task difficulty cancelling in the differences): drop
+    * zero differences (Wilcoxon's convention, documented), rank |d|
+    * with doubled midranks over the |d| VALUE SET, W₂ = Σ_{d>0} r₂.
+    *
+    * Exactness: E[W₂] = m(m+1)/2 exact integer; the tie-corrected
+    * 12·Var[W₂] = 2m(m+1)(2m+1) − Σ(t³−t) exact BIGINT, so
+    * z₆ = ⌊(W₂ − E₂)·10⁶ / √((12Var₂)/12)⌋ — ONE IEEE sqrt on the
+    * exact integer over 12.0 (the turningPoints recipe). Verdict
+    * |z₆| > 1 959 964; m = 0 (all ties) or all-tied |d| (Var = 0) →
+    * NULL.
+    *
+    * Scale: one census to the per-source |d| value set; ranks run over
+    * value sets, never task rows; |sources|-row arithmetic after.
+    */
+  def wilcoxonSignedRank(paired: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = paired
+      .withColumn("_d", col("score_b6") - col("score_a6"))
+      .filter(col("_d") =!= 0L)
+      .withColumn("_ad", abs(col("_d")))
+    val census = d.groupBy(col("source"), col("_ad"))
+      .agg(count(lit(1)).as("_ct"),
+        sum(when(col("_d") > 0, 1L).otherwise(0L)).as("_pos"))
+    val wv = W.partitionBy(col("source")).orderBy(col("_ad"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val ranked = census.withColumn("_r2",
+      lit(2L) * sum(col("_ct")).over(wv) - col("_ct") + 1L)
+    ranked.groupBy(col("source"))
+      .agg(sum(col("_ct")).as("n_pairs"),
+        sum(col("_pos") * col("_r2")).as("w2"),
+        sum(col("_ct") * col("_ct") * col("_ct") - col("_ct")).as("_tie"))
+      .withColumn("_e2", expr("n_pairs * (n_pairs + 1) div 2"))
+      .withColumn("_var12", expr(
+        """2 * CAST(n_pairs AS DECIMAL(38,0)) * (n_pairs + 1)
+          * (2 * n_pairs + 1) - _tie"""))
+      .withColumn("z6", when(col("n_pairs") > 0 && col("_var12") > 0,
+        floor((col("w2") - col("_e2")).cast("double") * 1e6
+          / sqrt(col("_var12").cast("double") / 12.0)).cast("long")))
+      .select(col("source"), col("n_pairs"), col("w2"), col("z6"),
+        when(col("z6").isNotNull, abs(col("z6")) > 1959964L)
+          .as("shifted"))
+  }
+
   /** Randolph's free-marginal multirater κ (q309) — the third corner of
     * the chance-correction triangle beside [[fleissKappa]] (prevalence-
     * based pe, punishes skewed labels) and [[gwetAC1]] (uncertainty-
@@ -268,6 +338,85 @@ object EvalOps {
         col("crit6"),
         when(col("df") >= 1, col("chi2_6") > col("crit6"))
           .as("asymmetric"))
+  }
+
+  /** Ordinal association battery per source (q319) — Goodman–Kruskal γ
+    * and BOTH Somers' D asymmetries between two ordinal bucketings
+    * (byte-length bucket vs token-count bucket — "does more bytes mean
+    * more tokens, monotonically", per source; a source where the two
+    * diverge has unusual tokenization density worth inspecting).
+    * Kendall τ-b (q255) treats the two variables symmetrically; γ
+    * ignores ALL ties (the optimist), Somers' d_yx/d_xy charge ties on
+    * the DEPENDENT side only — the directional "does X predict Y"
+    * reads (Somers 1962).
+    *
+    * Exactness, doubled-pair convention: over the (source, x, y) cell
+    * census, one cell-pair join on x_a < x_b classifies pairs —
+    * C₂ = 2C from y_a < y_b, D₂ = 2D from y_a > y_b; tie masses from
+    * the margins: TY₂ = Σ_y n_y(n_y−1) − Σ_cell n(n−1) (tied on Y but
+    * not both), TX₂ likewise. γ₆ = (C₂−D₂)·10⁶ div (C₂+D₂),
+    * d_yx₆ = (C₂−D₂)·10⁶ div (C₂+D₂+TY₂), d_xy₆ with TX₂ — each ONE
+    * truncating DECIMAL(38,0) division. C+D = 0 (any degenerate
+    * margin) → NULL γ; zero denominators → NULL.
+    *
+    * Scale: corpus rows enter ONE census; the pair join runs on the
+    * bounded per-source CELL GRID (buckets², never rows²); margins are
+    * grid aggregations.
+    */
+  def ordinalAssociation(docs: DataFrame, xBucket: Long = 200L,
+      yBucket: Long = 30L): DataFrame = {
+    val nWords = size(filter(split(col("text"), " "), t => t =!= lit("")))
+      .cast("long")
+    val b = docs.select(col("source"),
+      expr(s"n_chars div $xBucket").as("_x"),
+      (nWords / yBucket).cast("long").as("_y"))
+    val cells = b.groupBy(col("source"), col("_x"), col("_y"))
+      .agg(count(lit(1)).as("_n"))
+    val pair = cells.alias("a").join(cells.alias("b"),
+        col("a.source") === col("b.source")
+          && col("a._x") < col("b._x"))
+      .groupBy(col("a.source").as("source"))
+      .agg(
+        sum(when(col("a._y") < col("b._y"),
+          col("a._n").cast("decimal(38,0)") * col("b._n"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("_c"),
+        sum(when(col("a._y") > col("b._y"),
+          col("a._n").cast("decimal(38,0)") * col("b._n"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("_d"))
+    val xm = cells.groupBy(col("source"), col("_x"))
+      .agg(sum(col("_n")).as("_nx"))
+      .groupBy(col("source"))
+      .agg(sum(col("_nx").cast("decimal(38,0)") * (col("_nx") - 1L))
+        .as("_txall"))
+    val ym = cells.groupBy(col("source"), col("_y"))
+      .agg(sum(col("_n")).as("_ny"))
+      .groupBy(col("source"))
+      .agg(sum(col("_ny").cast("decimal(38,0)") * (col("_ny") - 1L))
+        .as("_tyall"))
+    val both = cells.groupBy(col("source"))
+      .agg(sum(col("_n")).as("n_docs"),
+        sum(col("_n").cast("decimal(38,0)") * (col("_n") - 1L))
+          .as("_tboth"))
+    both.join(pair, Seq("source"), "left")
+      .join(xm, Seq("source")).join(ym, Seq("source"))
+      .withColumn("_c2", coalesce(col("_c") * 2L,
+        lit(0L).cast("decimal(38,0)")))
+      .withColumn("_d2", coalesce(col("_d") * 2L,
+        lit(0L).cast("decimal(38,0)")))
+      .withColumn("_ty2", col("_tyall") - col("_tboth"))
+      .withColumn("_tx2", col("_txall") - col("_tboth"))
+      .withColumn("gamma6", when(col("_c2") + col("_d2") > 0,
+        expr("(_c2 - _d2) * 1000000 div nullif(_c2 + _d2, 0)")
+          .cast("long")))
+      .withColumn("dyx6", when(col("_c2") + col("_d2") + col("_ty2") > 0,
+        expr("(_c2 - _d2) * 1000000 div nullif(_c2 + _d2 + _ty2, 0)")
+          .cast("long")))
+      .withColumn("dxy6", when(col("_c2") + col("_d2") + col("_tx2") > 0,
+        expr("(_c2 - _d2) * 1000000 div nullif(_c2 + _d2 + _tx2, 0)")
+          .cast("long")))
+      .select(col("source"), col("n_docs"),
+        col("_c2").cast("long").as("c2"), col("_d2").cast("long").as("d2"),
+        col("gamma6"), col("dyx6"), col("dxy6"))
   }
 
   /** Deterministic pairwise-battle fixture: one game per document between

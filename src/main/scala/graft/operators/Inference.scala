@@ -1307,6 +1307,72 @@ object Inference {
           .as("nonrandom"))
   }
 
+  /** Pettitt change-point test per group (q317) — the RANK-based
+    * change locator beside [[changepoint]]'s mean-based binary
+    * segmentation (one wild day drags a mean split; ranks don't care):
+    * U_t = Σ_{i≤t, j>t} sgn(x_i − x_j), K = max|U_t| (Pettitt 1979).
+    * Via the midrank identity Σ_j sgn(x_i − x_j) = 2r_i − (n+1) the
+    * double sum collapses to a CUMULATIVE of global midranks:
+    * 2U_t = Σ_{i≤t} r2_i − t·(n+1)·... exactly 2U_t = R2_t − t(n+1)
+    * with R2_t the running doubled-midrank sum — one value-set rank
+    * window + one calendar cumulative, never a day-pair join.
+    *
+    * Exactness: doubled midranks from the per-group value census keep
+    * everything integer; k2 = max|2U_t| over t < n, split day = the
+    * EARLIEST argmax (max-then-join-back, the q265-fix recipe).
+    * Significance p = 2·exp(−6K²/(n³+n²)) < 0.05 replayed as the exact
+    * integer cross-comparison 3·k2²·10⁶ > 2·3688879·(n³+n²)
+    * (ln 40 = 3.688879…, floored ×10⁶ — the shared literal IS the
+    * contract, both engines compare identically). n < 2 → NULL.
+    *
+    * Scale: events collapse to the calendar; ranks run over the
+    * per-group VALUE SET; |groups|·days grid, no pair term.
+    */
+  def pettitt(events: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    val daily0 = events.groupBy(col(groupCol).as("_g"),
+        to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_x"))
+    val span = daily0.groupBy(col("_g"))
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+    val daily = span.select(col("_g"),
+        explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+      .join(daily0, Seq("_g", "_d"), "left")
+      .withColumn("_x", coalesce(col("_x"), lit(0L)))
+    // global doubled midranks per group from the value census
+    val census = daily.groupBy(col("_g"), col("_x"))
+      .agg(count(lit(1)).as("_ct"))
+    val wv = Window.partitionBy(col("_g")).orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = census.withColumn("_r2",
+      lit(2L) * sum(col("_ct")).over(wv) - col("_ct") + 1L)
+    val wd = Window.partitionBy(col("_g")).orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val stats = daily.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    val u = daily
+      .join(ranked.select(col("_g"), col("_x"), col("_r2")),
+        Seq("_g", "_x"))
+      .withColumn("_t", count(lit(1)).over(wd))
+      .withColumn("_rs", sum(col("_r2")).over(wd))
+      .join(broadcast(stats), Seq("_g"))
+      .withColumn("_u2", col("_rs") - col("_t") * (col("_n") + 1L))
+      .filter(col("_t") < col("_n"))
+    val kmax = u.groupBy(col("_g"))
+      .agg(max(col("_n")).as("n_days"), max(abs(col("_u2"))).as("k2"))
+    val at = u.join(kmax.select(col("_g"), col("k2")), Seq("_g"))
+      .filter(abs(col("_u2")) === col("k2"))
+      .groupBy(col("_g")).agg(min(col("_d")).as("cp_day"))
+    kmax.join(at, Seq("_g"), "left")
+      .withColumn("significant", when(col("n_days") >= 2,
+        expr("""3 * CAST(k2 AS DECIMAL(38,0)) * k2 * 1000000
+          > 2 * 3688879 * (CAST(n_days AS DECIMAL(38,0)) * n_days
+            * n_days + CAST(n_days AS DECIMAL(38,0)) * n_days)""")))
+      .select(col("_g").as(groupCol), col("n_days"),
+        when(col("n_days") >= 2, col("k2")).as("k2"),
+        when(col("n_days") >= 2, col("cp_day")).as("cp_day"),
+        col("significant"))
+  }
+
   /** KPSS level-stationarity test per group (q314) — the NULL-reversed
     * companion to [[TemporalJoins.mannKendall]]/[[durbinWatson]]: MK's
     * null is "no trend" (failing to reject proves nothing), KPSS's null

@@ -1473,6 +1473,26 @@ object LlmOps {
       graft.operators.EvalOps.rbo(Tables.documents(s, d))
         .orderBy(col("source"))),
 
+    // Pettitt rank-based change point on daily volumes (the robust
+    // companion to q286's mean-based split)
+    "q317_pettitt" -> ((s, d) =>
+      graft.operators.Inference.pettitt(
+          Tables.events(s, d), "event_type", "ts")
+        .orderBy(col("event_type"))),
+
+    // Wilcoxon signed-rank on paired model scores (the continuous
+    // paired-samples gap between mannWhitney and mcnemar)
+    "q318_wilcoxon" -> ((s, d) =>
+      graft.operators.EvalOps.wilcoxonSignedRank(
+          graft.operators.EvalOps.pairedScores(Tables.documents(s, d)))
+        .orderBy(col("source"))),
+
+    // Goodman–Kruskal gamma + both Somers' D asymmetries between the
+    // byte-length and token-count bucketings per source
+    "q319_ordinal_assoc" -> ((s, d) =>
+      graft.operators.EvalOps.ordinalAssociation(Tables.documents(s, d))
+        .orderBy(col("source"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -8230,6 +8250,134 @@ object LlmOps {
         SELECT source, CAST(max(ov) AS BIGINT) AS n_common,
           CAST(sum(ov * p9 * 1000000 // (d * p10)) AS BIGINT) AS rbo6
         FROM cm GROUP BY source ORDER BY source""",
+
+    // dense spine, global doubled midranks from the value census, one
+    // calendar cumulative (2U_t = R2_t - t(n+1)); earliest-argmax via
+    // max-then-join-back; floored-ln40 integer significance gate
+    "q317_pettitt" ->
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        span AS (SELECT g, min(d) AS dlo, max(d) AS dhi
+          FROM d0 GROUP BY 1),
+        daily AS (SELECT spine.g, spine.d, coalesce(x, 0) AS x
+          FROM (SELECT g, CAST(unnest(generate_series(dlo, dhi,
+              INTERVAL 1 DAY)) AS DATE) AS d FROM span) spine
+          LEFT JOIN d0 ON spine.g = d0.g AND spine.d = d0.d),
+        cen AS (SELECT g, x, CAST(count(*) AS BIGINT) AS ct
+          FROM daily GROUP BY 1, 2),
+        rk AS (SELECT g, x, 2 * sum(ct) OVER (PARTITION BY g ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - ct + 1 AS r2 FROM cen),
+        st AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+          FROM daily GROUP BY 1),
+        u AS (SELECT daily.g, d,
+            row_number() OVER (PARTITION BY daily.g ORDER BY d) AS t,
+            sum(r2) OVER (PARTITION BY daily.g ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+          FROM daily JOIN rk ON daily.g = rk.g AND daily.x = rk.x),
+        u2 AS (SELECT u.g, d, rs - CAST(t AS HUGEINT) * (n + 1) AS u2v,
+            n FROM u JOIN st ON u.g = st.g WHERE t < n),
+        km AS (SELECT g, max(n) AS n_days, max(abs(u2v)) AS k2
+          FROM u2 GROUP BY g),
+        at AS (SELECT u2.g, min(d) AS cp_day FROM u2
+          JOIN km ON u2.g = km.g AND abs(u2.u2v) = km.k2 GROUP BY u2.g)
+        SELECT km.g AS event_type, n_days, CAST(k2 AS BIGINT) AS k2,
+          cp_day,
+          3 * CAST(k2 AS HUGEINT) * k2 * 1000000 > 2 * 3688879
+            * (CAST(n_days AS HUGEINT) * n_days * n_days
+              + CAST(n_days AS HUGEINT) * n_days) AS significant
+        FROM km LEFT JOIN at ON km.g = at.g ORDER BY event_type""",
+
+    // fixture replay (idHash + decorrelated fold, planted positive
+    // shift), zero-diff drop, |d| value-set doubled midranks, exact
+    // E2/12Var chain, one IEEE sqrt
+    "q318_wilcoxon" ->
+      """WITH p AS (SELECT source,
+            ((h % 999979) * 69621) % 2147483647 AS u, h
+          FROM (SELECT doc_id, source,
+              ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
+            FROM documents)),
+        sc AS (SELECT source, h % 1000000 AS a6,
+            h % 1000000 + CASE WHEN u % 40 = 0 THEN 0
+              WHEN u % 5 < 3 THEN u % 30000
+              ELSE -(u % 20000) END AS b6 FROM p),
+        d AS (SELECT source, b6 - a6 AS dd, abs(b6 - a6) AS ad
+          FROM sc WHERE b6 - a6 <> 0),
+        cen AS (SELECT source, ad, CAST(count(*) AS BIGINT) AS ct,
+            CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS pos
+          FROM d GROUP BY 1, 2),
+        rk AS (SELECT source, ad, ct, pos,
+            2 * sum(ct) OVER (PARTITION BY source ORDER BY ad
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - ct + 1 AS r2 FROM cen),
+        ag AS (SELECT source, CAST(sum(ct) AS BIGINT) AS n_pairs,
+            CAST(sum(pos * r2) AS BIGINT) AS w2,
+            CAST(sum(ct*ct*ct - ct) AS BIGINT) AS tie
+          FROM rk GROUP BY source),
+        fin AS (SELECT source, n_pairs, w2,
+            n_pairs * (n_pairs + 1) // 2 AS e2,
+            2 * CAST(n_pairs AS HUGEINT) * (n_pairs + 1)
+              * (2 * n_pairs + 1) - tie AS var12 FROM ag),
+        z AS (SELECT source, n_pairs, w2,
+            CASE WHEN n_pairs > 0 AND var12 > 0 THEN
+              CAST(floor(CAST(w2 - e2 AS DOUBLE) * 1e6
+                / sqrt(CAST(var12 AS DOUBLE) / 12.0)) AS BIGINT) END
+              AS z6
+          FROM fin)
+        SELECT source, n_pairs, w2, z6,
+          CASE WHEN z6 IS NOT NULL THEN abs(z6) > 1959964 END
+            AS shifted
+        FROM z ORDER BY source""",
+
+    // one (source, x, y) cell census; the pair join runs on the
+    // bounded cell grid; doubled-pair tie masses from the margins
+    "q319_ordinal_assoc" ->
+      """WITH b AS (SELECT source, n_chars // 200 AS x,
+            CAST(len(list_filter(string_split(text, ' '),
+              t -> t <> '')) AS BIGINT) // 30 AS y
+          FROM documents),
+        cells AS (SELECT source, x, y, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2, 3),
+        pr AS (SELECT a.source,
+            CAST(sum(CASE WHEN a.y < c.y
+              THEN CAST(a.n AS HUGEINT) * c.n ELSE 0 END) AS HUGEINT)
+              AS cc,
+            CAST(sum(CASE WHEN a.y > c.y
+              THEN CAST(a.n AS HUGEINT) * c.n ELSE 0 END) AS HUGEINT)
+              AS dd
+          FROM cells a JOIN cells c
+            ON a.source = c.source AND a.x < c.x
+          GROUP BY a.source),
+        xm AS (SELECT source, CAST(sum(CAST(nx AS HUGEINT) * (nx - 1))
+            AS HUGEINT) AS txall
+          FROM (SELECT source, x, CAST(sum(n) AS BIGINT) AS nx
+            FROM cells GROUP BY 1, 2) GROUP BY source),
+        ym AS (SELECT source, CAST(sum(CAST(ny AS HUGEINT) * (ny - 1))
+            AS HUGEINT) AS tyall
+          FROM (SELECT source, y, CAST(sum(n) AS BIGINT) AS ny
+            FROM cells GROUP BY 1, 2) GROUP BY source),
+        bo AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+            CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS tboth
+          FROM cells GROUP BY source),
+        j AS (SELECT bo.source, n_docs,
+            coalesce(cc, 0) * 2 AS c2, coalesce(dd, 0) * 2 AS d2,
+            tyall - tboth AS ty2, txall - tboth AS tx2
+          FROM bo LEFT JOIN pr ON bo.source = pr.source
+            JOIN xm ON bo.source = xm.source
+            JOIN ym ON bo.source = ym.source)
+        SELECT source, n_docs, CAST(c2 AS BIGINT) AS c2,
+          CAST(d2 AS BIGINT) AS d2,
+          CASE WHEN c2 + d2 > 0 THEN
+            CAST((c2 - d2) * 1000000 // (c2 + d2) AS BIGINT) END
+            AS gamma6,
+          CASE WHEN c2 + d2 + ty2 > 0 THEN
+            CAST((c2 - d2) * 1000000 // (c2 + d2 + ty2) AS BIGINT) END
+            AS dyx6,
+          CASE WHEN c2 + d2 + tx2 > 0 THEN
+            CAST((c2 - d2) * 1000000 // (c2 + d2 + tx2) AS BIGINT) END
+            AS dxy6
+        FROM j ORDER BY source""",
 
     // same distinct (order, brand) baskets, basket-keyed pair join,
     // integer confidence/lift with the HUGEINT product

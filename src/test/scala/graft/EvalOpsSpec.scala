@@ -963,6 +963,61 @@ class EvalOpsSpec extends SparkSpec {
     assert(s.isNullAt(s.fieldIndex("cvm6")))
   }
 
+  test("wilcoxonSignedRank: hand census with a zero drop and a " +
+      "midrank tie, exact W2/E2/var12 chain; all-tied source drops") {
+    // s diffs: +1, +2, +3, -1, 0(dropped) -> |d| ranks2 {1:3, 2:6, 3:8}
+    // W2 = 3+6+8 = 17, m = 4, E2 = 10, 12Var = 2*4*5*9 - 6 = 354
+    val paired = Seq(
+      ("s", 1L, 0L, 1L), ("s", 2L, 0L, 2L), ("s", 3L, 0L, 3L),
+      ("s", 4L, 10L, 9L), ("s", 5L, 5L, 5L),
+      ("t", 6L, 7L, 7L), ("t", 7L, 3L, 3L))
+      .toDF("source", "task_id", "score_a6", "score_b6")
+    val out = EvalOps.wilcoxonSignedRank(paired).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(!out.contains("t"), "all-zero-diff source must drop")
+    val s = out("s")
+    assert(s.getAs[Long]("n_pairs") === 4L)
+    assert(s.getAs[Long]("w2") === 17L)
+    assert(s.getAs[Long]("z6") ===
+      math.floor(7.0 * 1e6 / math.sqrt(354.0 / 12.0)).toLong)
+    assert(!s.getAs[Boolean]("shifted"))
+    // the planted fixture has enough sign mixing to keep both sides
+    val fx = EvalOps.pairedScores(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val d = fx.withColumn("_d", col("score_b6") - col("score_a6"))
+    assert(d.filter(col("_d") > 0).count() > 0)
+    assert(d.filter(col("_d") < 0).count() > 0)
+    assert(d.filter(col("_d") === 0).count() > 0,
+      "the zero-drop path must stay exercised")
+  }
+
+  test("ordinalAssociation: perfect concordance 1e6, reversal -1e6, " +
+      "tie asymmetry splits d_yx from d_xy") {
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      // s: three docs, buckets (0,0) (1,1) (2,2) -> all concordant
+      ("s", 1L, 0L, words(10)), ("s", 2L, 250L, words(35)),
+      ("s", 3L, 450L, words(70)),
+      // t: one discordant pair -> gamma = -1e6
+      ("t", 4L, 0L, words(35)), ("t", 5L, 250L, words(10)),
+      // u: both docs in x-bucket 0, different y -> no x-ordered pairs:
+      // gamma NULL, d_yx NULL (no Y-tied pairs either), d_xy = 0
+      // (the X-tied pair carries the whole d_xy denominator)
+      ("u", 6L, 0L, words(10)), ("u", 7L, 50L, words(35)))
+      .toDF("source", "doc_id", "n_chars", "text")
+    val out = EvalOps.ordinalAssociation(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(out("s").getAs[Long]("c2") === 6L)
+    assert(out("s").getAs[Long]("d2") === 0L)
+    assert(out("s").getAs[Long]("gamma6") === 1000000L)
+    assert(out("s").getAs[Long]("dyx6") === 1000000L)
+    assert(out("s").getAs[Long]("dxy6") === 1000000L)
+    assert(out("t").getAs[Long]("gamma6") === -1000000L)
+    assert(out("u").isNullAt(out("u").fieldIndex("gamma6")))
+    assert(out("u").isNullAt(out("u").fieldIndex("dyx6")))
+    assert(out("u").getAs[Long]("dxy6") === 0L)
+  }
+
   test("rbo: identical rankers replay the exact per-depth floors, " +
       "head disagreement scores below full agreement") {
     // s: both rankers order doc1 > doc2 > doc3 (longer = more words)

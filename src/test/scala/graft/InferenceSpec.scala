@@ -296,6 +296,35 @@ class InferenceSpec extends SparkSpec {
     assert(r("s").isNullAt(r("s").fieldIndex("tp_z6")))
   }
 
+  test("pettitt: exact k2/cp on hand series, 50-day step significant, " +
+      "constant flat") {
+    def dayN(t: String, d: Int, n: Int): Seq[(String, String)] =
+      (1 to n).map(_ => (t, java.time.LocalDate.of(2024, 3, 1)
+        .plusDays(d - 1).toString + " 12:00:00"))
+    // s: [1,1,1,9,9] -> doubled ranks [4,4,4,9,9], 2U_t = R2_t - 6t =
+    // [-2,-4,-6,-3]; k2 = 6 at day 3, far from significance at n = 5
+    // c: constant -> every 2U_t = 0, cp = first day, not significant
+    // j: 25 low days then 25 high -> k2 = 25*25 = 625 at day 25,
+    // 3*625^2*1e6 > 2*3688879*(50^3+50^2) -> significant
+    val e = ((1 to 3).flatMap(d => dayN("s", d, 1))
+      ++ (4 to 5).flatMap(d => dayN("s", d, 9))
+      ++ (1 to 3).flatMap(d => dayN("c", d, 2))
+      ++ (1 to 25).flatMap(d => dayN("j", d, 1))
+      ++ (26 to 50).flatMap(d => dayN("j", d, 9)))
+    val df = e.toDF("event_type", "_ts")
+      .select(col("event_type"), to_timestamp(col("_ts")).as("ts"))
+    val r = Inference.pettitt(df, "event_type", "ts")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("s").getAs[Long]("k2") === 6L)
+    assert(r("s").getAs[java.sql.Date]("cp_day").toString === "2024-03-03")
+    assert(!r("s").getAs[Boolean]("significant"))
+    assert(r("c").getAs[Long]("k2") === 0L)
+    assert(r("c").getAs[java.sql.Date]("cp_day").toString === "2024-03-01")
+    assert(r("j").getAs[Long]("k2") === 625L)
+    assert(r("j").getAs[java.sql.Date]("cp_day").toString === "2024-03-25")
+    assert(r("j").getAs[Boolean]("significant"))
+  }
+
   test("kpss: ramp reads nonstationary, alternating stays level, " +
       "constant NULL — exact one-division eta") {
     val e = events((

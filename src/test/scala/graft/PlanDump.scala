@@ -319,6 +319,12 @@ object PlanDump {
       "Ljung-Box: the q285 ACF chain does all data work (calendar-bounded lag join); the portmanteau is a |groups|x7 aggregation with per-lag floored terms.",
     "q313_turning_points" ->
       "Turning points: events collapse to the dense calendar; lag/lead windows run over the bounded day spine; |groups|-row z arithmetic.",
+    "q317_pettitt" ->
+      "Pettitt: the midrank identity turns the O(days^2) U_t double sum into one value-set rank window + one calendar cumulative — no day-pair join anywhere; argmax by max-then-join-back.",
+    "q318_wilcoxon" ->
+      "Wilcoxon signed-rank: one census to the per-source |d| value set, midranks over the value-set window, |sources|-row z arithmetic — task rows enter exactly one aggregation.",
+    "q319_ordinal_assoc" ->
+      "Ordinal association: one (source, x, y) cell census; concordance counted by a bounded grid^2 cell-pair join (never a row pair); tie masses from grid margins.",
     "q314_kpss" ->
       "KPSS: events collapse to the dense calendar; one cumulative window over the bounded day spine; n*S_t stays integer so the |groups|-row tail is one exact division.",
     "q315_reciprocity" ->

@@ -231,7 +231,12 @@ object ScaleProbe {
     // self-join (grows with docs); RBO two WindowGroupLimit-capped
     // per-source rankings + a depth-10 spine (the ranking windows scan
     // the corpus once, everything after is 10x|sources| rows)
-    "q314_kpss", "q315_reciprocity", "q316_rbo")
+    "q314_kpss", "q315_reciprocity", "q316_rbo",
+    // gen-21: Pettitt rides the calendar + per-group value set;
+    // Wilcoxon the per-source |d| value set (diff granularity grows
+    // the set ~linearly); ordinal association one bounded cell census
+    // + a grid^2 pair join that never touches rows
+    "q317_pettitt", "q318_wilcoxon", "q319_ordinal_assoc")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
