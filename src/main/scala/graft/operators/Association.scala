@@ -201,4 +201,64 @@ object Association {
         (col("_lift6").cast("double") / 1e6).as("lift"),
         (col("_lift6") > 1000000L).as("positive"))
   }
+
+  /** Theil's uncertainty coefficient, both directions per pair (q320)
+    * — [[mutualInfo]]'s ASYMMETRIC normalization (Theil 1970): NMI
+    * divides by min(H_a, H_b), which hides which way the prediction
+    * runs; U(a|b) = I/H(a) reads "what fraction of a's uncertainty
+    * does knowing b remove" and U(b|a) the reverse — a near-1 U(lang |
+    * source) with a small U(source | lang) says source determines
+    * language but not back, exactly the dependency-direction question
+    * a leakage/feature audit asks.
+    *
+    * Exactness: the IDENTICAL [[mutualInfo]] chain (per-occupied-cell
+    * floored ln summands, per-margin floored entropies — identical
+    * doubles in, identical integers out), then each U is ONE
+    * truncating division of the two already-quantized integers (the
+    * double-floor contract). Single-valued margins (H = 0) → NULL on
+    * that direction only. Reported as BIGINT millionths.
+    *
+    * Scale: the [[cramersV]] shape — |pairs| cell censuses over one
+    * scan, report-sized arithmetic after.
+    */
+  def theilU(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("_a"), col(b).as("_b"))
+        .agg(count(lit(1)).as("_o"))
+      val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+      val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+      val n = cells.agg(sum(col("_o")).as("_n"))
+      def h6(margin: DataFrame, mcol: String): DataFrame =
+        margin.crossJoin(broadcast(n))
+          .withColumn("_t6", floor((col(mcol).cast("double")
+            / col("_n").cast("double"))
+            * -log(col(mcol).cast("double") / col("_n").cast("double"))
+            * 1e6).cast("long"))
+          .agg(sum(col("_t6")).as(s"h6$mcol"))
+      val mi = cells
+        .join(ra, "_a").join(cb, "_b")
+        .crossJoin(broadcast(n))
+        .withColumn("_m6", floor((col("_o").cast("double")
+          / col("_n").cast("double"))
+          * log((col("_o") * col("_n")).cast("double")
+            / (col("_ra") * col("_cb")).cast("double")) * 1e6)
+          .cast("long"))
+        .agg(max(col("_n")).as("n"), sum(col("_m6")).as("_mi6raw"))
+        .withColumn("_mi6", greatest(lit(0L), col("_mi6raw")))
+      mi.crossJoin(broadcast(h6(ra, "_ra")))
+        .crossJoin(broadcast(h6(cb, "_cb")))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+          col("_mi6").as("mi6"),
+          col("h6_ra").as("ha6"), col("h6_cb").as("hb6"),
+          when(col("h6_ra") > 0,
+            expr("_mi6 * 1000000 div h6_ra")).as("u_a_given_b6"),
+          when(col("h6_cb") > 0,
+            expr("_mi6 * 1000000 div h6_cb")).as("u_b_given_a6"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -1493,6 +1493,15 @@ object LlmOps {
       graft.operators.EvalOps.ordinalAssociation(Tables.documents(s, d))
         .orderBy(col("source"))),
 
+    // Theil's uncertainty coefficient both ways per column pair — the
+    // dependency-DIRECTION read q278's symmetric NMI cannot give
+    "q320_theil_u" -> ((s, d) =>
+      graft.operators.Association.theilU(
+          Tables.documents(s, d).select(col("source"), col("lang"),
+            expr("n_chars div 200").as("len_bucket")),
+          Seq("source", "lang", "len_bucket"))
+        .orderBy(col("col_a"), col("col_b"))),
+
     // SCD2 dimension history: changed keys close + reopen, no-op
     // updates produce zero churn, new keys open their first interval
     "q215_scd2" -> ((s, d) => {
@@ -2681,6 +2690,56 @@ object LlmOps {
   /** q278 oracle: occupied-cell MI and margin entropies per pair with
     * the SAME double-division/ln/floor chain as Association.mutualInfo.
     */
+  /** q320: the [[mutualInfoOracle]] chain with the two asymmetric
+    * uncertainty coefficients in place of NMI — each one truncating
+    * division of the already-quantized mi6/h6 integers, all outputs
+    * BIGINT (the new-query integer-contract rule).
+    */
+  private def theilUOracle(pairs: Seq[(String, String)]): String = {
+    val b = new StringBuilder(
+      "WITH d AS (SELECT source, lang, n_chars // 200 AS len_bucket FROM documents)")
+    pairs.zipWithIndex.foreach { case ((a, c), i) =>
+      b ++= s""",
+        cells_$i AS (SELECT $a AS _a, $c AS _b,
+            CAST(count(*) AS BIGINT) AS o FROM d
+          WHERE $a IS NOT NULL AND $c IS NOT NULL GROUP BY 1, 2),
+        ra_$i AS (SELECT _a, CAST(sum(o) AS BIGINT) AS ra
+          FROM cells_$i GROUP BY 1),
+        cb_$i AS (SELECT _b, CAST(sum(o) AS BIGINT) AS cb
+          FROM cells_$i GROUP BY 1),
+        nt_$i AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells_$i),
+        mi_$i AS (SELECT max(n) AS n,
+            greatest(0, CAST(sum(CAST(floor(
+              (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(o * n AS DOUBLE) / CAST(ra * cb AS DOUBLE))
+              * 1e6) AS BIGINT)) AS BIGINT)) AS mi6
+          FROM cells_$i JOIN ra_$i USING (_a) JOIN cb_$i USING (_b),
+            nt_$i),
+        ha_$i AS (SELECT CAST(sum(CAST(floor(
+            (CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+            * (-ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)))
+            * 1e6) AS BIGINT)) AS BIGINT) AS h6a
+          FROM ra_$i, nt_$i),
+        hb_$i AS (SELECT CAST(sum(CAST(floor(
+            (CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+            * (-ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)))
+            * 1e6) AS BIGINT)) AS BIGINT) AS h6b
+          FROM cb_$i, nt_$i),
+        res_$i AS (SELECT '$a' AS col_a, '$c' AS col_b, n,
+            mi6, h6a AS ha6, h6b AS hb6,
+            CASE WHEN h6a > 0 THEN mi6 * 1000000 // h6a END
+              AS u_a_given_b6,
+            CASE WHEN h6b > 0 THEN mi6 * 1000000 // h6b END
+              AS u_b_given_a6
+          FROM mi_$i, ha_$i, hb_$i)"""
+    }
+    b ++= "\n        "
+    b ++= pairs.indices.map(i => s"SELECT * FROM res_$i")
+      .mkString(" UNION ALL ")
+    b ++= " ORDER BY col_a, col_b"
+    b.toString
+  }
+
   private def mutualInfoOracle(pairs: Seq[(String, String)]): String = {
     val b = new StringBuilder(
       "WITH d AS (SELECT source, lang, n_chars // 200 AS len_bucket FROM documents)")
@@ -6720,6 +6779,10 @@ object LlmOps {
     // same occupied-cell censuses, identical IEEE ratio/ln chains,
     // per-cell millionth floors then integer sums
     "q278_mutual_info" -> mutualInfoOracle(Seq(
+      ("source", "lang"), ("source", "len_bucket"),
+      ("lang", "len_bucket"))),
+
+    "q320_theil_u" -> theilUOracle(Seq(
       ("source", "lang"), ("source", "len_bucket"),
       ("lang", "len_bucket"))),
 

@@ -342,6 +342,47 @@ object EventStreams {
       }
   }
 
+  final case class EwmaState(s6: Long, started: Boolean,
+      lastBucket: Long = Long.MinValue)
+  final case class EwmaPoint(key: String, bucket: Long, n: Long,
+      ewma6: Long)
+
+  /** Streaming dyadic EWMA — the continuously-running face of
+    * [[graft.operators.TemporalJoins.ewmaTrend]] (q201), the LEVEL
+    * tracker beside the detector monitors ([[cusumMonitor]] detects
+    * shifts, [[pageHinkleyMonitor]] detects drift; this IS the smoothed
+    * level dashboards plot): per-key one BIGINT of state folding the
+    * exact q201 recurrence — s₁ = n₁·10⁶, sₜ = (nₜ·10⁶ + sₜ₋₁) div 2
+    * (α = ½ dyadic halving, bit-identical in any engine) — so a series
+    * split across any trigger boundaries emits exactly the batch
+    * operator's ewma₆ per bucket (the spec asserts the equivalence
+    * against [[graft.operators.TemporalJoins.ewmaTrend]] itself). Late
+    * buckets return flagged with the impossible ewma₆ = −1 sentinel
+    * (counts are nonnegative), never refolded.
+    */
+  def ewmaMonitor(counts: Dataset[BucketCount]): Dataset[EwmaPoint] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[BucketCount], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0L, started = false))
+          val out = it.toSeq.sortBy(_.bucket).map { bc =>
+            if (bc.bucket <= st.lastBucket)
+              EwmaPoint(key, bc.bucket, bc.n, -1L)
+            else {
+              val s6 = if (!st.started) bc.n * 1000000L
+                else (bc.n * 1000000L + st.s6) / 2L
+              st = EwmaState(s6, started = true, bc.bucket)
+              EwmaPoint(key, bc.bucket, bc.n, s6)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class BtGame(key: String, epoch: Long, model_a: Long,
       model_b: Long, winner: Long)
   final case class BtCensus(lastEpoch: Long, pi: Seq[Long], pj: Seq[Long],

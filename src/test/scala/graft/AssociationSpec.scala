@@ -96,6 +96,34 @@ class AssociationSpec extends SparkSpec {
     assert(c.isNullAt(c.fieldIndex("nmi")))
   }
 
+  test("theilU: a functional dependency reads ~1 one way and the " +
+      "entropy ratio the other; single-valued margin NULL") {
+    // a in 0..3 (4 each), b = a mod 2: b is a FUNCTION of a, so
+    // U(b|a) ~ 1 while U(a|b) = ln2/ln4 = 1/2 — the asymmetry NMI
+    // cannot express. Expected values replay the operator's exact
+    // floor chain (per-cell/per-margin floors, then one division).
+    val df = (0 until 16).map(i => (i % 4, (i % 4) % 2))
+      .toDF("a", "b")
+    val r = Association.theilU(df, Seq("a", "b")).collect().head
+    val mi6 = 4L * math.floor(
+      0.25 * math.log((4.0 * 16) / (4.0 * 8)) * 1e6).toLong
+    val ha6 = 4L * math.floor(0.25 * -math.log(0.25) * 1e6).toLong
+    val hb6 = 2L * math.floor(0.5 * -math.log(0.5) * 1e6).toLong
+    assert(r.getAs[Long]("mi6") === mi6)
+    assert(r.getAs[Long]("ha6") === ha6)
+    assert(r.getAs[Long]("hb6") === hb6)
+    assert(r.getAs[Long]("u_a_given_b6") === mi6 * 1000000L / ha6)
+    assert(r.getAs[Long]("u_b_given_a6") === mi6 * 1000000L / hb6)
+    assert(r.getAs[Long]("u_b_given_a6") > 999000L,
+      "knowing a removes (nearly) all of b's uncertainty")
+    // ln2/ln4 = 0.5 exactly; the per-term floors shave ~2 millionths
+    assert(r.getAs[Long]("u_a_given_b6") === 499998L)
+    // single-valued column: H = 0 -> that direction NULL
+    val mono = (0 until 8).map(i => (i % 4, 1)).toDF("a", "b")
+    val m = Association.theilU(mono, Seq("a", "b")).collect().head
+    assert(m.isNullAt(m.fieldIndex("u_b_given_a6")))
+  }
+
   test("frequentPairs: support cut, truncating confidence, lift " +
       "strictly-greater contract, presence semantics") {
     // b1{A,A,B,C} (dup A counts once), b2{A,B}, b3{A}

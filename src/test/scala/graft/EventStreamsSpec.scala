@@ -189,6 +189,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(late.filter(_.decision != "late") === oneShot)
   }
 
+  test("ewmaMonitor: trigger-split equals one-shot, per-bucket values " +
+      "equal the BATCH ewmaTrend operator, late buckets flagged") {
+    import EventStreams.{BucketCount, EwmaPoint}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // all counts >= 1 so the batch daily census has exactly one row
+    // per stream bucket (the batch operator folds days PRESENT; gap
+    // handling belongs to whoever pre-buckets the feed)
+    val series = Seq(5L, 9L, 2L, 2L, 14L, 1L, 7L).zipWithIndex
+      .map { case (n, i) => BucketCount("k", i + 1L, n) }
+    def run(chunks: Seq[Seq[BucketCount]], name: String): Seq[EwmaPoint] = {
+      val mem = MemoryStream[BucketCount]
+      val q = EventStreams.ewmaMonitor(mem.toDS()).toDF()
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).as[EwmaPoint].collect().sortBy(_.bucket).toSeq
+    }
+    val oneShot = run(Seq(series), "ew_a")
+    val split = run(Seq(series.take(2), series.slice(2, 5),
+      series.drop(5)), "ew_b")
+    assert(oneShot === split, "state must carry across triggers")
+    // the stream must emit EXACTLY the batch operator's ewma6 values:
+    // replay the same counts as daily events through ewmaTrend
+    val ev = series.flatMap(bc => (1L to bc.n).map(_ =>
+      ("k", java.sql.Timestamp.valueOf(
+        f"2024-03-${bc.bucket}%02d 12:00:00"))))
+      .toDF("event_type", "ts")
+    val batch = graft.operators.TemporalJoins
+      .ewmaTrend(ev, "event_type", "ts")
+      .orderBy($"day").collect().map(_.getAs[Long]("ewma6")).toSeq
+    assert(oneShot.map(_.ewma6) === batch,
+      "stream must emit exactly the batch operator's ewma6 per bucket")
+    val late = run(Seq(series, Seq(BucketCount("k", 3L, 99L))), "ew_c")
+    assert(late.count(_.ewma6 == -1L) === 1)
+    assert(late.filter(_.ewma6 >= 0L) === oneShot)
+  }
+
   test("pageHinkleyMonitor: trigger-split equals one-shot, recurrence " +
       "matches an independent batch fold, level shift alarms, late " +
       "buckets flagged") {

@@ -319,6 +319,8 @@ object PlanDump {
       "Ljung-Box: the q285 ACF chain does all data work (calendar-bounded lag join); the portmanteau is a |groups|x7 aggregation with per-lag floored terms.",
     "q313_turning_points" ->
       "Turning points: events collapse to the dense calendar; lag/lead windows run over the bounded day spine; |groups|-row z arithmetic.",
+    "q320_theil_u" ->
+      "Theil's U: the q278 mutualInfo plan exactly — per-pair occupied-cell census + margin joins, floored-ln summands, report-sized arithmetic; the two U divisions add zero data-sized work.",
     "q317_pettitt" ->
       "Pettitt: the midrank identity turns the O(days^2) U_t double sum into one value-set rank window + one calendar cumulative — no day-pair join anywhere; argmax by max-then-join-back.",
     "q318_wilcoxon" ->

@@ -236,7 +236,9 @@ object ScaleProbe {
     // Wilcoxon the per-source |d| value set (diff granularity grows
     // the set ~linearly); ordinal association one bounded cell census
     // + a grid^2 pair join that never touches rows
-    "q317_pettitt", "q318_wilcoxon", "q319_ordinal_assoc")
+    "q317_pettitt", "q318_wilcoxon", "q319_ordinal_assoc",
+    // gen-21b: Theil's U = the q278 cell censuses + two divisions
+    "q320_theil_u")
 
   /** Probe-only members beyond the SparkEntry registry. The IVF
     * hard-negatives probe pins the candidate-bounded path
