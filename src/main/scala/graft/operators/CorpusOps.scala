@@ -1089,9 +1089,19 @@ object CorpusOps {
       .withColumn("starts",
         concat(array(lit(1)), transform(col("bounds"), b => b + 1)))
       .withColumn("ends", concat(col("bounds"), array(col("n"))))
+    // posexplode_OUTER: `starts` is never empty (it always leads with
+    // element 1), so outer vs inner generate emits identical rows — but
+    // the inner form lets InferFiltersFromGenerate derive a
+    // `size(starts) > 0` filter whose condition embeds the ENTIRE
+    // Rabin-window chain (windowHash per position), and filter pushdown
+    // then re-evaluates that chain below the fan-out exchange on the
+    // unsplit scan's single task (round-13 measured: 4.2 s of the
+    // query's 4.4 s sat in that one-task stage). Outer generates are
+    // exempt from the rule, so the chain runs once, post-exchange, in
+    // parallel.
     withBounds
       .select(col("doc_id"), col("w"), col("ends"),
-        posexplode(col("starts")).as(Seq("chunk_ord", "s")))
+        posexplode_outer(col("starts")).as(Seq("chunk_ord", "s")))
       .withColumn("e", element_at(col("ends"), (col("chunk_ord") + 1).cast("int")))
       .select(col("doc_id"), col("chunk_ord").cast("long").as("chunk_ord"),
         col("s").cast("long").as("start_tok"),
@@ -1551,6 +1561,21 @@ object CorpusOps {
     * built per row — never a pair join, never corpus²). Short-doc
     * convention mirrors [[Dedup]]'s shingling: a doc with < n words is
     * its single space-joined gram.
+    *
+    * Round-13 optimization (guide §2.3/§1.2): the gram SETS are built
+    * map-side, BEFORE the exchange, once per row per side — the old
+    * formulation inlined the gram expression into the post-join CASE,
+    * where (a) higher-order functions are exempt from codegen common-
+    * subexpression elimination (lambda-variable trees are skipped by
+    * EquivalentExpressions), so each row rebuilt its gram set up to ~6×
+    * per side, and (b) the whole cost sat in the post-shuffle stage,
+    * which the output sort's range-sampling pass executes a second time
+    * and AQE coalesces to one task at low volume. Text equality is
+    * checked via md5 (the [[curationReport]] gate_exact convention) so
+    * raw text never crosses the exchange — the shuffle carries
+    * (doc_id, md5, gram set), and the post-join work is null checks +
+    * one array_intersect. Jaccard values and status labels are
+    * bit-identical (same gram expression, same quant4 arithmetic).
     */
   def snapshotDiff(v1: DataFrame, v2: DataFrame, n: Int = 3,
       threshold: Double = 0.8, idCol: String = "doc_id",
@@ -1560,22 +1585,23 @@ object CorpusOps {
       array_distinct(when(size(w) >= n, TextAnalysis.wordNgrams(w, n))
         .otherwise(array(concat_ws(" ", w))))
     }
-    val a = v1.select(col(idCol).as("doc_id"), col(textCol).as("_t1"))
-    val b = v2.select(col(idCol).as("doc_id"), col(textCol).as("_t2"))
-    val sa = gramSet(col("_t1"))
-    val sb = gramSet(col("_t2"))
-    val inter = size(array_intersect(sa, sb))
-    val jac = TextAnalysis.quant4(inter.cast("double")
-      / (size(sa) + size(sb) - inter))
-    a.join(b, Seq("doc_id"), "full_outer")
+    val a = v1.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("_h1"), gramSet(col(textCol)).as("_g1"))
+    val b = v2.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("_h2"), gramSet(col(textCol)).as("_g2"))
+    val inter = size(array_intersect(col("_g1"), col("_g2")))
+    val joined = a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("_jac", TextAnalysis.quant4(inter.cast("double")
+        / (size(col("_g1")) + size(col("_g2")) - inter)))
+    joined
       .select(col("doc_id"),
-        when(col("_t1").isNull, "added")
-          .when(col("_t2").isNull, "removed")
-          .when(col("_t1") === col("_t2"), "unchanged")
-          .when(jac >= threshold, "minor_edit")
+        when(col("_h1").isNull, "added")
+          .when(col("_h2").isNull, "removed")
+          .when(col("_h1") === col("_h2"), "unchanged")
+          .when(col("_jac") >= threshold, "minor_edit")
           .otherwise("rewrite").as("status"),
-        when(col("_t1").isNotNull && col("_t2").isNotNull &&
-          col("_t1") =!= col("_t2"), jac).as("jaccard"))
+        when(col("_h1").isNotNull && col("_h2").isNotNull &&
+          col("_h1") =!= col("_h2"), col("_jac")).as("jaccard"))
   }
 
   /** Inter-source containment matrix (q261) — [[sourceOverlap]]'s

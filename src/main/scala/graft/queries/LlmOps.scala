@@ -1033,7 +1033,10 @@ object LlmOps {
     // appends a 3-word marker to %7==0 texts — added/removed/unchanged/
     // minor_edit/rewrite per doc with the row-local version Jaccard
     "q259_snapshot_diff" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // fanout: the gram sets are built map-side (snapshotDiff round-13
+      // note) — without it both map sides run on the single-row-group
+      // scan's one task
+      val docs = Tables.fanout(Tables.documents(s, d))
       val v1 = docs.filter(col("doc_id") % 10 =!= 0)
       val v2 = docs.filter(col("doc_id") % 10 =!= 3)
         .withColumn("text", when(col("doc_id") % 7 === 0,
