@@ -1042,7 +1042,19 @@ object Dedup {
     val sig = docs.select(col("doc_id") +: sigCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val rows = bandConfigs.sorted.map { b =>
+      // round-13 (guide §1.4/§2.6): per config, n_cand and n_found were
+      // two separate .count() actions over an UNCACHED verification frame
+      // — the bucket self-join and exact verification ran twice per
+      // config. They are now ONE aggregation (count + conditional count
+      // over the same pass), and the independent per-config probes run as
+      // overlapped driver threads against the shared persisted signature
+      // table (concurrent first-touch of a persisted partition is safe:
+      // BlockManager's per-block locks make one thread compute and the
+      // others wait on the stored block). Counts are exact either way —
+      // the report is unchanged.
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(bandConfigs.length)
+      val futs = bandConfigs.sorted.map { b =>
         val rowsPer = k / b
         def fold(cs: Seq[Column]): Column =
           cs.reduce((acc, h) => (acc * lit(31L) + h) % lit(PortableP))
@@ -1051,25 +1063,32 @@ object Dedup {
             fold((bb * rowsPer until (bb + 1) * rowsPer)
               .map(i => col(s"h$i"))).as("bkey"))
         }
-        val buckets = sig
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"),
-            col("bb.bkey").as("bkey"))
-        val cands = buckets.as("a").join(buckets.as("b"),
-            col("a.band") === col("b.band")
-              && col("a.bkey") === col("b.bkey")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val verified = verifyJaccard(cands,
-          docs.select(col("doc_id"), col("sh")), threshold = 0.0)
-        val nCand = verified.count()
-        val nFound = verified.filter(col("jaccard") >= threshold).count()
-        val recall =
-          if (nTrue == 0L) 1.0
-          else (nFound * 1000000L / nTrue).toDouble / 1e6
-        (b.toLong, (k / b).toLong, nTrue, nCand, nFound, recall)
+        scala.concurrent.Future {
+          val buckets = sig
+            .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+            .select(col("doc_id"), col("bb.band").as("band"),
+              col("bb.bkey").as("bkey"))
+          val cands = buckets.as("a").join(buckets.as("b"),
+              col("a.band") === col("b.band")
+                && col("a.bkey") === col("b.bkey")
+                && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct()
+          val verified = verifyJaccard(cands,
+            docs.select(col("doc_id"), col("sh")), threshold = 0.0)
+          val counts = verified.agg(count(lit(1)).as("nc"),
+            count(when(col("jaccard") >= threshold, 1)).as("nf")).head()
+          val (nCand, nFound) = (counts.getLong(0), counts.getLong(1))
+          val recall =
+            if (nTrue == 0L) 1.0
+            else (nFound * 1000000L / nTrue).toDouble / 1e6
+          (b.toLong, (k / b).toLong, nTrue, nCand, nFound, recall)
+        }(scala.concurrent.ExecutionContext.fromExecutorService(pool))
       }
+      val rows =
+        try futs.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+        finally pool.shutdown()
       rows.toDF("bands", "rows_per_band", "n_true", "n_cand", "n_found",
         "recall")
     } finally {

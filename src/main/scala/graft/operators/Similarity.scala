@@ -720,18 +720,35 @@ object Similarity {
     val e = asDouble(emb).localCheckpoint(eager = true)
     val eIds = sc.getPersistentRDDs.keySet.toSet -- before
     try {
-      ks.map { k =>
-        val cents = lloydCentroids(e, k, iters)
-        val dists = array_sort(array(cents.map(distTo): _*))
-        val a = sqrt(element_at(dists, 1))
-        val b = sqrt(element_at(dists, 2))
-        val s6 = when(greatest(a, b) > 0,
-          floor((b - a) / greatest(a, b) * 1000000d)).otherwise(0L)
-        e.select(s6.as("s6"))
-          .agg(count(lit(1)).as("n_vecs"), sum(col("s6")).as("ssum"))
-          .select(lit(k.toLong).as("k"), col("n_vecs"),
-            (expr("ssum div n_vecs").cast("double") / 1e6).as("silhouette"))
-      }.reduce(_ unionByName _).localCheckpoint(eager = true)
+      // round-13 (guide §2.6): the |ks| trainings are independent and the
+      // source is already checkpointed, so they run as OVERLAPPED driver
+      // threads instead of |ks| serialized Lloyd loops — each training is
+      // still deterministic on its own, so the report is unchanged; the
+      // wall time drops from the sum of the sweeps to roughly the slowest
+      // one (locally ~2×; on a cluster the later sweeps back-fill the
+      // earlier ones' straggler tails)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.length)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val perK = ks.map { k =>
+        scala.concurrent.Future {
+          val cents = lloydCentroids(e, k, iters)
+          val dists = array_sort(array(cents.map(distTo): _*))
+          val a = sqrt(element_at(dists, 1))
+          val b = sqrt(element_at(dists, 2))
+          val s6 = when(greatest(a, b) > 0,
+            floor((b - a) / greatest(a, b) * 1000000d)).otherwise(0L)
+          e.select(s6.as("s6"))
+            .agg(count(lit(1)).as("n_vecs"), sum(col("s6")).as("ssum"))
+            .select(lit(k.toLong).as("k"), col("n_vecs"),
+              (expr("ssum div n_vecs").cast("double") / 1e6).as("silhouette"))
+        }
+      }
+      val rows =
+        try perK.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+        finally pool.shutdown()
+      rows.reduce(_ unionByName _).localCheckpoint(eager = true)
     } finally {
       eIds.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))

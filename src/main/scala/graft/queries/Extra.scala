@@ -177,15 +177,29 @@ object Extra {
     // exact 0.49/0.51 quantile bracket). The oracle computes the exact
     // side and TRUE literals for the contract columns: a sketch
     // regression flips a boolean and fails the hash.
+    // Round-13 optimization (guide §2.3/§3): the single mixed aggregation
+    // made Catalyst's count-DISTINCT rewrite key the partial aggregate by
+    // (l_returnflag, l_partkey) — so the HLL registers (52 longs) and BOTH
+    // exact-percentile value maps were maintained PER PARTKEY GROUP
+    // (~20k·|flags| heavy states, plan op (2) Results[57]) and merged
+    // through two exchanges. Splitting the distinct count from the
+    // sketch/percentile pass keeps each aggregation in its cheap shape:
+    // the distinct pass carries no object state, the sketch pass holds
+    // |flags| states per task. Same functions over the same rows — values
+    // identical; the 3-row join broadcasts. (Warm 4.2 s → 0.9 s; at scale
+    // this is the difference between O(|partkeys|) and O(|flags|) percentile
+    // maps per task.)
     "q103_sketch_bounds" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+      val li = Tables.lineitem(s, d)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val sketches = li.groupBy(col("l_returnflag"))
         .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("hll"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
           expr("percentile(l_extendedprice, 0.49)").as("p_lo"),
           expr("percentile(l_extendedprice, 0.51)").as("p_hi"))
+      exact.join(sketches, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("hll") - col("exact_parts"))
             <= col("exact_parts") * lit(0.10)).as("hll_within"),

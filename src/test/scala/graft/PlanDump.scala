@@ -198,7 +198,7 @@ object PlanDump {
     "q250_loss_curve" ->
       "Loss curve: per-slice count tables once, cumulative expansion via k-row broadcast range join, holdout scored as its transition value set.",
     "q103_sketch_bounds" ->
-      "Sketch error contract: exact distinct/percentile AND their sketch estimates as aggregates of ONE grouped pass over one scan — two answer sets by design (the contract compares them), never two scans.",
+      "Sketch error contract: the exact distinct count and the sketch/percentile battery run as SEPARATE aggregations joined on the 3-row flag key (round-13: one mixed aggregation made the count-DISTINCT rewrite key the partials by (flag, partkey), so HLL registers and both exact-percentile value maps were held per partkey group and merged through two exchanges — warm 4.2 s → 0.9 s, and at scale O(|flags|) instead of O(|partkeys|) heavy states per task).",
     "q104_incremental_dedup" ->
       "Incremental dedup, delta-vs-index pass (batch 2 captured): within-batch prefix-filtered clustering, band-bucket equi-join of the BATCH against the persisted bands table (bucket the index by bkey at scale for a zero-index-side-shuffle join), stored-signature exact verification of candidates only, left-anti survivor cut — the corpus is never re-paired.",
     "q108_content_chunks" ->
